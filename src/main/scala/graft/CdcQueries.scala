@@ -1,0 +1,327 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Envelope, EnvelopeSql}
+import graft.operators._
+import graft.functions.Codecs
+
+/** Oracle-checked queries for every CDC operator in SURVEY §2.
+  *
+  * Each entry applies one operator (or a tight pipeline of them) to
+  * the deterministic envelope derived from the `events` table, and
+  * pairs it with a DuckDB-dialect SQL mirror. Shared fixtures
+  * (expression filter predicates, ignore lists, txn bucketing) are
+  * defined once here so the Spark and SQL sides cannot drift.
+  */
+object CdcQueries {
+
+  private def env(s: SparkSession, dir: String): DataFrame =
+    Envelope.fromEvents(Tables.events(s, dir))
+
+  /** Envelope flat + extra computed columns. */
+  private def flatWith(df: DataFrame, extra: String*): DataFrame = {
+    val cols = Seq("_row_id", "_schema", "_table", "_op", "_commit_ts", "_start_ts",
+      "before.user_id", "before.value", "before.k",
+      "after.user_id", "after.value", "after.k")
+    val named = Seq("_row_id", "_schema", "_table", "_op", "_commit_ts", "_start_ts",
+      "before_user_id", "before_value", "before_k",
+      "after_user_id", "after_value", "after_k")
+    df.select(cols.zip(named).map { case (c, n) => col(c).as(n) } ++ extra.map(col): _*)
+  }
+
+  // ---- shared fixtures (must match the SQL below) ----
+  val tableRules: Seq[String] = Seq("app.events_*", "!app.events_3")
+  val ignoreOps: Seq[String] = Seq("D")
+  val exprIgnoreInsert = "value <= 30 AND k >= 50"
+  val exprIgnoreUpdateNew = "value > 190"
+  val exprIgnoreDelete = "user_id < 10"
+  val handleKeys: Seq[String] = Seq("user_id")
+  val minuteNs: Long = 60L * 1000 * 1000 * 1000
+  val hourNs: Long = 3600L * 1000 * 1000 * 1000
+
+  /** Multi-row-txn fixture: bucket commit-ts to the minute + user so
+    * several events share one (start_ts, commit_ts) group. */
+  private def txnified(e: DataFrame): DataFrame = {
+    e.filter(col("_op") =!= "D")
+      .withColumn("_commit_ts", col("_commit_ts") - pmod(col("_commit_ts"), lit(minuteNs))
+        + col("after.user_id"))
+      .withColumn("_start_ts", col("_commit_ts") - 1000L)
+  }
+  private val txnifiedSql =
+    """txn AS (
+      |  SELECT * REPLACE (
+      |    (_commit_ts - _commit_ts % 60000000000 + after_user_id) AS _commit_ts,
+      |    (_commit_ts - _commit_ts % 60000000000 + after_user_id - 1000) AS _start_ts)
+      |  FROM env WHERE _op <> 'D'
+      |)""".stripMargin
+
+  // ---- queries ----
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_filter_table" -> ((s, d) =>
+      flatWith(Filters.tableFilter(env(s, d), tableRules))),
+
+    "q_filter_event_type" -> ((s, d) =>
+      flatWith(Filters.eventTypeFilter(env(s, d), ignoreOps))),
+
+    "q_filter_expr" -> ((s, d) =>
+      flatWith(Filters.exprFilter(s, env(s, d),
+        ignoreInsert = Some(exprIgnoreInsert),
+        ignoreUpdateNew = Some(exprIgnoreUpdateNew),
+        ignoreDelete = Some(exprIgnoreDelete)))),
+
+    "q_filter_startts" -> ((s, d) => {
+      val e = env(s, d)
+      val ignore = e.filter(pmod(col("_row_id"), lit(131L)) === 0)
+        .select(col("_start_ts"))
+      flatWith(e.join(broadcast(ignore), Seq("_start_ts"), "left_anti"))
+    }),
+
+    "q_filter_update_only_cols" -> ((s, d) =>
+      flatWith(Filters.updateOnlyColumnsFilter(env(s, d), Seq("value", "k")))),
+
+    "q_column_select" -> ((s, d) => {
+      val selected = Transforms.columnSelector(env(s, d), Seq("user_id", "k"))
+      selected.select(
+        col("_row_id"), col("_schema"), col("_table"), col("_op"),
+        col("_commit_ts"), col("_start_ts"),
+        col("before.user_id").as("before_user_id"),
+        col("before.k").as("before_k"),
+        col("after.user_id").as("after_user_id"),
+        col("after.k").as("after_k"))
+    }),
+
+    "q_updated_only" -> ((s, d) => {
+      // fixture: make before.k sometimes equal to after.k so the
+      // null-out path has both outcomes
+      val e = env(s, d).withColumn("before",
+        when(col("before").isNull, lit(null)).otherwise(struct(
+          col("before.user_id").as("user_id"),
+          col("before.value").as("value"),
+          when(col("_op") === "U" && pmod(col("after.k"), lit(3L)) === 0, col("after.k"))
+            .otherwise(col("before.k")).as("k"))))
+      flatWith(Transforms.updatedColumnsOnly(e, handleKeys))
+    }),
+
+    "q_delete_handle_only" -> ((s, d) =>
+      flatWith(Transforms.deleteHandleKeyOnly(env(s, d), handleKeys))),
+
+    "q_update_split" -> ((s, d) =>
+      flatWith(Transforms.updateSplit(env(s, d), Seq("k")))),
+
+    "q_route_partition" -> ((s, d) =>
+      flatWith(Routing.partitionByKeyColumns(env(s, d), Seq("user_id"), 16),
+        "_partition")),
+
+    "q_route_topic" -> ((s, d) =>
+      flatWith(Routing.routeTable(
+        Routing.routeTopic(env(s, d), "cdc_{schema}.{table}"),
+        "sink_{schema}", "{table}_v2"), "_topic", "_sink_schema", "_sink_table")),
+
+    "q_sorted_scan" -> ((s, d) =>
+      flatWith(EventOrder.withSequence(env(s, d)), "_seq")),
+
+    "q_txn_groups" -> ((s, d) => TxnOps.txnGroups(txnified(env(s, d)))),
+
+    "q_table_progress" -> ((s, d) => TxnOps.tableProgress(env(s, d))),
+
+    "q_checkpoint" -> ((s, d) => TxnOps.checkpoint(env(s, d))),
+
+    "q_syncpoint" -> ((s, d) => TxnOps.syncPoints(env(s, d), hourNs)),
+
+    "q_schema_asof" -> ((s, d) => {
+      val e = env(s, d)
+      flatWith(SchemaAsOf.resolve(e, SchemaAsOf.sampleVersions(e)), "_schema_version")
+    }),
+
+    "q_encode_canal" -> ((s, d) =>
+      Codecs.canalJson(env(s, d)).select(col("_row_id"), col("_value"))),
+
+    "q_encode_open" -> ((s, d) =>
+      Codecs.openProtocol(env(s, d)).select(col("_row_id"), col("_key"), col("_value"))),
+
+    "q_encode_debezium" -> ((s, d) =>
+      Codecs.debeziumJson(env(s, d)).select(col("_row_id"), col("_value"))),
+
+    "q_encode_csv" -> ((s, d) =>
+      Codecs.csvLine(env(s, d)).select(col("_row_id"), col("_value")))
+  )
+
+  // ---- DuckDB oracles ----
+
+  private val flatCols =
+    "_row_id, _schema, _table, _op, _commit_ts, _start_ts, " +
+      "before_user_id, before_value, before_k, after_user_id, after_value, after_k"
+
+  private def q(body: String): String = EnvelopeSql.query(body)
+
+  def oracle: Map[String, String] = Map(
+    "q_filter_table" -> q(
+      s"SELECT $flatCols FROM env WHERE ${TableMatcher.matchesSql("_schema", "_table", tableRules)}"),
+
+    "q_filter_event_type" -> q(
+      s"SELECT $flatCols FROM env WHERE _op NOT IN ('D')"),
+
+    "q_filter_expr" -> q(
+      s"""SELECT $flatCols FROM env WHERE NOT (
+         |  (_op = 'I' AND COALESCE(after_value <= 30 AND after_k >= 50, FALSE)) OR
+         |  (_op = 'U' AND COALESCE(after_value > 190, FALSE)) OR
+         |  (_op = 'D' AND COALESCE(before_user_id < 10, FALSE)))""".stripMargin),
+
+    "q_filter_startts" -> q(
+      s"""SELECT $flatCols FROM env
+         |WHERE _start_ts NOT IN (SELECT _start_ts FROM env WHERE _row_id % 131 = 0)""".stripMargin),
+
+    "q_filter_update_only_cols" -> q(
+      s"""SELECT $flatCols FROM env
+         |WHERE NOT (_op = 'U' AND before_user_id IS NOT DISTINCT FROM after_user_id)""".stripMargin),
+
+    "q_column_select" -> q(
+      """SELECT _row_id, _schema, _table, _op, _commit_ts, _start_ts,
+        |  before_user_id, before_k, after_user_id, after_k FROM env""".stripMargin),
+
+    "q_updated_only" -> q(
+      """SELECT _row_id, _schema, _table, _op, _commit_ts, _start_ts,
+        |  before_user_id, before_value,
+        |  CASE WHEN _op = 'U' AND after_k % 3 = 0 THEN after_k ELSE before_k END AS before_k,
+        |  after_user_id, after_value,
+        |  CASE WHEN _op = 'U' AND after_k % 3 = 0 THEN NULL ELSE after_k END AS after_k
+        |FROM env""".stripMargin),
+
+    "q_delete_handle_only" -> q(
+      """SELECT _row_id, _schema, _table, _op, _commit_ts, _start_ts,
+        |  before_user_id,
+        |  CASE WHEN _op = 'D' THEN NULL ELSE before_value END AS before_value,
+        |  CASE WHEN _op = 'D' THEN NULL ELSE before_k END AS before_k,
+        |  after_user_id, after_value, after_k
+        |FROM env""".stripMargin),
+
+    "q_update_split" -> q(
+      s"""SELECT $flatCols FROM env WHERE _op <> 'U'
+         |UNION ALL
+         |SELECT _row_id, _schema, _table, 'D', _commit_ts, _start_ts,
+         |  before_user_id, before_value, before_k, NULL, NULL, NULL
+         |FROM env WHERE _op = 'U'
+         |UNION ALL
+         |SELECT _row_id, _schema, _table, 'I', _commit_ts, _start_ts,
+         |  NULL, NULL, NULL, after_user_id, after_value, after_k
+         |FROM env WHERE _op = 'U'""".stripMargin),
+
+    "q_route_partition" -> q(
+      s"""SELECT $flatCols,
+         |  ${Routing.stableHashSql(Seq("_schema", "_table",
+              "CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END"))} % 16 AS _partition
+         |FROM env""".stripMargin),
+
+    "q_route_topic" -> q(
+      s"""SELECT $flatCols,
+         |  regexp_replace('cdc_' || _schema || '.' || _table, '[^a-zA-Z0-9\\._\\-]', '_', 'g') AS _topic,
+         |  'sink_' || _schema AS _sink_schema,
+         |  _table || '_v2' AS _sink_table
+         |FROM env""".stripMargin),
+
+    "q_sorted_scan" -> q(
+      s"""SELECT $flatCols,
+         |  ROW_NUMBER() OVER (PARTITION BY _schema, _table
+         |    ORDER BY _commit_ts, _start_ts,
+         |      CASE WHEN _op = 'D' THEN 1 WHEN _op = 'U' THEN 2 ELSE 3 END,
+         |      _row_id) AS _seq
+         |FROM env""".stripMargin),
+
+    "q_txn_groups" -> q(
+      s""", $txnifiedSql
+         |SELECT _schema, _table, _start_ts, _commit_ts,
+         |  COUNT(*) AS n_rows,
+         |  SUM(CASE WHEN _op = 'I' THEN 1 ELSE 0 END) AS n_insert,
+         |  SUM(CASE WHEN _op = 'U' THEN 1 ELSE 0 END) AS n_update,
+         |  SUM(CASE WHEN _op = 'D' THEN 1 ELSE 0 END) AS n_delete,
+         |  MIN(_row_id) AS first_row_id
+         |FROM txn GROUP BY 1, 2, 3, 4""".stripMargin),
+
+    "q_table_progress" -> q(
+      """SELECT _schema, _table,
+        |  MIN(_commit_ts) AS min_unflushed_ts,
+        |  MAX(_commit_ts) AS resolved_ts,
+        |  COUNT(*) AS n_events
+        |FROM env GROUP BY 1, 2""".stripMargin),
+
+    "q_checkpoint" -> q(
+      """SELECT MIN(min_unflushed_ts) AS checkpoint_ts,
+        |  MIN(resolved_ts) AS min_resolved_ts,
+        |  COUNT(*) AS n_tables
+        |FROM (
+        |  SELECT _schema, _table,
+        |    MIN(_commit_ts) AS min_unflushed_ts,
+        |    MAX(_commit_ts) AS resolved_ts
+        |  FROM env GROUP BY 1, 2)""".stripMargin),
+
+    "q_syncpoint" -> q(
+      """SELECT _schema, _table,
+        |  _commit_ts - _commit_ts % 3600000000000 AS sync_point_ts,
+        |  MAX(_commit_ts) AS primary_ts,
+        |  COUNT(*) AS n_events
+        |FROM env GROUP BY 1, 2, 3""".stripMargin),
+
+    "q_schema_asof" -> q(
+      s""", versions AS (
+         |  SELECT _schema, _table, _commit_ts AS version_ts FROM env WHERE _row_id % 97 = 0)
+         |SELECT $flatCols,
+         |  (SELECT MAX(v.version_ts) FROM versions v
+         |   WHERE v._schema = e._schema AND v._table = e._table
+         |     AND v.version_ts <= e._commit_ts) AS _schema_version
+         |FROM env e""".stripMargin),
+
+    "q_encode_canal" -> q(
+      s"""SELECT _row_id,
+         |  '{"id":0,"database":"' || _schema || '","table":"' || _table ||
+         |  '","pkNames":["user_id"],"isDdl":false,"type":"' ||
+         |  CASE WHEN _op = 'I' THEN 'INSERT' WHEN _op = 'U' THEN 'UPDATE' ELSE 'DELETE' END ||
+         |  '","es":' || CAST(_commit_ts // 1000000 AS VARCHAR) ||
+         |  ',"ts":' || CAST(_commit_ts // 1000000 AS VARCHAR) ||
+         |  ',"data":[' ||
+         |  CASE WHEN _op = 'D' THEN ${imgSql("before")} ELSE ${imgSql("after")} END ||
+         |  '],"old":' ||
+         |  CASE WHEN _op = 'U' THEN '[' || ${imgSql("before")} || ']' ELSE 'null' END ||
+         |  '}' AS _value
+         |FROM env""".stripMargin),
+
+    "q_encode_open" -> q(
+      s"""SELECT _row_id,
+         |  '{"ts":' || CAST(_commit_ts AS VARCHAR) || ',"scm":"' || _schema ||
+         |    '","tbl":"' || _table || '","t":1}' AS _key,
+         |  CASE WHEN _op = 'I' THEN '{"u":' || ${imgSql("after")} || '}'
+         |       WHEN _op = 'U' THEN '{"u":' || ${imgSql("after")} || ',"p":' || ${imgSql("before")} || '}'
+         |       ELSE '{"d":' || ${imgSql("before")} || '}' END AS _value
+         |FROM env""".stripMargin),
+
+    "q_encode_debezium" -> q(
+      s"""SELECT _row_id,
+         |  '{"before":' || ${imgSql("before")} ||
+         |  ',"after":' || ${imgSql("after")} ||
+         |  ',"source":{"db":"' || _schema || '","table":"' || _table ||
+         |  '","commit_ts":' || CAST(_commit_ts AS VARCHAR) ||
+         |  '},"op":"' || CASE WHEN _op = 'I' THEN 'c' WHEN _op = 'U' THEN 'u' ELSE 'd' END ||
+         |  '","ts_ms":' || CAST(_commit_ts // 1000000 AS VARCHAR) || '}' AS _value
+         |FROM env""".stripMargin),
+
+    "q_encode_csv" -> q(
+      s"""SELECT _row_id,
+         |  '"' || CASE WHEN _op = 'I' THEN 'I' WHEN _op = 'U' THEN 'U' ELSE 'D' END || '"' ||
+         |  ',"' || _schema || '"' || ',"' || _table || '"' ||
+         |  ',' || CAST(_commit_ts AS VARCHAR) ||
+         |  ',' || COALESCE(CAST(CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END AS VARCHAR), '\\N') ||
+         |  ',' || COALESCE(CAST(CAST(CASE WHEN _op = 'D' THEN before_value ELSE after_value END AS DECIMAL(18,2)) AS VARCHAR), '\\N') ||
+         |  ',' || COALESCE(CAST(CASE WHEN _op = 'D' THEN before_k ELSE after_k END AS VARCHAR), '\\N') AS _value
+         |FROM env""".stripMargin)
+  )
+
+  /** JSON image object in DuckDB dialect, mirroring Codecs.imageJson:
+    * null image → literal 'null'. The image is null exactly when its
+    * user_id is null (user_id is non-null in the payload). */
+  private def imgSql(img: String): String =
+    s"""CASE WHEN ${img}_user_id IS NULL THEN 'null' ELSE
+       |  '{"user_id":' || CAST(${img}_user_id AS VARCHAR) ||
+       |  ',"value":' || COALESCE(CAST(CAST(${img}_value AS DECIMAL(18,2)) AS VARCHAR), 'null') ||
+       |  ',"k":' || COALESCE(CAST(${img}_k AS VARCHAR), 'null') || '}' END""".stripMargin.replace("\n", " ")
+}

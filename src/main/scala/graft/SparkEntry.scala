@@ -23,12 +23,13 @@ object SparkEntry {
     "q3_shipping" -> ((s, dir) => Tpch.q3(s, dir)),
     "q5_local_supplier" -> ((s, dir) => Tpch.q5(s, dir)),
     "q_event_rollup" -> ((s, dir) => Tpch.eventRollup(s, dir)),
-    "q_envelope" -> ((s, dir) => Envelope.flat(Envelope.fromEvents(Tables.events(s, dir))))
-  )
+    "q_envelope" -> ((s: SparkSession, dir: String) =>
+      Envelope.flat(Envelope.fromEvents(Tables.events(s, dir))))
+  ) ++ CdcQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Tpch.oracle ++ Map(
     "q_envelope" -> EnvelopeSql.query("SELECT * FROM env")
-  )
+  ) ++ CdcQueries.oracle
 }

@@ -1,0 +1,129 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Wire-protocol encoders (SURVEY §2.7). Each produces a `_value`
+  * string column (and `_key` where the protocol has one) from the
+  * envelope.
+  *
+  * JSON is assembled with concat of codegen'd string expressions
+  * rather than `to_json`: (a) protocol compatibility pins exact field
+  * order and null layout, which `to_json` does not (it omits null
+  * fields); (b) the rendering is then engine-portable, so every
+  * encoder is oracle-checkable byte-for-byte. All pieces stay inside
+  * whole-stage codegen.
+  *
+  * Payload rendering: longs as bare JSON numbers; doubles through
+  * DECIMAL(18,2) (the upstream money scale) so formatting is
+  * deterministic; strings JSON-escaped.
+  */
+object Codecs {
+
+  /** ns → ms epoch (the protocols' timestamp unit). Division runs in
+    * the decimal domain: epoch-ns (~1.7e18) exceeds double's exact
+    * integer range (2^53), so Spark's long `/` (double division)
+    * would be off by ±1ms. */
+  private def ms(c: Column): Column =
+    (c.cast(DecimalType(38, 0)) / lit(1000000L)).cast("long")
+
+  private def jsonNum(c: Column): Column =
+    coalesce(c.cast("string"), lit("null"))
+
+  private def jsonMoney(c: Column): Column =
+    coalesce(c.cast(DecimalType(18, 2)).cast("string"), lit("null"))
+
+  /** Payload object for one image (user_id, value, k — the envelope's
+    * payload row), or literal null when the image is absent. */
+  private def imageJson(img: String): Column =
+    when(col(img).isNull, lit("null")).otherwise(concat(
+      lit("{\"user_id\":"), jsonNum(col(s"$img.user_id")),
+      lit(",\"value\":"), jsonMoney(col(s"$img.value")),
+      lit(",\"k\":"), jsonNum(col(s"$img.k")),
+      lit("}")))
+
+  /** Canal-JSON envelope (reference
+    * pkg/sink/codec/canal/canal_json_encoder.go:444): `type`
+    * INSERT/UPDATE/DELETE, `data` = post-image (pre-image for
+    * deletes), `old` = pre-image for updates, `es`/`ts` in ms. */
+  def canalJson(env: DataFrame): DataFrame = {
+    val typ = when(col("_op") === "I", "INSERT")
+      .when(col("_op") === "U", "UPDATE").otherwise("DELETE")
+    val dataImg = when(col("_op") === "D", imageJson("before"))
+      .otherwise(imageJson("after"))
+    val oldImg = when(col("_op") === "U", concat(lit("["), imageJson("before"), lit("]")))
+      .otherwise(lit("null"))
+    env.withColumn("_value", concat(
+      lit("{\"id\":0,\"database\":\""), col("_schema"),
+      lit("\",\"table\":\""), col("_table"),
+      lit("\",\"pkNames\":[\"user_id\"],\"isDdl\":false,\"type\":\""), typ,
+      lit("\",\"es\":"), ms(col("_commit_ts")),
+      lit(",\"ts\":"), ms(col("_commit_ts")),
+      lit(",\"data\":["), dataImg,
+      lit("],\"old\":"), oldImg,
+      lit("}")))
+  }
+
+  /** Open Protocol (pkg/sink/codec/open/encoder.go:77, message layout
+    * open/message.go:30-78): separate key (`ts`,`scm`,`tbl`,`t`) and
+    * value (`u`/`p`/`d` column maps). */
+  def openProtocol(env: DataFrame): DataFrame = {
+    val key = concat(
+      lit("{\"ts\":"), col("_commit_ts"),
+      lit(",\"scm\":\""), col("_schema"),
+      lit("\",\"tbl\":\""), col("_table"),
+      lit("\",\"t\":1}"))
+    val value =
+      when(col("_op") === "I", concat(lit("{\"u\":"), imageJson("after"), lit("}")))
+        .when(col("_op") === "U", concat(
+          lit("{\"u\":"), imageJson("after"),
+          lit(",\"p\":"), imageJson("before"), lit("}")))
+        .otherwise(concat(lit("{\"d\":"), imageJson("before"), lit("}")))
+    env.withColumn("_key", key).withColumn("_value", value)
+  }
+
+  /** Debezium-style envelope (pkg/sink/codec/debezium/codec.go):
+    * before/after/source/op/ts_ms; op c|u|d. */
+  def debeziumJson(env: DataFrame): DataFrame = {
+    val op = when(col("_op") === "I", "c")
+      .when(col("_op") === "U", "u").otherwise("d")
+    env.withColumn("_value", concat(
+      lit("{\"before\":"), imageJson("before"),
+      lit(",\"after\":"), imageJson("after"),
+      lit(",\"source\":{\"db\":\""), col("_schema"),
+      lit("\",\"table\":\""), col("_table"),
+      lit("\",\"commit_ts\":"), col("_commit_ts"),
+      lit("},\"op\":\""), op,
+      lit("\",\"ts_ms\":"), ms(col("_commit_ts")),
+      lit("}")))
+  }
+
+  /** CSV line (pkg/sink/codec/csv/csv_message.go:104-246): meta
+    * columns op,schema,table,commitTs then payload; RFC-4180 quoting
+    * (quote doubling) on string fields. Deletes render the pre-image
+    * (csv has no old/new pair). */
+  def csvLine(env: DataFrame): DataFrame = {
+    def q(c: Column): Column = concat(
+      lit("\""),
+      regexp_replace(coalesce(c.cast("string"), lit("\\N")), lit("\""), lit("\"\"")),
+      lit("\""))
+    val img = when(col("_op") === "D", col("before")).otherwise(col("after"))
+    env.withColumn("_value", concat_ws(",",
+      q(when(col("_op") === "I", "I").when(col("_op") === "U", "U").otherwise("D")),
+      q(col("_schema")), q(col("_table")),
+      col("_commit_ts").cast("string"),
+      coalesce(img.getField("user_id").cast("string"), lit("\\N")),
+      coalesce(img.getField("value").cast(DecimalType(18, 2)).cast("string"), lit("\\N")),
+      coalesce(img.getField("k").cast("string"), lit("\\N"))))
+  }
+
+  /** JSON string escaping for payload text fields (quote, backslash,
+    * control chars) — used by encoders over free-text tables. */
+  def jsonEscape(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, lit("\\\\"), lit("\\\\\\\\")),
+        lit("\""), lit("\\\\\"")),
+      lit("\n"), lit("\\\\n"))
+}

@@ -1,0 +1,94 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.functions._
+
+/** The changefeed filter pipeline (SURVEY §2.4; reference
+  * pkg/filter/filter.go:47-78, config pkg/config/filter.go:21-47).
+  *
+  * Every filter is a pure `DataFrame => DataFrame` over the envelope
+  * (graft.model.Envelope) built from codegen'd Column predicates — the
+  * TiDB expression engine's role (pkg/filter/expr_filter.go) is played
+  * by Catalyst itself.
+  */
+object Filters {
+
+  /** schema.table allow/deny with wildcards & negation
+    * (filter.go:86,105-118). */
+  def tableFilter(env: DataFrame, rules: Seq[String],
+                  caseSensitive: Boolean = false): DataFrame =
+    env.filter(TableMatcher.matches(col("_schema"), col("_table"), rules, caseSensitive))
+
+  /** Drop DML by event type: ignore list of I/U/D
+    * (pkg/filter/sql_event_filter.go:44-110). */
+  def eventTypeFilter(env: DataFrame, ignoreOps: Seq[String]): DataFrame =
+    if (ignoreOps.isEmpty) env
+    else env.filter(!col("_op").isin(ignoreOps: _*))
+
+  /** Drop whole txns whose startTs is listed
+    * (filter.go:94-95, config/filter.go:23 IgnoreTxnStartTs). */
+  def startTsFilter(env: DataFrame, ignoreStartTs: Seq[Long]): DataFrame =
+    if (ignoreStartTs.isEmpty) env
+    else env.filter(!col("_start_ts").isin(ignoreStartTs: _*))
+
+  /** Parse a SQL predicate written against bare payload column names
+    * and re-scope every attribute under the `before`/`after` struct.
+    * This is the Spark analog of the reference compiling
+    * `ParseSimpleExprWithTableInfo` per table schema
+    * (expr_filter.go:230-249): Catalyst parses once; resolution
+    * happens against the envelope schema at analysis time.
+    */
+  def imageExpr(spark: SparkSession, sql: String, image: String): Column = {
+    val parsed = spark.sessionState.sqlParser.parseExpression(sql)
+    val scoped = parsed.transformUp {
+      case UnresolvedAttribute(parts) if parts.size == 1 =>
+        UnresolvedAttribute(image +: parts)
+    }
+    org.apache.spark.sql.GraftColumnBridge.column(scoped)
+  }
+
+  /** Row-value expression filter (expr_filter.go:40-320):
+    * `ignoreInsert` over the post-image of inserts, `ignoreDeleteExpr`
+    * over the pre-image of deletes, updates dropped when EITHER the
+    * old-image or new-image predicate fires (expr_filter.go:251-320).
+    * A row is kept when no applicable predicate matches; null
+    * predicate results count as no-match (SQL semantics).
+    */
+  def exprFilter(spark: SparkSession, env: DataFrame,
+                 ignoreInsert: Option[String] = None,
+                 ignoreUpdateOld: Option[String] = None,
+                 ignoreUpdateNew: Option[String] = None,
+                 ignoreDelete: Option[String] = None): DataFrame = {
+    def pred(sqlOpt: Option[String], image: String): Column =
+      sqlOpt.map(s => coalesce(imageExpr(spark, s, image), lit(false)))
+        .getOrElse(lit(false))
+    val drop =
+      (col("_op") === "I" && pred(ignoreInsert, "after")) ||
+      (col("_op") === "U" && (pred(ignoreUpdateOld, "before") || pred(ignoreUpdateNew, "after"))) ||
+      (col("_op") === "D" && pred(ignoreDelete, "before"))
+    env.filter(!drop)
+  }
+
+  /** Drop UPDATEs whose changed-column set is a subset of `ignorable`
+    * (pkg/filter/update_only_columns_filter.go): i.e. every column NOT
+    * in the ignore list is null-safe-equal between before and after.
+    */
+  def updateOnlyColumnsFilter(env: DataFrame, ignorable: Seq[String]): DataFrame = {
+    val payloadFields = env.schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType].fieldNames
+    val significant = payloadFields.filterNot(ignorable.contains)
+    val unchangedOutsideIgnorable = significant
+      .map(f => col(s"before.$f") <=> col(s"after.$f"))
+      .reduceOption(_ && _).getOrElse(lit(true))
+    env.filter(!(col("_op") === "U" && unchangedOutsideIgnorable))
+  }
+
+  /** System-schema / eligibility filter (filter.go:33-44,73-74):
+    * always-deny schemas, plus ineligible tables (no handle key)
+    * unless forceReplicate. */
+  val systemSchemas: Seq[String] = Seq("tidb_cdc", "lightning_task_info", "workload_schema")
+
+  def systemSchemaFilter(env: DataFrame): DataFrame =
+    env.filter(!lower(col("_schema")).isin(systemSchemas: _*))
+}

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Event routing (SURVEY §2.6; reference
+  * downstreamadapter/sink/eventrouter/event_router.go:36-76, partition
+  * rules under .../eventrouter/partition/, topic templates under
+  * .../eventrouter/topic/expression.go:58-110).
+  *
+  * Partition assignment uses an md5-derived stable hash rather than
+  * Spark's internal murmur3: the partition number is WIRE-VISIBLE
+  * state (it decides the Kafka partition and hence per-key ordering),
+  * so it must be reproducible by any consumer in any language — and it
+  * makes the operator oracle-checkable. The md5 prefix is uniform, so
+  * partition skew behavior matches a murmur hash.
+  */
+object Routing {
+
+  /** Stable 60-bit hash of the given columns: first 15 hex chars of
+    * md5 over a '|'-joined rendering. Null renders as empty string. */
+  def stableHash(cols: Seq[Column]): Column =
+    conv(substring(md5(concat_ws("|", cols.map(_.cast("string")): _*)), 1, 15), 16, 10)
+      .cast("long")
+
+  /** DuckDB mirror of [[stableHash]]. */
+  def stableHashSql(cols: Seq[String]): String =
+    s"CAST(('0x' || substring(md5(concat_ws('|', ${cols.map(c => s"CAST($c AS VARCHAR)").mkString(", ")})), 1, 15)) AS BIGINT)"
+
+  /** partition rule "default"/"table": all rows of one table go to one
+    * partition (partition/table.go:38). */
+  def partitionByTable(env: DataFrame, numPartitions: Int): DataFrame =
+    env.withColumn("_partition",
+      pmod(stableHash(Seq(col("_schema"), col("_table"))), lit(numPartitions.toLong)))
+
+  /** partition rule "ts" (partition/ts.go:31). */
+  def partitionByTs(env: DataFrame, numPartitions: Int): DataFrame =
+    env.withColumn("_partition", pmod(col("_commit_ts"), lit(numPartitions.toLong)))
+
+  /** partition rule "index-value"/"columns": hash of key column values
+    * — row-level ordering key (partition/index_value.go:42,
+    * columns.go:44). Key columns come from the post-image for I/U and
+    * the pre-image for D. */
+  def partitionByKeyColumns(env: DataFrame, keyCols: Seq[String],
+                            numPartitions: Int): DataFrame = {
+    val keyVals = keyCols.map { f =>
+      when(col("_op") === "D", col(s"before.$f")).otherwise(col(s"after.$f"))
+    }
+    env.withColumn("_partition",
+      pmod(stableHash(col("_schema") +: col("_table") +: keyVals),
+        lit(numPartitions.toLong)))
+  }
+
+  /** Physically co-locate rows by their assigned partition (the
+    * repartition the sink relies on for per-key ordering; at cluster
+    * scale this is the only shuffle before the sink). */
+  def repartitionByAssignment(env: DataFrame, numPartitions: Int): DataFrame =
+    env.repartition(numPartitions, col("_partition"))
+
+  /** Topic template `[prefix]{schema}[middle][{table}][suffix]`
+    * (topic/expression.go:58-110), with the kafka-legal charset rule:
+    * illegal chars collapse to '_'. */
+  def topicColumn(template: String): Column = {
+    val withSchema = regexp_replace(
+      regexp_replace(lit(template), lit("\\{schema\\}"), col("_schema")),
+      lit("\\{table\\}"), col("_table"))
+    regexp_replace(withSchema, lit("[^a-zA-Z0-9\\._\\-]"), lit("_"))
+  }
+
+  def routeTopic(env: DataFrame, template: String): DataFrame =
+    env.withColumn("_topic", topicColumn(template))
+
+  /** Table routing / rename (pkg/config/sink.go:426-440): rewrite sink
+    * schema/table with `{schema}`/`{table}` placeholders. */
+  def routeTable(env: DataFrame, targetSchema: String, targetTable: String): DataFrame = {
+    def tpl(t: String): Column =
+      regexp_replace(
+        regexp_replace(lit(t), lit("\\{schema\\}"), col("_schema")),
+        lit("\\{table\\}"), col("_table"))
+    env
+      .withColumn("_sink_schema", tpl(targetSchema))
+      .withColumn("_sink_table", tpl(targetTable))
+  }
+}
