@@ -1,0 +1,239 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+
+/** Oracle-checked queries for the training-data pipeline operators
+  * (SURVEY §7.2 M7): dedup, similarity search, text analysis,
+  * multimodal plumbing. DuckDB oracles are generated from the same
+  * constants the Spark operators use, so the two sides cannot drift.
+  */
+object DataQueries {
+
+  // ---- shared fixtures ----
+  val topicProfiles: Seq[(String, Seq[String])] = Seq(
+    "db" -> Seq("table", "scan", "join", "merge", "sort", "index"),
+    "stream" -> Seq("stream", "window", "batch", "watermark"),
+    "ml" -> Seq("vector", "embedding", "hash", "model"),
+    "en" -> Seq("the", "a", "of"))
+  val stopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+  val jaccardThreshold = 0.5
+  val annQueries = 5
+  val annK = 10
+  val lshPlanes = 4
+  val lshThreshold = 0.15
+
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_stats" -> ((s, d) => TextOps.tokenStats(docs(s, d))),
+
+    "q_text_classify" -> ((s, d) => TextOps.classify(docs(s, d), topicProfiles)),
+
+    "q_text_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d), stopwords)),
+
+    "q_text_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
+
+    "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
+
+    "q_dedup_minhash" -> ((s, d) => Dedup.minhashSignatures(docs(s, d))),
+
+    "q_dedup_minhash_pairs" -> ((s, d) =>
+      Dedup.minhashPairs(Dedup.minhashSignatures(docs(s, d)))),
+
+    "q_dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
+
+    "q_dedup_ngram" -> ((s, d) =>
+      Dedup.jaccardPairs(docs(s, d), "source", jaccardThreshold)),
+
+    "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), annQueries, annK)),
+
+    "q_ann_lsh" -> ((s, d) => {
+      val planes = emb(s, d).filter(col("vec_id") < lshPlanes)
+        .select(col("vec_id").as("plane_id"), col("embedding"))
+      Similarity.lshNeighbors(emb(s, d), planes, lshThreshold)
+    }),
+
+    "q_multimodal_meta" -> ((s, d) =>
+      Multimodal.blobMeta(Multimodal.withBlob(docs(s, d))))
+  )
+
+  // ---- DuckDB oracles (generated) ----
+
+  private val toksDistinct =
+    "SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS tok FROM documents"
+
+  private def inList(items: Seq[String]): String =
+    items.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  private val minhashSigSql: String = {
+    val lanes = (0 until Dedup.NumHashes).map { i =>
+      s"CAST(MIN((h * ${Dedup.hashA(i)} + ${Dedup.hashB(i)}) % ${Dedup.MinhashPrime}) AS BIGINT) AS m$i"
+    }.mkString(",\n    ")
+    val bandCols = (0 until Dedup.NumBands).map { b =>
+      val ms = (b * 4 until b * 4 + 4).map(i => s"CAST(m$i AS VARCHAR)").mkString(", ")
+      s"md5(concat_ws(',', $ms)) AS band$b"
+    }.mkString(",\n  ")
+    s"""toks AS (
+       |  SELECT doc_id, CAST(('0x' || substring(md5(tok), 1, 7)) AS BIGINT) AS h
+       |  FROM ($toksDistinct)
+       |), sig AS (
+       |  SELECT doc_id,
+       |    $lanes
+       |  FROM toks GROUP BY doc_id
+       |), sigb AS (
+       |  SELECT *,
+       |  $bandCols
+       |  FROM sig
+       |)""".stripMargin
+  }
+
+  private val annScoredSql =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, emb AS qe FROM e WHERE vec_id < $annQueries),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id,
+       |    list_dot_product(q.qe, e.emb) /
+       |      (sqrt(list_dot_product(q.qe, q.qe)) * sqrt(list_dot_product(e.emb, e.emb))) AS cos
+       |  FROM e JOIN q ON e.vec_id <> q.query_id
+       |)""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q_text_stats" ->
+      """SELECT doc_id,
+        |  CAST(len(text) AS BIGINT) AS n_chars,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS n_distinct,
+        |  CAST(len(text) - (len(string_split(text, ' ')) - 1) AS DOUBLE)
+        |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS avg_token_len
+        |FROM documents""".stripMargin,
+
+    "q_text_classify" -> {
+      val counts = topicProfiles.map { case (lang, markers) =>
+        s"CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(markers)})) AS BIGINT) AS n_$lang"
+      }.mkString(",\n  ")
+      // same argmax/tie-break chain as TextOps.classify
+      val names = topicProfiles.map(_._1)
+      val pred = names.indices.reverse.foldLeft(s"'${names.head}'") { (acc, i) =>
+        val lang = names(i)
+        val conds =
+          names.take(i).map(l => s"n_$lang > n_$l") ++
+            names.drop(i + 1).map(l => s"n_$lang >= n_$l")
+        val cond = if (conds.isEmpty) "TRUE" else conds.mkString(" AND ")
+        s"CASE WHEN $cond THEN '$lang' ELSE $acc END"
+      }
+      s"""SELECT doc_id, $counts, $pred AS pred
+         |FROM documents""".stripMargin
+    },
+
+    "q_text_quality" ->
+      s"""SELECT doc_id,
+         |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS diversity,
+         |  1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopwords)})) AS DOUBLE)
+         |    / CAST(len(string_split(text, ' ')) AS DOUBLE) AS density,
+         |  (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+         |  + least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) * 0.3
+         |  + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopwords)})) AS DOUBLE)
+         |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3 AS quality
+         |FROM documents""".stripMargin,
+
+    "q_text_fingerprint" ->
+      """SELECT doc_id, md5(text) AS fp_md5,
+        |  CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) AS fp_long,
+        |  CAST(('0x' || substring(md5(text), 1, 15)) AS BIGINT) % 1024 AS fp_bucket
+        |FROM documents""".stripMargin,
+
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper_id,
+        |  COUNT(*) AS n_copies
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_dedup_minhash" ->
+      s"WITH $minhashSigSql\nSELECT * FROM sigb",
+
+    "q_dedup_minhash_pairs" -> {
+      val joins = (0 until Dedup.NumBands).map { b =>
+        s"""SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           |FROM sigb a JOIN sigb b ON a.band$b = b.band$b AND a.doc_id < b.doc_id""".stripMargin
+      }.mkString("\nUNION\n")
+      s"WITH $minhashSigSql\n$joins"
+    },
+
+    "q_dedup_simhash" -> {
+      val sums = (0 until 16).map { j =>
+        s"CAST(SUM(CASE WHEN substring(md5(tok), ${j + 1}, 1) IN ('8','9','a','b','c','d','e','f') THEN 1 ELSE -1 END) AS BIGINT) AS s$j"
+      }.mkString(",\n    ")
+      val hash = (0 until 16)
+        .map(j => s"CASE WHEN s$j > 0 THEN ${1L << j} ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+         |), sums AS (
+         |  SELECT doc_id,
+         |    $sums
+         |  FROM toks GROUP BY doc_id
+         |)
+         |SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sums""".stripMargin
+    },
+
+    "q_dedup_ngram" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents
+         |), sizes AS (
+         |  SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+         |  FROM documents
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM toks a JOIN toks b
+         |    ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b, n_inter, sa.nd AS nd_a, sb.nd AS nd_b,
+         |  CAST(n_inter AS DOUBLE) / CAST(sa.nd + sb.nd - n_inter AS DOUBLE) AS jaccard
+         |FROM inter
+         |JOIN sizes sa ON sa.doc_id = doc_a
+         |JOIN sizes sb ON sb.doc_id = doc_b
+         |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.nd + sb.nd - n_inter AS DOUBLE) >= $jaccardThreshold""".stripMargin,
+
+    "q_ann_topk" ->
+      s"""WITH $annScoredSql
+         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim FROM (
+         |  SELECT query_id, vec_id AS neighbor_id, cos,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= $annK""".stripMargin,
+
+    "q_ann_lsh" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |p AS (SELECT vec_id AS plane_id, emb AS pe FROM e WHERE vec_id < $lshPlanes),
+         |b AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(CASE WHEN list_dot_product(e.emb, p.pe) > 0
+         |      THEN (1 << plane_id) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e CROSS JOIN p GROUP BY 1
+         |), wb AS (
+         |  SELECT e.vec_id, e.emb, b.bucket FROM e JOIN b USING (vec_id)
+         |)
+         |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.bucket,
+         |  round(list_dot_product(a.emb, b2.emb) /
+         |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b2.emb, b2.emb))), 6) AS cos_sim
+         |FROM wb a JOIN wb b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |WHERE round(list_dot_product(a.emb, b2.emb) /
+         |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b2.emb, b2.emb))), 6) >= $lshThreshold""".stripMargin,
+
+    "q_multimodal_meta" ->
+      """SELECT doc_id,
+        |  CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+        |  hex(encode(substring(text, 1, 4))) AS magic,
+        |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |  CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS height,
+        |  CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
+        |FROM documents""".stripMargin
+  )
+}

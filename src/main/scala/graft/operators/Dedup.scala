@@ -1,0 +1,112 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and blocked word-set Jaccard.
+  *
+  * Scale design: exact and MinHash are the 100 TB paths — both are a
+  * constant number of hash/agg passes (shuffle on doc hash / band
+  * bucket only). Pairwise Jaccard is quadratic per block and is meant
+  * for candidate *verification* after LSH blocking, not full-corpus
+  * sweeps. All hashing is md5-derived so results are engine- and
+  * language-portable (and oracle-checkable).
+  */
+object Dedup {
+
+  /** 28-bit stable token hash (fits 16 bands of 31-bit arithmetic
+    * without long overflow in any engine). */
+  private def tokenHash(t: Column): Column =
+    conv(substring(md5(t), 1, 7), 16, 10).cast("long")
+
+  val MinhashPrime: Long = 2147483647L // 2^31 - 1
+  val NumHashes = 16
+  val NumBands = 4
+
+  /** Deterministic per-hash-function coefficients (embedded as
+    * literals in both the Spark plan and the generated oracle SQL). */
+  val hashA: IndexedSeq[Long] =
+    (0 until NumHashes).map(i => ((2654435761L * (i + 1)) % MinhashPrime) | 1L)
+  val hashB: IndexedSeq[Long] =
+    (0 until NumHashes).map(i => (40503L * (i + 7)) % MinhashPrime)
+
+  /** Exact dedup: group identical content by md5, keep the smallest
+    * id as keeper. One shuffle on the content hash. */
+  def exact(docs: DataFrame): DataFrame =
+    docs.groupBy(md5(col("text")).as("content_md5"))
+      .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
+
+  /** MinHash signatures: distinct tokens per doc → 16 min-hash lanes →
+    * 4 LSH band keys (md5 of each 4-lane slice). Two shuffles total
+    * (token distinct, per-doc agg) regardless of corpus size. */
+  def minhashSignatures(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .withColumn("h", tokenHash(col("tok")))
+    val lanes = (0 until NumHashes).map { i =>
+      min(pmod(col("h") * hashA(i) + hashB(i), lit(MinhashPrime))).as(s"m$i")
+    }
+    val sig = toks.groupBy(col("doc_id")).agg(lanes.head, lanes.tail: _*)
+    (0 until NumBands).foldLeft(sig) { (df, b) =>
+      val laneCols = (b * 4 until b * 4 + 4).map(i => col(s"m$i").cast("string"))
+      df.withColumn(s"band$b", md5(concat_ws(",", laneCols: _*)))
+    }
+  }
+
+  /** LSH candidate pairs: docs sharing any band key. Shuffle on band
+    * key — each bucket is small by construction, so the self-join is
+    * local per bucket. */
+  def minhashPairs(signatures: DataFrame): DataFrame = {
+    val bands = signatures.select(col("doc_id"),
+      posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*))
+        .as(Seq("band_idx", "band")))
+    bands.as("a").join(bands.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band") === col("b.band") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** 16-bit SimHash: per bit j, the sign of Σ over tokens of ±1
+    * driven by hex digit j of the token's md5. Single explode +
+    * per-doc agg. */
+  def simhash(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .withColumn("__md5", md5(col("tok")))
+    val bitSums = (0 until 16).map { j =>
+      sum(when(substring(col("__md5"), j + 1, 1).isin("8", "9", "a", "b", "c", "d", "e", "f"), 1L)
+        .otherwise(-1L)).as(s"s$j")
+    }
+    toks.groupBy(col("doc_id")).agg(bitSums.head, bitSums.tail: _*)
+      .withColumn("simhash",
+        (0 until 16).map(j => when(col(s"s$j") > 0, 1L << j).otherwise(0L))
+          .reduce(_ + _))
+      .select(col("doc_id"), col("simhash"))
+  }
+
+  /** Word-set Jaccard within blocks (`blockCol` — e.g. source, or an
+    * LSH band for the scale path): token-level self-join, intersection
+    * count, |A∪B| = |A|+|B|-|A∩B|. */
+  def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val toks = docs.select(col("doc_id"), col(blockCol).as("__blk"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val sizes = docs.select(col("doc_id"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("nd"))
+    val inter = toks.as("a").join(toks.as("b"),
+        col("a.__blk") === col("b.__blk") &&
+          col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nd", "nd_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nd", "nd_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("nd_a") + col("nd_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("nd_a"), col("nd_b"), col("jaccard"))
+  }
+}

@@ -32,7 +32,7 @@ object EventOrder {
     val w = Window.partitionBy(col("_schema"), col("_table"))
       .orderBy(col("_commit_ts"), col("_start_ts"),
         Envelope.opOrder(col("_op")), col("_row_id"))
-    env.withColumn("_seq", row_number().over(w))
+    env.withColumn("_seq", row_number().over(w).cast("long"))
   }
 
   /** DDL↔DML merge-interleave order (event_scanner.go:617-671): DDL

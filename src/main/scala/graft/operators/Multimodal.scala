@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Dataset, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: image/audio/video as opaque `binary`
+  * columns with typed metadata, processed in per-partition batches.
+  *
+  * The actual media decode is STUBBED (no codec libraries in this
+  * environment): [[FakeDecoder]] derives deterministic "dimensions"
+  * from the byte stream. Everything around it — schema, batch
+  * iteration shape, partition sizing, null handling — is the real
+  * production plumbing a decoder plugs into.
+  */
+object Multimodal {
+
+  /** Output schema of the decode stage. */
+  val mediaMetaSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("magic", StringType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType)))
+
+  /** STUB decoder — deterministic fake standing in for an image/audio
+    * codec. A real implementation replaces only this object. */
+  object FakeDecoder {
+    def decode(bytes: Array[Byte]): (Int, Int, Int) = {
+      val n = bytes.length
+      (n % 640, (n * 7) % 480, n / 1000 + 1)
+    }
+  }
+
+  /** Attach a binary payload column (here derived from text — stands
+    * in for reading real media blobs from object storage). */
+  def withBlob(docs: DataFrame): DataFrame =
+    docs.withColumn("blob", encode(col("text"), "UTF-8"))
+
+  /** Batch decode via mapPartitions: one decoder instance per
+    * partition (the expensive init a real codec needs), iterator-in /
+    * iterator-out so Spark's spill and fetch pipelining apply. This is
+    * the genuine per-partition-imperative case (SURVEY §7 preference
+    * (d)) — the decode itself cannot be a Column expression. */
+  def decodeBatch(spark: SparkSession, docsWithBlob: DataFrame): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(mediaMetaSchema)
+    docsWithBlob.select(col("doc_id"), col("blob"))
+      .mapPartitions { it =>
+        // per-partition decoder init would go here
+        it.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val magic = bytes.take(4).map(b => f"$b%02X").mkString
+          val (w, h, f) = FakeDecoder.decode(bytes)
+          Row(id, bytes.length, magic, w, h, f)
+        }
+      }(enc)
+  }
+
+  /** Expression-only metadata path (no decode needed): byte length +
+    * magic prefix — engine-portable, used by the oracle-checked query.
+    */
+  def blobMeta(docsWithBlob: DataFrame): DataFrame =
+    docsWithBlob.select(
+      col("doc_id"),
+      length(col("blob")).cast("long").as("n_bytes"),
+      hex(substring(col("blob"), 1, 4)).as("magic"),
+      (length(col("blob")) % 640).cast("long").as("width"),
+      (length(col("blob")) * 7 % 480).cast("long").as("height"),
+      ((length(col("blob")) - pmod(length(col("blob")), lit(1000))) / lit(1000))
+        .cast("long").plus(1L).as("n_frames"))
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text analysis for training-data pipelines over the `documents`
+  * table: token statistics, heuristic language/topic ID, quality
+  * scoring, fingerprinting. All pure Column expressions — codegen'd,
+  * no UDFs, shuffle-free (per-row), so they stream through a 100 TB
+  * corpus at scan speed.
+  */
+object TextOps {
+
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-doc token statistics. Total token chars are derived
+    * arithmetically (chars - separators) so no second pass over the
+    * array is needed. */
+  def tokenStats(docs: DataFrame): DataFrame = {
+    val toks = tokens(col("text"))
+    docs.select(
+      col("doc_id"),
+      length(col("text")).cast("long").as("n_chars"),
+      size(toks).cast("long").as("n_tokens"),
+      size(array_distinct(toks)).cast("long").as("n_distinct"),
+      ((length(col("text")) - (size(toks) - lit(1))).cast("double") /
+        size(toks).cast("double")).as("avg_token_len"))
+  }
+
+  /** Heuristic classifier: count marker-token hits per class, predict
+    * the argmax (ties broken by profile order). The class can be a
+    * language (n-gram/stopword profiles — the classic langid
+    * heuristic) or a topic; profiles are data, not code. */
+  def classify(docs: DataFrame, profiles: Seq[(String, Seq[String])]): DataFrame = {
+    val toks = tokens(col("text"))
+    val withCounts = profiles.foldLeft(docs.select(col("doc_id"), toks.as("__toks"))) {
+      case (df, (lang, markers)) =>
+        df.withColumn(s"n_$lang",
+          size(filter(col("__toks"),
+            t => markers.map(m => t === m).reduce(_ || _))).cast("long"))
+    }
+    // argmax with first-profile-wins tie-break: a profile wins if its
+    // count is strictly greater than all earlier ones and >= all later
+    val pred = profiles.indices.reverse.foldLeft(lit(profiles.head._1)) { (acc, i) =>
+      val (lang, _) = profiles(i)
+      val beatsEarlier = profiles.take(i)
+        .map { case (l, _) => col(s"n_$lang") > col(s"n_$l") }
+      val gteLater = profiles.drop(i + 1)
+        .map { case (l, _) => col(s"n_$lang") >= col(s"n_$l") }
+      val wins = (beatsEarlier ++ gteLater).reduceOption(_ && _).getOrElse(lit(true))
+      when(wins, lit(lang)).otherwise(acc)
+    }
+    withCounts
+      .withColumn("pred", pred)
+      .drop("__toks")
+  }
+
+  /** Composite quality score in [0,1]: lexical diversity, length
+    * saturation, and non-stopword density — the standard cheap
+    * pre-filter before expensive model-based scoring. Weights are
+    * fixed doubles; the arithmetic order is pinned so the score is
+    * bit-deterministic. */
+  def qualityScore(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val toks = tokens(col("text"))
+    val nTok = size(toks).cast("double")
+    val nDistinct = size(array_distinct(toks)).cast("double")
+    val nStop = size(filter(toks,
+      t => stopwords.map(s => t === s).reduce(_ || _))).cast("double")
+    val diversity = nDistinct / nTok
+    val lengthSat = least(lit(1.0), nTok / lit(100.0))
+    val density = lit(1.0) - nStop / nTok
+    docs.select(
+      col("doc_id"),
+      size(toks).cast("long").as("n_tokens"),
+      diversity.as("diversity"),
+      density.as("density"),
+      (diversity * lit(0.4) + lengthSat * lit(0.3) + density * lit(0.3)).as("quality"))
+  }
+
+  /** Document fingerprint: md5 content hash + a 60-bit numeric
+    * projection (Routing.stableHash domain) + shard bucket. */
+  def fingerprint(docs: DataFrame, buckets: Int = 1024): DataFrame =
+    docs.select(
+      col("doc_id"),
+      md5(col("text")).as("fp_md5"),
+      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("fp_long"))
+      .withColumn("fp_bucket", pmod(col("fp_long"), lit(buckets.toLong)))
+}
