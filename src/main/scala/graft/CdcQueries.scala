@@ -145,7 +145,10 @@ object CdcQueries {
       Codecs.debeziumJson(env(s, d)).select(col("_row_id"), col("_value"))),
 
     "q_encode_csv" -> ((s, d) =>
-      Codecs.csvLine(env(s, d)).select(col("_row_id"), col("_value")))
+      Codecs.csvLine(env(s, d)).select(col("_row_id"), col("_value"))),
+
+    "q_sqlmodel" -> ((s, d) =>
+      graft.sinks.MysqlSink.statements(env(s, d), Seq("user_id"), 8, safeMode = true))
   )
 
   // ---- DuckDB oracles ----
@@ -313,6 +316,24 @@ object CdcQueries {
          |  ',' || COALESCE(CAST(CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END AS VARCHAR), '\\N') ||
          |  ',' || COALESCE(CAST(CAST(CASE WHEN _op = 'D' THEN before_value ELSE after_value END AS DECIMAL(18,2)) AS VARCHAR), '\\N') ||
          |  ',' || COALESCE(CAST(CASE WHEN _op = 'D' THEN before_k ELSE after_k END AS VARCHAR), '\\N') AS _value
+         |FROM env""".stripMargin)
+  ) ++ sqlmodelOracle
+
+  val sqlmodelOracle: Map[String, String] = Map(
+    "q_sqlmodel" -> q(
+      s"""SELECT
+         |  ${Routing.stableHashSql(Seq("_schema", "_table",
+              "CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END"))} % 8 AS _partition,
+         |  _row_id, _schema, _table, _commit_ts, _start_ts, _op,
+         |  CASE WHEN _op = 'D' THEN
+         |    'DELETE FROM `' || _schema || '`.`' || _table || '` WHERE `user_id` = ' ||
+         |      COALESCE(CAST(before_user_id AS VARCHAR), 'NULL')
+         |  ELSE
+         |    'REPLACE INTO `' || _schema || '`.`' || _table || '` (`user_id`,`value`,`k`) VALUES (' ||
+         |      COALESCE(CAST(after_user_id AS VARCHAR), 'NULL') || ',' ||
+         |      COALESCE(CAST(CAST(after_value AS DECIMAL(18,2)) AS VARCHAR), 'NULL') || ',' ||
+         |      COALESCE(CAST(after_k AS VARCHAR), 'NULL') || ')'
+         |  END AS _stmt
          |FROM env""".stripMargin)
   )
 

@@ -1,0 +1,56 @@
+package graft.model
+
+/** Changefeed configuration ADT — mirrors the reference's user-facing
+  * config surface (FilterConfig pkg/config/filter.go:21-47, SinkConfig
+  * pkg/config/sink.go:139-200, DispatchRule pkg/config/sink.go:409-440)
+  * re-expressed as plain Scala data.
+  */
+final case class FilterConfig(
+    rules: Seq[String] = Seq("*.*"),
+    caseSensitive: Boolean = false,
+    ignoreOps: Seq[String] = Nil,
+    ignoreTxnStartTs: Seq[Long] = Nil,
+    ignoreInsertValueExpr: Option[String] = None,
+    ignoreUpdateOldValueExpr: Option[String] = None,
+    ignoreUpdateNewValueExpr: Option[String] = None,
+    ignoreDeleteValueExpr: Option[String] = None,
+    ignoreUpdateOnlyColumns: Seq[String] = Nil)
+
+sealed trait PartitionRule
+object PartitionRule {
+  case object Table extends PartitionRule
+  case object Ts extends PartitionRule
+  final case class KeyColumns(cols: Seq[String]) extends PartitionRule
+}
+
+final case class DispatchRule(
+    matcher: Seq[String] = Seq("*.*"),
+    partition: PartitionRule = PartitionRule.Table,
+    topic: Option[String] = None,
+    targetSchema: Option[String] = None,
+    targetTable: Option[String] = None)
+
+sealed trait Protocol
+object Protocol {
+  case object CanalJson extends Protocol
+  case object Open extends Protocol
+  case object Debezium extends Protocol
+  case object Csv extends Protocol
+}
+
+final case class SinkConfig(
+    protocol: Protocol = Protocol.CanalJson,
+    numPartitions: Int = 16,
+    safeMode: Boolean = false,
+    columnSelector: Option[Seq[String]] = None,
+    onlyOutputUpdatedColumns: Boolean = false,
+    deleteOnlyOutputHandleKey: Boolean = false,
+    dispatch: Seq[DispatchRule] = Seq(DispatchRule()))
+
+final case class ChangefeedConfig(
+    id: String,
+    filter: FilterConfig = FilterConfig(),
+    sink: SinkConfig = SinkConfig(),
+    handleKeys: Seq[String] = Seq("user_id"),
+    splitUpdateOnKeyChange: Boolean = true,
+    syncPointIntervalNs: Option[Long] = None)

@@ -1,0 +1,98 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import graft.GraftSession
+import graft.model._
+import graft.operators._
+import graft.functions.Codecs
+
+/** One changefeed = one Structured Streaming query (SURVEY §3.1-3.2):
+  * change-log source → envelope → filter pipeline → transforms →
+  * routing → encode → sink, with the streaming checkpoint playing the
+  * reference's changefeed checkpoint (resolved-ts persistence) and the
+  * micro-batch boundary playing the DDL barrier.
+  *
+  * The full operator pipeline is batch/stream agnostic
+  * (`DataFrame => DataFrame`), so the same code path serves both the
+  * oracle-checked batch queries and the streaming runtime — mirroring
+  * how the reference's event pipeline is exercised by both its unit
+  * and integration harnesses.
+  */
+object Changefeed {
+
+  /** The filter/transform/route/encode pipeline for one changefeed,
+    * applied to an envelope frame. */
+  def pipeline(spark: SparkSession, cfg: ChangefeedConfig)(env: DataFrame): DataFrame = {
+    val f = cfg.filter
+    var df = env
+    df = Filters.systemSchemaFilter(df)
+    df = Filters.tableFilter(df, f.rules, f.caseSensitive)
+    df = Filters.eventTypeFilter(df, f.ignoreOps)
+    df = Filters.startTsFilter(df, f.ignoreTxnStartTs)
+    df = Filters.exprFilter(spark, df,
+      f.ignoreInsertValueExpr, f.ignoreUpdateOldValueExpr,
+      f.ignoreUpdateNewValueExpr, f.ignoreDeleteValueExpr)
+    if (f.ignoreUpdateOnlyColumns.nonEmpty)
+      df = Filters.updateOnlyColumnsFilter(df, f.ignoreUpdateOnlyColumns)
+    if (cfg.splitUpdateOnKeyChange)
+      df = Transforms.updateSplit(df, cfg.handleKeys)
+    cfg.sink.columnSelector.foreach { keep =>
+      require(Transforms.verifyKeySurvives(keep, cfg.handleKeys),
+        s"column selector $keep drops handle keys ${cfg.handleKeys}")
+      df = Transforms.columnSelector(df, keep)
+    }
+    if (cfg.sink.onlyOutputUpdatedColumns)
+      df = Transforms.updatedColumnsOnly(df, cfg.handleKeys)
+    if (cfg.sink.deleteOnlyOutputHandleKey)
+      df = Transforms.deleteHandleKeyOnly(df, cfg.handleKeys)
+    val dispatch = cfg.sink.dispatch.headOption.getOrElse(DispatchRule())
+    df = dispatch.partition match {
+      case PartitionRule.Table => Routing.partitionByTable(df, cfg.sink.numPartitions)
+      case PartitionRule.Ts => Routing.partitionByTs(df, cfg.sink.numPartitions)
+      case PartitionRule.KeyColumns(cols) =>
+        Routing.partitionByKeyColumns(df, cols, cfg.sink.numPartitions)
+    }
+    dispatch.topic.foreach(t => df = Routing.routeTopic(df, t))
+    (dispatch.targetSchema, dispatch.targetTable) match {
+      case (Some(s), Some(t)) => df = Routing.routeTable(df, s, t)
+      case _ => ()
+    }
+    cfg.sink.protocol match {
+      case Protocol.CanalJson => Codecs.canalJson(df)
+      case Protocol.Open      => Codecs.openProtocol(df)
+      case Protocol.Debezium  => Codecs.debeziumJson(df)
+      case Protocol.Csv       => Codecs.csvLine(df)
+    }
+  }
+
+  /** Run a changefeed over a parquet change-log directory as a
+    * streaming source, writing encoded messages to `sinkDir` partitioned
+    * by the routing assignment. `Trigger.AvailableNow` drains what's
+    * there and stops — restart with the same checkpoint resumes
+    * exactly-once from the commit log. */
+  def run(spark: SparkSession, cfg: ChangefeedConfig, sourceDir: String,
+          sinkDir: String, checkpointDir: String): StreamingQuery = {
+    GraftSession.tune(spark)
+    val schema = spark.read.parquet(sourceDir).schema
+    val source = spark.readStream.schema(schema).parquet(sourceDir)
+    val env = Envelope.fromEvents(source)
+    val out = pipeline(spark, cfg)(env)
+    out
+      .writeStream
+      .format("parquet")
+      .option("path", sinkDir)
+      .option("checkpointLocation", checkpointDir)
+      .partitionBy("_partition")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Post-run checkpoint summary (the resolved-ts/progress the
+    * coordinator would persist): per-partition max commit ts + count. */
+  def progress(spark: SparkSession, sinkDir: String): DataFrame =
+    spark.read.parquet(sinkDir)
+      .groupBy(col("_partition"))
+      .agg(max(col("_commit_ts")).as("resolved_ts"), count(lit(1)).as("n_events"))
+}

@@ -1,0 +1,185 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.model.Envelope
+import graft.operators._
+
+/** Operator semantics on hand-built envelopes (the reference's
+  * fixtures-as-SQL unit-test style, SURVEY §5.1). */
+class OperatorSpec extends SparkFunSuite {
+
+  /** (rowId, op, userId, value, k) → envelope row; U synthesizes a
+    * pre-image like Envelope.fromEvents does. */
+  private def mkEnv(rows: Seq[(Long, String, Long, Double, Long)]): DataFrame = {
+    import spark.implicits._
+    val base = rows.toDF("_row_id", "_op", "user_id", "value", "k")
+      .withColumn("_schema", lit("app"))
+      .withColumn("_table", concat(lit("t"), pmod(col("user_id"), lit(2L))))
+      .withColumn("_commit_ts", lit(1000000000L) + col("_row_id") * 1000L)
+      .withColumn("_start_ts", col("_commit_ts") - 1L)
+    val img = struct(col("user_id"), col("value"), col("k"))
+    val pre = struct(col("user_id"), (col("value") - 1.0).as("value"), (col("k") - 1L).as("k"))
+    base.select(
+      col("_row_id"), col("_schema"), col("_table"), col("_op"),
+      col("_commit_ts"), col("_start_ts"),
+      when(col("_op") === "I", lit(null)).otherwise(when(col("_op") === "D", img).otherwise(pre)).as("before"),
+      when(col("_op") === "D", lit(null)).otherwise(img).as("after"))
+  }
+
+  private val sample = mkEnv(Seq(
+    (1L, "I", 1L, 10.0, 100L),
+    (2L, "U", 1L, 11.0, 101L),
+    (3L, "D", 1L, 11.0, 101L),
+    (4L, "I", 2L, 20.0, 200L),
+    (5L, "U", 2L, 21.0, 201L)))
+
+  test("update split explodes key-changing updates into D+I in order") {
+    val out = Transforms.updateSplit(sample, Seq("k"))
+    assert(out.count() == 7) // 2 updates -> 4 rows
+    val ops = out.filter(col("_row_id") === 2L)
+      .orderBy(Envelope.opOrder(col("_op")))
+      .select("_op").collect().map(_.getString(0)).toSeq
+    assert(ops == Seq("D", "I"))
+    // non-key-changing updates stay intact
+    val noSplit = Transforms.updateSplit(sample, Seq("user_id"))
+    assert(noSplit.count() == 5)
+  }
+
+  test("updated-columns-only nulls unchanged fields but keeps handle keys") {
+    // craft an update where value is unchanged between images
+    val env = mkEnv(Seq((1L, "U", 1L, 10.0, 100L)))
+      .withColumn("before", struct(
+        col("before.user_id"), col("after.value").as("value"), col("before.k")))
+    val out = Transforms.updatedColumnsOnly(env, Seq("user_id"))
+    val r = out.select("after.user_id", "after.value", "after.k").head()
+    assert(!r.isNullAt(0), "handle key kept")
+    assert(r.isNullAt(1), "unchanged value nulled")
+    assert(r.getLong(2) == 100L, "changed k kept")
+  }
+
+  test("expression filter drops per-op against the right image") {
+    val out = Filters.exprFilter(spark, sample,
+      ignoreInsert = Some("value >= 20"),
+      ignoreDelete = Some("user_id = 1"))
+    val kept = out.select("_row_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 2L, 5L)) // drops I(4): value 20; D(3): user 1
+  }
+
+  test("update-only-columns filter drops noise updates") {
+    // updates where only `value` differs are noise when value is ignorable
+    val env = mkEnv(Seq((1L, "U", 1L, 10.0, 100L)))
+      .withColumn("before", struct(
+        col("before.user_id"), col("before.value"), col("after.k").as("k")))
+    assert(Filters.updateOnlyColumnsFilter(env, Seq("value")).count() == 0)
+    assert(Filters.updateOnlyColumnsFilter(env, Seq("k")).count() == 1)
+  }
+
+  test("schema as-of resolves greatest version <= commit ts") {
+    import spark.implicits._
+    val versions = Seq(
+      ("app", "t1", 1000002000L), ("app", "t1", 1000004000L),
+      ("app", "t0", 1000001000L))
+      .toDF("_schema", "_table", "version_ts")
+    val out = SchemaAsOf.resolve(sample, versions)
+      .select("_row_id", "_schema_version").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) -1L else r.getLong(1))).toMap
+    // rows on t1 (user_id=1): commits 1000001000(I,row1), 1000002000(U,row2), 1000003000(D,row3)
+    assert(out(1L) == -1L, "before first version -> null")
+    assert(out(2L) == 1000002000L)
+    assert(out(3L) == 1000002000L)
+    // t0 rows (user 2): commits 1000004000, 1000005000 -> version 1000001000
+    assert(out(4L) == 1000001000L && out(5L) == 1000001000L)
+  }
+
+  test("event order: delete sorts before insert at same commit ts") {
+    val env = mkEnv(Seq((1L, "I", 1L, 1.0, 1L), (2L, "D", 1L, 1.0, 1L)))
+      .withColumn("_commit_ts", lit(5L)).withColumn("_start_ts", lit(4L))
+    val seq = EventOrder.withSequence(env)
+      .select("_op", "_seq").collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(seq("D") == 1L && seq("I") == 2L)
+  }
+
+  test("routing: partition stable across runs and within range") {
+    val out = Routing.partitionByKeyColumns(sample, Seq("user_id"), 16)
+      .select("_partition").collect().map(_.getLong(0))
+    assert(out.forall(p => p >= 0 && p < 16))
+    val out2 = Routing.partitionByKeyColumns(sample, Seq("user_id"), 16)
+      .select("_partition").collect().map(_.getLong(0))
+    assert(out.toSeq == out2.toSeq)
+  }
+
+  test("mysql sink emits per-key ordered statements") {
+    val stmts = graft.sinks.MysqlSink
+      .statements(sample, Seq("user_id"), 4, safeMode = true)
+      .orderBy(col("_partition"), col("_commit_ts"), col("_start_ts"),
+        Envelope.opOrder(col("_op")), col("_row_id"))
+      .collect()
+    assert(stmts.length == 5)
+    val sql = stmts.map(_.getAs[String]("_stmt"))
+    assert(sql.exists(_.startsWith("REPLACE INTO `app`.`t1` (`user_id`,`value`,`k`) VALUES (1,")))
+    assert(sql.contains("DELETE FROM `app`.`t1` WHERE `user_id` = 1"))
+    // all statements of one key share a partition => per-key total order
+    val perKey = stmts.groupBy(r => r.getAs[String]("_stmt").contains("= 1") ||
+      r.getAs[String]("_stmt").contains("(1,"))
+    perKey.foreach { case (_, rows) =>
+      assert(rows.map(_.getAs[Long]("_partition")).toSet.size == 1)
+    }
+    // applyBatch runs end-to-end (blackhole executor)
+    graft.sinks.MysqlSink.applyBatch(sample, Seq("user_id"), 4, safeMode = true)(_ => ())
+  }
+
+  test("dedup exact keeps min id per identical text") {
+    import spark.implicits._
+    val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
+    val out = Dedup.exact(docs).collect()
+    assert(out.length == 2)
+    val dup = out.find(_.getLong(2) == 2L).get
+    assert(dup.getLong(1) == 1L)
+  }
+
+  test("simhash: identical docs collide, disjoint docs differ") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark table join merge"), (2L, "spark table join merge"),
+      (3L, "completely different words here")).toDF("doc_id", "text")
+    val out = Dedup.simhash(docs).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out(1L) == out(2L))
+    assert(out(1L) != out(3L))
+    assert(out.values.forall(v => v >= 0 && v < 65536))
+  }
+
+  test("minhash: near-identical docs share bands; candidates include them") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog and runs far away today"),
+      (2L, "the quick brown fox jumps over the lazy dog and runs far away tonight"),
+      (3L, "completely unrelated vocabulary about spark shuffle partitions")).toDF("doc_id", "text")
+    val pairs = Dedup.minhashPairs(Dedup.minhashSignatures(docs))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
+  }
+
+  test("cosine similarity of orthogonal and identical vectors") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(1.0f, 0.0f)),
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(Similarity.cosine(col("a"), col("b")).as("cos"))
+    val cs = df.collect().map(_.getDouble(0))
+    assert(math.abs(cs(0) - 1.0) < 1e-12)
+    assert(math.abs(cs(1)) < 1e-12)
+  }
+
+  test("multimodal decode batch matches expression path") {
+    import spark.implicits._
+    val docs = Seq((1L, "hello world"), (2L, "abc")).toDF("doc_id", "text")
+    val withBlob = Multimodal.withBlob(docs)
+    val batch = Multimodal.decodeBatch(spark, withBlob)
+      .select("doc_id", "n_bytes", "width").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
+    assert(batch == Set((1L, 11, 11), (2L, 3, 3)))
+  }
+}

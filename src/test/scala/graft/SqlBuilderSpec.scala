@@ -1,0 +1,52 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.sinks.SqlBuilder._
+
+/** Mirrors the shapes of the reference's sql_builder_test.go. */
+class SqlBuilderSpec extends AnyFunSuite {
+
+  test("insert and replace") {
+    assert(insert("db", "t", Seq("a", "b"), Seq(1, "x"), replace = false) ==
+      "INSERT INTO `db`.`t` (`a`,`b`) VALUES (1,'x')")
+    assert(insert("db", "t", Seq("a"), Seq(null), replace = true) ==
+      "REPLACE INTO `db`.`t` (`a`) VALUES (NULL)")
+  }
+
+  test("multi-row insert batches same-shape ops") {
+    assert(insertMulti("db", "t", Seq("a"), Seq(Seq(1), Seq(2)), replace = true) ==
+      "REPLACE INTO `db`.`t` (`a`) VALUES (1),(2)")
+  }
+
+  test("upsert emits ON DUPLICATE KEY UPDATE") {
+    val sql = upsert("db", "t", Seq("a", "b"), Seq(1, 2))
+    assert(sql.contains("ON DUPLICATE KEY UPDATE `a`=VALUES(`a`),`b`=VALUES(`b`)"))
+  }
+
+  test("delete is null-safe on keys") {
+    assert(delete("db", "t", Seq("k1", "k2"), Seq(5, null)) ==
+      "DELETE FROM `db`.`t` WHERE `k1` = 5 AND `k2` IS NULL")
+  }
+
+  test("batched delete uses tuple IN") {
+    assert(deleteMulti("db", "t", Seq("k"), Seq(Seq(1), Seq(2))) ==
+      "DELETE FROM `db`.`t` WHERE (`k`) IN ((1),(2))")
+  }
+
+  test("update with where key") {
+    assert(update("db", "t", Seq("v"), Seq(9), Seq("k"), Seq(1)) ==
+      "UPDATE `db`.`t` SET `v` = 9 WHERE `k` = 1")
+  }
+
+  test("string escaping") {
+    assert(literal("it's") == "'it''s'")
+    assert(literal("a\\b") == "'a\\\\b'")
+    assert(quoteId("we`ird") == "`we``ird`")
+  }
+
+  test("lww upsert only overwrites when origin ts newer") {
+    val sql = lwwUpsert("db", "t", Seq("v"), Seq(1), "_origin_ts", 42L)
+    assert(sql.contains("`v`=IF(IFNULL(`_origin_ts`,0) <= VALUES(`_origin_ts`),VALUES(`v`),`v`)"))
+    assert(sql.startsWith("INSERT INTO `db`.`t` (`v`,`_origin_ts`) VALUES (1,42)"))
+  }
+}
