@@ -2,26 +2,26 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.functions.VectorExpressions.vectorDot
 
 /** Similarity search over an embedding column (`Array[Float]`).
   *
   * Brute-force cosine top-k is the correctness baseline; sign-LSH
   * bucketing is the scale path (prunes the candidate set to one
   * bucket before the distance pass — at 100 TB the bucket join
-  * replaces the full cross join). All arithmetic is double-domain
-  * with a pinned fold order (`aggregate` over `zip_with`), so scores
-  * are deterministic.
+  * replaces the full cross join).
+  *
+  * Distance arithmetic uses the native codegen
+  * [[graft.functions.VectorDot]] expression (tight primitive loop, no
+  * per-row array allocation) with norms precomputed once per vector —
+  * one dot product per candidate pair instead of three. Accumulation
+  * is double-domain left-to-right, so scores are deterministic and
+  * engine-portable.
   */
 object Similarity {
 
-  /** Sequential-fold dot product of two float-array columns in the
-    * double domain (elements cast before multiply — float multiply
-    * would round differently than other engines). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x)
+  /** Sequential-fold double-domain dot product (native expression). */
+  def dot(a: Column, b: Column): Column = vectorDot(a, b)
 
   def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -31,17 +31,21 @@ object Similarity {
     * `vec_id < numQueries` — a broadcast-sized probe set). Rank by
     * cosine desc with vec_id tie-break; scores rounded for output. */
   def bruteForceTopK(emb: DataFrame, numQueries: Int, k: Int): DataFrame = {
-    val queries = emb.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"))
-    val cand = emb.select(col("vec_id"), col("embedding"))
+    val cand = emb.select(col("vec_id"), col("embedding"),
+      norm(col("embedding")).as("__n"))
+    val queries = cand.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("__n").as("__qn"))
     val scored = cand.join(broadcast(queries), col("vec_id") =!= col("query_id"))
-      .withColumn("cos", cosine(col("q_emb"), col("embedding")))
+      .withColumn("cos",
+        dot(col("q_emb"), col("embedding")) / (col("__qn") * col("__n")))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank").cast("long").as("rank"), col("vec_id").as("neighbor_id"),
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"),
         round(col("cos"), 6).as("cos_sim"))
   }
 
@@ -59,15 +63,18 @@ object Similarity {
 
   /** Bucketed near-neighbor pairs: same LSH bucket + cosine above
     * threshold. The join key is the bucket — candidate pairs shrink by
-    * ~2^planes vs the cross join. */
+    * ~2^planes vs the cross join; norms are computed once per vector
+    * before the pair join. */
   def lshNeighbors(emb: DataFrame, planes: DataFrame, threshold: Double): DataFrame = {
     val buckets = lshBucket(emb, planes)
     val withB = emb.join(buckets, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("bucket"))
+      .select(col("vec_id"), col("embedding"), col("bucket"),
+        norm(col("embedding")).as("__n"))
     withB.as("a").join(withB.as("b"),
         col("a.bucket") === col("b.bucket") &&
           col("a.vec_id") < col("b.vec_id"))
-      .withColumn("cos", cosine(col("a.embedding"), col("b.embedding")))
+      .withColumn("cos",
+        dot(col("a.embedding"), col("b.embedding")) / (col("a.__n") * col("b.__n")))
       .filter(round(col("cos"), 6) >= threshold)
       .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
         col("a.bucket").as("bucket"), round(col("cos"), 6).as("cos_sim"))
