@@ -276,17 +276,7 @@ object CdcQueries {
          |FROM env e""".stripMargin),
 
     "q_encode_canal" -> q(
-      s"""SELECT _row_id,
-         |  '{"id":0,"database":"' || _schema || '","table":"' || _table ||
-         |  '","pkNames":["user_id"],"isDdl":false,"type":"' ||
-         |  CASE WHEN _op = 'I' THEN 'INSERT' WHEN _op = 'U' THEN 'UPDATE' ELSE 'DELETE' END ||
-         |  '","es":' || CAST(_commit_ts // 1000000 AS VARCHAR) ||
-         |  ',"ts":' || CAST(_commit_ts // 1000000 AS VARCHAR) ||
-         |  ',"data":[' ||
-         |  CASE WHEN _op = 'D' THEN ${imgSql("before")} ELSE ${imgSql("after")} END ||
-         |  '],"old":' ||
-         |  CASE WHEN _op = 'U' THEN '[' || ${imgSql("before")} || ']' ELSE 'null' END ||
-         |  '}' AS _value
+      s"""SELECT _row_id, $canalValueSql AS _value
          |FROM env""".stripMargin),
 
     "q_encode_open" -> q(
@@ -336,6 +326,20 @@ object CdcQueries {
          |  END AS _stmt
          |FROM env""".stripMargin)
   )
+
+  /** Canal-JSON value rendering in DuckDB dialect (shared with the
+    * large-message oracle). */
+  lazy val canalValueSql: String =
+    s"""('{"id":0,"database":"' || _schema || '","table":"' || _table ||
+       |  '","pkNames":["user_id"],"isDdl":false,"type":"' ||
+       |  CASE WHEN _op = 'I' THEN 'INSERT' WHEN _op = 'U' THEN 'UPDATE' ELSE 'DELETE' END ||
+       |  '","es":' || CAST(_commit_ts // 1000000 AS VARCHAR) ||
+       |  ',"ts":' || CAST(_commit_ts // 1000000 AS VARCHAR) ||
+       |  ',"data":[' ||
+       |  CASE WHEN _op = 'D' THEN ${imgSql("before")} ELSE ${imgSql("after")} END ||
+       |  '],"old":' ||
+       |  CASE WHEN _op = 'U' THEN '[' || ${imgSql("before")} || ']' ELSE 'null' END ||
+       |  '}')""".stripMargin
 
   /** JSON image object in DuckDB dialect, mirroring Codecs.imageJson:
     * null image → literal 'null'. The image is null exactly when its

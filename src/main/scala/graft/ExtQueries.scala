@@ -1,0 +1,140 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.model.{Envelope, EnvelopeSql}
+import graft.operators.EventOrder
+import graft.functions.{Codecs, Decoders, Integrity, LargeMessage}
+
+/** Oracle-checked queries for the consumer/integrity/large-message
+  * surface: codec round-trips (the reference's consumer-harness
+  * verification model, SURVEY §5.2), checksum verify, claim-check,
+  * DDL↔DML interleave.
+  */
+object ExtQueries {
+
+  private def env(s: SparkSession, dir: String): DataFrame =
+    Envelope.fromEvents(Tables.events(s, dir))
+
+  val largeMsgMaxBytes = 210
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_roundtrip_canal" -> ((s, d) => {
+      val decoded = Decoders.decodeCanal(Codecs.canalJson(env(s, d)))
+      decoded.select(
+        col("_schema"), col("_table"), col("_op"), col("_commit_ms"),
+        col("before.user_id").as("before_user_id"),
+        col("before.value").as("before_value"),
+        col("before.k").as("before_k"),
+        col("after.user_id").as("after_user_id"),
+        col("after.value").as("after_value"),
+        col("after.k").as("after_k"))
+    }),
+
+    "q_roundtrip_open" -> ((s, d) => {
+      val decoded = Decoders.decodeOpen(Codecs.openProtocol(env(s, d)))
+      decoded.select(
+        col("_schema"), col("_table"), col("_commit_ts"), col("_op"),
+        col("before.user_id").as("before_user_id"),
+        col("before.value").as("before_value"),
+        col("before.k").as("before_k"),
+        col("after.user_id").as("after_user_id"),
+        col("after.value").as("after_value"),
+        col("after.k").as("after_k"))
+    }),
+
+    "q_roundtrip_csv" -> ((s, d) =>
+      Decoders.decodeCsv(Codecs.csvLine(env(s, d)))),
+
+    "q_checksum" -> ((s, d) => {
+      val sealed0 = Integrity.withChecksum(env(s, d))
+      // bit-flip fixture: corrupt the in-flight payload of every
+      // 1009th row, then re-verify — corrupt rows must flag false
+      val corrupt = pmod(col("_row_id"), lit(1009L)) === 0
+      val corrupted = sealed0
+        .withColumn("after",
+          when(corrupt && col("after").isNotNull, struct(
+            col("after.user_id").as("user_id"),
+            (col("after.value") + 1.0).as("value"),
+            col("after.k").as("k"))).otherwise(col("after")))
+        .withColumn("before",
+          when(corrupt && col("_op") === "D", struct(
+            col("before.user_id").as("user_id"),
+            (col("before.value") + 1.0).as("value"),
+            col("before.k").as("k"))).otherwise(col("before")))
+      Integrity.verify(corrupted).select(col("_row_id"), col("_checksum_ok"))
+    }),
+
+    "q_large_message" -> ((s, d) =>
+      LargeMessage.handleKeyOnly(Codecs.canalJson(env(s, d)), largeMsgMaxBytes)
+        .select(col("_row_id"), col("_large"), col("_value"))),
+
+    "q_ddl_interleave" -> ((s, d) => {
+      val e = env(s, d)
+        .select("_row_id", "_schema", "_table", "_commit_ts", "_start_ts")
+      val dml = e.withColumn("_event_type", lit("dml"))
+      val ddl = e.filter(pmod(col("_row_id"), lit(97L)) === 0)
+        .withColumn("_event_type", lit("ddl"))
+      EventOrder.withInterleaveSequence(dml.unionByName(ddl))
+    })
+  )
+
+  private def q(body: String): String = EnvelopeSql.query(body)
+
+  /** Payload image recovered from a ms-precision JSON protocol:
+    * value passes through DECIMAL(18,2) then back to double. */
+  private def recovered(img: String): String =
+    s"""${img}_user_id,
+       |  CAST(CAST(${img}_value AS DECIMAL(18,2)) AS DOUBLE) AS ${img}_value,
+       |  ${img}_k""".stripMargin
+
+  def oracle: Map[String, String] = Map(
+    "q_roundtrip_canal" -> q(
+      s"""SELECT _schema, _table, _op,
+         |  _commit_ts // 1000000 AS _commit_ms,
+         |  ${recovered("before")},
+         |  ${recovered("after")}
+         |FROM env""".stripMargin),
+
+    "q_roundtrip_open" -> q(
+      s"""SELECT _schema, _table, _commit_ts, _op,
+         |  ${recovered("before")},
+         |  ${recovered("after")}
+         |FROM env""".stripMargin),
+
+    "q_roundtrip_csv" -> q(
+      """SELECT _op, _schema, _table, _commit_ts,
+        |  CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END AS user_id,
+        |  CAST(CAST(CASE WHEN _op = 'D' THEN before_value ELSE after_value END AS DECIMAL(18,2)) AS DOUBLE) AS value,
+        |  CASE WHEN _op = 'D' THEN before_k ELSE after_k END AS k
+        |FROM env""".stripMargin),
+
+    "q_checksum" -> q(
+      """SELECT _row_id,
+        |  CASE WHEN _row_id % 1009 = 0 THEN FALSE ELSE TRUE END AS _checksum_ok
+        |FROM env""".stripMargin),
+
+    "q_large_message" -> q(
+      s"""SELECT _row_id,
+         |  length(${CdcQueries.canalValueSql}) > $largeMsgMaxBytes AS _large,
+         |  CASE WHEN length(${CdcQueries.canalValueSql}) > $largeMsgMaxBytes THEN
+         |    '{"_hk":true,"database":"' || _schema || '","table":"' || _table ||
+         |    '","user_id":' ||
+         |    COALESCE(CAST(CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END AS VARCHAR), 'null') || '}'
+         |  ELSE ${CdcQueries.canalValueSql} END AS _value
+         |FROM env""".stripMargin),
+
+    "q_ddl_interleave" -> q(
+      """, un AS (
+        |  SELECT _row_id, _schema, _table, _commit_ts, _start_ts, 'dml' AS _event_type FROM env
+        |  UNION ALL
+        |  SELECT _row_id, _schema, _table, _commit_ts, _start_ts, 'ddl' FROM env WHERE _row_id % 97 = 0
+        |)
+        |SELECT *, CAST(ROW_NUMBER() OVER (
+        |  PARTITION BY _schema, _table
+        |  ORDER BY _commit_ts,
+        |    CASE WHEN _event_type = 'ddl' THEN 0 ELSE 1 END,
+        |    _start_ts, _row_id) AS BIGINT) AS _seq
+        |FROM un""".stripMargin)
+  )
+}

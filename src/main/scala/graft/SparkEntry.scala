@@ -25,11 +25,11 @@ object SparkEntry {
     "q_event_rollup" -> ((s, dir) => Tpch.eventRollup(s, dir)),
     "q_envelope" -> ((s: SparkSession, dir: String) =>
       Envelope.flat(Envelope.fromEvents(Tables.events(s, dir))))
-  ) ++ CdcQueries.queries ++ DataQueries.queries
+  ) ++ CdcQueries.queries ++ DataQueries.queries ++ ExtQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] = Tpch.oracle ++ Map(
     "q_envelope" -> EnvelopeSql.query("SELECT * FROM env")
-  ) ++ CdcQueries.oracle ++ DataQueries.oracle
+  ) ++ CdcQueries.oracle ++ DataQueries.oracle ++ ExtQueries.oracle
 }

@@ -1,0 +1,122 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Wire-protocol decoders — the consumer-harness side of SURVEY §2.7
+  * (reference decoders: open/decoder.go:817, canal_json_decoder.go:725,
+  * debezium/decoder.go:532, csv_decoder.go:360; used by
+  * cmd/kafka-consumer etc. to re-apply messages and diff).
+  *
+  * Each decoder inverts its encoder back to the recoverable envelope
+  * fields (protocol timestamps are ms, so commit-ts comes back at ms
+  * precision).
+  */
+object Decoders {
+
+  private val imageSchema = StructType(Seq(
+    StructField("user_id", LongType),
+    StructField("value", DoubleType),
+    StructField("k", LongType)))
+
+  private val canalSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("database", StringType),
+    StructField("table", StringType),
+    StructField("pkNames", ArrayType(StringType)),
+    StructField("isDdl", BooleanType),
+    StructField("type", StringType),
+    StructField("es", LongType),
+    StructField("ts", LongType),
+    StructField("data", ArrayType(imageSchema)),
+    StructField("old", ArrayType(imageSchema))))
+
+  /** Canal-JSON message → envelope-ish frame. `data[0]` is the
+    * post-image (pre-image for DELETE); `old[0]` the update pre-image. */
+  def decodeCanal(msgs: DataFrame, valueCol: String = "_value"): DataFrame = {
+    val j = from_json(col(valueCol), canalSchema)
+    msgs.select(
+      j.getField("database").as("_schema"),
+      j.getField("table").as("_table"),
+      when(j.getField("type") === "INSERT", "I")
+        .when(j.getField("type") === "UPDATE", "U")
+        .otherwise("D").as("_op"),
+      j.getField("es").as("_commit_ms"),
+      element_at(j.getField("data"), 1).as("__img"),
+      element_at(j.getField("old"), 1).as("__old"))
+      .withColumn("before",
+        when(col("_op") === "D", col("__img"))
+          .when(col("_op") === "U", col("__old"))
+          .otherwise(lit(null).cast(imageSchema)))
+      .withColumn("after",
+        when(col("_op") === "D", lit(null).cast(imageSchema)).otherwise(col("__img")))
+      .drop("__img", "__old")
+  }
+
+  private val openKeySchema = StructType(Seq(
+    StructField("ts", LongType), StructField("scm", StringType),
+    StructField("tbl", StringType), StructField("t", IntegerType)))
+
+  private val openValueSchema = StructType(Seq(
+    StructField("u", imageSchema), StructField("p", imageSchema),
+    StructField("d", imageSchema)))
+
+  /** Open-protocol key+value → envelope-ish frame (exact commit-ts:
+    * the open key carries full ns). */
+  def decodeOpen(msgs: DataFrame, keyCol: String = "_key",
+                 valueCol: String = "_value"): DataFrame = {
+    val k = from_json(col(keyCol), openKeySchema)
+    val v = from_json(col(valueCol), openValueSchema)
+    msgs.select(
+      k.getField("scm").as("_schema"),
+      k.getField("tbl").as("_table"),
+      k.getField("ts").as("_commit_ts"),
+      when(v.getField("d").isNotNull, "D")
+        .when(v.getField("p").isNotNull, "U")
+        .otherwise("I").as("_op"),
+      coalesce(v.getField("p"), v.getField("d")).as("before"),
+      v.getField("u").as("after"))
+  }
+
+  private val debeziumSchema = StructType(Seq(
+    StructField("before", imageSchema),
+    StructField("after", imageSchema),
+    StructField("source", StructType(Seq(
+      StructField("db", StringType), StructField("table", StringType),
+      StructField("commit_ts", LongType)))),
+    StructField("op", StringType),
+    StructField("ts_ms", LongType)))
+
+  /** Debezium envelope → envelope frame (lossless: source block
+    * carries full ns commit-ts). */
+  def decodeDebezium(msgs: DataFrame, valueCol: String = "_value"): DataFrame = {
+    val j = from_json(col(valueCol), debeziumSchema)
+    msgs.select(
+      j.getField("source").getField("db").as("_schema"),
+      j.getField("source").getField("table").as("_table"),
+      j.getField("source").getField("commit_ts").as("_commit_ts"),
+      when(j.getField("op") === "c", "I")
+        .when(j.getField("op") === "u", "U")
+        .otherwise("D").as("_op"),
+      j.getField("before").as("before"),
+      j.getField("after").as("after"))
+  }
+
+  /** CSV line → envelope fields (meta cols op,schema,table,commitTs
+    * then payload; quote stripping inverts Codecs.csvLine). */
+  def decodeCsv(msgs: DataFrame, valueCol: String = "_value"): DataFrame = {
+    def unq(c: Column): Column =
+      regexp_replace(regexp_replace(c, lit("^\"|\"$"), lit("")), lit("\"\""), lit("\""))
+    def nullable(c: Column): Column = when(c === "\\N", lit(null)).otherwise(c)
+    val parts = split(col(valueCol), ",")
+    msgs.select(
+      unq(element_at(parts, 1)).as("_op"),
+      unq(element_at(parts, 2)).as("_schema"),
+      unq(element_at(parts, 3)).as("_table"),
+      element_at(parts, 4).cast("long").as("_commit_ts"),
+      nullable(element_at(parts, 5)).cast("long").as("user_id"),
+      nullable(element_at(parts, 6)).cast("double").as("value"),
+      nullable(element_at(parts, 7)).cast("long").as("k"))
+  }
+}

@@ -43,6 +43,6 @@ object EventOrder {
       .orderBy(col("_commit_ts"),
         when(col("_event_type") === "ddl", 0).otherwise(1),
         col("_start_ts"), col("_row_id"))
-    env.withColumn("_seq", row_number().over(w))
+    env.withColumn("_seq", row_number().over(w).cast("long"))
   }
 }

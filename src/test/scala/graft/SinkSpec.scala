@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.functions._
+import graft.model.Envelope
+import graft.operators.Routing
+import graft.functions.{Codecs, LargeMessage}
+import graft.sinks.{KafkaSink, StorageSink}
+import graft.streaming.ResolvedTs
+
+class SinkSpec extends SparkFunSuite {
+
+  private lazy val env =
+    Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+
+  test("storage sink lays out schema/table/date prefixes") {
+    val tmp = Files.createTempDirectory("graft-storage").toString
+    val encoded = Codecs.canalJson(env)
+    StorageSink.write(encoded, tmp, "text")
+    val tableDirs = new java.io.File(s"$tmp/_schema=app").list()
+    assert(tableDirs != null && tableDirs.count(_.startsWith("_table=events_")) == 4)
+    val dates = new java.io.File(s"$tmp/_schema=app/_table=events_0").list()
+    assert(dates.exists(_.startsWith("_date=2024-")))
+    // messages readable back with partition columns recovered
+    val back = spark.read.text(tmp)
+    assert(back.count() == env.count())
+    StorageSink.writeSchemaMeta(spark, encoded, tmp)
+    assert(Files.exists(Paths.get(s"$tmp/meta/app/events_0/schema.json")))
+  }
+
+  test("kafka frame has the connector contract columns") {
+    val prepared = KafkaSink.prepare(
+      Codecs.canalJson(Routing.routeTopic(
+        Routing.partitionByKeyColumns(env, Seq("user_id"), 8), "cdc_{schema}_{table}")),
+      Seq("user_id"))
+    assert(prepared.columns.toSeq == Seq("topic", "partition", "key", "value"))
+    val r = prepared.head()
+    assert(r.getAs[String]("topic").startsWith("cdc_app_events_"))
+    assert(r.getAs[Int]("partition") >= 0 && r.getAs[Int]("partition") < 8)
+    assert(new String(r.getAs[Array[Byte]]("value")).startsWith("{\"id\":0"))
+  }
+
+  test("large message claim-check emits pointers with locations") {
+    val out = LargeMessage.claimCheck(Codecs.canalJson(env), 210, "s3://bucket/claims")
+    val large = out.filter(col("_large"))
+    assert(large.count() > 0 && large.count() < out.count())
+    val r = large.select("_value", "_claim_location").head()
+    assert(r.getString(0).startsWith("{\"claimCheckLocation\":\"s3://bucket/claims/app/"))
+    assert(r.getString(1) == r.getString(0).stripPrefix("{\"claimCheckLocation\":\"").stripSuffix("\"}"))
+    // small messages untouched
+    assert(out.filter(!col("_large")).select("_value").head().getString(0).startsWith("{\"id\":0"))
+  }
+
+  test("streaming windowed progress with watermark drains availableNow") {
+    val tmp = Files.createTempDirectory("graft-win").toString
+    Tables.events(spark, "/root/testdata/sf0.001").write.mode("overwrite")
+      .parquet(s"$tmp/src")
+    val schema = spark.read.parquet(s"$tmp/src").schema
+    val stream = Envelope.fromEvents(
+      spark.readStream.schema(schema).parquet(s"$tmp/src"))
+    val q = ResolvedTs.windowedProgress(stream, "1 hour", "0 seconds")
+      .writeStream.outputMode("append")
+      .format("memory").queryName("win_progress")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.table("win_progress")
+    assert(out.count() > 0)
+    // windowed totals reconcile with the batch envelope, minus the
+    // final window (still open at the terminal watermark, correctly
+    // withheld in append mode)
+    val streamed = out.agg(sum("n_events")).head().getLong(0)
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val maxTs = env.agg(max("_commit_ts")).head().getLong(0)
+    val expectedClosed = env.filter(
+      (col("_commit_ts") - pmod(col("_commit_ts"), lit(hourNs))) + hourNs <= maxTs).count()
+    assert(streamed == expectedClosed)
+    // resolved ts is monotone with window start per table
+    import org.apache.spark.sql.expressions.Window
+    val mono = out.withColumn("prev",
+        lag("resolved_ts", 1).over(Window.partitionBy("_schema", "_table").orderBy("window_start")))
+      .filter(col("prev").isNotNull && col("resolved_ts") < col("prev"))
+    assert(mono.count() == 0)
+  }
+
+  test("canal decoder inverts encoder on nested images") {
+    val decoded = graft.functions.Decoders.decodeCanal(Codecs.canalJson(env))
+    assert(decoded.count() == env.count())
+    val u = decoded.filter(col("_op") === "U")
+    assert(u.filter(col("before").isNull || col("after").isNull).count() == 0)
+    val d = decoded.filter(col("_op") === "D")
+    assert(d.filter(col("after").isNotNull).count() == 0)
+    assert(d.filter(col("before").isNull).count() == 0)
+  }
+}
