@@ -341,6 +341,9 @@ object CdcQueries {
        |  CASE WHEN _op = 'U' THEN '[' || ${imgSql("before")} || ']' ELSE 'null' END ||
        |  '}')""".stripMargin
 
+  /** Public alias for reuse by other query modules' oracles. */
+  def imgSqlPublic(img: String): String = imgSql(img)
+
   /** JSON image object in DuckDB dialect, mirroring Codecs.imageJson:
     * null image → literal 'null'. The image is null exactly when its
     * user_id is null (user_id is non-null in the payload). */

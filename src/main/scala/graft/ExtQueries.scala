@@ -76,7 +76,21 @@ object ExtQueries {
       val ddl = e.filter(pmod(col("_row_id"), lit(97L)) === 0)
         .withColumn("_event_type", lit("ddl"))
       EventOrder.withInterleaveSequence(dml.unionByName(ddl))
-    })
+    }),
+
+    "q_encode_simple" -> ((s, d) =>
+      Codecs.simpleProtocol(env(s, d)).select(col("_row_id"), col("_value"))),
+
+    "q_bootstrap" -> ((s, d) => Codecs.bootstrapMessages(env(s, d))),
+
+    "q_encode_ddl" -> ((s, d) => {
+      val ddl = graft.operators.SchemaAsOf.sampleVersions(env(s, d))
+        .withColumn("query", concat(lit("ALTER TABLE "), col("_table")))
+      Codecs.ddlMessage(ddl)
+    }),
+
+    "q_materialize" -> ((s, d) =>
+      graft.operators.Materialize.tableState(env(s, d)))
   )
 
   private def q(body: String): String = EnvelopeSql.query(body)
@@ -135,6 +149,46 @@ object ExtQueries {
         |  ORDER BY _commit_ts,
         |    CASE WHEN _event_type = 'ddl' THEN 0 ELSE 1 END,
         |    _start_ts, _row_id) AS BIGINT) AS _seq
-        |FROM un""".stripMargin)
+        |FROM un""".stripMargin),
+
+    "q_encode_simple" -> q(
+      s"""SELECT _row_id,
+         |  '{"version":1,"type":"' ||
+         |  CASE WHEN _op = 'I' THEN 'INSERT' WHEN _op = 'U' THEN 'UPDATE' ELSE 'DELETE' END ||
+         |  '","commitTs":' || CAST(_commit_ts AS VARCHAR) ||
+         |  ',"buildTs":' || CAST(_commit_ts // 1000000 AS VARCHAR) ||
+         |  ',"schema":"' || _schema || '","table":"' || _table ||
+         |  '","data":' || ${CdcQueries.imgSqlPublic("after")} ||
+         |  ',"old":' || ${CdcQueries.imgSqlPublic("before")} || '}' AS _value
+         |FROM env""".stripMargin),
+
+    "q_bootstrap" -> q(
+      """SELECT DISTINCT _schema, _table,
+        |  '{"version":1,"type":"BOOTSTRAP","schema":"' || _schema ||
+        |  '","table":"' || _table ||
+        |  '","columns":[{"name":"user_id","type":"bigint"},{"name":"value","type":"double"},{"name":"k","type":"bigint"}]}' AS _value
+        |FROM env""".stripMargin),
+
+    "q_encode_ddl" -> q(
+      """SELECT _schema, _table, _commit_ts AS version_ts,
+        |  'ALTER TABLE ' || _table AS query,
+        |  '{"type":"DDL","actionType":"alter table","commitTs":' || CAST(_commit_ts AS VARCHAR) ||
+        |  ',"schema":"' || _schema || '","table":"' || _table ||
+        |  '","query":"ALTER TABLE ' || _table || '"}' AS _value
+        |FROM env WHERE _row_id % 97 = 0""".stripMargin),
+
+    "q_materialize" -> q(
+      """SELECT _schema, _table,
+        |  after_user_id AS user_id, after_value AS value, after_k AS k,
+        |  _commit_ts AS _applied_ts
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY _schema, _table,
+        |      CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END
+        |    ORDER BY _commit_ts DESC, _start_ts DESC,
+        |      CASE WHEN _op = 'D' THEN 1 WHEN _op = 'U' THEN 2 ELSE 3 END DESC,
+        |      _row_id DESC) AS rn
+        |  FROM env)
+        |WHERE rn = 1 AND _op <> 'D'""".stripMargin)
   )
 }

@@ -118,6 +118,46 @@ object Codecs {
       coalesce(img.getField("k").cast("string"), lit("\\N"))))
   }
 
+  /** Simple protocol DML message (pkg/sink/codec/simple/encoder.go:48,
+    * message.go): version header + type + full ts + table ref. */
+  def simpleProtocol(env: DataFrame): DataFrame = {
+    val typ = when(col("_op") === "I", "INSERT")
+      .when(col("_op") === "U", "UPDATE").otherwise("DELETE")
+    env.withColumn("_value", concat(
+      lit("{\"version\":1,\"type\":\""), typ,
+      lit("\",\"commitTs\":"), col("_commit_ts"),
+      lit(",\"buildTs\":"), ms(col("_commit_ts")),
+      lit(",\"schema\":\""), col("_schema"),
+      lit("\",\"table\":\""), col("_table"),
+      lit("\",\"data\":"), imageJson("after"),
+      lit(",\"old\":"), imageJson("before"),
+      lit("}")))
+  }
+
+  /** Simple protocol bootstrap/handshake messages: one per table,
+    * carrying the schema (send-bootstrap-* config sink.go:188-200;
+    * bootstraper.go). Emitted on changefeed start and on schema
+    * change. */
+  def bootstrapMessages(env: DataFrame): DataFrame =
+    env.select(col("_schema"), col("_table")).distinct()
+      .withColumn("_value", concat(
+        lit("{\"version\":1,\"type\":\"BOOTSTRAP\",\"schema\":\""), col("_schema"),
+        lit("\",\"table\":\""), col("_table"),
+        lit("\",\"columns\":[{\"name\":\"user_id\",\"type\":\"bigint\"}," +
+          "{\"name\":\"value\",\"type\":\"double\"}," +
+          "{\"name\":\"k\",\"type\":\"bigint\"}]}")))
+
+  /** DDL message encoding, protocol-common form
+    * (pkg/sink/codec/common/ddl.go:1-240): ddl rows =
+    * (_schema, _table, version_ts, query). */
+  def ddlMessage(ddl: DataFrame): DataFrame =
+    ddl.withColumn("_value", concat(
+      lit("{\"type\":\"DDL\",\"actionType\":\"alter table\",\"commitTs\":"),
+      col("version_ts"),
+      lit(",\"schema\":\""), col("_schema"),
+      lit("\",\"table\":\""), col("_table"),
+      lit("\",\"query\":\""), col("query"), lit("\"}")))
+
   /** JSON string escaping for payload text fields (quote, backslash,
     * control chars) — used by encoders over free-text tables. */
   def jsonEscape(c: Column): Column =

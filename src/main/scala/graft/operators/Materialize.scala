@@ -1,0 +1,38 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.model.Envelope
+
+/** Change-log → table-state materialization: the batch equivalent of
+  * what the MySQL sink produces downstream after applying every
+  * change in commit order (the differential-diff model the reference's
+  * integration tests verify with sync_diff_inspector, SURVEY §5.2).
+  *
+  * Last-writer-wins per (table, key) in eventstore order; a final
+  * DELETE removes the row. One window shuffle on (table, key) — the
+  * same partitioning the sink itself uses, so at scale this shares
+  * the sink's shuffle.
+  */
+object Materialize {
+
+  /** Reduce the envelope to final rows keyed by `keyCol` from the
+    * payload (post-image key; deletes key on the pre-image). */
+  def tableState(env: DataFrame, keyCol: String = "user_id"): DataFrame = {
+    val key = when(col("_op") === "D", col(s"before.$keyCol"))
+      .otherwise(col(s"after.$keyCol"))
+    val w = Window.partitionBy(col("_schema"), col("_table"), col("__key"))
+      .orderBy(col("_commit_ts").desc, col("_start_ts").desc,
+        Envelope.opOrder(col("_op")).desc, col("_row_id").desc)
+    env.withColumn("__key", key)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("_op") =!= "D")
+      .select(
+        col("_schema"), col("_table"),
+        col("after.user_id").as("user_id"),
+        col("after.value").as("value"),
+        col("after.k").as("k"),
+        col("_commit_ts").as("_applied_ts"))
+  }
+}
