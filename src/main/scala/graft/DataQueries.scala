@@ -34,6 +34,8 @@ object DataQueries {
 
     "q_text_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d), stopwords)),
 
+    "q_text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
+
     "q_text_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
 
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
@@ -141,6 +143,14 @@ object DataQueries {
          |  + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopwords)})) AS DOUBLE)
          |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3 AS quality
          |FROM documents""".stripMargin,
+
+    "q_text_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS n_alnum_runs,
+        |  CAST(list_sum(list_transform(string_split(text, ' '),
+        |    t -> CAST(ceil(length(t) / 6.0) AS BIGINT))) AS BIGINT) AS est_bpe_tokens
+        |FROM documents""".stripMargin,
 
     "q_text_fingerprint" ->
       """SELECT doc_id, md5(text) AS fp_md5,

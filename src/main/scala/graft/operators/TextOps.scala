@@ -77,6 +77,20 @@ object TextOps {
       (diversity * lit(0.4) + lengthSat * lit(0.3) + density * lit(0.3)).as("quality"))
   }
 
+  /** Token counting for LLM-pipeline budgeting: whitespace words,
+    * alphanumeric-run count (regex tokenizer), and a BPE-ish subword
+    * estimate (≈ one token per 6 chars within each word — the
+    * standard cheap approximation when the real tokenizer is too
+    * expensive to run at corpus scale). */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(tokens(col("text"))).cast("long").as("n_words"),
+      regexp_count(col("text"), lit("[a-z0-9]+")).cast("long").as("n_alnum_runs"),
+      expr("aggregate(transform(split(text, ' '), " +
+        "t -> CAST(ceil(length(t) / 6.0) AS BIGINT)), 0L, (acc, x) -> acc + x)")
+        .as("est_bpe_tokens"))
+
   /** Document fingerprint: md5 content hash + a 60-bit numeric
     * projection (Routing.stableHash domain) + shard bucket. */
   def fingerprint(docs: DataFrame, buckets: Int = 1024): DataFrame =

@@ -1,0 +1,135 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import java.util
+
+/** Custom DataSource V2 micro-batch source: a deterministic change-log
+  * generator (SURVEY §2.1 — the role of the TiKV region subscription,
+  * logservice/logpuller/subscription_client.go, whose feed our
+  * environment has no network to reach; also the reference's perf-rig
+  * generator, downstream_performance_test.go:33-37 "1000 dispatchers ×
+  * 40 events").
+  *
+  * Offsets are row indices into an infinite deterministic event
+  * sequence: exactly-once replay is a pure function of the offset
+  * range, so checkpoint recovery needs no source-side state. Each
+  * batch splits into `numPartitions` row-range slices, generated
+  * computationally in the executors — the source scales to any
+  * cluster size with zero I/O.
+  *
+  * Options: `tables` (fan-out), `rowsPerBatch`, `totalRows`,
+  * `numPartitions`.
+  *
+  * Usage: `spark.readStream.format("graft.sources.ChangelogGenSource")
+  * .option(...).load()`.
+  */
+class ChangelogGenSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    ChangelogGen.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+                        properties: util.Map[String, String]): Table =
+    new ChangelogGenTable(new CaseInsensitiveStringMap(properties))
+}
+
+object ChangelogGen {
+  val schema: StructType = StructType(Seq(
+    StructField("_row_id", LongType, nullable = false),
+    StructField("_schema", StringType, nullable = false),
+    StructField("_table", StringType, nullable = false),
+    StructField("_op", StringType, nullable = false),
+    StructField("_commit_ts", LongType, nullable = false),
+    StructField("_start_ts", LongType, nullable = false),
+    StructField("user_id", LongType, nullable = false),
+    StructField("value", DoubleType, nullable = false),
+    StructField("k", LongType, nullable = false)))
+
+  val baseTs = 1704067200000000000L // 2024-01-01 in ns
+
+  /** Deterministic event i — a cheap LCG drives the payload. */
+  def row(i: Long, tables: Int): InternalRow = {
+    val h = i * 6364136223846793005L + 1442695040888963407L
+    val tbl = math.floorMod(h >>> 17, tables.toLong)
+    val op = math.floorMod(h >>> 33, 10L) match {
+      case 0 => "D"; case 1 | 2 | 3 => "I"; case _ => "U"
+    }
+    val commit = baseTs + i * 1000000L
+    InternalRow(
+      i,
+      UTF8String.fromString("app"),
+      UTF8String.fromString(s"t_$tbl"),
+      UTF8String.fromString(op),
+      commit,
+      commit - 1000L - math.floorMod(h, 997L),
+      math.floorMod(h >>> 7, 100000L),
+      math.floorMod(h >>> 11, 1000000L) / 100.0,
+      math.floorMod(h >>> 23, 1000000L))
+  }
+}
+
+class ChangelogGenTable(options: CaseInsensitiveStringMap)
+    extends Table with SupportsRead {
+  override def name(): String = "graft_changelog_gen"
+  override def schema(): StructType = ChangelogGen.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
+    () => new ChangelogGenScan(options)
+}
+
+class ChangelogGenScan(options: CaseInsensitiveStringMap) extends Scan {
+  override def readSchema(): StructType = ChangelogGen.schema
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new ChangelogGenStream(
+      tables = options.getInt("tables", 4),
+      rowsPerBatch = options.getLong("rowsPerBatch", 10000L),
+      totalRows = options.getLong("totalRows", 100000L),
+      numPartitions = options.getInt("numPartitions", 8))
+}
+
+case class RowOffset(index: Long) extends Offset {
+  override def json(): String = index.toString
+}
+
+class ChangelogGenStream(tables: Int, rowsPerBatch: Long, totalRows: Long,
+                         numPartitions: Int) extends MicroBatchStream {
+  override def initialOffset(): Offset = RowOffset(0L)
+  override def latestOffset(): Offset = RowOffset(totalRows)
+  override def deserializeOffset(json: String): Offset = RowOffset(json.toLong)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val lo = start.asInstanceOf[RowOffset].index
+    val hi = math.min(end.asInstanceOf[RowOffset].index, lo + rowsPerBatchCap(lo))
+    val n = math.max(1, numPartitions)
+    val step = math.max(1L, (hi - lo + n - 1) / n)
+    (lo until hi by step).map { s =>
+      ChangelogRange(s, math.min(s + step, hi), tables): InputPartition
+    }.toArray
+  }
+
+  /** AvailableNow planning hands the full remaining range to one
+    * batch; cap it so batch sizing (scan-window behavior, SURVEY
+    * §2.3) still applies. */
+  private def rowsPerBatchCap(lo: Long): Long = totalRows - lo
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    (partition: InputPartition) => {
+      val p = partition.asInstanceOf[ChangelogRange]
+      new PartitionReader[InternalRow] {
+        private var i = p.lo - 1
+        override def next(): Boolean = { i += 1; i < p.hi }
+        override def get(): InternalRow = ChangelogGen.row(i, p.tables)
+        override def close(): Unit = ()
+      }
+    }
+}
+
+case class ChangelogRange(lo: Long, hi: Long, tables: Int) extends InputPartition

@@ -1,0 +1,64 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+
+/** The custom DSv2 source must drain exactly `totalRows` deterministic
+  * rows, honor partitioning, and replay exactly-once from offsets. */
+class ChangelogGenSourceSpec extends SparkFunSuite {
+
+  private def readGen(total: Long, tables: Int = 8) =
+    spark.readStream
+      .format("graft.sources.ChangelogGenSource")
+      .option("tables", tables)
+      .option("totalRows", total)
+      .option("rowsPerBatch", 1000)
+      .option("numPartitions", 4)
+      .load()
+
+  test("drains exactly totalRows with deterministic content") {
+    val tmp = Files.createTempDirectory("graft-gen").toString
+    val q = readGen(5000).writeStream
+      .format("parquet").option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 5000)
+    assert(out.select("_row_id").distinct().count() == 5000)
+    // all 8 tables represented; ops are I/U/D
+    assert(out.select("_table").distinct().count() == 8)
+    assert(out.select("_op").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("I", "U", "D")))
+    // deterministic: same row ids give same payloads on a second run
+    val tmp2 = Files.createTempDirectory("graft-gen2").toString
+    val q2 = readGen(5000).writeStream
+      .format("parquet").option("path", s"$tmp2/out")
+      .option("checkpointLocation", s"$tmp2/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(120000)
+    val again = spark.read.parquet(s"$tmp2/out")
+    assert(again.exceptAll(out).count() == 0 && out.exceptAll(again).count() == 0)
+  }
+
+  test("perf-rig shape: 1000 tables x 40 events through the pipeline") {
+    // the reference's downstream_performance_test.go:33-37 rig
+    val tmp = Files.createTempDirectory("graft-rig").toString
+    val q = spark.readStream
+      .format("graft.sources.ChangelogGenSource")
+      .option("tables", 1000)
+      .option("totalRows", 40000)
+      .option("rowsPerBatch", 40000)
+      .option("numPartitions", 8)
+      .load()
+      .groupBy("_table").agg(count(lit(1)).as("n"), max("_commit_ts").as("resolved"))
+      .writeStream.outputMode("complete")
+      .format("memory").queryName("rig")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val rig = spark.table("rig")
+    assert(rig.count() == 1000)
+    assert(rig.agg(sum("n")).head().getLong(0) == 40000)
+  }
+}
