@@ -90,7 +90,10 @@ object ExtQueries {
     }),
 
     "q_materialize" -> ((s, d) =>
-      graft.operators.Materialize.tableState(env(s, d)))
+      graft.operators.Materialize.tableState(env(s, d))),
+
+    "q_roundtrip_avro" -> ((s, d) =>
+      graft.functions.AvroCodec.decode(graft.functions.AvroCodec.encode(env(s, d))))
   )
 
   private def q(body: String): String = EnvelopeSql.query(body)
@@ -176,6 +179,8 @@ object ExtQueries {
         |  ',"schema":"' || _schema || '","table":"' || _table ||
         |  '","query":"ALTER TABLE ' || _table || '"}' AS _value
         |FROM env WHERE _row_id % 97 = 0""".stripMargin),
+
+    "q_roundtrip_avro" -> q("SELECT * FROM env"),
 
     "q_materialize" -> q(
       """SELECT _schema, _table,

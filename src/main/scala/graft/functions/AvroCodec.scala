@@ -1,0 +1,126 @@
+package graft.functions
+
+import java.io.ByteArrayOutputStream
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Avro wire codec (SURVEY §2.7; reference pkg/sink/codec/avro/
+  * encoder.go:68, schema gen arvo.go, decoder.go:680).
+  *
+  * No spark-avro connector ships in this environment, but avro-core
+  * does — so the encoder is a mapPartitions batch over avro-core's
+  * GenericDatumWriter (one writer + reusable buffer per partition,
+  * the per-partition-init shape a schema-registry client would also
+  * use). The schema-registry round trip is out of scope offline; the
+  * record schema is versioned in the message envelope the way the
+  * reference's bootstrap flow pins (topic, table-version) → schema.
+  */
+object AvroCodec {
+
+  /** Envelope payload as an Avro record schema (nullable images,
+    * nullable fields — matches the reference's generated schemas with
+    * optional columns). */
+  val envelopeSchemaJson: String =
+    """{"type":"record","name":"ChangeEvent","namespace":"graft","fields":[
+      |{"name":"row_id","type":"long"},
+      |{"name":"schema","type":"string"},
+      |{"name":"table","type":"string"},
+      |{"name":"op","type":"string"},
+      |{"name":"commit_ts","type":"long"},
+      |{"name":"start_ts","type":"long"},
+      |{"name":"before","type":["null",{"type":"record","name":"ImageB","fields":[
+      |  {"name":"user_id","type":["null","long"]},
+      |  {"name":"value","type":["null","double"]},
+      |  {"name":"k","type":["null","long"]}]}],"default":null},
+      |{"name":"after","type":["null",{"type":"record","name":"ImageA","fields":[
+      |  {"name":"user_id","type":["null","long"]},
+      |  {"name":"value","type":["null","double"]},
+      |  {"name":"k","type":["null","long"]}]}],"default":null}
+      |]}""".stripMargin
+
+  private val outSchema = StructType(Seq(
+    StructField("_row_id", LongType),
+    StructField("_value", BinaryType)))
+
+  private def imageRecord(s: Schema, r: Row): GenericRecord = {
+    val rec = new GenericData.Record(s)
+    rec.put("user_id", if (r.isNullAt(0)) null else r.getLong(0))
+    rec.put("value", if (r.isNullAt(1)) null else r.getDouble(1))
+    rec.put("k", if (r.isNullAt(2)) null else r.getLong(2))
+    rec
+  }
+
+  /** Envelope → (row_id, avro binary). */
+  def encode(env: DataFrame): DataFrame = {
+    val json = envelopeSchemaJson
+    env.select(col("_row_id"), col("_schema"), col("_table"), col("_op"),
+        col("_commit_ts"), col("_start_ts"), col("before"), col("after"))
+      .mapPartitions { rows =>
+        val schema = new Schema.Parser().parse(json)
+        val beforeSchema = schema.getField("before").schema().getTypes.get(1)
+        val afterSchema = schema.getField("after").schema().getTypes.get(1)
+        val writer = new GenericDatumWriter[GenericRecord](schema)
+        val buf = new ByteArrayOutputStream(256)
+        var enc: BinaryEncoder = null
+        rows.map { r =>
+          val rec = new GenericData.Record(schema)
+          rec.put("row_id", r.getLong(0))
+          rec.put("schema", r.getString(1))
+          rec.put("table", r.getString(2))
+          rec.put("op", r.getString(3))
+          rec.put("commit_ts", r.getLong(4))
+          rec.put("start_ts", r.getLong(5))
+          rec.put("before", if (r.isNullAt(6)) null else imageRecord(beforeSchema, r.getStruct(6)))
+          rec.put("after", if (r.isNullAt(7)) null else imageRecord(afterSchema, r.getStruct(7)))
+          buf.reset()
+          enc = EncoderFactory.get().binaryEncoder(buf, enc)
+          writer.write(rec, enc)
+          enc.flush()
+          Row(r.getLong(0), buf.toByteArray)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("_row_id", LongType),
+    StructField("_schema", StringType),
+    StructField("_table", StringType),
+    StructField("_op", StringType),
+    StructField("_commit_ts", LongType),
+    StructField("_start_ts", LongType),
+    StructField("before_user_id", LongType),
+    StructField("before_value", DoubleType),
+    StructField("before_k", LongType),
+    StructField("after_user_id", LongType),
+    StructField("after_value", DoubleType),
+    StructField("after_k", LongType)))
+
+  /** (row_id, avro binary) → flattened envelope (consumer harness). */
+  def decode(msgs: DataFrame): DataFrame = {
+    val json = envelopeSchemaJson
+    msgs.select(col("_value"))
+      .mapPartitions { rows =>
+        val schema = new Schema.Parser().parse(json)
+        val reader = new GenericDatumReader[GenericRecord](schema)
+        var dec: BinaryDecoder = null
+        rows.map { r =>
+          val bytes = r.getAs[Array[Byte]](0)
+          dec = DecoderFactory.get().binaryDecoder(bytes, dec)
+          val rec = reader.read(null, dec)
+          def img(name: String): (Any, Any, Any) =
+            Option(rec.get(name).asInstanceOf[GenericRecord])
+              .map(i => (i.get("user_id"), i.get("value"), i.get("k")))
+              .getOrElse((null, null, null))
+          val (bu, bv, bk) = img("before")
+          val (au, av, ak) = img("after")
+          Row(rec.get("row_id"), rec.get("schema").toString,
+            rec.get("table").toString, rec.get("op").toString,
+            rec.get("commit_ts"), rec.get("start_ts"), bu, bv, bk, au, av, ak)
+        }
+      }(Encoders.row(decodedSchema))
+  }
+}
