@@ -54,19 +54,52 @@ object Dedup {
     }
   }
 
-  /** LSH candidate pairs: docs sharing any band key. Shuffle on band
-    * key — each bucket is small by construction, so the self-join is
-    * local per bucket. */
+  /** LSH candidate pairs: docs sharing any band key.
+    *
+    * Runs at SIGNATURE granularity: docs collapse to their unique
+    * signature first (on near-duplicate-heavy corpora, orders of
+    * magnitude fewer), the band self-join runs over unique signatures,
+    * and doc pairs expand back at the end — so join and dedup cost
+    * scale with distinct-signature count while the (irreducible)
+    * output expansion stays a generate-only stage. Every doc belongs
+    * to exactly one signature group, so no global distinct is needed:
+    * intra-group pairs and sig-pair expansions are disjoint by
+    * construction. */
   def minhashPairs(signatures: DataFrame): DataFrame = {
-    val bands = signatures.select(col("doc_id"),
+    val sigKey = md5(concat_ws(",",
+      (0 until NumHashes).map(i => col(s"m$i").cast("string")): _*))
+    val groups = signatures
+      .groupBy(sigKey.as("sig"),
+        col("band0"), col("band1"), col("band2"), col("band3"))
+      .agg(collect_list(col("doc_id")).as("members"))
+
+    // all pairs within one signature group (identical signatures
+    // trivially share every band)
+    val intra = groups.select(col("members"))
+      .withColumn("doc_a", explode(col("members")))
+      .withColumn("doc_b", explode(col("members")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
+
+    // signature pairs sharing >= 1 band, deduped at sig-pair level,
+    // then expanded to doc pairs
+    val bands = groups.select(col("sig"), col("members"),
       posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*))
         .as(Seq("band_idx", "band")))
-    bands.as("a").join(bands.as("b"),
+    val sigPairs = bands.as("a").join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band") === col("b.band") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
+          col("a.sig") < col("b.sig"))
+      .groupBy(col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .agg(first(col("a.members")).as("members_a"),
+        first(col("b.members")).as("members_b"))
+    val cross = sigPairs
+      .withColumn("x", explode(col("members_a")))
+      .withColumn("y", explode(col("members_b")))
+      .select(least(col("x"), col("y")).as("doc_a"),
+        greatest(col("x"), col("y")).as("doc_b"))
+
+    intra.unionByName(cross)
   }
 
   /** 16-bit SimHash: per bit j, the sign of Σ over tokens of ±1
@@ -88,7 +121,14 @@ object Dedup {
 
   /** Word-set Jaccard within blocks (`blockCol` — e.g. source, or an
     * LSH band for the scale path): token-level self-join, intersection
-    * count, |A∪B| = |A|+|B|-|A∩B|. */
+    * count, |A∪B| = |A|+|B|-|A∩B|.
+    *
+    * The token-join formulation is the scale path: on real corpora
+    * (large vocab) the join output is sparse and fully shuffle/spill
+    * managed, whereas a doc-pair `array_intersect` join pays a
+    * quadratic per-pair compute regardless of similarity. (Measured
+    * both at sf0.1: token join wins even on this degenerate small
+    * vocabulary.) */
   def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val toks = docs.select(col("doc_id"), col(blockCol).as("__blk"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
