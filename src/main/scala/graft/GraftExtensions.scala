@@ -1,0 +1,24 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import graft.functions.VectorDot
+
+/** SparkSessionExtensions entry point: registers graft's native
+  * expressions for SQL use, so
+  * `spark.sql("SELECT vector_dot(a, b) ...")` works in any session
+  * built with `.withExtensions(new GraftExtensions)` or via
+  * `spark.sql.extensions=graft.GraftExtensions`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      new FunctionIdentifier("vector_dot"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_dot"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vector_dot(a, b) takes two arrays")
+        VectorDot(children.head, children(1))
+      }))
+  }
+}

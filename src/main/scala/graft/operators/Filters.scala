@@ -70,6 +70,32 @@ object Filters {
     env.filter(!drop)
   }
 
+  /** Per-table-matcher expression filter rules (expr_filter.go:40 —
+    * each rule scopes its predicates to the tables its matcher hits;
+    * multiple rules OR together). */
+  final case class ExprFilterRule(
+      matcher: Seq[String],
+      ignoreInsert: Option[String] = None,
+      ignoreUpdateOld: Option[String] = None,
+      ignoreUpdateNew: Option[String] = None,
+      ignoreDelete: Option[String] = None)
+
+  def exprFilterRules(spark: SparkSession, env: DataFrame,
+                      rules: Seq[ExprFilterRule]): DataFrame = {
+    if (rules.isEmpty) return env
+    def pred(sqlOpt: Option[String], image: String): Column =
+      sqlOpt.map(s => coalesce(imageExpr(spark, s, image), lit(false)))
+        .getOrElse(lit(false))
+    val drop = rules.map { r =>
+      TableMatcher.matches(col("_schema"), col("_table"), r.matcher) && (
+        (col("_op") === "I" && pred(r.ignoreInsert, "after")) ||
+        (col("_op") === "U" &&
+          (pred(r.ignoreUpdateOld, "before") || pred(r.ignoreUpdateNew, "after"))) ||
+        (col("_op") === "D" && pred(r.ignoreDelete, "before")))
+    }.reduce(_ || _)
+    env.filter(!drop)
+  }
+
   /** Drop UPDATEs whose changed-column set is a subset of `ignorable`
     * (pkg/filter/update_only_columns_filter.go): i.e. every column NOT
     * in the ignore list is null-safe-equal between before and after.

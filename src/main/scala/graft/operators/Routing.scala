@@ -70,6 +70,58 @@ object Routing {
   def routeTopic(env: DataFrame, template: String): DataFrame =
     env.withColumn("_topic", topicColumn(template))
 
+  /** Full event-router dispatch (event_router.go:36-76): rules are
+    * tried in order, FIRST matching rule wins, and a default `*.*`
+    * table-partition rule is appended (:48-52). Produces `_partition`
+    * (+ `_topic`/`_sink_schema`/`_sink_table` when any rule routes
+    * them) in one pass of codegen'd conditionals — no per-rule passes
+    * over the data. */
+  def dispatch(env: DataFrame, rules: Seq[graft.model.DispatchRule],
+               numPartitions: Int): DataFrame = {
+    import graft.model.{DispatchRule, PartitionRule}
+    val all = rules :+ DispatchRule() // default *.* appended
+    def matches(r: DispatchRule): Column =
+      TableMatcher.matches(col("_schema"), col("_table"), r.matcher)
+    def partCol(r: DispatchRule): Column = r.partition match {
+      case PartitionRule.Table =>
+        pmod(stableHash(Seq(col("_schema"), col("_table"))), lit(numPartitions.toLong))
+      case PartitionRule.Ts =>
+        pmod(col("_commit_ts"), lit(numPartitions.toLong))
+      case PartitionRule.KeyColumns(cols) =>
+        val keyVals = cols.map { f =>
+          when(col("_op") === "D", col(s"before.$f")).otherwise(col(s"after.$f"))
+        }
+        pmod(stableHash(col("_schema") +: col("_table") +: keyVals),
+          lit(numPartitions.toLong))
+    }
+    def tpl(t: String): Column =
+      regexp_replace(
+        regexp_replace(lit(t), lit("\\{schema\\}"), col("_schema")),
+        lit("\\{table\\}"), col("_table"))
+    val partition = all.foldRight(lit(-1L)) { (r, acc) =>
+      when(matches(r), partCol(r)).otherwise(acc)
+    }
+    var out = env.withColumn("_partition", partition)
+    if (all.exists(_.topic.isDefined)) {
+      val topic = all.foldRight(lit(null).cast("string")) { (r, acc) =>
+        when(matches(r),
+          r.topic.map(t => topicColumn(t)).getOrElse(lit(null).cast("string")))
+          .otherwise(acc)
+      }
+      out = out.withColumn("_topic", topic)
+    }
+    if (all.exists(r => r.targetSchema.isDefined || r.targetTable.isDefined)) {
+      val ss = all.foldRight(col("_schema")) { (r, acc) =>
+        when(matches(r), r.targetSchema.map(tpl).getOrElse(col("_schema"))).otherwise(acc)
+      }
+      val st = all.foldRight(col("_table")) { (r, acc) =>
+        when(matches(r), r.targetTable.map(tpl).getOrElse(col("_table"))).otherwise(acc)
+      }
+      out = out.withColumn("_sink_schema", ss).withColumn("_sink_table", st)
+    }
+    out
+  }
+
   /** Table routing / rename (pkg/config/sink.go:426-440): rewrite sink
     * schema/table with `{schema}`/`{table}` placeholders. */
   def routeTable(env: DataFrame, targetSchema: String, targetTable: String): DataFrame = {

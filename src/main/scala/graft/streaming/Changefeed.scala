@@ -47,18 +47,7 @@ object Changefeed {
       df = Transforms.updatedColumnsOnly(df, cfg.handleKeys)
     if (cfg.sink.deleteOnlyOutputHandleKey)
       df = Transforms.deleteHandleKeyOnly(df, cfg.handleKeys)
-    val dispatch = cfg.sink.dispatch.headOption.getOrElse(DispatchRule())
-    df = dispatch.partition match {
-      case PartitionRule.Table => Routing.partitionByTable(df, cfg.sink.numPartitions)
-      case PartitionRule.Ts => Routing.partitionByTs(df, cfg.sink.numPartitions)
-      case PartitionRule.KeyColumns(cols) =>
-        Routing.partitionByKeyColumns(df, cols, cfg.sink.numPartitions)
-    }
-    dispatch.topic.foreach(t => df = Routing.routeTopic(df, t))
-    (dispatch.targetSchema, dispatch.targetTable) match {
-      case (Some(s), Some(t)) => df = Routing.routeTable(df, s, t)
-      case _ => ()
-    }
+    df = Routing.dispatch(df, cfg.sink.dispatch, cfg.sink.numPartitions)
     cfg.sink.protocol match {
       case Protocol.CanalJson => Codecs.canalJson(df)
       case Protocol.Open      => Codecs.openProtocol(df)

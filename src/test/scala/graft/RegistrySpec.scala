@@ -1,0 +1,69 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.operators.{Filters, Routing}
+import graft.streaming.ChangefeedRegistry
+
+class RegistrySpec extends SparkFunSuite {
+
+  test("changefeed lifecycle: create -> pause -> resume, exactly-once") {
+    val tmp = Files.createTempDirectory("graft-reg").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/src/events.parquet"))
+    val reg = new ChangefeedRegistry(spark)
+    val cfg = ChangefeedConfig(id = "cf1")
+    val q = reg.create(cfg, s"$tmp/src", s"$tmp/sink", s"$tmp/ckpt")
+    q.awaitTermination(120000)
+    val (_, _, n1) = reg.status("cf1")
+    assert(n1 > 0)
+    reg.pause("cf1")
+    assert(reg.status("cf1")._2 == "paused")
+    val q2 = reg.resume("cf1")
+    q2.awaitTermination(120000)
+    assert(reg.status("cf1")._3 == n1, "resume from checkpoint re-emits nothing")
+    assert(reg.list == Seq("cf1"))
+    reg.remove("cf1")
+    assert(reg.list.isEmpty)
+  }
+
+  test("multi-rule dispatch: first match wins, default rule appended") {
+    val env = graft.model.Envelope.fromEvents(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    val rules = Seq(
+      DispatchRule(matcher = Seq("app.events_0"),
+        partition = PartitionRule.Ts, topic = Some("t0_{table}")),
+      DispatchRule(matcher = Seq("app.events_*"),
+        partition = PartitionRule.KeyColumns(Seq("user_id")),
+        topic = Some("rest_{table}")))
+    val out = Routing.dispatch(env, rules, 8)
+    // events_0 takes the ts rule
+    val t0 = out.filter(col("_table") === "events_0")
+    assert(t0.filter(col("_partition") =!= pmod(col("_commit_ts"), lit(8L))).count() == 0)
+    assert(t0.select("_topic").distinct().head().getString(0) == "t0_events_0")
+    // other tables take the key rule topic
+    val rest = out.filter(col("_table") === "events_2").select("_topic").distinct()
+    assert(rest.head().getString(0) == "rest_events_2")
+    // default rule keeps partition within range for everything
+    assert(out.filter(col("_partition") < 0 || col("_partition") >= 8).count() == 0)
+  }
+
+  test("per-table expression filter rules scope to their matcher") {
+    val env = graft.model.Envelope.fromEvents(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    val rules = Seq(
+      Filters.ExprFilterRule(Seq("app.events_0"), ignoreInsert = Some("value < 1000")),
+      Filters.ExprFilterRule(Seq("app.events_1"), ignoreDelete = Some("user_id >= 0")))
+    val out = Filters.exprFilterRules(spark, env, rules)
+    // all inserts on events_0 dropped (value always < 1000)
+    assert(out.filter(col("_table") === "events_0" && col("_op") === "I").count() == 0)
+    // all deletes on events_1 dropped
+    assert(out.filter(col("_table") === "events_1" && col("_op") === "D").count() == 0)
+    // other tables untouched
+    val before = env.filter(col("_table") === "events_2").count()
+    assert(out.filter(col("_table") === "events_2").count() == before)
+  }
+}
