@@ -93,8 +93,37 @@ object ExtQueries {
       graft.operators.Materialize.tableState(env(s, d))),
 
     "q_roundtrip_avro" -> ((s, d) =>
-      graft.functions.AvroCodec.decode(graft.functions.AvroCodec.encode(env(s, d))))
+      graft.functions.AvroCodec.decode(graft.functions.AvroCodec.encode(env(s, d)))),
+
+    "q_filter_ddl" -> ((s, d) => {
+      // DDL fixture: sparse version stream with a rotating statement mix
+      val ddl = graft.operators.SchemaAsOf.sampleVersions(env(s, d))
+        .withColumn("query", ddlFixtureQuery)
+      graft.operators.Filters
+        .ddlFilter(ddl, Seq("drop table", "truncate table"), Seq("^CREATE INDEX"))
+        .withColumn("ddl_class", graft.operators.Filters.ddlClass(col("query")))
+    }),
+
+    "q_dedup_embedding" -> ((s, d) => {
+      // embedding-cosine near-dup: same LSH machinery as ANN, higher bar
+      val emb = Tables.embeddings(s, d)
+      val planes = emb.filter(col("vec_id") < 4)
+        .select(col("vec_id").as("plane_id"), col("embedding"))
+      graft.operators.Similarity.lshNeighbors(emb, planes, 0.8)
+    })
   )
+
+  /** Rotating DDL statement fixture (shared with the oracle below).
+    * Selector uses the µs digit of the version ts (commit ts is
+    * µs-truncated ns, so `ts % 5` alone would always be 0). */
+  private def ddlSel =
+    (pmod(col("version_ts"), lit(5000L)) / lit(1000L)).cast("long")
+  private def ddlFixtureQuery =
+    when(ddlSel === 0, concat(lit("CREATE TABLE "), col("_table")))
+      .when(ddlSel === 1, concat(lit("ALTER TABLE "), col("_table"), lit(" ADD COLUMN c INT")))
+      .when(ddlSel === 2, concat(lit("DROP TABLE "), col("_table")))
+      .when(ddlSel === 3, concat(lit("TRUNCATE TABLE "), col("_table")))
+      .otherwise(concat(lit("CREATE INDEX idx ON "), col("_table")))
 
   private def q(body: String): String = EnvelopeSql.query(body)
 
@@ -181,6 +210,41 @@ object ExtQueries {
         |FROM env WHERE _row_id % 97 = 0""".stripMargin),
 
     "q_roundtrip_avro" -> q("SELECT * FROM env"),
+
+    "q_filter_ddl" -> q(
+      """, ddl AS (
+        |  SELECT _schema, _table, _commit_ts AS version_ts,
+        |    CASE (_commit_ts % 5000) // 1000
+        |      WHEN 0 THEN 'CREATE TABLE ' || _table
+        |      WHEN 1 THEN 'ALTER TABLE ' || _table || ' ADD COLUMN c INT'
+        |      WHEN 2 THEN 'DROP TABLE ' || _table
+        |      WHEN 3 THEN 'TRUNCATE TABLE ' || _table
+        |      ELSE 'CREATE INDEX idx ON ' || _table END AS query
+        |  FROM env WHERE _row_id % 97 = 0
+        |)
+        |SELECT *,
+        |  CASE (version_ts % 5000) // 1000
+        |    WHEN 0 THEN 'create table' ELSE 'add column' END AS ddl_class
+        |FROM ddl
+        |WHERE (version_ts % 5000) // 1000 IN (0, 1)""".stripMargin),
+
+    "q_dedup_embedding" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |p AS (SELECT vec_id AS plane_id, emb AS pe FROM e WHERE vec_id < 4),
+         |b AS (
+         |  SELECT e.vec_id,
+         |    CAST(SUM(CASE WHEN list_dot_product(e.emb, p.pe) > 0
+         |      THEN (1 << plane_id) ELSE 0 END) AS BIGINT) AS bucket
+         |  FROM e CROSS JOIN p GROUP BY 1
+         |), wb AS (
+         |  SELECT e.vec_id, e.emb, b.bucket FROM e JOIN b USING (vec_id)
+         |)
+         |SELECT a.vec_id AS vec_a, b2.vec_id AS vec_b, a.bucket,
+         |  round(list_dot_product(a.emb, b2.emb) /
+         |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b2.emb, b2.emb))), 6) AS cos_sim
+         |FROM wb a JOIN wb b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
+         |WHERE round(list_dot_product(a.emb, b2.emb) /
+         |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b2.emb, b2.emb))), 6) >= 0.8""".stripMargin,
 
     "q_materialize" -> q(
       """SELECT _schema, _table,

@@ -110,6 +110,43 @@ object Filters {
     env.filter(!(col("_op") === "U" && unchangedOutsideIgnorable))
   }
 
+  /** DDL event classification (binlog-filter taxonomy,
+    * pkg/binlog-filter/filter.go:41-86): statement text → DDL class.
+    * Prefix matching on the normalized query — the classes the
+    * reference's event filter accepts in `ignore-event`. */
+  def ddlClass(query: Column): Column = {
+    val q = lower(trim(query))
+    when(q.startsWith("create table"), "create table")
+      .when(q.startsWith("drop table"), "drop table")
+      .when(q.startsWith("truncate table") || q.startsWith("truncate "), "truncate table")
+      .when(q.startsWith("rename table"), "rename table")
+      .when(q.startsWith("create index") || q.startsWith("create unique index"), "create index")
+      .when(q.startsWith("drop index"), "drop index")
+      .when(q.startsWith("create database") || q.startsWith("create schema"), "create database")
+      .when(q.startsWith("drop database") || q.startsWith("drop schema"), "drop database")
+      .when(q.contains("add column"), "add column")
+      .when(q.contains("drop column"), "drop column")
+      .when(q.startsWith("alter table"), "alter table")
+      .when(q.startsWith("create view"), "create view")
+      .when(q.startsWith("drop view"), "drop view")
+      .otherwise("other ddl")
+  }
+
+  /** DDL filter: drop by class (`ignore-event`,
+    * sql_event_filter.go:44-110) and/or by query-text regex
+    * (`ignore-sql`, sql_event_filter.go:72-76). Frame must carry a
+    * `query` column. */
+  def ddlFilter(ddl: DataFrame, ignoreClasses: Seq[String],
+                ignoreSqlRegexps: Seq[String]): DataFrame = {
+    val byClass =
+      if (ignoreClasses.isEmpty) lit(false)
+      else ddlClass(col("query")).isin(ignoreClasses: _*)
+    val byRegex = ignoreSqlRegexps
+      .map(p => regexp_like(col("query"), lit(p)))
+      .foldLeft(lit(false))(_ || _)
+    ddl.filter(!(byClass || byRegex))
+  }
+
   /** System-schema / eligibility filter (filter.go:33-44,73-74):
     * always-deny schemas, plus ineligible tables (no handle key)
     * unless forceReplicate. */

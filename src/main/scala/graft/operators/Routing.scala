@@ -57,6 +57,24 @@ object Routing {
   def repartitionByAssignment(env: DataFrame, numPartitions: Int): DataFrame =
     env.repartition(numPartitions, col("_partition"))
 
+  /** Salted repartition for hot keys — the span-split answer to the
+    * reference's write-bytes splitter (maintainer/split/splitter.go:
+    * 41-65): keys listed in `hotKeys` fan out over `saltFactor`
+    * sub-partitions (per-key ordering is intentionally given up for
+    * those keys, exactly like a split table span), everything else
+    * keeps one partition per key. AQE handles moderate skew on its
+    * own; this is for pathological single-key hotspots. */
+  def saltedRepartition(env: DataFrame, keyCols: Seq[String], hotKeys: Seq[String],
+                        numPartitions: Int, saltFactor: Int): DataFrame = {
+    val keyStr = concat_ws("|", keyCols.map(col): _*)
+    val salt = when(keyStr.isin(hotKeys: _*),
+      pmod(stableHash(Seq(col("_row_id"))), lit(saltFactor.toLong)))
+      .otherwise(lit(0L))
+    env
+      .withColumn("_salt", salt)
+      .repartition(numPartitions, keyStr, col("_salt"))
+  }
+
   /** Topic template `[prefix]{schema}[middle][{table}][suffix]`
     * (topic/expression.go:58-110), with the kafka-legal charset rule:
     * illegal chars collapse to '_'. */

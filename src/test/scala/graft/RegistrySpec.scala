@@ -51,6 +51,20 @@ class RegistrySpec extends SparkFunSuite {
     assert(out.filter(col("_partition") < 0 || col("_partition") >= 8).count() == 0)
   }
 
+  test("salted repartition fans hot keys across sub-partitions") {
+    val env = graft.model.Envelope.fromEvents(
+      Tables.events(spark, "/root/testdata/sf0.001"))
+    val salted = Routing.saltedRepartition(env, Seq("_table"),
+      hotKeys = Seq("events_0"), numPartitions = 8, saltFactor = 4)
+    import org.apache.spark.sql.functions.spark_partition_id
+    val hotSpread = salted.filter(col("_table") === "events_0")
+      .select(spark_partition_id()).distinct().count()
+    val coldSpread = salted.filter(col("_table") === "events_1")
+      .select(spark_partition_id()).distinct().count()
+    assert(hotSpread > 1, "hot key spans multiple partitions")
+    assert(coldSpread == 1, "cold keys keep per-key locality")
+  }
+
   test("per-table expression filter rules scope to their matcher") {
     val env = graft.model.Envelope.fromEvents(
       Tables.events(spark, "/root/testdata/sf0.001"))
