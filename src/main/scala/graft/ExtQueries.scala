@@ -110,6 +110,15 @@ object ExtQueries {
       val planes = emb.filter(col("vec_id") < 4)
         .select(col("vec_id").as("plane_id"), col("embedding"))
       graft.operators.Similarity.lshNeighbors(emb, planes, 0.8)
+    }),
+
+    "q_ann_ivf" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      // coarse quantizer: 8 deterministic sample vectors as centroids
+      val centroids = emb
+        .filter(pmod(col("vec_id"), lit(61L)) === 0 && col("vec_id") < 61L * 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      graft.operators.Similarity.ivfTopK(emb, centroids, numQueries = 5, k = 10)
     })
   )
 
@@ -245,6 +254,31 @@ object ExtQueries {
          |FROM wb a JOIN wb b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
          |WHERE round(list_dot_product(a.emb, b2.emb) /
          |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b2.emb, b2.emb))), 6) >= 0.8""".stripMargin,
+
+    "q_ann_ivf" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+        |      WHERE vec_id % 61 = 0 AND vec_id < 488),
+        |cells AS (
+        |  SELECT e.vec_id, arg_max(c.centroid_id, list_dot_product(e.emb, c.c_emb)) AS cell
+        |  FROM e CROSS JOIN c GROUP BY e.vec_id
+        |), wc AS (
+        |  SELECT e.vec_id, e.emb, cells.cell,
+        |    sqrt(list_dot_product(e.emb, e.emb)) AS n
+        |  FROM e JOIN cells USING (vec_id)
+        |), q AS (
+        |  SELECT vec_id AS query_id, emb AS q_emb, cell AS q_cell, n AS qn
+        |  FROM wc WHERE vec_id < 5
+        |), scored AS (
+        |  SELECT q.query_id, wc.vec_id,
+        |    list_dot_product(q.q_emb, wc.emb) / (q.qn * wc.n) AS cos
+        |  FROM wc JOIN q ON wc.cell = q.q_cell AND wc.vec_id <> q.query_id
+        |)
+        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim FROM (
+        |  SELECT query_id, vec_id AS neighbor_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
 
     "q_materialize" -> q(
       """SELECT _schema, _table,

@@ -61,6 +61,43 @@ object Similarity {
       .agg(sum(col("__bit")).as("bucket"))
   }
 
+  /** IVF cell assignment: nearest centroid by dot product (centroids
+    * are a broadcast-sized DataFrame (centroid_id, embedding) — in
+    * production the k-means output; any deterministic sample works as
+    * a coarse quantizer). */
+  def ivfAssign(emb: DataFrame, centroids: DataFrame): DataFrame = {
+    val c = centroids.select(col("centroid_id"), col("embedding").as("c_emb"))
+    emb.crossJoin(broadcast(c))
+      .withColumn("__d", dot(col("embedding"), col("c_emb")))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(col("__d").as("d"), col("centroid_id").as("cid"))).as("__m"))
+      .select(col("vec_id"), col("__m.cid").as("cell"))
+  }
+
+  /** IVF top-k search: probe only the query's cell (nprobe=1) — the
+    * candidate set shrinks by ~|centroids| vs brute force; recall
+    * trades off exactly like the reference's vector-index pattern. */
+  def ivfTopK(emb: DataFrame, centroids: DataFrame, numQueries: Int, k: Int): DataFrame = {
+    val cells = ivfAssign(emb, centroids)
+    val withCell = emb.join(cells, "vec_id")
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        norm(col("embedding")).as("__n"))
+    val queries = withCell.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+        col("cell").as("q_cell"), col("__n").as("__qn"))
+    val scored = withCell.join(broadcast(queries),
+        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("q_emb"), col("embedding")) / (col("__qn") * col("__n")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Bucketed near-neighbor pairs: same LSH bucket + cosine above
     * threshold. The join key is the bucket — candidate pairs shrink by
     * ~2^planes vs the cross join; norms are computed once per vector

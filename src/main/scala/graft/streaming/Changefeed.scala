@@ -22,9 +22,9 @@ import graft.functions.Codecs
   */
 object Changefeed {
 
-  /** The filter/transform/route/encode pipeline for one changefeed,
-    * applied to an envelope frame. */
-  def pipeline(spark: SparkSession, cfg: ChangefeedConfig)(env: DataFrame): DataFrame = {
+  /** Filter/transform/route stages (everything before wire encoding) —
+    * the shape consumed by row-level sinks (MySQL). */
+  def transform(spark: SparkSession, cfg: ChangefeedConfig)(env: DataFrame): DataFrame = {
     val f = cfg.filter
     var df = env
     df = Filters.systemSchemaFilter(df)
@@ -47,13 +47,42 @@ object Changefeed {
       df = Transforms.updatedColumnsOnly(df, cfg.handleKeys)
     if (cfg.sink.deleteOnlyOutputHandleKey)
       df = Transforms.deleteHandleKeyOnly(df, cfg.handleKeys)
-    df = Routing.dispatch(df, cfg.sink.dispatch, cfg.sink.numPartitions)
+    Routing.dispatch(df, cfg.sink.dispatch, cfg.sink.numPartitions)
+  }
+
+  /** The full filter/transform/route/encode pipeline for one
+    * changefeed (MQ/storage sinks consume the encoded `_value`). */
+  def pipeline(spark: SparkSession, cfg: ChangefeedConfig)(env: DataFrame): DataFrame = {
+    val df = transform(spark, cfg)(env)
     cfg.sink.protocol match {
       case Protocol.CanalJson => Codecs.canalJson(df)
       case Protocol.Open      => Codecs.openProtocol(df)
       case Protocol.Debezium  => Codecs.debeziumJson(df)
       case Protocol.Csv       => Codecs.csvLine(df)
     }
+  }
+
+  /** MySQL-path changefeed: foreachBatch applies each micro-batch's
+    * rows as ordered SQL statements through the conflict-key
+    * partitioned writer (SURVEY §2.8 — the reference's
+    * mysql sink.AddDMLEvent/Flush cycle). `execute` receives each
+    * worker-partition's statement stream, in per-key commit order; in
+    * production it opens a JDBC txn, here it is pluggable. */
+  def runMysql(spark: SparkSession, cfg: ChangefeedConfig, sourceDir: String,
+               checkpointDir: String)(execute: Iterator[String] => Unit): StreamingQuery = {
+    GraftSession.tune(spark)
+    val schema = spark.read.parquet(sourceDir).schema
+    val source = spark.readStream.schema(schema).parquet(sourceDir)
+    val env = Envelope.fromEvents(source)
+    transform(spark, cfg)(env)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.sinks.MysqlSink.applyBatch(batch, cfg.handleKeys,
+          cfg.sink.numPartitions, cfg.sink.safeMode)(execute)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
   }
 
   /** Run a changefeed over a parquet change-log directory as a

@@ -58,4 +58,32 @@ class ChangefeedSpec extends SparkFunSuite {
     val prog = Changefeed.progress(spark, sinkDir)
     assert(prog.agg(sum("n_events")).head().getLong(0) == n1)
   }
+
+  test("mysql-path changefeed applies ordered statements via foreachBatch") {
+    val tmp = Files.createTempDirectory("graft-cfm").toString
+    val src = s"$tmp/source"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    val stmtDir = s"$tmp/stmts"
+    Files.createDirectories(java.nio.file.Paths.get(stmtDir))
+    val mysqlCfg = ChangefeedConfig(id = "cf-mysql",
+      sink = SinkConfig(safeMode = true, numPartitions = 4),
+      splitUpdateOnKeyChange = false)
+    // executor-side statement collector: one file per worker partition
+    val q = Changefeed.runMysql(spark, mysqlCfg, src, s"$tmp/ckpt") { it =>
+      val f = java.nio.file.Paths.get(stmtDir,
+        java.util.UUID.randomUUID().toString + ".sql")
+      java.nio.file.Files.write(f,
+        it.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+    q.awaitTermination(120000)
+    val stmts = new java.io.File(stmtDir).listFiles().toSeq
+      .flatMap(f => scala.io.Source.fromFile(f).getLines())
+      .filter(_.nonEmpty)
+    assert(stmts.size == 1000, s"one statement per change row, got ${stmts.size}")
+    assert(stmts.count(_.startsWith("REPLACE INTO")) > 0)
+    assert(stmts.count(_.startsWith("DELETE FROM")) > 0)
+  }
 }
