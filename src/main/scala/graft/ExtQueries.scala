@@ -112,6 +112,16 @@ object ExtQueries {
       graft.operators.Similarity.lshNeighbors(emb, planes, 0.8)
     }),
 
+    "q_multimodal_frames" -> ((s, d) =>
+      graft.operators.Multimodal.frameSamplePlan(
+        graft.operators.Multimodal.blobMeta(
+          graft.operators.Multimodal.withBlob(Tables.documents(s, d))))),
+
+    "q_multimodal_resize" -> ((s, d) =>
+      graft.operators.Multimodal.resizePlan(
+        graft.operators.Multimodal.blobMeta(
+          graft.operators.Multimodal.withBlob(Tables.documents(s, d))))),
+
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       // coarse quantizer: 8 deterministic sample vectors as centroids
@@ -254,6 +264,26 @@ object ExtQueries {
          |FROM wb a JOIN wb b2 ON a.bucket = b2.bucket AND a.vec_id < b2.vec_id
          |WHERE round(list_dot_product(a.emb, b2.emb) /
          |    (sqrt(list_dot_product(a.emb, a.emb)) * sqrt(list_dot_product(b2.emb, b2.emb))), 6) >= 0.8""".stripMargin,
+
+    "q_multimodal_frames" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
+        |  FROM documents)
+        |SELECT doc_id, n_frames,
+        |  generate_series(0, n_frames - 1, greatest(1, n_frames // 4)) AS frame_indices
+        |FROM meta""".stripMargin,
+
+    "q_multimodal_resize" ->
+      """WITH meta AS (
+        |  SELECT doc_id,
+        |    CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
+        |    CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS height
+        |  FROM documents)
+        |SELECT doc_id, width, height,
+        |  CASE WHEN width <= 64 THEN width ELSE 64 END AS out_width,
+        |  CASE WHEN width <= 64 THEN height ELSE (height * 64) // width END AS out_height
+        |FROM meta""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -58,6 +58,49 @@ object Multimodal {
       }(enc)
   }
 
+  /** Frame sampling plan (expression-only): evenly-spaced frame
+    * indices over the fake-decoded frame count, ≤4 samples per doc —
+    * the index plan a video pipeline hands to the decoder. */
+  def frameSamplePlan(meta: DataFrame, maxSamples: Int = 4): DataFrame = {
+    val step = greatest(lit(1L),
+      (col("n_frames") - pmod(col("n_frames"), lit(maxSamples.toLong))) / lit(maxSamples.toLong))
+      .cast("long")
+    meta.select(col("doc_id"), col("n_frames"),
+      sequence(lit(0L), col("n_frames") - 1, step).as("frame_indices"))
+  }
+
+  /** Resize plan (expression-only): scale fake dims to fit a bounding
+    * box preserving aspect via integer arithmetic (floor), the
+    * batch-shape computation a real resize kernel consumes. */
+  def resizePlan(meta: DataFrame, maxDim: Int = 64): DataFrame =
+    meta.select(col("doc_id"), col("width"), col("height"),
+      when(col("width") <= maxDim, col("width"))
+        .otherwise(lit(maxDim)).cast("long").as("out_width"),
+      when(col("width") <= maxDim, col("height"))
+        .otherwise((col("height") * maxDim - pmod(col("height") * maxDim, col("width"))) / col("width"))
+        .cast("long").as("out_height"))
+
+  /** STUB feature extraction over byte batches (mapPartitions, one
+    * "model" per partition): 4 deterministic long-valued features per
+    * blob — stands in for an embedding/classifier forward pass. */
+  def featureExtractBatch(docsWithBlob: DataFrame): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("features", ArrayType(LongType))))
+    val enc = org.apache.spark.sql.Encoders.row(schema)
+    docsWithBlob.select(col("doc_id"), col("blob"))
+      .mapPartitions { it =>
+        // per-partition model init would go here
+        it.map { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val feats = Array.tabulate(4) { j =>
+            bytes.indices.filter(_ % 4 == j).map(i => bytes(i).toLong & 0xff).sum
+          }
+          Row(r.getLong(0), feats.toSeq)
+        }
+      }(enc)
+  }
+
   /** Expression-only metadata path (no decode needed): byte length +
     * magic prefix — engine-portable, used by the oracle-checked query.
     */

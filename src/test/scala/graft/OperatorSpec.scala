@@ -182,4 +182,14 @@ class OperatorSpec extends SparkFunSuite {
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2))).toSet
     assert(batch == Set((1L, 11, 11), (2L, 3, 3)))
   }
+
+  test("multimodal feature extraction is deterministic per blob") {
+    import spark.implicits._
+    val docs = Seq((1L, "abcd"), (2L, "abcd"), (3L, "zzzz")).toDF("doc_id", "text")
+    val feats = Multimodal.featureExtractBatch(Multimodal.withBlob(docs))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(feats(1L) == feats(2L))
+    assert(feats(1L) != feats(3L))
+    assert(feats(1L) == Seq(97L, 98L, 99L, 100L)) // 'a','b','c','d' byte values
+  }
 }
