@@ -115,12 +115,16 @@ object ExtQueries {
     "q_multimodal_frames" -> ((s, d) =>
       graft.operators.Multimodal.frameSamplePlan(
         graft.operators.Multimodal.blobMeta(
-          graft.operators.Multimodal.withBlob(Tables.documents(s, d))))),
+          graft.operators.Multimodal.withBlob(Tables.documents(s, d))))
+        .drop("frame_indices")),
 
     "q_multimodal_resize" -> ((s, d) =>
       graft.operators.Multimodal.resizePlan(
         graft.operators.Multimodal.blobMeta(
           graft.operators.Multimodal.withBlob(Tables.documents(s, d))))),
+
+    "q_sessionize" -> ((s, d) =>
+      graft.operators.Sessionize.sessions(Tables.events(s, d), sessionGapNs)),
 
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -131,6 +135,8 @@ object ExtQueries {
       graft.operators.Similarity.ivfTopK(emb, centroids, numQueries = 5, k = 10)
     })
   )
+
+  val sessionGapNs: Long = 30L * 60 * 1000 * 1000 * 1000 // 30 min
 
   /** Rotating DDL statement fixture (shared with the oracle below).
     * Selector uses the µs digit of the version ts (commit ts is
@@ -271,7 +277,7 @@ object ExtQueries {
         |    CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
         |  FROM documents)
         |SELECT doc_id, n_frames,
-        |  generate_series(0, n_frames - 1, greatest(1, n_frames // 4)) AS frame_indices
+        |  array_to_string(generate_series(0, n_frames - 1, greatest(1, n_frames // 4)), ',') AS frame_plan
         |FROM meta""".stripMargin,
 
     "q_multimodal_resize" ->
@@ -284,6 +290,8 @@ object ExtQueries {
         |  CASE WHEN width <= 64 THEN width ELSE 64 END AS out_width,
         |  CASE WHEN width <= 64 THEN height ELSE (height * 64) // width END AS out_height
         |FROM meta""".stripMargin,
+
+    "q_sessionize" -> graft.operators.Sessionize.oracleSql(sessionGapNs),
 
     "q_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -66,7 +66,9 @@ object Multimodal {
       (col("n_frames") - pmod(col("n_frames"), lit(maxSamples.toLong))) / lit(maxSamples.toLong))
       .cast("long")
     meta.select(col("doc_id"), col("n_frames"),
-      sequence(lit(0L), col("n_frames") - 1, step).as("frame_indices"))
+      sequence(lit(0L), col("n_frames") - 1, step).as("frame_indices"),
+      // canonical string rendering (engine-portable join for the oracle)
+      concat_ws(",", sequence(lit(0L), col("n_frames") - 1, step)).as("frame_plan"))
   }
 
   /** Resize plan (expression-only): scale fake dims to fit a bounding

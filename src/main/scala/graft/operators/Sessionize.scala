@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Gap-based sessionization over the events stream — the
+  * session-window analytic a training-data pipeline runs over user
+  * activity logs (Structured Streaming's `session_window` is the
+  * streaming twin; this is the deterministic batch form used by the
+  * oracle gate).
+  *
+  * A new session starts when the gap to the previous event of the
+  * same user exceeds `gapNs`. Single shuffle on user, two window
+  * passes over the same partitioning (Catalyst reuses the exchange).
+  */
+object Sessionize {
+
+  def sessions(events: DataFrame, gapNs: Long): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts_ns"), col("event_id"))
+    // µs-truncate (oracle engines read parquet ns at µs precision)
+    val withTs = events.select(
+      col("event_id"), col("user_id"),
+      (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L))).as("ts_ns"),
+      col("value"))
+    val marked = withTs
+      .withColumn("__prev", lag(col("ts_ns"), 1).over(byUser))
+      .withColumn("__new_session",
+        when(col("__prev").isNull || col("ts_ns") - col("__prev") > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("__new_session")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    marked
+      .groupBy(col("user_id"), col("session_seq"))
+      .agg(
+        min(col("ts_ns")).as("session_start"),
+        max(col("ts_ns")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
+  }
+
+  /** DuckDB mirror (same two-pass window + group). */
+  def oracleSql(gapNs: Long): String =
+    s"""WITH e AS (
+       |  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, value FROM events
+       |), marked AS (
+       |  SELECT *,
+       |    CASE WHEN lag(ts_ns) OVER w IS NULL
+       |              OR ts_ns - lag(ts_ns) OVER w > $gapNs
+       |         THEN 1 ELSE 0 END AS new_session
+       |  FROM e
+       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id)
+       |), numbered AS (
+       |  SELECT *,
+       |    CAST(SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
+       |  FROM marked
+       |)
+       |SELECT user_id, session_seq,
+       |  MIN(ts_ns) AS session_start,
+       |  MAX(ts_ns) AS session_end,
+       |  COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value
+       |FROM numbered GROUP BY 1, 2""".stripMargin
+}
