@@ -4,7 +4,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, SupportsTriggerAvailableNow}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
 import org.apache.spark.unsafe.types.UTF8String
@@ -98,27 +98,38 @@ case class RowOffset(index: Long) extends Offset {
 }
 
 class ChangelogGenStream(tables: Int, rowsPerBatch: Long, totalRows: Long,
-                         numPartitions: Int) extends MicroBatchStream {
+                         numPartitions: Int)
+    extends MicroBatchStream with SupportsTriggerAvailableNow {
+
   override def initialOffset(): Offset = RowOffset(0L)
-  override def latestOffset(): Offset = RowOffset(totalRows)
   override def deserializeOffset(json: String): Offset = RowOffset(json.toLong)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 
+  // scan-window batch sizing (SURVEY §2.3 adaptive scan window): each
+  // trigger admits at most rowsPerBatch rows past the last committed
+  // offset — the admission-control API, so AvailableNow still drains
+  // to the prepared end across multiple batches.
+  override def getDefaultReadLimit: ReadLimit = ReadLimit.maxRows(rowsPerBatch)
+  override def prepareForTriggerAvailableNow(): Unit = ()
+  override def reportLatestOffset(): Offset = RowOffset(totalRows)
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    val lo = start.asInstanceOf[RowOffset].index
+    RowOffset(math.min(totalRows, lo + rowsPerBatch))
+  }
+  override def latestOffset(): Offset =
+    throw new UnsupportedOperationException(
+      "admission-controlled source: use latestOffset(start, limit)")
+
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val lo = start.asInstanceOf[RowOffset].index
-    val hi = math.min(end.asInstanceOf[RowOffset].index, lo + rowsPerBatchCap(lo))
+    val hi = end.asInstanceOf[RowOffset].index
     val n = math.max(1, numPartitions)
     val step = math.max(1L, (hi - lo + n - 1) / n)
     (lo until hi by step).map { s =>
       ChangelogRange(s, math.min(s + step, hi), tables): InputPartition
     }.toArray
   }
-
-  /** AvailableNow planning hands the full remaining range to one
-    * batch; cap it so batch sizing (scan-window behavior, SURVEY
-    * §2.3) still applies. */
-  private def rowsPerBatchCap(lo: Long): Long = totalRows - lo
 
   override def createReaderFactory(): PartitionReaderFactory =
     (partition: InputPartition) => {

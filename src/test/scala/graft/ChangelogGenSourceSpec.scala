@@ -27,6 +27,9 @@ class ChangelogGenSourceSpec extends SparkFunSuite {
     val out = spark.read.parquet(s"$tmp/out")
     assert(out.count() == 5000)
     assert(out.select("_row_id").distinct().count() == 5000)
+    // rowsPerBatch=1000 over 5000 rows => multiple micro-batches
+    assert(q.recentProgress.count(_.numInputRows > 0) >= 3,
+      "scan-window batch sizing produces multiple micro-batches")
     // all 8 tables represented; ops are I/U/D
     assert(out.select("_table").distinct().count() == 8)
     assert(out.select("_op").distinct().collect().map(_.getString(0)).toSet
