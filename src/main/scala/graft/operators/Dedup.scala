@@ -130,18 +130,23 @@ object Dedup {
     * both at sf0.1: token join wins even on this degenerate small
     * vocabulary.) */
   def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double): DataFrame = {
-    // set size rides along on every token row, so the pair aggregation
-    // needs no join back to a sizes table (two shuffle joins saved)
+    // NOTE: keep the token join narrow (doc ids only) and join the
+    // tiny per-doc sizes table back afterwards — carrying the sizes
+    // through the wide token join measured ~10x slower at sf0.1 (the
+    // wider shuffle rows push the pair aggregation off the fast path)
     val toks = docs.select(col("doc_id"), col(blockCol).as("__blk"),
-      size(array_distinct(split(col("text"), " "))).cast("long").as("nd"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
-    toks.as("a").join(toks.as("b"),
+    val sizes = docs.select(col("doc_id"),
+      size(array_distinct(split(col("text"), " "))).cast("long").as("nd"))
+    val inter = toks.as("a").join(toks.as("b"),
         col("a.__blk") === col("b.__blk") &&
           col("a.tok") === col("b.tok") &&
           col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_inter"),
-        max(col("a.nd")).as("nd_a"), max(col("b.nd")).as("nd_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nd", "nd_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nd", "nd_b"), "doc_b")
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("nd_a") + col("nd_b") - col("n_inter")).cast("double"))
