@@ -46,6 +46,18 @@ object ExtQueries {
     "q_roundtrip_csv" -> ((s, d) =>
       Decoders.decodeCsv(Codecs.csvLine(env(s, d)))),
 
+    "q_roundtrip_simple" -> ((s, d) => {
+      val decoded = Decoders.decodeSimple(Codecs.simpleProtocol(env(s, d)))
+      decoded.select(
+        col("_schema"), col("_table"), col("_commit_ts"), col("_op"),
+        col("before.user_id").as("before_user_id"),
+        col("before.value").as("before_value"),
+        col("before.k").as("before_k"),
+        col("after.user_id").as("after_user_id"),
+        col("after.value").as("after_value"),
+        col("after.k").as("after_k"))
+    }),
+
     "q_checksum" -> ((s, d) => {
       val sealed0 = Integrity.withChecksum(env(s, d))
       // bit-flip fixture: corrupt the in-flight payload of every
@@ -168,6 +180,12 @@ object ExtQueries {
          |FROM env""".stripMargin),
 
     "q_roundtrip_open" -> q(
+      s"""SELECT _schema, _table, _commit_ts, _op,
+         |  ${recovered("before")},
+         |  ${recovered("after")}
+         |FROM env""".stripMargin),
+
+    "q_roundtrip_simple" -> q(
       s"""SELECT _schema, _table, _commit_ts, _op,
          |  ${recovered("before")},
          |  ${recovered("after")}

@@ -103,6 +103,31 @@ object Decoders {
       j.getField("after").as("after"))
   }
 
+  private val simpleSchema = StructType(Seq(
+    StructField("version", IntegerType),
+    StructField("type", StringType),
+    StructField("commitTs", LongType),
+    StructField("buildTs", LongType),
+    StructField("schema", StringType),
+    StructField("table", StringType),
+    StructField("data", imageSchema),
+    StructField("old", imageSchema)))
+
+  /** Simple-protocol message → envelope frame (lossless commit-ts;
+    * reference simple/decoder.go:829). */
+  def decodeSimple(msgs: DataFrame, valueCol: String = "_value"): DataFrame = {
+    val j = from_json(col(valueCol), simpleSchema)
+    msgs.select(
+      j.getField("schema").as("_schema"),
+      j.getField("table").as("_table"),
+      j.getField("commitTs").as("_commit_ts"),
+      when(j.getField("type") === "INSERT", "I")
+        .when(j.getField("type") === "UPDATE", "U")
+        .otherwise("D").as("_op"),
+      j.getField("old").as("before"),
+      j.getField("data").as("after"))
+  }
+
   /** CSV line → envelope fields (meta cols op,schema,table,commitTs
     * then payload; quote stripping inverts Codecs.csvLine). */
   def decodeCsv(msgs: DataFrame, valueCol: String = "_value"): DataFrame = {

@@ -1,0 +1,23 @@
+package graft
+
+/** The driver contract: entry smoke + every query has a runnable
+  * plan and every oracle key maps to a declared query. */
+class EntrySpec extends SparkFunSuite {
+
+  test("entry returns rows on sf0.001") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("oracle keys are a subset of query keys") {
+    val qs = SparkEntry.queries.keySet
+    val orphans = SparkEntry.oracleSql.keySet.diff(qs)
+    assert(orphans.isEmpty, s"oracles without queries: $orphans")
+  }
+
+  test("every query builds an analyzable plan at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, "/root/testdata/sf0.001")
+      assert(df.schema.nonEmpty, s"$name has empty schema")
+    }
+  }
+}
