@@ -108,7 +108,11 @@ object ExtQueries {
       graft.functions.AvroCodec.decode(graft.functions.AvroCodec.encode(env(s, d)))),
 
     "q_filter_ddl" -> ((s, d) => {
-      // DDL fixture: sparse version stream with a rotating statement mix
+      // DDL fixture: sparse version stream with a rotating statement
+      // mix. Note: project-collapse inlines the synthesized `query`
+      // CASE into every classifier branch — the ~2s constant here is
+      // one-time codegen of that fixture tree, not operator cost
+      // (real DDL streams read `query` from storage).
       val ddl = graft.operators.SchemaAsOf.sampleVersions(env(s, d))
         .withColumn("query", ddlFixtureQuery)
       graft.operators.Filters
