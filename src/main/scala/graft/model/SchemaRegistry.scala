@@ -1,0 +1,84 @@
+package graft.model
+
+import scala.collection.immutable.TreeMap
+
+/** Multi-versioned schema store (SURVEY §1.4; reference
+  * logservice/schemastore: `GetTableInfo(tableID, ts)` returns the
+  * greatest version ≤ ts — schema_store.go:50-54, multi_version.go —
+  * fed by the DDL action handlers of
+  * persist_storage_ddl_handlers.go:121-400).
+  *
+  * Immutable value: applying a DDL returns a NEW registry, so a
+  * snapshot can be broadcast to executors per micro-batch while the
+  * driver folds further DDLs — the barrier semantics fall out of
+  * passing one snapshot per batch (see [[graft.streaming.DdlBarrier]]).
+  */
+final case class ColumnDef(name: String, dataType: String, default: Option[String] = None)
+
+final case class TableSchema(
+    schema: String, table: String, versionTs: Long, columns: Seq[ColumnDef]) {
+  def key: (String, String) = (schema, table)
+}
+
+/** DDL actions — the subset of the reference's 30+ handlers that
+  * changes row shape (persist_storage_ddl_handlers.go: CreateTable
+  * :139, AddColumn :157, DropColumn, TruncateTable :211, RenameTable
+  * :238, DropTable :148). */
+sealed trait DdlAction { def ts: Long }
+object DdlAction {
+  final case class CreateTable(schema: String, table: String,
+                               columns: Seq[ColumnDef], ts: Long) extends DdlAction
+  final case class AddColumn(schema: String, table: String,
+                             column: ColumnDef, ts: Long) extends DdlAction
+  final case class DropColumn(schema: String, table: String,
+                              name: String, ts: Long) extends DdlAction
+  final case class RenameTable(schema: String, table: String,
+                               newSchema: String, newTable: String, ts: Long) extends DdlAction
+  final case class TruncateTable(schema: String, table: String, ts: Long) extends DdlAction
+  final case class DropTable(schema: String, table: String, ts: Long) extends DdlAction
+}
+
+final case class SchemaRegistry(
+    versions: Map[(String, String), TreeMap[Long, TableSchema]] = Map.empty) {
+  import DdlAction._
+
+  private def put(ts: TableSchema): SchemaRegistry = {
+    val tm = versions.getOrElse(ts.key, TreeMap.empty[Long, TableSchema])
+    copy(versions = versions.updated(ts.key, tm.updated(ts.versionTs, ts)))
+  }
+
+  /** Greatest version ≤ ts, or None (table unknown at that time). */
+  def asOf(schema: String, table: String, ts: Long): Option[TableSchema] =
+    versions.get((schema, table)).flatMap(_.rangeTo(ts).lastOption.map(_._2))
+
+  def latest(schema: String, table: String): Option[TableSchema] =
+    versions.get((schema, table)).flatMap(_.lastOption.map(_._2))
+
+  /** Apply one DDL — returns the evolved registry (pure). Unknown
+    * tables are created implicitly by AddColumn-class DDLs only via
+    * CreateTable, matching the reference's strictness. */
+  def apply(ddl: DdlAction): SchemaRegistry = ddl match {
+    case CreateTable(s, t, cols, ts) => put(TableSchema(s, t, ts, cols))
+    case AddColumn(s, t, c, ts) =>
+      latest(s, t).map(cur => put(cur.copy(versionTs = ts, columns = cur.columns :+ c)))
+        .getOrElse(this)
+    case DropColumn(s, t, n, ts) =>
+      latest(s, t).map(cur =>
+        put(cur.copy(versionTs = ts, columns = cur.columns.filterNot(_.name == n))))
+        .getOrElse(this)
+    case RenameTable(s, t, ns, nt, ts) =>
+      latest(s, t).map { cur =>
+        // new identity continues the version chain under the new key;
+        // the old chain stays queryable for as-of reads below ts
+        // (reference keeps physical-id continuity, row_change.go:29-38)
+        put(cur.copy(schema = ns, table = nt, versionTs = ts))
+      }.getOrElse(this)
+    case TruncateTable(s, t, ts) =>
+      latest(s, t).map(cur => put(cur.copy(versionTs = ts))).getOrElse(this)
+    case DropTable(s, t, _) =>
+      copy(versions = versions - ((s, t)))
+  }
+
+  def applyAll(ddls: Seq[DdlAction]): SchemaRegistry =
+    ddls.sortBy(_.ts).foldLeft(this)(_.apply(_))
+}

@@ -1,0 +1,68 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.model._
+import graft.model.DdlAction._
+import graft.streaming.DdlBarrier
+
+class SchemaRegistrySpec extends SparkFunSuite {
+
+  private val t0 = 1000L
+
+  test("as-of lookup returns greatest version <= ts across evolutions") {
+    val reg = SchemaRegistry().applyAll(Seq(
+      CreateTable("app", "t", Seq(ColumnDef("id", "bigint"), ColumnDef("v", "double")), t0),
+      AddColumn("app", "t", ColumnDef("k", "bigint", Some("0")), t0 + 100),
+      DropColumn("app", "t", "v", t0 + 200)))
+    assert(reg.asOf("app", "t", t0 - 1).isEmpty, "before create -> unknown")
+    assert(reg.asOf("app", "t", t0).get.columns.map(_.name) == Seq("id", "v"))
+    assert(reg.asOf("app", "t", t0 + 150).get.columns.map(_.name) == Seq("id", "v", "k"))
+    assert(reg.asOf("app", "t", t0 + 999).get.columns.map(_.name) == Seq("id", "k"))
+  }
+
+  test("rename keeps old identity queryable and continues under new key") {
+    val reg = SchemaRegistry().applyAll(Seq(
+      CreateTable("app", "old", Seq(ColumnDef("id", "bigint")), t0),
+      RenameTable("app", "old", "app", "new", t0 + 10)))
+    assert(reg.asOf("app", "old", t0 + 5).isDefined)
+    assert(reg.latest("app", "new").get.versionTs == t0 + 10)
+  }
+
+  test("drop removes the table; ddl on unknown tables is a no-op") {
+    val reg = SchemaRegistry().applyAll(Seq(
+      CreateTable("app", "t", Seq(ColumnDef("id", "bigint")), t0),
+      DropTable("app", "t", t0 + 1),
+      AddColumn("app", "ghost", ColumnDef("x", "int"), t0 + 2)))
+    assert(reg.asOf("app", "t", t0 + 99).isEmpty)
+    assert(reg.latest("app", "ghost").isEmpty)
+  }
+
+  test("barrier plan splits DML at DDL commit-ts with evolving snapshots") {
+    val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    val tsCuts = env.select("_commit_ts").orderBy("_commit_ts")
+      .collect().map(_.getLong(0))
+    val (cut1, cut2) = (tsCuts(300), tsCuts(700))
+    val baseCols = Seq(ColumnDef("user_id", "bigint"), ColumnDef("value", "double"))
+    val initial = SchemaRegistry().applyAll(
+      (0 until 4).map(i => CreateTable("app", s"events_$i", baseCols, 0L)))
+    val ddls = Seq[DdlAction](
+      AddColumn("app", "events_0", ColumnDef("k", "bigint"), cut1),
+      DropTable("app", "events_1", cut2))
+    val steps = DdlBarrier.plan(env, ddls, initial)
+    assert(steps.length == 3)
+    // batches tile the stream exactly
+    assert(steps.map(_.batch.count()).sum == env.count())
+    assert(steps(0).batch.agg(max("_commit_ts")).head().getLong(0) < cut1)
+    // registry evolves per step
+    assert(steps(0).registry.latest("app", "events_0").get.columns.size == 2)
+    assert(steps(1).registry.latest("app", "events_0").get.columns.size == 3)
+    assert(steps(1).registry.latest("app", "events_1").isDefined)
+    assert(steps(2).registry.latest("app", "events_1").isEmpty)
+    // conform: k is null before its AddColumn, populated after
+    val before = DdlBarrier.conform(steps(0), Seq("user_id", "value", "k"))
+    assert(before.filter(col("k").isNotNull).count() == 0)
+    val after = DdlBarrier.conform(steps(1), Seq("user_id", "value", "k"))
+    assert(after.filter(col("_table") === "events_0" &&
+      col("_op") =!= "D" && col("k").isNotNull).count() > 0)
+  }
+}
