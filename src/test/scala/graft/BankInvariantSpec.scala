@@ -58,6 +58,15 @@ class BankInvariantSpec extends SparkFunSuite {
     }
   }
 
+  test("replaying the log is idempotent (safe-mode REPLACE semantics)") {
+    val log = changeLog()
+    val once = Materialize.tableState(log)
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    val twice = Materialize.tableState(log.unionByName(log))
+      .orderBy("user_id").collect().map(_.toString).toSeq
+    assert(once == twice, "at-least-once delivery + LWW apply = same state")
+  }
+
   test("per-account sequence is monotone in applied order") {
     val log = changeLog()
     import org.apache.spark.sql.expressions.Window
