@@ -23,6 +23,7 @@ object SparkEntry {
     "q3_shipping" -> ((s, dir) => Tpch.q3(s, dir)),
     "q5_local_supplier" -> ((s, dir) => Tpch.q5(s, dir)),
     "q_event_rollup" -> ((s, dir) => Tpch.eventRollup(s, dir)),
+    "q_topk" -> ((s: SparkSession, dir: String) => Tpch.topkRevenue(s, dir)),
     "q_envelope" -> ((s: SparkSession, dir: String) =>
       Envelope.flat(Envelope.fromEvents(Tables.events(s, dir))))
   ) ++ CdcQueries.queries ++ DataQueries.queries ++ ExtQueries.queries

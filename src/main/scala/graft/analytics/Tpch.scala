@@ -89,6 +89,17 @@ object Tpch {
         .cast("double").as("revenue"))
   }
 
+  /** Top-k scan (SURVEY §2.12 limits): orderBy+limit compiles to
+    * TakeOrderedAndProject — a per-partition bounded heap + driver
+    * merge, never a full sort; the shape that survives any scale. The
+    * (orderkey, linenumber) tiebreak makes the k-set deterministic. */
+  def topkRevenue(spark: SparkSession, dir: String, k: Int = 100): DataFrame =
+    Tables.lineitem(spark, dir)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        dec(col("l_extendedprice")).cast("double").as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(k)
+
   /** Streaming-style event rollup (batch equivalent of the windowed agg
     * in graft.streaming): tumbling 1-hour windows over event time. */
   def eventRollup(spark: SparkSession, dir: String): DataFrame = {
@@ -142,6 +153,13 @@ object Tpch {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    "q_topk" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey, l_linenumber
+        |LIMIT 100""".stripMargin,
+
     "q_event_rollup" ->
       """SELECT
         |  epoch_ns(ts) - (epoch_ns(ts) % 3600000000000) AS window_start,

@@ -1,0 +1,54 @@
+package graft
+
+/** Plan-shape regression guards: the performance properties the
+  * queries rely on at 100 TB are asserted on the physical plan, so a
+  * refactor that silently loses pushdown, pruning, broadcast, or the
+  * top-k operator fails CI — not a production run. */
+class PlanSpec extends SparkFunSuite {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  private def plan(name: String): String =
+    SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
+
+  test("q1: filter pushed to parquet, columns pruned") {
+    val p = plan("q1_pricing")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
+      "shipdate predicate must reach the scan")
+    assert(!p.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q3: dims broadcast, no sort-merge join") {
+    val p = plan("q3_shipping")
+    assert(p.contains("BroadcastHashJoin"))
+    assert(!p.contains("SortMergeJoin"),
+      "fact side must stream against broadcast dims")
+  }
+
+  test("q_topk: TakeOrderedAndProject, not a global sort") {
+    val p = plan("q_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"orderBy+limit must compile to bounded top-k:\n$p")
+  }
+
+  test("q_envelope: single codegen stage, no shuffle") {
+    val p = plan("q_envelope")
+    assert(!p.contains("Exchange"), "envelope derivation is per-row, shuffle-free")
+    assert(p.contains("*(1)"), "codegen stage marker expected")
+  }
+
+  test("q_schema_asof: as-of lookup adds no shuffle on the event side") {
+    val p = plan("q_schema_asof")
+    assert(p.contains("BroadcastHashJoin"), "version table must broadcast")
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("encoders stay inside whole-stage codegen") {
+    Seq("q_encode_canal", "q_encode_open", "q_encode_debezium", "q_encode_csv")
+      .foreach { q =>
+        val p = plan(q)
+        assert(!p.contains("Exchange"), s"$q must be shuffle-free")
+        assert(p.contains("*(1)"), s"$q must codegen")
+      }
+  }
+}
