@@ -148,7 +148,10 @@ object CdcQueries {
       Codecs.csvLine(env(s, d)).select(col("_row_id"), col("_value"))),
 
     "q_sqlmodel" -> ((s, d) =>
-      graft.sinks.MysqlSink.statements(env(s, d), Seq("user_id"), 8, safeMode = true))
+      graft.sinks.MysqlSink.statements(env(s, d), Seq("user_id"), 8, safeMode = true)),
+
+    "q_sqlmodel_update" -> ((s, d) =>
+      graft.sinks.MysqlSink.statements(env(s, d), Seq("user_id"), 8, safeMode = false))
   )
 
   // ---- DuckDB oracles ----
@@ -236,9 +239,9 @@ object CdcQueries {
       s""", $txnifiedSql
          |SELECT _schema, _table, _start_ts, _commit_ts,
          |  COUNT(*) AS n_rows,
-         |  SUM(CASE WHEN _op = 'I' THEN 1 ELSE 0 END) AS n_insert,
-         |  SUM(CASE WHEN _op = 'U' THEN 1 ELSE 0 END) AS n_update,
-         |  SUM(CASE WHEN _op = 'D' THEN 1 ELSE 0 END) AS n_delete,
+         |  CAST(SUM(CASE WHEN _op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+         |  CAST(SUM(CASE WHEN _op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+         |  CAST(SUM(CASE WHEN _op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
          |  MIN(_row_id) AS first_row_id
          |FROM txn GROUP BY 1, 2, 3, 4""".stripMargin),
 
@@ -309,22 +312,45 @@ object CdcQueries {
          |FROM env""".stripMargin)
   ) ++ sqlmodelOracle
 
+  /** Null-safe handle-key predicate over the pre-image (DuckDB dialect,
+    * mirroring MysqlSink.statementColumn's keyPred). */
+  private val keyPredSql =
+    """CASE WHEN before_user_id IS NULL THEN '`user_id` IS NULL'
+      |     ELSE '`user_id` = ' || CAST(before_user_id AS VARCHAR) END""".stripMargin
+      .replace("\n", " ")
+
+  private val insertValuesSql =
+    """'(`user_id`,`value`,`k`) VALUES (' ||
+      |  COALESCE(CAST(after_user_id AS VARCHAR), 'NULL') || ',' ||
+      |  COALESCE(CAST(CAST(after_value AS DECIMAL(18,2)) AS VARCHAR), 'NULL') || ',' ||
+      |  COALESCE(CAST(after_k AS VARCHAR), 'NULL') || ')'""".stripMargin
+      .replace("\n", " ")
+
+  private def sqlmodelBody(writeRowSql: String): String =
+    s"""SELECT
+       |  ${Routing.stableHashSql(Seq("_schema", "_table",
+            "CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END"))} % 8 AS _partition,
+       |  _row_id, _schema, _table, _commit_ts, _start_ts, _op,
+       |  CASE WHEN _op = 'D' THEN
+       |    'DELETE FROM `' || _schema || '`.`' || _table || '` WHERE ' || $keyPredSql || ' LIMIT 1'
+       |  $writeRowSql
+       |  END AS _stmt
+       |FROM env""".stripMargin
+
   val sqlmodelOracle: Map[String, String] = Map(
-    "q_sqlmodel" -> q(
-      s"""SELECT
-         |  ${Routing.stableHashSql(Seq("_schema", "_table",
-              "CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END"))} % 8 AS _partition,
-         |  _row_id, _schema, _table, _commit_ts, _start_ts, _op,
-         |  CASE WHEN _op = 'D' THEN
-         |    'DELETE FROM `' || _schema || '`.`' || _table || '` WHERE `user_id` = ' ||
-         |      COALESCE(CAST(before_user_id AS VARCHAR), 'NULL')
+    "q_sqlmodel" -> q(sqlmodelBody(
+      s"""ELSE
+         |    'REPLACE INTO `' || _schema || '`.`' || _table || '` ' || $insertValuesSql""".stripMargin)),
+
+    "q_sqlmodel_update" -> q(sqlmodelBody(
+      s"""WHEN _op = 'U' THEN
+         |    'UPDATE `' || _schema || '`.`' || _table || '` SET `user_id` = ' ||
+         |      COALESCE(CAST(after_user_id AS VARCHAR), 'NULL') || ', `value` = ' ||
+         |      COALESCE(CAST(CAST(after_value AS DECIMAL(18,2)) AS VARCHAR), 'NULL') || ', `k` = ' ||
+         |      COALESCE(CAST(after_k AS VARCHAR), 'NULL') ||
+         |      ' WHERE ' || $keyPredSql || ' LIMIT 1'
          |  ELSE
-         |    'REPLACE INTO `' || _schema || '`.`' || _table || '` (`user_id`,`value`,`k`) VALUES (' ||
-         |      COALESCE(CAST(after_user_id AS VARCHAR), 'NULL') || ',' ||
-         |      COALESCE(CAST(CAST(after_value AS DECIMAL(18,2)) AS VARCHAR), 'NULL') || ',' ||
-         |      COALESCE(CAST(after_k AS VARCHAR), 'NULL') || ')'
-         |  END AS _stmt
-         |FROM env""".stripMargin)
+         |    'INSERT INTO `' || _schema || '`.`' || _table || '` ' || $insertValuesSql""".stripMargin))
   )
 
   /** Canal-JSON value rendering in DuckDB dialect (shared with the

@@ -109,12 +109,15 @@ object ExtQueries {
 
     "q_filter_ddl" -> ((s, d) => {
       // DDL fixture: sparse version stream with a rotating statement
-      // mix. Note: project-collapse inlines the synthesized `query`
-      // CASE into every classifier branch — the ~2s constant here is
-      // one-time codegen of that fixture tree, not operator cost
-      // (real DDL streams read `query` from storage).
+      // mix. The control stream is tiny (1/97 of events), so cache it:
+      // the InMemoryRelation is an optimizer barrier that stops
+      // project-collapse from inlining the synthesized `query` CASE
+      // into every classifier branch (which made codegen of the
+      // combined tree the dominant cost) — and mirrors reality, where
+      // DDL arrives materialized from the job table.
       val ddl = graft.operators.SchemaAsOf.sampleVersions(env(s, d))
         .withColumn("query", ddlFixtureQuery)
+        .cache()
       graft.operators.Filters
         .ddlFilter(ddl, Seq("drop table", "truncate table"), Seq("^CREATE INDEX"))
         .withColumn("ddl_class", graft.operators.Filters.ddlClass(col("query")))

@@ -128,20 +128,31 @@ object Decoders {
       j.getField("data").as("after"))
   }
 
+  private val csvSchema = StructType(Seq(
+    StructField("_op", StringType),
+    StructField("_schema", StringType),
+    StructField("_table", StringType),
+    StructField("_commit_ts", LongType),
+    StructField("user_id", LongType),
+    StructField("value", DoubleType),
+    StructField("k", LongType)))
+
   /** CSV line → envelope fields (meta cols op,schema,table,commitTs
-    * then payload; quote stripping inverts Codecs.csvLine). */
+    * then payload). Parsed with `from_csv` so RFC-4180 quoting —
+    * embedded commas, doubled quotes (escape = `"`) — round-trips
+    * Codecs.csvLine exactly (reference csv_message.go:199-245);
+    * `\N` is the null marker (CSVConfig NullString,
+    * pkg/config/sink.go:283). */
   def decodeCsv(msgs: DataFrame, valueCol: String = "_value"): DataFrame = {
-    def unq(c: Column): Column =
-      regexp_replace(regexp_replace(c, lit("^\"|\"$"), lit("")), lit("\"\""), lit("\""))
-    def nullable(c: Column): Column = when(c === "\\N", lit(null)).otherwise(c)
-    val parts = split(col(valueCol), ",")
+    val parsed = from_csv(col(valueCol), csvSchema,
+      Map("nullValue" -> "\\N", "escape" -> "\""))
     msgs.select(
-      unq(element_at(parts, 1)).as("_op"),
-      unq(element_at(parts, 2)).as("_schema"),
-      unq(element_at(parts, 3)).as("_table"),
-      element_at(parts, 4).cast("long").as("_commit_ts"),
-      nullable(element_at(parts, 5)).cast("long").as("user_id"),
-      nullable(element_at(parts, 6)).cast("double").as("value"),
-      nullable(element_at(parts, 7)).cast("long").as("k"))
+      parsed.getField("_op").as("_op"),
+      parsed.getField("_schema").as("_schema"),
+      parsed.getField("_table").as("_table"),
+      parsed.getField("_commit_ts").as("_commit_ts"),
+      parsed.getField("user_id").as("user_id"),
+      parsed.getField("value").as("value"),
+      parsed.getField("k").as("k"))
   }
 }

@@ -149,8 +149,13 @@ object Filters {
 
   /** System-schema / eligibility filter (filter.go:33-44,73-74):
     * always-deny schemas, plus ineligible tables (no handle key)
-    * unless forceReplicate. */
-  val systemSchemas: Seq[String] = Seq("tidb_cdc", "lightning_task_info", "workload_schema")
+    * unless forceReplicate. Covers both the CDC-private schemas and
+    * the TiDB system schemas the reference's IsSysSchema falls through
+    * to (pkg/filter/utils.go:28 → TiDB IsSystemSchema). */
+  val systemSchemas: Seq[String] = Seq(
+    "tidb_cdc", "lightning_task_info", "workload_schema",
+    "mysql", "information_schema", "performance_schema", "sys",
+    "metrics_schema", "inspection_schema")
 
   def systemSchemaFilter(env: DataFrame): DataFrame =
     env.filter(!lower(col("_schema")).isin(systemSchemas: _*))

@@ -18,22 +18,41 @@ import graft.operators.Routing
 object MysqlSink {
 
   /** Render one envelope row as its MySQL statement (column-expression
-    * form of [[SqlBuilder]] for the envelope payload; REPLACE form =
-    * safe-mode/idempotent replay, sql_builder.go:154). */
+    * form of [[SqlBuilder]] for the envelope payload).
+    *
+    * Safe mode (the re-delivery window, basic_dispatcher.go:156-162)
+    * renders both inserts and updates as REPLACE (sql_builder.go:154);
+    * outside it, updates become a real UPDATE .. SET .. WHERE key
+    * (sql_builder.go:211) against the PRE-image handle key. Deletes
+    * always target the full handle key with null-safe comparison and
+    * LIMIT 1 (sql_builder.go:181). */
   def statementColumn(safeMode: Boolean): Column = {
-    val verb = if (safeMode) "REPLACE" else "INSERT"
     val target = concat(lit("`"), col("_schema"), lit("`.`"), col("_table"), lit("`"))
     def v(c: Column): Column = coalesce(c.cast("string"), lit("NULL"))
-    val writeRow = concat(
-      lit(s"$verb INTO "), target,
+    def money(c: Column): Column = v(c.cast(DecimalType(18, 2)))
+    val keyPred = when(col("before.user_id").isNull, lit("`user_id` IS NULL"))
+      .otherwise(concat(lit("`user_id` = "), col("before.user_id").cast("string")))
+    val writeVerb = if (safeMode) "REPLACE" else "INSERT"
+    val insertRow = concat(
+      lit(s"$writeVerb INTO "), target,
       lit(" (`user_id`,`value`,`k`) VALUES ("),
       v(col("after.user_id")), lit(","),
-      v(col("after.value").cast(DecimalType(18, 2))), lit(","),
+      money(col("after.value")), lit(","),
       v(col("after.k")), lit(")"))
+    val updateRow =
+      if (safeMode) insertRow // REPLACE is the idempotent update during replay
+      else concat(
+        lit("UPDATE "), target,
+        lit(" SET `user_id` = "), v(col("after.user_id")),
+        lit(", `value` = "), money(col("after.value")),
+        lit(", `k` = "), v(col("after.k")),
+        lit(" WHERE "), keyPred, lit(" LIMIT 1"))
     val deleteRow = concat(
       lit("DELETE FROM "), target,
-      lit(" WHERE `user_id` = "), v(col("before.user_id")))
-    when(col("_op") === "D", deleteRow).otherwise(writeRow)
+      lit(" WHERE "), keyPred, lit(" LIMIT 1"))
+    when(col("_op") === "D", deleteRow)
+      .when(col("_op") === "U", updateRow)
+      .otherwise(insertRow)
   }
 
   /** Envelope → ordered statement stream: conflict-key partition

@@ -85,6 +85,48 @@ object Changefeed {
       .start()
   }
 
+  /** DDL-barrier-wired changefeed (SURVEY §3.3; reference
+    * maintainer/barrier.go:41-323): the schema registry evolves
+    * mid-stream. Each micro-batch splits at the commit-ts of every DDL
+    * falling inside its range ([[DdlBarrier.plan]]); each step's rows
+    * conform to that step's registry snapshot — with mounter defaults
+    * for schema columns absent from the data — and flow to `emit`
+    * with the step's upper bound.
+    *
+    * Restart-safe by construction: the registry for a batch is derived
+    * purely from (initial, ddls, the batch's commit-ts range) — a DDL
+    * with ts ≤ the batch's min commit-ts is already folded in, one
+    * inside the range splits the batch (DDL-first at equal ts,
+    * event_scanner.go:617-671). Nothing mutable lives on the driver,
+    * so a checkpoint replay recomputes identical snapshots. */
+  def runWithDdl(spark: SparkSession, cfg: ChangefeedConfig, sourceDir: String,
+                 checkpointDir: String, ddls: Seq[DdlAction],
+                 initial: SchemaRegistry, payloadCols: Seq[String])
+                (emit: (DataFrame, Long) => Unit): StreamingQuery = {
+    GraftSession.tune(spark)
+    val schema = spark.read.parquet(sourceDir).schema
+    val source = spark.readStream.schema(schema).parquet(sourceDir)
+    val env = Envelope.fromEvents(source)
+    transform(spark, cfg)(env)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val range = b.agg(min(col("_commit_ts")), max(col("_commit_ts"))).head()
+          if (!range.isNullAt(0)) {
+            val (lo, hi) = (range.getLong(0), range.getLong(1))
+            val registryAtLo = initial.applyAll(ddls.filter(_.ts <= lo))
+            val pending = ddls.filter(d => d.ts > lo && d.ts <= hi)
+            val steps = DdlBarrier.plan(b, pending, registryAtLo)
+            steps.foreach { s => emit(DdlBarrier.conform(s, payloadCols), s.upToTs) }
+          }
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Run a changefeed over a parquet change-log directory as a
     * streaming source, writing encoded messages to `sinkDir` partitioned
     * by the routing assignment. `Trigger.AvailableNow` drains what's

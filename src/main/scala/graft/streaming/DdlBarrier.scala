@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.model.{DdlAction, SchemaRegistry}
+import graft.model.{ColumnDef, DdlAction, SchemaRegistry}
 
 /** DDL barrier at micro-batch boundaries (SURVEY §3.3/§7.4 hard part
   * #6; reference maintainer/barrier.go:41-323 — all dispatchers of
@@ -41,25 +41,49 @@ object DdlBarrier {
     }
   }
 
-  /** Decode a batch against its snapshot: project each row's payload
-    * to the columns of the schema version as-of its commit-ts —
-    * columns added later are absent, columns added earlier but
-    * missing in the data surface their defaults
-    * (mounter defaults, chunk.go:182). */
-  def conform(step: Step, payloadCols: Seq[String]): DataFrame = {
-    // per-table as-of column sets, broadcast as literal metadata
-    val keep = step.batch.columns.filter(_.startsWith("_")).map(col)
-    val projected = payloadCols.map { c =>
-      val presentFor = step.registry.versions.keys.toSeq
-        .filter { case (s, t) =>
-          step.registry.asOf(s, t, Long.MaxValue).exists(_.columns.exists(_.name == c)) }
-      if (presentFor.isEmpty) lit(null).as(c)
-      else {
-        val cond = presentFor.map { case (s, t) =>
-          col("_schema") === s && col("_table") === t
-        }.reduce(_ || _)
-        when(cond, col(s"after.$c")).otherwise(lit(null)).as(c)
+  /** Render a ColumnDef default in its declared type (mounter default
+    * values, chunk.go:182). */
+  private def defaultLit(cd: ColumnDef): org.apache.spark.sql.Column =
+    cd.default match {
+      case None => lit(null)
+      case Some(v) => cd.dataType.toLowerCase match {
+        case "bigint" | "long" | "int" | "integer" | "smallint" | "tinyint" => lit(v.toLong)
+        case "double" | "float" | "real" | "decimal" => lit(v.toDouble)
+        case "boolean" => lit(v.toBoolean)
+        case _ => lit(v)
       }
+    }
+
+  /** Decode a batch against its snapshot: project each row's payload
+    * to the columns of its table's schema as-of this step's interval
+    * (every commit-ts in the batch resolves to the same version —
+    * that is the barrier invariant). Columns the schema doesn't have
+    * yet are dropped to null; columns the schema has but the data
+    * lacks surface their ColumnDef.default (mounter defaults,
+    * chunk.go:182).
+    *
+    * `payloadCols` = the columns physically present in the data's
+    * `after` struct. Output carries the union of payload and schema
+    * columns so a late AddColumn's default materializes. */
+  def conform(step: Step, payloadCols: Seq[String]): DataFrame = {
+    val keep = step.batch.columns.filter(_.startsWith("_")).map(col)
+    val asOfTs = if (step.upToTs == Long.MaxValue) Long.MaxValue else step.upToTs - 1
+    val snapshots = step.registry.versions.keys.toSeq.sorted
+      .flatMap { case (s, t) => step.registry.asOf(s, t, asOfTs).map(((s, t), _)) }
+    val allCols =
+      (payloadCols ++ snapshots.flatMap(_._2.columns.map(_.name))).distinct
+    val projected = allCols.map { c =>
+      val branches = snapshots.flatMap { case ((s, t), sch) =>
+        sch.columns.find(_.name == c).map { cd =>
+          val src =
+            if (payloadCols.contains(c)) col(s"after.$c")
+            else defaultLit(cd)
+          (col("_schema") === s && col("_table") === t, src)
+        }
+      }
+      branches.foldRight(lit(null): org.apache.spark.sql.Column) {
+        case ((cond, src), acc) => when(cond, src).otherwise(acc)
+      }.as(c)
     }
     step.batch.select(keep ++ projected: _*)
   }

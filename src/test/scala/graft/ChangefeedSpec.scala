@@ -86,4 +86,50 @@ class ChangefeedSpec extends SparkFunSuite {
     assert(stmts.count(_.startsWith("REPLACE INTO")) > 0)
     assert(stmts.count(_.startsWith("DELETE FROM")) > 0)
   }
+
+  test("ddl barrier wired into the streaming loop evolves the registry mid-stream") {
+    import graft.model.DdlAction._
+    import graft.model.{ColumnDef, SchemaRegistry}
+    val tmp = Files.createTempDirectory("graft-cfddl").toString
+    val src = s"$tmp/source"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+
+    // pick a DDL commit-ts in the middle of the stream
+    val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    val cut = env.select("_commit_ts").orderBy("_commit_ts")
+      .collect().map(_.getLong(0)).apply(500)
+    val initial = SchemaRegistry().applyAll((0 until 4).map(i =>
+      CreateTable("app", s"events_$i",
+        Seq(ColumnDef("user_id", "bigint"), ColumnDef("value", "double")), 0L)))
+    // AddColumn k lands mid-stream with default 42: rows below `cut`
+    // must not see k; rows at/above it surface the default (the data's
+    // payloadCols deliberately omit k, so only the default can fill it)
+    val ddls = Seq[graft.model.DdlAction](
+      AddColumn("app", "events_0", ColumnDef("k", "bigint", Some("42")), cut))
+
+    val ddlCfg = ChangefeedConfig(id = "cf-ddl", splitUpdateOnKeyChange = false)
+    val outDir = s"$tmp/out"
+    Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val q = Changefeed.runWithDdl(spark, ddlCfg, src, s"$tmp/ckpt",
+      ddls, initial, payloadCols = Seq("user_id", "value")) { (step, _) =>
+      step.write.mode("append").parquet(outDir)
+    }
+    q.awaitTermination(120000)
+
+    // pre-DDL steps legitimately lack k in their file schema — merge
+    val out = spark.read.option("mergeSchema", "true").parquet(outDir)
+    assert(out.count() == env.count(), "steps tile the stream exactly")
+    assert(out.columns.contains("k"), "post-DDL column surfaces in the union")
+    // pre-DDL rows: no k anywhere; post-DDL rows of events_0: default 42
+    assert(out.filter(col("_commit_ts") < cut && col("k").isNotNull).count() == 0)
+    val post = out.filter(col("_commit_ts") >= cut && col("_table") === "events_0")
+    assert(post.count() > 0)
+    assert(post.filter(col("k") =!= 42L || col("k").isNull).count() == 0,
+      "post-DDL events_0 rows carry the AddColumn default")
+    // other tables never gained k
+    assert(out.filter(col("_table") =!= "events_0" && col("k").isNotNull).count() == 0)
+  }
 }

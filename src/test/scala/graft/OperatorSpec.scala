@@ -118,7 +118,7 @@ class OperatorSpec extends SparkFunSuite {
     assert(stmts.length == 5)
     val sql = stmts.map(_.getAs[String]("_stmt"))
     assert(sql.exists(_.startsWith("REPLACE INTO `app`.`t1` (`user_id`,`value`,`k`) VALUES (1,")))
-    assert(sql.contains("DELETE FROM `app`.`t1` WHERE `user_id` = 1"))
+    assert(sql.contains("DELETE FROM `app`.`t1` WHERE `user_id` = 1 LIMIT 1"))
     // all statements of one key share a partition => per-key total order
     val perKey = stmts.groupBy(r => r.getAs[String]("_stmt").contains("= 1") ||
       r.getAs[String]("_stmt").contains("(1,"))
@@ -127,6 +127,16 @@ class OperatorSpec extends SparkFunSuite {
     }
     // applyBatch runs end-to-end (blackhole executor)
     graft.sinks.MysqlSink.applyBatch(sample, Seq("user_id"), 4, safeMode = true)(_ => ())
+  }
+
+  test("mysql sink non-safe mode renders real UPDATE against pre-image key") {
+    val sql = graft.sinks.MysqlSink
+      .statements(sample, Seq("user_id"), 4, safeMode = false)
+      .collect().map(_.getAs[String]("_stmt"))
+    assert(sql.exists(_.startsWith("INSERT INTO `app`.`t1` (`user_id`,`value`,`k`) VALUES (1,")))
+    assert(sql.contains(
+      "UPDATE `app`.`t1` SET `user_id` = 1, `value` = 11.00, `k` = 101 WHERE `user_id` = 1 LIMIT 1"))
+    assert(sql.forall(s => !s.startsWith("REPLACE")))
   }
 
   test("dedup exact keeps min id per identical text") {

@@ -65,4 +65,20 @@ class SchemaRegistrySpec extends SparkFunSuite {
     assert(after.filter(col("_table") === "events_0" &&
       col("_op") =!= "D" && col("k").isNotNull).count() > 0)
   }
+
+  test("conform surfaces AddColumn defaults for columns absent from the data") {
+    val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    val initial = SchemaRegistry().applyAll((0 until 4).map(i =>
+      CreateTable("app", s"events_$i", Seq(
+        ColumnDef("user_id", "bigint"),
+        ColumnDef("value", "double"),
+        ColumnDef("flag", "bigint", Some("7"))), 0L)))
+    val steps = DdlBarrier.plan(env, Seq.empty, initial)
+    // data physically carries user_id/value only; flag exists in the
+    // schema with default 7 -> every row surfaces it
+    val out = DdlBarrier.conform(steps.head, Seq("user_id", "value"))
+    assert(out.columns.contains("flag"))
+    assert(out.filter(col("flag") =!= 7L).count() == 0)
+    assert(out.filter(col("flag") === 7L).count() == out.count())
+  }
 }

@@ -29,8 +29,12 @@ class TxnAssemblerSpec extends SparkFunSuite {
       Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
       Files.move(part.toPath, java.nio.file.Paths.get(s"$tmp/src/$name"))
     }
-    stage(env.orderBy("_commit_ts").limit(half.toInt), "f1.parquet")
-    stage(env.orderBy(col("_commit_ts").desc).limit((env.count() - half).toInt), "f2.parquet")
+    // deterministic complementary halves: tie-break the heavily-tied
+    // commit-ts with the unique _row_id so no boundary row is
+    // duplicated or dropped between the two files
+    stage(env.orderBy(col("_commit_ts"), col("_row_id")).limit(half.toInt), "f1.parquet")
+    stage(env.orderBy(col("_commit_ts").desc, col("_row_id").desc)
+      .limit((env.count() - half).toInt), "f2.parquet")
 
     val schema = spark.read.parquet(s"$tmp/src").schema
     val stream = spark.readStream.schema(schema)
