@@ -124,6 +124,14 @@ object CdcQueries {
 
     "q_txn_groups" -> ((s, d) => TxnOps.txnGroups(txnified(env(s, d)))),
 
+    "q_txn_chunks_atomic" -> ((s, d) =>
+      flatWith(TxnOps.scanChunks(txnified(env(s, d)), 500L, atomic = true), "_chunk")),
+
+    "q_txn_chunks_split" -> ((s, d) =>
+      flatWith(TxnOps.scanChunks(
+        Transforms.updateSplit(txnified(env(s, d)), Seq("k")), 500L, atomic = false),
+        "_chunk")),
+
     "q_table_progress" -> ((s, d) => TxnOps.tableProgress(env(s, d))),
 
     "q_checkpoint" -> ((s, d) => TxnOps.checkpoint(env(s, d))),
@@ -244,6 +252,38 @@ object CdcQueries {
          |  CAST(SUM(CASE WHEN _op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
          |  MIN(_row_id) AS first_row_id
          |FROM txn GROUP BY 1, 2, 3, 4""".stripMargin),
+
+    "q_txn_chunks_atomic" -> q(
+      s""", $txnifiedSql,
+         |sizes AS (
+         |  SELECT _schema, _table, _start_ts, _commit_ts, COUNT(*) AS n
+         |  FROM txn GROUP BY 1, 2, 3, 4),
+         |chunked AS (
+         |  SELECT _schema, _table, _start_ts, _commit_ts,
+         |    CAST((SUM(n) OVER (PARTITION BY _schema, _table
+         |      ORDER BY _commit_ts, _start_ts) - n) // 500 AS BIGINT) AS _chunk
+         |  FROM sizes)
+         |SELECT $flatCols, _chunk
+         |FROM txn JOIN chunked USING (_schema, _table, _start_ts, _commit_ts)""".stripMargin),
+
+    "q_txn_chunks_split" -> q(
+      s""", $txnifiedSql,
+         |sp AS (
+         |  SELECT $flatCols FROM txn WHERE _op <> 'U'
+         |  UNION ALL
+         |  SELECT _row_id, _schema, _table, 'D', _commit_ts, _start_ts,
+         |    before_user_id, before_value, before_k, NULL, NULL, NULL
+         |  FROM txn WHERE _op = 'U'
+         |  UNION ALL
+         |  SELECT _row_id, _schema, _table, 'I', _commit_ts, _start_ts,
+         |    NULL, NULL, NULL, after_user_id, after_value, after_k
+         |  FROM txn WHERE _op = 'U')
+         |SELECT $flatCols,
+         |  CAST((ROW_NUMBER() OVER (PARTITION BY _schema, _table
+         |    ORDER BY _commit_ts, _start_ts,
+         |      CASE WHEN _op = 'D' THEN 1 WHEN _op = 'U' THEN 2 ELSE 3 END,
+         |      _row_id) - 1) // 500 AS BIGINT) AS _chunk
+         |FROM sp""".stripMargin),
 
     "q_table_progress" -> q(
       """SELECT _schema, _table,

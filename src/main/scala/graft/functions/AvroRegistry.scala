@@ -1,0 +1,141 @@
+package graft.functions
+
+import java.nio.ByteBuffer
+import scala.collection.concurrent.TrieMap
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericDatumReader, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, DecoderFactory}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Avro schema-registry round trip (SURVEY §2.7; reference
+  * pkg/sink/codec/avro/confluent_schema_registry.go:1-499 — register
+  * returns a global schema id, messages carry the Confluent wire
+  * framing `magic 0x00 | id int32-BE | avro payload`, consumers
+  * resolve the WRITER schema by id and read with their own reader
+  * schema).
+  *
+  * Offline container — the HTTP client is out of reach — so the
+  * registry is a trait with an in-memory store carrying the protocol
+  * semantics: content-addressed ids (same schema text → same id),
+  * per-subject version lists, id-resolved decode with Avro schema
+  * resolution (new-reader-reads-old-writer via field defaults — the
+  * compatibility rule a real registry enforces). The wire bytes are
+  * exactly the Confluent framing, so swapping the store for an HTTP
+  * client changes no data-path code.
+  */
+object AvroRegistry {
+
+  /** Registry surface (subject = `{topic}-{schema}.{table}-value` in
+    * the reference's naming, confluent_schema_registry.go). */
+  trait SchemaStore extends Serializable {
+    def register(subject: String, schemaJson: String): Int
+    def byId(id: Int): String
+    def versions(subject: String): Seq[Int]
+  }
+
+  /** In-memory store: content-addressed global ids + per-subject
+    * version chains — the reference registry's data model. */
+  final class InMemoryStore extends SchemaStore {
+    private val byText = TrieMap.empty[String, Int]
+    private val byIdMap = TrieMap.empty[Int, String]
+    private val subjects = TrieMap.empty[String, Vector[Int]]
+    private val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
+
+    def register(subject: String, schemaJson: String): Int = {
+      val canonical = new Schema.Parser().parse(schemaJson).toString
+      val id = byText.getOrElseUpdate(canonical, {
+        val i = nextId.incrementAndGet()
+        byIdMap.put(i, canonical)
+        i
+      })
+      subjects.updateWith(subject) {
+        case Some(v) if v.contains(id) => Some(v)
+        case Some(v) => Some(v :+ id)
+        case None => Some(Vector(id))
+      }
+      id
+    }
+    def byId(id: Int): String =
+      byIdMap.getOrElse(id, sys.error(s"unknown schema id $id"))
+    def versions(subject: String): Seq[Int] =
+      subjects.getOrElse(subject, Vector.empty)
+  }
+
+  /** Confluent wire framing: magic 0x00 + 4-byte big-endian schema id
+    * + payload. */
+  def frame(schemaId: Int, payload: Array[Byte]): Array[Byte] =
+    ByteBuffer.allocate(5 + payload.length)
+      .put(0.toByte).putInt(schemaId).put(payload).array()
+
+  def unframe(bytes: Array[Byte]): (Int, Array[Byte]) = {
+    require(bytes.length >= 5 && bytes(0) == 0, "bad confluent framing")
+    val bb = ByteBuffer.wrap(bytes)
+    bb.get()
+    val id = bb.getInt
+    val payload = new Array[Byte](bytes.length - 5)
+    bb.get(payload)
+    (id, payload)
+  }
+
+  /** Encode the envelope with registry framing: the schema registers
+    * once on the driver (the reference registers on encoder init /
+    * schema change, not per message) and executors emit framed bytes. */
+  def encodeFramed(env: DataFrame, store: SchemaStore, subject: String): DataFrame = {
+    val schemaId = store.register(subject, AvroCodec.envelopeSchemaJson)
+    val framed = AvroCodec.encode(env)
+      .mapPartitions { rows =>
+        rows.map(r => Row(r.getLong(0), frame(schemaId, r.getAs[Array[Byte]](1))))
+      }(Encoders.row(StructType(Seq(
+        StructField("_row_id", LongType), StructField("_value", BinaryType)))))
+    framed
+  }
+
+  private val decodedSchema = StructType(Seq(
+    StructField("_row_id", LongType),
+    StructField("_schema_id", IntegerType),
+    StructField("_op", StringType),
+    StructField("_commit_ts", LongType),
+    StructField("after_user_id", LongType),
+    StructField("after_value", DoubleType),
+    StructField("after_k", LongType),
+    StructField("origin", StringType)))
+
+  /** Consumer-side decode: unframe, resolve the writer schema by id
+    * from the (broadcast) id→schema map, read with `readerSchemaJson`
+    * — Avro schema resolution fills reader-only fields from their
+    * defaults, exactly how a registry-compatible evolution reads old
+    * messages. */
+  def decodeFramed(msgs: DataFrame, idToSchema: Map[Int, String],
+                   readerSchemaJson: String): DataFrame = {
+    msgs.select(col("_row_id"), col("_value"))
+      .mapPartitions { rows =>
+        val readerSchema = new Schema.Parser().parse(readerSchemaJson)
+        val readers = scala.collection.mutable.Map.empty[Int, GenericDatumReader[GenericRecord]]
+        var dec: BinaryDecoder = null
+        rows.map { r =>
+          val (id, payload) = unframe(r.getAs[Array[Byte]](1))
+          val reader = readers.getOrElseUpdate(id, {
+            val writer = new Schema.Parser().parse(idToSchema(id))
+            new GenericDatumReader[GenericRecord](writer, readerSchema)
+          })
+          dec = DecoderFactory.get().binaryDecoder(payload, dec)
+          val rec = reader.read(null, dec)
+          val after = Option(rec.get("after").asInstanceOf[GenericRecord])
+          Row(r.getLong(0), id,
+            rec.get("op").toString, rec.get("commit_ts"),
+            after.map(_.get("user_id")).orNull,
+            after.map(_.get("value")).orNull,
+            after.map(_.get("k")).orNull,
+            Option(rec.get("origin")).map(_.toString).orNull)
+        }
+      }(Encoders.row(decodedSchema))
+  }
+
+  /** The evolved reader schema: envelope + an `origin` field with a
+    * default — readable against old-writer messages via resolution. */
+  val evolvedSchemaJson: String =
+    AvroCodec.envelopeSchemaJson.stripSuffix("]}") +
+      """,{"name":"origin","type":"string","default":"upstream"}]}"""
+}

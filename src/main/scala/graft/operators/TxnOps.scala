@@ -1,7 +1,9 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import graft.model.Envelope
 
 /** Transaction assembly + progress aggregation (SURVEY §2.3/§2.9/§2.11).
   */
@@ -40,6 +42,46 @@ object TxnOps {
         min(col("min_unflushed_ts")).as("checkpoint_ts"),
         min(col("resolved_ts")).as("min_resolved_ts"),
         count(lit(1)).as("n_tables"))
+
+  /** Scan-batch chunk assignment — the txn scan strategy of
+    * pkg/eventservice/txn_scan_strategy.go:23-70.
+    *
+    * Atomic mode: a transaction never splits across scan batches —
+    * chunk boundaries fall only at txn boundaries. Computed as the
+    * txn-level running row count (exclusive) over the per-table
+    * commit order, divided by `maxRows`; every row of a txn inherits
+    * its txn's chunk.
+    *
+    * Split mode: the scan may pause mid-txn (docs/design/2026-07-22).
+    * Rows chunk individually in the eventstore sort order
+    * (commit, start, DMLOrder, row id — format.go:26-60), so when a
+    * txn straddles a boundary its deletes land in the earlier chunk —
+    * which is exactly why the reference spills the INSERT half of
+    * unique-key-changing updates: compose with
+    * [[Transforms.updateSplit]] and the D-before-I order falls out of
+    * the DMLOrder sort key.
+    *
+    * Scale: the window partitions by table — the reference's scan is
+    * per-dispatcher (one table span) sequential, so the per-table
+    * window IS the dispatcher; spans of distinct tables chunk in
+    * parallel. */
+  def scanChunks(env: DataFrame, maxRows: Long, atomic: Boolean): DataFrame =
+    if (atomic) {
+      val sizes = env.groupBy(col("_schema"), col("_table"),
+          col("_start_ts"), col("_commit_ts"))
+        .agg(count(lit(1)).as("__n"))
+      val w = Window.partitionBy(col("_schema"), col("_table"))
+        .orderBy(col("_commit_ts"), col("_start_ts"))
+      val chunked = sizes
+        .withColumn("_chunk", floor((sum(col("__n")).over(w) - col("__n")) / maxRows))
+        .drop("__n")
+      env.join(chunked, Seq("_schema", "_table", "_start_ts", "_commit_ts"))
+    } else {
+      val w = Window.partitionBy(col("_schema"), col("_table"))
+        .orderBy(col("_commit_ts"), col("_start_ts"),
+          Envelope.opOrder(col("_op")), col("_row_id"))
+      env.withColumn("_chunk", floor((row_number().over(w) - lit(1)) / maxRows))
+    }
 
   /** Sync points (downstreamadapter/syncpoint/sync_point.go:28):
     * tumbling consistency windows over commit-ts; emits one row per

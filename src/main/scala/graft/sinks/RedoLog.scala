@@ -1,0 +1,67 @@
+package graft.sinks
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.Materialize
+
+/** Redo log — the consistency WAL (SURVEY §2.8; reference
+  * pkg/redo/writer + reader, event codec pkg/common/event/redo.go:
+  * 39-53, applier pkg/applier/redo.go:59,456).
+  *
+  * The reference logs every row change (and DDL) to cheap storage
+  * BEFORE the sink applies it, advancing a (checkpointTs, resolvedTs)
+  * meta pair; after a disaster the RedoApplier replays the window
+  * (checkpointTs, resolvedTs] into the downstream to restore eventual
+  * consistency.
+  *
+  * Spark-first: the log is an append-only parquet directory of
+  * envelope rows plus a tiny meta directory of flush watermarks.
+  * Writes are at-least-once (a failed batch may re-append), so the
+  * applier dedupes on the envelope identity before applying — the
+  * same idempotence the reference gets from REPLACE-mode apply.
+  * Replay reuses [[graft.operators.Materialize.tableState]], i.e. the
+  * applier IS the sink's apply path, run from the log instead of the
+  * live stream.
+  */
+object RedoLog {
+
+  /** Append a batch to the log and advance the resolved-ts meta.
+    * Called from foreachBatch BEFORE the sink applies the batch
+    * (log-ahead ordering). */
+  def append(env: DataFrame, dir: String): Unit = {
+    env.write.mode("append").parquet(s"$dir/log")
+    val resolved = env.agg(max(col("_commit_ts"))).head()
+    if (!resolved.isNullAt(0)) {
+      val spark = env.sparkSession
+      import spark.implicits._
+      Seq(resolved.getLong(0)).toDF("resolved_ts")
+        .write.mode("append").parquet(s"$dir/meta")
+    }
+  }
+
+  /** The log's resolved-ts: every change with commit-ts ≤ this is
+    * durably logged (max over flush watermarks). */
+  def resolvedTs(spark: SparkSession, dir: String): Long = {
+    val r = spark.read.parquet(s"$dir/meta").agg(max(col("resolved_ts"))).head()
+    if (r.isNullAt(0)) Long.MinValue else r.getLong(0)
+  }
+
+  /** Read back the logged window (checkpointTs, upToTs], deduped to
+    * exactly-once on the envelope identity (re-appended batches
+    * collapse). */
+  def read(spark: SparkSession, dir: String,
+           checkpointTs: Long = Long.MinValue,
+           upToTs: Long = Long.MaxValue): DataFrame =
+    spark.read.parquet(s"$dir/log")
+      .filter(col("_commit_ts") > checkpointTs && col("_commit_ts") <= upToTs)
+      .dropDuplicates("_row_id", "_op", "_commit_ts")
+
+  /** The applier: replay the logged window into final table state —
+    * what the downstream must look like after recovery
+    * (pkg/applier/redo.go:456 consumes the log through the same sink
+    * path; here both routes share Materialize.tableState). */
+  def replay(spark: SparkSession, dir: String,
+             checkpointTs: Long = Long.MinValue,
+             upToTs: Long = Long.MaxValue): DataFrame =
+    Materialize.tableState(read(spark, dir, checkpointTs, upToTs))
+}

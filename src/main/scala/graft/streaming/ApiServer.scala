@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.net.InetSocketAddress
+import java.nio.charset.StandardCharsets
+import com.sun.net.httpserver.{HttpExchange, HttpServer}
+import graft.model.{ChangefeedConfig, FilterConfig}
+
+/** API v2 HTTP front-end (SURVEY §2.14; reference api/v2/api.go:39-106
+  * — changefeed CRUD :61-71, pause/resume :69-70, status/synced
+  * :72-73) — a thin JSON surface over [[ChangefeedRegistry]], served
+  * by the JDK's built-in HttpServer (zero dependencies, driver-side
+  * only — the control plane is not a data-path concern).
+  *
+  * Routes:
+  *   GET    /api/v2/changefeeds                → ["id", ...]
+  *   POST   /api/v2/changefeeds?id=&source=&sink=&ckpt=[&rules=a.b,c.*]
+  *   GET    /api/v2/changefeeds/{id}/status    → {"id","state","emitted"}
+  *   POST   /api/v2/changefeeds/{id}/pause
+  *   POST   /api/v2/changefeeds/{id}/resume
+  *   DELETE /api/v2/changefeeds/{id}
+  */
+class ApiServer(registry: ChangefeedRegistry, port: Int = 0) {
+
+  private val server =
+    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+
+  def boundPort: Int = server.getAddress.getPort
+
+  private def jsonString(s: String): String =
+    "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+
+  private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "application/json")
+    ex.sendResponseHeaders(code, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  }
+
+  private def queryParams(ex: HttpExchange): Map[String, String] =
+    Option(ex.getRequestURI.getQuery).map(_.split("&").toSeq
+      .flatMap { kv =>
+        kv.split("=", 2) match {
+          case Array(k, v) => Some(k -> java.net.URLDecoder.decode(v, "UTF-8"))
+          case _ => None
+        }
+      }.toMap).getOrElse(Map.empty)
+
+  server.createContext("/api/v2/changefeeds", (ex: HttpExchange) => {
+    try {
+      val path = ex.getRequestURI.getPath.stripPrefix("/api/v2/changefeeds")
+        .stripPrefix("/").split("/").filter(_.nonEmpty).toSeq
+      (ex.getRequestMethod, path) match {
+        case ("GET", Seq()) =>
+          respond(ex, 200, registry.list.map(jsonString).mkString("[", ",", "]"))
+
+        case ("POST", Seq()) =>
+          val p = queryParams(ex)
+          (p.get("id"), p.get("source"), p.get("sink"), p.get("ckpt")) match {
+            case (Some(id), Some(src), Some(sink), Some(ckpt)) =>
+              val rules = p.get("rules").map(_.split(",").toSeq)
+                .getOrElse(Seq("*.*"))
+              val cfg = ChangefeedConfig(id = id,
+                filter = FilterConfig(rules = rules))
+              registry.create(cfg, src, sink, ckpt)
+              respond(ex, 201, s"""{"id":${jsonString(id)},"state":"running"}""")
+            case _ =>
+              respond(ex, 400, """{"error":"id, source, sink, ckpt required"}""")
+          }
+
+        case ("GET", Seq(id, "status")) =>
+          val (_, state, n) = registry.status(id)
+          respond(ex, 200,
+            s"""{"id":${jsonString(id)},"state":${jsonString(state)},"emitted":$n}""")
+
+        case ("POST", Seq(id, "pause")) =>
+          registry.pause(id)
+          respond(ex, 200, s"""{"id":${jsonString(id)},"state":"paused"}""")
+
+        case ("POST", Seq(id, "resume")) =>
+          registry.resume(id)
+          respond(ex, 200, s"""{"id":${jsonString(id)},"state":"running"}""")
+
+        case ("DELETE", Seq(id)) =>
+          registry.remove(id)
+          respond(ex, 200, s"""{"id":${jsonString(id)},"state":"removed"}""")
+
+        case _ =>
+          respond(ex, 404, """{"error":"not found"}""")
+      }
+    } catch {
+      case e: Throwable =>
+        respond(ex, 500, s"""{"error":${jsonString(String.valueOf(e.getMessage))}}""")
+    }
+  })
+
+  def start(): ApiServer = { server.start(); this }
+  def stop(): Unit = server.stop(0)
+}

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{AvroCodec, AvroRegistry}
+import graft.model.Envelope
+
+/** Registry-framed Avro: content-addressed ids, Confluent wire
+  * framing, id-resolved decode with schema evolution (new reader,
+  * old writer). */
+class AvroRegistrySpec extends SparkFunSuite {
+
+  private lazy val env =
+    Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+
+  test("register is content-addressed and versions chain per subject") {
+    val store = new AvroRegistry.InMemoryStore
+    val id1 = store.register("events-app.events_0-value", AvroCodec.envelopeSchemaJson)
+    val id2 = store.register("events-app.events_0-value", AvroCodec.envelopeSchemaJson)
+    assert(id1 == id2, "same schema text -> same global id")
+    val id3 = store.register("events-app.events_0-value", AvroRegistry.evolvedSchemaJson)
+    assert(id3 != id1)
+    assert(store.versions("events-app.events_0-value") == Seq(id1, id3))
+    assert(store.byId(id1) != store.byId(id3))
+  }
+
+  test("wire framing is confluent-shaped and invertible") {
+    val payload = Array[Byte](1, 2, 3)
+    val framed = AvroRegistry.frame(42, payload)
+    assert(framed(0) == 0.toByte && framed.length == 8)
+    val (id, p) = AvroRegistry.unframe(framed)
+    assert(id == 42 && p.toSeq == payload.toSeq)
+  }
+
+  test("framed round trip decodes by id; evolved reader fills defaults") {
+    val store = new AvroRegistry.InMemoryStore
+    val subject = "events-app-value"
+    val framed = AvroRegistry.encodeFramed(env, store, subject)
+    val writerId = store.versions(subject).head
+
+    // every message carries the registered id
+    val ids = framed.select(col("_value")).limit(10).collect()
+      .map(r => AvroRegistry.unframe(r.getAs[Array[Byte]](0))._1).toSet
+    assert(ids == Set(writerId))
+
+    // decode with the EVOLVED reader schema: old-writer messages
+    // resolve, the new `origin` field surfaces its default
+    val idMap = Map(writerId -> store.byId(writerId))
+    val decoded = AvroRegistry.decodeFramed(framed, idMap,
+      AvroRegistry.evolvedSchemaJson)
+    assert(decoded.count() == env.count())
+    assert(decoded.filter(col("origin") =!= "upstream").count() == 0)
+    assert(decoded.filter(col("_schema_id") =!= writerId).count() == 0)
+
+    // payload fields survive the trip
+    val src = env.filter(col("_op") =!= "D")
+      .select(col("_row_id"), col("after.user_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val back = decoded.filter(col("_op") =!= "D")
+      .select(col("_row_id"), col("after_user_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(back == src)
+  }
+}

@@ -40,6 +40,20 @@ class SinkSpec extends SparkFunSuite {
     assert(new String(r.getAs[Array[Byte]]("value")).startsWith("{\"id\":0"))
   }
 
+  test("pulsar frame has the connector contract columns; constant-key rule pins the key") {
+    val routed = Codecs.canalJson(Routing.routeTopic(
+      Routing.partitionByKeyColumns(env, Seq("user_id"), 8), "cdc_{schema}_{table}"))
+    val prepared = graft.sinks.PulsarSink.prepare(routed, Seq("user_id"))
+    assert(prepared.columns.toSeq == Seq("__topic", "__key", "__eventTime", "value"))
+    val r = prepared.head()
+    assert(r.getAs[String]("__topic").startsWith("cdc_app_events_"))
+    assert(r.getAs[String]("__key").startsWith("app|events_"))
+    assert(new String(r.getAs[Array[Byte]]("value")).startsWith("{\"id\":0"))
+    // partition rule `key` (partition/key.go:31): one constant user key
+    val pinned = graft.sinks.PulsarSink.prepare(routed, Seq("user_id"), Some("cdc"))
+    assert(pinned.select("__key").distinct().collect().map(_.getString(0)).toSeq == Seq("cdc"))
+  }
+
   test("large message claim-check emits pointers with locations") {
     val out = LargeMessage.claimCheck(Codecs.canalJson(env), 210, "s3://bucket/claims")
     val large = out.filter(col("_large"))
