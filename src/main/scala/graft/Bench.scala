@@ -20,10 +20,15 @@ object Bench {
       .getOrCreate())
     spark.sparkContext.setLogLevel("WARN")
 
-    // warmup: JIT + codegen + parquet footer caches
+    // warmup: JIT + codegen + parquet footer/page caches for every
+    // input table, so per-query numbers measure plans at steady state
     try {
       SparkEntry.queries("q1_pricing")(spark, sfDir).count()
       SparkEntry.queries("q_envelope")(spark, sfDir).count()
+      Seq("documents", "embeddings", "orders", "customer", "supplier",
+        "nation", "region", "part").foreach { t =>
+        spark.read.parquet(s"$sfDir/$t.parquet").count()
+      }
     } catch { case _: Throwable => () }
 
     // optional comma-separated subset for local iteration

@@ -146,6 +146,15 @@ object CdcQueries {
     "q_encode_canal" -> ((s, d) =>
       Codecs.canalJson(env(s, d)).select(col("_row_id"), col("_value"))),
 
+    "q_encode_canal_txn" -> ((s, d) =>
+      Codecs.canalJsonTxn(txnified(env(s, d)))),
+
+    "q_lww_state" -> ((s, d) =>
+      Materialize.tableStateLww(
+        env(s, d).withColumn("_origin_ts",
+          when(pmod(col("_row_id"), lit(3L)) === 0,
+            col("_commit_ts") + pmod(col("_row_id"), lit(7L)) * 1000L)))),
+
     "q_encode_open" -> ((s, d) =>
       Codecs.openProtocol(env(s, d)).select(col("_row_id"), col("_key"), col("_value"))),
 
@@ -321,6 +330,35 @@ object CdcQueries {
     "q_encode_canal" -> q(
       s"""SELECT _row_id, $canalValueSql AS _value
          |FROM env""".stripMargin),
+
+    "q_encode_canal_txn" -> q(
+      s""", $txnifiedSql
+         |SELECT _schema, _table, _start_ts, _commit_ts,
+         |  COUNT(*) AS n_rows,
+         |  string_agg($canalValueSql, chr(10) ORDER BY
+         |    CASE WHEN _op = 'D' THEN 1 WHEN _op = 'U' THEN 2 ELSE 3 END,
+         |    _row_id) AS _value
+         |FROM txn GROUP BY 1, 2, 3, 4""".stripMargin),
+
+    "q_lww_state" -> q(
+      """, lww AS (
+        |  SELECT *,
+        |    CASE WHEN _row_id % 3 = 0 THEN _commit_ts + (_row_id % 7) * 1000
+        |         ELSE NULL END AS _origin_ts
+        |  FROM env)
+        |SELECT _schema, _table,
+        |  after_user_id AS user_id, after_value AS value, after_k AS k,
+        |  COALESCE(_origin_ts, _commit_ts) AS _effective_ts
+        |FROM (
+        |  SELECT *, ROW_NUMBER() OVER (
+        |    PARTITION BY _schema, _table,
+        |      CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END
+        |    ORDER BY COALESCE(_origin_ts, _commit_ts) DESC,
+        |      _commit_ts DESC, _start_ts DESC,
+        |      CASE WHEN _op = 'D' THEN 1 WHEN _op = 'U' THEN 2 ELSE 3 END DESC,
+        |      _row_id DESC) AS rn
+        |  FROM lww)
+        |WHERE rn = 1 AND _op <> 'D'""".stripMargin),
 
     "q_encode_open" -> q(
       s"""SELECT _row_id,

@@ -47,6 +47,12 @@ object DataQueries {
 
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
 
+    // naive counting join, not the prefix-filtered path: this fixture's
+    // ~50-token near-uniform vocabulary gives prefix filtering nothing
+    // to prune (bucket sizes stay ~uniform, candidates ≈ answers), so
+    // the extra distinct+verify passes only add shuffles — measured 2x
+    // slower at sf0.1. Real corpora (Zipfian, large vocab) invert this;
+    // see Dedup.jaccardPairsPrefix.
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), "source", jaccardThreshold)),
 

@@ -118,6 +118,27 @@ object Codecs {
       coalesce(img.getField("k").cast("string"), lit("\\N"))))
   }
 
+  /** Canal-JSON TXN variant (canal_json_txn_encoder.go): one message
+    * per transaction — the txn's per-row canal messages newline-joined
+    * in apply order (DMLOrder, then row id), with the txn identity on
+    * the envelope. Ordering is made deterministic by sorting the
+    * collected (op_order, row_id, msg) triples, not by collection
+    * order. */
+  def canalJsonTxn(env: DataFrame): DataFrame = {
+    val perRow = canalJson(env)
+    val opOrd = graft.model.Envelope.opOrder(col("_op"))
+    perRow
+      .groupBy(col("_schema"), col("_table"), col("_start_ts"), col("_commit_ts"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(
+              opOrd.as("o"), col("_row_id").as("r"), col("_value").as("v")))),
+            e => e.getField("v")),
+          "\n").as("_value"))
+  }
+
   /** Simple protocol DML message (pkg/sink/codec/simple/encoder.go:48,
     * message.go): version header + type + full ts + table ref. */
   def simpleProtocol(env: DataFrame): DataFrame = {

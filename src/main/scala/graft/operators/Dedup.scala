@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deduplication for training-data pipelines: exact, MinHash+LSH,
@@ -147,6 +148,64 @@ object Dedup {
     inter
       .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nd", "nd_a"), "doc_a")
       .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nd", "nd_b"), "doc_b")
+      .withColumn("jaccard",
+        col("n_inter").cast("double") /
+          (col("nd_a") + col("nd_b") - col("n_inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("n_inter"), col("nd_a"), col("nd_b"), col("jaccard"))
+  }
+
+  /** Exact Jaccard pairs with PREFIX FILTERING — the AllPairs/PPJoin
+    * candidate-generation rule: under any global total order of
+    * tokens, two sets with J(A,B) ≥ t must share a token within their
+    * first ⌊(1-t)·|X|⌋+1 tokens. Ordering tokens rarest-first makes
+    * those prefix buckets the SMALLEST ones, so candidate pairs scale
+    * with rare-token co-occurrence instead of all-token co-occurrence
+    * — the property that survives a 100× corpus scale-up. Candidates
+    * are then verified exactly (sorted-set intersection), so the
+    * output is identical to [[jaccardPairs]].
+    *
+    * WHEN TO USE WHICH: on realistic corpora (large Zipfian vocab)
+    * rare-first prefixes have tiny buckets and candidates ≈ true
+    * pairs, so this path wins by orders of magnitude. On a degenerate
+    * small-uniform vocabulary (the synthetic fixture) prefixes prune
+    * nothing and the extra distinct+verify shuffles make the plain
+    * counting join ~2× faster — measured at sf0.1; q_dedup_ngram
+    * therefore binds to [[jaccardPairs]] while the equivalence spec
+    * pins both paths to identical output.
+    *
+    * Shuffles: token-freq agg (vocab-sized, broadcast back), one
+    * window per doc (token count × 1), prefix self-join, candidate
+    * distinct, two joins against the per-doc set table (dict-sized;
+    * AQE broadcasts when small). */
+  def jaccardPairsPrefix(docs: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val distinctToks = array_distinct(split(col("text"), " "))
+    val toks = docs.select(col("doc_id"), col(blockCol).as("__blk"),
+      explode(distinctToks).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("__f"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("__f"), col("tok"))
+    val wSize = Window.partitionBy(col("doc_id"))
+    val prefix = toks.join(broadcast(freq), "tok")
+      .withColumn("__pos", row_number().over(wDoc))
+      .withColumn("__nd", count(lit(1)).over(wSize))
+      .filter(col("__pos") <= floor(lit(1.0 - threshold) * col("__nd")) + 1)
+      .select(col("doc_id"), col("__blk"), col("tok"))
+    val cands = prefix.as("a").join(prefix.as("b"),
+        col("a.__blk") === col("b.__blk") &&
+          col("a.tok") === col("b.tok") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sets = docs.select(col("doc_id"),
+      array_sort(distinctToks).as("__set"),
+      size(distinctToks).cast("long").as("nd"))
+    cands
+      .join(sets.select(col("doc_id").as("doc_a"),
+        col("__set").as("__set_a"), col("nd").as("nd_a")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"),
+        col("__set").as("__set_b"), col("nd").as("nd_b")), "doc_b")
+      .withColumn("n_inter",
+        size(array_intersect(col("__set_a"), col("__set_b"))).cast("long"))
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("nd_a") + col("nd_b") - col("n_inter")).cast("double"))

@@ -17,6 +17,34 @@ import graft.model.Envelope
   */
 object Materialize {
 
+  /** Active-active (BDR) last-writer-wins state: rows replicated from
+    * another cluster carry an origin-ts, local writes don't; a write
+    * wins when its effective version `IFNULL(origin_ts, commit_ts)`
+    * is greatest — the condition the reference's
+    * `INSERT .. ON DUPLICATE KEY UPDATE col = IF(IFNULL(origin,commit)
+    * <= VALUES(origin), ...)` applies per statement
+    * (sql_builder.go:247-350, mysql_writer_dml_active_active.go).
+    * Envelope must carry `_origin_ts` (nullable long). Ties fall back
+    * to commit order + DMLOrder, matching sequential apply. */
+  def tableStateLww(env: DataFrame, keyCol: String = "user_id"): DataFrame = {
+    val key = when(col("_op") === "D", col(s"before.$keyCol"))
+      .otherwise(col(s"after.$keyCol"))
+    val effective = coalesce(col("_origin_ts"), col("_commit_ts"))
+    val w = Window.partitionBy(col("_schema"), col("_table"), col("__key"))
+      .orderBy(col("__eff").desc, col("_commit_ts").desc, col("_start_ts").desc,
+        Envelope.opOrder(col("_op")).desc, col("_row_id").desc)
+    env.withColumn("__key", key)
+      .withColumn("__eff", effective)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1 && col("_op") =!= "D")
+      .select(
+        col("_schema"), col("_table"),
+        col("after.user_id").as("user_id"),
+        col("after.value").as("value"),
+        col("after.k").as("k"),
+        col("__eff").as("_effective_ts"))
+  }
+
   /** Reduce the envelope to final rows keyed by `keyCol` from the
     * payload (post-image key; deletes key on the pre-image). */
   def tableState(env: DataFrame, keyCol: String = "user_id"): DataFrame = {

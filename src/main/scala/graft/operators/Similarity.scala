@@ -76,11 +76,26 @@ object Similarity {
 
   /** IVF top-k search: probe only the query's cell (nprobe=1) — the
     * candidate set shrinks by ~|centroids| vs brute force; recall
-    * trades off exactly like the reference's vector-index pattern. */
+    * trades off exactly like the reference's vector-index pattern.
+    *
+    * The coarse quantizer is broadcast state BY DEFINITION (a k-means
+    * output, |centroids| bounded at a few thousand), so it lives
+    * driver-side and cell assignment is a single inline
+    * `greatest(struct(dot_i, cid_i)...)` expression over the scan —
+    * no crossJoin+groupBy shuffle, no join back ([[ivfAssign]] remains
+    * the distributed form for quantizers too big to inline). */
   def ivfTopK(emb: DataFrame, centroids: DataFrame, numQueries: Int, k: Int): DataFrame = {
-    val cells = ivfAssign(emb, centroids)
-    val withCell = emb.join(cells, "vec_id")
-      .select(col("vec_id"), col("embedding"), col("cell"),
+    val cents: Array[(Long, Seq[Float])] = centroids
+      .select(col("centroid_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(cents.nonEmpty, "empty coarse quantizer")
+    val cellScores = cents.map { case (cid, vec) =>
+      struct(dot(col("embedding"), typedLit(vec)).as("d"), lit(cid).as("cid"))
+    }
+    val cellExpr = (if (cellScores.length == 1) cellScores.head
+                    else greatest(cellScores.toIndexedSeq: _*)).getField("cid")
+    val withCell = emb
+      .select(col("vec_id"), col("embedding"), cellExpr.as("cell"),
         norm(col("embedding")).as("__n"))
     val queries = withCell.filter(col("vec_id") < numQueries)
       .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),

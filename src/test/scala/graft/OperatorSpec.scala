@@ -139,6 +139,19 @@ class OperatorSpec extends SparkFunSuite {
     assert(sql.forall(s => !s.startsWith("REPLACE")))
   }
 
+  test("prefix-filtered jaccard pairs equal the naive token join exactly") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    val naive = Dedup.jaccardPairs(docs, "source", 0.5)
+    val prefix = Dedup.jaccardPairsPrefix(docs, "source", 0.5)
+    assert(naive.count() > 0, "fixture produces pairs")
+    assert(canon(prefix) == canon(naive))
+    // also at a lower threshold (longer prefixes) and higher (shorter)
+    assert(canon(Dedup.jaccardPairsPrefix(docs, "source", 0.8)) ==
+      canon(Dedup.jaccardPairs(docs, "source", 0.8)))
+  }
+
   test("dedup exact keeps min id per identical text") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
