@@ -43,6 +43,21 @@ class PlanSpec extends SparkFunSuite {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("q_ann_ivf: inline quantizer adds no shuffle before the probe join") {
+    val p = plan("q_ann_ivf")
+    // cell assignment is a scan-side expression: the only exchanges
+    // are the probe-side broadcast and the final top-k window
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      "probe set must broadcast")
+    assert(!p.contains("SortMergeJoin"), "no shuffle join in the IVF path")
+  }
+
+  test("q_txn_chunks_atomic: txn-size table broadcasts back to the fact side") {
+    val p = plan("q_txn_chunks_atomic")
+    assert(p.contains("BroadcastHashJoin"),
+      "chunk assignment must join back via broadcast, not a fact shuffle")
+  }
+
   test("encoders stay inside whole-stage codegen") {
     Seq("q_encode_canal", "q_encode_open", "q_encode_debezium", "q_encode_csv")
       .foreach { q =>
