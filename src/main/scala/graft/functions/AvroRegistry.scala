@@ -138,4 +138,40 @@ object AvroRegistry {
   val evolvedSchemaJson: String =
     AvroCodec.envelopeSchemaJson.stripSuffix("]}") +
       """,{"name":"origin","type":"string","default":"upstream"}]}"""
+
+  // ---- AWS Glue registry framing (glue_schema_registry.go:1-352) ----
+  // Glue's wire format differs from Confluent's: 1-byte header version
+  // (3), 1-byte compression (0 = none), then the schema-version UUID
+  // (16 bytes big-endian), then the payload. Registry semantics
+  // (register → id, resolve by id) are shared with SchemaStore; the
+  // UUID derives deterministically from the canonical schema text so
+  // both sides compute it without coordination.
+
+  val GlueHeaderVersion: Byte = 3
+  val GlueCompressionNone: Byte = 0
+
+  /** Deterministic schema-version UUID: md5 of the canonical schema
+    * text (content-addressing, like the in-memory store's ids). */
+  def glueSchemaUuid(schemaJson: String): java.util.UUID = {
+    val canonical = new Schema.Parser().parse(schemaJson).toString
+    java.util.UUID.nameUUIDFromBytes(canonical.getBytes("UTF-8"))
+  }
+
+  def glueFrame(uuid: java.util.UUID, payload: Array[Byte]): Array[Byte] =
+    ByteBuffer.allocate(18 + payload.length)
+      .put(GlueHeaderVersion).put(GlueCompressionNone)
+      .putLong(uuid.getMostSignificantBits)
+      .putLong(uuid.getLeastSignificantBits)
+      .put(payload).array()
+
+  def glueUnframe(bytes: Array[Byte]): (java.util.UUID, Array[Byte]) = {
+    require(bytes.length >= 18 && bytes(0) == GlueHeaderVersion,
+      "bad glue framing")
+    val bb = ByteBuffer.wrap(bytes)
+    bb.get(); bb.get()
+    val uuid = new java.util.UUID(bb.getLong, bb.getLong)
+    val payload = new Array[Byte](bytes.length - 18)
+    bb.get(payload)
+    (uuid, payload)
+  }
 }

@@ -53,4 +53,11 @@ final case class ChangefeedConfig(
     sink: SinkConfig = SinkConfig(),
     handleKeys: Seq[String] = Seq("user_id"),
     splitUpdateOnKeyChange: Boolean = true,
-    syncPointIntervalNs: Option[Long] = None)
+    syncPointIntervalNs: Option[Long] = None,
+    /** Per-trigger admission cap — the flow-control role of the
+      * reference's adaptive scan window / dynstream memory quota
+      * (pkg/eventservice/scan_window.go:160-210,
+      * docs/design/2024-12-20-ticdc-flow-control.md:36-58): bound how
+      * much source data one micro-batch admits so memory stays flat;
+      * Spark's backpressure replaces the pause/resume thresholds. */
+    maxFilesPerTrigger: Option[Int] = None)

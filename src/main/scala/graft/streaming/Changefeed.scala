@@ -62,6 +62,16 @@ object Changefeed {
     }
   }
 
+  /** Parquet change-log stream with the changefeed's admission cap
+    * applied (flow control, scan_window.go:160-210). */
+  private def sourceStream(spark: SparkSession, cfg: ChangefeedConfig,
+                           sourceDir: String): DataFrame = {
+    val schema = spark.read.parquet(sourceDir).schema
+    val reader = spark.readStream.schema(schema)
+    cfg.maxFilesPerTrigger.foreach(n => reader.option("maxFilesPerTrigger", n))
+    reader.parquet(sourceDir)
+  }
+
   /** MySQL-path changefeed: foreachBatch applies each micro-batch's
     * rows as ordered SQL statements through the conflict-key
     * partitioned writer (SURVEY §2.8 — the reference's
@@ -71,9 +81,7 @@ object Changefeed {
   def runMysql(spark: SparkSession, cfg: ChangefeedConfig, sourceDir: String,
                checkpointDir: String)(execute: Iterator[String] => Unit): StreamingQuery = {
     GraftSession.tune(spark)
-    val schema = spark.read.parquet(sourceDir).schema
-    val source = spark.readStream.schema(schema).parquet(sourceDir)
-    val env = Envelope.fromEvents(source)
+    val env = Envelope.fromEvents(sourceStream(spark, cfg, sourceDir))
     transform(spark, cfg)(env)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -104,9 +112,7 @@ object Changefeed {
                  initial: SchemaRegistry, payloadCols: Seq[String])
                 (emit: (DataFrame, Long) => Unit): StreamingQuery = {
     GraftSession.tune(spark)
-    val schema = spark.read.parquet(sourceDir).schema
-    val source = spark.readStream.schema(schema).parquet(sourceDir)
-    val env = Envelope.fromEvents(source)
+    val env = Envelope.fromEvents(sourceStream(spark, cfg, sourceDir))
     transform(spark, cfg)(env)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -135,9 +141,7 @@ object Changefeed {
   def run(spark: SparkSession, cfg: ChangefeedConfig, sourceDir: String,
           sinkDir: String, checkpointDir: String): StreamingQuery = {
     GraftSession.tune(spark)
-    val schema = spark.read.parquet(sourceDir).schema
-    val source = spark.readStream.schema(schema).parquet(sourceDir)
-    val env = Envelope.fromEvents(source)
+    val env = Envelope.fromEvents(sourceStream(spark, cfg, sourceDir))
     val out = pipeline(spark, cfg)(env)
     out
       .writeStream

@@ -31,6 +31,18 @@ class AvroRegistrySpec extends SparkFunSuite {
     assert(id == 42 && p.toSeq == payload.toSeq)
   }
 
+  test("glue framing: versioned header + deterministic schema uuid, invertible") {
+    val u1 = AvroRegistry.glueSchemaUuid(AvroCodec.envelopeSchemaJson)
+    val u2 = AvroRegistry.glueSchemaUuid(AvroCodec.envelopeSchemaJson)
+    assert(u1 == u2, "uuid is content-addressed")
+    assert(u1 != AvroRegistry.glueSchemaUuid(AvroRegistry.evolvedSchemaJson))
+    val payload = Array[Byte](9, 8, 7)
+    val framed = AvroRegistry.glueFrame(u1, payload)
+    assert(framed(0) == 3.toByte && framed(1) == 0.toByte && framed.length == 21)
+    val (u, p) = AvroRegistry.glueUnframe(framed)
+    assert(u == u1 && p.toSeq == payload.toSeq)
+  }
+
   test("framed round trip decodes by id; evolved reader fills defaults") {
     val store = new AvroRegistry.InMemoryStore
     val subject = "events-app-value"

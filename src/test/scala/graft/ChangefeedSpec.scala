@@ -87,6 +87,27 @@ class ChangefeedSpec extends SparkFunSuite {
     assert(stmts.count(_.startsWith("DELETE FROM")) > 0)
   }
 
+  test("admission cap bounds each micro-batch (flow control)") {
+    val tmp = Files.createTempDirectory("graft-cffc").toString
+    val src = s"$tmp/source"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    // two source files; cap = 1 file per trigger -> >= 2 batches
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events1.parquet"))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events2.parquet"))
+    val capped = cfg.copy(id = "cf-fc", maxFilesPerTrigger = Some(1))
+    val q = Changefeed.run(spark, capped, src, s"$tmp/sink", s"$tmp/ckpt")
+    q.awaitTermination(120000)
+    val batches = q.recentProgress.filter(_.numInputRows > 0)
+    assert(batches.length >= 2,
+      s"cap of 1 file must split the drain, got ${batches.length} batches")
+    assert(batches.forall(_.numInputRows <= 1000),
+      "no batch may admit more than one file's rows")
+  }
+
   test("ddl barrier wired into the streaming loop evolves the registry mid-stream") {
     import graft.model.DdlAction._
     import graft.model.{ColumnDef, SchemaRegistry}
