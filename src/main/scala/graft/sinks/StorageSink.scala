@@ -34,6 +34,41 @@ object StorageSink {
     }
   }
 
+  /** Exact reference file naming: rename each partition directory's
+    * committed part-files to `CDC{idx}.{ext}` with a zero-padded
+    * index continuing from the directory's current max
+    * (generator.go:342 index file, :350-420 data files;
+    * file-index-width config). Runs AFTER the Spark commit — renames
+    * of committed files are atomic per file and idempotent on re-run
+    * (already-renamed files match the CDC pattern and only advance
+    * the index), which is the same visibility contract the
+    * reference's indexer keeps. Driver-side directory walk: the file
+    * COUNT is partition-dir-sized, not row-sized. */
+  def applyCdcNaming(baseDir: String, ext: String, indexWidth: Int = 6): Unit = {
+    val cdcName = ("^CDC(\\d{" + indexWidth + "})\\." + ext + "$").r
+    def walk(dir: java.io.File): Unit = {
+      val children = Option(dir.listFiles()).getOrElse(Array.empty)
+      children.filter(_.isDirectory).foreach(walk)
+      val parts = children.filter(f => f.isFile &&
+        f.getName.startsWith("part-")).sortBy(_.getName)
+      if (parts.nonEmpty) {
+        var idx = children.map(_.getName).collect {
+          case cdcName(n) => n.toLong
+        }.foldLeft(0L)(math.max)
+        parts.foreach { f =>
+          idx += 1
+          val target = new java.io.File(dir,
+            s"CDC${("%0" + indexWidth + "d").format(idx)}.$ext")
+          require(f.renameTo(target), s"rename failed: $f -> $target")
+        }
+        // the index file records the high-water mark (indexer.go)
+        java.nio.file.Files.writeString(
+          dir.toPath.resolve("CDC.index"), idx.toString)
+      }
+    }
+    walk(new java.io.File(baseDir))
+  }
+
   /** Schema metadata file per (schema, table) — the reference writes
     * `schema.json` beside the data (generator.go:103). */
   def writeSchemaMeta(spark: SparkSession, encoded: DataFrame, baseDir: String): Unit = {

@@ -28,6 +28,26 @@ class SinkSpec extends SparkFunSuite {
     assert(Files.exists(Paths.get(s"$tmp/meta/app/events_0/schema.json")))
   }
 
+  test("cdc file naming: part files become CDC{idx}.{ext}, index advances across writes") {
+    val tmp = Files.createTempDirectory("graft-cdcname").toString
+    StorageSink.write(Codecs.canalJson(env), tmp, "text")
+    StorageSink.applyCdcNaming(tmp, "json")
+    val dir = new java.io.File(s"$tmp/_schema=app/_table=events_0")
+      .listFiles().find(_.isDirectory).get
+    val names = dir.listFiles().map(_.getName).sorted.toSeq
+    assert(names.exists(_.matches("CDC\\d{6}\\.json")), names.mkString(","))
+    assert(!names.exists(_.startsWith("part-")), "no raw part files remain")
+    val hw1 = java.nio.file.Files.readString(dir.toPath.resolve("CDC.index")).toLong
+    // a second write continues the index instead of clobbering
+    StorageSink.write(Codecs.canalJson(env), tmp, "text")
+    StorageSink.applyCdcNaming(tmp, "json")
+    val hw2 = java.nio.file.Files.readString(dir.toPath.resolve("CDC.index")).toLong
+    assert(hw2 > hw1, s"index must advance ($hw1 -> $hw2)")
+    // messages still all readable
+    val n = spark.read.text(s"$tmp/_schema=app/_table=events_0/*/CDC*.json").count()
+    assert(n > 0)
+  }
+
   test("kafka frame has the connector contract columns") {
     val prepared = KafkaSink.prepare(
       Codecs.canalJson(Routing.routeTopic(
