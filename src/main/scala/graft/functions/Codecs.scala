@@ -187,4 +187,114 @@ object Codecs {
         regexp_replace(c, lit("\\\\"), lit("\\\\\\\\")),
         lit("\""), lit("\\\\\"")),
       lit("\n"), lit("\\\\n"))
+
+  // ---- schema-driven (generic payload) encoders ----
+  // The fixture encoders above pin the oracle-checked byte layout for
+  // the (user_id, value, k) payload; these derive the rendering from
+  // the payload StructType, covering the reference's full scalar type
+  // matrix (formatColVal pkg/common/event/chunk.go:242-310, CSV type
+  // switch csv_message.go:246-330): integers bare, decimals plain,
+  // strings JSON-escaped, BINARY base64 (CSVConfig binary-encoding,
+  // pkg/config/sink.go:283), DATE/DATETIME canonical strings,
+  // BOOLEAN as 1/0 (MySQL tinyint), VECTOR as the bracketed list
+  // TiDB renders (chunk.go:302-303).
+
+  import org.apache.spark.sql.types._
+
+  /** Render one payload field as a JSON value expression. */
+  def jsonValueFor(c: Column, dt: DataType): Column = {
+    val rendered: Column = dt match {
+      case ByteType | ShortType | IntegerType | LongType => c.cast("string")
+      case _: DecimalType => c.cast("string")
+      case FloatType | DoubleType => c.cast("string")
+      case BooleanType => when(c, lit("1")).otherwise(lit("0"))
+      case StringType => concat(lit("\""), jsonEscape(c), lit("\""))
+      case BinaryType => concat(lit("\""), base64(c), lit("\""))
+      case DateType => concat(lit("\""), date_format(c, "yyyy-MM-dd"), lit("\""))
+      case _: TimestampType | _: TimestampNTZType =>
+        concat(lit("\""), date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("\""))
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        concat(lit("\"["), array_join(transform(c, e => e.cast("string")), ","), lit("]\""))
+      case _ => concat(lit("\""), jsonEscape(c.cast("string")), lit("\""))
+    }
+    coalesce(rendered, lit("null"))
+  }
+
+  /** JSON image object for an arbitrary payload struct column, fields
+    * in schema order; null image → literal null. */
+  def imageJsonFor(img: String, fields: Seq[StructField]): Column = {
+    val body = fields.zipWithIndex.flatMap { case (f, i) =>
+      val sep = if (i == 0) "{\"" else ",\""
+      Seq(lit(s"$sep${f.name}\":"), jsonValueFor(col(s"$img.${f.name}"), f.dataType))
+    } :+ lit("}")
+    when(col(img).isNull, lit("null")).otherwise(concat(body: _*))
+  }
+
+  /** Canal-JSON over an arbitrary payload schema (generic form of
+    * [[canalJson]]). */
+  def canalJsonFor(env: DataFrame, handleKeys: Seq[String]): DataFrame = {
+    val fields = env.schema("after").dataType.asInstanceOf[StructType].fields.toSeq
+    val typ = when(col("_op") === "I", "INSERT")
+      .when(col("_op") === "U", "UPDATE").otherwise("DELETE")
+    val dataImg = when(col("_op") === "D", imageJsonFor("before", fields))
+      .otherwise(imageJsonFor("after", fields))
+    val oldImg = when(col("_op") === "U",
+      concat(lit("["), imageJsonFor("before", fields), lit("]"))).otherwise(lit("null"))
+    val pks = handleKeys.map(k => "\"" + k + "\"").mkString(",")
+    env.withColumn("_value", concat(
+      lit("{\"id\":0,\"database\":\""), col("_schema"),
+      lit("\",\"table\":\""), col("_table"),
+      lit(s"""\",\"pkNames\":[$pks],\"isDdl\":false,\"type\":\""""), typ,
+      lit("\",\"es\":"), ms(col("_commit_ts")),
+      lit(",\"ts\":"), ms(col("_commit_ts")),
+      lit(",\"data\":["), dataImg,
+      lit("],\"old\":"), oldImg,
+      lit("}")))
+  }
+
+  /** Debezium envelope over an arbitrary payload schema. */
+  def debeziumJsonFor(env: DataFrame): DataFrame = {
+    val fields = env.schema("after").dataType.asInstanceOf[StructType].fields.toSeq
+    val op = when(col("_op") === "I", "c")
+      .when(col("_op") === "U", "u").otherwise("d")
+    env.withColumn("_value", concat(
+      lit("{\"before\":"), imageJsonFor("before", fields),
+      lit(",\"after\":"), imageJsonFor("after", fields),
+      lit(",\"source\":{\"db\":\""), col("_schema"),
+      lit("\",\"table\":\""), col("_table"),
+      lit("\",\"commit_ts\":"), col("_commit_ts"),
+      lit("},\"op\":\""), op,
+      lit("\",\"ts_ms\":"), ms(col("_commit_ts")),
+      lit("}")))
+  }
+
+  /** CSV line over an arbitrary payload schema (meta columns then
+    * payload in schema order; csv_message.go:246-330 type switch). */
+  def csvLineFor(env: DataFrame): DataFrame = {
+    val fields = env.schema("after").dataType.asInstanceOf[StructType].fields.toSeq
+    def q(c: Column): Column = concat(
+      lit("\""),
+      regexp_replace(coalesce(c.cast("string"), lit("\\N")), lit("\""), lit("\"\"")),
+      lit("\""))
+    val img = when(col("_op") === "D", col("before")).otherwise(col("after"))
+    val payload = fields.map { f =>
+      val c = img.getField(f.name)
+      f.dataType match {
+        case StringType => q(c)
+        case BinaryType => coalesce(base64(c), lit("\\N"))
+        case BooleanType => coalesce(when(c, lit("1")).otherwise(lit("0")), lit("\\N"))
+        case DateType => coalesce(date_format(c, "yyyy-MM-dd"), lit("\\N"))
+        case _: TimestampType | _: TimestampNTZType =>
+          coalesce(date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("\\N"))
+        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+          coalesce(concat(lit("\"["),
+            array_join(transform(c, e => e.cast("string")), ","), lit("]\"")), lit("\\N"))
+        case _ => coalesce(c.cast("string"), lit("\\N"))
+      }
+    }
+    env.withColumn("_value", concat_ws(",",
+      (Seq(q(when(col("_op") === "I", "I").when(col("_op") === "U", "U").otherwise("D")),
+        q(col("_schema")), q(col("_table")),
+        col("_commit_ts").cast("string")) ++ payload): _*))
+  }
 }

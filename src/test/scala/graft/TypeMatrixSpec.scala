@@ -1,0 +1,165 @@
+package graft
+
+import java.sql.Date
+import java.time.LocalDateTime
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.functions.Codecs
+
+/** Full scalar type matrix through the schema-driven encoders — the
+  * reference's golden-data test (canal_json_basic/data/data.sql:5-45
+  * exercises min/max of every numeric type; vector/data/data.sql the
+  * VECTOR column). Every value must survive encode → wire → parse. */
+class TypeMatrixSpec extends SparkFunSuite {
+
+  private val payloadSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("i8", ByteType),
+    StructField("i16", ShortType),
+    StructField("i32", IntegerType),
+    StructField("i64", LongType),
+    StructField("u64", DecimalType(20, 0)), // unsigned BIGINT max
+    StructField("f32", FloatType),
+    StructField("f64", DoubleType),
+    StructField("dec", DecimalType(18, 2)),
+    StructField("s", StringType),
+    StructField("bin", BinaryType),
+    StructField("flag", BooleanType),
+    StructField("d", DateType),
+    StructField("t", TimestampNTZType),
+    StructField("vec", ArrayType(FloatType))))
+
+  private val maxRow = Row(1L, 127.toByte, 32767.toShort, Int.MaxValue, Long.MaxValue,
+    new java.math.BigDecimal("18446744073709551615"), Float.MaxValue, Double.MaxValue,
+    new java.math.BigDecimal("12345678901234.56"),
+    "qu\"ote, comma \\ back ünïcode", Array[Byte](0, 1, 127, -128),
+    true, Date.valueOf("2024-02-29"),
+    LocalDateTime.parse("2024-02-29T23:59:59.999999"),
+    Seq(1.5f, -2.25f))
+
+  private val minRow = Row(2L, (-128).toByte, (-32768).toShort, Int.MinValue, Long.MinValue,
+    new java.math.BigDecimal("0"), Float.MinPositiveValue, Double.MinPositiveValue,
+    new java.math.BigDecimal("-0.01"),
+    "", Array[Byte](), false, Date.valueOf("1970-01-01"),
+    LocalDateTime.parse("1970-01-01T00:00:00"), Seq.empty[Float])
+
+  private def envOf(rows: Row*) = {
+    val envSchema = StructType(Seq(
+      StructField("_row_id", LongType), StructField("_schema", StringType),
+      StructField("_table", StringType), StructField("_op", StringType),
+      StructField("_commit_ts", LongType), StructField("_start_ts", LongType),
+      StructField("before", payloadSchema), StructField("after", payloadSchema)))
+    val data = rows.zipWithIndex.map { case (r, i) =>
+      Row(i.toLong, "app", "types", "I", 1700000000000000000L + i, 1700000000000000000L - 1 + i,
+        null, r)
+    }
+    spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(data).asJava),
+      envSchema)
+  }
+
+  /** Wire-level parse schema: how each payload type comes back off the
+    * JSON wire (bool arrives as MySQL-style 1/0, vector as its
+    * bracketed rendering). */
+  private val wireSchema = StructType(Seq(
+    StructField("id", LongType),
+    StructField("i8", ByteType),
+    StructField("i16", ShortType),
+    StructField("i32", IntegerType),
+    StructField("i64", LongType),
+    StructField("u64", DecimalType(20, 0)),
+    StructField("f32", FloatType),
+    StructField("f64", DoubleType),
+    StructField("dec", DecimalType(18, 2)),
+    StructField("s", StringType),
+    StructField("bin", BinaryType),
+    StructField("flag", LongType),
+    StructField("d", DateType),
+    StructField("t", TimestampNTZType),
+    StructField("vec", StringType)))
+
+  test("canal generic encoder round-trips the full type matrix") {
+    val env = envOf(maxRow, minRow)
+    val encoded = Codecs.canalJsonFor(env, Seq("id"))
+    val msgSchema = StructType(Seq(
+      StructField("database", StringType), StructField("table", StringType),
+      StructField("pkNames", ArrayType(StringType)),
+      StructField("type", StringType),
+      StructField("data", ArrayType(wireSchema))))
+    val parsed = encoded.select(col("_row_id"),
+      from_json(col("_value"), msgSchema,
+        scala.jdk.CollectionConverters.MapHasAsJava(Map(
+          "timestampNTZFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")).asJava).as("m"))
+      .select(col("_row_id"), col("m.pkNames").as("pks"),
+        element_at(col("m.data"), 1).as("w"))
+    val rows = parsed.orderBy("_row_id").collect()
+    assert(rows.length == 2)
+    assert(rows(0).getSeq[String](1) == Seq("id"))
+
+    val w = rows(0).getStruct(2)
+    assert(w.getByte(1) == 127.toByte && w.getShort(2) == 32767.toShort)
+    assert(w.getInt(3) == Int.MaxValue && w.getLong(4) == Long.MaxValue)
+    assert(w.getDecimal(5) == new java.math.BigDecimal("18446744073709551615"))
+    assert(w.getFloat(6) == Float.MaxValue)
+    assert(w.getDouble(7) == Double.MaxValue)
+    assert(w.getDecimal(8).compareTo(new java.math.BigDecimal("12345678901234.56")) == 0)
+    assert(w.getString(9) == "qu\"ote, comma \\ back ünïcode")
+    assert(w.getAs[Array[Byte]](10).toSeq == Seq[Byte](0, 1, 127, -128))
+    assert(w.getLong(11) == 1L, "boolean arrives MySQL-style 1/0")
+    assert(w.getDate(12) == Date.valueOf("2024-02-29"))
+    assert(w.getAs[LocalDateTime](13) == LocalDateTime.parse("2024-02-29T23:59:59.999999"))
+    assert(w.getString(14) == "[1.5,-2.25]", "vector renders TiDB-style")
+
+    val m = rows(1).getStruct(2)
+    assert(m.getByte(1) == -128 && m.getInt(3) == Int.MinValue && m.getLong(4) == Long.MinValue)
+    assert(m.getFloat(6) == Float.MinPositiveValue && m.getDouble(7) == Double.MinPositiveValue)
+    assert(m.getDecimal(8).compareTo(new java.math.BigDecimal("-0.01")) == 0)
+    assert(m.getString(9) == "" && m.getAs[Array[Byte]](10).isEmpty)
+    assert(m.getLong(11) == 0L && m.getString(14) == "[]")
+  }
+
+  test("debezium generic encoder carries before/after for the matrix") {
+    val env = envOf(maxRow)
+      .withColumn("_op", lit("U"))
+      .withColumn("before", col("after"))
+    val encoded = Codecs.debeziumJsonFor(env)
+    val msgSchema = StructType(Seq(
+      StructField("before", wireSchema), StructField("after", wireSchema),
+      StructField("op", StringType)))
+    val p = encoded.select(from_json(col("_value"), msgSchema,
+      scala.jdk.CollectionConverters.MapHasAsJava(Map(
+        "timestampNTZFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")).asJava).as("m"))
+      .select("m.before.i64", "m.after.u64", "m.op").head()
+    assert(p.getLong(0) == Long.MaxValue)
+    assert(p.getDecimal(1) == new java.math.BigDecimal("18446744073709551615"))
+    assert(p.getString(2) == "u")
+  }
+
+  test("csv generic encoder round-trips the matrix via from_csv") {
+    // newline-free string for the line-oriented wire
+    val csvRow = Row.fromSeq(maxRow.toSeq.updated(9, "qu\"ote, comma"))
+    val env = envOf(csvRow)
+    val encoded = Codecs.csvLineFor(env)
+    val lineSchema = StructType(
+      Seq(StructField("_op", StringType), StructField("_schema", StringType),
+        StructField("_table", StringType), StructField("_commit_ts", LongType)) ++
+        wireSchema.fields.map {
+          case StructField("bin", _, _, _) => StructField("bin", StringType) // base64 text
+          case f => f
+        })
+    val p = encoded.select(from_csv(col("_value"), lineSchema, Map(
+      "nullValue" -> "\\N", "escape" -> "\"",
+      "timestampNTZFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")).as("w"))
+      .select("w.*").head()
+    assert(p.getAs[String]("_op") == "I")
+    assert(p.getAs[Long]("i64") == Long.MaxValue)
+    assert(p.getAs[java.math.BigDecimal]("u64") == new java.math.BigDecimal("18446744073709551615"))
+    assert(p.getAs[String]("s") == "qu\"ote, comma")
+    assert(java.util.Base64.getDecoder.decode(p.getAs[String]("bin")).toSeq ==
+      Seq[Byte](0, 1, 127, -128))
+    assert(p.getAs[Long]("flag") == 1L)
+    assert(p.getAs[Date]("d") == Date.valueOf("2024-02-29"))
+    assert(p.getAs[String]("vec") == "[1.5,-2.25]")
+  }
+}
