@@ -123,6 +123,28 @@ object ExtQueries {
         .withColumn("ddl_class", graft.operators.Filters.ddlClass(col("query")))
     }),
 
+    "q_ddl_dispatch" -> ((s, d) => {
+      val ddl = graft.operators.SchemaAsOf.sampleVersions(env(s, d))
+        .withColumn("query", ddlFixtureQuery)
+        .cache()
+      graft.operators.Filters.ddlDispatch(ddl,
+        Seq("app.events_*", "!app.events_3"),
+        Seq("truncate table"), Seq("^CREATE INDEX"))
+    }),
+
+    "q_filter_virtual" -> ((s, d) => {
+      // generated column vk = value * 2 + k evaluated into both
+      // images, then the expression filter predicates over it
+      val withV = graft.operators.Filters.withVirtualColumns(s, env(s, d),
+        Seq("vk" -> "value * 2 + k"))
+      val filtered = graft.operators.Filters.exprFilter(s, withV,
+        ignoreInsert = Some("vk > 300"))
+      filtered.select(
+        col("_row_id"), col("_schema"), col("_table"), col("_op"),
+        col("_commit_ts"), col("_start_ts"),
+        col("before.vk").as("before_vk"), col("after.vk").as("after_vk"))
+    }),
+
     "q_dedup_embedding" -> ((s, d) => {
       // embedding-cosine near-dup: same LSH machinery as ANN, higher bar
       val emb = Tables.embeddings(s, d)
@@ -277,6 +299,32 @@ object ExtQueries {
         |    WHEN 0 THEN 'create table' ELSE 'add column' END AS ddl_class
         |FROM ddl
         |WHERE (version_ts % 5000) // 1000 IN (0, 1)""".stripMargin),
+
+    "q_ddl_dispatch" -> q(
+      s""", ddl AS (
+         |  SELECT _schema, _table, _commit_ts AS version_ts,
+         |    CASE (_commit_ts % 5000) // 1000
+         |      WHEN 0 THEN 'CREATE TABLE ' || _table
+         |      WHEN 1 THEN 'ALTER TABLE ' || _table || ' ADD COLUMN c INT'
+         |      WHEN 2 THEN 'DROP TABLE ' || _table
+         |      WHEN 3 THEN 'TRUNCATE TABLE ' || _table
+         |      ELSE 'CREATE INDEX idx ON ' || _table END AS query
+         |  FROM env WHERE _row_id % 97 = 0
+         |)
+         |SELECT *,
+         |  CASE WHEN NOT (${graft.operators.TableMatcher.matchesSql("_schema", "_table",
+                Seq("app.events_*", "!app.events_3"))}) THEN 'discard'
+         |       WHEN (version_ts % 5000) // 1000 IN (3, 4) THEN 'ignore'
+         |       ELSE 'emit' END AS _ddl_action
+         |FROM ddl""".stripMargin),
+
+    "q_filter_virtual" -> q(
+      """SELECT _row_id, _schema, _table, _op, _commit_ts, _start_ts,
+        |  before_value * 2 + before_k AS before_vk,
+        |  after_value * 2 + after_k AS after_vk
+        |FROM env
+        |WHERE NOT (_op = 'I'
+        |  AND COALESCE(after_value * 2 + after_k > 300, FALSE))""".stripMargin),
 
     "q_dedup_embedding" ->
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

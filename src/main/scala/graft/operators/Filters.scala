@@ -147,6 +147,41 @@ object Filters {
     ddl.filter(!(byClass || byRegex))
   }
 
+  /** Two-level DDL treatment (filter.go:53-68): a DDL on a table the
+    * changefeed doesn't replicate is DISCARDED outright; one matched
+    * by ignore rules is IGNORED — still applied to the schema registry
+    * (the table's shape must stay correct) but not emitted downstream;
+    * everything else EMITS. Returns the frame with a `_ddl_action`
+    * column so the barrier loop can route each class. */
+  def ddlDispatch(ddl: DataFrame, tableRules: Seq[String],
+                  ignoreClasses: Seq[String],
+                  ignoreSqlRegexps: Seq[String]): DataFrame = {
+    val replicated = TableMatcher.matches(col("_schema"), col("_table"), tableRules)
+    val byClass =
+      if (ignoreClasses.isEmpty) lit(false)
+      else ddlClass(col("query")).isin(ignoreClasses: _*)
+    val byRegex = ignoreSqlRegexps
+      .map(p => regexp_like(col("query"), lit(p)))
+      .foldLeft(lit(false))(_ || _)
+    ddl.withColumn("_ddl_action",
+      when(!replicated, "discard")
+        .when(byClass || byRegex, "ignore")
+        .otherwise("emit"))
+  }
+
+  /** Evaluate generated/virtual columns into both images before
+    * predicate evaluation — the reference builds the row with virtual
+    * columns first (expr_filter.go:323 buildRowWithVirtualColumns;
+    * generated cols SURVEY §1.3). Expressions are SQL over the bare
+    * payload names, resolved per image; a null image stays null. */
+  def withVirtualColumns(spark: SparkSession, env: DataFrame,
+                         virtuals: Seq[(String, String)]): DataFrame =
+    virtuals.foldLeft(env) { case (df, (name, sql)) =>
+      // UpdateFields propagates a null struct, so no guard is needed
+      df.withColumn("before", col("before").withField(name, imageExpr(spark, sql, "before")))
+        .withColumn("after", col("after").withField(name, imageExpr(spark, sql, "after")))
+    }
+
   /** System-schema / eligibility filter (filter.go:33-44,73-74):
     * always-deny schemas, plus ineligible tables (no handle key)
     * unless forceReplicate. Covers both the CDC-private schemas and

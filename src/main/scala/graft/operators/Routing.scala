@@ -42,9 +42,18 @@ object Routing {
     * columns.go:44). Key columns come from the post-image for I/U and
     * the pre-image for D. */
   def partitionByKeyColumns(env: DataFrame, keyCols: Seq[String],
-                            numPartitions: Int): DataFrame = {
+                            numPartitions: Int,
+                            caseInsensitiveKeys: Boolean = false): DataFrame = {
+    val afterType = env.schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
     val keyVals = keyCols.map { f =>
-      when(col("_op") === "D", col(s"before.$f")).otherwise(col(s"after.$f"))
+      val v = when(col("_op") === "D", col(s"before.$f")).otherwise(col(s"after.$f"))
+      // collation-aware canonicalization: ci-collated string keys
+      // lowercase before hashing so 'ABC' and 'abc' conflict-order
+      // together (genRowKeys, causality/helper.go:129)
+      if (caseInsensitiveKeys &&
+        afterType(f).dataType == org.apache.spark.sql.types.StringType) lower(v)
+      else v
     }
     env.withColumn("_partition",
       pmod(stableHash(col("_schema") +: col("_table") +: keyVals),

@@ -152,6 +152,23 @@ class OperatorSpec extends SparkFunSuite {
       canon(Dedup.jaccardPairs(docs, "source", 0.8)))
   }
 
+  test("collation-aware conflict keys co-partition ci-collated strings") {
+    import spark.implicits._
+    val env = Seq(("ABC", 1L), ("abc", 2L)).toDF("name", "_row_id")
+      .withColumn("_schema", lit("app")).withColumn("_table", lit("t"))
+      .withColumn("_op", lit("I"))
+      .withColumn("_commit_ts", lit(10L)).withColumn("_start_ts", lit(9L))
+      .withColumn("after", struct(col("name")))
+      .withColumn("before", when(lit(false), struct(col("name"))))
+      .drop("name")
+    def parts(ci: Boolean): Seq[Long] =
+      Routing.partitionByKeyColumns(env, Seq("name"), 1024, caseInsensitiveKeys = ci)
+        .select("_partition").collect().map(_.getLong(0)).toSeq
+    val ci = parts(true)
+    assert(ci.distinct.size == 1, "ci collation: ABC and abc share a partition")
+    assert(parts(false).distinct.size == 2, "cs collation: they separate")
+  }
+
   test("dedup exact keeps min id per identical text") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
