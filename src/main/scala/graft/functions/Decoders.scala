@@ -20,7 +20,13 @@ object Decoders {
     StructField("value", DoubleType),
     StructField("k", LongType)))
 
-  private val canalSchema = StructType(Seq(
+  /** The options a canal wire parse needs for the generic encoders'
+    * canonical renderings. */
+  private val wireOptions = Map(
+    "timestampNTZFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS",
+    "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")
+
+  private def canalSchemaFor(image: StructType) = StructType(Seq(
     StructField("id", LongType),
     StructField("database", StringType),
     StructField("table", StringType),
@@ -29,13 +35,21 @@ object Decoders {
     StructField("type", StringType),
     StructField("es", LongType),
     StructField("ts", LongType),
-    StructField("data", ArrayType(imageSchema)),
-    StructField("old", ArrayType(imageSchema))))
+    StructField("data", ArrayType(image)),
+    StructField("old", ArrayType(image))))
 
-  /** Canal-JSON message → envelope-ish frame. `data[0]` is the
-    * post-image (pre-image for DELETE); `old[0]` the update pre-image. */
-  def decodeCanal(msgs: DataFrame, valueCol: String = "_value"): DataFrame = {
-    val j = from_json(col(valueCol), canalSchema)
+  /** Canal-JSON message → envelope-ish frame for the fixture payload. */
+  def decodeCanal(msgs: DataFrame, valueCol: String = "_value"): DataFrame =
+    decodeCanalFor(msgs, imageSchema, valueCol)
+
+  /** Canal-JSON decode over an arbitrary wire image schema (consumer
+    * side of Codecs.canalJsonFor; reference canal_json_decoder.go:725).
+    * `data[0]` is the post-image (pre-image for DELETE); `old[0]` the
+    * update pre-image. */
+  def decodeCanalFor(msgs: DataFrame, image: StructType,
+                     valueCol: String = "_value"): DataFrame = {
+    val imageSchema = image
+    val j = from_json(col(valueCol), canalSchemaFor(image), wireOptions)
     msgs.select(
       j.getField("database").as("_schema"),
       j.getField("table").as("_table"),
@@ -79,19 +93,25 @@ object Decoders {
       v.getField("u").as("after"))
   }
 
-  private val debeziumSchema = StructType(Seq(
-    StructField("before", imageSchema),
-    StructField("after", imageSchema),
+  private def debeziumSchemaFor(image: StructType) = StructType(Seq(
+    StructField("before", image),
+    StructField("after", image),
     StructField("source", StructType(Seq(
       StructField("db", StringType), StructField("table", StringType),
       StructField("commit_ts", LongType)))),
     StructField("op", StringType),
     StructField("ts_ms", LongType)))
 
-  /** Debezium envelope → envelope frame (lossless: source block
-    * carries full ns commit-ts). */
-  def decodeDebezium(msgs: DataFrame, valueCol: String = "_value"): DataFrame = {
-    val j = from_json(col(valueCol), debeziumSchema)
+  /** Debezium envelope → envelope frame for the fixture payload. */
+  def decodeDebezium(msgs: DataFrame, valueCol: String = "_value"): DataFrame =
+    decodeDebeziumFor(msgs, imageSchema, valueCol)
+
+  /** Debezium decode over an arbitrary wire image schema (consumer
+    * side of Codecs.debeziumJsonFor; reference debezium/decoder.go:532;
+    * lossless: source block carries full ns commit-ts). */
+  def decodeDebeziumFor(msgs: DataFrame, image: StructType,
+                        valueCol: String = "_value"): DataFrame = {
+    val j = from_json(col(valueCol), debeziumSchemaFor(image), wireOptions)
     msgs.select(
       j.getField("source").getField("db").as("_schema"),
       j.getField("source").getField("table").as("_table"),

@@ -136,6 +136,24 @@ class TypeMatrixSpec extends SparkFunSuite {
     assert(p.getString(2) == "u")
   }
 
+  test("generic decoders invert the generic encoders") {
+    import graft.functions.Decoders
+    val env = envOf(maxRow)
+    val canal = Decoders.decodeCanalFor(Codecs.canalJsonFor(env, Seq("id")), wireSchema)
+    val c = canal.select(col("_op"), col("_schema"), col("after.i64"),
+      col("after.u64"), col("after.s")).head()
+    assert(c.getString(0) == "I" && c.getString(1) == "app")
+    assert(c.getLong(2) == Long.MaxValue)
+    assert(c.getDecimal(3) == new java.math.BigDecimal("18446744073709551615"))
+    assert(c.getString(4) == "qu\"ote, comma \\ back ünïcode")
+
+    val deb = Decoders.decodeDebeziumFor(Codecs.debeziumJsonFor(env), wireSchema)
+    val d = deb.select(col("_commit_ts"), col("after.vec"), col("before")).head()
+    assert(d.getLong(0) == 1700000000000000000L, "full-ns commit ts lossless")
+    assert(d.getString(1) == "[1.5,-2.25]")
+    assert(d.isNullAt(2), "insert has no pre-image")
+  }
+
   test("csv generic encoder round-trips the matrix via from_csv") {
     // newline-free string for the line-oriented wire
     val csvRow = Row.fromSeq(maxRow.toSeq.updated(9, "qu\"ote, comma"))
