@@ -123,6 +123,13 @@ object ExtQueries {
         .withColumn("ddl_class", graft.operators.Filters.ddlClass(col("query")))
     }),
 
+    "q_msg_batches" -> ((s, d) => {
+      val encoded = Codecs.canalJson(
+        graft.operators.Routing.partitionByKeyColumns(env(s, d), Seq("user_id"), 8))
+      LargeMessage.messageBatches(encoded, 4000L)
+        .select(col("_row_id"), col("_partition"), col("_msg_bytes"), col("_msg_batch"))
+    }),
+
     "q_ddl_dispatch" -> ((s, d) => {
       val ddl = graft.operators.SchemaAsOf.sampleVersions(env(s, d))
         .withColumn("query", ddlFixtureQuery)
@@ -299,6 +306,22 @@ object ExtQueries {
         |    WHEN 0 THEN 'create table' ELSE 'add column' END AS ddl_class
         |FROM ddl
         |WHERE (version_ts % 5000) // 1000 IN (0, 1)""".stripMargin),
+
+    "q_msg_batches" -> q(
+      s""", part AS (
+         |  SELECT *,
+         |    ${graft.operators.Routing.stableHashSql(Seq("_schema", "_table",
+              "CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END"))} % 8 AS _partition,
+         |    length(${CdcQueries.canalValueSql}) AS len
+         |  FROM env
+         |)
+         |SELECT _row_id, _partition,
+         |  CAST(len AS BIGINT) AS _msg_bytes,
+         |  CAST((SUM(len) OVER (PARTITION BY _partition
+         |    ORDER BY _commit_ts, _start_ts,
+         |      CASE WHEN _op = 'D' THEN 1 WHEN _op = 'U' THEN 2 ELSE 3 END,
+         |      _row_id) - len) // 4000 AS BIGINT) AS _msg_batch
+         |FROM part""".stripMargin),
 
     "q_ddl_dispatch" -> q(
       s""", ddl AS (

@@ -99,6 +99,130 @@ object AvroCodec {
     StructField("after_value", DoubleType),
     StructField("after_k", LongType)))
 
+  // ---- generic schema generation (reference avro/arvo.go: schema
+  // per table version from column metadata) ----
+
+  /** Spark type → Avro schema JSON fragment, using the logical types
+    * the reference's generator emits (decimal-as-bytes,
+    * date, timestamp-micros; VECTOR → float array). */
+  def avroTypeFor(dt: DataType): String = dt match {
+    case ByteType | ShortType | IntegerType => "\"int\""
+    case LongType => "\"long\""
+    case FloatType => "\"float\""
+    case DoubleType => "\"double\""
+    case BooleanType => "\"boolean\""
+    case StringType => "\"string\""
+    case BinaryType => "\"bytes\""
+    case d: DecimalType =>
+      s"""{"type":"bytes","logicalType":"decimal","precision":${d.precision},"scale":${d.scale}}"""
+    case DateType => """{"type":"int","logicalType":"date"}"""
+    case _: TimestampType | _: TimestampNTZType =>
+      """{"type":"long","logicalType":"timestamp-micros"}"""
+    case ArrayType(FloatType, _) => """{"type":"array","items":"float"}"""
+    case ArrayType(DoubleType, _) => """{"type":"array","items":"double"}"""
+    case other => sys.error(s"unsupported avro payload type: $other")
+  }
+
+  /** Record schema for an arbitrary payload (every field a nullable
+    * union, like the reference's optional columns). */
+  def avroSchemaFor(fields: Seq[StructField], name: String): String =
+    fields.map(f =>
+      s"""{"name":"${f.name}","type":["null",${avroTypeFor(f.dataType)}],"default":null}""")
+      .mkString(
+        s"""{"type":"record","name":"$name","namespace":"graft","fields":[""",
+        ",", "]}")
+
+  private def toAvroValue(v: Any, dt: DataType): AnyRef = (v, dt) match {
+    case (null, _) => null
+    case (x: Byte, _) => Int.box(x.toInt)
+    case (x: Short, _) => Int.box(x.toInt)
+    case (x: java.math.BigDecimal, _) =>
+      java.nio.ByteBuffer.wrap(x.unscaledValue.toByteArray)
+    case (x: Array[Byte], _) => java.nio.ByteBuffer.wrap(x)
+    case (x: java.sql.Date, _) => Int.box(x.toLocalDate.toEpochDay.toInt)
+    case (x: java.time.LocalDateTime, _) =>
+      Long.box(x.toInstant(java.time.ZoneOffset.UTC).getEpochSecond * 1000000L +
+        x.getNano / 1000L)
+    case (x: java.sql.Timestamp, _) =>
+      Long.box(x.getTime * 1000L + (x.getNanos % 1000000) / 1000L)
+    case (x: scala.collection.Seq[_], _) =>
+      scala.jdk.CollectionConverters.SeqHasAsJava(
+        x.map(_.asInstanceOf[AnyRef])).asJava
+    case (x, _) => x.asInstanceOf[AnyRef]
+  }
+
+  private def fromAvroValue(v: AnyRef, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (x: org.apache.avro.util.Utf8, _) => x.toString
+    case (x: java.lang.Integer, ByteType) => x.byteValue()
+    case (x: java.lang.Integer, ShortType) => x.shortValue()
+    case (x: java.nio.ByteBuffer, d: DecimalType) =>
+      new java.math.BigDecimal(new java.math.BigInteger(bytesOf(x)), d.scale)
+    case (x: java.nio.ByteBuffer, BinaryType) => bytesOf(x)
+    case (x: java.lang.Integer, DateType) =>
+      java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.longValue()))
+    case (x: java.lang.Long, TimestampNTZType) =>
+      java.time.LocalDateTime.ofEpochSecond(
+        Math.floorDiv(x.longValue(), 1000000L),
+        (Math.floorMod(x.longValue(), 1000000L) * 1000L).toInt,
+        java.time.ZoneOffset.UTC)
+    case (x: java.util.Collection[_], _) =>
+      scala.jdk.CollectionConverters.CollectionHasAsScala(x)
+        .asScala.map(e => fromAvroValue(e.asInstanceOf[AnyRef], NullType)).toSeq
+    case (x, _) => x
+  }
+
+  private def bytesOf(bb: java.nio.ByteBuffer): Array[Byte] = {
+    val b = new Array[Byte](bb.remaining()); bb.duplicate().get(b); b
+  }
+
+  /** Generic encode: payload struct `after` of any supported schema →
+    * (row_id, avro binary) under the generated record schema. */
+  def encodeGeneric(env: DataFrame, payload: StructType): DataFrame = {
+    val json = avroSchemaFor(payload.fields.toSeq, "Payload")
+    val fieldTypes = payload.fields.map(f => f.name -> f.dataType).toSeq
+    env.select(col("_row_id"), col("after"))
+      .mapPartitions { rows =>
+        val schema = new Schema.Parser().parse(json)
+        val writer = new GenericDatumWriter[GenericRecord](schema)
+        val buf = new ByteArrayOutputStream(256)
+        var enc: BinaryEncoder = null
+        rows.map { r =>
+          val rec = new GenericData.Record(schema)
+          val payloadRow = r.getStruct(1)
+          fieldTypes.zipWithIndex.foreach { case ((n, dt), i) =>
+            rec.put(n, if (payloadRow == null || payloadRow.isNullAt(i)) null
+              else toAvroValue(payloadRow.get(i), dt))
+          }
+          buf.reset()
+          enc = EncoderFactory.get().binaryEncoder(buf, enc)
+          writer.write(rec, enc)
+          enc.flush()
+          Row(r.getLong(0), buf.toByteArray)
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Generic decode: avro binary → flattened payload columns. */
+  def decodeGeneric(msgs: DataFrame, payload: StructType): DataFrame = {
+    val json = avroSchemaFor(payload.fields.toSeq, "Payload")
+    val fieldTypes = payload.fields.map(f => f.name -> f.dataType).toSeq
+    val out = StructType(StructField("_row_id", LongType) +: payload.fields)
+    msgs.select(col("_row_id"), col("_value"))
+      .mapPartitions { rows =>
+        val schema = new Schema.Parser().parse(json)
+        val reader = new GenericDatumReader[GenericRecord](schema)
+        var dec: BinaryDecoder = null
+        rows.map { r =>
+          dec = DecoderFactory.get().binaryDecoder(r.getAs[Array[Byte]](1), dec)
+          val rec = reader.read(null, dec)
+          Row.fromSeq(r.getLong(0) +: fieldTypes.map { case (n, dt) =>
+            fromAvroValue(rec.get(n), dt)
+          })
+        }
+      }(Encoders.row(out))
+  }
+
   /** (row_id, avro binary) → flattened envelope (consumer harness). */
   def decode(msgs: DataFrame): DataFrame = {
     val json = envelopeSchemaJson

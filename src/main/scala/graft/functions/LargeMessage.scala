@@ -25,6 +25,31 @@ object LargeMessage {
       .withColumn("_value", when(col("_large"), compact).otherwise(col("_value")))
   }
 
+  /** MQ message batching under max-message-bytes — the encoder-group
+    * packing (pkg/sink/codec/encoder_group.go; open-protocol batches
+    * several events per MQ message, flushing when the next event
+    * would exceed max-message-bytes, pkg/config/sink.go
+    * MaxMessageBytes).
+    *
+    * Deterministic formulation: within each routing partition, events
+    * take wire order (commit, start, DMLOrder, row id) and the batch
+    * index is floor(exclusive-running-bytes / maxBytes) — a soft cap
+    * (a batch may overflow by at most one message) that is
+    * expressible identically in any engine, unlike the writer's
+    * stateful greedy loop; the batch-count difference vs greedy is at
+    * most the overflow messages. One window per partition — the same
+    * per-partition sequencing the MQ producer itself needs. */
+  def messageBatches(encoded: DataFrame, maxBytes: Long): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_partition"))
+      .orderBy(col("_commit_ts"), col("_start_ts"),
+        graft.model.Envelope.opOrder(col("_op")), col("_row_id"))
+    encoded
+      .withColumn("_msg_bytes", length(col("_value")).cast("long"))
+      .withColumn("_msg_batch",
+        floor((sum(col("_msg_bytes")).over(w) - col("_msg_bytes")) / maxBytes))
+  }
+
   /** claim-check: oversized payloads go to external storage; the
     * message becomes a pointer. `locationPrefix` is the storage URI
     * prefix; the uploaded object path is deterministic per row. */

@@ -154,6 +154,36 @@ class TypeMatrixSpec extends SparkFunSuite {
     assert(d.isNullAt(2), "insert has no pre-image")
   }
 
+  test("generic avro schema-gen round-trips the matrix losslessly") {
+    import graft.functions.AvroCodec
+    val env = envOf(maxRow, minRow)
+    val decoded = AvroCodec.decodeGeneric(
+      AvroCodec.encodeGeneric(env, payloadSchema), payloadSchema)
+      .orderBy("_row_id").collect()
+    assert(decoded.length == 2)
+    val w = decoded(0)
+    assert(w.getAs[Byte]("i8") == 127.toByte)
+    assert(w.getAs[Long]("i64") == Long.MaxValue)
+    assert(w.getAs[java.math.BigDecimal]("u64")
+      .compareTo(new java.math.BigDecimal("18446744073709551615")) == 0)
+    assert(w.getAs[Float]("f32") == Float.MaxValue)
+    assert(w.getAs[java.math.BigDecimal]("dec")
+      .compareTo(new java.math.BigDecimal("12345678901234.56")) == 0)
+    assert(w.getAs[String]("s") == "qu\"ote, comma \\ back ünïcode")
+    assert(w.getAs[Array[Byte]]("bin").toSeq == Seq[Byte](0, 1, 127, -128))
+    assert(w.getAs[Boolean]("flag"))
+    assert(w.getAs[Date]("d") == Date.valueOf("2024-02-29"))
+    assert(w.getAs[LocalDateTime]("t") == LocalDateTime.parse("2024-02-29T23:59:59.999999"))
+    assert(w.getSeq[Float](w.fieldIndex("vec")) == Seq(1.5f, -2.25f))
+    val m = decoded(1)
+    assert(m.getAs[Byte]("i8") == -128 && !m.getAs[Boolean]("flag"))
+    assert(m.getAs[String]("s") == "" && m.getSeq[Float](m.fieldIndex("vec")).isEmpty)
+    // generated schema is stable + registry-compatible
+    val json = AvroCodec.avroSchemaFor(payloadSchema.fields.toSeq, "Payload")
+    val store = new graft.functions.AvroRegistry.InMemoryStore
+    assert(store.register("types-value", json) == store.register("types-value", json))
+  }
+
   test("csv generic encoder round-trips the matrix via from_csv") {
     // newline-free string for the line-oriented wire
     val csvRow = Row.fromSeq(maxRow.toSeq.updated(9, "qu\"ote, comma"))
