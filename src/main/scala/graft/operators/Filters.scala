@@ -194,4 +194,18 @@ object Filters {
 
   def systemSchemaFilter(env: DataFrame): DataFrame =
     env.filter(!lower(col("_schema")).isin(systemSchemas: _*))
+
+  /** Eligibility (filter.go:73-74 `IsEligibleTable`): a table with no
+    * handle key / unique index cannot be replicated safely (updates
+    * and deletes have no row identity downstream) — its rows drop
+    * unless force-replicate is set. `ineligible` comes from registry
+    * metadata (tables whose TableMeta lacks handle keys). */
+  def eligibleTableFilter(env: DataFrame, ineligible: Seq[(String, String)],
+                          forceReplicate: Boolean = false): DataFrame =
+    if (forceReplicate || ineligible.isEmpty) env
+    else {
+      val keys = ineligible.map { case (s, t) => s"${s.toLowerCase}.${t.toLowerCase}" }
+      env.filter(!concat_ws(".", lower(col("_schema")), lower(col("_table")))
+        .isin(keys: _*))
+    }
 }

@@ -152,6 +152,13 @@ class OperatorSpec extends SparkFunSuite {
       canon(Dedup.jaccardPairs(docs, "source", 0.8)))
   }
 
+  test("ineligible tables drop unless force-replicate") {
+    val out = Filters.eligibleTableFilter(sample, Seq(("app", "t1")))
+    assert(out.select("_table").distinct().collect().map(_.getString(0)).toSeq == Seq("t0"))
+    val forced = Filters.eligibleTableFilter(sample, Seq(("app", "t1")), forceReplicate = true)
+    assert(forced.count() == sample.count())
+  }
+
   test("collation-aware conflict keys co-partition ci-collated strings") {
     import spark.implicits._
     val env = Seq(("ABC", 1L), ("abc", 2L)).toDF("name", "_row_id")
