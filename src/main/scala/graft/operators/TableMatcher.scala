@@ -56,6 +56,28 @@ object TableMatcher {
     }
   }
 
+  /** Plain-Scala evaluation of the rule chain for driver-side values
+    * (DDL dispatch and other control-plane checks — same semantics as
+    * [[matches]], no Spark involved). */
+  def matchesValue(schema: String, table: String, rules: Seq[String],
+                   caseSensitive: Boolean = false): Boolean = {
+    def norm(x: String) = if (caseSensitive) x else x.toLowerCase
+    def globMatch(glob: String, v: String): Boolean = {
+      val regex = glob.flatMap {
+        case '*' => ".*"
+        case '?' => "."
+        case c if "\\.[]{}()+-^$|".contains(c) => "\\" + c
+        case c => c.toString
+      }
+      v.matches(regex)
+    }
+    parse(rules).foldLeft(false) { (acc, r) =>
+      if (globMatch(norm(r.schemaPat), norm(schema)) &&
+        globMatch(norm(r.tablePat), norm(table))) r.positive
+      else acc
+    }
+  }
+
   /** DuckDB-dialect SQL mirror of [[matches]] for oracle queries. */
   def matchesSql(schemaCol: String, tableCol: String, rules: Seq[String],
                  caseSensitive: Boolean = false): String = {

@@ -133,6 +133,57 @@ object Changefeed {
       .start()
   }
 
+  /** Full text-DDL changefeed: raw (ts, DDL SQL) control rows run the
+    * reference's complete DDL path — two-level dispatch
+    * (Filters.ddlDispatch semantics: discard when the table isn't
+    * replicated; ignore = fold into the registry but don't emit;
+    * emit = fold AND hand to `emitDdl`), parse
+    * ([[graft.model.DdlParser]], the ParseDDLJob analog), then the
+    * micro-batch barrier of [[runWithDdl]]. */
+  def runWithDdlSql(spark: SparkSession, cfg: ChangefeedConfig, sourceDir: String,
+                    checkpointDir: String, ddlSql: Seq[(Long, String)],
+                    initial: SchemaRegistry, payloadCols: Seq[String],
+                    ignoreDdlClasses: Seq[String] = Nil,
+                    ignoreDdlSqlRegexps: Seq[String] = Nil)
+                   (emit: (DataFrame, Long) => Unit)
+                   (emitDdl: (Long, String) => Unit): StreamingQuery = {
+    val parsed = ddlSql.sortBy(_._1).flatMap { case (ts, q) =>
+      DdlParser.parse(q, ts).map(a => (ts, q, a))
+    }
+    // dispatch each parsed DDL by its target table + statement
+    val rules = cfg.filter.rules
+    def classOf(q: String): String = {
+      val qn = q.trim.toLowerCase
+      if (qn.startsWith("truncate")) "truncate table"
+      else if (qn.startsWith("drop table")) "drop table"
+      else if (qn.startsWith("create table")) "create table"
+      else if (qn.startsWith("rename table")) "rename table"
+      else if (qn.contains("add column") || qn.contains(" add ")) "add column"
+      else if (qn.contains("drop column")) "drop column"
+      else "other ddl"
+    }
+    def target(a: DdlAction): (String, String) = a match {
+      case DdlAction.CreateTable(s, t, _, _) => (s, t)
+      case DdlAction.AddColumn(s, t, _, _) => (s, t)
+      case DdlAction.DropColumn(s, t, _, _) => (s, t)
+      case DdlAction.RenameTable(s, t, _, _, _) => (s, t)
+      case DdlAction.TruncateTable(s, t, _) => (s, t)
+      case DdlAction.DropTable(s, t, _) => (s, t)
+    }
+    val kept = parsed.filter { case (_, _, a) =>
+      val (s, t) = target(a)
+      graft.operators.TableMatcher.matchesValue(s, t, rules) // else discard
+    }
+    val ignored = kept.filter { case (_, q, _) =>
+      ignoreDdlClasses.contains(classOf(q)) ||
+        ignoreDdlSqlRegexps.exists(p => p.r.findFirstIn(q).isDefined)
+    }.map(x => (x._1, x._2)).toSet
+    // ALL kept DDLs fold into the registry; only non-ignored emit
+    kept.collect { case (ts, q, _) if !ignored.contains((ts, q)) => emitDdl(ts, q) }
+    runWithDdl(spark, cfg, sourceDir, checkpointDir,
+      kept.map(_._3), initial, payloadCols)(emit)
+  }
+
   /** Run a changefeed over a parquet change-log directory as a
     * streaming source, writing encoded messages to `sinkDir` partitioned
     * by the routing assignment. `Trigger.AvailableNow` drains what's

@@ -108,6 +108,49 @@ class ChangefeedSpec extends SparkFunSuite {
       "no batch may admit more than one file's rows")
   }
 
+  test("text-DDL path: dispatch + parse + barrier end-to-end") {
+    import graft.model.{ColumnDef, SchemaRegistry}
+    import graft.model.DdlAction.CreateTable
+    val tmp = Files.createTempDirectory("graft-cfsql").toString
+    val src = s"$tmp/source"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    val cut = env.select("_commit_ts").orderBy("_commit_ts")
+      .collect().map(_.getLong(0)).apply(500)
+    val initial = SchemaRegistry().applyAll((0 until 4).map(i =>
+      CreateTable("app", s"events_$i",
+        Seq(ColumnDef("user_id", "bigint"), ColumnDef("value", "double")), 0L)))
+    val ddlSql = Seq(
+      cut -> "ALTER TABLE events_0 ADD COLUMN k BIGINT DEFAULT 42", // emit + fold
+      (cut + 1) -> "TRUNCATE TABLE events_1",                       // ignored: fold only
+      (cut + 2) -> "DROP TABLE events_3",                           // discarded (not replicated)
+      (cut + 3) -> "CREATE INDEX idx ON events_0 (k)")              // not shape-changing
+    val sqlCfg = ChangefeedConfig(id = "cf-sql",
+      filter = FilterConfig(rules = Seq("app.*", "!app.events_3")),
+      splitUpdateOnKeyChange = false)
+    val outDir = s"$tmp/out"
+    Files.createDirectories(java.nio.file.Paths.get(outDir))
+    val emittedDdl = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    val q = Changefeed.runWithDdlSql(spark, sqlCfg, src, s"$tmp/ckpt",
+      ddlSql, initial, payloadCols = Seq("user_id", "value"),
+      ignoreDdlClasses = Seq("truncate table")) { (step, _) =>
+      step.write.mode("append").parquet(outDir)
+    } { (ts, sql) => emittedDdl += (ts -> sql); () }
+    q.awaitTermination(120000)
+
+    // only the ADD COLUMN emits downstream; truncate folded silently,
+    // drop of the unreplicated table discarded, index skipped
+    assert(emittedDdl.map(_._2) == Seq("ALTER TABLE events_0 ADD COLUMN k BIGINT DEFAULT 42"))
+    val out = spark.read.option("mergeSchema", "true").parquet(outDir)
+    val post = out.filter(col("_commit_ts") >= cut && col("_table") === "events_0")
+    assert(post.count() > 0)
+    assert(post.filter(col("k").isNull || col("k") =!= 42L).count() == 0,
+      "parsed AddColumn default surfaces post-DDL")
+  }
+
   test("ddl barrier wired into the streaming loop evolves the registry mid-stream") {
     import graft.model.DdlAction._
     import graft.model.{ColumnDef, SchemaRegistry}
