@@ -268,6 +268,41 @@ object Codecs {
       lit("}")))
   }
 
+  /** Open Protocol over an arbitrary payload schema (generic form of
+    * [[openProtocol]]): key layout unchanged, value `u`/`p`/`d` maps
+    * rendered per type. */
+  def openProtocolFor(env: DataFrame): DataFrame = {
+    val fields = env.schema("after").dataType.asInstanceOf[StructType].fields.toSeq
+    val key = concat(
+      lit("{\"ts\":"), col("_commit_ts"),
+      lit(",\"scm\":\""), col("_schema"),
+      lit("\",\"tbl\":\""), col("_table"),
+      lit("\",\"t\":1}"))
+    val value =
+      when(col("_op") === "I", concat(lit("{\"u\":"), imageJsonFor("after", fields), lit("}")))
+        .when(col("_op") === "U", concat(
+          lit("{\"u\":"), imageJsonFor("after", fields),
+          lit(",\"p\":"), imageJsonFor("before", fields), lit("}")))
+        .otherwise(concat(lit("{\"d\":"), imageJsonFor("before", fields), lit("}")))
+    env.withColumn("_key", key).withColumn("_value", value)
+  }
+
+  /** Simple protocol over an arbitrary payload schema. */
+  def simpleProtocolFor(env: DataFrame): DataFrame = {
+    val fields = env.schema("after").dataType.asInstanceOf[StructType].fields.toSeq
+    val typ = when(col("_op") === "I", "INSERT")
+      .when(col("_op") === "U", "UPDATE").otherwise("DELETE")
+    env.withColumn("_value", concat(
+      lit("{\"version\":1,\"type\":\""), typ,
+      lit("\",\"commitTs\":"), col("_commit_ts"),
+      lit(",\"buildTs\":"), ms(col("_commit_ts")),
+      lit(",\"schema\":\""), col("_schema"),
+      lit("\",\"table\":\""), col("_table"),
+      lit("\",\"data\":"), imageJsonFor("after", fields),
+      lit(",\"old\":"), imageJsonFor("before", fields),
+      lit("}")))
+  }
+
   /** CSV line over an arbitrary payload schema (meta columns then
     * payload in schema order; csv_message.go:246-330 type switch). */
   def csvLineFor(env: DataFrame): DataFrame = {

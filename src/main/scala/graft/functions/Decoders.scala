@@ -72,16 +72,22 @@ object Decoders {
     StructField("ts", LongType), StructField("scm", StringType),
     StructField("tbl", StringType), StructField("t", IntegerType)))
 
-  private val openValueSchema = StructType(Seq(
-    StructField("u", imageSchema), StructField("p", imageSchema),
-    StructField("d", imageSchema)))
-
-  /** Open-protocol key+value → envelope-ish frame (exact commit-ts:
-    * the open key carries full ns). */
+  /** Open-protocol key+value → envelope-ish frame for the fixture
+    * payload (exact commit-ts: the open key carries full ns). */
   def decodeOpen(msgs: DataFrame, keyCol: String = "_key",
-                 valueCol: String = "_value"): DataFrame = {
+                 valueCol: String = "_value"): DataFrame =
+    decodeOpenFor(msgs, imageSchema, keyCol, valueCol)
+
+  /** Open-protocol decode over an arbitrary wire image schema
+    * (consumer side of Codecs.openProtocolFor; open/decoder.go:817). */
+  def decodeOpenFor(msgs: DataFrame, image: StructType,
+                    keyCol: String = "_key",
+                    valueCol: String = "_value"): DataFrame = {
+    val openValueSchema = StructType(Seq(
+      StructField("u", image), StructField("p", image),
+      StructField("d", image)))
     val k = from_json(col(keyCol), openKeySchema)
-    val v = from_json(col(valueCol), openValueSchema)
+    val v = from_json(col(valueCol), openValueSchema, wireOptions)
     msgs.select(
       k.getField("scm").as("_schema"),
       k.getField("tbl").as("_table"),
@@ -123,20 +129,24 @@ object Decoders {
       j.getField("after").as("after"))
   }
 
-  private val simpleSchema = StructType(Seq(
-    StructField("version", IntegerType),
-    StructField("type", StringType),
-    StructField("commitTs", LongType),
-    StructField("buildTs", LongType),
-    StructField("schema", StringType),
-    StructField("table", StringType),
-    StructField("data", imageSchema),
-    StructField("old", imageSchema)))
+  /** Simple-protocol message → envelope frame for the fixture payload
+    * (lossless commit-ts; reference simple/decoder.go:829). */
+  def decodeSimple(msgs: DataFrame, valueCol: String = "_value"): DataFrame =
+    decodeSimpleFor(msgs, imageSchema, valueCol)
 
-  /** Simple-protocol message → envelope frame (lossless commit-ts;
-    * reference simple/decoder.go:829). */
-  def decodeSimple(msgs: DataFrame, valueCol: String = "_value"): DataFrame = {
-    val j = from_json(col(valueCol), simpleSchema)
+  /** Simple-protocol decode over an arbitrary wire image schema. */
+  def decodeSimpleFor(msgs: DataFrame, image: StructType,
+                      valueCol: String = "_value"): DataFrame = {
+    val simpleSchema = StructType(Seq(
+      StructField("version", IntegerType),
+      StructField("type", StringType),
+      StructField("commitTs", LongType),
+      StructField("buildTs", LongType),
+      StructField("schema", StringType),
+      StructField("table", StringType),
+      StructField("data", image),
+      StructField("old", image)))
+    val j = from_json(col(valueCol), simpleSchema, wireOptions)
     msgs.select(
       j.getField("schema").as("_schema"),
       j.getField("table").as("_table"),

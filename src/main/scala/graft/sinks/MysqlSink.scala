@@ -64,6 +64,26 @@ object MysqlSink {
       .select(col("_partition"), col("_row_id"), col("_schema"), col("_table"),
         col("_commit_ts"), col("_start_ts"), col("_op"), col("_stmt"))
 
+  /** DDL execution statements with async-DDL progress bookkeeping
+    * (mysql_writer_ddl.go; ddl-ts table mysql_writer_for_ddl_ts.go:266;
+    * table names pkg/filter/filter.go:33-36): the DDL itself followed
+    * by the idempotent `tidb_cdc.ddl_ts_v1` upsert that lets a
+    * restarted writer skip already-applied DDLs. */
+  def ddlStatements(changefeedId: String, ddlTs: Long, query: String): Seq[String] = Seq(
+    query,
+    "INSERT INTO `tidb_cdc`.`ddl_ts_v1` (`ticdc_cluster_id`,`changefeed`,`ddl_ts`) " +
+      s"VALUES ('default','${changefeedId.replace("'", "''")}',$ddlTs) " +
+      "ON DUPLICATE KEY UPDATE `ddl_ts`=VALUES(`ddl_ts`)")
+
+  /** Sync-point map rows (mysql_writer_for_syncpoint.go; table
+    * `tidb_cdc.syncpoint_v1`): one (primary_ts, secondary_ts) row per
+    * consistency window boundary — the downstream snapshot alignment
+    * the reference's sync-point feature queries. */
+  def syncPointStatement(changefeedId: String, primaryTs: Long, secondaryTs: Long): String =
+    "INSERT IGNORE INTO `tidb_cdc`.`syncpoint_v1` " +
+      "(`ticdc_cluster_id`,`changefeed`,`primary_ts`,`secondary_ts`) " +
+      s"VALUES ('default','${changefeedId.replace("'", "''")}',$primaryTs,$secondaryTs)"
+
   /** Apply a batch: physically co-locate each conflict key's rows,
     * order by commit within the partition, then stream statements to
     * `execute` (a JDBC txn in production; pluggable for tests /

@@ -1,3 +1,5 @@
+// SqlBuilder + MysqlSink statement-shape unit tests (fixtures-as-SQL
+// style, SURVEY §5.1)
 package graft
 
 import org.scalatest.funsuite.AnyFunSuite
@@ -48,5 +50,20 @@ class SqlBuilderSpec extends AnyFunSuite {
     val sql = lwwUpsert("db", "t", Seq("v"), Seq(1), "_origin_ts", 42L)
     assert(sql.contains("`v`=IF(IFNULL(`_origin_ts`,0) <= VALUES(`_origin_ts`),VALUES(`v`),`v`)"))
     assert(sql.startsWith("INSERT INTO `db`.`t` (`v`,`_origin_ts`) VALUES (1,42)"))
+  }
+
+  test("ddl execution carries idempotent ddl-ts bookkeeping") {
+    val stmts = graft.sinks.MysqlSink.ddlStatements("cf-1", 777L,
+      "ALTER TABLE t ADD COLUMN k BIGINT")
+    assert(stmts.head == "ALTER TABLE t ADD COLUMN k BIGINT")
+    assert(stmts(1).startsWith("INSERT INTO `tidb_cdc`.`ddl_ts_v1`"))
+    assert(stmts(1).contains("'cf-1',777"))
+    assert(stmts(1).endsWith("ON DUPLICATE KEY UPDATE `ddl_ts`=VALUES(`ddl_ts`)"))
+  }
+
+  test("sync point rows are insert-ignore ts maps") {
+    val sql = graft.sinks.MysqlSink.syncPointStatement("cf-1", 100L, 90L)
+    assert(sql.startsWith("INSERT IGNORE INTO `tidb_cdc`.`syncpoint_v1`"))
+    assert(sql.contains("100,90"))
   }
 }
