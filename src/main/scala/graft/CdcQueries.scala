@@ -48,6 +48,11 @@ object CdcQueries {
         + col("after.user_id"))
       .withColumn("_start_ts", col("_commit_ts") - 1000L)
   }
+  /** Public aliases for other query modules building on the txn
+    * fixture. */
+  def txnifiedPublic(e: DataFrame): DataFrame = txnified(e)
+  def txnifiedSqlPublic: String = txnifiedSql
+
   private val txnifiedSql =
     """txn AS (
       |  SELECT * REPLACE (

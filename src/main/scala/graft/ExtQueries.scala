@@ -31,6 +31,23 @@ object ExtQueries {
         col("after.k").as("after_k"))
     }),
 
+    "q_roundtrip_canal_txn" -> ((s, d) => {
+      // txn-grouped messages split back into per-row canal messages on
+      // the consumer side, then decode — exercising the txn framing
+      val txn = CdcQueries.txnifiedPublic(env(s, d))
+      val exploded = Codecs.canalJsonTxn(txn)
+        .select(explode(split(col("_value"), "\n")).as("_value"))
+      val decoded = Decoders.decodeCanal(exploded)
+      decoded.select(
+        col("_schema"), col("_table"), col("_op"), col("_commit_ms"),
+        col("before.user_id").as("before_user_id"),
+        col("before.value").as("before_value"),
+        col("before.k").as("before_k"),
+        col("after.user_id").as("after_user_id"),
+        col("after.value").as("after_value"),
+        col("after.k").as("after_k"))
+    }),
+
     "q_roundtrip_open" -> ((s, d) => {
       val decoded = Decoders.decodeOpen(Codecs.openProtocol(env(s, d)))
       decoded.select(
@@ -214,6 +231,14 @@ object ExtQueries {
          |  ${recovered("before")},
          |  ${recovered("after")}
          |FROM env""".stripMargin),
+
+    "q_roundtrip_canal_txn" -> q(
+      s""", ${CdcQueries.txnifiedSqlPublic}
+         |SELECT _schema, _table, _op,
+         |  _commit_ts // 1000000 AS _commit_ms,
+         |  ${recovered("before")},
+         |  ${recovered("after")}
+         |FROM txn""".stripMargin),
 
     "q_roundtrip_open" -> q(
       s"""SELECT _schema, _table, _commit_ts, _op,
