@@ -56,6 +56,10 @@ object DataQueries {
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), "source", jaccardThreshold)),
 
+    "q_embed_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(emb(s, d))
+        .select(col("vec_id"), col("scale"), col("codes"))),
+
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), annQueries, annK)),
 
     "q_ann_lsh" -> ((s, d) => {
@@ -216,6 +220,17 @@ object DataQueries {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.nd + sb.nd - n_inter AS DOUBLE) >= $jaccardThreshold""".stripMargin,
+
+    "q_embed_quantize" ->
+      """WITH e AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS emb,
+        |    CAST(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
+        |      AS DOUBLE) AS scale
+        |  FROM embeddings)
+        |SELECT vec_id, scale,
+        |  CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+        |       ELSE list_transform(emb, x -> CAST(round(x / scale) AS INT)) END AS codes
+        |FROM e""".stripMargin,
 
     "q_ann_topk" ->
       s"""WITH $annScoredSql

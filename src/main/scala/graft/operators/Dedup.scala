@@ -155,6 +155,48 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("nd_a"), col("nd_b"), col("jaccard"))
   }
 
+  /** Near-dup cluster assignment: connected components over the
+    * candidate-pair graph by iterative min-label propagation — after
+    * pair generation (minhash/LSH/Jaccard), every document needs a
+    * canonical cluster id so the pipeline can keep one exemplar per
+    * cluster. Each round is one join + one agg shuffle; labels are
+    * monotonically non-increasing, so the total-label sum detects the
+    * fixpoint. Near-dup graphs have tiny diameters (duplicates
+    * cluster around templates), so rounds ≈ 3-5 even at corpus scale;
+    * lineage is cut with localCheckpoint per round (the standard
+    * iterative-DataFrame pattern).
+    *
+    * Returns (doc_id, cluster) where cluster = min doc_id reachable.
+    * Singletons (docs absent from `pairs`) are not emitted — join
+    * back against the corpus with a coalesce-to-self for them. */
+  def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint()
+    var prevSum = labels.agg(sum(col("cluster"))).head().getLong(0)
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val neighborMin = edges.join(labels, edges("b") === labels("doc_id"))
+        .groupBy(edges("a").as("nb_doc"))
+        .agg(min(col("cluster")).as("nmin"))
+      labels = labels.join(neighborMin, labels("doc_id") === col("nb_doc"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      val s = labels.agg(sum(col("cluster"))).head().getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      i += 1
+    }
+    require(converged, s"label propagation did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Exact Jaccard pairs with PREFIX FILTERING — the AllPairs/PPJoin
     * candidate-generation rule: under any global total order of
     * tokens, two sets with J(A,B) ≥ t must share a token within their

@@ -113,6 +113,30 @@ object Similarity {
         col("vec_id").as("neighbor_id"), round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Symmetric int8 quantization of an embedding column — the storage
+    * path a 100 TB embedding corpus needs (4× smaller than float32;
+    * IVF/LSH candidate generation runs on codes, exact rerank on the
+    * few candidates). Per-vector scale = max|x| / 127; codes =
+    * round(x / scale). Pure columnar higher-order functions — no
+    * UDF, no shuffle. */
+  def quantizeInt8(emb: DataFrame, embCol: String = "embedding"): DataFrame = {
+    val absMax = array_max(transform(col(embCol), x => abs(x)))
+    val scale = (absMax / lit(127.0d)).cast("double")
+    emb
+      .withColumn("scale", scale)
+      .withColumn("codes",
+        when(col("scale") === 0d,
+          transform(col(embCol), _ => lit(0).cast("int")))
+          .otherwise(transform(col(embCol),
+            x => round(x.cast("double") / col("scale")).cast("int"))))
+  }
+
+  /** Dequantize + max reconstruction error (quantization QA metric). */
+  def dequantizeError(quantized: DataFrame, embCol: String = "embedding"): DataFrame =
+    quantized.withColumn("max_err",
+      array_max(zip_with(col(embCol), col("codes"),
+        (x, c) => abs(x.cast("double") - c.cast("double") * col("scale")))))
+
   /** Bucketed near-neighbor pairs: same LSH bucket + cosine above
     * threshold. The join key is the bucket — candidate pairs shrink by
     * ~2^planes vs the cross join; norms are computed once per vector

@@ -176,6 +176,30 @@ class OperatorSpec extends SparkFunSuite {
     assert(parts(false).distinct.size == 2, "cs collation: they separate")
   }
 
+  test("cluster assignment equals union-find over the pair graph") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val pairs = Dedup.minhashPairs(Dedup.minhashSignatures(docs))
+    val assigned = Dedup.clusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    // ground truth: driver-side union-find over the same pairs
+    val parent = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      val p = parent.getOrElse(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    pairs.collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    val truth = assigned.keys.map(d => d -> find(d)).toMap
+    assert(assigned.nonEmpty && assigned == truth,
+      "every doc labeled with the min reachable doc id")
+    // cluster representatives label themselves
+    assert(assigned.values.toSet.forall(c => assigned(c) == c))
+  }
+
   test("dedup exact keeps min id per identical text") {
     import spark.implicits._
     val docs = Seq((1L, "a b c"), (2L, "a b c"), (3L, "x y")).toDF("doc_id", "text")
