@@ -97,6 +97,14 @@ object CdcQueries {
         col("after.k").as("after_k"))
     }),
 
+    "q_column_select_rules" -> ((s, d) => {
+      val selected = Transforms.columnSelectorRules(env(s, d), Seq(
+        Seq("app.events_0", "app.events_1") -> Seq("user_id", "k"),
+        Seq("app.events_2") -> Seq("user_id", "value")),
+        handleKeys)
+      flatWith(selected)
+    }),
+
     "q_updated_only" -> ((s, d) => {
       // fixture: make before.k sometimes equal to after.k so the
       // null-out path has both outcomes
@@ -208,6 +216,16 @@ object CdcQueries {
     "q_column_select" -> q(
       """SELECT _row_id, _schema, _table, _op, _commit_ts, _start_ts,
         |  before_user_id, before_k, after_user_id, after_k FROM env""".stripMargin),
+
+    "q_column_select_rules" -> q(
+      """SELECT _row_id, _schema, _table, _op, _commit_ts, _start_ts,
+        |  before_user_id,
+        |  CASE WHEN _table IN ('events_0','events_1') THEN NULL ELSE before_value END AS before_value,
+        |  CASE WHEN _table = 'events_2' THEN NULL ELSE before_k END AS before_k,
+        |  after_user_id,
+        |  CASE WHEN _table IN ('events_0','events_1') THEN NULL ELSE after_value END AS after_value,
+        |  CASE WHEN _table = 'events_2' THEN NULL ELSE after_k END AS after_k
+        |FROM env""".stripMargin),
 
     "q_updated_only" -> q(
       """SELECT _row_id, _schema, _table, _op, _commit_ts, _start_ts,

@@ -27,6 +27,36 @@ object Transforms {
       .withColumn("after",
         when(col("after").isNull, lit(null)).otherwise(imageStruct("after", keep)))
 
+  /** Per-table-MATCHER column selection rules — the reference's
+    * selector is a rule LIST (matcher → columns), first matching rule
+    * wins, unmatched tables keep every column
+    * (column_selector.go:29-120). Field retention is decided per row
+    * by the codegen'd matcher chain (no per-rule passes); fields a
+    * row's rule drops become null in both images, preserving one
+    * schema across tables. Every rule must keep the handle keys
+    * (column_selector.go:162). */
+  def columnSelectorRules(env: DataFrame, rules: Seq[(Seq[String], Seq[String])],
+                          handleKeys: Seq[String]): DataFrame = {
+    rules.foreach { case (m, cols) =>
+      require(verifyKeySurvives(cols, handleKeys),
+        s"column selector rule $m -> $cols drops handle keys $handleKeys")
+    }
+    val fields = payloadFields(env)
+    def keepField(f: String): Column =
+      rules.foldRight(lit(true)) { case ((matcher, cols), acc) =>
+        when(TableMatcher.matches(col("_schema"), col("_table"), matcher),
+          lit(cols.contains(f))).otherwise(acc)
+      }
+    def conform(img: String): Column = struct(fields.map { f =>
+      when(keepField(f), col(s"$img.$f")).otherwise(lit(null)).as(f)
+    }: _*)
+    env
+      .withColumn("before",
+        when(col("before").isNull, lit(null)).otherwise(conform("before")))
+      .withColumn("after",
+        when(col("after").isNull, lit(null)).otherwise(conform("after")))
+  }
+
   /** Verify a handle/unique key survives column selection — the
     * reference refuses configs that would strip all unique keys
     * (column_selector.go:162). */
