@@ -51,6 +51,42 @@ class ChangefeedRegistry(spark: SparkSession) {
 
   def list: Seq[String] = feeds.keys.toSeq.sorted
 
+  /** Persist every changefeed's definition — the coordinator's etcd
+    * role (ChangeFeedInfo persistence, controller.go:902): one record
+    * per feed under `dir`, containing config + paths. Queries
+    * themselves are not persisted; their progress lives in each
+    * feed's streaming checkpoint. */
+  def persist(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(p)
+    feeds.foreach { case (id, e) =>
+      val out = new java.io.ObjectOutputStream(
+        java.nio.file.Files.newOutputStream(p.resolve(s"$id.cf")))
+      try out.writeObject((e.cfg, e.sourceDir, e.sinkDir, e.checkpointDir))
+      finally out.close()
+    }
+  }
+
+  /** Recover a registry from [[persist]]ed state: every feed comes
+    * back PAUSED (its streaming checkpoint holds the progress);
+    * `resume` restarts exactly-once from there — the reference's
+    * coordinator-failover behavior. */
+  def restore(dir: String): Unit = {
+    val p = java.nio.file.Paths.get(dir)
+    if (java.nio.file.Files.isDirectory(p)) {
+      java.nio.file.Files.list(p).iterator().forEachRemaining { f =>
+        if (f.toString.endsWith(".cf")) {
+          val in = new java.io.ObjectInputStream(java.nio.file.Files.newInputStream(f))
+          try {
+            val (cfg, src, sink, ckpt) = in.readObject()
+              .asInstanceOf[(ChangefeedConfig, String, String, String)]
+            feeds.putIfAbsent(cfg.id, Entry(cfg, src, sink, ckpt, None))
+          } finally in.close()
+        }
+      }
+    }
+  }
+
   /** (id, state, emitted-row count) — the status/synced API view. */
   def status(id: String): (String, String, Long) = {
     val e = feeds.getOrElse(id, sys.error(s"no changefeed $id"))

@@ -30,6 +30,33 @@ class RegistrySpec extends SparkFunSuite {
     assert(reg.list.isEmpty)
   }
 
+  test("registry persists and restores across coordinator restarts") {
+    val tmp = Files.createTempDirectory("graft-regp").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/src/events.parquet"))
+    val reg = new ChangefeedRegistry(spark)
+    val cfg = ChangefeedConfig(id = "cf-p",
+      filter = FilterConfig(rules = Seq("app.*", "!app.events_3")))
+    val q = reg.create(cfg, s"$tmp/src", s"$tmp/sink", s"$tmp/ckpt")
+    q.awaitTermination(120000)
+    val emitted = reg.status("cf-p")._3
+    reg.pause("cf-p")
+    reg.persist(s"$tmp/meta")
+
+    // coordinator failover: a fresh registry restores the definition
+    val reg2 = new ChangefeedRegistry(spark)
+    reg2.restore(s"$tmp/meta")
+    assert(reg2.list == Seq("cf-p"))
+    assert(reg2.status("cf-p")._2 == "paused", "feeds come back paused")
+    // resume picks up the original streaming checkpoint: no re-emit
+    val q2 = reg2.resume("cf-p")
+    q2.awaitTermination(120000)
+    assert(reg2.status("cf-p")._3 == emitted, "exactly-once across failover")
+    reg2.remove("cf-p")
+  }
+
   test("multi-rule dispatch: first match wins, default rule appended") {
     val env = graft.model.Envelope.fromEvents(
       Tables.events(spark, "/root/testdata/sf0.001"))
