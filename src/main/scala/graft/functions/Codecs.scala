@@ -180,13 +180,17 @@ object Codecs {
       lit("\",\"query\":\""), col("query"), lit("\"}")))
 
   /** JSON string escaping for payload text fields (quote, backslash,
-    * control chars) — used by encoders over free-text tables. */
+    * newline/return/tab) — used by encoders over free-text tables. */
   def jsonEscape(c: Column): Column =
     regexp_replace(
       regexp_replace(
-        regexp_replace(c, lit("\\\\"), lit("\\\\\\\\")),
-        lit("\""), lit("\\\\\"")),
-      lit("\n"), lit("\\\\n"))
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(c, lit("\\\\"), lit("\\\\\\\\")),
+            lit("\""), lit("\\\\\"")),
+          lit("\n"), lit("\\\\n")),
+        lit("\r"), lit("\\\\r")),
+      lit("\t"), lit("\\\\t"))
 
   // ---- schema-driven (generic payload) encoders ----
   // The fixture encoders above pin the oracle-checked byte layout for

@@ -33,7 +33,7 @@ class TypeMatrixSpec extends SparkFunSuite {
   private val maxRow = Row(1L, 127.toByte, 32767.toShort, Int.MaxValue, Long.MaxValue,
     new java.math.BigDecimal("18446744073709551615"), Float.MaxValue, Double.MaxValue,
     new java.math.BigDecimal("12345678901234.56"),
-    "qu\"ote, comma \\ back ünïcode", Array[Byte](0, 1, 127, -128),
+    "qu\"ote, comma \\ back ünïcode \t tab \r ret", Array[Byte](0, 1, 127, -128),
     true, Date.valueOf("2024-02-29"),
     LocalDateTime.parse("2024-02-29T23:59:59.999999"),
     Seq(1.5f, -2.25f))
@@ -104,7 +104,7 @@ class TypeMatrixSpec extends SparkFunSuite {
     assert(w.getFloat(6) == Float.MaxValue)
     assert(w.getDouble(7) == Double.MaxValue)
     assert(w.getDecimal(8).compareTo(new java.math.BigDecimal("12345678901234.56")) == 0)
-    assert(w.getString(9) == "qu\"ote, comma \\ back ünïcode")
+    assert(w.getString(9) == "qu\"ote, comma \\ back ünïcode \t tab \r ret")
     assert(w.getAs[Array[Byte]](10).toSeq == Seq[Byte](0, 1, 127, -128))
     assert(w.getLong(11) == 1L, "boolean arrives MySQL-style 1/0")
     assert(w.getDate(12) == Date.valueOf("2024-02-29"))
@@ -145,7 +145,7 @@ class TypeMatrixSpec extends SparkFunSuite {
     assert(c.getString(0) == "I" && c.getString(1) == "app")
     assert(c.getLong(2) == Long.MaxValue)
     assert(c.getDecimal(3) == new java.math.BigDecimal("18446744073709551615"))
-    assert(c.getString(4) == "qu\"ote, comma \\ back ünïcode")
+    assert(c.getString(4) == "qu\"ote, comma \\ back ünïcode \t tab \r ret")
 
     val deb = Decoders.decodeDebeziumFor(Codecs.debeziumJsonFor(env), wireSchema)
     val d = deb.select(col("_commit_ts"), col("after.vec"), col("before")).head()
@@ -169,7 +169,7 @@ class TypeMatrixSpec extends SparkFunSuite {
     assert(w.getAs[Float]("f32") == Float.MaxValue)
     assert(w.getAs[java.math.BigDecimal]("dec")
       .compareTo(new java.math.BigDecimal("12345678901234.56")) == 0)
-    assert(w.getAs[String]("s") == "qu\"ote, comma \\ back ünïcode")
+    assert(w.getAs[String]("s") == "qu\"ote, comma \\ back ünïcode \t tab \r ret")
     assert(w.getAs[Array[Byte]]("bin").toSeq == Seq[Byte](0, 1, 127, -128))
     assert(w.getAs[Boolean]("flag"))
     assert(w.getAs[Date]("d") == Date.valueOf("2024-02-29"))
