@@ -56,6 +56,28 @@ object RedoLog {
       .filter(col("_commit_ts") > checkpointTs && col("_commit_ts") <= upToTs)
       .dropDuplicates("_row_id", "_op", "_commit_ts")
 
+  /** GC: drop log FILES entirely below the global checkpoint
+    * (logservice/eventstore/gc.go — data below checkpoint is never
+    * replayed, so retention prunes whole segments). File-level: a file
+    * is removed only when its max commit-ts ≤ checkpointTs — replay
+    * reads strictly above the checkpoint, so such files can never
+    * contribute. Stats come from a tiny per-file max query
+    * (control-plane cost). */
+  def gc(spark: SparkSession, dir: String, checkpointTs: Long): Int = {
+    val logDir = new java.io.File(s"$dir/log")
+    val files = Option(logDir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    var removed = 0
+    files.foreach { f =>
+      val mx = spark.read.parquet(f.getPath)
+        .agg(max(col("_commit_ts"))).head()
+      if (!mx.isNullAt(0) && mx.getLong(0) <= checkpointTs) {
+        if (f.delete()) removed += 1
+      }
+    }
+    removed
+  }
+
   /** The applier: replay the logged window into final table state —
     * what the downstream must look like after recovery
     * (pkg/applier/redo.go:456 consumes the log through the same sink

@@ -47,5 +47,12 @@ class RedoLogSpec extends SparkFunSuite {
     val windowed = RedoLog.replay(spark, tmp, checkpointTs = cut)
     val directWindow = Materialize.tableState(env.filter(col("_commit_ts") > cut))
     assert(canon(windowed) == canon(directWindow))
+
+    // GC below the checkpoint prunes whole segments without changing
+    // the replayable window
+    val removed = RedoLog.gc(spark, tmp, checkpointTs = cut)
+    assert(removed > 0, "fully-below-checkpoint files pruned")
+    val windowedAfterGc = RedoLog.replay(spark, tmp, checkpointTs = cut)
+    assert(canon(windowedAfterGc) == canon(directWindow))
   }
 }

@@ -32,4 +32,42 @@ class SessionizeSpec extends SparkFunSuite {
     assert(b.nonEmpty && b == canon(native),
       "gap sessionizer and session_window must produce identical sessions")
   }
+
+  test("session_window runs in the streaming runtime with a watermark") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sess").toString
+    val src = s"$tmp/source"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    val schema = spark.read.parquet(src).schema
+    val tsUs = ((col("ts").cast("long") -
+      pmod(col("ts").cast("long"), lit(1000L))) / lit(1000L)).cast("long")
+    val q = spark.readStream.schema(schema).parquet(src)
+      .select(col("user_id"), timestamp_micros(tsUs).as("__t"))
+      .withWatermark("__t", "0 seconds")
+      .groupBy(col("user_id"), session_window(col("__t"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"))
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_sessions")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_sessions")
+    // watermark-released sessions match the batch sessionizer's closed
+    // sessions (the final open window per user may be withheld)
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val batchAll = Sessionize.sessions(
+      Tables.events(spark, "/root/testdata/sf0.001"), gapNs)
+    assert(streamed.count() > 0, "watermark released sessions")
+    assert(streamed.count() <= batchAll.count())
+    val streamedSet = streamed
+      .select(col("user_id"), unix_micros(col("session_window.start")).as("su"),
+        col("n_events")).collect().map(_.mkString("|")).toSet
+    val batchSet = batchAll
+      .select(col("user_id"), (col("session_start") / 1000L).cast("long").as("su"),
+        col("n_events")).collect().map(_.mkString("|")).toSet
+    assert(streamedSet.subsetOf(batchSet), "every released session is a true session")
+  }
 }
