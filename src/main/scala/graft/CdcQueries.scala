@@ -137,6 +137,8 @@ object CdcQueries {
 
     "q_txn_groups" -> ((s, d) => TxnOps.txnGroups(txnified(env(s, d)))),
 
+    "q_top_txns" -> ((s, d) => TxnOps.topTxns(txnified(env(s, d)), 50)),
+
     "q_txn_chunks_atomic" -> ((s, d) =>
       flatWith(TxnOps.scanChunks(txnified(env(s, d)), 500L, atomic = true), "_chunk")),
 
@@ -284,6 +286,18 @@ object CdcQueries {
          |  CAST(SUM(CASE WHEN _op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
          |  MIN(_row_id) AS first_row_id
          |FROM txn GROUP BY 1, 2, 3, 4""".stripMargin),
+
+    "q_top_txns" -> q(
+      s""", $txnifiedSql
+         |SELECT _schema, _table, _start_ts, _commit_ts,
+         |  COUNT(*) AS n_rows,
+         |  CAST(SUM(CASE WHEN _op = 'I' THEN 1 ELSE 0 END) AS BIGINT) AS n_insert,
+         |  CAST(SUM(CASE WHEN _op = 'U' THEN 1 ELSE 0 END) AS BIGINT) AS n_update,
+         |  CAST(SUM(CASE WHEN _op = 'D' THEN 1 ELSE 0 END) AS BIGINT) AS n_delete,
+         |  MIN(_row_id) AS first_row_id
+         |FROM txn GROUP BY 1, 2, 3, 4
+         |ORDER BY n_rows DESC, _schema, _table, _start_ts, _commit_ts
+         |LIMIT 50""".stripMargin),
 
     "q_txn_chunks_atomic" -> q(
       s""", $txnifiedSql,

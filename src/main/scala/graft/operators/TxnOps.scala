@@ -43,6 +43,16 @@ object TxnOps {
         min(col("resolved_ts")).as("min_resolved_ts"),
         count(lit(1)).as("n_tables"))
 
+  /** Big-txn tracking (pkg/eventservice/big_txn_metric.go): the k
+    * largest transactions by row count — orderBy+limit compiles to
+    * TakeOrderedAndProject (bounded per-partition heap + driver
+    * merge), so the metric costs one agg pass regardless of scale. */
+  def topTxns(env: DataFrame, k: Int): DataFrame =
+    txnGroups(env)
+      .orderBy(col("n_rows").desc, col("_schema"), col("_table"),
+        col("_start_ts"), col("_commit_ts"))
+      .limit(k)
+
   /** Scan-batch chunk assignment — the txn scan strategy of
     * pkg/eventservice/txn_scan_strategy.go:23-70.
     *
