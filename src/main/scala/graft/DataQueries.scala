@@ -38,6 +38,11 @@ object DataQueries {
 
     "q_text_fingerprint" -> ((s, d) => TextOps.fingerprint(docs(s, d))),
 
+    "q_curation" -> ((s, d) =>
+      TextOps.curate(docs(s, d), stopwords, minTokens = 10L, minQuality = 0.6)),
+
+    "q_corpus_stats" -> ((s, d) => TextOps.corpusStats(docs(s, d))),
+
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
 
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashSignatures(docs(s, d))),
@@ -139,6 +144,39 @@ object DataQueries {
       s"""SELECT doc_id, $counts, $pred AS pred
          |FROM documents""".stripMargin
     },
+
+    "q_curation" -> {
+      val qualitySql =
+        s"""(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+           |     / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+           |  + least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) * 0.3
+           |  + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopwords)})) AS DOUBLE)
+           |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3""".stripMargin
+      s"""WITH q AS (
+         |  SELECT doc_id,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    $qualitySql AS quality,
+         |    MIN(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+         |  FROM documents)
+         |SELECT doc_id, n_tokens, quality,
+         |  CASE WHEN doc_id <> keeper THEN 'duplicate'
+         |       WHEN n_tokens < 10 THEN 'too_short'
+         |       WHEN quality < 0.6 THEN 'low_quality'
+         |       ELSE 'ok' END AS reason,
+         |  (CASE WHEN doc_id <> keeper THEN 'duplicate'
+         |       WHEN n_tokens < 10 THEN 'too_short'
+         |       WHEN quality < 0.6 THEN 'low_quality'
+         |       ELSE 'ok' END) = 'ok' AS keep
+         |FROM q""".stripMargin
+    },
+
+    "q_corpus_stats" ->
+      """SELECT source,
+        |  COUNT(*) AS n_docs,
+        |  CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens,
+        |  COUNT(DISTINCT md5(text)) AS n_unique,
+        |  1.0 - CAST(COUNT(DISTINCT md5(text)) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS dup_rate
+        |FROM documents GROUP BY 1""".stripMargin,
 
     "q_text_quality" ->
       s"""SELECT doc_id,

@@ -60,7 +60,8 @@ object TextOps {
     * pre-filter before expensive model-based scoring. Weights are
     * fixed doubles; the arithmetic order is pinned so the score is
     * bit-deterministic. */
-  def qualityScore(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+  /** Shared quality-term expressions (pinned arithmetic order). */
+  private def qualityTerms(stopwords: Seq[String]): (Column, Column, Column) = {
     val toks = tokens(col("text"))
     val nTok = size(toks).cast("double")
     val nDistinct = size(array_distinct(toks)).cast("double")
@@ -69,13 +70,54 @@ object TextOps {
     val diversity = nDistinct / nTok
     val lengthSat = least(lit(1.0), nTok / lit(100.0))
     val density = lit(1.0) - nStop / nTok
+    (diversity, density,
+      diversity * lit(0.4) + lengthSat * lit(0.3) + density * lit(0.3))
+  }
+
+  def qualityScore(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val (diversity, density, quality) = qualityTerms(stopwords)
     docs.select(
       col("doc_id"),
-      size(toks).cast("long").as("n_tokens"),
+      size(tokens(col("text"))).cast("long").as("n_tokens"),
       diversity.as("diversity"),
       density.as("density"),
-      (diversity * lit(0.4) + lengthSat * lit(0.3) + density * lit(0.3)).as("quality"))
+      quality.as("quality"))
   }
+
+  /** End-to-end curation decision — the final gate of a training-data
+    * pipeline, composing exact-dedup keeper status, length bounds and
+    * the quality score into keep/drop WITH REASON (first rule wins:
+    * duplicate → too_short → low_quality → ok). One shuffle (content
+    * hash for the keeper window); everything else rides the scan. */
+  def curate(docs: DataFrame, stopwords: Seq[String],
+             minTokens: Long, minQuality: Double): DataFrame = {
+    val (_, _, quality) = qualityTerms(stopwords)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(md5(col("text")))
+    val reason =
+      when(col("doc_id") =!= col("__keeper"), "duplicate")
+        .when(col("n_tokens") < minTokens, "too_short")
+        .when(col("quality") < minQuality, "low_quality")
+        .otherwise("ok")
+    docs
+      .withColumn("n_tokens", size(tokens(col("text"))).cast("long"))
+      .withColumn("quality", quality)
+      .withColumn("__keeper", min(col("doc_id")).over(w))
+      .withColumn("reason", reason)
+      .select(col("doc_id"), col("n_tokens"), col("quality"),
+        col("reason"), (col("reason") === "ok").as("keep"))
+  }
+
+  /** Per-source corpus statistics (the dataset-card numbers: volume,
+    * token counts, exact-duplicate rate). Two-level aggregation —
+    * map-side partials, one shuffle on source. */
+  def corpusStats(docs: DataFrame): DataFrame =
+    docs.groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(tokens(col("text")))).cast("long").as("n_tokens"),
+        countDistinct(md5(col("text"))).as("n_unique"),
+        (lit(1.0) - countDistinct(md5(col("text"))).cast("double") /
+          count(lit(1)).cast("double")).as("dup_rate"))
 
   /** Token counting for LLM-pipeline budgeting: whitespace words,
     * alphanumeric-run count (regex tokenizer), and a BPE-ish subword
