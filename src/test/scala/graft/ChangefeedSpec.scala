@@ -87,6 +87,42 @@ class ChangefeedSpec extends SparkFunSuite {
     assert(stmts.count(_.startsWith("DELETE FROM")) > 0)
   }
 
+  test("differential: decoding the sunk wire bytes recovers the source exactly") {
+    // the reference's consumer-harness verification model (SURVEY §5.2:
+    // kafka-consumer decodes and re-applies, then sync_diff compares) —
+    // here: changefeed → open-protocol sink files → decode ONLY the
+    // wire key/value → must equal the source envelope
+    val tmp = Files.createTempDirectory("graft-cfdiff").toString
+    val src = s"$tmp/source"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    val diffCfg = ChangefeedConfig(id = "cf-diff",
+      sink = SinkConfig(protocol = Protocol.Open, numPartitions = 4),
+      splitUpdateOnKeyChange = false)
+    val q = Changefeed.run(spark, diffCfg, src, s"$tmp/sink", s"$tmp/ckpt")
+    q.awaitTermination(120000)
+
+    val wire = spark.read.parquet(s"$tmp/sink").select("_key", "_value")
+    val decoded = graft.functions.Decoders.decodeOpen(wire)
+      .select(col("_schema"), col("_table"), col("_commit_ts"), col("_op"),
+        col("before.user_id"), col("before.value"), col("before.k"),
+        col("after.user_id"), col("after.value"), col("after.k"))
+    // source side, with value passing through the wire's DECIMAL(18,2)
+    val dec = (c: org.apache.spark.sql.Column) =>
+      c.cast(org.apache.spark.sql.types.DecimalType(18, 2)).cast("double")
+    val source = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+      .select(col("_schema"), col("_table"), col("_commit_ts"), col("_op"),
+        col("before.user_id"), dec(col("before.value")), col("before.k"),
+        col("after.user_id"), dec(col("after.value")), col("after.k"))
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    val d = canon(decoded)
+    assert(d.size == 1000 && d == canon(source),
+      "wire-decoded rows must equal the source envelope row-for-row")
+  }
+
   test("admission cap bounds each micro-batch (flow control)") {
     val tmp = Files.createTempDirectory("graft-cffc").toString
     val src = s"$tmp/source"
