@@ -99,4 +99,52 @@ object MysqlSink {
       .map(_.getString(0))(Encoders.STRING)
       .foreachPartition(execute)
   }
+
+  /** Table-level transaction atomicity (AtomicityLevel `table`,
+    * pkg/config/sink.go:140; SURVEY §7.4 hard part #1): all txns of a
+    * table serialize through one worker partition, and each upstream
+    * transaction's statements apply inside one BEGIN/COMMIT frame —
+    * an upstream txn is never torn downstream. Row-level mode
+    * ([[applyBatch]]) gives per-KEY order with more parallelism;
+    * this gives per-TABLE order with txn frames — exactly the
+    * reference's atomicity/parallelism trade. */
+  def applyBatchTxnAtomic(env: DataFrame, safeMode: Boolean, numWorkers: Int)
+                         (execute: Iterator[String] => Unit): Unit = {
+    import org.apache.spark.sql.Encoders
+    val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
+    env
+      .withColumn("_stmt", statementColumn(safeMode))
+      .withColumn("__txn", concat_ws("|",
+        col("_schema"), col("_table"),
+        col("_start_ts").cast("string"), col("_commit_ts").cast("string")))
+      .repartition(numWorkers, col("_schema"), col("_table"))
+      // per-TABLE commit order (the table-level guarantee): tables
+      // sharing a worker apply sequentially, txns stay contiguous
+      .sortWithinPartitions(col("_schema"), col("_table"),
+        col("_commit_ts"), col("_start_ts"),
+        Envelope.opOrder(col("_op")), col("_row_id"))
+      .select(col("__txn"), col("_stmt"))
+      .map(r => (r.getString(0), r.getString(1)))(tupleEnc)
+      .foreachPartition { rows: Iterator[(String, String)] =>
+        execute(new Iterator[String] {
+          private var cur: Option[String] = None
+          private var pending: List[String] = Nil
+          def hasNext: Boolean = pending.nonEmpty || rows.hasNext || cur.isDefined
+          def next(): String = pending match {
+            case head :: tail => pending = tail; head
+            case Nil if rows.hasNext =>
+              val (txn, stmt) = rows.next()
+              cur match {
+                case Some(`txn`) => stmt
+                case Some(_) => // close previous frame, open new one
+                  cur = Some(txn); pending = List("BEGIN", stmt); "COMMIT"
+                case None =>
+                  cur = Some(txn); pending = List(stmt); "BEGIN"
+              }
+            case Nil => // trailing COMMIT
+              cur = None; "COMMIT"
+          }
+        })
+      }
+  }
 }

@@ -129,6 +129,41 @@ class OperatorSpec extends SparkFunSuite {
     graft.sinks.MysqlSink.applyBatch(sample, Seq("user_id"), 4, safeMode = true)(_ => ())
   }
 
+  test("txn-atomic apply frames each upstream transaction in BEGIN/COMMIT") {
+    // bucket rows into multi-row txns (2 rows per (user, minute))
+    val txn = sample
+      .withColumn("_commit_ts", lit(1000L) + pmod(col("_row_id"), lit(2L)) * 0L)
+      .withColumn("_start_ts", col("_commit_ts") - 1L)
+    val dir = java.nio.file.Files.createTempDirectory("graft-atomic").toString
+    graft.sinks.MysqlSink.applyBatchTxnAtomic(txn, safeMode = true, numWorkers = 2) { it =>
+      val stmts = it.toSeq
+      if (stmts.nonEmpty)
+        java.nio.file.Files.write(
+          java.nio.file.Paths.get(dir, java.util.UUID.randomUUID().toString + ".sql"),
+          scala.jdk.CollectionConverters.SeqHasAsJava(stmts).asJava)
+    }
+    val partitions = new java.io.File(dir).listFiles().toSeq
+      .map(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    val all = partitions.flatten
+    assert(all.count(_ == "BEGIN") == all.count(_ == "COMMIT"))
+    assert(all.count(_ == "BEGIN") > 0)
+    partitions.foreach { stmts =>
+      // frames alternate: BEGIN, stmts..., COMMIT, BEGIN, ...
+      var open = false
+      stmts.foreach {
+        case "BEGIN" => assert(!open, "no nested BEGIN"); open = true
+        case "COMMIT" => assert(open, "COMMIT only closes an open frame"); open = false
+        case s => assert(open, s"statement outside txn frame: $s")
+      }
+      assert(!open, "every frame closed")
+    }
+    // each txn's rows are contiguous inside exactly one frame: count
+    // frames == distinct (schema, table, start, commit) groups
+    val nTxns = txn.select("_schema", "_table", "_start_ts", "_commit_ts")
+      .distinct().count()
+    assert(all.count(_ == "BEGIN") == nTxns)
+  }
+
   test("mysql sink non-safe mode renders real UPDATE against pre-image key") {
     val sql = graft.sinks.MysqlSink
       .statements(sample, Seq("user_id"), 4, safeMode = false)
