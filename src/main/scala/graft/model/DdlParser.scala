@@ -28,6 +28,8 @@ object DdlParser {
     """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?([`\w.]+)\s*$""".r
   private val renameTable =
     """(?is)^\s*RENAME\s+TABLE\s+([`\w.]+)\s+TO\s+([`\w.]+)\s*$""".r
+  private val exchangePartition =
+    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+EXCHANGE\s+PARTITION\s+`?\w+`?\s+WITH\s+TABLE\s+([`\w.]+)\s*$""".r
 
   private def ident(raw: String, defaultSchema: String): (String, String) = {
     val clean = raw.replace("`", "")
@@ -79,6 +81,10 @@ object DdlParser {
       case createTable(name, body) =>
         val (s, t) = ident(name, defaultSchema)
         Some(CreateTable(s, t, parseColumns(body), ts))
+      case exchangePartition(name, withName) =>
+        val (s, t) = ident(name, defaultSchema)
+        val (ws, wt) = ident(withName, defaultSchema)
+        Some(ExchangeTablePartition(s, t, ws, wt, ts))
       case addColumn(name, cName, cType, dflt) =>
         val (s, t) = ident(name, defaultSchema)
         Some(AddColumn(s, t, ColumnDef(cName, cType.toLowerCase, Option(dflt).map(unquote)), ts))

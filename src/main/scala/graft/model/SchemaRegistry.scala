@@ -36,6 +36,13 @@ object DdlAction {
                                newSchema: String, newTable: String, ts: Long) extends DdlAction
   final case class TruncateTable(schema: String, table: String, ts: Long) extends DdlAction
   final case class DropTable(schema: String, table: String, ts: Long) extends DdlAction
+  /** EXCHANGE PARTITION (persist_storage_ddl_handlers.go:382): the
+    * partitioned table's partition and a standalone table swap
+    * physical identity — logically, rows of each name decode with the
+    * OTHER's schema from `ts` on. */
+  final case class ExchangeTablePartition(schema: String, table: String,
+                                          withSchema: String, withTable: String,
+                                          ts: Long) extends DdlAction
 }
 
 final case class SchemaRegistry(
@@ -77,6 +84,13 @@ final case class SchemaRegistry(
       latest(s, t).map(cur => put(cur.copy(versionTs = ts))).getOrElse(this)
     case DropTable(s, t, _) =>
       copy(versions = versions - ((s, t)))
+    case ExchangeTablePartition(s, t, ws, wt, ts) =>
+      (latest(s, t), latest(ws, wt)) match {
+        case (Some(a), Some(b)) =>
+          put(a.copy(versionTs = ts, columns = b.columns))
+            .put(b.copy(versionTs = ts, columns = a.columns))
+        case _ => this // both sides must exist, like the reference's handler
+      }
   }
 
   def applyAll(ddls: Seq[DdlAction]): SchemaRegistry =

@@ -169,6 +169,7 @@ object Changefeed {
       case DdlAction.RenameTable(s, t, _, _, _) => (s, t)
       case DdlAction.TruncateTable(s, t, _) => (s, t)
       case DdlAction.DropTable(s, t, _) => (s, t)
+      case DdlAction.ExchangeTablePartition(s, t, _, _, _) => (s, t)
     }
     val kept = parsed.filter { case (_, _, a) =>
       val (s, t) = target(a)

@@ -28,6 +28,20 @@ class SchemaRegistrySpec extends SparkFunSuite {
     assert(reg.latest("app", "new").get.versionTs == t0 + 10)
   }
 
+  test("exchange partition swaps row shapes from ts on; history intact") {
+    val reg = SchemaRegistry().applyAll(Seq(
+      CreateTable("app", "part_t", Seq(ColumnDef("id", "bigint"), ColumnDef("a", "double")), t0),
+      CreateTable("app", "plain_t", Seq(ColumnDef("id", "bigint"), ColumnDef("b", "varchar")), t0),
+      ExchangeTablePartition("app", "part_t", "app", "plain_t", t0 + 50)))
+    assert(reg.asOf("app", "part_t", t0 + 10).get.columns.map(_.name) == Seq("id", "a"))
+    assert(reg.asOf("app", "part_t", t0 + 60).get.columns.map(_.name) == Seq("id", "b"))
+    assert(reg.asOf("app", "plain_t", t0 + 60).get.columns.map(_.name) == Seq("id", "a"))
+    // parser recognizes the statement
+    assert(DdlParser.parse(
+      "ALTER TABLE part_t EXCHANGE PARTITION p0 WITH TABLE plain_t", 7L) ==
+      Some(ExchangeTablePartition("app", "part_t", "app", "plain_t", 7L)))
+  }
+
   test("drop removes the table; ddl on unknown tables is a no-op") {
     val reg = SchemaRegistry().applyAll(Seq(
       CreateTable("app", "t", Seq(ColumnDef("id", "bigint")), t0),
