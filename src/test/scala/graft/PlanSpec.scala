@@ -58,6 +58,18 @@ class PlanSpec extends SparkFunSuite {
       "chunk assignment must join back via broadcast, not a fact shuffle")
   }
 
+  test("q_lww_state: rank-1 gets WindowGroupLimit, single exchange") {
+    val p = plan("q_lww_state")
+    assert(p.contains("WindowGroupLimit"), "rank<=1 must push a group limit")
+    assert("Exchange".r.findAllIn(p).size <= 2, s"one logical shuffle expected:\n$p")
+  }
+
+  test("q_embed_quantize and q_column_select_rules are shuffle-free") {
+    Seq("q_embed_quantize", "q_column_select_rules").foreach { q =>
+      assert(!plan(q).contains("Exchange"), s"$q must ride the scan")
+    }
+  }
+
   test("encoders stay inside whole-stage codegen") {
     Seq("q_encode_canal", "q_encode_open", "q_encode_debezium", "q_encode_csv")
       .foreach { q =>
