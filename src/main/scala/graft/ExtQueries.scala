@@ -198,6 +198,24 @@ object ExtQueries {
         .filter(pmod(col("vec_id"), lit(61L)) === 0 && col("vec_id") < 61L * 8)
         .select(col("vec_id").as("centroid_id"), col("embedding"))
       graft.operators.Similarity.ivfTopK(emb, centroids, numQueries = 5, k = 10)
+    }),
+
+    "q_ann_recall" -> ((s, d) => {
+      // recall@k of the IVF path against exact brute force — the
+      // quality metric every approximate index ships with
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb
+        .filter(pmod(col("vec_id"), lit(61L)) === 0 && col("vec_id") < 61L * 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      val exact = graft.operators.Similarity.bruteForceTopK(emb, 5, 10)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = graft.operators.Similarity.ivfTopK(emb, centroids, 5, 10)
+        .select(col("query_id").as("aq"), col("neighbor_id").as("an"))
+      exact.join(approx,
+          col("query_id") === col("aq") && col("neighbor_id") === col("an"), "left")
+        .groupBy(col("query_id"))
+        .agg((sum(when(col("an").isNotNull, 1.0).otherwise(0.0)) / lit(10.0))
+          .as("recall_at_k"))
     })
   )
 
@@ -438,6 +456,47 @@ object ExtQueries {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 10""".stripMargin,
+
+    "q_ann_recall" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+        |      WHERE vec_id % 61 = 0 AND vec_id < 488),
+        |cells AS (
+        |  SELECT e.vec_id, arg_max(c.centroid_id, list_dot_product(e.emb, c.c_emb)) AS cell
+        |  FROM e CROSS JOIN c GROUP BY e.vec_id
+        |), wc AS (
+        |  SELECT e.vec_id, e.emb, cells.cell,
+        |    sqrt(list_dot_product(e.emb, e.emb)) AS n
+        |  FROM e JOIN cells USING (vec_id)
+        |), qv AS (
+        |  SELECT vec_id AS query_id, emb AS q_emb, cell AS q_cell, n AS qn
+        |  FROM wc WHERE vec_id < 5
+        |), ivf_topk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT qv.query_id, wc.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY qv.query_id
+        |        ORDER BY list_dot_product(qv.q_emb, wc.emb) / (qv.qn * wc.n) DESC,
+        |          wc.vec_id) AS rank
+        |    FROM wc JOIN qv ON wc.cell = qv.q_cell AND wc.vec_id <> qv.query_id)
+        |  WHERE rank <= 10
+        |), exact_topk AS (
+        |  SELECT query_id, neighbor_id FROM (
+        |    SELECT q2.query_id, e2.vec_id AS neighbor_id,
+        |      ROW_NUMBER() OVER (PARTITION BY q2.query_id
+        |        ORDER BY list_dot_product(q2.q_emb, e2.emb)
+        |          / (q2.qn * sqrt(list_dot_product(e2.emb, e2.emb))) DESC,
+        |          e2.vec_id) AS rank
+        |    FROM e e2 JOIN (SELECT vec_id AS query_id, emb AS q_emb,
+        |        sqrt(list_dot_product(emb, emb)) AS qn FROM e WHERE vec_id < 5) q2
+        |      ON e2.vec_id <> q2.query_id)
+        |  WHERE rank <= 10
+        |)
+        |SELECT x.query_id,
+        |  CAST(COUNT(a.query_id) AS DOUBLE) / 10.0 AS recall_at_k
+        |FROM exact_topk x
+        |LEFT JOIN ivf_topk a
+        |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+        |GROUP BY 1""".stripMargin,
 
     "q_materialize" -> q(
       """SELECT _schema, _table,

@@ -73,6 +73,10 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0) {
           respond(ex, 200,
             s"""{"id":${jsonString(id)},"state":${jsonString(state)},"emitted":$n}""")
 
+        case ("GET", Seq(id, "synced")) =>
+          respond(ex, 200,
+            s"""{"id":${jsonString(id)},"synced":${registry.synced(id)}}""")
+
         case ("POST", Seq(id, "pause")) =>
           registry.pause(id)
           respond(ex, 200, s"""{"id":${jsonString(id)},"state":"paused"}""")

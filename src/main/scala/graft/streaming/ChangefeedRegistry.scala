@@ -87,6 +87,19 @@ class ChangefeedRegistry(spark: SparkSession) {
     }
   }
 
+  /** Synced = the sink has caught up with the source (the reference's
+    * checkpointTs ≥ resolvedTs check, api/v2 status/synced): an
+    * inactive query is synced by construction (AvailableNow drained to
+    * its checkpoint); an active one is synced when its last trigger
+    * admitted no new rows. */
+  def synced(id: String): Boolean = {
+    val e = feeds.getOrElse(id, sys.error(s"no changefeed $id"))
+    e.query match {
+      case Some(q) if q.isActive => Option(q.lastProgress).exists(_.numInputRows == 0)
+      case _ => true
+    }
+  }
+
   /** (id, state, emitted-row count) — the status/synced API view. */
   def status(id: String): (String, String, Long) = {
     val e = feeds.getOrElse(id, sys.error(s"no changefeed $id"))

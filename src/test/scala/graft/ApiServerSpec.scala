@@ -58,6 +58,10 @@ class ApiServerSpec extends SparkFunSuite {
       val (c2, b2) = call("GET", base)
       assert(c2 == 200 && b2 == "[\"cf-api\"]")
 
+      // drained changefeed reports synced
+      val (cs, bs) = call("GET", s"$base/cf-api/synced")
+      assert(cs == 200 && bs.contains("\"synced\":true"), bs)
+
       val (c3, b3) = call("POST", s"$base/cf-api/pause")
       assert(c3 == 200 && b3.contains("paused"))
       val (_, s3) = call("GET", s"$base/cf-api/status")
