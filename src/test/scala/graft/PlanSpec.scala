@@ -70,6 +70,18 @@ class PlanSpec extends SparkFunSuite {
     }
   }
 
+  test("pair dedup paths are aggregation-shaped, no self-joins") {
+    // bucket-collect candidate generation: the only join allowed is
+    // the broadcast of the tiny per-doc sizes table (jaccard)
+    val minhash = plan("q_dedup_minhash_pairs")
+    assert(!minhash.contains("SortMergeJoin") && !minhash.contains("BroadcastHashJoin"),
+      "minhash pairs must be join-free")
+    val ngram = plan("q_dedup_ngram")
+    assert(!ngram.contains("SortMergeJoin"), "jaccard sizes join must broadcast")
+    val lsh = plan("q_ann_lsh")
+    assert(!lsh.contains("SortMergeJoin"), "lsh pair path must not shuffle-join")
+  }
+
   test("encoders stay inside whole-stage codegen") {
     Seq("q_encode_canal", "q_encode_open", "q_encode_debezium", "q_encode_csv")
       .foreach { q =>
