@@ -22,6 +22,7 @@ object SparkEntry {
     "q1_pricing" -> ((s, dir) => Tpch.q1(s, dir)),
     "q3_shipping" -> ((s, dir) => Tpch.q3(s, dir)),
     "q5_local_supplier" -> ((s, dir) => Tpch.q5(s, dir)),
+    "q14_promo" -> ((s, dir) => Tpch.q14(s, dir)),
     "q_event_rollup" -> ((s, dir) => Tpch.eventRollup(s, dir)),
     "q_topk" -> ((s: SparkSession, dir: String) => Tpch.topkRevenue(s, dir)),
     "q_envelope" -> ((s: SparkSession, dir: String) =>

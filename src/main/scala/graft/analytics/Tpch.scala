@@ -89,6 +89,27 @@ object Tpch {
         .cast("double").as("revenue"))
   }
 
+  /** Q14-style promotion revenue share: fact scan with a pushed date
+    * window, part dim broadcast, conditional decimal aggregation —
+    * the classic "share of revenue" probe (and the only query shape
+    * using the `part` table). */
+  def q14(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables.lineitem(spark, dir)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .select("l_partkey", "l_extendedprice", "l_discount")
+    val p = Tables.part(spark, dir).select("p_partkey", "p_type")
+    val discPrice = dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount")))
+    li.join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .agg(
+        (lit(100.0) *
+          sum(when(col("p_type") === "PROMO", discPrice).otherwise(lit(0).cast(DecimalType(18, 2))))
+            .cast("double") /
+          sum(discPrice).cast("double")).as("promo_revenue_pct"),
+        sum(discPrice).cast("double").as("total_revenue"),
+        count(lit(1)).as("n_items"))
+  }
+
   /** Top-k scan (SURVEY §2.12 limits): orderBy+limit compiles to
     * TakeOrderedAndProject — a per-partition bounded heap + driver
     * merge, never a full sort; the shape that survives any scale. The
@@ -153,6 +174,19 @@ object Tpch {
         |  AND o_orderdate >= TIMESTAMP '1996-01-01'
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name""".stripMargin,
+    "q14_promo" ->
+      """SELECT
+        |  100.0 * CAST(SUM(CASE WHEN p_type = 'PROMO'
+        |      THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+        |      ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |    / CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |    AS promo_revenue_pct,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue,
+        |  COUNT(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1996-04-01'""".stripMargin,
+
     "q_topk" ->
       """SELECT l_orderkey, l_linenumber,
         |  CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price
