@@ -70,6 +70,12 @@ object CdcQueries {
     "q_filter_event_type" -> ((s, d) =>
       flatWith(Filters.eventTypeFilter(env(s, d), ignoreOps))),
 
+    // same semantics, pre-decode form: the type predicate applies to
+    // the raw source column and reaches the parquet scan
+    "q_filter_event_type_predecode" -> ((s, d) =>
+      flatWith(Envelope.fromEvents(
+        Envelope.preDecodeTypeFilter(Tables.events(s, d), ignoreOps)))),
+
     "q_filter_expr" -> ((s, d) =>
       flatWith(Filters.exprFilter(s, env(s, d),
         ignoreInsert = Some(exprIgnoreInsert),
@@ -199,6 +205,9 @@ object CdcQueries {
       s"SELECT $flatCols FROM env WHERE ${TableMatcher.matchesSql("_schema", "_table", tableRules)}"),
 
     "q_filter_event_type" -> q(
+      s"SELECT $flatCols FROM env WHERE _op NOT IN ('D')"),
+
+    "q_filter_event_type_predecode" -> q(
       s"SELECT $flatCols FROM env WHERE _op NOT IN ('D')"),
 
     "q_filter_expr" -> q(

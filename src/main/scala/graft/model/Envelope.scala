@@ -71,6 +71,27 @@ object Envelope {
     )
   }
 
+  /** Pre-decode type filter (event_scanner.go:802-820
+    * `dmlTypeFilterCache`; filter.go:52 `ShouldIgnoreDMLByEventType`):
+    * dropping by DML type must happen BEFORE decode, on the raw
+    * source column, so the predicate reaches the parquet scan
+    * (PushedFilters) and skipped rows never deserialize. Maps the
+    * envelope ops back to their raw event types and filters the
+    * events frame itself — compose as
+    * `fromEvents(preDecodeTypeFilter(events, ignoreOps))`. */
+  def preDecodeTypeFilter(events: DataFrame, ignoreOps: Seq[String]): DataFrame = {
+    if (ignoreOps.isEmpty) events
+    else {
+      val ignoreTypes = ignoreOps.flatMap {
+        case "I" => Seq("signup", "purchase")
+        case "D" => Seq("error")
+        case "U" => Seq("click", "view")
+        case other => sys.error(s"unknown op $other")
+      }
+      events.filter(!col("event_type").isin(ignoreTypes: _*))
+    }
+  }
+
   /** Flatten before/after structs into prefixed columns — the shape the
     * DuckDB oracle compares (nested structs hash differently across
     * engines; scalars don't). */

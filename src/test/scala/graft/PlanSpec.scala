@@ -70,6 +70,12 @@ class PlanSpec extends SparkFunSuite {
     }
   }
 
+  test("pre-decode type filter reaches the parquet scan") {
+    val p = plan("q_filter_event_type_predecode")
+    assert(p.contains("Not(EqualTo(event_type,error))"),
+      s"raw type predicate must push to the scan (PushedFilters):\n$p")
+  }
+
   test("pair dedup paths are aggregation-shaped, no self-joins") {
     // bucket-collect candidate generation: the only join allowed is
     // the broadcast of the tiny per-doc sizes table (jaccard)
