@@ -85,6 +85,6 @@ object DdlBarrier {
         case ((cond, src), acc) => when(cond, src).otherwise(acc)
       }.as(c)
     }
-    step.batch.select(keep ++ projected: _*)
+    step.batch.select(keep.toIndexedSeq ++ projected: _*)
   }
 }
