@@ -20,5 +20,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(children.size == 2, "vector_dot(a, b) takes two arrays")
         VectorDot(children.head, children(1))
       }))
+    // cosine composed from the native dot — one SQL surface for the
+    // similarity operators (deterministic left-to-right accumulation)
+    e.injectFunction((
+      new FunctionIdentifier("vector_cosine"),
+      new ExpressionInfo(classOf[VectorDot].getName, "vector_cosine"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "vector_cosine(a, b) takes two arrays")
+        import org.apache.spark.sql.catalyst.expressions.{Divide, Multiply, Sqrt}
+        val (a, b) = (children.head, children(1))
+        Divide(VectorDot(a, b),
+          Multiply(Sqrt(VectorDot(a, a)), Sqrt(VectorDot(b, b))))
+      }))
   }
 }

@@ -71,6 +71,20 @@ object Envelope {
     )
   }
 
+  /** Envelope from a FLAT change-row frame (meta columns + payload
+    * columns at top level — the shape the DSv2 changelog generator
+    * emits): images nest per op. The generator carries no old value,
+    * so updates reuse the post-image as pre-image (a delete-safe
+    * approximation; sources with true old-value emit both). */
+  def fromFlat(df: DataFrame): DataFrame = {
+    val img = struct(col("user_id"), col("value"), col("k"))
+    df.select(
+      col("_row_id"), col("_schema"), col("_table"), col("_op"),
+      col("_commit_ts"), col("_start_ts"),
+      when(col("_op") === "I", lit(null)).otherwise(img).as("before"),
+      when(col("_op") === "D", lit(null)).otherwise(img).as("after"))
+  }
+
   /** Pre-decode type filter (event_scanner.go:802-820
     * `dmlTypeFilterCache`; filter.go:52 `ShouldIgnoreDMLByEventType`):
     * dropping by DML type must happen BEFORE decode, on the raw

@@ -17,6 +17,29 @@ class ChangelogGenSourceSpec extends SparkFunSuite {
       .option("numPartitions", 4)
       .load()
 
+  test("custom source feeds the full changefeed pipeline to an encoded sink") {
+    import graft.model._
+    import graft.streaming.Changefeed
+    val tmp = Files.createTempDirectory("graft-genpipe").toString
+    val cfg = ChangefeedConfig(id = "cf-gen",
+      sink = SinkConfig(protocol = Protocol.CanalJson, numPartitions = 4,
+        dispatch = Seq(DispatchRule(
+          partition = PartitionRule.KeyColumns(Seq("user_id")),
+          topic = Some("gen_{schema}_{table}")))),
+      splitUpdateOnKeyChange = false)
+    val q = Changefeed.pipeline(spark, cfg)(Envelope.fromFlat(readGen(4000)))
+      .writeStream.format("parquet").option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() == 4000)
+    assert(out.select("_topic").head().getString(0).startsWith("gen_app_"))
+    assert(out.select("_value").head().getString(0).startsWith("{\"id\":0"))
+    val parts = out.select("_partition").distinct().count()
+    assert(parts > 1 && parts <= 4)
+  }
+
   test("drains exactly totalRows with deterministic content") {
     val tmp = Files.createTempDirectory("graft-gen").toString
     val q = readGen(5000).writeStream

@@ -19,6 +19,10 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT vector_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d")
         .head().getDouble(0)
       assert(out == 32.0)
+      val cos = extended.sql(
+        "SELECT vector_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c," +
+          " vector_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS o").head()
+      assert(cos.getDouble(0) == 1.0 && cos.getDouble(1) == 0.0)
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)
