@@ -247,11 +247,13 @@ object Dedup {
       .withColumn("__nd", count(lit(1)).over(wSize))
       .filter(col("__pos") <= floor(lit(1.0 - threshold) * col("__nd")) + 1)
       .select(col("doc_id"), col("__blk"), col("tok"))
-    val cands = prefix.as("a").join(prefix.as("b"),
-        col("a.__blk") === col("b.__blk") &&
-          col("a.tok") === col("b.tok") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+    val cands = prefix.groupBy(col("__blk"), col("tok"))
+      .agg(collect_list(col("doc_id")).as("__ds"))
+      .filter(size(col("__ds")) > 1)
+      .withColumn("doc_a", explode(col("__ds")))
+      .withColumn("doc_b", explode(col("__ds")))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"))
       .distinct()
     val sets = docs.select(col("doc_id"),
       array_sort(distinctToks).as("__set"),
