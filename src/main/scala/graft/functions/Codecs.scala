@@ -168,6 +168,13 @@ object Codecs {
           "{\"name\":\"value\",\"type\":\"double\"}," +
           "{\"name\":\"k\",\"type\":\"bigint\"}]}")))
 
+  /** Open-protocol RESOLVED control message (type field t=3,
+    * open/message.go type taxonomy): key carries the watermark ts,
+    * value is empty — the consumer may advance its own progress to
+    * `ts` because no earlier commit will ever arrive. */
+  def openResolvedMessage(resolvedTs: Long): (String, String) =
+    (s"""{"ts":$resolvedTs,"t":3}""", "")
+
   /** DDL message encoding, protocol-common form
     * (pkg/sink/codec/common/ddl.go:1-240): ddl rows =
     * (_schema, _table, version_ts, query). */

@@ -205,6 +205,45 @@ object Changefeed {
       .start()
   }
 
+  /** MQ-path changefeed with RESOLVED-TS emission: each micro-batch
+    * writes its encoded rows and then ONE resolved control message at
+    * the batch's max commit-ts (the reference broadcasts resolved
+    * events to every MQ partition after flushing the rows below it —
+    * the consumer-side watermark). Log-then-watermark ordering holds
+    * because the control row is written after the batch's data rows
+    * within the same foreachBatch. */
+  def runMq(spark: SparkSession, cfg: ChangefeedConfig, sourceDir: String,
+            sinkDir: String, checkpointDir: String): StreamingQuery = {
+    GraftSession.tune(spark)
+    val env = Envelope.fromEvents(sourceStream(spark, cfg, sourceDir))
+    pipeline(spark, cfg)(env)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = batch.persist()
+        try {
+          val out = b.select(col("_partition"), col("_commit_ts"),
+            lit("row").as("_kind"), col("_value"))
+          out.write.mode("append").parquet(sinkDir)
+          val mx = b.agg(max(col("_commit_ts"))).head()
+          if (!mx.isNullAt(0)) {
+            val resolved = mx.getLong(0)
+            val (key, _) = Codecs.openResolvedMessage(resolved)
+            val s = b.sparkSession
+            import s.implicits._
+            // one control message per routing partition (the reference
+            // broadcasts resolved events to every MQ partition)
+            (0 until cfg.sink.numPartitions).map(p =>
+                (p.toLong, resolved, "resolved", key))
+              .toDF("_partition", "_commit_ts", "_kind", "_value")
+              .write.mode("append").parquet(sinkDir)
+          }
+        } finally { b.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Post-run checkpoint summary (the resolved-ts/progress the
     * coordinator would persist): per-partition max commit ts + count. */
   def progress(spark: SparkSession, sinkDir: String): DataFrame =

@@ -187,6 +187,29 @@ class ChangefeedSpec extends SparkFunSuite {
       "parsed AddColumn default surfaces post-DDL")
   }
 
+  test("mq path emits resolved-ts watermarks covering every data row") {
+    val tmp = Files.createTempDirectory("graft-cfmq").toString
+    val src = s"$tmp/source"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    val q = Changefeed.runMq(spark, cfg.copy(id = "cf-mq"), src,
+      s"$tmp/sink", s"$tmp/ckpt")
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$tmp/sink")
+    val rows = out.filter(col("_kind") === "row")
+    val resolved = out.filter(col("_kind") === "resolved")
+    assert(rows.count() > 0 && resolved.count() > 0)
+    // a resolved message reached every routing partition
+    assert(resolved.select("_partition").distinct().count() == 4)
+    assert(resolved.select("_value").head().getString(0).endsWith("\"t\":3}"))
+    // the watermark covers every data row: no row above the max resolved
+    val maxResolved = resolved.agg(max("_commit_ts")).head().getLong(0)
+    assert(rows.filter(col("_commit_ts") > maxResolved).count() == 0,
+      "resolved-ts promises no earlier commit will arrive")
+  }
+
   test("ddl barrier wired into the streaming loop evolves the registry mid-stream") {
     import graft.model.DdlAction._
     import graft.model.{ColumnDef, SchemaRegistry}
