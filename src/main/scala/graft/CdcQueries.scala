@@ -189,7 +189,27 @@ object CdcQueries {
       graft.sinks.MysqlSink.statements(env(s, d), Seq("user_id"), 8, safeMode = true)),
 
     "q_sqlmodel_update" -> ((s, d) =>
-      graft.sinks.MysqlSink.statements(env(s, d), Seq("user_id"), 8, safeMode = false))
+      graft.sinks.MysqlSink.statements(env(s, d), Seq("user_id"), 8, safeMode = false)),
+
+    // a SECOND, differently-shaped table (string payload with free
+    // text) through the SAME generic statement builder — pins the
+    // TableInfo-generic path (sql_builder.go:155-244): column/key
+    // lists and literal escaping all derive from the schema
+    "q_sqlmodel_generic" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val opSel = pmod(col("doc_id"), lit(5L))
+      val op = when(opSel === 0, "D").when(opSel === 1, "U").otherwise("I")
+      val payload = struct(col("doc_id").as("doc_id"),
+        col("source").as("source"), col("text").as("text"))
+      val env2 = docs.select(
+        col("doc_id").as("_row_id"),
+        lit("corpus").as("_schema"), lit("docs").as("_table"), op.as("_op"),
+        (col("doc_id") * 1000L + 1L).as("_commit_ts"),
+        (col("doc_id") * 1000L).as("_start_ts"),
+        when(op === "I", lit(null)).otherwise(payload).as("before"),
+        when(op === "D", lit(null)).otherwise(payload).as("after"))
+      graft.sinks.MysqlSink.statements(env2, Seq("doc_id"), 8, safeMode = false)
+    })
   )
 
   // ---- DuckDB oracles ----
@@ -461,7 +481,40 @@ object CdcQueries {
        |  END AS _stmt
        |FROM env""".stripMargin
 
+  /** MySQL string-literal escaping in DuckDB dialect (mirror of
+    * MysqlSink.sqlLiteralFor's StringType branch: backslashes double
+    * first, then quotes double, wrapped in single quotes). */
+  private def escSql(c: String): String =
+    s"'''' || replace(replace($c, chr(92), chr(92) || chr(92)), '''', '''''') || ''''"
+
+  private val genericEnvSql =
+    """env2 AS (
+      |  SELECT doc_id AS _row_id, 'corpus' AS _schema, 'docs' AS _table,
+      |    CASE doc_id % 5 WHEN 0 THEN 'D' WHEN 1 THEN 'U' ELSE 'I' END AS _op,
+      |    doc_id * 1000 + 1 AS _commit_ts, doc_id * 1000 AS _start_ts,
+      |    doc_id, source, text
+      |  FROM documents
+      |)""".stripMargin
+
   val sqlmodelOracle: Map[String, String] = Map(
+    "q_sqlmodel_generic" -> {
+      val vals = s"CAST(doc_id AS VARCHAR) || ',' || ${escSql("source")} || ',' || ${escSql("text")}"
+      val sets = s"'`doc_id` = ' || CAST(doc_id AS VARCHAR) || " +
+        s"', `source` = ' || ${escSql("source")} || ', `text` = ' || ${escSql("text")}"
+      val keyPred = "'`doc_id` = ' || CAST(doc_id AS VARCHAR)"
+      s"""WITH $genericEnvSql
+         |SELECT
+         |  ${Routing.stableHashSql(Seq("_schema", "_table", "doc_id"))} % 8 AS _partition,
+         |  _row_id, _schema, _table, _commit_ts, _start_ts, _op,
+         |  CASE WHEN _op = 'D' THEN
+         |    'DELETE FROM `corpus`.`docs` WHERE ' || $keyPred || ' LIMIT 1'
+         |  WHEN _op = 'U' THEN
+         |    'UPDATE `corpus`.`docs` SET ' || $sets || ' WHERE ' || $keyPred || ' LIMIT 1'
+         |  ELSE
+         |    'INSERT INTO `corpus`.`docs` (`doc_id`,`source`,`text`) VALUES (' || $vals || ')'
+         |  END AS _stmt
+         |FROM env2""".stripMargin
+    },
     "q_sqlmodel" -> q(sqlmodelBody(
       s"""ELSE
          |    'REPLACE INTO `' || _schema || '`.`' || _table || '` ' || $insertValuesSql""".stripMargin)),

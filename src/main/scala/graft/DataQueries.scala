@@ -61,9 +61,14 @@ object DataQueries {
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), "source", jaccardThreshold)),
 
+    // Output exploded to (vec_id, scale, pos, code) rows: the driver's
+    // pandas comparator sorts on column values, and an array column is
+    // unhashable there — scalar rows keep the oracle comparable.
     "q_embed_quantize" -> ((s, d) =>
       Similarity.quantizeInt8(emb(s, d))
-        .select(col("vec_id"), col("scale"), col("codes"))),
+        .select(col("vec_id"), col("scale"), posexplode(col("codes")))
+        .select(col("vec_id"), col("scale"),
+          col("pos").cast("long").as("pos"), col("col").as("code"))),
 
     "q_ann_topk" -> ((s, d) => Similarity.bruteForceTopK(emb(s, d), annQueries, annK)),
 
@@ -264,11 +269,16 @@ object DataQueries {
         |  SELECT vec_id, embedding::DOUBLE[] AS emb,
         |    CAST(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0
         |      AS DOUBLE) AS scale
-        |  FROM embeddings)
+        |  FROM embeddings),
+        |c AS (
+        |  SELECT vec_id, scale,
+        |    CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
+        |         ELSE list_transform(emb, x -> CAST(round(x / scale) AS INT)) END AS codes
+        |  FROM e)
         |SELECT vec_id, scale,
-        |  CASE WHEN scale = 0 THEN list_transform(emb, x -> 0)
-        |       ELSE list_transform(emb, x -> CAST(round(x / scale) AS INT)) END AS codes
-        |FROM e""".stripMargin,
+        |  CAST(unnest(generate_series(0, len(codes) - 1)) AS BIGINT) AS pos,
+        |  CAST(unnest(codes) AS INT) AS code
+        |FROM c""".stripMargin,
 
     "q_ann_topk" ->
       s"""WITH $annScoredSql

@@ -124,21 +124,10 @@ object ExtQueries {
     "q_roundtrip_avro" -> ((s, d) =>
       graft.functions.AvroCodec.decode(graft.functions.AvroCodec.encode(env(s, d)))),
 
-    "q_filter_ddl" -> ((s, d) => {
-      // DDL fixture: sparse version stream with a rotating statement
-      // mix. The control stream is tiny (1/97 of events), so cache it:
-      // the InMemoryRelation is an optimizer barrier that stops
-      // project-collapse from inlining the synthesized `query` CASE
-      // into every classifier branch (which made codegen of the
-      // combined tree the dominant cost) — and mirrors reality, where
-      // DDL arrives materialized from the job table.
-      val ddl = graft.operators.SchemaAsOf.sampleVersions(env(s, d))
-        .withColumn("query", ddlFixtureQuery)
-        .cache()
+    "q_filter_ddl" -> ((s, d) =>
       graft.operators.Filters
-        .ddlFilter(ddl, Seq("drop table", "truncate table"), Seq("^CREATE INDEX"))
-        .withColumn("ddl_class", graft.operators.Filters.ddlClass(col("query")))
-    }),
+        .ddlFilter(ddlFixture(s, d), Seq("drop table", "truncate table"), Seq("^CREATE INDEX"))
+        .withColumn("ddl_class", graft.operators.Filters.ddlClass(col("query")))),
 
     "q_msg_batches" -> ((s, d) => {
       val encoded = Codecs.canalJson(
@@ -147,13 +136,40 @@ object ExtQueries {
         .select(col("_row_id"), col("_partition"), col("_msg_bytes"), col("_msg_batch"))
     }),
 
-    "q_ddl_dispatch" -> ((s, d) => {
-      val ddl = graft.operators.SchemaAsOf.sampleVersions(env(s, d))
-        .withColumn("query", ddlFixtureQuery)
-        .cache()
-      graft.operators.Filters.ddlDispatch(ddl,
+    "q_ddl_dispatch" -> ((s, d) =>
+      graft.operators.Filters.ddlDispatch(ddlFixture(s, d),
         Seq("app.events_*", "!app.events_3"),
-        Seq("truncate table"), Seq("^CREATE INDEX"))
+        Seq("truncate table"), Seq("^CREATE INDEX"))),
+
+    "q_ddl_modify" -> ((s, d) => {
+      // rotating ALTER mix over the sparse version stream, parsed by
+      // the REAL DdlParser driver-side (DDL lists are control-plane-
+      // sized — the reference's schema store holds them in memory too)
+      // and re-emitted as rows: exercises MODIFY/CHANGE COLUMN,
+      // partition DDLs, and the constraint-head rejection (ADD INDEX
+      // parses to nothing) end-to-end against a textual oracle.
+      import graft.model.DdlAction._
+      val ddl = graft.operators.SchemaAsOf.sampleVersions(env(s, d))
+        .withColumn("query", ddlModifyQuery)
+      val parsed = ddl.select("_schema", "_table", "version_ts", "query")
+        .collect().toSeq.flatMap { r =>
+          val (sc, ts) = (r.getString(0), r.getLong(2))
+          graft.model.DdlParser.parse(r.getString(3), ts, sc).map { a =>
+            val (kind, colName, newName, newType) = a match {
+              case ModifyColumn(_, _, c, _) => ("modify", c.name, c.name, c.dataType)
+              case ChangeColumn(_, _, o, c, _) => ("change", o, c.name, c.dataType)
+              case TruncateTablePartition(_, _, ps, _) =>
+                ("truncate_partition", ps.mkString(","), "", "")
+              case DropTablePartition(_, _, ps, _) =>
+                ("drop_partition", ps.mkString(","), "", "")
+              case other => (other.getClass.getSimpleName, "", "", "")
+            }
+            (sc, r.getString(1), ts, kind, colName, newName, newType)
+          }
+        }
+      import s.implicits._
+      parsed.toDF("_schema", "_table", "version_ts", "kind",
+        "col_name", "new_name", "new_type")
     }),
 
     "q_filter_virtual" -> ((s, d) => {
@@ -221,6 +237,25 @@ object ExtQueries {
 
   val sessionGapNs: Long = 30L * 60 * 1000 * 1000 * 1000 // 30 min
 
+  /** DDL fixture: sparse version stream with a rotating statement
+    * mix. The control stream is tiny (1/97 of events), so cache it:
+    * the InMemoryRelation is an optimizer barrier that stops
+    * project-collapse from inlining the synthesized `query` CASE
+    * into every classifier branch (which made codegen of the
+    * combined tree the dominant cost) — and mirrors reality, where
+    * DDL arrives materialized from the job table. Memoized per
+    * (session, sfDir) so repeated Bench/test invocations reuse ONE
+    * InMemoryRelation instead of stacking fresh ones in storage
+    * memory. */
+  private val ddlFixtureCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+  private def ddlFixture(s: SparkSession, d: String): DataFrame =
+    ddlFixtureCache.computeIfAbsent((s, d), { key =>
+      graft.operators.SchemaAsOf.sampleVersions(env(key._1, key._2))
+        .withColumn("query", ddlFixtureQuery)
+        .cache()
+    })
+
   /** Rotating DDL statement fixture (shared with the oracle below).
     * Selector uses the µs digit of the version ts (commit ts is
     * µs-truncated ns, so `ts % 5` alone would always be 0). */
@@ -232,6 +267,21 @@ object ExtQueries {
       .when(ddlSel === 2, concat(lit("DROP TABLE "), col("_table")))
       .when(ddlSel === 3, concat(lit("TRUNCATE TABLE "), col("_table")))
       .otherwise(concat(lit("CREATE INDEX idx ON "), col("_table")))
+
+  /** Rotating ALTER mix for q_ddl_modify (selector shared with the
+    * oracle): selector 2 is a constraint DDL that must parse to
+    * nothing. */
+  private def ddlModifyQuery =
+    when(ddlSel === 0, concat(lit("ALTER TABLE "), col("_table"),
+        lit(" MODIFY COLUMN value DECIMAL(18,2)")))
+      .when(ddlSel === 1, concat(lit("ALTER TABLE "), col("_table"),
+        lit(" CHANGE COLUMN k k2 BIGINT")))
+      .when(ddlSel === 2, concat(lit("ALTER TABLE "), col("_table"),
+        lit(" ADD INDEX idx (k)")))
+      .when(ddlSel === 3, concat(lit("ALTER TABLE "), col("_table"),
+        lit(" TRUNCATE PARTITION p0")))
+      .otherwise(concat(lit("ALTER TABLE "), col("_table"),
+        lit(" DROP PARTITION p1, p2")))
 
   private def q(body: String): String = EnvelopeSql.query(body)
 
@@ -383,6 +433,21 @@ object ExtQueries {
          |       WHEN (version_ts % 5000) // 1000 IN (3, 4) THEN 'ignore'
          |       ELSE 'emit' END AS _ddl_action
          |FROM ddl""".stripMargin),
+
+    "q_ddl_modify" -> q(
+      """, ddl AS (
+        |  SELECT _schema, _table, _commit_ts AS version_ts,
+        |    (_commit_ts % 5000) // 1000 AS sel
+        |  FROM env WHERE _row_id % 97 = 0
+        |)
+        |SELECT _schema, _table, version_ts,
+        |  CASE sel WHEN 0 THEN 'modify' WHEN 1 THEN 'change'
+        |    WHEN 3 THEN 'truncate_partition' ELSE 'drop_partition' END AS kind,
+        |  CASE sel WHEN 0 THEN 'value' WHEN 1 THEN 'k'
+        |    WHEN 3 THEN 'p0' ELSE 'p1,p2' END AS col_name,
+        |  CASE sel WHEN 0 THEN 'value' WHEN 1 THEN 'k2' ELSE '' END AS new_name,
+        |  CASE sel WHEN 0 THEN 'decimal(18,2)' WHEN 1 THEN 'bigint' ELSE '' END AS new_type
+        |FROM ddl WHERE sel <> 2""".stripMargin),
 
     "q_filter_virtual" -> q(
       """SELECT _row_id, _schema, _table, _op, _commit_ts, _start_ts,

@@ -161,6 +161,10 @@ object AvroCodec {
     case (x: java.nio.ByteBuffer, BinaryType) => bytesOf(x)
     case (x: java.lang.Integer, DateType) =>
       java.sql.Date.valueOf(java.time.LocalDate.ofEpochDay(x.longValue()))
+    case (x: java.lang.Long, TimestampType) =>
+      java.sql.Timestamp.from(java.time.Instant.ofEpochSecond(
+        Math.floorDiv(x.longValue(), 1000000L),
+        Math.floorMod(x.longValue(), 1000000L) * 1000L))
     case (x: java.lang.Long, TimestampNTZType) =>
       java.time.LocalDateTime.ofEpochSecond(
         Math.floorDiv(x.longValue(), 1000000L),

@@ -21,6 +21,14 @@ object PartitionRule {
   case object Table extends PartitionRule
   case object Ts extends PartitionRule
   final case class KeyColumns(cols: Seq[String]) extends PartitionRule
+  /** Pin a table's rows to one worker partition — the data-plane
+    * effect of api/v2 move_table (a span moves to a chosen node). */
+  final case class Fixed(partition: Int) extends PartitionRule
+  /** Fan a table's rows over `parts` sub-partitions (span split —
+    * api/v2 split_table / the write-bytes splitter,
+    * maintainer/split/splitter.go:41-65). Per-table ordering is
+    * intentionally given up, exactly like a split table span. */
+  final case class TableSplit(parts: Int) extends PartitionRule
 }
 
 final case class DispatchRule(

@@ -9,9 +9,13 @@ package graft.model
   * arguments reach the registry.
   *
   * Supported: CREATE TABLE (column list with optional DEFAULTs),
-  * ALTER TABLE ADD/DROP COLUMN, DROP TABLE, TRUNCATE TABLE,
-  * RENAME TABLE a TO b. Unqualified table names resolve against
-  * `defaultSchema`. Backtick-quoted identifiers are unwrapped.
+  * ALTER TABLE ADD/DROP/MODIFY/CHANGE COLUMN, DROP TABLE, TRUNCATE
+  * TABLE, RENAME TABLE a TO b[, c TO d...], ALTER TABLE
+  * ADD/DROP/TRUNCATE/EXCHANGE PARTITION
+  * (persist_storage_ddl_handlers.go:211-400). Unqualified table names
+  * resolve against `defaultSchema`. Backtick-quoted identifiers are
+  * unwrapped. Constraint DDLs (ADD INDEX / PRIMARY KEY / ...) parse
+  * to None — they never become phantom AddColumns.
   */
 object DdlParser {
   import DdlAction._
@@ -20,16 +24,37 @@ object DdlParser {
     """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s*\((.*)\)\s*[^)]*$""".r
   private val addColumn =
     """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+(?:COLUMN\s+)?`?(\w+)`?\s+(\w+(?:\(\d+(?:,\d+)?\))?)(?:\s+DEFAULT\s+('[^']*'|\S+))?.*$""".r
+  private val modifyColumn =
+    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+MODIFY\s+(?:COLUMN\s+)?`?(\w+)`?\s+(\w+(?:\(\d+(?:,\d+)?\))?)(?:\s+DEFAULT\s+('[^']*'|\S+))?.*$""".r
+  private val changeColumn =
+    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+CHANGE\s+(?:COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(\w+(?:\(\d+(?:,\d+)?\))?)(?:\s+DEFAULT\s+('[^']*'|\S+))?.*$""".r
   private val dropColumn =
     """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+DROP\s+(?:COLUMN\s+)?`?(\w+)`?\s*$""".r
   private val dropTable =
     """(?is)^\s*DROP\s+TABLE\s+(?:IF\s+EXISTS\s+)?([`\w.]+)\s*$""".r
   private val truncateTable =
     """(?is)^\s*TRUNCATE\s+(?:TABLE\s+)?([`\w.]+)\s*$""".r
-  private val renameTable =
-    """(?is)^\s*RENAME\s+TABLE\s+([`\w.]+)\s+TO\s+([`\w.]+)\s*$""".r
+  private val renameTables =
+    """(?is)^\s*RENAME\s+TABLE\s+(.+?)\s*$""".r
+  private val renamePair =
+    """(?is)^\s*([`\w.]+)\s+TO\s+([`\w.]+)\s*$""".r
   private val exchangePartition =
     """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+EXCHANGE\s+PARTITION\s+`?\w+`?\s+WITH\s+TABLE\s+([`\w.]+)\s*$""".r
+  private val addPartition =
+    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+PARTITION\s*\(.*\)\s*$""".r
+  private val dropPartition =
+    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+DROP\s+PARTITION\s+([`\w\s,]+?)\s*$""".r
+  private val truncatePartition =
+    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+TRUNCATE\s+PARTITION\s+([`\w\s,]+?)\s*$""".r
+
+  /** Heads that start a table-level constraint / non-shape clause —
+    * shared between CREATE TABLE body parsing and the ALTER .. ADD
+    * guard (an `ADD INDEX idx (k)` must NOT become an AddColumn of a
+    * phantom `INDEX` column; the reference treats these as unhandled
+    * action types). */
+  private val constraintHead = Set(
+    "primary", "unique", "key", "index", "constraint", "foreign",
+    "check", "partition", "fulltext", "spatial")
 
   private def ident(raw: String, defaultSchema: String): (String, String) = {
     val clean = raw.replace("`", "")
@@ -60,8 +85,6 @@ object DdlParser {
     if (cur.nonEmpty) parts += cur.toString
     val colDef =
       """(?is)^\s*`?(\w+)`?\s+(\w+(?:\(\d+(?:,\d+)?\))?)(?:.*?\bDEFAULT\s+('[^']*'|\S+))?.*$""".r
-    val constraintHead =
-      Set("primary", "unique", "key", "index", "constraint", "foreign", "check")
     parts.toSeq.flatMap { p =>
       val head = p.trim.takeWhile(c => c.isLetter).toLowerCase
       if (constraintHead.contains(head)) None
@@ -72,6 +95,10 @@ object DdlParser {
       }
     }
   }
+
+  /** Split a comma list at the top level (partition name lists). */
+  private def commaList(raw: String): Seq[String] =
+    raw.split(',').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq
 
   /** Parse one DDL statement; None when the statement doesn't change
     * row shape (the registry ignores it, like the reference's
@@ -85,16 +112,49 @@ object DdlParser {
         val (s, t) = ident(name, defaultSchema)
         val (ws, wt) = ident(withName, defaultSchema)
         Some(ExchangeTablePartition(s, t, ws, wt, ts))
-      case addColumn(name, cName, cType, dflt) =>
+      // partition clauses must precede the column forms: ADD/DROP of a
+      // PARTITION would otherwise capture cName="PARTITION"
+      case addPartition(name) =>
+        val (s, t) = ident(name, defaultSchema)
+        Some(AddTablePartition(s, t, ts))
+      case truncatePartition(name, parts) =>
+        val (s, t) = ident(name, defaultSchema)
+        Some(TruncateTablePartition(s, t, commaList(parts), ts))
+      case dropPartition(name, parts) =>
+        val (s, t) = ident(name, defaultSchema)
+        Some(DropTablePartition(s, t, commaList(parts), ts))
+      case addColumn(name, cName, cType, dflt)
+          if !constraintHead.contains(cName.toLowerCase) =>
         val (s, t) = ident(name, defaultSchema)
         Some(AddColumn(s, t, ColumnDef(cName, cType.toLowerCase, Option(dflt).map(unquote)), ts))
-      case dropColumn(name, cName) =>
+      case modifyColumn(name, cName, cType, dflt)
+          if !constraintHead.contains(cName.toLowerCase) =>
+        val (s, t) = ident(name, defaultSchema)
+        Some(ModifyColumn(s, t, ColumnDef(cName, cType.toLowerCase, Option(dflt).map(unquote)), ts))
+      case changeColumn(name, oldName, newName, cType, dflt)
+          if !constraintHead.contains(oldName.toLowerCase) =>
+        val (s, t) = ident(name, defaultSchema)
+        Some(ChangeColumn(s, t, oldName,
+          ColumnDef(newName, cType.toLowerCase, Option(dflt).map(unquote)), ts))
+      case dropColumn(name, cName)
+          if !constraintHead.contains(cName.toLowerCase) =>
         val (s, t) = ident(name, defaultSchema)
         Some(DropColumn(s, t, cName, ts))
-      case renameTable(from, to) =>
-        val (s, t) = ident(from, defaultSchema)
-        val (ns, nt) = ident(to, defaultSchema)
-        Some(RenameTable(s, t, ns, nt, ts))
+      case renameTables(pairList) =>
+        // split on commas; identifiers contain no commas
+        val raw = pairList.split(',').map(_.trim).filter(_.nonEmpty).toSeq
+        val parsed = raw.map {
+          case renamePair(from, to) =>
+            val (s, t) = ident(from, defaultSchema)
+            val (ns, nt) = ident(to, defaultSchema)
+            Some(RenameTable(s, t, ns, nt, ts))
+          case _ => None // malformed pair → not a rename we handle
+        }
+        if (parsed.isEmpty || parsed.exists(_.isEmpty)) None
+        else parsed.flatten match {
+          case Seq(single) => Some(single)
+          case many        => Some(RenameTables(many, ts))
+        }
       case truncateTable(name) =>
         val (s, t) = ident(name, defaultSchema)
         Some(TruncateTable(s, t, ts))

@@ -26,6 +26,16 @@ object Envelope {
   val metaCols: Seq[String] =
     Seq("_row_id", "_schema", "_table", "_op", "_commit_ts", "_start_ts")
 
+  /** The events-fixture payload shape (user_id, value, k) — the struct
+    * type of `before`/`after` in [[fromEvents]] output. */
+  val payloadSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("user_id", LongType),
+      StructField("value", DoubleType),
+      StructField("k", LongType)))
+  }
+
   /** DMLOrder within a txn: Delete < Update < Insert — mirrors the
     * eventstore sort-key byte (logservice/eventstore/format.go:26-60). */
   def opOrder(op: Column): Column =
@@ -93,15 +103,26 @@ object Envelope {
     * envelope ops back to their raw event types and filters the
     * events frame itself — compose as
     * `fromEvents(preDecodeTypeFilter(events, ignoreOps))`. */
+  /** The ops with CLOSED type sets in [[fromEvents]]; "U" is the
+    * `.otherwise` branch, so its type set is open-ended by
+    * construction and must never be enumerated here. */
+  private val explicitOpTypes: Map[String, Seq[String]] =
+    Map("I" -> Seq("signup", "purchase"), "D" -> Seq("error"))
+
   def preDecodeTypeFilter(events: DataFrame, ignoreOps: Seq[String]): DataFrame = {
+    ignoreOps.foreach(op =>
+      require(op == "U" || explicitOpTypes.contains(op), s"unknown op $op"))
     if (ignoreOps.isEmpty) events
-    else {
-      val ignoreTypes = ignoreOps.flatMap {
-        case "I" => Seq("signup", "purchase")
-        case "D" => Seq("error")
-        case "U" => Seq("click", "view")
-        case other => sys.error(s"unknown op $other")
-      }
+    else if (ignoreOps.contains("U")) {
+      // dropping "U" = keeping only the retained ops' explicit sets —
+      // the complement form, so a new event_type in the fixture still
+      // classifies identically to the post-decode eventTypeFilter
+      val keepTypes = explicitOpTypes.collect {
+        case (op, types) if !ignoreOps.contains(op) => types
+      }.flatten.toSeq
+      events.filter(col("event_type").isin(keepTypes: _*))
+    } else {
+      val ignoreTypes = ignoreOps.flatMap(explicitOpTypes)
       events.filter(!col("event_type").isin(ignoreTypes: _*))
     }
   }

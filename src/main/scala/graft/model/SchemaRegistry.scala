@@ -21,9 +21,11 @@ final case class TableSchema(
 }
 
 /** DDL actions — the subset of the reference's 30+ handlers that
-  * changes row shape (persist_storage_ddl_handlers.go: CreateTable
-  * :139, AddColumn :157, DropColumn, TruncateTable :211, RenameTable
-  * :238, DropTable :148). */
+  * changes row shape or table identity
+  * (persist_storage_ddl_handlers.go: CreateTable :139, AddColumn
+  * :157, DropColumn, ModifyColumn — the Modify/ChangeColumn job
+  * class, TruncateTable :211, RenameTable :238, RenameTables :391,
+  * DropTable :148, partition handlers :292-:382). */
 sealed trait DdlAction { def ts: Long }
 object DdlAction {
   final case class CreateTable(schema: String, table: String,
@@ -32,10 +34,31 @@ object DdlAction {
                              column: ColumnDef, ts: Long) extends DdlAction
   final case class DropColumn(schema: String, table: String,
                               name: String, ts: Long) extends DdlAction
+  /** ALTER TABLE .. MODIFY COLUMN: retype (and/or re-default) a column
+    * in place, position preserved — the most common real-world ALTER
+    * after ADD COLUMN. */
+  final case class ModifyColumn(schema: String, table: String,
+                                column: ColumnDef, ts: Long) extends DdlAction
+  /** ALTER TABLE .. CHANGE COLUMN old new type: rename + retype in
+    * place. */
+  final case class ChangeColumn(schema: String, table: String,
+                                oldName: String, column: ColumnDef, ts: Long) extends DdlAction
   final case class RenameTable(schema: String, table: String,
                                newSchema: String, newTable: String, ts: Long) extends DdlAction
+  /** Multi-table RENAME TABLE a TO b, c TO d — one atomic job in the
+    * reference (RenameTables :391); applied in statement order. */
+  final case class RenameTables(renames: Seq[RenameTable], ts: Long) extends DdlAction
   final case class TruncateTable(schema: String, table: String, ts: Long) extends DdlAction
   final case class DropTable(schema: String, table: String, ts: Long) extends DdlAction
+  /** Partition DDLs (:292 Add/Drop, :319 Truncate): row shape is
+    * unchanged but the physical span set isn't — a new schema version
+    * marks the boundary so scans/sinks re-plan at the right ts, the
+    * role the reference's table-trigger event plays. */
+  final case class AddTablePartition(schema: String, table: String, ts: Long) extends DdlAction
+  final case class DropTablePartition(schema: String, table: String,
+                                      partitions: Seq[String], ts: Long) extends DdlAction
+  final case class TruncateTablePartition(schema: String, table: String,
+                                          partitions: Seq[String], ts: Long) extends DdlAction
   /** EXCHANGE PARTITION (persist_storage_ddl_handlers.go:382): the
     * partitioned table's partition and a standalone table swap
     * physical identity — logically, rows of each name decode with the
@@ -73,6 +96,18 @@ final case class SchemaRegistry(
       latest(s, t).map(cur =>
         put(cur.copy(versionTs = ts, columns = cur.columns.filterNot(_.name == n))))
         .getOrElse(this)
+    case ModifyColumn(s, t, c, ts) =>
+      // retype in place, position preserved; unknown column → version
+      // bump only (the job already committed upstream)
+      latest(s, t).map(cur => put(cur.copy(versionTs = ts,
+        columns = cur.columns.map(old => if (old.name == c.name) c else old))))
+        .getOrElse(this)
+    case ChangeColumn(s, t, oldName, c, ts) =>
+      latest(s, t).map(cur => put(cur.copy(versionTs = ts,
+        columns = cur.columns.map(old => if (old.name == oldName) c else old))))
+        .getOrElse(this)
+    case RenameTables(renames, _) =>
+      renames.foldLeft(this)(_.apply(_))
     case RenameTable(s, t, ns, nt, ts) =>
       latest(s, t).map { cur =>
         // new identity continues the version chain under the new key;
@@ -81,6 +116,12 @@ final case class SchemaRegistry(
         put(cur.copy(schema = ns, table = nt, versionTs = ts))
       }.getOrElse(this)
     case TruncateTable(s, t, ts) =>
+      latest(s, t).map(cur => put(cur.copy(versionTs = ts))).getOrElse(this)
+    case AddTablePartition(s, t, ts) =>
+      latest(s, t).map(cur => put(cur.copy(versionTs = ts))).getOrElse(this)
+    case DropTablePartition(s, t, _, ts) =>
+      latest(s, t).map(cur => put(cur.copy(versionTs = ts))).getOrElse(this)
+    case TruncateTablePartition(s, t, _, ts) =>
       latest(s, t).map(cur => put(cur.copy(versionTs = ts))).getOrElse(this)
     case DropTable(s, t, _) =>
       copy(versions = versions - ((s, t)))

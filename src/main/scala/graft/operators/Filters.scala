@@ -126,6 +126,9 @@ object Filters {
       .when(q.startsWith("drop database") || q.startsWith("drop schema"), "drop database")
       .when(q.contains("add column"), "add column")
       .when(q.contains("drop column"), "drop column")
+      .when(q.contains("modify column") || q.contains("modify "), "modify column")
+      .when(q.contains("change column") || q.contains("change "), "change column")
+      .when(q.contains(" partition"), "alter partition")
       .when(q.startsWith("alter table"), "alter table")
       .when(q.startsWith("create view"), "create view")
       .when(q.startsWith("drop view"), "drop view")

@@ -120,6 +120,14 @@ object Routing {
         }
         pmod(stableHash(col("_schema") +: col("_table") +: keyVals),
           lit(numPartitions.toLong))
+      case PartitionRule.Fixed(p) =>
+        lit(p.toLong % numPartitions.toLong)
+      case PartitionRule.TableSplit(parts) =>
+        // table anchor + per-row salt bounded by the split count: the
+        // table's rows occupy exactly `parts` adjacent hash slots
+        pmod(stableHash(Seq(col("_schema"), col("_table"))) +
+          pmod(stableHash(Seq(col("_row_id"))), lit(parts.toLong)),
+          lit(numPartitions.toLong))
     }
     def tpl(t: String): Column =
       regexp_replace(

@@ -2,7 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.DecimalType
+import org.apache.spark.sql.types._
 import graft.model.Envelope
 import graft.operators.Routing
 
@@ -17,8 +17,44 @@ import graft.operators.Routing
   */
 object MysqlSink {
 
-  /** Render one envelope row as its MySQL statement (column-expression
-    * form of [[SqlBuilder]] for the envelope payload).
+  /** MySQL literal rendering for one payload column — the columnar
+    * form of [[SqlBuilder.literal]]'s type rules: strings quoted with
+    * backslash doubling + quote doubling, binary as x'..', booleans as
+    * 1/0, temporal values quoted canonical, numerics bare. NULL values
+    * render as the NULL keyword. */
+  def sqlLiteralFor(c: Column, dt: DataType): Column = {
+    val rendered: Column = dt match {
+      case StringType => concat(lit("'"),
+        regexp_replace(
+          regexp_replace(c, lit("\\\\"), lit("\\\\\\\\")),
+          lit("'"), lit("''")),
+        lit("'"))
+      case BinaryType => concat(lit("x'"), lower(hex(c)), lit("'"))
+      case BooleanType => when(c, lit("1")).otherwise(lit("0"))
+      case DateType => concat(lit("'"), date_format(c, "yyyy-MM-dd"), lit("'"))
+      case _: TimestampType | _: TimestampNTZType =>
+        concat(lit("'"), date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("'"))
+      case _ => c.cast("string")
+    }
+    coalesce(rendered, lit("NULL"))
+  }
+
+  /** The envelope-fixture render: doubles canonicalize through
+    * DECIMAL(18,2) — the upstream money scale, the same deterministic-
+    * formatting choice Codecs.jsonMoney makes — so statement bytes are
+    * oracle-checkable across engines. Everything else follows
+    * [[sqlLiteralFor]]. */
+  def moneyRender(c: Column, f: StructField): Column = f.dataType match {
+    case DoubleType | FloatType =>
+      coalesce(c.cast(DecimalType(18, 2)).cast("string"), lit("NULL"))
+    case _ => sqlLiteralFor(c, f.dataType)
+  }
+
+  /** Render one envelope row as its MySQL statement, SCHEMA-GENERIC:
+    * column and key lists derive from the payload StructType the way
+    * the reference builds SQL from TableInfo
+    * (pkg/sink/mysql/sql_builder.go:155-244) — any table shape renders
+    * correctly, nothing is hardcoded.
     *
     * Safe mode (the re-delivery window, basic_dispatcher.go:156-162)
     * renders both inserts and updates as REPLACE (sql_builder.go:154);
@@ -26,27 +62,38 @@ object MysqlSink {
     * (sql_builder.go:211) against the PRE-image handle key. Deletes
     * always target the full handle key with null-safe comparison and
     * LIMIT 1 (sql_builder.go:181). */
-  def statementColumn(safeMode: Boolean): Column = {
+  def statementColumnFor(payload: StructType, handleKeys: Seq[String], safeMode: Boolean,
+                         render: (Column, StructField) => Column = null): Column = {
+    val r: (Column, StructField) => Column =
+      if (render == null) (c, f) => sqlLiteralFor(c, f.dataType) else render
+    val fields = payload.fields.toSeq
+    require(handleKeys.nonEmpty && handleKeys.forall(k => fields.exists(_.name == k)),
+      s"handle keys $handleKeys must be payload columns of ${fields.map(_.name)}")
     val target = concat(lit("`"), col("_schema"), lit("`.`"), col("_table"), lit("`"))
-    def v(c: Column): Column = coalesce(c.cast("string"), lit("NULL"))
-    def money(c: Column): Column = v(c.cast(DecimalType(18, 2)))
-    val keyPred = when(col("before.user_id").isNull, lit("`user_id` IS NULL"))
-      .otherwise(concat(lit("`user_id` = "), col("before.user_id").cast("string")))
+    val colList = fields.map(f => s"`${f.name}`").mkString("(", ",", ")")
+    def img(image: String, f: StructField): Column = r(col(s"$image.${f.name}"), f)
+    // null-safe handle-key predicate over the PRE-image
+    val keyPred = handleKeys.map { k =>
+      val f = fields.find(_.name == k).get
+      when(col(s"before.$k").isNull, lit(s"`$k` IS NULL"))
+        .otherwise(concat(lit(s"`$k` = "), img("before", f)))
+    }.reduce((a, b) => concat(a, lit(" AND "), b))
     val writeVerb = if (safeMode) "REPLACE" else "INSERT"
+    val valueList = fields.zipWithIndex.flatMap { case (f, i) =>
+      (if (i == 0) Seq.empty[Column] else Seq(lit(","))) :+ img("after", f)
+    }
     val insertRow = concat(
-      lit(s"$writeVerb INTO "), target,
-      lit(" (`user_id`,`value`,`k`) VALUES ("),
-      v(col("after.user_id")), lit(","),
-      money(col("after.value")), lit(","),
-      v(col("after.k")), lit(")"))
+      (lit(s"$writeVerb INTO ") +: target +: lit(s" $colList VALUES (") +:
+        valueList :+ lit(")")): _*)
+    val setList = fields.zipWithIndex.flatMap { case (f, i) =>
+      val head = if (i == 0) s" SET `${f.name}` = " else s", `${f.name}` = "
+      Seq(lit(head), img("after", f))
+    }
     val updateRow =
       if (safeMode) insertRow // REPLACE is the idempotent update during replay
       else concat(
-        lit("UPDATE "), target,
-        lit(" SET `user_id` = "), v(col("after.user_id")),
-        lit(", `value` = "), money(col("after.value")),
-        lit(", `k` = "), v(col("after.k")),
-        lit(" WHERE "), keyPred, lit(" LIMIT 1"))
+        (lit("UPDATE ") +: target +: setList) ++
+          Seq(lit(" WHERE "), keyPred, lit(" LIMIT 1")): _*)
     val deleteRow = concat(
       lit("DELETE FROM "), target,
       lit(" WHERE "), keyPred, lit(" LIMIT 1"))
@@ -55,12 +102,22 @@ object MysqlSink {
       .otherwise(insertRow)
   }
 
+  /** Fixture-shaped entry point: the events-envelope payload with its
+    * money rendering (byte-identical to round-1/2 output). */
+  def statementColumn(safeMode: Boolean): Column =
+    statementColumnFor(Envelope.payloadSchema, Seq("user_id"), safeMode, moneyRender)
+
+  private def payloadOf(env: DataFrame): StructType =
+    env.schema("after").dataType.asInstanceOf[StructType]
+
   /** Envelope → ordered statement stream: conflict-key partition
-    * assignment + commit-order sequence + SQL text. */
+    * assignment + commit-order sequence + SQL text. Payload shape
+    * derives from the frame's own `after` schema. */
   def statements(env: DataFrame, handleKeys: Seq[String], numWorkers: Int,
                  safeMode: Boolean): DataFrame =
     Routing.partitionByKeyColumns(env, handleKeys, numWorkers)
-      .withColumn("_stmt", statementColumn(safeMode))
+      .withColumn("_stmt",
+        statementColumnFor(payloadOf(env), handleKeys, safeMode, moneyRender))
       .select(col("_partition"), col("_row_id"), col("_schema"), col("_table"),
         col("_commit_ts"), col("_start_ts"), col("_op"), col("_stmt"))
 
@@ -108,12 +165,14 @@ object MysqlSink {
     * ([[applyBatch]]) gives per-KEY order with more parallelism;
     * this gives per-TABLE order with txn frames — exactly the
     * reference's atomicity/parallelism trade. */
-  def applyBatchTxnAtomic(env: DataFrame, safeMode: Boolean, numWorkers: Int)
+  def applyBatchTxnAtomic(env: DataFrame, safeMode: Boolean, numWorkers: Int,
+                          handleKeys: Seq[String] = Seq("user_id"))
                          (execute: Iterator[String] => Unit): Unit = {
     import org.apache.spark.sql.Encoders
     val tupleEnc = Encoders.tuple(Encoders.STRING, Encoders.STRING)
     env
-      .withColumn("_stmt", statementColumn(safeMode))
+      .withColumn("_stmt",
+        statementColumnFor(payloadOf(env), handleKeys, safeMode, moneyRender))
       .withColumn("__txn", concat_ws("|",
         col("_schema"), col("_table"),
         col("_start_ts").cast("string"), col("_commit_ts").cast("string")))

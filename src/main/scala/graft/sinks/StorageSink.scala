@@ -69,20 +69,78 @@ object StorageSink {
     walk(new java.io.File(baseDir))
   }
 
+  /** Spark type → MySQL-ish column type name for schema.json (the
+    * reverse of the mounter's type mapping, SURVEY §1.3). */
+  def mysqlTypeFor(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case ByteType => "tinyint"
+      case ShortType => "smallint"
+      case IntegerType => "int"
+      case LongType => "bigint"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case BooleanType => "tinyint(1)"
+      case d: DecimalType => s"decimal(${d.precision},${d.scale})"
+      case StringType => "text"
+      case BinaryType => "blob"
+      case DateType => "date"
+      case _: TimestampType => "timestamp"
+      case _: TimestampNTZType => "datetime"
+      case ArrayType(FloatType, _) => "vector"
+      case other => other.simpleString
+    }
+  }
+
+  private def schemaJson(s: String, t: String,
+                         payload: org.apache.spark.sql.types.StructType): String = {
+    val cols = payload.fields.map(f =>
+      s"""{"name":"${f.name}","type":"${mysqlTypeFor(f.dataType)}"}""")
+    s"""{"schema":"$s","table":"$t","columns":[
+       |${cols.mkString(",\n")}]}""".stripMargin
+  }
+
   /** Schema metadata file per (schema, table) — the reference writes
-    * `schema.json` beside the data (generator.go:103). */
+    * `schema.json` beside the data (generator.go:103). Columns derive
+    * from the frame's own `after` payload schema (TableInfo-generic,
+    * like the reference's generator), never hardcoded.
+    *
+    * Driver-side walk of the distinct table list — fine to thousands
+    * of tables; use [[writeSchemaMetaDistributed]] when the table
+    * count is unbounded (the reference's 1M-table goal). */
   def writeSchemaMeta(spark: SparkSession, encoded: DataFrame, baseDir: String): Unit = {
+    val payload = encoded.schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
     val tables = encoded.select("_schema", "_table").distinct().collect()
     tables.foreach { r =>
       val (s, t) = (r.getString(0), r.getString(1))
       val dir = java.nio.file.Paths.get(baseDir, "meta", s, t)
       java.nio.file.Files.createDirectories(dir)
-      val json =
-        s"""{"schema":"$s","table":"$t","columns":[
-           |{"name":"user_id","type":"bigint"},
-           |{"name":"value","type":"double"},
-           |{"name":"k","type":"bigint"}]}""".stripMargin
-      java.nio.file.Files.writeString(dir.resolve("schema.json"), json)
+      java.nio.file.Files.writeString(
+        dir.resolve("schema.json"), schemaJson(s, t, payload))
     }
+  }
+
+  /** Executor-side variant: the distinct (schema, table) set stays
+    * distributed and each partition writes its own tables' meta files
+    * — the driver never materializes the table list, so table count is
+    * unbounded. `baseDir` must be a shared filesystem / object store
+    * (which a cloud-storage sink's target always is). */
+  def writeSchemaMetaDistributed(encoded: DataFrame, baseDir: String): Unit = {
+    val payload = encoded.schema("after").dataType
+      .asInstanceOf[org.apache.spark.sql.types.StructType]
+    val payloadJsonCols = payload.fields.map(f =>
+      s"""{"name":"${f.name}","type":"${mysqlTypeFor(f.dataType)}"}""").mkString(",\n")
+    encoded.select("_schema", "_table").distinct()
+      .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
+        rows.foreach { r =>
+          val (s, t) = (r.getString(0), r.getString(1))
+          val dir = java.nio.file.Paths.get(baseDir, "meta", s, t)
+          java.nio.file.Files.createDirectories(dir)
+          java.nio.file.Files.writeString(dir.resolve("schema.json"),
+            s"""{"schema":"$s","table":"$t","columns":[
+               |$payloadJsonCols]}""".stripMargin)
+        }
+      }
   }
 }

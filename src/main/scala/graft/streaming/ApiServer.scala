@@ -18,6 +18,15 @@ import graft.model.{ChangefeedConfig, FilterConfig}
   *   POST   /api/v2/changefeeds/{id}/pause
   *   POST   /api/v2/changefeeds/{id}/resume
   *   DELETE /api/v2/changefeeds/{id}
+  *   POST   /api/v2/changefeeds/{id}/move_table?schema=&table=&target=N
+  *   POST   /api/v2/changefeeds/{id}/split_table?schema=&table=&parts=N
+  *   POST   /api/v2/changefeeds/{id}/merge_table?schema=&table=
+  *   GET    /api/v2/changefeeds/{id}/tables    → span placements
+  * (span routes: api/v2/api.go:76-81 move_table /
+  * split_table_by_region_count / merge_table / ListTables.)
+  *
+  * Unknown changefeed ids answer 404 (the reference's 4xx), keeping
+  * 500 for genuine handler failures.
   */
 class ApiServer(registry: ChangefeedRegistry, port: Int = 0) {
 
@@ -51,6 +60,11 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0) {
       val path = ex.getRequestURI.getPath.stripPrefix("/api/v2/changefeeds")
         .stripPrefix("/").split("/").filter(_.nonEmpty).toSeq
       (ex.getRequestMethod, path) match {
+        // unknown changefeed id → 404 (the reference's 4xx), before
+        // any handler can raise on it
+        case (_, id +: _) if !registry.exists(id) =>
+          respond(ex, 404, s"""{"error":"changefeed not found","id":${jsonString(id)}}""")
+
         case ("GET", Seq()) =>
           respond(ex, 200, registry.list.map(jsonString).mkString("[", ",", "]"))
 
@@ -88,6 +102,42 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0) {
         case ("DELETE", Seq(id)) =>
           registry.remove(id)
           respond(ex, 200, s"""{"id":${jsonString(id)},"state":"removed"}""")
+
+        case ("POST", Seq(id, "move_table")) =>
+          val p = queryParams(ex)
+          (p.get("schema"), p.get("table"), p.get("target").map(_.toInt)) match {
+            case (Some(s), Some(t), Some(target)) =>
+              registry.moveTable(id, s, t, target)
+              respond(ex, 200,
+                s"""{"id":${jsonString(id)},"table":${jsonString(s"$s.$t")},"moved_to":$target}""")
+            case _ => respond(ex, 400, """{"error":"schema, table, target required"}""")
+          }
+
+        case ("POST", Seq(id, "split_table")) =>
+          val p = queryParams(ex)
+          (p.get("schema"), p.get("table"), p.get("parts").map(_.toInt)) match {
+            case (Some(s), Some(t), Some(parts)) =>
+              registry.splitTable(id, s, t, parts)
+              respond(ex, 200,
+                s"""{"id":${jsonString(id)},"table":${jsonString(s"$s.$t")},"split":$parts}""")
+            case _ => respond(ex, 400, """{"error":"schema, table, parts required"}""")
+          }
+
+        case ("POST", Seq(id, "merge_table")) =>
+          val p = queryParams(ex)
+          (p.get("schema"), p.get("table")) match {
+            case (Some(s), Some(t)) =>
+              registry.mergeTable(id, s, t)
+              respond(ex, 200,
+                s"""{"id":${jsonString(id)},"table":${jsonString(s"$s.$t")},"state":"merged"}""")
+            case _ => respond(ex, 400, """{"error":"schema, table required"}""")
+          }
+
+        case ("GET", Seq(id, "tables")) =>
+          val body = registry.tableSpans(id).map { case (t, r) =>
+            s"""{"table":${jsonString(t)},"placement":${jsonString(r)}}"""
+          }.mkString("[", ",", "]")
+          respond(ex, 200, body)
 
         case _ =>
           respond(ex, 404, """{"error":"not found"}""")

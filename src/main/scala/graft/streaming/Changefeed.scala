@@ -166,10 +166,17 @@ object Changefeed {
       case DdlAction.CreateTable(s, t, _, _) => (s, t)
       case DdlAction.AddColumn(s, t, _, _) => (s, t)
       case DdlAction.DropColumn(s, t, _, _) => (s, t)
+      case DdlAction.ModifyColumn(s, t, _, _) => (s, t)
+      case DdlAction.ChangeColumn(s, t, _, _, _) => (s, t)
       case DdlAction.RenameTable(s, t, _, _, _) => (s, t)
+      case DdlAction.RenameTables(renames, _) =>
+        (renames.head.schema, renames.head.table)
       case DdlAction.TruncateTable(s, t, _) => (s, t)
       case DdlAction.DropTable(s, t, _) => (s, t)
       case DdlAction.ExchangeTablePartition(s, t, _, _, _) => (s, t)
+      case DdlAction.AddTablePartition(s, t, _) => (s, t)
+      case DdlAction.DropTablePartition(s, t, _, _) => (s, t)
+      case DdlAction.TruncateTablePartition(s, t, _, _) => (s, t)
     }
     val kept = parsed.filter { case (_, _, a) =>
       val (s, t) = target(a)

@@ -3,7 +3,7 @@ package graft.streaming
 import scala.collection.concurrent.TrieMap
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.streaming.StreamingQuery
-import graft.model.ChangefeedConfig
+import graft.model.{ChangefeedConfig, DispatchRule, PartitionRule}
 
 /** Driver-side changefeed lifecycle (SURVEY §2.14; reference
   * coordinator/coordinator.go:379, controller.go:902 and the API v2
@@ -16,7 +16,7 @@ import graft.model.ChangefeedConfig
   */
 class ChangefeedRegistry(spark: SparkSession) {
 
-  final case class Entry(cfg: ChangefeedConfig, sourceDir: String,
+  final case class Entry(var cfg: ChangefeedConfig, sourceDir: String,
                          sinkDir: String, checkpointDir: String,
                          var query: Option[StreamingQuery])
 
@@ -50,6 +50,59 @@ class ChangefeedRegistry(spark: SparkSession) {
   }
 
   def list: Seq[String] = feeds.keys.toSeq.sorted
+
+  def exists(id: String): Boolean = feeds.contains(id)
+
+  // ---- span scheduling (api/v2/api.go:76-81: move_table,
+  // split_table_by_region_count, merge_table, ListTables) ----
+  //
+  // A table span's placement is its routing partition rule: move pins
+  // the span to one worker partition, split fans it over N
+  // sub-partitions (saltedRepartition semantics — per-table order is
+  // given up, like a split span), merge restores the default rule.
+  // Changes take effect at the feed's next (re)start — the micro-batch
+  // boundary is the scheduling fence, the role the reference's barrier
+  // ts plays for a move.
+
+  private def entryOf(id: String): Entry =
+    feeds.getOrElse(id, sys.error(s"no changefeed $id"))
+
+  private def setSpanRule(id: String, schema: String, table: String,
+                          rule: Option[PartitionRule]): Unit = {
+    val e = entryOf(id)
+    val matcher = Seq(s"$schema.$table")
+    val others = e.cfg.sink.dispatch.filterNot(_.matcher == matcher)
+    val dispatch = rule.map(r => DispatchRule(matcher, r) +: others).getOrElse(others)
+    e.cfg = e.cfg.copy(sink = e.cfg.sink.copy(dispatch = dispatch))
+  }
+
+  /** Move a table's span to one target worker partition. */
+  def moveTable(id: String, schema: String, table: String, target: Int): Unit = {
+    val e = entryOf(id)
+    require(target >= 0 && target < e.cfg.sink.numPartitions,
+      s"target $target out of range 0..${e.cfg.sink.numPartitions - 1}")
+    setSpanRule(id, schema, table, Some(PartitionRule.Fixed(target)))
+  }
+
+  /** Split a table's span over `parts` sub-partitions. */
+  def splitTable(id: String, schema: String, table: String, parts: Int): Unit = {
+    require(parts >= 2, s"split needs >= 2 parts, got $parts")
+    setSpanRule(id, schema, table, Some(PartitionRule.TableSplit(parts)))
+  }
+
+  /** Merge a split/moved span back to the default table rule. */
+  def mergeTable(id: String, schema: String, table: String): Unit =
+    setSpanRule(id, schema, table, None)
+
+  /** The feed's non-default span placements (ListTables view):
+    * (schema.table, rule rendering). */
+  def tableSpans(id: String): Seq[(String, String)] =
+    entryOf(id).cfg.sink.dispatch.collect {
+      case DispatchRule(Seq(m), PartitionRule.Fixed(p), _, _, _) =>
+        (m, s"moved:$p")
+      case DispatchRule(Seq(m), PartitionRule.TableSplit(n), _, _, _) =>
+        (m, s"split:$n")
+    }
 
   /** Persist every changefeed's definition — the coordinator's etcd
     * role (ChangeFeedInfo persistence, controller.go:902): one record

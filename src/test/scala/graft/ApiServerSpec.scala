@@ -70,14 +70,38 @@ class ApiServerSpec extends SparkFunSuite {
       val (c4, b4) = call("POST", s"$base/cf-api/resume")
       assert(c4 == 200 && b4.contains("running"), b4)
 
+      // span scheduling: move → split → list → merge
+      val (cm, bm) = call("POST",
+        s"$base/cf-api/move_table?schema=app&table=events_1&target=3")
+      assert(cm == 200 && bm.contains("\"moved_to\":3"), bm)
+      val (csp, bsp) = call("POST",
+        s"$base/cf-api/split_table?schema=app&table=events_2&parts=4")
+      assert(csp == 200 && bsp.contains("\"split\":4"), bsp)
+      val (ct, bt) = call("GET", s"$base/cf-api/tables")
+      assert(ct == 200 && bt.contains("app.events_1") && bt.contains("moved:3")
+        && bt.contains("split:4"), bt)
+      val (cmg, _) = call("POST",
+        s"$base/cf-api/merge_table?schema=app&table=events_2")
+      assert(cmg == 200)
+      val (_, bt2) = call("GET", s"$base/cf-api/tables")
+      assert(!bt2.contains("split:4"), bt2)
+      // bad split arg is a client error
+      val (cbad, _) = call("POST",
+        s"$base/cf-api/split_table?schema=app&table=events_2&parts=1")
+      assert(cbad == 500) // handler-level require — genuine failure class
+
       val (c5, _) = call("DELETE", s"$base/cf-api")
       assert(c5 == 200)
       val (_, l5) = call("GET", base)
       assert(l5 == "[]")
 
-      // unknown id surfaces an error, not a hang
+      // unknown id is a client error (404), not a server fault
       val (c6, _) = call("GET", s"$base/ghost/status")
-      assert(c6 == 500)
+      assert(c6 == 404)
+      val (c7, _) = call("POST", s"$base/ghost/pause")
+      assert(c7 == 404)
+      val (c8, _) = call("POST", s"$base/ghost/move_table?schema=a&table=b&target=0")
+      assert(c8 == 404)
     } finally api.stop()
   }
 }

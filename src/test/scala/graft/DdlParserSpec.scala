@@ -40,6 +40,60 @@ class DdlParserSpec extends SparkFunSuite {
     assert(DdlParser.parse("ANALYZE TABLE t", 8).isEmpty)
   }
 
+  test("constraint DDLs under ALTER ADD never become phantom AddColumns") {
+    // each would capture cName=INDEX/PRIMARY/... without the guard
+    assert(DdlParser.parse("ALTER TABLE t ADD INDEX idx (k)", 1).isEmpty)
+    assert(DdlParser.parse("ALTER TABLE t ADD PRIMARY KEY (k)", 2).isEmpty)
+    assert(DdlParser.parse("ALTER TABLE t ADD UNIQUE KEY uk (k)", 3).isEmpty)
+    assert(DdlParser.parse("ALTER TABLE t ADD CONSTRAINT c CHECK (k > 0)", 4).isEmpty)
+    assert(DdlParser.parse("ALTER TABLE t ADD FULLTEXT INDEX ft (name)", 5).isEmpty)
+    assert(DdlParser.parse("ALTER TABLE t ADD SPATIAL INDEX sp (geom)", 6).isEmpty)
+  }
+
+  test("modify/change column parse and retype/rename in place") {
+    assert(DdlParser.parse("ALTER TABLE t MODIFY COLUMN v DECIMAL(18,2)", 1) ==
+      Some(ModifyColumn("app", "t", ColumnDef("v", "decimal(18,2)", None), 1)))
+    assert(DdlParser.parse("ALTER TABLE t MODIFY v BIGINT DEFAULT 9", 2) ==
+      Some(ModifyColumn("app", "t", ColumnDef("v", "bigint", Some("9")), 2)))
+    assert(DdlParser.parse("ALTER TABLE `db`.`t` CHANGE COLUMN k k2 BIGINT", 3) ==
+      Some(ChangeColumn("db", "t", "k", ColumnDef("k2", "bigint", None), 3)))
+    val reg = SchemaRegistry().applyAll(DdlParser.parseAll(Seq(
+      (10L, "CREATE TABLE t (id BIGINT, v DOUBLE, k BIGINT)"),
+      (20L, "ALTER TABLE t MODIFY COLUMN v DECIMAL(18,2)"),
+      (30L, "ALTER TABLE t CHANGE COLUMN k k2 BIGINT DEFAULT 5"))))
+    assert(reg.asOf("app", "t", 25L).get.columns ==
+      Seq(ColumnDef("id", "bigint"), ColumnDef("v", "decimal(18,2)"), ColumnDef("k", "bigint")))
+    assert(reg.asOf("app", "t", 35L).get.columns ==
+      Seq(ColumnDef("id", "bigint"), ColumnDef("v", "decimal(18,2)"),
+        ColumnDef("k2", "bigint", Some("5"))))
+  }
+
+  test("partition DDLs and multi-table rename parse") {
+    assert(DdlParser.parse(
+      "ALTER TABLE t ADD PARTITION (PARTITION p3 VALUES LESS THAN (400))", 1) ==
+      Some(AddTablePartition("app", "t", 1)))
+    assert(DdlParser.parse("ALTER TABLE t DROP PARTITION p1, p2", 2) ==
+      Some(DropTablePartition("app", "t", Seq("p1", "p2"), 2)))
+    assert(DdlParser.parse("ALTER TABLE t TRUNCATE PARTITION p0", 3) ==
+      Some(TruncateTablePartition("app", "t", Seq("p0"), 3)))
+    assert(DdlParser.parse("RENAME TABLE a TO b, db.c TO db.d", 4) ==
+      Some(RenameTables(Seq(
+        RenameTable("app", "a", "app", "b", 4),
+        RenameTable("db", "c", "db", "d", 4)), 4)))
+    // partition DDLs bump the version without changing the shape
+    val reg = SchemaRegistry().applyAll(DdlParser.parseAll(Seq(
+      (10L, "CREATE TABLE t (id BIGINT)"),
+      (20L, "ALTER TABLE t TRUNCATE PARTITION p0"))))
+    assert(reg.asOf("app", "t", 25L).get.versionTs == 20L)
+    assert(reg.asOf("app", "t", 25L).get.columns == Seq(ColumnDef("id", "bigint")))
+    // multi-rename applies atomically in statement order
+    val reg2 = SchemaRegistry().applyAll(DdlParser.parseAll(Seq(
+      (10L, "CREATE TABLE a (id BIGINT)"),
+      (11L, "CREATE TABLE c (k BIGINT)"),
+      (20L, "RENAME TABLE a TO b, c TO d"))))
+    assert(reg2.latest("app", "b").isDefined && reg2.latest("app", "d").isDefined)
+  }
+
   test("text DDL stream folds into the registry end-to-end") {
     val actions = DdlParser.parseAll(Seq(
       (10L, "CREATE TABLE app.t (id BIGINT, v DOUBLE)"),

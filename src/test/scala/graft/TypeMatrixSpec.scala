@@ -184,6 +184,23 @@ class TypeMatrixSpec extends SparkFunSuite {
     assert(store.register("types-value", json) == store.register("types-value", json))
   }
 
+  test("avro generic codec round-trips TimestampType (timestamp-micros)") {
+    import graft.functions.AvroCodec
+    val tsPayload = StructType(Seq(
+      StructField("id", LongType), StructField("ts", TimestampType)))
+    val envSchema = StructType(Seq(
+      StructField("_row_id", LongType), StructField("before", tsPayload),
+      StructField("after", tsPayload)))
+    val inst = java.sql.Timestamp.from(java.time.Instant.parse("2024-02-29T23:59:59.123456Z"))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(
+        Seq(Row(1L, null, Row(1L, inst)))).asJava), envSchema)
+    val decoded = AvroCodec.decodeGeneric(
+      AvroCodec.encodeGeneric(df, tsPayload), tsPayload).head()
+    assert(decoded.getAs[java.sql.Timestamp]("ts") == inst,
+      "TimestampType must come back as java.sql.Timestamp, micros preserved")
+  }
+
   test("csv generic encoder round-trips the matrix via from_csv") {
     // newline-free string for the line-oriented wire
     val csvRow = Row.fromSeq(maxRow.toSeq.updated(9, "qu\"ote, comma"))
