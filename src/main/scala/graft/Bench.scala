@@ -40,10 +40,39 @@ object Bench {
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // streaming throughput: the reference perf-rig shape (1000
+    // dispatchers × 40 events, downstream_performance_test.go:33-37)
+    // through the FULL MQ changefeed — DSv2 changelog generator →
+    // envelope → filter/route/encode pipeline → sink with resolved-ts
+    // control messages — so stream throughput is tracked round over
+    // round, not just batch plans.
+    // 10 rig-rounds of the 1000×40 shape in one drain: enough volume
+    // that the number measures pipeline throughput, not micro-batch
+    // fixed costs
+    val streamRows = 1000L * 40L * 10L
+    val streamSec: Double = try {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
+      val cfg = graft.model.ChangefeedConfig(id = "bench-stream")
+      val raw = spark.readStream.format("graft.sources.ChangelogGenSource")
+        .option("tables", 1000)
+        .option("rowsPerBatch", 200000)
+        .option("totalRows", streamRows)
+        .option("numPartitions", cpus)
+        .load()
+      val env = graft.model.Envelope.fromFlat(raw)
+      val t0 = System.nanoTime()
+      val q = graft.streaming.Changefeed.runMqStream(
+        spark, cfg, env, s"$tmp/sink", s"$tmp/ckpt")
+      q.awaitTermination()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 }
+
+    val all = results :+ ("bench_stream" -> streamSec)
+    val qs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = all.map(_._2).sum
+    val streamRps = if (streamSec > 0) streamRows / streamSec else -1.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","stream":{"rows":$streamRows,"sec":$streamSec,"rows_per_sec":$streamRps}}""")
     spark.stop()
   }
 }

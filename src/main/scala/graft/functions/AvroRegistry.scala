@@ -149,6 +149,9 @@ object AvroRegistry {
 
   val GlueHeaderVersion: Byte = 3
   val GlueCompressionNone: Byte = 0
+  /** Glue's zlib compression marker (glue_schema_registry.go's
+    * compression byte; 5 = zlib in the AWS wire format). */
+  val GlueCompressionZlib: Byte = 5
 
   /** Deterministic schema-version UUID: md5 of the canonical schema
     * text (content-addressing, like the in-memory store's ids). */
@@ -157,21 +160,53 @@ object AvroRegistry {
     java.util.UUID.nameUUIDFromBytes(canonical.getBytes("UTF-8"))
   }
 
-  def glueFrame(uuid: java.util.UUID, payload: Array[Byte]): Array[Byte] =
-    ByteBuffer.allocate(18 + payload.length)
-      .put(GlueHeaderVersion).put(GlueCompressionNone)
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(data); d.finish()
+    val out = new java.io.ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](4096)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val i = new java.util.zip.Inflater()
+    i.setInput(data)
+    val out = new java.io.ByteArrayOutputStream(data.length * 3 + 64)
+    val buf = new Array[Byte](4096)
+    while (!i.finished()) {
+      val n = i.inflate(buf)
+      require(n > 0 || i.finished() || !i.needsInput(), "truncated zlib payload")
+      out.write(buf, 0, n)
+    }
+    i.end()
+    out.toByteArray
+  }
+
+  def glueFrame(uuid: java.util.UUID, payload: Array[Byte],
+                compress: Boolean = false): Array[Byte] = {
+    val body = if (compress) deflate(payload) else payload
+    ByteBuffer.allocate(18 + body.length)
+      .put(GlueHeaderVersion)
+      .put(if (compress) GlueCompressionZlib else GlueCompressionNone)
       .putLong(uuid.getMostSignificantBits)
       .putLong(uuid.getLeastSignificantBits)
-      .put(payload).array()
+      .put(body).array()
+  }
 
   def glueUnframe(bytes: Array[Byte]): (java.util.UUID, Array[Byte]) = {
     require(bytes.length >= 18 && bytes(0) == GlueHeaderVersion,
       "bad glue framing")
+    val compression = bytes(1)
+    require(compression == GlueCompressionNone || compression == GlueCompressionZlib,
+      s"unknown glue compression byte $compression")
     val bb = ByteBuffer.wrap(bytes)
     bb.get(); bb.get()
     val uuid = new java.util.UUID(bb.getLong, bb.getLong)
-    val payload = new Array[Byte](bytes.length - 18)
-    bb.get(payload)
+    val body = new Array[Byte](bytes.length - 18)
+    bb.get(body)
+    val payload = if (compression == GlueCompressionZlib) inflate(body) else body
     (uuid, payload)
   }
 }

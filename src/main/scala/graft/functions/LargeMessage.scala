@@ -50,6 +50,24 @@ object LargeMessage {
         floor((sum(col("_msg_bytes")).over(w) - col("_msg_bytes")) / maxBytes))
   }
 
+  /** Per-message compression of the wire value
+    * (`large-message-handle-compression`, large_message.go:33 +
+    * pkg/compression): `_value` → compressed `_value_bin` binary with
+    * the codec recorded on the row (the consumer reads the codec from
+    * sink config / message header, here a column). Compose AFTER
+    * handle-key-only / claim-check — the reference compresses whatever
+    * payload survives the large-message handling. */
+  def compressed(encoded: DataFrame, codec: String): DataFrame =
+    encoded
+      .withColumn("_codec", lit(codec))
+      .withColumn("_value_bin",
+        Compression.compressCol(codec)(col("_value").cast("binary")))
+
+  /** Consumer-side inverse of [[compressed]]. */
+  def decompressed(msgs: DataFrame, codec: String): DataFrame =
+    msgs.withColumn("_value",
+      Compression.decompressCol(codec)(col("_value_bin")).cast("string"))
+
   /** claim-check: oversized payloads go to external storage; the
     * message becomes a pointer. `locationPrefix` is the storage URI
     * prefix; the uploaded object path is deterministic per row. */

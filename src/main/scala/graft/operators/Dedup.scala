@@ -38,6 +38,68 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("content_md5"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Default per-task bucket cap for the bucket-collect pair
+    * generators: no aggregation task materializes more than ~2·cap
+    * elements of one bucket. */
+  val DefaultBucketCap = 4096
+
+  /** SALT-TILING: bound the memory of bucket-collect pair generation
+    * without a fallback join and without dropping pairs.
+    *
+    * A bucket of n elements splits into q = ceil(n/cap) sub-buckets by
+    * a salt of the element id; every unordered pair {x, y} lands in
+    * exactly ONE pair-task (min(sx,sy), max(sx,sy)), so each element
+    * replicates to its q tasks and each task collects ≤ ~2·cap
+    * elements — the triangle-tiling answer to skewed self-pairing.
+    * When every bucket fits the cap, q = 1 and the plan degenerates to
+    * the plain single-bucket collect (zero extra replication); a
+    * stop-word-grade bucket pays q× input replication instead of
+    * collecting the whole posting list into one task's RAM (the
+    * scale-killer the plain collect had). As a bonus the window count
+    * prunes singleton buckets BEFORE collection.
+    *
+    * Emits per input row: the bucket columns, `__s` (element salt),
+    * and one row per pair-task (`__ti`, `__tj`). Group by
+    * (bucket..., __ti, __tj), collect (element, __s), and emit pairs
+    * with `a.__s = __ti AND b.__s = __tj AND (ti <> tj OR a < b)`,
+    * orienting by least/greatest — each unordered pair appears exactly
+    * once. */
+  private[operators] def saltTile(df: DataFrame, bucketCols: Seq[String],
+                                  elem: Column, cap: Int): DataFrame = {
+    // census via a window count on the SAME shuffle the collect needs
+    // (no second pass over the input — at 100 TB the input subtree may
+    // itself contain joins/aggs, so a broadcast-census re-scan would
+    // double real work; measured equal at sf0.1). Singleton buckets
+    // prune before collection. q = 1 rows (the common path) keep a
+    // constant single-tile array — no per-row sequence allocation.
+    // Salts are internal plumbing (never wire-visible), so the cheap
+    // engine hash is fine.
+    val w = Window.partitionBy(bucketCols.map(col): _*)
+    val oneTile = array(struct(
+      lit(0).cast("int").as("ti"), lit(0).cast("int").as("tj")))
+    df.withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__bn") > 1)
+      .withColumn("__q",
+        ceil(col("__bn").cast("double") / lit(cap.toDouble)).cast("int"))
+      .withColumn("__s",
+        when(col("__q") === 1, lit(0))
+          .otherwise(pmod(hash(elem), col("__q")).cast("int")))
+      .withColumn("__t", explode(when(col("__q") === 1, oneTile).otherwise(expr(
+        "transform(sequence(0, __q - 1), " +
+          "k -> struct(least(__s, CAST(k AS INT)) AS ti, greatest(__s, CAST(k AS INT)) AS tj))"))))
+      .withColumn("__ti", col("__t.ti"))
+      .withColumn("__tj", col("__t.tj"))
+      .drop("__t", "__bn", "__q")
+  }
+
+  /** The pair-emission predicate for a salt-tiled bucket (see
+    * [[saltTile]]): a carries the tile's low salt, b the high salt,
+    * same-tile pairs order by the element to avoid double emission. */
+  private[operators] def tilePair(aSalt: Column, bSalt: Column,
+                                  aElem: Column, bElem: Column): Column =
+    aSalt === col("__ti") && bSalt === col("__tj") &&
+      (col("__ti") =!= col("__tj") || aElem < bElem)
+
   /** MinHash signatures: distinct tokens per doc → 16 min-hash lanes →
     * 4 LSH band keys (md5 of each 4-lane slice). Two shuffles total
     * (token distinct, per-doc agg) regardless of corpus size. */
@@ -66,7 +128,8 @@ object Dedup {
     * to exactly one signature group, so no global distinct is needed:
     * intra-group pairs and sig-pair expansions are disjoint by
     * construction. */
-  def minhashPairs(signatures: DataFrame): DataFrame = {
+  def minhashPairs(signatures: DataFrame,
+                   maxBucket: Int = DefaultBucketCap): DataFrame = {
     val sigKey = md5(concat_ws(",",
       (0 until NumHashes).map(i => col(s"m$i").cast("string")): _*))
     val groups = signatures
@@ -75,7 +138,9 @@ object Dedup {
       .agg(collect_list(col("doc_id")).as("members"))
 
     // all pairs within one signature group (identical signatures
-    // trivially share every band)
+    // trivially share every band). A `members` list is bounded by the
+    // byte-identical duplicate-group size; a corpus degenerate enough
+    // to overflow it belongs to [[exact]] first.
     val intra = groups.select(col("members"))
       .withColumn("doc_a", explode(col("members")))
       .withColumn("doc_b", explode(col("members")))
@@ -87,22 +152,25 @@ object Dedup {
     // signatures, pairs explode inside the bucket, then sig-pair
     // dedup. Replaces the self-join's two shuffles of the band table
     // with one bucket shuffle (measured ~30% faster at sf0.1).
-    // Memory-safe at scale: a bucket's collected list is strictly
-    // smaller than the quadratic pair output that same bucket emits —
-    // if the list doesn't fit, the answer didn't either.
+    // Band buckets are memory-bounded by [[saltTile]]: a degenerate
+    // shared-band corpus splits into ≤ ~2·maxBucket-signature tasks.
     val bands = groups.select(col("sig"), col("members"),
       posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*))
         .as(Seq("band_idx", "band")))
-    val buckets = bands.groupBy(col("band_idx"), col("band"))
-      .agg(collect_list(struct(col("sig"), col("members"))).as("sigs"))
+    val buckets = saltTile(bands, Seq("band_idx", "band"), col("sig"), maxBucket)
+      .groupBy(col("band_idx"), col("band"), col("__ti"), col("__tj"))
+      .agg(collect_list(struct(col("sig"), col("__s"), col("members"))).as("sigs"))
       .filter(size(col("sigs")) > 1)
     val sigPairs = buckets
       .withColumn("a", explode(col("sigs")))
       .withColumn("b", explode(col("sigs")))
-      .filter(col("a.sig") < col("b.sig"))
-      .groupBy(col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
-      .agg(first(col("a.members")).as("members_a"),
-        first(col("b.members")).as("members_b"))
+      .filter(tilePair(col("a.__s"), col("b.__s"), col("a.sig"), col("b.sig")))
+      .select(
+        when(col("a.sig") < col("b.sig"), col("a")).otherwise(col("b")).as("x"),
+        when(col("a.sig") < col("b.sig"), col("b")).otherwise(col("a")).as("y"))
+      .groupBy(col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
+      .agg(first(col("x.members")).as("members_a"),
+        first(col("y.members")).as("members_b"))
     val cross = sigPairs
       .withColumn("x", explode(col("members_a")))
       .withColumn("y", explode(col("members_b")))
@@ -139,25 +207,30 @@ object Dedup {
     * quadratic per-pair compute regardless of similarity. (Measured
     * both at sf0.1: token join wins even on this degenerate small
     * vocabulary.) */
-  def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+  def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
+                   maxBucket: Int = DefaultBucketCap): DataFrame = {
     // Candidate generation is BUCKET-COLLECT, not a token self-join:
-    // one groupBy gathers each (block, token) posting list, pairs
+    // one shuffle gathers each (block, token) posting list, pairs
     // explode in place, and the pair count aggregates — two shuffles
     // instead of the join's three (measured ~30% faster at sf0.1).
-    // Memory-safe at scale: a posting list is strictly smaller than
-    // the quadratic pair rows that same bucket emits. Sizes join back
-    // from the tiny per-doc table afterwards — carrying them through
-    // the wide pair stream measured ~10x slower.
+    // Posting lists are memory-bounded by [[saltTile]]: a stop-word-
+    // grade token splits into ≤ ~2·maxBucket-element pair-tasks
+    // instead of collecting a corpus slice into one task's RAM.
+    // Sizes join back from the tiny per-doc table afterwards —
+    // carrying them through the wide pair stream measured ~10x slower.
     val toks = docs.select(col("doc_id"), col(blockCol).as("__blk"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
     val sizes = docs.select(col("doc_id"),
       size(array_distinct(split(col("text"), " "))).cast("long").as("nd"))
-    val inter = toks.groupBy(col("__blk"), col("tok"))
-      .agg(collect_list(col("doc_id")).as("__ds"))
+    val inter = saltTile(toks, Seq("__blk", "tok"), col("doc_id"), maxBucket)
+      .groupBy(col("__blk"), col("tok"), col("__ti"), col("__tj"))
+      .agg(collect_list(struct(col("doc_id"), col("__s"))).as("__ds"))
       .filter(size(col("__ds")) > 1)
-      .withColumn("doc_a", explode(col("__ds")))
-      .withColumn("doc_b", explode(col("__ds")))
-      .filter(col("doc_a") < col("doc_b"))
+      .withColumn("a", explode(col("__ds")))
+      .withColumn("b", explode(col("__ds")))
+      .filter(tilePair(col("a.__s"), col("b.__s"), col("a.doc_id"), col("b.doc_id")))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
@@ -235,7 +308,8 @@ object Dedup {
     * window per doc (token count × 1), prefix self-join, candidate
     * distinct, two joins against the per-doc set table (dict-sized;
     * AQE broadcasts when small). */
-  def jaccardPairsPrefix(docs: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+  def jaccardPairsPrefix(docs: DataFrame, blockCol: String, threshold: Double,
+                         maxBucket: Int = DefaultBucketCap): DataFrame = {
     val distinctToks = array_distinct(split(col("text"), " "))
     val toks = docs.select(col("doc_id"), col(blockCol).as("__blk"),
       explode(distinctToks).as("tok"))
@@ -247,13 +321,17 @@ object Dedup {
       .withColumn("__nd", count(lit(1)).over(wSize))
       .filter(col("__pos") <= floor(lit(1.0 - threshold) * col("__nd")) + 1)
       .select(col("doc_id"), col("__blk"), col("tok"))
-    val cands = prefix.groupBy(col("__blk"), col("tok"))
-      .agg(collect_list(col("doc_id")).as("__ds"))
+    // rare-first prefixes bound buckets by construction on realistic
+    // corpora; the salt-tiling keeps the degenerate ones bounded too
+    val cands = saltTile(prefix, Seq("__blk", "tok"), col("doc_id"), maxBucket)
+      .groupBy(col("__blk"), col("tok"), col("__ti"), col("__tj"))
+      .agg(collect_list(struct(col("doc_id"), col("__s"))).as("__ds"))
       .filter(size(col("__ds")) > 1)
-      .withColumn("doc_a", explode(col("__ds")))
-      .withColumn("doc_b", explode(col("__ds")))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
+      .withColumn("a", explode(col("__ds")))
+      .withColumn("b", explode(col("__ds")))
+      .filter(tilePair(col("a.__s"), col("b.__s"), col("a.doc_id"), col("b.doc_id")))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
       .distinct()
     val sets = docs.select(col("doc_id"),
       array_sort(distinctToks).as("__set"),

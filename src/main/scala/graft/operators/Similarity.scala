@@ -141,24 +141,31 @@ object Similarity {
     * threshold. Candidate generation is bucket-collect (one groupBy
     * gathering each bucket's vectors, pairs exploding in place)
     * rather than a bucket self-join — half the shuffles, measured
-    * ~2x faster at sf0.1. Memory bound per bucket is B·dim floats,
-    * strictly below the B²/2 candidate rows the same bucket emits.
-    * Norms are computed once per vector before collection. */
-  def lshNeighbors(emb: DataFrame, planes: DataFrame, threshold: Double): DataFrame = {
-    val buckets = emb.join(lshBucket(emb, planes), "vec_id")
+    * ~2x faster at sf0.1. Norms are computed once per vector before
+    * collection. Buckets are memory-bounded by [[Dedup.saltTile]]: a
+    * hot bucket (few planes, clustered corpus) splits into
+    * ≤ ~2·maxBucket-vector pair-tasks instead of collecting a corpus
+    * slice of embeddings into one task's RAM. */
+  def lshNeighbors(emb: DataFrame, planes: DataFrame, threshold: Double,
+                   maxBucket: Int = Dedup.DefaultBucketCap): DataFrame = {
+    val withBucket = emb.join(lshBucket(emb, planes), "vec_id")
       .select(col("vec_id"), col("embedding"), col("bucket"),
         norm(col("embedding")).as("__n"))
-      .groupBy(col("bucket"))
-      .agg(collect_list(struct(col("vec_id"), col("embedding"), col("__n"))).as("__vs"))
+    val buckets = Dedup.saltTile(withBucket, Seq("bucket"), col("vec_id"), maxBucket)
+      .groupBy(col("bucket"), col("__ti"), col("__tj"))
+      .agg(collect_list(struct(
+        col("vec_id"), col("embedding"), col("__n"), col("__s"))).as("__vs"))
       .filter(size(col("__vs")) > 1)
     buckets
       .withColumn("a", explode(col("__vs")))
       .withColumn("b", explode(col("__vs")))
-      .filter(col("a.vec_id") < col("b.vec_id"))
+      .filter(Dedup.tilePair(col("a.__s"), col("b.__s"),
+        col("a.vec_id"), col("b.vec_id")))
       .withColumn("cos",
         dot(col("a.embedding"), col("b.embedding")) / (col("a.__n") * col("b.__n")))
       .filter(round(col("cos"), 6) >= threshold)
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+      .select(least(col("a.vec_id"), col("b.vec_id")).as("vec_a"),
+        greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
         col("bucket"), round(col("cos"), 6).as("cos_sim"))
   }
 }

@@ -220,9 +220,16 @@ object Changefeed {
     * because the control row is written after the batch's data rows
     * within the same foreachBatch. */
   def runMq(spark: SparkSession, cfg: ChangefeedConfig, sourceDir: String,
-            sinkDir: String, checkpointDir: String): StreamingQuery = {
+            sinkDir: String, checkpointDir: String): StreamingQuery =
+    runMqStream(spark, cfg,
+      Envelope.fromEvents(sourceStream(spark, cfg, sourceDir)),
+      sinkDir, checkpointDir)
+
+  /** [[runMq]] over an arbitrary streaming envelope — the entry the
+    * DSv2 changelog generator (and any custom source) feeds. */
+  def runMqStream(spark: SparkSession, cfg: ChangefeedConfig, env: DataFrame,
+                  sinkDir: String, checkpointDir: String): StreamingQuery = {
     GraftSession.tune(spark)
-    val env = Envelope.fromEvents(sourceStream(spark, cfg, sourceDir))
     pipeline(spark, cfg)(env)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>

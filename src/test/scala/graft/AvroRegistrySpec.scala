@@ -43,6 +43,47 @@ class AvroRegistrySpec extends SparkFunSuite {
     assert(u == u1 && p.toSeq == payload.toSeq)
   }
 
+  test("glue zlib compression byte round-trips the payload") {
+    val u = AvroRegistry.glueSchemaUuid(AvroCodec.envelopeSchemaJson)
+    val payload = Array.tabulate(2048)(i => (i % 17).toByte) // compressible
+    val framed = AvroRegistry.glueFrame(u, payload, compress = true)
+    assert(framed(1) == AvroRegistry.GlueCompressionZlib)
+    assert(framed.length < payload.length + 18, "zlib actually shrank it")
+    val (u2, p2) = AvroRegistry.glueUnframe(framed)
+    assert(u2 == u && p2.toSeq == payload.toSeq)
+  }
+
+  test("confluent HTTP client round-trips through the in-process registry") {
+    import graft.functions.HttpSchemaRegistry
+    val stub = new HttpSchemaRegistry.Stub().start()
+    try {
+      val client = new HttpSchemaRegistry.ConfluentHttpClient(stub.baseUrl)
+      val subject = "events-app-value"
+      // content-addressing holds over the wire
+      val id1 = client.register(subject, AvroCodec.envelopeSchemaJson)
+      val id2 = client.register(subject, AvroCodec.envelopeSchemaJson)
+      assert(id1 == id2)
+      val id3 = client.register(subject, AvroRegistry.evolvedSchemaJson)
+      assert(id3 != id1)
+      assert(client.versions(subject) == Seq(id1, id3))
+      // byId resolves canonicalized schema text
+      assert(client.byId(id1).contains("ChangeEvent"))
+      // unknowns are 4xx, surfaced as failures client-side
+      intercept[IllegalArgumentException](client.byId(9999))
+      intercept[IllegalArgumentException](client.versions("ghost-subject"))
+
+      // the FULL framed encode/decode path over the HTTP store — no
+      // data-path code changes vs the in-memory store
+      val framed = AvroRegistry.encodeFramed(env, client, subject)
+      val writerId = client.versions(subject).head
+      val idMap = Map(writerId -> client.byId(writerId))
+      val decoded = AvroRegistry.decodeFramed(framed, idMap,
+        AvroRegistry.evolvedSchemaJson)
+      assert(decoded.count() == env.count())
+      assert(decoded.filter(col("origin") =!= "upstream").count() == 0)
+    } finally stub.stop()
+  }
+
   test("framed round trip decodes by id; evolved reader fills defaults") {
     val store = new AvroRegistry.InMemoryStore
     val subject = "events-app-value"

@@ -187,6 +187,38 @@ class OperatorSpec extends SparkFunSuite {
       canon(Dedup.jaccardPairs(docs, "source", 0.8)))
   }
 
+  test("salt-tiled pair generation is exact under a degenerate hot-token corpus") {
+    // every doc shares token "hot" (a stop-word-grade bucket); with a
+    // tiny cap the bucket must split into bounded pair-tasks and still
+    // emit exactly the uncapped answer — per-task state stays ~2*cap
+    import spark.implicits._
+    val docs = (0L until 120L).map { i =>
+      (i, "blk", s"hot u$i shared${i % 7} shared${(i + 1) % 7}")
+    }.toDF("doc_id", "source", "text")
+    def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.collect().map(_.mkString("|")).sorted.toSeq
+    val uncapped = Dedup.jaccardPairs(docs, "source", 0.3, maxBucket = Int.MaxValue)
+    val capped = Dedup.jaccardPairs(docs, "source", 0.3, maxBucket = 8)
+    assert(uncapped.count() > 0, "fixture produces pairs")
+    assert(canon(capped) == canon(uncapped))
+    assert(canon(Dedup.jaccardPairsPrefix(docs, "source", 0.3, maxBucket = 8)) ==
+      canon(uncapped))
+
+    // minhash band buckets: all docs distinct sigs, shared bands force
+    // one hot bucket; capped == uncapped
+    val sigs = Dedup.minhashSignatures(docs)
+    assert(canon(Dedup.minhashPairs(sigs, maxBucket = 4)) ==
+      canon(Dedup.minhashPairs(sigs, maxBucket = Int.MaxValue)))
+
+    // lsh buckets: one plane → two buckets, heavily loaded
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val planes = emb.filter(org.apache.spark.sql.functions.col("vec_id") < 1)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("plane_id"),
+        org.apache.spark.sql.functions.col("embedding"))
+    assert(canon(Similarity.lshNeighbors(emb, planes, 0.1, maxBucket = 16)) ==
+      canon(Similarity.lshNeighbors(emb, planes, 0.1, maxBucket = Int.MaxValue)))
+  }
+
   test("ineligible tables drop unless force-replicate") {
     val out = Filters.eligibleTableFilter(sample, Seq(("app", "t1")))
     assert(out.select("_table").distinct().collect().map(_.getString(0)).toSeq == Seq("t0"))

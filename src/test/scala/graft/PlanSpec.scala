@@ -76,14 +76,16 @@ class PlanSpec extends SparkFunSuite {
       s"raw type predicate must push to the scan (PushedFilters):\n$p")
   }
 
-  test("pair dedup paths are aggregation-shaped, no self-joins") {
-    // bucket-collect candidate generation: the only join allowed is
-    // the broadcast of the tiny per-doc sizes table (jaccard)
+  test("pair dedup paths are aggregation-shaped, no shuffle self-joins") {
+    // bucket-collect candidate generation: the only joins allowed are
+    // BROADCASTS of bounded side tables — the per-doc sizes table
+    // (jaccard) and the oversized-bucket census of Dedup.saltTile
+    // (stop-word-grade keys: few by definition). A SortMergeJoin
+    // anywhere would mean a data-scaled self-join crept back in.
     val minhash = plan("q_dedup_minhash_pairs")
-    assert(!minhash.contains("SortMergeJoin") && !minhash.contains("BroadcastHashJoin"),
-      "minhash pairs must be join-free")
+    assert(!minhash.contains("SortMergeJoin"), "minhash pairs must not shuffle-join")
     val ngram = plan("q_dedup_ngram")
-    assert(!ngram.contains("SortMergeJoin"), "jaccard sizes join must broadcast")
+    assert(!ngram.contains("SortMergeJoin"), "jaccard joins must broadcast")
     val lsh = plan("q_ann_lsh")
     assert(!lsh.contains("SortMergeJoin"), "lsh pair path must not shuffle-join")
   }
