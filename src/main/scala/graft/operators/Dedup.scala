@@ -149,31 +149,31 @@ object Dedup {
 
     // signature pairs sharing >= 1 band: BUCKET-COLLECT instead of a
     // band self-join — one groupBy gathers each band bucket's
-    // signatures, pairs explode inside the bucket, then sig-pair
-    // dedup. Replaces the self-join's two shuffles of the band table
-    // with one bucket shuffle (measured ~30% faster at sf0.1).
-    // Band buckets are memory-bounded by [[saltTile]]: a degenerate
-    // shared-band corpus splits into ≤ ~2·maxBucket-signature tasks.
-    val bands = groups.select(col("sig"), col("members"),
-      posexplode(array((0 until NumBands).map(b => col(s"band$b")): _*))
-        .as(Seq("band_idx", "band")))
+    // signatures and pairs explode inside the bucket. A sig pair
+    // sharing k bands would surface k times, so each pair is emitted
+    // ONLY from its first shared band (a pure expression over the
+    // carried band arrays) — no global sig-pair dedup shuffle at all,
+    // which was the extra pass the r2 collapse paid. Band buckets are
+    // memory-bounded by [[saltTile]]: a degenerate shared-band corpus
+    // splits into ≤ ~2·maxBucket-signature tasks.
+    val bandArr = array((0 until NumBands).map(b => col(s"band$b")): _*)
+    val bands = groups.select(col("sig"), col("members"), bandArr.as("bands"),
+      posexplode(bandArr).as(Seq("band_idx", "band")))
     val buckets = saltTile(bands, Seq("band_idx", "band"), col("sig"), maxBucket)
       .groupBy(col("band_idx"), col("band"), col("__ti"), col("__tj"))
-      .agg(collect_list(struct(col("sig"), col("__s"), col("members"))).as("sigs"))
+      .agg(collect_list(struct(
+        col("sig"), col("__s"), col("members"), col("bands"))).as("sigs"))
       .filter(size(col("sigs")) > 1)
-    val sigPairs = buckets
+    val firstSharedBand = (0 until NumBands).reverse.foldLeft(lit(-1)) {
+      (acc, i) => when(col("a.bands")(i) === col("b.bands")(i), lit(i)).otherwise(acc)
+    }
+    val cross = buckets
       .withColumn("a", explode(col("sigs")))
       .withColumn("b", explode(col("sigs")))
-      .filter(tilePair(col("a.__s"), col("b.__s"), col("a.sig"), col("b.sig")))
-      .select(
-        when(col("a.sig") < col("b.sig"), col("a")).otherwise(col("b")).as("x"),
-        when(col("a.sig") < col("b.sig"), col("b")).otherwise(col("a")).as("y"))
-      .groupBy(col("x.sig").as("sig_a"), col("y.sig").as("sig_b"))
-      .agg(first(col("x.members")).as("members_a"),
-        first(col("y.members")).as("members_b"))
-    val cross = sigPairs
-      .withColumn("x", explode(col("members_a")))
-      .withColumn("y", explode(col("members_b")))
+      .filter(tilePair(col("a.__s"), col("b.__s"), col("a.sig"), col("b.sig")) &&
+        firstSharedBand === col("band_idx"))
+      .withColumn("x", explode(col("a.members")))
+      .withColumn("y", explode(col("b.members")))
       .select(least(col("x"), col("y")).as("doc_a"),
         greatest(col("x"), col("y")).as("doc_b"))
 
