@@ -27,6 +27,19 @@ object DataQueries {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  val decontamNgram = 8
+
+  /** PII fixture: the corpus has no emails/IPs, so inject
+    * deterministic ones on a doc_id lattice (mirrored in the oracle). */
+  private def piiInjected =
+    concat(col("text"),
+      when(pmod(col("doc_id"), lit(7L)) === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"),
+          lit("@example.com now"))).otherwise(lit("")),
+      when(pmod(col("doc_id"), lit(11L)) === 0,
+        concat(lit(" from 10.0."), pmod(col("doc_id"), lit(256L)).cast("string"),
+          lit(".1 logged"))).otherwise(lit("")))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_stats" -> ((s, d) => TextOps.tokenStats(docs(s, d))),
 
@@ -42,6 +55,18 @@ object DataQueries {
       TextOps.curate(docs(s, d), stopwords, minTokens = 10L, minQuality = 0.6)),
 
     "q_corpus_stats" -> ((s, d) => TextOps.corpusStats(docs(s, d))),
+
+    "q_decontaminate" -> ((s, d) => {
+      val all = docs(s, d)
+      // deterministic "benchmark" subset standing in for an eval suite
+      TextOps.decontaminate(all, all.filter(pmod(col("doc_id"), lit(50L)) === 0),
+        n = decontamNgram)
+    }),
+
+    "q_text_redact" -> ((s, d) =>
+      TextOps.redactPii(docs(s, d).withColumn("text", piiInjected))),
+
+    "q_text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d))),
 
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
 
@@ -215,6 +240,60 @@ object DataQueries {
       """SELECT md5(text) AS content_md5, MIN(doc_id) AS keeper_id,
         |  COUNT(*) AS n_copies
         |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_decontaminate" ->
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |idx AS (
+         |  SELECT doc_id, w,
+         |    unnest(generate_series(1, len(w) - ${decontamNgram - 1})) AS i
+         |  FROM toks
+         |),
+         |grams AS (
+         |  SELECT DISTINCT doc_id,
+         |    array_to_string(w[i:i + ${decontamNgram - 1}], ' ') AS gram
+         |  FROM idx
+         |),
+         |bench AS (SELECT DISTINCT gram FROM grams WHERE doc_id % 50 = 0),
+         |hits AS (
+         |  SELECT doc_id, COUNT(*) AS n_hits
+         |  FROM grams JOIN bench USING (gram) GROUP BY 1
+         |)
+         |SELECT d.doc_id, COALESCE(h.n_hits, 0) AS n_hits,
+         |  COALESCE(h.n_hits, 0) > 0 AS contaminated
+         |FROM documents d LEFT JOIN hits h USING (doc_id)""".stripMargin,
+
+    "q_text_redact" -> {
+      val email = """[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\.[a-zA-Z]{2,}"""
+      val ip = """\b([0-9]{1,3}\.){3}[0-9]{1,3}\b"""
+      s"""WITH injected AS (
+         |  SELECT doc_id, text ||
+         |    CASE WHEN doc_id % 7 = 0
+         |      THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now'
+         |      ELSE '' END ||
+         |    CASE WHEN doc_id % 11 = 0
+         |      THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 logged'
+         |      ELSE '' END AS text
+         |  FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$email')) AS BIGINT) AS n_emails,
+         |  CAST(len(regexp_extract_all(text, '$ip')) AS BIGINT) AS n_ips,
+         |  regexp_replace(regexp_replace(text, '$email', '<EMAIL>', 'g'),
+         |    '$ip', '<IP>', 'g') AS redacted
+         |FROM injected""".stripMargin
+    },
+
+    "q_text_repetition" ->
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)
+        |SELECT doc_id,
+        |  CAST(list_max(list_transform(list_distinct(w),
+        |    t -> len(list_filter(w, x -> x = t)))) AS DOUBLE)
+        |    / CAST(len(w) AS DOUBLE) AS top_token_ratio,
+        |  CASE WHEN len(w) >= 2 THEN
+        |    1.0 - CAST(len(list_distinct(list_transform(
+        |        generate_series(1, len(w) - 1), i -> w[i] || ' ' || w[i + 1]))) AS DOUBLE)
+        |      / CAST(len(w) - 1 AS DOUBLE)
+        |  ELSE 0.0 END AS dup_bigram_ratio
+        |FROM toks""".stripMargin,
 
     "q_dedup_minhash" ->
       s"WITH $minhashSigSql\nSELECT * FROM sigb",

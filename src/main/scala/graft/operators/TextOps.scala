@@ -141,4 +141,69 @@ object TextOps {
       md5(col("text")).as("fp_md5"),
       conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("fp_long"))
       .withColumn("fp_bucket", pmod(col("fp_long"), lit(buckets.toLong)))
+
+  /** Distinct word-level n-grams per doc: (doc_id, gram). Docs shorter
+    * than n contribute nothing. */
+  def ngramSet(docs: DataFrame, n: Int): DataFrame = {
+    val w = tokens(col("text"))
+    val grams = when(size(w) >= n,
+      array_distinct(transform(sequence(lit(1), size(w) - (n - 1)),
+        i => array_join(slice(w, i, lit(n)), " "))))
+      .otherwise(array().cast("array<string>"))
+    docs.select(col("doc_id"), explode(grams).as("gram"))
+  }
+
+  /** Benchmark decontamination: flag documents sharing any word-level
+    * n-gram with an eval/benchmark set — the standard overlap filter
+    * run before training (8-13 grams in practice). The benchmark gram
+    * set is bounded by construction (eval suites are tiny next to a
+    * 100 TB corpus), so it BROADCASTS; the corpus side explodes grams
+    * at scan speed and the only shuffle is the per-doc hit count. */
+  def decontaminate(docs: DataFrame, benchDocs: DataFrame, n: Int): DataFrame = {
+    val grams = ngramSet(docs, n)
+    val bench = broadcast(ngramSet(benchDocs, n).select(col("gram")).distinct())
+    val hits = grams.join(bench, Seq("gram"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+    docs.select(col("doc_id")).join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+  }
+
+  /** PII patterns shared with the DuckDB oracle (RE2/Java-compatible
+    * subset, no lookaround). */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** PII redaction before training: emails and IPv4 literals replaced
+    * by typed placeholder tags, with per-kind counts for the dataset
+    * card. Pure codegen'd regexes — scan speed, no shuffle. */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast("long").as("n_emails"),
+      regexp_count(col("text"), lit(Ipv4Re)).cast("long").as("n_ips"),
+      regexp_replace(
+        regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
+        lit(Ipv4Re), lit("<IP>")).as("redacted"))
+
+  /** Repetition signals (the cheap boilerplate/spam detectors of the
+    * Gopher-style rule set): dominance of the single most frequent
+    * token, and the duplicate-bigram fraction. Per-row list
+    * arithmetic only. */
+  def repetition(docs: DataFrame): DataFrame = {
+    val w = tokens(col("text"))
+    val topCount = array_max(transform(array_distinct(w),
+      t => size(filter(w, x => x === t))))
+    val bigrams = transform(sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
+    val dupBigram = when(size(w) >= 2,
+      lit(1.0) - size(array_distinct(bigrams)).cast("double") /
+        size(bigrams).cast("double"))
+      .otherwise(lit(0.0))
+    docs.select(
+      col("doc_id"),
+      (topCount.cast("double") / size(w).cast("double")).as("top_token_ratio"),
+      dupBigram.as("dup_bigram_ratio"))
+  }
 }
