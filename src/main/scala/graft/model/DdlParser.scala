@@ -23,9 +23,13 @@ object DdlParser {
   private val createTable =
     """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s*\((.*)\)\s*[^)]*$""".r
   private val addColumn =
-    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+(?:COLUMN\s+)?`?(\w+)`?\s+(\w+(?:\(\d+(?:,\d+)?\))?)(?:\s+DEFAULT\s+('[^']*'|\S+))?.*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+(?:COLUMN\s+)?`?(\w+)`?\s+(\w+(?:\(\d+(?:,\d+)?\))?)(?:\s+DEFAULT\s+('[^']*'|\S+))?.*?(?:\s+(FIRST|AFTER\s+`?\w+`?))?\s*$""".r
   private val modifyColumn =
-    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+MODIFY\s+(?:COLUMN\s+)?`?(\w+)`?\s+(\w+(?:\(\d+(?:,\d+)?\))?)(?:\s+DEFAULT\s+('[^']*'|\S+))?.*$""".r
+    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+MODIFY\s+(?:COLUMN\s+)?`?(\w+)`?\s+(\w+(?:\(\d+(?:,\d+)?\))?)(?:\s+DEFAULT\s+('[^']*'|\S+))?.*?(?:\s+(FIRST|AFTER\s+`?\w+`?))?\s*$""".r
+  private val createDatabase =
+    """(?is)^\s*CREATE\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*$""".r
+  private val dropDatabase =
+    """(?is)^\s*DROP\s+(?:DATABASE|SCHEMA)\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*$""".r
   private val changeColumn =
     """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+CHANGE\s+(?:COLUMN\s+)?`?(\w+)`?\s+`?(\w+)`?\s+(\w+(?:\(\d+(?:,\d+)?\))?)(?:\s+DEFAULT\s+('[^']*'|\S+))?.*$""".r
   private val dropColumn =
@@ -96,6 +100,14 @@ object DdlParser {
     }
   }
 
+  /** FIRST / AFTER `x` placement → ColumnDef.position encoding. */
+  private def parsePosition(raw: String): Option[String] =
+    Option(raw).map(_.trim).collect {
+      case p if p.equalsIgnoreCase("first") => "first"
+      case p if p.toLowerCase.startsWith("after") =>
+        "after:" + p.substring(5).trim.replace("`", "")
+    }
+
   /** Split a comma list at the top level (partition name lists). */
   private def commaList(raw: String): Seq[String] =
     raw.split(',').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq
@@ -123,14 +135,20 @@ object DdlParser {
       case dropPartition(name, parts) =>
         val (s, t) = ident(name, defaultSchema)
         Some(DropTablePartition(s, t, commaList(parts), ts))
-      case addColumn(name, cName, cType, dflt)
+      case addColumn(name, cName, cType, dflt, pos)
           if !constraintHead.contains(cName.toLowerCase) =>
         val (s, t) = ident(name, defaultSchema)
-        Some(AddColumn(s, t, ColumnDef(cName, cType.toLowerCase, Option(dflt).map(unquote)), ts))
-      case modifyColumn(name, cName, cType, dflt)
+        Some(AddColumn(s, t, ColumnDef(cName, cType.toLowerCase,
+          Option(dflt).map(unquote), parsePosition(pos)), ts))
+      case modifyColumn(name, cName, cType, dflt, pos)
           if !constraintHead.contains(cName.toLowerCase) =>
         val (s, t) = ident(name, defaultSchema)
-        Some(ModifyColumn(s, t, ColumnDef(cName, cType.toLowerCase, Option(dflt).map(unquote)), ts))
+        Some(ModifyColumn(s, t, ColumnDef(cName, cType.toLowerCase,
+          Option(dflt).map(unquote), parsePosition(pos)), ts))
+      case createDatabase(name) =>
+        Some(CreateSchema(name, ts))
+      case dropDatabase(name) =>
+        Some(DropSchema(name, ts))
       case changeColumn(name, oldName, newName, cType, dflt)
           if !constraintHead.contains(oldName.toLowerCase) =>
         val (s, t) = ident(name, defaultSchema)

@@ -83,11 +83,17 @@ object Envelope {
 
   /** Envelope from a FLAT change-row frame (meta columns + payload
     * columns at top level — the shape the DSv2 changelog generator
-    * emits): images nest per op. The generator carries no old value,
+    * emits): images nest per op. Payload columns default to every
+    * non-meta column of the frame, so any flat change-row shape
+    * nests without hardcoding. The generator carries no old value,
     * so updates reuse the post-image as pre-image (a delete-safe
     * approximation; sources with true old-value emit both). */
-  def fromFlat(df: DataFrame): DataFrame = {
-    val img = struct(col("user_id"), col("value"), col("k"))
+  def fromFlat(df: DataFrame, payloadCols: Seq[String] = Nil): DataFrame = {
+    val payload =
+      if (payloadCols.nonEmpty) payloadCols
+      else df.columns.toSeq.filterNot(metaCols.contains)
+    require(payload.nonEmpty, "flat change-row frame has no payload columns")
+    val img = struct(payload.map(col): _*)
     df.select(
       col("_row_id"), col("_schema"), col("_table"), col("_op"),
       col("_commit_ts"), col("_start_ts"),

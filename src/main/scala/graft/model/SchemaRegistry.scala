@@ -13,7 +13,11 @@ import scala.collection.immutable.TreeMap
   * driver folds further DDLs — the barrier semantics fall out of
   * passing one snapshot per batch (see [[graft.streaming.DdlBarrier]]).
   */
-final case class ColumnDef(name: String, dataType: String, default: Option[String] = None)
+/** `position` is ALTER-statement metadata ("first" | "after:<col>"),
+  * consumed by the registry's insert handlers and stripped before the
+  * column is stored. */
+final case class ColumnDef(name: String, dataType: String, default: Option[String] = None,
+                           position: Option[String] = None)
 
 final case class TableSchema(
     schema: String, table: String, versionTs: Long, columns: Seq[ColumnDef]) {
@@ -30,6 +34,10 @@ sealed trait DdlAction { def ts: Long }
 object DdlAction {
   final case class CreateTable(schema: String, table: String,
                                columns: Seq[ColumnDef], ts: Long) extends DdlAction
+  /** CREATE DATABASE/SCHEMA (CreateSchema handler :121). */
+  final case class CreateSchema(schema: String, ts: Long) extends DdlAction
+  /** DROP DATABASE/SCHEMA: every table of the schema drops with it. */
+  final case class DropSchema(schema: String, ts: Long) extends DdlAction
   final case class AddColumn(schema: String, table: String,
                              column: ColumnDef, ts: Long) extends DdlAction
   final case class DropColumn(schema: String, table: String,
@@ -84,24 +92,50 @@ final case class SchemaRegistry(
   def latest(schema: String, table: String): Option[TableSchema] =
     versions.get((schema, table)).flatMap(_.lastOption.map(_._2))
 
+  /** Place `c` into `cols` honoring its position metadata (FIRST /
+    * AFTER x — mysql ALTER placement); the stored ColumnDef is
+    * stripped of the statement-level position. */
+  private def placed(cols: Seq[ColumnDef], c: ColumnDef): Seq[ColumnDef] = {
+    val stored = c.copy(position = None)
+    c.position match {
+      case Some("first") => stored +: cols
+      case Some(p) if p.startsWith("after:") =>
+        val i = cols.indexWhere(_.name == p.stripPrefix("after:"))
+        if (i < 0) cols :+ stored
+        else (cols.take(i + 1) :+ stored) ++ cols.drop(i + 1)
+      case _ => cols :+ stored
+    }
+  }
+
   /** Apply one DDL — returns the evolved registry (pure). Unknown
     * tables are created implicitly by AddColumn-class DDLs only via
     * CreateTable, matching the reference's strictness. */
   def apply(ddl: DdlAction): SchemaRegistry = ddl match {
     case CreateTable(s, t, cols, ts) => put(TableSchema(s, t, ts, cols))
+    case CreateSchema(_, _) => this // no table shape yet; tracked by key space
+    case DropSchema(s, _) =>
+      copy(versions = versions.filterNot { case ((sc, _), _) => sc == s })
     case AddColumn(s, t, c, ts) =>
-      latest(s, t).map(cur => put(cur.copy(versionTs = ts, columns = cur.columns :+ c)))
+      latest(s, t).map(cur =>
+        put(cur.copy(versionTs = ts, columns = placed(cur.columns, c))))
         .getOrElse(this)
     case DropColumn(s, t, n, ts) =>
       latest(s, t).map(cur =>
         put(cur.copy(versionTs = ts, columns = cur.columns.filterNot(_.name == n))))
         .getOrElse(this)
     case ModifyColumn(s, t, c, ts) =>
-      // retype in place, position preserved; unknown column → version
-      // bump only (the job already committed upstream)
-      latest(s, t).map(cur => put(cur.copy(versionTs = ts,
-        columns = cur.columns.map(old => if (old.name == c.name) c else old))))
-        .getOrElse(this)
+      // retype in place (relocating when the statement carries a
+      // FIRST/AFTER placement); unknown column → version bump only
+      // (the job already committed upstream)
+      latest(s, t).map { cur =>
+        val retyped = cur.columns.map(old =>
+          if (old.name == c.name) c.copy(position = None) else old)
+        val cols =
+          if (c.position.isDefined && cur.columns.exists(_.name == c.name))
+            placed(retyped.filterNot(_.name == c.name), c)
+          else retyped
+        put(cur.copy(versionTs = ts, columns = cols))
+      }.getOrElse(this)
     case ChangeColumn(s, t, oldName, c, ts) =>
       latest(s, t).map(cur => put(cur.copy(versionTs = ts,
         columns = cur.columns.map(old => if (old.name == oldName) c else old))))

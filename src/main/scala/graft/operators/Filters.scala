@@ -110,29 +110,49 @@ object Filters {
     env.filter(!(col("_op") === "U" && unchangedOutsideIgnorable))
   }
 
-  /** DDL event classification (binlog-filter taxonomy,
-    * pkg/binlog-filter/filter.go:41-86): statement text → DDL class.
-    * Prefix matching on the normalized query — the classes the
-    * reference's event filter accepts in `ignore-event`. */
+  /** DDL class taxonomy (binlog-filter, pkg/binlog-filter/
+    * filter.go:41-86) as DATA — (class, prefix patterns, contains
+    * patterns), first rule wins — so the columnar classifier and the
+    * driver-side dispatch classifier are generated from ONE source and
+    * cannot drift. */
+  private val ddlClassRules: Seq[(String, Seq[String], Seq[String])] = Seq(
+    ("create table", Seq("create table"), Nil),
+    ("drop table", Seq("drop table"), Nil),
+    ("truncate table", Seq("truncate table", "truncate "), Nil),
+    ("rename table", Seq("rename table"), Nil),
+    ("create index", Seq("create index", "create unique index"), Nil),
+    ("drop index", Seq("drop index"), Nil),
+    ("create database", Seq("create database", "create schema"), Nil),
+    ("drop database", Seq("drop database", "drop schema"), Nil),
+    ("add column", Nil, Seq("add column", " add ")),
+    ("drop column", Nil, Seq("drop column")),
+    ("modify column", Nil, Seq("modify column", "modify ")),
+    ("change column", Nil, Seq("change column", "change ")),
+    ("alter partition", Nil, Seq(" partition")),
+    ("alter table", Seq("alter table"), Nil),
+    ("create view", Seq("create view"), Nil),
+    ("drop view", Seq("drop view"), Nil))
+
+  /** DDL event classification: statement text → DDL class (the
+    * classes the reference's event filter accepts in `ignore-event`),
+    * columnar form. */
   def ddlClass(query: Column): Column = {
     val q = lower(trim(query))
-    when(q.startsWith("create table"), "create table")
-      .when(q.startsWith("drop table"), "drop table")
-      .when(q.startsWith("truncate table") || q.startsWith("truncate "), "truncate table")
-      .when(q.startsWith("rename table"), "rename table")
-      .when(q.startsWith("create index") || q.startsWith("create unique index"), "create index")
-      .when(q.startsWith("drop index"), "drop index")
-      .when(q.startsWith("create database") || q.startsWith("create schema"), "create database")
-      .when(q.startsWith("drop database") || q.startsWith("drop schema"), "drop database")
-      .when(q.contains("add column"), "add column")
-      .when(q.contains("drop column"), "drop column")
-      .when(q.contains("modify column") || q.contains("modify "), "modify column")
-      .when(q.contains("change column") || q.contains("change "), "change column")
-      .when(q.contains(" partition"), "alter partition")
-      .when(q.startsWith("alter table"), "alter table")
-      .when(q.startsWith("create view"), "create view")
-      .when(q.startsWith("drop view"), "drop view")
-      .otherwise("other ddl")
+    ddlClassRules.foldRight(lit("other ddl")) {
+      case ((cls, starts, contains), acc) =>
+        val cond = (starts.map(s => q.startsWith(s)) ++
+          contains.map(c => q.contains(c))).reduce(_ || _)
+        when(cond, cls).otherwise(acc)
+    }
+  }
+
+  /** Driver-side twin of [[ddlClass]] (control-plane dispatch). */
+  def ddlClassValue(query: String): String = {
+    val q = query.trim.toLowerCase
+    ddlClassRules.collectFirst {
+      case (cls, starts, contains)
+          if starts.exists(q.startsWith) || contains.exists(q.contains) => cls
+    }.getOrElse("other ddl")
   }
 
   /** DDL filter: drop by class (`ignore-event`,

@@ -20,16 +20,18 @@ object KafkaSink {
     * writer contract. The message key is the routing key rendering —
     * per-key ordering downstream relies on it hashing to the same
     * Kafka partition, which `_partition` pins explicitly. */
-  def prepare(encoded: DataFrame, keyCols: Seq[String]): DataFrame = {
+  def prepare(encoded: DataFrame, keyCols: Seq[String],
+              carry: Seq[String] = Nil): DataFrame = {
     val keyVals = keyCols.map { f =>
       when(col("_op") === "D", col(s"before.$f")).otherwise(col(s"after.$f"))
     }
     encoded.select(
-      col("_topic").as("topic"),
-      col("_partition").cast("int").as("partition"),
-      concat_ws("|", (col("_schema") +: col("_table") +: keyVals)
-        .map(_.cast("string")): _*).cast("binary").as("key"),
-      col("_value").cast("binary").as("value"))
+      col("_topic").as("topic") +:
+        col("_partition").cast("int").as("partition") +:
+        concat_ws("|", (col("_schema") +: col("_table") +: keyVals)
+          .map(_.cast("string")): _*).cast("binary").as("key") +:
+        col("_value").cast("binary").as("value") +:
+        carry.map(col): _*)
   }
 
   /** Streaming write (batch variant: `.write` instead). */

@@ -150,19 +150,16 @@ object Changefeed {
     val parsed = ddlSql.sortBy(_._1).flatMap { case (ts, q) =>
       DdlParser.parse(q, ts).map(a => (ts, q, a))
     }
-    // dispatch each parsed DDL by its target table + statement
+    // dispatch each parsed DDL by its target table + statement; the
+    // class taxonomy is shared with the columnar filter (one rule
+    // table in Filters — no drift between batch and streaming paths)
     val rules = cfg.filter.rules
-    def classOf(q: String): String = {
-      val qn = q.trim.toLowerCase
-      if (qn.startsWith("truncate")) "truncate table"
-      else if (qn.startsWith("drop table")) "drop table"
-      else if (qn.startsWith("create table")) "create table"
-      else if (qn.startsWith("rename table")) "rename table"
-      else if (qn.contains("add column") || qn.contains(" add ")) "add column"
-      else if (qn.contains("drop column")) "drop column"
-      else "other ddl"
-    }
+    def classOf(q: String): String = graft.operators.Filters.ddlClassValue(q)
     def target(a: DdlAction): (String, String) = a match {
+      // db-level DDLs target every table of the schema; the registry
+      // must always fold them (the filter below special-cases them)
+      case DdlAction.CreateSchema(s, _) => (s, "")
+      case DdlAction.DropSchema(s, _) => (s, "")
       case DdlAction.CreateTable(s, t, _, _) => (s, t)
       case DdlAction.AddColumn(s, t, _, _) => (s, t)
       case DdlAction.DropColumn(s, t, _, _) => (s, t)
@@ -178,9 +175,12 @@ object Changefeed {
       case DdlAction.DropTablePartition(s, t, _, _) => (s, t)
       case DdlAction.TruncateTablePartition(s, t, _, _) => (s, t)
     }
-    val kept = parsed.filter { case (_, _, a) =>
-      val (s, t) = target(a)
-      graft.operators.TableMatcher.matchesValue(s, t, rules) // else discard
+    val kept = parsed.filter {
+      case (_, _, DdlAction.CreateSchema(_, _)) | (_, _, DdlAction.DropSchema(_, _)) =>
+        true // db-level: affects all of the schema's tables
+      case (_, _, a) =>
+        val (s, t) = target(a)
+        graft.operators.TableMatcher.matchesValue(s, t, rules) // else discard
     }
     val ignored = kept.filter { case (_, q, _) =>
       ignoreDdlClasses.contains(classOf(q)) ||

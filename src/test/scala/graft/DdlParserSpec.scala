@@ -94,6 +94,38 @@ class DdlParserSpec extends SparkFunSuite {
     assert(reg2.latest("app", "b").isDefined && reg2.latest("app", "d").isDefined)
   }
 
+  test("column placement: ADD/MODIFY with FIRST / AFTER relocate") {
+    assert(DdlParser.parse("ALTER TABLE t ADD COLUMN c INT AFTER id", 1) ==
+      Some(AddColumn("app", "t", ColumnDef("c", "int", None, Some("after:id")), 1)))
+    assert(DdlParser.parse("ALTER TABLE t ADD COLUMN c INT DEFAULT 5 FIRST", 2) ==
+      Some(AddColumn("app", "t", ColumnDef("c", "int", Some("5"), Some("first")), 2)))
+    // trailing attributes still tolerated, position still found
+    assert(DdlParser.parse("ALTER TABLE t ADD COLUMN c INT NOT NULL AFTER `id`", 3) ==
+      Some(AddColumn("app", "t", ColumnDef("c", "int", None, Some("after:id")), 3)))
+    val reg = SchemaRegistry().applyAll(DdlParser.parseAll(Seq(
+      (10L, "CREATE TABLE t (id BIGINT, v DOUBLE)"),
+      (20L, "ALTER TABLE t ADD COLUMN a INT FIRST"),
+      (30L, "ALTER TABLE t ADD COLUMN b INT AFTER id"),
+      (40L, "ALTER TABLE t MODIFY COLUMN v DECIMAL(10,2) AFTER a"))))
+    assert(reg.latest("app", "t").get.columns.map(_.name) == Seq("a", "v", "id", "b"))
+    assert(reg.latest("app", "t").get.columns.forall(_.position.isEmpty),
+      "statement-level placement must not leak into stored schema")
+  }
+
+  test("create/drop database parse; drop removes the schema's tables") {
+    assert(DdlParser.parse("CREATE DATABASE IF NOT EXISTS shop", 1) ==
+      Some(CreateSchema("shop", 1)))
+    assert(DdlParser.parse("DROP SCHEMA shop", 2) == Some(DropSchema("shop", 2)))
+    val reg = SchemaRegistry().applyAll(DdlParser.parseAll(Seq(
+      (10L, "CREATE DATABASE shop"),
+      (11L, "CREATE TABLE shop.orders (id BIGINT)"),
+      (12L, "CREATE TABLE shop.items (id BIGINT)"),
+      (13L, "CREATE TABLE app.keepme (id BIGINT)"),
+      (20L, "DROP DATABASE shop"))))
+    assert(reg.latest("shop", "orders").isEmpty && reg.latest("shop", "items").isEmpty)
+    assert(reg.latest("app", "keepme").isDefined)
+  }
+
   test("text DDL stream folds into the registry end-to-end") {
     val actions = DdlParser.parseAll(Seq(
       (10L, "CREATE TABLE app.t (id BIGINT, v DOUBLE)"),

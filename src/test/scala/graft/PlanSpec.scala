@@ -90,6 +90,22 @@ class PlanSpec extends SparkFunSuite {
     assert(!lsh.contains("SortMergeJoin"), "lsh pair path must not shuffle-join")
   }
 
+  test("q_decontaminate: bench grams broadcast into the probe") {
+    // the gram-membership probe must be a broadcast (bench sets are
+    // bounded); the final doc_id-keyed report join may shuffle — that
+    // one is key-partitioned and output-sized
+    val p = plan("q_decontaminate")
+    assert(p.contains("BroadcastHashJoin"),
+      s"benchmark gram set must broadcast:\n$p")
+  }
+
+  test("q_sqlmodel_generic: statement rendering is shuffle-free codegen") {
+    val p = plan("q_sqlmodel_generic")
+    assert(!p.contains("Exchange"),
+      "generic SQL rendering is per-row column work, no shuffle")
+    assert(p.contains("*(1)"), "codegen stage marker expected")
+  }
+
   test("encoders stay inside whole-stage codegen") {
     Seq("q_encode_canal", "q_encode_open", "q_encode_debezium", "q_encode_csv")
       .foreach { q =>

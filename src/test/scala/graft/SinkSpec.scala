@@ -60,6 +60,40 @@ class SinkSpec extends SparkFunSuite {
     assert(new String(r.getAs[Array[Byte]]("value")).startsWith("{\"id\":0"))
   }
 
+  test("file-backed MQ emulation: per-partition order, replay dedup, e2e decode") {
+    import org.apache.spark.sql.expressions.Window
+    import graft.sinks.FileMq
+    val tmp = Files.createTempDirectory("graft-filemq").toString
+    val routed = Codecs.canalJson(Routing.routeTopic(
+      Routing.partitionByKeyColumns(env, Seq("user_id"), 4), "cdc_{schema}"))
+    val prepared = KafkaSink.prepare(routed, Seq("user_id"),
+      carry = Seq("_commit_ts", "_start_ts", "_op", "_row_id"))
+    val order = Seq(col("_commit_ts").asc, col("_start_ts").asc,
+      Envelope.opOrder(col("_op")).asc, col("_row_id").asc)
+    // two producer batches split on commit ts, then batch 1 REPLAYED
+    // (the streaming checkpoint re-runs a batch after a crash)
+    val cut = env.agg(expr("percentile_approx(_commit_ts, 0.5)")).head().getLong(0)
+    val b0 = prepared.filter(col("_commit_ts") <= cut)
+    val b1 = prepared.filter(col("_commit_ts") > cut)
+    FileMq.append(b0, tmp, 0, order)
+    FileMq.append(b1, tmp, 1, order)
+    FileMq.append(b1, tmp, 1, order) // at-least-once replay, same batch id
+    val log = FileMq.read(spark, tmp)
+    assert(log.count() == env.count(), "consumer dedupes the replayed batch")
+    // per (partition, key): offset order == commit order
+    val w = Window.partitionBy(col("partition"), col("key")).orderBy(col("offset"))
+    val violations = log
+      .withColumn("prev_ts", lag(col("_commit_ts"), 1).over(w))
+      .filter(col("prev_ts") > col("_commit_ts")).count()
+    assert(violations == 0, "per-key commit order must hold in offset order")
+    // the sunk wire bytes decode back to the source rows
+    val decoded = graft.functions.Decoders.decodeCanal(
+      log.select(col("value").cast("string").as("_value")))
+    assert(decoded.count() == env.count())
+    assert(decoded.select(sum(coalesce(col("after.user_id"), col("before.user_id")))).head().getLong(0) ==
+      env.select(sum(coalesce(col("after.user_id"), col("before.user_id")))).head().getLong(0))
+  }
+
   test("pulsar frame has the connector contract columns; constant-key rule pins the key") {
     val routed = Codecs.canalJson(Routing.routeTopic(
       Routing.partitionByKeyColumns(env, Seq("user_id"), 8), "cdc_{schema}_{table}"))

@@ -201,6 +201,71 @@ class TypeMatrixSpec extends SparkFunSuite {
       "TimestampType must come back as java.sql.Timestamp, micros preserved")
   }
 
+  test("charset matrix: GBK-era Chinese + surrogate-pair text survives every codec") {
+    // the reference's canal_json_basic/data_gbk.sql coverage: non-ASCII
+    // payloads must survive the JSON/CSV/avro wires byte-exactly, and
+    // legacy-charset BYTES (GBK) ride BinaryType + base64 losslessly
+    val zh = "中文数据库 表格 écran ☃ 😀 终端"
+    val gbkText = "中文 GBK 编码"
+    val gbkBytes = gbkText.getBytes(java.nio.charset.Charset.forName("GBK"))
+    val payload = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("bin", BinaryType)))
+    val envSchema = StructType(Seq(
+      StructField("_row_id", LongType), StructField("_schema", StringType),
+      StructField("_table", StringType), StructField("_op", StringType),
+      StructField("_commit_ts", LongType), StructField("_start_ts", LongType),
+      StructField("before", payload), StructField("after", payload)))
+    val env = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(
+        Seq(Row(1L, "应用", "事件表", "I", 1700000000000000000L,
+          1699999999999999999L, null, Row(1L, zh, gbkBytes)))).asJava),
+      envSchema)
+
+    val wire = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("bin", BinaryType)))
+
+    // canal-json: unicode strings + gbk bytes exact; non-ASCII table names too
+    val canal = Codecs.canalJsonFor(env, Seq("id"))
+    val msgSchema = StructType(Seq(
+      StructField("database", StringType), StructField("table", StringType),
+      StructField("data", ArrayType(wire))))
+    val c = canal.select(from_json(col("_value"), msgSchema).as("m"))
+      .select(col("m.database"), col("m.table"),
+        element_at(col("m.data"), 1).as("w")).head()
+    assert(c.getString(0) == "应用" && c.getString(1) == "事件表")
+    assert(c.getStruct(2).getString(1) == zh)
+    assert(c.getStruct(2).getAs[Array[Byte]](2).toSeq == gbkBytes.toSeq)
+    assert(new String(c.getStruct(2).getAs[Array[Byte]](2),
+      java.nio.charset.Charset.forName("GBK")) == gbkText)
+
+    // csv: quoted unicode survives from_csv
+    val csv = Codecs.csvLineFor(env)
+    val lineSchema = StructType(
+      Seq(StructField("_op", StringType), StructField("_schema", StringType),
+        StructField("_table", StringType), StructField("_commit_ts", LongType),
+        StructField("id", LongType), StructField("s", StringType),
+        StructField("bin", StringType)))
+    val p = csv.select(from_csv(col("_value"), lineSchema,
+      Map("nullValue" -> "\\N", "escape" -> "\"")).as("w")).select("w.*").head()
+    assert(p.getAs[String]("s") == zh)
+    assert(java.util.Base64.getDecoder.decode(p.getAs[String]("bin")).toSeq
+      == gbkBytes.toSeq)
+
+    // avro: utf8 + bytes lossless
+    import graft.functions.AvroCodec
+    val av = AvroCodec.decodeGeneric(
+      AvroCodec.encodeGeneric(env, payload), payload).head()
+    assert(av.getAs[String]("s") == zh)
+    assert(av.getAs[Array[Byte]]("bin").toSeq == gbkBytes.toSeq)
+
+    // mysql statement rendering keeps the text intact (escaping only
+    // touches quotes/backslashes)
+    val stmt = graft.sinks.MysqlSink.statements(env, Seq("id"), 4, safeMode = false)
+      .select(col("_stmt")).head().getString(0)
+    assert(stmt.contains(zh) && stmt.contains("应用"))
+  }
+
   test("csv generic encoder round-trips the matrix via from_csv") {
     // newline-free string for the line-oriented wire
     val csvRow = Row.fromSeq(maxRow.toSeq.updated(9, "qu\"ote, comma"))
