@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
 
 /** Oracle-checked queries for the training-data pipeline operators
   * (SURVEY §7.2 M7): dedup, similarity search, text analysis,
@@ -28,6 +28,10 @@ object DataQueries {
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
   val decontamNgram = 8
+  val splitFractions: Seq[(String, Double)] =
+    Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
+  val maxPerSource = 80L
+  val packWindow = 2048L
 
   /** PII fixture: the corpus has no emails/IPs, so inject
     * deterministic ones on a doc_id lattice (mirrored in the oracle). */
@@ -67,6 +71,16 @@ object DataQueries {
       TextOps.redactPii(docs(s, d).withColumn("text", piiInjected))),
 
     "q_text_repetition" -> ((s, d) => TextOps.repetition(docs(s, d))),
+
+    "q_data_split" -> ((s, d) =>
+      Sampling.split(docs(s, d), splitFractions)
+        .select(col("doc_id"), col("source"), col("split"))),
+
+    "q_source_quota" -> ((s, d) =>
+      Sampling.sourceQuota(docs(s, d), maxPerSource)
+        .select(col("doc_id"), col("source"), col("quota_rank"), col("kept"))),
+
+    "q_seq_pack" -> ((s, d) => Sampling.packSequences(docs(s, d), packWindow)),
 
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
 
@@ -281,6 +295,35 @@ object DataQueries {
          |    '$ip', '<IP>', 'g') AS redacted
          |FROM injected""".stripMargin
     },
+
+    "q_data_split" -> {
+      // mirror of Sampling.split: cum fractions 0.9 / 0.95 / 1.0
+      """SELECT doc_id, source,
+        |  CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'train'
+        |       WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9500 THEN 'val'
+        |       ELSE 'test' END AS split
+        |FROM documents""".stripMargin
+    },
+
+    "q_source_quota" ->
+      s"""SELECT doc_id, source,
+         |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS quota_rank,
+         |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) <= $maxPerSource AS kept
+         |FROM documents""".stripMargin,
+
+    "q_seq_pack" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (
+         |  SELECT *,
+         |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS prior
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens,
+         |  prior // $packWindow AS pack_id,
+         |  prior - (prior // $packWindow) * $packWindow AS pack_offset
+         |FROM r""".stripMargin,
 
     "q_text_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)

@@ -1,0 +1,73 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Deterministic corpus partitioning for training pipelines:
+  * train/val/test splits, per-source quotas, and context-window
+  * sequence packing. Everything is a pure function of stable ids —
+  * reproducible across runs, engines, and cluster sizes (no RNG
+  * state), which is what a 100 TB pipeline needs to resume or re-run
+  * any shard independently.
+  */
+object Sampling {
+
+  private val SplitBuckets = 10000L
+
+  /** Stable per-id bucket in [0, 10000): md5-derived (engine-portable,
+    * like Routing.stableHash). */
+  def splitBucket(id: Column): Column =
+    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
+      lit(SplitBuckets))
+
+  /** Hash-split into named fractions (e.g. train 0.9 / val 0.05 /
+    * test 0.05): assignment is a pure expression over the id — no
+    * shuffle, no sampling state, stable under corpus growth (a doc
+    * never migrates between splits when OTHER docs are added). */
+  def split(docs: DataFrame, fractions: Seq[(String, Double)],
+            idCol: String = "doc_id"): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $fractions")
+    val bucket = splitBucket(col(idCol))
+    val cum = fractions.map(_._2).scanLeft(0.0)(_ + _).tail
+    val assignment = fractions.zip(cum).init.foldRight(lit(fractions.last._1)) {
+      case (((name, _), hi), acc) =>
+        when(bucket < math.round(hi * SplitBuckets), name).otherwise(acc)
+    }
+    docs.withColumn("split", assignment)
+  }
+
+  /** Per-source quota: keep at most `maxPerSource` docs per source in
+    * a deterministic preference order (the domain-mixing cap every
+    * corpus recipe applies). One shuffle on source; the rank column
+    * survives so downstream can audit what was cut. */
+  def sourceQuota(docs: DataFrame, maxPerSource: Long,
+                  orderBy: Seq[Column] = Seq(col("doc_id"))): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(orderBy: _*)
+    docs
+      .withColumn("quota_rank", row_number().over(w).cast("long"))
+      .withColumn("kept", col("quota_rank") <= maxPerSource)
+  }
+
+  /** Context-window sequence packing: assign docs to packs of ≈
+    * `windowTokens` tokens, greedy in deterministic (source, doc_id)
+    * order — the running-sum formulation of [[graft.functions.
+    * LargeMessage.messageBatches]] (soft cap: a pack may overflow by
+    * at most one doc, identical in any engine, unlike a stateful
+    * packer). One window shuffle per source. */
+  def packSequences(docs: DataFrame, windowTokens: Long): DataFrame = {
+    // (object-local `split` shadows functions.split — qualify)
+    val nTok = size(org.apache.spark.sql.functions.split(col("text"), " ")).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs
+      .withColumn("n_tokens", nTok)
+      .withColumn("pack_id",
+        floor((sum(col("n_tokens")).over(w) - col("n_tokens")) / windowTokens))
+      .withColumn("pack_offset",
+        (sum(col("n_tokens")).over(w) - col("n_tokens")) -
+          col("pack_id") * windowTokens)
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        col("pack_id"), col("pack_offset"))
+  }
+}
