@@ -84,11 +84,13 @@ object Similarity {
     * `greatest(struct(dot_i, cid_i)...)` expression over the scan —
     * no crossJoin+groupBy shuffle, no join back ([[ivfAssign]] remains
     * the distributed form for quantizers too big to inline). */
-  def ivfTopK(emb: DataFrame, centroids: DataFrame, numQueries: Int, k: Int): DataFrame = {
+  def ivfTopK(emb: DataFrame, centroids: DataFrame, numQueries: Int, k: Int,
+              nprobe: Int = 1): DataFrame = {
     val cents: Array[(Long, Seq[Float])] = centroids
       .select(col("centroid_id").cast("long"), col("embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
     require(cents.nonEmpty, "empty coarse quantizer")
+    require(nprobe >= 1 && nprobe <= cents.length, s"nprobe $nprobe out of range")
     val cellScores = cents.map { case (cid, vec) =>
       struct(dot(col("embedding"), typedLit(vec)).as("d"), lit(cid).as("cid"))
     }
@@ -97,13 +99,38 @@ object Similarity {
     val withCell = emb
       .select(col("vec_id"), col("embedding"), cellExpr.as("cell"),
         norm(col("embedding")).as("__n"))
-    val queries = withCell.filter(col("vec_id") < numQueries)
-      .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
-        col("cell").as("q_cell"), col("__n").as("__qn"))
-    val scored = withCell.join(broadcast(queries),
-        col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
-      .withColumn("cos",
-        dot(col("q_emb"), col("embedding")) / (col("__qn") * col("__n")))
+    if (nprobe == 1) {
+      // single-probe: plain equi-join against the broadcast probe set
+      val queries = withCell.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          col("cell").as("q_cell"), col("__n").as("__qn"))
+      val scored = withCell.join(broadcast(queries),
+          col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          dot(col("q_emb"), col("embedding")) / (col("__qn") * col("__n")))
+      rankTopK(scored, k)
+    } else {
+      // multi-probe (the recall knob every IVF index ships): each
+      // query probes its nprobe nearest cells. Data side still lives
+      // in ONE cell; only the broadcast probe set widens, so the
+      // candidate count scales with nprobe, not the corpus. Cell
+      // ranking desc by (score, cid) matches the single-probe
+      // tie-break exactly.
+      val sortedCells = reverse(array_sort(array(cellScores.toIndexedSeq: _*)))
+      val probes = transform(slice(sortedCells, 1, nprobe), s => s.getField("cid"))
+      val queries = emb.filter(col("vec_id") < numQueries)
+        .select(col("vec_id").as("query_id"), col("embedding").as("q_emb"),
+          probes.as("q_cells"), norm(col("embedding")).as("__qn"))
+      val scored = withCell.join(broadcast(queries),
+          array_contains(col("q_cells"), col("cell")) &&
+            col("vec_id") =!= col("query_id"))
+        .withColumn("cos",
+          dot(col("q_emb"), col("embedding")) / (col("__qn") * col("__n")))
+      rankTopK(scored, k)
+    }
+  }
+
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
       .orderBy(col("cos").desc, col("vec_id"))

@@ -299,6 +299,25 @@ class OperatorSpec extends SparkFunSuite {
     assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
+  test("ivf multi-probe: nprobe=1 tie-break matches, recall never drops") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(pmod(col("vec_id"), lit(13L)) === 0 && col("vec_id") < 13L * 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    def hits(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select(col("query_id"), col("neighbor_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = hits(Similarity.bruteForceTopK(emb, 5, 10))
+    val p1 = hits(Similarity.ivfTopK(emb, centroids, 5, 10, nprobe = 1))
+    val p3 = hits(Similarity.ivfTopK(emb, centroids, 5, 10, nprobe = 3))
+    // more probes → candidate superset → recall monotonically up
+    assert((p3 intersect exact).size >= (p1 intersect exact).size,
+      s"recall@10 must not drop with nprobe (1: ${(p1 intersect exact).size}, 3: ${(p3 intersect exact).size})")
+    // probing every cell = brute force exactly
+    val pAll = hits(Similarity.ivfTopK(emb, centroids, 5, 10, nprobe = 8))
+    assert(pAll == exact, "nprobe = #cells recovers the exact top-k")
+  }
+
   test("cosine similarity of orthogonal and identical vectors") {
     import spark.implicits._
     val df = Seq(
