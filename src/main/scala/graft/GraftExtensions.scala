@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.VectorDot
+import graft.functions.{Md5PrefixLong, VectorDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use, so
@@ -31,6 +31,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         val (a, b) = (children.head, children(1))
         Divide(VectorDot(a, b),
           Multiply(Sqrt(VectorDot(a, a)), Sqrt(VectorDot(b, b))))
+      }))
+    // the wire-visible stable-hash kernel (routing partitions, token
+    // hashes, fingerprints): md5_prefix64(s[, hexDigits]) ==
+    // conv(substring(md5(s), 1, hexDigits), 16, 10)
+    e.injectFunction((
+      new FunctionIdentifier("md5_prefix64"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "md5_prefix64"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1 || children.size == 2,
+          "md5_prefix64(s[, hexDigits]) takes one string + optional digit count")
+        val digits = if (children.size == 2) {
+          val lit = children(1).eval(null)
+          require(lit != null, "hexDigits must be a literal")
+          lit.toString.toInt
+        } else 15
+        Md5PrefixLong(children.head, digits)
       }))
   }
 }

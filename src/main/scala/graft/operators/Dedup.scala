@@ -17,9 +17,10 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   /** 28-bit stable token hash (fits 16 bands of 31-bit arithmetic
-    * without long overflow in any engine). */
+    * without long overflow in any engine) — native md5-prefix kernel,
+    * value-identical to `conv(substring(md5(t),1,7),16,10)`. */
   private def tokenHash(t: Column): Column =
-    conv(substring(md5(t), 1, 7), 16, 10).cast("long")
+    graft.functions.HashExpressions.md5Prefix64(t, 7)
 
   val MinhashPrime: Long = 2147483647L // 2^31 - 1
   val NumHashes = 16
@@ -70,13 +71,12 @@ object Dedup {
     // (no second pass over the input — at 100 TB the input subtree may
     // itself contain joins/aggs, so a broadcast-census re-scan would
     // double real work; measured equal at sf0.1). Singleton buckets
-    // prune before collection. q = 1 rows (the common path) keep a
-    // constant single-tile array — no per-row sequence allocation.
-    // Salts are internal plumbing (never wire-visible), so the cheap
-    // engine hash is fine.
+    // prune before collection. Tiles come from a plain
+    // explode(sequence) + least/greatest — no lambda/struct-array
+    // codegen; q = 1 explodes a single-element sequence. Salts are
+    // internal plumbing (never wire-visible), so the cheap engine
+    // hash is fine.
     val w = Window.partitionBy(bucketCols.map(col): _*)
-    val oneTile = array(struct(
-      lit(0).cast("int").as("ti"), lit(0).cast("int").as("tj")))
     df.withColumn("__bn", count(lit(1)).over(w))
       .filter(col("__bn") > 1)
       .withColumn("__q",
@@ -84,12 +84,10 @@ object Dedup {
       .withColumn("__s",
         when(col("__q") === 1, lit(0))
           .otherwise(pmod(hash(elem), col("__q")).cast("int")))
-      .withColumn("__t", explode(when(col("__q") === 1, oneTile).otherwise(expr(
-        "transform(sequence(0, __q - 1), " +
-          "k -> struct(least(__s, CAST(k AS INT)) AS ti, greatest(__s, CAST(k AS INT)) AS tj))"))))
-      .withColumn("__ti", col("__t.ti"))
-      .withColumn("__tj", col("__t.tj"))
-      .drop("__t", "__bn", "__q")
+      .withColumn("__k", explode(sequence(lit(0), col("__q") - 1)))
+      .withColumn("__ti", least(col("__s"), col("__k")))
+      .withColumn("__tj", greatest(col("__s"), col("__k")))
+      .drop("__k", "__bn", "__q")
   }
 
   /** The pair-emission predicate for a salt-tiled bucket (see

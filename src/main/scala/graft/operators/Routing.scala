@@ -18,10 +18,12 @@ import org.apache.spark.sql.functions._
 object Routing {
 
   /** Stable 60-bit hash of the given columns: first 15 hex chars of
-    * md5 over a '|'-joined rendering. Null renders as empty string. */
+    * md5 over a '|'-joined rendering. Null renders as empty string.
+    * Native md5-prefix kernel (no intermediate hex string), value-
+    * identical to `conv(substring(md5(..),1,15),16,10)`. */
   def stableHash(cols: Seq[Column]): Column =
-    conv(substring(md5(concat_ws("|", cols.map(_.cast("string")): _*)), 1, 15), 16, 10)
-      .cast("long")
+    graft.functions.HashExpressions.md5Prefix64(
+      concat_ws("|", cols.map(_.cast("string")): _*), 15)
 
   /** DuckDB mirror of [[stableHash]]. */
   def stableHashSql(cols: Seq[String]): String =

@@ -18,7 +18,7 @@ object Sampling {
   /** Stable per-id bucket in [0, 10000): md5-derived (engine-portable,
     * like Routing.stableHash). */
   def splitBucket(id: Column): Column =
-    pmod(conv(substring(md5(id.cast("string")), 1, 15), 16, 10).cast("long"),
+    pmod(graft.functions.HashExpressions.md5Prefix64(id.cast("string"), 15),
       lit(SplitBuckets))
 
   /** Hash-split into named fractions (e.g. train 0.9 / val 0.05 /

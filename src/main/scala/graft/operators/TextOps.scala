@@ -139,7 +139,7 @@ object TextOps {
     docs.select(
       col("doc_id"),
       md5(col("text")).as("fp_md5"),
-      conv(substring(md5(col("text")), 1, 15), 16, 10).cast("long").as("fp_long"))
+      graft.functions.HashExpressions.md5Prefix64(col("text"), 15).as("fp_long"))
       .withColumn("fp_bucket", pmod(col("fp_long"), lit(buckets.toLong)))
 
   /** Distinct word-level n-grams per doc: (doc_id, gram). Docs shorter

@@ -23,6 +23,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         "SELECT vector_cosine(array(1.0D, 0.0D), array(1.0D, 0.0D)) AS c," +
           " vector_cosine(array(1.0D, 0.0D), array(0.0D, 1.0D)) AS o").head()
       assert(cos.getDouble(0) == 1.0 && cos.getDouble(1) == 0.0)
+      // md5_prefix64 == the composable conv(substring(md5)) form,
+      // for every digit width and on unicode input
+      val hashRows = extended.sql(
+        """SELECT s,
+          |  md5_prefix64(s, 7) AS h7, md5_prefix64(s) AS h15,
+          |  CAST(conv(substring(md5(s), 1, 7), 16, 10) AS BIGINT) AS e7,
+          |  CAST(conv(substring(md5(s), 1, 15), 16, 10) AS BIGINT) AS e15
+          |FROM VALUES ('table'), (''), ('中文 数据'), ('a|b|42') AS t(s)""".stripMargin)
+        .collect()
+      hashRows.foreach { r =>
+        assert(r.getLong(1) == r.getLong(3), s"7-digit mismatch for ${r.getString(0)}")
+        assert(r.getLong(2) == r.getLong(4), s"15-digit mismatch for ${r.getString(0)}")
+      }
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)
