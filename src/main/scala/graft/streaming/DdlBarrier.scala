@@ -42,10 +42,18 @@ object DdlBarrier {
   }
 
   /** Render a ColumnDef default in its declared type (mounter default
-    * values, chunk.go:182). */
-  private def defaultLit(cd: ColumnDef): org.apache.spark.sql.Column =
+    * values, chunk.go:182). `versionTs` (ns) backs
+    * DEFAULT CURRENT_TIMESTAMP (ddl_default_current_timestamp
+    * coverage): the reference fills with the DDL execution time — here
+    * deterministically the schema version's commit ts, canonical
+    * string rendering. */
+  private def defaultLit(cd: ColumnDef, versionTs: Long): org.apache.spark.sql.Column =
     cd.default match {
       case None => lit(null)
+      case Some(v) if v.equalsIgnoreCase("current_timestamp") ||
+        v.equalsIgnoreCase("now()") =>
+        date_format(timestamp_micros(lit(versionTs / 1000L)),
+          "yyyy-MM-dd HH:mm:ss")
       case Some(v) => cd.dataType.toLowerCase match {
         case "bigint" | "long" | "int" | "integer" | "smallint" | "tinyint" => lit(v.toLong)
         case "double" | "float" | "real" | "decimal" => lit(v.toDouble)
@@ -77,7 +85,7 @@ object DdlBarrier {
         sch.columns.find(_.name == c).map { cd =>
           val src =
             if (payloadCols.contains(c)) col(s"after.$c")
-            else defaultLit(cd)
+            else defaultLit(cd, sch.versionTs)
           (col("_schema") === s && col("_table") === t, src)
         }
       }

@@ -164,6 +164,48 @@ class OperatorSpec extends SparkFunSuite {
     assert(all.count(_ == "BEGIN") == nTxns)
   }
 
+  test("composite handle keys: multi-column null-safe WHERE in every statement") {
+    // many_pk_or_uk coverage: (user_id, k) as the handle key
+    val stmts = graft.sinks.MysqlSink.statements(
+      sample, Seq("user_id", "k"), 4, safeMode = false)
+      .select("_op", "_stmt").collect().map(r => (r.getString(0), r.getString(1)))
+    val deletes = stmts.filter(_._1 == "D").map(_._2)
+    assert(deletes.nonEmpty)
+    deletes.foreach { s =>
+      assert(s.contains("`user_id` = ") && s.contains(" AND `k` = "), s)
+      assert(s.endsWith("LIMIT 1"), s)
+    }
+    val updates = stmts.filter(_._1 == "U").map(_._2)
+    updates.foreach { s =>
+      assert(s.contains("WHERE `user_id` = ") && s.contains(" AND `k` = "), s)
+    }
+    // and the conflict partition hashes BOTH key columns: changing k
+    // moves the row to a (generally) different partition
+    val p1 = Routing.partitionByKeyColumns(sample, Seq("user_id", "k"), 64)
+      .select("_row_id", "_partition").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val shifted = sample.withColumn("after",
+      when(col("after").isNotNull, struct(
+        col("after.user_id").as("user_id"), col("after.value").as("value"),
+        (col("after.k") + 1000L).as("k"))).otherwise(col("after")))
+    val p2 = Routing.partitionByKeyColumns(shifted, Seq("user_id", "k"), 64)
+      .select("_row_id", "_partition").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(p1.keys.exists(id => p1(id) != p2(id)), "k participates in the conflict hash")
+  }
+
+  test("generated-column conflict key: virtual column drives the partition hash") {
+    // conflict_key_generated_column coverage: vk = value*2+k evaluated
+    // into the images, then used as the routing/conflict key
+    val withV = Filters.withVirtualColumns(spark, sample, Seq("vk" -> "value * 2 + k"))
+    val parts = Routing.partitionByKeyColumns(withV, Seq("vk"), 16)
+      .select("_row_id", "_partition").collect()
+    assert(parts.nonEmpty && parts.forall(r => r.getLong(1) >= 0 && r.getLong(1) < 16))
+    // same vk -> same partition, deterministically
+    val again = Routing.partitionByKeyColumns(withV, Seq("vk"), 16)
+      .select("_row_id", "_partition").collect()
+    assert(parts.map(r => (r.getLong(0), r.getLong(1))).toSeq ==
+      again.map(r => (r.getLong(0), r.getLong(1))).toSeq)
+  }
+
   test("mysql sink non-safe mode renders real UPDATE against pre-image key") {
     val sql = graft.sinks.MysqlSink
       .statements(sample, Seq("user_id"), 4, safeMode = false)

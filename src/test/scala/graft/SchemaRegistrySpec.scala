@@ -95,4 +95,23 @@ class SchemaRegistrySpec extends SparkFunSuite {
     assert(out.filter(col("flag") =!= 7L).count() == 0)
     assert(out.filter(col("flag") === 7L).count() == out.count())
   }
+
+  test("DEFAULT CURRENT_TIMESTAMP fills with the schema version's commit ts") {
+    // ddl_default_current_timestamp coverage: the reference fills with
+    // the DDL execution time; here deterministically the version ts
+    val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    val versionTs = 1700000000123456000L
+    val initial = SchemaRegistry().applyAll((0 until 4).map(i =>
+      CreateTable("app", s"events_$i", Seq(
+        ColumnDef("user_id", "bigint"),
+        ColumnDef("value", "double"),
+        ColumnDef("created_at", "datetime", Some("CURRENT_TIMESTAMP"))), versionTs)))
+    val out = DdlBarrier.conform(
+      DdlBarrier.plan(env, Seq.empty, initial).head, Seq("user_id", "value"))
+    val expected = java.time.Instant.ofEpochSecond(0, versionTs)
+      .atZone(java.time.ZoneOffset.UTC)
+      .format(java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss"))
+    val got = out.select(col("created_at")).distinct().collect().map(_.getString(0))
+    assert(got.toSeq == Seq(expected), s"got ${got.toSeq}, want $expected")
+  }
 }

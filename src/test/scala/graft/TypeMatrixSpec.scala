@@ -201,6 +201,37 @@ class TypeMatrixSpec extends SparkFunSuite {
       "TimestampType must come back as java.sql.Timestamp, micros preserved")
   }
 
+  test("wide table: 64-column payload round-trips the generic codecs") {
+    // wide_table coverage: schema-driven encoders must not degrade or
+    // truncate on wide rows
+    val n = 64
+    val widePayload = StructType(
+      StructField("id", LongType) +:
+        (1 until n).map(i => StructField(s"c$i", LongType)))
+    val envSchema = StructType(Seq(
+      StructField("_row_id", LongType), StructField("_schema", StringType),
+      StructField("_table", StringType), StructField("_op", StringType),
+      StructField("_commit_ts", LongType), StructField("_start_ts", LongType),
+      StructField("before", widePayload), StructField("after", widePayload)))
+    val vals = Row.fromSeq(7L +: (1 until n).map(i => i * 11L))
+    val env = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(
+        Seq(Row(1L, "app", "wide", "I", 1700000000000000000L,
+          1699999999999999999L, null, vals))).asJava), envSchema)
+    val decoded = graft.functions.AvroCodec.decodeGeneric(
+      graft.functions.AvroCodec.encodeGeneric(env, widePayload), widePayload).head()
+    assert(decoded.getAs[Long]("c63") == 63 * 11L)
+    val canal = Codecs.canalJsonFor(env, Seq("id"))
+    val parsed = canal.select(from_json(col("_value"),
+      StructType(Seq(StructField("data", ArrayType(widePayload))))).as("m"))
+      .select(element_at(col("m.data"), 1).as("w")).head().getStruct(0)
+    assert(parsed.getAs[Long]("id") == 7L && parsed.getAs[Long]("c40") == 440L)
+    // statement rendering carries all 64 columns
+    val stmt = graft.sinks.MysqlSink.statements(env, Seq("id"), 4, safeMode = true)
+      .select("_stmt").head().getString(0)
+    assert(stmt.contains("`c63`") && stmt.contains(s"${63 * 11L}"))
+  }
+
   test("charset matrix: GBK-era Chinese + surrogate-pair text survives every codec") {
     // the reference's canal_json_basic/data_gbk.sql coverage: non-ASCII
     // payloads must survive the JSON/CSV/avro wires byte-exactly, and
