@@ -69,6 +69,52 @@ object StorageSink {
     walk(new java.io.File(baseDir))
   }
 
+  /** Flush marker: the reference's storage sink writes a `metadata`
+    * file carrying the checkpoint ts after each flush
+    * (cloudstorage metadata.go) — consumers and the cleaner read it to
+    * know what is durable. Idempotent overwrite (monotonic ts). */
+  def writeCheckpointMeta(baseDir: String, checkpointTs: Long): Unit = {
+    val dir = java.nio.file.Paths.get(baseDir)
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve("metadata"),
+      s"""{"checkpoint-ts":$checkpointTs}""")
+  }
+
+  def readCheckpointMeta(baseDir: String): Option[Long] = {
+    val p = java.nio.file.Paths.get(baseDir, "metadata")
+    if (!java.nio.file.Files.exists(p)) None
+    else """"checkpoint-ts":(\d+)""".r.findFirstMatchIn(
+      java.nio.file.Files.readString(p)).map(_.group(1).toLong)
+  }
+
+  /** Date-partition retention (storage_cleanup coverage; reference
+    * `file-cleanup-cron-spec`): drop `_date=` partition directories
+    * older than `keepDays` relative to `today`. Walks only partition
+    * DIRECTORIES (table-count × day-count entries — control-plane
+    * sized); data files delete recursively per expired dir. Returns
+    * the removed partition paths. */
+  def cleanupExpired(baseDir: String, keepDays: Int,
+                     today: java.time.LocalDate): Seq[String] = {
+    val cutoff = today.minusDays(keepDays.toLong)
+    val removed = scala.collection.mutable.ArrayBuffer.empty[String]
+    def deleteRec(f: java.io.File): Unit = {
+      Option(f.listFiles()).getOrElse(Array.empty).foreach(deleteRec)
+      f.delete(); ()
+    }
+    def walk(dir: java.io.File): Unit = {
+      val children = Option(dir.listFiles()).getOrElse(Array.empty)
+      children.filter(_.isDirectory).foreach { d =>
+        val name = d.getName
+        if (name.startsWith("_date=")) {
+          val date = java.time.LocalDate.parse(name.stripPrefix("_date="))
+          if (date.isBefore(cutoff)) { removed += d.getPath; deleteRec(d) }
+        } else walk(d)
+      }
+    }
+    walk(new java.io.File(baseDir))
+    removed.toSeq
+  }
+
   /** Spark type → MySQL-ish column type name for schema.json (the
     * reverse of the mounter's type mapping, SURVEY §1.3). */
   def mysqlTypeFor(dt: org.apache.spark.sql.types.DataType): String = {

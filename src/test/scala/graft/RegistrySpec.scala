@@ -30,6 +30,35 @@ class RegistrySpec extends SparkFunSuite {
     assert(reg.list.isEmpty)
   }
 
+  test("multiple changefeeds over one source run independently with distinct filters") {
+    // multi_changefeeds coverage: two feeds, same upstream, different
+    // table filters -> disjoint sink contents, independent lifecycle
+    val tmp = Files.createTempDirectory("graft-multi").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/src/events.parquet"))
+    val reg = new ChangefeedRegistry(spark)
+    val qA = reg.create(
+      ChangefeedConfig(id = "cf-a", filter = FilterConfig(rules = Seq("app.events_0"))),
+      s"$tmp/src", s"$tmp/sinkA", s"$tmp/ckptA")
+    val qB = reg.create(
+      ChangefeedConfig(id = "cf-b", filter = FilterConfig(rules = Seq("app.events_1"))),
+      s"$tmp/src", s"$tmp/sinkB", s"$tmp/ckptB")
+    qA.awaitTermination(120000)
+    qB.awaitTermination(120000)
+    assert(reg.list == Seq("cf-a", "cf-b"))
+    val a = spark.read.parquet(s"$tmp/sinkA")
+    val b = spark.read.parquet(s"$tmp/sinkB")
+    assert(a.count() > 0 && b.count() > 0)
+    assert(a.filter(!col("_value").contains("\"table\":\"events_0\"")).count() == 0)
+    assert(b.filter(!col("_value").contains("\"table\":\"events_1\"")).count() == 0)
+    // pausing one leaves the other resolvable
+    reg.pause("cf-a")
+    assert(reg.status("cf-a")._2 == "paused" && reg.exists("cf-b"))
+    reg.remove("cf-a"); reg.remove("cf-b")
+  }
+
   test("registry persists and restores across coordinator restarts") {
     val tmp = Files.createTempDirectory("graft-regp").toString
     Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))

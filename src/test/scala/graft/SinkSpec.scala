@@ -48,6 +48,26 @@ class SinkSpec extends SparkFunSuite {
     assert(n > 0)
   }
 
+  test("storage retention: expired date partitions drop, checkpoint meta persists") {
+    val tmp = Files.createTempDirectory("graft-cleanup").toString
+    StorageSink.write(Codecs.canalJson(env), tmp, "text")
+    StorageSink.writeCheckpointMeta(tmp, 1700000000000000000L)
+    assert(StorageSink.readCheckpointMeta(tmp).contains(1700000000000000000L))
+    // fixture dates are 2024-xx; "today" far in the future with a
+    // short retention expires them all
+    val removed = StorageSink.cleanupExpired(tmp, keepDays = 30,
+      today = java.time.LocalDate.parse("2030-01-01"))
+    assert(removed.nonEmpty && removed.forall(_.contains("_date=")))
+    val left = new java.io.File(s"$tmp/_schema=app/_table=events_0").list()
+    assert(left == null || !left.exists(_.startsWith("_date=")))
+    // retention window keeps fresh partitions
+    val tmp2 = Files.createTempDirectory("graft-cleanup2").toString
+    StorageSink.write(Codecs.canalJson(env), tmp2, "text")
+    val kept = StorageSink.cleanupExpired(tmp2, keepDays = 36500,
+      today = java.time.LocalDate.parse("2030-01-01"))
+    assert(kept.isEmpty)
+  }
+
   test("kafka frame has the connector contract columns") {
     val prepared = KafkaSink.prepare(
       Codecs.canalJson(Routing.routeTopic(
