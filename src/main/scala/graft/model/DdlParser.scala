@@ -187,4 +187,67 @@ object DdlParser {
     * the schema store doesn't handle. */
   def parseAll(ddls: Seq[(Long, String)], defaultSchema: String = "app"): Seq[DdlAction] =
     ddls.sortBy(_._1).flatMap { case (ts, q) => parse(q, ts, defaultSchema) }
+
+  // ---- lossy-DDL classification (lossy_ddl coverage; BDR mode
+  // refuses type changes that can silently drop data downstream) ----
+
+  private val intRank = Map(
+    "tinyint" -> 1, "smallint" -> 2, "mediumint" -> 3, "int" -> 4,
+    "integer" -> 4, "bigint" -> 5)
+  private val textRank = Map(
+    "tinytext" -> 1, "text" -> 2, "mediumtext" -> 3, "longtext" -> 4)
+
+  private def baseOf(t: String): (String, Seq[Int]) = {
+    val lower = t.trim.toLowerCase
+    val base = lower.takeWhile(c => c.isLetter)
+    val args = """\d+""".r.findAllIn(lower).map(_.toInt).toSeq
+    (base, args)
+  }
+
+  /** Is `from` → `to` a narrowing the downstream could lose data on?
+    * Width ladders narrow by rank; sized types (varchar/char/decimal)
+    * narrow by argument; numeric→float/double loses precision above
+    * 2^53/2^24; cross-family changes are conservatively lossy;
+    * widening within a family is not. */
+  def isLossyTypeChange(from: String, to: String): Boolean = {
+    val (fb, fa) = baseOf(from)
+    val (tb, ta) = baseOf(to)
+    def arg(a: Seq[Int], i: Int, dflt: Int) = if (a.length > i) a(i) else dflt
+    (fb, tb) match {
+      case (f, t) if f == t =>
+        (fb match {
+          case "varchar" | "char" | "binary" | "varbinary" =>
+            arg(ta, 0, Int.MaxValue) < arg(fa, 0, Int.MaxValue)
+          case "decimal" | "numeric" =>
+            arg(ta, 0, 10) < arg(fa, 0, 10) || arg(ta, 1, 0) < arg(fa, 1, 0)
+          case _ => false
+        })
+      case (f, t) if intRank.contains(f) && intRank.contains(t) =>
+        intRank(t) < intRank(f)
+      case (f, t) if textRank.contains(f) && textRank.contains(t) =>
+        textRank(t) < textRank(f)
+      case ("float", "double") => false
+      case ("double", "float") => true
+      case (f, t) if intRank.contains(f) && (t == "float" || t == "double") =>
+        intRank(f) >= intRank("int") // > 2^24/2^53 representable range
+      case (f, t) if intRank.contains(f) && (t == "decimal" || t == "numeric") =>
+        false // decimal is wide enough by default
+      case ("varchar" | "char", t) if textRank.contains(t) => false
+      case (f, "varchar" | "char") if textRank.contains(f) => true
+      case _ => true // cross-family: conservatively lossy
+    }
+  }
+
+  /** Classify a parsed action as lossy given the current registry
+    * state (needs the pre-change column type). */
+  def isLossy(action: DdlAction, registry: SchemaRegistry): Boolean = action match {
+    case DdlAction.ModifyColumn(s, t, c, _) =>
+      registry.latest(s, t).flatMap(_.columns.find(_.name == c.name))
+        .exists(old => isLossyTypeChange(old.dataType, c.dataType))
+    case DdlAction.ChangeColumn(s, t, oldName, c, _) =>
+      registry.latest(s, t).flatMap(_.columns.find(_.name == oldName))
+        .exists(old => isLossyTypeChange(old.dataType, c.dataType))
+    case DdlAction.DropColumn(_, _, _, _) => true // data gone by definition
+    case _ => false
+  }
 }

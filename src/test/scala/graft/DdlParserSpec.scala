@@ -126,6 +126,36 @@ class DdlParserSpec extends SparkFunSuite {
     assert(reg.latest("app", "keepme").isDefined)
   }
 
+  test("lossy ddl classification: narrowings flagged, widenings not") {
+    import graft.model.DdlParser.isLossyTypeChange
+    // width ladders
+    assert(isLossyTypeChange("bigint", "int"))
+    assert(!isLossyTypeChange("int", "bigint"))
+    assert(isLossyTypeChange("varchar(64)", "varchar(16)"))
+    assert(!isLossyTypeChange("varchar(16)", "varchar(64)"))
+    assert(isLossyTypeChange("decimal(18,2)", "decimal(10,2)"))
+    assert(isLossyTypeChange("decimal(18,4)", "decimal(18,2)"))
+    assert(!isLossyTypeChange("decimal(10,2)", "decimal(18,2)"))
+    assert(isLossyTypeChange("double", "float"))
+    assert(!isLossyTypeChange("float", "double"))
+    assert(isLossyTypeChange("bigint", "double"), "2^53 precision cliff")
+    assert(!isLossyTypeChange("smallint", "decimal(20,0)"))
+    assert(!isLossyTypeChange("varchar(100)", "text"))
+    assert(isLossyTypeChange("text", "varchar(100)"))
+    assert(isLossyTypeChange("varchar(10)", "int"), "cross-family is lossy")
+    // registry-aware: MODIFY narrowing flags, widening doesn't;
+    // DROP COLUMN always does
+    val reg = SchemaRegistry().applyAll(DdlParser.parseAll(Seq(
+      (10L, "CREATE TABLE t (id BIGINT, v DECIMAL(18,2), s VARCHAR(64))"))))
+    def lossy(q: String) =
+      DdlParser.parse(q, 20L).exists(a => DdlParser.isLossy(a, reg))
+    assert(lossy("ALTER TABLE t MODIFY COLUMN v DECIMAL(10,2)"))
+    assert(!lossy("ALTER TABLE t MODIFY COLUMN v DECIMAL(20,2)"))
+    assert(lossy("ALTER TABLE t CHANGE COLUMN s s2 VARCHAR(8)"))
+    assert(lossy("ALTER TABLE t DROP COLUMN s"))
+    assert(!lossy("ALTER TABLE t ADD COLUMN w BIGINT"))
+  }
+
   test("text DDL stream folds into the registry end-to-end") {
     val actions = DdlParser.parseAll(Seq(
       (10L, "CREATE TABLE app.t (id BIGINT, v DOUBLE)"),
