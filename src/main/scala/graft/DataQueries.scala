@@ -91,6 +91,12 @@ object DataQueries {
 
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
 
+    // iterative min-label propagation, oracle-checked against a
+    // recursive-CTE transitive closure — the cluster ids every dedup
+    // pipeline needs to pick one exemplar per near-dup group
+    "q_dedup_clusters" -> ((s, d) =>
+      Dedup.clusters(Dedup.jaccardPairs(docs(s, d), "source", jaccardThreshold))),
+
     // naive counting join, not the prefix-filtered path: this fixture's
     // ~50-token near-uniform vocabulary gives prefix filtering nothing
     // to prune (bucket sizes stay ~uniform, candidates ≈ answers), so
@@ -365,6 +371,35 @@ object DataQueries {
          |)
          |SELECT doc_id, CAST($hash AS BIGINT) AS simhash FROM sums""".stripMargin
     },
+
+    "q_dedup_clusters" ->
+      s"""WITH RECURSIVE toks AS (
+         |  SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents
+         |), sizes AS (
+         |  SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+         |  FROM documents
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM toks a JOIN toks b
+         |    ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.nd + sb.nd - n_inter AS DOUBLE) >= $jaccardThreshold
+         |), edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs
+         |), reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+         |)
+         |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH toks AS (

@@ -283,6 +283,16 @@ object Dedup {
     labels
   }
 
+  /** Cross-batch EXACT dedup with bounded state — the streaming form
+    * of [[exact]]: duplicates arriving within the watermark window
+    * collapse to their first occurrence and the dedup state evicts at
+    * the watermark (`dropDuplicatesWithinWatermark`), so memory is
+    * delay-bounded — the eventstore-GC analog for streaming dedup. */
+  def streamingExact(env: DataFrame, keyCols: Seq[String],
+                     eventTimeCol: String, delay: String): DataFrame =
+    env.withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** Exact Jaccard pairs with PREFIX FILTERING — the AllPairs/PPJoin
     * candidate-generation rule: under any global total order of
     * tokens, two sets with J(A,B) ≥ t must share a token within their

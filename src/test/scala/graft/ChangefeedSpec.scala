@@ -59,6 +59,36 @@ class ChangefeedSpec extends SparkFunSuite {
     assert(prog.agg(sum("n_events")).head().getLong(0) == n1)
   }
 
+  test("streaming exact dedup: cross-batch duplicates collapse, state watermark-bounded") {
+    val tmp = Files.createTempDirectory("graft-sdedup").toString
+    val src = s"$tmp/source"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    // the SAME log staged twice = every row duplicated across files
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events_a.parquet"))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events_b.parquet"))
+    val schema = spark.read.parquet(src).schema
+    val env = Envelope.fromEvents(
+      spark.readStream.schema(schema).option("maxFilesPerTrigger", 1).parquet(src))
+      .withColumn("_event_time",
+        timestamp_micros((col("_commit_ts") / lit(1000L)).cast("long")))
+    val deduped = graft.operators.Dedup.streamingExact(
+      env, Seq("_row_id"), "_event_time", "1 hour")
+    val q = deduped.drop("_event_time").writeStream
+      .format("parquet").option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$tmp/out")
+    val unique = spark.read.parquet(src).select("event_id").distinct().count()
+    assert(out.count() == unique,
+      s"duplicates across batches must collapse (${out.count()} vs $unique)")
+    assert(out.select("_row_id").distinct().count() == out.count())
+  }
+
   test("mysql-path changefeed applies ordered statements via foreachBatch") {
     val tmp = Files.createTempDirectory("graft-cfm").toString
     val src = s"$tmp/source"
