@@ -216,6 +216,17 @@ object ExtQueries {
       graft.operators.Similarity.ivfTopK(emb, centroids, numQueries = 5, k = 10)
     }),
 
+    "q_ann_ivf_probe2" -> ((s, d) => {
+      // multi-probe recall path: same quantizer, queries probe their
+      // 2 nearest cells
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb
+        .filter(pmod(col("vec_id"), lit(61L)) === 0 && col("vec_id") < 61L * 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      graft.operators.Similarity.ivfTopK(emb, centroids, numQueries = 5, k = 10,
+        nprobe = 2)
+    }),
+
     "q_ann_recall" -> ((s, d) => {
       // recall@k of the IVF path against exact brute force — the
       // quality metric every approximate index ships with
@@ -515,6 +526,40 @@ object ExtQueries {
         |  SELECT q.query_id, wc.vec_id,
         |    list_dot_product(q.q_emb, wc.emb) / (q.qn * wc.n) AS cos
         |  FROM wc JOIN q ON wc.cell = q.q_cell AND wc.vec_id <> q.query_id
+        |)
+        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim FROM (
+        |  SELECT query_id, vec_id AS neighbor_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
+
+    "q_ann_ivf_probe2" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+        |      WHERE vec_id % 61 = 0 AND vec_id < 488),
+        |scored_cells AS (
+        |  SELECT e.vec_id, c.centroid_id,
+        |    ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |      ORDER BY list_dot_product(e.emb, c.c_emb) DESC, c.centroid_id DESC) AS rn
+        |  FROM e CROSS JOIN c
+        |),
+        |cells AS (SELECT vec_id, centroid_id AS cell FROM scored_cells WHERE rn = 1),
+        |wc AS (
+        |  SELECT e.vec_id, e.emb, cells.cell,
+        |    sqrt(list_dot_product(e.emb, e.emb)) AS n
+        |  FROM e JOIN cells USING (vec_id)
+        |),
+        |qcells AS (SELECT vec_id AS query_id, centroid_id AS cell
+        |           FROM scored_cells WHERE rn <= 2 AND vec_id < 5),
+        |q AS (SELECT vec_id AS query_id, emb AS q_emb,
+        |        sqrt(list_dot_product(emb, emb)) AS qn
+        |      FROM e WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, wc.vec_id,
+        |    list_dot_product(q.q_emb, wc.emb) / (q.qn * wc.n) AS cos
+        |  FROM wc
+        |  JOIN qcells ON wc.cell = qcells.cell
+        |  JOIN q ON q.query_id = qcells.query_id AND wc.vec_id <> q.query_id
         |)
         |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim FROM (
         |  SELECT query_id, vec_id AS neighbor_id, cos,
