@@ -83,6 +83,15 @@ object DataQueries {
 
     "q_seq_pack" -> ((s, d) => Sampling.packSequences(docs(s, d), packWindow)),
 
+    // dataset-card mix table: doc/token volume per (split, source) —
+    // split assignment composes with the corpus aggregation in one
+    // map-side-combined shuffle
+    "q_corpus_mix" -> ((s, d) =>
+      Sampling.split(docs(s, d), splitFractions)
+        .groupBy(col("split"), col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(size(split(col("text"), " "))).cast("long").as("n_tokens"))),
+
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
 
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashSignatures(docs(s, d))),
@@ -319,6 +328,17 @@ object DataQueries {
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin
     },
+
+    "q_corpus_mix" ->
+      """WITH s AS (
+        |  SELECT source, string_split(text, ' ') AS w,
+        |    CASE WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9000 THEN 'train'
+        |         WHEN CAST(('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 < 9500 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM documents)
+        |SELECT split, source, COUNT(*) AS n_docs,
+        |  CAST(SUM(len(w)) AS BIGINT) AS n_tokens
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     "q_source_quota" ->
       s"""SELECT doc_id, source,
