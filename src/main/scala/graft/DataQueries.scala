@@ -356,8 +356,8 @@ object DataQueries {
          |    SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id) - n_tokens AS prior
          |  FROM t)
          |SELECT doc_id, source, n_tokens,
-         |  prior // $packWindow AS pack_id,
-         |  prior - (prior // $packWindow) * $packWindow AS pack_offset
+         |  CAST(prior // $packWindow AS BIGINT) AS pack_id,
+         |  CAST(prior - (prior // $packWindow) * $packWindow AS BIGINT) AS pack_offset
          |FROM r""".stripMargin,
 
     "q_text_repetition" ->

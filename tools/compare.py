@@ -57,8 +57,24 @@ def main(sf_dir, out_dir):
         srows = s.fetchall()
         dc, dr = canon(drows, dcols)
         sc, sr = canon(srows, scols)
+        # The driver hashes via pandas .df(): a DuckDB HUGEINT/DECIMAL
+        # column lands as float64 there while Spark's int64 stays int64,
+        # failing the driver's hash even when every value is equal.
+        # Mirror that trap: compare pandas dtypes of both frames.
+        try:
+            ddt = {d[0]: str(t) for d, t in
+                   zip(duck.description, con.execute(sql).df().dtypes)}
+            sdt = {d[0]: str(t) for d, t in
+                   zip(s.description, con.execute(
+                       f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df().dtypes)}
+        except Exception:
+            ddt = sdt = None
         if dc != sc:
             results[name] = f"SCHEMA_MISMATCH spark={sc} duck={dc}"
+        elif ddt is not None and ddt != sdt:
+            diff = {k: (sdt.get(k), ddt.get(k)) for k in ddt
+                    if sdt.get(k) != ddt.get(k)}
+            results[name] = f"DTYPE_MISMATCH (spark, duck) per col: {diff}"
         elif len(dr) != len(sr):
             results[name] = f"ROWCOUNT_MISMATCH spark={len(sr)} duck={len(dr)}"
         elif dr != sr:
