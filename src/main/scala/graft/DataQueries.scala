@@ -33,6 +33,18 @@ object DataQueries {
     Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)
   val maxPerSource = 80L
   val packWindow = 2048L
+  val kmeansK = 8
+  val pqM = 4
+  val pqKsub = 16
+  val stratifiedFracs: Seq[(String, Double)] = Seq("src0" -> 0.5, "src1" -> 0.1)
+  val stratifiedDefault = 0.25
+
+  /** Deterministic fixture quantizer/codebook: the `n` lowest-id
+    * embeddings (mirrored by `WHERE vec_id < n` in the oracles). */
+  private def headVectors(s: SparkSession, d: String, n: Int): Array[(Long, Seq[Float])] =
+    emb(s, d).filter(col("vec_id") < n)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
 
   /** PII fixture: the corpus has no emails/IPs, so inject
     * deterministic ones on a doc_id lattice (mirrored in the oracle). */
@@ -142,7 +154,22 @@ object DataQueries {
     }),
 
     "q_multimodal_meta" -> ((s, d) =>
-      Multimodal.blobMeta(Multimodal.withBlob(docs(s, d))))
+      Multimodal.blobMeta(Multimodal.withBlob(docs(s, d)))),
+
+    // one Lloyd step of the in-engine k-means (IVF quantizer
+    // training): cells from the deterministic seed quantizer, then
+    // the micro-exact per-dimension mean recompute
+    "q_kmeans_step" -> ((s, d) =>
+      Similarity.kmeansStep(emb(s, d), headVectors(s, d, kmeansK))),
+
+    "q_pq_codes" -> ((s, d) =>
+      Similarity.pqCodes(emb(s, d), headVectors(s, d, pqKsub), pqM)),
+
+    "q_lm_score" -> ((s, d) => TextOps.lmScore(docs(s, d))),
+
+    "q_stratified" -> ((s, d) =>
+      Sampling.stratifiedSample(docs(s, d), stratifiedFracs.toMap, stratifiedDefault)
+        .select(col("doc_id"), col("source"), col("sample_bucket"), col("sampled")))
   )
 
   // ---- DuckDB oracles (generated) ----
@@ -359,6 +386,85 @@ object DataQueries {
          |  CAST(prior // $packWindow AS BIGINT) AS pack_id,
          |  CAST(prior - (prior // $packWindow) * $packWindow AS BIGINT) AS pack_offset
          |FROM r""".stripMargin,
+
+    // d2 = |x|² - 2·x·c + |c|² with the SAME left-assoc shape and
+    // left-to-right double folds as the Spark side (VectorDot); the
+    // mean recompute sums exact micro units, so the hash is stable
+    // under any execution order in either engine.
+    "q_kmeans_step" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |c AS (SELECT vec_id AS cid, emb AS c_emb, list_dot_product(emb, emb) AS cc
+         |      FROM e WHERE vec_id < $kmeansK),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(e.emb, e.emb)
+         |        - 2.0 * list_dot_product(e.emb, c.c_emb) + c.cc ASC,
+         |      c.cid ASC) AS rn
+         |  FROM e CROSS JOIN c),
+         |cells AS (SELECT vec_id, cid AS cell FROM scored WHERE rn = 1),
+         |x AS (
+         |  SELECT cells.cell, unnest(e.emb) AS val,
+         |    generate_subscripts(e.emb, 1) - 1 AS dim
+         |  FROM e JOIN cells USING (vec_id))
+         |SELECT cell, CAST(dim AS BIGINT) AS dim, COUNT(*) AS n,
+         |  CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE)
+         |    / COUNT(*) / 1000000.0 AS mean_val
+         |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q_pq_codes" -> {
+      val sub = 64 / pqM
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cb AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < $pqKsub),
+         |subs AS (SELECT unnest(range($pqM)) AS sub),
+         |scored AS (
+         |  SELECT e.vec_id, subs.sub, cb.cid,
+         |    list_dot_product(list_slice(e.emb, subs.sub * $sub + 1, subs.sub * $sub + $sub),
+         |                     list_slice(e.emb, subs.sub * $sub + 1, subs.sub * $sub + $sub))
+         |      - 2.0 * list_dot_product(list_slice(e.emb, subs.sub * $sub + 1, subs.sub * $sub + $sub),
+         |                               list_slice(cb.c_emb, subs.sub * $sub + 1, subs.sub * $sub + $sub))
+         |      + list_dot_product(list_slice(cb.c_emb, subs.sub * $sub + 1, subs.sub * $sub + $sub),
+         |                         list_slice(cb.c_emb, subs.sub * $sub + 1, subs.sub * $sub + $sub)) AS d2
+         |  FROM e CROSS JOIN subs CROSS JOIN cb)
+         |SELECT vec_id, CAST(sub AS BIGINT) AS sub, cid AS code FROM (
+         |  SELECT vec_id, sub, cid,
+         |    ROW_NUMBER() OVER (PARTITION BY vec_id, sub
+         |      ORDER BY d2 ASC, cid ASC) AS rn
+         |  FROM scored)
+         |WHERE rn = 1""".stripMargin
+    },
+
+    // per-token log-probs round to exact micro units BEFORE the
+    // per-doc sum (mirrors TextOps.lmScore) — ln() runs once per
+    // vocab entry, and both engines' libm agree well inside the
+    // 1e-6 granularity
+    "q_lm_score" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |freq AS (SELECT tok, COUNT(*) AS cnt FROM toks GROUP BY tok),
+        |tot AS (SELECT SUM(cnt) AS total FROM freq),
+        |lp AS (
+        |  SELECT tok,
+        |    CAST(round(ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE))
+        |      * 1000000.0) AS BIGINT) AS logp_micro
+        |  FROM freq CROSS JOIN tot)
+        |SELECT doc_id, COUNT(*) AS n_tokens,
+        |  CAST(SUM(logp_micro) AS BIGINT) AS sum_logp_micro,
+        |  CAST(SUM(logp_micro) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_logp
+        |FROM toks JOIN lp USING (tok)
+        |GROUP BY doc_id""".stripMargin,
+
+    "q_stratified" -> {
+      val cases = stratifiedFracs.map { case (src, f) =>
+        s"WHEN '$src' THEN ${(f * 10000).toLong}"
+      }.mkString(" ")
+      val dflt = (stratifiedDefault * 10000).toLong
+      s"""SELECT doc_id, source,
+         |  CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000 AS sample_bucket,
+         |  CAST(('0x' || substring(md5(source || ':' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+         |    < CASE source $cases ELSE $dflt END AS sampled
+         |FROM documents""".stripMargin
+    },
 
     "q_text_repetition" ->
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents)

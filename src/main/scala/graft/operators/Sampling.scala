@@ -50,6 +50,28 @@ object Sampling {
       .withColumn("kept", col("quota_rank") <= maxPerSource)
   }
 
+  /** Stratified (per-source) hash sampling: each source keeps its own
+    * fraction (the up/down-sampling knob of every corpus mixing
+    * recipe), decided by a pure hash of (source, id) — no RNG state,
+    * no shuffle, and a doc's fate never changes as other docs arrive.
+    * Hashing source INTO the bucket decorrelates the strata: the same
+    * doc id draws an independent bucket in each source. Rows keep a
+    * `sampled` flag (+ audit bucket) rather than being filtered, so
+    * downstream can count what was cut. */
+  def stratifiedSample(docs: DataFrame, fractions: Map[String, Double],
+                       default: Double, idCol: String = "doc_id"): DataFrame = {
+    val bucket = pmod(graft.functions.HashExpressions.md5Prefix64(
+      concat(col("source"), lit(":"), col(idCol).cast("string")), 15),
+      lit(SplitBuckets))
+    val fracCol = fractions.foldLeft(lit(default)) {
+      case (acc, (src, f)) => when(col("source") === src, lit(f)).otherwise(acc)
+    }
+    docs
+      .withColumn("sample_bucket", bucket)
+      .withColumn("sampled",
+        col("sample_bucket") < (fracCol * SplitBuckets).cast("long"))
+  }
+
   /** Context-window sequence packing: assign docs to packs of ≈
     * `windowTokens` tokens, greedy in deterministic (source, doc_id)
     * order — the running-sum formulation of [[graft.functions.

@@ -164,6 +164,167 @@ object Similarity {
       array_max(zip_with(col(embCol), col("codes"),
         (x, c) => abs(x.cast("double") - c.cast("double") * col("scale")))))
 
+  // ---- k-means quantizer training (Lloyd's) ------------------------
+  //
+  // The IVF coarse quantizer and the PQ codebooks are k-means outputs
+  // in every production ANN index; training them IN the engine closes
+  // the loop (no external FAISS pass). Design for 100 TB:
+  //  - centroids are control-plane-sized (k ≤ thousands): they live
+  //    driver-side as literals, so cell assignment is one inline
+  //    codegen expression over the scan — no join, no shuffle;
+  //  - the update step is ONE map-side-combined aggregation with
+  //    `dim` integer sum columns — no posexplode (which would
+  //    multiply the shuffle by dim);
+  //  - sums are micro-unit integers (round(x*1e6)): exact under any
+  //    partitioning / executor count, so training is bit-reproducible
+  //    across runs and cluster sizes — the resume/re-run property a
+  //    100 TB pipeline needs (a double sum would drift with the
+  //    reduce order);
+  //  - each iteration collects k centroids and rebuilds the plan from
+  //    literals, so lineage stays depth-1 (no checkpoint needed).
+
+  /** Argmin-L2 cell id as one inline expression: least(struct(d2,
+    * cid)) — min distance, min cid on ties. d2 = |x|² - 2·x·c + |c|²
+    * with |x|² computed once (`xxCol`) and |c|² folded driver-side
+    * exactly like [[graft.functions.VectorDot]] (left-to-right double
+    * fold), so the value is bit-equal to the oracle's formulation. */
+  private def nearestCellExpr(cents: Array[(Long, Seq[Float])],
+                              xxCol: Column): Column = {
+    val scored = cents.map { case (cid, vec) =>
+      val cc = vec.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
+      struct((xxCol - lit(2.0) * dot(col("embedding"), typedLit(vec)) + lit(cc))
+        .as("d2"), lit(cid).as("cid"))
+    }
+    (if (scored.length == 1) scored.head
+     else least(scored.toIndexedSeq: _*)).getField("cid")
+  }
+
+  /** One Lloyd step, aggregation half: per (cell) member count and
+    * per-dimension micro-unit sums (`s0..s{dim-1}`). The output is
+    * k rows × dim columns — control-plane-sized. */
+  def kmeansStepSums(emb: DataFrame, cents: Array[(Long, Seq[Float])]): DataFrame = {
+    val dim = cents.head._2.length
+    val assigned = emb
+      .withColumn("__xx", dot(col("embedding"), col("embedding")))
+      .withColumn("cell", nearestCellExpr(cents, col("__xx")))
+    val sums = (0 until dim).map { i =>
+      sum(round(element_at(col("embedding"), i + 1).cast("double") * lit(1e6))
+        .cast("long")).as(s"s$i")
+    }
+    assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("n"), sums: _*)
+  }
+
+  /** Oracle-comparable Lloyd step: (cell, dim, n, mean_val) rows —
+    * the k×dim result exploded AFTER aggregation (so the explode is
+    * over k rows, not the corpus). */
+  def kmeansStep(emb: DataFrame, cents: Array[(Long, Seq[Float])]): DataFrame = {
+    val dim = cents.head._2.length
+    kmeansStepSums(emb, cents)
+      .select(col("cell"), col("n"),
+        posexplode(array((0 until dim).map(i => col(s"s$i")): _*)))
+      .select(col("cell"), col("pos").cast("long").as("dim"), col("n"),
+        (col("col").cast("double") / col("n") / lit(1e6)).as("mean_val"))
+  }
+
+  /** Full Lloyd training: deterministic hash-spread init (k smallest
+    * by md5-bucket of vec_id — spread like a random draw, stable like
+    * a sort), then `maxIter` exact micro-domain update steps. Empty
+    * cells keep their previous centroid. Returns (cid, centroid). */
+  def kmeansFit(emb: DataFrame, k: Int, maxIter: Int): Array[(Long, Seq[Float])] = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val seedOrder = pmod(graft.functions.HashExpressions.md5Prefix64(
+      col("vec_id").cast("string"), 15), lit(100003L))
+    val init = emb.select(col("vec_id").cast("long"), col("embedding"))
+      .orderBy(seedOrder, col("vec_id"))
+      .limit(k).collect()
+      .sortBy(_.getLong(0))
+      .zipWithIndex
+      .map { case (r, i) => (i.toLong, r.getSeq[Float](1)) }
+    var cents = init
+    var it = 0
+    var moved = true
+    while (it < maxIter && moved) {
+      val byCell = kmeansStepSums(emb, cents).collect()
+        .map { r =>
+          val n = r.getLong(1)
+          val mean = cents.head._2.indices
+            .map(i => (r.getLong(2 + i).toDouble / n / 1e6).toFloat)
+          r.getLong(0) -> mean
+        }.toMap
+      val next = cents.map { case (cid, old) =>
+        cid -> byCell.getOrElse(cid, old).toSeq
+      }
+      moved = next.zip(cents).exists { case ((_, a), (_, b)) => a != b }
+      cents = next
+      it += 1
+    }
+    cents
+  }
+
+  /** Within-cluster sum of squared distances (training QA metric). */
+  def kmeansInertia(emb: DataFrame, cents: Array[(Long, Seq[Float])]): Double = {
+    val d2s = cents.map { case (cid, vec) =>
+      val cc = vec.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
+      col("__xx") - lit(2.0) * dot(col("embedding"), typedLit(vec)) + lit(cc)
+    }
+    emb.withColumn("__xx", dot(col("embedding"), col("embedding")))
+      .select(least(d2s.toIndexedSeq: _*).as("d2"))
+      .agg(sum(col("d2"))).head().getDouble(0)
+  }
+
+  /** IVF search over a quantizer trained in-engine: kmeansFit →
+    * ivfTopK. The end-to-end shape of a production vector index
+    * build: train (control-plane-sized model) + assign/search (one
+    * scan, broadcast quantizer). */
+  def ivfTrainedTopK(emb: DataFrame, k: Int, iters: Int,
+                     numQueries: Int, topK: Int, nprobe: Int = 1): DataFrame = {
+    val cents = kmeansFit(emb, k, iters)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val cdf = cents.toSeq.toDF("centroid_id", "embedding")
+    ivfTopK(emb, cdf, numQueries, topK, nprobe)
+  }
+
+  // ---- product quantization --------------------------------------
+
+  /** Product-quantization codes: the embedding splits into `m`
+    * subvectors; each is replaced by the id of its nearest codebook
+    * entry (argmin L2, min-cid tie-break — same rule as
+    * [[kmeansStepSums]]). With ksub=16/m=4 a 64-dim float vector
+    * (256 B) compresses to 4 bytes + scale-free exact ADC tables —
+    * the memory path that lets a 100 TB embedding corpus fit an
+    * in-RAM index. The codebook is control-plane-sized (ksub full
+    * vectors, driver-side literals — in production the per-subspace
+    * [[kmeansFit]] output), so coding is inline codegen expressions
+    * over the scan: no join, no shuffle, no row multiplication.
+    * Output: (vec_id, sub, code) — exploded after coding, m rows per
+    * vector. */
+  def pqCodes(emb: DataFrame, codebook: Array[(Long, Seq[Float])], m: Int): DataFrame = {
+    val dim = codebook.head._2.length
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    val withSubs = (0 until m).foldLeft(emb) { (df, s) =>
+      val xs = slice(col("embedding"), s * sub + 1, sub)
+      df.withColumn(s"__x$s", xs).withColumn(s"__xx$s", dot(xs, xs))
+    }
+    val codeCols = (0 until m).map { s =>
+      val scored = codebook.map { case (cid, vec) =>
+        val cvec = vec.slice(s * sub, (s + 1) * sub)
+        val cc = cvec.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
+        struct((col(s"__xx$s") - lit(2.0) * dot(col(s"__x$s"), typedLit(cvec))
+          + lit(cc)).as("d2"), lit(cid).as("cid"))
+      }
+      (if (scored.length == 1) scored.head
+       else least(scored.toIndexedSeq: _*)).getField("cid").as(s"__c$s")
+    }
+    withSubs.select(col("vec_id") +: codeCols: _*)
+      .select(col("vec_id"),
+        posexplode(array((0 until m).map(s => col(s"__c$s")): _*)))
+      .select(col("vec_id"), col("pos").cast("long").as("sub"),
+        col("col").as("code"))
+  }
+
   /** Bucketed near-neighbor pairs: same LSH bucket + cosine above
     * threshold. Candidate generation is bucket-collect (one groupBy
     * gathering each bucket's vectors, pairs exploding in place)

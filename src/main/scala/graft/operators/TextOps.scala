@@ -187,6 +187,35 @@ object TextOps {
         regexp_replace(col("text"), lit(EmailRe), lit("<EMAIL>")),
         lit(Ipv4Re), lit("<IP>")).as("redacted"))
 
+  /** Unigram language-model scoring — the cheapest member of the
+    * KenLM-style quality-filter family: train token frequencies on
+    * the corpus itself (one vocab-sized aggregation), then score each
+    * document by its average token log-probability. Low scores flag
+    * gibberish / non-language content; high scores flag boilerplate.
+    *
+    * Scale: the LM is vocab-sized (≪ corpus — Heaps' law), so the
+    * probability join broadcasts; past the broadcast threshold AQE
+    * falls back to a shuffle join on `tok`, which is the correct plan
+    * at that size. Per-token log-probs are rounded to exact micro
+    * units BEFORE the per-doc sum, so document scores are
+    * bit-reproducible under any partitioning (a raw double sum would
+    * drift with the reduce order). */
+  def lmScore(docs: DataFrame): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    val total = freq.agg(sum(col("cnt")).as("total"))
+    val logp = freq.crossJoin(broadcast(total))
+      .select(col("tok"),
+        round(log(col("cnt").cast("double") / col("total").cast("double"))
+          * lit(1e6)).cast("long").as("logp_micro"))
+    toks.join(broadcast(logp), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("logp_micro")).as("sum_logp_micro"))
+      .withColumn("avg_logp",
+        col("sum_logp_micro").cast("double") / col("n_tokens") / lit(1e6))
+  }
+
   /** Repetition signals (the cheap boilerplate/spam detectors of the
     * Gopher-style rule set): dominance of the single most frequent
     * token, and the duplicate-bigram fraction. Per-row list

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Similarity
+
+/** In-engine quantizer training (Lloyd's k-means), trained-IVF
+  * search, and product-quantization codes.
+  *
+  * The load-bearing properties:
+  *  - training is BIT-reproducible under any partitioning (micro-unit
+  *    integer sums — a 100 TB rerun or a resume from checkpoint must
+  *    land on the same quantizer);
+  *  - inertia is non-increasing in iterations (Lloyd's invariant);
+  *  - probing every cell recovers the exact brute-force answer (the
+  *    recall knob's boundary condition);
+  *  - a codebook vector PQ-codes to itself in every subspace.
+  */
+class KmeansPqSpec extends SparkFunSuite {
+
+  private val sf = "/root/testdata/sf0.001"
+  private def emb = Tables.embeddings(spark, sf)
+
+  test("kmeansFit is bit-identical under repartitioning") {
+    val a = Similarity.kmeansFit(emb, k = 4, maxIter = 3)
+    val b = Similarity.kmeansFit(emb.repartition(7), k = 4, maxIter = 3)
+    assert(a.map(_._1).sameElements(b.map(_._1)))
+    a.zip(b).foreach { case ((_, va), (_, vb)) => assert(va == vb) }
+  }
+
+  test("Lloyd iterations never increase inertia") {
+    val i1 = Similarity.kmeansInertia(emb, Similarity.kmeansFit(emb, 4, 1))
+    val i3 = Similarity.kmeansInertia(emb, Similarity.kmeansFit(emb, 4, 3))
+    val i6 = Similarity.kmeansInertia(emb, Similarity.kmeansFit(emb, 4, 6))
+    assert(i3 <= i1 + 1e-6, s"inertia rose after more iterations: $i1 -> $i3")
+    assert(i6 <= i3 + 1e-6, s"inertia rose after more iterations: $i3 -> $i6")
+  }
+
+  test("empty cells keep their previous centroid (k near corpus size)") {
+    val tiny = emb.filter(col("vec_id") < 6)
+    val cents = Similarity.kmeansFit(tiny, k = 6, maxIter = 4)
+    assert(cents.length == 6)
+    cents.foreach { case (_, v) => assert(v.nonEmpty) }
+  }
+
+  test("trained IVF with nprobe=k recovers exact brute-force top-k") {
+    val k = 4
+    val exact = Similarity.bruteForceTopK(emb, numQueries = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val all = Similarity.ivfTrainedTopK(emb, k = k, iters = 2,
+        numQueries = 3, topK = 5, nprobe = k)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(all == exact)
+  }
+
+  test("trained IVF single-probe returns sane results with nonzero recall") {
+    val exact = Similarity.bruteForceTopK(emb, 3, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val approx = Similarity.ivfTrainedTopK(emb, k = 4, iters = 2,
+        numQueries = 3, topK = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    assert(approx.nonEmpty)
+    val recall = (approx & exact).size.toDouble / exact.size
+    assert(recall > 0.0, s"trained IVF found no true neighbors (recall=$recall)")
+  }
+
+  test("codebook vectors PQ-code to themselves") {
+    val cb = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val codes = Similarity.pqCodes(emb.filter(col("vec_id") < 8), cb, m = 4)
+      .collect()
+    assert(codes.length == 8 * 4)
+    codes.foreach { r =>
+      assert(r.getLong(2) == r.getLong(0),
+        s"vec ${r.getLong(0)} sub ${r.getLong(1)} coded to ${r.getLong(2)}")
+    }
+  }
+
+  test("pq codes land in the codebook id range") {
+    val cb = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val out = Similarity.pqCodes(emb, cb, m = 4)
+    val n = emb.count()
+    assert(out.count() == n * 4)
+    assert(out.filter(col("code") < 0 || col("code") >= 8).count() == 0)
+  }
+}

@@ -391,4 +391,37 @@ class OperatorSpec extends SparkFunSuite {
     assert(feats(1L) != feats(3L))
     assert(feats(1L) == Seq(97L, 98L, 99L, 100L)) // 'a','b','c','d' byte values
   }
+
+  test("lm score: rarer tokens score lower; identical docs score equal") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the the the the"), // all common tokens
+      (2L, "the the the the"),
+      (3L, "xylo qwert zzyzx plurg") // all rare tokens
+    ).toDF("doc_id", "text")
+    val scored = graft.operators.TextOps.lmScore(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(scored(1L) == scored(2L))
+    assert(scored(3L)._3 < scored(1L)._3, "rare-token doc must score lower")
+    assert(scored.values.forall(_._3 < 0.0), "log-probs are negative")
+    assert(scored(1L)._1 == 4L)
+  }
+
+  test("stratified sample: pure hash — deterministic, boundary fractions exact") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, s"src${i % 4}", "t"))
+      .toDF("doc_id", "source", "text")
+    val all = Sampling.stratifiedSample(docs, Map("src0" -> 1.0), 0.0)
+    val kept = all.filter(col("sampled")).select(col("source")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(kept == Set("src0"), s"frac 1.0/0.0 must be exact, got $kept")
+    val a = Sampling.stratifiedSample(docs, Map("src1" -> 0.3), 0.5)
+      .filter(col("sampled")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    val b = Sampling.stratifiedSample(docs.repartition(7), Map("src1" -> 0.3), 0.5)
+      .filter(col("sampled")).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(a == b, "sampling decision must not depend on partitioning")
+  }
 }
