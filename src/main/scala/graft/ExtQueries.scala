@@ -207,6 +207,30 @@ object ExtQueries {
     "q_sessionize" -> ((s, d) =>
       graft.operators.Sessionize.sessions(Tables.events(s, d), sessionGapNs)),
 
+    // big-big as-of join: attribute each click/view to the latest
+    // preceding signup/purchase of the same user — union + running
+    // window, join-free (one key shuffle; both sides data-scaled)
+    "q_asof_attrib" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L)))
+          .as("ts_ns"),
+        col("event_type"), col("value"))
+      val probe = ev.filter(col("event_type").isin("click", "view"))
+      // one build row per (user, ts): keep max event_id for equal-ts
+      // determinism (mirrored in the oracle)
+      val wd = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("ts_ns"))
+        .orderBy(col("event_id").desc)
+      val build = ev.filter(col("event_type").isin("signup", "purchase"))
+        .withColumn("__rn", row_number().over(wd))
+        .filter(col("__rn") === 1).drop("__rn")
+      graft.operators.AsOfJoin.asof(probe, build, "user_id", "ts_ns",
+          payloadCols = Seq("event_id", "value"))
+        .select(col("event_id"), col("user_id"), col("ts_ns"),
+          col("event_type"), col("asof_event_id"), col("asof_value"))
+    }),
+
     "q_ann_ivf" -> ((s, d) => {
       val emb = Tables.embeddings(s, d)
       // coarse quantizer: 8 deterministic sample vectors as centroids
@@ -507,6 +531,25 @@ object ExtQueries {
         |FROM meta""".stripMargin,
 
     "q_sessionize" -> graft.operators.Sessionize.oracleSql(sessionGapNs),
+
+    // DuckDB's native ASOF JOIN is the oracle for the union+window
+    // implementation (equal-ts build rows visible: >=; build deduped
+    // per (user, ts) to max event_id on both sides)
+    "q_asof_attrib" ->
+      """WITH e AS (
+        |  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type, value
+        |  FROM events),
+        |probe AS (SELECT * FROM e WHERE event_type IN ('click', 'view')),
+        |build AS (
+        |  SELECT user_id, ts_ns, event_id, value FROM (
+        |    SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, ts_ns
+        |      ORDER BY event_id DESC) AS rn
+        |    FROM e WHERE event_type IN ('signup', 'purchase'))
+        |  WHERE rn = 1)
+        |SELECT p.event_id, p.user_id, p.ts_ns, p.event_type,
+        |  b.event_id AS asof_event_id, b.value AS asof_value
+        |FROM probe p ASOF LEFT JOIN build b
+        |  ON p.user_id = b.user_id AND p.ts_ns >= b.ts_ns""".stripMargin,
 
     "q_ann_ivf" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

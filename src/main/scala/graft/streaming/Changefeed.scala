@@ -235,22 +235,27 @@ object Changefeed {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
         try {
+          // one pass to learn the batch's resolved ts (cheap agg over
+          // the cached batch), then ONE parquet job writing rows and
+          // the per-partition resolved-ts control messages together —
+          // the control frame is ordered after every row it covers by
+          // commit-ts, and a second writer job per micro-batch was
+          // pure fixed cost at high trigger rates
+          val mx = b.agg(max(col("_commit_ts"))).head()
           val out = b.select(col("_partition"), col("_commit_ts"),
             lit("row").as("_kind"), col("_value"))
-          out.write.mode("append").parquet(sinkDir)
-          val mx = b.agg(max(col("_commit_ts"))).head()
-          if (!mx.isNullAt(0)) {
+          val withControl = if (mx.isNullAt(0)) out else {
             val resolved = mx.getLong(0)
             val (key, _) = Codecs.openResolvedMessage(resolved)
             val s = b.sparkSession
             import s.implicits._
             // one control message per routing partition (the reference
             // broadcasts resolved events to every MQ partition)
-            (0 until cfg.sink.numPartitions).map(p =>
+            out.unionByName((0 until cfg.sink.numPartitions).map(p =>
                 (p.toLong, resolved, "resolved", key))
-              .toDF("_partition", "_commit_ts", "_kind", "_value")
-              .write.mode("append").parquet(sinkDir)
+              .toDF("_partition", "_commit_ts", "_kind", "_value"))
           }
+          withControl.write.mode("append").parquet(sinkDir)
         } finally { b.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)

@@ -392,6 +392,36 @@ class OperatorSpec extends SparkFunSuite {
     assert(feats(1L) == Seq(97L, 98L, 99L, 100L)) // 'a','b','c','d' byte values
   }
 
+  test("asof join: latest build <= probe ts, equal-ts visible, no-match null") {
+    import spark.implicits._
+    val probe = Seq(
+      (100L, 1L, 5L),  // after two builds -> picks ts=4
+      (101L, 1L, 2L),  // equal-ts build visible -> ts=2
+      (102L, 1L, 1L),  // before any build -> null
+      (103L, 2L, 9L)   // key with no builds -> null
+    ).toDF("event_id", "user_id", "ts_ns")
+    val build = Seq(
+      (200L, 1L, 2L, 10.0),
+      (201L, 1L, 4L, 20.0)
+    ).toDF("event_id", "user_id", "ts_ns", "value")
+    val out = AsOfJoin.asof(probe, build, "user_id", "ts_ns",
+        payloadCols = Seq("event_id", "value"))
+      .collect().map(r => r.getLong(0) ->
+        (if (r.isNullAt(3)) None else Some((r.getLong(3), r.getDouble(4))))).toMap
+    assert(out(100L) == Some((201L, 20.0)))
+    assert(out(101L) == Some((200L, 10.0)))
+    assert(out(102L).isEmpty)
+    assert(out(103L).isEmpty)
+    // equal-ts build rows: tieBreak picks the highest
+    val build2 = Seq((200L, 1L, 2L, 10.0), (202L, 1L, 2L, 30.0))
+      .toDF("event_id", "user_id", "ts_ns", "value")
+    val tied = AsOfJoin.asof(probe.filter(col("event_id") === 101L), build2,
+        "user_id", "ts_ns", payloadCols = Seq("event_id", "value"),
+        tieBreak = Seq("event_id"))
+      .collect().map(r => (r.getLong(3), r.getDouble(4)))
+    assert(tied.toSeq == Seq((202L, 30.0)))
+  }
+
   test("lm score: rarer tokens score lower; identical docs score equal") {
     import spark.implicits._
     val docs = Seq(

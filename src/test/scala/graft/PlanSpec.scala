@@ -114,4 +114,22 @@ class PlanSpec extends SparkFunSuite {
         assert(p.contains("*(1)"), s"$q must codegen")
       }
   }
+
+  test("q_asof_attrib: as-of join is join-free (union + running window)") {
+    val p = plan("q_asof_attrib")
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"as-of must not plan a join — the union+window path scales both sides:\n$p")
+    assert(p.contains("Window"), "running window expected")
+  }
+
+  test("q_kmeans_step / q_pq_codes: assignment and coding are join-free") {
+    // the quantizer/codebook are inline literals: the corpus-side plan
+    // must contain no join and (for PQ) no shuffle at all
+    val km = plan("q_kmeans_step")
+    assert(!km.contains("Join"), s"kmeans assignment must be inline:\n$km")
+    val pq = plan("q_pq_codes")
+    assert(!pq.contains("Join"), s"pq coding must be inline:\n$pq")
+    assert(!pq.contains("Exchange"), s"pq coding must ride the scan:\n$pq")
+  }
 }
