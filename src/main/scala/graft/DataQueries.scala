@@ -165,6 +165,10 @@ object DataQueries {
     "q_pq_codes" -> ((s, d) =>
       Similarity.pqCodes(emb(s, d), headVectors(s, d, pqKsub), pqM)),
 
+    "q_pq_adc" -> ((s, d) =>
+      Similarity.pqAdcTopK(emb(s, d), headVectors(s, d, pqKsub), pqM,
+        annQueries, annK)),
+
     "q_lm_score" -> ((s, d) => TextOps.lmScore(docs(s, d))),
 
     "q_stratified" -> ((s, d) =>
@@ -432,6 +436,46 @@ object DataQueries {
          |      ORDER BY d2 ASC, cid ASC) AS rn
          |  FROM scored)
          |WHERE rn = 1""".stripMargin
+    },
+
+    // ADC search over PQ codes: lookup tables are micro-unit longs
+    // (entries reproduce the Spark/Scala fold bit-for-bit), candidate
+    // distance = exact integer sum of m table entries
+    "q_pq_adc" -> {
+      val sub = 64 / pqM
+      def sl(e: String) = s"list_slice($e, subs.sub * $sub + 1, subs.sub * $sub + $sub)"
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |cb AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < $pqKsub),
+         |subs AS (SELECT unnest(range($pqM)) AS sub),
+         |codes AS (
+         |  SELECT vec_id, sub, cid AS code FROM (
+         |    SELECT e.vec_id, subs.sub, cb.cid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, subs.sub ORDER BY
+         |        list_dot_product(${sl("e.emb")}, ${sl("e.emb")})
+         |          - 2.0 * list_dot_product(${sl("e.emb")}, ${sl("cb.c_emb")})
+         |          + list_dot_product(${sl("cb.c_emb")}, ${sl("cb.c_emb")}) ASC,
+         |        cb.cid ASC) AS rn
+         |    FROM e CROSS JOIN subs CROSS JOIN cb)
+         |  WHERE rn = 1),
+         |luts AS (
+         |  SELECT q.vec_id AS query_id, subs.sub, cb.cid,
+         |    CAST(round((list_dot_product(${sl("q.emb")}, ${sl("q.emb")})
+         |      - 2.0 * list_dot_product(${sl("q.emb")}, ${sl("cb.c_emb")})
+         |      + list_dot_product(${sl("cb.c_emb")}, ${sl("cb.c_emb")}))
+         |      * 1000000.0) AS BIGINT) AS d2_micro
+         |  FROM e q CROSS JOIN subs CROSS JOIN cb WHERE q.vec_id < $annQueries),
+         |scored AS (
+         |  SELECT l.query_id, c.vec_id,
+         |    CAST(SUM(l.d2_micro) AS BIGINT) AS adc_micro
+         |  FROM codes c JOIN luts l ON c.sub = l.sub AND c.code = l.cid
+         |  WHERE c.vec_id <> l.query_id
+         |  GROUP BY 1, 2)
+         |SELECT query_id, rank, neighbor_id, adc_micro FROM (
+         |  SELECT query_id, vec_id AS neighbor_id, adc_micro,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY adc_micro ASC, vec_id ASC) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= $annK""".stripMargin
     },
 
     // per-token log-probs round to exact micro units BEFORE the

@@ -300,7 +300,10 @@ object Similarity {
     * over the scan: no join, no shuffle, no row multiplication.
     * Output: (vec_id, sub, code) — exploded after coding, m rows per
     * vector. */
-  def pqCodes(emb: DataFrame, codebook: Array[(Long, Seq[Float])], m: Int): DataFrame = {
+  /** Wide form of [[pqCodes]]: (vec_id, embedding, __c0..__c{m-1}) —
+    * the shape ADC search consumes (codes stay columnar, no
+    * explode). */
+  def pqCodesWide(emb: DataFrame, codebook: Array[(Long, Seq[Float])], m: Int): DataFrame = {
     val dim = codebook.head._2.length
     require(dim % m == 0, s"dim $dim not divisible by m $m")
     val sub = dim / m
@@ -318,11 +321,70 @@ object Similarity {
       (if (scored.length == 1) scored.head
        else least(scored.toIndexedSeq: _*)).getField("cid").as(s"__c$s")
     }
-    withSubs.select(col("vec_id") +: codeCols: _*)
+    withSubs.select(col("vec_id") +: col("embedding") +: codeCols: _*)
+  }
+
+  def pqCodes(emb: DataFrame, codebook: Array[(Long, Seq[Float])], m: Int): DataFrame =
+    pqCodesWide(emb, codebook, m)
       .select(col("vec_id"),
         posexplode(array((0 until m).map(s => col(s"__c$s")): _*)))
       .select(col("vec_id"), col("pos").cast("long").as("sub"),
         col("col").as("code"))
+
+  /** ADC (asymmetric distance) top-k over PQ codes — how a PQ index
+    * is actually searched: each query precomputes one lookup table
+    * per subspace (ksub distances to the codebook sub-vectors), and a
+    * candidate's distance is m TABLE LOOKUPS + adds over its codes —
+    * no float math per candidate at all. Tables are micro-unit longs
+    * (exact integer sums, engine-portable); queries+tables broadcast;
+    * candidates ride the scan. Codebook cids must be its sorted
+    * order (table index = rank of cid).
+    * Output: (query_id, rank, neighbor_id, adc_micro). */
+  def pqAdcTopK(emb: DataFrame, codebook: Array[(Long, Seq[Float])], m: Int,
+                numQueries: Int, k: Int): DataFrame = {
+    val dim = codebook.head._2.length
+    val sub = dim / m
+    val sorted = codebook.sortBy(_._1)
+    require(sorted.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "ADC lookup indexes tables by code: codebook cids must be 0..ksub-1")
+    val queries: Array[(Long, Seq[Float])] = emb
+      .filter(col("vec_id") < numQueries)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    // lut(q)(s)(j) = micro(||q_s - c_j,s||²), folds exactly as
+    // VectorDot / list_dot_product so the oracle reproduces each entry
+    def dotd(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    val lutRows = queries.map { case (qid, qv) =>
+      val luts: Seq[Seq[Long]] = (0 until m).map { s =>
+        val qs = qv.slice(s * sub, (s + 1) * sub)
+        val qq = dotd(qs, qs)
+        sorted.toSeq.map { case (_, cv) =>
+          val cs = cv.slice(s * sub, (s + 1) * sub)
+          val d2 = qq - 2.0 * dotd(qs, cs) + dotd(cs, cs)
+          math.round(d2 * 1e6)
+        }
+      }
+      (qid, luts)
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = broadcast(lutRows.toSeq.toDF("query_id", "__luts"))
+    val adc = (0 until m).map { s =>
+      element_at(element_at(col("__luts"), s + 1),
+        col(s"__c$s").cast("int") + 1)
+    }.reduce(_ + _)
+    val scored = pqCodesWide(emb, codebook, m)
+      .crossJoin(q)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adc_micro", adc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_micro").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("adc_micro"))
   }
 
   /** Bucketed near-neighbor pairs: same LSH bucket + cosine above

@@ -76,6 +76,30 @@ class KmeansPqSpec extends SparkFunSuite {
     }
   }
 
+  test("adc distance to a codebook vector equals its true distance (±m rounding)") {
+    // a codebook entry codes to itself in every subspace, so its ADC
+    // distance must be the micro-rounded true squared distance, off by
+    // at most one rounding unit per subspace
+    val m = 4
+    val cb = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    def dotd(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val adc = Similarity.pqAdcTopK(emb, cb, m, numQueries = 2, k = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(3)).toMap
+    for ((qid, qv) <- queries; (cid, cv) <- cb if cid != qid) {
+      val d2 = dotd(qv, qv) - 2.0 * dotd(qv, cv) + dotd(cv, cv)
+      val expected = math.round(d2 * 1e6)
+      val got = adc((qid, cid))
+      assert(math.abs(got - expected) <= m,
+        s"ADC(q=$qid, cb=$cid) = $got, true micro distance $expected")
+    }
+  }
+
   test("pq codes land in the codebook id range") {
     val cb = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("long"), col("embedding"))
