@@ -121,6 +121,116 @@ object MysqlSink {
       .select(col("_partition"), col("_row_id"), col("_schema"), col("_table"),
         col("_commit_ts"), col("_start_ts"), col("_op"), col("_stmt"))
 
+  /** Per-row DML fragments for multi-row batching
+    * (mysql_writer_dml_batch.go:484-645 / sqlmodel/multi_row.go): the
+    * codegen'd per-row pieces a run-coalescer concatenates into
+    * multi-row statements —
+    *  - `_frag_head`: the statement prefix shared by every row of a
+    *    run ("REPLACE INTO t (cols) VALUES " / "DELETE FROM t WHERE
+    *    (keys) IN (");
+    *  - `_frag`: this row's tuple ("(v1,..)" / "(k1,..)");
+    *  - `_frag_tail`: the run's closing text ("" / ")");
+    * all three NULL when the row cannot batch (non-safe-mode UPDATE,
+    * or a NULL handle key — tuple IN does not match NULL), in which
+    * case `_stmt` applies as-is. Rendering stays columnar/codegen;
+    * only the run grouping is imperative (per-partition streaming,
+    * cap-bounded state). */
+  def statementFragments(env: DataFrame, handleKeys: Seq[String], numWorkers: Int,
+                         safeMode: Boolean): DataFrame = {
+    val payload = payloadOf(env)
+    val fields = payload.fields.toSeq
+    val target = concat(lit("`"), col("_schema"), lit("`.`"), col("_table"), lit("`"))
+    val colList = fields.map(f => s"`${f.name}`").mkString("(", ",", ")")
+    def img(image: String, f: StructField): Column = moneyRender(col(s"$image.${f.name}"), f)
+    val valueTuple = concat(
+      (lit("(") +: fields.zipWithIndex.flatMap { case (f, i) =>
+        (if (i == 0) Seq.empty[Column] else Seq(lit(","))) :+ img("after", f)
+      } :+ lit(")")): _*)
+    // NULL if any handle key is null (v2 fallback rule)
+    val keyFields = handleKeys.map(k => fields.find(_.name == k).get)
+    val anyKeyNull = keyFields.map(f => col(s"before.${f.name}").isNull)
+      .reduce(_ || _)
+    val keyTuple = when(anyKeyNull, lit(null)).otherwise(concat(
+      (lit("(") +: keyFields.zipWithIndex.flatMap { case (f, i) =>
+        (if (i == 0) Seq.empty[Column] else Seq(lit(","))) :+ img("before", f)
+      } :+ lit(")")): _*))
+    val keyList = handleKeys.map(k => s"`$k`").mkString("(", ",", ")")
+    val writeVerb = if (safeMode) "REPLACE" else "INSERT"
+    val insHead = concat(lit(s"$writeVerb INTO "), target, lit(s" $colList VALUES "))
+    val delHead = concat(lit("DELETE FROM "), target, lit(s" WHERE $keyList IN ("))
+    // batchable classes: I always; U only in safe mode (it renders as
+    // REPLACE there); D when keys are non-null
+    val isWrite = col("_op") === "I" || (col("_op") === "U" && lit(safeMode))
+    val isDel = col("_op") === "D" && !anyKeyNull
+    Routing.partitionByKeyColumns(env, handleKeys, numWorkers)
+      .withColumn("_stmt",
+        statementColumnFor(payload, handleKeys, safeMode, moneyRender))
+      .withColumn("_frag_head",
+        when(isWrite, insHead).when(isDel, delHead).otherwise(lit(null)))
+      .withColumn("_frag",
+        when(isWrite, valueTuple).when(isDel, keyTuple).otherwise(lit(null)))
+      .withColumn("_frag_tail",
+        when(isWrite, lit("")).when(isDel, lit(")")).otherwise(lit(null)))
+      .select(col("_partition"), col("_row_id"), col("_schema"), col("_table"),
+        col("_commit_ts"), col("_start_ts"), col("_op"), col("_stmt"),
+        col("_frag_head"), col("_frag"), col("_frag_tail"))
+  }
+
+  /** [[applyBatch]] with multi-row DML coalescing: consecutive rows of
+    * one worker partition sharing a statement head (same table, same
+    * DML class) merge into ONE multi-row statement, up to
+    * `maxBatchRows` (txn_batch_size cap). Per-key ordering is
+    * preserved: runs only merge ADJACENT rows of the already
+    * commit-ordered stream, and MySQL applies multi-row
+    * REPLACE/DELETE tuples in listed order. */
+  def applyBatchCoalesced(env: DataFrame, handleKeys: Seq[String], numWorkers: Int,
+                          safeMode: Boolean, maxBatchRows: Int = 256)
+                         (execute: Iterator[String] => Unit): Unit = {
+    import org.apache.spark.sql.Encoders
+    val enc = Encoders.tuple(Encoders.STRING, Encoders.STRING,
+      Encoders.STRING, Encoders.STRING)
+    statementFragments(env, handleKeys, numWorkers, safeMode)
+      .repartition(numWorkers, col("_partition"))
+      .sortWithinPartitions(col("_commit_ts"), col("_start_ts"),
+        Envelope.opOrder(col("_op")), col("_row_id"))
+      .select(col("_stmt"), col("_frag_head"), col("_frag"), col("_frag_tail"))
+      .map(r => (r.getString(0),
+        if (r.isNullAt(1)) null else r.getString(1),
+        if (r.isNullAt(2)) null else r.getString(2),
+        if (r.isNullAt(3)) null else r.getString(3)))(enc)
+      .foreachPartition { rows: Iterator[(String, String, String, String)] =>
+        execute(coalesceRuns(rows, maxBatchRows))
+      }
+  }
+
+  /** Streaming run-coalescer: O(cap) state, emits one statement per
+    * run (head + frags joined + tail) and passes unbatchable rows
+    * through in place (flushing the open run first, to keep order). */
+  private[graft] def coalesceRuns(rows: Iterator[(String, String, String, String)],
+                                  cap: Int): Iterator[String] = new Iterator[String] {
+    private var out: List[String] = Nil
+    private var head: String = null
+    private var tail: String = null
+    private val frags = scala.collection.mutable.ArrayBuffer.empty[String]
+    private def flush(): Unit = if (frags.nonEmpty) {
+      out = out :+ (head + frags.mkString(",") + tail)
+      frags.clear()
+    }
+    private def fill(): Unit = {
+      while (out.isEmpty && rows.hasNext) {
+        val (stmt, h, f, t) = rows.next()
+        if (h == null) { flush(); out = out :+ stmt }
+        else {
+          if (frags.nonEmpty && (h != head || frags.size >= cap)) flush()
+          head = h; tail = t; frags += f
+        }
+      }
+      if (out.isEmpty) flush() // drain the trailing run
+    }
+    def hasNext: Boolean = { fill(); out.nonEmpty }
+    def next(): String = { fill(); val h = out.head; out = out.tail; h }
+  }
+
   /** DDL execution statements with async-DDL progress bookkeeping
     * (mysql_writer_ddl.go; ddl-ts table mysql_writer_for_ddl_ts.go:266;
     * table names pkg/filter/filter.go:33-36): the DDL itself followed

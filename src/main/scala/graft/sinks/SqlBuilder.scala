@@ -76,6 +76,40 @@ object SqlBuilder {
     s"DELETE FROM ${quoteTable(schema, table)} WHERE $keys IN ($tuples)"
   }
 
+  /** Whether a key batch can use the tuple-IN (v2) forms: SQL tuple
+    * IN does not match NULL the way per-column IS NULL predicates do,
+    * so any NULL key value falls back to per-row statements
+    * (canUseWhereClauseV2, pkg/sink/sqlmodel/multi_row.go:195-224). */
+  def canBatchKeys(keyRows: Seq[Seq[Any]]): Boolean =
+    keyRows.forall(_.forall(v => v != null && v != None))
+
+  /** Batched UPDATE — the CASE-WHEN form of genUpdateSQLV2
+    * (pkg/sink/sqlmodel/multi_row.go:274-350): each column updates
+    * through one `col = CASE WHEN <keys = row_i> THEN v_i ... END`,
+    * scoped by a trailing tuple-IN over all batched keys. Caller
+    * guarantees non-null keys ([[canBatchKeys]]) and one table per
+    * batch. */
+  def updateMulti(schema: String, table: String,
+                  setCols: Seq[String], setRows: Seq[Seq[Any]],
+                  keyCols: Seq[String], keyRows: Seq[Seq[Any]]): String = {
+    require(setRows.nonEmpty && setRows.length == keyRows.length,
+      "one key tuple per set row")
+    require(canBatchKeys(keyRows), "NULL keys cannot use the tuple-IN form")
+    val whens = keyRows.map { kr =>
+      keyCols.zip(kr).map { case (c, v) => s"${quoteId(c)} = ${literal(v)}" }
+        .mkString(" WHEN ", " AND ", " THEN ")
+    }
+    val sets = setCols.zipWithIndex.map { case (c, j) =>
+      s"${quoteId(c)} = CASE" +
+        whens.zip(setRows).map { case (w, sr) => w + literal(sr(j)) }.mkString +
+        " END"
+    }
+    val keys = keyCols.map(quoteId).mkString("(", ",", ")")
+    val tuples = keyRows.map(r => r.map(literal).mkString("(", ",", ")")).mkString(",")
+    s"UPDATE ${quoteTable(schema, table)} SET ${sets.mkString(", ")} " +
+      s"WHERE $keys IN ($tuples)"
+  }
+
   /** UPDATE .. SET .. WHERE key (sql_builder.go:211). */
   def update(schema: String, table: String, setCols: Seq[String], setVals: Seq[Any],
              keyCols: Seq[String], keyVals: Seq[Any]): String = {

@@ -392,6 +392,44 @@ class OperatorSpec extends SparkFunSuite {
     assert(feats(1L) == Seq(97L, 98L, 99L, 100L)) // 'a','b','c','d' byte values
   }
 
+  test("multi-row coalescing: adjacent same-class DMLs merge, order survives") {
+    // users 2,4,6 land in table t0; ops arrive I,I,U(safe->REPLACE),D,D
+    // then a non-safe update forces a single-statement flush
+    val env = mkEnv(Seq(
+      (1L, "I", 2L, 10.0, 100L),
+      (2L, "I", 4L, 20.0, 200L),
+      (3L, "U", 6L, 30.0, 300L),
+      (4L, "D", 2L, 10.0, 100L),
+      (5L, "D", 4L, 20.0, 200L)))
+    def fragments(safeMode: Boolean) = graft.sinks.MysqlSink
+      .statementFragments(env, Seq("user_id"), 1, safeMode)
+      .orderBy(col("_commit_ts"), col("_start_ts"),
+        Envelope.opOrder(col("_op")), col("_row_id"))
+      .collect().iterator
+      .map(r => (r.getAs[String]("_stmt"), r.getAs[String]("_frag_head"),
+        r.getAs[String]("_frag"), r.getAs[String]("_frag_tail")))
+    val got = graft.sinks.MysqlSink.coalesceRuns(fragments(true), 256).toList
+    assert(got.length == 2, s"expected 2 coalesced statements, got:\n${got.mkString("\n")}")
+    assert(got(0) == "REPLACE INTO `app`.`t0` (`user_id`,`value`,`k`) VALUES " +
+      "(2,10.00,100),(4,20.00,200),(6,30.00,300)", got(0))
+    assert(got(1) == "DELETE FROM `app`.`t0` WHERE (`user_id`) IN ((2),(4))", got(1))
+
+    // non-safe mode: the U is un-batchable and splits the runs
+    val got2 = graft.sinks.MysqlSink.coalesceRuns(fragments(false), 256).toList
+    assert(got2.length == 3, s"expected I-run, U, D-run:\n${got2.mkString("\n")}")
+    assert(got2(0).startsWith("INSERT INTO `app`.`t0`") && got2(0).contains("),("))
+    assert(got2(1).startsWith("UPDATE `app`.`t0` SET"))
+    assert(got2(2).startsWith("DELETE FROM `app`.`t0` WHERE (`user_id`) IN"))
+
+    // cap bounds run length
+    val got3 = graft.sinks.MysqlSink.coalesceRuns(fragments(true), 2).toList
+    assert(got3.count(_.startsWith("REPLACE")) == 2, got3.mkString("\n"))
+
+    // end-to-end distributed smoke (blackhole executor)
+    graft.sinks.MysqlSink.applyBatchCoalesced(env, Seq("user_id"), 2,
+      safeMode = true)(_ => ())
+  }
+
   test("asof join: latest build <= probe ts, equal-ts visible, no-match null") {
     import spark.implicits._
     val probe = Seq(

@@ -40,6 +40,25 @@ class SqlBuilderSpec extends AnyFunSuite {
       "UPDATE `db`.`t` SET `v` = 9 WHERE `k` = 1")
   }
 
+  test("batched update: per-column CASE WHEN + tuple IN (genUpdateSQLV2)") {
+    val sql = updateMulti("db", "t",
+      setCols = Seq("v", "w"), setRows = Seq(Seq(9, "a"), Seq(8, "b")),
+      keyCols = Seq("k1", "k2"), keyRows = Seq(Seq(1, 2), Seq(3, 4)))
+    assert(sql ==
+      "UPDATE `db`.`t` SET " +
+        "`v` = CASE WHEN `k1` = 1 AND `k2` = 2 THEN 9 WHEN `k1` = 3 AND `k2` = 4 THEN 8 END, " +
+        "`w` = CASE WHEN `k1` = 1 AND `k2` = 2 THEN 'a' WHEN `k1` = 3 AND `k2` = 4 THEN 'b' END " +
+        "WHERE (`k1`,`k2`) IN ((1,2),(3,4))")
+  }
+
+  test("NULL keys refuse the tuple-IN forms (v2 fallback rule)") {
+    assert(!canBatchKeys(Seq(Seq(1, null), Seq(2, 3))))
+    assert(canBatchKeys(Seq(Seq(1, 2), Seq(2, 3))))
+    intercept[IllegalArgumentException] {
+      updateMulti("db", "t", Seq("v"), Seq(Seq(1)), Seq("k"), Seq(Seq(null)))
+    }
+  }
+
   test("string escaping") {
     assert(literal("it's") == "'it''s'")
     assert(literal("a\\b") == "'a\\\\b'")
