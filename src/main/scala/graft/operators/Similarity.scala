@@ -331,6 +331,45 @@ object Similarity {
       .select(col("vec_id"), col("pos").cast("long").as("sub"),
         col("col").as("code"))
 
+  /** Train PQ codebooks in-engine: m INDEPENDENT k-means fits, one
+    * per subvector space (the standard PQ training loop). Each fit is
+    * the bit-reproducible micro-domain [[kmeansFit]] over the sliced
+    * embedding column; the returned codebook stitches the m subspace
+    * centroid sets back into ksub full-width vectors (cid j's
+    * subvector s = centroid j of subspace s — the usual PQ codebook
+    * layout), ready for [[pqCodes]]/[[pqAdcTopK]]. */
+  def pqTrain(emb: DataFrame, m: Int, ksub: Int, iters: Int): Array[(Long, Seq[Float])] = {
+    val dim = emb.select(col("embedding")).head().getSeq[Float](0).length
+    require(dim % m == 0, s"dim $dim not divisible by m $m")
+    val sub = dim / m
+    val perSub: Seq[Array[(Long, Seq[Float])]] = (0 until m).map { s =>
+      val sliced = emb.select(col("vec_id"),
+        slice(col("embedding"), s * sub + 1, sub).as("embedding"))
+      kmeansFit(sliced, ksub, iters)
+    }
+    (0 until ksub).map { j =>
+      j.toLong -> perSub.flatMap(cents => cents(j)._2)
+    }.toArray
+  }
+
+  /** Total squared quantization error of a codebook over the corpus
+    * (PQ training QA): sum over subspaces of the distance to the
+    * chosen code. */
+  def pqError(emb: DataFrame, codebook: Array[(Long, Seq[Float])], m: Int): Double = {
+    val dim = codebook.head._2.length
+    val sub = dim / m
+    val errs = (0 until m).map { s =>
+      val xs = slice(col("embedding"), s * sub + 1, sub)
+      val d2s = codebook.map { case (_, vec) =>
+        val cvec = vec.slice(s * sub, (s + 1) * sub)
+        val cc = cvec.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
+        dot(xs, xs) - lit(2.0) * dot(xs, typedLit(cvec)) + lit(cc)
+      }
+      (if (d2s.length == 1) d2s.head else least(d2s.toIndexedSeq: _*))
+    }.reduce(_ + _)
+    emb.select(errs.as("e")).agg(sum(col("e"))).head().getDouble(0)
+  }
+
   /** ADC (asymmetric distance) top-k over PQ codes — how a PQ index
     * is actually searched: each query precomputes one lookup table
     * per subspace (ksub distances to the codebook sub-vectors), and a

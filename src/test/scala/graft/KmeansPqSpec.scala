@@ -100,6 +100,23 @@ class KmeansPqSpec extends SparkFunSuite {
     }
   }
 
+  test("pq training beats an arbitrary codebook and is partition-invariant") {
+    val m = 4
+    val trained = Similarity.pqTrain(emb, m, ksub = 8, iters = 3)
+    val trainedB = Similarity.pqTrain(emb.repartition(5), m, ksub = 8, iters = 3)
+    trained.zip(trainedB).foreach { case ((_, a), (_, b)) => assert(a == b) }
+    val head = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val eTrained = Similarity.pqError(emb, trained, m)
+    val eHead = Similarity.pqError(emb, head, m)
+    assert(eTrained <= eHead + 1e-6,
+      s"trained codebook error $eTrained worse than arbitrary head vectors $eHead")
+    // trained codebook drives the full code/search path
+    val codes = Similarity.pqCodes(emb, trained, m)
+    assert(codes.filter(col("code") < 0 || col("code") >= 8).count() == 0)
+  }
+
   test("pq codes land in the codebook id range") {
     val cb = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("long"), col("embedding"))
