@@ -38,6 +38,7 @@ object DataQueries {
   val pqKsub = 16
   val stratifiedFracs: Seq[(String, Double)] = Seq("src0" -> 0.5, "src1" -> 0.1)
   val stratifiedDefault = 0.25
+  val tfidfK = 5
 
   /** Deterministic fixture quantizer/codebook: the `n` lowest-id
     * embeddings (mirrored by `WHERE vec_id < n` in the oracles). */
@@ -170,6 +171,8 @@ object DataQueries {
         annQueries, annK)),
 
     "q_lm_score" -> ((s, d) => TextOps.lmScore(docs(s, d))),
+
+    "q_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), tfidfK)),
 
     "q_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(docs(s, d), stratifiedFracs.toMap, stratifiedDefault)
@@ -497,6 +500,29 @@ object DataQueries {
         |  CAST(SUM(logp_micro) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_logp
         |FROM toks JOIN lp USING (tok)
         |GROUP BY doc_id""".stripMargin,
+
+    // idf rounds to micro units once per vocab entry; score = tf ×
+    // idf_micro is pure integer arithmetic, so ranking is exact
+    "q_tfidf" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |idf AS (
+         |  SELECT tok,
+         |    CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) AS idf_micro
+         |  FROM dfq CROSS JOIN n),
+         |scored AS (
+         |  SELECT tf.doc_id, tf.tok, tf.tf,
+         |    tf.tf * idf.idf_micro AS score_micro
+         |  FROM tf JOIN idf USING (tok))
+         |SELECT doc_id, rank, tok AS term, tf, score_micro FROM (
+         |  SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY doc_id
+         |    ORDER BY score_micro DESC, tok ASC) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= $tfidfK""".stripMargin,
 
     "q_stratified" -> {
       val cases = stratifiedFracs.map { case (src, f) =>

@@ -216,6 +216,34 @@ object TextOps {
         col("sum_logp_micro").cast("double") / col("n_tokens") / lit(1e6))
   }
 
+  /** TF-IDF top-k terms per document — the keyword/feature-extraction
+    * step of corpus pipelines (dataset cards, topic routing, dedup
+    * blocking keys). tf is the in-doc count; idf = ln(N/df) rounded
+    * to exact micro units ONCE per vocab entry; score = tf ×
+    * idf_micro stays in pure integers, so the per-doc ranking is
+    * deterministic and engine-portable. The df/idf table is
+    * vocab-sized (broadcast; AQE shuffles past the threshold, which
+    * is then the right plan). */
+  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(n))
+      .select(col("tok"),
+        round(log(col("n_docs").cast("double") / col("df").cast("double"))
+          * lit(1e6)).cast("long").as("idf_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("tok").asc)
+    tf.join(broadcast(idf), "tok")
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("tok").as("term"),
+        col("tf"), col("score_micro"))
+  }
+
   /** Repetition signals (the cheap boilerplate/spam detectors of the
     * Gopher-style rule set): dominance of the single most frequent
     * token, and the duplicate-bigram fraction. Per-row list
