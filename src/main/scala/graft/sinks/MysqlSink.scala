@@ -14,6 +14,17 @@ import graft.operators.Routing
   * key — all statements for one key land in one partition, applied in
   * commit order by the in-partition sort. Equivalent guarantees, no
   * coordination.
+  *
+  * Secondary-unique-key caveat (the one case the DAG orders and the
+  * hash alone does not): two rows with DIFFERENT handle keys that
+  * transiently collide on a secondary UNIQUE key can apply out of
+  * order across partitions. The mapping here matches the reference's
+  * own remedies: key-change updates are pre-split into DELETE+INSERT
+  * ([[graft.operators.Transforms.updateSplit]], which the reference
+  * also does — mysql sink split update), safe-mode REPLACE absorbs
+  * transient duplicates during re-delivery, and table-level
+  * atomicity ([[applyBatchTxnAtomic]]) serializes the whole table
+  * when strict secondary-UK ordering is required.
   */
 object MysqlSink {
 
