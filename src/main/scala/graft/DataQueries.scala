@@ -47,6 +47,42 @@ object DataQueries {
       .select(col("vec_id").cast("long"), col("embedding"))
       .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
 
+  /** Shared PQ oracle CTEs (embeddings, codebook, subspaces, codes,
+    * per-query ADC lookup tables) — q_pq_adc and q_ivfpq compose on
+    * top so the two oracles cannot drift. */
+  private lazy val pqCtes: String = {
+    val sub = 64 / pqM
+    def sl(e: String) = s"list_slice($e, subs.sub * $sub + 1, subs.sub * $sub + $sub)"
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+       |cb AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < $pqKsub),
+       |subs AS (SELECT unnest(range($pqM)) AS sub),
+       |codes AS (
+       |  SELECT vec_id, sub, cid AS code FROM (
+       |    SELECT e.vec_id, subs.sub, cb.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, subs.sub ORDER BY
+       |        list_dot_product(${sl("e.emb")}, ${sl("e.emb")})
+       |          - 2.0 * list_dot_product(${sl("e.emb")}, ${sl("cb.c_emb")})
+       |          + list_dot_product(${sl("cb.c_emb")}, ${sl("cb.c_emb")}) ASC,
+       |        cb.cid ASC) AS rn
+       |    FROM e CROSS JOIN subs CROSS JOIN cb)
+       |  WHERE rn = 1),
+       |luts AS (
+       |  SELECT q.vec_id AS query_id, subs.sub, cb.cid,
+       |    CAST(round((list_dot_product(${sl("q.emb")}, ${sl("q.emb")})
+       |      - 2.0 * list_dot_product(${sl("q.emb")}, ${sl("cb.c_emb")})
+       |      + list_dot_product(${sl("cb.c_emb")}, ${sl("cb.c_emb")}))
+       |      * 1000000.0) AS BIGINT) AS d2_micro
+       |  FROM e q CROSS JOIN subs CROSS JOIN cb WHERE q.vec_id < $annQueries)""".stripMargin
+  }
+
+  private lazy val adcRankSql: String =
+    s"""SELECT query_id, rank, neighbor_id, adc_micro FROM (
+       |  SELECT query_id, vec_id AS neighbor_id, adc_micro,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY adc_micro ASC, vec_id ASC) AS BIGINT) AS rank
+       |  FROM scored)
+       |WHERE rank <= $annK""".stripMargin
+
   /** PII fixture: the corpus has no emails/IPs, so inject
     * deterministic ones on a doc_id lattice (mirrored in the oracle). */
   private def piiInjected =
@@ -169,6 +205,11 @@ object DataQueries {
     "q_pq_adc" -> ((s, d) =>
       Similarity.pqAdcTopK(emb(s, d), headVectors(s, d, pqKsub), pqM,
         annQueries, annK)),
+
+    // the billion-scale layout: coarse cell probe + ADC rank inside it
+    "q_ivfpq" -> ((s, d) =>
+      Similarity.ivfPqTopK(emb(s, d), headVectors(s, d, kmeansK),
+        headVectors(s, d, pqKsub), pqM, annQueries, annK)),
 
     "q_lm_score" -> ((s, d) => TextOps.lmScore(docs(s, d))),
 
@@ -444,42 +485,41 @@ object DataQueries {
     // ADC search over PQ codes: lookup tables are micro-unit longs
     // (entries reproduce the Spark/Scala fold bit-for-bit), candidate
     // distance = exact integer sum of m table entries
-    "q_pq_adc" -> {
-      val sub = 64 / pqM
-      def sl(e: String) = s"list_slice($e, subs.sub * $sub + 1, subs.sub * $sub + $sub)"
-      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
-         |cb AS (SELECT vec_id AS cid, emb AS c_emb FROM e WHERE vec_id < $pqKsub),
-         |subs AS (SELECT unnest(range($pqM)) AS sub),
-         |codes AS (
-         |  SELECT vec_id, sub, cid AS code FROM (
-         |    SELECT e.vec_id, subs.sub, cb.cid,
-         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id, subs.sub ORDER BY
-         |        list_dot_product(${sl("e.emb")}, ${sl("e.emb")})
-         |          - 2.0 * list_dot_product(${sl("e.emb")}, ${sl("cb.c_emb")})
-         |          + list_dot_product(${sl("cb.c_emb")}, ${sl("cb.c_emb")}) ASC,
-         |        cb.cid ASC) AS rn
-         |    FROM e CROSS JOIN subs CROSS JOIN cb)
-         |  WHERE rn = 1),
-         |luts AS (
-         |  SELECT q.vec_id AS query_id, subs.sub, cb.cid,
-         |    CAST(round((list_dot_product(${sl("q.emb")}, ${sl("q.emb")})
-         |      - 2.0 * list_dot_product(${sl("q.emb")}, ${sl("cb.c_emb")})
-         |      + list_dot_product(${sl("cb.c_emb")}, ${sl("cb.c_emb")}))
-         |      * 1000000.0) AS BIGINT) AS d2_micro
-         |  FROM e q CROSS JOIN subs CROSS JOIN cb WHERE q.vec_id < $annQueries),
+    "q_pq_adc" ->
+      s"""WITH $pqCtes,
          |scored AS (
          |  SELECT l.query_id, c.vec_id,
          |    CAST(SUM(l.d2_micro) AS BIGINT) AS adc_micro
          |  FROM codes c JOIN luts l ON c.sub = l.sub AND c.code = l.cid
          |  WHERE c.vec_id <> l.query_id
          |  GROUP BY 1, 2)
-         |SELECT query_id, rank, neighbor_id, adc_micro FROM (
-         |  SELECT query_id, vec_id AS neighbor_id, adc_micro,
-         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |      ORDER BY adc_micro ASC, vec_id ASC) AS BIGINT) AS rank
-         |  FROM scored)
-         |WHERE rank <= $annK""".stripMargin
-    },
+         |$adcRankSql""".stripMargin,
+
+    // IVF-PQ: same codes/tables, candidates restricted to the
+    // query's coarse cell before ADC ranking
+    "q_ivfpq" ->
+      s"""WITH $pqCtes,
+         |cents AS (SELECT vec_id AS ccid, emb AS ct_emb,
+         |            list_dot_product(emb, emb) AS cc
+         |          FROM e WHERE vec_id < $kmeansK),
+         |cells AS (
+         |  SELECT vec_id, ccid AS cell FROM (
+         |    SELECT e.vec_id, cents.ccid,
+         |      ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |        list_dot_product(e.emb, e.emb)
+         |          - 2.0 * list_dot_product(e.emb, cents.ct_emb) + cents.cc ASC,
+         |        cents.ccid ASC) AS rn
+         |    FROM e CROSS JOIN cents)
+         |  WHERE rn = 1),
+         |scored AS (
+         |  SELECT l.query_id, c.vec_id,
+         |    CAST(SUM(l.d2_micro) AS BIGINT) AS adc_micro
+         |  FROM codes c JOIN luts l ON c.sub = l.sub AND c.code = l.cid
+         |  JOIN cells cand ON cand.vec_id = c.vec_id
+         |  JOIN cells qc ON qc.vec_id = l.query_id
+         |  WHERE c.vec_id <> l.query_id AND cand.cell = qc.cell
+         |  GROUP BY 1, 2)
+         |$adcRankSql""".stripMargin,
 
     // per-token log-probs round to exact micro units BEFORE the
     // per-doc sum (mirrors TextOps.lmScore) — ln() runs once per

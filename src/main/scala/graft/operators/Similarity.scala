@@ -426,6 +426,66 @@ object Similarity {
         col("vec_id").as("neighbor_id"), col("adc_micro"))
   }
 
+  /** IVF-PQ search — the canonical billion-scale ANN layout (an
+    * IndexIVFPQ): the coarse quantizer routes every vector to a cell;
+    * a query probes ONLY its cell and ranks the candidates by ADC
+    * over their PQ codes. Candidate count scales with cell size (not
+    * corpus size), per-candidate cost is m integer lookups (no float
+    * math), and both models are driver-side literals — the whole
+    * search is one broadcast join over the scan. Query cells are
+    * computed driver-side with the same fold/tie-break as the inline
+    * expression, so routing is bit-identical. */
+  def ivfPqTopK(emb: DataFrame, centroids: Array[(Long, Seq[Float])],
+                codebook: Array[(Long, Seq[Float])], m: Int,
+                numQueries: Int, k: Int): DataFrame = {
+    val dim = codebook.head._2.length
+    val sub = dim / m
+    val sorted = codebook.sortBy(_._1)
+    require(sorted.zipWithIndex.forall { case ((cid, _), i) => cid == i },
+      "ADC lookup indexes tables by code: codebook cids must be 0..ksub-1")
+    def dotd(a: Seq[Float], b: Seq[Float]): Double =
+      a.zip(b).foldLeft(0.0)((acc, p) => acc + p._1.toDouble * p._2.toDouble)
+    val queries = emb.filter(col("vec_id") < numQueries)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val qRows = queries.map { case (qid, qv) =>
+      val xx = dotd(qv, qv)
+      // same (d2, cid) lexicographic argmin as nearestCellExpr
+      val qCell = centroids.map { case (cid, cv) =>
+        (xx - 2.0 * dotd(qv, cv) + dotd(cv, cv), cid)
+      }.min._2
+      val luts: Seq[Seq[Long]] = (0 until m).map { s =>
+        val qs = qv.slice(s * sub, (s + 1) * sub)
+        val qq = dotd(qs, qs)
+        sorted.toSeq.map { case (_, cv) =>
+          val cs = cv.slice(s * sub, (s + 1) * sub)
+          math.round((qq - 2.0 * dotd(qs, cs) + dotd(cs, cs)) * 1e6)
+        }
+      }
+      (qid, qCell, luts)
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val q = broadcast(qRows.toSeq.toDF("query_id", "q_cell", "__luts"))
+    val adc = (0 until m).map { s =>
+      element_at(element_at(col("__luts"), s + 1),
+        col(s"__c$s").cast("int") + 1)
+    }.reduce(_ + _)
+    val withCell = pqCodesWide(emb, codebook, m)
+      .withColumn("__xx", dot(col("embedding"), col("embedding")))
+      .withColumn("cell", nearestCellExpr(centroids, col("__xx")))
+    val scored = withCell
+      .join(q, col("cell") === col("q_cell") && col("vec_id") =!= col("query_id"))
+      .withColumn("adc_micro", adc)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("adc_micro").asc, col("vec_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("vec_id").as("neighbor_id"), col("adc_micro"))
+  }
+
   /** Bucketed near-neighbor pairs: same LSH bucket + cosine above
     * threshold. Candidate generation is bucket-collect (one groupBy
     * gathering each bucket's vectors, pairs exploding in place)

@@ -117,6 +117,24 @@ class KmeansPqSpec extends SparkFunSuite {
     assert(codes.filter(col("code") < 0 || col("code") >= 8).count() == 0)
   }
 
+  test("ivf-pq with one coarse cell equals plain ADC; trained models run e2e") {
+    val cb = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1))).sortBy(_._1)
+    val oneCell = Array(cb.head)
+    val adc = Similarity.pqAdcTopK(emb, cb, m = 4, numQueries = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    val ivfpq = Similarity.ivfPqTopK(emb, oneCell, cb, m = 4, numQueries = 3, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(ivfpq == adc, "a single coarse cell must not change ADC ranking")
+    // trained quantizer + trained codebook end-to-end
+    val cents = Similarity.kmeansFit(emb, k = 4, maxIter = 2)
+    val trained = Similarity.pqTrain(emb, m = 4, ksub = 8, iters = 2)
+    val out = Similarity.ivfPqTopK(emb, cents, trained, m = 4, numQueries = 3, k = 5)
+    assert(out.count() > 0)
+    assert(out.filter(col("rank") > 5).count() == 0)
+  }
+
   test("pq codes land in the codebook id range") {
     val cb = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("long"), col("embedding"))
