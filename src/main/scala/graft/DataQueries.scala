@@ -39,6 +39,9 @@ object DataQueries {
   val stratifiedFracs: Seq[(String, Double)] = Seq("src0" -> 0.5, "src1" -> 0.1)
   val stratifiedDefault = 0.25
   val tfidfK = 5
+  val chunkWindow = 16
+  val mixAlpha = 0.7
+  val mixTargetFrac = 0.5
 
   /** Deterministic fixture quantizer/codebook: the `n` lowest-id
     * embeddings (mirrored by `WHERE vec_id < n` in the oracles). */
@@ -215,9 +218,15 @@ object DataQueries {
 
     "q_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), tfidfK)),
 
+    "q_chunk_dedup" -> ((s, d) => TextOps.chunkDedup(docs(s, d), chunkWindow)),
+
     "q_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(docs(s, d), stratifiedFracs.toMap, stratifiedDefault)
-        .select(col("doc_id"), col("source"), col("sample_bucket"), col("sampled")))
+        .select(col("doc_id"), col("source"), col("sample_bucket"), col("sampled"))),
+
+    "q_temperature_mix" -> ((s, d) =>
+      Sampling.temperatureMix(docs(s, d), mixAlpha, mixTargetFrac)
+        .select(col("doc_id"), col("source"), col("mix_frac"), col("sampled")))
   )
 
   // ---- DuckDB oracles (generated) ----
@@ -541,6 +550,30 @@ object DataQueries {
         |FROM toks JOIN lp USING (tok)
         |GROUP BY doc_id""".stripMargin,
 
+    // chunk keeper = min (doc_id, chunk_idx) per identical chunk;
+    // reassembly is order-by-index string_agg on both sides
+    "q_chunk_dedup" -> {
+      val w = chunkWindow
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |chunks AS (
+         |  SELECT doc_id, unnest(range(CAST(ceil(len(w) / $w.0) AS BIGINT))) AS chunk_idx, w
+         |  FROM toks),
+         |c2 AS (
+         |  SELECT doc_id, chunk_idx,
+         |    array_to_string(w[chunk_idx * $w + 1 : chunk_idx * $w + $w], ' ') AS chunk
+         |  FROM chunks),
+         |marked AS (
+         |  SELECT doc_id, chunk_idx, chunk,
+         |    ROW_NUMBER() OVER (PARTITION BY md5(chunk)
+         |      ORDER BY doc_id, chunk_idx) = 1 AS kept
+         |  FROM c2)
+         |SELECT doc_id, COUNT(*) AS n_chunks,
+         |  CAST(SUM(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+         |  COALESCE(string_agg(CASE WHEN kept THEN chunk END, ' '
+         |    ORDER BY chunk_idx), '') AS cleaned_text
+         |FROM marked GROUP BY doc_id""".stripMargin
+    },
+
     // idf rounds to micro units once per vocab entry; score = tf ×
     // idf_micro is pure integer arithmetic, so ranking is exact
     "q_tfidf" ->
@@ -563,6 +596,29 @@ object DataQueries {
          |    ORDER BY score_micro DESC, tok ASC) AS BIGINT) AS rank
          |  FROM scored)
          |WHERE rank <= $tfidfK""".stripMargin,
+
+    // pow weights round to micro units BEFORE the cross-source sum
+    // (mirrors Sampling.temperatureMix); every arithmetic step keeps
+    // the same left-assoc shape so the fractions compare bit-exact
+    "q_temperature_mix" ->
+      s"""WITH sizes AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY 1),
+         |pw AS (
+         |  SELECT source, n,
+         |    CAST(round(pow(CAST(n AS DOUBLE), $mixAlpha) * 1000000.0) AS BIGINT) AS pwm
+         |  FROM sizes),
+         |tot AS (
+         |  SELECT CAST(SUM(pwm) AS BIGINT) AS sumpw,
+         |    CAST(SUM(n) AS BIGINT) AS total FROM pw),
+         |fr AS (
+         |  SELECT source,
+         |    LEAST(1.0, CAST(pwm AS DOUBLE) / CAST(sumpw AS DOUBLE)
+         |      * ($mixTargetFrac * CAST(total AS DOUBLE))
+         |      / CAST(n AS DOUBLE)) AS mix_frac
+         |  FROM pw CROSS JOIN tot)
+         |SELECT d.doc_id, d.source, fr.mix_frac,
+         |  CAST(('0x' || substring(md5(d.source || ':' || CAST(d.doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+         |    < CAST(floor(fr.mix_frac * 10000) AS BIGINT) AS sampled
+         |FROM documents d JOIN fr USING (source)""".stripMargin,
 
     "q_stratified" -> {
       val cases = stratifiedFracs.map { case (src, f) =>

@@ -72,6 +72,36 @@ object Sampling {
         col("sample_bucket") < (fracCol * SplitBuckets).cast("long"))
   }
 
+  /** Temperature-based mixture sampling (the multilingual-LM source
+    * rebalancing rule: weight each source ∝ n^α, α<1 upsampling the
+    * tail): per-source keep fraction
+    * f_s = min(1, (n_s^α / Σ n^α) · targetFrac·N / n_s), decided
+    * per-doc by the same pure (source,id) hash as
+    * [[stratifiedSample]]. The source-size table is group-count-sized
+    * (broadcast); pow weights round to exact micro units BEFORE the
+    * cross-source sum, so fractions are bit-reproducible under any
+    * partitioning and engine. */
+  def temperatureMix(docs: DataFrame, alpha: Double, targetFrac: Double,
+                     idCol: String = "doc_id"): DataFrame = {
+    val sizes = docs.groupBy(col("source")).agg(count(lit(1)).as("__n"))
+      .withColumn("__pwm",
+        round(pow(col("__n").cast("double"), lit(alpha)) * lit(1e6)).cast("long"))
+    val tot = sizes.agg(sum(col("__pwm")).as("__sumpw"), sum(col("__n")).as("__total"))
+    val frac = sizes.crossJoin(broadcast(tot))
+      .withColumn("mix_frac", least(lit(1.0),
+        (col("__pwm").cast("double") / col("__sumpw").cast("double"))
+          * (lit(targetFrac) * col("__total").cast("double"))
+          / col("__n").cast("double")))
+      .select(col("source"), col("mix_frac"))
+    val bucket = pmod(graft.functions.HashExpressions.md5Prefix64(
+      concat(col("source"), lit(":"), col(idCol).cast("string")), 15),
+      lit(SplitBuckets))
+    docs.join(broadcast(frac), "source")
+      .withColumn("sample_bucket", bucket)
+      .withColumn("sampled",
+        col("sample_bucket") < floor(col("mix_frac") * SplitBuckets).cast("long"))
+  }
+
   /** Context-window sequence packing: assign docs to packs of ≈
     * `windowTokens` tokens, greedy in deterministic (source, doc_id)
     * order — the running-sum formulation of [[graft.functions.

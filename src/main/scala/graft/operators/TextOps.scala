@@ -216,6 +216,42 @@ object TextOps {
         col("sum_logp_micro").cast("double") / col("n_tokens") / lit(1e6))
   }
 
+  /** Chunk-level exact dedup (the C4/RefinedWeb line-dedup op at
+    * fixed token-window granularity, for corpora without natural line
+    * structure): each document splits into consecutive `window`-token
+    * chunks; of every set of byte-identical chunks corpus-wide, only
+    * the FIRST occurrence (min (doc_id, chunk_idx)) survives, and
+    * each document reassembles from its kept chunks in order.
+    *
+    * Scale: one shuffle keyed on the chunk md5 (never the chunk
+    * text), chunk-count-sized; reassembly sorts in-group structs —
+    * no window over the corpus, no driver state. */
+  def chunkDedup(docs: DataFrame, window: Int): DataFrame = {
+    val toks = tokens(col("text"))
+    val nChunks = ceil(size(toks).cast("double") / window).cast("int")
+    val chunks = docs.select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), nChunks - 1),
+          i => array_join(slice(toks, i * window + 1, lit(window)), " "))))
+      .select(col("doc_id"), col("pos").cast("long").as("chunk_idx"),
+        col("col").as("chunk"), md5(col("col")).as("__h"))
+    val keepers = chunks.groupBy(col("__h"))
+      .agg(min(struct(col("doc_id"), col("chunk_idx"))).as("__first"))
+      .select(col("__h"), col("__first.doc_id").as("__kdoc"),
+        col("__first.chunk_idx").as("__kidx"))
+    chunks.join(keepers, "__h")
+      .withColumn("kept",
+        col("doc_id") === col("__kdoc") && col("chunk_idx") === col("__kidx"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(col("kept"), struct(col("chunk_idx"), col("chunk"))))),
+            s => s.getField("chunk")),
+          " ").as("cleaned_text"))
+  }
+
   /** TF-IDF top-k terms per document — the keyword/feature-extraction
     * step of corpus pipelines (dataset cards, topic routing, dedup
     * blocking keys). tf is the in-doc count; idf = ln(N/df) rounded

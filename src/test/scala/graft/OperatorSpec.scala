@@ -476,6 +476,34 @@ class OperatorSpec extends SparkFunSuite {
     assert(scored(1L)._1 == 4L)
   }
 
+  test("temperature mix: alpha=1 is uniform, alpha<1 upsamples the tail") {
+    import spark.implicits._
+    // src0 = 160 docs, src1 = 40 docs
+    val docs = (0L until 200L).map(i => (i, if (i < 160) "src0" else "src1", "t"))
+      .toDF("doc_id", "source", "text")
+    val uniform = Sampling.temperatureMix(docs, alpha = 1.0, targetFrac = 0.5)
+      .select(col("source"), col("mix_frac")).distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(uniform("src0") - 0.5) < 1e-6)
+    assert(math.abs(uniform("src1") - 0.5) < 1e-6)
+    val temp = Sampling.temperatureMix(docs, alpha = 0.5, targetFrac = 0.5)
+      .select(col("source"), col("mix_frac")).distinct()
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(temp("src1") > temp("src0"),
+      s"alpha<1 must upsample the small source: $temp")
+    // chunk dedup: identical chunk across docs keeps first occurrence
+    val dup = Seq(
+      (1L, ("a b c d " * 4).trim),                       // chunks: [a b c d ...]x1
+      (2L, ("a b c d " * 4).trim + " " + ("x y z w " * 4).trim)
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkDedup(dup, window = 16)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L)._2 == 1L, s"doc1 keeps its chunk: ${out(1L)}")
+    assert(out(2L)._2 == out(2L)._1 - 1,
+      s"doc2 loses the duplicated chunk, keeps the rest: ${out(2L)}")
+    assert(!out(2L)._3.contains("a b c d"), "dup chunk removed from doc2")
+  }
+
   test("stratified sample: pure hash — deterministic, boundary fractions exact") {
     import spark.implicits._
     val docs = (0L until 200L).map(i => (i, s"src${i % 4}", "t"))
