@@ -115,6 +115,23 @@ class PlanSpec extends SparkFunSuite {
       }
   }
 
+  test("lm/tfidf/mix: vocab- and source-sized tables broadcast into the scan") {
+    Seq("q_lm_score", "q_tfidf", "q_temperature_mix").foreach { q =>
+      val p = plan(q)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$q: the model/weight table is bounded — it must broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$q must not shuffle-join the corpus side:\n$p")
+    }
+  }
+
+  test("q_chunk_dedup: one md5-keyed dedup shuffle, no corpus window") {
+    val p = plan("q_chunk_dedup")
+    assert(!p.contains("Window"), "reassembly must be in-group sort, not a window")
+    assert(!p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"),
+      s"keeper join should broadcast at fixture scale:\n$p")
+  }
+
   test("q_asof_attrib: as-of join is join-free (union + running window)") {
     val p = plan("q_asof_attrib")
     assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin") &&
