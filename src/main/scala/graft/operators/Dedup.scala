@@ -308,6 +308,33 @@ object Dedup {
     env.withWatermark(eventTimeCol, delay)
       .dropDuplicatesWithinWatermark(keyCols)
 
+  /** The 16-lane minhash signature as ONE per-row expression (no
+    * explode, no aggregation): lane i = min over distinct tokens of
+    * (md5-hash · Aᵢ + Bᵢ) mod P — higher-order functions only, so it
+    * composes into streaming plans without a stateful aggregation.
+    * Bit-equal to the [[minhashSignatures]] lane columns. */
+  def minhashSignatureExpr(text: Column): Column = {
+    val hs = transform(array_distinct(split(text, " ")), t => tokenHash(t))
+    concat_ws(",", (0 until NumHashes).map { i =>
+      array_min(transform(hs, h => pmod(h * hashA(i) + hashB(i), lit(MinhashPrime))))
+        .cast("string")
+    }: _*)
+  }
+
+  /** Cross-batch NEAR-dup suppression: documents whose full minhash
+    * signature collides within the watermark window collapse to the
+    * first arrival. The signature is a pure row expression
+    * ([[minhashSignatureExpr]]), so the plan has exactly ONE stateful
+    * operator and its state evicts at the watermark. Full-signature
+    * collision is the conservative end of the LSH family (all 16
+    * lanes agree ⇒ very high Jaccard) — band-level recall stays a
+    * batch backfill concern ([[minhashPairs]]). */
+  def streamingNearDup(env: DataFrame, textCol: String,
+                       eventTimeCol: String, delay: String): DataFrame =
+    env.withColumn("__minhash_sig", minhashSignatureExpr(col(textCol)))
+      .withWatermark(eventTimeCol, delay)
+      .dropDuplicatesWithinWatermark(Seq("__minhash_sig"))
+
   /** Exact Jaccard pairs with PREFIX FILTERING — the AllPairs/PPJoin
     * candidate-generation rule: under any global total order of
     * tokens, two sets with J(A,B) ≥ t must share a token within their

@@ -89,6 +89,46 @@ class ChangefeedSpec extends SparkFunSuite {
     assert(out.select("_row_id").distinct().count() == out.count())
   }
 
+  test("streaming near-dup: signature collisions collapse across batches") {
+    // expression signature must be bit-equal to the aggregated lanes
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val viaAgg = graft.operators.Dedup.minhashSignatures(docs)
+      .select(col("doc_id"), concat_ws(",",
+        (0 until graft.operators.Dedup.NumHashes)
+          .map(i => col(s"m$i").cast("string")): _*).as("sig"))
+    val viaExpr = docs.select(col("doc_id"),
+      graft.operators.Dedup.minhashSignatureExpr(col("text")).as("sig2"))
+    assert(viaAgg.join(viaExpr, "doc_id")
+      .filter(col("sig") =!= col("sig2")).count() == 0,
+      "expression signature must equal the aggregated signature")
+
+    // cross-batch collapse: same corpus staged twice, one file per batch
+    val tmp = Files.createTempDirectory("graft-sneardup").toString
+    val src = s"$tmp/source"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      java.nio.file.Paths.get(s"$src/docs_a.parquet"))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      java.nio.file.Paths.get(s"$src/docs_b.parquet"))
+    val schema = spark.read.parquet(src).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+      .withColumn("_event_time", timestamp_micros(col("doc_id") * 1000L))
+    val deduped = graft.operators.Dedup.streamingNearDup(
+      stream, "text", "_event_time", "1 hour")
+    val q = deduped.drop("_event_time").writeStream
+      .format("parquet").option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.read.parquet(s"$tmp/out")
+    val distinctSigs = viaExpr.select(col("sig2")).distinct().count()
+    assert(out.count() == distinctSigs,
+      s"near-dup signatures must collapse across batches (${out.count()} vs $distinctSigs)")
+  }
+
   test("mysql-path changefeed applies ordered statements via foreachBatch") {
     val tmp = Files.createTempDirectory("graft-cfm").toString
     val src = s"$tmp/source"
