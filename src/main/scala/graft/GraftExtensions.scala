@@ -48,5 +48,40 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         } else 15
         Md5PrefixLong(children.head, digits)
       }))
+    // the dedup/sampling kernels as SQL functions (pure catalyst
+    // trees — the Column-built forms carry unresolved nodes that the
+    // function registry cannot analyze): the 16-lane minhash
+    // signature and the deterministic split/sampling bucket
+    e.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "minhash_sig"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "minhash_sig(text) takes one string")
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.types.{LongType, StringType}
+        val tok = NamedLambdaVariable("t", StringType, nullable = true)
+        val hashed = ArrayTransform(
+          ArrayDistinct(StringSplit(children.head, Literal(" "), Literal(-1))),
+          LambdaFunction(Md5PrefixLong(tok, 7), Seq(tok)))
+        val lanes: Seq[Expression] = (0 until graft.operators.Dedup.NumHashes).map { i =>
+          val h = NamedLambdaVariable(s"h$i", LongType, nullable = true)
+          Cast(ArrayMin(ArrayTransform(hashed,
+            LambdaFunction(
+              Pmod(Add(Multiply(h, Literal(graft.operators.Dedup.hashA(i))),
+                Literal(graft.operators.Dedup.hashB(i))),
+                Literal(graft.operators.Dedup.MinhashPrime)),
+              Seq(h)))), StringType)
+        }
+        ConcatWs(Literal(",") +: lanes)
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("split_bucket"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "split_bucket"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "split_bucket(id) takes one argument")
+        import org.apache.spark.sql.catalyst.expressions.{Cast, Literal, Pmod}
+        import org.apache.spark.sql.types.StringType
+        Pmod(Md5PrefixLong(Cast(children.head, StringType), 15), Literal(10000L))
+      }))
   }
 }

@@ -36,6 +36,31 @@ class GraftExtensionsSpec extends AnyFunSuite {
         assert(r.getLong(1) == r.getLong(3), s"7-digit mismatch for ${r.getString(0)}")
         assert(r.getLong(2) == r.getLong(4), s"15-digit mismatch for ${r.getString(0)}")
       }
+      // minhash_sig / split_bucket SQL surface matches the operator kernels
+      val sig = extended.sql(
+        "SELECT minhash_sig('a b c'), minhash_sig('a b c'), minhash_sig('x y z')")
+        .head()
+      assert(sig.getString(0) == sig.getString(1))
+      assert(sig.getString(0) != sig.getString(2))
+      assert(sig.getString(0).split(",").length ==
+        graft.operators.Dedup.NumHashes)
+      val buckets = extended.sql(
+        "SELECT split_bucket(42), split_bucket(42), split_bucket(43)").head()
+      assert(buckets.getLong(0) == buckets.getLong(1))
+      assert(buckets.getLong(0) >= 0 && buckets.getLong(0) < 10000)
+      // SQL registrations are bit-equal to the operator kernels
+      val kernelEq = extended.sql(
+        "SELECT 'a b c a' AS text, 7 AS id")
+        .select(
+          org.apache.spark.sql.functions.expr("minhash_sig(text)").as("sqlSig"),
+          graft.operators.Dedup.minhashSignatureExpr(
+            org.apache.spark.sql.functions.col("text")).as("opSig"),
+          org.apache.spark.sql.functions.expr("split_bucket(id)").as("sqlB"),
+          graft.operators.Sampling.splitBucket(
+            org.apache.spark.sql.functions.col("id")).as("opB"))
+        .head()
+      assert(kernelEq.getString(0) == kernelEq.getString(1))
+      assert(kernelEq.getLong(2) == kernelEq.getLong(3))
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)
