@@ -18,12 +18,15 @@ import graft.model.{ChangefeedConfig, FilterConfig}
   *   POST   /api/v2/changefeeds/{id}/pause
   *   POST   /api/v2/changefeeds/{id}/resume
   *   DELETE /api/v2/changefeeds/{id}
+  *   PUT    /api/v2/changefeeds/{id}?rules=a.b,c.*   (paused only)
   *   POST   /api/v2/changefeeds/{id}/move_table?schema=&table=&target=N
   *   POST   /api/v2/changefeeds/{id}/split_table?schema=&table=&parts=N
   *   POST   /api/v2/changefeeds/{id}/merge_table?schema=&table=
   *   GET    /api/v2/changefeeds/{id}/tables    → span placements
+  *   GET    /api/v2/status | /health | /captures | /processors
   * (span routes: api/v2/api.go:76-81 move_table /
-  * split_table_by_region_count / merge_table / ListTables.)
+  * split_table_by_region_count / merge_table / ListTables; server
+  * surface api/v2/api.go:39,:58,:84-98.)
   *
   * Unknown changefeed ids answer 404 (the reference's 4xx), keeping
   * 500 for genuine handler failures.
@@ -139,6 +142,22 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0) {
           }.mkString("[", ",", "]")
           respond(ex, 200, body)
 
+        // reference UpdateChangefeed (api/v2/api.go:68): rules update,
+        // only while paused; IllegalArgument surfaces as 400
+        case ("PUT", Seq(id)) =>
+          queryParams(ex).get("rules") match {
+            case Some(rules) =>
+              try {
+                registry.updateFilter(id, rules.split(",").toSeq.filter(_.nonEmpty))
+                respond(ex, 200, s"""{"id":${jsonString(id)},"rules":${
+                  registry.filterRules(id).map(jsonString).mkString("[", ",", "]")}}""")
+              } catch {
+                case e: IllegalArgumentException =>
+                  respond(ex, 400, s"""{"error":${jsonString(String.valueOf(e.getMessage))}}""")
+              }
+            case None => respond(ex, 400, """{"error":"rules required"}""")
+          }
+
         case _ =>
           respond(ex, 404, """{"error":"not found"}""")
       }
@@ -147,6 +166,21 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0) {
         respond(ex, 500, s"""{"error":${jsonString(String.valueOf(e.getMessage))}}""")
     }
   })
+
+  // server-level surface (api/v2/api.go:39,:58,:84-98): status,
+  // health, the single in-process capture, processors = running feeds
+  server.createContext("/api/v2/status", (ex: HttpExchange) =>
+    respond(ex, 200,
+      s"""{"version":"graft","id":"capture-0","is_owner":true}"""))
+  server.createContext("/api/v2/health", (ex: HttpExchange) =>
+    respond(ex, 200, "{}"))
+  server.createContext("/api/v2/captures", (ex: HttpExchange) =>
+    respond(ex, 200,
+      s"""[{"id":"capture-0","is_owner":true,"address":"127.0.0.1:$boundPort"}]"""))
+  server.createContext("/api/v2/processors", (ex: HttpExchange) =>
+    respond(ex, 200, registry.runningFeeds.map(id =>
+      s"""{"changefeed_id":${jsonString(id)},"capture_id":"capture-0"}""")
+      .mkString("[", ",", "]")))
 
   def start(): ApiServer = { server.start(); this }
   def stop(): Unit = server.stop(0)

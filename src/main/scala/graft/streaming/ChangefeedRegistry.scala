@@ -153,6 +153,26 @@ class ChangefeedRegistry(spark: SparkSession) {
     }
   }
 
+  /** Update the feed's table-filter rules (the reference's
+    * UpdateChangefeed, api/v2/changefeed.go — allowed only while the
+    * feed is not running; the new rules take effect at the next
+    * (re)start, the same micro-batch scheduling fence as span
+    * moves). */
+  def updateFilter(id: String, rules: Seq[String]): Unit = {
+    val e = entryOf(id)
+    require(e.query.isEmpty || !e.query.get.isActive,
+      s"$id must be paused to update")
+    e.cfg = e.cfg.copy(filter = e.cfg.filter.copy(rules = rules))
+  }
+
+  def filterRules(id: String): Seq[String] = entryOf(id).cfg.filter.rules
+
+  /** Changefeeds with an active query — the ListProcessor view (one
+    * in-process capture ⇒ processor per running feed). */
+  def runningFeeds: Seq[String] =
+    feeds.collect { case (id, e) if e.query.exists(_.isActive) => id }
+      .toSeq.sorted
+
   /** (id, state, emitted-row count) — the status/synced API view. */
   def status(id: String): (String, String, Long) = {
     val e = feeds.getOrElse(id, sys.error(s"no changefeed $id"))

@@ -67,8 +67,30 @@ class ApiServerSpec extends SparkFunSuite {
       val (_, s3) = call("GET", s"$base/cf-api/status")
       assert(s3.contains("\"state\":\"paused\""))
 
+      // update while paused (reference UpdateChangefeed semantics)
+      val (cu, bu) = call("PUT", s"$base/cf-api?rules=app.*,audit.events")
+      assert(cu == 200 && bu.contains("audit.events"), bu)
+      val (cu400, _) = call("PUT", s"$base/cf-api")
+      assert(cu400 == 400)
+
       val (c4, b4) = call("POST", s"$base/cf-api/resume")
       assert(c4 == 200 && b4.contains("running"), b4)
+
+      // update while running is a client error (400)
+      val (cuRun, _) = call("PUT", s"$base/cf-api?rules=other.*")
+      assert(cuRun == 400)
+
+      // server-level surface: status/health/captures/processors
+      val root = s"http://127.0.0.1:${api.boundPort}/api/v2"
+      val (chs, bhs) = call("GET", s"$root/status")
+      assert(chs == 200 && bhs.contains("capture-0"), bhs)
+      assert(call("GET", s"$root/health")._1 == 200)
+      val (cc, bc) = call("GET", s"$root/captures")
+      assert(cc == 200 && bc.contains("is_owner"), bc)
+      // the resumed AvailableNow query may already have drained, so
+      // the processor list is either empty or holds this feed
+      val (cp, bp) = call("GET", s"$root/processors")
+      assert(cp == 200 && (bp == "[]" || bp.contains("cf-api")), bp)
 
       // span scheduling: move → split → list → merge
       val (cm, bm) = call("POST",
