@@ -67,18 +67,49 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     } catch { case _: Throwable => -1.0 }
 
+    // encode micro-bench — the number comparable to BASELINE's
+    // RawKVEntry encode+decode ns/op (kv_entry_benchmark_test.go:
+    // 389 ns custom binary, 22896 ns JSON, single Go core): ns per
+    // row through the full open-protocol encode, in-memory frame, a
+    // noop sink forcing every _value byte to materialize. Wall and
+    // per-core both reported (local[N] vs the reference's -10).
+    val microRows = 4000000L
+    val micro: (Double, Double) = try {
+      import org.apache.spark.sql.functions._
+      val img = struct(col("id").as("user_id"),
+        (col("id") % 1000).cast("double").as("value"), (col("id") * 7).as("k"))
+      val env = spark.range(microRows).select(
+        col("id").as("_row_id"), lit("app").as("_schema"),
+        concat(lit("t"), pmod(col("id"), lit(8L))).as("_table"),
+        when(col("id") % 3 === 0, "I").when(col("id") % 3 === 1, "U")
+          .otherwise("D").as("_op"),
+        (lit(1000000000L) + col("id")).as("_commit_ts"),
+        (lit(999999999L) + col("id")).as("_start_ts"),
+        img.as("before"), img.as("after"))
+      // warm codegen/JIT on a slice so the timed pass measures rows
+      graft.functions.Codecs.openProtocol(env.limit(200000))
+        .write.format("noop").mode("overwrite").save()
+      val t0 = System.nanoTime()
+      graft.functions.Codecs.openProtocol(env)
+        .write.format("noop").mode("overwrite").save()
+      val wallNs = (System.nanoTime() - t0).toDouble / microRows
+      (wallNs, wallNs * cpus.toDouble)
+    } catch { case _: Throwable => (-1.0, -1.0) }
+
     val all = results :+ ("bench_stream" -> streamSec)
     val total = all.map(_._2).sum
     val streamRps = if (streamSec > 0) streamRows / streamSec else -1.0
     def r3(v: Double): String = f"$v%.3f"
     val stream =
       s"""{"rows":$streamRows,"sec":${r3(streamSec)},"rows_per_sec":${r3(streamRps)}}"""
+    val microJson =
+      s"""{"rows":$microRows,"encode_ns_row_wall":${r3(micro._1)},"encode_ns_row_core":${r3(micro._2)}}"""
 
     // Full-precision detail: printed for humans and written to
     // bench_full.json so the judge can read every query's time.
     val fullQs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","stream":$stream}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","stream":$stream,"micro":$microJson}"""
     println(fullLine)
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
@@ -90,7 +121,7 @@ object Bench {
     // provably fits: slowest queries first, dropped past the budget.
     val budget = 1600
     val sortedQ = all.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","stream":$stream,"detail":"bench_full.json","queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","stream":$stream,"micro":$microJson,"detail":"bench_full.json","queries":{"""
     val tail = s"""},"queries_omitted":NNN}"""
     var used = head.length + tail.length
     val kept = sortedQ.takeWhile { e =>
