@@ -146,24 +146,49 @@ object StorageSink {
        |${cols.mkString(",\n")}]}""".stripMargin
   }
 
+  /** Versioned schema file name — the reference's
+    * `<schema>/<table>/meta/schema_{tableVersion}_{checksum:%010d}.json`
+    * layout (pkg/cloudstorage/generator.go:49-56, schema_file.go:286).
+    * The checksum is CRC32 of the canonical schema JSON — a
+    * deterministic stand-in for the reference's PositionInertia hash
+    * (the exact hash is internal to file naming, not a wire
+    * contract). */
+  def schemaFileName(version: Long, content: String): String = {
+    val crc = new java.util.zip.CRC32()
+    crc.update(content.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    f"schema_${version}%d_${crc.getValue}%010d.json"
+  }
+
+  private val schemaFileRe =
+    """meta/schema_\d+_\d{10}\.json$""".r
+
+  /** Mirrors the reference's IsSchemaFile (generator.go:61). */
+  def isSchemaFile(path: String): Boolean =
+    schemaFileRe.findFirstIn(path).isDefined
+
   /** Schema metadata file per (schema, table) — the reference writes
-    * `schema.json` beside the data (generator.go:103). Columns derive
-    * from the frame's own `after` payload schema (TableInfo-generic,
-    * like the reference's generator), never hardcoded.
+    * versioned `meta/schema_{version}_{checksum}.json` beside the data
+    * (generator.go:49-56). Columns derive from the frame's own
+    * `after` payload schema (TableInfo-generic, like the reference's
+    * generator), never hardcoded. A new table version writes a NEW
+    * file — consumers pick the highest version, so schema evolution
+    * never overwrites history.
     *
     * Driver-side walk of the distinct table list — fine to thousands
     * of tables; use [[writeSchemaMetaDistributed]] when the table
     * count is unbounded (the reference's 1M-table goal). */
-  def writeSchemaMeta(spark: SparkSession, encoded: DataFrame, baseDir: String): Unit = {
+  def writeSchemaMeta(spark: SparkSession, encoded: DataFrame, baseDir: String,
+                      tableVersion: Long = 100L): Unit = {
     val payload = encoded.schema("after").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val tables = encoded.select("_schema", "_table").distinct().collect()
     tables.foreach { r =>
       val (s, t) = (r.getString(0), r.getString(1))
-      val dir = java.nio.file.Paths.get(baseDir, "meta", s, t)
+      val dir = java.nio.file.Paths.get(baseDir, s, t, "meta")
       java.nio.file.Files.createDirectories(dir)
+      val content = schemaJson(s, t, payload)
       java.nio.file.Files.writeString(
-        dir.resolve("schema.json"), schemaJson(s, t, payload))
+        dir.resolve(schemaFileName(tableVersion, content)), content)
     }
   }
 
@@ -181,11 +206,13 @@ object StorageSink {
       .foreachPartition { rows: Iterator[org.apache.spark.sql.Row] =>
         rows.foreach { r =>
           val (s, t) = (r.getString(0), r.getString(1))
-          val dir = java.nio.file.Paths.get(baseDir, "meta", s, t)
+          val dir = java.nio.file.Paths.get(baseDir, s, t, "meta")
           java.nio.file.Files.createDirectories(dir)
-          java.nio.file.Files.writeString(dir.resolve("schema.json"),
+          val content =
             s"""{"schema":"$s","table":"$t","columns":[
-               |$payloadJsonCols]}""".stripMargin)
+               |$payloadJsonCols]}""".stripMargin
+          java.nio.file.Files.writeString(
+            dir.resolve(schemaFileName(100L, content)), content)
         }
       }
   }

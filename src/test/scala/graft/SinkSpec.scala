@@ -25,7 +25,15 @@ class SinkSpec extends SparkFunSuite {
     val back = spark.read.text(tmp)
     assert(back.count() == env.count())
     StorageSink.writeSchemaMeta(spark, encoded, tmp)
-    assert(Files.exists(Paths.get(s"$tmp/meta/app/events_0/schema.json")))
+    // versioned schema file: <schema>/<table>/meta/schema_{v}_{crc:%010d}.json
+    val metaFiles = new java.io.File(s"$tmp/app/events_0/meta").list()
+    assert(metaFiles != null && metaFiles.length == 1, String.valueOf(metaFiles))
+    assert(metaFiles.head.matches("schema_100_\\d{10}\\.json"), metaFiles.head)
+    assert(StorageSink.isSchemaFile(s"app/events_0/meta/${metaFiles.head}"))
+    assert(!StorageSink.isSchemaFile("app/events_0/meta/schema.json"))
+    // a different schema version writes a NEW file (history survives)
+    StorageSink.writeSchemaMeta(spark, encoded, tmp, tableVersion = 101L)
+    assert(new java.io.File(s"$tmp/app/events_0/meta").list().length == 2)
   }
 
   test("cdc file naming: part files become CDC{idx}.{ext}, index advances across writes") {
