@@ -14,6 +14,13 @@ class EntrySpec extends SparkFunSuite {
     assert(orphans.isEmpty, s"oracles without queries: $orphans")
   }
 
+  test("every declared query is oracle-checked (no silent rows-only checks)") {
+    // the full inventory is SQL-expressible today — a new query missing
+    // its oracle should be a conscious decision, not an oversight
+    val unchecked = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    assert(unchecked.isEmpty, s"queries without oracles: $unchecked")
+  }
+
   test("every query builds an analyzable plan at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val df = fn(spark, "/root/testdata/sf0.001")
