@@ -42,6 +42,7 @@ object DataQueries {
   val chunkWindow = 16
   val mixAlpha = 0.7
   val mixTargetFrac = 0.5
+  val hashedDim = 64
 
   /** Deterministic fixture quantizer/codebook: the `n` lowest-id
     * embeddings (mirrored by `WHERE vec_id < n` in the oracles). */
@@ -219,6 +220,9 @@ object DataQueries {
     "q_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), tfidfK)),
 
     "q_chunk_dedup" -> ((s, d) => TextOps.chunkDedup(docs(s, d), chunkWindow)),
+
+    "q_hashed_vectors" -> ((s, d) =>
+      TextOps.hashedTfidfVectors(docs(s, d), hashedDim)),
 
     "q_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(docs(s, d), stratifiedFracs.toMap, stratifiedDefault)
@@ -549,6 +553,26 @@ object DataQueries {
         |  CAST(SUM(logp_micro) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_logp
         |FROM toks JOIN lp USING (tok)
         |GROUP BY doc_id""".stripMargin,
+
+    // feature-hashing vectorizer: bucket = md5(token) % dim, weight =
+    // Σ tf·idf_micro per bucket — exact integer arithmetic after the
+    // once-per-vocab idf rounding
+    "q_hashed_vectors" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |idf AS (
+         |  SELECT tok,
+         |    CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) AS idf_micro,
+         |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % $hashedDim AS dim_idx
+         |  FROM dfq CROSS JOIN n)
+         |SELECT tf.doc_id, idf.dim_idx,
+         |  CAST(SUM(tf.tf * idf.idf_micro) AS BIGINT) AS weight_micro
+         |FROM tf JOIN idf USING (tok)
+         |GROUP BY 1, 2""".stripMargin,
 
     // chunk keeper = min (doc_id, chunk_idx) per identical chunk;
     // reassembly is order-by-index string_agg on both sides

@@ -41,6 +41,31 @@ object Sessionize {
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
   }
 
+  /** Streaming form: Structured Streaming's native `session_window`
+    * (gap-close semantics identical to the batch two-pass window) +
+    * watermark, so session state evicts `delay` past the newest event
+    * — unbounded-corpus sessionization with bounded memory. Emits one
+    * row per closed session (append mode: a session is final once the
+    * watermark passes its close). */
+  def streamingSessions(events: DataFrame, gapNs: Long, delay: String): DataFrame = {
+    val withTs = events.select(
+      col("event_id"), col("user_id"),
+      timestamp_micros(((col("ts").cast("long") -
+        pmod(col("ts").cast("long"), lit(1000L))) / 1000L).cast("long"))
+        .as("event_time"),
+      col("value"))
+    withTs
+      .withWatermark("event_time", delay)
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), s"${gapNs / 1000000L} milliseconds"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("n_events"), col("session_value"))
+  }
+
   /** DuckDB mirror (same two-pass window + group). */
   def oracleSql(gapNs: Long): String =
     s"""WITH e AS (

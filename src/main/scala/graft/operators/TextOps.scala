@@ -216,6 +216,30 @@ object TextOps {
         col("sum_logp_micro").cast("double") / col("n_tokens") / lit(1e6))
   }
 
+  /** Feature-hashing TF-IDF vectorizer (the "hashing trick"): each
+    * document becomes a `dim`-bucket sparse vector — bucket =
+    * md5(token) mod dim, weight = Σ tf·idf of the tokens hashing
+    * there — giving text a deterministic embedding WITHOUT an
+    * external model, ready for the ANN/dedup operators (cosine over
+    * sparse buckets). Weights stay in exact micro units end-to-end,
+    * so vectors are bit-reproducible. Output is the oracle-safe
+    * exploded form (doc_id, dim_idx, weight_micro). */
+  def hashedTfidfVectors(docs: DataFrame, dim: Int): DataFrame = {
+    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = df.crossJoin(broadcast(n))
+      .select(col("tok"),
+        round(log(col("n_docs").cast("double") / col("df").cast("double"))
+          * lit(1e6)).cast("long").as("idf_micro"),
+        pmod(graft.functions.HashExpressions.md5Prefix64(col("tok"), 15),
+          lit(dim.toLong)).as("dim_idx"))
+    tf.join(broadcast(idf), "tok")
+      .groupBy(col("doc_id"), col("dim_idx"))
+      .agg(sum(col("tf") * col("idf_micro")).as("weight_micro"))
+  }
+
   /** Chunk-level exact dedup (the C4/RefinedWeb line-dedup op at
     * fixed token-window granularity, for corpora without natural line
     * structure): each document splits into consecutive `window`-token

@@ -41,13 +41,9 @@ class SessionizeSpec extends SparkFunSuite {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       java.nio.file.Paths.get(s"$src/events.parquet"))
     val schema = spark.read.parquet(src).schema
-    val tsUs = ((col("ts").cast("long") -
-      pmod(col("ts").cast("long"), lit(1000L))) / lit(1000L)).cast("long")
-    val q = spark.readStream.schema(schema).parquet(src)
-      .select(col("user_id"), timestamp_micros(tsUs).as("__t"))
-      .withWatermark("__t", "0 seconds")
-      .groupBy(col("user_id"), session_window(col("__t"), "30 minutes"))
-      .agg(count(lit(1)).as("n_events"))
+    val gapNs = 30L * 60 * 1000 * 1000 * 1000
+    val q = Sessionize.streamingSessions(
+        spark.readStream.schema(schema).parquet(src), gapNs, "0 seconds")
       .writeStream.outputMode("append")
       .format("memory").queryName("stream_sessions")
       .option("checkpointLocation", s"$tmp/ckpt")
@@ -57,17 +53,16 @@ class SessionizeSpec extends SparkFunSuite {
     val streamed = spark.table("stream_sessions")
     // watermark-released sessions match the batch sessionizer's closed
     // sessions (the final open window per user may be withheld)
-    val gapNs = 30L * 60 * 1000 * 1000 * 1000
     val batchAll = Sessionize.sessions(
       Tables.events(spark, "/root/testdata/sf0.001"), gapNs)
     assert(streamed.count() > 0, "watermark released sessions")
     assert(streamed.count() <= batchAll.count())
     val streamedSet = streamed
-      .select(col("user_id"), unix_micros(col("session_window.start")).as("su"),
-        col("n_events")).collect().map(_.mkString("|")).toSet
+      .select(col("user_id"), unix_micros(col("session_start")).as("su"),
+        col("n_events"), col("session_value")).collect().map(_.mkString("|")).toSet
     val batchSet = batchAll
       .select(col("user_id"), (col("session_start") / 1000L).cast("long").as("su"),
-        col("n_events")).collect().map(_.mkString("|")).toSet
+        col("n_events"), col("session_value")).collect().map(_.mkString("|")).toSet
     assert(streamedSet.subsetOf(batchSet), "every released session is a true session")
   }
 }
