@@ -224,6 +224,14 @@ object DataQueries {
     "q_hashed_vectors" -> ((s, d) =>
       TextOps.hashedTfidfVectors(docs(s, d), hashedDim)),
 
+    // text → hashed vectors → the ANN stack unchanged: cosine top-k
+    // neighbors over documents with no external embedding model
+    "q_text_ann" -> ((s, d) =>
+      Similarity.bruteForceTopK(
+        TextOps.hashedDenseVectors(docs(s, d), hashedDim)
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+        annQueries, annK)),
+
     "q_stratified" -> ((s, d) =>
       Sampling.stratifiedSample(docs(s, d), stratifiedFracs.toMap, stratifiedDefault)
         .select(col("doc_id"), col("source"), col("sample_bucket"), col("sampled"))),
@@ -573,6 +581,47 @@ object DataQueries {
          |  CAST(SUM(tf.tf * idf.idf_micro) AS BIGINT) AS weight_micro
          |FROM tf JOIN idf USING (tok)
          |GROUP BY 1, 2""".stripMargin,
+
+    // text ANN: dense micro-weight vectors (exact integer-valued
+    // doubles) through the standard cosine top-k oracle pattern
+    "q_text_ann" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT COUNT(*) AS n_docs FROM documents),
+         |idf AS (
+         |  SELECT tok,
+         |    CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) AS idf_micro,
+         |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % $hashedDim AS dim_idx
+         |  FROM dfq CROSS JOIN n),
+         |w AS (
+         |  SELECT tf.doc_id, idf.dim_idx,
+         |    CAST(SUM(tf.tf * idf.idf_micro) AS BIGINT) AS w
+         |  FROM tf JOIN idf USING (tok) GROUP BY 1, 2),
+         |dense AS (
+         |  SELECT d.doc_id, list(CAST(coalesce(w.w, 0) AS DOUBLE) ORDER BY r.d) AS emb
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  CROSS JOIN (SELECT unnest(range($hashedDim)) AS d) r
+         |  LEFT JOIN w ON w.doc_id = d.doc_id AND w.dim_idx = r.d
+         |  GROUP BY d.doc_id),
+         |wc AS (
+         |  SELECT doc_id AS vec_id, emb,
+         |    sqrt(list_dot_product(emb, emb)) AS nn FROM dense),
+         |q AS (
+         |  SELECT vec_id AS query_id, emb AS q_emb, nn AS qn
+         |  FROM wc WHERE vec_id < $annQueries),
+         |scored AS (
+         |  SELECT q.query_id, wc.vec_id,
+         |    list_dot_product(q.q_emb, wc.emb) / (q.qn * wc.nn) AS cos
+         |  FROM wc CROSS JOIN q WHERE wc.vec_id <> q.query_id)
+         |SELECT query_id, rank, neighbor_id, cos_sim FROM (
+         |  SELECT query_id, vec_id AS neighbor_id, round(cos, 6) AS cos_sim,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |  FROM scored)
+         |WHERE rank <= $annK""".stripMargin,
 
     // chunk keeper = min (doc_id, chunk_idx) per identical chunk;
     // reassembly is order-by-index string_agg on both sides

@@ -240,6 +240,23 @@ object TextOps {
       .agg(sum(col("tf") * col("idf_micro")).as("weight_micro"))
   }
 
+  /** Dense form of [[hashedTfidfVectors]]: one `dim`-length
+    * array<double> per document (micro-unit weights — integers below
+    * 2^53, so the doubles are exact and engine-portable). This is the
+    * bridge from text into the ANN stack: the output feeds
+    * [[Similarity.bruteForceTopK]]/[[Similarity.lshNeighbors]]/IVF-PQ
+    * unchanged — similarity search over text with no external
+    * embedding model. */
+  def hashedDenseVectors(docs: DataFrame, dim: Int): DataFrame =
+    hashedTfidfVectors(docs, dim)
+      .groupBy(col("doc_id"))
+      .agg(map_from_entries(
+        collect_list(struct(col("dim_idx"), col("weight_micro")))).as("__m"))
+      .select(col("doc_id"),
+        transform(sequence(lit(0L), lit(dim - 1L)),
+          d => coalesce(element_at(col("__m"), d), lit(0L)).cast("double"))
+          .as("embedding"))
+
   /** Chunk-level exact dedup (the C4/RefinedWeb line-dedup op at
     * fixed token-window granularity, for corpora without natural line
     * structure): each document splits into consecutive `window`-token
