@@ -147,6 +147,16 @@ object DataQueries {
 
     "q_dedup_exact" -> ((s, d) => Dedup.exact(docs(s, d))),
 
+    // continuous-ingest dedup: the "new crawl" (odd doc ids) against
+    // the historical corpus (even doc ids)
+    "q_dedup_incremental" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalExact(
+        all.filter(pmod(col("doc_id"), lit(2L)) === 1),
+        all.filter(pmod(col("doc_id"), lit(2L)) === 0))
+        .select(col("doc_id"), col("source"), col("content_md5"))
+    }),
+
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashSignatures(docs(s, d))),
 
     "q_dedup_minhash_pairs" -> ((s, d) =>
@@ -581,6 +591,17 @@ object DataQueries {
          |  CAST(SUM(tf.tf * idf.idf_micro) AS BIGINT) AS weight_micro
          |FROM tf JOIN idf USING (tok)
          |GROUP BY 1, 2""".stripMargin,
+
+    "q_dedup_incremental" ->
+      """WITH newd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+        |old AS (SELECT DISTINCT md5(text) AS seen FROM documents WHERE doc_id % 2 = 0),
+        |fresh AS (
+        |  SELECT doc_id, source, md5(text) AS content_md5 FROM newd
+        |  WHERE md5(text) NOT IN (SELECT seen FROM old))
+        |SELECT doc_id, source, content_md5 FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5
+        |    ORDER BY doc_id) AS rn FROM fresh)
+        |WHERE rn = 1""".stripMargin,
 
     // text ANN: dense micro-weight vectors (exact integer-valued
     // doubles) through the standard cosine top-k oracle pattern

@@ -39,6 +39,25 @@ object Dedup {
     docs.groupBy(md5(col("text")).as("content_md5"))
       .agg(min(col("doc_id")).as("keeper_id"), count(lit(1)).as("n_copies"))
 
+  /** Incremental exact dedup: drop new documents whose content
+    * already exists in a HISTORICAL corpus — the continuous-ingest
+    * scenario (each crawl dedupes against everything kept so far).
+    * One hash anti-join on content md5; the corpus side is only its
+    * md5 column (in production a pre-computed hash table — scan-less),
+    * and AQE picks broadcast vs shuffle by its size. Also dedupes the
+    * new batch internally (first occurrence wins), so output is
+    * corpus-extendable. */
+  def incrementalExact(newDocs: DataFrame, corpus: DataFrame): DataFrame = {
+    val corpusHashes = corpus.select(md5(col("text")).as("__seen")).distinct()
+    newDocs
+      .withColumn("content_md5", md5(col("text")))
+      .join(corpusHashes, col("content_md5") === col("__seen"), "left_anti")
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_md5")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn")
+  }
+
   /** Default per-task bucket cap for the bucket-collect pair
     * generators: no aggregation task materializes more than ~2·cap
     * elements of one bucket. */
