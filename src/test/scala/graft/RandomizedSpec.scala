@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, Sampling}
+import graft.sinks.SqlBuilder
+
+/** Seeded randomized checks (fixed seed — deterministic, no flake):
+  * the operators whose correctness argument is subtle get compared
+  * against brute-force reference implementations on adversarial
+  * random inputs (ties, collisions, empty groups). */
+class RandomizedSpec extends SparkFunSuite {
+
+  private val rnd = new scala.util.Random(42)
+
+  test("asof join equals the brute-force per-key reference on random data") {
+    import spark.implicits._
+    // small key/ts domains force heavy collisions (the subtle cases)
+    val probes = (0 until 300).map { i =>
+      (1000L + i, rnd.nextInt(8).toLong, rnd.nextInt(40).toLong)
+    }
+    val builds0 = (0 until 150).map { i =>
+      (2000L + i, rnd.nextInt(8).toLong, rnd.nextInt(40).toLong, rnd.nextDouble())
+    }
+    // dedupe build to one row per (key, ts): max event_id (like the
+    // fixture query) so the naive reference is unambiguous
+    val builds = builds0.groupBy(b => (b._2, b._3)).values
+      .map(_.maxBy(_._1)).toSeq
+    val probeDf = probes.toDF("event_id", "user_id", "ts_ns")
+    val buildDf = builds.toDF("event_id", "user_id", "ts_ns", "value")
+    val got = AsOfJoin.asof(probeDf, buildDf, "user_id", "ts_ns",
+        payloadCols = Seq("event_id", "value"))
+      .collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toMap
+    val byKey = builds.groupBy(_._2)
+    probes.foreach { case (pid, key, ts) =>
+      val expected = byKey.getOrElse(key, Seq.empty)
+        .filter(_._3 <= ts)
+        .sortBy(b => (b._3, b._1))
+        .lastOption.map(_._1)
+      assert(got(pid) == expected,
+        s"probe $pid key=$key ts=$ts: got ${got(pid)}, want $expected")
+    }
+  }
+
+  test("sql literal escaping: adversarial strings stay single-literal") {
+    (0 until 500).foreach { _ =>
+      val s = (0 until rnd.nextInt(12)).map(_ =>
+        "'\\`\"ab\u0000中%_".charAt(rnd.nextInt(10))).mkString
+      val lit = SqlBuilder.literal(s)
+      assert(lit.head == '\'' && lit.last == '\'')
+      val body = lit.substring(1, lit.length - 1)
+      // no lone quote: every ' is doubled (scan outside escapes)
+      var i = 0
+      var ok = true
+      while (i < body.length) {
+        body.charAt(i) match {
+          case '\\' => i += 2 // backslash escape consumes the next char
+          case '\'' =>
+            ok = ok && i + 1 < body.length && body.charAt(i + 1) == '\''
+            i += 2
+          case _ => i += 1
+        }
+      }
+      assert(ok, s"unescaped quote in literal of ${s.toList}")
+    }
+  }
+
+  test("split buckets: in-range, complete and exclusive assignment") {
+    import spark.implicits._
+    val ids = (0 until 500).map(_ => rnd.alphanumeric.take(8).mkString)
+    val df = ids.toDF("doc_id")
+    val buckets = df.select(Sampling.splitBucket(col("doc_id")).as("b"))
+      .collect().map(_.getLong(0))
+    assert(buckets.forall(b => b >= 0 && b < 10000))
+    val split = Sampling.split(df.withColumn("text", lit("t")),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == 500, "every row gets exactly one split")
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.getOrElse("train", 0L) > counts.getOrElse("val", 0L),
+      s"hash split wildly off: $counts")
+  }
+}
