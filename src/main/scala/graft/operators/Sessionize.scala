@@ -48,6 +48,8 @@ object Sessionize {
     * row per closed session (append mode: a session is final once the
     * watermark passes its close). */
   def streamingSessions(events: DataFrame, gapNs: Long, delay: String): DataFrame = {
+    // event time is µs precision; a sub-µs gap cannot round-trip
+    require(gapNs % 1000L == 0, s"gap must be whole microseconds, got $gapNs ns")
     val withTs = events.select(
       col("event_id"), col("user_id"),
       timestamp_micros(((col("ts").cast("long") -
@@ -57,7 +59,7 @@ object Sessionize {
     withTs
       .withWatermark("event_time", delay)
       .groupBy(col("user_id"),
-        session_window(col("event_time"), s"${gapNs / 1000000L} milliseconds"))
+        session_window(col("event_time"), s"${gapNs / 1000L} microseconds"))
       .agg(count(lit(1)).as("n_events"),
         sum(col("value").cast(DecimalType(18, 2))).cast("double").as("session_value"))
       .select(col("user_id"),

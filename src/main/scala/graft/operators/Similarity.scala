@@ -241,6 +241,8 @@ object Similarity {
       .sortBy(_.getLong(0))
       .zipWithIndex
       .map { case (r, i) => (i.toLong, r.getSeq[Float](1)) }
+    require(init.length == k,
+      s"k-means needs >= k rows: k=$k, corpus has ${init.length}")
     var cents = init
     var it = 0
     var moved = true

@@ -204,11 +204,14 @@ object TextOps {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
     val total = freq.agg(sum(col("cnt")).as("total"))
-    val logp = freq.crossJoin(broadcast(total))
+    val logp = freq.crossJoin(broadcast(total))  // total: literally one row
       .select(col("tok"),
         round(log(col("cnt").cast("double") / col("total").cast("double"))
           * lit(1e6)).cast("long").as("logp_micro"))
-    toks.join(broadcast(logp), "tok")
+    // vocab-sized prob table: NO forced broadcast — AQE broadcasts
+    // below the threshold and falls back to a shuffle join on `tok`
+    // beyond it (a forced hint would OOM the driver at 100 TB vocab)
+    toks.join(logp, "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tokens"),
         sum(col("logp_micro")).as("sum_logp_micro"))
@@ -235,7 +238,7 @@ object TextOps {
           * lit(1e6)).cast("long").as("idf_micro"),
         pmod(graft.functions.HashExpressions.md5Prefix64(col("tok"), 15),
           lit(dim.toLong)).as("dim_idx"))
-    tf.join(broadcast(idf), "tok")
+    tf.join(idf, "tok")  // AQE picks the join strategy (vocab-sized)
       .groupBy(col("doc_id"), col("dim_idx"))
       .agg(sum(col("tf") * col("idf_micro")).as("weight_micro"))
   }
@@ -313,7 +316,8 @@ object TextOps {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("doc_id"))
       .orderBy(col("score_micro").desc, col("tok").asc)
-    tf.join(broadcast(idf), "tok")
+    // AQE chooses broadcast vs shuffle for the vocab-sized idf table
+    tf.join(idf, "tok")
       .withColumn("score_micro", col("tf") * col("idf_micro"))
       .withColumn("rank", row_number().over(w).cast("long"))
       .filter(col("rank") <= k)

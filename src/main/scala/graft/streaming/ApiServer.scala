@@ -145,10 +145,14 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0) {
         // reference UpdateChangefeed (api/v2/api.go:68): rules update,
         // only while paused; IllegalArgument surfaces as 400
         case ("PUT", Seq(id)) =>
-          queryParams(ex).get("rules") match {
+          // an EMPTY rule list would silently filter out every row
+          // (TableMatcher: no rule matches nothing) — reject it like
+          // the absent-param case instead of configuring a black hole
+          queryParams(ex).get("rules")
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).filter(_.nonEmpty) match {
             case Some(rules) =>
               try {
-                registry.updateFilter(id, rules.split(",").toSeq.filter(_.nonEmpty))
+                registry.updateFilter(id, rules)
                 respond(ex, 200, s"""{"id":${jsonString(id)},"rules":${
                   registry.filterRules(id).map(jsonString).mkString("[", ",", "]")}}""")
               } catch {

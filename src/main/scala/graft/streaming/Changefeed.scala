@@ -235,27 +235,29 @@ object Changefeed {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         val b = batch.persist()
         try {
-          // one pass to learn the batch's resolved ts (cheap agg over
-          // the cached batch), then ONE parquet job writing rows and
-          // the per-partition resolved-ts control messages together —
-          // the control frame is ordered after every row it covers by
-          // commit-ts, and a second writer job per micro-batch was
-          // pure fixed cost at high trigger rates
+          // rows commit FIRST, control messages second: a resolved-ts
+          // event must never be visible before every row it covers is
+          // durable (the reference's watermark contract) — so the
+          // control frame is a separate tiny job that only starts
+          // after the row job's commit. The row write itself is one
+          // job (the agg below reads the cached batch, not the files).
           val mx = b.agg(max(col("_commit_ts"))).head()
-          val out = b.select(col("_partition"), col("_commit_ts"),
-            lit("row").as("_kind"), col("_value"))
-          val withControl = if (mx.isNullAt(0)) out else {
+          b.select(col("_partition"), col("_commit_ts"),
+              lit("row").as("_kind"), col("_value"))
+            .write.mode("append").parquet(sinkDir)
+          if (!mx.isNullAt(0)) {
             val resolved = mx.getLong(0)
             val (key, _) = Codecs.openResolvedMessage(resolved)
             val s = b.sparkSession
             import s.implicits._
             // one control message per routing partition (the reference
             // broadcasts resolved events to every MQ partition)
-            out.unionByName((0 until cfg.sink.numPartitions).map(p =>
+            (0 until cfg.sink.numPartitions).map(p =>
                 (p.toLong, resolved, "resolved", key))
-              .toDF("_partition", "_commit_ts", "_kind", "_value"))
+              .toDF("_partition", "_commit_ts", "_kind", "_value")
+              .coalesce(1)
+              .write.mode("append").parquet(sinkDir)
           }
-          withControl.write.mode("append").parquet(sinkDir)
         } finally { b.unpersist(); () }
       }
       .option("checkpointLocation", checkpointDir)

@@ -21,11 +21,14 @@ def main(old_path, new_path):
           f"new={sum(nq[k] for k in shared):.2f}s")
     print(f"added: {sorted(set(nq) - set(oq))}")
     print(f"removed: {sorted(set(oq) - set(nq))}")
+    # sort key is oq[k]-nq[k] ascending: the front of the list is the
+    # most-regressed (old much smaller than new), the back the most
+    # improved
     print("\nworst regressions:")
-    for k in reversed(shared[-8:]):
+    for k in shared[:8]:
         print(f"  {k:32s} {oq[k]:7.2f} -> {nq[k]:7.2f}  ({nq[k]-oq[k]:+.2f}s)")
     print("best improvements:")
-    for k in shared[:8]:
+    for k in reversed(shared[-8:]):
         print(f"  {k:32s} {oq[k]:7.2f} -> {nq[k]:7.2f}  ({nq[k]-oq[k]:+.2f}s)")
     for name in ("stream", "micro"):
         o, n = old.get(name), new.get(name)

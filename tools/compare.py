@@ -61,12 +61,14 @@ def main(sf_dir, out_dir):
         # column lands as float64 there while Spark's int64 stays int64,
         # failing the driver's hash even when every value is equal.
         # Mirror that trap: compare pandas dtypes of both frames.
+        # (dtypes.items() pairs each dtype with its own column name —
+        # never zip a stale cursor description against a re-executed
+        # query, the orders need not match.)
         try:
-            ddt = {d[0]: str(t) for d, t in
-                   zip(duck.description, con.execute(sql).df().dtypes)}
-            sdt = {d[0]: str(t) for d, t in
-                   zip(s.description, con.execute(
-                       f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')").df().dtypes)}
+            ddt = {c: str(t) for c, t in con.execute(sql).df().dtypes.items()}
+            sdt = {c: str(t) for c, t in con.execute(
+                f"SELECT * FROM read_parquet('{spark_dir}/*.parquet')")
+                .df().dtypes.items()}
         except Exception:
             ddt = sdt = None
         if dc != sc:
