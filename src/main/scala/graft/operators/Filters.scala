@@ -32,6 +32,18 @@ object Filters {
     if (ignoreStartTs.isEmpty) env
     else env.filter(!col("_start_ts").isin(ignoreStartTs: _*))
 
+  /** BDR loop prevention: drop rows that were WRITTEN by a CDC
+    * (marked upstream via the `tidb_cdc_write_source` session
+    * variable the other direction's MySQL writer sets —
+    * [[graft.sinks.MysqlSink.sessionPrologue]]; reference
+    * pkg/sink/mysql/helper.go:65, schemastore CDCWriteSource). A
+    * change log without the marker column passes through unchanged
+    * (non-BDR topologies don't carry it). Null/0 = user write. */
+  def cdcWriteSourceFilter(env: DataFrame,
+                           sourceCol: String = "_cdc_write_source"): DataFrame =
+    if (!env.columns.contains(sourceCol)) env
+    else env.filter(coalesce(col(sourceCol), lit(0L)) === 0L)
+
   /** Parse a SQL predicate written against bare payload column names
     * and re-scope every attribute under the `before`/`after` struct.
     * This is the Spark analog of the reference compiling

@@ -242,6 +242,15 @@ object MysqlSink {
     def next(): String = { fill(); val h = out.head; out = out.tail; h }
   }
 
+  /** BDR-mode session prologue (pkg/sink/mysql/helper.go:65-69,:363):
+    * every writer connection marks its rows with
+    * `tidb_cdc_write_source = 1` so the OTHER direction's capture can
+    * drop them ([[graft.operators.Filters.cdcWriteSourceFilter]]) —
+    * the active-active loop-prevention handshake. Prepend to each
+    * worker's statement stream when bdr-mode is on. */
+  def sessionPrologue(bdrMode: Boolean): Seq[String] =
+    if (bdrMode) Seq("SET SESSION tidb_cdc_write_source = 1") else Seq.empty
+
   /** DDL execution statements with async-DDL progress bookkeeping
     * (mysql_writer_ddl.go; ddl-ts table mysql_writer_for_ddl_ts.go:266;
     * table names pkg/filter/filter.go:33-36): the DDL itself followed

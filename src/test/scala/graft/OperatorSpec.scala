@@ -392,6 +392,23 @@ class OperatorSpec extends SparkFunSuite {
     assert(feats(1L) == Seq(97L, 98L, 99L, 100L)) // 'a','b','c','d' byte values
   }
 
+  test("bdr loop prevention: cdc-written rows drop, unmarked logs pass through") {
+    import spark.implicits._
+    val marked = Seq((1L, 0L), (2L, 1L), (3L, 0L))
+      .toDF("_row_id", "_cdc_write_source")
+      .withColumn("_cdc_write_source",
+        when(col("_row_id") === 3L, lit(null)).otherwise(col("_cdc_write_source")))
+    val kept = Filters.cdcWriteSourceFilter(marked)
+      .select("_row_id").collect().map(_.getLong(0)).toSet
+    assert(kept == Set(1L, 3L), "cdc-sourced row 2 drops; null marker = user write")
+    // a log without the marker column is untouched
+    assert(Filters.cdcWriteSourceFilter(sample).count() == sample.count())
+    // the other half of the handshake: the writer marks its session
+    assert(graft.sinks.MysqlSink.sessionPrologue(bdrMode = true) ==
+      Seq("SET SESSION tidb_cdc_write_source = 1"))
+    assert(graft.sinks.MysqlSink.sessionPrologue(bdrMode = false).isEmpty)
+  }
+
   test("multi-row coalescing: adjacent same-class DMLs merge, order survives") {
     // users 2,4,6 land in table t0; ops arrive I,I,U(safe->REPLACE),D,D
     // then a non-safe update forces a single-statement flush
