@@ -27,6 +27,7 @@ object Changefeed {
   def transform(spark: SparkSession, cfg: ChangefeedConfig)(env: DataFrame): DataFrame = {
     val f = cfg.filter
     var df = env
+    df = Filters.cdcWriteSourceFilter(df) // BDR loop prevention (no-op w/o marker)
     df = Filters.systemSchemaFilter(df)
     df = Filters.tableFilter(df, f.rules, f.caseSensitive)
     df = Filters.eventTypeFilter(df, f.ignoreOps)
