@@ -121,6 +121,16 @@ object ExtQueries {
     "q_materialize" -> ((s, d) =>
       graft.operators.Materialize.tableState(env(s, d))),
 
+    // time-travel: state as of the midpoint commit ts (the syncpoint
+    // consistency-check primitive); the cut is data-derived so both
+    // engines compute the same snapshot point
+    "q_snapshot_asof" -> ((s, d) => {
+      val e = env(s, d)
+      val mm = e.agg(min(col("_commit_ts")), max(col("_commit_ts"))).head()
+      graft.operators.Materialize.snapshotAt(
+        e, (mm.getLong(0) + mm.getLong(1)) / 2L)
+    }),
+
     "q_roundtrip_avro" -> ((s, d) =>
       graft.functions.AvroCodec.decode(graft.functions.AvroCodec.encode(env(s, d)))),
 
@@ -663,6 +673,23 @@ object ExtQueries {
         |      CASE WHEN _op = 'D' THEN 1 WHEN _op = 'U' THEN 2 ELSE 3 END DESC,
         |      _row_id DESC) AS rn
         |  FROM env)
+        |WHERE rn = 1 AND _op <> 'D'""".stripMargin),
+
+    "q_snapshot_asof" -> q(
+      """SELECT _schema, _table,
+        |  after_user_id AS user_id, after_value AS value, after_k AS k,
+        |  _commit_ts AS _applied_ts
+        |FROM (
+        |  SELECT e.*, ROW_NUMBER() OVER (
+        |    PARTITION BY _schema, _table,
+        |      CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END
+        |    ORDER BY _commit_ts DESC, _start_ts DESC,
+        |      CASE WHEN _op = 'D' THEN 1 WHEN _op = 'U' THEN 2 ELSE 3 END DESC,
+        |      _row_id DESC) AS rn
+        |  FROM env e
+        |  CROSS JOIN (SELECT CAST((MIN(_commit_ts) + MAX(_commit_ts)) // 2 AS BIGINT)
+        |                AS snap FROM env) s
+        |  WHERE e._commit_ts <= s.snap)
         |WHERE rn = 1 AND _op <> 'D'""".stripMargin)
   )
 }

@@ -45,6 +45,17 @@ object Materialize {
         col("__eff").as("_effective_ts"))
   }
 
+  /** Table state AS OF a past commit ts (time travel): apply only
+    * changes with `_commit_ts <= ts` — the state a syncpoint
+    * consistency check compares against the downstream snapshot
+    * ([[graft.operators.TxnOps.syncPoints]] supplies the ts; the
+    * reference's upstream/downstream snapshot alignment). The
+    * predicate pushes into the scan, so historical snapshots read
+    * only the covered prefix; the single window shuffle is shared
+    * with [[tableState]]. */
+  def snapshotAt(env: DataFrame, ts: Long, keyCol: String = "user_id"): DataFrame =
+    tableState(env.filter(col("_commit_ts") <= ts), keyCol)
+
   /** Reduce the envelope to final rows keyed by `keyCol` from the
     * payload (post-image key; deletes key on the pre-image). */
   def tableState(env: DataFrame, keyCol: String = "user_id"): DataFrame = {
