@@ -67,12 +67,14 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     } catch { case _: Throwable => -1.0 }
 
-    // encode micro-bench — the number comparable to BASELINE's
+    // codec micro-bench — the number comparable to BASELINE's
     // RawKVEntry encode+decode ns/op (kv_entry_benchmark_test.go:
     // 389 ns custom binary, 22896 ns JSON, single Go core): ns per
-    // row through the full open-protocol encode, in-memory frame, a
-    // noop sink forcing every _value byte to materialize. Wall and
-    // per-core both reported (local[N] vs the reference's -10).
+    // row through the full open-protocol ENCODE + DECODE round trip
+    // (apples-to-apples with the reference's marshal+unmarshal), over
+    // an in-memory frame into a noop sink forcing every decoded field
+    // to materialize. Wall and per-core both reported (local[N] vs
+    // the reference's -10).
     val microRows = 4000000L
     val micro: (Double, Double) = try {
       import org.apache.spark.sql.functions._
@@ -86,12 +88,13 @@ object Bench {
         (lit(1000000000L) + col("id")).as("_commit_ts"),
         (lit(999999999L) + col("id")).as("_start_ts"),
         img.as("before"), img.as("after"))
+      def roundTrip(df: org.apache.spark.sql.DataFrame) =
+        graft.functions.Decoders.decodeOpen(
+          graft.functions.Codecs.openProtocol(df))
       // warm codegen/JIT on a slice so the timed pass measures rows
-      graft.functions.Codecs.openProtocol(env.limit(200000))
-        .write.format("noop").mode("overwrite").save()
+      roundTrip(env.limit(200000)).write.format("noop").mode("overwrite").save()
       val t0 = System.nanoTime()
-      graft.functions.Codecs.openProtocol(env)
-        .write.format("noop").mode("overwrite").save()
+      roundTrip(env).write.format("noop").mode("overwrite").save()
       val wallNs = (System.nanoTime() - t0).toDouble / microRows
       (wallNs, wallNs * cpus.toDouble)
     } catch { case _: Throwable => (-1.0, -1.0) }
@@ -103,7 +106,7 @@ object Bench {
     val stream =
       s"""{"rows":$streamRows,"sec":${r3(streamSec)},"rows_per_sec":${r3(streamRps)}}"""
     val microJson =
-      s"""{"rows":$microRows,"encode_ns_row_wall":${r3(micro._1)},"encode_ns_row_core":${r3(micro._2)}}"""
+      s"""{"rows":$microRows,"roundtrip_ns_row_wall":${r3(micro._1)},"roundtrip_ns_row_core":${r3(micro._2)}}"""
 
     // Full-precision detail: printed for humans and written to
     // bench_full.json so the judge can read every query's time.

@@ -53,7 +53,8 @@ final case class SinkConfig(
     columnSelector: Option[Seq[String]] = None,
     onlyOutputUpdatedColumns: Boolean = false,
     deleteOnlyOutputHandleKey: Boolean = false,
-    dispatch: Seq[DispatchRule] = Seq(DispatchRule()))
+    dispatch: Seq[DispatchRule] = Seq(DispatchRule()),
+    bdrMode: Boolean = false)
 
 final case class ChangefeedConfig(
     id: String,

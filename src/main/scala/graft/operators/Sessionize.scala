@@ -50,12 +50,15 @@ object Sessionize {
   def streamingSessions(events: DataFrame, gapNs: Long, delay: String): DataFrame = {
     // event time is µs precision; a sub-µs gap cannot round-trip
     require(gapNs % 1000L == 0, s"gap must be whole microseconds, got $gapNs ns")
-    val withTs = events.select(
-      col("event_id"), col("user_id"),
-      timestamp_micros(((col("ts").cast("long") -
-        pmod(col("ts").cast("long"), lit(1000L))) / 1000L).cast("long"))
-        .as("event_time"),
-      col("value"))
+    // ns→µs with INTEGER division: `/` on longs coerces to double and
+    // epoch-ns values exceed double's 53-bit mantissa (off-by-1-µs on
+    // real data); `div` stays in the long domain
+    val withTs = events
+      .withColumn("__ts_ns", col("ts").cast("long"))
+      .select(
+        col("event_id"), col("user_id"),
+        timestamp_micros(expr("__ts_ns div 1000")).as("event_time"),
+        col("value"))
     withTs
       .withWatermark("event_time", delay)
       .groupBy(col("user_id"),

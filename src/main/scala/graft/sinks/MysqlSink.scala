@@ -276,7 +276,8 @@ object MysqlSink {
     * `execute` (a JDBC txn in production; pluggable for tests /
     * blackhole). Called from foreachBatch. */
   def applyBatch(env: DataFrame, handleKeys: Seq[String], numWorkers: Int,
-                 safeMode: Boolean)(execute: Iterator[String] => Unit): Unit = {
+                 safeMode: Boolean, prologue: Seq[String] = Seq.empty)
+                (execute: Iterator[String] => Unit): Unit = {
     import org.apache.spark.sql.Encoders
     statements(env, handleKeys, numWorkers, safeMode)
       .repartition(numWorkers, col("_partition"))
@@ -284,7 +285,11 @@ object MysqlSink {
         Envelope.opOrder(col("_op")), col("_row_id"))
       .select(col("_stmt"))
       .map(_.getString(0))(Encoders.STRING)
-      .foreachPartition(execute)
+      .foreachPartition { it: Iterator[String] =>
+        // per-connection session setup (e.g. the BDR write-source
+        // marker) precedes the worker's statement stream
+        execute(prologue.iterator ++ it)
+      }
   }
 
   /** Table-level transaction atomicity (AtomicityLevel `table`,

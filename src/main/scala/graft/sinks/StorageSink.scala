@@ -197,7 +197,8 @@ object StorageSink {
     * — the driver never materializes the table list, so table count is
     * unbounded. `baseDir` must be a shared filesystem / object store
     * (which a cloud-storage sink's target always is). */
-  def writeSchemaMetaDistributed(encoded: DataFrame, baseDir: String): Unit = {
+  def writeSchemaMetaDistributed(encoded: DataFrame, baseDir: String,
+                                 tableVersion: Long = 100L): Unit = {
     val payload = encoded.schema("after").dataType
       .asInstanceOf[org.apache.spark.sql.types.StructType]
     val payloadJsonCols = payload.fields.map(f =>
@@ -212,7 +213,7 @@ object StorageSink {
             s"""{"schema":"$s","table":"$t","columns":[
                |$payloadJsonCols]}""".stripMargin
           java.nio.file.Files.writeString(
-            dir.resolve(schemaFileName(100L, content)), content)
+            dir.resolve(schemaFileName(tableVersion, content)), content)
         }
       }
   }

@@ -87,7 +87,8 @@ object Changefeed {
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.sinks.MysqlSink.applyBatch(batch, cfg.handleKeys,
-          cfg.sink.numPartitions, cfg.sink.safeMode)(execute)
+          cfg.sink.numPartitions, cfg.sink.safeMode,
+          graft.sinks.MysqlSink.sessionPrologue(cfg.sink.bdrMode))(execute)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -122,8 +122,11 @@ class PlanSpec extends SparkFunSuite {
     // fixture scale, which is exactly the claimed behavior
     Seq("q_lm_score", "q_tfidf", "q_temperature_mix").foreach { q =>
       val df = SparkEntry.queries(q)(spark, dir)
-      df.count() // materialize so AQE finalizes the plan
+      // collect() executes THIS Dataset's plan (count() would build
+      // its own QueryExecution and leave this one un-finalized)
+      df.collect()
       val p = df.queryExecution.executedPlan.toString
+      assert(p.contains("isFinalPlan=true"), s"$q: AQE plan not finalized:\n$p")
       assert(p.contains("BroadcastHashJoin"),
         s"$q: AQE should broadcast the model/weight table at sf0.001:\n$p")
     }

@@ -13,12 +13,13 @@ class SessionizeSpec extends SparkFunSuite {
     val events = Tables.events(spark, "/root/testdata/sf0.001")
 
     val batch = Sessionize.sessions(events, gapNs)
-      .select(col("user_id"), (col("session_start") / 1000L).cast("long").as("start_us"),
+      .select(col("user_id"), expr("session_start div 1000").as("start_us"),
         col("n_events"))
 
     // native session_window over the same µs-truncated event time
-    val tsUs = ((col("ts").cast("long") -
-      pmod(col("ts").cast("long"), lit(1000L))) / lit(1000L)).cast("long")
+    // (integer division — `/` on longs goes through double and loses
+    // 1 µs at epoch-ns magnitudes)
+    val tsUs = expr("CAST(ts AS BIGINT) div 1000")
     val native = events
       .select(col("user_id"), timestamp_micros(tsUs).as("__t"), col("value"))
       .groupBy(col("user_id"), session_window(col("__t"), "30 minutes"))
@@ -61,7 +62,10 @@ class SessionizeSpec extends SparkFunSuite {
       .select(col("user_id"), unix_micros(col("session_start")).as("su"),
         col("n_events"), col("session_value")).collect().map(_.mkString("|")).toSet
     val batchSet = batchAll
-      .select(col("user_id"), (col("session_start") / 1000L).cast("long").as("su"),
+      // integer ns->us division: `/` on longs goes through double and
+      // is off by 1 us for epoch-ns magnitudes (the bug the streaming
+      // path fixed; the comparison must convert exactly too)
+      .select(col("user_id"), expr("session_start div 1000").as("su"),
         col("n_events"), col("session_value")).collect().map(_.mkString("|")).toSet
     assert(streamedSet.subsetOf(batchSet), "every released session is a true session")
   }

@@ -9,6 +9,8 @@ reads from BENCH_r{N}.json, reproducible locally.
 """
 import json, sys
 
+USAGE = "usage: python3 tools/bench_diff.py <old_bench_full.json> <new_bench_full.json>"
+
 def load(p):
     return json.loads(open(p).read())
 
@@ -21,14 +23,16 @@ def main(old_path, new_path):
           f"new={sum(nq[k] for k in shared):.2f}s")
     print(f"added: {sorted(set(nq) - set(oq))}")
     print(f"removed: {sorted(set(oq) - set(nq))}")
-    # sort key is oq[k]-nq[k] ascending: the front of the list is the
-    # most-regressed (old much smaller than new), the back the most
-    # improved
+    # sign-aware sections: a query only counts as a regression if it
+    # actually got slower (and vice versa), so the two lists never
+    # overlap and never mislabel
+    regressed = [k for k in shared if nq[k] > oq[k]]
+    improved = [k for k in shared if nq[k] < oq[k]]
     print("\nworst regressions:")
-    for k in shared[:8]:
+    for k in regressed[:8]:
         print(f"  {k:32s} {oq[k]:7.2f} -> {nq[k]:7.2f}  ({nq[k]-oq[k]:+.2f}s)")
     print("best improvements:")
-    for k in reversed(shared[-8:]):
+    for k in reversed(improved[-8:]):
         print(f"  {k:32s} {oq[k]:7.2f} -> {nq[k]:7.2f}  ({nq[k]-oq[k]:+.2f}s)")
     for name in ("stream", "micro"):
         o, n = old.get(name), new.get(name)
@@ -36,4 +40,7 @@ def main(old_path, new_path):
             print(f"\n{name}: old={o}\n{' ' * len(name)}  new={n}")
 
 if __name__ == "__main__":
+    if len(sys.argv) != 3:
+        print(USAGE)
+        sys.exit(2)
     sys.exit(main(sys.argv[1], sys.argv[2]))
