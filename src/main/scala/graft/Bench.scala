@@ -102,7 +102,8 @@ object Bench {
     val all = results :+ ("bench_stream" -> streamSec)
     val total = all.map(_._2).sum
     val streamRps = if (streamSec > 0) streamRows / streamSec else -1.0
-    def r3(v: Double): String = f"$v%.3f"
+    def r3(v: Double): String =
+      String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val stream =
       s"""{"rows":$streamRows,"sec":${r3(streamSec)},"rows_per_sec":${r3(streamRps)}}"""
     val microJson =
@@ -113,7 +114,10 @@ object Bench {
     val fullQs = all.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"sf":"$sfDir","stream":$stream,"micro":$microJson}"""
-    println(fullLine)
+    // full-precision detail goes ONLY to bench_full.json — printing it
+    // would leave a truncated JSON fragment inside the driver's 2000-char
+    // tail window just above the compact line and risk confusing its
+    // parser; stdout must carry exactly one JSON line.
     try java.nio.file.Files.writeString(
       java.nio.file.Paths.get("bench_full.json"), fullLine + "\n")
     catch { case _: Throwable => () }

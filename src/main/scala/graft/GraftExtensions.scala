@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.{Md5PrefixLong, VectorDot}
+import graft.functions.{CanalBlobJson, CharsetDecode, CharsetEncode, Md5PrefixLong, VectorDot}
 
 /** SparkSessionExtensions entry point: registers graft's native
   * expressions for SQL use, so
@@ -73,6 +73,35 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
               Seq(h)))), StringType)
         }
         ConcatWs(Literal(",") +: lanes)
+      }))
+    // charset matrix (GBK/GB18030/latin1 mount decode, sink encode,
+    // canal BLOB framing — SURVEY §1.3; reference
+    // canal_json_encoder.go:32, data_gbk.sql)
+    def litString(e: Expression, what: String): String = {
+      val v = e.eval(null)
+      require(v != null, s"$what must be a literal string")
+      v.toString
+    }
+    e.injectFunction((
+      new FunctionIdentifier("charset_decode"),
+      new ExpressionInfo(classOf[CharsetDecode].getName, "charset_decode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "charset_decode(bin, 'GBK') takes two args")
+        CharsetDecode(children.head, litString(children(1), "charset name"))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("charset_encode"),
+      new ExpressionInfo(classOf[CharsetEncode].getName, "charset_encode"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "charset_encode(str, 'GBK') takes two args")
+        CharsetEncode(children.head, litString(children(1), "charset name"))
+      }))
+    e.injectFunction((
+      new FunctionIdentifier("canal_blob_json"),
+      new ExpressionInfo(classOf[CanalBlobJson].getName, "canal_blob_json"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "canal_blob_json(bin) takes one binary arg")
+        CanalBlobJson(children.head)
       }))
     e.injectFunction((
       new FunctionIdentifier("split_bucket"),

@@ -212,14 +212,18 @@ object Codecs {
 
   import org.apache.spark.sql.types._
 
-  /** Render one payload field as a JSON value expression. */
-  def jsonValueFor(c: Column, dt: DataType): Column = {
+  /** Render one payload field as a JSON value expression.
+    * `canalBlob`: frame BINARY as the ISO-8859-1 char view of the
+    * bytes (canal-JSON's JavaSQLTypeBLOB convention, reference
+    * canal_json_encoder.go:32) instead of base64. */
+  def jsonValueFor(c: Column, dt: DataType, canalBlob: Boolean = false): Column = {
     val rendered: Column = dt match {
       case ByteType | ShortType | IntegerType | LongType => c.cast("string")
       case _: DecimalType => c.cast("string")
       case FloatType | DoubleType => c.cast("string")
       case BooleanType => when(c, lit("1")).otherwise(lit("0"))
       case StringType => concat(lit("\""), jsonEscape(c), lit("\""))
+      case BinaryType if canalBlob => CharsetExpressions.canalBlobJson(c)
       case BinaryType => concat(lit("\""), base64(c), lit("\""))
       case DateType => concat(lit("\""), date_format(c, "yyyy-MM-dd"), lit("\""))
       case _: TimestampType | _: TimestampNTZType =>
@@ -233,10 +237,12 @@ object Codecs {
 
   /** JSON image object for an arbitrary payload struct column, fields
     * in schema order; null image → literal null. */
-  def imageJsonFor(img: String, fields: Seq[StructField]): Column = {
+  def imageJsonFor(img: String, fields: Seq[StructField],
+                   canalBlob: Boolean = false): Column = {
     val body = fields.zipWithIndex.flatMap { case (f, i) =>
       val sep = if (i == 0) "{\"" else ",\""
-      Seq(lit(s"$sep${f.name}\":"), jsonValueFor(col(s"$img.${f.name}"), f.dataType))
+      Seq(lit(s"$sep${f.name}\":"),
+        jsonValueFor(col(s"$img.${f.name}"), f.dataType, canalBlob))
     } :+ lit("}")
     when(col(img).isNull, lit("null")).otherwise(concat(body: _*))
   }
@@ -247,10 +253,13 @@ object Codecs {
     val fields = env.schema("after").dataType.asInstanceOf[StructType].fields.toSeq
     val typ = when(col("_op") === "I", "INSERT")
       .when(col("_op") === "U", "UPDATE").otherwise("DELETE")
-    val dataImg = when(col("_op") === "D", imageJsonFor("before", fields))
-      .otherwise(imageJsonFor("after", fields))
+    // canalBlob: BINARY columns ride as ISO-8859-1 char strings, the
+    // canal JavaSQLTypeBLOB convention (canal_json_encoder.go:32)
+    val dataImg = when(col("_op") === "D", imageJsonFor("before", fields, canalBlob = true))
+      .otherwise(imageJsonFor("after", fields, canalBlob = true))
     val oldImg = when(col("_op") === "U",
-      concat(lit("["), imageJsonFor("before", fields), lit("]"))).otherwise(lit("null"))
+      concat(lit("["), imageJsonFor("before", fields, canalBlob = true), lit("]")))
+      .otherwise(lit("null"))
     val pks = handleKeys.map(k => "\"" + k + "\"").mkString(",")
     env.withColumn("_value", concat(
       lit("{\"id\":0,\"database\":\""), col("_schema"),

@@ -49,7 +49,27 @@ object Decoders {
   def decodeCanalFor(msgs: DataFrame, image: StructType,
                      valueCol: String = "_value"): DataFrame = {
     val imageSchema = image
-    val j = from_json(col(valueCol), canalSchemaFor(image), wireOptions)
+    // BLOB columns ride the canal wire as ISO-8859-1 char strings
+    // (JavaSQLTypeBLOB, encoder side Codecs.jsonValueFor canalBlob;
+    // reference canal_json_decoder.go:458-459) — parse them as STRING
+    // and re-encode the chars back to bytes after the JSON parse.
+    val blobFields = image.fields.collect {
+      case StructField(n, BinaryType, _, _) => n
+    }.toSet
+    val wireImage = StructType(image.fields.map {
+      case f if blobFields(f.name) => f.copy(dataType = StringType)
+      case f => f
+    })
+    def rebin(img: Column): Column =
+      if (blobFields.isEmpty) img
+      else when(img.isNull, lit(null).cast(imageSchema)).otherwise(
+        struct(image.fields.map { f =>
+          val c = img.getField(f.name)
+          (if (blobFields(f.name))
+            graft.functions.CharsetExpressions.charsetEncode(c, "ISO-8859-1")
+          else c).as(f.name)
+        }.toIndexedSeq: _*))
+    val j = from_json(col(valueCol), canalSchemaFor(wireImage), wireOptions)
     msgs.select(
       j.getField("database").as("_schema"),
       j.getField("table").as("_table"),
@@ -57,8 +77,8 @@ object Decoders {
         .when(j.getField("type") === "UPDATE", "U")
         .otherwise("D").as("_op"),
       j.getField("es").as("_commit_ms"),
-      element_at(j.getField("data"), 1).as("__img"),
-      element_at(j.getField("old"), 1).as("__old"))
+      rebin(element_at(j.getField("data"), 1)).as("__img"),
+      rebin(element_at(j.getField("old"), 1)).as("__old"))
       .withColumn("before",
         when(col("_op") === "D", col("__img"))
           .when(col("_op") === "U", col("__old"))

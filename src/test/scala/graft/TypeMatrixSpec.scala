@@ -82,17 +82,25 @@ class TypeMatrixSpec extends SparkFunSuite {
   test("canal generic encoder round-trips the full type matrix") {
     val env = envOf(maxRow, minRow)
     val encoded = Codecs.canalJsonFor(env, Seq("id"))
+    // canal frames BINARY as ISO-8859-1 char strings (JavaSQLTypeBLOB,
+    // canal_json_encoder.go:32) — parse as string, re-encode to bytes
+    val canalWire = StructType(wireSchema.fields.map {
+      case StructField("bin", _, n, m) => StructField("bin", StringType, n, m)
+      case f => f
+    })
     val msgSchema = StructType(Seq(
       StructField("database", StringType), StructField("table", StringType),
       StructField("pkNames", ArrayType(StringType)),
       StructField("type", StringType),
-      StructField("data", ArrayType(wireSchema))))
+      StructField("data", ArrayType(canalWire))))
     val parsed = encoded.select(col("_row_id"),
       from_json(col("_value"), msgSchema,
         scala.jdk.CollectionConverters.MapHasAsJava(Map(
           "timestampNTZFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS")).asJava).as("m"))
       .select(col("_row_id"), col("m.pkNames").as("pks"),
-        element_at(col("m.data"), 1).as("w"))
+        element_at(col("m.data"), 1)
+          .withField("bin", graft.functions.CharsetExpressions.canalBlobBytes(
+            element_at(col("m.data"), 1).getField("bin"))).as("w"))
     val rows = parsed.orderBy("_row_id").collect()
     assert(rows.length == 2)
     assert(rows(0).getSeq[String](1) == Seq("id"))
@@ -253,21 +261,17 @@ class TypeMatrixSpec extends SparkFunSuite {
           1699999999999999999L, null, Row(1L, zh, gbkBytes)))).asJava),
       envSchema)
 
-    val wire = StructType(Seq(StructField("id", LongType),
-      StructField("s", StringType), StructField("bin", BinaryType)))
-
-    // canal-json: unicode strings + gbk bytes exact; non-ASCII table names too
+    // canal-json: unicode strings exact; gbk BYTES ride as ISO-8859-1
+    // char strings (JavaSQLTypeBLOB framing, canal_json_encoder.go:32)
+    // and the decoder recovers them byte-exactly
     val canal = Codecs.canalJsonFor(env, Seq("id"))
-    val msgSchema = StructType(Seq(
-      StructField("database", StringType), StructField("table", StringType),
-      StructField("data", ArrayType(wire))))
-    val c = canal.select(from_json(col("_value"), msgSchema).as("m"))
-      .select(col("m.database"), col("m.table"),
-        element_at(col("m.data"), 1).as("w")).head()
-    assert(c.getString(0) == "应用" && c.getString(1) == "事件表")
-    assert(c.getStruct(2).getString(1) == zh)
-    assert(c.getStruct(2).getAs[Array[Byte]](2).toSeq == gbkBytes.toSeq)
-    assert(new String(c.getStruct(2).getAs[Array[Byte]](2),
+    val dec = graft.functions.Decoders.decodeCanalFor(canal, payload).head()
+    assert(dec.getAs[String]("_schema") == "应用" &&
+      dec.getAs[String]("_table") == "事件表")
+    val img = dec.getAs[Row]("after")
+    assert(img.getAs[String]("s") == zh)
+    assert(img.getAs[Array[Byte]]("bin").toSeq == gbkBytes.toSeq)
+    assert(new String(img.getAs[Array[Byte]]("bin"),
       java.nio.charset.Charset.forName("GBK")) == gbkText)
 
     // csv: quoted unicode survives from_csv
