@@ -34,6 +34,11 @@ object DataQueries {
   val maxPerSource = 80L
   val packWindow = 2048L
   val kmeansK = 8
+  // within-cell cosine boundary for SemDeDup (fixture embeddings are
+  // random: within-cell max ≈0.53, so 0.40 drops a non-trivial set at
+  // every SF; nearest rounded cosine sits ≥25 micro-steps away, so the
+  // round(·,6) boundary is engine-stable)
+  val semDedupThreshold = 0.40
   val pqM = 4
   val pqKsub = 16
   val stratifiedFracs: Seq[(String, Double)] = Seq("src0" -> 0.5, "src1" -> 0.1)
@@ -212,6 +217,12 @@ object DataQueries {
     // the micro-exact per-dimension mean recompute
     "q_kmeans_step" -> ((s, d) =>
       Similarity.kmeansStep(emb(s, d), headVectors(s, d, kmeansK))),
+
+    // SemDeDup: coarse k-means cells, then within-cell cosine pruning
+    // keeping the lowest-id representative of each duplicate pair
+    "q_semantic_dedup" -> ((s, d) =>
+      Similarity.semanticDedup(emb(s, d), headVectors(s, d, kmeansK),
+        semDedupThreshold)),
 
     "q_pq_codes" -> ((s, d) =>
       Similarity.pqCodes(emb(s, d), headVectors(s, d, pqKsub), pqM)),
@@ -490,6 +501,32 @@ object DataQueries {
          |  CAST(SUM(CAST(round(val * 1000000.0) AS BIGINT)) AS DOUBLE)
          |    / COUNT(*) / 1000000.0 AS mean_val
          |FROM x GROUP BY 1, 2""".stripMargin,
+
+    "q_semantic_dedup" ->
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+         |c AS (SELECT vec_id AS cid, emb AS c_emb,
+         |        list_dot_product(emb, emb) AS cc
+         |      FROM e WHERE vec_id < $kmeansK),
+         |scored AS (
+         |  SELECT e.vec_id, c.cid,
+         |    ROW_NUMBER() OVER (PARTITION BY e.vec_id ORDER BY
+         |      list_dot_product(e.emb, e.emb)
+         |        - 2.0 * list_dot_product(e.emb, c.c_emb) + c.cc ASC,
+         |      c.cid ASC) AS rn
+         |  FROM e CROSS JOIN c),
+         |cells AS (
+         |  SELECT e.vec_id, e.emb, scored.cid AS cell,
+         |    sqrt(list_dot_product(e.emb, e.emb)) AS nrm
+         |  FROM e JOIN scored ON e.vec_id = scored.vec_id AND scored.rn = 1),
+         |dropped AS (
+         |  SELECT DISTINCT b.vec_id AS v
+         |  FROM cells a JOIN cells b
+         |    ON a.cell = b.cell AND a.vec_id < b.vec_id
+         |  WHERE round(list_dot_product(a.emb, b.emb) / (a.nrm * b.nrm), 6)
+         |    >= $semDedupThreshold)
+         |SELECT c.vec_id, CAST(c.cell AS BIGINT) AS cell,
+         |  d.v IS NULL AS kept
+         |FROM cells c LEFT JOIN dropped d ON c.vec_id = d.v""".stripMargin,
 
     "q_pq_codes" -> {
       val sub = 64 / pqM

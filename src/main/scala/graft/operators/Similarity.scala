@@ -497,6 +497,51 @@ object Similarity {
     * hot bucket (few planes, clustered corpus) splits into
     * ≤ ~2·maxBucket-vector pair-tasks instead of collecting a corpus
     * slice of embeddings into one task's RAM. */
+  /** SemDeDup-style semantic dedup (Abbas et al. 2023,
+    * arXiv:2303.09540): cluster the embedding space with the coarse
+    * quantizer, then inside each cluster drop every vector whose
+    * cosine similarity to a LOWER-id member of the same cluster
+    * reaches `threshold` — one representative per semantic-duplicate
+    * group survives. Output: (vec_id, cell, kept) for every vector.
+    *
+    * Scale shape: clustering bounds candidate generation to
+    * within-cell pairs (no corpus² pass anywhere); cells are
+    * memory-bounded by [[Dedup.saltTile]] exactly like the LSH/minhash
+    * buckets, so one hot cell splits into ≤ ~2·maxBucket-vector tiles
+    * instead of collecting a corpus slice into one task; the dropped
+    * set (duplicate-density-sized) broadcasts back onto the
+    * assignment stream. Cell assignment is the same inline
+    * `least(struct(d2, cid))` expression the IVF/k-means family uses —
+    * zero assignment shuffle. Cosines compare at 6-decimal rounding
+    * ([[lshNeighbors]]' engine-portable boundary). */
+  def semanticDedup(emb: DataFrame, cents: Array[(Long, Seq[Float])],
+                    threshold: Double,
+                    maxBucket: Int = Dedup.DefaultBucketCap): DataFrame = {
+    val assigned = emb
+      .withColumn("__xx", dot(col("embedding"), col("embedding")))
+      .withColumn("cell", nearestCellExpr(cents, col("__xx")))
+      .select(col("vec_id"), col("embedding"), col("cell"),
+        sqrt(col("__xx")).as("__n"))
+    val tiles = Dedup.saltTile(assigned, Seq("cell"), col("vec_id"), maxBucket)
+      .groupBy(col("cell"), col("__ti"), col("__tj"))
+      .agg(collect_list(struct(
+        col("vec_id"), col("embedding"), col("__n"), col("__s"))).as("__vs"))
+      .filter(size(col("__vs")) > 1)
+    val dropped = tiles
+      .withColumn("a", explode(col("__vs")))
+      .withColumn("b", explode(col("__vs")))
+      .filter(Dedup.tilePair(col("a.__s"), col("b.__s"),
+        col("a.vec_id"), col("b.vec_id")))
+      .withColumn("cos",
+        dot(col("a.embedding"), col("b.embedding")) / (col("a.__n") * col("b.__n")))
+      .filter(round(col("cos"), 6) >= threshold)
+      .select(greatest(col("a.vec_id"), col("b.vec_id")).as("__drop"))
+      .distinct()
+    assigned.select(col("vec_id"), col("cell"))
+      .join(broadcast(dropped), col("vec_id") === col("__drop"), "left_outer")
+      .select(col("vec_id"), col("cell"), col("__drop").isNull.as("kept"))
+  }
+
   def lshNeighbors(emb: DataFrame, planes: DataFrame, threshold: Double,
                    maxBucket: Int = Dedup.DefaultBucketCap): DataFrame = {
     val withBucket = emb.join(lshBucket(emb, planes), "vec_id")

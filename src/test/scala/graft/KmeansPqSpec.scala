@@ -135,6 +135,45 @@ class KmeansPqSpec extends SparkFunSuite {
     assert(out.filter(col("rank") > 5).count() == 0)
   }
 
+  test("semanticDedup drops the higher id of each near-duplicate pair, per cell") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    // two well-separated cells; v1 duplicates v0 (same direction,
+    // different norm — cosine 1), v4 duplicates v3; v2/v5 are distinct
+    val rows = Seq(
+      Row(0L, Seq(1.0f, 0.0f, 0.0f)),
+      Row(1L, Seq(2.0f, 0.0f, 0.0f)),
+      Row(2L, Seq(0.9f, 0.45f, 0.0f)),
+      Row(3L, Seq(0.0f, 0.0f, 1.0f)),
+      Row(4L, Seq(0.0f, 0.0f, 3.0f)),
+      Row(5L, Seq(0.0f, 0.4f, 0.9f)))
+    val df = spark.createDataFrame(
+      new java.util.ArrayList[Row](scala.jdk.CollectionConverters.SeqHasAsJava(rows).asJava),
+      StructType(Seq(StructField("vec_id", LongType),
+        StructField("embedding", ArrayType(FloatType)))))
+    val cents: Array[(Long, Seq[Float])] =
+      Array((0L, Seq(1.0f, 0.0f, 0.0f)), (1L, Seq(0.0f, 0.0f, 1.0f)))
+    val out = Similarity.semanticDedup(df, cents, threshold = 0.99)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(2)).toMap
+    assert(out == Map(0L -> true, 1L -> false, 2L -> true,
+      3L -> true, 4L -> false, 5L -> true))
+    // a tighter corpus under a lower threshold still keeps exactly one
+    // representative per cell (all within-cell cosines above it)
+    val loose = Similarity.semanticDedup(df, cents, threshold = 0.80)
+    assert(loose.filter(col("kept")).count() == 2)
+    assert(loose.filter(col("kept")).select("vec_id")
+      .collect().map(_.getLong(0)).toSet == Set(0L, 3L))
+  }
+
+  test("semanticDedup is invariant to the salt-tile bucket cap") {
+    val cents = Similarity.kmeansFit(emb, k = 4, maxIter = 2)
+    val wide = Similarity.semanticDedup(emb, cents, 0.40)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    val tiled = Similarity.semanticDedup(emb, cents, 0.40, maxBucket = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(wide == tiled, "tiling must not change the dedup decision")
+  }
+
   test("pq codes land in the codebook id range") {
     val cb = emb.filter(col("vec_id") < 8)
       .select(col("vec_id").cast("long"), col("embedding"))

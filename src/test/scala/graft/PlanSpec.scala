@@ -147,6 +147,17 @@ class PlanSpec extends SparkFunSuite {
     assert(p.contains("Window"), "running window expected")
   }
 
+  test("q_semantic_dedup: inline assignment, broadcast-only dropped set") {
+    // cell assignment must be the inline quantizer expression (no
+    // assignment join/shuffle); the only join is the duplicate-sized
+    // dropped set broadcast back onto the assignment stream
+    val p = plan("q_semantic_dedup")
+    assert(!p.contains("SortMergeJoin"),
+      s"dropped-set join must broadcast, not sort-merge:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"kept flag must come from a broadcast join:\n$p")
+  }
+
   test("q_kmeans_step / q_pq_codes: assignment and coding are join-free") {
     // the quantizer/codebook are inline literals: the corpus-side plan
     // must contain no join and (for PQ) no shuffle at all
