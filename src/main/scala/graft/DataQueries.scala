@@ -34,6 +34,8 @@ object DataQueries {
   val maxPerSource = 80L
   val packWindow = 2048L
   val kmeansK = 8
+  // hashed-LM bucket count for DSIR importance scoring
+  val dsirDim = 1024
   // within-cell cosine boundary for SemDeDup (fixture embeddings are
   // random: within-cell max ≈0.53, so 0.40 drops a non-trivial set at
   // every SF; nearest rounded cosine sits ≥25 micro-steps away, so the
@@ -237,6 +239,14 @@ object DataQueries {
         headVectors(s, d, pqKsub), pqM, annQueries, annK)),
 
     "q_lm_score" -> ((s, d) => TextOps.lmScore(docs(s, d))),
+
+    // DSIR importance scores: how target-like each raw doc is under
+    // hashed unigram LMs (target = every 50th doc, as decontaminate)
+    "q_dsir" -> ((s, d) => {
+      val all = docs(s, d)
+      Sampling.dsirScores(all,
+        all.filter(pmod(col("doc_id"), lit(50L)) === 0), dsirDim)
+    }),
 
     "q_tfidf" -> ((s, d) => TextOps.tfidfTopTerms(docs(s, d), tfidfK)),
 
@@ -628,6 +638,32 @@ object DataQueries {
          |  CAST(SUM(tf.tf * idf.idf_micro) AS BIGINT) AS weight_micro
          |FROM tf JOIN idf USING (tok)
          |GROUP BY 1, 2""".stripMargin,
+
+    // DSIR hashed-LM importance scores: per-bucket smoothed log-ratio
+    // (micro-rounded once per bucket), then exact integer per-doc sums
+    "q_dsir" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |b AS (SELECT doc_id,
+         |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % $dsirDim AS b
+         |  FROM toks),
+         |tb AS (SELECT b, COUNT(*) AS ct FROM b WHERE doc_id % 50 = 0 GROUP BY 1),
+         |rb AS (SELECT b, COUNT(*) AS cr FROM b GROUP BY 1),
+         |tt AS (SELECT SUM(ct) AS t_total FROM tb),
+         |rt AS (SELECT SUM(cr) AS r_total FROM rb),
+         |ratio AS (
+         |  SELECT rb.b,
+         |    CAST(round((ln(CAST(COALESCE(tb.ct, 0) + 1 AS DOUBLE)
+         |        / CAST(t_total + $dsirDim AS DOUBLE))
+         |      - ln(CAST(rb.cr + 1 AS DOUBLE)
+         |        / CAST(r_total + $dsirDim AS DOUBLE))) * 1000000.0) AS BIGINT)
+         |      AS logr_micro
+         |  FROM rb LEFT JOIN tb USING (b) CROSS JOIN tt CROSS JOIN rt)
+         |SELECT doc_id, COUNT(*) AS n_tokens,
+         |  CAST(SUM(logr_micro) AS BIGINT) AS sum_logw_micro,
+         |  CAST(SUM(logr_micro) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_logw
+         |FROM b JOIN ratio USING (b)
+         |GROUP BY doc_id""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH newd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),

@@ -102,6 +102,50 @@ object Sampling {
         col("sample_bucket") < floor(col("mix_frac") * SplitBuckets).cast("long"))
   }
 
+  /** DSIR-style importance scoring (Xie et al. 2023,
+    * arXiv:2302.03169): rank raw documents by how target-like they
+    * look under HASHED unigram language models — two dim-bucket
+    * distributions (target corpus, raw corpus) with add-one
+    * smoothing, each document scored by the mean log-ratio
+    * log p_target(b) − log p_raw(b) over its token buckets. Selection
+    * is then a pure threshold filter on `avg_logw` (scalable — no
+    * global rank needed to pick "more target-like than x").
+    *
+    * Scale shape: both LM tables are dim-sized (constant, ≪ vocab ≪
+    * corpus) so the score join broadcasts by size under AQE; bucket
+    * counting is one map-side-combined agg per corpus; per-token
+    * log-ratios round to exact micro units BEFORE the per-doc sum, so
+    * scores are bit-reproducible under any partitioning. */
+  def dsirScores(raw: DataFrame, target: DataFrame, dim: Int): DataFrame = {
+    def bucketed(d: DataFrame) = d.select(col("doc_id"),
+      explode(org.apache.spark.sql.functions.split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"),
+        pmod(graft.functions.HashExpressions.md5Prefix64(col("tok"), 15),
+          lit(dim.toLong)).as("b"))
+    val tCnt = bucketed(target).groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val rCnt = bucketed(raw).groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val tTot = tCnt.agg(sum(col("ct")).as("t_total")) // one row
+    val rTot = rCnt.agg(sum(col("cr")).as("r_total"))
+    // raw-side buckets define the domain (every scored token hits one
+    // by construction); target counts left-join on, absent → 0 and
+    // add-one smoothing keeps the ratio finite
+    val ratio = rCnt
+      .join(tCnt, Seq("b"), "left_outer")
+      .crossJoin(broadcast(tTot)).crossJoin(broadcast(rTot))
+      .select(col("b"),
+        round((log((coalesce(col("ct"), lit(0L)) + 1L).cast("double") /
+            (col("t_total") + dim).cast("double")) -
+          log((col("cr") + 1L).cast("double") /
+            (col("r_total") + dim).cast("double"))) * lit(1e6))
+          .cast("long").as("logr_micro"))
+    bucketed(raw).join(ratio, "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(col("logr_micro")).as("sum_logw_micro"))
+      .withColumn("avg_logw",
+        col("sum_logw_micro").cast("double") / col("n_tokens") / lit(1e6))
+  }
+
   /** Context-window sequence packing: assign docs to packs of ≈
     * `windowTokens` tokens, greedy in deterministic (source, doc_id)
     * order — the running-sum formulation of [[graft.functions.

@@ -537,4 +537,25 @@ class OperatorSpec extends SparkFunSuite {
       .collect().map(_.getLong(0)).toSet
     assert(a == b, "sampling decision must not depend on partitioning")
   }
+
+  test("dsirScores ranks target-like documents above off-target ones") {
+    import spark.implicits._
+    // raw corpus: half "code-like", half "prose-like"; target corpus is
+    // all code-like — code-like raw docs must score strictly higher
+    val raw = ((0L until 20L).map(i => (i, "def fn return class import")) ++
+      (20L until 40L).map(i => (i, "the cat sat on the warm mat")))
+      .toDF("doc_id", "text")
+    val target = (100L until 110L).map(i => (i, "def class import lambda yield"))
+      .toDF("doc_id", "text")
+    val scores = Sampling.dsirScores(raw, target, dim = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val codey = (0L until 20L).map(scores)
+    val prosey = (20L until 40L).map(scores)
+    assert(codey.min > prosey.max,
+      s"code-like docs must outscore prose: ${codey.min} vs ${prosey.max}")
+    // selection by threshold is partitioning-invariant (micro-exact sums)
+    val again = Sampling.dsirScores(raw.repartition(7), target, dim = 256)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(again == scores, "scores must be bit-stable under repartitioning")
+  }
 }
