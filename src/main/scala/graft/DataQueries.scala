@@ -47,6 +47,9 @@ object DataQueries {
   val stratifiedDefault = 0.25
   val tfidfK = 5
   val chunkWindow = 16
+  // duplicate-span detection: 6-token grams, report runs >= 12 tokens
+  val dupSpanN = 6
+  val dupSpanMin = 12
   val mixAlpha = 0.7
   val mixTargetFrac = 0.5
   val hashedDim = 64
@@ -193,6 +196,12 @@ object DataQueries {
     // see Dedup.jaccardPairsPrefix.
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), "source", jaccardThreshold)),
+
+    // exact substring (span) dedup: maximal verbatim token runs
+    "q_dup_spans" -> ((s, d) =>
+      Dedup.duplicateSpans(docs(s, d), dupSpanN, dupSpanMin)),
+
+    "q_token_quantiles" -> ((s, d) => TextOps.tokenQuantiles(docs(s, d))),
 
     // Output exploded to (vec_id, scale, pos, code) rows: the driver's
     // pandas comparator sorts on column values, and an array column is
@@ -486,6 +495,55 @@ object DataQueries {
          |  CAST(prior // $packWindow AS BIGINT) AS pack_id,
          |  CAST(prior - (prior // $packWindow) * $packWindow AS BIGINT) AS pack_offset
          |FROM r""".stripMargin,
+
+    // positional n-grams → shared-gram diagonals → run-length window;
+    // the same three-stage shape as the Spark operator, so values are
+    // engine-exact (all-integer arithmetic)
+    "q_dup_spans" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |pos AS (
+         |  SELECT doc_id, w,
+         |         CAST(unnest(range(0, len(w) - $dupSpanN + 1)) AS BIGINT) AS pos
+         |  FROM toks WHERE len(w) >= $dupSpanN),
+         |grams AS (
+         |  SELECT doc_id, pos,
+         |         array_to_string(w[pos + 1:pos + $dupSpanN], ' ') AS g
+         |  FROM pos),
+         |pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+         |runs AS (
+         |  SELECT *, pa - pb AS diag,
+         |    CASE WHEN lag(pa) OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) = pa - 1
+         |         THEN 0 ELSE 1 END AS brk
+         |  FROM pairs),
+         |grp AS (
+         |  SELECT *, SUM(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS run
+         |  FROM runs)
+         |SELECT doc_a, doc_b,
+         |  CAST(MIN(pa) AS BIGINT) AS start_a,
+         |  CAST(MIN(pb) AS BIGINT) AS start_b,
+         |  CAST(MAX(pa) - MIN(pa) + $dupSpanN AS BIGINT) AS span_tokens
+         |FROM grp GROUP BY doc_a, doc_b, diag, run
+         |HAVING MAX(pa) - MIN(pa) + $dupSpanN >= $dupSpanMin""".stripMargin,
+
+    // discrete quantiles: k-th smallest with k = ceil(p*n) — a data
+    // value, no interpolation, so bit-stable in any engine
+    "q_token_quantiles" ->
+      """WITH t AS (
+        |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |r AS (
+        |  SELECT source, n_tokens,
+        |    ROW_NUMBER() OVER (PARTITION BY source ORDER BY n_tokens) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS n
+        |  FROM t)
+        |SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.5 * n) AS BIGINT) THEN n_tokens END) AS p50_tokens,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN n_tokens END) AS p90_tokens,
+        |  MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN n_tokens END) AS p99_tokens
+        |FROM r GROUP BY source""".stripMargin,
 
     // d2 = |x|² - 2·x·c + |c|² with the SAME left-assoc shape and
     // left-to-right double folds as the Spark side (VectorDot); the

@@ -418,4 +418,67 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("nd_a"), col("nd_b"), col("jaccard"))
   }
+
+  /** Exact duplicate-SPAN detection (token-space substring dedup — the
+    * suffix-array "ExactSubstr" operator of Lee et al., *Deduplicating
+    * Training Data Makes Language Models Better*, re-expressed
+    * relationally): every maximal run of ≥ `minSpan` consecutive
+    * tokens shared verbatim between two documents, with its start
+    * offset in each.
+    *
+    * Formulation: positional n-grams → shared-gram position pairs →
+    * diagonal grouping. Two matches (pa, pb) and (pa+1, pb+1) lie on
+    * the same diagonal d = pa − pb; a maximal shared substring is
+    * exactly a maximal run of consecutive pa on one (doc_a, doc_b, d),
+    * found with one lag/sum window — no suffix array needed, and every
+    * stage is a plain shuffle Spark already knows how to spill.
+    *
+    * Scale: gram posting lists are the only skew point; [[saltTile]]
+    * bounds them exactly as in [[jaccardPairs]] (a boilerplate-header
+    * gram pays tile replication instead of collecting a corpus slice
+    * into one task). The window+agg run under ONE shuffle on
+    * (doc_a, doc_b, diag) — Catalyst reuses the window's hash
+    * partitioning for the run aggregation (subset clustering). Runs
+    * of n-gram positions over-cover by construction (a run of k grams
+    * = k+n−1 shared tokens), so minSpan must be ≥ n. */
+  def duplicateSpans(docs: DataFrame, n: Int, minSpan: Int,
+                     maxBucket: Int = DefaultBucketCap): DataFrame = {
+    require(minSpan >= n, s"minSpan ($minSpan) must be >= n ($n)")
+    val grams = docs
+      .select(col("doc_id"), split(col("text"), " ").as("w"))
+      .filter(size(col("w")) >= n)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), size(col("w")) - n),
+          i => concat_ws(" ", slice(col("w"), i + 1, lit(n))))).as(Seq("pos", "g")))
+      .select(col("doc_id"), col("pos").cast("long").as("pos"), col("g"))
+    // one shuffle on the gram; tilePair keys on (doc_id, pos) so a
+    // gram repeated inside one document still pairs across documents
+    val matches = saltTile(grams, Seq("g"), struct(col("doc_id"), col("pos")), maxBucket)
+      .groupBy(col("g"), col("__ti"), col("__tj"))
+      .agg(collect_list(struct(col("doc_id"), col("pos"), col("__s"))).as("__gs"))
+      .filter(size(col("__gs")) > 1)
+      .withColumn("a", explode(col("__gs")))
+      .withColumn("b", explode(col("__gs")))
+      .filter(tilePair(col("a.__s"), col("b.__s"),
+        struct(col("a.doc_id"), col("a.pos")), struct(col("b.doc_id"), col("b.pos"))) &&
+        col("a.doc_id") =!= col("b.doc_id"))
+      .select(
+        when(col("a.doc_id") < col("b.doc_id"), col("a.doc_id")).otherwise(col("b.doc_id")).as("doc_a"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.doc_id")).otherwise(col("a.doc_id")).as("doc_b"),
+        when(col("a.doc_id") < col("b.doc_id"), col("a.pos")).otherwise(col("b.pos")).as("pa"),
+        when(col("a.doc_id") < col("b.doc_id"), col("b.pos")).otherwise(col("a.pos")).as("pb"))
+      .withColumn("diag", col("pa") - col("pb"))
+    val wDiag = Window.partitionBy(col("doc_a"), col("doc_b"), col("diag"))
+      .orderBy(col("pa"))
+    matches
+      .withColumn("__brk",
+        when(lag(col("pa"), 1).over(wDiag) === col("pa") - 1, 0L).otherwise(1L))
+      .withColumn("__run", sum(col("__brk")).over(wDiag))
+      .groupBy(col("doc_a"), col("doc_b"), col("diag"), col("__run"))
+      .agg(min(col("pa")).as("start_a"), min(col("pb")).as("start_b"),
+        (max(col("pa")) - min(col("pa")) + n).as("span_tokens"))
+      .filter(col("span_tokens") >= minSpan)
+      .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
+        col("span_tokens"))
+  }
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text analysis for training-data pipelines over the `documents`
@@ -343,5 +344,30 @@ object TextOps {
       col("doc_id"),
       (topCount.cast("double") / size(w).cast("double")).as("top_token_ratio"),
       dupBigram.as("dup_bigram_ratio"))
+  }
+
+  /** Per-source EXACT discrete length quantiles (corpus profiling for
+    * packing-window / truncation-budget decisions). Discrete (k-th
+    * smallest, k = ⌈p·n⌉) rather than interpolated: the result is a
+    * value from the data, bit-stable across engines — interpolated
+    * quantiles differ in the lerp's floating-point shape. One
+    * sort-window per source plus a source-sized agg; at 100 TB the
+    * per-source sort is the same shuffle a global orderBy-within-key
+    * pays, and sources are the natural partition. */
+  def tokenQuantiles(docs: DataFrame, ps: Seq[Double] = Seq(0.5, 0.9, 0.99)): DataFrame = {
+    val nTok = size(tokens(col("text"))).cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("n_tokens"))
+    val wAll = Window.partitionBy(col("source"))
+    val ranked = docs.select(col("source"), nTok.as("n_tokens"))
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__n", count(lit(1)).over(wAll))
+    val qCols = ps.map { p =>
+      val label = s"p${(p * 100).toInt}_tokens"
+      max(when(col("__rn") === ceil(lit(p) * col("__n")).cast("long"),
+        col("n_tokens"))).as(label)
+    }
+    ranked.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), qCols: _*)
+      .select(col("source") +: col("n_docs") +: ps.map(p => col(s"p${(p * 100).toInt}_tokens")): _*)
   }
 }

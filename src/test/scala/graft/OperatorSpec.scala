@@ -558,4 +558,44 @@ class OperatorSpec extends SparkFunSuite {
       .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
     assert(again == scores, "scores must be bit-stable under repartitioning")
   }
+
+  test("duplicateSpans finds maximal shared token runs with exact offsets") {
+    import spark.implicits._
+    // doc 1 and doc 2 share tokens 2..9 of doc 1 (= 0..7 of doc 2);
+    // doc 3 shares nothing long enough; doc 4 repeats doc 1 verbatim
+    val shared = (0 until 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"x0 x1 $shared x10 x11"),
+      (2L, s"$shared y8 y9"),
+      (3L, "z0 z1 z2 s0 s1 s2 z6 z7 z8 z9 z10 z11"),
+      (4L, s"x0 x1 $shared x10 x11")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, n = 3, minSpan = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    // 1↔2: run at (start_a=2, start_b=0, 8 tokens); 1↔4 and 2↔4 mirror
+    assert(spans.contains((1L, 2L, 2L, 0L, 8L)), s"got $spans")
+    assert(spans.contains((1L, 4L, 0L, 0L, 12L)), s"verbatim copy spans whole doc: $spans")
+    assert(spans.contains((2L, 4L, 0L, 2L, 8L)), s"got $spans")
+    assert(!spans.exists(s => s._1 == 3L || s._2 == 3L),
+      "3-token overlap below minSpan must not surface")
+    // tiling exactness: a tiny cap must not change the answer
+    val capped = Dedup.duplicateSpans(docs, n = 3, minSpan = 5, maxBucket = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSet
+    assert(capped == spans, "salt-tiled pair generation is exact")
+  }
+
+  test("tokenQuantiles returns discrete k-th-smallest values") {
+    import spark.implicits._
+    // source A: lengths 1..10 → p50 = 5th smallest = 5, p90 = 9, p99 = ceil(9.9) = 10th = 10
+    val docs = (1 to 10).map(i =>
+      (i.toLong, (1 to i).map(j => s"t$j").mkString(" "), "A"))
+      .toDF("doc_id", "text", "source")
+    val r = TextOps.tokenQuantiles(docs).collect().head
+    assert(r.getAs[Long]("n_docs") == 10L)
+    assert(r.getAs[Long]("p50_tokens") == 5L)
+    assert(r.getAs[Long]("p90_tokens") == 9L)
+    assert(r.getAs[Long]("p99_tokens") == 10L)
+  }
 }
