@@ -65,20 +65,27 @@ object Bench {
     // fixed costs
     val streamRows = 1000L * 40L * 10L
     val streamSec: Double = try {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
       val cfg = graft.model.ChangefeedConfig(id = "bench-stream")
-      val raw = spark.readStream.format("graft.sources.ChangelogGenSource")
-        .option("tables", 1000)
-        .option("rowsPerBatch", 200000)
-        .option("totalRows", streamRows)
-        .option("numPartitions", cpus)
-        .load()
-      val env = graft.model.Envelope.fromFlat(raw)
-      val t0 = System.nanoTime()
-      val q = graft.streaming.Changefeed.runMqStream(
-        spark, cfg, env, s"$tmp/sink", s"$tmp/ckpt")
-      q.awaitTermination()
-      (System.nanoTime() - t0) / 1e9
+      def run(rows: Long): Double = {
+        val tmp = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
+        val raw = spark.readStream.format("graft.sources.ChangelogGenSource")
+          .option("tables", 1000)
+          .option("rowsPerBatch", 200000)
+          .option("totalRows", rows)
+          .option("numPartitions", cpus)
+          .load()
+        val env = graft.model.Envelope.fromFlat(raw)
+        val t0 = System.nanoTime()
+        val q = graft.streaming.Changefeed.runMqStream(
+          spark, cfg, env, s"$tmp/sink", s"$tmp/ckpt")
+        q.awaitTermination()
+        (System.nanoTime() - t0) / 1e9
+      }
+      // warm the streaming plan's codegen/JIT on a tiny drain (same
+      // plan shape — generated classes are row-count-invariant), like
+      // the batch queries' sf0.001 warmup pass above
+      run(4000L)
+      run(streamRows)
     } catch { case _: Throwable => -1.0 }
 
     // codec micro-bench — the number comparable to BASELINE's

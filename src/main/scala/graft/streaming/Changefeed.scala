@@ -234,23 +234,23 @@ object Changefeed {
     GraftSession.tune(spark)
     pipeline(spark, cfg)(env)
       .writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val b = batch.persist()
-        try {
-          // rows commit FIRST, control messages second: a resolved-ts
-          // event must never be visible before every row it covers is
-          // durable (the reference's watermark contract) — so the
-          // control frame is a separate tiny job that only starts
-          // after the row job's commit. The row write itself is one
-          // job (the agg below reads the cached batch, not the files).
-          val mx = b.agg(max(col("_commit_ts"))).head()
-          b.select(col("_partition"), col("_commit_ts"),
-              lit("row").as("_kind"), col("_value"))
-            .write.mode("append").parquet(sinkDir)
-          if (!mx.isNullAt(0)) {
-            val resolved = mx.getLong(0)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // rows commit FIRST, control messages second: a resolved-ts
+        // event must never be visible before every row it covers is
+        // durable (the reference's watermark contract). The resolved
+        // ts itself rides the row write as an observed metric —
+        // ONE pass over the batch, no persist and no second agg scan
+        // (at scale the batch need never fit in storage memory).
+        val obs = org.apache.spark.sql.Observation(s"resolved-$batchId")
+        batch
+          .observe(obs, max(col("_commit_ts")).as("resolved"))
+          .select(col("_partition"), col("_commit_ts"),
+            lit("row").as("_kind"), col("_value"))
+          .write.mode("append").parquet(sinkDir)
+        obs.get.get("resolved") match {
+          case Some(resolved: Long) =>
             val (key, _) = Codecs.openResolvedMessage(resolved)
-            val s = b.sparkSession
+            val s = batch.sparkSession
             import s.implicits._
             // one control message per routing partition (the reference
             // broadcasts resolved events to every MQ partition)
@@ -259,8 +259,8 @@ object Changefeed {
               .toDF("_partition", "_commit_ts", "_kind", "_value")
               .coalesce(1)
               .write.mode("append").parquet(sinkDir)
-          }
-        } finally { b.unpersist(); () }
+          case _ => () // empty batch: nothing durable to cover
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
