@@ -1,0 +1,67 @@
+package graft
+
+import java.nio.file.Files
+import graft.model.ChangefeedConfig
+import graft.streaming.{Changefeed, MetricsCollector}
+
+/** The observability surface: per-batch progress capture and the
+  * per-changefeed gauge rollup (reference pkg/metrics/changefeed.go;
+  * lag gauges dispatcher_manager.go:193-195). */
+class MetricsCollectorSpec extends SparkFunSuite {
+
+  test("collector captures batch progress and gauges roll up per changefeed") {
+    val c = MetricsCollector.attach(spark)
+    try {
+      val tmp = Files.createTempDirectory("graft-metrics").toString
+      val rows = 8000L
+      val raw = spark.readStream.format("graft.sources.ChangelogGenSource")
+        .option("tables", 10)
+        .option("rowsPerBatch", 2000)   // forces >= 4 micro-batches
+        .option("totalRows", rows)
+        .option("numPartitions", 4)
+        .load()
+      val q = Changefeed.runMqStream(spark,
+        ChangefeedConfig(id = "cf-metrics"),
+        graft.model.Envelope.fromFlat(raw), s"$tmp/sink", s"$tmp/ckpt")
+      q.awaitTermination(120000)
+      // listener delivery is async — wait for the terminal event
+      var spins = 0
+      while (c.queriesTerminated < 1 && spins < 100) { Thread.sleep(100); spins += 1 }
+
+      val snap = c.snapshot(spark).collect()
+      assert(snap.length >= 4, s"expected >=4 batch metrics, got ${snap.length}")
+      val byName = snap.filter(_.getAs[String]("changefeed") != null)
+      assert(byName.forall(_.getAs[Long]("numInputRows") >= 0))
+      assert(snap.map(_.getAs[Long]("numInputRows")).sum == rows,
+        "captured input rows must equal the drained row count")
+      assert(snap.forall(_.getAs[Long]("watermarkLagMs") >= 0))
+
+      val g = c.gauges(spark).collect()
+      assert(g.length == 1, s"one changefeed => one gauge row, got ${g.length}")
+      val row = g.head
+      assert(row.getAs[Long]("total_rows") == rows)
+      assert(row.getAs[Long]("n_batches") >= 4)
+      assert(row.getAs[Double]("rows_per_sec") > 0.0)
+      assert(c.queriesStarted >= 1 && c.queriesTerminated >= 1)
+    } finally MetricsCollector.detach(spark, c)
+  }
+
+  test("ring capacity bounds driver state") {
+    val c = new MetricsCollector(capacity = 2)
+    // synthesize progress via the public snapshot path is listener-only;
+    // capacity is enforced on add, so exercise through a real stream
+    val tmp = Files.createTempDirectory("graft-metrics2").toString
+    spark.streams.addListener(c)
+    try {
+      val raw = spark.readStream.format("graft.sources.ChangelogGenSource")
+        .option("tables", 2).option("rowsPerBatch", 500)
+        .option("totalRows", 4000L).option("numPartitions", 2).load()
+      val q = Changefeed.runMqStream(spark, ChangefeedConfig(id = "cf-ring"),
+        graft.model.Envelope.fromFlat(raw), s"$tmp/sink", s"$tmp/ckpt")
+      q.awaitTermination(120000)
+      var spins = 0
+      while (c.queriesTerminated < 1 && spins < 100) { Thread.sleep(100); spins += 1 }
+      assert(c.snapshot(spark).count() <= 2, "ring must cap retained batches")
+    } finally spark.streams.removeListener(c)
+  }
+}
