@@ -50,6 +50,38 @@ object DataQueries {
   // duplicate-span detection: 6-token grams, report runs >= 12 tokens
   val dupSpanN = 6
   val dupSpanMin = 12
+
+  /** Shared oracle CTE chain producing the `spans` relation (used by
+    * q_dup_spans and q_dup_trim — one definition, zero drift). */
+  private lazy val dupSpanCtes: String =
+    s"""WITH toks AS (
+       |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |pos AS (
+       |  SELECT doc_id, w,
+       |         CAST(unnest(range(0, len(w) - $dupSpanN + 1)) AS BIGINT) AS pos
+       |  FROM toks WHERE len(w) >= $dupSpanN),
+       |grams AS (
+       |  SELECT doc_id, pos,
+       |         array_to_string(w[pos + 1:pos + $dupSpanN], ' ') AS g
+       |  FROM pos),
+       |pairs AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
+       |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
+       |runs AS (
+       |  SELECT *, pa - pb AS diag,
+       |    CASE WHEN lag(pa) OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) = pa - 1
+       |         THEN 0 ELSE 1 END AS brk
+       |  FROM pairs),
+       |grp AS (
+       |  SELECT *, SUM(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS run
+       |  FROM runs),
+       |spans AS (
+       |  SELECT doc_a, doc_b,
+       |    CAST(MIN(pa) AS BIGINT) AS start_a,
+       |    CAST(MIN(pb) AS BIGINT) AS start_b,
+       |    CAST(MAX(pa) - MIN(pa) + $dupSpanN AS BIGINT) AS span_tokens
+       |  FROM grp GROUP BY doc_a, doc_b, diag, run
+       |  HAVING MAX(pa) - MIN(pa) + $dupSpanN >= $dupSpanMin)""".stripMargin
   val mixAlpha = 0.7
   val mixTargetFrac = 0.5
   val hashedDim = 64
@@ -200,6 +232,12 @@ object DataQueries {
     // exact substring (span) dedup: maximal verbatim token runs
     "q_dup_spans" -> ((s, d) =>
       Dedup.duplicateSpans(docs(s, d), dupSpanN, dupSpanMin)),
+
+    // apply step: spans removed from the higher-id copy
+    "q_dup_trim" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.trimSpans(dd, Dedup.duplicateSpans(dd, dupSpanN, dupSpanMin))
+    }),
 
     "q_token_quantiles" -> ((s, d) => TextOps.tokenQuantiles(docs(s, d))),
 
@@ -500,33 +538,47 @@ object DataQueries {
     // the same three-stage shape as the Spark operator, so values are
     // engine-exact (all-integer arithmetic)
     "q_dup_spans" ->
-      s"""WITH toks AS (
-         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |pos AS (
-         |  SELECT doc_id, w,
-         |         CAST(unnest(range(0, len(w) - $dupSpanN + 1)) AS BIGINT) AS pos
-         |  FROM toks WHERE len(w) >= $dupSpanN),
-         |grams AS (
-         |  SELECT doc_id, pos,
-         |         array_to_string(w[pos + 1:pos + $dupSpanN], ' ') AS g
-         |  FROM pos),
-         |pairs AS (
-         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.pos AS pa, b.pos AS pb
-         |  FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id),
-         |runs AS (
-         |  SELECT *, pa - pb AS diag,
-         |    CASE WHEN lag(pa) OVER (PARTITION BY doc_a, doc_b, pa - pb ORDER BY pa) = pa - 1
-         |         THEN 0 ELSE 1 END AS brk
-         |  FROM pairs),
-         |grp AS (
-         |  SELECT *, SUM(brk) OVER (PARTITION BY doc_a, doc_b, diag ORDER BY pa) AS run
-         |  FROM runs)
-         |SELECT doc_a, doc_b,
-         |  CAST(MIN(pa) AS BIGINT) AS start_a,
-         |  CAST(MIN(pb) AS BIGINT) AS start_b,
-         |  CAST(MAX(pa) - MIN(pa) + $dupSpanN AS BIGINT) AS span_tokens
-         |FROM grp GROUP BY doc_a, doc_b, diag, run
-         |HAVING MAX(pa) - MIN(pa) + $dupSpanN >= $dupSpanMin""".stripMargin,
+      s"""$dupSpanCtes
+         |SELECT doc_a, doc_b, start_a, start_b, span_tokens FROM spans""".stripMargin,
+
+    // apply: merge spans per doc_b (gaps-and-islands), drop covered
+    // tokens, rebuild text in position order; untouched docs rebuild
+    // to their exact original string (split+join is lossless)
+    "q_dup_trim" ->
+      s"""$dupSpanCtes,
+         |iv AS (
+         |  SELECT doc_b AS doc_id, start_b AS s, start_b + span_tokens AS e
+         |  FROM spans),
+         |pm AS (
+         |  SELECT *, MAX(e) OVER (PARTITION BY doc_id ORDER BY s, e
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_max
+         |  FROM iv),
+         |isl AS (
+         |  SELECT *, SUM(CASE WHEN s > COALESCE(prev_max, -1) THEN 1 ELSE 0 END)
+         |    OVER (PARTITION BY doc_id ORDER BY s, e) AS g
+         |  FROM pm),
+         |m AS (SELECT doc_id, g, MIN(s) AS s, MAX(e) AS e FROM isl GROUP BY 1, 2),
+         |removed AS (
+         |  SELECT doc_id, CAST(SUM(e - s) AS BIGINT) AS n_tokens_removed
+         |  FROM m GROUP BY doc_id),
+         |tokpos AS (
+         |  SELECT doc_id, w, CAST(unnest(range(0, len(w))) AS BIGINT) AS pos
+         |  FROM toks),
+         |tok AS (SELECT doc_id, pos, w[pos + 1] AS tok FROM tokpos),
+         |kept AS (
+         |  SELECT t.doc_id, t.pos, t.tok
+         |  FROM tok t LEFT JOIN m
+         |    ON m.doc_id = t.doc_id AND t.pos >= m.s AND t.pos < m.e
+         |  WHERE m.doc_id IS NULL),
+         |rebuilt AS (
+         |  SELECT doc_id, string_agg(tok, ' ' ORDER BY pos) AS text
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id,
+         |  COALESCE(r.n_tokens_removed, 0) AS n_tokens_removed,
+         |  CASE WHEN r.doc_id IS NULL THEN d.text ELSE COALESCE(b.text, '') END AS text
+         |FROM documents d
+         |LEFT JOIN removed r ON r.doc_id = d.doc_id
+         |LEFT JOIN rebuilt b ON b.doc_id = d.doc_id""".stripMargin,
 
     // discrete quantiles: k-th smallest with k = ceil(p*n) — a data
     // value, no interpolation, so bit-stable in any engine

@@ -481,4 +481,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("start_a"), col("start_b"),
         col("span_tokens"))
   }
+
+  /** APPLY step for [[duplicateSpans]]: remove every reported span
+    * from the HIGHER-id document of each pair (keep-earliest-copy, the
+    * Lee et al. apply policy), merging overlapping spans first.
+    *
+    * Interval merge is gaps-and-islands (running max of span end, new
+    * island when a span starts past it) — one window per doc_b, no
+    * driver state. The per-doc merged-interval list is match-count
+    * sized (not doc-length sized) and rebuilds the text with an
+    * indexed filter HOF, so the whole apply is two shuffles: the
+    * island window and the doc join. Docs without spans pass through
+    * untrimmed. */
+  def trimSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+    val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+    val prevMax = max(col("e")).over(wIsl.rowsBetween(Window.unboundedPreceding, -1))
+    val merged = spans
+      .select(col("doc_b").as("doc_id"), col("start_b").as("s"),
+        (col("start_b") + col("span_tokens")).as("e"))
+      .withColumn("__pm", prevMax)
+      .withColumn("__isl",
+        sum(when(col("s") > coalesce(col("__pm"), lit(-1L)), 1L).otherwise(0L)).over(wIsl))
+      .groupBy(col("doc_id"), col("__isl"))
+      .agg(min(col("s")).as("s"), max(col("e")).as("e"))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("s"), col("e"))).as("__iv"))
+    docs.join(merged, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(aggregate(col("__iv"), lit(0L),
+          (acc, iv) => acc + (iv.getField("e") - iv.getField("s"))), lit(0L))
+          .as("n_tokens_removed"),
+        when(col("__iv").isNull, col("text")).otherwise(
+          array_join(filter(split(col("text"), " "),
+            (_, i) => !exists(col("__iv"), iv =>
+              i.cast("long") >= iv.getField("s") && i.cast("long") < iv.getField("e"))),
+            " ")).as("text"))
+  }
 }

@@ -586,6 +586,39 @@ class OperatorSpec extends SparkFunSuite {
     assert(capped == spans, "salt-tiled pair generation is exact")
   }
 
+  test("trimSpans removes merged spans from the higher-id copy only") {
+    import spark.implicits._
+    val shared = (0 until 8).map(i => s"s$i").mkString(" ")
+    val docs = Seq(
+      (1L, s"x0 x1 $shared x10 x11"),
+      (2L, s"$shared y8 y9"),
+      (5L, "free standing unrelated document here")
+    ).toDF("doc_id", "text")
+    val spans = Dedup.duplicateSpans(docs, n = 3, minSpan = 5)
+    val out = Dedup.trimSpans(docs, spans)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    // doc 1 (lower id) keeps everything; doc 2 loses tokens 0..7
+    assert(out(1L) == (0L, s"x0 x1 $shared x10 x11"))
+    assert(out(2L) == (8L, "y8 y9"))
+    assert(out(5L) == (0L, "free standing unrelated document here"))
+
+    // overlapping spans merge: two overlapping intervals on one doc
+    val iv = Seq((1L, 9L, 0L, 10L), (1L, 9L, 5L, 8L)).toDF("doc_a", "doc_b", "start_b", "span_tokens")
+      .select(col("doc_a"), col("doc_b"),
+        lit(0L).as("start_a"), col("start_b"), col("span_tokens"))
+    val base = Seq((9L, (0 until 20).map(i => s"t$i").mkString(" "))).toDF("doc_id", "text")
+    val trimmed = Dedup.trimSpans(base, iv).collect().head
+    // [0,10) ∪ [5,13) merges to [0,13): 13 removed, t13..t19 survive
+    assert(trimmed.getLong(1) == 13L)
+    assert(trimmed.getString(2) == (13 until 20).map(i => s"t$i").mkString(" "))
+
+    // full-copy pair: the later doc trims to empty
+    val copies = Seq((1L, "a b c d e f"), (7L, "a b c d e f")).toDF("doc_id", "text")
+    val ct = Dedup.trimSpans(copies, Dedup.duplicateSpans(copies, 3, 5))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(ct(1L) == "a b c d e f" && ct(7L) == "")
+  }
+
   test("tokenQuantiles returns discrete k-th-smallest values") {
     import spark.implicits._
     // source A: lengths 1..10 → p50 = 5th smallest = 5, p90 = 9, p99 = ceil(9.9) = 10th = 10
