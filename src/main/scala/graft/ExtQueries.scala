@@ -261,6 +261,18 @@ object ExtQueries {
         nprobe = 2)
     }),
 
+    // big-big kNN join: a QUARTER of the corpus as the query side
+    // (data-scaled — nothing broadcastable), every query's top-5 by
+    // cell-partitioned equi-join
+    "q_knn_join" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb
+        .filter(pmod(col("vec_id"), lit(61L)) === 0 && col("vec_id") < 61L * 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      graft.operators.Similarity.knnJoin(
+        emb.filter(pmod(col("vec_id"), lit(4L)) === 1), emb, centroids, k = 5)
+    }),
+
     "q_ann_recall" -> ((s, d) => {
       // recall@k of the IVF path against exact brute force — the
       // quality metric every approximate index ships with
@@ -585,6 +597,33 @@ object ExtQueries {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 10""".stripMargin,
+
+    // same cell logic as q_ann_ivf; query side is vec_id % 4 = 1
+    // (the data-scaled query set), k = 5
+    "q_knn_join" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+        |      WHERE vec_id % 61 = 0 AND vec_id < 488),
+        |cells AS (
+        |  SELECT e.vec_id, arg_max(c.centroid_id, list_dot_product(e.emb, c.c_emb)) AS cell
+        |  FROM e CROSS JOIN c GROUP BY e.vec_id
+        |), wc AS (
+        |  SELECT e.vec_id, e.emb, cells.cell,
+        |    sqrt(list_dot_product(e.emb, e.emb)) AS n
+        |  FROM e JOIN cells USING (vec_id)
+        |), q AS (
+        |  SELECT vec_id AS query_id, emb AS q_emb, cell AS q_cell, n AS qn
+        |  FROM wc WHERE vec_id % 4 = 1
+        |), scored AS (
+        |  SELECT q.query_id, wc.vec_id,
+        |    list_dot_product(q.q_emb, wc.emb) / (q.qn * wc.n) AS cos
+        |  FROM wc JOIN q ON wc.cell = q.q_cell AND wc.vec_id <> q.query_id
+        |)
+        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim FROM (
+        |  SELECT query_id, vec_id AS neighbor_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 5""".stripMargin,
 
     "q_ann_ivf_probe2" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -86,14 +86,7 @@ object Similarity {
     * the distributed form for quantizers too big to inline). */
   def ivfTopK(emb: DataFrame, centroids: DataFrame, numQueries: Int, k: Int,
               nprobe: Int = 1): DataFrame = {
-    val cents: Array[(Long, Seq[Float])] = centroids
-      .select(col("centroid_id").cast("long"), col("embedding"))
-      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
-    require(cents.nonEmpty, "empty coarse quantizer")
-    require(nprobe >= 1 && nprobe <= cents.length, s"nprobe $nprobe out of range")
-    val cellScores = cents.map { case (cid, vec) =>
-      struct(dot(col("embedding"), typedLit(vec)).as("d"), lit(cid).as("cid"))
-    }
+    val cellScores = inlineCellScores(centroids, nprobe)
     val cellExpr = (if (cellScores.length == 1) cellScores.head
                     else greatest(cellScores.toIndexedSeq: _*)).getField("cid")
     val withCell = emb
@@ -128,6 +121,59 @@ object Similarity {
           dot(col("q_emb"), col("embedding")) / (col("__qn") * col("__n")))
       rankTopK(scored, k)
     }
+  }
+
+  /** Driver-side centroid literals → per-centroid `(dot, cid)` score
+    * structs for inline cell assignment (shared by [[ivfTopK]] and
+    * [[knnJoin]]). Validates `nprobe` against the centroid count. */
+  private def inlineCellScores(centroids: DataFrame, nprobe: Int): Array[Column] = {
+    val cents: Array[(Long, Seq[Float])] = centroids
+      .select(col("centroid_id").cast("long"), col("embedding"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    require(cents.nonEmpty, "empty coarse quantizer")
+    require(nprobe >= 1 && nprobe <= cents.length, s"nprobe $nprobe out of range")
+    cents.map { case (cid, vec) =>
+      struct(dot(col("embedding"), typedLit(vec)).as("d"), lit(cid).as("cid"))
+    }
+  }
+
+  /** Big-big k-NN JOIN: top-k corpus neighbors for EVERY query row,
+    * with a data-scaled query side — the shape where [[ivfTopK]]'s
+    * broadcast probe set no longer fits (corpus×corpus linking, full
+    * near-dup graphs). Both sides compute their IVF cell with the
+    * same inline quantizer expression and meet in a plain equi-join
+    * on `cell`: Spark hash-partitions BOTH sides by cell — no
+    * broadcast anywhere — so one task scores one cell's queries
+    * against that cell's corpus slice and the candidate count scales
+    * with cell size, never corpus². `nprobe` widens only the query
+    * side (each query row explodes to its nprobe nearest cells);
+    * the corpus side always lives in exactly ONE cell. A skewed
+    * (over-full) cell is ordinary join skew — AQE's skew-join split
+    * handles it without custom code.
+    *
+    * Tie-breaks (cell argmax by (dot, cid); rank by cos desc,
+    * vec_id) are identical to [[ivfTopK]], so for a broadcast-sized
+    * query set the two paths return bit-equal results (spec-pinned).
+    */
+  def knnJoin(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+              k: Int, nprobe: Int = 1): DataFrame = {
+    val cellScores = inlineCellScores(centroids, nprobe)
+    val cellExpr = (if (cellScores.length == 1) cellScores.head
+                    else greatest(cellScores.toIndexedSeq: _*)).getField("cid")
+    // query side: nprobe nearest cells desc by (score, cid) — same
+    // ordering as the ivfTopK probe list
+    val sortedCells = reverse(array_sort(array(cellScores.toIndexedSeq: _*)))
+    val probes = transform(slice(sortedCells, 1, nprobe), s => s.getField("cid"))
+    val corp = corpus.select(col("vec_id"), col("embedding"),
+      cellExpr.as("cell"), norm(col("embedding")).as("__n"))
+    val q = queries.select(col("vec_id").as("query_id"),
+        col("embedding").as("q_emb"), explode(probes).as("cell"),
+        norm(col("embedding")).as("__qn"))
+    val scored = q.join(corp, Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("cos",
+        dot(col("q_emb"), col("embedding")) / (col("__qn") * col("__n")))
+    rankTopK(scored, k)
   }
 
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {

@@ -360,6 +360,35 @@ class OperatorSpec extends SparkFunSuite {
     assert(pAll == exact, "nprobe = #cells recovers the exact top-k")
   }
 
+  test("knnJoin: bit-equal to ivfTopK, and survives with broadcast disabled") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, "/root/testdata/sf0.001")
+    val centroids = emb.filter(pmod(col("vec_id"), lit(13L)) === 0 && col("vec_id") < 13L * 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long, Long, Double)] =
+      df.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSet
+    // equivalence with the broadcast path, single- and multi-probe
+    for (np <- Seq(1, 2)) {
+      val bc = rows(Similarity.ivfTopK(emb, centroids, 5, 10, nprobe = np))
+      val jn = rows(Similarity.knnJoin(
+        emb.filter(col("vec_id") < 5), emb, centroids, 10, nprobe = np))
+      assert(jn == bc, s"knnJoin must equal ivfTopK at nprobe=$np")
+    }
+    // the scale property: with broadcast off entirely, the cell
+    // equi-join still runs (shuffled join, both sides partitioned by
+    // cell) and results are unchanged
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val full = Similarity.knnJoin(emb, emb, centroids, 5)
+      val p = full.queryExecution.executedPlan.toString
+      assert(!p.contains("BroadcastHashJoin") && !p.contains("BroadcastNestedLoopJoin"),
+        "big-big kNN join must not depend on a broadcast")
+      assert(full.count() > 0)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
   test("cosine similarity of orthogonal and identical vectors") {
     import spark.implicits._
     val df = Seq(
