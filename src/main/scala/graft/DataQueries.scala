@@ -85,6 +85,9 @@ object DataQueries {
   val mixAlpha = 0.7
   val mixTargetFrac = 0.5
   val hashedDim = 64
+  // RAG chunker: 64-token windows, stride 48 (16-token overlap)
+  val chunkTok = 64
+  val chunkStride = 48
 
   /** Deterministic fixture quantizer/codebook: the `n` lowest-id
     * embeddings (mirrored by `WHERE vec_id < n` in the oracles). */
@@ -240,6 +243,9 @@ object DataQueries {
     }),
 
     "q_token_quantiles" -> ((s, d) => TextOps.tokenQuantiles(docs(s, d))),
+
+    "q_chunk_overlap" -> ((s, d) =>
+      TextOps.chunkWithOverlap(docs(s, d), chunkTok, chunkStride)),
 
     // Output exploded to (vec_id, scale, pos, code) rows: the driver's
     // pandas comparator sorts on column values, and an array column is
@@ -596,6 +602,28 @@ object DataQueries {
         |  MAX(CASE WHEN rn = CAST(CEIL(0.9 * n) AS BIGINT) THEN n_tokens END) AS p90_tokens,
         |  MAX(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT) THEN n_tokens END) AS p99_tokens
         |FROM r GROUP BY source""".stripMargin,
+
+    // window count 1 + max(0, ceil((n-chunk)/stride)): the last
+    // window reaches the doc end; list slicing clamps identically in
+    // both engines
+    "q_chunk_overlap" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, w, n,
+         |    CAST(unnest(range(0, 1 + GREATEST(0, CAST(CEIL(
+         |      (n - $chunkTok) / CAST($chunkStride AS DOUBLE)) AS BIGINT))))
+         |      AS BIGINT) AS chunk_idx
+         |  FROM t)
+         |SELECT doc_id, chunk_idx,
+         |  chunk_idx * $chunkStride AS start_tok,
+         |  LEAST($chunkTok, n - chunk_idx * $chunkStride) AS n_tokens,
+         |  array_to_string(
+         |    w[chunk_idx * $chunkStride + 1 : chunk_idx * $chunkStride + $chunkTok],
+         |    ' ') AS chunk_text
+         |FROM c""".stripMargin,
 
     // d2 = |x|² - 2·x·c + |c|² with the SAME left-assoc shape and
     // left-to-right double folds as the Spark side (VectorDot); the

@@ -370,4 +370,35 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"), qCols: _*)
       .select(col("source") +: col("n_docs") +: ps.map(p => col(s"p${(p * 100).toInt}_tokens")): _*)
   }
+
+  /** RAG-style sliding-window chunker: fixed windows of `chunkTokens`
+    * tokens advancing by `strideTokens` (overlap = chunk − stride).
+    * Window count is `1 + max(0, ⌈(n − chunk)/stride⌉)` so the last
+    * window always reaches the end of the document and no window is
+    * fully contained in an earlier one; a doc shorter than one chunk
+    * yields exactly its own text. Chunk identity (doc_id, chunk_idx)
+    * is stable under corpus growth — re-chunking new docs never
+    * renumbers old chunks. Pure per-row list arithmetic (sequence →
+    * transform → posexplode): zero shuffle, output rows ≈ n/stride
+    * per doc, scan-speed at any corpus size. */
+  def chunkWithOverlap(docs: DataFrame, chunkTokens: Int,
+                       strideTokens: Int): DataFrame = {
+    require(chunkTokens > 0 && strideTokens > 0 && strideTokens <= chunkTokens,
+      s"need 0 < stride <= chunk, got chunk=$chunkTokens stride=$strideTokens")
+    val chunks = transform(
+      sequence(lit(0L), greatest(lit(0L),
+        ceil((size(col("__w")).cast("long") - chunkTokens).cast("double") /
+          strideTokens).cast("long"))),
+      i => struct(
+        (i * strideTokens).as("start_tok"),
+        least(lit(chunkTokens.toLong),
+          size(col("__w")).cast("long") - i * strideTokens).as("n_tokens"),
+        concat_ws(" ", slice(col("__w"), (i * strideTokens + 1).cast("int"),
+          lit(chunkTokens))).as("chunk_text")))
+    docs
+      .withColumn("__w", tokens(col("text")))
+      .select(col("doc_id"), posexplode(chunks).as(Seq("chunk_idx", "__c")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        col("__c.start_tok"), col("__c.n_tokens"), col("__c.chunk_text"))
+  }
 }

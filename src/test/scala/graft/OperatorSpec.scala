@@ -648,6 +648,26 @@ class OperatorSpec extends SparkFunSuite {
     assert(ct(1L) == "a b c d e f" && ct(7L) == "")
   }
 
+  test("chunkWithOverlap: last window reaches the end, short docs intact") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, (0 until 10).map(i => s"t$i").mkString(" ")), // 10 tokens
+      (2L, "a b"),                                       // shorter than a chunk
+      (3L, "a b c d")                                    // exactly one chunk
+    ).toDF("doc_id", "text")
+    val out = TextOps.chunkWithOverlap(docs, chunkTokens = 4, strideTokens = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getString(4))).toMap
+    // doc 1: ceil((10-4)/3)=2 → 3 windows [0,4) [3,7) [6,10)
+    assert(out(1L -> 0L) == (0L, 4L, "t0 t1 t2 t3"))
+    assert(out(1L -> 1L) == (3L, 4L, "t3 t4 t5 t6"))
+    assert(out(1L -> 2L) == (6L, 4L, "t6 t7 t8 t9"))
+    assert(!out.contains(1L -> 3L), "no window past the doc end")
+    assert(out(2L -> 0L) == (0L, 2L, "a b") && !out.contains(2L -> 1L))
+    assert(out(3L -> 0L) == (0L, 4L, "a b c d") && !out.contains(3L -> 1L))
+  }
+
   test("tokenQuantiles returns discrete k-th-smallest values") {
     import spark.implicits._
     // source A: lengths 1..10 → p50 = 5th smallest = 5, p90 = 9, p99 = ceil(9.9) = 10th = 10
