@@ -18,7 +18,9 @@ class ChangefeedRegistry(spark: SparkSession) {
 
   final case class Entry(var cfg: ChangefeedConfig, sourceDir: String,
                          sinkDir: String, checkpointDir: String,
-                         var query: Option[StreamingQuery])
+                         var query: Option[StreamingQuery],
+                         backoff: FeedBackoff = new FeedBackoff(),
+                         var feedState: FeedState = FeedState.Normal)
 
   private val feeds = TrieMap.empty[String, Entry]
 
@@ -35,14 +37,60 @@ class ChangefeedRegistry(spark: SparkSession) {
     e.query = None
   }
 
-  /** Restart from the checkpoint — processed data is not re-emitted. */
+  /** Restart from the checkpoint — processed data is not re-emitted.
+    * An explicit resume also clears a failed/warning retry state (the
+    * reference's resume path calls resetErrRetry — a user resume
+    * overrides the backoff schedule). */
   def resume(id: String): StreamingQuery = {
     val e = feeds.getOrElse(id, sys.error(s"no changefeed $id"))
     require(e.query.isEmpty || !e.query.get.isActive, s"$id is running")
+    e.backoff.resetRetry()
+    e.feedState = FeedState.Normal
     val q = Changefeed.run(spark, e.cfg, e.sourceDir, e.sinkDir, e.checkpointDir)
     e.query = Some(q)
     q
   }
+
+  // ---- error-retry state machine (coordinator/changefeed/backoff.go) ----
+
+  /** Fold a status report (checkpoint ts + errors observed since the
+    * last report) into the feed's retry machine. A WARNING verdict
+    * stops the query (it restarts via [[retryDue]] once the backoff
+    * interval elapses); FAILED stops it until an explicit resume. */
+  def reportStatus(id: String, checkpointTs: Long, errs: Seq[FeedError],
+                   nowMs: Long): FeedState = {
+    val e = entryOf(id)
+    e.feedState = e.backoff.checkStatus(checkpointTs, errs, nowMs)
+    if (e.feedState != FeedState.Normal) pause(id)
+    e.feedState
+  }
+
+  /** Scheduling gate: true when the feed is allowed to (re)start at
+    * `nowMs` — not failed, backoff interval elapsed, not running. */
+  def shouldRun(id: String, nowMs: Long): Boolean = {
+    val e = entryOf(id)
+    e.backoff.shouldRun(nowMs) && !e.query.exists(_.isActive)
+  }
+
+  /** Restart every warning feed whose backoff interval has elapsed —
+    * the coordinator's periodic retry scan. Returns restarted ids. */
+  def retryDue(nowMs: Long): Seq[String] = {
+    val due = feeds.collect {
+      case (id, e) if e.feedState == FeedState.Warning &&
+        shouldRun(id, nowMs) => id
+    }.toSeq.sorted
+    due.foreach { id =>
+      val e = entryOf(id)
+      val q = Changefeed.run(spark, e.cfg, e.sourceDir, e.sinkDir, e.checkpointDir)
+      e.query = Some(q)
+      // still WARNING: the reference keeps the warning state until the
+      // checkpoint actually advances (backoff.go:154-167), not merely
+      // until a restart is attempted
+    }
+    due
+  }
+
+  def lastError(id: String): Option[FeedError] = entryOf(id).backoff.lastError
 
   def remove(id: String): Unit = {
     pause(id)
@@ -173,12 +221,19 @@ class ChangefeedRegistry(spark: SparkSession) {
     feeds.collect { case (id, e) if e.query.exists(_.isActive) => id }
       .toSeq.sorted
 
-  /** (id, state, emitted-row count) — the status/synced API view. */
+  /** (id, state, emitted-row count) — the status/synced API view.
+    * Retry states win over the query's run state: a warning feed is
+    * "warning" whether its query is mid-restart or waiting out the
+    * backoff; a failed feed is "failed" until resumed. */
   def status(id: String): (String, String, Long) = {
     val e = feeds.getOrElse(id, sys.error(s"no changefeed $id"))
-    val state = e.query match {
-      case Some(q) if q.isActive => "running"
-      case _ => "paused"
+    val state = e.feedState match {
+      case FeedState.Failed  => "failed"
+      case FeedState.Warning => "warning"
+      case FeedState.Normal => e.query match {
+        case Some(q) if q.isActive => "running"
+        case _ => "paused"
+      }
     }
     val n = try spark.read.parquet(e.sinkDir).count() catch { case _: Throwable => 0L }
     (id, state, n)

@@ -30,6 +30,41 @@ class RegistrySpec extends SparkFunSuite {
     assert(reg.list.isEmpty)
   }
 
+  test("error reports drive warning -> backoff restart -> recovery; fast-fail pins failed") {
+    import graft.streaming.{FeedError, FeedState}
+    val tmp = Files.createTempDirectory("graft-boreg").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/src/events.parquet"))
+    val reg = new ChangefeedRegistry(spark)
+    reg.create(ChangefeedConfig(id = "cfb"), s"$tmp/src", s"$tmp/sink", s"$tmp/ckpt")
+      .awaitTermination(120000)
+    val t0 = 1000000L
+    // healthy baseline report, then a sink error with the checkpoint
+    // stuck at that baseline: feed goes warning, query stops
+    assert(reg.reportStatus("cfb", 7L, Nil, t0 - 1000) == FeedState.Normal)
+    val st = reg.reportStatus("cfb", checkpointTs = 7L,
+      Seq(FeedError("CDC:ErrMySQLTxnError", "deadlock")), t0)
+    assert(st == FeedState.Warning && reg.status("cfb")._2 == "warning")
+    assert(reg.retryDue(t0 + 5000).isEmpty, "backoff interval not elapsed")
+    assert(reg.retryDue(t0 + 10000) == Seq("cfb"), "restarts once 10s elapsed")
+    assert(reg.status("cfb")._2 == "warning",
+      "warning persists until the checkpoint advances")
+    // progress clears it
+    assert(reg.reportStatus("cfb", 8L, Nil, t0 + 20000) == FeedState.Normal)
+    assert(reg.status("cfb")._2 != "warning")
+    assert(reg.lastError("cfb").isEmpty)
+    // fast-fail: pinned failed until an explicit resume
+    assert(reg.reportStatus("cfb", 8L,
+      Seq(FeedError("CDC:ErrStartTsBeforeGC", "gone")), t0 + 30000) == FeedState.Failed)
+    assert(reg.status("cfb")._2 == "failed")
+    assert(reg.retryDue(Long.MaxValue - 1).isEmpty)
+    reg.resume("cfb").awaitTermination(120000)
+    assert(reg.status("cfb")._2 != "failed", "resume clears failed")
+    reg.remove("cfb")
+  }
+
   test("multiple changefeeds over one source run independently with distinct filters") {
     // multi_changefeeds coverage: two feeds, same upstream, different
     // table filters -> disjoint sink contents, independent lifecycle
