@@ -191,6 +191,16 @@ object CdcQueries {
     "q_sqlmodel_update" -> ((s, d) =>
       graft.sinks.MysqlSink.statements(env(s, d), Seq("user_id"), 8, safeMode = false)),
 
+    // restart re-delivery window: rows before the midpoint "replication
+    // (re)start ts" render safe (REPLACE), later rows render exact —
+    // the reference's per-row commitTs < replicatingTs rule
+    "q_sqlmodel_autosafe" -> ((s, d) => {
+      val e = env(s, d)
+      val mm = e.agg(min(col("_commit_ts")), max(col("_commit_ts"))).head()
+      graft.sinks.MysqlSink.statementsAutoSafe(
+        e, Seq("user_id"), 8, (mm.getLong(0) + mm.getLong(1)) / 2L)
+    }),
+
     // a SECOND, differently-shaped table (string payload with free
     // text) through the SAME generic statement builder — pins the
     // TableInfo-generic path (sql_builder.go:155-244): column/key
@@ -518,6 +528,18 @@ object CdcQueries {
     "q_sqlmodel" -> q(sqlmodelBody(
       s"""ELSE
          |    'REPLACE INTO `' || _schema || '`.`' || _table || '` ' || $insertValuesSql""".stripMargin)),
+
+    "q_sqlmodel_autosafe" -> q(sqlmodelBody(
+      s"""WHEN _commit_ts < (SELECT CAST((MIN(_commit_ts) + MAX(_commit_ts)) // 2 AS BIGINT) FROM env) THEN
+         |    'REPLACE INTO `' || _schema || '`.`' || _table || '` ' || $insertValuesSql
+         |  WHEN _op = 'U' THEN
+         |    'UPDATE `' || _schema || '`.`' || _table || '` SET `user_id` = ' ||
+         |      COALESCE(CAST(after_user_id AS VARCHAR), 'NULL') || ', `value` = ' ||
+         |      COALESCE(CAST(CAST(after_value AS DECIMAL(18,2)) AS VARCHAR), 'NULL') || ', `k` = ' ||
+         |      COALESCE(CAST(after_k AS VARCHAR), 'NULL') ||
+         |      ' WHERE ' || $keyPredSql || ' LIMIT 1'
+         |  ELSE
+         |    'INSERT INTO `' || _schema || '`.`' || _table || '` ' || $insertValuesSql""".stripMargin)),
 
     "q_sqlmodel_update" -> q(sqlmodelBody(
       s"""WHEN _op = 'U' THEN

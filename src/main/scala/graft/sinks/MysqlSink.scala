@@ -118,6 +118,22 @@ object MysqlSink {
   def statementColumn(safeMode: Boolean): Column =
     statementColumnFor(Envelope.payloadSchema, Seq("user_id"), safeMode, moneyRender)
 
+  /** Per-row AUTO safe mode (mysql_writer_dml_batch.go:68:
+    * `inSafeMode = cfg.SafeMode || errorCausedSafeMode ||
+    * event.CommitTs < event.ReplicatingTs`): a row whose commit ts
+    * predates the ts at which its replication (re)started may already
+    * be applied downstream — it renders with the idempotent safe
+    * forms (REPLACE), while rows past the window get the exact
+    * non-safe forms (INSERT / real UPDATE). The restart re-delivery
+    * window burns off automatically as the feed catches up — decided
+    * per ROW, so one micro-batch can carry both forms. */
+  def statementColumnAutoSafe(payload: StructType, handleKeys: Seq[String],
+                              replicatingTs: Long,
+                              render: (Column, StructField) => Column = null): Column =
+    when(col("_commit_ts") < replicatingTs,
+      statementColumnFor(payload, handleKeys, safeMode = true, render))
+      .otherwise(statementColumnFor(payload, handleKeys, safeMode = false, render))
+
   private def payloadOf(env: DataFrame): StructType =
     env.schema("after").dataType.asInstanceOf[StructType]
 
@@ -129,6 +145,16 @@ object MysqlSink {
     Routing.partitionByKeyColumns(env, handleKeys, numWorkers)
       .withColumn("_stmt",
         statementColumnFor(payloadOf(env), handleKeys, safeMode, moneyRender))
+      .select(col("_partition"), col("_row_id"), col("_schema"), col("_table"),
+        col("_commit_ts"), col("_start_ts"), col("_op"), col("_stmt"))
+
+  /** [[statements]] with the per-row auto-safe window instead of a
+    * global flag. */
+  def statementsAutoSafe(env: DataFrame, handleKeys: Seq[String],
+                         numWorkers: Int, replicatingTs: Long): DataFrame =
+    Routing.partitionByKeyColumns(env, handleKeys, numWorkers)
+      .withColumn("_stmt",
+        statementColumnAutoSafe(payloadOf(env), handleKeys, replicatingTs, moneyRender))
       .select(col("_partition"), col("_row_id"), col("_schema"), col("_table"),
         col("_commit_ts"), col("_start_ts"), col("_op"), col("_stmt"))
 
