@@ -88,6 +88,9 @@ object DataQueries {
   // RAG chunker: 64-token windows, stride 48 (16-token overlap)
   val chunkTok = 64
   val chunkStride = 48
+  // bigram LM interpolation weight (1−λ rendered at full precision in
+  // the oracle so both engines fold the identical double)
+  val lmLambda = 0.8
 
   /** Deterministic fixture quantizer/codebook: the `n` lowest-id
     * embeddings (mirrored by `WHERE vec_id < n` in the oracles). */
@@ -292,6 +295,8 @@ object DataQueries {
         headVectors(s, d, pqKsub), pqM, annQueries, annK)),
 
     "q_lm_score" -> ((s, d) => TextOps.lmScore(docs(s, d))),
+
+    "q_lm_bigram" -> ((s, d) => TextOps.lmScoreBigram(docs(s, d), lmLambda)),
 
     // DSIR importance scores: how target-like each raw doc is under
     // hashed unigram LMs (target = every 50th doc, as decontaminate)
@@ -756,6 +761,38 @@ object DataQueries {
         |  CAST(SUM(logp_micro) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_logp
         |FROM toks JOIN lp USING (tok)
         |GROUP BY doc_id""".stripMargin,
+
+    // the same JM interpolation with the Scala-rendered λ/(1−λ)
+    // literals (exact double round-trip) and micro rounding before
+    // the doc sum; p_ML denominators are bigram-context counts
+    "q_lm_bigram" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |bg AS (
+         |  SELECT doc_id,
+         |    w[CAST(pos AS INT)] AS prev, w[CAST(pos AS INT) + 1] AS cur
+         |  FROM (SELECT doc_id, w, CAST(unnest(range(1, len(w))) AS BIGINT) AS pos
+         |        FROM t WHERE len(w) >= 2)),
+         |cb AS (SELECT prev, cur, COUNT(*) AS c_big FROM bg GROUP BY 1, 2),
+         |cctx AS (SELECT prev, COUNT(*) AS c_ctx FROM bg GROUP BY 1),
+         |uni AS (SELECT tok, COUNT(*) AS c_uni
+         |        FROM (SELECT unnest(w) AS tok FROM t) GROUP BY 1),
+         |tot AS (SELECT SUM(c_uni) AS total FROM uni),
+         |probs AS (
+         |  SELECT cb.prev, cb.cur,
+         |    CAST(round(ln(
+         |      $lmLambda * (CAST(c_big AS DOUBLE) / CAST(c_ctx AS DOUBLE)) +
+         |      ${1.0 - lmLambda} * (CAST(c_uni AS DOUBLE) / CAST(total AS DOUBLE)))
+         |      * 1000000.0) AS BIGINT) AS logp_micro
+         |  FROM cb
+         |  JOIN cctx USING (prev)
+         |  JOIN uni ON uni.tok = cb.cur
+         |  CROSS JOIN tot)
+         |SELECT doc_id, COUNT(*) AS n_bigrams,
+         |  CAST(SUM(logp_micro) AS BIGINT) AS sum_logp_micro,
+         |  CAST(SUM(logp_micro) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_logp
+         |FROM bg JOIN probs USING (prev, cur)
+         |GROUP BY doc_id""".stripMargin,
 
     // feature-hashing vectorizer: bucket = md5(token) % dim, weight =
     // Σ tf·idf_micro per bucket — exact integer arithmetic after the

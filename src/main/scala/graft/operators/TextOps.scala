@@ -220,6 +220,49 @@ object TextOps {
         col("sum_logp_micro").cast("double") / col("n_tokens") / lit(1e6))
   }
 
+  /** Interpolated BIGRAM LM quality scoring — the step up from
+    * [[lmScore]]'s unigram model (Jelinek-Mercer smoothing:
+    * `p = λ·p_ML(cur|prev) + (1−λ)·p_uni(cur)`, with p_ML over
+    * bigram-CONTEXT counts). Bigram generation is per-row list
+    * arithmetic over the scan (zero shuffle); the count tables are
+    * bigram-vocab-sized (Heaps' law ≪ corpus), so AQE picks
+    * broadcast vs shuffle for the probability join. The per-bigram
+    * log-prob rounds to exact micro units BEFORE the per-doc sum, so
+    * scores are reduce-order-independent and engine-portable. Docs
+    * with fewer than two tokens have no bigrams and drop out. */
+  def lmScoreBigram(docs: DataFrame, lambda: Double = 0.8): DataFrame = {
+    val oneMinus = 1.0 - lambda
+    val w = tokens(col("text"))
+    val bigrams = docs
+      .filter(size(w) >= 2) // sequence(1, 0) would count DOWN in Spark
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), size(w) - 1), i =>
+          struct(element_at(w, i).as("prev"),
+            element_at(w, i + 1).as("cur")))).as("bg"))
+      .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+    val cBig = bigrams.groupBy(col("prev"), col("cur"))
+      .agg(count(lit(1)).as("c_big"))
+    val cCtx = bigrams.groupBy(col("prev")).agg(count(lit(1)).as("c_ctx"))
+    val toks = docs.select(explode(w).as("tok"))
+    val cUni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
+    val total = toks.agg(count(lit(1)).as("total"))
+    val probs = cBig
+      .join(cCtx, "prev")
+      .join(cUni.withColumnRenamed("tok", "cur"), "cur")
+      .crossJoin(broadcast(total)) // total: literally one row
+      .select(col("prev"), col("cur"),
+        round(log(
+          lit(lambda) * (col("c_big").cast("double") / col("c_ctx").cast("double")) +
+            lit(oneMinus) * (col("c_uni").cast("double") / col("total").cast("double")))
+          * lit(1e6)).cast("long").as("logp_micro"))
+    bigrams.join(probs, Seq("prev", "cur"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(col("logp_micro")).as("sum_logp_micro"))
+      .withColumn("avg_logp",
+        col("sum_logp_micro").cast("double") / col("n_bigrams") / lit(1e6))
+  }
+
   /** Feature-hashing TF-IDF vectorizer (the "hashing trick"): each
     * document becomes a `dim`-bucket sparse vector — bucket =
     * md5(token) mod dim, weight = Σ tf·idf of the tokens hashing

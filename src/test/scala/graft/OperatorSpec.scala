@@ -668,6 +668,21 @@ class OperatorSpec extends SparkFunSuite {
     assert(out(3L -> 0L) == (0L, 4L, "a b c d") && !out.contains(3L -> 1L))
   }
 
+  test("lmScoreBigram: fluent word order outranks scrambled; sub-bigram docs drop") {
+    import spark.implicits._
+    val fluent = "the cat sat on the mat"
+    val docs = Seq(
+      (1L, fluent), (2L, fluent), (3L, fluent),    // corpus pins p(cur|prev)
+      (4L, "mat the on sat cat the"),              // same unigrams, scrambled
+      (5L, "solo")                                 // no bigrams at all
+    ).toDF("doc_id", "text")
+    val out = TextOps.lmScoreBigram(docs).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    assert(!out.contains(5L), "a one-token doc has no bigram score")
+    assert(out(1L) > out(4L),
+      s"fluent order must outscore scrambled (${out(1L)} vs ${out(4L)})")
+  }
+
   test("tokenQuantiles returns discrete k-th-smallest values") {
     import spark.implicits._
     // source A: lengths 1..10 → p50 = 5th smallest = 5, p90 = 9, p99 = ceil(9.9) = 10th = 10
