@@ -202,8 +202,13 @@ object TextOps {
     * bit-reproducible under any partitioning (a raw double sum would
     * drift with the reduce order). */
   def lmScore(docs: DataFrame): DataFrame = {
-    val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-    val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+    // explode ONCE, reduce to per-doc term frequencies immediately:
+    // every downstream agg/join then runs over (doc, term)-distinct
+    // rows, not raw occurrences, and the corpus counts fold from tf
+    // with map-side partials
+    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val freq = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
     val total = freq.agg(sum(col("cnt")).as("total"))
     val logp = freq.crossJoin(broadcast(total))  // total: literally one row
       .select(col("tok"),
@@ -212,10 +217,10 @@ object TextOps {
     // vocab-sized prob table: NO forced broadcast — AQE broadcasts
     // below the threshold and falls back to a shuffle join on `tok`
     // beyond it (a forced hint would OOM the driver at 100 TB vocab)
-    toks.join(logp, "tok")
+    tf.join(logp, "tok")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_tokens"),
-        sum(col("logp_micro")).as("sum_logp_micro"))
+      .agg(sum(col("tf")).as("n_tokens"),
+        sum(col("tf") * col("logp_micro")).as("sum_logp_micro"))
       .withColumn("avg_logp",
         col("sum_logp_micro").cast("double") / col("n_tokens") / lit(1e6))
   }
@@ -233,6 +238,13 @@ object TextOps {
   def lmScoreBigram(docs: DataFrame, lambda: Double = 0.8): DataFrame = {
     val oneMinus = 1.0 - lambda
     val w = tokens(col("text"))
+    // bigrams stay in OCCURRENCE form end-to-end: within one doc a
+    // bigram almost never repeats (tf ≈ 1), so a per-doc tf pre-agg
+    // would add a high-cardinality shuffle and compress nothing
+    // (unlike [[lmScore]], where token tf ≫ 1 makes it pay). The
+    // final prob join is bigram-vocab-sized on the build side — AQE
+    // broadcasts it while it fits, so the occurrence side rides the
+    // scan straight into a map-side partial doc agg.
     val bigrams = docs
       .filter(size(w) >= 2) // sequence(1, 0) would count DOWN in Spark
       .select(col("doc_id"),
@@ -242,10 +254,11 @@ object TextOps {
       .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
     val cBig = bigrams.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("c_big"))
-    val cCtx = bigrams.groupBy(col("prev")).agg(count(lit(1)).as("c_ctx"))
+    // context counts fold from the vocab-sized cBig, not occurrences
+    val cCtx = cBig.groupBy(col("prev")).agg(sum(col("c_big")).as("c_ctx"))
     val toks = docs.select(explode(w).as("tok"))
     val cUni = toks.groupBy(col("tok")).agg(count(lit(1)).as("c_uni"))
-    val total = toks.agg(count(lit(1)).as("total"))
+    val total = cUni.agg(sum(col("c_uni")).as("total"))
     val probs = cBig
       .join(cCtx, "prev")
       .join(cUni.withColumnRenamed("tok", "cur"), "cur")
