@@ -273,6 +273,17 @@ object ExtQueries {
         emb.filter(pmod(col("vec_id"), lit(4L)) === 1), emb, centroids, k = 5)
     }),
 
+    // kNN label classification on top of the big-big join: majority
+    // label of the 5 nearest neighbors, deterministic tie-break
+    "q_knn_classify" -> ((s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val centroids = emb
+        .filter(pmod(col("vec_id"), lit(61L)) === 0 && col("vec_id") < 61L * 8)
+        .select(col("vec_id").as("centroid_id"), col("embedding"))
+      graft.operators.Similarity.knnClassify(
+        emb.filter(pmod(col("vec_id"), lit(5L)) === 2), emb, centroids, k = 5)
+    }),
+
     "q_ann_recall" -> ((s, d) => {
       // recall@k of the IVF path against exact brute force — the
       // quality metric every approximate index ships with
@@ -624,6 +635,44 @@ object ExtQueries {
         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
         |  FROM scored)
         |WHERE rank <= 5""".stripMargin,
+
+    // neighbor ranking identical to q_knn_join (query side vec_id % 5
+    // = 2, k = 5), then majority vote with (votes desc, best rank,
+    // label) tie-break
+    "q_knn_classify" ->
+      """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+        |c AS (SELECT vec_id AS centroid_id, emb AS c_emb FROM e
+        |      WHERE vec_id % 61 = 0 AND vec_id < 488),
+        |cells AS (
+        |  SELECT e.vec_id, arg_max(c.centroid_id, list_dot_product(e.emb, c.c_emb)) AS cell
+        |  FROM e CROSS JOIN c GROUP BY e.vec_id
+        |), wc AS (
+        |  SELECT e.vec_id, e.emb, cells.cell,
+        |    sqrt(list_dot_product(e.emb, e.emb)) AS n
+        |  FROM e JOIN cells USING (vec_id)
+        |), q AS (
+        |  SELECT vec_id AS query_id, emb AS q_emb, cell AS q_cell, n AS qn
+        |  FROM wc WHERE vec_id % 5 = 2
+        |), scored AS (
+        |  SELECT q.query_id, wc.vec_id,
+        |    list_dot_product(q.q_emb, wc.emb) / (q.qn * wc.n) AS cos
+        |  FROM wc JOIN q ON wc.cell = q.q_cell AND wc.vec_id <> q.query_id
+        |), nn AS (
+        |  SELECT query_id, neighbor_id, rank FROM (
+        |    SELECT query_id, vec_id AS neighbor_id,
+        |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        |    FROM scored)
+        |  WHERE rank <= 5
+        |), votes AS (
+        |  SELECT nn.query_id, CAST(emb2.label AS BIGINT) AS label,
+        |    CAST(COUNT(*) AS BIGINT) AS votes, MIN(nn.rank) AS best_rank
+        |  FROM nn JOIN embeddings emb2 ON emb2.vec_id = nn.neighbor_id
+        |  GROUP BY 1, 2)
+        |SELECT query_id, label AS pred_label, votes FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+        |    ORDER BY votes DESC, best_rank, label) AS rn
+        |  FROM votes)
+        |WHERE rn = 1""".stripMargin,
 
     "q_ann_ivf_probe2" ->
       """WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),

@@ -176,6 +176,29 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** k-NN label classification: each query vector takes the MAJORITY
+    * label of its k nearest corpus neighbors (candidates from the
+    * big-big [[knnJoin]], so neither side broadcasts). Votes come
+    * from a label join on the k·|queries| neighbor rows — output-
+    * sized, not corpus-sized. Deterministic tie-break: most votes,
+    * then nearest best-ranked neighbor, then smallest label. */
+  def knnClassify(queries: DataFrame, corpus: DataFrame, centroids: DataFrame,
+                  k: Int, nprobe: Int = 1): DataFrame = {
+    val nn = knnJoin(queries, corpus, centroids, k, nprobe)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+    val votes = nn
+      .join(corpus.select(col("vec_id").as("neighbor_id"),
+        col("label").cast("long").as("label")), "neighbor_id")
+      .groupBy(col("query_id"), col("label"))
+      .agg(count(lit(1)).as("votes"), min(col("rank")).as("best_rank"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("votes").desc, col("best_rank"), col("label"))
+    votes.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("query_id"), col("label").as("pred_label"), col("votes"))
+  }
+
   private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("query_id"))
