@@ -148,6 +148,27 @@ object MysqlSink {
       .select(col("_partition"), col("_row_id"), col("_schema"), col("_table"),
         col("_commit_ts"), col("_start_ts"), col("_op"), col("_stmt"))
 
+  /** Error-caused safe mode (mysql_writer.go:84-89,:274-289): after a
+    * duplicate-entry conflict (MySQL error 1062 — a replay or a race
+    * already wrote this key) the writer renders EVERYTHING safe for
+    * `durationMs` (reference default 5 s), then drops back to exact
+    * statements. Composes with the config flag and the per-row
+    * replicating-ts window as `cfg.SafeMode || errorCaused ||
+    * commitTs < replicatingTs` (mysql_writer_dml_batch.go:68). */
+  final class ErrorCausedSafeMode(durationMs: Long = 5000L) {
+    private var sinceMs: Long = Long.MinValue
+    def onWriteError(message: String, nowMs: Long): Unit =
+      if (isDuplicateEntry(message)) synchronized { sinceMs = nowMs }
+    def active(nowMs: Long): Boolean = synchronized {
+      sinceMs != Long.MinValue && nowMs - sinceMs <= durationMs
+    }
+  }
+
+  /** MySQL 1062 detection, the trigger the reference keys on. */
+  def isDuplicateEntry(message: String): Boolean =
+    message != null &&
+      (message.contains("Duplicate entry") || message.contains("Error 1062"))
+
   /** [[statements]] with the per-row auto-safe window instead of a
     * global flag. */
   def statementsAutoSafe(env: DataFrame, handleKeys: Seq[String],

@@ -20,7 +20,8 @@ class ChangefeedRegistry(spark: SparkSession) {
                          sinkDir: String, checkpointDir: String,
                          var query: Option[StreamingQuery],
                          backoff: FeedBackoff = new FeedBackoff(),
-                         var feedState: FeedState = FeedState.Normal)
+                         var feedState: FeedState = FeedState.Normal,
+                         var lastCheckpointTs: Long = 0L)
 
   private val feeds = TrieMap.empty[String, Entry]
 
@@ -60,9 +61,27 @@ class ChangefeedRegistry(spark: SparkSession) {
   def reportStatus(id: String, checkpointTs: Long, errs: Seq[FeedError],
                    nowMs: Long): FeedState = {
     val e = entryOf(id)
+    e.lastCheckpointTs = math.max(e.lastCheckpointTs, checkpointTs)
     e.feedState = e.backoff.checkStatus(checkpointTs, errs, nowMs)
     if (e.feedState != FeedState.Normal) pause(id)
     e.feedState
+  }
+
+  /** Global GC safepoint lower bound (changefeed_db.go:326-343 +
+    * NeedBlockGC, pkg/config/changefeed.go:315-325): the min saved
+    * checkpoint over every feed that still needs upstream data.
+    * Normal, warning, and paused feeds block GC; a FAILED feed blocks
+    * too UNLESS it failed because GC already ate its data (then
+    * holding the safepoint for it is pointless by definition). None
+    * when no feed blocks GC. */
+  def gcSafepoint: Option[Long] = {
+    val gcCodes = Set("CDC:ErrGCTTLExceeded", "CDC:ErrSnapshotLostByGC",
+      "CDC:ErrStartTsBeforeGC")
+    val blocking = feeds.values.filter { e =>
+      e.feedState != FeedState.Failed ||
+        !e.backoff.lastError.exists(err => gcCodes.contains(err.code))
+    }
+    if (blocking.isEmpty) None else Some(blocking.map(_.lastCheckpointTs).min)
   }
 
   /** Scheduling gate: true when the feed is allowed to (re)start at

@@ -65,6 +65,40 @@ class RegistrySpec extends SparkFunSuite {
     reg.remove("cfb")
   }
 
+  test("gc safepoint: min checkpoint over feeds that still block GC") {
+    import graft.streaming.FeedError
+    val tmp = Files.createTempDirectory("graft-gcsp").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/src/events.parquet"))
+    val reg = new ChangefeedRegistry(spark)
+    for (cf <- Seq("ga", "gb"))
+      reg.create(ChangefeedConfig(id = cf), s"$tmp/src", s"$tmp/sink-$cf",
+        s"$tmp/ckpt-$cf").awaitTermination(120000)
+    reg.reportStatus("ga", 100L, Nil, 0L)
+    reg.reportStatus("gb", 50L, Nil, 0L)
+    assert(reg.gcSafepoint.contains(50L), "min over all blocking feeds")
+    // gb fails BECAUSE of GC: it stops blocking the safepoint
+    reg.reportStatus("gb", 50L, Seq(FeedError("CDC:ErrSnapshotLostByGC", "gone")), 1L)
+    assert(reg.gcSafepoint.contains(100L), "gc-failed feed releases the safepoint")
+    // ga fails for a non-GC reason: its data is still wanted -> blocks
+    reg.reportStatus("ga", 100L, Seq(FeedError("CDC:ErrSinkURIInvalid", "bad")), 2L)
+    assert(reg.gcSafepoint.contains(100L), "non-gc-failed feed still blocks")
+    reg.remove("ga"); reg.remove("gb")
+    assert(reg.gcSafepoint.isEmpty, "no feeds, nothing blocks GC")
+  }
+
+  test("error-caused safe mode: duplicate-entry trips a 5s safe window") {
+    val sm = new graft.sinks.MysqlSink.ErrorCausedSafeMode()
+    assert(!sm.active(1000L))
+    sm.onWriteError("some other failure", 1000L)
+    assert(!sm.active(1000L), "non-1062 errors do not trip safe mode")
+    sm.onWriteError("Duplicate entry '7' for key 'PRIMARY'", 1000L)
+    assert(sm.active(1000L) && sm.active(6000L))
+    assert(!sm.active(6001L), "window expires after 5s")
+  }
+
   test("multiple changefeeds over one source run independently with distinct filters") {
     // multi_changefeeds coverage: two feeds, same upstream, different
     // table filters -> disjoint sink contents, independent lifecycle
