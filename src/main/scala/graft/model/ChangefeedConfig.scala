@@ -69,4 +69,8 @@ final case class ChangefeedConfig(
       * docs/design/2024-12-20-ticdc-flow-control.md:36-58): bound how
       * much source data one micro-batch admits so memory stays flat;
       * Spark's backpressure replaces the pause/resume thresholds. */
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None,
+    /** Replication end ts (the reference's target-ts): once the
+      * checkpoint reaches it the feed FINISHES — stops cleanly and no
+      * longer blocks GC (StateFinished, config/changefeed.go:321). */
+    targetTs: Option[Long] = None)

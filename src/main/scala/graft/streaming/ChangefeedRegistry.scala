@@ -45,6 +45,8 @@ class ChangefeedRegistry(spark: SparkSession) {
   def resume(id: String): StreamingQuery = {
     val e = feeds.getOrElse(id, sys.error(s"no changefeed $id"))
     require(e.query.isEmpty || !e.query.get.isActive, s"$id is running")
+    require(e.feedState != FeedState.Finished,
+      s"$id is finished (target-ts reached) and cannot resume")
     e.backoff.resetRetry()
     e.feedState = FeedState.Normal
     val q = Changefeed.run(spark, e.cfg, e.sourceDir, e.sinkDir, e.checkpointDir)
@@ -62,8 +64,14 @@ class ChangefeedRegistry(spark: SparkSession) {
                    nowMs: Long): FeedState = {
     val e = entryOf(id)
     e.lastCheckpointTs = math.max(e.lastCheckpointTs, checkpointTs)
-    e.feedState = e.backoff.checkStatus(checkpointTs, errs, nowMs)
-    if (e.feedState != FeedState.Normal) pause(id)
+    if (e.cfg.targetTs.exists(t => e.lastCheckpointTs >= t)) {
+      // replication goal reached: clean terminal state, no retry path
+      e.feedState = FeedState.Finished
+      pause(id)
+    } else {
+      e.feedState = e.backoff.checkStatus(checkpointTs, errs, nowMs)
+      if (e.feedState != FeedState.Normal) pause(id)
+    }
     e.feedState
   }
 
@@ -78,8 +86,12 @@ class ChangefeedRegistry(spark: SparkSession) {
     val gcCodes = Set("CDC:ErrGCTTLExceeded", "CDC:ErrSnapshotLostByGC",
       "CDC:ErrStartTsBeforeGC")
     val blocking = feeds.values.filter { e =>
-      e.feedState != FeedState.Failed ||
-        !e.backoff.lastError.exists(err => gcCodes.contains(err.code))
+      e.feedState match {
+        case FeedState.Finished => false // goal reached, data no longer needed
+        case FeedState.Failed =>
+          !e.backoff.lastError.exists(err => gcCodes.contains(err.code))
+        case _ => true
+      }
     }
     if (blocking.isEmpty) None else Some(blocking.map(_.lastCheckpointTs).min)
   }
@@ -247,8 +259,9 @@ class ChangefeedRegistry(spark: SparkSession) {
   def status(id: String): (String, String, Long) = {
     val e = feeds.getOrElse(id, sys.error(s"no changefeed $id"))
     val state = e.feedState match {
-      case FeedState.Failed  => "failed"
-      case FeedState.Warning => "warning"
+      case FeedState.Failed   => "failed"
+      case FeedState.Warning  => "warning"
+      case FeedState.Finished => "finished"
       case FeedState.Normal => e.query match {
         case Some(q) if q.isActive => "running"
         case _ => "paused"

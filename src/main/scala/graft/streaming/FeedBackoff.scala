@@ -7,6 +7,9 @@ object FeedState {
   case object Normal extends FeedState
   case object Warning extends FeedState
   case object Failed extends FeedState
+  /** Checkpoint reached target-ts: clean terminal state (no retry,
+    * no GC block). */
+  case object Finished extends FeedState
 }
 
 /** A reported running error: RFC-style code + message (reference

@@ -52,6 +52,21 @@ class PlanSpec extends SparkFunSuite {
     assert(!p.contains("SortMergeJoin"), "no shuffle join in the IVF path")
   }
 
+  test("q_chunk_overlap: chunker is pure per-row work, zero exchange") {
+    val p = plan("q_chunk_overlap")
+    assert(!p.contains("Exchange"), "sliding-window chunking must not shuffle")
+  }
+
+  test("q_knn_join: equi-join on cell, never a nested-loop") {
+    val p = plan("q_knn_join")
+    // both sides carry the inline quantizer; the meet is a plain hash
+    // equi-join on `cell` (broadcast locally under AQE is fine — the
+    // OperatorSpec pins that it also runs with broadcast disabled);
+    // a BroadcastNestedLoopJoin here would mean the cell key was lost
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"kNN join must stay a cell equi-join:\n$p")
+  }
+
   test("q_txn_chunks_atomic: txn-size table broadcasts back to the fact side") {
     val p = plan("q_txn_chunks_atomic")
     assert(p.contains("BroadcastHashJoin"),

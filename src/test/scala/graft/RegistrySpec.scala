@@ -89,6 +89,23 @@ class RegistrySpec extends SparkFunSuite {
     assert(reg.gcSafepoint.isEmpty, "no feeds, nothing blocks GC")
   }
 
+  test("target-ts reached: feed finishes, stops blocking GC, cannot resume") {
+    val tmp = Files.createTempDirectory("graft-fin").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/src/events.parquet"))
+    val reg = new ChangefeedRegistry(spark)
+    reg.create(ChangefeedConfig(id = "fin", targetTs = Some(500L)),
+      s"$tmp/src", s"$tmp/sink", s"$tmp/ckpt").awaitTermination(120000)
+    assert(reg.reportStatus("fin", 499L, Nil, 0L) == graft.streaming.FeedState.Normal)
+    assert(reg.reportStatus("fin", 500L, Nil, 1L) == graft.streaming.FeedState.Finished)
+    assert(reg.status("fin")._2 == "finished")
+    assert(reg.gcSafepoint.isEmpty, "a finished feed releases the gc safepoint")
+    intercept[IllegalArgumentException](reg.resume("fin"))
+    reg.remove("fin")
+  }
+
   test("error-caused safe mode: duplicate-entry trips a 5s safe window") {
     val sm = new graft.sinks.MysqlSink.ErrorCausedSafeMode()
     assert(!sm.active(1000L))
