@@ -184,6 +184,10 @@ object DataQueries {
 
     "q_seq_pack" -> ((s, d) => Sampling.packSequences(docs(s, d), packWindow)),
 
+    // epoch-1 training order over 4 loader shards
+    "q_epoch_shuffle" -> ((s, d) =>
+      Sampling.epochShuffle(docs(s, d), epoch = 1, nShards = 4)),
+
     // dataset-card mix table: doc/token volume per (split, source) —
     // split assignment composes with the corpus aggregation in one
     // map-side-combined shuffle
@@ -530,6 +534,18 @@ object DataQueries {
          |  CAST(ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS quota_rank,
          |  ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) <= $maxPerSource AS kept
          |FROM documents""".stripMargin,
+
+    // identical md5-prefix key, mod-shard ownership, in-shard rank
+    "q_epoch_shuffle" ->
+      """WITH k AS (
+        |  SELECT doc_id,
+        |    CAST(('0x' || substring(md5('1:' || CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+        |      AS shuffle_key
+        |  FROM documents)
+        |SELECT doc_id, shuffle_key, shuffle_key % 4 AS shard,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 4
+        |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
+        |FROM k""".stripMargin,
 
     "q_seq_pack" ->
       s"""WITH t AS (

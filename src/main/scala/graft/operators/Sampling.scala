@@ -152,6 +152,27 @@ object Sampling {
     * LargeMessage.messageBatches]] (soft cap: a pack may overflow by
     * at most one doc, identical in any engine, unlike a stateful
     * packer). One window shuffle per source. */
+  /** Deterministic EPOCH SHUFFLE — the training-order permutation,
+    * distributed-loader style: example order for epoch `e` derives
+    * from `md5(e:doc_id)`; loader shard `w` of `nShards` owns the
+    * rows with `key % nShards = w` and reads them in key order. Pure
+    * expressions — no RNG state, a different permutation every epoch,
+    * bit-identical on re-run/resume, and any shard can compute its
+    * own slice without seeing the others. One exchange (the per-shard
+    * rank window); per-shard state ≈ n/nShards, so parallelism scales
+    * with the loader fleet, never a global single-task sort. */
+  def epochShuffle(docs: DataFrame, epoch: Int, nShards: Int,
+                   idCol: String = "doc_id"): DataFrame = {
+    require(nShards > 0, s"nShards must be positive, got $nShards")
+    val key = graft.functions.HashExpressions.md5Prefix64(
+      concat(lit(epoch.toString), lit(":"), col(idCol).cast("string")), 15)
+    val w = Window.partitionBy(col("shard"))
+      .orderBy(col("shuffle_key"), col(idCol))
+    docs.select(col(idCol), key.as("shuffle_key"))
+      .withColumn("shard", pmod(col("shuffle_key"), lit(nShards.toLong)))
+      .withColumn("pos", row_number().over(w).cast("long"))
+  }
+
   def packSequences(docs: DataFrame, windowTokens: Long): DataFrame = {
     // (object-local `split` shadows functions.split — qualify)
     val nTok = size(org.apache.spark.sql.functions.split(col("text"), " ")).cast("long")

@@ -87,8 +87,13 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0) {
 
         case ("GET", Seq(id, "status")) =>
           val (_, state, n) = registry.status(id)
+          // last running error rides along like the reference's
+          // ChangefeedStatus.LastError (api/v2 model.go)
+          val err = registry.lastError(id).map(e =>
+            s""","last_error":{"code":${jsonString(e.code)},"message":${jsonString(e.message)}}""")
+            .getOrElse("")
           respond(ex, 200,
-            s"""{"id":${jsonString(id)},"state":${jsonString(state)},"emitted":$n}""")
+            s"""{"id":${jsonString(id)},"state":${jsonString(state)},"emitted":$n$err}""")
 
         case ("GET", Seq(id, "synced")) =>
           respond(ex, 200,
@@ -185,6 +190,11 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0) {
     respond(ex, 200, registry.runningFeeds.map(id =>
       s"""{"changefeed_id":${jsonString(id)},"capture_id":"capture-0"}""")
       .mkString("[", ",", "]")))
+  // the coordinator's GC view: min checkpoint over gc-blocking feeds
+  // (coordinator.go:483-492; null when nothing blocks)
+  server.createContext("/api/v2/gc_safepoint", (ex: HttpExchange) =>
+    respond(ex, 200,
+      s"""{"gc_safepoint":${registry.gcSafepoint.map(_.toString).getOrElse("null")}}"""))
 
   def start(): ApiServer = { server.start(); this }
   def stop(): Unit = server.stop(0)

@@ -92,6 +92,19 @@ class ApiServerSpec extends SparkFunSuite {
       val (cp, bp) = call("GET", s"$root/processors")
       assert(cp == 200 && (bp == "[]" || bp.contains("cf-api")), bp)
 
+      // gc safepoint: the feed blocks at its reported checkpoint, and
+      // a warning report surfaces last_error in the status body
+      registry.reportStatus("cf-api", 777L, Nil, 0L)
+      val (cg, bg) = call("GET", s"$root/gc_safepoint")
+      assert(cg == 200 && bg.contains("\"gc_safepoint\":777"), bg)
+      registry.reportStatus("cf-api", 777L,
+        Seq(graft.streaming.FeedError("CDC:ErrMySQLTxnError", "deadlock")), 1L)
+      val (cse, bse) = call("GET", s"$base/cf-api/status")
+      assert(cse == 200 && bse.contains("\"state\":\"warning\"")
+        && bse.contains("\"last_error\"") && bse.contains("deadlock"), bse)
+      // recover so the remaining lifecycle asserts see a clean feed
+      registry.reportStatus("cf-api", 778L, Nil, 2L)
+
       // span scheduling: move → split → list → merge
       val (cm, bm) = call("POST",
         s"$base/cf-api/move_table?schema=app&table=events_1&target=3")

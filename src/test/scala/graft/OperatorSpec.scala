@@ -683,6 +683,21 @@ class OperatorSpec extends SparkFunSuite {
       s"fluent order must outscore scrambled (${out(1L)} vs ${out(4L)})")
   }
 
+  test("epochShuffle: per-epoch permutations differ, re-runs are bit-identical") {
+    import spark.implicits._
+    val docs = (0L until 64L).map(i => (i, s"d$i")).toDF("doc_id", "text")
+    def order(epoch: Int): Seq[(Long, Long, Long)] =
+      Sampling.epochShuffle(docs, epoch, nShards = 4)
+        .select("doc_id", "shard", "pos").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    val e1 = order(1)
+    assert(e1 == order(1), "same epoch is deterministic across runs")
+    assert(e1 != order(2), "different epochs permute differently")
+    // every shard holds a contiguous 1..k rank sequence
+    val byShard = e1.groupBy(_._2).values
+    assert(byShard.forall(s => s.map(_._3).sorted == (1L to s.size).toSeq))
+  }
+
   test("tokenQuantiles returns discrete k-th-smallest values") {
     import spark.implicits._
     // source A: lengths 1..10 → p50 = 5th smallest = 5, p90 = 9, p99 = ceil(9.9) = 10th = 10
