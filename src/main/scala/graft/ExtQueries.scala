@@ -124,6 +124,22 @@ object ExtQueries {
     // time-travel: state as of the midpoint commit ts (the syncpoint
     // consistency-check primitive); the cut is data-derived so both
     // engines compute the same snapshot point
+    // sync-diff: src vs a deterministically-drifted downstream copy
+    // (dropped keys, corrupted values, extra keys) — chunk checksums
+    // prune, row compare classifies; oracle is the UNPRUNED full
+    // compare, so it also proves pruning loses nothing
+    "q_table_diff" -> ((s, d) => {
+      val src = Tables.documents(s, d)
+      val base = src.filter(pmod(col("doc_id"), lit(97L)) =!= 3)
+        .withColumn("text",
+          when(pmod(col("doc_id"), lit(89L)) === 5,
+            concat(col("text"), lit(" CORRUPTED"))).otherwise(col("text")))
+      val extra = src.filter(pmod(col("doc_id"), lit(101L)) === 7)
+        .withColumn("doc_id", col("doc_id") + 1000000L)
+      graft.operators.TableDiff.diff(
+        src, base.unionByName(extra), Seq("doc_id"), nChunks = 32)
+    }),
+
     "q_snapshot_asof" -> ((s, d) => {
       val e = env(s, d)
       val mm = e.agg(min(col("_commit_ts")), max(col("_commit_ts"))).head()
@@ -762,6 +778,26 @@ object ExtQueries {
         |      _row_id DESC) AS rn
         |  FROM env)
         |WHERE rn = 1 AND _op <> 'D'""".stripMargin),
+
+    // the full (unchunked) compare — identical classification
+    "q_table_diff" ->
+      """WITH dst AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 89 = 5 THEN text || ' CORRUPTED' ELSE text END AS text,
+        |    lang, source, n_chars
+        |  FROM documents WHERE doc_id % 97 <> 3
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 101 = 7),
+        |cmp AS (
+        |  SELECT COALESCE(s.doc_id, d.doc_id) AS doc_id,
+        |    CASE WHEN d.doc_id IS NULL THEN 'missing_dst'
+        |         WHEN s.doc_id IS NULL THEN 'extra_dst'
+        |         WHEN s.text <> d.text OR s.lang <> d.lang
+        |           OR s.source <> d.source OR s.n_chars <> d.n_chars THEN 'mismatch'
+        |    END AS diff_kind
+        |  FROM documents s FULL OUTER JOIN dst d ON s.doc_id = d.doc_id)
+        |SELECT doc_id, diff_kind FROM cmp WHERE diff_kind IS NOT NULL""".stripMargin,
 
     "q_snapshot_asof" -> q(
       """SELECT _schema, _table,

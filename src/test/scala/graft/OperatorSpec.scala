@@ -683,6 +683,25 @@ class OperatorSpec extends SparkFunSuite {
       s"fluent order must outscore scrambled (${out(1L)} vs ${out(4L)})")
   }
 
+  test("tableDiff classifies drift and renders reconciling fix SQL") {
+    import spark.implicits._
+    val src = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
+      .toDF("doc_id", "text")
+    val dst = Seq((1L, "alpha"), (2L, "CORRUPT"), (9L, "ghost"))
+      .toDF("doc_id", "text")
+    val kinds = graft.operators.TableDiff.diff(src, dst, Seq("doc_id"), nChunks = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(kinds == Map(2L -> "mismatch", 3L -> "missing_dst", 9L -> "extra_dst"))
+    // identical tables: every chunk checksum agrees, nothing to report
+    assert(graft.operators.TableDiff.diff(src, src, Seq("doc_id"), 4).isEmpty)
+    val fixes = graft.operators.TableDiff
+      .fixStatements(src, dst, Seq("doc_id"), "app", "docs", nChunks = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(fixes(2L) == "REPLACE INTO `app`.`docs` (`doc_id`,`text`) VALUES ('2','beta')")
+    assert(fixes(3L) == "REPLACE INTO `app`.`docs` (`doc_id`,`text`) VALUES ('3','gamma')")
+    assert(fixes(9L) == "DELETE FROM `app`.`docs` WHERE `doc_id` = '9' LIMIT 1")
+  }
+
   test("epochShuffle: per-epoch permutations differ, re-runs are bit-identical") {
     import spark.implicits._
     val docs = (0L until 64L).map(i => (i, s"d$i")).toDF("doc_id", "text")
