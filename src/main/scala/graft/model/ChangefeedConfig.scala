@@ -73,4 +73,7 @@ final case class ChangefeedConfig(
     /** Replication end ts (the reference's target-ts): once the
       * checkpoint reaches it the feed FINISHES — stops cleanly and no
       * longer blocks GC (StateFinished, config/changefeed.go:321). */
-    targetTs: Option[Long] = None)
+    targetTs: Option[Long] = None,
+    /** Upstream keyspace (multi-tenant cluster): GC barriers compute
+      * per keyspace (changefeed_db.go:345-368). */
+    keyspace: String = "default")

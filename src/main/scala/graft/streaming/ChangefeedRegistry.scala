@@ -83,17 +83,26 @@ class ChangefeedRegistry(spark: SparkSession) {
     * holding the safepoint for it is pointless by definition). None
     * when no feed blocks GC. */
   def gcSafepoint: Option[Long] = {
+    val barriers = gcBarriers
+    if (barriers.isEmpty) None else Some(barriers.values.min)
+  }
+
+  /** Per-keyspace GC barriers (CalculateKeyspaceGCBarrier,
+    * changefeed_db.go:345-368): [[gcSafepoint]] grouped by each
+    * feed's upstream keyspace — one barrier per tenant, so an idle
+    * tenant's GC never waits on another tenant's laggard feed. */
+  def gcBarriers: Map[String, Long] = {
     val gcCodes = Set("CDC:ErrGCTTLExceeded", "CDC:ErrSnapshotLostByGC",
       "CDC:ErrStartTsBeforeGC")
-    val blocking = feeds.values.filter { e =>
+    feeds.values.filter { e =>
       e.feedState match {
-        case FeedState.Finished => false // goal reached, data no longer needed
+        case FeedState.Finished => false
         case FeedState.Failed =>
           !e.backoff.lastError.exists(err => gcCodes.contains(err.code))
         case _ => true
       }
-    }
-    if (blocking.isEmpty) None else Some(blocking.map(_.lastCheckpointTs).min)
+    }.groupBy(_.cfg.keyspace)
+      .map { case (ks, es) => ks -> es.map(_.lastCheckpointTs).min }
   }
 
   /** Scheduling gate: true when the feed is allowed to (re)start at

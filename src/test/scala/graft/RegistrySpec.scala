@@ -79,6 +79,8 @@ class RegistrySpec extends SparkFunSuite {
     reg.reportStatus("ga", 100L, Nil, 0L)
     reg.reportStatus("gb", 50L, Nil, 0L)
     assert(reg.gcSafepoint.contains(50L), "min over all blocking feeds")
+    assert(reg.gcBarriers == Map("default" -> 50L),
+      "same-keyspace feeds share one barrier")
     // gb fails BECAUSE of GC: it stops blocking the safepoint
     reg.reportStatus("gb", 50L, Seq(FeedError("CDC:ErrSnapshotLostByGC", "gone")), 1L)
     assert(reg.gcSafepoint.contains(100L), "gc-failed feed releases the safepoint")
