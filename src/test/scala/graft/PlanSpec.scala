@@ -67,6 +67,13 @@ class PlanSpec extends SparkFunSuite {
       s"kNN join must stay a cell equi-join:\n$p")
   }
 
+  test("q_table_diff: chunk prune is a broadcast semi-join, no cartesian") {
+    val p = plan("q_table_diff")
+    assert(p.contains("LeftSemi"), "both scans must prune by the bad-chunk list")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "diff must stay key-equi-joined")
+  }
+
   test("q_txn_chunks_atomic: txn-size table broadcasts back to the fact side") {
     val p = plan("q_txn_chunks_atomic")
     assert(p.contains("BroadcastHashJoin"),

@@ -43,6 +43,34 @@ class RandomizedSpec extends SparkFunSuite {
     }
   }
 
+  test("knnJoin probing every cell equals brute force on random vectors") {
+    import spark.implicits._
+    import graft.operators.Similarity
+    val dim = 8
+    val vecs = (0L until 120L).map { i =>
+      (i, Seq.fill(dim)(rnd.nextFloat() * 2f - 1f))
+    }
+    val emb = vecs.toDF("vec_id", "embedding")
+    val centroids = emb.filter(col("vec_id") < 6)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    // nprobe = #cells: every query sees every cell -> exact top-k
+    val got = Similarity.knnJoin(emb, emb, centroids, k = 5, nprobe = 6)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    def cos(a: Seq[Float], b: Seq[Float]): Double = {
+      def dot(x: Seq[Float], y: Seq[Float]) =
+        x.zip(y).foldLeft(0.0) { case (acc, (p, q)) => acc + p.toDouble * q.toDouble }
+      dot(a, b) / (math.sqrt(dot(a, a)) * math.sqrt(dot(b, b)))
+    }
+    vecs.foreach { case (qid, qv) =>
+      val want = vecs.filter(_._1 != qid)
+        .map { case (nid, nv) => (nid, cos(qv, nv)) }
+        .sortBy { case (nid, c) => (-c, nid) }.take(5).map(_._1)
+      val have = (1 to 5).map(r => got((qid, r.toLong)))
+      assert(have == want, s"query $qid: got $have want $want")
+    }
+  }
+
   test("sql literal escaping: adversarial strings stay single-literal") {
     (0 until 500).foreach { _ =>
       val s = (0 until rnd.nextInt(12)).map(_ =>
