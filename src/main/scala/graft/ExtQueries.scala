@@ -233,6 +233,15 @@ object ExtQueries {
     "q_sessionize" -> ((s, d) =>
       graft.operators.Sessionize.sessions(Tables.events(s, d), sessionGapNs)),
 
+    // signup → purchase conversion within 3 days of first signup
+    "q_funnel" -> ((s, d) =>
+      graft.analytics.Funnel.funnel(Tables.events(s, d),
+        "signup", "purchase", funnelWindowNs)),
+
+    // daily retention triangle (cohort = first-seen day)
+    "q_retention" -> ((s, d) =>
+      graft.analytics.Funnel.retention(Tables.events(s, d), dayNs)),
+
     // big-big as-of join: attribute each click/view to the latest
     // preceding signup/purchase of the same user — union + running
     // window, join-free (one key shuffle; both sides data-scaled)
@@ -320,6 +329,8 @@ object ExtQueries {
   )
 
   val sessionGapNs: Long = 30L * 60 * 1000 * 1000 * 1000 // 30 min
+  val dayNs: Long = 24L * 3600 * 1000 * 1000 * 1000
+  val funnelWindowNs: Long = 3L * dayNs
 
   /** DDL fixture: sparse version stream with a rotating statement
     * mix. The control stream is tiny (1/97 of events), so cache it:
@@ -580,6 +591,34 @@ object ExtQueries {
         |FROM meta""".stripMargin,
 
     "q_sessionize" -> graft.operators.Sessionize.oracleSql(sessionGapNs),
+
+    // epoch_ns(ts) is µs-truncated in DuckDB, matching the Spark-side
+    // ts - ts % 1000 truncation
+    "q_funnel" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+         |f AS (
+         |  SELECT user_id, MIN(ts_ns) AS from_ts FROM ev
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |c AS (
+         |  SELECT e.user_id, MIN(e.ts_ns) AS to_ts
+         |  FROM ev e JOIN f USING (user_id)
+         |  WHERE e.event_type = 'purchase'
+         |    AND e.ts_ns >= f.from_ts AND e.ts_ns <= f.from_ts + $funnelWindowNs
+         |  GROUP BY 1)
+         |SELECT f.user_id, f.from_ts, c.to_ts,
+         |  c.to_ts IS NOT NULL AS converted,
+         |  c.to_ts - f.from_ts AS ns_to_convert
+         |FROM f LEFT JOIN c USING (user_id)""".stripMargin,
+
+    "q_retention" ->
+      s"""WITH ev AS (SELECT user_id, epoch_ns(ts) AS ts_ns FROM events),
+         |f AS (SELECT user_id, MIN(ts_ns) AS first_ts FROM ev GROUP BY 1)
+         |SELECT first_ts // $dayNs AS cohort,
+         |  ts_ns // $dayNs - first_ts // $dayNs AS age,
+         |  CAST(COUNT(DISTINCT ev.user_id) AS BIGINT) AS n_users
+         |FROM ev JOIN f USING (user_id)
+         |GROUP BY 1, 2""".stripMargin,
 
     // DuckDB's native ASOF JOIN is the oracle for the union+window
     // implementation (equal-ts build rows visible: >=; build deduped

@@ -683,6 +683,28 @@ class OperatorSpec extends SparkFunSuite {
       s"fluent order must outscore scrambled (${out(1L)} vs ${out(4L)})")
   }
 
+  test("funnel: conversion only after first entry and inside the window") {
+    import spark.implicits._
+    val sec = 1000L * 1000 * 1000
+    // ts carries the long-ns shape the parquet reader yields
+    val ev = Seq(
+      (1L, "purchase", 5L * sec),  // BEFORE signup: not a conversion
+      (1L, "signup", 10L * sec),
+      (1L, "purchase", 15L * sec),
+      (1L, "purchase", 12L * sec), // earlier in-window one wins the MIN
+      (2L, "signup", 10L * sec),
+      (2L, "purchase", 110L * sec), // outside the window
+      (3L, "purchase", 10L * sec)   // never signed up: not in funnel
+    ).toDF("user_id", "event_type", "ts")
+    val out = graft.analytics.Funnel.funnel(ev, "signup", "purchase", 50L * sec)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toMap
+    assert(out.keySet == Set(1L, 2L), "only signed-up users enter the funnel")
+    assert(out(1L)._3 && out(1L)._2 == out(1L)._1 + 2L * sec,
+      "earliest in-window purchase wins")
+    assert(!out(2L)._3, "outside the window is not a conversion")
+  }
+
   test("tableDiff classifies drift and renders reconciling fix SQL") {
     import spark.implicits._
     val src = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
