@@ -40,6 +40,81 @@ object Funnel {
         (col("to_ts") - col("from_ts")).as("ns_to_convert"))
   }
 
+  case class FunnelEvent(userId: Long, eventType: String, tsUs: Long)
+  case class FunnelState(fromTsUs: Long, toCands: List[Long])
+  case class FunnelResult(user_id: Long, from_ts_us: Long,
+                          to_ts_us: Option[Long], converted: Boolean)
+
+  /** Streaming twin of [[funnel]]: per-user state holds the earliest
+    * entry ts plus the conversion CANDIDATES that could still matter,
+    * and finalizes via an EVENT-TIME timeout once the watermark
+    * passes `first entry + window` — at that point no in-window
+    * conversion can still arrive, so the emitted row is final
+    * (append-mode exact, the resolved-ts pattern TxnAssembler uses).
+    *
+    * Late-data reasoning bounds the state: an event below the
+    * watermark is dropped by contract, so any future entry event has
+    * ts ≥ watermark — a conversion candidate below BOTH the current
+    * earliest entry and the watermark can never become valid and is
+    * pruned every invocation. Users with candidates but no entry yet
+    * time out at their newest candidate and evaporate. */
+  def streamingFunnel(spark: org.apache.spark.sql.SparkSession, events: DataFrame,
+                      fromType: String, toType: String, windowNs: Long,
+                      delay: String = "0 seconds"): org.apache.spark.sql.Dataset[FunnelResult] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(windowNs % 1000L == 0, s"window must be whole microseconds: $windowNs")
+    val windowUs = windowNs / 1000L
+    val none = Long.MaxValue
+    val rows = events
+      .withColumn("__ts_us", expr("CAST(ts AS LONG) div 1000"))
+      .withColumn("event_time", timestamp_micros(col("__ts_us")))
+      .withWatermark("event_time", delay)
+      .filter(col("event_type").isin(fromType, toType))
+      .select(col("user_id").as("userId"), col("event_type").as("eventType"),
+        col("__ts_us").as("tsUs"), col("event_time"))
+      .as[FunnelEvent]
+    rows.groupByKey(_.userId)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (user: Long, it: Iterator[FunnelEvent], state: GroupState[FunnelState]) => {
+          if (state.hasTimedOut) {
+            val st = state.get
+            state.remove()
+            if (st.fromTsUs == none) Iterator.empty // never entered
+            else {
+              val valid = st.toCands
+                .filter(t => t >= st.fromTsUs && t <= st.fromTsUs + windowUs)
+              Iterator.single(FunnelResult(user, st.fromTsUs,
+                if (valid.isEmpty) None else Some(valid.min), valid.nonEmpty))
+            }
+          } else {
+            val prev = state.getOption.getOrElse(FunnelState(none, Nil))
+            val wmUs = state.getCurrentWatermarkMs() * 1000L
+            val (from, cands) = it.foldLeft((prev.fromTsUs, prev.toCands)) {
+              case ((f, cs), e) =>
+                if (e.eventType == fromType) (math.min(f, e.tsUs), cs)
+                else (f, e.tsUs :: cs)
+            }
+            val kept = cands.filter(t => t >= from || t >= wmUs)
+            val fireMs =
+              (if (from != none) from + windowUs else if (kept.nonEmpty) kept.max else 0L) / 1000L + 1L
+            if (from == none && kept.isEmpty) { state.remove(); Iterator.empty }
+            else if (from != none && fireMs <= state.getCurrentWatermarkMs()) {
+              // entry arrived when its window had already closed
+              // (timeouts must sit above the watermark): final NOW
+              state.remove()
+              val valid = kept.filter(t => t >= from && t <= from + windowUs)
+              Iterator.single(FunnelResult(user, from,
+                if (valid.isEmpty) None else Some(valid.min), valid.nonEmpty))
+            } else {
+              state.update(FunnelState(from, kept))
+              state.setTimeoutTimestamp(fireMs)
+              Iterator.empty
+            }
+          }
+        })
+  }
+
   /** Retention cohorts: users bucket by FIRST-SEEN period (cohort),
     * and each (cohort, age-in-periods) cell counts the distinct users
     * from that cohort active that period — the classic triangle. */

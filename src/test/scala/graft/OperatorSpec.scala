@@ -705,6 +705,40 @@ class OperatorSpec extends SparkFunSuite {
     assert(!out(2L)._3, "outside the window is not a conversion")
   }
 
+  test("streamingFunnel finalizes watermark-closed funnels identical to batch") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sfun").toString
+    val src = s"$tmp/source"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    val windowNs = 3L * 24 * 3600 * 1000 * 1000 * 1000
+    val schema = spark.read.parquet(src).schema
+    val q = graft.analytics.Funnel.streamingFunnel(spark,
+        spark.readStream.schema(schema).parquet(src),
+        "signup", "purchase", windowNs)
+      .writeStream.outputMode("append")
+      .format("memory").queryName("stream_funnel")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("stream_funnel").collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3)))
+      .toMap
+    val batch = graft.analytics.Funnel.funnel(
+        Tables.events(spark, "/root/testdata/sf0.001"), "signup", "purchase", windowNs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1) / 1000L, if (r.isNullAt(2)) -1L else r.getLong(2) / 1000L,
+          r.getBoolean(3)))
+      .toMap
+    assert(streamed.nonEmpty, "watermark must close some funnels")
+    streamed.foreach { case (u, v) =>
+      assert(batch(u) == v, s"user $u: streamed $v vs batch ${batch(u)}")
+    }
+  }
+
   test("tableDiff classifies drift and renders reconciling fix SQL") {
     import spark.implicits._
     val src = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"))
