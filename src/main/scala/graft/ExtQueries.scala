@@ -233,6 +233,18 @@ object ExtQueries {
     "q_sessionize" -> ((s, d) =>
       graft.operators.Sessionize.sessions(Tables.events(s, d), sessionGapNs)),
 
+    // multimodal → ANN bridge: blob bytes → extracted feature vector
+    // (mapPartitions batch "model", deterministic stub) → the
+    // unchanged ANN stack. Feature sums are small exact integers, so
+    // the float vectors are engine-portable.
+    "q_multimodal_ann" -> ((s, d) => {
+      val feats = graft.operators.Multimodal.featureExtractBatch(
+        graft.operators.Multimodal.withBlob(Tables.documents(s, d)))
+      val emb = feats.select(col("doc_id").as("vec_id"),
+        transform(col("features"), f => f.cast("float")).as("embedding"))
+      graft.operators.Similarity.bruteForceTopK(emb, numQueries = 5, k = 10)
+    }),
+
     // signup → purchase conversion within 3 days of first signup
     "q_funnel" -> ((s, d) =>
       graft.analytics.Funnel.funnel(Tables.events(s, d),
@@ -591,6 +603,37 @@ object ExtQueries {
         |FROM meta""".stripMargin,
 
     "q_sessionize" -> graft.operators.Sessionize.oracleSql(sessionGapNs),
+
+    // features: byte-value sums by position mod 4 (ASCII text = bytes)
+    "q_multimodal_ann" ->
+      """WITH pos AS (
+        |  SELECT doc_id, text, CAST(unnest(range(0, length(text))) AS BIGINT) AS p
+        |  FROM documents),
+        |feat AS (
+        |  SELECT doc_id, p % 4 AS j,
+        |    SUM(unicode(substring(text, CAST(p AS INT) + 1, 1))) AS f
+        |  FROM pos GROUP BY 1, 2),
+        |vec AS (
+        |  SELECT doc_id AS vec_id,
+        |    [CAST(SUM(CASE WHEN j = 0 THEN f END) AS DOUBLE),
+        |     CAST(SUM(CASE WHEN j = 1 THEN f END) AS DOUBLE),
+        |     CAST(SUM(CASE WHEN j = 2 THEN f END) AS DOUBLE),
+        |     CAST(SUM(CASE WHEN j = 3 THEN f END) AS DOUBLE)] AS emb
+        |  FROM feat GROUP BY doc_id),
+        |wc AS (
+        |  SELECT vec_id, emb, sqrt(list_dot_product(emb, emb)) AS n FROM vec),
+        |q AS (
+        |  SELECT vec_id AS query_id, emb AS q_emb, n AS qn FROM wc
+        |  WHERE vec_id < 5),
+        |scored AS (
+        |  SELECT q.query_id, wc.vec_id,
+        |    list_dot_product(q.q_emb, wc.emb) / (q.qn * wc.n) AS cos
+        |  FROM wc CROSS JOIN q WHERE wc.vec_id <> q.query_id)
+        |SELECT query_id, rank, neighbor_id, round(cos, 6) AS cos_sim FROM (
+        |  SELECT query_id, vec_id AS neighbor_id, cos,
+        |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+        |  FROM scored)
+        |WHERE rank <= 10""".stripMargin,
 
     // epoch_ns(ts) is µs-truncated in DuckDB, matching the Spark-side
     // ts - ts % 1000 truncation
