@@ -147,6 +147,24 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0) {
           }.mkString("[", ",", "]")
           respond(ex, 200, body)
 
+        // GetChangeFeed info (api/v2/api.go:61): definition + state
+        case ("GET", Seq(id)) =>
+          val cfg = registry.config(id)
+          val (_, state, _) = registry.status(id)
+          respond(ex, 200,
+            s"""{"id":${jsonString(id)},"state":${jsonString(state)},""" +
+              s""""keyspace":${jsonString(cfg.keyspace)},""" +
+              s""""filter_rules":${cfg.filter.rules.map(jsonString).mkString("[", ",", "]")},""" +
+              s""""target_ts":${cfg.targetTs.map(_.toString).getOrElse("null")},""" +
+              s""""sink_partitions":${cfg.sink.numPartitions}}""")
+
+        // dispatcher count = sink worker partitions + per-table span
+        // rules (get_dispatcher_count, api/v2/api.go:80)
+        case ("GET", Seq(id, "get_dispatcher_count")) =>
+          val cfg = registry.config(id)
+          respond(ex, 200,
+            s"""{"count":${cfg.sink.numPartitions + cfg.sink.dispatch.size}}""")
+
         // reference UpdateChangefeed (api/v2/api.go:68): rules update,
         // only while paused; IllegalArgument surfaces as 400
         case ("PUT", Seq(id)) =>

@@ -255,6 +255,9 @@ class ChangefeedRegistry(spark: SparkSession) {
 
   def filterRules(id: String): Seq[String] = entryOf(id).cfg.filter.rules
 
+  /** The feed's full definition (GetChangeFeed, api/v2/api.go:61). */
+  def config(id: String): ChangefeedConfig = entryOf(id).cfg
+
   /** Changefeeds with an active query — the ListProcessor view (one
     * in-process capture ⇒ processor per running feed). */
   def runningFeeds: Seq[String] =

@@ -105,6 +105,13 @@ class ApiServerSpec extends SparkFunSuite {
       // recover so the remaining lifecycle asserts see a clean feed
       registry.reportStatus("cf-api", 778L, Nil, 2L)
 
+      // GetChangeFeed info + dispatcher count
+      val (ci, bi) = call("GET", s"$base/cf-api")
+      assert(ci == 200 && bi.contains("\"keyspace\":\"default\"")
+        && bi.contains("\"filter_rules\""), bi)
+      val (cd, bd) = call("GET", s"$base/cf-api/get_dispatcher_count")
+      assert(cd == 200 && bd.contains("\"count\":"), bd)
+
       // span scheduling: move → split → list → merge
       val (cm, bm) = call("POST",
         s"$base/cf-api/move_table?schema=app&table=events_1&target=3")
