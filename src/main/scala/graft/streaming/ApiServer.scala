@@ -31,7 +31,16 @@ import graft.model.{ChangefeedConfig, FilterConfig}
   * Unknown changefeed ids answer 404 (the reference's 4xx), keeping
   * 500 for genuine handler failures.
   */
-class ApiServer(registry: ChangefeedRegistry, port: Int = 0) {
+/** Upstream table catalog backing verify_table / get_all_tables
+  * (api/v2/api.go:88-91): `all` lists replicable tables, `eligible`
+  * answers the reference's PK/non-null-UK check (VerifyTable) —
+  * backed by whatever schema source the embedder has (SchemaRegistry,
+  * information_schema, a static list). */
+final case class TableCatalog(all: () => Seq[(String, String)],
+                              eligible: (String, String) => Boolean)
+
+class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
+                catalog: Option[TableCatalog] = None) {
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -213,6 +222,27 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0) {
   server.createContext("/api/v2/gc_safepoint", (ex: HttpExchange) =>
     respond(ex, 200,
       s"""{"gc_safepoint":${registry.gcSafepoint.map(_.toString).getOrElse("null")}}"""))
+  // replication-eligibility check + full table list (api/v2/api.go:
+  // 88-91); 503 without a catalog, like a coordinator missing its
+  // upstream connection
+  server.createContext("/api/v2/verify_table", (ex: HttpExchange) =>
+    catalog match {
+      case None => respond(ex, 503, """{"error":"no upstream catalog"}""")
+      case Some(c) =>
+        val ts = queryParams(ex).get("tables").map(_.split(",").toSeq.filter(_.nonEmpty))
+          .getOrElse(Seq.empty)
+          .map { t => val Array(s, tb) = t.split("\\.", 2); (s, tb) }
+        val (ok, bad) = ts.partition { case (s, t) => c.eligible(s, t) }
+        def arr(xs: Seq[(String, String)]) =
+          xs.map { case (s, t) => jsonString(s"$s.$t") }.mkString("[", ",", "]")
+        respond(ex, 200, s"""{"eligible":${arr(ok)},"ineligible":${arr(bad)}}""")
+    })
+  server.createContext("/api/v2/get_all_tables", (ex: HttpExchange) =>
+    catalog match {
+      case None => respond(ex, 503, """{"error":"no upstream catalog"}""")
+      case Some(c) => respond(ex, 200,
+        c.all().map { case (s, t) => jsonString(s"$s.$t") }.mkString("[", ",", "]"))
+    })
 
   def start(): ApiServer = { server.start(); this }
   def stop(): Unit = server.stop(0)

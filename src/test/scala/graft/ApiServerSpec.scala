@@ -29,7 +29,9 @@ class ApiServerSpec extends SparkFunSuite {
       java.nio.file.Paths.get(s"$src/events.parquet"))
 
     val registry = new ChangefeedRegistry(spark)
-    val api = new ApiServer(registry).start()
+    val api = new ApiServer(registry, catalog = Some(graft.streaming.TableCatalog(
+      all = () => Seq(("app", "events_1"), ("app", "events_2"), ("app", "nopk")),
+      eligible = (_, t) => t != "nopk"))).start()
     val base = s"http://127.0.0.1:${api.boundPort}/api/v2/changefeeds"
     try {
       val (c0, l0) = call("GET", base)
@@ -91,6 +93,14 @@ class ApiServerSpec extends SparkFunSuite {
       // the processor list is either empty or holds this feed
       val (cp, bp) = call("GET", s"$root/processors")
       assert(cp == 200 && (bp == "[]" || bp.contains("cf-api")), bp)
+
+      // upstream catalog: eligibility verdicts + the full table list
+      val (cv, bv) = call("POST",
+        s"$root/verify_table?tables=app.events_1,app.nopk")
+      assert(cv == 200 && bv.contains("\"eligible\":[\"app.events_1\"]")
+        && bv.contains("\"ineligible\":[\"app.nopk\"]"), bv)
+      val (ca, ba) = call("POST", s"$root/get_all_tables")
+      assert(ca == 200 && ba.contains("app.events_2"), ba)
 
       // gc safepoint: the feed blocks at its reported checkpoint, and
       // a warning report surfaces last_error in the status body
