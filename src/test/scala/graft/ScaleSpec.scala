@@ -30,6 +30,27 @@ class ScaleSpec extends SparkFunSuite {
     spark.sql("DROP TABLE ord_bucketed")
   }
 
+  test("knnJoin at 16x corpus with broadcast off: shuffled plan, exact row count") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.Similarity
+    // 16× self-replicated corpus (~80k vectors at sf0.01) — both
+    // sides data-scaled, broadcast disabled: the 100 TB plan shape
+    val base = Tables.embeddings(spark, "/root/testdata/sf0.01")
+    val big = spark.range(16).crossJoin(base)
+      .select((col("vec_id") * 16 + col("id")).as("vec_id"), col("embedding"))
+    val centroids = base.filter(pmod(col("vec_id"), lit(61L)) === 0 && col("vec_id") < 61L * 8)
+      .select(col("vec_id").as("centroid_id"), col("embedding"))
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Similarity.knnJoin(
+        big.filter(pmod(col("vec_id"), lit(64L)) === 0), big, centroids, k = 3)
+      val nQueries = big.filter(pmod(col("vec_id"), lit(64L)) === 0).count()
+      assert(out.count() == nQueries * 3,
+        "every query finds a full top-3 (replicas guarantee neighbors)")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
+
   test("every wire protocol flows through the changefeed pipeline") {
     val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
     val prefixes = Map[Protocol, String](
