@@ -92,13 +92,12 @@ class ChangefeedRegistry(spark: SparkSession) {
     * feed's upstream keyspace — one barrier per tenant, so an idle
     * tenant's GC never waits on another tenant's laggard feed. */
   def gcBarriers: Map[String, Long] = {
-    val gcCodes = Set("CDC:ErrGCTTLExceeded", "CDC:ErrSnapshotLostByGC",
-      "CDC:ErrStartTsBeforeGC")
     feeds.values.filter { e =>
       e.feedState match {
         case FeedState.Finished => false
         case FeedState.Failed =>
-          !e.backoff.lastError.exists(err => gcCodes.contains(err.code))
+          !e.backoff.lastError.exists(err =>
+            FeedBackoff.gcFastFailCodes.contains(err.code))
         case _ => true
       }
     }.groupBy(_.cfg.keyspace)

@@ -110,11 +110,16 @@ final class FeedBackoff(
 }
 
 object FeedBackoff {
+  /** GC-caused fast-fail codes (ChangeFeedGCFastFailError,
+    * pkg/errors/helper.go:71-73): the wanted data no longer exists
+    * upstream — these feeds also stop blocking the GC safepoint. */
+  val gcFastFailCodes: Set[String] = Set(
+    "CDC:ErrGCTTLExceeded", "CDC:ErrSnapshotLostByGC", "CDC:ErrStartTsBeforeGC")
+
   /** The unretryable set (pkg/errors/helper.go:71-73,:104-128): GC
     * already ate the data, or the config/expression can never work —
     * retrying cannot help, fail immediately. */
-  val defaultFastFailCodes: Set[String] = Set(
-    "CDC:ErrGCTTLExceeded", "CDC:ErrSnapshotLostByGC", "CDC:ErrStartTsBeforeGC",
+  val defaultFastFailCodes: Set[String] = gcFastFailCodes ++ Set(
     "CDC:ErrExpressionColumnNotFound", "CDC:ErrExpressionParseFailed",
     "CDC:ErrSchemaSnapshotNotFound", "CDC:ErrSyncRenameTableFailed",
     "CDC:ErrChangefeedUnretryable", "CDC:ErrCorruptedDataMutation",
