@@ -91,6 +91,7 @@ object DataQueries {
   // bigram LM interpolation weight (1−λ rendered at full precision in
   // the oracle so both engines fold the identical double)
   val lmLambda = 0.8
+  val budgetTokens = 5000L
 
   /** Deterministic fixture quantizer/codebook: the `n` lowest-id
     * embeddings (mirrored by `WHERE vec_id < n` in the oracles). */
@@ -152,6 +153,10 @@ object DataQueries {
     "q_text_classify" -> ((s, d) => TextOps.classify(docs(s, d), topicProfiles)),
 
     "q_text_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d), stopwords)),
+
+    // best ~5000 tokens per source by quality (greedy, audit flag)
+    "q_budget_select" -> ((s, d) =>
+      TextOps.tokenBudgetSelect(docs(s, d), stopwords, budgetTokens)),
 
     "q_text_tokens" -> ((s, d) => TextOps.tokenCounts(docs(s, d))),
 
@@ -448,6 +453,27 @@ object DataQueries {
          |  + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopwords)})) AS DOUBLE)
          |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3 AS quality
          |FROM documents""".stripMargin,
+
+    // greedy per-source budget: same quality double, window running
+    // sum inclusive of the current doc
+    "q_budget_select" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+         |    (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+         |    + least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) * 0.3
+         |    + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopwords)})) AS DOUBLE)
+         |         / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3 AS quality
+         |  FROM documents)
+         |SELECT doc_id, source, n_tokens, quality,
+         |  CAST(SUM(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+         |  SUM(n_tokens) OVER (PARTITION BY source
+         |    ORDER BY quality DESC, doc_id
+         |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) <= $budgetTokens AS selected
+         |FROM q""".stripMargin,
 
     "q_text_tokens" ->
       """SELECT doc_id,

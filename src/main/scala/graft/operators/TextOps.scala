@@ -85,6 +85,25 @@ object TextOps {
       quality.as("quality"))
   }
 
+  /** Per-source token-budget selection: keep the highest-quality docs
+    * of each source until its token budget fills (greedy by quality
+    * desc, doc_id tie-break; a doc that would cross the budget line
+    * is cut). The corpus-mixing primitive "best N tokens per domain".
+    * One window exchange on source — selection is per-source
+    * sequential by definition, never a global sort; the `selected`
+    * audit flag (not a filter) keeps what was cut inspectable. */
+  def tokenBudgetSelect(docs: DataFrame, stopwords: Seq[String],
+                        budgetTokens: Long): DataFrame = {
+    val (_, _, quality) = qualityTerms(stopwords)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").desc, col("doc_id"))
+    docs.select(col("doc_id"), col("source"),
+        size(tokens(col("text"))).cast("long").as("n_tokens"),
+        quality.as("quality"))
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("selected", col("cum_tokens") <= budgetTokens)
+  }
+
   /** End-to-end curation decision — the final gate of a training-data
     * pipeline, composing exact-dedup keeper status, length bounds and
     * the quality score into keep/drop WITH REASON (first rule wins:
