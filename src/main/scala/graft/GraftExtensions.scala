@@ -112,5 +112,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         import org.apache.spark.sql.types.StringType
         Pmod(Md5PrefixLong(Cast(children.head, StringType), 15), Literal(10000L))
       }))
+    // the RAG chunker as a pure SQL function: chunk_spans(text, chunk,
+    // stride) → array<struct<start_tok,n_tokens,chunk_text>> — the
+    // same catalyst tree TextOps.chunkWithOverlap builds (windows
+    // every `stride` tokens, last window reaches the doc end)
+    e.injectFunction((
+      new FunctionIdentifier("chunk_spans"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "chunk_spans"),
+      (children: Seq[Expression]) => {
+        require(children.size == 3,
+          "chunk_spans(text, chunkTokens, strideTokens) takes three args")
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StringType}
+        def litLong(e: Expression, what: String): Long = {
+          val v = e.eval(null); require(v != null, s"$what must be a literal")
+          v.toString.toLong
+        }
+        val chunk = litLong(children(1), "chunkTokens")
+        val stride = litLong(children(2), "strideTokens")
+        require(chunk > 0 && stride > 0 && stride <= chunk,
+          s"need 0 < stride <= chunk, got chunk=$chunk stride=$stride")
+        val w = StringSplit(children.head, Literal(" "), Literal(-1))
+        val n = Cast(Size(w), LongType)
+        val lastIdx = Greatest(Seq(Literal(0L),
+          Cast(Ceil(Divide(Cast(Subtract(n, Literal(chunk)), DoubleType),
+            Literal(stride.toDouble))), LongType)))
+        val i = NamedLambdaVariable("i", LongType, nullable = false)
+        val start = Multiply(i, Literal(stride))
+        val body = CreateNamedStruct(Seq(
+          Literal("start_tok"), start,
+          Literal("n_tokens"), Least(Seq(Literal(chunk), Subtract(n, start))),
+          Literal("chunk_text"), ConcatWs(Seq(Literal(" "),
+            Slice(w, Cast(Add(start, Literal(1L)), IntegerType),
+              Literal(chunk.toInt))))))
+        ArrayTransform(new Sequence(Literal(0L), lastIdx, None),
+          LambdaFunction(body, Seq(i)))
+      }))
   }
 }

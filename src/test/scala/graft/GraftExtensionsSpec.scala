@@ -61,6 +61,19 @@ class GraftExtensionsSpec extends AnyFunSuite {
         .head()
       assert(kernelEq.getString(0) == kernelEq.getString(1))
       assert(kernelEq.getLong(2) == kernelEq.getLong(3))
+      // chunk_spans SQL surface ≡ the chunkWithOverlap operator
+      import extended.implicits._
+      val docs = Seq((1L, (0 until 10).map(i => s"t$i").mkString(" ")),
+        (2L, "a b")).toDF("doc_id", "text")
+      val viaSql = docs.select(org.apache.spark.sql.functions.col("doc_id"),
+          org.apache.spark.sql.functions.posexplode(
+            org.apache.spark.sql.functions.expr("chunk_spans(text, 4, 3)"))
+            .as(Seq("chunk_idx", "c")))
+        .select("doc_id", "chunk_idx", "c.start_tok", "c.n_tokens", "c.chunk_text")
+        .collect().map(_.mkString("|")).sorted.toSeq
+      val viaOp = graft.operators.TextOps.chunkWithOverlap(docs, 4, 3)
+        .collect().map(_.mkString("|")).sorted.toSeq
+      assert(viaSql == viaOp, "SQL chunker must equal the operator")
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)
