@@ -648,6 +648,26 @@ class OperatorSpec extends SparkFunSuite {
     assert(ct(1L) == "a b c d e f" && ct(7L) == "")
   }
 
+  test("chunkWithOverlap covers every token on the real corpus") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val chunks = TextOps.chunkWithOverlap(docs, 64, 48)
+    // per doc: first window starts at 0, windows step by exactly the
+    // stride, and the last window ends exactly at the doc length —
+    // together: every token is inside at least one window
+    val bad = chunks.groupBy(col("doc_id"))
+      .agg(min(col("start_tok")).as("first"),
+        max(col("start_tok") + col("n_tokens")).as("covered_to"),
+        max(col("start_tok")).as("last_start"),
+        count(lit(1)).as("n"))
+      .join(docs.select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tok")), "doc_id")
+      .filter(col("first") =!= 0L || col("covered_to") =!= col("n_tok") ||
+        col("last_start") =!= (col("n") - 1) * 48)
+      .count()
+    assert(bad == 0L, "chunk windows must tile every document completely")
+  }
+
   test("chunkWithOverlap: last window reaches the end, short docs intact") {
     import spark.implicits._
     val docs = Seq(
