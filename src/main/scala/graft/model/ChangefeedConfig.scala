@@ -29,6 +29,10 @@ object PartitionRule {
     * maintainer/split/splitter.go:41-65). Per-table ordering is
     * intentionally given up, exactly like a split table span. */
   final case class TableSplit(parts: Int) extends PartitionRule
+  /** Split a table's rows across CHOSEN worker partitions — the
+    * data-plane effect of api/v2 move_split_table (split a hot span
+    * AND pin where the pieces land). */
+  final case class SplitFixed(targets: Seq[Int]) extends PartitionRule
 }
 
 final case class DispatchRule(

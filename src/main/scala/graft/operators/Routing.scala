@@ -130,6 +130,12 @@ object Routing {
         pmod(stableHash(Seq(col("_schema"), col("_table"))) +
           pmod(stableHash(Seq(col("_row_id"))), lit(parts.toLong)),
           lit(numPartitions.toLong))
+      case PartitionRule.SplitFixed(targets) =>
+        // row salt picks one of the PINNED target partitions
+        val slots = typedLit(targets.map(_.toLong % numPartitions.toLong))
+        element_at(slots,
+          (pmod(stableHash(Seq(col("_row_id"))), lit(targets.size.toLong)) + 1L)
+            .cast("int"))
     }
     def tpl(t: String): Column =
       regexp_replace(

@@ -140,6 +140,18 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
             case _ => respond(ex, 400, """{"error":"schema, table, parts required"}""")
           }
 
+        case ("POST", Seq(id, "move_split_table")) =>
+          val p = queryParams(ex)
+          (p.get("schema"), p.get("table"),
+            p.get("targets").map(_.split(",").toSeq.filter(_.nonEmpty).map(_.toInt))) match {
+            case (Some(s), Some(t), Some(targets)) if targets.nonEmpty =>
+              registry.moveSplitTable(id, s, t, targets)
+              respond(ex, 200,
+                s"""{"id":${jsonString(id)},"table":${jsonString(s"$s.$t")},""" +
+                  s""""split_to":[${targets.mkString(",")}]}""")
+            case _ => respond(ex, 400, """{"error":"schema, table, targets required"}""")
+          }
+
         case ("POST", Seq(id, "merge_table")) =>
           val p = queryParams(ex)
           (p.get("schema"), p.get("table")) match {

@@ -177,6 +177,17 @@ class ChangefeedRegistry(spark: SparkSession) {
     setSpanRule(id, schema, table, Some(PartitionRule.TableSplit(parts)))
   }
 
+  /** Split a table's span AND pin the pieces to chosen workers
+    * (api/v2 move_split_table). */
+  def moveSplitTable(id: String, schema: String, table: String,
+                     targets: Seq[Int]): Unit = {
+    val e = entryOf(id)
+    require(targets.size >= 2, s"move_split needs >= 2 targets, got $targets")
+    require(targets.forall(t => t >= 0 && t < e.cfg.sink.numPartitions),
+      s"targets $targets out of range 0..${e.cfg.sink.numPartitions - 1}")
+    setSpanRule(id, schema, table, Some(PartitionRule.SplitFixed(targets)))
+  }
+
   /** Merge a split/moved span back to the default table rule. */
   def mergeTable(id: String, schema: String, table: String): Unit =
     setSpanRule(id, schema, table, None)
@@ -189,6 +200,8 @@ class ChangefeedRegistry(spark: SparkSession) {
         (m, s"moved:$p")
       case DispatchRule(Seq(m), PartitionRule.TableSplit(n), _, _, _) =>
         (m, s"split:$n")
+      case DispatchRule(Seq(m), PartitionRule.SplitFixed(ts), _, _, _) =>
+        (m, s"split_moved:${ts.mkString("+")}")
     }
 
   /** Persist every changefeed's definition — the coordinator's etcd

@@ -132,6 +132,11 @@ class ApiServerSpec extends SparkFunSuite {
       val (ct, bt) = call("GET", s"$base/cf-api/tables")
       assert(ct == 200 && bt.contains("app.events_1") && bt.contains("moved:3")
         && bt.contains("split:4"), bt)
+      val (cms, bms) = call("POST",
+        s"$base/cf-api/move_split_table?schema=app&table=events_3&targets=1,3")
+      assert(cms == 200 && bms.contains("\"split_to\":[1,3]"), bms)
+      val (_, btms) = call("GET", s"$base/cf-api/tables")
+      assert(btms.contains("split_moved:1+3"), btms)
       val (cmg, _) = call("POST",
         s"$base/cf-api/merge_table?schema=app&table=events_2")
       assert(cmg == 200)

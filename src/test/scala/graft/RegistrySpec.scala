@@ -193,6 +193,15 @@ class RegistrySpec extends SparkFunSuite {
     assert(rest.head().getString(0) == "rest_events_2")
     // default rule keeps partition within range for everything
     assert(out.filter(col("_partition") < 0 || col("_partition") >= 8).count() == 0)
+    // move_split: rows of the split table land ONLY on the pinned
+    // targets, and on more than one of them (it actually splits)
+    val ms = Routing.dispatch(env, Seq(DispatchRule(
+      matcher = Seq("app.events_1"),
+      partition = PartitionRule.SplitFixed(Seq(2, 5)))), 8)
+      .filter(col("_table") === "events_1")
+      .select("_partition").distinct()
+      .collect().map(_.getLong(0)).toSet
+    assert(ms == Set(2L, 5L), s"split-moved rows must cover exactly the targets, got $ms")
   }
 
   test("salted repartition fans hot keys across sub-partitions") {
