@@ -250,6 +250,12 @@ object ExtQueries {
       graft.analytics.Funnel.funnel(Tables.events(s, d),
         "signup", "purchase", funnelWindowNs)),
 
+    // 3-step funnel: signup → click → purchase, ordered, within 3
+    // days of first signup
+    "q_funnel_steps" -> ((s, d) =>
+      graft.analytics.Funnel.funnelSteps(Tables.events(s, d),
+        Seq("signup", "click", "purchase"), funnelWindowNs)),
+
     // daily retention triangle (cohort = first-seen day)
     "q_retention" -> ((s, d) =>
       graft.analytics.Funnel.retention(Tables.events(s, d), dayNs)),
@@ -653,6 +659,33 @@ object ExtQueries {
          |  c.to_ts IS NOT NULL AS converted,
          |  c.to_ts - f.from_ts AS ns_to_convert
          |FROM f LEFT JOIN c USING (user_id)""".stripMargin,
+
+    // chained step CTEs: each step's min ts after the previous step,
+    // inside the anchor window
+    "q_funnel_steps" ->
+      s"""WITH ev AS (
+         |  SELECT user_id, event_type, epoch_ns(ts) AS ts_ns FROM events),
+         |s0 AS (
+         |  SELECT user_id, MIN(ts_ns) AS ts_0 FROM ev
+         |  WHERE event_type = 'signup' GROUP BY 1),
+         |s1 AS (
+         |  SELECT e.user_id, MIN(e.ts_ns) AS ts_1
+         |  FROM ev e JOIN s0 USING (user_id)
+         |  WHERE e.event_type = 'click'
+         |    AND e.ts_ns >= s0.ts_0 AND e.ts_ns <= s0.ts_0 + $funnelWindowNs
+         |  GROUP BY 1),
+         |s2 AS (
+         |  SELECT e.user_id, MIN(e.ts_ns) AS ts_2
+         |  FROM ev e JOIN s0 USING (user_id) JOIN s1 USING (user_id)
+         |  WHERE e.event_type = 'purchase'
+         |    AND e.ts_ns >= s1.ts_1 AND e.ts_ns <= s0.ts_0 + $funnelWindowNs
+         |  GROUP BY 1)
+         |SELECT s0.user_id, ts_0, ts_1, ts_2,
+         |  CAST(CASE WHEN ts_2 IS NOT NULL THEN 2
+         |            WHEN ts_1 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS depth
+         |FROM s0
+         |LEFT JOIN s1 USING (user_id)
+         |LEFT JOIN s2 USING (user_id)""".stripMargin,
 
     "q_retention" ->
       s"""WITH ev AS (SELECT user_id, epoch_ns(ts) AS ts_ns FROM events),

@@ -40,6 +40,35 @@ object Funnel {
         (col("to_ts") - col("from_ts")).as("ns_to_convert"))
   }
 
+  /** N-step funnel: first occurrence of each step AFTER the previous
+    * step, all within `windowNs` of the step-0 anchor. Output:
+    * user_id, ts_0..ts_{k-1} (null once the user stalls), and depth =
+    * deepest step reached. One per-user agg per step, every join
+    * co-partitioned on user_id — k steps cost k small user-keyed
+    * passes, never an events×events join. */
+  def funnelSteps(events: DataFrame, steps: Seq[String],
+                  windowNs: Long): DataFrame = {
+    require(steps.size >= 2, s"a funnel needs >= 2 steps, got $steps")
+    val ev = events.select(col("user_id"), col("event_type"), tsNs)
+    var acc = ev.filter(col("event_type") === steps.head)
+      .groupBy(col("user_id")).agg(min(col("ts_ns")).as("ts_0"))
+    steps.zipWithIndex.tail.foreach { case (st, i) =>
+      val prevCols = // i = 1's previous step IS the anchor
+        if (i == 1) Seq(col("user_id"), col("ts_0"))
+        else Seq(col("user_id"), col("ts_0"), col(s"ts_${i - 1}"))
+      val stepTs = ev.filter(col("event_type") === st)
+        .join(acc.select(prevCols: _*), "user_id")
+        .filter(col("ts_ns") >= col(s"ts_${i - 1}") &&
+          col("ts_ns") <= col("ts_0") + windowNs)
+        .groupBy(col("user_id")).agg(min(col("ts_ns")).as(s"ts_$i"))
+      acc = acc.join(stepTs, Seq("user_id"), "left")
+    }
+    acc.withColumn("depth",
+      steps.indices.tail.foldLeft(lit(0L)) { (d, i) =>
+        when(col(s"ts_$i").isNotNull, i.toLong).otherwise(d)
+      })
+  }
+
   case class FunnelEvent(userId: Long, eventType: String, tsUs: Long)
   case class FunnelState(fromTsUs: Long, toCands: List[Long])
   case class FunnelResult(user_id: Long, from_ts_us: Long,
