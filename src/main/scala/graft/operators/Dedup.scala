@@ -346,11 +346,16 @@ object Dedup {
     * composes into streaming plans without a stateful aggregation.
     * Bit-equal to the [[minhashSignatures]] lane columns. */
   def minhashSignatureExpr(text: Column): Column = {
-    val hs = transform(array_distinct(split(text, " ")), t => tokenHash(t))
-    concat_ws(",", (0 until NumHashes).map { i =>
-      array_min(transform(hs, h => pmod(h * hashA(i) + hashB(i), lit(MinhashPrime))))
-        .cast("string")
-    }: _*)
+    val hsExpr = transform(array_distinct(split(text, " ")), t => tokenHash(t))
+    // evaluate the token-hash array ONCE via a single-element outer
+    // transform (its lambda variable is a materialized value): the 16
+    // lane transforms below reference the array in their tree, and an
+    // inline subtree would re-tokenize+hash the row once per lane
+    element_at(transform(array(hsExpr), hs =>
+      concat_ws(",", (0 until NumHashes).map { i =>
+        array_min(transform(hs, h => pmod(h * hashA(i) + hashB(i), lit(MinhashPrime))))
+          .cast("string")
+      }: _*)), 1)
   }
 
   /** Cross-batch NEAR-dup suppression: documents whose full minhash
