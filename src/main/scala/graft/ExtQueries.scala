@@ -150,6 +150,16 @@ object ExtQueries {
     "q_roundtrip_avro" -> ((s, d) =>
       graft.functions.AvroCodec.decode(graft.functions.AvroCodec.encode(env(s, d)))),
 
+    // Debezium envelope over Confluent-framed Avro: key = handle key,
+    // value = before/after/source/op/ts_ms (Kafka-Connect wire format)
+    "q_roundtrip_debezium_avro" -> ((s, d) => {
+      val store = new graft.functions.AvroRegistry.InMemoryStore
+      graft.functions.DebeziumAvroCodec.decode(
+        graft.functions.DebeziumAvroCodec.encode(
+          env(s, d), "dbz-events", "graft-cluster", store),
+        store)
+    }),
+
     "q_filter_ddl" -> ((s, d) =>
       graft.operators.Filters
         .ddlFilter(ddlFixture(s, d), Seq("drop table", "truncate table"), Seq("^CREATE INDEX"))
@@ -495,6 +505,17 @@ object ExtQueries {
         |FROM env WHERE _row_id % 97 = 0""".stripMargin),
 
     "q_roundtrip_avro" -> q("SELECT * FROM env"),
+
+    "q_roundtrip_debezium_avro" -> q(
+      """SELECT CASE _op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END AS op,
+        |  _commit_ts AS commit_ts,
+        |  _commit_ts // 1000000 AS ts_ms,
+        |  _schema AS db, _table AS tbl,
+        |  'graft-cluster' AS cluster_id,
+        |  CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END AS key_user_id,
+        |  before_user_id, before_value, before_k,
+        |  after_user_id, after_value, after_k
+        |FROM env""".stripMargin),
 
     "q_filter_ddl" -> q(
       """, ddl AS (
