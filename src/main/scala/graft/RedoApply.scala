@@ -1,0 +1,30 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Standalone redo-apply main — the `cdc redo apply` command
+  * equivalent (reference pkg/applier/redo.go:456; cmd wiring
+  * cmd/redo): `runMain graft.RedoApply <redoDir> [outDir]` reads the
+  * redo meta, replays the (checkpoint, resolved] window into the
+  * ordered downstream statement stream, optionally writes it as
+  * parquet, and prints one JSON status line. */
+object RedoApply {
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: RedoApply <redoDir> [outDir]")
+    val dir = args(0)
+    val out = args.lift(1)
+    val spark = GraftSession.builder().getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (ck, rts) = graft.sinks.RedoApplier.replayWindow(spark, dir)
+    val stmts = graft.sinks.RedoApplier.replayStatements(spark, dir)
+    val counts = stmts.agg(
+      count(lit(1)).as("n"),
+      sum(when(col("_op") === "DDL", 1L).otherwise(0L)).as("ddl")).head()
+    out.foreach(o => stmts.orderBy(col("_apply_order"), col("_partition"),
+      col("_commit_ts"), col("_row_id")).write.mode("overwrite").parquet(o))
+    println(s"""{"metric":"redo_apply","checkpoint_ts":$ck,"resolved_ts":$rts,""" +
+      s""""statements":${counts.getLong(0)},"ddl":${counts.getLong(1)}}""")
+    spark.stop()
+  }
+}

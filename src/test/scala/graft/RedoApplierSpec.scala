@@ -1,0 +1,95 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.model.Envelope
+import graft.operators.Materialize
+import graft.sinks.{RedoApplier, RedoLog}
+
+/** Standalone redo applier: crash → replay-from-directory converges
+  * to the state the live sink would have produced (reference
+  * pkg/applier/redo.go consumeLogs/Apply semantics: meta window,
+  * safe-mode re-delivery, update split, DML-before-DDL interleave). */
+class RedoApplierSpec extends SparkFunSuite {
+
+  private def canon(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.mkString("|")).sorted.toSeq
+
+  test("crash replay from the redo dir alone converges to the direct-apply state") {
+    val tmp = Files.createTempDirectory("graft-redo-apply").toString
+    val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+
+    val cut = env.select("_commit_ts").orderBy("_commit_ts")
+      .collect().map(_.getLong(0)).apply(700)
+    val applied = env.filter(col("_commit_ts") <= cut)
+    // the log holds everything (log-ahead ordering), including a
+    // re-appended overlap from a writer crash mid-batch
+    RedoLog.append(applied, tmp)
+    RedoLog.append(env.filter(col("_commit_ts") > cut)
+      .unionByName(applied.orderBy(col("_commit_ts").desc).limit(40)), tmp)
+    // the sink flushed only the first batch before the crash
+    RedoApplier.advanceCheckpoint(spark, tmp, cut)
+
+    val (ck, rts) = RedoApplier.replayWindow(spark, tmp)
+    assert(ck == cut)
+    assert(rts == env.agg(max("_commit_ts")).head().getLong(0))
+
+    // replayed window on top of the already-applied prefix == direct
+    // full apply: the eventual-consistency contract
+    val recovered = Materialize.tableState(
+      applied.unionByName(RedoLog.read(spark, tmp, ck, rts)))
+    assert(canon(recovered) == canon(Materialize.tableState(env)))
+
+    // window state alone matches the applier's convergence form
+    assert(canon(RedoApplier.replayState(spark, tmp)) ==
+      canon(Materialize.tableState(env.filter(col("_commit_ts") > cut))))
+  }
+
+  test("replay statements are idempotent safe forms over exactly the window") {
+    val tmp = Files.createTempDirectory("graft-redo-stmts").toString
+    val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    val cut = env.select("_commit_ts").orderBy("_commit_ts")
+      .collect().map(_.getLong(0)).apply(500)
+    RedoLog.append(env, tmp)
+    RedoApplier.advanceCheckpoint(spark, tmp, cut)
+
+    val stmts = RedoApplier.replayStatements(spark, tmp).cache()
+    val window = env.filter(col("_commit_ts") > cut)
+    // update split may add rows (key-change updates become D+I)
+    assert(stmts.count() >= window.count())
+    assert(stmts.filter(col("_commit_ts") <= cut).count() == 0,
+      "nothing at or below the checkpoint replays")
+    // re-delivery must be idempotent: only REPLACE / DELETE forms
+    val kinds = stmts.select(
+      when(col("_stmt").startsWith("REPLACE INTO"), "replace")
+        .when(col("_stmt").startsWith("DELETE FROM"), "delete")
+        .otherwise("other").as("kind"))
+      .groupBy("kind").count().collect().map(r => r.getString(0)).toSet
+    assert(!kinds.contains("other"), "non-idempotent statement in replay")
+    stmts.unpersist()
+  }
+
+  test("logged DDLs interleave DML-first at equal commit ts") {
+    val tmp = Files.createTempDirectory("graft-redo-ddl").toString
+    val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    RedoLog.append(env, tmp)
+    // a DDL at an existing DML commit ts, inside the window
+    val ddlTs = env.select("_commit_ts").orderBy("_commit_ts")
+      .collect().map(_.getLong(0)).apply(300)
+    import spark.implicits._
+    RedoApplier.appendDdl(
+      Seq(("app", "events_0", ddlTs, "ALTER TABLE events_0 ADD COLUMN c INT"))
+        .toDF("_schema", "_table", "_commit_ts", "query"), tmp)
+
+    val stmts = RedoApplier.replayStatements(spark, tmp).cache()
+    val ddlRows = stmts.filter(col("_op") === "DDL").collect()
+    assert(ddlRows.length == 1 &&
+      ddlRows.head.getAs[Number]("_partition").longValue == -1L)
+    val ddlOrder = ddlRows.head.getAs[Long]("_apply_order")
+    val dmlAtTs = stmts.filter(col("_op") =!= "DDL" && col("_commit_ts") === ddlTs)
+    assert(dmlAtTs.count() > 0)
+    assert(dmlAtTs.agg(max(col("_apply_order"))).head().getLong(0) < ddlOrder,
+      "redo replay applies rows at the DDL's commit ts BEFORE the DDL")
+    stmts.unpersist()
+  }
+}
