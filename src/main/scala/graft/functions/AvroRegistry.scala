@@ -35,16 +35,56 @@ object AvroRegistry {
     def versions(subject: String): Seq[Int]
   }
 
+  /** Registering a schema the subject's compatibility level rejects —
+    * the condition a Confluent registry answers with HTTP 409
+    * (confluent_schema_registry.go:176 "409 for incompatible
+    * schema"). */
+  final class IncompatibleSchemaException(val subject: String)
+    extends RuntimeException(
+      s"schema is incompatible with the latest version of subject $subject")
+
+  /** BACKWARD compatibility — the Confluent default level the
+    * reference's registry enforces on register: the NEW schema (as
+    * reader) must be able to read data written with the OLD schema
+    * (Avro schema-resolution rules: removed fields ok, added fields
+    * need defaults, no type changes without promotion). */
+  def backwardCompatible(newSchemaJson: String, oldSchemaJson: String): Boolean = {
+    import org.apache.avro.SchemaCompatibility
+    val reader = new Schema.Parser().parse(newSchemaJson)
+    val writer = new Schema.Parser().parse(oldSchemaJson)
+    SchemaCompatibility.checkReaderWriterCompatibility(reader, writer)
+      .getType == SchemaCompatibility.SchemaCompatibilityType.COMPATIBLE
+  }
+
   /** In-memory store: content-addressed global ids + per-subject
-    * version chains — the reference registry's data model. */
-  final class InMemoryStore extends SchemaStore {
+    * version chains — the reference registry's data model. Evolution
+    * is gated by `compatibility` ("BACKWARD" — the Confluent default
+    * — or "NONE"): an incompatible register throws
+    * [[IncompatibleSchemaException]] (→ HTTP 409 through the stub). */
+  final class InMemoryStore(compatibility: String = "BACKWARD") extends SchemaStore {
+    require(compatibility == "BACKWARD" || compatibility == "NONE",
+      s"unsupported compatibility level $compatibility")
     private val byText = TrieMap.empty[String, Int]
     private val byIdMap = TrieMap.empty[Int, String]
     private val subjects = TrieMap.empty[String, Vector[Int]]
     private val nextId = new java.util.concurrent.atomic.AtomicInteger(0)
 
+    /** Would `schemaJson` be accepted as the subject's next version?
+      * (the `POST /compatibility/subjects/{s}/versions/latest`
+      * answer). Re-registering an existing version verbatim is always
+      * compatible. */
+    def compatibleWithLatest(subject: String, schemaJson: String): Boolean = {
+      val canonical = new Schema.Parser().parse(schemaJson).toString
+      compatibility == "NONE" || versions(subject).lastOption.forall { latest =>
+        val old = byId(latest)
+        old == canonical || backwardCompatible(canonical, old)
+      }
+    }
+
     def register(subject: String, schemaJson: String): Int = {
       val canonical = new Schema.Parser().parse(schemaJson).toString
+      if (!compatibleWithLatest(subject, canonical))
+        throw new IncompatibleSchemaException(subject)
       val id = byText.getOrElseUpdate(canonical, {
         val i = nextId.incrementAndGet()
         byIdMap.put(i, canonical)

@@ -57,8 +57,22 @@ object HttpSchemaRegistry {
       payload.put("schema", schemaJson)
       val (code, body) = request("POST",
         s"/subjects/${enc(subject)}/versions", Some(mapper.writeValueAsString(payload)))
+      if (code == 409) // the registry's incompatible-evolution reject
+        throw new AvroRegistry.IncompatibleSchemaException(subject)
       require(code == 200, s"register failed: HTTP $code $body")
       mapper.readTree(body).get("id").asInt()
+    }
+
+    /** Compatibility pre-check against the subject's latest version
+      * (POST /compatibility/subjects/{subject}/versions/latest). */
+    def checkCompatibility(subject: String, schemaJson: String): Boolean = {
+      val payload = mapper.createObjectNode()
+      payload.put("schema", schemaJson)
+      val (code, body) = request("POST",
+        s"/compatibility/subjects/${enc(subject)}/versions/latest",
+        Some(mapper.writeValueAsString(payload)))
+      require(code == 200, s"compatibility check failed: HTTP $code $body")
+      mapper.readTree(body).get("is_compatible").asBoolean()
     }
 
     def byId(id: Int): String = {
@@ -108,9 +122,28 @@ object HttpSchemaRegistry {
             val body = new String(ex.getRequestBody.readAllBytes(),
               StandardCharsets.UTF_8)
             val schema = mapper.readTree(body).get("schema").asText()
-            val id = store.register(
+            try {
+              val id = store.register(
+                java.net.URLDecoder.decode(subject, "UTF-8"), schema)
+              respond(ex, 200, s"""{"id":$id}""")
+            } catch {
+              // the Confluent reject path: 409 for a schema the
+              // subject's compatibility level refuses
+              case _: AvroRegistry.IncompatibleSchemaException =>
+                respond(ex, 409,
+                  """{"error_code":409,"message":"Schema being registered is incompatible with an earlier schema"}""")
+            }
+
+          // compatibility pre-check (POST /compatibility/subjects/
+          // {subject}/versions/latest): would this schema be accepted
+          // as the subject's next version?
+          case ("POST", Seq("compatibility", "subjects", subject, "versions", "latest")) =>
+            val body = new String(ex.getRequestBody.readAllBytes(),
+              StandardCharsets.UTF_8)
+            val schema = mapper.readTree(body).get("schema").asText()
+            val ok = store.compatibleWithLatest(
               java.net.URLDecoder.decode(subject, "UTF-8"), schema)
-            respond(ex, 200, s"""{"id":$id}""")
+            respond(ex, 200, s"""{"is_compatible":$ok}""")
           case ("GET", Seq("schemas", "ids", id)) =>
             val schema = try Some(store.byId(id.toInt)) catch {
               case _: RuntimeException => scala.None

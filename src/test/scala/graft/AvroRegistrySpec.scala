@@ -84,6 +84,46 @@ class AvroRegistrySpec extends SparkFunSuite {
     } finally stub.stop()
   }
 
+  test("incompatible schema evolution is rejected: 409 over HTTP, compat check says no") {
+    import graft.functions.HttpSchemaRegistry
+    // adds a field WITHOUT a default: a BACKWARD reader cannot fill it
+    // from old-writer messages, so the registry must refuse it as the
+    // subject's next version (the Confluent 409,
+    // confluent_schema_registry.go:176)
+    val incompatible = AvroCodec.envelopeSchemaJson.stripSuffix("]}") +
+      """,{"name":"required_new","type":"string"}]}"""
+
+    // store-level enforcement
+    val store = new AvroRegistry.InMemoryStore
+    val v1 = store.register("s1", AvroCodec.envelopeSchemaJson)
+    assert(store.compatibleWithLatest("s1", AvroRegistry.evolvedSchemaJson))
+    assert(!store.compatibleWithLatest("s1", incompatible))
+    intercept[AvroRegistry.IncompatibleSchemaException](
+      store.register("s1", incompatible))
+    // the failed register leaves the subject chain untouched
+    assert(store.versions("s1") == Seq(v1))
+    // a NONE-level store accepts anything (per-subject config analog)
+    val permissive = new AvroRegistry.InMemoryStore("NONE")
+    permissive.register("s1", AvroCodec.envelopeSchemaJson)
+    permissive.register("s1", incompatible)
+    assert(permissive.versions("s1").size == 2)
+
+    // wire-level enforcement: compatibility endpoint + 409 register
+    val stub = new HttpSchemaRegistry.Stub().start()
+    try {
+      val client = new HttpSchemaRegistry.ConfluentHttpClient(stub.baseUrl)
+      val subject = "events-compat-value"
+      client.register(subject, AvroCodec.envelopeSchemaJson)
+      assert(client.checkCompatibility(subject, AvroRegistry.evolvedSchemaJson))
+      assert(!client.checkCompatibility(subject, incompatible))
+      intercept[AvroRegistry.IncompatibleSchemaException](
+        client.register(subject, incompatible))
+      // compatible evolution still registers fine after the reject
+      val evolved = client.register(subject, AvroRegistry.evolvedSchemaJson)
+      assert(client.versions(subject).last == evolved)
+    } finally stub.stop()
+  }
+
   test("framed round trip decodes by id; evolved reader fills defaults") {
     val store = new AvroRegistry.InMemoryStore
     val subject = "events-app-value"
