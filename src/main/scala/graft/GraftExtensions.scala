@@ -58,21 +58,30 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.size == 1, "minhash_sig(text) takes one string")
         import org.apache.spark.sql.catalyst.expressions._
-        import org.apache.spark.sql.types.{LongType, StringType}
+        import org.apache.spark.sql.types.{ArrayType, LongType, StringType}
         val tok = NamedLambdaVariable("t", StringType, nullable = true)
         val hashed = ArrayTransform(
           ArrayDistinct(StringSplit(children.head, Literal(" "), Literal(-1))),
           LambdaFunction(Md5PrefixLong(tok, 7), Seq(tok)))
+        // evaluate the token-hash array ONCE via a single-element
+        // outer transform whose lambda variable is a materialized
+        // value — embedding `hashed` in each lane would re-tokenize
+        // and re-hash the row once per lane (16×), the same trap
+        // Dedup.minhashSignatureExpr avoids
+        val hs = NamedLambdaVariable("hs", ArrayType(LongType), nullable = true)
         val lanes: Seq[Expression] = (0 until graft.operators.Dedup.NumHashes).map { i =>
           val h = NamedLambdaVariable(s"h$i", LongType, nullable = true)
-          Cast(ArrayMin(ArrayTransform(hashed,
+          Cast(ArrayMin(ArrayTransform(hs,
             LambdaFunction(
               Pmod(Add(Multiply(h, Literal(graft.operators.Dedup.hashA(i))),
                 Literal(graft.operators.Dedup.hashB(i))),
                 Literal(graft.operators.Dedup.MinhashPrime)),
               Seq(h)))), StringType)
         }
-        ConcatWs(Literal(",") +: lanes)
+        ElementAt(
+          ArrayTransform(CreateArray(Seq(hashed)),
+            LambdaFunction(ConcatWs(Literal(",") +: lanes), Seq(hs))),
+          Literal(1))
       }))
     // charset matrix (GBK/GB18030/latin1 mount decode, sink encode,
     // canal BLOB framing — SURVEY §1.3; reference

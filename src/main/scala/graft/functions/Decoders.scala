@@ -69,8 +69,14 @@ object Decoders {
             graft.functions.CharsetExpressions.charsetEncode(c, "ISO-8859-1")
           else c).as(f.name)
         }.toIndexedSeq: _*))
-    val j = from_json(col(valueCol), canalSchemaFor(wireImage), wireOptions)
-    msgs.select(
+    // parse ONCE into an attribute: a getField over an inline
+    // from_json re-parses per field (the optimizer rewrites each into
+    // its own schema-pruned parse — every one re-lexes the whole
+    // message text; the reference unmarshals once, decoder.go)
+    val j = col("__j")
+    msgs
+      .withColumn("__j", from_json(col(valueCol), canalSchemaFor(wireImage), wireOptions))
+      .select(
       j.getField("database").as("_schema"),
       j.getField("table").as("_table"),
       when(j.getField("type") === "INSERT", "I")
@@ -106,9 +112,13 @@ object Decoders {
     val openValueSchema = StructType(Seq(
       StructField("u", image), StructField("p", image),
       StructField("d", image)))
-    val k = from_json(col(keyCol), openKeySchema)
-    val v = from_json(col(valueCol), openValueSchema, wireOptions)
-    msgs.select(
+    // parse each side ONCE into an attribute (see decodeCanalFor)
+    val k = col("__k")
+    val v = col("__v")
+    msgs
+      .withColumn("__k", from_json(col(keyCol), openKeySchema))
+      .withColumn("__v", from_json(col(valueCol), openValueSchema, wireOptions))
+      .select(
       k.getField("scm").as("_schema"),
       k.getField("tbl").as("_table"),
       k.getField("ts").as("_commit_ts"),
@@ -137,8 +147,11 @@ object Decoders {
     * lossless: source block carries full ns commit-ts). */
   def decodeDebeziumFor(msgs: DataFrame, image: StructType,
                         valueCol: String = "_value"): DataFrame = {
-    val j = from_json(col(valueCol), debeziumSchemaFor(image), wireOptions)
-    msgs.select(
+    // parse ONCE into an attribute (see decodeCanalFor)
+    val j = col("__j")
+    msgs
+      .withColumn("__j", from_json(col(valueCol), debeziumSchemaFor(image), wireOptions))
+      .select(
       j.getField("source").getField("db").as("_schema"),
       j.getField("source").getField("table").as("_table"),
       j.getField("source").getField("commit_ts").as("_commit_ts"),
@@ -166,8 +179,11 @@ object Decoders {
       StructField("table", StringType),
       StructField("data", image),
       StructField("old", image)))
-    val j = from_json(col(valueCol), simpleSchema, wireOptions)
-    msgs.select(
+    // parse ONCE into an attribute (see decodeCanalFor)
+    val j = col("__j")
+    msgs
+      .withColumn("__j", from_json(col(valueCol), simpleSchema, wireOptions))
+      .select(
       j.getField("schema").as("_schema"),
       j.getField("table").as("_table"),
       j.getField("commitTs").as("_commit_ts"),
@@ -194,9 +210,12 @@ object Decoders {
     * `\N` is the null marker (CSVConfig NullString,
     * pkg/config/sink.go:283). */
   def decodeCsv(msgs: DataFrame, valueCol: String = "_value"): DataFrame = {
-    val parsed = from_csv(col(valueCol), csvSchema,
-      Map("nullValue" -> "\\N", "escape" -> "\""))
-    msgs.select(
+    // parse ONCE into an attribute (see decodeCanalFor)
+    val parsed = col("__csv")
+    msgs
+      .withColumn("__csv", from_csv(col(valueCol), csvSchema,
+        Map("nullValue" -> "\\N", "escape" -> "\"")))
+      .select(
       parsed.getField("_op").as("_op"),
       parsed.getField("_schema").as("_schema"),
       parsed.getField("_table").as("_table"),

@@ -428,8 +428,21 @@ object TextOps {
     // reference the array (element_at, nested filter), so an inline
     // split would re-tokenize per element (see [[lmScoreBigram]])
     val w = col("__w")
-    val topCount = array_max(transform(array_distinct(w),
-      t => size(filter(w, x => x === t))))
+    // most-frequent-token count in O(n log n): longest equal-run of
+    // the SORTED tokens via one aggregate pass — the nested
+    // distinct×filter form is O(n·distinct) per row, which a long
+    // boilerplate document turns quadratic
+    val topCount = aggregate(
+      array_sort(w),
+      struct(lit(null).cast("string").as("prev"),
+        lit(0L).as("run"), lit(0L).as("best")),
+      (acc, x) => {
+        val run = when(x <=> acc.getField("prev"),
+          acc.getField("run") + 1L).otherwise(lit(1L))
+        struct(x.as("prev"), run.as("run"),
+          greatest(acc.getField("best"), run).as("best"))
+      },
+      acc => acc.getField("best"))
     val bigrams = transform(sequence(lit(1), size(w) - 1),
       i => concat_ws(" ", element_at(w, i), element_at(w, i + 1)))
     val dupBigram = when(size(w) >= 2,
