@@ -235,6 +235,11 @@ object DataQueries {
       Dedup.clusters(Dedup.jaccardPairs(
         docs(s, d).filter(col("doc_id") < 500), "source", clusterThreshold))),
 
+    // the complete dedup workflow: pairs -> clusters -> keep exemplar
+    "q_dedup_fuzzy" -> ((s, d) =>
+      Dedup.fuzzyDedupKeep(
+        docs(s, d).filter(col("doc_id") < 500), "source", clusterThreshold)),
+
     // naive counting join, not the prefix-filtered path: this fixture's
     // ~50-token near-uniform vocabulary gives prefix filtering nothing
     // to prune (bucket sizes stay ~uniform, candidates ≈ answers), so
@@ -1087,6 +1092,42 @@ object DataQueries {
          |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
          |)
          |SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a""".stripMargin,
+
+    "q_dedup_fuzzy" ->
+      s"""WITH RECURSIVE dset AS (
+         |  SELECT * FROM documents WHERE doc_id < 500
+         |), toks AS (
+         |  SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM dset
+         |), sizes AS (
+         |  SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+         |  FROM dset
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM toks a JOIN toks b
+         |    ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), pairs AS (
+         |  SELECT doc_a, doc_b
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.nd + sb.nd - n_inter AS DOUBLE) >= $clusterThreshold
+         |), edges AS (
+         |  SELECT doc_a AS a, doc_b AS b FROM pairs
+         |  UNION
+         |  SELECT doc_b, doc_a FROM pairs
+         |), reach AS (
+         |  SELECT a, b FROM edges
+         |  UNION
+         |  SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a WHERE e.b <> r.a
+         |), labels AS (
+         |  SELECT a AS doc_id, LEAST(a, MIN(b)) AS cluster FROM reach GROUP BY a
+         |)
+         |SELECT d.doc_id, d.source,
+         |  COALESCE(l.cluster, d.doc_id) AS cluster,
+         |  CAST(COALESCE(l.cluster, d.doc_id) = d.doc_id AS BIGINT) AS kept
+         |FROM dset d LEFT JOIN labels l ON l.doc_id = d.doc_id""".stripMargin,
 
     "q_dedup_ngram" ->
       s"""WITH toks AS (

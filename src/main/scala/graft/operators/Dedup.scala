@@ -330,6 +330,35 @@ object Dedup {
     labels
   }
 
+  /** END-TO-END fuzzy dedup: candidate pairs → connected components →
+    * keep the exemplar (min doc id) of every near-dup cluster — the
+    * complete "give me a clean corpus" workflow a training pipeline
+    * runs, composed from [[jaccardPairs]] + [[clusters]] in one call.
+    * Returns every input doc with its cluster id and a 0/1 `kept`
+    * flag (singletons keep themselves); filter `kept = 1` for the
+    * deduplicated corpus. Swap the candidate generator by passing
+    * precomputed pairs to [[fuzzyDedupKeepFrom]] (e.g.
+    * [[minhashPairs]] for the approximate scale path — same
+    * downstream plan). */
+  def fuzzyDedupKeep(docs: DataFrame, blockCol: String,
+                     threshold: Double): DataFrame =
+    fuzzyDedupKeepFrom(docs, blockCol,
+      jaccardPairs(docs, blockCol, threshold))
+
+  /** [[fuzzyDedupKeep]] over an externally supplied candidate-pair
+    * frame (doc_a, doc_b). One extra join beyond clustering — the
+    * corpus side stays (doc_id, block) columns only. */
+  def fuzzyDedupKeepFrom(docs: DataFrame, blockCol: String,
+                         pairs: DataFrame): DataFrame = {
+    val labels = clusters(pairs)
+    docs.select(col("doc_id"), col(blockCol))
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"), col(blockCol),
+        coalesce(col("cluster"), col("doc_id")).as("cluster"),
+        (coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
+          .cast("long").as("kept"))
+  }
+
   /** Cross-batch EXACT dedup with bounded state — the streaming form
     * of [[exact]]: duplicates arriving within the watermark window
     * collapse to their first occurrence and the dedup state evicts at
