@@ -50,6 +50,12 @@ object DataQueries {
   // duplicate-span detection: 6-token grams, report runs >= 12 tokens
   val dupSpanN = 6
   val dupSpanMin = 12
+  // heavy hitters: top-k bigrams per source
+  val hhK = 10
+  // hashed linear classifier: weight-bucket count
+  val clfDim = 256
+  // embedding outliers: k farthest vectors per label
+  val outlierK = 20
 
   /** Shared oracle CTE chain producing the `spans` relation (used by
     * q_dup_spans and q_dup_trim — one definition, zero drift). */
@@ -188,6 +194,17 @@ object DataQueries {
         .select(col("doc_id"), col("source"), col("quota_rank"), col("kept"))),
 
     "q_seq_pack" -> ((s, d) => Sampling.packSequences(docs(s, d), packWindow)),
+
+    // corpus bigram census: per-source heavy hitters
+    "q_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(docs(s, d), hhK)),
+
+    // fastText-style hashed linear quality gate (zero shuffle)
+    "q_hash_classifier" -> ((s, d) =>
+      TextOps.hashedLinearScore(docs(s, d), clfDim)),
+
+    // embedding-space curation: farthest-from-centroid per label
+    "q_embed_outlier" -> ((s, d) =>
+      Similarity.embeddingOutliers(emb(s, d), outlierK)),
 
     // epoch-1 training order over 4 loader shards
     "q_epoch_shuffle" -> ((s, d) =>
@@ -577,6 +594,70 @@ object DataQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 4
         |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
         |FROM k""".stripMargin,
+
+    // bigram census: identical count-desc/gram-asc rank on both sides
+    "q_heavy_hitters" ->
+      s"""WITH t AS (
+         |  SELECT source, string_split(text, ' ') AS w FROM documents),
+         |bg AS (
+         |  SELECT source,
+         |    w[CAST(pos AS INT)] || ' ' || w[CAST(pos AS INT) + 1] AS gram
+         |  FROM (SELECT source, w, CAST(unnest(range(1, len(w))) AS BIGINT) AS pos
+         |        FROM t WHERE len(w) >= 2)),
+         |c AS (
+         |  SELECT source, gram, CAST(COUNT(*) AS BIGINT) AS n
+         |  FROM bg GROUP BY 1, 2)
+         |SELECT source, rank, gram, n FROM (
+         |  SELECT source, gram, n,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY n DESC, gram) AS BIGINT) AS rank
+         |  FROM c)
+         |WHERE rank <= $hhK""".stripMargin,
+
+    // hashed linear scorer: same md5-prefix bucket + Knuth-hash
+    // weight, summed per doc (Spark folds per-row; the group-by here
+    // is value-identical integer arithmetic)
+    "q_hash_classifier" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+         |sc AS (
+         |  SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+         |    CAST(SUM(
+         |      ((CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % $clfDim)
+         |        * 2654435761 + 1) % 2001 - 1000) AS BIGINT) AS score_micro
+         |  FROM toks GROUP BY 1)
+         |SELECT doc_id, n_tokens, score_micro, score_micro >= 0 AS accept
+         |FROM sc""".stripMargin,
+
+    // centroid-distance outliers: cnt²-scaled exact-integer squared
+    // L2 (milli-unit quantization), per-label top-k by ssq desc
+    "q_embed_outlier" ->
+      s"""WITH vm AS (
+         |  SELECT vec_id, label,
+         |    list_transform(embedding::DOUBLE[],
+         |      v -> CAST(round(v * 1000) AS BIGINT)) AS vm
+         |  FROM embeddings),
+         |p AS (
+         |  SELECT vec_id, label, CAST(pos AS BIGINT) AS d,
+         |    vm[CAST(pos AS INT) + 1] AS v
+         |  FROM (SELECT vec_id, label, vm,
+         |          unnest(range(0, len(vm))) AS pos FROM vm)),
+         |st AS (
+         |  SELECT label, d, CAST(SUM(v) AS BIGINT) AS s,
+         |    CAST(COUNT(*) AS BIGINT) AS cnt
+         |  FROM p GROUP BY 1, 2),
+         |ssq AS (
+         |  SELECT p.vec_id, p.label,
+         |    CAST(SUM((st.cnt * p.v - st.s) * (st.cnt * p.v - st.s))
+         |      AS BIGINT) AS ssq
+         |  FROM p JOIN st ON p.label = st.label AND p.d = st.d
+         |  GROUP BY 1, 2)
+         |SELECT label, rank, vec_id, ssq FROM (
+         |  SELECT label, vec_id, ssq,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY label
+         |      ORDER BY ssq DESC, vec_id) AS BIGINT) AS rank
+         |  FROM ssq)
+         |WHERE rank <= $outlierK""".stripMargin,
 
     "q_seq_pack" ->
       s"""WITH t AS (

@@ -633,4 +633,52 @@ object Similarity {
         greatest(col("a.vec_id"), col("b.vec_id")).as("vec_b"),
         col("bucket"), round(col("cos"), 6).as("cos_sim"))
   }
+
+  /** Embedding-space outlier detection for corpus curation: the k
+    * vectors per label farthest (squared L2) from their label's
+    * centroid. The far tail of a cluster is where mislabeled /
+    * off-distribution training examples live.
+    *
+    * All arithmetic is exact 64-bit integer so the score is
+    * bit-identical at any parallelism and across engines: embeddings
+    * quantize to milli-units, and instead of dividing the centroid
+    * (sum/cnt — a rational), the distance is scaled by cnt²:
+    * `ssq = Σ_d (cnt·v_d − sum_d)²  =  cnt² · ‖v − centroid‖²`,
+    * which preserves the per-label ranking. (Magnitude bound:
+    * |cnt·v| ≤ 10⁵·10³ at sf0.1 → ssq ≤ ~10¹⁶·dim, inside int64;
+    * at petabyte label sizes the milli-quantization drops to
+    * centi-units — same plan.)
+    *
+    * Plan shape: one map-side-combined aggregation producing the
+    * label×dim stat table (posexplode combines to label×dim rows per
+    * task before the exchange), then the stats collapse to one array
+    * row per label and broadcast-join back onto the scan, where the
+    * score folds per-row (zip_with + aggregate) — the data side
+    * never shuffles. The final top-k window sorts label-count rows,
+    * not the corpus... per label only k survive the rank filter. */
+  def embeddingOutliers(emb: DataFrame, k: Int): DataFrame = {
+    val vm = transform(col("embedding"),
+      v => round(v.cast("double") * 1000).cast("long"))
+    val base = emb.select(col("vec_id"), col("label"), vm.as("__vm"))
+    val stats = base
+      .select(col("label"), posexplode(col("__vm")).as(Seq("d", "v")))
+      .groupBy(col("label"), col("d"))
+      .agg(sum(col("v")).as("s"), count(lit(1)).as("cnt"))
+      .groupBy(col("label"))
+      .agg(max(col("cnt")).as("cnt"),
+        transform(array_sort(collect_list(struct(col("d"), col("s")))),
+          x => x("s")).as("sums"))
+    val diff = (v: Column, sd: Column) => col("cnt") * v - sd
+    val scored = base.join(broadcast(stats), "label")
+      .select(col("label"), col("vec_id"),
+        aggregate(zip_with(col("__vm"), col("sums"),
+          (v, sd) => diff(v, sd) * diff(v, sd)), lit(0L), (acc, x) => acc + x)
+          .as("ssq"))
+    val win = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("label")).orderBy(col("ssq").desc, col("vec_id"))
+    scored
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("label"), col("rank"), col("vec_id"), col("ssq"))
+  }
 }

@@ -510,4 +510,59 @@ object TextOps {
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
         col("__c.start_tok"), col("__c.n_tokens"), col("__c.chunk_text"))
   }
+
+  /** Corpus n-gram census: the k most frequent bigrams per source
+    * (heavy hitters), with a deterministic count-desc / gram-asc
+    * rank. The count table is bigram-vocab-sized (Heaps' law: vocab
+    * ≪ corpus), so the plan is one map-side-combined aggregation over
+    * occurrences riding the scan, then a per-source top-k window over
+    * the vocab-sized table — the 100 TB shape: occurrence rows never
+    * cross the wire un-combined, and the window sorts vocab, not
+    * corpus. Token array hoisted to an attribute before the bigram
+    * lambda (see [[lmScoreBigram]] — un-hoisted HOFs re-tokenize per
+    * element). */
+  def heavyHitters(docs: DataFrame, k: Int): DataFrame = {
+    val toked = docs.select(col("source"), tokens(col("text")).as("__w"))
+    val w = col("__w")
+    val grams = toked
+      .filter(size(w) >= 2)
+      .select(col("source"),
+        explode(transform(sequence(lit(1), size(w) - 1), i =>
+          concat_ws(" ", element_at(w, i), element_at(w, i + 1)))).as("gram"))
+    val counts = grams.groupBy(col("source"), col("gram"))
+      .agg(count(lit(1)).as("n"))
+    val win = Window.partitionBy(col("source"))
+      .orderBy(col("n").desc, col("gram"))
+    counts
+      .withColumn("rank", row_number().over(win).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("source"), col("rank"), col("gram"), col("n"))
+  }
+
+  /** fastText-style hashed linear document scorer: each token hashes
+    * into one of `dim` weight buckets (the md5-prefix bucket used
+    * across the repo), and the document score is the sum of bucket
+    * weights in exact integer micro-units. Weights derive
+    * deterministically from the bucket id — the fixture stands in for
+    * a trained weight vector; swapping in real weights is a broadcast
+    * lookup with the identical plan. Zero shuffle: the score is a
+    * per-row array-aggregate folded inside the scan, so classification
+    * runs at scan speed on any corpus size. `accept` is the
+    * sign-threshold decision a quality filter would gate on. */
+  def hashedLinearScore(docs: DataFrame, dim: Int): DataFrame = {
+    val toked = docs.select(col("doc_id"), tokens(col("text")).as("__w"))
+    val w = col("__w")
+    def bucket(t: Column): Column =
+      pmod(graft.functions.HashExpressions.md5Prefix64(t, 15), lit(dim.toLong))
+    // micro-unit weight in [-1000, 1000]: Knuth-hash the bucket id
+    // into the range — pure 64-bit integer arithmetic, engine-exact
+    def weight(b: Column): Column =
+      (b * lit(2654435761L) + lit(1L)) % lit(2001L) - lit(1000L)
+    toked.select(
+      col("doc_id"),
+      size(w).cast("long").as("n_tokens"),
+      aggregate(w, lit(0L), (acc, t) => acc + weight(bucket(t)))
+        .as("score_micro"))
+      .withColumn("accept", col("score_micro") >= 0L)
+  }
 }

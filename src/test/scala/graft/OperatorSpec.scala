@@ -805,4 +805,55 @@ class OperatorSpec extends SparkFunSuite {
     assert(r.getAs[Long]("p90_tokens") == 9L)
     assert(r.getAs[Long]("p99_tokens") == 10L)
   }
+
+  test("heavyHitters ranks bigrams count-desc with gram-asc tie-break") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "a b a b c d", "s1"), // "a b"×2, "b a", "b c", "c d"
+      (2L, "a b c d", "s1"),     // "a b", "b c", "c d"
+      (3L, "x y", "s2"),
+      (4L, "z", "s2")            // sub-bigram doc contributes nothing
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.heavyHitters(docs, k = 2).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3)))
+    assert(out.toSet == Set(
+      ("s1", 1L, "a b", 3L),
+      ("s1", 2L, "b c", 2L), // ties "b c"/"c d" at 2 → gram-asc wins
+      ("s2", 1L, "x y", 1L)))
+  }
+
+  test("hashedLinearScore: deterministic, additive, and shuffle-free") {
+    import spark.implicits._
+    val docs = Seq((1L, "alpha beta", "s"), (2L, "alpha beta alpha beta", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = TextOps.hashedLinearScore(docs, dim = 256)
+    val rows = out.collect().map(r =>
+      r.getAs[Long]("doc_id") -> (r.getAs[Long]("n_tokens"),
+        r.getAs[Long]("score_micro"), r.getAs[Boolean]("accept"))).toMap
+    // doubling the tokens doubles the score exactly (pure sum of
+    // per-token weights), and accept tracks the sign
+    assert(rows(1L)._1 == 2L && rows(2L)._1 == 4L)
+    assert(rows(2L)._2 == 2L * rows(1L)._2)
+    assert(rows(1L)._3 == (rows(1L)._2 >= 0))
+    // scoring is per-row arithmetic: no exchange in the plan
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"expected shuffle-free scorer:\n$plan")
+  }
+
+  test("embeddingOutliers: farthest vector ranks first, ssq = cnt^2 * distance^2") {
+    import spark.implicits._
+    // label 0: three vectors at 0, one at distance d along dim 0
+    val emb = Seq(
+      (1L, Array(0f, 0f), 0), (2L, Array(0f, 0f), 0),
+      (3L, Array(0f, 0f), 0), (4L, Array(1f, 0f), 0),
+      (5L, Array(0f, 2f), 1), (6L, Array(0f, 0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val out = Similarity.embeddingOutliers(emb, k = 2).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // label 0: cnt=4, sums=(1000,0); vec4 ssq=(4*1000-1000)^2=9e6,
+    // others (0-1000)^2=1e6 — rank 1 = vec4, rank 2 = vec1 (id tie-break)
+    assert(out.toSet == Set(
+      (0, 1L, 4L, 9000000L), (0, 2L, 1L, 1000000L),
+      (1, 1L, 5L, 4000000L), (1, 2L, 6L, 4000000L)))
+  }
 }
