@@ -231,6 +231,16 @@ object DataQueries {
         .select(col("doc_id"), col("source"), col("content_md5"))
     }),
 
+    // Bloom-pruned incremental dedup: EXACT results (the filter only
+    // prunes the anti-join), so the oracle is the plain NOT IN
+    "q_dedup_bloom" -> ((s, d) => {
+      val all = docs(s, d)
+      Dedup.incrementalExactBloom(
+        all.filter(pmod(col("doc_id"), lit(3L)) =!= 0),
+        all.filter(pmod(col("doc_id"), lit(3L)) === 0))
+        .select(col("doc_id"), col("source"), col("content_md5"))
+    }),
+
     "q_dedup_minhash" -> ((s, d) => Dedup.minhashSignatures(docs(s, d))),
 
     "q_dedup_minhash_pairs" -> ((s, d) =>
@@ -967,6 +977,19 @@ object DataQueries {
          |  CAST(SUM(logr_micro) AS DOUBLE) / COUNT(*) / 1000000.0 AS avg_logw
          |FROM b JOIN ratio USING (b)
          |GROUP BY doc_id""".stripMargin,
+
+    // same exact semantics as q_dedup_incremental (the Bloom filter
+    // in the Spark plan is a pruner, never changes the answer)
+    "q_dedup_bloom" ->
+      """WITH newd AS (SELECT * FROM documents WHERE doc_id % 3 <> 0),
+        |old AS (SELECT DISTINCT md5(text) AS seen FROM documents WHERE doc_id % 3 = 0),
+        |fresh AS (
+        |  SELECT doc_id, source, md5(text) AS content_md5 FROM newd
+        |  WHERE md5(text) NOT IN (SELECT seen FROM old))
+        |SELECT doc_id, source, content_md5 FROM (
+        |  SELECT *, ROW_NUMBER() OVER (PARTITION BY content_md5
+        |    ORDER BY doc_id) AS rn FROM fresh)
+        |WHERE rn = 1""".stripMargin,
 
     "q_dedup_incremental" ->
       """WITH newd AS (SELECT * FROM documents WHERE doc_id % 2 = 1),

@@ -58,6 +58,55 @@ object Dedup {
       .filter(col("__rn") === 1).drop("__rn")
   }
 
+  /** [[incrementalExact]] with a Bloom prefilter — the 100 TB shape
+    * for continuous-ingest dedup. The plain anti-join shuffles the
+    * whole corpus hash set every increment; here the corpus folds
+    * once into a Bloom filter (one map-side-combined aggregate, the
+    * filter binary is control-plane-sized — ~1.2 GB per 10⁹ docs at
+    * 1% fpp), the new batch probes it per-row inside the scan, and
+    * ONLY Bloom positives (≈ true duplicates + fpp·batch) enter the
+    * exact anti-join. Results are EXACT, not approximate: Bloom
+    * negatives are guaranteed-fresh (no false negatives), positives
+    * are re-checked exactly — the filter is a pruner, never an
+    * oracle. In production the filter is built once and reused across
+    * increments; `expectedItems <= 0` sizes it from a corpus count.
+    *
+    * Spark-native: builds with Catalyst's `BloomFilterAggregate` and
+    * probes with `BloomFilterMightContain` on a literal filter — the
+    * same machinery AQE runtime filters use, fully codegen-path. */
+  def incrementalExactBloom(newDocs: DataFrame, corpus: DataFrame,
+                            expectedItems: Long = -1L,
+                            fpp: Double = 0.01): DataFrame = {
+    import org.apache.spark.sql.GraftColumnBridge.{column, expression}
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    import org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate
+    import org.apache.spark.sql.types.BinaryType
+    val key = xxhash64(md5(col("text")))
+    val items = if (expectedItems > 0) expectedItems
+                else math.max(1L, corpus.count())
+    val numBits = org.apache.spark.util.sketch.BloomFilter
+      .optimalNumOfBits(items, fpp)
+    val bf = column(BloomFilterAggregate(expression(key),
+      Literal(items), Literal(numBits), 0, 0).toAggregateExpression())
+    val bytes = corpus.select(bf.as("bf")).head().getAs[Array[Byte]]("bf")
+    val maybe =
+      if (bytes == null) lit(false) // empty corpus: everything fresh
+      else column(BloomFilterMightContain(
+        Literal(bytes, BinaryType), expression(key)))
+    val flagged = newDocs
+      .withColumn("content_md5", md5(col("text")))
+      .withColumn("__maybe", maybe)
+    val corpusHashes = corpus.select(md5(col("text")).as("__seen")).distinct()
+    val checked = flagged.filter(col("__maybe"))
+      .join(corpusHashes, col("content_md5") === col("__seen"), "left_anti")
+    flagged.filter(!col("__maybe"))
+      .unionByName(checked)
+      .withColumn("__rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("content_md5")).orderBy(col("doc_id"))))
+      .filter(col("__rn") === 1).drop("__rn", "__maybe")
+  }
+
   /** Default per-task bucket cap for the bucket-collect pair
     * generators: no aggregation task materializes more than ~2·cap
     * elements of one bucket. */

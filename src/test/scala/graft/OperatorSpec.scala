@@ -856,4 +856,26 @@ class OperatorSpec extends SparkFunSuite {
       (0, 1L, 4L, 9000000L), (0, 2L, 1L, 1000000L),
       (1, 1L, 5L, 4000000L), (1, 2L, 6L, 4000000L)))
   }
+
+  test("incrementalExactBloom is exactly incrementalExact (the filter only prunes)") {
+    import spark.implicits._
+    // duplicate-rich: 60 distinct contents, corpus holds half of them,
+    // new batch repeats corpus content AND repeats within itself
+    val corpus = (0 until 30).map(i => (i.toLong, s"content number ${i}", "old"))
+      .toDF("doc_id", "text", "source")
+    val fresh = (0 until 90).map(i =>
+      (100L + i, s"content number ${i % 60}", "new"))
+      .toDF("doc_id", "text", "source")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id", "content_md5").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val plain = canon(Dedup.incrementalExact(fresh, corpus))
+    val bloom = canon(Dedup.incrementalExactBloom(fresh, corpus))
+    assert(bloom == plain)
+    // kept = first occurrence of each of the 30 contents absent from corpus
+    assert(bloom.size == 30)
+    // empty corpus: everything fresh, first-occurrence-per-content kept
+    val none = corpus.filter(col("doc_id") < 0)
+    assert(canon(Dedup.incrementalExactBloom(fresh, none)).size == 60)
+  }
 }
