@@ -198,6 +198,14 @@ object DataQueries {
     // corpus bigram census: per-source heavy hitters
     "q_heavy_hitters" -> ((s, d) => TextOps.heavyHitters(docs(s, d), hhK)),
 
+    // markup/control strip + whitespace collapse + lowercase
+    "q_text_normalize" -> ((s, d) => TextOps.normalizeText(docs(s, d))),
+
+    // HLL++ distinct-content profile (approximate by design → the
+    // driver records the rows-only check; the error bound is
+    // spec-verified against exact countDistinct)
+    "q_corpus_sketch" -> ((s, d) => TextOps.corpusSketch(docs(s, d))),
+
     // fastText-style hashed linear quality gate (zero shuffle)
     "q_hash_classifier" -> ((s, d) =>
       TextOps.hashedLinearScore(docs(s, d), clfDim)),
@@ -604,6 +612,21 @@ object DataQueries {
         |  CAST(ROW_NUMBER() OVER (PARTITION BY shuffle_key % 4
         |    ORDER BY shuffle_key, doc_id) AS BIGINT) AS pos
         |FROM k""".stripMargin,
+
+    // same strip→blank-control→collapse→trim→lower chain; DuckDB
+    // regexp_replace needs the 'g' flag (Spark replaces all by default)
+    "q_text_normalize" ->
+      """WITH c AS (
+        |  SELECT doc_id, length(text) AS n_raw,
+        |    lower(trim(regexp_replace(
+        |      regexp_replace(
+        |        regexp_replace(text, '<[^>]*>', ' ', 'g'),
+        |        '[\x00-\x1F\x7F]', ' ', 'g'),
+        |      '\s+', ' ', 'g'))) AS text_clean
+        |  FROM documents)
+        |SELECT doc_id, CAST(n_raw AS BIGINT) AS n_chars_raw, text_clean,
+        |  CAST(length(text_clean) AS BIGINT) AS n_chars_clean
+        |FROM c""".stripMargin,
 
     // bigram census: identical count-desc/gram-asc rank on both sides
     "q_heavy_hitters" ->

@@ -565,4 +565,34 @@ object TextOps {
         .as("score_micro"))
       .withColumn("accept", col("score_micro") >= 0L)
   }
+
+  /** Canonical text cleaning — the first stage of every web-corpus
+    * pipeline: strip markup tags, blank out control characters,
+    * collapse whitespace runs, trim, lowercase. Pure per-row regex
+    * expressions (zero shuffle, scan speed); control characters are
+    * removed BEFORE whitespace collapsing so engine regex dialects
+    * (`\s` differs on vertical tab) can never disagree. Raw/clean lengths
+    * ride along as the shrinkage audit. */
+  def normalizeText(docs: DataFrame): DataFrame = {
+    val stripped = regexp_replace(col("text"), "<[^>]*>", " ")
+    val noCtl = regexp_replace(stripped, "[\\x00-\\x1F\\x7F]", " ")
+    val cleaned = lower(trim(regexp_replace(noCtl, "\\s+", " ")))
+    docs
+      .select(col("doc_id"),
+        length(col("text")).cast("long").as("n_chars_raw"),
+        cleaned.as("text_clean"))
+      .withColumn("n_chars_clean", length(col("text_clean")).cast("long"))
+  }
+
+  /** Sketch-based corpus profile: per-source doc count and HLL++
+    * approximate distinct-content count. The exact version
+    * (`countDistinct`) shuffles every content hash; the sketch holds
+    * constant memory per source and merges map-side — the only shape
+    * that profiles 100 TB in one pass. Approximate by design, so this
+    * is spec-verified (error vs exact bounded by the configured rsd),
+    * not oracle-hashed. */
+  def corpusSketch(docs: DataFrame, rsd: Double = 0.05): DataFrame =
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      approx_count_distinct(md5(col("text")), rsd).as("approx_unique"))
 }

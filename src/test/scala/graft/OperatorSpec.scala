@@ -878,4 +878,34 @@ class OperatorSpec extends SparkFunSuite {
     val none = corpus.filter(col("doc_id") < 0)
     assert(canon(Dedup.incrementalExactBloom(fresh, none)).size == 60)
   }
+
+  test("normalizeText strips markup/control chars, collapses space, lowercases") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "  Hello <b>World</b>\ttwice  spaced ", "s"),
+      (2L, "already clean", "s")
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.normalizeText(docs).collect()
+      .map(r => r.getLong(0) -> (r.getString(2), r.getLong(1), r.getLong(3))).toMap
+    assert(out(1L)._1 == "hello world twice spaced")
+    assert(out(2L)._1 == "already clean")
+    assert(out(1L)._2 == 36L && out(1L)._3 == 24L)
+  }
+
+  test("corpusSketch HLL distinct count is within the configured error of exact") {
+    import spark.implicits._
+    val docs = (0 until 3000).map(i =>
+      (i.toLong, s"doc content ${i % 700}", s"src${i % 2}"))
+      .toDF("doc_id", "text", "source")
+    val approx = TextOps.corpusSketch(docs, rsd = 0.02).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val exact = docs.groupBy(col("source"))
+      .agg(countDistinct(md5(col("text"))).as("u")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((src, (nDocs, u)) <- approx) {
+      assert(nDocs == 1500L)
+      val err = math.abs(u.toDouble - exact(src)) / exact(src)
+      assert(err <= 3 * 0.02, s"$src: approx $u vs exact ${exact(src)} (err $err)")
+    }
+  }
 }
