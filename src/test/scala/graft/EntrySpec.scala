@@ -15,9 +15,12 @@ class EntrySpec extends SparkFunSuite {
   }
 
   test("every declared query is oracle-checked (no silent rows-only checks)") {
-    // the full inventory is SQL-expressible today — a new query missing
-    // its oracle should be a conscious decision, not an oversight
-    val unchecked = SparkEntry.queries.keySet.diff(SparkEntry.oracleSql.keySet)
+    // a query missing its oracle must be a conscious decision, not an
+    // oversight — approximate-by-design ops are listed here explicitly
+    // (their error bounds are spec-verified instead)
+    val approximateByDesign = Set("q_corpus_sketch")
+    val unchecked = SparkEntry.queries.keySet
+      .diff(SparkEntry.oracleSql.keySet).diff(approximateByDesign)
     assert(unchecked.isEmpty, s"queries without oracles: $unchecked")
   }
 

@@ -189,4 +189,30 @@ class PlanSpec extends SparkFunSuite {
     assert(!pq.contains("Join"), s"pq coding must be inline:\n$pq")
     assert(!pq.contains("Exchange"), s"pq coding must ride the scan:\n$pq")
   }
+
+  test("q_text_normalize / q_hash_classifier: per-row curation is shuffle-free") {
+    val n = plan("q_text_normalize")
+    assert(!n.contains("Exchange"), s"normalize must ride the scan:\n$n")
+    val h = plan("q_hash_classifier")
+    assert(!h.contains("Exchange"), s"hashed scorer must ride the scan:\n$h")
+  }
+
+  test("q_embed_outlier: stats broadcast back, data side never sort-merges") {
+    val p = plan("q_embed_outlier")
+    assert(p.contains("BroadcastHashJoin"),
+      s"label stats must broadcast onto the scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus-side join must not shuffle both sides:\n$p")
+  }
+
+  test("q_dedup_bloom: the Bloom probe is scan-side, dup check broadcasts") {
+    // the might_contain probe must sit in a filter over the scan (no
+    // join to get the flag), and at this scale AQE broadcasts the
+    // corpus-hash side of the positives' anti-join
+    val p = plan("q_dedup_bloom")
+    assert(p.contains("might_contain"),
+      s"bloom probe must be an inline predicate:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"positives anti-join should broadcast at this scale:\n$p")
+  }
 }
