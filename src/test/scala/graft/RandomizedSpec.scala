@@ -110,4 +110,41 @@ class RandomizedSpec extends SparkFunSuite {
     assert(counts.getOrElse("train", 0L) > counts.getOrElse("val", 0L),
       s"hash split wildly off: $counts")
   }
+
+  test("bloom incremental dedup equals the plain anti-join on random corpora") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // small content domain forces heavy cross- and within-batch dups
+    def mk(n: Int, idBase: Long, domain: Int) = (0 until n).map { i =>
+      (idBase + i, s"sentence ${rnd.nextInt(domain)} of the corpus", "s")
+    }.toDF("doc_id", "text", "source")
+    for (trial <- 0 until 3) {
+      val corpus = mk(200, 0L, 120 + trial * 40)
+      val fresh = mk(300, 1000L, 150 + trial * 40)
+      def canon(df: org.apache.spark.sql.DataFrame) =
+        df.select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(canon(Dedup.incrementalExactBloom(fresh, corpus, fpp = 0.05)) ==
+        canon(Dedup.incrementalExact(fresh, corpus)), s"trial $trial diverged")
+    }
+  }
+
+  test("heavyHitters equals the in-memory census on random token streams") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val docs = (0 until 200).map { i =>
+      val toks = Seq.fill(3 + rnd.nextInt(20))(s"w${rnd.nextInt(12)}")
+      (i.toLong, toks.mkString(" "), s"src${i % 3}")
+    }
+    val got = TextOps.heavyHitters(docs.toDF("doc_id", "text", "source"), k = 5)
+      .collect().map(r =>
+        (r.getString(0), r.getLong(1), r.getString(2), r.getLong(3))).toSet
+    val expected = docs.groupBy(_._3).flatMap { case (src, ds) =>
+      val grams = ds.flatMap(d => d._2.split(" ").sliding(2)
+        .filter(_.length == 2).map(_.mkString(" ")))
+      val counts = grams.groupBy(identity).view.mapValues(_.size.toLong)
+      counts.toSeq.sortBy { case (g, n) => (-n, g) }.take(5).zipWithIndex
+        .map { case ((g, n), r) => (src, r + 1L, g, n) }
+    }.toSet
+    assert(got == expected)
+  }
 }
