@@ -257,8 +257,8 @@ object Similarity {
     * with |x|² computed once (`xxCol`) and |c|² folded driver-side
     * exactly like [[graft.functions.VectorDot]] (left-to-right double
     * fold), so the value is bit-equal to the oracle's formulation. */
-  private def nearestCellExpr(cents: Array[(Long, Seq[Float])],
-                              xxCol: Column): Column = {
+  private[operators] def nearestCellExpr(cents: Array[(Long, Seq[Float])],
+                                         xxCol: Column): Column = {
     val scored = cents.map { case (cid, vec) =>
       val cc = vec.foldLeft(0.0)((a, v) => a + v.toDouble * v.toDouble)
       struct((xxCol - lit(2.0) * dot(col("embedding"), typedLit(vec)) + lit(cc))

@@ -183,4 +183,48 @@ class KmeansPqSpec extends SparkFunSuite {
     assert(out.count() == n * 4)
     assert(out.filter(col("code") < 0 || col("code") >= 8).count() == 0)
   }
+
+  test("AnnIndex round-trips parquet bit-exactly and serves identical queries") {
+    import graft.operators.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("annidx").toString
+    val model = AnnIndex.build(emb, k = 4, m = 4, ksub = 8, iters = 3)
+    AnnIndex.save(spark, model, emb, dir)
+    val loaded = AnnIndex.load(spark, dir)
+    assert(loaded.m == model.m)
+    assert(loaded.centroids.map(_._1).sameElements(model.centroids.map(_._1)))
+    loaded.centroids.zip(model.centroids).foreach {
+      case ((_, a), (_, b)) => assert(a == b, "centroid floats must round-trip") }
+    loaded.codebook.zip(model.codebook).foreach {
+      case ((_, a), (_, b)) => assert(a == b, "codebook floats must round-trip") }
+    def rows(mo: AnnIndex.Model) =
+      Similarity.ivfPqTopK(emb, mo.centroids, mo.codebook, mo.m,
+        numQueries = 3, k = 5).collect().map(_.toSeq).toSet
+    assert(rows(loaded) == rows(model), "loaded index must answer identically")
+  }
+
+  test("AnnIndex coded corpus prunes to the probed cells' partitions") {
+    import graft.operators.AnnIndex
+    val dir = java.nio.file.Files.createTempDirectory("annidx2").toString
+    val model = AnnIndex.build(emb, k = 4, m = 4, ksub = 8, iters = 3)
+    AnnIndex.save(spark, model, emb, dir)
+    val all = spark.read.parquet(s"$dir/coded")
+    val cells = all.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).sorted
+    assert(cells.length > 1, "fixture must spread over multiple cells")
+    val probe = AnnIndex.codedCells(spark, dir, Seq(cells.head))
+    // partition pruning: the cell predicate must plan as a
+    // PartitionFilter on the scan (directory-level pruning — no data
+    // files outside the probed cells are opened)
+    val planStr = probe.queryExecution.executedPlan.toString
+    assert(planStr.contains("PartitionFilters") &&
+      planStr.replaceAll("\\s+", " ").matches("(?s).*PartitionFilters: \\[[^\\]]*cell[^\\]]*\\].*"),
+      s"cell predicate must prune partitions, not filter rows:\n$planStr")
+    // and the probe returns exactly that cell's rows
+    val got = probe.select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(cells.head))
+    // and the coded rows cover the corpus exactly once
+    assert(all.count() == emb.count())
+    assert(all.select("vec_id").distinct().count() == emb.count())
+  }
 }
