@@ -260,6 +260,28 @@ object ExtQueries {
       graft.analytics.Funnel.funnel(Tables.events(s, d),
         "signup", "purchase", funnelWindowNs)),
 
+    // big-big interval-containment join: traffic inside each sampled
+    // signup's 30-min window — bucketed equi-join, no nested loop,
+    // neither side broadcast (PlanSpec-guarded)
+    "q_interval_join" -> ((s, d) => {
+      val ev = Tables.events(s, d).select(
+        col("event_id"), col("user_id"),
+        (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L)))
+          .as("ts_ns"),
+        col("event_type"))
+      val iv = ev
+        .filter(col("event_type") === "signup" &&
+          pmod(col("user_id"), lit(10L)) === 0)
+        .select(col("event_id").as("interval_id"), col("ts_ns").as("s"),
+          (col("ts_ns") + lit(ivWindowNs)).as("e"))
+      graft.operators.IntervalJoin
+        .containment(ev.select(col("event_id"), col("user_id"), col("ts_ns")),
+          "ts_ns", iv, "s", "e", bucketNs = ivWindowNs)
+        .groupBy(col("interval_id"))
+        .agg(count(lit(1)).as("n_events"),
+          countDistinct(col("user_id")).as("n_users"))
+    }),
+
     // 3-step funnel: signup → click → purchase, ordered, within 3
     // days of first signup
     "q_funnel_steps" -> ((s, d) =>
@@ -359,6 +381,8 @@ object ExtQueries {
   val sessionGapNs: Long = 30L * 60 * 1000 * 1000 * 1000 // 30 min
   val dayNs: Long = 24L * 3600 * 1000 * 1000 * 1000
   val funnelWindowNs: Long = 3L * dayNs
+  // interval-join fixture: 30-min windows, bucket = window width
+  val ivWindowNs: Long = 30L * 60 * 1000 * 1000 * 1000
 
   /** DDL fixture: sparse version stream with a rotating statement
     * mix. The control stream is tiny (1/97 of events), so cache it:
@@ -680,6 +704,23 @@ object ExtQueries {
          |  c.to_ts IS NOT NULL AS converted,
          |  c.to_ts - f.from_ts AS ns_to_convert
          |FROM f LEFT JOIN c USING (user_id)""".stripMargin,
+
+    // plain inequality join — DuckDB's IEJoin handles it natively;
+    // the Spark side proves the bucketed equi-join loses no pairs
+    "q_interval_join" ->
+      s"""WITH ev AS (
+         |  SELECT event_id, user_id, epoch_ns(ts) AS ts_ns, event_type
+         |  FROM events),
+         |iv AS (
+         |  SELECT event_id AS interval_id, ts_ns AS s,
+         |    ts_ns + $ivWindowNs AS e
+         |  FROM ev WHERE event_type = 'signup' AND user_id % 10 = 0),
+         |j AS (
+         |  SELECT iv.interval_id, ev.event_id, ev.user_id
+         |  FROM iv JOIN ev ON ev.ts_ns >= iv.s AND ev.ts_ns <= iv.e)
+         |SELECT interval_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+         |  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+         |FROM j GROUP BY 1""".stripMargin,
 
     // chained step CTEs: each step's min ts after the previous step,
     // inside the anchor window

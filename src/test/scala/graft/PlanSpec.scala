@@ -205,6 +205,12 @@ class PlanSpec extends SparkFunSuite {
       s"corpus-side join must not shuffle both sides:\n$p")
   }
 
+  test("q_interval_join: bucketed equi-join, never a nested loop") {
+    val p = plan("q_interval_join")
+    assert(!p.contains("NestedLoop") && !p.contains("Cartesian"),
+      s"containment must hash-join on the bucket:\n$p")
+  }
+
   test("q_dedup_bloom: the Bloom probe is scan-side, dup check broadcasts") {
     // the might_contain probe must sit in a filter over the scan (no
     // join to get the flag), and at this scale AQE broadcasts the

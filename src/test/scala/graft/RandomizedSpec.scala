@@ -128,6 +128,33 @@ class RandomizedSpec extends SparkFunSuite {
     }
   }
 
+  test("interval containment join equals brute force on random windows") {
+    import spark.implicits._
+    import graft.operators.IntervalJoin
+    // adversarial: zero-length intervals, bucket-boundary endpoints,
+    // intervals spanning 0..5 buckets (bucket width 100)
+    val probes = (0 until 400).map(i => (i.toLong, rnd.nextInt(1000).toLong))
+    val ivs = (0 until 80).map { i =>
+      val s = rnd.nextInt(1000).toLong
+      val len = rnd.nextInt(6) match {
+        case 0 => 0L // zero-length
+        case 1 => 100L - s % 100 // ends exactly on a bucket boundary
+        case n => rnd.nextInt(n * 100).toLong
+      }
+      (10000L + i, s, s + len)
+    }
+    val got = IntervalJoin.containment(
+        probes.toDF("probe_id", "ts"), "ts",
+        ivs.toDF("interval_id", "s", "e"), "s", "e", bucketNs = 100L)
+      .select("probe_id", "interval_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val expected = (for {
+      (pid, ts) <- probes
+      (iid, s, e) <- ivs if ts >= s && ts <= e
+    } yield (pid, iid)).toSet
+    assert(got == expected)
+  }
+
   test("heavyHitters equals the in-memory census on random token streams") {
     import spark.implicits._
     import graft.operators.TextOps
