@@ -67,4 +67,31 @@ class ScaleSpec extends SparkFunSuite {
       assert(out.columns.contains("_partition"))
     }
   }
+
+  test("interval join under a hot bucket: broadcast off, exact pair count") {
+    import spark.implicits._
+    import graft.operators.IntervalJoin
+    // 20k probes piled into ONE bucket (the flash-crowd minute) plus a
+    // long tail; 50 intervals cover the hot bucket — the skewed shape
+    // AQE splits. Broadcast disabled: the row-to-row join must still
+    // produce every qualifying pair exactly once.
+    val probes = ((0 until 20000).map(i => (i.toLong, 100L + i % 90)) ++
+      (0 until 2000).map(i => (50000L + i, 1000L + i.toLong)))
+      .toDF("probe_id", "ts")
+    val ivs = (0 until 50).map(i => (90000L + i, 100L + i, 200L + i))
+      .toDF("interval_id", "s", "e") // all overlap the hot bucket
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val got = IntervalJoin.containment(probes, "ts", ivs, "s", "e", 100L)
+      // expected count: probe ts ∈ {100..189} ×(20000/90 each ≈ 223)
+      // against intervals [100+i, 200+i] — count analytically
+      val hot = (0 until 20000).map(i => 100L + i % 90)
+      val tail = (0 until 2000).map(i => 1000L + i.toLong)
+      val expected = (hot ++ tail).map { ts =>
+        (0 until 50).count(i => ts >= 100L + i && ts <= 200L + i).toLong
+      }.sum
+      assert(got.count() == expected)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
 }
