@@ -39,6 +39,53 @@ object RedoLog {
     }
   }
 
+  /** [[append]] with the payload sealed at rest — the reference's
+    * CMEK encryption surface (pkg/config/encryption.go
+    * EnableEncryption; pkg/encryption/cipher.go) applied to the WAL.
+    * Each envelope row serializes to JSON and is AES-GCM-sealed
+    * inside codegen; only the identity/meta columns the log machinery
+    * needs (watermark, window filter, GC, dedup) stay plaintext —
+    * the same meta-readable/payload-sealed split the reference keeps.
+    * First append creates `dir/KEYMETA`: the data key wrapped by the
+    * master key plus the envelope schema DDL (self-describing
+    * decrypt). */
+  def appendEncrypted(env: DataFrame, dir: String,
+                      masterKey: Array[Byte]): Unit = {
+    import graft.functions.AtRestEncryption
+    val key = AtRestEncryption.ensureKeyFile(dir, masterKey, env.schema.toDDL)
+    val cols = env.columns.map(col)
+    env.select(
+        col("_commit_ts"), col("_row_id"), col("_op"),
+        AtRestEncryption.sealColumn(to_json(struct(cols.toIndexedSeq: _*)), key)
+          .as("_sealed"))
+      .write.mode("append").parquet(s"$dir/slog")
+    val resolved = env.agg(max(col("_commit_ts"))).head()
+    if (!resolved.isNullAt(0)) {
+      val spark = env.sparkSession
+      import spark.implicits._
+      Seq(resolved.getLong(0)).toDF("resolved_ts")
+        .write.mode("append").parquet(s"$dir/meta")
+    }
+  }
+
+  /** [[read]] semantics over the sealed log: window filter and
+    * exactly-once dedup run on the plaintext meta columns (no decrypt
+    * needed to prune), then surviving rows unseal and re-inflate to
+    * the logged envelope schema. */
+  def readEncrypted(spark: SparkSession, dir: String, masterKey: Array[Byte],
+                    checkpointTs: Long = Long.MinValue,
+                    upToTs: Long = Long.MaxValue): DataFrame = {
+    import graft.functions.AtRestEncryption
+    val (key, ddl) = AtRestEncryption.loadKeyFile(dir, masterKey)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(ddl)
+    spark.read.parquet(s"$dir/slog")
+      .filter(col("_commit_ts") > checkpointTs && col("_commit_ts") <= upToTs)
+      .dropDuplicates("_row_id", "_op", "_commit_ts")
+      .select(from_json(
+        AtRestEncryption.openStringColumn(col("_sealed"), key), schema).as("__r"))
+      .select(schema.fieldNames.toIndexedSeq.map(f => col(s"__r.`$f`")): _*)
+  }
+
   /** The log's resolved-ts: every change with commit-ts ≤ this is
     * durably logged (max over flush watermarks). */
   def resolvedTs(spark: SparkSession, dir: String): Long = {
