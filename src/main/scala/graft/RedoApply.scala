@@ -7,7 +7,9 @@ import org.apache.spark.sql.functions._
   * cmd/redo): `runMain graft.RedoApply <redoDir> [outDir]` reads the
   * redo meta, replays the (checkpoint, resolved] window into the
   * ordered downstream statement stream, optionally writes it as
-  * parquet, and prints one JSON status line. */
+  * parquet, and prints one JSON status line. For an encrypted log
+  * (dir carries KEYMETA), pass the master key base64-encoded in
+  * `GRAFT_REDO_MASTER_KEY`. */
 object RedoApply {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: RedoApply <redoDir> [outDir]")
@@ -16,8 +18,11 @@ object RedoApply {
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val masterKey = sys.env.get("GRAFT_REDO_MASTER_KEY")
+      .map(java.util.Base64.getDecoder.decode)
     val (ck, rts) = graft.sinks.RedoApplier.replayWindow(spark, dir)
-    val stmts = graft.sinks.RedoApplier.replayStatements(spark, dir)
+    val stmts = graft.sinks.RedoApplier.replayStatements(spark, dir,
+      masterKey = masterKey)
     val counts = stmts.agg(
       count(lit(1)).as("n"),
       sum(when(col("_op") === "DDL", 1L).otherwise(0L)).as("ddl")).head()

@@ -71,11 +71,23 @@ object RedoApplier {
     * `_apply_order` (then `_partition`-local commit order) reproduces
     * the reference applier's apply sequence; `_partition = -1` marks
     * DDL barriers (they gate every worker, waitTableFlush). */
+  /** The logged window, unsealing it when the dir is an encrypted
+    * (KEYMETA-carrying) log and a master key is supplied. */
+  def logWindow(spark: SparkSession, dir: String, ck: Long, rts: Long,
+                masterKey: Option[Array[Byte]]): DataFrame =
+    masterKey match {
+      case Some(mk) if java.nio.file.Files.exists(
+          java.nio.file.Paths.get(dir, "KEYMETA")) =>
+        RedoLog.readEncrypted(spark, dir, mk, ck, rts)
+      case _ => RedoLog.read(spark, dir, ck, rts)
+    }
+
   def replayStatements(spark: SparkSession, dir: String,
                        handleKeys: Seq[String] = Seq("user_id"),
-                       numWorkers: Int = 8): DataFrame = {
+                       numWorkers: Int = 8,
+                       masterKey: Option[Array[Byte]] = None): DataFrame = {
     val (ck, rts) = replayWindow(spark, dir)
-    val window = RedoLog.read(spark, dir, ck, rts)
+    val window = logWindow(spark, dir, ck, rts, masterKey)
     val dml = MysqlSink.statements(
         Transforms.updateSplit(window, handleKeys),
         handleKeys, numWorkers, safeMode = true)
@@ -101,8 +113,10 @@ object RedoApplier {
   /** The table state the window replay converges the downstream to —
     * the convergence-check form (RedoLog.replay over the same
     * window). */
-  def replayState(spark: SparkSession, dir: String): DataFrame = {
+  def replayState(spark: SparkSession, dir: String,
+                  masterKey: Option[Array[Byte]] = None): DataFrame = {
     val (ck, rts) = replayWindow(spark, dir)
-    RedoLog.replay(spark, dir, ck, rts)
+    graft.operators.Materialize.tableState(
+      logWindow(spark, dir, ck, rts, masterKey))
   }
 }

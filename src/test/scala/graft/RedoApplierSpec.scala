@@ -92,4 +92,23 @@ class RedoApplierSpec extends SparkFunSuite {
       "redo replay applies rows at the DDL's commit ts BEFORE the DDL")
     stmts.unpersist()
   }
+
+  test("applier over an encrypted log renders the same statements as plaintext") {
+    import graft.functions.AtRestEncryption
+    val plain = Files.createTempDirectory("graft-redo-p").toString
+    val encDir = Files.createTempDirectory("graft-redo-s").toString
+    val master = AtRestEncryption.newDataKey()
+    val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+      .limit(400)
+    RedoLog.append(env, plain)
+    RedoLog.appendEncrypted(env, encDir, master)
+    val a = RedoApplier.replayStatements(spark, plain)
+      .select("_stmt", "_apply_order")
+    val b = RedoApplier.replayStatements(spark, encDir, masterKey = Some(master))
+      .select("_stmt", "_apply_order")
+    assert(canon(a) == canon(b))
+    // and the convergence state matches too
+    assert(canon(RedoApplier.replayState(spark, encDir, Some(master))) ==
+      canon(RedoApplier.replayState(spark, plain)))
+  }
 }
