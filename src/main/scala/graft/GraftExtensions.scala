@@ -157,5 +157,46 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         ArrayTransform(new Sequence(Literal(0L), lastIdx, None),
           LambdaFunction(body, Seq(i)))
       }))
+    // the text-cleaning kernel (TextOps.normalizeExpr) as SQL:
+    // text_normalize(s) — strip markup, blank control chars, collapse
+    // whitespace, trim, lower (same catalyst tree as the operator)
+    e.injectFunction((
+      new FunctionIdentifier("text_normalize"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "text_normalize"),
+      (children: Seq[Expression]) => {
+        require(children.size == 1, "text_normalize(text) takes one argument")
+        import org.apache.spark.sql.catalyst.expressions._
+        val stripped = RegExpReplace(children.head,
+          Literal("<[^>]*>"), Literal(" "))
+        val noCtl = RegExpReplace(stripped,
+          Literal("[\\x00-\\x1F\\x7F]"), Literal(" "))
+        Lower(StringTrim(RegExpReplace(noCtl, Literal("\\s+"), Literal(" "))))
+      }))
+    // the hashed-linear-gate kernel as SQL: hash_score(text, dim) →
+    // micro-unit document score (dim must be a literal)
+    e.injectFunction((
+      new FunctionIdentifier("hash_score"),
+      new ExpressionInfo(classOf[Md5PrefixLong].getName, "hash_score"),
+      (children: Seq[Expression]) => {
+        require(children.size == 2, "hash_score(text, dim) takes two args")
+        val dimV = children(1).eval(null)
+        require(dimV != null, "dim must be a literal")
+        val dim = dimV.toString.toLong
+        require(dim > 0, s"dim must be positive, got $dim")
+        import org.apache.spark.sql.catalyst.expressions._
+        import org.apache.spark.sql.types.{LongType, StringType}
+        val w = StringSplit(children.head, Literal(" "), Literal(-1))
+        val acc = NamedLambdaVariable("acc", LongType, nullable = true)
+        val t = NamedLambdaVariable("t", StringType, nullable = true)
+        val bucket = Pmod(Md5PrefixLong(t, 15), Literal(dim))
+        val weight = Subtract(
+          Pmod(Add(Multiply(bucket, Literal(2654435761L)), Literal(1L)),
+            Literal(2001L)),
+          Literal(1000L))
+        val x = NamedLambdaVariable("x", LongType, nullable = true)
+        ArrayAggregate(w, Literal(0L),
+          LambdaFunction(Add(acc, weight), Seq(acc, t)),
+          LambdaFunction(x, Seq(x)))
+      }))
   }
 }

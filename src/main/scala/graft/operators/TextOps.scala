@@ -549,20 +549,26 @@ object TextOps {
     * per-row array-aggregate folded inside the scan, so classification
     * runs at scan speed on any corpus size. `accept` is the
     * sign-threshold decision a quality filter would gate on. */
+  /** Micro-unit weight of one token: md5-prefix bucket, Knuth-hashed
+    * into [-1000, 1000] — pure 64-bit integer arithmetic,
+    * engine-exact. Shared by the operator and the `hash_score` SQL
+    * function. */
+  private[graft] def tokenWeight(t: Column, dim: Long): Column = {
+    val b = pmod(graft.functions.HashExpressions.md5Prefix64(t, 15), lit(dim))
+    (b * lit(2654435761L) + lit(1L)) % lit(2001L) - lit(1000L)
+  }
+
+  /** Per-row fold of [[tokenWeight]] over a token array. */
+  private[graft] def hashScoreExpr(w: Column, dim: Long): Column =
+    aggregate(w, lit(0L), (acc, t) => acc + tokenWeight(t, dim))
+
   def hashedLinearScore(docs: DataFrame, dim: Int): DataFrame = {
     val toked = docs.select(col("doc_id"), tokens(col("text")).as("__w"))
     val w = col("__w")
-    def bucket(t: Column): Column =
-      pmod(graft.functions.HashExpressions.md5Prefix64(t, 15), lit(dim.toLong))
-    // micro-unit weight in [-1000, 1000]: Knuth-hash the bucket id
-    // into the range — pure 64-bit integer arithmetic, engine-exact
-    def weight(b: Column): Column =
-      (b * lit(2654435761L) + lit(1L)) % lit(2001L) - lit(1000L)
     toked.select(
       col("doc_id"),
       size(w).cast("long").as("n_tokens"),
-      aggregate(w, lit(0L), (acc, t) => acc + weight(bucket(t)))
-        .as("score_micro"))
+      hashScoreExpr(w, dim.toLong).as("score_micro"))
       .withColumn("accept", col("score_micro") >= 0L)
   }
 
@@ -573,16 +579,20 @@ object TextOps {
     * removed BEFORE whitespace collapsing so engine regex dialects
     * (`\s` differs on vertical tab) can never disagree. Raw/clean lengths
     * ride along as the shrinkage audit. */
-  def normalizeText(docs: DataFrame): DataFrame = {
-    val stripped = regexp_replace(col("text"), "<[^>]*>", " ")
+  /** The cleaning chain as a reusable Column — shared by the
+    * operator and the `text_normalize` SQL function. */
+  private[graft] def normalizeExpr(text: Column): Column = {
+    val stripped = regexp_replace(text, "<[^>]*>", " ")
     val noCtl = regexp_replace(stripped, "[\\x00-\\x1F\\x7F]", " ")
-    val cleaned = lower(trim(regexp_replace(noCtl, "\\s+", " ")))
+    lower(trim(regexp_replace(noCtl, "\\s+", " ")))
+  }
+
+  def normalizeText(docs: DataFrame): DataFrame =
     docs
       .select(col("doc_id"),
         length(col("text")).cast("long").as("n_chars_raw"),
-        cleaned.as("text_clean"))
+        normalizeExpr(col("text")).as("text_clean"))
       .withColumn("n_chars_clean", length(col("text_clean")).cast("long"))
-  }
 
   /** Sketch-based corpus profile: per-source doc count and HLL++
     * approximate distinct-content count. The exact version

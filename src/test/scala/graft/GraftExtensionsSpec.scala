@@ -74,6 +74,21 @@ class GraftExtensionsSpec extends AnyFunSuite {
       val viaOp = graft.operators.TextOps.chunkWithOverlap(docs, 4, 3)
         .collect().map(_.mkString("|")).sorted.toSeq
       assert(viaSql == viaOp, "SQL chunker must equal the operator")
+
+      // text_normalize / hash_score SQL surfaces ≡ the operators
+      val messy = Seq((1L, "  A <i>B</i>\tC  ", "s"), (2L, "x y z", "s"))
+        .toDF("doc_id", "text", "source")
+      val normSql = messy.selectExpr("doc_id", "text_normalize(text) AS t")
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val normOp = graft.operators.TextOps.normalizeText(messy)
+        .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+      assert(normSql == normOp, "SQL normalize must equal the operator")
+      assert(normSql(1L) == "a b c")
+      val scoreSql = messy.selectExpr("doc_id", "hash_score(text, 256) AS s")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val scoreOp = graft.operators.TextOps.hashedLinearScore(messy, 256)
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("score_micro")).toMap
+      assert(scoreSql == scoreOp, "SQL hash score must equal the operator")
     } finally {
       SparkSession.setActiveSession(shared)
       SparkSession.setDefaultSession(shared)
