@@ -129,6 +129,62 @@ class ChangefeedSpec extends SparkFunSuite {
       s"near-dup signatures must collapse across batches (${out.count()} vs $distinctSigs)")
   }
 
+  test("streaming curation pipeline: normalize + gates + dedup equals batch") {
+    // the live-ingest training-data shape: every stateless curation
+    // op (normalize, quality, hashed gate) rides the stream as plain
+    // columns, ONE stateful op (exact dedup) bounds the plan — and
+    // the stream's output is exactly the batch pipeline's output
+    import graft.operators.{Dedup, TextOps}
+    val tmp = Files.createTempDirectory("graft-scur").toString
+    val src = s"$tmp/source"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      java.nio.file.Paths.get(s"$src/docs_a.parquet"))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/documents.parquet"),
+      java.nio.file.Paths.get(s"$src/docs_b.parquet"))
+    val schema = spark.read.parquet(src).schema
+
+    def curate(docs: org.apache.spark.sql.DataFrame) =
+      docs
+        .withColumn("text_clean", TextOps.normalizeExpr(col("text")))
+        .withColumn("score_micro",
+          TextOps.hashScoreExpr(split(col("text_clean"), " "), 256L))
+        .filter(col("score_micro") >= -5900L) // ~p10 cut on the fixture
+        .withColumn("content_md5", md5(col("text_clean")))
+
+    val stream = curate(spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(src))
+      // keep every event time strictly above the initial watermark (0)
+      .withColumn("_event_time",
+        timestamp_micros(lit(3600000000L) + col("doc_id") * 1000L))
+    val deduped = Dedup.streamingExact(
+      stream, Seq("content_md5"), "_event_time", "1 hour")
+    val q = deduped.drop("_event_time").writeStream
+      .format("parquet").option("path", s"$tmp/out")
+      .option("checkpointLocation", s"$tmp/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.read.parquet(s"$tmp/out")
+    val batch = curate(Tables.documents(spark, "/root/testdata/sf0.001"))
+    // gate some but not all (the fixture must exercise the filter)
+    assert(batch.count() > 0 &&
+      batch.count() < Tables.documents(spark, "/root/testdata/sf0.001").count())
+    // one survivor per distinct cleaned content, same content set
+    val batchMd5 = batch.select("content_md5").distinct()
+      .collect().map(_.getString(0)).toSet
+    val streamMd5 = streamed.select("content_md5")
+      .collect().map(_.getString(0))
+    assert(streamMd5.length == batchMd5.size, "one survivor per content")
+    assert(streamMd5.toSet == batchMd5, "stream output = batch content set")
+    // stateless column values agree with batch per doc
+    val joined = streamed.select(col("doc_id"), col("score_micro").as("s1"))
+      .join(batch.select(col("doc_id"), col("score_micro").as("s2")), "doc_id")
+    assert(joined.filter(col("s1") =!= col("s2")).count() == 0)
+  }
+
   test("mysql-path changefeed applies ordered statements via foreachBatch") {
     val tmp = Files.createTempDirectory("graft-cfm").toString
     val src = s"$tmp/source"
