@@ -170,4 +170,51 @@ class DdlParserSpec extends SparkFunSuite {
     assert(reg.asOf("app", "t", 35L).get.columns.map(_.name) == Seq("id", "k"))
     assert(reg.latest("app", "t2").isDefined)
   }
+
+  test("fuzz: random DDL-shaped text never throws, constraint guard always holds") {
+    val rnd = new scala.util.Random(1234)
+    val heads = Seq("ALTER TABLE", "CREATE TABLE", "DROP TABLE", "TRUNCATE TABLE",
+      "RENAME TABLE", "CREATE DATABASE", "DROP DATABASE", "CREATE INDEX",
+      "OPTIMIZE TABLE", "GRANT SELECT ON", "")
+    val verbs = Seq("ADD COLUMN", "ADD", "DROP COLUMN", "MODIFY COLUMN",
+      "CHANGE COLUMN", "ADD INDEX", "ADD KEY", "ADD PRIMARY KEY",
+      "ADD UNIQUE KEY", "ADD CONSTRAINT", "ADD FULLTEXT INDEX",
+      "ADD FOREIGN KEY", "ADD PARTITION", "DROP PARTITION", "RENAME TO")
+    val tails = Seq("c1 bigint", "c1 varchar(255) DEFAULT 'x'", "idx (k)",
+      "pk_1 PRIMARY KEY (id)", "(id bigint, v double)", "c1", "", "fk (a) REFERENCES t2 (b)",
+      "c1 c2 bigint FIRST", "c1 bigint AFTER c0", "p0 VALUES LESS THAN (10)")
+    def randomCase(s: String) =
+      s.map(c => if (rnd.nextBoolean()) c.toUpper else c.toLower)
+    for (_ <- 0 until 2000) {
+      val stmt = Seq(
+        randomCase(heads(rnd.nextInt(heads.size))),
+        if (rnd.nextBoolean()) s"t${rnd.nextInt(3)}" else s"db.t${rnd.nextInt(3)}",
+        randomCase(verbs(rnd.nextInt(verbs.size))),
+        tails(rnd.nextInt(tails.size)))
+        .mkString(" " * (1 + rnd.nextInt(3)))
+      // never throws, whatever arrives on the DDL stream
+      val parsed = DdlParser.parse(stmt, ts = 1L)
+      // the constraint-head guard: an ADD INDEX/KEY/CONSTRAINT/...
+      // must never surface as a column addition
+      val upper = stmt.toUpperCase.replaceAll("\\s+", " ")
+      val isConstraintAdd = Seq("ADD INDEX", "ADD KEY", "ADD PRIMARY KEY",
+        "ADD UNIQUE KEY", "ADD CONSTRAINT", "ADD FULLTEXT INDEX",
+        "ADD FOREIGN KEY").exists(upper.contains)
+      parsed match {
+        case Some(a: graft.model.DdlAction.AddColumn) =>
+          assert(!isConstraintAdd,
+            s"constraint ADD must not parse as AddColumn: $stmt -> $a")
+        case _ => ()
+      }
+    }
+    // and the registry never throws folding whatever did parse
+    val creates = (0 until 3).flatMap(i =>
+      DdlParser.parse(s"CREATE TABLE t$i (id bigint)", ts = i.toLong))
+    val actions = (0 until 500).flatMap { i =>
+      DdlParser.parse(
+        s"ALTER TABLE t${i % 3} ADD COLUMN c$i bigint", ts = 10L + i)
+    }
+    val reg = SchemaRegistry().applyAll(creates ++ actions)
+    assert(reg.latest("app", "t0").get.columns.length > 100)
+  }
 }
