@@ -408,6 +408,44 @@ object Dedup {
           .cast("long").as("kept"))
   }
 
+  /** Persisted MinHash LSH index — the continuous-crawl companion to
+    * [[minhashPairs]]: the historical corpus signatures band-explode
+    * ONCE into a parquet table (4 rows per doc, partitioned by band
+    * index), and each new crawl probes it with a band-for-band
+    * equi-join instead of re-pairing the corpus against itself. Index
+    * build is one pass over the corpus; probe cost scales with the
+    * NEW batch and its collision density, never with corpus². */
+  def buildMinhashIndex(corpus: DataFrame, dir: String): Unit = {
+    val bandArr = array((0 until NumBands).map(b => col(s"band$b")): _*)
+    minhashSignatures(corpus)
+      .select(col("doc_id"), bandArr.as("bands"),
+        posexplode(bandArr).as(Seq("band_idx", "band")))
+      .write.mode("overwrite").partitionBy("band_idx").parquet(dir)
+  }
+
+  /** Candidate (new, historical) near-dup pairs: new docs sharing ≥1
+    * LSH band with an indexed doc. Each pair is emitted exactly once
+    * — from its FIRST shared band, the same carried-band-array trick
+    * as [[minhashPairs]] (no pair-dedup shuffle). */
+  def probeMinhashIndex(newDocs: DataFrame, dir: String): DataFrame = {
+    val spark = newDocs.sparkSession
+    val idx = spark.read.parquet(dir).select(
+      col("doc_id").as("doc_old"), col("band_idx").cast("int").as("band_idx"),
+      col("band"), col("bands").as("old_bands"))
+    val bandArr = array((0 until NumBands).map(b => col(s"band$b")): _*)
+    val probe = minhashSignatures(newDocs)
+      .select(col("doc_id").as("doc_new"), bandArr.as("new_bands"),
+        posexplode(bandArr).as(Seq("band_idx", "band")))
+    val firstShared = (0 until NumBands).reverse.foldLeft(lit(-1)) {
+      (acc, i) =>
+        when(col("new_bands")(i) === col("old_bands")(i), lit(i)).otherwise(acc)
+    }
+    probe.join(idx, Seq("band_idx", "band"))
+      .filter(firstShared === col("band_idx"))
+      .select(col("doc_new"), col("doc_old"),
+        col("band_idx").cast("long").as("band_idx"))
+  }
+
   /** Cross-batch EXACT dedup with bounded state — the streaming form
     * of [[exact]]: duplicates arriving within the watermark window
     * collapse to their first occurrence and the dedup state evicts at

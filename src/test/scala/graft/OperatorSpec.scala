@@ -879,6 +879,32 @@ class OperatorSpec extends SparkFunSuite {
     assert(canon(Dedup.incrementalExactBloom(fresh, none)).size == 60)
   }
 
+  test("minhash index probe equals the batch pair generator's cross pairs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mhidx").toString
+    val all = Tables.documents(spark, "/root/testdata/sf0.001")
+    val corpus = all.filter(pmod(col("doc_id"), lit(3L)) === 0)
+    val fresh = all.filter(pmod(col("doc_id"), lit(3L)) =!= 0)
+    Dedup.buildMinhashIndex(corpus, dir)
+    val probed = Dedup.probeMinhashIndex(fresh, dir)
+      .select("doc_new", "doc_old").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // each probe pair is emitted exactly once
+    assert(probed.size == Dedup.probeMinhashIndex(fresh, dir).count())
+    // == the batch generator over the union, restricted to cross pairs
+    val oldIds = corpus.select("doc_id").collect().map(_.getLong(0)).toSet
+    val batch = Dedup.minhashPairs(Dedup.minhashSignatures(all))
+      .select("doc_a", "doc_b").collect()
+      .flatMap { r =>
+        val (a, b) = (r.getLong(0), r.getLong(1))
+        if (oldIds(a) && !oldIds(b)) Some((b, a))
+        else if (oldIds(b) && !oldIds(a)) Some((a, b))
+        else None
+      }.toSet
+    assert(probed == batch,
+      s"probe must find exactly the batch cross pairs (${probed.size} vs ${batch.size})")
+    assert(probed.nonEmpty, "fixture must produce near-dup candidates")
+  }
+
   test("normalizeText strips markup/control chars, collapses space, lowercases") {
     import spark.implicits._
     val docs = Seq(
