@@ -254,6 +254,17 @@ object DataQueries {
     "q_dedup_minhash_pairs" -> ((s, d) =>
       Dedup.minhashPairs(Dedup.minhashSignatures(docs(s, d)))),
 
+    // persisted LSH index: build on the historical third, probe the
+    // rest — pairs equal a band-join of new sigs against old sigs
+    "q_dedup_index" -> ((s, d) => {
+      val all = docs(s, d)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft-mhidx-q").toString
+      Dedup.buildMinhashIndex(all.filter(pmod(col("doc_id"), lit(3L)) === 0), dir)
+      Dedup.probeMinhashIndex(all.filter(pmod(col("doc_id"), lit(3L)) =!= 0), dir)
+        .select(col("doc_new"), col("doc_old"))
+    }),
+
     "q_dedup_simhash" -> ((s, d) => Dedup.simhash(docs(s, d))),
 
     // iterative min-label propagation, oracle-checked against a
@@ -1170,6 +1181,19 @@ object DataQueries {
            |FROM sigb a JOIN sigb b ON a.band$b = b.band$b AND a.doc_id < b.doc_id""".stripMargin
       }.mkString("\nUNION\n")
       s"WITH $minhashSigSql\n$joins"
+    },
+
+    // the probe is a band-join of new against old; UNION dedups the
+    // multi-band collisions the Spark side suppresses at emission
+    "q_dedup_index" -> {
+      val joins = (0 until Dedup.NumBands).map { b =>
+        s"""SELECT n.doc_id AS doc_new, o.doc_id AS doc_old
+           |FROM newsig n JOIN oldsig o ON n.band$b = o.band$b""".stripMargin
+      }.mkString("\nUNION\n")
+      s"""WITH $minhashSigSql,
+         |oldsig AS (SELECT * FROM sigb WHERE doc_id % 3 = 0),
+         |newsig AS (SELECT * FROM sigb WHERE doc_id % 3 <> 0)
+         |$joins""".stripMargin
     },
 
     "q_dedup_simhash" -> {
