@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.{Dedup, Multimodal, Sampling, Similarity, TextOps}
+import graft.operators.{Dedup, Multimodal, Retrieval, Sampling, Similarity, TextOps}
 
 /** Oracle-checked queries for the training-data pipeline operators
   * (SURVEY §7.2 M7): dedup, similarity search, text analysis,
@@ -90,6 +90,15 @@ object DataQueries {
        |  HAVING MAX(pa) - MIN(pa) + $dupSpanN >= $dupSpanMin)""".stripMargin
   val mixAlpha = 0.7
   val mixTargetFrac = 0.5
+  // BM25 retrieval: literal query set over the synthetic corpus
+  // vocabulary; the oracle VALUES list renders from this same Seq.
+  // "watermark" appears in no document — a query term with zero
+  // postings must contribute nothing on either engine.
+  val bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "spark window join",
+    1L -> "table scan merge sort",
+    2L -> "stream batch watermark",
+    3L -> "vector hash model")
   val hashedDim = 64
   // RAG chunker: 64-token windows, stride 48 (16-token overlap)
   val chunkTok = 64
@@ -387,7 +396,17 @@ object DataQueries {
 
     "q_temperature_mix" -> ((s, d) =>
       Sampling.temperatureMix(docs(s, d), mixAlpha, mixTargetFrac)
-        .select(col("doc_id"), col("source"), col("mix_frac"), col("sampled")))
+        .select(col("doc_id"), col("source"), col("mix_frac"), col("sampled"))),
+
+    "q_bm25" -> ((s, d) => {
+      import s.implicits._
+      Retrieval.bm25TopK(docs(s, d), bm25Queries.toDF("query_id", "qtext"), annK)
+    }),
+
+    // hybrid retrieval: RRF fusion of the BM25 list and the
+    // hashed-tf-idf cosine list, doc-as-query over the same corpus
+    "q_hybrid_rrf" -> ((s, d) =>
+      Retrieval.hybridRrf(docs(s, d), hashedDim, annQueries, annK))
   )
 
   // ---- DuckDB oracles (generated) ----
@@ -397,6 +416,48 @@ object DataQueries {
 
   private def inList(items: Seq[String]): String =
     items.map(s => s"'$s'").mkString("(", ", ", ")")
+
+  /** Shared BM25 oracle CTE chain (toks → lexscore). Expects a
+    * `queries(query_id, qtext)` CTE defined by the caller. The
+    * contribution expression is parenthesized token-for-token like
+    * the Spark side ([[Retrieval.bm25TopK]]): IEEE ops are
+    * deterministic but not associative, so the SHAPE must match, not
+    * just the math. */
+  private def bm25OracleCtes(excludeSelf: Boolean): String = {
+    import Retrieval.{k1, k1Plus1, b, oneMinusB}
+    val self = if (excludeSelf) "\n  WHERE tf.doc_id <> qterms.query_id" else ""
+    s"""toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+       |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+       |dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY 1),
+       |dfq AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY 1),
+       |stats AS (
+       |  SELECT COUNT(*) AS n_docs,
+       |    CAST(SUM(dl) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE) AS avgdl
+       |  FROM dl),
+       |idf AS (
+       |  SELECT tok,
+       |    CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+       |      * 1000000.0) AS BIGINT) AS idf_micro
+       |  FROM dfq CROSS JOIN stats),
+       |qterms AS (
+       |  SELECT DISTINCT query_id, tok
+       |  FROM (SELECT query_id, unnest(string_split(qtext, ' ')) AS tok FROM queries)),
+       |contrib AS (
+       |  SELECT qterms.query_id, tf.doc_id,
+       |    CAST(round(((CAST(idf_micro AS DOUBLE) / 1000000.0) *
+       |      ((CAST(tf AS DOUBLE) * CAST($k1Plus1 AS DOUBLE)) /
+       |        (CAST(tf AS DOUBLE) + CAST($k1 AS DOUBLE) *
+       |          (CAST($oneMinusB AS DOUBLE) + CAST($b AS DOUBLE) *
+       |            (CAST(dl AS DOUBLE) / avgdl))))) * 1000.0) AS BIGINT) AS contrib_milli
+       |  FROM tf
+       |  JOIN qterms USING (tok)
+       |  JOIN idf USING (tok)
+       |  JOIN dl USING (doc_id)
+       |  CROSS JOIN stats$self),
+       |lexscore AS (
+       |  SELECT query_id, doc_id, CAST(SUM(contrib_milli) AS BIGINT) AS score_milli
+       |  FROM contrib GROUP BY 1, 2)""".stripMargin
+  }
 
   private val minhashSigSql: String = {
     val lanes = (0 until Dedup.NumHashes).map { i =>
@@ -1349,6 +1410,84 @@ object DataQueries {
         |  CAST(octet_length(encode(text)) % 640 AS BIGINT) AS width,
         |  CAST(octet_length(encode(text)) * 7 % 480 AS BIGINT) AS height,
         |  CAST(octet_length(encode(text)) // 1000 + 1 AS BIGINT) AS n_frames
-        |FROM documents""".stripMargin
+        |FROM documents""".stripMargin,
+
+    // literal query set renders from the same Seq the Spark side uses
+    "q_bm25" -> {
+      val values = bm25Queries
+        .map { case (id, t) => s"($id, '$t')" }.mkString(", ")
+      s"""WITH queries AS (
+         |  SELECT CAST(query_id AS BIGINT) AS query_id, qtext
+         |  FROM (VALUES $values) v(query_id, qtext)),
+         |${bm25OracleCtes(excludeSelf = false)}
+         |SELECT query_id, rank, doc_id, score_milli FROM (
+         |  SELECT query_id, doc_id, score_milli,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
+         |  FROM lexscore)
+         |WHERE rank <= $annK""".stripMargin
+    },
+
+    // RRF fusion: lexical chain shares the bm25 CTEs (doc-as-query);
+    // vector chain is the q_text_ann hashed-cosine pipeline; fusion
+    // is pure integer floor division so any engine agrees exactly
+    "q_hybrid_rrf" ->
+      s"""WITH queries AS (
+         |  SELECT doc_id AS query_id, text AS qtext
+         |  FROM documents WHERE doc_id < $annQueries),
+         |${bm25OracleCtes(excludeSelf = true)},
+         |vidf AS (
+         |  SELECT tok,
+         |    CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+         |      * 1000000.0) AS BIGINT) AS idf_micro,
+         |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % $hashedDim AS dim_idx
+         |  FROM dfq CROSS JOIN stats),
+         |w AS (
+         |  SELECT tf.doc_id, vidf.dim_idx,
+         |    CAST(SUM(tf.tf * vidf.idf_micro) AS BIGINT) AS w
+         |  FROM tf JOIN vidf USING (tok) GROUP BY 1, 2),
+         |dense AS (
+         |  SELECT d.doc_id, list(CAST(coalesce(w.w, 0) AS DOUBLE) ORDER BY r.d) AS emb
+         |  FROM (SELECT DISTINCT doc_id FROM documents) d
+         |  CROSS JOIN (SELECT unnest(range($hashedDim)) AS d) r
+         |  LEFT JOIN w ON w.doc_id = d.doc_id AND w.dim_idx = r.d
+         |  GROUP BY d.doc_id),
+         |wc AS (
+         |  SELECT doc_id AS vec_id, emb,
+         |    sqrt(list_dot_product(emb, emb)) AS nn FROM dense),
+         |qv AS (
+         |  SELECT vec_id AS query_id, emb AS q_emb, nn AS qn
+         |  FROM wc WHERE vec_id < $annQueries),
+         |vscored AS (
+         |  SELECT qv.query_id, wc.vec_id,
+         |    list_dot_product(qv.q_emb, wc.emb) / (qv.qn * wc.nn) AS cos
+         |  FROM wc CROSS JOIN qv WHERE wc.vec_id <> qv.query_id),
+         |vtop AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, vec_id AS doc_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+         |    FROM vscored)
+         |  WHERE rank <= $annK),
+         |ltop AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
+         |    FROM lexscore)
+         |  WHERE rank <= $annK),
+         |fused AS (
+         |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+         |    COALESCE(l.doc_id, v.doc_id) AS doc_id,
+         |    CAST(COALESCE(1000000 // (${Retrieval.rrfK} + l.rank), 0)
+         |      + COALESCE(1000000 // (${Retrieval.rrfK} + v.rank), 0) AS BIGINT) AS rrf_ppm
+         |  FROM ltop l FULL OUTER JOIN vtop v
+         |    ON l.query_id = v.query_id AND l.doc_id = v.doc_id)
+         |SELECT query_id, rank, doc_id, rrf_ppm FROM (
+         |  SELECT query_id, doc_id, rrf_ppm,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |      ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rank
+         |  FROM fused)
+         |WHERE rank <= $annK""".stripMargin
   )
 }

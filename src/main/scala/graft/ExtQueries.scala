@@ -375,8 +375,17 @@ object ExtQueries {
         .groupBy(col("query_id"))
         .agg((sum(when(col("an").isNotNull, 1.0).otherwise(0.0)) / lit(10.0))
           .as("recall_at_k"))
-    })
+    }),
+
+    // metric-outlier gate over ingest telemetry: per (event_type,
+    // UTC-day) z-score in exact milli units (analytics/Anomaly.scala)
+    "q_anomaly" -> ((s, d) =>
+      graft.analytics.Anomaly.zOutliers(Tables.events(s, d), anomalyZMilli))
   )
+
+  // z threshold in milli-sigmas (2.5σ); the events fixture's value
+  // tail reaches ~10σ, so the outlier set is non-empty at every SF
+  val anomalyZMilli: Long = 2500L
 
   val sessionGapNs: Long = 30L * 60 * 1000 * 1000 * 1000 // 30 min
   val dayNs: Long = 24L * 3600 * 1000 * 1000 * 1000
@@ -991,6 +1000,35 @@ object ExtQueries {
         |  CROSS JOIN (SELECT CAST((MIN(_commit_ts) + MAX(_commit_ts)) // 2 AS BIGINT)
         |                AS snap FROM env) s
         |  WHERE e._commit_ts <= s.snap)
-        |WHERE rn = 1 AND _op <> 'D'""".stripMargin)
+        |WHERE rn = 1 AND _op <> 'D'""".stripMargin),
+
+    // mean/variance CTE shapes mirror analytics/Anomaly.scala
+    // expression-for-expression (IEEE determinism needs equal shape)
+    "q_anomaly" ->
+      s"""WITH vm AS (
+         |  SELECT event_id, event_type,
+         |    epoch_ns(ts) // 86400000000000 AS day,
+         |    CAST(round(value * 1000.0) AS BIGINT) AS value_milli
+         |  FROM events),
+         |stats AS (
+         |  SELECT event_type, day, COUNT(*) AS n,
+         |    CAST(SUM(value_milli) AS BIGINT) AS s,
+         |    CAST(SUM(value_milli * value_milli) AS BIGINT) AS ss
+         |  FROM vm GROUP BY 1, 2),
+         |m AS (
+         |  SELECT event_type, day, n, ss,
+         |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE) AS mean
+         |  FROM stats),
+         |sd AS (
+         |  SELECT event_type, day, mean,
+         |    sqrt(CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean) AS sdv
+         |  FROM m
+         |  WHERE CAST(ss AS DOUBLE) / CAST(n AS DOUBLE) - mean * mean > 0.0)
+         |SELECT event_id, event_type, day, value_milli, z_milli FROM (
+         |  SELECT vm.event_id, vm.event_type, vm.day, vm.value_milli,
+         |    CAST(round(((CAST(value_milli AS DOUBLE) - mean) / sdv) * 1000.0)
+         |      AS BIGINT) AS z_milli
+         |  FROM vm JOIN sd USING (event_type, day))
+         |WHERE abs(z_milli) >= $anomalyZMilli""".stripMargin
   )
 }

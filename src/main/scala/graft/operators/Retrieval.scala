@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Lexical retrieval (BM25) and hybrid rank fusion over the documents
+  * table — the search/serving side of a curation or RAG pipeline.
+  * The reference's closest surface is its expression-filter predicate
+  * evaluation (pkg/filter/expr_filter.go:40); full-corpus ranked
+  * retrieval is one of the beyond-reference data-pipeline operators
+  * (SURVEY §7.2), complementing the vector-ANN stack
+  * ([[Similarity]]) with the sparse/lexical ranker and the
+  * reciprocal-rank-fusion combiner used by hybrid search systems.
+  *
+  * Engine portability: idf = ln(N/df) rounds ONCE per vocab entry to
+  * micro units (the [[TextOps.tfidfTopTerms]] pattern); each
+  * (query, doc, term) BM25 contribution is then a fixed-shape IEEE
+  * double expression over exact integers that rounds ONCE to milli
+  * units; per-doc scores are exact integer sums, so ranking is
+  * deterministic across engines. RRF is integer-only end to end.
+  */
+object Retrieval {
+
+  /** Robertson/Sparck-Jones BM25 constants. Rendered with these exact
+    * decimal strings in both the Spark literals and the DuckDB
+    * oracle so the two engines fold identical doubles. k1+1 is kept
+    * as its own literal ("2.2") — computing 1.2+1.0 in one engine
+    * and parsing "2.2" in the other would NOT give the same double.
+    */
+  val k1 = "1.2"
+  val k1Plus1 = "2.2"
+  val b = "0.75"
+  val oneMinusB = "0.25"
+
+  /** RRF dampening constant (the k=60 of Cormack et al.). */
+  val rrfK = 60L
+
+  /** BM25 top-k retrieval. `queries` must have (query_id: long,
+    * qtext: string); query terms are deduplicated (unweighted-query
+    * BM25). Documents sharing no term with a query simply never
+    * appear — BM25 gives them score 0.
+    *
+    * Shape at scale: tf/dl are one shuffle over the token stream;
+    * idf and corpus stats are vocab-sized / single-row broadcasts;
+    * the query-term join is a broadcast of |queries|×|terms| rows.
+    * The only corpus-sized shuffle after the token agg is the
+    * (query_id, doc_id) score agg, which is bounded by matching
+    * postings, not by the cross product.
+    */
+  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+      excludeSelf: Boolean = false): DataFrame = {
+    val toks = docs.select(col("doc_id"),
+      explode(TextOps.tokens(col("text"))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    // single-row corpus stats: N and avgdl (exact-integer inputs)
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("total_tokens"))
+      .select(col("n_docs"),
+        (col("total_tokens").cast("double") / col("n_docs").cast("double"))
+          .as("avgdl"))
+    val idf = dfT.crossJoin(broadcast(stats))
+      .select(col("tok"),
+        round(log(col("n_docs").cast("double") / col("df").cast("double"))
+          * lit(1e6)).cast("long").as("idf_micro"),
+        col("avgdl"))
+    val qterms = queries.select(col("query_id"),
+      explode(array_distinct(TextOps.tokens(col("qtext")))).as("tok"))
+    val matched = tf.join(broadcast(qterms), "tok")
+      .join(idf, "tok")
+      .join(dl, "doc_id")
+    val kept = if (excludeSelf) matched.filter(col("doc_id") =!= col("query_id"))
+               else matched
+    // fixed-shape IEEE expression; mirrored token-for-token in the oracle
+    val contrib = kept.withColumn("contrib_milli",
+      round(
+        (col("idf_micro").cast("double") / lit(1000000.0)) *
+          ((col("tf").cast("double") * expr(s"CAST($k1Plus1 AS DOUBLE)")) /
+            (col("tf").cast("double") + expr(s"CAST($k1 AS DOUBLE)") *
+              (expr(s"CAST($oneMinusB AS DOUBLE)") +
+                expr(s"CAST($b AS DOUBLE)") *
+                  (col("dl").cast("double") / col("avgdl"))))) *
+          lit(1000.0)).cast("long"))
+    val scores = contrib.groupBy(col("query_id"), col("doc_id"))
+      .agg(sum(col("contrib_milli")).as("score_milli"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("score_milli").desc, col("doc_id").asc)
+    scores.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("score_milli"))
+  }
+
+  /** Hybrid retrieval: reciprocal-rank fusion of the BM25 list and
+    * the hashed-tf-idf cosine list, doc-as-query (the first
+    * `numQueries` documents query the rest of the corpus, as in the
+    * text-ANN operator). Contribution of a list is
+    * 1e6 div (60 + rank) for docs it ranked, 0 otherwise — integer
+    * arithmetic only, so fusion is exact on any engine.
+    */
+  def hybridRrf(docs: DataFrame, dim: Int, numQueries: Int, k: Int): DataFrame = {
+    val lexQueries = docs.filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    val lex = bm25TopK(docs, lexQueries, k, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val vec = Similarity.bruteForceTopK(
+        TextOps.hashedDenseVectors(docs, dim)
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+        numQueries, k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val fused = lex.join(vec, Seq("query_id", "doc_id"), "full_outer")
+      .withColumn("rrf_ppm",
+        coalesce(expr(s"1000000L div ($rrfK + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"1000000L div ($rrfK + vec_rank)"), lit(0L)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id"))
+      .orderBy(col("rrf_ppm").desc, col("doc_id").asc)
+    fused.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_ppm"))
+  }
+}

@@ -221,4 +221,20 @@ class PlanSpec extends SparkFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"positives anti-join should broadcast at this scale:\n$p")
   }
+
+  test("q_bm25: query terms broadcast onto the postings, no cross product") {
+    val p = plan("q_bm25")
+    assert(p.contains("BroadcastHashJoin"),
+      s"query-term join must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"),
+      s"scoring must stay on matching postings, never corpus x queries:\n$p")
+  }
+
+  test("q_anomaly: group moments broadcast back, event stream never sort-merges") {
+    val p = plan("q_anomaly")
+    assert(p.contains("BroadcastHashJoin"),
+      s"per-(type,day) stats must broadcast onto the event scan:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"the stats join must not reshuffle the event stream:\n$p")
+  }
 }
