@@ -17,19 +17,21 @@ import org.apache.spark.sql.functions._
   */
 object Anomaly {
 
-  /** Events whose value is at least `zMilliThreshold` milli-sigmas
-    * from their (event_type, UTC-day) group mean. One shuffle for
-    * the group moments (group count is bounded by types × days —
-    * broadcast-sized), one join back to the event stream; the join
-    * side with the moments broadcasts, so the event stream is never
-    * reshuffled. Groups with zero variance cannot rank anything and
-    * are dropped.
-    */
-  def zOutliers(events: DataFrame, zMilliThreshold: Long): DataFrame = {
-    val vm = events.select(col("event_id"), col("event_type"),
+  /** Milli-unit projection of the event stream (the ONE per-row
+    * rounding; everything downstream is exact-integer or fixed-shape
+    * IEEE). Works on batch and streaming frames alike — every op is
+    * stateless and narrow. */
+  private def milliValues(events: DataFrame): DataFrame =
+    events.select(col("event_id"), col("event_type"),
       expr("CAST(ts AS LONG) div 86400000000000").as("day"),
       round(col("value") * lit(1000.0)).cast("long").as("value_milli"))
-    val stats = vm.groupBy(col("event_type"), col("day"))
+
+  /** Baseline moments per (event_type, UTC-day): mean and sd from
+    * exact integer moment sums. Group count is bounded by
+    * types × days — broadcast-sized at any corpus scale. Groups with
+    * zero variance cannot rank anything and are dropped. */
+  def momentStats(events: DataFrame): DataFrame =
+    milliValues(events).groupBy(col("event_type"), col("day"))
       .agg(count(lit(1)).as("n"), sum(col("value_milli")).as("s"),
         sum(col("value_milli") * col("value_milli")).as("ss"))
       .withColumn("mean", col("s").cast("double") / col("n").cast("double"))
@@ -39,12 +41,24 @@ object Anomaly {
       .filter(col("variance") > lit(0.0))
       .withColumn("sdv", sqrt(col("variance")))
       .select(col("event_type"), col("day"), col("mean"), col("sdv"))
-    vm.join(broadcast(stats), Seq("event_type", "day"))
+
+  /** Apply a trained baseline to an event frame — batch or stream
+    * (train-batch/score-stream is the production shape: the stats
+    * side broadcasts, so the event stream is a stateless stream-
+    * static join and is never reshuffled). */
+  def zOutliersAgainst(events: DataFrame, stats: DataFrame,
+      zMilliThreshold: Long): DataFrame =
+    milliValues(events).join(broadcast(stats), Seq("event_type", "day"))
       .withColumn("z_milli",
         round(((col("value_milli").cast("double") - col("mean")) / col("sdv"))
           * lit(1000.0)).cast("long"))
       .filter(abs(col("z_milli")) >= zMilliThreshold)
       .select(col("event_id"), col("event_type"), col("day"),
         col("value_milli"), col("z_milli"))
-  }
+
+  /** Self-trained batch form: events whose value is at least
+    * `zMilliThreshold` milli-sigmas from their group mean. One
+    * shuffle for the moments, broadcast join back. */
+  def zOutliers(events: DataFrame, zMilliThreshold: Long): DataFrame =
+    zOutliersAgainst(events, momentStats(events), zMilliThreshold)
 }

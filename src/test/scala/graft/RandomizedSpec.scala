@@ -174,4 +174,50 @@ class RandomizedSpec extends SparkFunSuite {
     }.toSet
     assert(got == expected)
   }
+
+  test("bm25 equals the exact-rounding reference scorer on random corpora") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "mu", "nu")
+    val docs = (0L until 80L).map { i =>
+      (i, Seq.fill(3 + rnd.nextInt(28))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    // query 4 carries an out-of-vocabulary term (zero postings)
+    val queries = (0L until 5L).map { qi =>
+      val ts = Seq.fill(1 + rnd.nextInt(4))(vocab(rnd.nextInt(vocab.size)))
+      (qi, (if (qi == 4) ts :+ "zzz" else ts).mkString(" "))
+    }
+    val k = 7
+    val got = Retrieval.bm25TopK(
+        docs.toDF("doc_id", "text"), queries.toDF("query_id", "qtext"), k)
+      .collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    // reference mirrors the operator's rounding chain: idf once to
+    // micro units, each contribution once to milli, integer sums
+    val toks = docs.map { case (id, t) => id -> t.split(" ").toSeq }.toMap
+    val n = docs.size
+    val avgdl = toks.values.map(_.size).sum.toDouble / n.toDouble
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity)
+      .map { case (t, xs) => t -> xs.size }
+    val expected = queries.flatMap { case (qid, qt) =>
+      val terms = qt.split(" ").distinct.filter(dfm.contains)
+      val scored = docs.flatMap { case (did, _) =>
+        val w = toks(did)
+        val tfm = w.groupBy(identity).map { case (t, xs) => t -> xs.size }
+        val contribs = terms.flatMap { t =>
+          tfm.get(t).map { tf =>
+            val idfMicro = math.round(math.log(n.toDouble / dfm(t).toDouble) * 1e6)
+            math.round(((idfMicro.toDouble / 1000000.0) *
+              ((tf.toDouble * 2.2) /
+                (tf.toDouble + 1.2 * (0.25 + 0.75 * (w.size.toDouble / avgdl))))) * 1000.0)
+          }
+        }
+        if (contribs.isEmpty) None else Some(did -> contribs.sum)
+      }
+      scored.sortBy { case (did, sc) => (-sc, did) }.take(k).zipWithIndex
+        .map { case ((did, sc), i) => (qid, i + 1L, did, sc) }
+    }.toSet
+    assert(got == expected)
+  }
 }

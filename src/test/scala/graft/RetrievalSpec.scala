@@ -92,4 +92,27 @@ class RetrievalSpec extends SparkFunSuite {
       .toDF("event_id", "event_type", "ts", "value")
     assert(Anomaly.zOutliers(ev, 0L).count() == 0)
   }
+
+  test("anomaly: batch-trained baseline scores a stream identically to batch") {
+    val dir = "/root/testdata/sf0.001"
+    val ev = Tables.events(spark, dir)
+    val stats = Anomaly.momentStats(ev)
+    val batch = Anomaly.zOutliersAgainst(ev, stats, 2500L).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSet
+    // the file stream source wants a directory, not one parquet file
+    val streamDir = java.nio.file.Files.createTempDirectory("anom_stream_src")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$dir/events.parquet"),
+      streamDir.resolve("events.parquet"))
+    val stream = spark.readStream.schema(ev.schema)
+      .parquet(streamDir.toString)
+    val q = Anomaly.zOutliersAgainst(stream, stats, 2500L)
+      .writeStream.format("memory").queryName("anom_stream")
+      .outputMode("append").start()
+    try { q.processAllAvailable() } finally { q.stop() }
+    val got = spark.table("anom_stream").collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSet
+    assert(got.nonEmpty && got == batch,
+      s"stream/batch divergence: ${got.size} vs ${batch.size}")
+  }
 }
