@@ -99,6 +99,8 @@ object DataQueries {
     1L -> "table scan merge sort",
     2L -> "stream batch watermark",
     3L -> "vector hash model")
+  // corpus drift: report the top-50 diverging tokens
+  val driftK = 50
   val hashedDim = 64
   // RAG chunker: 64-token windows, stride 48 (16-token overlap)
   val chunkTok = 64
@@ -406,7 +408,21 @@ object DataQueries {
     // hybrid retrieval: RRF fusion of the BM25 list and the
     // hashed-tf-idf cosine list, doc-as-query over the same corpus
     "q_hybrid_rrf" -> ((s, d) =>
-      Retrieval.hybridRrf(docs(s, d), hashedDim, annQueries, annK))
+      Retrieval.hybridRrf(docs(s, d), hashedDim, annQueries, annK)),
+
+    // retrieval eval: NDCG@k of the sparse list judged by the dense
+    // list, log2 discounts inlined as driver-computed literals
+    "q_retrieval_ndcg" -> ((s, d) =>
+      Retrieval.ndcgAtK(docs(s, d), hashedDim, annQueries, annK)),
+
+    // drift between two crawls (even/odd doc_id snapshots): top-50
+    // tokens by chi-square frequency divergence
+    "q_corpus_drift" -> ((s, d) => {
+      val all = docs(s, d)
+      TextOps.corpusDrift(
+        all.filter(pmod(col("doc_id"), lit(2L)) === 0),
+        all.filter(pmod(col("doc_id"), lit(2L)) === 1), driftK)
+    })
   )
 
   // ---- DuckDB oracles (generated) ----
@@ -458,6 +474,45 @@ object DataQueries {
        |  SELECT query_id, doc_id, CAST(SUM(contrib_milli) AS BIGINT) AS score_milli
        |  FROM contrib GROUP BY 1, 2)""".stripMargin
   }
+
+  /** Shared hashed-cosine oracle CTE chain (vidf → vtop): the
+    * q_text_ann ranking pipeline over the bm25 chain's tf/dfq/stats,
+    * ending in the top-k list per query. Used by q_hybrid_rrf and
+    * q_retrieval_ndcg so the two oracles cannot drift. */
+  private lazy val hashedCosineCtes: String =
+    s"""vidf AS (
+       |  SELECT tok,
+       |    CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
+       |      * 1000000.0) AS BIGINT) AS idf_micro,
+       |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % $hashedDim AS dim_idx
+       |  FROM dfq CROSS JOIN stats),
+       |w AS (
+       |  SELECT tf.doc_id, vidf.dim_idx,
+       |    CAST(SUM(tf.tf * vidf.idf_micro) AS BIGINT) AS w
+       |  FROM tf JOIN vidf USING (tok) GROUP BY 1, 2),
+       |dense AS (
+       |  SELECT d.doc_id, list(CAST(coalesce(w.w, 0) AS DOUBLE) ORDER BY r.d) AS emb
+       |  FROM (SELECT DISTINCT doc_id FROM documents) d
+       |  CROSS JOIN (SELECT unnest(range($hashedDim)) AS d) r
+       |  LEFT JOIN w ON w.doc_id = d.doc_id AND w.dim_idx = r.d
+       |  GROUP BY d.doc_id),
+       |wc AS (
+       |  SELECT doc_id AS vec_id, emb,
+       |    sqrt(list_dot_product(emb, emb)) AS nn FROM dense),
+       |qv AS (
+       |  SELECT vec_id AS query_id, emb AS q_emb, nn AS qn
+       |  FROM wc WHERE vec_id < $annQueries),
+       |vscored AS (
+       |  SELECT qv.query_id, wc.vec_id,
+       |    list_dot_product(qv.q_emb, wc.emb) / (qv.qn * wc.nn) AS cos
+       |  FROM wc CROSS JOIN qv WHERE wc.vec_id <> qv.query_id),
+       |vtop AS (
+       |  SELECT query_id, doc_id, rank FROM (
+       |    SELECT query_id, vec_id AS doc_id,
+       |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |        ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
+       |    FROM vscored)
+       |  WHERE rank <= $annK)""".stripMargin
 
   private val minhashSigSql: String = {
     val lanes = (0 until Dedup.NumHashes).map { i =>
@@ -1436,39 +1491,7 @@ object DataQueries {
          |  SELECT doc_id AS query_id, text AS qtext
          |  FROM documents WHERE doc_id < $annQueries),
          |${bm25OracleCtes(excludeSelf = true)},
-         |vidf AS (
-         |  SELECT tok,
-         |    CAST(round(ln(CAST(n_docs AS DOUBLE) / CAST(df AS DOUBLE))
-         |      * 1000000.0) AS BIGINT) AS idf_micro,
-         |    CAST(('0x' || substring(md5(tok), 1, 15)) AS BIGINT) % $hashedDim AS dim_idx
-         |  FROM dfq CROSS JOIN stats),
-         |w AS (
-         |  SELECT tf.doc_id, vidf.dim_idx,
-         |    CAST(SUM(tf.tf * vidf.idf_micro) AS BIGINT) AS w
-         |  FROM tf JOIN vidf USING (tok) GROUP BY 1, 2),
-         |dense AS (
-         |  SELECT d.doc_id, list(CAST(coalesce(w.w, 0) AS DOUBLE) ORDER BY r.d) AS emb
-         |  FROM (SELECT DISTINCT doc_id FROM documents) d
-         |  CROSS JOIN (SELECT unnest(range($hashedDim)) AS d) r
-         |  LEFT JOIN w ON w.doc_id = d.doc_id AND w.dim_idx = r.d
-         |  GROUP BY d.doc_id),
-         |wc AS (
-         |  SELECT doc_id AS vec_id, emb,
-         |    sqrt(list_dot_product(emb, emb)) AS nn FROM dense),
-         |qv AS (
-         |  SELECT vec_id AS query_id, emb AS q_emb, nn AS qn
-         |  FROM wc WHERE vec_id < $annQueries),
-         |vscored AS (
-         |  SELECT qv.query_id, wc.vec_id,
-         |    list_dot_product(qv.q_emb, wc.emb) / (qv.qn * wc.nn) AS cos
-         |  FROM wc CROSS JOIN qv WHERE wc.vec_id <> qv.query_id),
-         |vtop AS (
-         |  SELECT query_id, doc_id, rank FROM (
-         |    SELECT query_id, vec_id AS doc_id,
-         |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-         |        ORDER BY cos DESC, vec_id) AS BIGINT) AS rank
-         |    FROM vscored)
-         |  WHERE rank <= $annK),
+         |$hashedCosineCtes,
          |ltop AS (
          |  SELECT query_id, doc_id, rank FROM (
          |    SELECT query_id, doc_id,
@@ -1488,6 +1511,77 @@ object DataQueries {
          |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
          |      ORDER BY rrf_ppm DESC, doc_id) AS BIGINT) AS rank
          |  FROM fused)
-         |WHERE rank <= $annK""".stripMargin
+         |WHERE rank <= $annK""".stripMargin,
+
+    // discounts and idcg are the SAME driver-computed literals the
+    // Spark plan inlines — the log2 never runs in either engine
+    "q_retrieval_ndcg" -> {
+      val disc = Retrieval.ndcgDiscountsPpm(annK)
+      val values = disc.zipWithIndex
+        .map { case (dp, i) => s"(${i + 1}, $dp)" }.mkString(", ")
+      val idcg = (1 to annK).map(i => (annK + 1 - i).toLong * disc(i - 1)).sum
+      s"""WITH queries AS (
+         |  SELECT doc_id AS query_id, text AS qtext
+         |  FROM documents WHERE doc_id < $annQueries),
+         |${bm25OracleCtes(excludeSelf = true)},
+         |$hashedCosineCtes,
+         |ltop AS (
+         |  SELECT query_id, doc_id, rank FROM (
+         |    SELECT query_id, doc_id,
+         |      CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+         |        ORDER BY score_milli DESC, doc_id) AS BIGINT) AS rank
+         |    FROM lexscore)
+         |  WHERE rank <= $annK),
+         |disc AS (
+         |  SELECT CAST(rank AS BIGINT) AS rank, CAST(disc_ppm AS BIGINT) AS disc_ppm
+         |  FROM (VALUES $values) d(rank, disc_ppm)),
+         |ndcg_scored AS (
+         |  SELECT l.query_id,
+         |    COALESCE(${annK + 1} - v.rank, 0) * disc.disc_ppm AS contrib
+         |  FROM ltop l
+         |  JOIN disc ON disc.rank = l.rank
+         |  LEFT JOIN vtop v ON v.query_id = l.query_id AND v.doc_id = l.doc_id)
+         |SELECT query_id, CAST(SUM(contrib) AS BIGINT) AS dcg_ppm,
+         |  CAST($idcg AS BIGINT) AS idcg_ppm,
+         |  CAST((CAST(SUM(contrib) AS BIGINT) * 1000000) // $idcg AS BIGINT) AS ndcg_ppm
+         |FROM ndcg_scored GROUP BY query_id""".stripMargin
+    },
+
+    // expected counts/chi2 mirror TextOps.corpusDrift shape-for-shape
+    "q_corpus_drift" ->
+      s"""WITH ta AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE doc_id % 2 = 0),
+         |tb AS (
+         |  SELECT unnest(string_split(text, ' ')) AS tok
+         |  FROM documents WHERE doc_id % 2 = 1),
+         |ca AS (SELECT tok, COUNT(*) AS c_a FROM ta GROUP BY 1),
+         |cb AS (SELECT tok, COUNT(*) AS c_b FROM tb GROUP BY 1),
+         |j AS (
+         |  SELECT COALESCE(ca.tok, cb.tok) AS tok,
+         |    CAST(COALESCE(c_a, 0) AS BIGINT) AS c_a,
+         |    CAST(COALESCE(c_b, 0) AS BIGINT) AS c_b
+         |  FROM ca FULL OUTER JOIN cb ON ca.tok = cb.tok),
+         |tot AS (
+         |  SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+         |    CAST(SUM(c_b) AS BIGINT) AS n_b FROM j),
+         |e AS (
+         |  SELECT tok, c_a, c_b,
+         |    CAST(n_a AS DOUBLE) * (CAST(c_a + c_b AS DOUBLE)
+         |      / CAST(n_a + n_b AS DOUBLE)) AS ea,
+         |    CAST(n_b AS DOUBLE) * (CAST(c_a + c_b AS DOUBLE)
+         |      / CAST(n_a + n_b AS DOUBLE)) AS eb
+         |  FROM j CROSS JOIN tot),
+         |d AS (
+         |  SELECT tok, c_a, c_b,
+         |    CAST(round((((CAST(c_a AS DOUBLE) - ea) * (CAST(c_a AS DOUBLE) - ea) / ea)
+         |      + ((CAST(c_b AS DOUBLE) - eb) * (CAST(c_b AS DOUBLE) - eb) / eb))
+         |      * 1000000.0) AS BIGINT) AS drift_micro
+         |  FROM e)
+         |SELECT rank, tok, c_a, c_b, drift_micro FROM (
+         |  SELECT tok, c_a, c_b, drift_micro,
+         |    CAST(ROW_NUMBER() OVER (ORDER BY drift_micro DESC, tok) AS BIGINT) AS rank
+         |  FROM d)
+         |WHERE rank <= $driftK""".stripMargin
   )
 }

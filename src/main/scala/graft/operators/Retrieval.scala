@@ -121,4 +121,43 @@ object Retrieval {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("doc_id"), col("rrf_ppm"))
   }
+
+  /** NDCG@k discount table: disc_ppm(r) = round(1e6 / log2(r+1)),
+    * precomputed on the driver and inlined as LITERALS on both
+    * engines — the only transcendental in the metric never runs at
+    * query time, so there is nothing for engines to disagree on. */
+  def ndcgDiscountsPpm(k: Int): IndexedSeq[Long] =
+    (1 to k).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  /** NDCG@k of the BM25 list judged by the dense-ranker truth list
+    * (doc-as-query): the retrieval-eval harness with derived
+    * judgments — how much of the dense ranking the sparse ranker
+    * reproduces, position-discounted. Gain of a lexically-ranked doc
+    * is (k+1 − its cosine-truth rank), 0 if outside the truth top-k.
+    * The truth list always holds exactly k docs, so IDCG is the
+    * per-query constant Σ (k+1−i)·disc(i); dcg sums exact integers
+    * and ndcg_ppm = dcg·1e6 div idcg — engine-exact end to end. */
+  def ndcgAtK(docs: DataFrame, dim: Int, numQueries: Int, k: Int): DataFrame = {
+    val lexQueries = docs.filter(col("doc_id") < numQueries)
+      .select(col("doc_id").as("query_id"), col("text").as("qtext"))
+    val lex = bm25TopK(docs, lexQueries, k, excludeSelf = true)
+      .select(col("query_id"), col("doc_id"), col("rank").as("lex_rank"))
+    val vec = Similarity.bruteForceTopK(
+        TextOps.hashedDenseVectors(docs, dim)
+          .select(col("doc_id").as("vec_id"), col("embedding")),
+        numQueries, k)
+      .select(col("query_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("vec_rank"))
+    val disc = ndcgDiscountsPpm(k)
+    val idcg = (1 to k).map(i => (k + 1 - i).toLong * disc(i - 1)).sum
+    lex.join(vec, Seq("query_id", "doc_id"), "left")
+      .withColumn("gain", coalesce(lit(k + 1L) - col("vec_rank"), lit(0L)))
+      .withColumn("contrib",
+        col("gain") * element_at(array(disc.map(lit): _*), col("lex_rank").cast("int")))
+      .groupBy(col("query_id"))
+      .agg(sum(col("contrib")).as("dcg_ppm"))
+      .withColumn("idcg_ppm", lit(idcg))
+      .withColumn("ndcg_ppm", expr(s"(dcg_ppm * 1000000L) div ${idcg}L"))
+      .select(col("query_id"), col("dcg_ppm"), col("idcg_ppm"), col("ndcg_ppm"))
+  }
 }

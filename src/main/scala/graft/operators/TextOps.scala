@@ -605,4 +605,38 @@ object TextOps {
     docs.groupBy(col("source")).agg(
       count(lit(1)).as("n_docs"),
       approx_count_distinct(md5(col("text")), rsd).as("approx_unique"))
+
+  /** Corpus drift report: top-k tokens by chi-square frequency
+    * divergence between two corpus snapshots (the distribution-shift
+    * alarm a pipeline runs between crawls before retraining on the
+    * new data). Token counts are exact integers; expected counts and
+    * the chi-square statistic are fixed-shape IEEE doubles over them,
+    * rounded ONCE per token to micro units, so the ranking is
+    * engine-exact. Both count aggs are vocab-sized; the final rank
+    * window sorts vocab, never corpus. */
+  def corpusDrift(a: DataFrame, b: DataFrame, k: Int): DataFrame = {
+    def cnt(df: DataFrame, name: String) =
+      df.select(explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("tok")).agg(count(lit(1)).as(name))
+    val joined = cnt(a, "c_a").join(cnt(b, "c_b"), Seq("tok"), "full_outer")
+      .select(col("tok"),
+        coalesce(col("c_a"), lit(0L)).as("c_a"),
+        coalesce(col("c_b"), lit(0L)).as("c_b"))
+    val totals = joined.agg(sum(col("c_a")).as("n_a"), sum(col("c_b")).as("n_b"))
+    val p = (col("c_a") + col("c_b")).cast("double") /
+      (col("n_a") + col("n_b")).cast("double")
+    val scored = joined.crossJoin(broadcast(totals))
+      .withColumn("ea", col("n_a").cast("double") * p)
+      .withColumn("eb", col("n_b").cast("double") * p)
+      .withColumn("da", col("c_a").cast("double") - col("ea"))
+      .withColumn("db", col("c_b").cast("double") - col("eb"))
+      .withColumn("drift_micro",
+        round((col("da") * col("da") / col("ea")
+          + col("db") * col("db") / col("eb")) * lit(1000000.0)).cast("long"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("drift_micro").desc, col("tok").asc)
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("rank"), col("tok"), col("c_a"), col("c_b"), col("drift_micro"))
+  }
 }

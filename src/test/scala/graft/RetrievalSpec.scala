@@ -72,6 +72,55 @@ class RetrievalSpec extends SparkFunSuite {
       vec.contains((r.getLong(0), r.getLong(2)))))
   }
 
+  test("ndcg: dcg equals the hand-folded gains over the two collected lists") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val nq = 3; val k = 10; val dim = 64
+    val lex = Retrieval.bm25TopK(docs,
+        docs.filter(col("doc_id") < nq)
+          .select(col("doc_id").as("query_id"), col("text").as("qtext")),
+        k, excludeSelf = true)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
+    val vec = operators.Similarity.bruteForceTopK(
+        operators.TextOps.hashedDenseVectors(docs, dim)
+          .select(col("doc_id").as("vec_id"), col("embedding")), nq, k)
+      .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(1))).toMap
+    val disc = Retrieval.ndcgDiscountsPpm(k)
+    val idcg = (1 to k).map(i => (k + 1 - i).toLong * disc(i - 1)).sum
+    val expect = lex.groupBy(_._1._1).map { case (qid, entries) =>
+      qid -> entries.map { case ((_, doc), lexRank) =>
+        vec.get((qid, doc)).map(vr => (k + 1 - vr) * disc(lexRank.toInt - 1)).getOrElse(0L)
+      }.sum
+    }
+    val got = Retrieval.ndcgAtK(docs, dim, nq, k).collect()
+    assert(got.length == nq)
+    got.foreach { r =>
+      val (qid, dcg, idcgOut, ndcg) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(dcg == expect(qid), s"dcg mismatch for query $qid")
+      assert(idcgOut == idcg)
+      assert(ndcg == dcg * 1000000L / idcg)
+      assert(ndcg > 0L && ndcg <= 1000000L)
+    }
+  }
+
+  test("corpus drift: symmetric fixture is exact, disjoint vocab maxes out") {
+    import operators.TextOps
+    val a = docsDf(0L -> "x x y")
+    val b = docsDf(1L -> "x y y")
+    val sym = TextOps.corpusDrift(a, b, 10).collect()
+      .map(r => (r.getString(1), r.getLong(4))).toMap
+    // chi2 = 2*(0.5^2/1.5) = 1/3 for both tokens
+    assert(sym("x") == 333333L && sym("y") == 333333L)
+    // disjoint: token only in B with 2x mass drifts harder than
+    // the token only in A (chi2 exactly 2.0 vs 1.0)
+    val d = TextOps.corpusDrift(docsDf(0L -> "a a"), docsDf(1L -> "b"), 10)
+      .collect().map(r => (r.getString(1), r.getLong(0), r.getLong(4)))
+    val byTok = d.map(t => t._1 -> t).toMap
+    assert(byTok("b")._2 == 1L && byTok("a")._2 == 2L)
+    assert(math.abs(byTok("a")._3 - 1000000L) <= 1)
+    assert(math.abs(byTok("b")._3 - 2000000L) <= 1)
+  }
+
   test("anomaly: z-score exact on a hand-computed group") {
     // values 10,10,10,10,100 -> milli mean 28000, sd exactly 36000;
     // z(100) = 72000/36000*1000 = 2000, z(10) = -500
