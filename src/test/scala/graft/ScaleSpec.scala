@@ -94,4 +94,30 @@ class ScaleSpec extends SparkFunSuite {
       assert(got.count() == expected)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
+
+  test("bm25 at 16x corpus with broadcast off: stopword-hot postings, full top-k") {
+    import spark.implicits._
+    import graft.operators.Retrieval
+    // 8000 docs; "the" hits nearly every one — the hottest posting
+    // list the join can see. Broadcast disabled: the 100 TB shape is
+    // a hash join on tok plus the (query,doc) score agg — no
+    // cartesian, no driver collect, still exactly k rows per query.
+    val base = Tables.documents(spark, "/root/testdata/sf0.01")
+    // replicate via explode (a fixture crossJoin would put a
+    // CartesianProduct in the plan we assert on)
+    val big = base
+      .select(explode(sequence(lit(0L), lit(15L))).as("rep"), col("doc_id"), col("text"))
+      .select((col("doc_id") * 16 + col("rep")).as("doc_id"), col("text"))
+    val q = Seq((0L, "the table scan join"), (1L, "stream batch window"))
+      .toDF("query_id", "qtext")
+    val before = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val out = Retrieval.bm25TopK(big, q, 10)
+      assert(!out.queryExecution.executedPlan.toString.contains("CartesianProduct"))
+      val rows = out.collect()
+      assert(rows.length == 2 * 10, s"expected full top-10 per query, got ${rows.length}")
+      assert(rows.forall(_.getLong(3) > 0L), "BM25 scores must stay positive")
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
+  }
 }
