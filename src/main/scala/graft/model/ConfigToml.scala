@@ -1,0 +1,396 @@
+package graft.model
+
+import com.fasterxml.jackson.databind.{JsonNode, ObjectMapper}
+import scala.jdk.CollectionConverters._
+
+/** Minimal TOML subset reader/renderer plus the v2-API JSON bridge
+  * for changefeed configs — the role of the reference's
+  * cmd/config-converter (main.go: toml ReplicaConfig ↔ JSON API
+  * model, fixed exit codes) scoped to graft's [[ChangefeedConfig]]
+  * ADT.
+  *
+  * Supported TOML: `key = value`, `[section]`, `[[array.of.tables]]`,
+  * single-/double-quoted strings, booleans, integers, homogeneous
+  * arrays, `#` comments. That subset covers the changefeed configs
+  * the reference's integration corpus uses for the features graft
+  * implements. JSON parsing rides Jackson (already on the Spark
+  * classpath); rendering is explicit so field names stay the
+  * reference's snake_case exactly.
+  */
+object ConfigToml {
+
+  // exit codes mirror cmd/config-converter/main.go:32-39
+  val ExitExecuteFailed = 1
+  val ExitDecodeTomlFailed = 2
+  val ExitMarshalJson = 3
+  val ExitDecodeJsonFailed = 4
+  val ExitMarshalTomlFailed = 5
+  val ExitInvalidFlag = 6
+
+  sealed trait V
+  final case class VStr(s: String) extends V
+  final case class VBool(b: Boolean) extends V
+  final case class VInt(l: Long) extends V
+  final case class VArr(items: Seq[V]) extends V
+
+  /** Parsed document: top-level pairs, `[section]` pairs, and
+    * `[[name]]` table arrays (by full dotted name). */
+  final case class Doc(
+      top: Map[String, V],
+      sections: Map[String, Map[String, V]],
+      tableArrays: Map[String, Seq[Map[String, V]]]) {
+    def str(section: String, key: String): Option[String] =
+      get(section, key).collect { case VStr(s) => s }
+    def bool(section: String, key: String): Option[Boolean] =
+      get(section, key).collect { case VBool(b) => b }
+    def int(section: String, key: String): Option[Long] =
+      get(section, key).collect { case VInt(l) => l }
+    def strs(section: String, key: String): Option[Seq[String]] =
+      get(section, key).collect { case VArr(xs) => xs.collect { case VStr(s) => s } }
+    def ints(section: String, key: String): Option[Seq[Long]] =
+      get(section, key).collect { case VArr(xs) => xs.collect { case VInt(l) => l } }
+    private def get(section: String, key: String): Option[V] =
+      if (section.isEmpty) top.get(key) else sections.get(section).flatMap(_.get(key))
+  }
+
+  /** Strip a trailing comment, respecting quoted strings. */
+  private def stripComment(line: String): String = {
+    var inS = false; var inD = false
+    val out = new StringBuilder
+    var i = 0
+    var done = false
+    while (i < line.length && !done) {
+      val c = line.charAt(i)
+      if (c == '\'' && !inD) inS = !inS
+      else if (c == '"' && !inS) inD = !inD
+      if (c == '#' && !inS && !inD) done = true else out.append(c)
+      i += 1
+    }
+    out.toString
+  }
+
+  /** Split on top-level commas (array items may hold commas inside
+    * quotes). */
+  private def splitItems(body: String): Seq[String] = {
+    val items = Seq.newBuilder[String]
+    var inS = false; var inD = false
+    val cur = new StringBuilder
+    body.foreach { c =>
+      if (c == '\'' && !inD) { inS = !inS; cur.append(c) }
+      else if (c == '"' && !inS) { inD = !inD; cur.append(c) }
+      else if (c == ',' && !inS && !inD) { items += cur.toString; cur.clear() }
+      else cur.append(c)
+    }
+    if (cur.toString.trim.nonEmpty) items += cur.toString
+    items.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def parseValue(raw: String): V = {
+    val t = raw.trim
+    if (t.startsWith("[")) {
+      require(t.endsWith("]"), s"unterminated array: $t")
+      VArr(splitItems(t.substring(1, t.length - 1)).map(parseValue))
+    } else if ((t.startsWith("'") && t.endsWith("'") && t.length >= 2) ||
+               (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)) {
+      VStr(t.substring(1, t.length - 1))
+    } else if (t == "true" || t == "false") VBool(t == "true")
+    else {
+      require(t.matches("-?[0-9]+"), s"unsupported TOML value: $t")
+      VInt(t.toLong)
+    }
+  }
+
+  def parse(text: String): Doc = {
+    var top = Map.empty[String, V]
+    var sections = Map.empty[String, Map[String, V]]
+    var arrays = Map.empty[String, Seq[Map[String, V]]]
+    // current sink for key=value pairs: None → top; Left(section);
+    // Right(array name) → last element of that array
+    var target: Option[Either[String, String]] = None
+    text.linesIterator.map(stripComment).map(_.trim).filter(_.nonEmpty).foreach { line =>
+      if (line.startsWith("[[") && line.endsWith("]]")) {
+        val name = line.substring(2, line.length - 2).trim
+        arrays = arrays.updated(name, arrays.getOrElse(name, Nil) :+ Map.empty)
+        target = Some(Right(name))
+      } else if (line.startsWith("[") && line.endsWith("]")) {
+        val name = line.substring(1, line.length - 1).trim
+        sections = sections.updated(name, sections.getOrElse(name, Map.empty))
+        target = Some(Left(name))
+      } else {
+        val eq = line.indexOf('=')
+        require(eq > 0, s"expected key = value, got: $line")
+        val k = line.substring(0, eq).trim
+        val v = parseValue(line.substring(eq + 1))
+        target match {
+          case None => top = top.updated(k, v)
+          case Some(Left(s)) =>
+            sections = sections.updated(s, sections(s).updated(k, v))
+          case Some(Right(a)) =>
+            val elems = arrays(a)
+            arrays = arrays.updated(a, elems.init :+ elems.last.updated(k, v))
+        }
+      }
+    }
+    Doc(top, sections, arrays)
+  }
+
+  /** "30s" / "10m" / "1h" / "500ms" → nanoseconds (sync-point-interval
+    * style durations; pkg/config duration strings). */
+  private[model] def durationNs(s: String): Long = {
+    val m = "([0-9]+)(ms|s|m|h)".r
+    s.trim match {
+      case m(n, "ms") => n.toLong * 1000000L
+      case m(n, "s") => n.toLong * 1000000000L
+      case m(n, "m") => n.toLong * 60L * 1000000000L
+      case m(n, "h") => n.toLong * 3600L * 1000000000L
+      case other => throw new IllegalArgumentException(s"bad duration: $other")
+    }
+  }
+
+  private def protocolOf(s: String): Protocol = s match {
+    case "canal-json" => Protocol.CanalJson
+    case "open-protocol" => Protocol.Open
+    case "debezium" => Protocol.Debezium
+    case "csv" => Protocol.Csv
+    case other => throw new IllegalArgumentException(s"unknown protocol: $other")
+  }
+  private def protocolName(p: Protocol): String = p match {
+    case Protocol.CanalJson => "canal-json"
+    case Protocol.Open => "open-protocol"
+    case Protocol.Debezium => "debezium"
+    case Protocol.Csv => "csv"
+  }
+
+  private def dispatchOf(m: Map[String, V]): DispatchRule = {
+    def strs(k: String) = m.get(k).collect { case VArr(xs) => xs.collect { case VStr(s) => s } }
+    def str(k: String) = m.get(k).collect { case VStr(s) => s }
+    val cols = strs("columns").getOrElse(Nil)
+    val partition = str("partition").getOrElse("table") match {
+      case "table" | "default" => PartitionRule.Table
+      case "ts" => PartitionRule.Ts
+      // named-index / explicit column hashing both key on columns
+      case "columns" | "index-value" => PartitionRule.KeyColumns(cols)
+      case other => throw new IllegalArgumentException(s"unknown partition rule: $other")
+    }
+    DispatchRule(
+      matcher = strs("matcher").getOrElse(Seq("*.*")),
+      partition = partition,
+      topic = str("topic"),
+      targetSchema = str("target-schema"),
+      targetTable = str("target-table"))
+  }
+
+  /** TOML document → [[ChangefeedConfig]]. */
+  def toConfig(doc: Doc, id: String): ChangefeedConfig = {
+    val filter = FilterConfig(
+      rules = doc.strs("filter", "rules").getOrElse(Seq("*.*")),
+      caseSensitive = doc.bool("", "case-sensitive")
+        .orElse(doc.bool("filter", "case-sensitive")).getOrElse(false),
+      ignoreOps = doc.strs("filter", "ignore-ops").getOrElse(Nil),
+      ignoreTxnStartTs = doc.ints("filter", "ignore-txn-start-ts").getOrElse(Nil),
+      ignoreInsertValueExpr = doc.str("filter", "ignore-insert-value-expr"),
+      ignoreUpdateOldValueExpr = doc.str("filter", "ignore-update-old-value-expr"),
+      ignoreUpdateNewValueExpr = doc.str("filter", "ignore-update-new-value-expr"),
+      ignoreDeleteValueExpr = doc.str("filter", "ignore-delete-value-expr"),
+      ignoreUpdateOnlyColumns = doc.strs("filter", "ignore-update-only-columns").getOrElse(Nil))
+    val dispatchers = doc.tableArrays.getOrElse("sink.dispatchers", Nil).map(dispatchOf)
+    val sink = SinkConfig(
+      protocol = doc.str("sink", "protocol").map(protocolOf).getOrElse(Protocol.CanalJson),
+      numPartitions = doc.int("sink", "partition-num").map(_.toInt).getOrElse(16),
+      safeMode = doc.bool("sink", "safe-mode").getOrElse(false),
+      columnSelector = doc.strs("sink", "column-selectors"),
+      onlyOutputUpdatedColumns = doc.bool("sink", "only-output-updated-columns").getOrElse(false),
+      deleteOnlyOutputHandleKey =
+        doc.bool("sink", "delete-only-output-handle-key-columns").getOrElse(false),
+      dispatch = if (dispatchers.nonEmpty) dispatchers else Seq(DispatchRule()),
+      bdrMode = doc.bool("", "bdr-mode").getOrElse(false))
+    ChangefeedConfig(
+      id = id,
+      filter = filter,
+      sink = sink,
+      handleKeys = doc.strs("", "handle-keys").getOrElse(Seq("user_id")),
+      splitUpdateOnKeyChange = doc.bool("", "split-update-on-key-change").getOrElse(true),
+      syncPointIntervalNs =
+        if (doc.bool("", "enable-sync-point").getOrElse(false))
+          doc.str("", "sync-point-interval").map(durationNs)
+        else None,
+      maxFilesPerTrigger = doc.int("", "max-files-per-trigger").map(_.toInt),
+      targetTs = doc.int("", "target-ts"),
+      keyspace = doc.str("", "keyspace").getOrElse("default"))
+  }
+
+  // ---- render: config → TOML ----
+
+  private def tomlStr(s: String) = "'" + s + "'"
+  private def tomlArr(xs: Seq[String]) = xs.map(tomlStr).mkString("[", ", ", "]")
+
+  def renderToml(cfg: ChangefeedConfig): String = {
+    val b = new StringBuilder
+    b ++= s"case-sensitive = ${cfg.filter.caseSensitive}\n"
+    if (cfg.sink.bdrMode) b ++= "bdr-mode = true\n"
+    b ++= s"handle-keys = ${tomlArr(cfg.handleKeys)}\n"
+    b ++= s"split-update-on-key-change = ${cfg.splitUpdateOnKeyChange}\n"
+    cfg.syncPointIntervalNs.foreach { ns =>
+      b ++= "enable-sync-point = true\n"
+      b ++= s"sync-point-interval = '${ns / 1000000000L}s'\n"
+    }
+    cfg.maxFilesPerTrigger.foreach(n => b ++= s"max-files-per-trigger = $n\n")
+    cfg.targetTs.foreach(t => b ++= s"target-ts = $t\n")
+    if (cfg.keyspace != "default") b ++= s"keyspace = ${tomlStr(cfg.keyspace)}\n"
+    b ++= "\n[filter]\n"
+    b ++= s"rules = ${tomlArr(cfg.filter.rules)}\n"
+    if (cfg.filter.ignoreOps.nonEmpty)
+      b ++= s"ignore-ops = ${tomlArr(cfg.filter.ignoreOps)}\n"
+    if (cfg.filter.ignoreTxnStartTs.nonEmpty)
+      b ++= s"ignore-txn-start-ts = ${cfg.filter.ignoreTxnStartTs.mkString("[", ", ", "]")}\n"
+    cfg.filter.ignoreInsertValueExpr.foreach(e => b ++= s"ignore-insert-value-expr = ${tomlStr(e)}\n")
+    cfg.filter.ignoreUpdateOldValueExpr.foreach(e => b ++= s"ignore-update-old-value-expr = ${tomlStr(e)}\n")
+    cfg.filter.ignoreUpdateNewValueExpr.foreach(e => b ++= s"ignore-update-new-value-expr = ${tomlStr(e)}\n")
+    cfg.filter.ignoreDeleteValueExpr.foreach(e => b ++= s"ignore-delete-value-expr = ${tomlStr(e)}\n")
+    if (cfg.filter.ignoreUpdateOnlyColumns.nonEmpty)
+      b ++= s"ignore-update-only-columns = ${tomlArr(cfg.filter.ignoreUpdateOnlyColumns)}\n"
+    b ++= "\n[sink]\n"
+    b ++= s"protocol = ${tomlStr(protocolName(cfg.sink.protocol))}\n"
+    b ++= s"partition-num = ${cfg.sink.numPartitions}\n"
+    if (cfg.sink.safeMode) b ++= "safe-mode = true\n"
+    cfg.sink.columnSelector.foreach(cs => b ++= s"column-selectors = ${tomlArr(cs)}\n")
+    if (cfg.sink.onlyOutputUpdatedColumns) b ++= "only-output-updated-columns = true\n"
+    if (cfg.sink.deleteOnlyOutputHandleKey) b ++= "delete-only-output-handle-key-columns = true\n"
+    cfg.sink.dispatch.foreach { d =>
+      b ++= "\n[[sink.dispatchers]]\n"
+      b ++= s"matcher = ${tomlArr(d.matcher)}\n"
+      d.partition match {
+        case PartitionRule.Table => b ++= "partition = 'table'\n"
+        case PartitionRule.Ts => b ++= "partition = 'ts'\n"
+        case PartitionRule.KeyColumns(cols) =>
+          b ++= "partition = 'columns'\n"
+          b ++= s"columns = ${tomlArr(cols)}\n"
+        // scheduling rules are API-plane state, not user TOML
+        case PartitionRule.Fixed(_) | PartitionRule.TableSplit(_) |
+             PartitionRule.SplitFixed(_) =>
+          b ++= "partition = 'table'\n"
+      }
+      d.topic.foreach(t => b ++= s"topic = ${tomlStr(t)}\n")
+      d.targetSchema.foreach(t => b ++= s"target-schema = ${tomlStr(t)}\n")
+      d.targetTable.foreach(t => b ++= s"target-table = ${tomlStr(t)}\n")
+    }
+    b.toString
+  }
+
+  // ---- render: config → v2 API JSON ----
+
+  private def jsonStr(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+  private def jsonArr(xs: Seq[String]) = xs.map(jsonStr).mkString("[", ",", "]")
+
+  def toApiJson(cfg: ChangefeedConfig): String = {
+    val f = cfg.filter
+    val s = cfg.sink
+    val dispatchers = s.dispatch.map { d =>
+      val (rule, cols) = d.partition match {
+        case PartitionRule.Table => ("table", Nil)
+        case PartitionRule.Ts => ("ts", Nil)
+        case PartitionRule.KeyColumns(cs) => ("columns", cs)
+        case _ => ("table", Nil)
+      }
+      s"""{"matcher":${jsonArr(d.matcher)},"partition":${jsonStr(rule)}""" +
+        (if (cols.nonEmpty) s""","columns":${jsonArr(cols)}""" else "") +
+        d.topic.map(t => s""","topic":${jsonStr(t)}""").getOrElse("") +
+        d.targetSchema.map(t => s""","target_schema":${jsonStr(t)}""").getOrElse("") +
+        d.targetTable.map(t => s""","target_table":${jsonStr(t)}""").getOrElse("") + "}"
+    }.mkString("[", ",", "]")
+    val filterJson =
+      s"""{"rules":${jsonArr(f.rules)},"case_sensitive":${f.caseSensitive}""" +
+        (if (f.ignoreOps.nonEmpty) s""","ignore_ops":${jsonArr(f.ignoreOps)}""" else "") +
+        (if (f.ignoreTxnStartTs.nonEmpty)
+          s""","ignore_txn_start_ts":${f.ignoreTxnStartTs.mkString("[", ",", "]")}""" else "") +
+        f.ignoreInsertValueExpr.map(e => s""","ignore_insert_value_expr":${jsonStr(e)}""").getOrElse("") +
+        f.ignoreUpdateOldValueExpr.map(e => s""","ignore_update_old_value_expr":${jsonStr(e)}""").getOrElse("") +
+        f.ignoreUpdateNewValueExpr.map(e => s""","ignore_update_new_value_expr":${jsonStr(e)}""").getOrElse("") +
+        f.ignoreDeleteValueExpr.map(e => s""","ignore_delete_value_expr":${jsonStr(e)}""").getOrElse("") +
+        (if (f.ignoreUpdateOnlyColumns.nonEmpty)
+          s""","ignore_update_only_columns":${jsonArr(f.ignoreUpdateOnlyColumns)}""" else "") + "}"
+    val sinkJson =
+      s"""{"protocol":${jsonStr(protocolName(s.protocol))},"partition_num":${s.numPartitions}""" +
+        s""","safe_mode":${s.safeMode}""" +
+        s.columnSelector.map(cs => s""","column_selectors":${jsonArr(cs)}""").getOrElse("") +
+        s""","only_output_updated_columns":${s.onlyOutputUpdatedColumns}""" +
+        s""","delete_only_output_handle_key_columns":${s.deleteOnlyOutputHandleKey}""" +
+        s""","dispatchers":$dispatchers,"bdr_mode":${s.bdrMode}}"""
+    s"""{"id":${jsonStr(cfg.id)},"filter":$filterJson,"sink":$sinkJson""" +
+      s""","handle_keys":${jsonArr(cfg.handleKeys)}""" +
+      s""","split_update_on_key_change":${cfg.splitUpdateOnKeyChange}""" +
+      cfg.syncPointIntervalNs.map(ns => s""","sync_point_interval_ns":$ns""").getOrElse("") +
+      cfg.maxFilesPerTrigger.map(n => s""","max_files_per_trigger":$n""").getOrElse("") +
+      cfg.targetTs.map(t => s""","target_ts":$t""").getOrElse("") +
+      s""","keyspace":${jsonStr(cfg.keyspace)}}"""
+  }
+
+  /** v2 API JSON → [[ChangefeedConfig]] (Jackson tree walk). */
+  def fromApiJson(json: String): ChangefeedConfig = {
+    val root = new ObjectMapper().readTree(json)
+    require(root != null && root.isObject, "model JSON must be an object")
+    def strsOf(n: JsonNode): Seq[String] = n.elements().asScala.map(_.asText()).toSeq
+    def opt(n: JsonNode, k: String): Option[JsonNode] = Option(n.get(k))
+    val f = opt(root, "filter").getOrElse(new ObjectMapper().createObjectNode())
+    val s = opt(root, "sink").getOrElse(new ObjectMapper().createObjectNode())
+    val filter = FilterConfig(
+      rules = opt(f, "rules").map(strsOf).getOrElse(Seq("*.*")),
+      caseSensitive = opt(f, "case_sensitive").exists(_.asBoolean()),
+      ignoreOps = opt(f, "ignore_ops").map(strsOf).getOrElse(Nil),
+      ignoreTxnStartTs = opt(f, "ignore_txn_start_ts")
+        .map(_.elements().asScala.map(_.asLong()).toSeq).getOrElse(Nil),
+      ignoreInsertValueExpr = opt(f, "ignore_insert_value_expr").map(_.asText()),
+      ignoreUpdateOldValueExpr = opt(f, "ignore_update_old_value_expr").map(_.asText()),
+      ignoreUpdateNewValueExpr = opt(f, "ignore_update_new_value_expr").map(_.asText()),
+      ignoreDeleteValueExpr = opt(f, "ignore_delete_value_expr").map(_.asText()),
+      ignoreUpdateOnlyColumns = opt(f, "ignore_update_only_columns").map(strsOf).getOrElse(Nil))
+    val dispatchers = opt(s, "dispatchers").map(_.elements().asScala.toSeq).getOrElse(Nil).map { d =>
+      val cols = opt(d, "columns").map(strsOf).getOrElse(Nil)
+      DispatchRule(
+        matcher = opt(d, "matcher").map(strsOf).getOrElse(Seq("*.*")),
+        partition = opt(d, "partition").map(_.asText()).getOrElse("table") match {
+          case "table" => PartitionRule.Table
+          case "ts" => PartitionRule.Ts
+          case "columns" => PartitionRule.KeyColumns(cols)
+          case other => throw new IllegalArgumentException(s"unknown partition rule: $other")
+        },
+        topic = opt(d, "topic").map(_.asText()),
+        targetSchema = opt(d, "target_schema").map(_.asText()),
+        targetTable = opt(d, "target_table").map(_.asText()))
+    }
+    val sink = SinkConfig(
+      protocol = opt(s, "protocol").map(n => n.asText() match {
+        case "canal-json" => Protocol.CanalJson
+        case "open-protocol" => Protocol.Open
+        case "debezium" => Protocol.Debezium
+        case "csv" => Protocol.Csv
+        case other => throw new IllegalArgumentException(s"unknown protocol: $other")
+      }).getOrElse(Protocol.CanalJson),
+      numPartitions = opt(s, "partition_num").map(_.asInt()).getOrElse(16),
+      safeMode = opt(s, "safe_mode").exists(_.asBoolean()),
+      columnSelector = opt(s, "column_selectors").map(strsOf),
+      onlyOutputUpdatedColumns = opt(s, "only_output_updated_columns").exists(_.asBoolean()),
+      deleteOnlyOutputHandleKey =
+        opt(s, "delete_only_output_handle_key_columns").exists(_.asBoolean()),
+      dispatch = if (dispatchers.nonEmpty) dispatchers else Seq(DispatchRule()),
+      bdrMode = opt(s, "bdr_mode").exists(_.asBoolean()))
+    ChangefeedConfig(
+      id = opt(root, "id").map(_.asText()).getOrElse("changefeed"),
+      filter = filter,
+      sink = sink,
+      handleKeys = opt(root, "handle_keys").map(strsOf).getOrElse(Seq("user_id")),
+      splitUpdateOnKeyChange =
+        opt(root, "split_update_on_key_change").forall(_.asBoolean()),
+      syncPointIntervalNs = opt(root, "sync_point_interval_ns").map(_.asLong()),
+      maxFilesPerTrigger = opt(root, "max_files_per_trigger").map(_.asInt()),
+      targetTs = opt(root, "target_ts").map(_.asLong()),
+      keyspace = opt(root, "keyspace").map(_.asText()).getOrElse("default"))
+  }
+}

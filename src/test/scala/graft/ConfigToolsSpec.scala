@@ -1,0 +1,122 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.model._
+
+/** cmd-surface parity: config-converter (toml ↔ v2 JSON model, fixed
+  * exit codes) and filter-helper (table / DDL decisions against the
+  * rules), both over the shared minimal-TOML reader. */
+class ConfigToolsSpec extends AnyFunSuite {
+
+  private val toml =
+    """# changefeed config (reference integration style)
+      |case-sensitive = false
+      |enable-sync-point = true
+      |sync-point-interval = '10m'
+      |target-ts = 9999
+      |
+      |[filter]
+      |rules = ['test.*', '!test.skip']   # deny-listed table
+      |ignore-txn-start-ts = [1, 2]
+      |ignore-insert-value-expr = 'id = 2'
+      |
+      |[sink]
+      |protocol = "canal-json"
+      |partition-num = 8
+      |safe-mode = true
+      |column-selectors = ['user_id', 'balance']
+      |
+      |[[sink.dispatchers]]
+      |matcher = ['test.*']
+      |partition = "index-value"
+      |columns = ['user_id']
+      |topic = 'tp_{schema}'
+      |
+      |[[sink.dispatchers]]
+      |matcher = ['*.*']
+      |partition = "ts"
+      |""".stripMargin
+
+  test("toml parses into the typed changefeed config") {
+    val cfg = ConfigToml.toConfig(ConfigToml.parse(toml), "cf1")
+    assert(cfg.filter.rules == Seq("test.*", "!test.skip"))
+    assert(cfg.filter.ignoreTxnStartTs == Seq(1L, 2L))
+    assert(cfg.filter.ignoreInsertValueExpr.contains("id = 2"))
+    assert(cfg.sink.protocol == Protocol.CanalJson)
+    assert(cfg.sink.numPartitions == 8 && cfg.sink.safeMode)
+    assert(cfg.sink.columnSelector.contains(Seq("user_id", "balance")))
+    assert(cfg.sink.dispatch.head.partition == PartitionRule.KeyColumns(Seq("user_id")))
+    assert(cfg.sink.dispatch.head.topic.contains("tp_{schema}"))
+    assert(cfg.sink.dispatch(1).partition == PartitionRule.Ts)
+    assert(cfg.syncPointIntervalNs.contains(600L * 1000000000L))
+    assert(cfg.targetTs.contains(9999L))
+  }
+
+  test("toml -> json -> config and config -> toml -> config round-trip") {
+    val cfg = ConfigToml.toConfig(ConfigToml.parse(toml), "cf1")
+    val viaJson = ConfigToml.fromApiJson(ConfigToml.toApiJson(cfg))
+    assert(viaJson == cfg, "JSON model round trip must preserve every field")
+    val viaToml = ConfigToml.toConfig(ConfigToml.parse(ConfigToml.renderToml(cfg)), "cf1")
+    assert(viaToml == cfg, "TOML render round trip must preserve every field")
+  }
+
+  test("config-converter exit codes mirror the reference") {
+    assert(ConfigConvert.run(Seq("--config", "a", "--model", "b"))._1
+      == ConfigToml.ExitInvalidFlag)
+    assert(ConfigConvert.run(Nil)._1 == ConfigToml.ExitInvalidFlag)
+    assert(ConfigConvert.run(Seq("--config", "/nonexistent.toml"))._1
+      == ConfigToml.ExitExecuteFailed)
+    val badToml = java.nio.file.Files.createTempFile("bad", ".toml")
+    java.nio.file.Files.write(badToml, "rules = @@nope".getBytes)
+    assert(ConfigConvert.run(Seq("--config", badToml.toString))._1
+      == ConfigToml.ExitDecodeTomlFailed)
+    val badJson = java.nio.file.Files.createTempFile("bad", ".json")
+    java.nio.file.Files.write(badJson, "[not, an, object]".getBytes)
+    assert(ConfigConvert.run(Seq("--model", badJson.toString))._1
+      == ConfigToml.ExitDecodeJsonFailed)
+  }
+
+  test("config-converter converts both directions losslessly") {
+    val tomlFile = java.nio.file.Files.createTempFile("cf", ".toml")
+    java.nio.file.Files.write(tomlFile, toml.getBytes)
+    val (c1, json) = ConfigConvert.run(Seq("--config", tomlFile.toString))
+    assert(c1 == 0, json)
+    val jsonFile = java.nio.file.Files.createTempFile("cf", ".json")
+    java.nio.file.Files.write(jsonFile, json.getBytes)
+    val (c2, tomlOut) = ConfigConvert.run(Seq("--model", jsonFile.toString))
+    assert(c2 == 0, tomlOut)
+    val a = ConfigToml.toConfig(ConfigToml.parse(toml), "cf")
+    val b = ConfigToml.toConfig(ConfigToml.parse(tomlOut), "cf")
+    assert(a == b, "toml -> json -> toml must land on the same config")
+  }
+
+  test("filter-helper table decisions mirror the reference output") {
+    val f = java.nio.file.Files.createTempFile("cf", ".toml")
+    java.nio.file.Files.write(f, toml.getBytes)
+    val hit = FilterHelper.run(Seq("--config", f.toString, "--table", "test.t1"))
+    assert(hit.code == 0 && hit.text == "Table: test.t1, Matched filter rule")
+    val miss = FilterHelper.run(Seq("--config", f.toString, "--table", "test.skip"))
+    assert(miss.code == 0 && miss.text == "Table: test.skip, Not matched filter rule")
+    val other = FilterHelper.run(Seq("--config", f.toString, "--table", "prod.t"))
+    assert(other.text.endsWith("Not matched filter rule"))
+    val bad = FilterHelper.run(Seq("--table", "no_dot"))
+    assert(bad.code == ConfigToml.ExitInvalidFlag)
+  }
+
+  test("filter-helper ddl decisions: discard, ignore by class, ignore by regex") {
+    val discard = FilterHelper.run(Seq("--rules", "test.*,!test.skip",
+      "--table", "test.skip", "--ddl", "DROP TABLE test.skip"))
+    assert(discard.text == "DDL: DROP TABLE test.skip, should be discard by event filter rule")
+    val byClass = FilterHelper.run(Seq("--rules", "test.*",
+      "--table", "test.t1", "--ddl", "DROP TABLE test.t1",
+      "--ignore-ddl-classes", "drop table"))
+    assert(byClass.text.endsWith("should be ignored by event filter rule"))
+    val byRegex = FilterHelper.run(Seq("--rules", "test.*",
+      "--table", "test.t1", "--ddl", "DROP TABLE test.t1",
+      "--ignore-sql", "^DROP"))
+    assert(byRegex.text.endsWith("should be ignored by event filter rule"))
+    val keep = FilterHelper.run(Seq("--rules", "test.*",
+      "--table", "test.t1", "--ddl", "DROP TABLE test.t1"))
+    assert(keep.text.endsWith("should not be discard by event filter rule"))
+  }
+}
