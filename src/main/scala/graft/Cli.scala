@@ -55,15 +55,22 @@ object Cli {
 
   private def enc(v: String): String = URLEncoder.encode(v, "UTF-8")
 
-  private def http(method: String, url: String): (Int, String) = {
+  private def http(method: String, url: String,
+      body: Option[String] = None): (Int, String) = {
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod(method)
+    body.foreach { b =>
+      conn.setDoOutput(true)
+      conn.setRequestProperty("Content-Type", "application/json")
+      val os = conn.getOutputStream
+      try os.write(b.getBytes("UTF-8")) finally os.close()
+    }
     val code = conn.getResponseCode
     val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
-    val body =
+    val respBody =
       if (stream == null) "" else Source.fromInputStream(stream, "UTF-8").mkString
     conn.disconnect()
-    (code, body)
+    (code, respBody)
   }
 
   private def need(flags: Map[String, String], keys: String*): Seq[String] =
@@ -89,8 +96,17 @@ object Cli {
         val Seq(cf, src, sink, ckpt) =
           need(flags, "changefeed-id", "source", "sink-uri", "checkpoint")
         val rules = flags.get("rules").map(r => s"&rules=${enc(r)}").getOrElse("")
+        // --config file.toml ships the full replica config as the v2
+        // JSON body (reference `cli changefeed create --config`)
+        val body = flags.get("config").map { path =>
+          val text = new String(java.nio.file.Files.readAllBytes(
+            java.nio.file.Paths.get(path)), "UTF-8")
+          graft.model.ConfigToml.toApiJson(
+            graft.model.ConfigToml.toConfig(graft.model.ConfigToml.parse(text), cf))
+        }
         http("POST",
-          s"$base?id=${enc(cf)}&source=${enc(src)}&sink=${enc(sink)}&ckpt=${enc(ckpt)}$rules")
+          s"$base?id=${enc(cf)}&source=${enc(src)}&sink=${enc(sink)}&ckpt=${enc(ckpt)}$rules",
+          body)
       case Seq("changefeed", "query") => http("GET", s"$base/${enc(id)}")
       case Seq("changefeed", "statistics") => http("GET", s"$base/${enc(id)}/status")
       case Seq("changefeed", "synced") => http("GET", s"$base/${enc(id)}/synced")

@@ -84,12 +84,27 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
           val p = queryParams(ex)
           (p.get("id"), p.get("source"), p.get("sink"), p.get("ckpt")) match {
             case (Some(id), Some(src), Some(sink), Some(ckpt)) =>
-              val rules = p.get("rules").map(_.split(",").toSeq)
-                .getOrElse(Seq("*.*"))
-              val cfg = ChangefeedConfig(id = id,
-                filter = FilterConfig(rules = rules))
-              registry.create(cfg, src, sink, ckpt)
-              respond(ex, 201, s"""{"id":${jsonString(id)},"state":"running"}""")
+              // a JSON body is the full v2 replica-config model
+              // (reference POST /api/v2/changefeeds body); bare query
+              // params remain the minimal rules-only form
+              val body = scala.io.Source.fromInputStream(
+                ex.getRequestBody, "UTF-8").mkString
+              val cfgOrErr: Either[String, ChangefeedConfig] =
+                if (body.trim.nonEmpty)
+                  try Right(graft.model.ConfigToml.fromApiJson(body).copy(id = id))
+                  catch { case e: Exception => Left(String.valueOf(e.getMessage)) }
+                else {
+                  val rules = p.get("rules").map(_.split(",").toSeq)
+                    .getOrElse(Seq("*.*"))
+                  Right(ChangefeedConfig(id = id, filter = FilterConfig(rules = rules)))
+                }
+              cfgOrErr match {
+                case Left(msg) => respond(ex, 400,
+                  s"""{"error":"bad replica config","detail":${jsonString(msg)}}""")
+                case Right(cfg) =>
+                  registry.create(cfg, src, sink, ckpt)
+                  respond(ex, 201, s"""{"id":${jsonString(id)},"state":"running"}""")
+              }
             case _ =>
               respond(ex, 400, """{"error":"id, source, sink, ckpt required"}""")
           }

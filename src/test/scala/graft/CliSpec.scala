@@ -103,4 +103,40 @@ class CliSpec extends SparkFunSuite {
       api.stop()
     }
   }
+
+  test("create --config ships the full replica config as the v2 JSON body") {
+    val tmp = Files.createTempDirectory("graft-cli-cfg").toString
+    val src = s"$tmp/source"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    val toml =
+      """case-sensitive = false
+        |[filter]
+        |rules = ['app.*', '!app.skip']
+        |[sink]
+        |protocol = 'open-protocol'
+        |""".stripMargin
+    val cfgFile = java.nio.file.Paths.get(s"$tmp/cf.toml")
+    Files.write(cfgFile, toml.getBytes)
+
+    val registry = new graft.streaming.ChangefeedRegistry(spark)
+    val api = new ApiServer(registry).start()
+    val server = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      val (c1, b1) = cli(server, "changefeed", "create",
+        "--changefeed-id", "cf-toml", "--source", src,
+        "--sink-uri", s"$tmp/sink", "--checkpoint", s"$tmp/ckpt",
+        "--config", cfgFile.toString)
+      assert(c1 == 0 && b1.contains("\"cf-toml\""), b1)
+      val (c2, b2) = cli(server, "changefeed", "query",
+        "--changefeed-id", "cf-toml")
+      assert(c2 == 0 && b2.contains("!app.skip"),
+        s"config from the TOML body must drive the feed: $b2")
+    } finally {
+      try registry.remove("cf-toml") catch { case _: Throwable => () }
+      api.stop()
+    }
+  }
 }
