@@ -237,6 +237,20 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
       s"""{"version":"graft","id":"capture-0","is_owner":true}"""))
   server.createContext("/api/v2/health", (ex: HttpExchange) =>
     respond(ex, 200, "{}"))
+  // dynamic log level (api/v2/api.go:40 SetLogLevel) — maps straight
+  // onto the engine's runtime log control
+  server.createContext("/api/v2/log", (ex: HttpExchange) => {
+    val lvl = queryParams(ex).getOrElse("log_level", "").toUpperCase
+    if (ex.getRequestMethod != "POST")
+      respond(ex, 405, """{"error":"POST required"}""")
+    else if (!Seq("ALL", "DEBUG", "ERROR", "FATAL", "INFO", "OFF", "TRACE", "WARN")
+        .contains(lvl))
+      respond(ex, 400, s"""{"error":"bad log_level","got":${jsonString(lvl)}}""")
+    else {
+      registry.spark.sparkContext.setLogLevel(lvl)
+      respond(ex, 200, "{}")
+    }
+  })
   server.createContext("/api/v2/captures", (ex: HttpExchange) =>
     respond(ex, 200,
       s"""[{"id":"capture-0","is_owner":true,"address":"127.0.0.1:$boundPort"}]"""))

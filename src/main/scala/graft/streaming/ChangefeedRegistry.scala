@@ -14,7 +14,7 @@ import graft.model.{ChangefeedConfig, DispatchRule, PartitionRule}
   * the checkpoint — exactly the reference's pause/resume semantics
   * where etcd keeps the checkpoint-ts.
   */
-class ChangefeedRegistry(spark: SparkSession) {
+class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
 
   final case class Entry(var cfg: ChangefeedConfig, sourceDir: String,
                          sinkDir: String, checkpointDir: String,

@@ -93,6 +93,10 @@ class ApiServerSpec extends SparkFunSuite {
       // the processor list is either empty or holds this feed
       val (cp, bp) = call("GET", s"$root/processors")
       assert(cp == 200 && (bp == "[]" || bp.contains("cf-api")), bp)
+      // dynamic log level: valid levels apply, junk rejects, GET rejects
+      assert(call("POST", s"$root/log?log_level=warn")._1 == 200)
+      assert(call("POST", s"$root/log?log_level=nope")._1 == 400)
+      assert(call("GET", s"$root/log?log_level=WARN")._1 == 405)
 
       // upstream catalog: eligibility verdicts + the full table list
       val (cv, bv) = call("POST",
