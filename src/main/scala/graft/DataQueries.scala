@@ -101,6 +101,8 @@ object DataQueries {
     3L -> "vector hash model")
   // corpus drift: report the top-50 diverging tokens
   val driftK = 50
+  // fixed-k eval sample per source
+  val groupSampleK = 25
   val hashedDim = 64
   // RAG chunker: 64-token windows, stride 48 (16-token overlap)
   val chunkTok = 64
@@ -414,6 +416,10 @@ object DataQueries {
     // list, log2 discounts inlined as driver-computed literals
     "q_retrieval_ndcg" -> ((s, d) =>
       Retrieval.ndcgAtK(docs(s, d), hashedDim, annQueries, annK)),
+
+    // fixed-k eval sample per source: hash-ranked, no RNG state
+    "q_group_sample" -> ((s, d) =>
+      Sampling.groupSample(docs(s, d), groupSampleK)),
 
     // drift between two crawls (even/odd doc_id snapshots): top-50
     // tokens by chi-square frequency divergence
@@ -1546,6 +1552,15 @@ object DataQueries {
          |  CAST((CAST(SUM(contrib) AS BIGINT) * 1000000) // $idcg AS BIGINT) AS ndcg_ppm
          |FROM ndcg_scored GROUP BY query_id""".stripMargin
     },
+
+    "q_group_sample" ->
+      s"""SELECT doc_id, source, rank FROM (
+         |  SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY md5(source || ':' || CAST(doc_id AS VARCHAR)), doc_id)
+         |      AS BIGINT) AS rank
+         |  FROM documents)
+         |WHERE rank <= $groupSampleK""".stripMargin,
 
     // expected counts/chi2 mirror TextOps.corpusDrift shape-for-shape
     "q_corpus_drift" ->

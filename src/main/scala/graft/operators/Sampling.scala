@@ -187,4 +187,21 @@ object Sampling {
       .select(col("doc_id"), col("source"), col("n_tokens"),
         col("pack_id"), col("pack_offset"))
   }
+
+  /** Deterministic fixed-k sample per group — eval-set construction
+    * ("25 docs from every source, same ones every run"). Rank inside
+    * each group by a pure md5 hash of (source, id): no RNG state, and
+    * the chosen set only changes where the corpus itself changed.
+    * One window shuffle on the group key; group sizes bound the sort.
+    * Complements [[stratifiedSample]] (fraction-based, shuffle-free)
+    * when the need is an exact per-group count. */
+  def groupSample(docs: DataFrame, k: Int): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source"))
+      .orderBy(md5(concat(col("source"), lit(":"), col("doc_id"))).asc,
+        col("doc_id").asc)
+    docs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("source"), col("rank"))
+  }
 }
