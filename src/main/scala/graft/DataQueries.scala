@@ -103,6 +103,10 @@ object DataQueries {
   val driftK = 50
   // fixed-k eval sample per source
   val groupSampleK = 25
+  // winnowing: 4-token grams, window of 4 (guarantee: any shared run
+  // of >= 7 tokens yields a shared fingerprint)
+  val winnowGram = 4
+  val winnowWindow = 4
   val hashedDim = 64
   // RAG chunker: 64-token windows, stride 48 (16-token overlap)
   val chunkTok = 64
@@ -420,6 +424,11 @@ object DataQueries {
     // fixed-k eval sample per source: hash-ranked, no RNG state
     "q_group_sample" -> ((s, d) =>
       Sampling.groupSample(docs(s, d), groupSampleK)),
+
+    // winnowing fingerprints: rightmost-min of every w-window of
+    // k-gram hashes (the MOSS selection), zero-shuffle per-row kernel
+    "q_winnow" -> ((s, d) =>
+      TextOps.winnow(docs(s, d), winnowGram, winnowWindow)),
 
     // drift between two crawls (even/odd doc_id snapshots): top-50
     // tokens by chi-square frequency divergence
@@ -1551,6 +1560,38 @@ object DataQueries {
          |  CAST($idcg AS BIGINT) AS idcg_ppm,
          |  CAST((CAST(SUM(contrib) AS BIGINT) * 1000000) // $idcg AS BIGINT) AS ndcg_ppm
          |FROM ndcg_scored GROUP BY query_id""".stripMargin
+    },
+
+    // blocker-distance characterization of rightmost-window-min,
+    // lag/lead chains unrolled to the same fixed depth as the
+    // operator's when-chains; NULL lag/lead falls through like the
+    // operator's explicit bounds checks
+    "q_winnow" -> {
+      val k = winnowGram; val w = winnowWindow
+      val lags = (1 until w)
+        .map(t => s"WHEN lag(h, $t) OVER win < h THEN $t").mkString("\n    ")
+      val leads = (1 until w)
+        .map(t => s"WHEN lead(h, $t) OVER win <= h THEN $t").mkString("\n    ")
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+         |eligible AS (SELECT doc_id, w FROM toks WHERE len(w) >= $k + $w - 1),
+         |pos AS (
+         |  SELECT doc_id, CAST(unnest(range(0, len(w) - $k + 1)) AS BIGINT) AS pos, w
+         |  FROM eligible),
+         |grams AS (
+         |  SELECT doc_id, pos,
+         |    CAST(('0x' || substring(md5(array_to_string(w[pos + 1:pos + $k], ' ')), 1, 15)) AS BIGINT) AS h,
+         |    CAST(len(w) - $k AS BIGINT) AS maxpos
+         |  FROM pos),
+         |d AS (
+         |  SELECT doc_id, pos, h, maxpos,
+         |    CASE $lags
+         |    ELSE $w END AS ldist,
+         |    CASE $leads
+         |    ELSE $w END AS rdist
+         |  FROM grams
+         |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+         |SELECT doc_id, pos, h AS fp FROM d
+         |WHERE LEAST(ldist - 1, pos) + LEAST(rdist - 1, maxpos - pos) + 1 >= $w""".stripMargin
     },
 
     "q_group_sample" ->

@@ -606,6 +606,53 @@ object TextOps {
       count(lit(1)).as("n_docs"),
       approx_count_distinct(md5(col("text")), rsd).as("approx_unique"))
 
+  /** Winnowing fingerprint selection (Schleimer et al. 2003, the
+    * MOSS algorithm): from the k-token-gram hash sequence of each
+    * document, keep the rightmost-minimum hash of every w-window —
+    * the guaranteed-coverage fingerprint subset that plagiarism /
+    * near-dup detectors index instead of every gram.
+    *
+    * Selection uses the blocker-span characterization (equivalent to
+    * sliding the window, but per-row): position i is selected iff
+    * its free span — bounded left by the nearest STRICTLY smaller
+    * hash, right by the nearest smaller-OR-EQUAL hash (equal right
+    * neighbors win the rightmost-min rule), both clipped to w−1 and
+    * the array edges — fits a full window: Lfree + Rfree + 1 ≥ w.
+    * Blocker scans unroll to fixed when-chains (w is a constant), so
+    * the whole operator is per-row codegen over the scan — zero
+    * shuffles, like the other fingerprint kernels. Hashes are 60-bit
+    * md5 prefixes, so the oracle reproduces them bit-for-bit.
+    */
+  def winnow(docs: DataFrame, k: Int, w: Int): DataFrame = {
+    val toks = col("__w")
+    val m = size(toks) - (k - 1) // number of k-grams
+    val hs = transform(sequence(lit(0), m - 1),
+      i => graft.functions.HashExpressions.md5Prefix64(
+        array_join(slice(toks, i + 1, lit(k)), " "), 15))
+    val selected = filter(sequence(lit(0), m - 1), i => {
+      val h = element_at(col("__hs"), i + 1)
+      // distance to nearest left strict blocker (∞ → w), clipped to i
+      val lDist = coalesce(
+        (1 until w).map(t =>
+          when(i - t >= 0 && element_at(col("__hs"), i - t + 1) < h, lit(t))
+        ).reduceRight((a, b) => a.otherwise(b)), lit(w))
+      val rDist = coalesce(
+        (1 until w).map(t =>
+          when(i + t <= size(col("__hs")) - 1 &&
+            element_at(col("__hs"), i + t + 1) <= h, lit(t))
+        ).reduceRight((a, b) => a.otherwise(b)), lit(w))
+      val lFree = least(lDist - 1, i)
+      val rFree = least(rDist - 1, size(col("__hs")) - 1 - i)
+      lFree + rFree + 1 >= w
+    })
+    docs.select(col("doc_id"), tokens(col("text")).as("__w"))
+      .filter(size(col("__w")) >= k + w - 1) // at least one full window
+      .withColumn("__hs", hs)
+      .select(col("doc_id"), col("__hs"), explode(selected).as("__p"))
+      .select(col("doc_id"), col("__p").cast("long").as("pos"),
+        element_at(col("__hs"), col("__p") + 1).as("fp"))
+  }
+
   /** Corpus drift report: top-k tokens by chi-square frequency
     * divergence between two corpus snapshots (the distribution-shift
     * alarm a pipeline runs between crawls before retraining on the

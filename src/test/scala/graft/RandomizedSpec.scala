@@ -220,4 +220,46 @@ class RandomizedSpec extends SparkFunSuite {
     }.toSet
     assert(got == expected)
   }
+
+  test("winnowing equals brute-force rightmost-window-min on random docs") {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val (k, w) = (3, 4)
+    // 4-word vocab forces repeated grams -> the <=/< tie asymmetry
+    // (rightmost-min rule) is genuinely exercised
+    val vocab = Vector("aa", "bb", "cc", "dd")
+    val docs = (0L until 120L).map { i =>
+      (i, Seq.fill(2 + rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    }
+    val got = TextOps.winnow(docs.toDF("doc_id", "text"), k, w).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def hash60(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(15), 16)
+    }
+    val expected = docs.flatMap { case (id, text) =>
+      val toks = text.split(" ")
+      if (toks.length < k + w - 1) Nil
+      else {
+        val hs = (0 to toks.length - k).map(p => hash60(toks.slice(p, p + k).mkString(" ")))
+        (0 to hs.length - w).flatMap { p =>
+          val win = hs.slice(p, p + w)
+          val m = win.min
+          val rightmost = p + win.lastIndexOf(m)
+          Some((id, rightmost.toLong, hs(rightmost)))
+        }.toSet
+      }
+    }.toSet
+    assert(got == expected, s"winnow sets diverge: got ${got.size}, want ${expected.size}")
+    // the winnowing guarantee: every window holds >= 1 fingerprint
+    docs.foreach { case (id, text) =>
+      val n = text.split(" ").length
+      if (n >= k + w - 1) {
+        val sel = got.collect { case (d, p, _) if d == id => p }
+        (0L to (n - k - w + 1).toLong).foreach { p =>
+          assert(sel.exists(s => s >= p && s < p + w), s"doc $id window $p uncovered")
+        }
+      }
+    }
+  }
 }
