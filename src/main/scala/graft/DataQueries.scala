@@ -107,6 +107,36 @@ object DataQueries {
   // of >= 7 tokens yields a shared fingerprint)
   val winnowGram = 4
   val winnowWindow = 4
+  // MOSS pair report: at least this many shared fingerprints
+  val winnowMinShared = 2L
+
+  /** Shared winnow-selection oracle CTEs (toks → d with blocker
+    * distances) — q_winnow and q_winnow_pairs compose on top. */
+  private lazy val winnowOracleCtes: String = {
+    val k = winnowGram; val w = winnowWindow
+    val lags = (1 until w)
+      .map(t => s"WHEN lag(h, $t) OVER win < h THEN $t").mkString("\n    ")
+    val leads = (1 until w)
+      .map(t => s"WHEN lead(h, $t) OVER win <= h THEN $t").mkString("\n    ")
+    s"""toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+       |eligible AS (SELECT doc_id, w FROM toks WHERE len(w) >= $k + $w - 1),
+       |pos AS (
+       |  SELECT doc_id, CAST(unnest(range(0, len(w) - $k + 1)) AS BIGINT) AS pos, w
+       |  FROM eligible),
+       |grams AS (
+       |  SELECT doc_id, pos,
+       |    CAST(('0x' || substring(md5(array_to_string(w[pos + 1:pos + $k], ' ')), 1, 15)) AS BIGINT) AS h,
+       |    CAST(len(w) - $k AS BIGINT) AS maxpos
+       |  FROM pos),
+       |d AS (
+       |  SELECT doc_id, pos, h, maxpos,
+       |    CASE $lags
+       |    ELSE $w END AS ldist,
+       |    CASE $leads
+       |    ELSE $w END AS rdist
+       |  FROM grams
+       |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos))""".stripMargin
+  }
   val hashedDim = 64
   // RAG chunker: 64-token windows, stride 48 (16-token overlap)
   val chunkTok = 64
@@ -429,6 +459,11 @@ object DataQueries {
     // k-gram hashes (the MOSS selection), zero-shuffle per-row kernel
     "q_winnow" -> ((s, d) =>
       TextOps.winnow(docs(s, d), winnowGram, winnowWindow)),
+
+    // MOSS duplicate report: pairs sharing >= 2 winnowed fingerprints
+    "q_winnow_pairs" -> ((s, d) =>
+      Dedup.winnowPairs(
+        TextOps.winnow(docs(s, d), winnowGram, winnowWindow), winnowMinShared)),
 
     // drift between two crawls (even/odd doc_id snapshots): top-50
     // tokens by chi-square frequency divergence
@@ -1566,33 +1601,24 @@ object DataQueries {
     // lag/lead chains unrolled to the same fixed depth as the
     // operator's when-chains; NULL lag/lead falls through like the
     // operator's explicit bounds checks
-    "q_winnow" -> {
-      val k = winnowGram; val w = winnowWindow
-      val lags = (1 until w)
-        .map(t => s"WHEN lag(h, $t) OVER win < h THEN $t").mkString("\n    ")
-      val leads = (1 until w)
-        .map(t => s"WHEN lead(h, $t) OVER win <= h THEN $t").mkString("\n    ")
-      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
-         |eligible AS (SELECT doc_id, w FROM toks WHERE len(w) >= $k + $w - 1),
-         |pos AS (
-         |  SELECT doc_id, CAST(unnest(range(0, len(w) - $k + 1)) AS BIGINT) AS pos, w
-         |  FROM eligible),
-         |grams AS (
-         |  SELECT doc_id, pos,
-         |    CAST(('0x' || substring(md5(array_to_string(w[pos + 1:pos + $k], ' ')), 1, 15)) AS BIGINT) AS h,
-         |    CAST(len(w) - $k AS BIGINT) AS maxpos
-         |  FROM pos),
-         |d AS (
-         |  SELECT doc_id, pos, h, maxpos,
-         |    CASE $lags
-         |    ELSE $w END AS ldist,
-         |    CASE $leads
-         |    ELSE $w END AS rdist
-         |  FROM grams
-         |  WINDOW win AS (PARTITION BY doc_id ORDER BY pos))
+    "q_winnow" ->
+      s"""WITH $winnowOracleCtes
          |SELECT doc_id, pos, h AS fp FROM d
-         |WHERE LEAST(ldist - 1, pos) + LEAST(rdist - 1, maxpos - pos) + 1 >= $w""".stripMargin
-    },
+         |WHERE LEAST(ldist - 1, pos) + LEAST(rdist - 1, maxpos - pos) + 1 >= $winnowWindow""".stripMargin,
+
+    // the MOSS report off the same selection chain: shared-fp join,
+    // fp counted once per doc
+    "q_winnow_pairs" ->
+      s"""WITH $winnowOracleCtes,
+         |sel AS (
+         |  SELECT DISTINCT doc_id, h AS fp FROM d
+         |  WHERE LEAST(ldist - 1, pos) + LEAST(rdist - 1, maxpos - pos) + 1 >= $winnowWindow)
+         |SELECT doc_a, doc_b, n_shared FROM (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |WHERE n_shared >= $winnowMinShared""".stripMargin,
 
     "q_group_sample" ->
       s"""SELECT doc_id, source, rank FROM (

@@ -322,6 +322,33 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("nd_a"), col("nd_b"), col("jaccard"))
   }
 
+  /** Winnowing-based duplicate candidates — the MOSS report: pairs of
+    * documents sharing at least `minShared` winnowed fingerprints
+    * ([[graft.operators.TextOps.winnow]]). Same bucket-collect +
+    * [[saltTile]] shape as [[jaccardPairs]], with the posting key
+    * being the selected fingerprint — selection has already thinned
+    * the posting stream ~2/(w+1)× before the one collect shuffle, so
+    * this is the cheapest of the pair generators at equal gram size.
+    */
+  def winnowPairs(fps: DataFrame, minShared: Long,
+                  maxBucket: Int = DefaultBucketCap): DataFrame = {
+    // a fingerprint selected at several positions still counts once
+    val d = fps.select(col("doc_id"), col("fp")).distinct()
+    spreadBuckets(
+      saltTile(d, Seq("fp"), col("doc_id"), maxBucket)
+        .groupBy(col("fp"), col("__ti"), col("__tj"))
+        .agg(collect_list(struct(col("doc_id"), col("__s"))).as("__ds"))
+        .filter(size(col("__ds")) > 1))
+      .withColumn("a", explode(col("__ds")))
+      .withColumn("b", explode(col("__ds")))
+      .filter(tilePair(col("a.__s"), col("b.__s"), col("a.doc_id"), col("b.doc_id")))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
   /** Near-dup cluster assignment: connected components over the
     * candidate-pair graph by iterative min-label propagation — after
     * pair generation (minhash/LSH/Jaccard), every document needs a
