@@ -222,6 +222,18 @@ class PlanSpec extends SparkFunSuite {
       s"positives anti-join should broadcast at this scale:\n$p")
   }
 
+  test("q_winnow: selection is per-row codegen, zero exchange") {
+    val p = plan("q_winnow")
+    assert(!p.contains("Exchange"),
+      s"winnowing must ride the scan (blocker-span form, no window shuffle):\n$p")
+  }
+
+  test("q_winnow_pairs: aggregation-shaped, no fingerprint self-join") {
+    val p = plan("q_winnow_pairs")
+    assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),
+      s"pair generation must stay bucket-collect, never a posting self-join:\n$p")
+  }
+
   test("q_bm25: query terms broadcast onto the postings, no cross product") {
     val p = plan("q_bm25")
     assert(p.contains("BroadcastHashJoin"),
