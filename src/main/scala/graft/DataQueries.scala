@@ -109,6 +109,9 @@ object DataQueries {
   val winnowWindow = 4
   // MOSS pair report: at least this many shared fingerprints
   val winnowMinShared = 2L
+  // containment: 3-gram shingles, short side >= 50% contained
+  val containShingle = 3
+  val containThreshold = 0.5
 
   /** Shared winnow-selection oracle CTEs (toks → d with blocker
     * distances) — q_winnow and q_winnow_pairs compose on top. */
@@ -464,6 +467,11 @@ object DataQueries {
     "q_winnow_pairs" -> ((s, d) =>
       Dedup.winnowPairs(
         TextOps.winnow(docs(s, d), winnowGram, winnowWindow), winnowMinShared)),
+
+    // asymmetric (quote/subset) dedup: short doc mostly contained in
+    // a long one — the case Jaccard misses by construction
+    "q_containment" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d), "source", containShingle, containThreshold)),
 
     // drift between two crawls (even/odd doc_id snapshots): top-50
     // tokens by chi-square frequency divergence
@@ -1619,6 +1627,34 @@ object DataQueries {
          |  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |WHERE n_shared >= $winnowMinShared""".stripMargin,
+
+    "q_containment" ->
+      s"""WITH t AS (
+         |  SELECT doc_id, source, string_split(text, ' ') AS w FROM documents),
+         |p AS (
+         |  SELECT doc_id, source,
+         |    CAST(unnest(range(0, len(w) - $containShingle + 1)) AS BIGINT) AS pos, w
+         |  FROM t WHERE len(w) >= $containShingle),
+         |g AS (
+         |  SELECT DISTINCT doc_id, source,
+         |    array_to_string(w[pos + 1:pos + $containShingle], ' ') AS sh
+         |  FROM p),
+         |sizes AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nd FROM g GROUP BY 1),
+         |inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |    CAST(COUNT(*) AS BIGINT) AS n_inter
+         |  FROM g a JOIN g b
+         |    ON a.source = b.source AND a.sh = b.sh AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT doc_a, doc_b, n_inter, nd_a, nd_b, containment,
+         |  CASE WHEN nd_a <= nd_b THEN doc_a ELSE doc_b END AS contained_doc
+         |FROM (
+         |  SELECT doc_a, doc_b, n_inter, sa.nd AS nd_a, sb.nd AS nd_b,
+         |    CAST(n_inter AS DOUBLE) / CAST(LEAST(sa.nd, sb.nd) AS DOUBLE) AS containment
+         |  FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b)
+         |WHERE containment >= $containThreshold""".stripMargin,
 
     "q_group_sample" ->
       s"""SELECT doc_id, source, rank FROM (

@@ -322,6 +322,55 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("n_inter"), col("nd_a"), col("nd_b"), col("jaccard"))
   }
 
+  /** Containment pairs — the asymmetric complement of
+    * [[jaccardPairs]]: |A∩B| / min(|A|,|B|) ≥ threshold catches a
+    * short document quoted/subsumed inside a long one, which Jaccard
+    * misses by construction (the union is dominated by the long
+    * side). Same bucket-collect plan; only the final formula and its
+    * direction flag differ. Emits which side is the contained one so
+    * the curation policy can keep the superset document.
+    */
+  def containmentPairs(docs: DataFrame, blockCol: String, n: Int,
+                       threshold: Double,
+                       maxBucket: Int = DefaultBucketCap): DataFrame = {
+    // n-gram shingles, distinct per doc: token-set containment is
+    // degenerate on low-vocab corpora (everything contains the
+    // vocabulary); shingles carry word order, so containment means
+    // shared phrasing
+    val w = split(col("text"), " ")
+    val shingles = transform(sequence(lit(0), size(w) - n),
+      i => array_join(slice(w, i + 1, lit(n)), " "))
+    val sh = docs.filter(size(w) >= n)
+      .select(col("doc_id"), col(blockCol).as("__blk"),
+        explode(array_distinct(shingles)).as("tok"))
+    val sizes = docs.filter(size(w) >= n)
+      .select(col("doc_id"),
+        size(array_distinct(shingles)).cast("long").as("nd"))
+    val inter = spreadBuckets(
+      saltTile(sh, Seq("__blk", "tok"), col("doc_id"), maxBucket)
+        .groupBy(col("__blk"), col("tok"), col("__ti"), col("__tj"))
+        .agg(collect_list(struct(col("doc_id"), col("__s"))).as("__ds"))
+        .filter(size(col("__ds")) > 1))
+      .withColumn("a", explode(col("__ds")))
+      .withColumn("b", explode(col("__ds")))
+      .filter(tilePair(col("a.__s"), col("b.__s"), col("a.doc_id"), col("b.doc_id")))
+      .select(least(col("a.doc_id"), col("b.doc_id")).as("doc_a"),
+        greatest(col("a.doc_id"), col("b.doc_id")).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nd", "nd_a"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nd", "nd_b"), "doc_b")
+      .withColumn("containment",
+        col("n_inter").cast("double") /
+          least(col("nd_a"), col("nd_b")).cast("double"))
+      .filter(col("containment") >= threshold)
+      .withColumn("contained_doc",
+        when(col("nd_a") <= col("nd_b"), col("doc_a")).otherwise(col("doc_b")))
+      .select(col("doc_a"), col("doc_b"), col("n_inter"),
+        col("nd_a"), col("nd_b"), col("containment"), col("contained_doc"))
+  }
+
   /** Winnowing-based duplicate candidates — the MOSS report: pairs of
     * documents sharing at least `minShared` winnowed fingerprints
     * ([[graft.operators.TextOps.winnow]]). Same bucket-collect +
