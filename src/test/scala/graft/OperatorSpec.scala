@@ -934,4 +934,29 @@ class OperatorSpec extends SparkFunSuite {
       assert(err <= 3 * 0.02, s"$src: approx $u vs exact ${exact(src)} (err $err)")
     }
   }
+
+  test("containment catches the quoted-subset pair that Jaccard misses") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    // doc 1 = doc 0 verbatim + a long unrelated tail: containment of
+    // the short side is 1.0 while Jaccard stays low
+    val quote = "alpha beta gamma delta eps zeta"
+    val tail = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      (0L, quote, "s"),
+      (1L, s"$quote $tail", "s"),
+      (2L, "other words entirely here now", "s"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.containmentPairs(docs, "source", n = 3, threshold = 0.9)
+      .collect()
+    assert(got.length == 1)
+    val r = got.head
+    assert((r.getLong(0), r.getLong(1)) == (0L, 1L))
+    assert(r.getDouble(5) == 1.0, "short side fully contained")
+    assert(r.getLong(6) == 0L, "the quoted (short) doc is the contained one")
+    // the same pair fails symmetric Jaccard at any useful threshold
+    val jac = Dedup.jaccardPairs(docs, "source", 0.5).collect()
+    assert(!jac.exists(x => x.getLong(0) == 0L && x.getLong(1) == 1L),
+      "Jaccard must miss the subset pair (that asymmetry is the point)")
+  }
 }
