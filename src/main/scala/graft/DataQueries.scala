@@ -210,6 +210,11 @@ object DataQueries {
 
     "q_text_quality" -> ((s, d) => TextOps.qualityScore(docs(s, d), stopwords)),
 
+    // per-source percentile of the quality score (integer milli) —
+    // the calibration step before any cross-source threshold
+    "q_quality_percentile" -> ((s, d) =>
+      TextOps.qualityPercentile(docs(s, d), stopwords)),
+
     // best ~5000 tokens per source by quality (greedy, audit flag)
     "q_budget_select" -> ((s, d) =>
       TextOps.tokenBudgetSelect(docs(s, d), stopwords, budgetTokens)),
@@ -678,6 +683,28 @@ object DataQueries {
          |  + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopwords)})) AS DOUBLE)
          |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3 AS quality
          |FROM documents""".stripMargin,
+
+    // rank arithmetic pure integer; `//` floors like Spark's div on
+    // the non-negative ranks
+    "q_quality_percentile" ->
+      s"""WITH q AS (
+         |  SELECT doc_id, source,
+         |    (CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+         |       / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.4
+         |    + least(1.0, CAST(len(string_split(text, ' ')) AS DOUBLE) / 100.0) * 0.3
+         |    + (1.0 - CAST(len(list_filter(string_split(text, ' '), t -> t IN ${inList(stopwords)})) AS DOUBLE)
+         |         / CAST(len(string_split(text, ' ')) AS DOUBLE)) * 0.3 AS quality
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id, source,
+         |    CAST(ROW_NUMBER() OVER (PARTITION BY source
+         |      ORDER BY quality ASC, doc_id ASC) AS BIGINT) AS r,
+         |    CAST(COUNT(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM q)
+         |SELECT doc_id, source,
+         |  CAST(CASE WHEN n = 1 THEN 0
+         |       ELSE ((r - 1) * 1000) // (n - 1) END AS BIGINT) AS pr_milli
+         |FROM r""".stripMargin,
 
     // greedy per-source budget: same quality double, window running
     // sum inclusive of the current doc

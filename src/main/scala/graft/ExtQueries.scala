@@ -243,6 +243,11 @@ object ExtQueries {
     "q_sessionize" -> ((s, d) =>
       graft.operators.Sessionize.sessions(Tables.events(s, d), sessionGapNs)),
 
+    // common-journeys report: top-20 ordered event-type paths
+    "q_session_paths" -> ((s, d) =>
+      graft.operators.Sessionize.sessionPaths(Tables.events(s, d),
+        sessionGapNs, sessionPathsK)),
+
     // multimodal → ANN bridge: blob bytes → extracted feature vector
     // (mapPartitions batch "model", deterministic stub) → the
     // unchanged ANN stack. Feature sums are small exact integers, so
@@ -388,6 +393,7 @@ object ExtQueries {
   val anomalyZMilli: Long = 2500L
 
   val sessionGapNs: Long = 30L * 60 * 1000 * 1000 * 1000 // 30 min
+  val sessionPathsK = 20
   val dayNs: Long = 24L * 3600 * 1000 * 1000 * 1000
   val funnelWindowNs: Long = 3L * dayNs
   // interval-join fixture: 30-min windows, bucket = window width
@@ -663,6 +669,9 @@ object ExtQueries {
         |FROM meta""".stripMargin,
 
     "q_sessionize" -> graft.operators.Sessionize.oracleSql(sessionGapNs),
+
+    "q_session_paths" ->
+      graft.operators.Sessionize.pathsOracleSql(sessionGapNs, sessionPathsK),
 
     // features: byte-value sums by position mod 4 (ASCII text = bytes)
     "q_multimodal_ann" ->

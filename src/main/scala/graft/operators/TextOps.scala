@@ -104,6 +104,29 @@ object TextOps {
       .withColumn("selected", col("cum_tokens") <= budgetTokens)
   }
 
+  /** Cross-source quality calibration: percent-rank of the quality
+    * score WITHIN each source, in exact milli units. A global
+    * threshold over raw scores systematically biases against
+    * terse/verbose sources; curation recipes threshold the
+    * per-source percentile instead. Rank arithmetic is pure integer
+    * — pr_milli = (rank−1)·1000 div (n−1), 0 for singleton sources —
+    * so the output is engine-exact; the quality ordering itself is
+    * the same IEEE-deterministic double both engines compute from
+    * integer token counts. One window shuffle on source. */
+  def qualityPercentile(docs: DataFrame, stopwords: Seq[String]): DataFrame = {
+    val (_, _, quality) = qualityTerms(stopwords)
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("quality").asc, col("doc_id").asc)
+    docs.select(col("doc_id"), col("source"), quality.as("quality"))
+      .withColumn("__r", row_number().over(w).cast("long"))
+      .withColumn("__n",
+        count(lit(1)).over(Window.partitionBy(col("source"))).cast("long"))
+      .withColumn("pr_milli",
+        when(col("__n") === 1, 0L)
+          .otherwise(expr("((__r - 1) * 1000) div (__n - 1)")))
+      .select(col("doc_id"), col("source"), col("pr_milli"))
+  }
+
   /** End-to-end curation decision — the final gate of a training-data
     * pipeline, composing exact-dedup keeper status, length bounds and
     * the quality score into keep/drop WITH REASON (first rule wins:
