@@ -248,6 +248,10 @@ object ExtQueries {
       graft.operators.Sessionize.sessionPaths(Tables.events(s, d),
         sessionGapNs, sessionPathsK)),
 
+    // market-basket lift over (user, event_type), exact integer micro
+    "q_event_lift" -> ((s, d) =>
+      graft.analytics.Funnel.eventLift(Tables.events(s, d))),
+
     // multimodal → ANN bridge: blob bytes → extracted feature vector
     // (mapPartitions batch "model", deterministic stub) → the
     // unchanged ANN stack. Feature sums are small exact integers, so
@@ -672,6 +676,24 @@ object ExtQueries {
 
     "q_session_paths" ->
       graft.operators.Sessionize.pathsOracleSql(sessionGapNs, sessionPathsK),
+
+    // pure integer lift: n_ab*N*1e6 // (n_a*n_b), all positive
+    "q_event_lift" ->
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |n AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users FROM ut),
+        |nt AS (SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_t FROM ut GROUP BY 1),
+        |p AS (
+        |  SELECT a.event_type AS ta, b.event_type AS tb,
+        |    CAST(COUNT(*) AS BIGINT) AS n_ab
+        |  FROM ut a JOIN ut b
+        |    ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |  GROUP BY 1, 2)
+        |SELECT ta, tb, n_ab, na.n_t AS n_a, nb.n_t AS n_b,
+        |  CAST((n_ab * n_users * 1000000) // (na.n_t * nb.n_t) AS BIGINT) AS lift_micro
+        |FROM p
+        |JOIN nt na ON na.event_type = ta
+        |JOIN nt nb ON nb.event_type = tb
+        |CROSS JOIN n""".stripMargin,
 
     // features: byte-value sums by position mod 4 (ASCII text = bytes)
     "q_multimodal_ann" ->

@@ -161,4 +161,31 @@ object Funnel {
       .groupBy(col("cohort"), col("age"))
       .agg(countDistinct(col("user_id")).as("n_users"))
   }
+
+  /** Event co-occurrence lift — the market-basket report over
+    * (user, event_type): lift(a,b) = P(a,b) / (P(a)·P(b)) across
+    * users, in exact integer micro units (n_ab·N·1e6 div n_a·n_b —
+    * no double ever touches the data). Pair generation is a per-user
+    * sorted-set explode (type vocab is tiny), so the only shuffles
+    * are the distinct and the pair count; output is type²-sized. */
+  def eventLift(events: DataFrame): DataFrame = {
+    val ut = events.select(col("user_id"), col("event_type")).distinct()
+    val nUsers = ut.agg(countDistinct(col("user_id")).as("n_users"))
+    val nT = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+    val pairs = ut.groupBy(col("user_id"))
+      .agg(sort_array(collect_set(col("event_type"))).as("__ts"))
+      .select(explode(flatten(transform(col("__ts"), (a, i) =>
+        transform(slice(col("__ts"), i + 2, size(col("__ts"))),
+          b => struct(a.as("ta"), b.as("tb")))))).as("p"))
+      .groupBy(col("p.ta").as("ta"), col("p.tb").as("tb"))
+      .agg(count(lit(1)).as("n_ab"))
+    pairs
+      .join(broadcast(nT.select(col("event_type").as("ta"), col("n_t").as("n_a"))), "ta")
+      .join(broadcast(nT.select(col("event_type").as("tb"), col("n_t").as("n_b"))), "tb")
+      .crossJoin(broadcast(nUsers))
+      .withColumn("lift_micro",
+        expr("(n_ab * n_users * 1000000L) div (n_a * n_b)"))
+      .select(col("ta"), col("tb"), col("n_ab"), col("n_a"), col("n_b"),
+        col("lift_micro"))
+  }
 }
