@@ -23,6 +23,8 @@ object SparkEntry {
     "q3_shipping" -> ((s, dir) => Tpch.q3(s, dir)),
     "q5_local_supplier" -> ((s, dir) => Tpch.q5(s, dir)),
     "q14_promo" -> ((s, dir) => Tpch.q14(s, dir)),
+    "q6_forecast" -> ((s, dir) => Tpch.q6(s, dir)),
+    "q4_priority" -> ((s, dir) => Tpch.q4(s, dir)),
     "q_event_rollup" -> ((s, dir) => Tpch.eventRollup(s, dir)),
     "q_topk" -> ((s: SparkSession, dir: String) => Tpch.topkRevenue(s, dir)),
     "q_envelope" -> ((s: SparkSession, dir: String) =>
