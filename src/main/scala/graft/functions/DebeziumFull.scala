@@ -1,0 +1,291 @@
+package graft.functions
+
+import graft.model.MySqlDdl.{MySqlCol, MySqlTable}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Full-fidelity Debezium JSON encoder — the schema-block +
+  * semantic-type layout of the reference's dbzCodec
+  * (pkg/sink/codec/debezium/codec.go:163-606 field schemas,
+  * :614-900 value conversion), reproduced over a DataFrame whose
+  * payload columns carry the raw MySQL literals of the change.
+  *
+  * Golden-parity bar (debezium_test.go:77-103): byte-identical modulo
+  * `payload.source` and `payload.ts_ms`, which the reference's own
+  * suite ignores because they come from a live Debezium capture.
+  *
+  * Layout decisions mirrored from codec.go:
+  *  - DATE → int32 `io.debezium.time.Date` (epoch days); invalid
+  *    ('0000-00-00') → null (0 when NOT NULL)
+  *  - DATETIME fsp≤3 → int64 `io.debezium.time.Timestamp` (ms);
+  *    fsp>3 → `MicroTimestamp` (µs); value rounded at fsp
+  *  - TIME → int64 `io.debezium.time.MicroTime` (signed µs)
+  *  - TIMESTAMP → string `io.debezium.time.ZonedTimestamp`
+  *    ("yyyy-MM-dd'T'HH:mm:ss[.f{fsp}]Z", UTC)
+  *  - YEAR → int32 `io.debezium.time.Year`
+  *  - BIT(1) → boolean; BIT(n>1) → bytes `io.debezium.data.Bits`
+  *    (little-endian, ceil(n/8) bytes, base64)
+  *  - binary-flagged strings (BINARY/VARBINARY/BLOB) → base64 string;
+  *    BINARY(n) zero-padded to n
+  *  - DECIMAL → double (decimal.handling.mode=double, the JSON default)
+  *  - unsigned BIGINT → int64 two's-complement reinterpret (max → -1)
+  *  - TINYINT UNSIGNED stays int16, SMALLINT UNSIGNED → int32,
+  *    INT UNSIGNED → int64 (codec.go:393-480)
+  *  - ENUM/SET → string with `allowed` parameters; invalid stored
+  *    value → ""
+  *
+  * The schema block is a per-table constant (driver-side string); the
+  * per-row payload stays whole-stage-codegen Column expressions.
+  */
+object DebeziumFull {
+
+  // ---------- schema block (driver-side, table-shaped) ----------
+
+  private def esc(s: String): String =
+    s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c => c.toString
+    }
+
+  /** One field-schema object (codec.go:writeDebeziumFieldSchema).
+    * Field order: type, optional, [name], [version], [parameters],
+    * field. */
+  def fieldSchemaJson(c: MySqlCol): String = {
+    val opt = (!c.notNull).toString
+    def plain(t: String) =
+      s"""{"type":"$t","optional":$opt,"field":"${esc(c.name)}"}"""
+    def semantic(t: String, name: String, params: Option[(String, String)] = None) = {
+      val p = params.map { case (k, v) => s""","parameters":{"$k":"${esc(v)}"}""" }.getOrElse("")
+      s"""{"type":"$t","optional":$opt,"name":"$name","version":1$p,"field":"${esc(c.name)}"}"""
+    }
+    c.base match {
+      case "bit" if c.flen <= 1 => plain("boolean")
+      case "bit" => semantic("bytes", "io.debezium.data.Bits", Some("length" -> c.flen.toString))
+      case "varchar" | "char" | "tinytext" | "text" | "mediumtext" | "longtext" |
+           "varbinary" | "binary" | "blob" | "tinyblob" | "mediumblob" | "longblob" =>
+        plain("string")
+      case "enum" => semantic("string", "io.debezium.data.Enum", Some("allowed" -> c.elems.mkString(",")))
+      case "set" => semantic("string", "io.debezium.data.EnumSet", Some("allowed" -> c.elems.mkString(",")))
+      case "date" => semantic("int32", "io.debezium.time.Date")
+      case "datetime" =>
+        if (c.fsp <= 3) semantic("int64", "io.debezium.time.Timestamp")
+        else semantic("int64", "io.debezium.time.MicroTimestamp")
+      case "timestamp" => semantic("string", "io.debezium.time.ZonedTimestamp")
+      case "time" => semantic("int64", "io.debezium.time.MicroTime")
+      case "json" => semantic("string", "io.debezium.data.Json")
+      case "year" => semantic("int32", "io.debezium.time.Year")
+      case "tinyint" => plain("int16")
+      case "smallint" => plain(if (c.unsigned) "int32" else "int16")
+      case "mediumint" => plain("int32")
+      case "int" => plain(if (c.unsigned) "int64" else "int32")
+      case "bigint" => plain("int64")
+      case "float" => plain(if (c.dec >= 0) "double" else "float")
+      case "double" => plain("double")
+      case "decimal" => plain("double")
+      case _ => plain("string")
+    }
+  }
+
+  /** The fixed `source` struct schema
+    * (codec.go:writeSourceSchema — Debezium's
+    * io.debezium.connector.mysql.Source block). */
+  private val sourceSchemaJson: String = {
+    def f(t: String, opt: Boolean, name: String) =
+      s"""{"type":"$t","optional":$opt,"field":"$name"}"""
+    val snapshot =
+      """{"type":"string","optional":true,"name":"io.debezium.data.Enum","version":1,""" +
+        """"parameters":{"allowed":"true,last,false,incremental"},"default":"false","field":"snapshot"}"""
+    val fields = Seq(
+      f("string", opt = false, "version"), f("string", opt = false, "connector"),
+      f("string", opt = false, "name"), f("int64", opt = false, "ts_ms"),
+      snapshot,
+      f("string", opt = false, "db"), f("string", opt = true, "sequence"),
+      f("string", opt = true, "table"), f("int64", opt = false, "server_id"),
+      f("string", opt = true, "gtid"), f("string", opt = false, "file"),
+      f("int64", opt = false, "pos"), f("int32", opt = false, "row"),
+      f("int64", opt = true, "thread"), f("string", opt = true, "query")
+    ).mkString(",")
+    s"""{"type":"struct","fields":[$fields],"optional":false,""" +
+      s""""name":"io.debezium.connector.mysql.Source","field":"source"}"""
+  }
+
+  private val transactionSchemaJson: String =
+    """{"type":"struct","fields":[""" +
+      """{"type":"string","optional":false,"field":"id"},""" +
+      """{"type":"int64","optional":false,"field":"total_order"},""" +
+      """{"type":"int64","optional":false,"field":"data_collection_order"}],""" +
+      """"optional":true,"name":"event.block","version":1,"field":"transaction"}"""
+
+  /** The value message's `schema` block for one table. */
+  def envelopeSchemaJson(serverName: String, t: MySqlTable): String = {
+    val fq = s"$serverName.${t.schema}.${t.table}"
+    val cols = t.cols.map(fieldSchemaJson).mkString(",")
+    def image(which: String) =
+      s"""{"type":"struct","fields":[$cols],"optional":true,"name":"$fq.Value","field":"$which"}"""
+    s"""{"type":"struct","fields":[${image("before")},${image("after")},$sourceSchemaJson,""" +
+      s"""{"type":"string","optional":false,"field":"op"},""" +
+      s"""{"type":"int64","optional":true,"field":"ts_ms"},""" +
+      s"""$transactionSchemaJson],"optional":false,"name":"$fq.Envelope","version":1}"""
+  }
+
+  /** The key message's `schema` block (handle columns only). */
+  def keySchemaJson(serverName: String, t: MySqlTable): String = {
+    val fq = s"$serverName.${t.schema}.${t.table}"
+    val cols = t.pkCols.map(fieldSchemaJson).mkString(",")
+    s"""{"type":"struct","fields":[$cols],"optional":false,"name":"$fq.Key"}"""
+  }
+
+  // ---------- per-row value conversion (Catalyst expressions) ----------
+
+  private val epochDay = to_date(lit("1970-01-01"))
+
+  /** Unchunked base64: Spark's `base64` MIME-chunks with CRLF every
+    * 76 chars (visible at BINARY(100)); JSON wire fields are single
+    * line. */
+  private def b64(c: Column): Column =
+    regexp_replace(base64(c), "[\\r\\n]", "")
+
+  /** Exact integer division (decimal domain — epoch-µs would lose
+    * ±1 in double division; quotient truncates toward zero, which
+    * equals floor for the non-negative sub-second parts here). */
+  private def idiv(n: Column, d: Long): Column =
+    (n.cast(DecimalType(38, 0)) / lit(d)).cast("long")
+
+  /** Half-up rounding of `us` (microseconds) at `fsp` fractional
+    * digits. */
+  private def roundAtFsp(us: Column, fsp: Int): Column = {
+    val unit = math.pow(10, 6 - fsp).toLong
+    if (unit <= 1) us else idiv(us + lit(unit / 2), unit) * lit(unit)
+  }
+
+  /** JSON token (already-rendered string: number, quoted string,
+    * true/false, or null) for one column's raw MySQL literal. */
+  def jsonToken(c: MySqlCol, raw: Column): Column = {
+    val rendered: Column = c.base match {
+      case "tinyint" | "smallint" | "mediumint" | "int" | "year" =>
+        raw.cast("long").cast("string")
+      case "bigint" if c.unsigned =>
+        // two's-complement reinterpret; 2^64-1 (and anything above the
+        // signed range) lands on -1 via the same wrap (codec.go:845-852)
+        val d = raw.cast(DecimalType(38, 0))
+        when(d >= lit(BigDecimal("9223372036854775808").underlying()),
+          (d - lit(BigDecimal("18446744073709551616").underlying())).cast("long").cast("string"))
+          .otherwise(d.cast("long").cast("string"))
+      case "bigint" => raw.cast("long").cast("string")
+      case "float" if c.dec < 0 => raw.cast("float").cast("string")
+      case "float" | "double" | "decimal" => raw.cast("double").cast("string")
+      case "bit" if c.flen <= 1 =>
+        when(raw.cast("long") =!= 0, lit("true")).otherwise(lit("false"))
+      case "bit" =>
+        // little-endian bytes sized to ceil(n/8), base64 (Debezium Bits)
+        val nBytes = (c.flen + 7) / 8
+        val v = raw.cast("long")
+        val hexLe = concat((0 until nBytes).map(i =>
+          lpad(hex(shiftright(v, 8 * i).bitwiseAND(lit(255L))), 2, "0")): _*)
+        concat(lit("\""), b64(unhex(hexLe)), lit("\""))
+      case "varbinary" | "blob" | "tinyblob" | "mediumblob" | "longblob" =>
+        concat(lit("\""), b64(raw.cast("binary")), lit("\""))
+      case "binary" =>
+        // BINARY(n) storage zero-pads to n bytes
+        val padded =
+          if (c.flen > 0)
+            call_function("rpad", raw.cast("binary"), lit(c.flen), lit(Array[Byte](0)))
+          else raw.cast("binary")
+        concat(lit("\""), b64(padded), lit("\""))
+      case "varchar" | "char" | "tinytext" | "text" | "mediumtext" | "longtext" | "json" =>
+        concat(lit("\""), Codecs.jsonEscape(raw), lit("\""))
+      case "enum" =>
+        val valid = raw.isin(c.elems: _*)
+        concat(lit("\""), when(valid, Codecs.jsonEscape(raw)).otherwise(lit("")), lit("\""))
+      case "set" =>
+        // valid iff every member is an allowed element; normalized to
+        // element order with duplicates collapsed (MySQL SET semantics)
+        val members = split(raw, ",")
+        val allValid = forall(members, m => m.isin(c.elems: _*))
+        val normalized = array_join(
+          filter(typedlit(c.elems), e => array_contains(members, e)), ",")
+        concat(lit("\""), when(allValid, normalized).otherwise(lit("")), lit("\""))
+      case "date" =>
+        val d = try_to_date(raw)
+        val days = datediff(d, epochDay).cast("string")
+        if (c.notNull) coalesce(days, lit("0")) else days
+      case "datetime" =>
+        val us = roundAtFsp(unix_micros(try_to_timestamp(raw)), c.fsp)
+        val n = if (c.fsp <= 3) idiv(us, 1000L) else us
+        val s = n.cast("string")
+        if (c.notNull) coalesce(s, lit("0")) else s
+      case "timestamp" =>
+        val us = roundAtFsp(unix_micros(try_to_timestamp(raw)), c.fsp)
+        val ts = timestamp_micros(us)
+        val base = date_format(ts, "yyyy-MM-dd'T'HH:mm:ss")
+        val frac =
+          if (c.fsp > 0)
+            concat(lit("."),
+              substring(lpad(pmod(us, lit(1000000L)).cast("string"), 6, "0"), 1, c.fsp))
+          else lit("")
+        val s = concat(lit("\""), base, frac, lit("Z\""))
+        if (c.notNull) coalesce(s, lit("\"1970-01-01T00:00:00Z\"")) else s
+      case "time" =>
+        val sign = when(raw.startsWith("-"), -1L).otherwise(1L)
+        val body = regexp_replace(raw, "^-", "")
+        val h = regexp_extract(body, "^(\\d+):", 1).cast("long")
+        val m = regexp_extract(body, "^\\d+:(\\d+)", 1).cast("long")
+        val sec = regexp_extract(body, "^\\d+:\\d+:(\\d+)", 1).cast("long")
+        val fracRaw = regexp_extract(body, "\\.(\\d+)$", 1)
+        val fracUs = coalesce(
+          rpad(fracRaw, 6, "0").cast("long"), lit(0L))
+        val us = (h * 3600L + m * 60L + sec) * 1000000L + roundAtFsp(fracUs, c.fsp)
+        (sign * us).cast("string")
+      case _ => concat(lit("\""), Codecs.jsonEscape(raw), lit("\""))
+    }
+    coalesce(rendered, lit("null"))
+  }
+
+  /** JSON image object over `img.<col>` raw-literal columns; null
+    * struct → literal null. */
+  def imageJson(img: String, cols: Seq[MySqlCol]): Column = {
+    val body = cols.zipWithIndex.flatMap { case (c, i) =>
+      val sep = if (i == 0) "{\"" else ",\""
+      Seq(lit(s"$sep${c.name}\":"), jsonToken(c, col(s"$img.${c.name}")))
+    } :+ lit("}")
+    when(col(img).isNull, lit("null")).otherwise(concat(body: _*))
+  }
+
+  /** The `source` payload block. Field values are synthesized from the
+    * envelope (the reference fills them from the upstream capture;
+    * its golden suite ignores this block — debezium_test.go:81). */
+  private def sourcePayload(serverName: String): Column = concat(
+    lit(s"""{"version":"2.4.0.Final","connector":"mysql","name":"$serverName","ts_ms":"""),
+    (col("_commit_ts").cast(DecimalType(38, 0)) / lit(1000000L)).cast("long"),
+    lit(""","snapshot":"false","db":""""), col("_schema"),
+    lit("""","sequence":null,"table":""""), col("_table"),
+    lit("""","server_id":0,"gtid":null,"file":"","pos":0,"row":0,"thread":null,"query":null}"""))
+
+  /** Encode DML envelope rows (`before`/`after` structs of raw MySQL
+    * literal strings, `_op` I/U/D, `_schema`/`_table`/`_commit_ts`)
+    * into full Debezium key+value messages with schema blocks. */
+  def encode(env: DataFrame, t: MySqlTable, serverName: String): DataFrame = {
+    val op = when(col("_op") === "I", "c").when(col("_op") === "U", "u").otherwise("d")
+    val tsMs = (col("_commit_ts").cast(DecimalType(38, 0)) / lit(1000000L)).cast("long")
+    val keyImg = when(col("_op") === "D", col("before")).otherwise(col("after"))
+    val keyBody = t.pkCols.zipWithIndex.flatMap { case (c, i) =>
+      val sep = if (i == 0) "{\"" else ",\""
+      Seq(lit(s"$sep${c.name}\":"), jsonToken(c, keyImg.getField(c.name)))
+    } :+ lit("}")
+    env
+      .withColumn("_key", concat(
+        lit(s"""{"schema":${keySchemaJson(serverName, t)},"payload":"""),
+        concat(keyBody: _*), lit("}")))
+      .withColumn("_value", concat(
+        lit(s"""{"schema":${envelopeSchemaJson(serverName, t)},"payload":{"before":"""),
+        imageJson("before", t.cols),
+        lit(""","after":"""), imageJson("after", t.cols),
+        lit(""","source":"""), sourcePayload(serverName),
+        lit(""","op":""""), op,
+        lit("""","ts_ms":"""), tsMs,
+        lit(""","transaction":null}}""")))
+  }
+}

@@ -1,0 +1,216 @@
+package graft.model
+
+/** Full-fidelity MySQL CREATE TABLE column model — the subset of
+  * TiDB's `FieldType` (flen/decimal/flags/elems) that wire codecs need
+  * to reproduce reference message bytes (debezium codec.go:163-606,
+  * canal builder mysqlType/sqlType maps). [[DdlParser]] stays the
+  * registry-facing row-shape parser; this model keeps the type
+  * arguments and flags that DdlParser deliberately drops.
+  *
+  * Also parses the INSERT statements of the reference's codec fixtures
+  * (datatype.dml.sql, canal_json_basic/data/data.sql) into raw literal
+  * rows so golden specs can replay them through the encoders.
+  */
+object MySqlDdl {
+
+  /** One column of a CREATE TABLE, MySQL-typed.
+    *
+    * @param base lowercase base type ("int", "bit", "enum", ...)
+    * @param flen display/storage length: BIT width, CHAR/BINARY length,
+    *             DECIMAL precision; -1 when unspecified
+    * @param dec  DATETIME/TIME/TIMESTAMP fsp or DECIMAL scale; -1 when
+    *             unspecified (fsp defaults to 0, DECIMAL scale to 0)
+    */
+  case class MySqlCol(
+      name: String,
+      base: String,
+      flen: Int = -1,
+      dec: Int = -1,
+      unsigned: Boolean = false,
+      notNull: Boolean = false,
+      pk: Boolean = false,
+      autoInc: Boolean = false,
+      elems: Seq[String] = Nil,
+      default: Option[String] = None) {
+    def fsp: Int = if (dec < 0) 0 else dec
+    /** Types carrying the MySQL binary flag (bytes, not text). */
+    def isBinary: Boolean = base match {
+      case "varbinary" | "binary" | "blob" | "tinyblob" | "mediumblob" | "longblob" => true
+      case _ => false
+    }
+  }
+
+  case class MySqlTable(schema: String, table: String, cols: Seq[MySqlCol]) {
+    def pkCols: Seq[MySqlCol] = cols.filter(_.pk)
+  }
+
+  /** Split `body` on top-level commas, respecting (), '' and `` nesting
+    * (ENUM('a','b') and DECIMAL(10, 5) must not split). */
+  private[model] def splitTopLevel(body: String, sep: Char = ','): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false; var inTick = false
+    var i = 0
+    while (i < body.length) {
+      val c = body.charAt(i)
+      if (inStr) {
+        cur.append(c)
+        if (c == '\'') {
+          // '' escape inside a string literal
+          if (i + 1 < body.length && body.charAt(i + 1) == '\'') { cur.append('\''); i += 1 }
+          else inStr = false
+        } else if (c == '\\' && i + 1 < body.length) { cur.append(body.charAt(i + 1)); i += 1 }
+      } else if (inTick) {
+        cur.append(c); if (c == '`') inTick = false
+      } else c match {
+        case '\'' => inStr = true; cur.append(c)
+        case '`' => inTick = true; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case `sep` if depth == 0 => parts += cur.toString; cur.clear()
+        case _ => cur.append(c)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  private def unquote(s: String): String = {
+    val t = s.trim
+    if (t.length >= 2 && t.startsWith("'") && t.endsWith("'"))
+      t.substring(1, t.length - 1).replace("''", "'")
+    else t.replace("`", "")
+  }
+
+  private val typeRe =
+    """(?is)^\s*([a-z]+)\s*(?:\(\s*(.*?)\s*\))?(.*)$""".r
+
+  private val tableLevel = Set(
+    "primary", "unique", "key", "index", "constraint", "foreign",
+    "check", "fulltext", "spatial", "partition")
+
+  /** Parse one column definition part ("name TYPE(args) attrs..."). */
+  private[model] def parseColDef(part: String): Option[MySqlCol] = {
+    val trimmed = part.trim
+    val (name, rest0) =
+      if (trimmed.startsWith("`")) {
+        val end = trimmed.indexOf('`', 1)
+        (trimmed.substring(1, end), trimmed.substring(end + 1))
+      } else {
+        val end = trimmed.indexWhere(c => c.isWhitespace)
+        if (end < 0) return None
+        (trimmed.substring(0, end), trimmed.substring(end))
+      }
+    if (tableLevel.contains(name.toLowerCase)) return None
+    rest0.trim match {
+      case typeRe(rawBase, args, attrs0) =>
+        var base = rawBase.toLowerCase
+        val attrs = attrs0.toLowerCase
+        // synonyms the matrix uses
+        base = base match {
+          case "integer" => "int"
+          case "numeric" | "dec" | "fixed" => "decimal"
+          case "bool" | "boolean" => "tinyint" // MySQL BOOL = TINYINT(1)
+          case "real" => "double"
+          case b => b
+        }
+        var flen = -1; var dec = -1; var elems = Seq.empty[String]
+        if (args != null && args.nonEmpty) {
+          if (base == "enum" || base == "set")
+            elems = splitTopLevel(args).map(unquote)
+          else {
+            val nums = splitTopLevel(args).map(_.trim)
+            if (nums.nonEmpty && nums.head.forall(_.isDigit)) flen = nums.head.toInt
+            if (nums.length > 1 && nums(1).forall(_.isDigit)) dec = nums(1).toInt
+          }
+        }
+        // DATETIME(3)/TIME(3)/TIMESTAMP(3): single arg is the fsp
+        if ((base == "datetime" || base == "time" || base == "timestamp") && flen >= 0) {
+          dec = flen; flen = -1
+        }
+        val unsigned = attrs.contains("unsigned")
+        val notNull = attrs.contains("not null")
+        val pk = attrs.contains("primary key")
+        val autoInc = attrs.contains("auto_increment")
+        val dfltRe = """(?is).*\bdefault\s+('(?:[^']|'')*'|[^\s,]+).*""".r
+        val dflt = attrs0 match {
+          case dfltRe(v) => Some(unquote(v))
+          case _ => None
+        }
+        Some(MySqlCol(name, base, flen, dec, unsigned, notNull || pk, pk,
+          autoInc, elems, dflt))
+      case _ => None
+    }
+  }
+
+  private val createRe =
+    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s*\((.*)\)\s*[^()]*$""".r
+
+  /** Parse a CREATE TABLE with the full type matrix. Table-level
+    * `PRIMARY KEY (a,b)` / `CONSTRAINT x PRIMARY KEY (a,b)` clauses
+    * mark the named columns pk + not-null. */
+  def parseCreateTable(ddl: String, defaultSchema: String = "test"): Option[MySqlTable] =
+    ddl.trim.stripSuffix(";") match {
+      case createRe(rawName, body) =>
+        val nameParts = rawName.replace("`", "").split('.')
+        val (schema, table) =
+          if (nameParts.length >= 2) (nameParts(nameParts.length - 2), nameParts.last)
+          else (defaultSchema, nameParts.last)
+        val parts = splitTopLevel(body)
+        val cols = parts.flatMap(parseColDef)
+        // table-level pk clause
+        val pkRe = """(?is).*PRIMARY\s+KEY\s*\(\s*([^)]*)\s*\).*""".r
+        val pkNames: Set[String] = parts.filter { p =>
+          val head = p.trim.takeWhile(_.isLetter).toLowerCase
+          tableLevel.contains(head)
+        }.collectFirst { case pkRe(colList) =>
+          splitTopLevel(colList).map(unquote).toSet
+        }.getOrElse(Set.empty)
+        val withPk = cols.map(c =>
+          if (pkNames.contains(c.name)) c.copy(pk = true, notNull = true) else c)
+        Some(MySqlTable(schema, table, withPk))
+      case _ => None
+    }
+
+  /** One parsed INSERT: raw literal per named column (None = SQL NULL;
+    * unnamed columns absent from the map). */
+  case class InsertRow(table: String, values: Map[String, Option[String]])
+
+  private val insertRe =
+    """(?is)^\s*INSERT\s+INTO\s+([`\w.]+)\s*(?:\(\s*(.*?)\s*\))?\s*VALUES\s*(.*)$""".r
+
+  /** Parse INSERT INTO t [(cols)] VALUES (...),(...) into raw literal
+    * rows. Literals keep their text form (quotes stripped); NULL →
+    * None. */
+  def parseInsert(sql: String): Seq[InsertRow] =
+    sql.trim.stripSuffix(";") match {
+      case insertRe(rawName, colList, valuesPart) =>
+        val table = rawName.replace("`", "").split('.').last
+        val names: Option[Seq[String]] =
+          Option(colList).map(cl => splitTopLevel(cl).map(unquote)).filter(_.nonEmpty)
+        // split "(...),(...)" tuples at top level
+        val tuples = splitTopLevel(valuesPart).map(_.trim).filter(_.nonEmpty)
+        tuples.map { t =>
+          val inner = t.stripPrefix("(").stripSuffix(")")
+          val lits = splitTopLevel(inner).map { raw =>
+            val v = raw.trim
+            if (v.equalsIgnoreCase("null")) None else Some(unquote(v))
+          }
+          val colNames = names.getOrElse(Seq.tabulate(lits.length)(i => s"_$i"))
+          InsertRow(table, colNames.zip(lits).toMap)
+        }
+      case _ => Seq.empty
+    }
+
+  /** Split a .sql script into statements (`;` at top level), dropping
+    * `--` comment lines (comments inside string literals survive: the
+    * strip only applies where the prefix has balanced quotes). */
+  def splitStatements(script: String): Seq[String] = {
+    val noComments = script.linesIterator.map { l =>
+      val i = l.indexOf("--")
+      if (i >= 0 && l.substring(0, i).count(_ == '\'') % 2 == 0) l.substring(0, i) else l
+    }.mkString("\n")
+    splitTopLevel(noComments, ';').map(_.trim).filter(_.nonEmpty)
+  }
+}
