@@ -44,26 +44,26 @@ object MySqlDdl {
     def pkCols: Seq[MySqlCol] = cols.filter(_.pk)
   }
 
-  /** Split `body` on top-level commas, respecting (), '' and `` nesting
-    * (ENUM('a','b') and DECIMAL(10, 5) must not split). */
+  /** Split `body` on top-level commas, respecting (), '', "" and ``
+    * nesting (ENUM('a','b') and DECIMAL(10, 5) must not split). */
   private[model] def splitTopLevel(body: String, sep: Char = ','): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
-    var depth = 0; var inStr = false; var inTick = false
+    var depth = 0; var quote: Char = 0; var inTick = false
     var i = 0
     while (i < body.length) {
       val c = body.charAt(i)
-      if (inStr) {
+      if (quote != 0) {
         cur.append(c)
-        if (c == '\'') {
-          // '' escape inside a string literal
-          if (i + 1 < body.length && body.charAt(i + 1) == '\'') { cur.append('\''); i += 1 }
-          else inStr = false
+        if (c == quote) {
+          // doubled-quote escape inside a string literal
+          if (i + 1 < body.length && body.charAt(i + 1) == quote) { cur.append(quote); i += 1 }
+          else quote = 0
         } else if (c == '\\' && i + 1 < body.length) { cur.append(body.charAt(i + 1)); i += 1 }
       } else if (inTick) {
         cur.append(c); if (c == '`') inTick = false
       } else c match {
-        case '\'' => inStr = true; cur.append(c)
+        case '\'' | '"' => quote = c; cur.append(c)
         case '`' => inTick = true; cur.append(c)
         case '(' => depth += 1; cur.append(c)
         case ')' => depth -= 1; cur.append(c)
@@ -80,7 +80,24 @@ object MySqlDdl {
     val t = s.trim
     if (t.length >= 2 && t.startsWith("'") && t.endsWith("'"))
       t.substring(1, t.length - 1).replace("''", "'")
+    else if (t.length >= 2 && t.startsWith("\"") && t.endsWith("\""))
+      t.substring(1, t.length - 1).replace("\"\"", "\"")
     else t.replace("`", "")
+  }
+
+  /** Normalize the MySQL binary/bit literal forms to canonical text
+    * the encoders interpret: x'HEX' / 0xHEX → "0xHEX"; b'BITS' →
+    * unsigned decimal string. Other literals pass through unquoted. */
+  private def normalizeLiteral(raw: String): String = {
+    val t = raw.trim
+    val lower = t.toLowerCase
+    if ((lower.startsWith("x'") || lower.startsWith("b'")) && t.endsWith("'")) {
+      val body = t.substring(2, t.length - 1)
+      if (lower.startsWith("x'")) "0x" + body
+      else java.lang.Long.toUnsignedString(java.lang.Long.parseUnsignedLong(body, 2))
+    } else if (lower.startsWith("0x") && t.drop(2).forall(c => Character.digit(c, 16) >= 0)) {
+      "0x" + t.drop(2)
+    } else unquote(t)
   }
 
   private val typeRe =
@@ -195,7 +212,7 @@ object MySqlDdl {
           val inner = t.stripPrefix("(").stripSuffix(")")
           val lits = splitTopLevel(inner).map { raw =>
             val v = raw.trim
-            if (v.equalsIgnoreCase("null")) None else Some(unquote(v))
+            if (v.equalsIgnoreCase("null")) None else Some(normalizeLiteral(v))
           }
           val colNames = names.getOrElse(Seq.tabulate(lits.length)(i => s"_$i"))
           InsertRow(table, colNames.zip(lits).toMap)
