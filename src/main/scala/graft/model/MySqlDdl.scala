@@ -46,7 +46,7 @@ object MySqlDdl {
 
   /** Split `body` on top-level commas, respecting (), '', "" and ``
     * nesting (ENUM('a','b') and DECIMAL(10, 5) must not split). */
-  private[model] def splitTopLevel(body: String, sep: Char = ','): Seq[String] = {
+  def splitTopLevel(body: String, sep: Char = ','): Seq[String] = {
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     val cur = new StringBuilder
     var depth = 0; var quote: Char = 0; var inTick = false

@@ -1,0 +1,315 @@
+package graft.sinks
+
+import java.sql.{Connection, DriverManager, SQLException}
+
+import graft.model.MySqlDdl
+
+/** Real-JDBC execution of the MySQL statement stream (SURVEY §7.2 M4
+  * "foreachBatch JDBC writer") — the downstream half the reference
+  * implements in pkg/sink/mysql/mysql_writer*.go, executed against an
+  * embedded Apache Derby engine so quoting, type coercion, primary-key
+  * constraint behavior and transaction frames are enforced by a real
+  * SQL engine rather than asserted on statement text.
+  *
+  * MySQL-dialect statements (the grammar [[MysqlSink]]/[[SqlBuilder]]
+  * emit — this translator covers exactly that grammar, nothing more)
+  * translate to Derby as:
+  *  - backtick identifiers → double quotes; `LIMIT 1` suffix dropped
+  *    (Derby has no DML LIMIT; our WHERE is always a full handle key)
+  *  - `REPLACE INTO t (cols) VALUES (t1),(t2)…` → per tuple:
+  *    DELETE by primary key + INSERT (MySQL REPLACE semantics over
+  *    the PK; multi-row tuples apply in listed order)
+  *  - `INSERT … ON DUPLICATE KEY UPDATE a=expr,…` → try INSERT; on
+  *    duplicate-key (SQLState 23505) run the equivalent UPDATE with
+  *    `VALUES(c)` resolved to the insert row's literal, `IF(c,a,b)` →
+  *    `CASE WHEN c THEN a ELSE b END`, `IFNULL` → `COALESCE` — the
+  *    exact two-step MySQL documents for ODKU
+  *  - `INSERT IGNORE` → try INSERT, swallow duplicate-key
+  *  - `DELETE … WHERE (k1,k2) IN ((a,b),(c,d))` → OR of per-tuple
+  *    key conjunctions (Derby's row-value IN support is limited)
+  *  - `BEGIN`/`COMMIT` → JDBC autoCommit(false)/commit()
+  *  - `SET SESSION …` → recorded, not executed (session markers like
+  *    the BDR `tidb_cdc_write_source` have no Derby equivalent)
+  *  - string literals: MySQL's backslash-doubling undone (Derby
+  *    treats backslash literally); `x'…'` binary literals uppercased
+  *
+  * In local mode every executor thread shares the in-memory Derby
+  * instance, so [[MysqlSink.applyBatch]]'s foreachPartition can pass
+  * `applier.execute` directly as its `execute` thunk. On a cluster
+  * the same statement stream targets a real MySQL URL — the
+  * translation layer is Derby-only test infrastructure by design.
+  */
+final class JdbcApplier(val url: String) {
+
+  /** Statements observed but not executed (SET SESSION markers). */
+  val sessionMarkers = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
+  // (schema,table) → pk column names, for REPLACE/ODKU key resolution
+  private val pkRegistry = new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[String]]()
+
+  private def withConnection[A](f: Connection => A): A = {
+    val conn = DriverManager.getConnection(url)
+    try f(conn) finally conn.close()
+  }
+
+  /** Create schema (if absent) + table with PRIMARY KEY; registers the
+    * pk columns for REPLACE translation. `cols` = (name, derbyType). */
+  def createTable(schema: String, table: String, cols: Seq[(String, String)],
+                  pks: Seq[String]): Unit = withConnection { conn =>
+    val st = conn.createStatement()
+    try st.executeUpdate(s"""CREATE SCHEMA "$schema"""")
+    catch { case e: SQLException if e.getSQLState == "X0Y68" => () } // exists
+    val colDefs = cols.map { case (n, t) =>
+      val notNull = if (pks.contains(n)) " NOT NULL" else ""
+      s""""$n" $t$notNull"""
+    }
+    val pkClause =
+      if (pks.nonEmpty) s""", PRIMARY KEY (${pks.map(p => s""""$p"""").mkString(",")})"""
+      else ""
+    try st.executeUpdate(
+      s"""CREATE TABLE "$schema"."$table" (${colDefs.mkString(",")}$pkClause)""")
+    catch { case e: SQLException if e.getSQLState == "X0Y32" => () } // exists
+    st.close()
+    pkRegistry.put((schema, table), pks)
+  }
+
+  /** The reference's bookkeeping tables (mysql_writer_for_ddl_ts.go:266,
+    * mysql_writer_for_syncpoint.go) so ddl-ts/sync-point statements
+    * execute for real. */
+  def ensureMetaTables(): Unit = {
+    createTable("tidb_cdc", "ddl_ts_v1",
+      Seq("ticdc_cluster_id" -> "VARCHAR(255)", "changefeed" -> "VARCHAR(255)",
+        "ddl_ts" -> "BIGINT"),
+      Seq("ticdc_cluster_id", "changefeed"))
+    createTable("tidb_cdc", "syncpoint_v1",
+      Seq("ticdc_cluster_id" -> "VARCHAR(255)", "changefeed" -> "VARCHAR(255)",
+        "primary_ts" -> "BIGINT", "secondary_ts" -> "BIGINT"),
+      Seq("ticdc_cluster_id", "changefeed", "primary_ts"))
+  }
+
+  /** Execute one worker partition's ordered statement stream — the
+    * `execute` thunk for [[MysqlSink.applyBatch]] and friends. Each
+    * call is one connection (one reference writer worker). */
+  def execute(stmts: Iterator[String]): Unit = withConnection { conn =>
+    conn.setAutoCommit(true)
+    var inTxn = false
+    val st = conn.createStatement()
+    stmts.foreach { raw =>
+      raw match {
+        case "BEGIN" => conn.setAutoCommit(false); inTxn = true
+        case "COMMIT" => conn.commit(); conn.setAutoCommit(true); inTxn = false
+        case s if s.toUpperCase.startsWith("SET SESSION") => sessionMarkers.add(s)
+        case s => JdbcApplier.translate(s, pkOf).foreach(t => runOne(st, t))
+      }
+    }
+    if (inTxn) { conn.commit(); conn.setAutoCommit(true) }
+    st.close()
+  }
+
+  private def pkOf(schema: String, table: String): Seq[String] =
+    Option(pkRegistry.get((schema, table))).getOrElse(Seq.empty)
+
+  /** Run one translated unit: either a plain statement or a
+    * try-insert-then-update pair (ODKU / INSERT IGNORE). */
+  private def runOne(st: java.sql.Statement, t: JdbcApplier.Translated): Unit = t match {
+    case JdbcApplier.Plain(sql) => st.executeUpdate(sql)
+    case JdbcApplier.TryInsertElse(insert, onDup) =>
+      try st.executeUpdate(insert)
+      catch {
+        case e: SQLException if JdbcApplier.isDuplicateKey(e) =>
+          onDup.foreach(st.executeUpdate)
+      }
+  }
+
+  /** Read a table's rows back (sorted by pk) for state diffing. */
+  def tableRows(schema: String, table: String, cols: Seq[String]): Seq[Seq[Any]] =
+    withConnection { conn =>
+      val pk = pkOf(schema, table)
+      val order = (if (pk.nonEmpty) pk else cols).map(c => s""""$c"""").mkString(",")
+      val rs = conn.createStatement().executeQuery(
+        s"""SELECT ${cols.map(c => s""""$c"""").mkString(",")} FROM "$schema"."$table" ORDER BY $order""")
+      val out = scala.collection.mutable.ArrayBuffer.empty[Seq[Any]]
+      while (rs.next()) out += cols.indices.map(i => rs.getObject(i + 1))
+      out.toSeq
+    }
+}
+
+object JdbcApplier {
+
+  // One applier per URL per JVM: foreachPartition closures capture the
+  // URL string (serializable) and resolve the shared instance — in
+  // local mode executors see the same pk registry and marker queue.
+  private val instances =
+    new java.util.concurrent.ConcurrentHashMap[String, JdbcApplier]()
+
+  def forUrl(url: String): JdbcApplier =
+    instances.computeIfAbsent(url, new JdbcApplier(_))
+
+  /** In-memory Derby database, shared per name within the JVM. */
+  def inMemory(name: String): JdbcApplier =
+    forUrl(s"jdbc:derby:memory:$name;create=true")
+
+  /** A serializable `execute` thunk for [[MysqlSink.applyBatch]] —
+    * captures only the URL. */
+  def executeFor(url: String): Iterator[String] => Unit = {
+    val u = url
+    (it: Iterator[String]) => forUrl(u).execute(it)
+  }
+
+  sealed trait Translated
+  final case class Plain(sql: String) extends Translated
+  /** Try the insert; on duplicate key run the updates (ODKU two-step;
+    * empty updates = INSERT IGNORE). */
+  final case class TryInsertElse(insert: String, onDup: Seq[String]) extends Translated
+
+  /** Derby duplicate-key detection — the 1062-equivalent. SQLState
+    * 23505 is Derby's duplicate-key code (MySQL raises ER_DUP_ENTRY
+    * 1062 / SQLState 23000). */
+  def isDuplicateKey(e: SQLException): Boolean =
+    e.getSQLState == "23505" ||
+      (e.getMessage != null && e.getMessage.toLowerCase.contains("duplicate key"))
+
+  // ---------- dialect translation (pure functions) ----------
+
+  private val replaceRe =
+    """(?is)^REPLACE INTO (.+?) \((.+?)\) VALUES (.+)$""".r
+  private val insertOdkuRe =
+    """(?is)^INSERT INTO (.+?) \((.+?)\) VALUES (.+?) ON DUPLICATE KEY UPDATE (.+)$""".r
+  private val insertIgnoreRe =
+    """(?is)^INSERT IGNORE INTO (.+?) \((.+?)\) VALUES (.+)$""".r
+  private val deleteInRe =
+    """(?is)^DELETE FROM (.+?) WHERE \((.+?)\) IN \((.+)\)$""".r
+
+  private def unbacktick(s: String): String = s.replace("`", "\"")
+
+  /** Undo MySQL string-literal escaping Derby doesn't share: inside
+    * single-quoted segments `\\` → `\` (quote doubling is common to
+    * both); uppercase x'…' binary literals. */
+  private[graft] def fixLiterals(sql: String): String = {
+    val sb = new StringBuilder(sql.length)
+    var i = 0; var inStr = false
+    while (i < sql.length) {
+      val c = sql.charAt(i)
+      if (!inStr && (c == 'x' || c == 'X') && i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+        // binary literal: copy uppercased up to the closing quote
+        val end = sql.indexOf('\'', i + 2)
+        sb.append('X').append('\'').append(sql.substring(i + 2, end).toUpperCase).append('\'')
+        i = end + 1
+      } else if (c == '\'') {
+        if (inStr && i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+          sb.append("''"); i += 2 // doubled quote stays
+        } else { inStr = !inStr; sb.append(c); i += 1 }
+      } else if (inStr && c == '\\' && i + 1 < sql.length && sql.charAt(i + 1) == '\\') {
+        sb.append('\\'); i += 2 // MySQL \\ → literal backslash
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
+  private def stripLimit(s: String): String = {
+    val t = s.trim
+    if (t.toUpperCase.endsWith(" LIMIT 1")) t.substring(0, t.length - 8) else t
+  }
+
+  /** `"s"."t"` / `s.t` → (schema, table) with quoting removed. */
+  private def tableRef(raw: String): (String, String) = {
+    val parts = MySqlDdl.splitTopLevel(raw.replace("\"", ""), '.')
+    if (parts.length >= 2) (parts(parts.length - 2), parts.last) else ("", parts.head)
+  }
+
+  private def quoteTable(s: String, t: String): String = s""""$s"."$t""""
+
+  /** MySQL scalar functions of the LWW upsert → Derby/ANSI:
+    * `IFNULL` → `COALESCE`; `IF(c,a,b)` → `CASE WHEN c THEN a ELSE b
+    * END` (argument-aware, handles nesting). */
+  private[graft] def rewriteScalarFns(expr: String): String = {
+    var s = expr.replaceAll("(?i)\\bIFNULL\\s*\\(", "COALESCE(")
+    // rewrite innermost IF(...) first until none remain
+    val ifRe = "(?i)\\bIF\\s*\\(".r
+    var changed = true
+    while (changed) {
+      changed = false
+      ifRe.findFirstMatchIn(s).foreach { m =>
+        val start = m.end // position after '('
+        var depth = 1; var i = start
+        while (depth > 0 && i < s.length) {
+          s.charAt(i) match {
+            case '(' => depth += 1
+            case ')' => depth -= 1
+            case _ =>
+          }
+          i += 1
+        }
+        val inner = s.substring(start, i - 1)
+        val args = MySqlDdl.splitTopLevel(inner)
+        if (args.length == 3) {
+          val replacement = s"CASE WHEN ${args(0)} THEN ${args(1)} ELSE ${args(2)} END"
+          s = s.substring(0, m.start) + replacement + s.substring(i)
+          changed = true
+        }
+      }
+    }
+    s
+  }
+
+  /** Translate one MySQL statement into Derby execution units.
+    * `pkOf` resolves the primary key for REPLACE/ODKU key extraction. */
+  def translate(raw: String, pkOf: (String, String) => Seq[String]): Seq[Translated] = {
+    val sql = stripLimit(fixLiterals(unbacktick(raw.trim)))
+    sql match {
+      case replaceRe(tbl, colList, valuesPart) =>
+        val (s, t) = tableRef(tbl)
+        val cols = MySqlDdl.splitTopLevel(colList).map(_.replace("\"", "").trim)
+        val pks = pkOf(s, t)
+        require(pks.nonEmpty, s"REPLACE needs a registered pk for $s.$t")
+        MySqlDdl.splitTopLevel(valuesPart).flatMap { tuple =>
+          val vals = MySqlDdl.splitTopLevel(tuple.trim.stripPrefix("(").stripSuffix(")"))
+          val byCol = cols.zip(vals).toMap
+          val keyPred = pks.map(k => s""""$k" = ${byCol(k)}""").mkString(" AND ")
+          Seq(
+            Plain(s"DELETE FROM ${quoteTable(s, t)} WHERE $keyPred"),
+            Plain(s"INSERT INTO ${quoteTable(s, t)} (${cols.map(c => s""""$c"""").mkString(",")}) VALUES (${vals.mkString(",")})"))
+        }
+      case insertOdkuRe(tbl, colList, valuesPart, odku) =>
+        val (s, t) = tableRef(tbl)
+        val cols = MySqlDdl.splitTopLevel(colList).map(_.replace("\"", "").trim)
+        val tuples = MySqlDdl.splitTopLevel(valuesPart)
+        val pks = pkOf(s, t)
+        require(pks.nonEmpty, s"ODKU needs a registered pk for $s.$t")
+        tuples.map { tuple =>
+          val vals = MySqlDdl.splitTopLevel(tuple.trim.stripPrefix("(").stripSuffix(")"))
+          val byCol = cols.zip(vals).toMap
+          // VALUES(`c`) → the insert row's literal for c
+          var assigns = odku
+          cols.foreach { c =>
+            assigns = assigns.replaceAll(
+              "(?i)VALUES\\s*\\(\\s*\"" + java.util.regex.Pattern.quote(c) + "\"\\s*\\)",
+              java.util.regex.Matcher.quoteReplacement(byCol(c)))
+          }
+          val keyPred = pks.map(k => s""""$k" = ${byCol(k)}""").mkString(" AND ")
+          val update =
+            s"UPDATE ${quoteTable(s, t)} SET ${rewriteScalarFns(assigns)} WHERE $keyPred"
+          TryInsertElse(
+            s"INSERT INTO ${quoteTable(s, t)} (${cols.map(c => s""""$c"""").mkString(",")}) VALUES ${tuple.trim}",
+            Seq(update))
+        }
+      case insertIgnoreRe(tbl, colList, valuesPart) =>
+        val (s, t) = tableRef(tbl)
+        val cols = MySqlDdl.splitTopLevel(colList).map(_.replace("\"", "").trim)
+        MySqlDdl.splitTopLevel(valuesPart).map { tuple =>
+          TryInsertElse(
+            s"INSERT INTO ${quoteTable(s, t)} (${cols.map(c => s""""$c"""").mkString(",")}) VALUES $tuple",
+            Seq.empty)
+        }
+      case deleteInRe(tbl, keyList, tuplesPart) =>
+        val (s, t) = tableRef(tbl)
+        val keys = MySqlDdl.splitTopLevel(keyList).map(_.replace("\"", "").trim)
+        val preds = MySqlDdl.splitTopLevel(tuplesPart).map { tuple =>
+          val vals = MySqlDdl.splitTopLevel(tuple.trim.stripPrefix("(").stripSuffix(")"))
+          keys.zip(vals).map { case (k, v) => s""""$k" = $v""" }.mkString("(", " AND ", ")")
+        }
+        Seq(Plain(s"DELETE FROM ${quoteTable(s, t)} WHERE ${preds.mkString(" OR ")}"))
+      case other => Seq(Plain(other))
+    }
+  }
+}

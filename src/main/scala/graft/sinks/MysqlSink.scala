@@ -164,10 +164,15 @@ object MysqlSink {
     }
   }
 
-  /** MySQL 1062 detection, the trigger the reference keys on. */
+  /** Duplicate-key detection, the trigger the reference keys on:
+    * MySQL ER_DUP_ENTRY 1062 text, plus the generic "duplicate key"
+    * phrasing other engines raise for the same constraint class
+    * (Derby/ANSI SQLState 23505 — the [[JdbcApplier]] execution
+    * path). */
   def isDuplicateEntry(message: String): Boolean =
     message != null &&
-      (message.contains("Duplicate entry") || message.contains("Error 1062"))
+      (message.contains("Duplicate entry") || message.contains("Error 1062") ||
+        message.toLowerCase.contains("duplicate key"))
 
   /** [[statements]] with the per-row auto-safe window instead of a
     * global flag. */
