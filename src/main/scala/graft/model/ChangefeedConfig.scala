@@ -80,4 +80,8 @@ final case class ChangefeedConfig(
     targetTs: Option[Long] = None,
     /** Upstream keyspace (multi-tenant cluster): GC barriers compute
       * per keyspace (changefeed_db.go:345-368). */
-    keyspace: String = "default")
+    keyspace: String = "default",
+    /** Sink security: mTLS credential + SASL
+      * (pkg/security/credential.go:106-129, sasl.go:61-67; kafka
+      * sink-URI params options.go:110-139). */
+    security: Security.SecurityConfig = Security.SecurityConfig())

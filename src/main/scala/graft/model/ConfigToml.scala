@@ -216,7 +216,48 @@ object ConfigToml {
         else None,
       maxFilesPerTrigger = doc.int("", "max-files-per-trigger").map(_.toInt),
       targetTs = doc.int("", "target-ts"),
-      keyspace = doc.str("", "keyspace").getOrElse("default"))
+      keyspace = doc.str("", "keyspace").getOrElse("default"),
+      security = securityOf(doc))
+  }
+
+  /** `[security]` (credential.go toml tags) + `[sink.kafka-config]`
+    * SASL keys (sink.go:473-489 toml tags) → [[Security.SecurityConfig]].
+    * TLS turns on when the credential is complete (options.go:420). */
+  private def securityOf(doc: Doc): Security.SecurityConfig = {
+    val cred = Security.Credential(
+      caPath = doc.str("security", "ca-path").getOrElse(""),
+      certPath = doc.str("security", "cert-path").getOrElse(""),
+      keyPath = doc.str("security", "key-path").getOrElse(""),
+      certAllowedCN = doc.strs("security", "cert-allowed-cn").getOrElse(Nil),
+      mtls = doc.bool("security", "mtls").getOrElse(false),
+      clientUserRequired = doc.bool("security", "client-user-required").getOrElse(false),
+      clientAllowedUser = doc.strs("security", "client-allowed-user").getOrElse(Nil))
+    val kc = "sink.kafka-config"
+    val sasl = Security.SaslConfig(
+      user = doc.str(kc, "sasl-user").getOrElse(""),
+      password = doc.str(kc, "sasl-password").getOrElse(""),
+      mechanism = doc.str(kc, "sasl-mechanism").map(Security.SaslMechanism.fromString),
+      gssapi = Security.GssapiConfig(
+        authType = doc.str(kc, "sasl-gssapi-auth-type").getOrElse(""),
+        keytabPath = doc.str(kc, "sasl-gssapi-keytab-path").getOrElse(""),
+        kerberosConfigPath = doc.str(kc, "sasl-gssapi-kerberos-config-path").getOrElse(""),
+        serviceName = doc.str(kc, "sasl-gssapi-service-name").getOrElse(""),
+        user = doc.str(kc, "sasl-gssapi-user").getOrElse(""),
+        password = doc.str(kc, "sasl-gssapi-password").getOrElse(""),
+        realm = doc.str(kc, "sasl-gssapi-realm").getOrElse(""),
+        disablePafxfast = doc.bool(kc, "sasl-gssapi-disable-pafxfast").getOrElse(false)),
+      oauth2 = Security.OAuth2Config(
+        clientId = doc.str(kc, "sasl-oauth-client-id").getOrElse(""),
+        clientSecret = doc.str(kc, "sasl-oauth-client-secret").getOrElse(""),
+        tokenUrl = doc.str(kc, "sasl-oauth-token-url").getOrElse(""),
+        scopes = doc.strs(kc, "sasl-oauth-scopes").getOrElse(Nil),
+        grantType = doc.str(kc, "sasl-oauth-grant-type").getOrElse("client_credentials"),
+        audience = doc.str(kc, "sasl-oauth-audience").getOrElse("")))
+    Security.SecurityConfig(
+      enableTls = cred.isTlsEnabled,
+      insecureSkipVerify = doc.bool(kc, "insecure-skip-verify").getOrElse(false),
+      credential = cred,
+      sasl = sasl)
   }
 
   // ---- render: config → TOML ----
@@ -274,6 +315,44 @@ object ConfigToml {
       d.targetSchema.foreach(t => b ++= s"target-schema = ${tomlStr(t)}\n")
       d.targetTable.foreach(t => b ++= s"target-table = ${tomlStr(t)}\n")
     }
+    val sec = cfg.security
+    if (!sec.credential.isEmpty || sec.credential.mtls ||
+        sec.credential.clientUserRequired || sec.credential.clientAllowedUser.nonEmpty) {
+      b ++= "\n[security]\n"
+      if (sec.credential.caPath.nonEmpty) b ++= s"ca-path = ${tomlStr(sec.credential.caPath)}\n"
+      if (sec.credential.certPath.nonEmpty) b ++= s"cert-path = ${tomlStr(sec.credential.certPath)}\n"
+      if (sec.credential.keyPath.nonEmpty) b ++= s"key-path = ${tomlStr(sec.credential.keyPath)}\n"
+      if (sec.credential.certAllowedCN.nonEmpty)
+        b ++= s"cert-allowed-cn = ${tomlArr(sec.credential.certAllowedCN)}\n"
+      if (sec.credential.mtls) b ++= "mtls = true\n"
+      if (sec.credential.clientUserRequired) b ++= "client-user-required = true\n"
+      if (sec.credential.clientAllowedUser.nonEmpty)
+        b ++= s"client-allowed-user = ${tomlArr(sec.credential.clientAllowedUser)}\n"
+    }
+    if (sec.sasl.isEnabled || sec.insecureSkipVerify) {
+      b ++= "\n[sink.kafka-config]\n"
+      if (sec.sasl.user.nonEmpty) b ++= s"sasl-user = ${tomlStr(sec.sasl.user)}\n"
+      if (sec.sasl.password.nonEmpty) b ++= s"sasl-password = ${tomlStr(sec.sasl.password)}\n"
+      sec.sasl.mechanism.foreach(m => b ++= s"sasl-mechanism = ${tomlStr(m.name.toLowerCase)}\n")
+      val g = sec.sasl.gssapi
+      if (g.authType.nonEmpty) b ++= s"sasl-gssapi-auth-type = ${tomlStr(g.authType)}\n"
+      if (g.keytabPath.nonEmpty) b ++= s"sasl-gssapi-keytab-path = ${tomlStr(g.keytabPath)}\n"
+      if (g.kerberosConfigPath.nonEmpty)
+        b ++= s"sasl-gssapi-kerberos-config-path = ${tomlStr(g.kerberosConfigPath)}\n"
+      if (g.serviceName.nonEmpty) b ++= s"sasl-gssapi-service-name = ${tomlStr(g.serviceName)}\n"
+      if (g.user.nonEmpty) b ++= s"sasl-gssapi-user = ${tomlStr(g.user)}\n"
+      if (g.password.nonEmpty) b ++= s"sasl-gssapi-password = ${tomlStr(g.password)}\n"
+      if (g.realm.nonEmpty) b ++= s"sasl-gssapi-realm = ${tomlStr(g.realm)}\n"
+      if (g.disablePafxfast) b ++= "sasl-gssapi-disable-pafxfast = true\n"
+      val o = sec.sasl.oauth2
+      if (o.clientId.nonEmpty) b ++= s"sasl-oauth-client-id = ${tomlStr(o.clientId)}\n"
+      if (o.clientSecret.nonEmpty) b ++= s"sasl-oauth-client-secret = ${tomlStr(o.clientSecret)}\n"
+      if (o.tokenUrl.nonEmpty) b ++= s"sasl-oauth-token-url = ${tomlStr(o.tokenUrl)}\n"
+      if (o.scopes.nonEmpty) b ++= s"sasl-oauth-scopes = ${tomlArr(o.scopes)}\n"
+      if (o.grantType != "client_credentials") b ++= s"sasl-oauth-grant-type = ${tomlStr(o.grantType)}\n"
+      if (o.audience.nonEmpty) b ++= s"sasl-oauth-audience = ${tomlStr(o.audience)}\n"
+      if (sec.insecureSkipVerify) b ++= "insecure-skip-verify = true\n"
+    }
     b.toString
   }
 
@@ -329,7 +408,51 @@ object ConfigToml {
       cfg.syncPointIntervalNs.map(ns => s""","sync_point_interval_ns":$ns""").getOrElse("") +
       cfg.maxFilesPerTrigger.map(n => s""","max_files_per_trigger":$n""").getOrElse("") +
       cfg.targetTs.map(t => s""","target_ts":$t""").getOrElse("") +
-      s""","keyspace":${jsonStr(cfg.keyspace)}}"""
+      s""","keyspace":${jsonStr(cfg.keyspace)}""" +
+      securityJson(cfg.security).map(j => s""","security":$j""").getOrElse("") + "}"
+  }
+
+  /** Security block → JSON, kebab keys = the reference's own json tags
+    * (credential.go:107-129, sink.go:473-489). None when default. */
+  private def securityJson(sec: Security.SecurityConfig): Option[String] = {
+    if (sec.isEmpty) None
+    else {
+      val c = sec.credential
+      val s = sec.sasl
+      val g = s.gssapi
+      val o = s.oauth2
+      val fields = Seq.newBuilder[String]
+      if (c.caPath.nonEmpty) fields += s""""ca-path":${jsonStr(c.caPath)}"""
+      if (c.certPath.nonEmpty) fields += s""""cert-path":${jsonStr(c.certPath)}"""
+      if (c.keyPath.nonEmpty) fields += s""""key-path":${jsonStr(c.keyPath)}"""
+      if (c.certAllowedCN.nonEmpty) fields += s""""cert-allowed-cn":${jsonArr(c.certAllowedCN)}"""
+      if (c.mtls) fields += s""""mtls":true"""
+      if (c.clientUserRequired) fields += s""""client-user-required":true"""
+      if (c.clientAllowedUser.nonEmpty)
+        fields += s""""client-allowed-user":${jsonArr(c.clientAllowedUser)}"""
+      if (sec.enableTls) fields += s""""enable-tls":true"""
+      if (sec.insecureSkipVerify) fields += s""""insecure-skip-verify":true"""
+      if (s.user.nonEmpty) fields += s""""sasl-user":${jsonStr(s.user)}"""
+      if (s.password.nonEmpty) fields += s""""sasl-password":${jsonStr(s.password)}"""
+      s.mechanism.foreach(m => fields += s""""sasl-mechanism":${jsonStr(m.name.toLowerCase)}""")
+      if (g.authType.nonEmpty) fields += s""""sasl-gssapi-auth-type":${jsonStr(g.authType)}"""
+      if (g.keytabPath.nonEmpty) fields += s""""sasl-gssapi-keytab-path":${jsonStr(g.keytabPath)}"""
+      if (g.kerberosConfigPath.nonEmpty)
+        fields += s""""sasl-gssapi-kerberos-config-path":${jsonStr(g.kerberosConfigPath)}"""
+      if (g.serviceName.nonEmpty) fields += s""""sasl-gssapi-service-name":${jsonStr(g.serviceName)}"""
+      if (g.user.nonEmpty) fields += s""""sasl-gssapi-user":${jsonStr(g.user)}"""
+      if (g.password.nonEmpty) fields += s""""sasl-gssapi-password":${jsonStr(g.password)}"""
+      if (g.realm.nonEmpty) fields += s""""sasl-gssapi-realm":${jsonStr(g.realm)}"""
+      if (g.disablePafxfast) fields += s""""sasl-gssapi-disable-pafxfast":true"""
+      if (o.clientId.nonEmpty) fields += s""""sasl-oauth-client-id":${jsonStr(o.clientId)}"""
+      if (o.clientSecret.nonEmpty) fields += s""""sasl-oauth-client-secret":${jsonStr(o.clientSecret)}"""
+      if (o.tokenUrl.nonEmpty) fields += s""""sasl-oauth-token-url":${jsonStr(o.tokenUrl)}"""
+      if (o.scopes.nonEmpty) fields += s""""sasl-oauth-scopes":${jsonArr(o.scopes)}"""
+      if (o.grantType != "client_credentials")
+        fields += s""""sasl-oauth-grant-type":${jsonStr(o.grantType)}"""
+      if (o.audience.nonEmpty) fields += s""""sasl-oauth-audience":${jsonStr(o.audience)}"""
+      Some(fields.result().mkString("{", ",", "}"))
+    }
   }
 
   /** v2 API JSON → [[ChangefeedConfig]] (Jackson tree walk). */
@@ -381,6 +504,39 @@ object ConfigToml {
         opt(s, "delete_only_output_handle_key_columns").exists(_.asBoolean()),
       dispatch = if (dispatchers.nonEmpty) dispatchers else Seq(DispatchRule()),
       bdrMode = opt(s, "bdr_mode").exists(_.asBoolean()))
+    val security = opt(root, "security").map { sec =>
+      def txt(k: String) = opt(sec, k).map(_.asText()).getOrElse("")
+      def flag(k: String) = opt(sec, k).exists(_.asBoolean())
+      Security.SecurityConfig(
+        enableTls = flag("enable-tls"),
+        insecureSkipVerify = flag("insecure-skip-verify"),
+        credential = Security.Credential(
+          caPath = txt("ca-path"), certPath = txt("cert-path"), keyPath = txt("key-path"),
+          certAllowedCN = opt(sec, "cert-allowed-cn").map(strsOf).getOrElse(Nil),
+          mtls = flag("mtls"),
+          clientUserRequired = flag("client-user-required"),
+          clientAllowedUser = opt(sec, "client-allowed-user").map(strsOf).getOrElse(Nil)),
+        sasl = Security.SaslConfig(
+          user = txt("sasl-user"), password = txt("sasl-password"),
+          mechanism = opt(sec, "sasl-mechanism").map(n =>
+            Security.SaslMechanism.fromString(n.asText())),
+          gssapi = Security.GssapiConfig(
+            authType = txt("sasl-gssapi-auth-type"),
+            keytabPath = txt("sasl-gssapi-keytab-path"),
+            kerberosConfigPath = txt("sasl-gssapi-kerberos-config-path"),
+            serviceName = txt("sasl-gssapi-service-name"),
+            user = txt("sasl-gssapi-user"), password = txt("sasl-gssapi-password"),
+            realm = txt("sasl-gssapi-realm"),
+            disablePafxfast = flag("sasl-gssapi-disable-pafxfast")),
+          oauth2 = Security.OAuth2Config(
+            clientId = txt("sasl-oauth-client-id"),
+            clientSecret = txt("sasl-oauth-client-secret"),
+            tokenUrl = txt("sasl-oauth-token-url"),
+            scopes = opt(sec, "sasl-oauth-scopes").map(strsOf).getOrElse(Nil),
+            grantType = opt(sec, "sasl-oauth-grant-type").map(_.asText())
+              .getOrElse("client_credentials"),
+            audience = txt("sasl-oauth-audience"))))
+    }.getOrElse(Security.SecurityConfig())
     ChangefeedConfig(
       id = opt(root, "id").map(_.asText()).getOrElse("changefeed"),
       filter = filter,
@@ -391,6 +547,7 @@ object ConfigToml {
       syncPointIntervalNs = opt(root, "sync_point_interval_ns").map(_.asLong()),
       maxFilesPerTrigger = opt(root, "max_files_per_trigger").map(_.asInt()),
       targetTs = opt(root, "target_ts").map(_.asLong()),
-      keyspace = opt(root, "keyspace").map(_.asText()).getOrElse("default"))
+      keyspace = opt(root, "keyspace").map(_.asText()).getOrElse("default"),
+      security = security)
   }
 }

@@ -34,12 +34,21 @@ object KafkaSink {
         carry.map(col): _*)
   }
 
-  /** Streaming write (batch variant: `.write` instead). */
+  /** Streaming write (batch variant: `.write` instead). Security
+    * (mTLS/SASL) rides as `kafka.`-prefixed client options —
+    * [[graft.model.Security.kafkaOptions]] maps the reference's
+    * credential + SASL surface (security.protocol, sasl.jaas.config,
+    * PEM file options) onto the connector. */
   def write(prepared: DataFrame, bootstrapServers: String,
-            checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    prepared.writeStream
+            checkpointDir: String,
+            security: graft.model.Security.SecurityConfig = graft.model.Security.SecurityConfig())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = prepared.writeStream
       .format("kafka")
       .option("kafka.bootstrap.servers", bootstrapServers)
       .option("checkpointLocation", checkpointDir)
+    graft.model.Security.kafkaOptions(security)
+      .foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
       .start()
+  }
 }
