@@ -1,0 +1,191 @@
+package graft
+
+import graft.functions.Decoders
+import graft.model.Envelope
+import graft.operators.{Materialize, TableDiff}
+import graft.sinks.{FileMq, JdbcApplier, MysqlSink}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Standalone consumer harness — the reference's differential
+  * verification model (cmd/kafka-consumer/main.go:40,
+  * cmd/storage-consumer, tests/integration_tests check_sync_diff):
+  * tail a message store, auto-detect the protocol, decode back to the
+  * envelope, re-apply through the MySQL sink path onto a REAL SQL
+  * engine ([[JdbcApplier]], embedded Derby), and sync-diff the
+  * resulting table state against what the message stream itself
+  * implies (and optionally against an upstream envelope parquet).
+  *
+  * Usage:
+  * {{{
+  * runMain graft.MqConsume <dir> [--source mq|storage]
+  *   [--protocol auto|canal-json|canal-json-txn|open|debezium|simple|csv]
+  *   [--db <derby-db-name>] [--expect <envelope-parquet-dir>]
+  * }}}
+  * Prints one JSON summary line; exit 1 when the diff is non-empty
+  * (the check_sync_diff contract).
+  */
+object MqConsume {
+
+  /** Auto-detect the wire protocol from one message value (the
+    * reference consumer takes --protocol; auto-detection covers the
+    * common case where the value shape is unambiguous). */
+  def detect(value: String): String = {
+    val v = value.trim
+    if (v.startsWith("{")) {
+      if (v.contains("\"isDdl\"")) {
+        if (v.contains("\n{")) "canal-json-txn" else "canal-json"
+      } else if (v.contains("\"source\"") || v.contains("\"ts_ms\"")) "debezium"
+      else if (v.contains("\"commitTs\"") && v.contains("\"version\"")) "simple"
+      else if (v.startsWith("{\"u\":") || v.startsWith("{\"p\":") ||
+        v.startsWith("{\"d\":")) "open"
+      else "canal-json"
+    } else "csv"
+  }
+
+  private val imgType = "struct<user_id:bigint,value:double,k:bigint>"
+
+  /** Decode messages (string `_key`/`_value` columns) into the
+    * normalized envelope frame (`_schema`,`_table`,`_op`,
+    * `_commit_ts`,`_start_ts`,`_row_id`,`before`,`after`).
+    * `_row_id` is a store-order tiebreak for same-commit-ts rows
+    * (protocol commit timestamps order the apply; the decoders keep
+    * partition-local row order through the 1:1 parse). */
+  def decode(msgs: DataFrame, protocol: String): DataFrame = {
+    val env = protocol match {
+      case "canal-json" =>
+        Decoders.decodeCanal(msgs)
+          .withColumn("_commit_ts", col("_commit_ms")).drop("_commit_ms")
+      case "canal-json-txn" =>
+        // one message per txn, per-row canal messages newline-joined
+        val exploded = msgs.withColumn("_value", explode(split(col("_value"), "\n")))
+        Decoders.decodeCanal(exploded)
+          .withColumn("_commit_ts", col("_commit_ms")).drop("_commit_ms")
+      case "open" => Decoders.decodeOpen(msgs)
+      case "debezium" => Decoders.decodeDebezium(msgs)
+      case "simple" => Decoders.decodeSimple(msgs)
+      case "csv" =>
+        val flat = Decoders.decodeCsv(msgs)
+        val img = struct(col("user_id"), col("value"), col("k"))
+        // csv carries one image: post for I/U, pre for D; the U
+        // pre-image shares the handle key, which is all apply needs
+        flat.select(
+          col("_schema"), col("_table"), col("_op"), col("_commit_ts"),
+          when(col("_op") === "I", lit(null).cast(imgType)).otherwise(img).as("before"),
+          when(col("_op") === "D", lit(null).cast(imgType)).otherwise(img).as("after"))
+      case other => throw new IllegalArgumentException(s"unknown protocol: $other")
+    }
+    env
+      .withColumn("_row_id", monotonically_increasing_id())
+      .withColumn("_start_ts", col("_commit_ts") - 1L)
+      .filter(col("_schema").isNotNull &&
+        (col("after.user_id").isNotNull || col("before.user_id").isNotNull))
+  }
+
+  /** Drop control messages (resolved watermarks, bootstrap
+    * handshakes) before decoding — value shapes per protocol. */
+  def dataMessagesOnly(msgs: DataFrame): DataFrame =
+    msgs.filter(length(trim(col("_value"))) > 0 &&
+      !col("_value").contains("\"BOOTSTRAP\"") &&
+      !col("_value").contains("\"TIDB_WATERMARK\"") &&
+      !(col("_value").startsWith("{\"ts\":") && col("_value").endsWith("\"t\":3}")))
+
+  final case class Summary(protocol: String, messages: Long, applied: Long,
+                           tables: Long, diffs: Long, expectDiffs: Long)
+
+  /** Consume → decode → re-apply (real JDBC) → sync-diff. */
+  def run(spark: SparkSession, dir: String, source: String = "mq",
+          protocol: String = "auto", dbName: String = "mqconsume",
+          expect: Option[String] = None): Summary = {
+    val raw = source match {
+      case "storage" =>
+        spark.read.text(dir)
+          .withColumnRenamed("value", "_value")
+          .withColumn("_key", lit(null).cast("string"))
+          .withColumn("offset", monotonically_increasing_id())
+      case _ =>
+        FileMq.read(spark, dir)
+          .select(col("key").cast("string").as("_key"),
+            col("value").cast("string").as("_value"),
+            // global replay order: partition-major, then offset
+            (col("partition").cast("long") * 1000000000L + col("offset")).as("offset"))
+    }
+    val data = dataMessagesOnly(raw)
+    val proto =
+      if (protocol != "auto") protocol
+      else {
+        // sample a few messages: a single-row canal TXN message is
+        // indistinguishable from plain canal-json (and decodes
+        // identically), so any multi-row message decides
+        val samples = data.select(col("_value")).limit(20)
+          .collect().map(r => detect(r.getString(0)))
+        if (samples.contains("canal-json-txn")) "canal-json-txn"
+        else samples.headOption.getOrElse("canal-json")
+      }
+    val env = decode(data, proto)
+
+    // re-apply through the sink path onto embedded Derby
+    val applier = JdbcApplier.inMemory(dbName)
+    val tables = env.select(col("_schema"), col("_table")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    tables.foreach { case (s, t) =>
+      applier.createTable(s, t,
+        Seq("user_id" -> "BIGINT", "value" -> "DECIMAL(18,2)", "k" -> "BIGINT"),
+        Seq("user_id"))
+    }
+    // safe mode: the consumer replays at-least-once delivery, the
+    // reference consumer's idempotent-apply stance
+    MysqlSink.applyBatch(env, Seq("user_id"), numWorkers = 4, safeMode = true)(
+      JdbcApplier.executeFor(applier.url))
+
+    // state implied by the stream itself
+    val expected = Materialize.tableState(env)
+      .select(col("_schema"), col("_table"), col("user_id"), col("value"), col("k"))
+    val actualRows = tables.flatMap { case (s, t) =>
+      applier.tableRows(s, t, Seq("user_id", "value", "k")).map(r =>
+        org.apache.spark.sql.Row(s, t,
+          r(0).asInstanceOf[Number].longValue(),
+          r(1).asInstanceOf[java.math.BigDecimal].doubleValue(),
+          r(2).asInstanceOf[Number].longValue()))
+    }
+    val actual = spark.createDataFrame(
+      java.util.Arrays.asList(actualRows: _*),
+      StructType(Seq(
+        StructField("_schema", StringType), StructField("_table", StringType),
+        StructField("user_id", LongType), StructField("value", DoubleType),
+        StructField("k", LongType))))
+    val diffs = TableDiff.diff(expected, actual,
+      Seq("_schema", "_table", "user_id")).count()
+
+    // optional upstream diff (the cross-system half of check_sync_diff)
+    val expectDiffs = expect.map { p =>
+      val upstream = Materialize.tableState(spark.read.parquet(p))
+        .select(col("_schema"), col("_table"), col("user_id"), col("value"), col("k"))
+      TableDiff.diff(upstream, actual, Seq("_schema", "_table", "user_id")).count()
+    }.getOrElse(0L)
+
+    Summary(proto, data.count(), env.count(), tables.size.toLong, diffs, expectDiffs)
+  }
+
+  def main(args: Array[String]): Unit = {
+    require(args.nonEmpty, "usage: MqConsume <dir> [--source mq|storage] " +
+      "[--protocol auto|...] [--db name] [--expect dir]")
+    val dir = args(0)
+    def opt(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(`name`, v) => v }
+    val spark = GraftSession.local(
+      sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
+    try {
+      val s = run(spark, dir,
+        source = opt("--source").getOrElse("mq"),
+        protocol = opt("--protocol").getOrElse("auto"),
+        dbName = opt("--db").getOrElse("mqconsume"),
+        expect = opt("--expect"))
+      println(s"""{"protocol":"${s.protocol}","messages":${s.messages},""" +
+        s""""applied":${s.applied},"tables":${s.tables},""" +
+        s""""diffs":${s.diffs},"expect_diffs":${s.expectDiffs}}""")
+      if (s.diffs + s.expectDiffs > 0) sys.exit(1)
+    } finally spark.stop()
+  }
+}
