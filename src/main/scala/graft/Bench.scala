@@ -79,7 +79,30 @@ object Bench {
     // that the number measures pipeline throughput, not micro-batch
     // fixed costs
     val streamRows = 1000L * 40L * 10L
-    val streamSec: Double = try {
+    // machine-state marker (VERDICT r5: driver bench runs can be
+    // contention-poisoned 2-4×): a small codec round-trip timed
+    // immediately BEFORE the stream drains, so the stream number
+    // carries its own contention context — quiet host ≈ sub-µs/row
+    val machineMarkerNsRow: Double = try {
+      import org.apache.spark.sql.functions._
+      val n = 500000L
+      val img = struct(col("id").as("user_id"),
+        (col("id") % 1000).cast("double").as("value"), (col("id") * 7).as("k"))
+      val env = spark.range(n).select(
+        col("id").as("_row_id"), lit("app").as("_schema"),
+        concat(lit("t"), pmod(col("id"), lit(8L))).as("_table"),
+        lit("I").as("_op"),
+        (lit(1000000000L) + col("id")).as("_commit_ts"),
+        (lit(999999999L) + col("id")).as("_start_ts"),
+        img.as("before"), img.as("after"))
+      def rt() = graft.functions.Decoders.decodeOpen(
+        graft.functions.Codecs.openProtocol(env))
+        .write.format("noop").mode("overwrite").save()
+      rt() // warm
+      val t0 = System.nanoTime(); rt()
+      (System.nanoTime() - t0).toDouble / n
+    } catch { case _: Throwable => -1.0 }
+    val streamDrains: Seq[Double] = try {
       val cfg = graft.model.ChangefeedConfig(id = "bench-stream")
       def run(rows: Long): Double = {
         val tmp = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
@@ -98,11 +121,14 @@ object Bench {
       }
       // warm the streaming plan's codegen/JIT on a tiny drain (same
       // plan shape — generated classes are row-count-invariant), like
-      // the batch queries' sf0.001 warmup pass above; then best-of-2
-      // full drains, same contention defense as the batch queries
+      // the batch queries' sf0.001 warmup pass above; then THREE full
+      // drains reported as p50 (VERDICT r5 item #8: the median of 3 is
+      // the pinnable number; min hides contention, mean amplifies it)
       run(4000L)
-      math.min(run(streamRows), run(streamRows))
-    } catch { case _: Throwable => -1.0 }
+      Seq(run(streamRows), run(streamRows), run(streamRows)).sorted
+    } catch { case _: Throwable => Seq(-1.0) }
+    val streamSec: Double =
+      if (streamDrains.forall(_ >= 0)) streamDrains(streamDrains.size / 2) else -1.0
 
     // codec micro-bench — the number comparable to BASELINE's
     // RawKVEntry encode+decode ns/op (kv_entry_benchmark_test.go:
@@ -146,7 +172,9 @@ object Bench {
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val stream =
-      s"""{"rows":$streamRows,"sec":${r3(streamSec)},"rows_per_sec":${r3(streamRps)}}"""
+      s"""{"rows":$streamRows,"sec":${r3(streamSec)},"rows_per_sec":${r3(streamRps)},""" +
+        s""""p50_of":[${streamDrains.map(r3).mkString(",")}],""" +
+        s""""machine_marker_ns_row":${r3(machineMarkerNsRow)}}"""
     val microJson =
       s"""{"rows":$microRows,"roundtrip_ns_row_wall":${r3(micro._1)},"roundtrip_ns_row_core":${r3(micro._2)}}"""
 

@@ -174,23 +174,13 @@ object StorageSink {
     * file — consumers pick the highest version, so schema evolution
     * never overwrites history.
     *
-    * Driver-side walk of the distinct table list — fine to thousands
-    * of tables; use [[writeSchemaMetaDistributed]] when the table
-    * count is unbounded (the reference's 1M-table goal). */
+    * Delegates to the executor-side writer — the driver never
+    * materializes the table list, so table count is unbounded (the
+    * reference's 1M-table design goal; a driver-side collect here
+    * would be a 1M-row collect). */
   def writeSchemaMeta(spark: SparkSession, encoded: DataFrame, baseDir: String,
-                      tableVersion: Long = 100L): Unit = {
-    val payload = encoded.schema("after").dataType
-      .asInstanceOf[org.apache.spark.sql.types.StructType]
-    val tables = encoded.select("_schema", "_table").distinct().collect()
-    tables.foreach { r =>
-      val (s, t) = (r.getString(0), r.getString(1))
-      val dir = java.nio.file.Paths.get(baseDir, s, t, "meta")
-      java.nio.file.Files.createDirectories(dir)
-      val content = schemaJson(s, t, payload)
-      java.nio.file.Files.writeString(
-        dir.resolve(schemaFileName(tableVersion, content)), content)
-    }
-  }
+                      tableVersion: Long = 100L): Unit =
+    writeSchemaMetaDistributed(encoded, baseDir, tableVersion)
 
   /** Executor-side variant: the distinct (schema, table) set stays
     * distributed and each partition writes its own tables' meta files

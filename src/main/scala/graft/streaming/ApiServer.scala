@@ -40,12 +40,43 @@ final case class TableCatalog(all: () => Seq[(String, String)],
                               eligible: (String, String) => Boolean)
 
 class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
-                catalog: Option[TableCatalog] = None) {
+                catalog: Option[TableCatalog] = None,
+                security: graft.model.Security.Credential = graft.model.Security.Credential()) {
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   def boundPort: Int = server.getAddress.getPort
+
+  /** Basic-auth gate (api/middleware/authenticate_middleware.go:34):
+    * when `client-user-required` is on, every API request must carry
+    * Basic credentials with an allowed username — the reference
+    * verifies the password against upstream TiDB, which this sandbox
+    * has no analog for, so the allowed-user check is the enforced
+    * half. Returns None when authorized, or the 401 body. */
+  private def authError(ex: HttpExchange): Option[String] = {
+    if (!security.clientUserRequired) None
+    else {
+      val header = Option(ex.getRequestHeaders.getFirst("Authorization")).getOrElse("")
+      if (!header.startsWith("Basic ")) {
+        Some("""{"error":"please specify the user and password via authorization header"}""")
+      } else {
+        val decoded = new String(
+          java.util.Base64.getDecoder.decode(header.stripPrefix("Basic ").trim),
+          StandardCharsets.UTF_8)
+        val user = decoded.split(":", 2).head
+        if (security.clientAllowedUser.contains(user)) None
+        else Some(s"""{"error":"The user is not allowed.","user":${jsonString(user)}}""")
+      }
+    }
+  }
+
+  /** Wrap a handler with the auth middleware. */
+  private def authed(handler: HttpExchange => Unit): HttpExchange => Unit =
+    ex => authError(ex) match {
+      case Some(body) => respond(ex, 401, body)
+      case None => handler(ex)
+    }
 
   private def jsonString(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
@@ -67,7 +98,26 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
         }
       }.toMap).getOrElse(Map.empty)
 
-  server.createContext("/api/v2/changefeeds", (ex: HttpExchange) => {
+  /** SAM bridge so wrapped `HttpExchange => Unit` values register. */
+  private def handler(f: HttpExchange => Unit): com.sun.net.httpserver.HttpHandler =
+    (ex: HttpExchange) => f(ex)
+
+  // orderly node evacuation (controller_drain.go:139 DrainNode; the
+  // api v2 drain flow): move every pinned span off `target`; the
+  // response's `remaining` converges to 0 for the reference's poll
+  // loop (mutating → behind the auth middleware)
+  server.createContext("/api/v2/drain", handler(authed(ex => {
+    if (ex.getRequestMethod != "POST")
+      respond(ex, 405, """{"error":"POST required"}""")
+    else queryParams(ex).get("target").flatMap(_.toIntOption) match {
+      case None => respond(ex, 400, """{"error":"integer target required"}""")
+      case Some(t) =>
+        val moved = registry.drainNode(t)
+        respond(ex, 200, s"""{"moved":$moved,"remaining":0}""")
+    }
+  })))
+
+  server.createContext("/api/v2/changefeeds", handler(authed(ex => {
     try {
       val path = ex.getRequestURI.getPath.stripPrefix("/api/v2/changefeeds")
         .stripPrefix("/").split("/").filter(_.nonEmpty).toSeq
@@ -228,7 +278,7 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
       case e: Throwable =>
         respond(ex, 500, s"""{"error":${jsonString(String.valueOf(e.getMessage))}}""")
     }
-  })
+  })))
 
   // server-level surface (api/v2/api.go:39,:58,:84-98): status,
   // health, the single in-process capture, processors = running feeds
@@ -238,8 +288,8 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
   server.createContext("/api/v2/health", (ex: HttpExchange) =>
     respond(ex, 200, "{}"))
   // dynamic log level (api/v2/api.go:40 SetLogLevel) — maps straight
-  // onto the engine's runtime log control
-  server.createContext("/api/v2/log", (ex: HttpExchange) => {
+  // onto the engine's runtime log control (mutating → authed)
+  server.createContext("/api/v2/log", handler(authed(ex => {
     val lvl = queryParams(ex).getOrElse("log_level", "").toUpperCase
     if (ex.getRequestMethod != "POST")
       respond(ex, 405, """{"error":"POST required"}""")
@@ -250,7 +300,7 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
       registry.spark.sparkContext.setLogLevel(lvl)
       respond(ex, 200, "{}")
     }
-  })
+  })))
   server.createContext("/api/v2/captures", (ex: HttpExchange) =>
     respond(ex, 200,
       s"""[{"id":"capture-0","is_owner":true,"address":"127.0.0.1:$boundPort"}]"""))

@@ -192,6 +192,37 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
   def mergeTable(id: String, schema: String, table: String): Unit =
     setSpanRule(id, schema, table, None)
 
+  /** Drain a worker partition: every span pinned to `target` (moved
+    * or split-moved) is re-pinned to the next partition, across ALL
+    * feeds — the coordinator's orderly evacuate-node flow
+    * (coordinator/controller_drain.go:139 DrainNode; api v2 drain).
+    * Feeds themselves keep running — placement changes fence at the
+    * next micro-batch like any move, so checkpoints stay monotone.
+    * Returns the number of spans moved; a second call returns 0 (the
+    * reference's remaining-count poll converging). */
+  def drainNode(target: Int): Int = {
+    var moved = 0
+    feeds.foreach { case (_, e) =>
+      val n = e.cfg.sink.numPartitions
+      def substitute(p: Int): Int = if (p == target) (target + 1) % n else p
+      val dispatch = e.cfg.sink.dispatch.map { d =>
+        d.partition match {
+          case PartitionRule.Fixed(p) if p == target =>
+            moved += 1; d.copy(partition = PartitionRule.Fixed(substitute(p)))
+          case PartitionRule.SplitFixed(ts) if ts.contains(target) =>
+            moved += 1
+            d.copy(partition = PartitionRule.SplitFixed(ts.map(substitute).distinct match {
+              case Seq(single) => Seq(single, (single + 1) % n) // keep >=2 targets
+              case many => many
+            }))
+          case _ => d
+        }
+      }
+      e.cfg = e.cfg.copy(sink = e.cfg.sink.copy(dispatch = dispatch))
+    }
+    moved
+  }
+
   /** The feed's non-default span placements (ListTables view):
     * (schema.table, rule rendering). */
   def tableSpans(id: String): Seq[(String, String)] =

@@ -10,15 +10,21 @@ import graft.streaming.{ApiServer, ChangefeedRegistry}
   * reference's api/v2 integration surface). */
 class ApiServerSpec extends SparkFunSuite {
 
-  private def call(method: String, url: String): (Int, String) = {
+  private def call(method: String, url: String,
+                   headers: Map[String, String] = Map.empty): (Int, String) = {
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
     conn.setRequestMethod(method)
+    headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
     val code = conn.getResponseCode
     val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
     val body = Source.fromInputStream(stream, "UTF-8").mkString
     conn.disconnect()
     (code, body)
   }
+
+  private def basicAuth(user: String, pass: String = "pw"): Map[String, String] =
+    Map("Authorization" -> ("Basic " + java.util.Base64.getEncoder
+      .encodeToString(s"$user:$pass".getBytes("UTF-8"))))
 
   test("changefeed lifecycle over the HTTP surface") {
     val tmp = Files.createTempDirectory("graft-api").toString
@@ -164,5 +170,65 @@ class ApiServerSpec extends SparkFunSuite {
       val (c8, _) = call("POST", s"$base/ghost/move_table?schema=a&table=b&target=0")
       assert(c8 == 404)
     } finally api.stop()
+  }
+
+  test("auth middleware (client-user-required) and node drain") {
+    val tmp = Files.createTempDirectory("graft-api-auth").toString
+    val src = s"$tmp/source"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+
+    val registry = new ChangefeedRegistry(spark)
+    val api = new ApiServer(registry,
+      security = graft.model.Security.Credential(
+        clientUserRequired = true, clientAllowedUser = Seq("ticdc"))).start()
+    val root = s"http://127.0.0.1:${api.boundPort}/api/v2"
+    val base = s"$root/changefeeds"
+    val auth = basicAuth("ticdc")
+    try {
+      // middleware (authenticate_middleware.go:34): no header → 401,
+      // disallowed user → 401, allowed user → through
+      val (cNo, bNo) = call("GET", base)
+      assert(cNo == 401 && bNo.contains("authorization header"), bNo)
+      val (cBad, bBad) = call("GET", base, basicAuth("mallory"))
+      assert(cBad == 401 && bBad.contains("not allowed"), bBad)
+      assert(call("POST", s"$root/drain?target=1")._1 == 401)
+      val (cOk, bOk) = call("GET", base, auth)
+      assert(cOk == 200 && bOk == "[]")
+      // read-only server surface stays open (health probes)
+      assert(call("GET", s"$root/health")._1 == 200)
+
+      // a feed with spans pinned on partition 2, then drain node 2
+      val (cc, _) = call("POST",
+        s"$base?id=cf-drain&source=$src&sink=$tmp/sink&ckpt=$tmp/ckpt&rules=app.*", auth)
+      assert(cc == 201)
+      registry.reportStatus("cf-drain", 500L, Nil, 1L)
+      assert(call("POST",
+        s"$base/cf-drain/move_table?schema=app&table=events_1&target=2", auth)._1 == 200)
+      assert(call("POST",
+        s"$base/cf-drain/move_split_table?schema=app&table=events_2&targets=2,3", auth)._1 == 200)
+      val (cd1, bd1) = call("POST", s"$root/drain?target=2", auth)
+      assert(cd1 == 200 && bd1.contains("\"moved\":2") && bd1.contains("\"remaining\":0"), bd1)
+      val (_, spans) = call("GET", s"$base/cf-drain/tables", auth)
+      assert(!spans.contains("moved:2") && !spans.contains("2+"), spans)
+      assert(spans.contains("moved:3"), spans)
+      // drain converges: second call finds nothing on the node
+      val (_, bd2) = call("POST", s"$root/drain?target=2", auth)
+      assert(bd2.contains("\"moved\":0"), bd2)
+      // the feed kept its progress — drain never resets checkpoints
+      // (gc_safepoint = min checkpoint over live feeds; it must only
+      // advance across the drain: 500 before, 600 after)
+      registry.reportStatus("cf-drain", 600L, Nil, 2L)
+      val (_, gc) = call("GET", s"$root/gc_safepoint")
+      assert(gc.contains("600"), gc)
+
+      // bad target is a client error
+      assert(call("POST", s"$root/drain?target=x", auth)._1 == 400)
+    } finally {
+      registry.remove("cf-drain")
+      api.stop()
+    }
   }
 }
