@@ -133,7 +133,7 @@ object Dedup {
     * with `a.__s = __ti AND b.__s = __tj AND (ti <> tj OR a < b)`,
     * orienting by least/greatest — each unordered pair appears exactly
     * once. */
-  private[operators] def saltTile(df: DataFrame, bucketCols: Seq[String],
+  private[graft] def saltTile(df: DataFrame, bucketCols: Seq[String],
                                   elem: Column, cap: Int): DataFrame = {
     // census via a window count on the SAME shuffle the collect needs
     // (no second pass over the input — at 100 TB the input subtree may

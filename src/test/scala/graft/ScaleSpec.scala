@@ -51,6 +51,65 @@ class ScaleSpec extends SparkFunSuite {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", before)
   }
 
+  test("pair generators at 10x corpus: saltTile bound holds, tiling is lossless, wall tracks output") {
+    import graft.operators.{Dedup, TextOps}
+    // 10× replicated sf0.01 documents: every doc gains 9 clones, so
+    // every n-gram bucket grows 10× and pair output grows ~100× — the
+    // worst-case (duplicate-heavy) shape for the dedup pair machinery
+    val base = Tables.documents(spark, "/root/testdata/sf0.01")
+    val nDocs = base.count()
+    val big = spark.range(10).crossJoin(base)
+      .select((col("doc_id") + col("id") * 1000000L).as("doc_id"),
+        col("text"), col("lang"), col("source"), col("n_chars"))
+
+    // (a) the per-task bound: force heavy tiling with a small cap and
+    // measure the largest collected group — each (bucket, tile) group
+    // is exactly one pair-task's collect input, so this IS the bound
+    val cap = 64
+    val toks = big.select(col("doc_id"), col("source").as("__blk"),
+      explode(array_distinct(split(col("text"), " "))).as("tok"))
+    val maxGroup = Dedup.saltTile(toks, Seq("__blk", "tok"), col("doc_id"), cap)
+      .groupBy(col("__blk"), col("tok"), col("__ti"), col("__tj"))
+      .count().agg(max("count")).head().getLong(0)
+    // a (ti,tj) group holds two salt classes of EXPECTED size ≈ cap
+    // each; salts are hash-assigned (multinomial), so loads
+    // concentrate around cap with ~sqrt(cap·ln buckets) fluctuation —
+    // 3·cap is the bound with comfortable headroom, and is what keeps
+    // any single task O(cap²) regardless of bucket size
+    assert(maxGroup <= 3L * cap,
+      s"salt-tiled group of $maxGroup elements exceeds the 3*cap=${3 * cap} bound")
+
+    // (b) tiling is a pure partitioning strategy: the pair set under
+    // forced heavy tiling equals the default-cap pair set at 10×
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val a = f; (a, (System.nanoTime() - t0) / 1e9)
+    }
+    val (n1, w1) = timed(Dedup.jaccardPairs(base, "source", 0.8).count())
+    val (n10, w10) = timed(Dedup.jaccardPairs(big, "source", 0.8).count())
+    val tiled10 = Dedup.jaccardPairs(big, "source", 0.8, maxBucket = cap)
+    assert(tiled10.count() == n10, "forced tiling must not change the pair set size")
+    // every doc pairs with its 9 identical clones at jaccard 1.0
+    assert(n10 >= nDocs * 45, s"clone pairs must appear: $n10 < ${nDocs * 45}")
+
+    // (c) wall tracks output: at 10× input the output grew ~(n10/n1)×;
+    // amortized cost per output pair must not degrade by more than the
+    // contention slack (quadratic-in-task behavior would blow this up)
+    val perPair1 = w1 / math.max(n1, 1L)
+    val perPair10 = w10 / math.max(n10, 1L)
+    info(f"jaccardPairs 1x: $n1 pairs in $w1%.2f s; 10x: $n10 pairs in $w10%.2f s " +
+      f"(per-pair ${perPair10 / perPair1}%.2fx); max tiled group $maxGroup (cap $cap)")
+    assert(perPair10 <= perPair1 * 5.0,
+      f"per-output-pair cost degraded ${perPair10 / perPair1}%.1fx at 10x")
+
+    // (d) the sibling pair generators complete at 10× on the same
+    // salt-tiled machinery with non-trivial output
+    val (nc, wc) = timed(Dedup.containmentPairs(big, "source", 3, 0.6).count())
+    val (nw, ww) = timed(Dedup.winnowPairs(
+      TextOps.winnow(big, 3, 4), minShared = 2L).count())
+    info(f"containmentPairs 10x: $nc rows in $wc%.2f s; winnowPairs 10x: $nw rows in $ww%.2f s")
+    assert(nc > 0 && nw > 0)
+  }
+
   test("every wire protocol flows through the changefeed pipeline") {
     val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
     val prefixes = Map[Protocol, String](
