@@ -196,10 +196,55 @@ object CanalFull {
     when(col(img).isNull, lit("null")).otherwise(concat(body: _*))
   }
 
+  /** Canal EventType for a DDL statement (helper.go:211-244
+    * convertDdlEventType, keyed here off the statement head since the
+    * action classes map 1:1 onto it for the statement surface the
+    * parser accepts). */
+  def ddlEventType(query: String): String = {
+    val q = query.trim.toUpperCase.replaceAll("\\s+", " ")
+    if (q.startsWith("CREATE TABLE")) "CREATE"
+    else if (q.startsWith("RENAME TABLE")) "RENAME"
+    else if (q.startsWith("DROP TABLE")) "ERASE"
+    else if (q.startsWith("TRUNCATE")) "TRUNCATE"
+    else if (q.startsWith("DROP INDEX") ||
+      (q.startsWith("ALTER TABLE") && q.contains(" DROP INDEX"))) "DINDEX"
+    else if (q.startsWith("CREATE INDEX") ||
+      (q.startsWith("ALTER TABLE") && (q.contains(" ADD INDEX") ||
+        q.contains(" ADD PRIMARY KEY") || q.contains(" ADD FOREIGN KEY") ||
+        q.contains(" ADD UNIQUE")))) "CINDEX"
+    else if (q.startsWith("ALTER TABLE")) "ALTER"
+    else "QUERY" // CREATE/DROP DATABASE, views, sequences, ... (canal QUERY)
+  }
+
+  /** DDL message — json.Marshal of JSONMessage (struct-tag order,
+    * canal_json_encoder.go:384-404): row-level maps are null, `sql`
+    * carries the query, `_tidb.commitTs` when the TiDB extension is
+    * on. */
+  def ddlMessage(schema: String, table: String, query: String, tso: Long,
+                 buildTsMs: Long = 0L, tidbExtension: Boolean = false): String = {
+    val ext = if (tidbExtension) s""","_tidb":{"commitTs":$tso}""" else ""
+    s"""{"id":0,"database":${jsonStr(schema)},"table":${jsonStr(table)},""" +
+      s""""pkNames":null,"isDdl":true,"type":"${ddlEventType(query)}",""" +
+      s""""es":${tso >> 18},"ts":$buildTsMs,"sql":${jsonStr(query)},""" +
+      s""""sqlType":null,"mysqlType":null,"data":null,"old":null$ext}"""
+  }
+
+  /** Checkpoint/watermark message (newJSONMessage4CheckpointEvent,
+    * canal_json_encoder.go:407-420): type TIDB_WATERMARK, empty
+    * schema/table, `_tidb.watermarkTs` — only emitted with the TiDB
+    * extension, like the reference. */
+  def watermarkMessage(ts: Long, buildTsMs: Long = 0L): String =
+    s"""{"id":0,"database":"","table":"","pkNames":null,"isDdl":false,""" +
+      s""""type":"TIDB_WATERMARK","es":${ts >> 18},"ts":$buildTsMs,"sql":"",""" +
+      s""""sqlType":null,"mysqlType":null,"data":null,"old":null,""" +
+      s""""_tidb":{"watermarkTs":$ts}}"""
+
   /** Encode DML envelope rows (`before`/`after` structs of canonical
     * raw literals, `_op` I/U/D, `_schema`/`_table`, `_tso` commit TSO)
-    * into full canal-JSON messages. */
-  def encode(env: DataFrame, t: MySqlTable, buildTsMs: Long = 0L): DataFrame = {
+    * into full canal-JSON messages. `tidbExtension` appends the
+    * `_tidb:{commitTs}` block (canal_json_encoder.go:316-321). */
+  def encode(env: DataFrame, t: MySqlTable, buildTsMs: Long = 0L,
+             tidbExtension: Boolean = false): DataFrame = {
     val typ = when(col("_op") === "I", "INSERT")
       .when(col("_op") === "U", "UPDATE").otherwise("DELETE")
     val dataImg = when(col("_op") === "D", lit("before")).otherwise(lit("after"))
@@ -216,6 +261,9 @@ object CanalFull {
     val dataArr = when(col("_op") === "D", imageArray("before", t.cols))
       .otherwise(imageArray("after", t.cols))
     val oldArr = when(col("_op") === "U", imageArray("before", t.cols)).otherwise(lit("null"))
+    val ext: Column =
+      if (tidbExtension) concat(lit(""","_tidb":{"commitTs":"""), col("_tso"), lit("}"))
+      else lit("")
     env.withColumn("_value", concat(
       lit("{\"id\":0,\"database\":"), q(col("_schema")),
       lit(",\"table\":"), q(col("_table")),
@@ -224,6 +272,7 @@ object CanalFull {
       lit(s""",\"ts\":$buildTsMs,\"sql\":\"\",\"sqlType\":"""), sqlTypes,
       lit(s""",\"mysqlType\":$mysqlTypes,\"old\":"""), oldArr,
       lit(",\"data\":"), dataArr,
+      ext,
       lit("}")))
   }
 }

@@ -275,6 +275,62 @@ class CanalMatrixSpec extends SparkFunSuite {
       Some("NULL"), Some(""), Some("nüll")))
   }
 
+  test("DDL messages: matrix DDL statements classify and marshal like the reference") {
+    assume(available)
+    // the -- ddls section of data.sql exercises every canal EventType
+    val cases = Seq(
+      ("CREATE TABLE test_ddl1 (id INT AUTO_INCREMENT, c1 INT, PRIMARY KEY (id))", "CREATE"),
+      ("RENAME TABLE test_ddl1 TO test_ddl", "RENAME"),
+      ("ALTER TABLE test_ddl ADD INDEX test_add_index (c1)", "CINDEX"),
+      ("DROP INDEX test_add_index ON test_ddl", "DINDEX"),
+      ("ALTER TABLE test_ddl ADD COLUMN c2 INT NOT NULL", "ALTER"),
+      ("TRUNCATE TABLE test_ddl", "TRUNCATE"),
+      ("DROP TABLE test_ddl2", "ERASE"),
+      ("CREATE DATABASE other", "QUERY"))
+    cases.foreach { case (ddl, expected) =>
+      assert(CanalFull.ddlEventType(ddl) == expected, ddl)
+    }
+    val msg = mapper.readTree(CanalFull.ddlMessage(
+      "test", "test_ddl", "ALTER TABLE test_ddl ADD COLUMN c2 INT NOT NULL",
+      tso = TSO, tidbExtension = true))
+    assert(msg.get("isDdl").asBoolean)
+    assert(msg.get("type").asText == "ALTER")
+    assert(msg.get("es").asLong == 1700000000000L)
+    assert(msg.get("sql").asText.contains("ADD COLUMN c2"))
+    // row-level maps are null on DDL messages (json.Marshal of nil)
+    Seq("pkNames", "sqlType", "mysqlType", "data", "old").foreach(f =>
+      assert(msg.get(f).isNull, f))
+    assert(msg.get("_tidb").get("commitTs").asLong == TSO)
+  }
+
+  test("watermark message: TIDB_WATERMARK layout with _tidb.watermarkTs") {
+    val msg = mapper.readTree(CanalFull.watermarkMessage(TSO))
+    assert(!msg.get("isDdl").asBoolean)
+    assert(msg.get("type").asText == "TIDB_WATERMARK")
+    assert(msg.get("database").asText == "" && msg.get("table").asText == "")
+    assert(msg.get("es").asLong == 1700000000000L)
+    assert(msg.get("_tidb").get("watermarkTs").asLong == TSO)
+    assert(msg.get("data").isNull && msg.get("old").isNull)
+  }
+
+  test("_tidb extension block on DML when enabled") {
+    assume(available)
+    val t = MySqlDdl.parseCreateTable(
+      "create table ext_t (id int primary key, v varchar(8))", "test").get
+    val img = StructType(t.cols.map(c => StructField(c.name, StringType, nullable = true)))
+    val schema = StructType(Seq(
+      StructField("before", img, nullable = true), StructField("after", img, nullable = true),
+      StructField("_op", StringType), StructField("_schema", StringType),
+      StructField("_table", StringType), StructField("_tso", LongType)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(Row(null, Row("1", "x"), "I", "test", "ext_t", TSO)), schema)
+    val on = CanalFull.encode(df, t, tidbExtension = true).select(col("_value")).head().getString(0)
+    val off = CanalFull.encode(df, t).select(col("_value")).head().getString(0)
+    val n = mapper.readTree(on)
+    assert(n.get("_tidb").get("commitTs").asLong == TSO)
+    assert(mapper.readTree(off).get("_tidb") == null, "extension off omits _tidb")
+  }
+
   test("data_gbk.sql (GBK-encoded bytes) produces identical cs_gbk messages") {
     assume(available)
     val gbk = new String(
