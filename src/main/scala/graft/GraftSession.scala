@@ -21,6 +21,12 @@ object GraftSession {
     // long nanos so commit-ts arithmetic is exact and engine-portable.
     "spark.sql.legacy.parquet.nanosAsLong" -> "true",
     "spark.sql.session.timeZone" -> "UTC",
+    // the driver's parquet writes timestamps with isAdjustedToUTC=false;
+    // without this Spark 4 infers TIMESTAMP_NTZ, which cannot cast to
+    // BIGINT and diverges from the UTC-epoch arithmetic every commit-ts
+    // expression (and the DuckDB oracle) assumes. Reading them as LTZ
+    // under the UTC session zone restores identical epoch values.
+    "spark.sql.parquet.inferTimestampNTZ.enabled" -> "false",
     "spark.sql.adaptive.enabled" -> "true",
     "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
     "spark.sql.adaptive.skewJoin.enabled" -> "true",

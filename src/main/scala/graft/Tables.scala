@@ -1,6 +1,8 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, lit, unix_micros}
+import org.apache.spark.sql.types.{DataType, LongType, TimestampType}
 
 /** Readers for the driver-provided parquet tables (TESTDATA.md).
   * All graft queries take the sf directory as a parameter so the same
@@ -14,8 +16,29 @@ object Tables {
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame = {
     GraftSession.tune(spark)
-    spark.read.parquet(s"$dir/$name.parquet")
+    val df = spark.read.parquet(s"$dir/$name.parquet")
+    if (name == "events") tsNanos(df) else df
   }
+
+  /** `events.ts` is an epoch-ns LONG in every graft plan (the
+    * change-log commit-ts domain). The driver's testdata has shipped
+    * it both as raw int64 nanos and as parquet timestamp[us];
+    * normalize either encoding to exact ns longs at µs precision —
+    * the same value DuckDB's epoch_ns() yields, so the oracle SQL
+    * needs no per-encoding branches. Apply to any frame (batch or
+    * streaming) whose `ts` should enter the ns domain. */
+  def tsNanos(df: DataFrame): DataFrame =
+    df.schema.fields.find(_.name == "ts") match {
+      case Some(f) if f.dataType != LongType =>
+        df.withColumn("ts", nsExpr(f.dataType, col("ts")))
+      case _ => df
+    }
+
+  /** ns-long expression for a timestamp-typed column (NTZ casts
+    * through LTZ under the UTC session zone — same instant). */
+  def nsExpr(dt: DataType, c: Column): Column =
+    if (dt == LongType) c
+    else unix_micros(c.cast(TimestampType)) * lit(1000L)
 
   def lineitem(s: SparkSession, dir: String): DataFrame = read(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame = read(s, dir, "orders")

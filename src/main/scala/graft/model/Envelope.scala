@@ -47,12 +47,17 @@ object Envelope {
     * k extracted from the JSON props. Updates synthesize a pre-image
     * (value-1.0, k-1); deletes carry only the pre-image.
     *
-    * `ts` must be read as long nanos
-    * (spark.sql.legacy.parquet.nanosAsLong=true — GraftSession) so
-    * commit-ts arithmetic is exact and matches the DuckDB oracle's
-    * epoch_ns().
+    * `ts` enters the envelope as long nanos regardless of how the
+    * source parquet encodes it (raw int64 ns via
+    * spark.sql.legacy.parquet.nanosAsLong, or timestamp[us] — the
+    * driver's testdata has shipped both), so commit-ts arithmetic is
+    * exact and matches the DuckDB oracle's epoch_ns().
     */
   def fromEvents(events: DataFrame): DataFrame = {
+    val tsNs = graft.Tables.nsExpr(
+      events.schema.fields.find(_.name == "ts")
+        .map(_.dataType).getOrElse(org.apache.spark.sql.types.LongType),
+      col("ts"))
     val k = get_json_object(col("props"), "$.k").cast("long")
     val op = when(col("event_type").isin("signup", "purchase"), "I")
       .when(col("event_type") === "error", "D")
@@ -73,8 +78,8 @@ object Envelope {
       // truncate ns → µs boundary: the oracle engine (DuckDB) reads
       // parquet ns-timestamps at µs precision, and downstream protocol
       // encoders only carry ms/µs anyway.
-      (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L))).as("_commit_ts"),
-      (col("ts").cast("long") - pmod(col("ts").cast("long"), lit(1000L))
+      (tsNs - pmod(tsNs, lit(1000L))).as("_commit_ts"),
+      (tsNs - pmod(tsNs, lit(1000L))
         - pmod(col("event_id"), lit(1000L)) - lit(1L)).as("_start_ts"),
       when(op === "I", lit(null)).otherwise(when(op === "D", img).otherwise(preImg)).as("before"),
       when(op === "D", lit(null)).otherwise(img).as("after")

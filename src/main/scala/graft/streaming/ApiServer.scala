@@ -163,8 +163,11 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
           val (_, state, n) = registry.status(id)
           // last running error rides along like the reference's
           // ChangefeedStatus.LastError (api/v2 model.go)
+          // error text may embed row values (a failed statement) — it
+          // rides through the redaction mode like every reference log line
           val err = registry.lastError(id).map(e =>
-            s""","last_error":{"code":${jsonString(e.code)},"message":${jsonString(e.message)}}""")
+            s""","last_error":{"code":${jsonString(e.code)},"message":${
+              jsonString(graft.model.Redact(e.message))}}""")
             .getOrElse("")
           respond(ex, 200,
             s"""{"id":${jsonString(id)},"state":${jsonString(state)},"emitted":$n$err}""")
@@ -280,11 +283,143 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
     }
   })))
 
+  /** Read a JSON request body field (Jackson — the same dependency the
+    * config carrier uses). None when absent or the body isn't JSON. */
+  private def bodyField(ex: HttpExchange, field: String): Option[String] = {
+    val body = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+    if (body.trim.isEmpty) None
+    else try {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      Option(n.get(field)).map(_.asText()).filter(_.trim.nonEmpty)
+    } catch { case _: Exception => None }
+  }
+
+  // dynamic fault injection (api/v2/api.go:51-53 + failpoint.go:73-140):
+  // POST enables name+expr, DELETE disables (name via query or body),
+  // GET lists enabled points sorted by name
+  server.createContext("/debug/failpoints", handler(ex => {
+    ex.getRequestMethod match {
+      case "POST" =>
+        val body = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+        val (name, expr) =
+          try {
+            val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+            (Option(n.get("name")).map(_.asText("").trim).getOrElse(""),
+              Option(n.get("expr")).map(_.asText("").trim).getOrElse(""))
+          } catch { case _: Exception => ("", "") }
+        if (name.isEmpty || expr.isEmpty)
+          respond(ex, 400, """{"error":"name and expr are required"}""")
+        else
+          try { Failpoints.enable(name, expr); respond(ex, 200, "{}") }
+          catch {
+            case e: IllegalArgumentException =>
+              // reference: failpoint.Enable error → HTTP 500
+              respond(ex, 500, s"""{"error":${jsonString(String.valueOf(e.getMessage))}}""")
+          }
+      case "DELETE" =>
+        val name = queryParams(ex).get("name").map(_.trim).filter(_.nonEmpty)
+          .orElse(bodyField(ex, "name"))
+        name match {
+          case None => respond(ex, 400, """{"error":"name is required"}""")
+          case Some(n) => Failpoints.disable(n); respond(ex, 200, "{}")
+        }
+      case "GET" =>
+        respond(ex, 200, Failpoints.list.map { case (n, e) =>
+          s"""{"name":${jsonString(n)},"expr":${jsonString(e)}}"""
+        }.mkString("[", ",", "]"))
+      case _ => respond(ex, 405, """{"error":"method not allowed"}""")
+    }
+  }))
+
+  // /debug/info (api/v2/api.go:46 handleDebugInfo): human-oriented
+  // dump — feeds, placements, failpoints, owner epoch
+  server.createContext("/debug/info", (ex: HttpExchange) => {
+    val feeds = registry.list.map { id =>
+      val (_, state, n) = registry.status(id)
+      s"  $id state=$state emitted=$n spans=${registry.tableSpans(id).mkString(",")}"
+    }.mkString("\n")
+    val fps = Failpoints.list.map { case (n, e) => s"  $n=$e" }.mkString("\n")
+    val body = s"owner epoch ${registry.ownerEpoch}\nchangefeeds:\n$feeds\nfailpoints:\n$fps\n"
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type", "text/plain")
+    ex.sendResponseHeaders(200, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  })
+
+  // owner resign (api/v2/api.go:103 + coordinator.go:29): the single
+  // in-process capture re-campaigns immediately — observable as the
+  // epoch bump in /api/v2/status
+  server.createContext("/api/v2/owner/resign", handler(ex =>
+    if (ex.getRequestMethod != "POST")
+      respond(ex, 405, """{"error":"POST required"}""")
+    else { registry.resignOwner(); respond(ex, 200, "{}") }))
+
+  // current TSO (api/v2/api.go:106 + tso.go QueryTso): physical ms +
+  // logical counter, the placement driver's clock
+  private val tsoLogical = new java.util.concurrent.atomic.AtomicLong(0L)
+  server.createContext("/api/v2/tso", handler(ex =>
+    if (ex.getRequestMethod != "POST")
+      respond(ex, 405, """{"error":"POST required"}""")
+    else respond(ex, 200,
+      s"""{"timestamp":${System.currentTimeMillis()},"logic_time":${
+        tsoLogical.incrementAndGet()}}""")))
+
+  // unsafe group (api/v2/api.go:109-113; authenticated in the
+  // reference — same here): metadata dump, lock resolution, GC
+  // safepoint removal
+  server.createContext("/api/v2/unsafe/metadata", handler(authed(ex =>
+    respond(ex, 200, registry.metadataDump.map { case (k, v) =>
+      s"""{"key":${jsonString(k)},"value":${jsonString(v)}}"""
+    }.mkString("[", ",", "]")))))
+  server.createContext("/api/v2/unsafe/resolve_lock", handler(authed(ex =>
+    if (ex.getRequestMethod != "POST")
+      respond(ex, 405, """{"error":"POST required"}""")
+    else {
+      // the reference resolves stale TiKV locks at (region_id, ts) via
+      // a store RPC (unsafe.go:66 + txnutil). No separate KV store
+      // exists here — committed data is the only upstream — so the
+      // modeled surface is the validated request contract; a live
+      // deployment would wire this to its source's lock resolver.
+      val body = scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+      val (region, ts) =
+        try {
+          val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+          (Option(n.get("region_id")).map(_.asLong()),
+            Option(n.get("ts")).map(_.asLong()))
+        } catch { case _: Exception => (None, None) }
+      (region, ts) match {
+        case (Some(_), Some(_)) => respond(ex, 200, "{}")
+        case _ => respond(ex, 400, """{"error":"region_id and ts are required"}""")
+      }
+    })))
+  server.createContext("/api/v2/unsafe/service_gc_safepoint", handler(authed(ex =>
+    if (ex.getRequestMethod != "DELETE")
+      respond(ex, 405, """{"error":"DELETE required"}""")
+    else { registry.deleteServiceGcSafepoint(); respond(ex, 200, "{}") })))
+
+  // redaction mode (api/v2/api.go:41 + log.go:86 SetRedactMode):
+  // upgrade-only transition, previous/current echoed back
+  server.createContext("/api/v2/log/redact", handler(authed(ex =>
+    if (ex.getRequestMethod != "POST")
+      respond(ex, 405, """{"error":"POST required"}""")
+    else bodyField(ex, "redact_info_log")
+        .orElse(queryParams(ex).get("redact_info_log")) match {
+      case None => respond(ex, 400,
+        """{"error":"missing required field 'redact_info_log': must be 'off', 'on', or 'marker'"}""")
+      case Some(m) => graft.model.Redact.set(m) match {
+        case Left(err) => respond(ex, 400, s"""{"error":${jsonString(err)}}""")
+        case Right(prev) => respond(ex, 200,
+          s"""{"previous_mode":${jsonString(prev)},"current_mode":${
+            jsonString(graft.model.Redact.current)}}""")
+      }
+    })))
+
   // server-level surface (api/v2/api.go:39,:58,:84-98): status,
   // health, the single in-process capture, processors = running feeds
   server.createContext("/api/v2/status", (ex: HttpExchange) =>
     respond(ex, 200,
-      s"""{"version":"graft","id":"capture-0","is_owner":true}"""))
+      s"""{"version":"graft","id":"capture-0","is_owner":true,"epoch":${registry.ownerEpoch}}"""))
   server.createContext("/api/v2/health", (ex: HttpExchange) =>
     respond(ex, 200, "{}"))
   // dynamic log level (api/v2/api.go:40 SetLogLevel) — maps straight

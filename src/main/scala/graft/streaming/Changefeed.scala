@@ -235,6 +235,11 @@ object Changefeed {
     pipeline(spark, cfg)(env)
       .writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // fault-injection site (api/v2 failpoint surface): a `return`/
+        // `panic` expression fails this batch before anything commits,
+        // `sleep` stalls it — the knobs the reference's chaos tests
+        // drive through /debug/failpoints
+        Failpoints.evalThrow("graft/changefeed/batch")
         // rows commit FIRST, control messages second: a resolved-ts
         // event must never be visible before every row it covers is
         // durable (the reference's watermark contract). The resolved

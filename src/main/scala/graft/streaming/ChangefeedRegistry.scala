@@ -30,7 +30,42 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
     require(!feeds.contains(cfg.id), s"changefeed ${cfg.id} already exists")
     val q = Changefeed.run(spark, cfg, sourceDir, sinkDir, checkpointDir)
     feeds.put(cfg.id, Entry(cfg, sourceDir, sinkDir, checkpointDir, Some(q)))
+    gcSafepointDropped = false // owner re-advertises the service safepoint
     q
+  }
+
+  // ---- owner / unsafe ops surface (api/v2 coordinator.go, unsafe.go) ----
+
+  /** Monotone ownership epoch. In the single-capture deployment the
+    * capture re-elects itself immediately after resigning
+    * (api/v2/coordinator.go:29 ResignOwner) — the observable effect
+    * is the epoch bump the reference's new-owner campaign records. */
+  private val ownerEpochCtr = new java.util.concurrent.atomic.AtomicLong(1L)
+  def ownerEpoch: Long = ownerEpochCtr.get()
+  def resignOwner(): Long = ownerEpochCtr.incrementAndGet()
+
+  /** DeleteServiceGcSafePoint (api/v2/unsafe.go:96): drop the service
+    * GC safepoint from the placement driver. It stays dropped until
+    * the owner loop re-advertises it — here, the next feed create or
+    * status report (the coordinator tick that re-registers it). */
+  @volatile private var gcSafepointDropped = false
+  def deleteServiceGcSafepoint(): Unit = gcSafepointDropped = true
+
+  /** CDCMetaData (api/v2/unsafe.go:29): every coordinator record as
+    * etcd-shaped (key, value) pairs — feed definitions, saved
+    * checkpoints, and the owner campaign key. */
+  def metadataDump: Seq[(String, String)] = {
+    val info = feeds.toSeq.sortBy(_._1).map { case (id, e) =>
+      s"/tidb/cdc/default/default/changefeed/info/$id" ->
+        s"""{"id":"$id","state":"${e.feedState}","sink":"${e.sinkDir}","rules":${
+          e.cfg.filter.rules.mkString("[\"", "\",\"", "\"]")}}"""
+    }
+    val status = feeds.toSeq.sortBy(_._1).map { case (id, e) =>
+      s"/tidb/cdc/default/default/changefeed/status/$id" ->
+        s"""{"checkpoint-ts":${e.lastCheckpointTs}}"""
+    }
+    (("/tidb/cdc/default/__cdc_meta__/owner/" + ownerEpoch) -> "capture-0") +:
+      (info ++ status)
   }
 
   def pause(id: String): Unit = feeds.get(id).foreach { e =>
@@ -63,6 +98,7 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
   def reportStatus(id: String, checkpointTs: Long, errs: Seq[FeedError],
                    nowMs: Long): FeedState = {
     val e = entryOf(id)
+    gcSafepointDropped = false // owner tick re-registers the safepoint
     e.lastCheckpointTs = math.max(e.lastCheckpointTs, checkpointTs)
     if (e.cfg.targetTs.exists(t => e.lastCheckpointTs >= t)) {
       // replication goal reached: clean terminal state, no retry path
@@ -83,8 +119,11 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
     * holding the safepoint for it is pointless by definition). None
     * when no feed blocks GC. */
   def gcSafepoint: Option[Long] = {
-    val barriers = gcBarriers
-    if (barriers.isEmpty) None else Some(barriers.values.min)
+    if (gcSafepointDropped) None
+    else {
+      val barriers = gcBarriers
+      if (barriers.isEmpty) None else Some(barriers.values.min)
+    }
   }
 
   /** Per-keyspace GC barriers (CalculateKeyspaceGCBarrier,

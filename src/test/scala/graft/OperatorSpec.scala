@@ -735,7 +735,7 @@ class OperatorSpec extends SparkFunSuite {
     val windowNs = 3L * 24 * 3600 * 1000 * 1000 * 1000
     val schema = spark.read.parquet(src).schema
     val q = graft.analytics.Funnel.streamingFunnel(spark,
-        spark.readStream.schema(schema).parquet(src),
+        Tables.tsNanos(spark.readStream.schema(schema).parquet(src)),
         "signup", "purchase", windowNs)
       .writeStream.outputMode("append")
       .format("memory").queryName("stream_funnel")

@@ -153,8 +153,11 @@ class RetrievalSpec extends SparkFunSuite {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$dir/events.parquet"),
       streamDir.resolve("events.parquet"))
-    val stream = spark.readStream.schema(ev.schema)
-      .parquet(streamDir.toString)
+    // stream with the FILE's schema (ts may be timestamp[us] there),
+    // then normalize to the ns-long domain like the batch reader does
+    val fileSchema = spark.read.parquet(streamDir.toString).schema
+    val stream = Tables.tsNanos(
+      spark.readStream.schema(fileSchema).parquet(streamDir.toString))
     val q = Anomaly.zOutliersAgainst(stream, stats, 2500L)
       .writeStream.format("memory").queryName("anom_stream")
       .outputMode("append").start()

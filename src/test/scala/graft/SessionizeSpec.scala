@@ -44,7 +44,8 @@ class SessionizeSpec extends SparkFunSuite {
     val schema = spark.read.parquet(src).schema
     val gapNs = 30L * 60 * 1000 * 1000 * 1000
     val q = Sessionize.streamingSessions(
-        spark.readStream.schema(schema).parquet(src), gapNs, "0 seconds")
+        Tables.tsNanos(spark.readStream.schema(schema).parquet(src)),
+        gapNs, "0 seconds")
       .writeStream.outputMode("append")
       .format("memory").queryName("stream_sessions")
       .option("checkpointLocation", s"$tmp/ckpt")
