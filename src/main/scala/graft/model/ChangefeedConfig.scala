@@ -58,7 +58,10 @@ final case class SinkConfig(
     onlyOutputUpdatedColumns: Boolean = false,
     deleteOnlyOutputHandleKey: Boolean = false,
     dispatch: Seq[DispatchRule] = Seq(DispatchRule()),
-    bdrMode: Boolean = false)
+    bdrMode: Boolean = false,
+    /** Pulsar client/producer block (sink.go:606-672 PulsarConfig),
+      * rendered to connector options by Security.pulsarOptions. */
+    pulsarConfig: Option[Security.PulsarConfig] = None)
 
 final case class ChangefeedConfig(
     id: String,

@@ -203,7 +203,8 @@ object ConfigToml {
       deleteOnlyOutputHandleKey =
         doc.bool("sink", "delete-only-output-handle-key-columns").getOrElse(false),
       dispatch = if (dispatchers.nonEmpty) dispatchers else Seq(DispatchRule()),
-      bdrMode = doc.bool("", "bdr-mode").getOrElse(false))
+      bdrMode = doc.bool("", "bdr-mode").getOrElse(false),
+      pulsarConfig = pulsarOf(doc))
     ChangefeedConfig(
       id = id,
       filter = filter,
@@ -258,6 +259,42 @@ object ConfigToml {
       insecureSkipVerify = doc.bool(kc, "insecure-skip-verify").getOrElse(false),
       credential = cred,
       sasl = sasl)
+  }
+
+  /** `[sink.pulsar-config]` (+ `.oauth2` subtable) — sink.go:606-672
+    * toml tags → [[Security.PulsarConfig]]. None when absent. */
+  private def pulsarOf(doc: Doc): Option[Security.PulsarConfig] = {
+    val pc = "sink.pulsar-config"
+    val oc = "sink.pulsar-config.oauth2"
+    val oauth =
+      if (doc.sections.contains(oc)) Some(Security.PulsarOAuth2(
+        issuerUrl = doc.str(oc, "oauth2-issuer-url").getOrElse(""),
+        audience = doc.str(oc, "oauth2-audience").getOrElse(""),
+        scope = doc.str(oc, "oauth2-scope").getOrElse(""),
+        privateKey = doc.str(oc, "oauth2-private-key").getOrElse(""),
+        clientId = doc.str(oc, "oauth2-client-id").getOrElse("")))
+      else None
+    if (!doc.sections.contains(pc) && oauth.isEmpty) None
+    else Some(Security.PulsarConfig(
+      authenticationToken = doc.str(pc, "authentication-token"),
+      tokenFromFile = doc.str(pc, "token-from-file"),
+      basicUserName = doc.str(pc, "basic-user-name"),
+      basicPassword = doc.str(pc, "basic-password"),
+      oauth2 = oauth,
+      authTlsCertificatePath = doc.str(pc, "auth-tls-certificate-path"),
+      authTlsPrivateKeyPath = doc.str(pc, "auth-tls-private-key-path"),
+      tlsTrustCertsFilePath = doc.str(pc, "tls-trust-certs-file-path"),
+      tlsCertificateFile = doc.str(pc, "tls-certificate-file"),
+      tlsKeyFilePath = doc.str(pc, "tls-key-file-path"),
+      compressionType = doc.str(pc, "compression-type"),
+      producerCacheSize = doc.int(pc, "pulsar-producer-cache-size").map(_.toInt),
+      batchingMaxMessages = doc.int(pc, "batching-max-messages").map(_.toInt),
+      batchingMaxPublishDelayMs = doc.str(pc, "batching-max-publish-delay")
+        .map(durationNs(_) / 1000000L),
+      sendTimeoutSec = doc.str(pc, "send-timeout").map(durationNs(_) / 1000000000L),
+      connectionTimeoutSec = doc.str(pc, "connection-timeout").map(durationNs(_) / 1000000000L),
+      operationTimeoutSec = doc.str(pc, "operation-timeout").map(durationNs(_) / 1000000000L),
+      outputRawChangeEvent = doc.bool(pc, "output-raw-change-event").getOrElse(false)))
   }
 
   // ---- render: config → TOML ----
@@ -353,6 +390,34 @@ object ConfigToml {
       if (o.audience.nonEmpty) b ++= s"sasl-oauth-audience = ${tomlStr(o.audience)}\n"
       if (sec.insecureSkipVerify) b ++= "insecure-skip-verify = true\n"
     }
+    cfg.sink.pulsarConfig.foreach { p =>
+      b ++= "\n[sink.pulsar-config]\n"
+      p.authenticationToken.foreach(v => b ++= s"authentication-token = ${tomlStr(v)}\n")
+      p.tokenFromFile.foreach(v => b ++= s"token-from-file = ${tomlStr(v)}\n")
+      p.basicUserName.foreach(v => b ++= s"basic-user-name = ${tomlStr(v)}\n")
+      p.basicPassword.foreach(v => b ++= s"basic-password = ${tomlStr(v)}\n")
+      p.authTlsCertificatePath.foreach(v => b ++= s"auth-tls-certificate-path = ${tomlStr(v)}\n")
+      p.authTlsPrivateKeyPath.foreach(v => b ++= s"auth-tls-private-key-path = ${tomlStr(v)}\n")
+      p.tlsTrustCertsFilePath.foreach(v => b ++= s"tls-trust-certs-file-path = ${tomlStr(v)}\n")
+      p.tlsCertificateFile.foreach(v => b ++= s"tls-certificate-file = ${tomlStr(v)}\n")
+      p.tlsKeyFilePath.foreach(v => b ++= s"tls-key-file-path = ${tomlStr(v)}\n")
+      p.compressionType.foreach(v => b ++= s"compression-type = ${tomlStr(v)}\n")
+      p.producerCacheSize.foreach(v => b ++= s"pulsar-producer-cache-size = $v\n")
+      p.batchingMaxMessages.foreach(v => b ++= s"batching-max-messages = $v\n")
+      p.batchingMaxPublishDelayMs.foreach(v => b ++= s"batching-max-publish-delay = '${v}ms'\n")
+      p.sendTimeoutSec.foreach(v => b ++= s"send-timeout = '${v}s'\n")
+      p.connectionTimeoutSec.foreach(v => b ++= s"connection-timeout = '${v}s'\n")
+      p.operationTimeoutSec.foreach(v => b ++= s"operation-timeout = '${v}s'\n")
+      if (p.outputRawChangeEvent) b ++= "output-raw-change-event = true\n"
+      p.oauth2.foreach { o =>
+        b ++= "\n[sink.pulsar-config.oauth2]\n"
+        if (o.issuerUrl.nonEmpty) b ++= s"oauth2-issuer-url = ${tomlStr(o.issuerUrl)}\n"
+        if (o.audience.nonEmpty) b ++= s"oauth2-audience = ${tomlStr(o.audience)}\n"
+        if (o.scope.nonEmpty) b ++= s"oauth2-scope = ${tomlStr(o.scope)}\n"
+        if (o.privateKey.nonEmpty) b ++= s"oauth2-private-key = ${tomlStr(o.privateKey)}\n"
+        if (o.clientId.nonEmpty) b ++= s"oauth2-client-id = ${tomlStr(o.clientId)}\n"
+      }
+    }
     b.toString
   }
 
@@ -401,7 +466,8 @@ object ConfigToml {
         s.columnSelector.map(cs => s""","column_selectors":${jsonArr(cs)}""").getOrElse("") +
         s""","only_output_updated_columns":${s.onlyOutputUpdatedColumns}""" +
         s""","delete_only_output_handle_key_columns":${s.deleteOnlyOutputHandleKey}""" +
-        s""","dispatchers":$dispatchers,"bdr_mode":${s.bdrMode}}"""
+        s""","dispatchers":$dispatchers,"bdr_mode":${s.bdrMode}""" +
+        s.pulsarConfig.map(p => s""","pulsar-config":${pulsarJson(p)}""").getOrElse("") + "}"
     s"""{"id":${jsonStr(cfg.id)},"filter":$filterJson,"sink":$sinkJson""" +
       s""","handle_keys":${jsonArr(cfg.handleKeys)}""" +
       s""","split_update_on_key_change":${cfg.splitUpdateOnKeyChange}""" +
@@ -410,6 +476,38 @@ object ConfigToml {
       cfg.targetTs.map(t => s""","target_ts":$t""").getOrElse("") +
       s""","keyspace":${jsonStr(cfg.keyspace)}""" +
       securityJson(cfg.security).map(j => s""","security":$j""").getOrElse("") + "}"
+  }
+
+  /** Pulsar block → JSON, kebab keys = sink.go:606-672 json tags. */
+  private def pulsarJson(p: Security.PulsarConfig): String = {
+    val fields = Seq.newBuilder[String]
+    p.authenticationToken.foreach(v => fields += s""""authentication-token":${jsonStr(v)}""")
+    p.tokenFromFile.foreach(v => fields += s""""token-from-file":${jsonStr(v)}""")
+    p.basicUserName.foreach(v => fields += s""""basic-user-name":${jsonStr(v)}""")
+    p.basicPassword.foreach(v => fields += s""""basic-password":${jsonStr(v)}""")
+    p.authTlsCertificatePath.foreach(v => fields += s""""auth-tls-certificate-path":${jsonStr(v)}""")
+    p.authTlsPrivateKeyPath.foreach(v => fields += s""""auth-tls-private-key-path":${jsonStr(v)}""")
+    p.tlsTrustCertsFilePath.foreach(v => fields += s""""tls-trust-certs-file-path":${jsonStr(v)}""")
+    p.tlsCertificateFile.foreach(v => fields += s""""tls-certificate-file":${jsonStr(v)}""")
+    p.tlsKeyFilePath.foreach(v => fields += s""""tls-key-file-path":${jsonStr(v)}""")
+    p.compressionType.foreach(v => fields += s""""compression-type":${jsonStr(v)}""")
+    p.producerCacheSize.foreach(v => fields += s""""pulsar-producer-cache-size":$v""")
+    p.batchingMaxMessages.foreach(v => fields += s""""batching-max-messages":$v""")
+    p.batchingMaxPublishDelayMs.foreach(v => fields += s""""batching-max-publish-delay":$v""")
+    p.sendTimeoutSec.foreach(v => fields += s""""send-timeout":$v""")
+    p.connectionTimeoutSec.foreach(v => fields += s""""connection-timeout":$v""")
+    p.operationTimeoutSec.foreach(v => fields += s""""operation-timeout":$v""")
+    if (p.outputRawChangeEvent) fields += s""""output-raw-change-event":true"""
+    p.oauth2.foreach { o =>
+      val of = Seq.newBuilder[String]
+      if (o.issuerUrl.nonEmpty) of += s""""oauth2-issuer-url":${jsonStr(o.issuerUrl)}"""
+      if (o.audience.nonEmpty) of += s""""oauth2-audience":${jsonStr(o.audience)}"""
+      if (o.scope.nonEmpty) of += s""""oauth2-scope":${jsonStr(o.scope)}"""
+      if (o.privateKey.nonEmpty) of += s""""oauth2-private-key":${jsonStr(o.privateKey)}"""
+      if (o.clientId.nonEmpty) of += s""""oauth2-client-id":${jsonStr(o.clientId)}"""
+      fields += s""""oauth2":${of.result().mkString("{", ",", "}")}"""
+    }
+    fields.result().mkString("{", ",", "}")
   }
 
   /** Security block → JSON, kebab keys = the reference's own json tags
@@ -503,7 +601,37 @@ object ConfigToml {
       deleteOnlyOutputHandleKey =
         opt(s, "delete_only_output_handle_key_columns").exists(_.asBoolean()),
       dispatch = if (dispatchers.nonEmpty) dispatchers else Seq(DispatchRule()),
-      bdrMode = opt(s, "bdr_mode").exists(_.asBoolean()))
+      bdrMode = opt(s, "bdr_mode").exists(_.asBoolean()),
+      pulsarConfig = opt(s, "pulsar-config").map { p =>
+        def txt(k: String) = opt(p, k).map(_.asText()).filter(_.nonEmpty)
+        Security.PulsarConfig(
+          authenticationToken = txt("authentication-token"),
+          tokenFromFile = txt("token-from-file"),
+          basicUserName = txt("basic-user-name"),
+          basicPassword = txt("basic-password"),
+          oauth2 = opt(p, "oauth2").map { o =>
+            def otxt(k: String) = Option(o.get(k)).map(_.asText()).getOrElse("")
+            Security.PulsarOAuth2(
+              issuerUrl = otxt("oauth2-issuer-url"),
+              audience = otxt("oauth2-audience"),
+              scope = otxt("oauth2-scope"),
+              privateKey = otxt("oauth2-private-key"),
+              clientId = otxt("oauth2-client-id"))
+          },
+          authTlsCertificatePath = txt("auth-tls-certificate-path"),
+          authTlsPrivateKeyPath = txt("auth-tls-private-key-path"),
+          tlsTrustCertsFilePath = txt("tls-trust-certs-file-path"),
+          tlsCertificateFile = txt("tls-certificate-file"),
+          tlsKeyFilePath = txt("tls-key-file-path"),
+          compressionType = txt("compression-type"),
+          producerCacheSize = opt(p, "pulsar-producer-cache-size").map(_.asInt()),
+          batchingMaxMessages = opt(p, "batching-max-messages").map(_.asInt()),
+          batchingMaxPublishDelayMs = opt(p, "batching-max-publish-delay").map(_.asLong()),
+          sendTimeoutSec = opt(p, "send-timeout").map(_.asLong()),
+          connectionTimeoutSec = opt(p, "connection-timeout").map(_.asLong()),
+          operationTimeoutSec = opt(p, "operation-timeout").map(_.asLong()),
+          outputRawChangeEvent = opt(p, "output-raw-change-event").exists(_.asBoolean()))
+      })
     val security = opt(root, "security").map { sec =>
       def txt(k: String) = opt(sec, k).map(_.asText()).getOrElse("")
       def flag(k: String) = opt(sec, k).exists(_.asBoolean())

@@ -203,4 +203,126 @@ object Security {
         password = if (sec.sasl.gssapi.password.nonEmpty) "******" else ""),
       oauth2 = sec.sasl.oauth2.copy(
         clientSecret = if (sec.sasl.oauth2.clientSecret.nonEmpty) "******" else "")))
+
+  // ---- Pulsar sink client surface (pkg/config/sink.go:606-672
+  //      PulsarConfig + pkg/sink/pulsar/factory.go:95
+  //      setupAuthentication) ----
+
+  /** Pulsar OAuth2 block (sink.go OAuth2: issuer-url, audience,
+    * scope, private-key, client-id; grant type is always
+    * client_credentials). */
+  final case class PulsarOAuth2(
+      issuerUrl: String = "", audience: String = "", scope: String = "",
+      privateKey: String = "", clientId: String = "") {
+    def isEnabled: Boolean =
+      issuerUrl.nonEmpty || audience.nonEmpty || clientId.nonEmpty || privateKey.nonEmpty
+    /** sink.go OAuth2.validate: all four non-scope fields required. */
+    def validate(): Unit =
+      if (isEnabled)
+        require(issuerUrl.nonEmpty && audience.nonEmpty &&
+          privateKey.nonEmpty && clientId.nonEmpty,
+          "pulsar oauth2 requires oauth2-issuer-url, oauth2-audience, " +
+            "oauth2-private-key and oauth2-client-id")
+  }
+
+  /** `[sink.pulsar-config]` (sink.go:606-672 toml tags). Client/
+    * producer tuning carries through to the connector; the auth
+    * fields feed [[pulsarOptions]]'s provider chain. */
+  final case class PulsarConfig(
+      authenticationToken: Option[String] = None,
+      tokenFromFile: Option[String] = None,
+      basicUserName: Option[String] = None,
+      basicPassword: Option[String] = None,
+      oauth2: Option[PulsarOAuth2] = None,
+      authTlsCertificatePath: Option[String] = None,
+      authTlsPrivateKeyPath: Option[String] = None,
+      tlsTrustCertsFilePath: Option[String] = None,
+      tlsCertificateFile: Option[String] = None,
+      tlsKeyFilePath: Option[String] = None,
+      compressionType: Option[String] = None, // lz4 | zlib | zstd
+      producerCacheSize: Option[Int] = None,
+      batchingMaxMessages: Option[Int] = None,
+      batchingMaxPublishDelayMs: Option[Long] = None,
+      sendTimeoutSec: Option[Long] = None,
+      connectionTimeoutSec: Option[Long] = None,
+      operationTimeoutSec: Option[Long] = None,
+      outputRawChangeEvent: Boolean = false) {
+    def isEmpty: Boolean = this == PulsarConfig()
+    def validate(): Unit = {
+      oauth2.foreach(_.validate())
+      compressionType.foreach(c =>
+        require(Seq("lz4", "zlib", "zstd").contains(c.toLowerCase),
+          s"unknown pulsar compression type: $c"))
+    }
+    /** mTLS client auth selected (factory.go:123) — trust certs
+      * required then (factory.go:57-62). */
+    def isMtlsAuth: Boolean =
+      authenticationToken.isEmpty && tokenFromFile.isEmpty &&
+        basicUserName.isEmpty && oauth2.forall(!_.isEnabled) &&
+        authTlsCertificatePath.nonEmpty && authTlsPrivateKeyPath.nonEmpty
+  }
+
+  /** Pulsar client/producer options for the pulsar-spark connector
+    * (`pulsar.client.*` / `pulsar.producer.*` pass through to the
+    * Java client's ClientConfigurationData/ProducerConfigurationData).
+    * The auth provider chain follows factory.go:95 setupAuthentication
+    * ORDER: token, token-from-file, basic, oauth2, mTLS — first
+    * configured wins. */
+  def pulsarOptions(cfg: PulsarConfig): Map[String, String] = {
+    cfg.validate()
+    val authPlugin = "pulsar.client.authPluginClassName"
+    val authParams = "pulsar.client.authParams"
+    val auth: Map[String, String] =
+      if (cfg.authenticationToken.nonEmpty) Map(
+        authPlugin -> "org.apache.pulsar.client.impl.auth.AuthenticationToken",
+        authParams -> s"token:${cfg.authenticationToken.get}")
+      else if (cfg.tokenFromFile.nonEmpty) Map(
+        authPlugin -> "org.apache.pulsar.client.impl.auth.AuthenticationToken",
+        authParams -> s"file://${cfg.tokenFromFile.get}")
+      else if (cfg.basicUserName.nonEmpty && cfg.basicPassword.nonEmpty) Map(
+        authPlugin -> "org.apache.pulsar.client.impl.auth.AuthenticationBasic",
+        authParams -> s"""{"userId":"${cfg.basicUserName.get}","password":"${cfg.basicPassword.get}"}""")
+      else cfg.oauth2.filter(_.isEnabled).map { o =>
+        val scope = if (o.scope.nonEmpty) s""","scope":"${o.scope}"""" else ""
+        Map(
+          authPlugin -> "org.apache.pulsar.client.impl.auth.oauth2.AuthenticationOAuth2",
+          authParams -> (s"""{"type":"client_credentials","issuerUrl":"${o.issuerUrl}",""" +
+            s""""audience":"${o.audience}","privateKey":"${o.privateKey}",""" +
+            s""""clientId":"${o.clientId}"$scope}"""))
+      }.getOrElse {
+        if (cfg.isMtlsAuth) {
+          require(cfg.tlsTrustCertsFilePath.nonEmpty,
+            "pulsar tls trust certs file path is not set when mTLS authentication is enabled")
+          Map(
+            authPlugin -> "org.apache.pulsar.client.impl.auth.AuthenticationTls",
+            authParams -> (s"tlsCertFile:${cfg.authTlsCertificatePath.get}," +
+              s"tlsKeyFile:${cfg.authTlsPrivateKeyPath.get}"))
+        } else Map.empty[String, String]
+      }
+    val tls =
+      cfg.tlsTrustCertsFilePath.map("pulsar.client.tlsTrustCertsFilePath" -> _).toMap
+    val producer = Seq(
+      cfg.compressionType.map(c => "pulsar.producer.compressionType" -> c.toUpperCase),
+      cfg.batchingMaxMessages.map(n => "pulsar.producer.batchingMaxMessages" -> n.toString),
+      cfg.batchingMaxPublishDelayMs.map(ms =>
+        "pulsar.producer.batchingMaxPublishDelayMicros" -> (ms * 1000L).toString),
+      cfg.sendTimeoutSec.map(s => "pulsar.producer.sendTimeoutMs" -> (s * 1000L).toString))
+      .flatten.toMap
+    val client = Seq(
+      cfg.connectionTimeoutSec.map(s =>
+        "pulsar.client.connectionTimeoutMs" -> (s * 1000L).toString),
+      cfg.operationTimeoutSec.map(s =>
+        "pulsar.client.operationTimeoutMs" -> (s * 1000L).toString))
+      .flatten.toMap
+    auth ++ tls ++ producer ++ client
+  }
+
+  /** Masked copy (sink.go:682-693 PulsarConfig.MaskSensitiveData:
+    * token, basic password, oauth2 private key). */
+  def maskedPulsar(cfg: PulsarConfig): PulsarConfig =
+    cfg.copy(
+      authenticationToken = cfg.authenticationToken.map(_ => "******"),
+      basicPassword = cfg.basicPassword.map(_ => "******"),
+      oauth2 = cfg.oauth2.map(o =>
+        if (o.privateKey.nonEmpty) o.copy(privateKey = "******") else o))
 }

@@ -36,13 +36,23 @@ object PulsarSink {
       col("_value").cast("binary").as("value"))
   }
 
-  /** Streaming write (batch variant: `.write` instead). */
+  /** Streaming write (batch variant: `.write` instead). Client auth
+    * (token / token-file / basic / oauth2 / mTLS, factory.go:95
+    * setupAuthentication order) and producer tuning ride as
+    * `pulsar.client.*` / `pulsar.producer.*` options —
+    * [[graft.model.Security.pulsarOptions]] renders the reference's
+    * `[sink.pulsar-config]` block onto the connector. */
   def write(prepared: DataFrame, serviceUrl: String, adminUrl: String,
-            checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
-    prepared.writeStream
+            checkpointDir: String,
+            config: graft.model.Security.PulsarConfig = graft.model.Security.PulsarConfig())
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val w = prepared.writeStream
       .format("pulsar")
       .option("service.url", serviceUrl)
       .option("admin.url", adminUrl)
       .option("checkpointLocation", checkpointDir)
+    graft.model.Security.pulsarOptions(config)
+      .foldLeft(w) { case (acc, (k, v)) => acc.option(k, v) }
       .start()
+  }
 }

@@ -99,4 +99,92 @@ class SecuritySpec extends AnyFunSuite {
     assert(m.sasl.user == full.sasl.user, "non-secrets unchanged")
     assert(Security.masked(SecurityConfig()).sasl.password == "")
   }
+
+  test("pulsar auth provider chain follows setupAuthentication order") {
+    import Security.{PulsarConfig, PulsarOAuth2, pulsarOptions}
+    val plugin = "pulsar.client.authPluginClassName"
+    val params = "pulsar.client.authParams"
+
+    // token beats everything (factory.go:96)
+    val tokenFirst = PulsarConfig(
+      authenticationToken = Some("tok"), tokenFromFile = Some("/f"),
+      basicUserName = Some("u"), basicPassword = Some("p"))
+    assert(pulsarOptions(tokenFirst)(params) == "token:tok")
+
+    val fromFile = pulsarOptions(PulsarConfig(tokenFromFile = Some("/sec/token")))
+    assert(fromFile(plugin).endsWith("AuthenticationToken")
+      && fromFile(params) == "file:///sec/token")
+
+    val basic = pulsarOptions(PulsarConfig(
+      basicUserName = Some("usr"), basicPassword = Some("pwd")))
+    assert(basic(plugin).endsWith("AuthenticationBasic")
+      && basic(params).contains(""""userId":"usr""""))
+
+    val oauth = pulsarOptions(PulsarConfig(oauth2 = Some(PulsarOAuth2(
+      issuerUrl = "https://issuer", audience = "aud",
+      privateKey = "/key.json", clientId = "cid"))))
+    assert(oauth(plugin).endsWith("AuthenticationOAuth2"))
+    assert(oauth(params).contains(""""type":"client_credentials""""))
+    assert(oauth(params).contains(""""issuerUrl":"https://issuer""""))
+
+    // incomplete oauth2 rejected (sink.go OAuth2.validate)
+    intercept[IllegalArgumentException](pulsarOptions(
+      PulsarConfig(oauth2 = Some(PulsarOAuth2(issuerUrl = "https://only")))))
+
+    // mTLS is the last resort and REQUIRES trust certs (factory.go:57-62)
+    intercept[IllegalArgumentException](pulsarOptions(PulsarConfig(
+      authTlsCertificatePath = Some("/c.pem"), authTlsPrivateKeyPath = Some("/k.pem"))))
+    val mtls = pulsarOptions(PulsarConfig(
+      authTlsCertificatePath = Some("/c.pem"), authTlsPrivateKeyPath = Some("/k.pem"),
+      tlsTrustCertsFilePath = Some("/trust.pem")))
+    assert(mtls(plugin).endsWith("AuthenticationTls"))
+    assert(mtls(params) == "tlsCertFile:/c.pem,tlsKeyFile:/k.pem")
+    assert(mtls("pulsar.client.tlsTrustCertsFilePath") == "/trust.pem")
+
+    // producer/client tuning carries through in connector units
+    val tuned = pulsarOptions(PulsarConfig(
+      compressionType = Some("zstd"), batchingMaxMessages = Some(500),
+      batchingMaxPublishDelayMs = Some(10), sendTimeoutSec = Some(30)))
+    assert(tuned("pulsar.producer.compressionType") == "ZSTD")
+    assert(tuned("pulsar.producer.batchingMaxMessages") == "500")
+    assert(tuned("pulsar.producer.batchingMaxPublishDelayMicros") == "10000")
+    assert(tuned("pulsar.producer.sendTimeoutMs") == "30000")
+    intercept[IllegalArgumentException](pulsarOptions(
+      PulsarConfig(compressionType = Some("brotli"))))
+  }
+
+  test("pulsar config round-trips losslessly through TOML and v2 JSON") {
+    import Security.{PulsarConfig, PulsarOAuth2}
+    val pc = PulsarConfig(
+      authenticationToken = Some("tok=abc"),
+      tlsTrustCertsFilePath = Some("/trust.pem"),
+      compressionType = Some("lz4"),
+      producerCacheSize = Some(64),
+      batchingMaxMessages = Some(1000),
+      batchingMaxPublishDelayMs = Some(10),
+      sendTimeoutSec = Some(30),
+      connectionTimeoutSec = Some(5),
+      operationTimeoutSec = Some(30),
+      oauth2 = Some(PulsarOAuth2(
+        issuerUrl = "https://issuer", audience = "aud", scope = "produce",
+        privateKey = "/key.json", clientId = "cid")),
+      outputRawChangeEvent = true)
+    val cfg = graft.model.ChangefeedConfig(id = "pulsar-cf",
+      sink = graft.model.SinkConfig(pulsarConfig = Some(pc)))
+
+    val viaToml = graft.model.ConfigToml.toConfig(
+      graft.model.ConfigToml.parse(graft.model.ConfigToml.renderToml(cfg)), "pulsar-cf")
+    assert(viaToml.sink.pulsarConfig.contains(pc), s"toml: ${viaToml.sink.pulsarConfig}")
+
+    val viaJson = graft.model.ConfigToml.fromApiJson(
+      graft.model.ConfigToml.toApiJson(cfg))
+    assert(viaJson.sink.pulsarConfig.contains(pc), s"json: ${viaJson.sink.pulsarConfig}")
+
+    // masking (sink.go:682-693): token, basic password, oauth2 key
+    val m = Security.maskedPulsar(pc.copy(basicPassword = Some("pw")))
+    assert(m.authenticationToken.contains("******"))
+    assert(m.basicPassword.contains("******"))
+    assert(m.oauth2.get.privateKey == "******")
+    assert(m.tlsTrustCertsFilePath == pc.tlsTrustCertsFilePath, "non-secrets unchanged")
+  }
 }
