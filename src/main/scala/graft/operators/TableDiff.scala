@@ -29,10 +29,13 @@ object TableDiff {
   private def str(c: Column): Column =
     coalesce(c.cast("string"), lit("\u0000null"))
 
-  /** Stable 60-bit row fingerprint over (key ++ value) columns. */
+  /** Stable 64-bit row fingerprint over (key ++ value) columns.
+    * Both sides compute it with the same expression, so any stable
+    * hash works — xxhash64 (native, codegen'd) because this
+    * fingerprint never crosses an engine boundary: the oracle
+    * compares diff classifications, not hashes. */
   private def rowHash(cols: Seq[String]): Column =
-    graft.functions.HashExpressions.md5Prefix64(
-      concat_ws("|", cols.map(c => str(col(c))): _*), 15)
+    xxhash64(concat_ws("|", cols.map(c => str(col(c))): _*))
 
   /** Per-key diff of two same-schema tables. Output: one row per
     * differing key — (keyCols..., diff_kind) with diff_kind in
