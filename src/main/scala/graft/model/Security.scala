@@ -136,7 +136,21 @@ object Security {
         password = p("sasl-gssapi-password").getOrElse(base.sasl.gssapi.password),
         realm = p("sasl-gssapi-realm").getOrElse(base.sasl.gssapi.realm),
         disablePafxfast = p("sasl-gssapi-disable-pafxfast").map(_.toBoolean)
-          .getOrElse(base.sasl.gssapi.disablePafxfast)))
+          .getOrElse(base.sasl.gssapi.disablePafxfast)),
+      oauth2 = base.sasl.oauth2.copy(
+        clientId = p("sasl-oauth-client-id").getOrElse(base.sasl.oauth2.clientId),
+        clientSecret = p("sasl-oauth-client-secret").getOrElse(base.sasl.oauth2.clientSecret),
+        tokenUrl = p("sasl-oauth-token-url").getOrElse(base.sasl.oauth2.tokenUrl),
+        scopes = p("sasl-oauth-scopes").map(_.split(",").toSeq)
+          .getOrElse(base.sasl.oauth2.scopes),
+        grantType = p("sasl-oauth-grant-type").getOrElse(base.sasl.oauth2.grantType),
+        audience = p("sasl-oauth-audience").getOrElse(base.sasl.oauth2.audience)))
+    // OAuth2 params demand the OAUTHBEARER mechanism (options.go:521)
+    if (sasl.oauth2.isEnabled && sasl.mechanism.exists(_ != SaslMechanism.OAuth)
+        && params.keys.exists(_.startsWith("sasl-oauth")))
+      throw new IllegalArgumentException(
+        s"OAuth2 is only supported with SASL mechanism type OAUTHBEARER, " +
+          s"but got ${sasl.mechanism.get.name}")
     SecurityConfig(
       enableTls = enableTls,
       insecureSkipVerify =
@@ -186,12 +200,92 @@ object Security {
           case SaslMechanism.Scram256 | SaslMechanism.Scram512 =>
             Some("org.apache.kafka.common.security.scram.ScramLoginModule required " +
               s"""username="${jaasEscape(sec.sasl.user)}" password="${jaasEscape(sec.sasl.password)}";""")
-          case _ => None // GSSAPI/OAuth need krb5/callback config beyond options
+          case SaslMechanism.OAuth =>
+            val o = sec.sasl.oauth2
+            o.validate()
+            val scope = if (o.scopes.nonEmpty)
+              s""" scope="${jaasEscape(o.scopes.mkString(" "))}"""" else ""
+            Some("org.apache.kafka.common.security.oauthbearer.OAuthBearerLoginModule required " +
+              s"""clientId="${jaasEscape(o.clientId)}" clientSecret="${jaasEscape(o.clientSecret)}"$scope;""")
+          case _ => None // GSSAPI needs krb5 config beyond options
+        }
+        val oauthEndpoint = m match {
+          // the Kafka client's own client-credentials provider — the
+          // tokenProvider role (oauth2_token_provider.go:55-85) runs
+          // inside the connector via the login callback handler
+          case SaslMechanism.OAuth => Map(
+            "kafka.sasl.oauthbearer.token.endpoint.url" -> sec.sasl.oauth2.tokenUrl,
+            "kafka.sasl.login.callback.handler.class" ->
+              "org.apache.kafka.common.security.oauthbearer.secured.OAuthBearerLoginCallbackHandler")
+          case _ => Map.empty[String, String]
         }
         Map("kafka.sasl.mechanism" -> m.name) ++
-          jaas.map("kafka.sasl.jaas.config" -> _)
+          jaas.map("kafka.sasl.jaas.config" -> _) ++ oauthEndpoint
     }
     base ++ tls ++ sasl
+  }
+
+  // ---- OAuth2 client-credentials token source
+  //      (pkg/sink/kafka/oauth2_token_provider.go) ----
+
+  final case class OAuthToken(accessToken: String, tokenType: String, expiresAtMs: Long)
+
+  /** One client-credentials grant against `tokenUrl`
+    * (oauth2_token_provider.go:55-85: grant_type and audience ride as
+    * endpoint params, scopes space-join). Left(error body) on a
+    * non-200. */
+  def fetchOAuthToken(o: OAuth2Config,
+                      nowMs: Long = System.currentTimeMillis()): Either[String, OAuthToken] = {
+    o.validate()
+    def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+    val form = Seq(
+      "grant_type" -> (if (o.grantType.nonEmpty) o.grantType else "client_credentials"),
+      "client_id" -> o.clientId,
+      "client_secret" -> o.clientSecret) ++
+      (if (o.audience.nonEmpty) Seq("audience" -> o.audience) else Nil) ++
+      (if (o.scopes.nonEmpty) Seq("scope" -> o.scopes.mkString(" ")) else Nil)
+    val body = form.map { case (k, v) => s"${enc(k)}=${enc(v)}" }.mkString("&")
+    val conn = new java.net.URL(o.tokenUrl).openConnection()
+      .asInstanceOf[java.net.HttpURLConnection]
+    conn.setRequestMethod("POST")
+    conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
+    conn.setDoOutput(true)
+    val os = conn.getOutputStream
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val resp = scala.io.Source.fromInputStream(stream, "UTF-8").mkString
+    conn.disconnect()
+    if (code != 200) Left(resp)
+    else {
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(resp)
+      Right(OAuthToken(
+        accessToken = n.get("access_token").asText(),
+        tokenType = Option(n.get("token_type")).map(_.asText()).getOrElse("Bearer"),
+        expiresAtMs = nowMs +
+          Option(n.get("expires_in")).map(_.asLong()).getOrElse(3600L) * 1000L))
+    }
+  }
+
+  /** Token source with reuse — the sarama AccessTokenProvider
+    * contract ("ensure token reuse so that multiple calls at connect
+    * time do not create multiple tokens", oauth2_token_provider.go:
+    * 34-41): a cached token serves until 60s before expiry. */
+  final class OAuthTokenProvider(o: OAuth2Config,
+                                 clock: () => Long = () => System.currentTimeMillis()) {
+    o.validate()
+    @volatile private var cached: Option[OAuthToken] = None
+    def token(): OAuthToken = synchronized {
+      val now = clock()
+      cached.filter(_.expiresAtMs - 60000L > now).getOrElse {
+        val t = fetchOAuthToken(o, now) match {
+          case Right(tok) => tok
+          case Left(err) => throw new IllegalStateException(s"oauth2 token fetch failed: $err")
+        }
+        cached = Some(t)
+        t
+      }
+    }
   }
 
   /** Masked copy for logs/API echoes (sink.go:509-525
