@@ -451,6 +451,15 @@ object ExtQueries {
 
   private def q(body: String): String = EnvelopeSql.query(body)
 
+  /** Simple-protocol quoted-string image (encodeValue stringifies
+    * every scalar; doubles keep the money-decimal convention). */
+  private def simpleImgSql(img: String): String =
+    s"""CASE WHEN ${img}_user_id IS NULL THEN 'null' ELSE
+       |  '{"user_id":"' || CAST(${img}_user_id AS VARCHAR) ||
+       |  '","value":' || COALESCE('"' || CAST(CAST(${img}_value AS DECIMAL(18,2)) AS VARCHAR) || '"', 'null') ||
+       |  ',"k":' || COALESCE('"' || CAST(${img}_k AS VARCHAR) || '"', 'null') || '}' END""".stripMargin
+      .replace("\n", " ")
+
   /** Payload image recovered from a ms-precision JSON protocol:
     * value passes through DECIMAL(18,2) then back to double. */
   private def recovered(img: String): String =
@@ -523,20 +532,24 @@ object ExtQueries {
 
     "q_encode_simple" -> q(
       s"""SELECT _row_id,
-         |  '{"version":1,"type":"' ||
+         |  '{"version":1,"database":"' || _schema || '","table":"' || _table ||
+         |  '","type":"' ||
          |  CASE WHEN _op = 'I' THEN 'INSERT' WHEN _op = 'U' THEN 'UPDATE' ELSE 'DELETE' END ||
          |  '","commitTs":' || CAST(_commit_ts AS VARCHAR) ||
          |  ',"buildTs":' || CAST(_commit_ts // 1000000 AS VARCHAR) ||
-         |  ',"schema":"' || _schema || '","table":"' || _table ||
-         |  '","data":' || ${CdcQueries.imgSqlPublic("after")} ||
-         |  ',"old":' || ${CdcQueries.imgSqlPublic("before")} || '}' AS _value
+         |  CASE WHEN _op <> 'D' THEN ',"data":' || ${simpleImgSql("after")} ELSE '' END ||
+         |  CASE WHEN _op <> 'I' THEN ',"old":' || ${simpleImgSql("before")} ELSE '' END ||
+         |  '}' AS _value
          |FROM env""".stripMargin),
 
     "q_bootstrap" -> q(
       """SELECT DISTINCT _schema, _table,
-        |  '{"version":1,"type":"BOOTSTRAP","schema":"' || _schema ||
-        |  '","table":"' || _table ||
-        |  '","columns":[{"name":"user_id","type":"bigint"},{"name":"value","type":"double"},{"name":"k","type":"bigint"}]}' AS _value
+        |  '{"version":1,"type":"BOOTSTRAP","commitTs":0,"buildTs":0,"tableSchema":{"schema":"' || _schema ||
+        |  '","table":"' || _table || '","tableID":0,"version":0,"columns":[' ||
+        |  '{"name":"user_id","dataType":{"mysqlType":"bigint","charset":"binary","collate":"binary","length":20},"nullable":false,"default":null},' ||
+        |  '{"name":"value","dataType":{"mysqlType":"double","charset":"binary","collate":"binary","length":22},"nullable":true,"default":null},' ||
+        |  '{"name":"k","dataType":{"mysqlType":"bigint","charset":"binary","collate":"binary","length":20},"nullable":true,"default":null}' ||
+        |  '],"indexes":[{"name":"primary","unique":true,"primary":true,"nullable":false,"columns":["user_id"]}]}}' AS _value
         |FROM env""".stripMargin),
 
     "q_encode_ddl" -> q(

@@ -141,32 +141,71 @@ object Codecs {
 
   /** Simple protocol DML message (pkg/sink/codec/simple/encoder.go:48,
     * message.go): version header + type + full ts + table ref. */
+  /** Quoted-string image for the simple protocol's JSON form: the
+    * reference's encodeValue (simple/message.go:434-491) renders
+    * EVERY scalar as a JSON string (strconv for ints/floats), so the
+    * wire object is {"user_id":"7","value":"2.00","k":"9"}. Doubles
+    * keep the money-decimal convention for cross-engine stability. */
+  private def simpleImage(img: String): Column = {
+    def qs(c: Column): Column =
+      coalesce(concat(lit("\""), c, lit("\"")), lit("null"))
+    when(col(img).isNull, lit("null")).otherwise(concat(
+      lit("{\"user_id\":"), qs(col(s"$img.user_id").cast("string")),
+      lit(",\"value\":"), qs(col(s"$img.value").cast(DecimalType(18, 2)).cast("string")),
+      lit(",\"k\":"), qs(col(s"$img.k").cast("string")),
+      lit("}")))
+  }
+
+  /** Simple protocol DML message (simple/message.go:243-274 `message`
+    * struct field order and json tags: version, database, table,
+    * type, commitTs, buildTs, then data/old under omitempty — INSERT
+    * carries data only, DELETE old only, UPDATE both). `tableID`/
+    * `schemaVersion` are zero here and omitempty drops them;
+    * `buildTs` is the deterministic commit-ms stand-in for the
+    * reference's time.Now. Values are strings per encodeValue. */
   def simpleProtocol(env: DataFrame): DataFrame = {
     val typ = when(col("_op") === "I", "INSERT")
       .when(col("_op") === "U", "UPDATE").otherwise("DELETE")
     env.withColumn("_value", concat(
-      lit("{\"version\":1,\"type\":\""), typ,
+      lit("{\"version\":1,\"database\":\""), col("_schema"),
+      lit("\",\"table\":\""), col("_table"),
+      lit("\",\"type\":\""), typ,
       lit("\",\"commitTs\":"), col("_commit_ts"),
       lit(",\"buildTs\":"), ms(col("_commit_ts")),
-      lit(",\"schema\":\""), col("_schema"),
-      lit("\",\"table\":\""), col("_table"),
-      lit("\",\"data\":"), imageJson("after"),
-      lit(",\"old\":"), imageJson("before"),
+      when(col("_op") =!= "D", concat(lit(",\"data\":"), simpleImage("after")))
+        .otherwise(lit("")),
+      when(col("_op") =!= "I", concat(lit(",\"old\":"), simpleImage("before")))
+        .otherwise(lit("")),
       lit("}")))
   }
 
   /** Simple protocol bootstrap/handshake messages: one per table,
-    * carrying the schema (send-bootstrap-* config sink.go:188-200;
-    * bootstraper.go). Emitted on changefeed start and on schema
-    * change. */
-  def bootstrapMessages(env: DataFrame): DataFrame =
+    * carrying the full TableSchema (send-bootstrap-* config
+    * sink.go:188-200; bootstraper.go; schema shape
+    * simple/message.go:65-72 — schema/table/tableID/version/columns/
+    * indexes, columns with the dataType block of message.go:100-135).
+    * Top-level fields follow the message struct: database/table are
+    * empty for bootstrap (omitempty drops them), commitTs has no
+    * omitempty and rides as 0; buildTs is 0, the deterministic
+    * stand-in. */
+  def bootstrapMessages(env: DataFrame): DataFrame = {
+    def col3(name: String, mysqlType: String, length: Int, nullable: Boolean) =
+      s"""{"name":"$name","dataType":{"mysqlType":"$mysqlType","charset":"binary",""" +
+        s""""collate":"binary","length":$length},"nullable":$nullable,"default":null}"""
+    val columns = Seq(
+      col3("user_id", "bigint", 20, nullable = false),
+      col3("value", "double", 22, nullable = true),
+      col3("k", "bigint", 20, nullable = true)).mkString("[", ",", "]")
+    val indexes =
+      """[{"name":"primary","unique":true,"primary":true,"nullable":false,"columns":["user_id"]}]"""
     env.select(col("_schema"), col("_table")).distinct()
       .withColumn("_value", concat(
-        lit("{\"version\":1,\"type\":\"BOOTSTRAP\",\"schema\":\""), col("_schema"),
+        lit("{\"version\":1,\"type\":\"BOOTSTRAP\",\"commitTs\":0,\"buildTs\":0,"),
+        lit("\"tableSchema\":{\"schema\":\""), col("_schema"),
         lit("\",\"table\":\""), col("_table"),
-        lit("\",\"columns\":[{\"name\":\"user_id\",\"type\":\"bigint\"}," +
-          "{\"name\":\"value\",\"type\":\"double\"}," +
-          "{\"name\":\"k\",\"type\":\"bigint\"}]}")))
+        lit("\",\"tableID\":0,\"version\":0,"),
+        lit(s"""\"columns\":$columns,\"indexes\":$indexes}}""")))
+  }
 
   /** Open-protocol RESOLVED control message (type field t=3,
     * open/message.go type taxonomy): key carries the watermark ts,
@@ -308,18 +347,57 @@ object Codecs {
   }
 
   /** Simple protocol over an arbitrary payload schema. */
+  /** Simple-protocol value rendering over an arbitrary type
+    * (encodeValue, simple/message.go:434-491): every scalar is a
+    * JSON STRING (strconv ints/floats, base64 binary, "1"/"0"
+    * bools), EXCEPT TypeTimestamp which is the
+    * {"location","value"} object. Spark TimestampType maps to
+    * TypeTimestamp (tz-aware), TimestampNTZType to TypeDatetime (a
+    * plain string). */
+  def simpleValueFor(c: Column, dt: DataType): Column = {
+    def qs(body: Column): Column = concat(lit("\""), body, lit("\""))
+    val rendered: Column = dt match {
+      case ByteType | ShortType | IntegerType | LongType => qs(c.cast("string"))
+      case _: DecimalType => qs(c.cast("string"))
+      case FloatType | DoubleType => qs(c.cast("string"))
+      case BooleanType => qs(when(c, lit("1")).otherwise(lit("0")))
+      case StringType => concat(lit("\""), jsonEscape(c), lit("\""))
+      case BinaryType => qs(base64(c))
+      case DateType => qs(date_format(c, "yyyy-MM-dd"))
+      case _: TimestampNTZType => qs(date_format(c, "yyyy-MM-dd HH:mm:ss"))
+      case _: TimestampType => concat(
+        lit("{\"location\":\"UTC\",\"value\":\""),
+        date_format(c, "yyyy-MM-dd HH:mm:ss"), lit("\"}"))
+      case _ => concat(lit("\""), jsonEscape(c.cast("string")), lit("\""))
+    }
+    coalesce(rendered, lit("null"))
+  }
+
+  private def simpleImageFor(img: String, fields: Seq[StructField]): Column = {
+    val body = fields.zipWithIndex.flatMap { case (f, i) =>
+      val sep = if (i == 0) "{\"" else ",\""
+      Seq(lit(s"$sep${f.name}\":"), simpleValueFor(col(s"$img.${f.name}"), f.dataType))
+    } :+ lit("}")
+    when(col(img).isNull, lit("null")).otherwise(concat(body: _*))
+  }
+
+  /** Simple-protocol JSON over an arbitrary payload schema (generic
+    * form of [[simpleProtocol]] — message layout per the `message`
+    * struct, values per encodeValue). */
   def simpleProtocolFor(env: DataFrame): DataFrame = {
     val fields = env.schema("after").dataType.asInstanceOf[StructType].fields.toSeq
     val typ = when(col("_op") === "I", "INSERT")
       .when(col("_op") === "U", "UPDATE").otherwise("DELETE")
     env.withColumn("_value", concat(
-      lit("{\"version\":1,\"type\":\""), typ,
+      lit("{\"version\":1,\"database\":\""), col("_schema"),
+      lit("\",\"table\":\""), col("_table"),
+      lit("\",\"type\":\""), typ,
       lit("\",\"commitTs\":"), col("_commit_ts"),
       lit(",\"buildTs\":"), ms(col("_commit_ts")),
-      lit(",\"schema\":\""), col("_schema"),
-      lit("\",\"table\":\""), col("_table"),
-      lit("\",\"data\":"), imageJsonFor("after", fields),
-      lit(",\"old\":"), imageJsonFor("before", fields),
+      when(col("_op") =!= "D",
+        concat(lit(",\"data\":"), simpleImageFor("after", fields))).otherwise(lit("")),
+      when(col("_op") =!= "I",
+        concat(lit(",\"old\":"), simpleImageFor("before", fields))).otherwise(lit("")),
       lit("}")))
   }
 

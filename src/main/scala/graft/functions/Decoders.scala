@@ -167,31 +167,63 @@ object Decoders {
   def decodeSimple(msgs: DataFrame, valueCol: String = "_value"): DataFrame =
     decodeSimpleFor(msgs, imageSchema, valueCol)
 
-  /** Simple-protocol decode over an arbitrary wire image schema. */
+  /** Simple-protocol decode over an arbitrary target image schema.
+    * The wire object carries every scalar as a STRING (and
+    * TypeTimestamp as the {"location","value"} object — encodeValue,
+    * simple/message.go:434-491), so the parse schema is string-typed
+    * and each field casts back to its target type. */
   def decodeSimpleFor(msgs: DataFrame, image: StructType,
                       valueCol: String = "_value"): DataFrame = {
+    val wireImage = StructType(image.fields.map { f =>
+      f.dataType match {
+        case _: TimestampType => StructField(f.name, StructType(Seq(
+          StructField("location", StringType), StructField("value", StringType))))
+        case _ => StructField(f.name, StringType)
+      }
+    })
     val simpleSchema = StructType(Seq(
       StructField("version", IntegerType),
+      StructField("database", StringType),
+      StructField("table", StringType),
+      StructField("tableID", LongType),
       StructField("type", StringType),
+      StructField("sql", StringType),
       StructField("commitTs", LongType),
       StructField("buildTs", LongType),
-      StructField("schema", StringType),
-      StructField("table", StringType),
-      StructField("data", image),
-      StructField("old", image)))
+      StructField("schemaVersion", LongType),
+      StructField("claimCheckLocation", StringType),
+      StructField("handleKeyOnly", BooleanType),
+      StructField("data", wireImage),
+      StructField("old", wireImage)))
+    def mount(img: Column): Column = {
+      val fields = image.fields.map { f =>
+        val c = img.getField(f.name)
+        val cast: Column = f.dataType match {
+          case BooleanType => (c === "1" || c === "true").as(f.name)
+          case BinaryType => unbase64(c)
+          case DateType => to_date(c, "yyyy-MM-dd")
+          case _: TimestampType => to_timestamp(c.getField("value"), "yyyy-MM-dd HH:mm:ss")
+          case _: TimestampNTZType =>
+            to_timestamp(c, "yyyy-MM-dd HH:mm:ss").cast(TimestampNTZType)
+          case dt => c.cast(dt)
+        }
+        cast.as(f.name)
+      }
+      when(img.isNull, lit(null).cast(image)).otherwise(struct(fields.toIndexedSeq: _*))
+    }
     // parse ONCE into an attribute (see decodeCanalFor)
     val j = col("__j")
     msgs
       .withColumn("__j", from_json(col(valueCol), simpleSchema, wireOptions))
       .select(
-      j.getField("schema").as("_schema"),
+      j.getField("database").as("_schema"),
       j.getField("table").as("_table"),
       j.getField("commitTs").as("_commit_ts"),
       when(j.getField("type") === "INSERT", "I")
         .when(j.getField("type") === "UPDATE", "U")
         .otherwise("D").as("_op"),
-      j.getField("old").as("before"),
-      j.getField("data").as("after"))
+      mount(j.getField("old")).as("before"),
+      mount(j.getField("data")).as("after"))
   }
 
   private val csvSchema = StructType(Seq(
