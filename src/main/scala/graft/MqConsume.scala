@@ -89,6 +89,7 @@ object MqConsume {
     msgs.filter(length(trim(col("_value"))) > 0 &&
       !col("_value").contains("\"BOOTSTRAP\"") &&
       !col("_value").contains("\"TIDB_WATERMARK\"") &&
+      !col("_value").contains("\"type\":\"WATERMARK\"") &&
       !(col("_value").startsWith("{\"ts\":") && col("_value").endsWith("\"t\":3}")))
 
   final case class Summary(protocol: String, messages: Long, applied: Long,

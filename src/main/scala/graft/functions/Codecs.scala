@@ -214,6 +214,28 @@ object Codecs {
   def openResolvedMessage(resolvedTs: Long): (String, String) =
     (s"""{"ts":$resolvedTs,"t":3}""", "")
 
+  /** Simple-protocol WATERMARK message (newResolvedMessage,
+    * simple/message.go:275-282: version, type, commitTs, buildTs —
+    * every omitempty field absent). */
+  def simpleResolvedMessage(resolvedTs: Long): String =
+    s"""{"version":1,"type":"WATERMARK","commitTs":$resolvedTs,""" +
+      s""""buildTs":${resolvedTs / 1000000L}}"""
+
+  /** Per-protocol resolved/watermark control message for the MQ path:
+    * (key, value). Open rides in the KEY (t=3, empty value);
+    * canal-json and simple carry a watermark VALUE message
+    * (TIDB_WATERMARK / WATERMARK); protocols with no wire-level
+    * watermark (debezium, csv) fall back to the open key as a
+    * transport-level marker the consumer filters. */
+  def resolvedMessageFor(protocol: graft.model.Protocol, resolvedTs: Long): (String, String) =
+    protocol match {
+      case graft.model.Protocol.Open => openResolvedMessage(resolvedTs)
+      case graft.model.Protocol.CanalJson =>
+        ("", CanalFull.watermarkMessage(resolvedTs, resolvedTs / 1000000L))
+      case graft.model.Protocol.Simple => ("", simpleResolvedMessage(resolvedTs))
+      case _ => openResolvedMessage(resolvedTs)
+    }
+
   /** DDL message encoding, protocol-common form
     * (pkg/sink/codec/common/ddl.go:1-240): ddl rows =
     * (_schema, _table, version_ts, query). */

@@ -48,6 +48,7 @@ object Protocol {
   case object Open extends Protocol
   case object Debezium extends Protocol
   case object Csv extends Protocol
+  case object Simple extends Protocol
 }
 
 final case class SinkConfig(

@@ -152,6 +152,7 @@ object ConfigToml {
     case "open-protocol" => Protocol.Open
     case "debezium" => Protocol.Debezium
     case "csv" => Protocol.Csv
+    case "simple" => Protocol.Simple
     case other => throw new IllegalArgumentException(s"unknown protocol: $other")
   }
   private def protocolName(p: Protocol): String = p match {
@@ -159,6 +160,7 @@ object ConfigToml {
     case Protocol.Open => "open-protocol"
     case Protocol.Debezium => "debezium"
     case Protocol.Csv => "csv"
+    case Protocol.Simple => "simple"
   }
 
   private def dispatchOf(m: Map[String, V]): DispatchRule = {
@@ -592,6 +594,7 @@ object ConfigToml {
         case "open-protocol" => Protocol.Open
         case "debezium" => Protocol.Debezium
         case "csv" => Protocol.Csv
+        case "simple" => Protocol.Simple
         case other => throw new IllegalArgumentException(s"unknown protocol: $other")
       }).getOrElse(Protocol.CanalJson),
       numPartitions = opt(s, "partition_num").map(_.asInt()).getOrElse(16),

@@ -60,6 +60,7 @@ object Changefeed {
       case Protocol.Open      => Codecs.openProtocol(df)
       case Protocol.Debezium  => Codecs.debeziumJson(df)
       case Protocol.Csv       => Codecs.csvLine(df)
+      case Protocol.Simple    => Codecs.simpleProtocol(df)
     }
   }
 
@@ -254,7 +255,10 @@ object Changefeed {
           .write.mode("append").parquet(sinkDir)
         obs.get.get("resolved") match {
           case Some(resolved: Long) =>
-            val (key, _) = Codecs.openResolvedMessage(resolved)
+            // the control payload is protocol-specific: open rides in
+            // the key, canal-json/simple carry a watermark value
+            val (k, v) = Codecs.resolvedMessageFor(cfg.sink.protocol, resolved)
+            val key = if (v.nonEmpty) v else k
             val s = batch.sparkSession
             import s.implicits._
             // one control message per routing partition (the reference

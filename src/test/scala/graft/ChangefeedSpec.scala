@@ -329,7 +329,11 @@ class ChangefeedSpec extends SparkFunSuite {
     assert(rows.count() > 0 && resolved.count() > 0)
     // a resolved message reached every routing partition
     assert(resolved.select("_partition").distinct().count() == 4)
-    assert(resolved.select("_value").head().getString(0).endsWith("\"t\":3}"))
+    // the control payload is protocol-specific: this canal-json feed
+    // carries the TIDB_WATERMARK message with the watermark in _tidb
+    val wm = resolved.select("_value").head().getString(0)
+    assert(wm.contains("\"type\":\"TIDB_WATERMARK\"")
+      && wm.contains("\"_tidb\":{\"watermarkTs\":"), wm)
     // the watermark covers every data row: no row above the max resolved
     val maxResolved = resolved.agg(max("_commit_ts")).head().getLong(0)
     assert(rows.filter(col("_commit_ts") > maxResolved).count() == 0,

@@ -121,6 +121,35 @@ class MqConsumeSpec extends SparkFunSuite {
     checkProtocol("csv", Codecs.csvLine(env), "csv")
   }
 
+  test("simple-protocol changefeed emits WATERMARK controls the consumer filters") {
+    val base = tmp("simple-feed")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$base/src/events.parquet"))
+    val cfg = graft.model.ChangefeedConfig(id = "cf-simple",
+      sink = graft.model.SinkConfig(protocol = graft.model.Protocol.Simple))
+    graft.streaming.Changefeed.runMq(
+      spark, cfg, s"$base/src", s"$base/sink", s"$base/ckpt").awaitTermination(120000)
+    val sunk = spark.read.parquet(s"$base/sink")
+    // one WATERMARK per routing partition, the simple wire shape
+    val controls = sunk.filter(col("_kind") === "resolved")
+    assert(controls.count() == cfg.sink.numPartitions.toLong)
+    val wm = controls.select("_value").head().getString(0)
+    assert(wm.startsWith("{\"version\":1,\"type\":\"WATERMARK\",\"commitTs\":"), wm)
+    // the consumer-side filter drops them; every data row decodes
+    val rows = sunk.filter(col("_kind") === "row")
+      .select(col("_value"), lit(null).cast("string").as("_key"))
+    val kept = MqConsume.dataMessagesOnly(rows)
+    assert(kept.count() == rows.count(), "data rows survive the control filter")
+    assert(MqConsume.dataMessagesOnly(
+      controls.select(col("_value"), lit(null).cast("string").as("_key"))).count() == 0L,
+      "watermarks are filtered")
+    val decoded = graft.functions.Decoders.decodeSimple(kept)
+    assert(decoded.filter(col("_schema").isNull).count() == 0L)
+    assert(decoded.count() == rows.count())
+  }
+
   test("storage-sink text layout end to end") {
     val dir = tmp("storage")
     StorageSink.write(Codecs.canalJson(env), dir, fmt = "text")

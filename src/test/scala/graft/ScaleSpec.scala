@@ -116,7 +116,8 @@ class ScaleSpec extends SparkFunSuite {
       Protocol.CanalJson -> "{\"id\":0,\"database\":",
       Protocol.Open -> "{\"",
       Protocol.Debezium -> "{\"before\":",
-      Protocol.Csv -> "\"")
+      Protocol.Csv -> "\"",
+      Protocol.Simple -> "{\"version\":1,\"database\":")
     prefixes.foreach { case (proto, prefix) =>
       val cfg = ChangefeedConfig(id = s"cf-$proto",
         sink = SinkConfig(protocol = proto))
