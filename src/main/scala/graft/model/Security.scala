@@ -139,18 +139,27 @@ object Security {
           .getOrElse(base.sasl.gssapi.disablePafxfast)),
       oauth2 = base.sasl.oauth2.copy(
         clientId = p("sasl-oauth-client-id").getOrElse(base.sasl.oauth2.clientId),
-        clientSecret = p("sasl-oauth-client-secret").getOrElse(base.sasl.oauth2.clientSecret),
+        // the reference base64-decodes the configured secret
+        // (options.go:498 applyOAuth: DecodeString, error on non-base64)
+        clientSecret = p("sasl-oauth-client-secret").map { enc =>
+          try new String(java.util.Base64.getDecoder.decode(enc), "UTF-8")
+          catch {
+            case _: IllegalArgumentException => throw new IllegalArgumentException(
+              "OAuth2 client secret is not base64 encoded")
+          }
+        }.getOrElse(base.sasl.oauth2.clientSecret),
         tokenUrl = p("sasl-oauth-token-url").getOrElse(base.sasl.oauth2.tokenUrl),
         scopes = p("sasl-oauth-scopes").map(_.split(",").toSeq)
           .getOrElse(base.sasl.oauth2.scopes),
         grantType = p("sasl-oauth-grant-type").getOrElse(base.sasl.oauth2.grantType),
         audience = p("sasl-oauth-audience").getOrElse(base.sasl.oauth2.audience)))
-    // OAuth2 params demand the OAUTHBEARER mechanism (options.go:521)
-    if (sasl.oauth2.isEnabled && sasl.mechanism.exists(_ != SaslMechanism.OAuth)
-        && params.keys.exists(_.startsWith("sasl-oauth")))
+    // An enabled OAuth2 block demands the OAUTHBEARER mechanism no matter
+    // which carrier configured it (options.go:521 checks the merged state,
+    // not just URI params).
+    if (sasl.oauth2.isEnabled && !sasl.mechanism.contains(SaslMechanism.OAuth))
       throw new IllegalArgumentException(
         s"OAuth2 is only supported with SASL mechanism type OAUTHBEARER, " +
-          s"but got ${sasl.mechanism.get.name}")
+          s"but got ${sasl.mechanism.map(_.name).getOrElse("")}")
     SecurityConfig(
       enableTls = enableTls,
       insecureSkipVerify =
@@ -215,8 +224,10 @@ object Security {
           // inside the connector via the login callback handler
           case SaslMechanism.OAuth => Map(
             "kafka.sasl.oauthbearer.token.endpoint.url" -> sec.sasl.oauth2.tokenUrl,
+            // the un-"secured" package location: present since Kafka 3.2,
+            // the secured.* alias was removed in kafka-clients 4.0
             "kafka.sasl.login.callback.handler.class" ->
-              "org.apache.kafka.common.security.oauthbearer.secured.OAuthBearerLoginCallbackHandler")
+              "org.apache.kafka.common.security.oauthbearer.OAuthBearerLoginCallbackHandler")
           case _ => Map.empty[String, String]
         }
         Map("kafka.sasl.mechanism" -> m.name) ++
@@ -248,6 +259,11 @@ object Security {
     val conn = new java.net.URL(o.tokenUrl).openConnection()
       .asInstanceOf[java.net.HttpURLConnection]
     conn.setRequestMethod("POST")
+    // the sarama AccessTokenProvider contract forbids blocking
+    // indefinitely; token() holds a lock across this fetch, so a hung
+    // IdP must time out rather than wedge every caller
+    conn.setConnectTimeout(5000)
+    conn.setReadTimeout(5000)
     conn.setRequestProperty("Content-Type", "application/x-www-form-urlencoded")
     conn.setDoOutput(true)
     val os = conn.getOutputStream

@@ -123,7 +123,7 @@ object Failpoints {
   private[streaming] def parse(expr: String): Vector[Term] = {
     val trimmed = expr.trim
     require(trimmed.nonEmpty, "empty failpoint expression")
-    trimmed.split("->").toVector.map { raw =>
+    val terms = trimmed.split("->").toVector.map { raw =>
       val s = raw.trim
       val (mod, rest) = s.indexOf('*') match {
         case i if i > 0 && s.take(i).forall(_.isDigit) =>
@@ -158,5 +158,14 @@ object Failpoints {
           Term(action, None, Some(p))
       }
     }
+    // A percentage or unmodified term never exhausts, so any term
+    // chained after one is unreachable under pick(); reject the
+    // expression up front instead of silently dropping its tail.
+    terms.dropRight(1).zipWithIndex.foreach { case (t, i) =>
+      require(t.times.isDefined,
+        s"term ${i + 1} of '$trimmed' is terminal (only N*action terms may be " +
+          "followed by another term)")
+    }
+    terms
   }
 }

@@ -57,6 +57,12 @@ class OpsSurfaceSpec extends SparkFunSuite {
     // malformed expressions are rejected at enable time
     intercept[IllegalArgumentException](Failpoints.enable("fp/bad", "explode(now)"))
     intercept[IllegalArgumentException](Failpoints.enable("fp/bad2", "sleep"))
+    // terms after a terminal (percentage / unmodified) term are
+    // unreachable — rejected up front rather than silently dropped
+    intercept[IllegalArgumentException](
+      Failpoints.enable("fp/bad3", "10%return->return(tail)"))
+    intercept[IllegalArgumentException](
+      Failpoints.enable("fp/bad4", "return(head)->1*off"))
     Failpoints.clear()
   }
 

@@ -160,15 +160,32 @@ class SecuritySpec extends AnyFunSuite {
       sasl = SaslConfig(mechanism = Some(SaslMechanism.OAuth)))))
 
     // oauth params with a non-OAUTHBEARER mechanism on the sink URI → options.go:521
+    val b64 = java.util.Base64.getEncoder.encodeToString("cs".getBytes("UTF-8"))
     assertThrows[IllegalArgumentException](Security.fromUriParams(Map(
       "sasl-mechanism" -> "scram-sha-256", "sasl-oauth-client-id" -> "cid",
-      "sasl-oauth-client-secret" -> "cs", "sasl-oauth-token-url" -> "https://idp/token")))
-    // and WITH it, the params parse onto the config
+      "sasl-oauth-client-secret" -> b64, "sasl-oauth-token-url" -> "https://idp/token")))
+    // ...and the check is on the merged state, not the param carrier: an
+    // oauth2 block arriving via base config with a SCRAM mechanism errors
+    // even when no sasl-oauth-* URI param is present (options.go checks
+    // o.SASL.OAuth2.IsEnable() on the merged options)
+    assertThrows[IllegalArgumentException](Security.fromUriParams(
+      Map.empty,
+      base = SecurityConfig(sasl = SaslConfig(
+        mechanism = Some(SaslMechanism.Scram256),
+        oauth2 = OAuth2Config(clientId = "cid", clientSecret = "cs",
+          tokenUrl = "https://idp/token")))))
+    // and WITH it, the params parse onto the config; the secret is
+    // base64-decoded on ingest (options.go:498)
     val ok = Security.fromUriParams(Map(
       "sasl-mechanism" -> "oauthbearer", "sasl-oauth-client-id" -> "cid",
-      "sasl-oauth-client-secret" -> "cs", "sasl-oauth-token-url" -> "https://idp/token",
+      "sasl-oauth-client-secret" -> b64, "sasl-oauth-token-url" -> "https://idp/token",
       "sasl-oauth-audience" -> "aud"))
     assert(ok.sasl.oauth2.clientId == "cid" && ok.sasl.oauth2.audience == "aud")
+    assert(ok.sasl.oauth2.clientSecret == "cs", "secret base64-decoded on ingest")
+    // a non-base64 secret is rejected, like the reference contract
+    assertThrows[IllegalArgumentException](Security.fromUriParams(Map(
+      "sasl-mechanism" -> "oauthbearer", "sasl-oauth-client-id" -> "cid",
+      "sasl-oauth-client-secret" -> "not!base64%", "sasl-oauth-token-url" -> "https://idp/token")))
   }
 
   test("pulsar auth provider chain follows setupAuthentication order") {
