@@ -83,6 +83,41 @@ object MqConsume {
         (col("after.user_id").isNotNull || col("before.user_id").isNotNull))
   }
 
+  /** Parse the stream's BOOTSTRAP handshakes into per-table apply
+    * DDL: ((schema, table) → (columns as (name, sql type), primary-key
+    * columns)). The mysqlType→SQL mapping keeps the harness's
+    * money-decimal convention (double rides as DECIMAL(18,2) so the
+    * sync-diff is engine-stable). Control-plane sized: one collect of
+    * the handshake messages only. */
+  def bootstrapSchemas(msgs: DataFrame)
+      : Map[(String, String), (Seq[(String, String)], Seq[String])] = {
+    import scala.jdk.CollectionConverters._
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    msgs.filter(col("_value").contains("\"type\":\"BOOTSTRAP\""))
+      .select(col("_value")).collect().iterator.flatMap { r =>
+        try {
+          val n = mapper.readTree(r.getString(0))
+          val ts = n.get("tableSchema")
+          val cols = ts.get("columns").elements().asScala.map { c =>
+            val mysql = c.get("dataType").get("mysqlType").asText()
+            val sql = mysql match {
+              case "bigint" => "BIGINT"
+              case "int" | "mediumint" => "INTEGER"
+              case "smallint" | "tinyint" => "SMALLINT"
+              case "double" | "float" | "decimal" => "DECIMAL(18,2)"
+              case _ => "VARCHAR(255)"
+            }
+            c.get("name").asText() -> sql
+          }.toSeq
+          val pk = ts.get("indexes").elements().asScala
+            .find(i => i.get("primary").asBoolean(false))
+            .map(_.get("columns").elements().asScala.map(_.asText()).toSeq)
+            .getOrElse(Seq.empty)
+          Some((ts.get("schema").asText(), ts.get("table").asText()) -> (cols, pk))
+        } catch { case _: Exception => None }
+      }.toMap
+  }
+
   /** Drop control messages (resolved watermarks, bootstrap
     * handshakes) before decoding — value shapes per protocol. */
   def dataMessagesOnly(msgs: DataFrame): DataFrame =
@@ -126,14 +161,20 @@ object MqConsume {
       }
     val env = decode(data, proto)
 
-    // re-apply through the sink path onto embedded Derby
+    // re-apply through the sink path onto embedded Derby. The apply
+    // DDL comes from the wire when the stream carries BOOTSTRAP
+    // handshakes (simple protocol): schema, column list, and primary
+    // key are all learned from the handshake message, so a consumer
+    // joining mid-stream needs no out-of-band schema knowledge.
+    val wireSchemas = bootstrapSchemas(raw)
     val applier = JdbcApplier.inMemory(dbName)
     val tables = env.select(col("_schema"), col("_table")).distinct()
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq
     tables.foreach { case (s, t) =>
-      applier.createTable(s, t,
-        Seq("user_id" -> "BIGINT", "value" -> "DECIMAL(18,2)", "k" -> "BIGINT"),
-        Seq("user_id"))
+      val (cols, pk) = wireSchemas.getOrElse((s, t),
+        (Seq("user_id" -> "BIGINT", "value" -> "DECIMAL(18,2)", "k" -> "BIGINT"),
+          Seq("user_id")))
+      applier.createTable(s, t, cols, pk)
     }
     // safe mode: the consumer replays at-least-once delivery, the
     // reference consumer's idempotent-apply stance

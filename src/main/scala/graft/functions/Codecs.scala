@@ -188,24 +188,32 @@ object Codecs {
     * empty for bootstrap (omitempty drops them), commitTs has no
     * omitempty and rides as 0; buildTs is 0, the deterministic
     * stand-in. */
-  def bootstrapMessages(env: DataFrame): DataFrame = {
-    def col3(name: String, mysqlType: String, length: Int, nullable: Boolean) =
-      s"""{"name":"$name","dataType":{"mysqlType":"$mysqlType","charset":"binary",""" +
-        s""""collate":"binary","length":$length},"nullable":$nullable,"default":null}"""
-    val columns = Seq(
-      col3("user_id", "bigint", 20, nullable = false),
-      col3("value", "double", 22, nullable = true),
-      col3("k", "bigint", 20, nullable = true)).mkString("[", ",", "]")
-    val indexes =
-      """[{"name":"primary","unique":true,"primary":true,"nullable":false,"columns":["user_id"]}]"""
+  private def bootstrapCol3(name: String, mysqlType: String,
+                            length: Int, nullable: Boolean) =
+    s"""{"name":"$name","dataType":{"mysqlType":"$mysqlType","charset":"binary",""" +
+      s""""collate":"binary","length":$length},"nullable":$nullable,"default":null}"""
+  private val bootstrapColumns = Seq(
+    bootstrapCol3("user_id", "bigint", 20, nullable = false),
+    bootstrapCol3("value", "double", 22, nullable = true),
+    bootstrapCol3("k", "bigint", 20, nullable = true)).mkString("[", ",", "]")
+  private val bootstrapIndexes =
+    """[{"name":"primary","unique":true,"primary":true,"nullable":false,"columns":["user_id"]}]"""
+  private val bootstrapTail =
+    s"""","tableID":0,"version":0,"columns":$bootstrapColumns,"indexes":$bootstrapIndexes}}"""
+
+  /** One table's BOOTSTRAP wire value — the scalar form the
+    * [[graft.streaming.Bootstrapper]] cadence emits per due table. */
+  def bootstrapValue(schema: String, table: String): String =
+    s"""{"version":1,"type":"BOOTSTRAP","commitTs":0,"buildTs":0,""" +
+      s""""tableSchema":{"schema":"$schema","table":"$table$bootstrapTail"""
+
+  def bootstrapMessages(env: DataFrame): DataFrame =
     env.select(col("_schema"), col("_table")).distinct()
       .withColumn("_value", concat(
         lit("{\"version\":1,\"type\":\"BOOTSTRAP\",\"commitTs\":0,\"buildTs\":0,"),
         lit("\"tableSchema\":{\"schema\":\""), col("_schema"),
         lit("\",\"table\":\""), col("_table"),
-        lit("\",\"tableID\":0,\"version\":0,"),
-        lit(s"""\"columns\":$columns,\"indexes\":$indexes}}""")))
-  }
+        lit(bootstrapTail)))
 
   /** Open-protocol RESOLVED control message (type field t=3,
     * open/message.go type taxonomy): key carries the watermark ts,

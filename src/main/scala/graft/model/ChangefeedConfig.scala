@@ -60,6 +60,20 @@ final case class SinkConfig(
     deleteOnlyOutputHandleKey: Boolean = false,
     dispatch: Seq[DispatchRule] = Seq(DispatchRule()),
     bdrMode: Boolean = false,
+    /** Simple-protocol bootstrap re-send cadence (sink.go:191-200 +
+      * bootstraper.go): a table's schema handshake is re-sent once
+      * either the interval elapses or this many row messages have gone
+      * out since the last one, so a consumer joining mid-stream gets a
+      * handshake within a bounded message window. Either knob ≤ 0
+      * disables re-sending (the reference's negative-disables rule). */
+    sendBootstrapIntervalInSec: Long = 120L,
+    sendBootstrapInMsgCount: Int = 10000,
+    /** false → the handshake goes only to partition 0 of each topic
+      * (bootstraper.go:173-176). */
+    sendBootstrapToAllPartition: Boolean = true,
+    /** true → bootstrap every replicated table once at changefeed
+      * start (DefaultSendAllBootstrapAtStart). */
+    sendAllBootstrapAtStart: Boolean = false,
     /** Pulsar client/producer block (sink.go:606-672 PulsarConfig),
       * rendered to connector options by Security.pulsarOptions. */
     pulsarConfig: Option[Security.PulsarConfig] = None)

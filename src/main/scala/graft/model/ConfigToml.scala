@@ -206,6 +206,14 @@ object ConfigToml {
         doc.bool("sink", "delete-only-output-handle-key-columns").getOrElse(false),
       dispatch = if (dispatchers.nonEmpty) dispatchers else Seq(DispatchRule()),
       bdrMode = doc.bool("", "bdr-mode").getOrElse(false),
+      sendBootstrapIntervalInSec =
+        doc.int("sink", "send-bootstrap-interval-in-sec").getOrElse(120L),
+      sendBootstrapInMsgCount =
+        doc.int("sink", "send-bootstrap-in-msg-count").map(_.toInt).getOrElse(10000),
+      sendBootstrapToAllPartition =
+        doc.bool("sink", "send-bootstrap-to-all-partition").getOrElse(true),
+      sendAllBootstrapAtStart =
+        doc.bool("sink", "send-all-bootstrap-at-start").getOrElse(false),
       pulsarConfig = pulsarOf(doc))
     ChangefeedConfig(
       id = id,
@@ -336,6 +344,14 @@ object ConfigToml {
     cfg.sink.columnSelector.foreach(cs => b ++= s"column-selectors = ${tomlArr(cs)}\n")
     if (cfg.sink.onlyOutputUpdatedColumns) b ++= "only-output-updated-columns = true\n"
     if (cfg.sink.deleteOnlyOutputHandleKey) b ++= "delete-only-output-handle-key-columns = true\n"
+    if (cfg.sink.sendBootstrapIntervalInSec != 120L)
+      b ++= s"send-bootstrap-interval-in-sec = ${cfg.sink.sendBootstrapIntervalInSec}\n"
+    if (cfg.sink.sendBootstrapInMsgCount != 10000)
+      b ++= s"send-bootstrap-in-msg-count = ${cfg.sink.sendBootstrapInMsgCount}\n"
+    if (!cfg.sink.sendBootstrapToAllPartition)
+      b ++= "send-bootstrap-to-all-partition = false\n"
+    if (cfg.sink.sendAllBootstrapAtStart)
+      b ++= "send-all-bootstrap-at-start = true\n"
     cfg.sink.dispatch.foreach { d =>
       b ++= "\n[[sink.dispatchers]]\n"
       b ++= s"matcher = ${tomlArr(d.matcher)}\n"
@@ -469,6 +485,10 @@ object ConfigToml {
         s""","only_output_updated_columns":${s.onlyOutputUpdatedColumns}""" +
         s""","delete_only_output_handle_key_columns":${s.deleteOnlyOutputHandleKey}""" +
         s""","dispatchers":$dispatchers,"bdr_mode":${s.bdrMode}""" +
+        s""","send_bootstrap_interval_in_sec":${s.sendBootstrapIntervalInSec}""" +
+        s""","send_bootstrap_in_msg_count":${s.sendBootstrapInMsgCount}""" +
+        s""","send_bootstrap_to_all_partition":${s.sendBootstrapToAllPartition}""" +
+        s""","send_all_bootstrap_at_start":${s.sendAllBootstrapAtStart}""" +
         s.pulsarConfig.map(p => s""","pulsar-config":${pulsarJson(p)}""").getOrElse("") + "}"
     s"""{"id":${jsonStr(cfg.id)},"filter":$filterJson,"sink":$sinkJson""" +
       s""","handle_keys":${jsonArr(cfg.handleKeys)}""" +
@@ -605,6 +625,14 @@ object ConfigToml {
         opt(s, "delete_only_output_handle_key_columns").exists(_.asBoolean()),
       dispatch = if (dispatchers.nonEmpty) dispatchers else Seq(DispatchRule()),
       bdrMode = opt(s, "bdr_mode").exists(_.asBoolean()),
+      sendBootstrapIntervalInSec =
+        opt(s, "send_bootstrap_interval_in_sec").map(_.asLong()).getOrElse(120L),
+      sendBootstrapInMsgCount =
+        opt(s, "send_bootstrap_in_msg_count").map(_.asInt()).getOrElse(10000),
+      sendBootstrapToAllPartition =
+        opt(s, "send_bootstrap_to_all_partition").forall(_.asBoolean()),
+      sendAllBootstrapAtStart =
+        opt(s, "send_all_bootstrap_at_start").exists(_.asBoolean()),
       pulsarConfig = opt(s, "pulsar-config").map { p =>
         def txt(k: String) = opt(p, k).map(_.asText()).filter(_.nonEmpty)
         Security.PulsarConfig(

@@ -41,7 +41,8 @@ final case class TableCatalog(all: () => Seq[(String, String)],
 
 class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
                 catalog: Option[TableCatalog] = None,
-                security: graft.model.Security.Credential = graft.model.Security.Credential()) {
+                security: graft.model.Security.Credential = graft.model.Security.Credential(),
+                metrics: Option[MetricsCollector] = None) {
 
   private val server =
     HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
@@ -330,6 +331,19 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
       case _ => respond(ex, 405, """{"error":"method not allowed"}""")
     }
   }))
+
+  // Prometheus scrape endpoint (api/http.go:54 router.Any("/metrics",
+  // promhttp.Handler()) — unauthenticated in the reference, same
+  // here). Text format 0.0.4; family names mirror pkg/metrics.
+  server.createContext("/metrics", (ex: HttpExchange) => {
+    val body = Prometheus.render(registry, metrics)
+    val bytes = body.getBytes(StandardCharsets.UTF_8)
+    ex.getResponseHeaders.set("Content-Type",
+      "text/plain; version=0.0.4; charset=utf-8")
+    ex.sendResponseHeaders(200, bytes.length.toLong)
+    val os = ex.getResponseBody
+    try os.write(bytes) finally os.close()
+  })
 
   // /debug/info (api/v2/api.go:46 handleDebugInfo): human-oriented
   // dump — feeds, placements, failpoints, owner epoch

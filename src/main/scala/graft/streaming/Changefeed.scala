@@ -86,6 +86,7 @@ object Changefeed {
     val env = Envelope.fromEvents(sourceStream(spark, cfg, sourceDir))
     transform(spark, cfg)(env)
       .writeStream
+      .queryName(cfg.id)
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.sinks.MysqlSink.applyBatch(batch, cfg.handleKeys,
           cfg.sink.numPartitions, cfg.sink.safeMode,
@@ -207,6 +208,10 @@ object Changefeed {
     val out = pipeline(spark, cfg)(env)
     out
       .writeStream
+      // the query name is the changefeed id — it becomes the
+      // `changefeed` label on every /metrics series the progress
+      // listener publishes
+      .queryName(cfg.id)
       .format("parquet")
       .option("path", sinkDir)
       .option("checkpointLocation", checkpointDir)
@@ -233,14 +238,47 @@ object Changefeed {
   def runMqStream(spark: SparkSession, cfg: ChangefeedConfig, env: DataFrame,
                   sinkDir: String, checkpointDir: String): StreamingQuery = {
     GraftSession.tune(spark)
+    // simple-protocol bootstrap cadence (bootstraper.go): one worker
+    // per changefeed run, alive across micro-batches so the interval/
+    // count windows span triggers like the reference's ticker loop
+    val bootstrapper = new Bootstrapper(
+      cfg.sink.sendBootstrapIntervalInSec, cfg.sink.sendBootstrapInMsgCount)
+    val bootstrapOn =
+      cfg.sink.protocol == Protocol.Simple && bootstrapper.enabled
     pipeline(spark, cfg)(env)
       .writeStream
+      .queryName(cfg.id)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // fault-injection site (api/v2 failpoint surface): a `return`/
         // `panic` expression fails this batch before anything commits,
         // `sleep` stalls it — the knobs the reference's chaos tests
         // drive through /debug/failpoints
         Failpoints.evalThrow("graft/changefeed/batch")
+        if (bootstrapOn) {
+          // per-table row counts: one table-count-sized aggregate, the
+          // batch equivalent of the reference's per-row addEvent
+          val counts = batch.groupBy(col("_schema"), col("_table")).count()
+            .collect()
+            .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
+          val due = bootstrapper.onBatch(counts, System.currentTimeMillis())
+          if (due.nonEmpty) {
+            // handshake BEFORE the rows it describes (addEvent sends
+            // on first sight, before the row ships); partition 0 only
+            // unless send-bootstrap-to-all-partition
+            val parts: Seq[Int] =
+              if (cfg.sink.sendBootstrapToAllPartition)
+                0 until cfg.sink.numPartitions
+              else Seq(0)
+            val s = batch.sparkSession
+            import s.implicits._
+            due.flatMap { case (sc, tb) =>
+              parts.map(p => (p.toLong, 0L, "bootstrap",
+                Codecs.bootstrapValue(sc, tb)))
+            }.toDF("_partition", "_commit_ts", "_kind", "_value")
+              .coalesce(1)
+              .write.mode("append").parquet(sinkDir)
+          }
+        }
         // rows commit FIRST, control messages second: a resolved-ts
         // event must never be visible before every row it covers is
         // durable (the reference's watermark contract). The resolved

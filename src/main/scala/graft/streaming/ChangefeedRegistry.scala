@@ -21,7 +21,8 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
                          var query: Option[StreamingQuery],
                          backoff: FeedBackoff = new FeedBackoff(),
                          var feedState: FeedState = FeedState.Normal,
-                         var lastCheckpointTs: Long = 0L)
+                         var lastCheckpointTs: Long = 0L,
+                         var lastStatusMs: Long = 0L)
 
   private val feeds = TrieMap.empty[String, Entry]
 
@@ -100,6 +101,7 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
     val e = entryOf(id)
     gcSafepointDropped = false // owner tick re-registers the safepoint
     e.lastCheckpointTs = math.max(e.lastCheckpointTs, checkpointTs)
+    e.lastStatusMs = math.max(e.lastStatusMs, nowMs)
     if (e.cfg.targetTs.exists(t => e.lastCheckpointTs >= t)) {
       // replication goal reached: clean terminal state, no retry path
       e.feedState = FeedState.Finished
@@ -346,6 +348,25 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
     feeds.collect { case (id, e) if e.query.exists(_.isActive) => id }
       .toSeq.sorted
 
+  /** Control-plane-only metrics view for the Prometheus scrape: no
+    * Spark job runs here (a scraper polls every 15 s; [[status]]'s
+    * sink count would launch one per feed per scrape). The state int
+    * follows the reference's FeedState.ToInt
+    * (pkg/config/changefeed.go:63-83: normal 0, failed 2, stopped 3,
+    * finished 4, warning 6). */
+  def feedMetrics: Seq[ChangefeedRegistry.FeedMetric] =
+    feeds.toSeq.sortBy(_._1).map { case (id, e) =>
+      val (name, code) = e.feedState match {
+        case FeedState.Failed => ("failed", 2)
+        case FeedState.Warning => ("warning", 6)
+        case FeedState.Finished => ("finished", 4)
+        case FeedState.Normal =>
+          if (e.query.exists(_.isActive)) ("normal", 0) else ("stopped", 3)
+      }
+      ChangefeedRegistry.FeedMetric(id, e.cfg.keyspace, name, code,
+        e.lastCheckpointTs, e.lastStatusMs)
+    }
+
   /** (id, state, emitted-row count) — the status/synced API view.
     * Retry states win over the query's run state: a warning feed is
     * "warning" whether its query is mid-restart or waiting out the
@@ -364,4 +385,13 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
     val n = try spark.read.parquet(e.sinkDir).count() catch { case _: Throwable => 0L }
     (id, state, n)
   }
+}
+
+object ChangefeedRegistry {
+  /** One changefeed's control-plane gauge set (the values the
+    * reference's coordinator tick pushes into pkg/metrics gauges,
+    * coordinator/controller.go:267-355). */
+  final case class FeedMetric(id: String, keyspace: String,
+                              state: String, stateCode: Int,
+                              checkpointTs: Long, lastStatusMs: Long)
 }

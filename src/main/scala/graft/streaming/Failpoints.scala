@@ -67,6 +67,14 @@ object Failpoints {
     state.asScala.toSeq.map { case (k, e) => k -> e.expr }.sortBy(_._1)
   }
 
+  /** Sorted (name, evaluation count) — the /metrics counter source.
+    * Counts evaluations of currently-enabled points (disable drops the
+    * series, like DeleteLabelValues on a gauge vec). */
+  def hitCounts: Seq[(String, Long)] = {
+    import scala.jdk.CollectionConverters._
+    state.asScala.toSeq.map { case (k, e) => k -> e.hits.get() }.sortBy(_._1)
+  }
+
   /** Evaluate the failpoint at `name`. Disabled or non-firing → None.
     * A firing `return` yields Some(arg); `sleep` blocks then yields
     * None; `panic` throws [[FailpointPanic]]; `off`/`print` are

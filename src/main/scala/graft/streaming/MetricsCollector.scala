@@ -33,6 +33,15 @@ final class MetricsCollector(capacity: Int = 1024) extends StreamingQueryListene
   @volatile private var started = 0L
   @volatile private var terminated = 0L
 
+  // Cumulative per-changefeed totals, never evicted (unlike the ring
+  // above): the Prometheus counters and histograms must stay monotone
+  // for a scraper's rate() even after the ring has rolled over. One
+  // histogram matches the reference's sink batch_row_count buckets
+  // (pkg/metrics/statistics.go ExecBatchHistogram:
+  // ExponentialBuckets(1, 2, 18)).
+  private val cum =
+    new java.util.concurrent.ConcurrentHashMap[String, MetricsCollector.Totals]()
+
   override def onQueryStarted(e: StreamingQueryListener.QueryStartedEvent): Unit =
     started += 1
 
@@ -49,10 +58,20 @@ final class MetricsCollector(capacity: Int = 1024) extends StreamingQueryListene
       .getOrElse(0L)
     val add = Option(p.durationMs.get("addBatch")).map(_.longValue()).getOrElse(0L)
     val total = p.durationMs.values().asScala.foldLeft(0L)(_ + _.longValue())
+    val name = Option(p.name).getOrElse(p.id.toString)
     buf.add(BatchMetric(
-      Option(p.name).getOrElse(p.id.toString), p.batchId, ts,
+      name, p.batchId, ts,
       p.numInputRows, p.processedRowsPerSecond, total, add, wmLag))
     while (buf.size() > capacity) { buf.poll(); () }
+    val t = cum.computeIfAbsent(name, _ => new MetricsCollector.Totals)
+    t.observe(p.numInputRows, p.processedRowsPerSecond, wmLag, p.batchId)
+  }
+
+  /** Cumulative per-changefeed totals for the Prometheus scrape —
+    * driver-local, no Spark job. */
+  def totals: Seq[(String, MetricsCollector.Totals)] = {
+    import scala.jdk.CollectionConverters._
+    cum.asScala.toSeq.sortBy(_._1)
   }
 
   /** All captured batch metrics as a DataFrame. */
@@ -84,6 +103,39 @@ final class MetricsCollector(capacity: Int = 1024) extends StreamingQueryListene
 }
 
 object MetricsCollector {
+
+  /** Histogram bucket upper bounds mirroring the reference's
+    * batch_row_count: ExponentialBuckets(1, 2, 18) → 1,2,…,131072. */
+  val batchRowBuckets: Vector[Long] = Vector.iterate(1L, 18)(_ * 2L)
+
+  /** Monotone per-changefeed counters + one batch-size histogram.
+    * Mutated only from the listener thread; read by the scraper. */
+  final class Totals {
+    val batches = new java.util.concurrent.atomic.AtomicLong(0L)
+    val rows = new java.util.concurrent.atomic.AtomicLong(0L)
+    /** per-bucket increment counts (index aligned to batchRowBuckets,
+      * last slot = +Inf overflow) */
+    val hist: Array[java.util.concurrent.atomic.AtomicLong] =
+      Array.fill(batchRowBuckets.length + 1)(
+        new java.util.concurrent.atomic.AtomicLong(0L))
+    @volatile var lastRowsPerSec: Double = 0.0
+    @volatile var lastWatermarkLagMs: Long = 0L
+    @volatile var lastBatchId: Long = -1L
+
+    private[streaming] def observe(nRows: Long, rate: Double,
+                                   lagMs: Long, batchId: Long): Unit = {
+      batches.incrementAndGet()
+      rows.addAndGet(nRows)
+      val i = batchRowBuckets.indexWhere(nRows <= _) match {
+        case -1 => batchRowBuckets.length
+        case k => k
+      }
+      hist(i).incrementAndGet()
+      lastRowsPerSec = rate
+      lastWatermarkLagMs = lagMs
+      lastBatchId = batchId
+    }
+  }
 
   /** One micro-batch observation (changefeed = query name). */
   final case class BatchMetric(

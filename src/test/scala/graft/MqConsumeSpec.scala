@@ -150,6 +150,115 @@ class MqConsumeSpec extends SparkFunSuite {
     assert(decoded.count() == rows.count())
   }
 
+  test("bootstrap re-send cadence: a mid-stream consumer gets a handshake " +
+      "and decodes with wire-learned schema only") {
+    val base = tmp("bootstrap-cadence")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$base/src/events.parquet"))
+    // count-driven cadence: the interval can't elapse inside this test,
+    // so every batch larger than 50 rows/table re-sends the handshake;
+    // partition 0 only (send-bootstrap-to-all-partition = false)
+    val cfg = graft.model.ChangefeedConfig(id = "cf-bootstrap",
+      sink = graft.model.SinkConfig(protocol = graft.model.Protocol.Simple,
+        sendBootstrapIntervalInSec = 100000L,
+        sendBootstrapInMsgCount = 50,
+        sendBootstrapToAllPartition = false))
+    graft.streaming.Changefeed.runMq(
+      spark, cfg, s"$base/src", s"$base/sink", s"$base/ckpt").awaitTermination(120000)
+    def sinkFiles(): Set[String] =
+      new java.io.File(s"$base/sink").listFiles()
+        .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    val firstBatchFiles = sinkFiles()
+
+    // batch 1 handshakes every first-seen table, on partition 0 only
+    val all1 = spark.read.parquet(s"$base/sink")
+    val boots1 = all1.filter(col("_kind") === "bootstrap")
+    assert(boots1.count() > 0, "first sight of a table handshakes immediately")
+    assert(boots1.select("_partition").distinct().collect()
+      .map(_.getLong(0)).toSeq == Seq(0L),
+      "send-bootstrap-to-all-partition=false → partition 0 only")
+
+    // more traffic → a consumer joining for batch 2 must still get a
+    // handshake (each table's row count exceeds the 50-message window)
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$base/src/events2.parquet"))
+    graft.streaming.Changefeed.runMq(
+      spark, cfg, s"$base/src", s"$base/sink", s"$base/ckpt").awaitTermination(120000)
+
+    // THE MID-STREAM JOIN: the consumer sees only batch-2 output
+    val newFiles = (sinkFiles() -- firstBatchFiles).toSeq
+      .map(f => s"$base/sink/$f")
+    assert(newFiles.nonEmpty)
+    val slice = spark.read.parquet(newFiles: _*)
+    val bootsSlice = slice.filter(col("_kind") === "bootstrap")
+    assert(bootsSlice.count() > 0,
+      "cadence re-sent the handshake inside the new consumer's window")
+
+    // decode the slice with NOTHING but what's on the wire: schema,
+    // columns, and primary key all come from the handshake message
+    val wire = MqConsume.bootstrapSchemas(slice.select(col("_value")))
+    val sliceTables = slice.filter(col("_kind") === "row")
+      .select(col("_value")).transform(df =>
+        graft.functions.Decoders.decodeSimple(df))
+      .select(col("_schema"), col("_table")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    assert(sliceTables.nonEmpty)
+    sliceTables.foreach { st =>
+      assert(wire.contains(st), s"wire-learned schema covers $st; got ${wire.keys}")
+      val (cols, pk) = wire(st)
+      assert(cols.map(_._1) == Seq("user_id", "value", "k"))
+      assert(pk == Seq("user_id"))
+    }
+    // and the re-apply works end-to-end from those learned schemas
+    val applier = graft.sinks.JdbcApplier.inMemory("mqc_bootstrap")
+    sliceTables.foreach { case (s, t) =>
+      val (cols, pk) = wire((s, t)); applier.createTable(s, t, cols, pk)
+    }
+    val env2 = MqConsume.decode(
+      MqConsume.dataMessagesOnly(
+        slice.filter(col("_kind") === "row")
+          .select(col("_value"), lit(null).cast("string").as("_key"))),
+      "simple")
+    graft.sinks.MysqlSink.applyBatch(env2, Seq("user_id"),
+      numWorkers = 2, safeMode = true)(
+      graft.sinks.JdbcApplier.executeFor(applier.url))
+    val applied = sliceTables.map { case (s, t) =>
+      applier.tableRows(s, t, Seq("user_id")).size }.sum
+    assert(applied > 0, "wire-learned DDL accepts the decoded rows")
+  }
+
+  test("bootstrapper cadence unit semantics (bootstraper.go)") {
+    import graft.streaming.Bootstrapper
+    val b = new Bootstrapper(intervalSec = 10L, msgCount = 100)
+    val t0 = 1000000L
+    // first sight → immediate, regardless of count
+    assert(b.onBatch(Seq(("app", "t1") -> 1L), t0) == Seq(("app", "t1")))
+    // below both windows → nothing
+    assert(b.onBatch(Seq(("app", "t1") -> 50L), t0 + 1000).isEmpty)
+    // count window trips (50 + 60 ≥ 100)
+    assert(b.onBatch(Seq(("app", "t1") -> 60L), t0 + 2000) == Seq(("app", "t1")))
+    // counter reset by the send; interval window trips on its own
+    assert(b.onBatch(Seq(("app", "t1") -> 1L), t0 + 3000).isEmpty)
+    assert(b.onBatch(Seq(("app", "t1") -> 1L), t0 + 13000) == Seq(("app", "t1")))
+    // inactive table forgotten → handshakes immediately on return
+    val b2 = new Bootstrapper(10L, 100, maxInactiveMs = 5000L)
+    assert(b2.onBatch(Seq(("app", "t2") -> 1L), t0).nonEmpty)
+    assert(b2.onBatch(Seq(("app", "t3") -> 1L), t0 + 20000L) == Seq(("app", "t3")))
+    assert(b2.onBatch(Seq(("app", "t2") -> 1L), t0 + 21000L) == Seq(("app", "t2")),
+      "t2 was gc'd while inactive, so its reappearance handshakes")
+    // either knob ≤ 0 disables (the negative-disables rule)
+    assert(!new Bootstrapper(-1L, 100).enabled)
+    assert(!new Bootstrapper(10L, 0).enabled)
+    assert(new Bootstrapper(-1L, 100).onBatch(Seq(("a", "b") -> 1L), t0).isEmpty)
+    // send-all-at-start pre-registration
+    val b3 = new Bootstrapper(10L, 100)
+    assert(b3.bootstrapAll(Seq(("app", "x"), ("app", "y")), t0)
+      == Seq(("app", "x"), ("app", "y")))
+  }
+
   test("storage-sink text layout end to end") {
     val dir = tmp("storage")
     StorageSink.write(Codecs.canalJson(env), dir, fmt = "text")

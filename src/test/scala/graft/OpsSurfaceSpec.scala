@@ -91,6 +91,89 @@ class OpsSurfaceSpec extends SparkFunSuite {
     assert(spark.read.parquet(s"$tmp/sink").count() > 0)
   }
 
+  test("/metrics: Prometheus scrape parses, counters monotone, labels present") {
+    Failpoints.clear()
+    val tmp = Files.createTempDirectory("graft-prom").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/src/events.parquet"))
+
+    val registry = new graft.streaming.ChangefeedRegistry(spark)
+    val collector = graft.streaming.MetricsCollector.attach(spark)
+    val api = new graft.streaming.ApiServer(registry, metrics = Some(collector)).start()
+    def scrape(): String = {
+      val conn = new java.net.URL(s"http://127.0.0.1:${api.boundPort}/metrics")
+        .openConnection().asInstanceOf[java.net.HttpURLConnection]
+      assert(conn.getResponseCode == 200)
+      assert(conn.getContentType.startsWith("text/plain"))
+      val body = scala.io.Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+      conn.disconnect(); body
+    }
+    // the exposition-format shape every non-comment line must have
+    val sampleRe =
+      """^[a-zA-Z_:][a-zA-Z0-9_:]*(\{[^}]*\})? -?[0-9.eE+-]+(e[+-]?[0-9]+)?$""".r
+    def parse(body: String): Map[String, Double] =
+      body.linesIterator.filterNot(l => l.startsWith("#") || l.isEmpty).map { l =>
+        assert(sampleRe.matches(l), s"unparseable sample line: $l")
+        val i = l.lastIndexOf(' ')
+        l.take(i) -> l.drop(i + 1).toDouble
+      }.toMap
+    try {
+      // batch 1: create drains the fixture; wait for the query to finish
+      registry.create(ChangefeedConfig(id = "cf-prom", keyspace = "ks1"),
+        s"$tmp/src", s"$tmp/sink", s"$tmp/ckpt").awaitTermination(120000)
+      registry.reportStatus("cf-prom", 1000L, Nil, System.currentTimeMillis())
+      // progress events are delivered async; wait for the listener
+      val deadline = System.currentTimeMillis() + 30000
+      while (collector.totals.isEmpty && System.currentTimeMillis() < deadline)
+        Thread.sleep(200)
+      Failpoints.enable("graft/prom/marker", "100*off")
+      Failpoints.eval("graft/prom/marker"); Failpoints.eval("graft/prom/marker")
+
+      val m1 = parse(scrape())
+      val feedLabels = """namespace="ks1",changefeed="cf-prom""""
+      assert(m1.contains(s"""ticdc_owner_status{$feedLabels,keyspace_id="0"}"""),
+        s"per-changefeed labels present; got keys: ${m1.keys.filter(_.startsWith("ticdc_owner")).mkString("; ")}")
+      assert(m1(s"ticdc_owner_checkpoint_ts{$feedLabels}") == 1000.0)
+      assert(m1(s"ticdc_maintainer_resolved_ts{$feedLabels}") == 1000.0)
+      val rows1 = m1(s"ticdc_sink_dml_event_count{$feedLabels}")
+      assert(rows1 > 0, "first drain must count rows")
+      // histogram coherence: +Inf bucket == _count, buckets cumulative
+      val histLabels = s"""$feedLabels,type="mq",keyspace_id="0""""
+      val infB = m1(s"""ticdc_sink_batch_row_count_bucket{$histLabels,le="+Inf"}""")
+      assert(infB == m1(s"ticdc_sink_batch_row_count_count{$histLabels}"))
+      assert(m1(s"ticdc_sink_batch_row_count_sum{$histLabels}") == rows1)
+      assert(m1("""ticdc_server_failpoint_hits_total{name="graft/prom/marker"}""") == 2.0)
+
+      // batch 2: more data through the same feed; counters stay monotone
+      Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$tmp/src/events2.parquet"))
+      registry.resume("cf-prom").awaitTermination(120000)
+      registry.reportStatus("cf-prom", 2000L, Nil, System.currentTimeMillis())
+      val d2 = System.currentTimeMillis() + 30000
+      while (collector.totals.headOption.map(_._2.rows.get()).getOrElse(0L) <= rows1.toLong
+        && System.currentTimeMillis() < d2) Thread.sleep(200)
+
+      val m2 = parse(scrape())
+      val rows2 = m2(s"ticdc_sink_dml_event_count{$feedLabels}")
+      assert(rows2 > rows1, s"counter monotone across batches: $rows1 -> $rows2")
+      assert(m2(s"ticdc_owner_checkpoint_ts{$feedLabels}") == 2000.0)
+      assert(m2(s"ticdc_sink_batch_row_count_count{$histLabels}") >=
+        m1(s"ticdc_sink_batch_row_count_count{$histLabels}"))
+      assert(m2("ticdc_owner_ownership_counter") >= m1("ticdc_owner_ownership_counter"))
+      // lag gauge present and sane (reported seconds since last status)
+      assert(m2.keys.exists(_.startsWith(
+        s"ticdc_owner_checkpoint_ts_lag{$feedLabels")), "lag gauge present")
+    } finally {
+      Failpoints.clear()
+      graft.streaming.MetricsCollector.detach(spark, collector)
+      try registry.remove("cf-prom") catch { case _: Throwable => () }
+      api.stop()
+    }
+  }
+
   test("tso, resign, redact, unsafe routes, /debug surface over HTTP") {
     Failpoints.clear()
     Redact.reset()
