@@ -55,9 +55,14 @@ object Cli {
 
   private def enc(v: String): String = URLEncoder.encode(v, "UTF-8")
 
-  private def http(method: String, url: String,
-      body: Option[String] = None): (Int, String) = {
+  private def httpRaw(method: String, url: String, body: Option[String],
+      ssl: Option[javax.net.ssl.SSLContext]): (Int, String) = {
     val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    (conn, ssl) match {
+      case (h: javax.net.ssl.HttpsURLConnection, Some(ctx)) =>
+        h.setSSLSocketFactory(ctx.getSocketFactory)
+      case _ => ()
+    }
     conn.setRequestMethod(method)
     body.foreach { b =>
       conn.setDoOutput(true)
@@ -83,6 +88,20 @@ object Cli {
   def run(args: Seq[String], out: String => Unit): Int = {
     val (words, flags) = parseArgs(args)
     val server = flags.getOrElse("server", "http://127.0.0.1:8300")
+    // --ca/--cert/--key: TLS client credential for an https server
+    // (cli_tls_with_auth; the reference CLI's security flag trio).
+    // All three must come together, like credential.go's rule.
+    val tlsFlags = Seq("ca", "cert", "key").flatMap(flags.get)
+    require(tlsFlags.isEmpty || tlsFlags.size == 3,
+      "--ca, --cert and --key must all be supplied together")
+    val ssl: Option[javax.net.ssl.SSLContext] =
+      if (tlsFlags.size == 3)
+        Some(graft.model.Tls.sslContext(graft.model.Security.Credential(
+          caPath = flags("ca"), certPath = flags("cert"), keyPath = flags("key"))))
+      else None
+    def http(method: String, url: String,
+             body: Option[String] = None): (Int, String) =
+      httpRaw(method, url, body, ssl)
     val base = s"$server/api/v2/changefeeds"
     def id: String = need(flags, "changefeed-id").head
     def tableArgs: (String, String) = {

@@ -44,8 +44,26 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
                 security: graft.model.Security.Credential = graft.model.Security.Credential(),
                 metrics: Option[MetricsCollector] = None) {
 
-  private val server =
-    HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
+  // TLS when the credential carries the PEM trio (http_api_tls /
+  // cli_tls_with_auth): the same server surface behind HTTPS, client
+  // certs required whenever mTLS or a cert-allowed-cn list is
+  // configured, CN verified at handshake (Tls.serverSslContext)
+  private val server: HttpServer =
+    if (security.isTlsEnabled) {
+      val s = com.sun.net.httpserver.HttpsServer.create(
+        new InetSocketAddress("127.0.0.1", port), 0)
+      val ctx = graft.model.Tls.serverSslContext(security)
+      val needClientAuth = security.mtls || security.certAllowedCN.nonEmpty
+      s.setHttpsConfigurator(new com.sun.net.httpserver.HttpsConfigurator(ctx) {
+        override def configure(
+            params: com.sun.net.httpserver.HttpsParameters): Unit = {
+          val p = ctx.getDefaultSSLParameters
+          if (needClientAuth) p.setNeedClientAuth(true)
+          params.setSSLParameters(p)
+        }
+      })
+      s
+    } else HttpServer.create(new InetSocketAddress("127.0.0.1", port), 0)
 
   def boundPort: Int = server.getAddress.getPort
 

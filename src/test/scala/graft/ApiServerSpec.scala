@@ -231,4 +231,45 @@ class ApiServerSpec extends SparkFunSuite {
       api.stop()
     }
   }
+
+  test("TLS: https round trip with client cert; plain, rogue, and wrong-CN rejected") {
+    val registry = new ChangefeedRegistry(spark)
+    val api = new ApiServer(registry,
+      security = TlsFixture.serverCredential(allowedCN = Seq("client"))).start()
+    val url = s"https://127.0.0.1:${api.boundPort}/api/v2/status"
+    def tlsCall(cred: graft.model.Security.Credential): (Int, String) = {
+      val ctx = graft.model.Tls.sslContext(cred)
+      val conn = new URL(url).openConnection()
+        .asInstanceOf[javax.net.ssl.HttpsURLConnection]
+      conn.setSSLSocketFactory(ctx.getSocketFactory)
+      val code = conn.getResponseCode
+      val body = Source.fromInputStream(conn.getInputStream, "UTF-8").mkString
+      conn.disconnect()
+      (code, body)
+    }
+    try {
+      // the happy path: CA-trusted client cert with an allowed CN
+      val (code, body) = tlsCall(TlsFixture.clientCredential())
+      assert(code == 200 && body.contains("\"is_owner\":true"), body)
+
+      // plain HTTP against the TLS port fails the protocol
+      intercept[java.io.IOException] {
+        val c = new URL(s"http://127.0.0.1:${api.boundPort}/api/v2/status")
+          .openConnection().asInstanceOf[HttpURLConnection]
+        c.setConnectTimeout(5000); c.setReadTimeout(5000)
+        assert(c.getResponseCode != 200)
+      }
+
+      // a client signed by an unrelated CA fails the handshake
+      intercept[java.io.IOException](
+        tlsCall(TlsFixture.clientCredential(
+          cert = "rogue-client.pem", key = "rogue-client-key.pem")))
+
+      // a CA-trusted client whose CN is not allowed fails too
+      // (cert-allowed-cn enforced at handshake, credential.go:214)
+      intercept[java.io.IOException](
+        tlsCall(TlsFixture.clientCredential(
+          cert = "client-other.pem", key = "client-other-key.pem")))
+    } finally api.stop()
+  }
 }

@@ -139,4 +139,26 @@ class CliSpec extends SparkFunSuite {
       api.stop()
     }
   }
+
+  test("CLI over TLS with --ca/--cert/--key (cli_tls_with_auth)") {
+    val registry = new ChangefeedRegistry(spark)
+    val api = new ApiServer(registry,
+      security = TlsFixture.serverCredential(allowedCN = Seq("client"))).start()
+    val server = s"https://127.0.0.1:${api.boundPort}"
+    try {
+      val (code, body) = cli(server, "changefeed", "list",
+        "--ca", TlsFixture.p("ca.pem"),
+        "--cert", TlsFixture.p("client.pem"),
+        "--key", TlsFixture.p("client-key.pem"))
+      assert(code == 0 && body == "[]", s"$code $body")
+
+      // partial trio rejected up front (credential.go's all-or-nothing)
+      intercept[IllegalArgumentException](
+        cli(server, "changefeed", "list", "--ca", TlsFixture.p("ca.pem")))
+
+      // no client credential at all: the handshake fails, surfaced as
+      // the CLI's non-zero transport-error exit
+      intercept[Exception](cli(server, "changefeed", "list"))
+    } finally api.stop()
+  }
 }
