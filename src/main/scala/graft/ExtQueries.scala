@@ -63,6 +63,39 @@ object ExtQueries {
     "q_roundtrip_csv" -> ((s, d) =>
       Decoders.decodeCsv(Codecs.csvLine(env(s, d)))),
 
+    "q_roundtrip_vector" -> ((s, d) => {
+      // VECTOR(n) end to end through the DDL-typed canal encoder
+      // (vector integration test; TypeTiDBVectorFloat32 → VARCHAR wire
+      // with the VectorFloat32.String() bracket form): a synthetic
+      // 3-dim vector derived from each insert's integers rides
+      // encode → wire JSON → decode, and must come back byte-equal.
+      import graft.model.MySqlDdl.{MySqlCol, MySqlTable}
+      import graft.functions.CanalFull
+      import org.apache.spark.sql.types._
+      val t = MySqlTable("app", "vec", Seq(
+        MySqlCol("id", "bigint", pk = true, notNull = true),
+        MySqlCol("emb", "vector", flen = 3)))
+      val vecStr = concat(lit("["), pmod(col("after.user_id"), lit(10L)),
+        lit(","), pmod(col("after.k"), lit(7L)),
+        lit(".5,-"), pmod(col("after.user_id"), lit(5L)), lit("]"))
+      val typed = env(s, d).filter(col("_op") === "I").select(
+        lit(null).cast(StructType(Seq(
+          StructField("id", StringType), StructField("emb", StringType)))).as("before"),
+        struct(col("after.user_id").cast("string").as("id"),
+          vecStr.as("emb")).as("after"),
+        col("_op"), col("_schema"), lit("vec").as("_table"),
+        col("_commit_ts").as("_tso"), col("_commit_ts"))
+      val wire = StructType(Seq(
+        StructField("data", ArrayType(StructType(Seq(
+          StructField("id", StringType), StructField("emb", StringType))))),
+        StructField("es", LongType)))
+      CanalFull.encode(typed, t)
+        .select(from_json(col("_value"), wire).as("m"))
+        .select(
+          element_at(col("m.data"), 1).getField("id").cast("long").as("id"),
+          element_at(col("m.data"), 1).getField("emb").as("emb"))
+    }),
+
     "q_roundtrip_simple" -> ((s, d) => {
       val decoded = Decoders.decodeSimple(Codecs.simpleProtocol(env(s, d)))
       decoded.select(
@@ -494,6 +527,15 @@ object ExtQueries {
          |  ${recovered("before")},
          |  ${recovered("after")}
          |FROM env""".stripMargin),
+
+    // the wire round trip is the identity on the constructed bracket
+    // string (integer-derived components render identically through
+    // float32 shortest-form), so the oracle is the construction itself
+    "q_roundtrip_vector" -> q(
+      """SELECT after_user_id AS id,
+        |  '[' || (after_user_id % 10) || ',' || (after_k % 7) ||
+        |  '.5,-' || (after_user_id % 5) || ']' AS emb
+        |FROM env WHERE _op = 'I'""".stripMargin),
 
     "q_roundtrip_csv" -> q(
       """SELECT _op, _schema, _table, _commit_ts,

@@ -116,11 +116,27 @@ object CanalFull {
       case "json" =>
         // divergence: compact separators (TiDB prints `"k": v`)
         q(to_json(try_parse_json(raw)))
+      case "vector" => q(vectorToken(raw))
       case _ if c.isBinary =>
         CharsetExpressions.canalBlobJson(paddedBytes(c, raw))
       case _ => q(raw) // char/varchar/text family: the text itself
     }
     coalesce(rendered, lit("null"))
+  }
+
+  /** TiDB VectorFloat32.String() rendering of a bracket-literal
+    * VECTOR(n) value (tidb types/vector: each element
+    * strconv.FormatFloat 'g' at 32-bit): float32-parsed, shortest
+    * form, integral values carry no ".0" (so '2.0' → "2").
+    * Divergence (documented): |v| ≥ 1e7 renders scientific here where
+    * Go 'g' switches at different exponents — no fixture value hits
+    * that range. */
+  def vectorToken(raw: Column): Column = {
+    val elems = filter(split(regexp_replace(raw, "[\\[\\]\\s]", ""), ","),
+      e => length(e) > 0)
+    val toks = transform(elems,
+      e => regexp_replace(e.cast("float").cast("string"), "\\.0$", ""))
+    concat(lit("["), array_join(toks, ","), lit("]"))
   }
 
   private def paddedBytes(c: MySqlCol, raw: Column): Column = {
@@ -151,6 +167,7 @@ object CanalFull {
       case "time" => const(92)
       case "json" | "year" => const(12)
       case "decimal" => const(3)
+      case "vector" => const(12) // TypeTiDBVectorFloat32 → VARCHAR (java.go:146)
       case "mediumint" => const(4)
       case "float" => const(7)
       case "double" => const(8)

@@ -398,6 +398,10 @@ object Codecs {
       case _: TimestampType => concat(
         lit("{\"location\":\"UTC\",\"value\":\""),
         date_format(c, "yyyy-MM-dd HH:mm:ss"), lit("\"}"))
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        // TiDB VECTOR rides the simple wire as its bracket string
+        // (simple/message.go:401-402 GetVectorFloat32().String, "string")
+        concat(lit("\"["), array_join(transform(c, e => e.cast("string")), ","), lit("]\""))
       case _ => concat(lit("\""), jsonEscape(c.cast("string")), lit("\""))
     }
     coalesce(rendered, lit("null"))

@@ -85,6 +85,9 @@ object DebeziumFull {
       case "float" => plain(if (c.dec >= 0) "double" else "float")
       case "double" => plain("double")
       case "decimal" => plain("double")
+      case "vector" =>
+        // codec.go:575-580: named semantic type, NO version field
+        s"""{"type":"string","optional":$opt,"name":"io.debezium.data.TiDBVectorFloat32","field":"${esc(c.name)}"}"""
       case _ => plain("string")
     }
   }
@@ -197,6 +200,9 @@ object DebeziumFull {
         concat(lit("\""), b64(padded), lit("\""))
       case "varchar" | "char" | "tinytext" | "text" | "mediumtext" | "longtext" | "json" =>
         concat(lit("\""), Codecs.jsonEscape(raw), lit("\""))
+      case "vector" =>
+        // codec.go:872-874: the VectorFloat32.String() bracket form
+        concat(lit("\""), CanalFull.vectorToken(raw), lit("\""))
       case "enum" =>
         val valid = raw.isin(c.elems: _*)
         concat(lit("\""), when(valid, Codecs.jsonEscape(raw)).otherwise(lit("")), lit("\""))

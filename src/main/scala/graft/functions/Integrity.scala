@@ -42,4 +42,23 @@ object Integrity {
     * correctness level errors out, ours side-channels. */
   def verify(env: DataFrame): DataFrame =
     env.withColumn("_checksum_ok", col("_checksum") === checksumColumn)
+
+  /** Typed checksum over a DDL-defined column model — the generic form
+    * of [[checksumColumn]] for arbitrary CREATE TABLE schemas
+    * (verify_checksum.go:96-145 buildChecksumBytes: integer-class
+    * values fold by value, floats as float64, and the varchar class —
+    * explicitly including JSON and TypeTiDBVectorFloat32 at :138 — by
+    * their canonical string). Canonical token per column is the
+    * wire-fidelity rendering ([[CanalFull.valueToken]]: bit/enum/set
+    * as numeric value, vector via its VectorFloat32 bracket form,
+    * binary charset-decoded), so equal MySQL values checksum equal
+    * however they were written. Stable-hash over canonical strings
+    * rather than crc32-of-LE-bytes — the repo's documented checksum
+    * stance, portable to any engine that can render the same tokens.
+    */
+  def checksumColumnFor(cols: Seq[graft.model.MySqlDdl.MySqlCol]): Column = {
+    def img(i: String): Seq[Column] =
+      cols.map(c => CanalFull.valueToken(c, col(s"$i.${c.name}")))
+    Routing.stableHash(col("_op") +: (img("before") ++ img("after")))
+  }
 }
