@@ -85,8 +85,25 @@ object Cli {
   /** Resolve and execute one CLI invocation; returns (exit code,
     * response body). Pure function of the argument list + the remote
     * server, so specs drive it directly. */
-  def run(args: Seq[String], out: String => Unit): Int = {
-    val (words, flags) = parseArgs(args)
+  def run(args: Seq[String], out: String => Unit): Int =
+    run(args, out, nextGen = sys.env.get("GRAFT_NEXT_GEN").contains("1"))
+
+  /** `nextGen` = the multi-tenant kernel (the reference's build-time
+    * kerneltype.IsNextGen()): changefeed commands must then name their
+    * keyspace explicitly — cli_missing_keyspace_error pins both the
+    * non-zero exit and the guidance text. */
+  def run(args: Seq[String], out: String => Unit, nextGen: Boolean): Int = {
+    // `-k` is the reference CLI's short form of --keyspace
+    val (words, flags) = parseArgs(args.flatMap {
+      case "-k" => Seq("--keyspace")
+      case a if a.startsWith("-k=") => Seq("--keyspace=" + a.stripPrefix("-k="))
+      case a => Seq(a)
+    })
+    if (nextGen && words.headOption.contains("changefeed") &&
+        !flags.contains("keyspace")) {
+      out("Error: please specify --keyspace or -k")
+      return 1
+    }
     val server = flags.getOrElse("server", "http://127.0.0.1:8300")
     // --ca/--cert/--key: TLS client credential for an https server
     // (cli_tls_with_auth; the reference CLI's security flag trio).
@@ -115,6 +132,7 @@ object Cli {
         val Seq(cf, src, sink, ckpt) =
           need(flags, "changefeed-id", "source", "sink-uri", "checkpoint")
         val rules = flags.get("rules").map(r => s"&rules=${enc(r)}").getOrElse("")
+        val ks = flags.get("keyspace").map(k => s"&keyspace=${enc(k)}").getOrElse("")
         // --config file.toml ships the full replica config as the v2
         // JSON body (reference `cli changefeed create --config`)
         val body = flags.get("config").map { path =>
@@ -124,7 +142,7 @@ object Cli {
             graft.model.ConfigToml.toConfig(graft.model.ConfigToml.parse(text), cf))
         }
         http("POST",
-          s"$base?id=${enc(cf)}&source=${enc(src)}&sink=${enc(sink)}&ckpt=${enc(ckpt)}$rules",
+          s"$base?id=${enc(cf)}&source=${enc(src)}&sink=${enc(sink)}&ckpt=${enc(ckpt)}$rules$ks",
           body)
       case Seq("changefeed", "query") => http("GET", s"$base/${enc(id)}")
       case Seq("changefeed", "statistics") => http("GET", s"$base/${enc(id)}/status")

@@ -68,6 +68,194 @@ object LargeMessage {
     msgs.withColumn("_value",
       Compression.decompressCol(codec)(col("_value_bin")).cast("string"))
 
+  // ---- claim-check end to end (open + simple; the reference's
+  //      kafka_simple_claim_check_avro / open_protocol_claim_check
+  //      integration scenarios) ----
+
+  /** ClaimCheckMessage storage wrapper — the object body the producer
+    * uploads (pkg/sink/kafka/claimcheck/claim_check.go WriteMessage:
+    * Go json.Marshal of {Key, Value []byte}, so both sides ride as
+    * base64 strings). */
+  def claimCheckWrap(key: Column, value: Column): Column = {
+    // Spark's base64() is the MIME form (76-char lines, CRLF); strip
+    // the line breaks so the wrapper is the single-line Go encoding
+    def b64(c: Column): Column =
+      regexp_replace(base64(coalesce(c, lit("")).cast("binary")), "[\\r\\n]", "")
+    concat(lit("{\"key\":\""), b64(key),
+      lit("\",\"value\":\""), b64(value), lit("\"}"))
+  }
+
+  /** Deterministic per-row object location (the reference names
+    * objects with a fresh UUID, claim_check.go:NewFileName; a
+    * row-derived name makes checkpoint replays overwrite instead of
+    * leak). */
+  private def claimLocation(prefix: String): Column =
+    concat(lit(prefix.stripSuffix("/")), lit("/"), col("_schema"), lit("/"),
+      col("_table"), lit("/"), col("_row_id").cast("string"), lit(".json"))
+
+  /** Upload every oversized message's wrapped (key, value) to
+    * `storageUri` — executor-side through the Hadoop FS API (one
+    * object per message, exactly the reference's
+    * claimCheck.WriteMessage against its external storage; file://,
+    * hdfs:// and s3a:// all resolve through the same interface).
+    * Returns the number of objects written. */
+  def writeClaimChecks(encoded: DataFrame, maxBytes: Int, storageUri: String,
+                      keyCol: Option[String] = None): Long = {
+    val key = keyCol.map(col).getOrElse(lit(""))
+    val objects = encoded
+      .filter(length(col("_value")) > maxBytes)
+      .select(claimLocation(storageUri).as("_loc"),
+        claimCheckWrap(key, col("_value")).as("_body"))
+    val written = objects.rdd.mapPartitions { it =>
+      val conf = new org.apache.hadoop.conf.Configuration()
+      var n = 0L
+      it.foreach { r =>
+        val path = new org.apache.hadoop.fs.Path(r.getString(0))
+        val fs = path.getFileSystem(conf)
+        val out = fs.create(path, true)
+        try out.write(r.getString(1).getBytes("UTF-8")) finally out.close()
+        n += 1
+      }
+      Iterator.single(n)
+    }.fold(0L)(_ + _)
+    written
+  }
+
+  /** Open-protocol claim-check (encoder.go:100-116 + codec.go:52-58):
+    * the oversized message's full (key, value) is uploaded wrapped;
+    * the stream message's KEY gains `"ohk":false,"ccl":"<location>"`
+    * and its value shrinks to the handle-key-only image. Call on the
+    * output of Codecs.openProtocol. */
+  def openClaimCheck(encoded: DataFrame, maxBytes: Int, storageUri: String): DataFrame = {
+    writeClaimChecks(encoded, maxBytes, storageUri, keyCol = Some("_key"))
+    val loc = claimLocation(storageUri)
+    val pointerKey = concat(
+      lit("{\"ts\":"), col("_commit_ts"),
+      lit(",\"scm\":\""), col("_schema"),
+      lit("\",\"tbl\":\""), col("_table"),
+      lit("\",\"t\":1,\"ohk\":false,\"ccl\":\""), loc, lit("\"}"))
+    val hkImage = concat(lit("{\"user_id\":"),
+      coalesce(when(col("_op") === "D", col("before.user_id"))
+        .otherwise(col("after.user_id")).cast("string"), lit("null")),
+      lit("}"))
+    val pointerValue =
+      when(col("_op") === "D", concat(lit("{\"d\":"), hkImage, lit("}")))
+        .otherwise(concat(lit("{\"u\":"), hkImage, lit("}")))
+    encoded
+      .withColumn("_large", length(col("_value")) > maxBytes)
+      .withColumn("_claim_location", when(col("_large"), loc))
+      .withColumn("_key", when(col("_large"), pointerKey).otherwise(col("_key")))
+      .withColumn("_value", when(col("_large"), pointerValue).otherwise(col("_value")))
+  }
+
+  /** Simple-protocol claim-check (simple/encoder.go:79-88: the
+    * pointer is the row message re-marshaled handle-key-only with
+    * `claimCheckLocation` set; the stored object wraps the FULL
+    * original message). Call on the output of Codecs.simpleProtocol. */
+  def simpleClaimCheck(encoded: DataFrame, maxBytes: Int, storageUri: String): DataFrame = {
+    writeClaimChecks(encoded, maxBytes, storageUri)
+    val loc = claimLocation(storageUri)
+    val typ = when(col("_op") === "I", "INSERT")
+      .when(col("_op") === "U", "UPDATE").otherwise("DELETE")
+    val keyVal = coalesce(when(col("_op") === "D", col("before.user_id"))
+      .otherwise(col("after.user_id")).cast("string"), lit("null"))
+    val hkImg = concat(lit("{\"user_id\":\""), keyVal, lit("\"}"))
+    val pointer = concat(
+      lit("{\"version\":1,\"database\":\""), col("_schema"),
+      lit("\",\"table\":\""), col("_table"),
+      lit("\",\"type\":\""), typ,
+      lit("\",\"commitTs\":"), col("_commit_ts"),
+      lit(",\"buildTs\":"), (col("_commit_ts") / 1000000L).cast("long"),
+      lit(",\"handleKeyOnly\":true,\"claimCheckLocation\":\""), loc, lit("\","),
+      when(col("_op") === "D", concat(lit("\"old\":"), hkImg))
+        .otherwise(concat(lit("\"data\":"), hkImg)),
+      lit("}"))
+    encoded
+      .withColumn("_large", length(col("_value")) > maxBytes)
+      .withColumn("_claim_location", when(col("_large"), loc))
+      .withColumn("_value", when(col("_large"), pointer).otherwise(col("_value")))
+  }
+
+  /** Consumer side: follow every pointer back to storage and restore
+    * the full original (key, value) — the decoder's
+    * assembleEventFromClaimCheckStorage (open/decoder.go:341-358,
+    * simple/decoder.go:194). `locCol` carries each row's
+    * claim-check location (null for plain rows): open consumers take
+    * it from the key's `ccl`, simple consumers from the value's
+    * `claimCheckLocation`. Per-pointer object reads happen
+    * executor-side, matching the reference's per-message ReadFile. */
+  def resolveClaimChecks(msgs: DataFrame, locCol: Column,
+                         keyCol: String = "_key",
+                         valueCol: String = "_value"): DataFrame = {
+    val fetch = udf { (loc: String) =>
+      if (loc == null) null
+      else {
+        val conf = new org.apache.hadoop.conf.Configuration()
+        val path = new org.apache.hadoop.fs.Path(loc)
+        val fs = path.getFileSystem(conf)
+        val in = fs.open(path)
+        val body =
+          try {
+            val bos = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](8192)
+            var n = in.read(buf)
+            while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+            bos.toString("UTF-8")
+          } finally in.close()
+        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+        def b64(f: String): String = Option(node.get(f)).map(v =>
+          new String(java.util.Base64.getDecoder.decode(v.asText()), "UTF-8")).orNull
+        Array(b64("key"), b64("value"))
+      }
+    }
+    val resolved = msgs.withColumn("__cc", fetch(locCol))
+    val withKey =
+      if (msgs.columns.contains(keyCol))
+        resolved.withColumn(keyCol,
+          coalesce(element_at(col("__cc"), 1), col(keyCol)))
+      else resolved
+    withKey
+      .withColumn(valueCol, coalesce(element_at(col("__cc"), 2), col(valueCol)))
+      .drop("__cc")
+  }
+
+  /** Scalar claim-check fetch + unwrap for BINARY wire protocols
+    * (simple-over-Avro: the stored value is raw Avro, not UTF-8 text,
+    * so the string-typed [[resolveClaimChecks]] cannot carry it).
+    * Returns (key bytes, value bytes). */
+  def fetchClaimCheck(location: String): (Array[Byte], Array[Byte]) = {
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val path = new org.apache.hadoop.fs.Path(location)
+    val fs = path.getFileSystem(conf)
+    val in = fs.open(path)
+    val body =
+      try {
+        val bos = new java.io.ByteArrayOutputStream()
+        val buf = new Array[Byte](8192)
+        var n = in.read(buf)
+        while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
+        bos.toString("UTF-8")
+      } finally in.close()
+    val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+    def b64(f: String): Array[Byte] = Option(node.get(f))
+      .map(v => java.util.Base64.getDecoder.decode(v.asText()))
+      .getOrElse(Array.emptyByteArray)
+    (b64("key"), b64("value"))
+  }
+
+  /** Producer-side scalar store for binary protocols: upload one
+    * wrapped (key, value) object at `location`. */
+  def storeClaimCheck(location: String, key: Array[Byte],
+                      value: Array[Byte]): Unit = {
+    val b64 = java.util.Base64.getEncoder
+    val body = s"""{"key":"${b64.encodeToString(key)}","value":"${b64.encodeToString(value)}"}"""
+    val conf = new org.apache.hadoop.conf.Configuration()
+    val path = new org.apache.hadoop.fs.Path(location)
+    val fs = path.getFileSystem(conf)
+    val out = fs.create(path, true)
+    try out.write(body.getBytes("UTF-8")) finally out.close()
+  }
+
   /** claim-check: oversized payloads go to external storage; the
     * message becomes a pointer. `locationPrefix` is the storage URI
     * prefix; the uploaded object path is deterministic per row. */

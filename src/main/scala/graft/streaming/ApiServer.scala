@@ -171,7 +171,11 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
                 case Left(msg) => respond(ex, 400,
                   s"""{"error":"bad replica config","detail":${jsonString(msg)}}""")
                 case Right(cfg) =>
-                  registry.create(cfg, src, sink, ckpt)
+                  // an explicit keyspace param wins over the body's
+                  // (the CLI's --keyspace / -k carrier)
+                  val withKs = p.get("keyspace")
+                    .map(k => cfg.copy(keyspace = k)).getOrElse(cfg)
+                  registry.create(withKs, src, sink, ckpt)
                   respond(ex, 201, s"""{"id":${jsonString(id)},"state":"running"}""")
               }
             case _ =>

@@ -161,4 +161,55 @@ class CliSpec extends SparkFunSuite {
       intercept[Exception](cli(server, "changefeed", "list"))
     } finally api.stop()
   }
+
+  test("next-gen kernel: changefeed commands demand --keyspace / -k " +
+      "(cli_missing_keyspace_error)") {
+    val registry = new ChangefeedRegistry(spark)
+    val api = new ApiServer(registry).start()
+    val server = s"http://127.0.0.1:${api.boundPort}"
+    try {
+      // missing keyspace → non-zero exit with the exact guidance text
+      val buf = new StringBuilder
+      val code = Cli.run(
+        Seq("changefeed", "pause", "--changefeed-id", "missing-keyspace",
+          "--server", server),
+        s => buf.append(s), nextGen = true)
+      assert(code != 0, "must fail without --keyspace/-k")
+      assert(buf.toString.contains("please specify --keyspace or -k"), buf)
+      assert(buf.toString.trim.nonEmpty, "error output must not be empty")
+
+      // with -k the command proceeds to the server (404: no such feed —
+      // past the client-side gate)
+      val buf2 = new StringBuilder
+      val code2 = Cli.run(
+        Seq("changefeed", "statistics", "--changefeed-id", "nope",
+          "-k", "ks1", "--server", server),
+        s => buf2.append(s), nextGen = true)
+      assert(code2 != 0 && buf2.toString.contains("not found"), buf2)
+
+      // classic kernel: no keyspace requirement
+      val buf3 = new StringBuilder
+      val code3 = Cli.run(Seq("changefeed", "list", "--server", server),
+        s => buf3.append(s), nextGen = false)
+      assert(code3 == 0 && buf3.toString == "[]")
+
+      // --keyspace rides changefeed create through to the feed config
+      val tmp = Files.createTempDirectory("graft-cli-ks").toString
+      val src = s"$tmp/source"
+      Files.createDirectories(java.nio.file.Paths.get(src))
+      Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$src/events.parquet"))
+      val buf4 = new StringBuilder
+      val code4 = Cli.run(
+        Seq("changefeed", "create", "--changefeed-id", "cf-ks",
+          "--source", src, "--sink-uri", s"$tmp/sink",
+          "--checkpoint", s"$tmp/ckpt", "--keyspace", "tenant-7",
+          "--server", server),
+        s => buf4.append(s), nextGen = true)
+      assert(code4 == 0, buf4)
+      assert(registry.config("cf-ks").keyspace == "tenant-7")
+      registry.remove("cf-ks")
+    } finally api.stop()
+  }
 }

@@ -119,4 +119,23 @@ class ConfigToolsSpec extends AnyFunSuite {
       "--table", "test.t1", "--ddl", "DROP TABLE test.t1"))
     assert(keep.text.endsWith("should not be discard by event filter rule"))
   }
+
+  test("keyspace + bootstrap cadence survive both config carriers") {
+    val cfg = ChangefeedConfig(id = "cf-ks",
+      keyspace = "tenant-7",
+      sink = SinkConfig(protocol = Protocol.Simple,
+        sendBootstrapIntervalInSec = 30L,
+        sendBootstrapInMsgCount = 500,
+        sendBootstrapToAllPartition = false,
+        sendAllBootstrapAtStart = true))
+    val viaToml = ConfigToml.toConfig(
+      ConfigToml.parse(ConfigToml.renderToml(cfg)), "cf-ks")
+    assert(viaToml.keyspace == "tenant-7")
+    assert(viaToml.sink.sendBootstrapIntervalInSec == 30L)
+    assert(viaToml.sink.sendBootstrapInMsgCount == 500)
+    assert(!viaToml.sink.sendBootstrapToAllPartition)
+    assert(viaToml.sink.sendAllBootstrapAtStart)
+    val viaJson = ConfigToml.fromApiJson(ConfigToml.toApiJson(cfg))
+    assert(viaJson == cfg.copy(id = viaJson.id) && viaJson.keyspace == "tenant-7")
+  }
 }

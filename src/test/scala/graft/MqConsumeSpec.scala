@@ -259,6 +259,98 @@ class MqConsumeSpec extends SparkFunSuite {
       == Seq(("app", "x"), ("app", "y")))
   }
 
+  test("open-protocol claim-check e2e: pointer message → storage fetch → " +
+      "full-fidelity recovery (open_protocol_claim_check)") {
+    import graft.functions.{Codecs, Decoders, LargeMessage}
+    val store = tmp("cc-open-store")
+    val encoded = Codecs.openProtocol(env)
+    // a threshold between min and max wire size → a MIXED stream of
+    // plain messages and pointers
+    val cut = encoded.agg(
+      expr("percentile(length(_value), 0.5)")).head().getDouble(0).toInt
+    val withCc = LargeMessage.openClaimCheck(encoded, cut, s"file://$store")
+    val nPointers = withCc.filter(col("_large")).count()
+    assert(nPointers > 0, "oversize messages became pointers")
+    assert(withCc.filter(!col("_large")).count() > 0, "small messages untouched")
+    // pointer key carries ohk:false + ccl (codec.go:55-57); pointer
+    // value is handle-key-only
+    val ptr = withCc.filter(col("_large")).select("_key", "_value").head()
+    assert(ptr.getString(0).contains("\"ohk\":false,\"ccl\":\"file://"), ptr.getString(0))
+    assert(!ptr.getString(1).contains("\"value\""), "pointer value is hk-only")
+
+    // THE CONSUMER: follow ccl back to storage, then decode as if the
+    // pointer never happened
+    val restored = LargeMessage.resolveClaimChecks(
+      withCc.select(col("_key"), col("_value")),
+      get_json_object(col("_key"), "$.ccl"))
+    val decoded = Decoders.decodeOpen(restored)
+      .select(col("_schema"), col("_table"), col("_commit_ts"), col("_op"),
+        col("before"), col("after"))
+    val direct = Decoders.decodeOpen(encoded)
+      .select(col("_schema"), col("_table"), col("_commit_ts"), col("_op"),
+        col("before"), col("after"))
+    assert(decoded.exceptAll(direct).count() == 0L &&
+      direct.exceptAll(decoded).count() == 0L,
+      "claim-check recovery is full-fidelity: decoded stream == original stream")
+  }
+
+  test("simple-protocol claim-check e2e over JSON and Avro " +
+      "(kafka_simple_claim_check_avro)") {
+    import graft.functions.{Codecs, Decoders, LargeMessage, SimpleAvro}
+    // --- JSON form: pointer carries handleKeyOnly + claimCheckLocation
+    val store = tmp("cc-simple-store")
+    val encoded = Codecs.simpleProtocol(env)
+    val cut = encoded.agg(
+      expr("percentile(length(_value), 0.5)")).head().getDouble(0).toInt
+    val withCc = LargeMessage.simpleClaimCheck(encoded, cut, s"file://$store")
+    assert(withCc.filter(col("_large")).count() > 0)
+    val ptr = withCc.filter(col("_large")).select("_value").head().getString(0)
+    assert(ptr.contains("\"handleKeyOnly\":true"), ptr)
+    assert(ptr.contains("\"claimCheckLocation\":\"file://"), ptr)
+    val restored = LargeMessage.resolveClaimChecks(
+      withCc.select(col("_value")),
+      get_json_object(col("_value"), "$.claimCheckLocation"))
+    val decoded = Decoders.decodeSimple(restored.select(col("_value")))
+      .select(col("_schema"), col("_table"), col("_commit_ts"), col("_op"),
+        col("before"), col("after"))
+    val direct = Decoders.decodeSimple(encoded.select(col("_value")))
+      .select(col("_schema"), col("_table"), col("_commit_ts"), col("_op"),
+        col("before"), col("after"))
+    assert(decoded.exceptAll(direct).count() == 0L &&
+      direct.exceptAll(decoded).count() == 0L)
+
+    // --- Avro form: the stored object wraps the FULL Avro message;
+    // the stream message is a pointer with claimCheckLocation set
+    import SimpleAvro.Val
+    val full = SimpleAvro.encodeDml("UPDATE", "app", "t9", 9L,
+      commitTs = 1700000001L, buildTs = 1700L, schemaVersion = 0L,
+      data = Map("user_id" -> Val.L(42L), "value" -> Val.D(3.5), "k" -> Val.L(7L)),
+      old = Map("user_id" -> Val.L(42L), "value" -> Val.D(2.5), "k" -> Val.L(7L)))
+    val loc = s"file://$store/app/t9/avro-42.json"
+    LargeMessage.storeClaimCheck(loc, Array.emptyByteArray, full)
+    val pointer = SimpleAvro.encodeDml("UPDATE", "app", "t9", 9L,
+      commitTs = 1700000001L, buildTs = 1700L, schemaVersion = 0L,
+      data = Map("user_id" -> Val.L(42L)),
+      handleKeyOnly = true, claimCheckLocation = Some(loc))
+    // consumer: decode pointer, follow the location, decode the full
+    // message from storage (simple/decoder.go:194-195)
+    val pRec = SimpleAvro.decode(pointer)
+    val pPayload = pRec.get("payload").asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(String.valueOf(pPayload.get("claimCheckLocation")) == loc)
+    assert(pPayload.get("handleKeyOnly") == java.lang.Boolean.TRUE)
+    val (_, storedBytes) = LargeMessage.fetchClaimCheck(
+      String.valueOf(pPayload.get("claimCheckLocation")))
+    assert(storedBytes.toSeq == full.toSeq, "stored Avro bytes survive the wrap")
+    val fRec = SimpleAvro.decode(storedBytes)
+    val fPayload = fRec.get("payload").asInstanceOf[org.apache.avro.generic.GenericRecord]
+    assert(String.valueOf(fPayload.get("type")) == "UPDATE")
+    val data = fPayload.get("data").asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+    val vals = scala.jdk.CollectionConverters.MapHasAsScala(data).asScala
+      .map { case (k, v) => String.valueOf(k) -> v }.toMap
+    assert(vals.contains("value") && vals.contains("k"),
+      s"full fidelity recovered, not handle-key-only: ${vals.keys}")
+  }
+
   test("storage-sink text layout end to end") {
     val dir = tmp("storage")
     StorageSink.write(Codecs.canalJson(env), dir, fmt = "text")
