@@ -51,9 +51,64 @@ object Protocol {
   case object Simple extends Protocol
 }
 
+/** Large-message handling block (pkg/config/large_message.go:30-37
+  * toml tags; semantics large_message.go:47-116 AdjustAndValidate). */
+final case class LargeMessageHandle(
+    option: String = LargeMessageHandle.OptionNone,
+    compression: String = "none",
+    claimCheckStorageUri: String = "",
+    claimCheckRawValue: Boolean = false) {
+  def handleKeyOnly: Boolean = option == LargeMessageHandle.OptionHandleKeyOnly
+  def enableClaimCheck: Boolean = option == LargeMessageHandle.OptionClaimCheck
+  def disabled: Boolean = option == LargeMessageHandle.OptionNone
+  def isDefault: Boolean = this == LargeMessageHandle()
+
+  /** AdjustAndValidate (large_message.go:47-96): compression always
+    * checked; an enabled option demands a handle-key-capable protocol
+    * (open/simple; canal-json only with the TiDB extension), a
+    * claim-check storage URI, and no raw-value under open. */
+  def validate(protocol: Protocol, enableTidbExtension: Boolean = true): Unit = {
+    require(graft.functions.Compression.supported(compression),
+      s"large message handle compression is not supported, got $compression")
+    if (!disabled) {
+      require(option == LargeMessageHandle.OptionClaimCheck ||
+        option == LargeMessageHandle.OptionHandleKeyOnly,
+        s"unknown large-message-handle-option $option")
+      protocol match {
+        case Protocol.Open | Protocol.Simple => ()
+        case Protocol.CanalJson =>
+          require(enableTidbExtension,
+            s"large message handle is set to $option, protocol is canal-json, " +
+              "but enable-tidb-extension is false")
+        case other => throw new IllegalArgumentException(
+          s"large message handle is set to $option, protocol is $other, " +
+            "it's not supported")
+      }
+      if (enableClaimCheck) {
+        require(claimCheckStorageUri.nonEmpty,
+          "large message handle is set to claim-check, but the " +
+            "claim-check-storage-uri is empty")
+        require(!(claimCheckRawValue && protocol == Protocol.Open),
+          "large message handle is set to claim-check, raw value is not " +
+            "supported for the open protocol")
+      }
+    }
+  }
+}
+object LargeMessageHandle {
+  val OptionNone = "none"
+  val OptionClaimCheck = "claim-check"
+  val OptionHandleKeyOnly = "handle-key-only"
+}
+
 final case class SinkConfig(
     protocol: Protocol = Protocol.CanalJson,
     numPartitions: Int = 16,
+    /** Kafka broker message-size cap — the oversize threshold the
+      * large-message handling triggers on (pkg/config/sink.go
+      * DefaultMaxMessageBytes, 10 MiB). */
+    maxMessageBytes: Int = 10 * 1024 * 1024,
+    largeMessageHandle: LargeMessageHandle = LargeMessageHandle(),
     safeMode: Boolean = false,
     columnSelector: Option[Seq[String]] = None,
     onlyOutputUpdatedColumns: Boolean = false,

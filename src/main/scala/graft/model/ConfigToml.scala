@@ -214,6 +214,20 @@ object ConfigToml {
         doc.bool("sink", "send-bootstrap-to-all-partition").getOrElse(true),
       sendAllBootstrapAtStart =
         doc.bool("sink", "send-all-bootstrap-at-start").getOrElse(false),
+      maxMessageBytes =
+        doc.int("sink", "max-message-bytes").map(_.toInt).getOrElse(10 * 1024 * 1024),
+      largeMessageHandle = {
+        val lmh = "sink.large-message-handle"
+        LargeMessageHandle(
+          option = doc.str(lmh, "large-message-handle-option")
+            .getOrElse(LargeMessageHandle.OptionNone),
+          compression = doc.str(lmh, "large-message-handle-compression")
+            .getOrElse("none"),
+          claimCheckStorageUri =
+            doc.str(lmh, "claim-check-storage-uri").getOrElse(""),
+          claimCheckRawValue =
+            doc.bool(lmh, "claim-check-raw-value").getOrElse(false))
+      },
       pulsarConfig = pulsarOf(doc))
     ChangefeedConfig(
       id = id,
@@ -352,6 +366,17 @@ object ConfigToml {
       b ++= "send-bootstrap-to-all-partition = false\n"
     if (cfg.sink.sendAllBootstrapAtStart)
       b ++= "send-all-bootstrap-at-start = true\n"
+    if (cfg.sink.maxMessageBytes != 10 * 1024 * 1024)
+      b ++= s"max-message-bytes = ${cfg.sink.maxMessageBytes}\n"
+    if (!cfg.sink.largeMessageHandle.isDefault) {
+      val l = cfg.sink.largeMessageHandle
+      b ++= "\n[sink.large-message-handle]\n"
+      b ++= s"large-message-handle-option = ${tomlStr(l.option)}\n"
+      b ++= s"large-message-handle-compression = ${tomlStr(l.compression)}\n"
+      if (l.claimCheckStorageUri.nonEmpty)
+        b ++= s"claim-check-storage-uri = ${tomlStr(l.claimCheckStorageUri)}\n"
+      if (l.claimCheckRawValue) b ++= "claim-check-raw-value = true\n"
+    }
     cfg.sink.dispatch.foreach { d =>
       b ++= "\n[[sink.dispatchers]]\n"
       b ++= s"matcher = ${tomlArr(d.matcher)}\n"
@@ -489,6 +514,14 @@ object ConfigToml {
         s""","send_bootstrap_in_msg_count":${s.sendBootstrapInMsgCount}""" +
         s""","send_bootstrap_to_all_partition":${s.sendBootstrapToAllPartition}""" +
         s""","send_all_bootstrap_at_start":${s.sendAllBootstrapAtStart}""" +
+        s""","max_message_bytes":${s.maxMessageBytes}""" +
+        (if (s.largeMessageHandle.isDefault) "" else {
+          val l = s.largeMessageHandle
+          s""","large_message_handle":{"large-message-handle-option":${jsonStr(l.option)},""" +
+            s""""large-message-handle-compression":${jsonStr(l.compression)},""" +
+            s""""claim-check-storage-uri":${jsonStr(l.claimCheckStorageUri)},""" +
+            s""""claim-check-raw-value":${l.claimCheckRawValue}}"""
+        }) +
         s.pulsarConfig.map(p => s""","pulsar-config":${pulsarJson(p)}""").getOrElse("") + "}"
     s"""{"id":${jsonStr(cfg.id)},"filter":$filterJson,"sink":$sinkJson""" +
       s""","handle_keys":${jsonArr(cfg.handleKeys)}""" +
@@ -633,6 +666,19 @@ object ConfigToml {
         opt(s, "send_bootstrap_to_all_partition").forall(_.asBoolean()),
       sendAllBootstrapAtStart =
         opt(s, "send_all_bootstrap_at_start").exists(_.asBoolean()),
+      maxMessageBytes =
+        opt(s, "max_message_bytes").map(_.asInt()).getOrElse(10 * 1024 * 1024),
+      largeMessageHandle = opt(s, "large_message_handle").map { l =>
+        LargeMessageHandle(
+          option = opt(l, "large-message-handle-option").map(_.asText())
+            .getOrElse(LargeMessageHandle.OptionNone),
+          compression = opt(l, "large-message-handle-compression")
+            .map(_.asText()).getOrElse("none"),
+          claimCheckStorageUri =
+            opt(l, "claim-check-storage-uri").map(_.asText()).getOrElse(""),
+          claimCheckRawValue =
+            opt(l, "claim-check-raw-value").exists(_.asBoolean()))
+      }.getOrElse(LargeMessageHandle()),
       pulsarConfig = opt(s, "pulsar-config").map { p =>
         def txt(k: String) = opt(p, k).map(_.asText()).filter(_.nonEmpty)
         Security.PulsarConfig(

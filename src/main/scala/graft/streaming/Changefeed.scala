@@ -245,6 +245,11 @@ object Changefeed {
       cfg.sink.sendBootstrapIntervalInSec, cfg.sink.sendBootstrapInMsgCount)
     val bootstrapOn =
       cfg.sink.protocol == Protocol.Simple && bootstrapper.enabled
+    // large-message handling is validated up front (AdjustAndValidate,
+    // large_message.go:47-96) so a misconfigured feed fails at create,
+    // not mid-stream
+    val lmh = cfg.sink.largeMessageHandle
+    if (!lmh.disabled) lmh.validate(cfg.sink.protocol)
     pipeline(spark, cfg)(env)
       .writeStream
       .queryName(cfg.id)
@@ -279,6 +284,26 @@ object Changefeed {
               .write.mode("append").parquet(sinkDir)
           }
         }
+        // large-message handling on the encoded batch: oversized
+        // values become handle-key-only messages or claim-check
+        // pointers (the stored objects upload first, so a pointer is
+        // never visible before its object is durable)
+        val handled =
+          if (lmh.disabled) batch
+          else if (lmh.handleKeyOnly)
+            graft.functions.LargeMessage.handleKeyOnly(batch, cfg.sink.maxMessageBytes)
+          else cfg.sink.protocol match {
+            case Protocol.Open => graft.functions.LargeMessage.openClaimCheck(
+              batch, cfg.sink.maxMessageBytes, lmh.claimCheckStorageUri)
+            case Protocol.Simple => graft.functions.LargeMessage.simpleClaimCheck(
+              batch, cfg.sink.maxMessageBytes, lmh.claimCheckStorageUri)
+            case _ =>
+              // canal-json (TiDB-extension form): generic pointer value
+              graft.functions.LargeMessage.writeClaimChecks(
+                batch, cfg.sink.maxMessageBytes, lmh.claimCheckStorageUri)
+              graft.functions.LargeMessage.claimCheck(
+                batch, cfg.sink.maxMessageBytes, lmh.claimCheckStorageUri)
+          }
         // rows commit FIRST, control messages second: a resolved-ts
         // event must never be visible before every row it covers is
         // durable (the reference's watermark contract). The resolved
@@ -286,7 +311,7 @@ object Changefeed {
         // ONE pass over the batch, no persist and no second agg scan
         // (at scale the batch need never fit in storage memory).
         val obs = org.apache.spark.sql.Observation(s"resolved-$batchId")
-        batch
+        handled
           .observe(obs, max(col("_commit_ts")).as("resolved"))
           .select(col("_partition"), col("_commit_ts"),
             lit("row").as("_kind"), col("_value"))

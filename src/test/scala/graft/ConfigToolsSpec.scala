@@ -138,4 +138,46 @@ class ConfigToolsSpec extends AnyFunSuite {
     val viaJson = ConfigToml.fromApiJson(ConfigToml.toApiJson(cfg))
     assert(viaJson == cfg.copy(id = viaJson.id) && viaJson.keyspace == "tenant-7")
   }
+
+  test("large-message-handle block: both carriers + AdjustAndValidate rules") {
+    val lmh = LargeMessageHandle(
+      option = LargeMessageHandle.OptionClaimCheck,
+      compression = "zstd",
+      claimCheckStorageUri = "file:///tmp/claims",
+      claimCheckRawValue = true)
+    val cfg = ChangefeedConfig(id = "cf-lmh",
+      sink = SinkConfig(protocol = Protocol.Simple,
+        maxMessageBytes = 1048576, largeMessageHandle = lmh))
+    val viaToml = ConfigToml.toConfig(
+      ConfigToml.parse(ConfigToml.renderToml(cfg)), "cf-lmh")
+    assert(viaToml.sink.largeMessageHandle == lmh, viaToml.sink.largeMessageHandle)
+    assert(viaToml.sink.maxMessageBytes == 1048576)
+    val viaJson = ConfigToml.fromApiJson(ConfigToml.toApiJson(cfg))
+    assert(viaJson.sink.largeMessageHandle == lmh)
+    assert(viaJson.sink.maxMessageBytes == 1048576)
+
+    // validation rules (large_message.go:47-96)
+    lmh.validate(Protocol.Simple) // claim-check + simple + uri: fine
+    intercept[IllegalArgumentException](
+      LargeMessageHandle(option = "bogus").validate(Protocol.Open))
+    intercept[IllegalArgumentException]( // claim-check without a URI
+      LargeMessageHandle(option = LargeMessageHandle.OptionClaimCheck)
+        .validate(Protocol.Open))
+    intercept[IllegalArgumentException]( // raw value not for open
+      LargeMessageHandle(option = LargeMessageHandle.OptionClaimCheck,
+        claimCheckStorageUri = "file:///x", claimCheckRawValue = true)
+        .validate(Protocol.Open))
+    intercept[IllegalArgumentException]( // canal-json needs the extension
+      LargeMessageHandle(option = LargeMessageHandle.OptionHandleKeyOnly)
+        .validate(Protocol.CanalJson, enableTidbExtension = false))
+    LargeMessageHandle(option = LargeMessageHandle.OptionHandleKeyOnly)
+      .validate(Protocol.CanalJson, enableTidbExtension = true)
+    intercept[IllegalArgumentException]( // csv has no handle-key form
+      LargeMessageHandle(option = LargeMessageHandle.OptionHandleKeyOnly)
+        .validate(Protocol.Csv))
+    intercept[IllegalArgumentException]( // unsupported codec
+      LargeMessageHandle(compression = "brotli").validate(Protocol.Open))
+    // disabled config never protocol-checks (none is always legal)
+    LargeMessageHandle().validate(Protocol.Csv)
+  }
 }

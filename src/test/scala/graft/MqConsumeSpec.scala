@@ -370,4 +370,47 @@ class MqConsumeSpec extends SparkFunSuite {
     assert(s.diffs == 0L, "stream-implied state still self-consistent")
     assert(s.expectDiffs > 0L, "upstream diff must flag the lost row")
   }
+
+  test("changefeed-level claim-check: the configured feed uploads oversize " +
+      "messages and emits pointers the consumer resolves") {
+    import graft.functions.{Decoders, LargeMessage}
+    val base = tmp("cc-feed")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$base/src/events.parquet"))
+    // a max-message-bytes below the typical wire size → most rows
+    // become pointers, THROUGH THE CHANGEFEED CONFIG, not library calls
+    val cfg = graft.model.ChangefeedConfig(id = "cf-claim",
+      sink = graft.model.SinkConfig(protocol = graft.model.Protocol.Simple,
+        maxMessageBytes = 150,
+        largeMessageHandle = graft.model.LargeMessageHandle(
+          option = graft.model.LargeMessageHandle.OptionClaimCheck,
+          claimCheckStorageUri = s"file://$base/claims")))
+    graft.streaming.Changefeed.runMq(
+      spark, cfg, s"$base/src", s"$base/sink", s"$base/ckpt").awaitTermination(120000)
+    val rows = spark.read.parquet(s"$base/sink").filter(col("_kind") === "row")
+    val pointers = rows.filter(col("_value").contains("\"claimCheckLocation\""))
+    assert(pointers.count() > 0, "oversize rows became pointers")
+    // consumer: resolve + decode; every row must decode with a schema
+    val restored = LargeMessage.resolveClaimChecks(
+      rows.select(col("_value")),
+      get_json_object(col("_value"), "$.claimCheckLocation"))
+    val decoded = Decoders.decodeSimple(restored.select(col("_value")))
+    assert(decoded.filter(col("_schema").isNull).count() == 0L)
+    assert(decoded.count() == rows.count())
+    // full fidelity: resolved rows carry the complete image again
+    assert(restored.filter(col("_value").contains("\"claimCheckLocation\""))
+      .count() == 0L, "no pointers survive resolution")
+
+    // a misconfigured feed (claim-check without a URI) fails at create
+    intercept[IllegalArgumentException] {
+      graft.streaming.Changefeed.runMq(spark,
+        cfg.copy(id = "cf-claim-bad",
+          sink = cfg.sink.copy(largeMessageHandle =
+            graft.model.LargeMessageHandle(
+              option = graft.model.LargeMessageHandle.OptionClaimCheck))),
+        s"$base/src", s"$base/sink2", s"$base/ckpt2")
+    }
+  }
 }
