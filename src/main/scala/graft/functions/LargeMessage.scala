@@ -100,12 +100,19 @@ object LargeMessage {
     * hdfs:// and s3a:// all resolve through the same interface).
     * Returns the number of objects written. */
   def writeClaimChecks(encoded: DataFrame, maxBytes: Int, storageUri: String,
-                      keyCol: Option[String] = None): Long = {
+                      keyCol: Option[String] = None,
+                      rawValue: Boolean = false): Long = {
     val key = keyCol.map(col).getOrElse(lit(""))
+    // claim-check-raw-value (large_message.go:34): the object is the
+    // bare value, no {key,value} wrapper — consumers that only need
+    // the payload skip a decode hop (rejected for open, whose key is
+    // load-bearing)
+    val body =
+      if (rawValue) col("_value")
+      else claimCheckWrap(key, col("_value"))
     val objects = encoded
       .filter(length(col("_value")) > maxBytes)
-      .select(claimLocation(storageUri).as("_loc"),
-        claimCheckWrap(key, col("_value")).as("_body"))
+      .select(claimLocation(storageUri).as("_loc"), body.as("_body"))
     val written = objects.rdd.mapPartitions { it =>
       val conf = new org.apache.hadoop.conf.Configuration()
       var n = 0L
@@ -126,8 +133,9 @@ object LargeMessage {
     * the stream message's KEY gains `"ohk":false,"ccl":"<location>"`
     * and its value shrinks to the handle-key-only image. Call on the
     * output of Codecs.openProtocol. */
-  def openClaimCheck(encoded: DataFrame, maxBytes: Int, storageUri: String): DataFrame = {
-    writeClaimChecks(encoded, maxBytes, storageUri, keyCol = Some("_key"))
+  def openClaimCheck(encoded: DataFrame, maxBytes: Int, storageUri: String,
+                     onStored: Long => Unit = _ => ()): DataFrame = {
+    onStored(writeClaimChecks(encoded, maxBytes, storageUri, keyCol = Some("_key")))
     val loc = claimLocation(storageUri)
     val pointerKey = concat(
       lit("{\"ts\":"), col("_commit_ts"),
@@ -152,8 +160,10 @@ object LargeMessage {
     * pointer is the row message re-marshaled handle-key-only with
     * `claimCheckLocation` set; the stored object wraps the FULL
     * original message). Call on the output of Codecs.simpleProtocol. */
-  def simpleClaimCheck(encoded: DataFrame, maxBytes: Int, storageUri: String): DataFrame = {
-    writeClaimChecks(encoded, maxBytes, storageUri)
+  def simpleClaimCheck(encoded: DataFrame, maxBytes: Int, storageUri: String,
+                       rawValue: Boolean = false,
+                       onStored: Long => Unit = _ => ()): DataFrame = {
+    onStored(writeClaimChecks(encoded, maxBytes, storageUri, rawValue = rawValue))
     val loc = claimLocation(storageUri)
     val typ = when(col("_op") === "I", "INSERT")
       .when(col("_op") === "U", "UPDATE").otherwise("DELETE")
@@ -176,6 +186,36 @@ object LargeMessage {
       .withColumn("_value", when(col("_large"), pointer).otherwise(col("_value")))
   }
 
+  /** Canal-JSON claim-check (canal_json_encoder.go:506-521 +
+    * newJSONMessageForDML:318-338): the pointer is a full canal
+    * message rendered handle-key-only whose `_tidb` extension carries
+    * commitTs + claimCheckLocation (the TiDB-extension form the
+    * validation demands for canal). Call on Codecs.canalJson output. */
+  def canalClaimCheck(encoded: DataFrame, maxBytes: Int, storageUri: String,
+                      rawValue: Boolean = false,
+                      onStored: Long => Unit = _ => ()): DataFrame = {
+    onStored(writeClaimChecks(encoded, maxBytes, storageUri, rawValue = rawValue))
+    val loc = claimLocation(storageUri)
+    val typ = when(col("_op") === "I", "INSERT")
+      .when(col("_op") === "U", "UPDATE").otherwise("DELETE")
+    val keyVal = coalesce(when(col("_op") === "D", col("before.user_id"))
+      .otherwise(col("after.user_id")).cast("string"), lit("null"))
+    val msRender = (col("_commit_ts") / 1000000L).cast("long")
+    val pointer = concat(
+      lit("{\"id\":0,\"database\":\""), col("_schema"),
+      lit("\",\"table\":\""), col("_table"),
+      lit("\",\"pkNames\":[\"user_id\"],\"isDdl\":false,\"type\":\""), typ,
+      lit("\",\"es\":"), msRender,
+      lit(",\"ts\":"), msRender,
+      lit(",\"data\":[{\"user_id\":"), keyVal,
+      lit("}],\"old\":null,\"_tidb\":{\"commitTs\":"), col("_commit_ts"),
+      lit(",\"claimCheckLocation\":\""), loc, lit("\"}}"))
+    encoded
+      .withColumn("_large", length(col("_value")) > maxBytes)
+      .withColumn("_claim_location", when(col("_large"), loc))
+      .withColumn("_value", when(col("_large"), pointer).otherwise(col("_value")))
+  }
+
   /** Consumer side: follow every pointer back to storage and restore
     * the full original (key, value) — the decoder's
     * assembleEventFromClaimCheckStorage (open/decoder.go:341-358,
@@ -186,7 +226,8 @@ object LargeMessage {
     * executor-side, matching the reference's per-message ReadFile. */
   def resolveClaimChecks(msgs: DataFrame, locCol: Column,
                          keyCol: String = "_key",
-                         valueCol: String = "_value"): DataFrame = {
+                         valueCol: String = "_value",
+                         rawValue: Boolean = false): DataFrame = {
     val fetch = udf { (loc: String) =>
       if (loc == null) null
       else {
@@ -202,10 +243,13 @@ object LargeMessage {
             while (n >= 0) { bos.write(buf, 0, n); n = in.read(buf) }
             bos.toString("UTF-8")
           } finally in.close()
-        val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
-        def b64(f: String): String = Option(node.get(f)).map(v =>
-          new String(java.util.Base64.getDecoder.decode(v.asText()), "UTF-8")).orNull
-        Array(b64("key"), b64("value"))
+        if (rawValue) Array(null: String, body)
+        else {
+          val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+          def b64(f: String): String = Option(node.get(f)).map(v =>
+            new String(java.util.Base64.getDecoder.decode(v.asText()), "UTF-8")).orNull
+          Array(b64("key"), b64("value"))
+        }
       }
     }
     val resolved = msgs.withColumn("__cc", fetch(locCol))

@@ -292,17 +292,20 @@ object Changefeed {
           if (lmh.disabled) batch
           else if (lmh.handleKeyOnly)
             graft.functions.LargeMessage.handleKeyOnly(batch, cfg.sink.maxMessageBytes)
-          else cfg.sink.protocol match {
-            case Protocol.Open => graft.functions.LargeMessage.openClaimCheck(
-              batch, cfg.sink.maxMessageBytes, lmh.claimCheckStorageUri)
-            case Protocol.Simple => graft.functions.LargeMessage.simpleClaimCheck(
-              batch, cfg.sink.maxMessageBytes, lmh.claimCheckStorageUri)
-            case _ =>
-              // canal-json (TiDB-extension form): generic pointer value
-              graft.functions.LargeMessage.writeClaimChecks(
-                batch, cfg.sink.maxMessageBytes, lmh.claimCheckStorageUri)
-              graft.functions.LargeMessage.claimCheck(
-                batch, cfg.sink.maxMessageBytes, lmh.claimCheckStorageUri)
+          else {
+            val counted: Long => Unit =
+              n => SinkCounters.addClaimChecksSent(cfg.id, n)
+            cfg.sink.protocol match {
+              case Protocol.Open => graft.functions.LargeMessage.openClaimCheck(
+                batch, cfg.sink.maxMessageBytes, lmh.claimCheckStorageUri,
+                onStored = counted)
+              case Protocol.Simple => graft.functions.LargeMessage.simpleClaimCheck(
+                batch, cfg.sink.maxMessageBytes, lmh.claimCheckStorageUri,
+                rawValue = lmh.claimCheckRawValue, onStored = counted)
+              case _ => graft.functions.LargeMessage.canalClaimCheck(
+                batch, cfg.sink.maxMessageBytes, lmh.claimCheckStorageUri,
+                rawValue = lmh.claimCheckRawValue, onStored = counted)
+            }
           }
         // rows commit FIRST, control messages second: a resolved-ts
         // event must never be visible before every row it covers is

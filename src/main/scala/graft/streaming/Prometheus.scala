@@ -161,6 +161,18 @@ object Prometheus {
       }
     }
 
+    val claims = SinkCounters.claimChecksSent
+    if (claims.nonEmpty) {
+      val keyspaceOf = feeds.map(f => f.id -> f.keyspace).toMap
+      b.family("ticdc_sink_mq_claim_check_send_message_count", "counter",
+        "The total count of messages sent to the external claim-check storage.")
+      claims.foreach { case (cf, n) =>
+        b.sample("ticdc_sink_mq_claim_check_send_message_count",
+          Seq(ks -> keyspaceOf.getOrElse(cf, "default"), "changefeed" -> cf),
+          n.toDouble)
+      }
+    }
+
     val fps = Failpoints.hitCounts
     if (fps.nonEmpty) {
       b.family("ticdc_server_failpoint_hits_total", "counter",

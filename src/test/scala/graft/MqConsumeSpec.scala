@@ -412,5 +412,57 @@ class MqConsumeSpec extends SparkFunSuite {
               option = graft.model.LargeMessageHandle.OptionClaimCheck))),
         s"$base/src", s"$base/sink2", s"$base/ckpt2")
     }
+
+    // the upload counter surfaced the work (claimcheck/metrics.go:30)
+    val sent = graft.streaming.SinkCounters.claimChecksSent.toMap
+    assert(sent.getOrElse("cf-claim", 0L) >= pointers.count(),
+      s"claim-check counter recorded the uploads: $sent")
+    val scrape = graft.streaming.Prometheus.render(
+      new graft.streaming.ChangefeedRegistry(spark), None)
+    assert(scrape.contains(
+      """ticdc_sink_mq_claim_check_send_message_count{namespace="default",changefeed="cf-claim"}"""),
+      scrape.linesIterator.filter(_.contains("claim")).mkString("\n"))
+  }
+
+  test("canal-json claim-check pointer carries the _tidb extension; " +
+      "raw-value mode stores the bare message") {
+    import graft.functions.{Codecs, Decoders, LargeMessage}
+    val store = tmp("cc-canal-store")
+    val encoded = Codecs.canalJson(env)
+    val cut = encoded.agg(
+      expr("percentile(length(_value), 0.5)")).head().getDouble(0).toInt
+    val withCc = LargeMessage.canalClaimCheck(encoded, cut, s"file://$store")
+    assert(withCc.filter(col("_large")).count() > 0)
+    val ptr = withCc.filter(col("_large")).select("_value").head().getString(0)
+    // the pointer is itself a canal message: hk-only data + _tidb ext
+    // (canal_json_encoder.go:318-338)
+    assert(ptr.contains("\"_tidb\":{\"commitTs\":"), ptr)
+    assert(ptr.contains("\"claimCheckLocation\":\"file://"), ptr)
+    assert(ptr.contains("\"isDdl\":false"), ptr)
+    assert(!ptr.contains("\"value\""), "pointer data is handle-key-only")
+    val restored = LargeMessage.resolveClaimChecks(
+      withCc.select(col("_value")),
+      get_json_object(col("_value"), "$._tidb.claimCheckLocation"))
+    val decoded = Decoders.decodeCanal(restored.select(col("_value")))
+      .select(col("_schema"), col("_table"), col("_op"), col("before"), col("after"))
+    val direct = Decoders.decodeCanal(encoded.select(col("_value")))
+      .select(col("_schema"), col("_table"), col("_op"), col("before"), col("after"))
+    assert(decoded.exceptAll(direct).count() == 0L &&
+      direct.exceptAll(decoded).count() == 0L)
+
+    // raw-value mode (claim-check-raw-value): the stored object is
+    // the bare canal message, consumed without the unwrap hop
+    val store2 = tmp("cc-canal-raw")
+    val withRaw = LargeMessage.canalClaimCheck(encoded, cut, s"file://$store2",
+      rawValue = true)
+    val rawRestored = LargeMessage.resolveClaimChecks(
+      withRaw.select(col("_value")),
+      get_json_object(col("_value"), "$._tidb.claimCheckLocation"),
+      rawValue = true)
+    val rawDecoded = Decoders.decodeCanal(rawRestored.select(col("_value")))
+      .select(col("_schema"), col("_table"), col("_op"), col("before"), col("after"))
+    assert(rawDecoded.exceptAll(direct).count() == 0L &&
+      direct.exceptAll(rawDecoded).count() == 0L,
+      "raw-value objects decode identically")
   }
 }
