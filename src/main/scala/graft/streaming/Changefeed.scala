@@ -228,15 +228,28 @@ object Changefeed {
     * because the control row is written after the batch's data rows
     * within the same foreachBatch. */
   def runMq(spark: SparkSession, cfg: ChangefeedConfig, sourceDir: String,
-            sinkDir: String, checkpointDir: String): StreamingQuery =
+            sinkDir: String, checkpointDir: String): StreamingQuery = {
+    // send-all-bootstrap-at-start: census the source's replicated
+    // tables once at create so every table handshakes before its
+    // first row (the reference pulls the list from its schema store;
+    // the change-log's own table set is this deployment's equivalent)
+    val allTables: Seq[(String, String)] =
+      if (cfg.sink.sendAllBootstrapAtStart &&
+          cfg.sink.protocol == Protocol.Simple)
+        Envelope.fromEvents(spark.read.parquet(sourceDir))
+          .select(col("_schema"), col("_table")).distinct()
+          .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
+      else Nil
     runMqStream(spark, cfg,
       Envelope.fromEvents(sourceStream(spark, cfg, sourceDir)),
-      sinkDir, checkpointDir)
+      sinkDir, checkpointDir, allTablesAtStart = allTables)
+  }
 
   /** [[runMq]] over an arbitrary streaming envelope — the entry the
     * DSv2 changelog generator (and any custom source) feeds. */
   def runMqStream(spark: SparkSession, cfg: ChangefeedConfig, env: DataFrame,
-                  sinkDir: String, checkpointDir: String): StreamingQuery = {
+                  sinkDir: String, checkpointDir: String,
+                  allTablesAtStart: Seq[(String, String)] = Nil): StreamingQuery = {
     GraftSession.tune(spark)
     // simple-protocol bootstrap cadence (bootstraper.go): one worker
     // per changefeed run, alive across micro-batches so the interval/
@@ -250,6 +263,24 @@ object Changefeed {
     // not mid-stream
     val lmh = cfg.sink.largeMessageHandle
     if (!lmh.disabled) lmh.validate(cfg.sink.protocol)
+    // send-all-bootstrap-at-start (DefaultSendAllBootstrapAtStart):
+    // handshake every known table BEFORE the stream's first batch;
+    // pre-registration in the bootstrapper keeps batch 1 from
+    // immediately re-sending for the same tables
+    if (bootstrapOn && cfg.sink.sendAllBootstrapAtStart &&
+        allTablesAtStart.nonEmpty) {
+      val due = bootstrapper.bootstrapAll(allTablesAtStart,
+        System.currentTimeMillis())
+      val parts: Seq[Int] =
+        if (cfg.sink.sendBootstrapToAllPartition) 0 until cfg.sink.numPartitions
+        else Seq(0)
+      import spark.implicits._
+      due.flatMap { case (sc, tb) =>
+        parts.map(p => (p.toLong, 0L, "bootstrap", Codecs.bootstrapValue(sc, tb)))
+      }.toDF("_partition", "_commit_ts", "_kind", "_value")
+        .coalesce(1)
+        .write.mode("append").parquet(sinkDir)
+    }
     pipeline(spark, cfg)(env)
       .writeStream
       .queryName(cfg.id)

@@ -272,4 +272,37 @@ class ApiServerSpec extends SparkFunSuite {
           cert = "client-other.pem", key = "client-other-key.pem")))
     } finally api.stop()
   }
+
+  test("TLS + user auth combined: client cert AND Basic credentials both " +
+      "required (http_api_tls_with_user_auth)") {
+    val registry = new ChangefeedRegistry(spark)
+    val api = new ApiServer(registry,
+      security = TlsFixture.serverCredential(allowedCN = Seq("client")).copy(
+        clientUserRequired = true, clientAllowedUser = Seq("ticdc"))).start()
+    val url = s"https://127.0.0.1:${api.boundPort}/api/v2/changefeeds"
+    def tlsCall(headers: Map[String, String]): (Int, String) = {
+      val ctx = graft.model.Tls.sslContext(TlsFixture.clientCredential())
+      val conn = new URL(url).openConnection()
+        .asInstanceOf[javax.net.ssl.HttpsURLConnection]
+      conn.setSSLSocketFactory(ctx.getSocketFactory)
+      conn.setRequestMethod("GET")
+      headers.foreach { case (k, v) => conn.setRequestProperty(k, v) }
+      val code = conn.getResponseCode
+      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = Source.fromInputStream(stream, "UTF-8").mkString
+      conn.disconnect()
+      (code, body)
+    }
+    try {
+      // valid cert but no Basic credentials → 401 from the middleware
+      val (c1, b1) = tlsCall(Map.empty)
+      assert(c1 == 401 && b1.contains("authorization"), s"$c1 $b1")
+      // valid cert + disallowed user → 401
+      val (c2, _) = tlsCall(basicAuth("stranger"))
+      assert(c2 == 401)
+      // valid cert + allowed user → 200 through both gates
+      val (c3, b3) = tlsCall(basicAuth("ticdc"))
+      assert(c3 == 200 && b3 == "[]", s"$c3 $b3")
+    } finally api.stop()
+  }
 }

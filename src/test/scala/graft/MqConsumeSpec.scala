@@ -230,6 +230,33 @@ class MqConsumeSpec extends SparkFunSuite {
     assert(applied > 0, "wire-learned DDL accepts the decoded rows")
   }
 
+  test("send-all-bootstrap-at-start: every table handshakes before batch 1, " +
+      "without double-sends") {
+    val base = tmp("bootstrap-at-start")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$base/src/events.parquet"))
+    val cfg = graft.model.ChangefeedConfig(id = "cf-bootstrap-start",
+      sink = graft.model.SinkConfig(protocol = graft.model.Protocol.Simple,
+        sendAllBootstrapAtStart = true,
+        sendBootstrapToAllPartition = false,
+        // wide cadence windows: only the at-start path may handshake
+        sendBootstrapIntervalInSec = 100000L,
+        sendBootstrapInMsgCount = 100000000))
+    graft.streaming.Changefeed.runMq(
+      spark, cfg, s"$base/src", s"$base/sink", s"$base/ckpt").awaitTermination(120000)
+    val sunk = spark.read.parquet(s"$base/sink")
+    val boots = sunk.filter(col("_kind") === "bootstrap")
+    val tables = graft.model.Envelope.fromEvents(
+      spark.read.parquet(s"$base/src"))
+      .select(col("_schema"), col("_table")).distinct().count()
+    assert(boots.count() == tables,
+      s"exactly one handshake per table (${boots.count()} vs $tables): " +
+        "at-start covered every table AND pre-registration stopped batch 1 " +
+        "from re-sending")
+  }
+
   test("bootstrapper cadence unit semantics (bootstraper.go)") {
     import graft.streaming.Bootstrapper
     val b = new Bootstrapper(intervalSec = 10L, msgCount = 100)
