@@ -350,6 +350,16 @@ object DataQueries {
     "q_dedup_ngram" -> ((s, d) =>
       Dedup.jaccardPairs(docs(s, d), "source", jaccardThreshold)),
 
+    // candidate-generation → exact-verify: jaccard candidates
+    // confirmed by normalized Levenshtein on length-capped text
+    "q_dedup_verified" -> ((s, d) => {
+      val dd = docs(s, d)
+      Dedup.editVerifiedPairs(dd,
+        Dedup.jaccardPairs(dd, "source", jaccardThreshold)
+          .select(col("doc_a"), col("doc_b")),
+        maxEditRatio = 0.6)
+    }),
+
     // exact substring (span) dedup: maximal verbatim token runs
     "q_dup_spans" -> ((s, d) =>
       Dedup.duplicateSpans(docs(s, d), dupSpanN, dupSpanMin)),
@@ -1500,6 +1510,36 @@ object DataQueries {
          |JOIN sizes sa ON sa.doc_id = doc_a
          |JOIN sizes sb ON sb.doc_id = doc_b
          |WHERE CAST(n_inter AS DOUBLE) / CAST(sa.nd + sb.nd - n_inter AS DOUBLE) >= $jaccardThreshold""".stripMargin,
+
+    "q_dedup_verified" ->
+      s"""WITH toks AS (
+         |  SELECT doc_id, source, unnest(list_distinct(string_split(text, ' '))) AS tok
+         |  FROM documents
+         |), sizes AS (
+         |  SELECT doc_id, CAST(len(list_distinct(string_split(text, ' '))) AS BIGINT) AS nd
+         |  FROM documents
+         |), inter AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+         |  FROM toks a JOIN toks b
+         |    ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |), cand AS (
+         |  SELECT doc_a, doc_b FROM inter
+         |  JOIN sizes sa ON sa.doc_id = doc_a
+         |  JOIN sizes sb ON sb.doc_id = doc_b
+         |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.nd + sb.nd - n_inter AS DOUBLE) >= $jaccardThreshold
+         |), capped AS (
+         |  SELECT doc_id, substring(text, 1, 512) AS t FROM documents
+         |)
+         |SELECT doc_a, doc_b,
+         |  CAST(levenshtein(ca.t, cb.t) AS BIGINT) AS edit_dist,
+         |  CAST(levenshtein(ca.t, cb.t) AS BIGINT) * 1000000
+         |    // greatest(length(ca.t), length(cb.t), 1) AS edit_ratio_micro
+         |FROM cand
+         |JOIN capped ca ON ca.doc_id = doc_a
+         |JOIN capped cb ON cb.doc_id = doc_b
+         |WHERE CAST(levenshtein(ca.t, cb.t) AS BIGINT) * 1000000
+         |    // greatest(length(ca.t), length(cb.t), 1) <= 600000""".stripMargin,
 
     "q_embed_quantize" ->
       """WITH e AS (

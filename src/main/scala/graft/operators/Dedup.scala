@@ -694,6 +694,34 @@ object Dedup {
         col("span_tokens"))
   }
 
+  /** Edit-distance VERIFICATION of near-dup candidate pairs — the
+    * exact-confirm stage after any cheap generator (MinHash / Jaccard
+    * / SimHash buckets over-generate by construction; shipping their
+    * raw output deletes non-duplicates). Normalized Levenshtein over
+    * length-capped text: ratio = distance·1e6 div max(len) in exact
+    * integer micro units, confirmed when ≤ maxEditRatio.
+    *
+    * Scale shape: work is PAIR-sized, never corpus² — two
+    * output-pair-sized joins pull the capped texts onto the
+    * candidates, and the O(len²) distance kernel (Spark's codegen'd
+    * levenshtein) runs on ≤ capLen chars. The cap is the production
+    * stance: two near-identical megabyte documents are decided by
+    * their first kilobyte, and an UNCAPPED distance would make one
+    * skewed pair a straggler task. */
+  def editVerifiedPairs(docs: DataFrame, pairs: DataFrame,
+                        maxEditRatio: Double, capLen: Int = 512): DataFrame = {
+    val capped = docs.select(col("doc_id"),
+      substring(col("text"), 1, capLen).as("__t"))
+    pairs
+      .join(capped.select(col("doc_id").as("doc_a"), col("__t").as("__ta")), "doc_a")
+      .join(capped.select(col("doc_id").as("doc_b"), col("__t").as("__tb")), "doc_b")
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      .withColumn("edit_ratio_micro",
+        expr("edit_dist * 1000000 div greatest(length(__ta), length(__tb), 1)"))
+      .filter(col("edit_ratio_micro") <= math.round(maxEditRatio * 1e6))
+      .select(col("doc_a"), col("doc_b"), col("edit_dist"), col("edit_ratio_micro"))
+  }
+
   /** APPLY step for [[duplicateSpans]]: remove every reported span
     * from the HIGHER-id document of each pair (keep-earliest-copy, the
     * Lee et al. apply policy), merging overlapping spans first.
