@@ -25,6 +25,77 @@ object LargeMessage {
       .withColumn("_value", when(col("_large"), compact).otherwise(col("_value")))
   }
 
+  // ---- protocol-faithful handle-key-only forms (the generic `_hk`
+  //      compact above predates them and stays for the oracle query;
+  //      these mirror each protocol's own oversize re-encode:
+  //      open_protocol_handle_key_only / kafka_simple_handle_key_only
+  //      / canal_json_handle_key_only integration scenarios) ----
+
+  private def hkKeyVal: Column =
+    coalesce(when(col("_op") === "D", col("before.user_id"))
+      .otherwise(col("after.user_id")).cast("string"), lit("null"))
+
+  /** Open protocol: the key gains `"ohk":true` (codec.go:52-53), the
+    * value re-encodes with only the handle-key column. */
+  def openHandleKeyOnly(encoded: DataFrame, maxBytes: Int): DataFrame = {
+    val hkKey = concat(
+      lit("{\"ts\":"), col("_commit_ts"),
+      lit(",\"scm\":\""), col("_schema"),
+      lit("\",\"tbl\":\""), col("_table"),
+      lit("\",\"t\":1,\"ohk\":true}"))
+    val img = concat(lit("{\"user_id\":"), hkKeyVal, lit("}"))
+    val hkValue =
+      when(col("_op") === "D", concat(lit("{\"d\":"), img, lit("}")))
+        .otherwise(concat(lit("{\"u\":"), img, lit("}")))
+    encoded
+      .withColumn("_large", length(col("_value")) > maxBytes)
+      .withColumn("_key", when(col("_large"), hkKey).otherwise(col("_key")))
+      .withColumn("_value", when(col("_large"), hkValue).otherwise(col("_value")))
+  }
+
+  /** Simple protocol: the row message re-marshals with
+    * `handleKeyOnly:true` and handle-key-only images
+    * (simple/encoder.go:88 MarshalRowChangedEvent(event, true, "")). */
+  def simpleHandleKeyOnly(encoded: DataFrame, maxBytes: Int): DataFrame = {
+    val typ = when(col("_op") === "I", "INSERT")
+      .when(col("_op") === "U", "UPDATE").otherwise("DELETE")
+    val img = concat(lit("{\"user_id\":\""), hkKeyVal, lit("\"}"))
+    val hkValue = concat(
+      lit("{\"version\":1,\"database\":\""), col("_schema"),
+      lit("\",\"table\":\""), col("_table"),
+      lit("\",\"type\":\""), typ,
+      lit("\",\"commitTs\":"), col("_commit_ts"),
+      lit(",\"buildTs\":"), (col("_commit_ts") / 1000000L).cast("long"),
+      lit(",\"handleKeyOnly\":true,"),
+      when(col("_op") === "D", concat(lit("\"old\":"), img))
+        .otherwise(concat(lit("\"data\":"), img)),
+      lit("}"))
+    encoded
+      .withColumn("_large", length(col("_value")) > maxBytes)
+      .withColumn("_value", when(col("_large"), hkValue).otherwise(col("_value")))
+  }
+
+  /** Canal-JSON (TiDB-extension form): full canal message with
+    * handle-key-only data and `_tidb.onlyHandleKey:true`
+    * (canal_json_encoder.go:328-332). */
+  def canalHandleKeyOnly(encoded: DataFrame, maxBytes: Int): DataFrame = {
+    val typ = when(col("_op") === "I", "INSERT")
+      .when(col("_op") === "U", "UPDATE").otherwise("DELETE")
+    val msRender = (col("_commit_ts") / 1000000L).cast("long")
+    val hkValue = concat(
+      lit("{\"id\":0,\"database\":\""), col("_schema"),
+      lit("\",\"table\":\""), col("_table"),
+      lit("\",\"pkNames\":[\"user_id\"],\"isDdl\":false,\"type\":\""), typ,
+      lit("\",\"es\":"), msRender,
+      lit(",\"ts\":"), msRender,
+      lit(",\"data\":[{\"user_id\":"), hkKeyVal,
+      lit("}],\"old\":null,\"_tidb\":{\"commitTs\":"), col("_commit_ts"),
+      lit(",\"onlyHandleKey\":true}}"))
+    encoded
+      .withColumn("_large", length(col("_value")) > maxBytes)
+      .withColumn("_value", when(col("_large"), hkValue).otherwise(col("_value")))
+  }
+
   /** MQ message batching under max-message-bytes — the encoder-group
     * packing (pkg/sink/codec/encoder_group.go; open-protocol batches
     * several events per MQ message, flushing when the next event

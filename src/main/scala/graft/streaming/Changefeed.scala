@@ -321,8 +321,16 @@ object Changefeed {
         // never visible before its object is durable)
         val handled =
           if (lmh.disabled) batch
-          else if (lmh.handleKeyOnly)
-            graft.functions.LargeMessage.handleKeyOnly(batch, cfg.sink.maxMessageBytes)
+          else if (lmh.handleKeyOnly) cfg.sink.protocol match {
+            // protocol-faithful hk re-encode (each protocol's own
+            // oversize form, not the generic compact)
+            case Protocol.Open => graft.functions.LargeMessage
+              .openHandleKeyOnly(batch, cfg.sink.maxMessageBytes)
+            case Protocol.Simple => graft.functions.LargeMessage
+              .simpleHandleKeyOnly(batch, cfg.sink.maxMessageBytes)
+            case _ => graft.functions.LargeMessage
+              .canalHandleKeyOnly(batch, cfg.sink.maxMessageBytes)
+          }
           else {
             val counted: Long => Unit =
               n => SinkCounters.addClaimChecksSent(cfg.id, n)

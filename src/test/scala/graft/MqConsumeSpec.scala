@@ -378,6 +378,64 @@ class MqConsumeSpec extends SparkFunSuite {
       s"full fidelity recovered, not handle-key-only: ${vals.keys}")
   }
 
+  test("protocol-faithful handle-key-only forms (open_protocol_handle_key_only, " +
+      "kafka_simple_handle_key_only, canal_json_handle_key_only)") {
+    import graft.functions.{Codecs, Decoders, LargeMessage}
+    def cut(df: DataFrame): Int = df.agg(
+      expr("percentile(length(_value), 0.5)")).head().getDouble(0).toInt
+
+    // OPEN: key gains ohk:true, value shrinks to the handle key; the
+    // decoder still yields a typed row (with only the key populated)
+    val open = Codecs.openProtocol(env)
+    val openHk = LargeMessage.openHandleKeyOnly(open, cut(open))
+    assert(openHk.filter(col("_large")).count() > 0)
+    val ok = openHk.filter(col("_large")).select("_key", "_value").head()
+    assert(ok.getString(0).contains("\"ohk\":true"), ok.getString(0))
+    assert(!ok.getString(1).contains("\"value\""), ok.getString(1))
+    val openDec = Decoders.decodeOpen(openHk)
+    assert(openDec.count() == env.count(), "every message still decodes")
+    assert(openDec.filter(col("_schema").isNull).count() == 0L)
+
+    // SIMPLE: handleKeyOnly:true + hk-only image, still a valid
+    // simple message
+    val simple = Codecs.simpleProtocol(env)
+    val simpleHk = LargeMessage.simpleHandleKeyOnly(simple, cut(simple))
+    val sv = simpleHk.filter(col("_large")).select("_value").head().getString(0)
+    assert(sv.contains("\"handleKeyOnly\":true"), sv)
+    assert(sv.contains("\"version\":1,\"database\":"), sv)
+    val simpleDec = Decoders.decodeSimple(simpleHk.select(col("_value")))
+    assert(simpleDec.count() == env.count())
+    assert(simpleDec.filter(col("_schema").isNull).count() == 0L)
+
+    // CANAL: full canal message, hk-only data, _tidb.onlyHandleKey
+    val canal = Codecs.canalJson(env)
+    val canalHk = LargeMessage.canalHandleKeyOnly(canal, cut(canal))
+    val cv = canalHk.filter(col("_large")).select("_value").head().getString(0)
+    assert(cv.contains("\"_tidb\":{\"commitTs\":"), cv)
+    assert(cv.contains("\"onlyHandleKey\":true"), cv)
+    val canalDec = Decoders.decodeCanal(canalHk.select(col("_value")))
+    assert(canalDec.count() == env.count())
+    assert(canalDec.filter(col("_schema").isNull).count() == 0L)
+
+    // and THROUGH THE CHANGEFEED: the configured hk-only feed emits
+    // the simple-protocol form
+    val base = tmp("hk-feed")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$base/src/events.parquet"))
+    val cfg = graft.model.ChangefeedConfig(id = "cf-hk",
+      sink = graft.model.SinkConfig(protocol = graft.model.Protocol.Simple,
+        maxMessageBytes = 150,
+        largeMessageHandle = graft.model.LargeMessageHandle(
+          option = graft.model.LargeMessageHandle.OptionHandleKeyOnly)))
+    graft.streaming.Changefeed.runMq(
+      spark, cfg, s"$base/src", s"$base/sink", s"$base/ckpt").awaitTermination(120000)
+    val hkRows = spark.read.parquet(s"$base/sink")
+      .filter(col("_kind") === "row" && col("_value").contains("\"handleKeyOnly\":true"))
+    assert(hkRows.count() > 0, "oversize rows re-encoded handle-key-only")
+  }
+
   test("storage-sink text layout end to end") {
     val dir = tmp("storage")
     StorageSink.write(Codecs.canalJson(env), dir, fmt = "text")
