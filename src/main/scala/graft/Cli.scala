@@ -148,7 +148,12 @@ object Cli {
       case Seq("changefeed", "statistics") => http("GET", s"$base/${enc(id)}/status")
       case Seq("changefeed", "synced") => http("GET", s"$base/${enc(id)}/synced")
       case Seq("changefeed", "pause") => http("POST", s"$base/${enc(id)}/pause")
-      case Seq("changefeed", "resume") => http("POST", s"$base/${enc(id)}/resume")
+      case Seq("changefeed", "resume") =>
+        // --overwrite-checkpoint-ts=<ts|now> rewrites the checkpoint
+        // (cli_changefeed_resume; replication restarts from that ts)
+        val ow = flags.get("overwrite-checkpoint-ts")
+          .map(v => s"?overwrite_checkpoint_ts=${enc(v)}").getOrElse("")
+        http("POST", s"$base/${enc(id)}/resume$ow")
       case Seq("changefeed", "remove") => http("DELETE", s"$base/${enc(id)}")
       case Seq("changefeed", "update") =>
         val rules = need(flags, "rules").head

@@ -154,6 +154,11 @@ final case class ChangefeedConfig(
     /** Upstream keyspace (multi-tenant cluster): GC barriers compute
       * per keyspace (changefeed_db.go:345-368). */
     keyspace: String = "default",
+    /** Runtime commit-ts floor set by resume-with-overwrite-checkpoint
+      * (api/v2 model.go:90): rows at or below it are already
+      * replicated by definition of the overwritten checkpoint. Not a
+      * user-config field — the carriers don't serialize it. */
+    replicateFromTs: Option[Long] = None,
     /** Sink security: mTLS credential + SASL
       * (pkg/security/credential.go:106-129, sasl.go:61-67; kafka
       * sink-URI params options.go:110-139). */

@@ -204,8 +204,23 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
           respond(ex, 200, s"""{"id":${jsonString(id)},"state":"paused"}""")
 
         case ("POST", Seq(id, "resume")) =>
-          registry.resume(id)
-          respond(ex, 200, s"""{"id":${jsonString(id)},"state":"running"}""")
+          // overwrite_checkpoint_ts: query param or JSON body field
+          // (api/v2 model.go:90); "now" = the current TSO instant
+          val raw = queryParams(ex).get("overwrite_checkpoint_ts")
+            .orElse(bodyField(ex, "overwrite_checkpoint_ts"))
+          val overwrite: Either[String, Option[Long]] = raw match {
+            case None => Right(None)
+            case Some("now") => Right(Some(System.currentTimeMillis() * 1000000L))
+            case Some(v) => v.toLongOption.filter(_ > 0)
+              .map(ts => Right(Some(ts)))
+              .getOrElse(Left(s"bad overwrite_checkpoint_ts: $v"))
+          }
+          overwrite match {
+            case Left(msg) => respond(ex, 400, s"""{"error":${jsonString(msg)}}""")
+            case Right(ow) =>
+              registry.resume(id, ow)
+              respond(ex, 200, s"""{"id":${jsonString(id)},"state":"running"}""")
+          }
 
         case ("DELETE", Seq(id)) =>
           registry.remove(id)

@@ -27,6 +27,10 @@ object Changefeed {
   def transform(spark: SparkSession, cfg: ChangefeedConfig)(env: DataFrame): DataFrame = {
     val f = cfg.filter
     var df = env
+    // overwrite-checkpoint resume floor: ≤ floor means already
+    // replicated under the rewritten checkpoint (predicate reaches
+    // the change-log scan like any commit-ts bound)
+    cfg.replicateFromTs.foreach(ts => df = df.filter(col("_commit_ts") > ts))
     df = Filters.cdcWriteSourceFilter(df) // BDR loop prevention (no-op w/o marker)
     df = Filters.systemSchemaFilter(df)
     df = Filters.tableFilter(df, f.rules, f.caseSensitive)
@@ -212,10 +216,17 @@ object Changefeed {
       // `changefeed` label on every /metrics series the progress
       // listener publishes
       .queryName(cfg.id)
-      .format("parquet")
-      .option("path", sinkDir)
+      // foreachBatch append rather than the streaming file sink: the
+      // file sink's _spark_metadata pins batch ids to the OUTPUT dir,
+      // so a checkpoint rewrite (resume --overwrite-checkpoint-ts
+      // rotates to a fresh checkpoint, restarting at batch 0) would
+      // silently skip "already committed" batches. Appends are
+      // at-least-once under crash-replay — the MQ delivery model this
+      // sink represents (consumers dedupe by offset, FileMq.read).
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batch.write.mode("append").partitionBy("_partition").parquet(sinkDir)
+      }
       .option("checkpointLocation", checkpointDir)
-      .partitionBy("_partition")
       .trigger(Trigger.AvailableNow())
       .start()
   }

@@ -17,7 +17,7 @@ import graft.model.{ChangefeedConfig, DispatchRule, PartitionRule}
 class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
 
   final case class Entry(var cfg: ChangefeedConfig, sourceDir: String,
-                         sinkDir: String, checkpointDir: String,
+                         sinkDir: String, var checkpointDir: String,
                          var query: Option[StreamingQuery],
                          backoff: FeedBackoff = new FeedBackoff(),
                          var feedState: FeedState = FeedState.Normal,
@@ -78,13 +78,33 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
     * An explicit resume also clears a failed/warning retry state (the
     * reference's resume path calls resetErrRetry — a user resume
     * overrides the backoff schedule). */
-  def resume(id: String): StreamingQuery = {
+  def resume(id: String): StreamingQuery = resume(id, None)
+
+  /** Resume, optionally REWRITING the checkpoint (api/v2
+    * model.go:90 ResumeChangefeedConfig.OverwriteCheckpointTs +
+    * changefeed.go:783-790; the `cli changefeed resume
+    * --overwrite-checkpoint-ts` flow): replication restarts from
+    * `overwriteCheckpointTs` instead of the saved progress — rows
+    * with commit ts above it re-replicate, however far back that
+    * reaches. Mechanically: the streaming checkpoint rotates to a
+    * fresh directory (the old one IS the old progress; Spark offers
+    * no in-place rewind) and the feed's plan gains a commit-ts floor
+    * so everything at or below the overwrite stays suppressed.
+    * The reference also rejects an overwrite below the upstream GC
+    * safepoint (the data may be gone); this engine's parquet
+    * change-log never self-destructs, so any ts is accepted. */
+  def resume(id: String, overwriteCheckpointTs: Option[Long]): StreamingQuery = {
     val e = feeds.getOrElse(id, sys.error(s"no changefeed $id"))
     require(e.query.isEmpty || !e.query.get.isActive, s"$id is running")
     require(e.feedState != FeedState.Finished,
       s"$id is finished (target-ts reached) and cannot resume")
     e.backoff.resetRetry()
     e.feedState = FeedState.Normal
+    overwriteCheckpointTs.foreach { ts =>
+      e.checkpointDir = s"${e.checkpointDir.stripSuffix("/")}@$ts"
+      e.cfg = e.cfg.copy(replicateFromTs = Some(ts))
+      e.lastCheckpointTs = ts
+    }
     val q = Changefeed.run(spark, e.cfg, e.sourceDir, e.sinkDir, e.checkpointDir)
     e.query = Some(q)
     q

@@ -305,4 +305,62 @@ class ApiServerSpec extends SparkFunSuite {
       assert(c3 == 200 && b3 == "[]", s"$c3 $b3")
     } finally api.stop()
   }
+
+  test("resume with overwrite_checkpoint_ts re-replicates from the rewritten " +
+      "checkpoint (changefeed_resume_with_checkpoint_ts)") {
+    val tmp = Files.createTempDirectory("graft-owckpt").toString
+    val src = s"$tmp/source"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    val registry = new ChangefeedRegistry(spark)
+    val api = new ApiServer(registry).start()
+    val base = s"http://127.0.0.1:${api.boundPort}/api/v2/changefeeds"
+    try {
+      val (c1, _) = call("POST",
+        s"$base?id=cf-ow&source=$src&sink=$tmp/sink&ckpt=$tmp/ckpt")
+      assert(c1 == 201)
+      // drain batch 1
+      val deadline = System.currentTimeMillis() + 120000
+      def sinkRows(): Long =
+        try spark.read.parquet(s"$tmp/sink").count()
+        catch { case _: Throwable => 0L }
+      while (registry.list.nonEmpty &&
+        registry.status("cf-ow")._2 == "running" &&
+        System.currentTimeMillis() < deadline) Thread.sleep(300)
+      val n1 = sinkRows()
+      assert(n1 > 0)
+      call("POST", s"$base/cf-ow/pause")
+
+      // a malformed overwrite is a client error
+      assert(call("POST", s"$base/cf-ow/resume?overwrite_checkpoint_ts=abc")._1 == 400)
+
+      // overwrite BELOW every commit ts → the whole log re-replicates
+      // (rows duplicate: that IS the semantic - replication restarts
+      // from the rewritten checkpoint)
+      val (c2, _) = call("POST", s"$base/cf-ow/resume?overwrite_checkpoint_ts=1")
+      assert(c2 == 200)
+      val d2 = System.currentTimeMillis() + 120000
+      while (sinkRows() < 2 * n1 && System.currentTimeMillis() < d2)
+        Thread.sleep(300)
+      assert(sinkRows() == 2 * n1,
+        s"full re-replication doubles the sink (${sinkRows()} vs 2x$n1)")
+
+      // pause + overwrite ABOVE every commit ts → nothing re-emits
+      call("POST", s"$base/cf-ow/pause")
+      val maxTs = spark.read.parquet(src).count() // rows exist; use a huge ts
+      val (c3, _) = call("POST",
+        s"$base/cf-ow/resume?overwrite_checkpoint_ts=${Long.MaxValue - 1}")
+      assert(c3 == 200 && maxTs > 0)
+      // wait for that run to drain
+      val d3 = System.currentTimeMillis() + 120000
+      while (registry.status("cf-ow")._2 == "running" &&
+        System.currentTimeMillis() < d3) Thread.sleep(300)
+      assert(sinkRows() == 2 * n1, "floor above all commits suppresses everything")
+    } finally {
+      try registry.remove("cf-ow") catch { case _: Throwable => () }
+      api.stop()
+    }
+  }
 }
