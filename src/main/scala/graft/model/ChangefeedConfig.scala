@@ -133,6 +133,19 @@ final case class SinkConfig(
       * rendered to connector options by Security.pulsarOptions. */
     pulsarConfig: Option[Security.PulsarConfig] = None)
 
+/** Synced-status thresholds (pkg/config/synced_status_config.go:16-22,
+  * defaults replica_config.go:123-126): a feed is "synced" when no new
+  * data has arrived for `syncedCheckInterval` seconds AND the sink
+  * checkpoint is within `checkpointInterval` seconds of now. Either
+  * knob at 0 falls back to the defaults (api/v2/changefeed.go:1661). */
+final case class SyncedStatusConfig(
+    syncedCheckInterval: Long = 300L,
+    checkpointInterval: Long = 15L) {
+  def effective: SyncedStatusConfig =
+    if (syncedCheckInterval == 0L || checkpointInterval == 0L) SyncedStatusConfig()
+    else this
+}
+
 final case class ChangefeedConfig(
     id: String,
     filter: FilterConfig = FilterConfig(),
@@ -162,4 +175,7 @@ final case class ChangefeedConfig(
     /** Sink security: mTLS credential + SASL
       * (pkg/security/credential.go:106-129, sasl.go:61-67; kafka
       * sink-URI params options.go:110-139). */
-    security: Security.SecurityConfig = Security.SecurityConfig())
+    security: Security.SecurityConfig = Security.SecurityConfig(),
+    /** api/v2 model.go:246 SyncedStatus block — thresholds for the
+      * GET /changefeeds/{id}/synced decision table. */
+    syncedStatus: SyncedStatusConfig = SyncedStatusConfig())

@@ -242,7 +242,12 @@ object ConfigToml {
       maxFilesPerTrigger = doc.int("", "max-files-per-trigger").map(_.toInt),
       targetTs = doc.int("", "target-ts"),
       keyspace = doc.str("", "keyspace").getOrElse("default"),
-      security = securityOf(doc))
+      security = securityOf(doc),
+      syncedStatus = SyncedStatusConfig(
+        syncedCheckInterval =
+          doc.int("synced-status", "synced-check-interval").getOrElse(300L),
+        checkpointInterval =
+          doc.int("synced-status", "checkpoint-interval").getOrElse(15L)))
   }
 
   /** `[security]` (credential.go toml tags) + `[sink.kafka-config]`
@@ -376,6 +381,11 @@ object ConfigToml {
       if (l.claimCheckStorageUri.nonEmpty)
         b ++= s"claim-check-storage-uri = ${tomlStr(l.claimCheckStorageUri)}\n"
       if (l.claimCheckRawValue) b ++= "claim-check-raw-value = true\n"
+    }
+    if (cfg.syncedStatus != SyncedStatusConfig()) {
+      b ++= "\n[synced-status]\n"
+      b ++= s"synced-check-interval = ${cfg.syncedStatus.syncedCheckInterval}\n"
+      b ++= s"checkpoint-interval = ${cfg.syncedStatus.checkpointInterval}\n"
     }
     cfg.sink.dispatch.foreach { d =>
       b ++= "\n[[sink.dispatchers]]\n"
@@ -530,7 +540,10 @@ object ConfigToml {
       cfg.maxFilesPerTrigger.map(n => s""","max_files_per_trigger":$n""").getOrElse("") +
       cfg.targetTs.map(t => s""","target_ts":$t""").getOrElse("") +
       s""","keyspace":${jsonStr(cfg.keyspace)}""" +
-      securityJson(cfg.security).map(j => s""","security":$j""").getOrElse("") + "}"
+      securityJson(cfg.security).map(j => s""","security":$j""").getOrElse("") +
+      (if (cfg.syncedStatus == SyncedStatusConfig()) "" else
+        s""","synced_status":{"synced_check_interval":${cfg.syncedStatus.syncedCheckInterval},""" +
+          s""""checkpoint_interval":${cfg.syncedStatus.checkpointInterval}}""") + "}"
   }
 
   /** Pulsar block → JSON, kebab keys = sink.go:606-672 json tags. */
@@ -753,6 +766,13 @@ object ConfigToml {
       maxFilesPerTrigger = opt(root, "max_files_per_trigger").map(_.asInt()),
       targetTs = opt(root, "target_ts").map(_.asLong()),
       keyspace = opt(root, "keyspace").map(_.asText()).getOrElse("default"),
-      security = security)
+      security = security,
+      syncedStatus = opt(root, "synced_status").map { ss =>
+        SyncedStatusConfig(
+          syncedCheckInterval =
+            opt(ss, "synced_check_interval").map(_.asLong()).getOrElse(300L),
+          checkpointInterval =
+            opt(ss, "checkpoint_interval").map(_.asLong()).getOrElse(15L))
+      }.getOrElse(SyncedStatusConfig()))
   }
 }

@@ -100,6 +100,15 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
   private def jsonString(s: String): String =
     "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
 
+  /** The reference's api.JSONTime wire form: a quoted
+    * "2006-01-02 15:04:05.000" stamp in the server's zone
+    * (tests/integration_tests/api_v2/model.go:23-32). */
+  private val jsonTimeFmt = java.time.format.DateTimeFormatter
+    .ofPattern("yyyy-MM-dd HH:mm:ss.SSS")
+    .withZone(java.time.ZoneId.systemDefault())
+  private def jsonTime(ms: Long): String =
+    "\"" + jsonTimeFmt.format(java.time.Instant.ofEpochMilli(ms)) + "\""
+
   private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
     val bytes = body.getBytes(StandardCharsets.UTF_8)
     ex.getResponseHeaders.set("Content-Type", "application/json")
@@ -196,8 +205,18 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
             s"""{"id":${jsonString(id)},"state":${jsonString(state)},"emitted":$n$err}""")
 
         case ("GET", Seq(id, "synced")) =>
+          // full SyncedStatus body (api/v2/changefeed.go:1634-1730,
+          // model.go:1374); clocks render in the reference's JSONTime
+          // text form ("2006-01-02 15:04:05.000"), now_ts at second
+          // resolution exactly like time.Unix(ts/1e3, 0)
+          val st = registry.syncedStatus(id, System.currentTimeMillis())
           respond(ex, 200,
-            s"""{"id":${jsonString(id)},"synced":${registry.synced(id)}}""")
+            s"""{"synced":${st.synced},""" +
+              s""""sink_checkpoint_ts":${jsonTime(st.sinkCheckpointTsMs)},""" +
+              s""""puller_resolved_ts":${jsonTime(st.pullerResolvedTsMs)},""" +
+              s""""last_synced_ts":${jsonTime(st.lastSyncedTsMs)},""" +
+              s""""now_ts":${jsonTime(st.nowMs / 1000L * 1000L)},""" +
+              s""""info":${jsonString(st.info)}}""")
 
         case ("POST", Seq(id, "pause")) =>
           registry.pause(id)

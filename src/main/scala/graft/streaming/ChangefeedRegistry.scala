@@ -22,7 +22,12 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
                          backoff: FeedBackoff = new FeedBackoff(),
                          var feedState: FeedState = FeedState.Normal,
                          var lastCheckpointTs: Long = 0L,
-                         var lastStatusMs: Long = 0L)
+                         var lastStatusMs: Long = 0L,
+                         // physical-ms clocks for the synced decision table
+                         // (api/v2/changefeed.go:1634-1730)
+                         var sinkCheckpointTsMs: Long = 0L,
+                         var lastSyncedTsMs: Long = 0L,
+                         var pullerResolvedTsMs: Long = 0L)
 
   private val feeds = TrieMap.empty[String, Entry]
 
@@ -345,6 +350,63 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
     }
   }
 
+  /** Fold the maintainer's sync clocks into the feed — the status
+    * fields the reference's coordinator keeps per changefeed
+    * (LastSyncedTs = commit instant of the newest row the sink wrote,
+    * LogCoordinatorResolvedTs = how far the puller has read). All
+    * monotone, all physical milliseconds. */
+  def reportSyncState(id: String, checkpointTsMs: Long = 0L,
+                      lastSyncedTsMs: Long = 0L,
+                      pullerResolvedTsMs: Long = 0L): Unit = {
+    val e = entryOf(id)
+    e.sinkCheckpointTsMs = math.max(e.sinkCheckpointTsMs, checkpointTsMs)
+    e.lastSyncedTsMs = math.max(e.lastSyncedTsMs, lastSyncedTsMs)
+    e.pullerResolvedTsMs = math.max(e.pullerResolvedTsMs, pullerResolvedTsMs)
+  }
+
+  /** The full synced-status decision table
+    * (api/v2/changefeed.go:1671-1730; response struct model.go:1374):
+    *
+    *  - data idle for `syncedCheckInterval` AND checkpoint fresh
+    *    within `checkpointInterval` → strictly synced;
+    *  - data idle but checkpoint stale → not synced, with the
+    *    "check upstream health" hint when the puller-to-checkpoint gap
+    *    is itself small (the upstream, not this engine, is stuck);
+    *  - data arrived recently → not synced, wait.
+    *
+    * A live query's progress refreshes lastSynced/checkpoint first, so
+    * the API answer tracks reality without an explicit report. */
+  def syncedStatus(id: String, nowMs: Long): ChangefeedRegistry.SyncedStatus = {
+    val e = entryOf(id)
+    // fold live streaming progress in: a batch that admitted rows is a
+    // sync event at its trigger instant; any progress is a checkpoint
+    e.query.filter(_.isActive).flatMap(q => Option(q.lastProgress)).foreach { p =>
+      val triggerMs =
+        try java.time.Instant.parse(p.timestamp).toEpochMilli
+        catch { case _: Exception => 0L }
+      e.sinkCheckpointTsMs = math.max(e.sinkCheckpointTsMs, triggerMs)
+      e.pullerResolvedTsMs = math.max(e.pullerResolvedTsMs, triggerMs)
+      if (p.numInputRows > 0) e.lastSyncedTsMs = math.max(e.lastSyncedTsMs, triggerMs)
+    }
+    val cfg = e.cfg.syncedStatus.effective
+    val syncedGapMs = cfg.syncedCheckInterval * 1000L
+    val ckptGapMs = cfg.checkpointInterval * 1000L
+    val dataIdle = nowMs - e.lastSyncedTsMs > syncedGapMs
+    val (isSynced, info) =
+      if (dataIdle && nowMs - e.sinkCheckpointTsMs < ckptGapMs)
+        (true, "The data syncing is finished")
+      else if (dataIdle) {
+        if (e.pullerResolvedTsMs - e.sinkCheckpointTsMs < ckptGapMs)
+          (false, "Please check whether PD is online and TiKV Regions are all available. " +
+            "If PD is offline or some TiKV regions are not available, it means that the data syncing process is complete. " +
+            "If the gap is large, such as a few minutes, it means that some regions in TiKV are unavailable. " +
+            "Otherwise, if the gap is small and PD is online, it means the data syncing is incomplete, so please wait")
+        else (false, "The data syncing is not finished, please wait")
+      } else (false, "The data syncing is not finished, please wait")
+    ChangefeedRegistry.SyncedStatus(isSynced, e.sinkCheckpointTsMs,
+      e.pullerResolvedTsMs, e.lastSyncedTsMs, nowMs, info)
+  }
+
   /** Update the feed's table-filter rules (the reference's
     * UpdateChangefeed, api/v2/changefeed.go — allowed only while the
     * feed is not running; the new rules take effect at the next
@@ -414,4 +476,11 @@ object ChangefeedRegistry {
   final case class FeedMetric(id: String, keyspace: String,
                               state: String, stateCode: Int,
                               checkpointTs: Long, lastStatusMs: Long)
+
+  /** GET /changefeeds/{id}/synced response (api/v2 model.go:1374-1382
+    * SyncedStatus) — clocks in physical milliseconds; the API layer
+    * renders them in the reference's JSONTime text form. */
+  final case class SyncedStatus(synced: Boolean, sinkCheckpointTsMs: Long,
+                                pullerResolvedTsMs: Long, lastSyncedTsMs: Long,
+                                nowMs: Long, info: String)
 }

@@ -66,9 +66,14 @@ class ApiServerSpec extends SparkFunSuite {
       val (c2, b2) = call("GET", base)
       assert(c2 == 200 && b2 == "[\"cf-api\"]")
 
-      // drained changefeed reports synced
+      // a drained feed with a fresh maintainer checkpoint and 5 min of
+      // data quiet reports strictly synced (api/v2/changefeed.go:1676)
+      val nowMs = System.currentTimeMillis()
+      registry.reportSyncState("cf-api", checkpointTsMs = nowMs,
+        lastSyncedTsMs = nowMs - 400000L, pullerResolvedTsMs = nowMs)
       val (cs, bs) = call("GET", s"$base/cf-api/synced")
       assert(cs == 200 && bs.contains("\"synced\":true"), bs)
+      assert(bs.contains("\"info\":\"The data syncing is finished\""), bs)
 
       val (c3, b3) = call("POST", s"$base/cf-api/pause")
       assert(c3 == 200 && b3.contains("paused"))
@@ -360,6 +365,58 @@ class ApiServerSpec extends SparkFunSuite {
       assert(sinkRows() == 2 * n1, "floor above all commits suppresses everything")
     } finally {
       try registry.remove("cf-ow") catch { case _: Throwable => () }
+      api.stop()
+    }
+  }
+
+  test("GET /synced returns the full SyncedStatus body with JSONTime clocks " +
+      "(synced_status)") {
+    val tmp = Files.createTempDirectory("graft-syncapi").toString
+    val src = s"$tmp/source"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    val registry = new ChangefeedRegistry(spark)
+    val api = new ApiServer(registry).start()
+    val base = s"http://127.0.0.1:${api.boundPort}/api/v2/changefeeds"
+    try {
+      val (c1, _) = call("POST",
+        s"$base?id=cf-sy&source=$src&sink=$tmp/sink&ckpt=$tmp/ckpt")
+      assert(c1 == 201)
+      val deadline = System.currentTimeMillis() + 120000
+      while (registry.status("cf-sy")._2 == "running" &&
+        System.currentTimeMillis() < deadline) Thread.sleep(300)
+
+      val (code, body) = call("GET", s"$base/cf-sy/synced")
+      assert(code == 200, body)
+      val node = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body)
+      // all six SyncedStatus fields (api/v2 model.go:1374-1382)
+      for (k <- Seq("synced", "sink_checkpoint_ts", "puller_resolved_ts",
+        "last_synced_ts", "now_ts", "info")) assert(node.has(k), s"missing $k: $body")
+      // clocks in the reference's JSONTime text form
+      val stamp = """\d{4}-\d{2}-\d{2} \d{2}:\d{2}:\d{2}\.\d{3}""".r
+      for (k <- Seq("sink_checkpoint_ts", "puller_resolved_ts",
+        "last_synced_ts", "now_ts"))
+        assert(stamp.matches(node.get(k).asText()), s"$k: ${node.get(k).asText()}")
+      // now_ts is second-resolution, like time.Unix(ts/1e3, 0)
+      assert(node.get("now_ts").asText().endsWith(".000"))
+
+      // no sync reports yet: idle + stale checkpoint + tiny puller gap
+      // -> not synced with the upstream-health hint
+      assert(!node.get("synced").asBoolean())
+      assert(node.get("info").asText().startsWith("Please check whether PD is online"))
+
+      // a fresh checkpoint with old data flips it to strictly synced
+      val now = System.currentTimeMillis()
+      registry.reportSyncState("cf-sy", checkpointTsMs = now,
+        lastSyncedTsMs = now - 400000L, pullerResolvedTsMs = now)
+      val (_, body2) = call("GET", s"$base/cf-sy/synced")
+      val node2 = new com.fasterxml.jackson.databind.ObjectMapper().readTree(body2)
+      assert(node2.get("synced").asBoolean(), body2)
+      assert(node2.get("info").asText() == "The data syncing is finished")
+    } finally {
+      try registry.remove("cf-sy") catch { case _: Throwable => () }
       api.stop()
     }
   }

@@ -139,6 +139,25 @@ class ConfigToolsSpec extends AnyFunSuite {
     assert(viaJson == cfg.copy(id = viaJson.id) && viaJson.keyspace == "tenant-7")
   }
 
+  test("synced-status block survives both config carriers with defaults elided") {
+    val cfg = ChangefeedConfig(id = "cf-ss",
+      syncedStatus = SyncedStatusConfig(syncedCheckInterval = 120L,
+        checkpointInterval = 20L))
+    val toml = ConfigToml.renderToml(cfg)
+    assert(toml.contains("[synced-status]"))
+    assert(toml.contains("synced-check-interval = 120"))
+    val viaToml = ConfigToml.toConfig(ConfigToml.parse(toml), "cf-ss")
+    assert(viaToml.syncedStatus == SyncedStatusConfig(120L, 20L))
+    val viaJson = ConfigToml.fromApiJson(ConfigToml.toApiJson(cfg))
+    assert(viaJson.syncedStatus == SyncedStatusConfig(120L, 20L))
+    // defaults stay out of both wire forms
+    val dflt = ChangefeedConfig(id = "cf-dflt")
+    assert(!ConfigToml.renderToml(dflt).contains("synced-status"))
+    assert(!ConfigToml.toApiJson(dflt).contains("synced_status"))
+    assert(ConfigToml.toConfig(ConfigToml.parse(ConfigToml.renderToml(dflt)),
+      "cf-dflt").syncedStatus == SyncedStatusConfig())
+  }
+
   test("large-message-handle block: both carriers + AdjustAndValidate rules") {
     val lmh = LargeMessageHandle(
       option = LargeMessageHandle.OptionClaimCheck,

@@ -233,4 +233,50 @@ class RegistrySpec extends SparkFunSuite {
     val before = env.filter(col("_table") === "events_2").count()
     assert(out.filter(col("_table") === "events_2").count() == before)
   }
+
+  test("synced-status decision table (api/v2/changefeed.go:1671-1730)") {
+    val tmp = Files.createTempDirectory("graft-sync").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/src/events.parquet"))
+    val reg = new ChangefeedRegistry(spark)
+    // zero thresholds fall back to the 300/15 defaults (changefeed.go:1661)
+    assert(SyncedStatusConfig(0, 0).effective == SyncedStatusConfig(300, 15))
+    val cfg = ChangefeedConfig(id = "cfs")
+    reg.create(cfg, s"$tmp/src", s"$tmp/sink", s"$tmp/ckpt").awaitTermination(120000)
+    reg.pause("cfs")
+
+    val base = 1700000000000L
+    val wait = "The data syncing is not finished, please wait"
+
+    // data arrived 10s ago < synced-check-interval -> not synced, wait
+    reg.reportSyncState("cfs", checkpointTsMs = base,
+      lastSyncedTsMs = base, pullerResolvedTsMs = base)
+    val s3 = reg.syncedStatus("cfs", nowMs = base + 10000)
+    assert(!s3.synced && s3.info == wait)
+    assert(s3.lastSyncedTsMs == base && s3.nowMs == base + 10000)
+
+    // idle past 300s AND checkpoint fresh within 15s -> strictly synced
+    reg.reportSyncState("cfs", checkpointTsMs = base + 395000,
+      pullerResolvedTsMs = base + 398000)
+    val s1 = reg.syncedStatus("cfs", nowMs = base + 400000)
+    assert(s1.synced && s1.info == "The data syncing is finished")
+
+    // idle, checkpoint stale, puller-to-checkpoint gap small -> the
+    // upstream-health hint (PD/TiKV may be stuck, data may be complete)
+    val s2a = reg.syncedStatus("cfs", nowMs = base + 800000)
+    assert(!s2a.synced && s2a.info.startsWith("Please check whether PD is online"))
+
+    // idle, checkpoint stale, puller far ahead -> genuinely not synced
+    reg.reportSyncState("cfs", pullerResolvedTsMs = base + 600000)
+    val s2b = reg.syncedStatus("cfs", nowMs = base + 800000)
+    assert(!s2b.synced && s2b.info == wait)
+
+    // clocks are monotone: a stale report cannot move them backwards
+    reg.reportSyncState("cfs", checkpointTsMs = base - 5000)
+    assert(reg.syncedStatus("cfs", nowMs = base + 800000)
+      .sinkCheckpointTsMs == base + 395000)
+    reg.remove("cfs")
+  }
 }
