@@ -133,6 +133,93 @@ final case class SinkConfig(
       * rendered to connector options by Security.pulsarOptions. */
     pulsarConfig: Option[Security.PulsarConfig] = None)
 
+/** Span-scheduling knobs (pkg/config/scheduler_config.go:35-69;
+  * defaults replica_config.go:105-117). In this engine the split
+  * knobs govern the PartitionRule.TableSplit fan-out the maintainer
+  * applies; the block is carried faithfully so reference configs and
+  * the api/v2 update flow (update_changefeed_check_config) behave
+  * identically. */
+final case class SchedulerConfig(
+    enableTableAcrossNodes: Boolean = false,
+    regionThreshold: Int = 10000,
+    regionCountPerSpan: Int = 100,
+    regionCountRefreshIntervalNs: Long = 300L * 1000000000L,
+    writeKeyThreshold: Int = 0,
+    schedulingTaskCountPerNode: Int = 20,
+    enableSplittableCheck: Boolean = false,
+    forceSplit: Boolean = false,
+    balanceScoreThreshold: Int = 20,
+    minTrafficPercentage: Double = 0.8,
+    maxTrafficPercentage: Double = 1.25) {
+
+  /** FillMissingWithDefaults (scheduler_config.go:72-100): invalid or
+    * zero numeric fields fall back to the defaults. */
+  def fillMissingWithDefaults: SchedulerConfig = {
+    val d = SchedulerConfig()
+    copy(
+      regionThreshold = if (regionThreshold <= 0) d.regionThreshold else regionThreshold,
+      regionCountPerSpan =
+        if (regionCountPerSpan <= 0) d.regionCountPerSpan else regionCountPerSpan,
+      regionCountRefreshIntervalNs =
+        if (regionCountRefreshIntervalNs <= 0) d.regionCountRefreshIntervalNs
+        else regionCountRefreshIntervalNs,
+      writeKeyThreshold =
+        if (writeKeyThreshold < 0) d.writeKeyThreshold else writeKeyThreshold,
+      schedulingTaskCountPerNode =
+        if (schedulingTaskCountPerNode <= 0) d.schedulingTaskCountPerNode
+        else schedulingTaskCountPerNode,
+      balanceScoreThreshold =
+        if (balanceScoreThreshold <= 0) d.balanceScoreThreshold else balanceScoreThreshold,
+      minTrafficPercentage =
+        if (minTrafficPercentage <= 0 || minTrafficPercentage >= 1) d.minTrafficPercentage
+        else minTrafficPercentage,
+      maxTrafficPercentage =
+        if (maxTrafficPercentage <= 1) d.maxTrafficPercentage else maxTrafficPercentage)
+  }
+
+  /** ValidateAndAdjust (scheduler_config.go:103-160): a no-op unless
+    * cross-node splitting is on; then bounds-checks every knob,
+    * floors a too-small write-key threshold at 10 MiB, clamps
+    * region-count-per-span to the split threshold, and pins the
+    * splittable check for a MySQL-compatible downstream (always on —
+    * splitting a table without a usable PK loses consistency — unless
+    * force-split explicitly overrides). */
+  def validateAndAdjust(mysqlDownstream: Boolean): SchedulerConfig = {
+    if (!enableTableAcrossNodes) this
+    else {
+      require(regionThreshold >= 0, "region-threshold must be larger than 0")
+      require(writeKeyThreshold >= 0, "write-key-threshold must be larger than 0")
+      require(schedulingTaskCountPerNode >= 0,
+        "scheduling-task-count-per-node must be larger than 0")
+      require(regionCountPerSpan > 0, "region-count-per-span must be larger than 0")
+      require(regionCountRefreshIntervalNs > 0,
+        "region-count-refresh-interval must be larger than 0")
+      require(balanceScoreThreshold > 0, "balance-score-threshold must be larger than 0")
+      require(minTrafficPercentage > 0 && minTrafficPercentage < 1,
+        "min-traffic-percentage must be between 0 and 1")
+      require(maxTrafficPercentage > 1, "max-traffic-percentage must be greater than 1")
+      val wkt =
+        if (writeKeyThreshold > 0 && writeKeyThreshold < SchedulerConfig.MinWriteKeyThreshold)
+          SchedulerConfig.MinWriteKeyThreshold
+        else writeKeyThreshold
+      val rcps =
+        if (regionThreshold > 0 && regionCountPerSpan > regionThreshold) regionThreshold
+        else regionCountPerSpan
+      val splittable =
+        if (mysqlDownstream && !forceSplit) true
+        else if (forceSplit) false
+        else enableSplittableCheck
+      copy(writeKeyThreshold = wkt, regionCountPerSpan = rcps,
+        enableSplittableCheck = splittable)
+    }
+  }
+}
+object SchedulerConfig {
+  /** 10 MiB — below this, write-threshold splitting would thrash
+    * (scheduler_config.go:29). */
+  val MinWriteKeyThreshold = 10485760
+}
+
 /** Synced-status thresholds (pkg/config/synced_status_config.go:16-22,
   * defaults replica_config.go:123-126): a feed is "synced" when no new
   * data has arrived for `syncedCheckInterval` seconds AND the sink
@@ -178,4 +265,7 @@ final case class ChangefeedConfig(
     security: Security.SecurityConfig = Security.SecurityConfig(),
     /** api/v2 model.go:246 SyncedStatus block — thresholds for the
       * GET /changefeeds/{id}/synced decision table. */
-    syncedStatus: SyncedStatusConfig = SyncedStatusConfig())
+    syncedStatus: SyncedStatusConfig = SyncedStatusConfig(),
+    /** replica_config.go:181 Scheduler block — span-split and traffic
+      * balance knobs, update-mergeable through the API. */
+    scheduler: SchedulerConfig = SchedulerConfig())

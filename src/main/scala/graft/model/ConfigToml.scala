@@ -31,6 +31,7 @@ object ConfigToml {
   final case class VStr(s: String) extends V
   final case class VBool(b: Boolean) extends V
   final case class VInt(l: Long) extends V
+  final case class VDbl(d: Double) extends V
   final case class VArr(items: Seq[V]) extends V
 
   /** Parsed document: top-level pairs, `[section]` pairs, and
@@ -49,6 +50,8 @@ object ConfigToml {
       get(section, key).collect { case VArr(xs) => xs.collect { case VStr(s) => s } }
     def ints(section: String, key: String): Option[Seq[Long]] =
       get(section, key).collect { case VArr(xs) => xs.collect { case VInt(l) => l } }
+    def dbl(section: String, key: String): Option[Double] =
+      get(section, key).collect { case VDbl(d) => d; case VInt(l) => l.toDouble }
     private def get(section: String, key: String): Option[V] =
       if (section.isEmpty) top.get(key) else sections.get(section).flatMap(_.get(key))
   }
@@ -94,6 +97,7 @@ object ConfigToml {
                (t.startsWith("\"") && t.endsWith("\"") && t.length >= 2)) {
       VStr(t.substring(1, t.length - 1))
     } else if (t == "true" || t == "false") VBool(t == "true")
+    else if (t.matches("-?[0-9]+\\.[0-9]+")) VDbl(t.toDouble)
     else {
       require(t.matches("-?[0-9]+"), s"unsupported TOML value: $t")
       VInt(t.toLong)
@@ -247,7 +251,41 @@ object ConfigToml {
         syncedCheckInterval =
           doc.int("synced-status", "synced-check-interval").getOrElse(300L),
         checkpointInterval =
-          doc.int("synced-status", "checkpoint-interval").getOrElse(15L)))
+          doc.int("synced-status", "checkpoint-interval").getOrElse(15L)),
+      scheduler = schedulerOf(doc))
+  }
+
+  /** `[scheduler]` (scheduler_config.go:35-69 toml tags) →
+    * [[SchedulerConfig]]; absent keys keep the defaults. */
+  private def schedulerOf(doc: Doc): SchedulerConfig = {
+    val d = SchedulerConfig()
+    val s = "scheduler"
+    SchedulerConfig(
+      enableTableAcrossNodes =
+        doc.bool(s, "enable-table-across-nodes").getOrElse(d.enableTableAcrossNodes),
+      regionThreshold =
+        doc.int(s, "region-threshold").map(_.toInt).getOrElse(d.regionThreshold),
+      regionCountPerSpan =
+        doc.int(s, "region-count-per-span").map(_.toInt).getOrElse(d.regionCountPerSpan),
+      // a Go-duration string ("5m") or raw nanos, like the reference's
+      // time.Duration JSON/TOML forms
+      regionCountRefreshIntervalNs = doc.str(s, "region-count-refresh-interval")
+        .map(durationNs)
+        .orElse(doc.int(s, "region-count-refresh-interval"))
+        .getOrElse(d.regionCountRefreshIntervalNs),
+      writeKeyThreshold =
+        doc.int(s, "write-key-threshold").map(_.toInt).getOrElse(d.writeKeyThreshold),
+      schedulingTaskCountPerNode = doc.int(s, "scheduling-task-count-per-node")
+        .map(_.toInt).getOrElse(d.schedulingTaskCountPerNode),
+      enableSplittableCheck =
+        doc.bool(s, "enable-splittable-check").getOrElse(d.enableSplittableCheck),
+      forceSplit = doc.bool(s, "force-split").getOrElse(d.forceSplit),
+      balanceScoreThreshold = doc.int(s, "balance-score-threshold")
+        .map(_.toInt).getOrElse(d.balanceScoreThreshold),
+      minTrafficPercentage =
+        doc.dbl(s, "min-traffic-percentage").getOrElse(d.minTrafficPercentage),
+      maxTrafficPercentage =
+        doc.dbl(s, "max-traffic-percentage").getOrElse(d.maxTrafficPercentage))
   }
 
   /** `[security]` (credential.go toml tags) + `[sink.kafka-config]`
@@ -386,6 +424,21 @@ object ConfigToml {
       b ++= "\n[synced-status]\n"
       b ++= s"synced-check-interval = ${cfg.syncedStatus.syncedCheckInterval}\n"
       b ++= s"checkpoint-interval = ${cfg.syncedStatus.checkpointInterval}\n"
+    }
+    if (cfg.scheduler != SchedulerConfig()) {
+      val sc = cfg.scheduler
+      b ++= "\n[scheduler]\n"
+      b ++= s"enable-table-across-nodes = ${sc.enableTableAcrossNodes}\n"
+      b ++= s"region-threshold = ${sc.regionThreshold}\n"
+      b ++= s"region-count-per-span = ${sc.regionCountPerSpan}\n"
+      b ++= s"region-count-refresh-interval = ${sc.regionCountRefreshIntervalNs}\n"
+      b ++= s"write-key-threshold = ${sc.writeKeyThreshold}\n"
+      b ++= s"scheduling-task-count-per-node = ${sc.schedulingTaskCountPerNode}\n"
+      b ++= s"enable-splittable-check = ${sc.enableSplittableCheck}\n"
+      b ++= s"force-split = ${sc.forceSplit}\n"
+      b ++= s"balance-score-threshold = ${sc.balanceScoreThreshold}\n"
+      b ++= s"min-traffic-percentage = ${sc.minTrafficPercentage}\n"
+      b ++= s"max-traffic-percentage = ${sc.maxTrafficPercentage}\n"
     }
     cfg.sink.dispatch.foreach { d =>
       b ++= "\n[[sink.dispatchers]]\n"
@@ -543,8 +596,25 @@ object ConfigToml {
       securityJson(cfg.security).map(j => s""","security":$j""").getOrElse("") +
       (if (cfg.syncedStatus == SyncedStatusConfig()) "" else
         s""","synced_status":{"synced_check_interval":${cfg.syncedStatus.syncedCheckInterval},""" +
-          s""""checkpoint_interval":${cfg.syncedStatus.checkpointInterval}}""") + "}"
+          s""""checkpoint_interval":${cfg.syncedStatus.checkpointInterval}}""") +
+      s""","scheduler":${schedulerJson(cfg.scheduler)}""" + "}"
   }
+
+  /** The api/v2 scheduler object — always fully populated, snake_case
+    * keys, exactly the shape update_changefeed_check_config diffs
+    * against (api/v2 model.go ChangefeedSchedulerConfig). */
+  def schedulerJson(sc: SchedulerConfig): String =
+    s"""{"enable_table_across_nodes":${sc.enableTableAcrossNodes},""" +
+      s""""region_threshold":${sc.regionThreshold},""" +
+      s""""region_count_per_span":${sc.regionCountPerSpan},""" +
+      s""""region_count_refresh_interval":${sc.regionCountRefreshIntervalNs},""" +
+      s""""write_key_threshold":${sc.writeKeyThreshold},""" +
+      s""""scheduling_task_count_per_node":${sc.schedulingTaskCountPerNode},""" +
+      s""""enable_splittable_check":${sc.enableSplittableCheck},""" +
+      s""""force_split":${sc.forceSplit},""" +
+      s""""balance_score_threshold":${sc.balanceScoreThreshold},""" +
+      s""""min_traffic_percentage":${sc.minTrafficPercentage},""" +
+      s""""max_traffic_percentage":${sc.maxTrafficPercentage}}"""
 
   /** Pulsar block → JSON, kebab keys = sink.go:606-672 json tags. */
   private def pulsarJson(p: Security.PulsarConfig): String = {
@@ -773,6 +843,34 @@ object ConfigToml {
             opt(ss, "synced_check_interval").map(_.asLong()).getOrElse(300L),
           checkpointInterval =
             opt(ss, "checkpoint_interval").map(_.asLong()).getOrElse(15L))
-      }.getOrElse(SyncedStatusConfig()))
+      }.getOrElse(SyncedStatusConfig()),
+      scheduler = opt(root, "scheduler")
+        .map(schedulerFromJson(_, SchedulerConfig()))
+        .getOrElse(SchedulerConfig()))
+  }
+
+  /** Apply the keys PRESENT in an api/v2 scheduler object onto `base`
+    * — the reference's update flow unmarshals the PUT body over the
+    * stored config, so absent keys keep their values
+    * (update_changefeed_check_config). */
+  def schedulerFromJson(n: JsonNode, base: SchedulerConfig): SchedulerConfig = {
+    def b(k: String, cur: Boolean) = Option(n.get(k)).map(_.asBoolean()).getOrElse(cur)
+    def i(k: String, cur: Int) = Option(n.get(k)).map(_.asInt()).getOrElse(cur)
+    def l(k: String, cur: Long) = Option(n.get(k)).map(_.asLong()).getOrElse(cur)
+    def d(k: String, cur: Double) = Option(n.get(k)).map(_.asDouble()).getOrElse(cur)
+    SchedulerConfig(
+      enableTableAcrossNodes = b("enable_table_across_nodes", base.enableTableAcrossNodes),
+      regionThreshold = i("region_threshold", base.regionThreshold),
+      regionCountPerSpan = i("region_count_per_span", base.regionCountPerSpan),
+      regionCountRefreshIntervalNs =
+        l("region_count_refresh_interval", base.regionCountRefreshIntervalNs),
+      writeKeyThreshold = i("write_key_threshold", base.writeKeyThreshold),
+      schedulingTaskCountPerNode =
+        i("scheduling_task_count_per_node", base.schedulingTaskCountPerNode),
+      enableSplittableCheck = b("enable_splittable_check", base.enableSplittableCheck),
+      forceSplit = b("force_split", base.forceSplit),
+      balanceScoreThreshold = i("balance_score_threshold", base.balanceScoreThreshold),
+      minTrafficPercentage = d("min_traffic_percentage", base.minTrafficPercentage),
+      maxTrafficPercentage = d("max_traffic_percentage", base.maxTrafficPercentage))
   }
 }

@@ -293,7 +293,9 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
           }.mkString("[", ",", "]")
           respond(ex, 200, body)
 
-        // GetChangeFeed info (api/v2/api.go:61): definition + state
+        // GetChangeFeed info (api/v2/api.go:61): definition + state;
+        // config.scheduler rides along fully populated — the shape
+        // update_changefeed_check_config diffs with jq
         case ("GET", Seq(id)) =>
           val cfg = registry.config(id)
           val (_, state, _) = registry.status(id)
@@ -302,7 +304,9 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
               s""""keyspace":${jsonString(cfg.keyspace)},""" +
               s""""filter_rules":${cfg.filter.rules.map(jsonString).mkString("[", ",", "]")},""" +
               s""""target_ts":${cfg.targetTs.map(_.toString).getOrElse("null")},""" +
-              s""""sink_partitions":${cfg.sink.numPartitions}}""")
+              s""""sink_partitions":${cfg.sink.numPartitions},""" +
+              s""""config":{"scheduler":${
+                graft.model.ConfigToml.schedulerJson(cfg.scheduler)}}}""")
 
         // dispatcher count = sink worker partitions + per-table span
         // rules (get_dispatcher_count, api/v2/api.go:80)
@@ -311,24 +315,40 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
           respond(ex, 200,
             s"""{"count":${cfg.sink.numPartitions + cfg.sink.dispatch.size}}""")
 
-        // reference UpdateChangefeed (api/v2/api.go:68): rules update,
-        // only while paused; IllegalArgument surfaces as 400
+        // reference UpdateChangefeed (api/v2/api.go:68): rules update
+        // and/or a partial replica_config.scheduler merge, only while
+        // paused; IllegalArgument surfaces as 400
         case ("PUT", Seq(id)) =>
           // an EMPTY rule list would silently filter out every row
           // (TableMatcher: no rule matches nothing) — reject it like
           // the absent-param case instead of configuring a black hole
-          queryParams(ex).get("rules")
-            .map(_.split(",").toSeq.filter(_.nonEmpty)).filter(_.nonEmpty) match {
-            case Some(rules) =>
-              try {
-                registry.updateFilter(id, rules)
-                respond(ex, 200, s"""{"id":${jsonString(id)},"rules":${
-                  registry.filterRules(id).map(jsonString).mkString("[", ",", "]")}}""")
-              } catch {
-                case e: IllegalArgumentException =>
-                  respond(ex, 400, s"""{"error":${jsonString(String.valueOf(e.getMessage))}}""")
-              }
-            case None => respond(ex, 400, """{"error":"rules required"}""")
+          val rulesOpt = queryParams(ex).get("rules")
+            .map(_.split(",").toSeq.filter(_.nonEmpty)).filter(_.nonEmpty)
+          val bodyText =
+            scala.io.Source.fromInputStream(ex.getRequestBody, "UTF-8").mkString
+          // keys present in the body merge over the stored block, like
+          // the reference unmarshalling the PUT onto the old config
+          // (update_changefeed_check_config)
+          val schedNode =
+            if (bodyText.trim.isEmpty) None
+            else try {
+              val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(bodyText)
+              Option(n.get("replica_config")).flatMap(rc => Option(rc.get("scheduler")))
+                .orElse(Option(n.get("scheduler")))
+            } catch { case _: Exception => None }
+          if (rulesOpt.isEmpty && schedNode.isEmpty)
+            respond(ex, 400, """{"error":"rules or replica_config required"}""")
+          else try {
+            rulesOpt.foreach(rules => registry.updateFilter(id, rules))
+            schedNode.foreach(sn => registry.updateScheduler(id,
+              base => graft.model.ConfigToml.schedulerFromJson(sn, base)))
+            respond(ex, 200, s"""{"id":${jsonString(id)},"rules":${
+              registry.filterRules(id).map(jsonString).mkString("[", ",", "]")
+            },"scheduler":${
+              graft.model.ConfigToml.schedulerJson(registry.config(id).scheduler)}}""")
+          } catch {
+            case e: IllegalArgumentException =>
+              respond(ex, 400, s"""{"error":${jsonString(String.valueOf(e.getMessage))}}""")
           }
 
         case _ =>

@@ -421,6 +421,23 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
 
   def filterRules(id: String): Seq[String] = entryOf(id).cfg.filter.rules
 
+  /** Merge a scheduler update onto the stored block — paused-only like
+    * every config update; the result passes through
+    * FillMissingWithDefaults then ValidateAndAdjust exactly as the
+    * reference's update flow does (api/v2 update_changefeed_check_config:
+    * a MySQL downstream pins enable-splittable-check on). */
+  def updateScheduler(id: String,
+                      merge: graft.model.SchedulerConfig => graft.model.SchedulerConfig)
+  : graft.model.SchedulerConfig = {
+    val e = entryOf(id)
+    require(e.query.isEmpty || !e.query.get.isActive,
+      s"$id must be paused to update")
+    val mysql = e.sinkDir.startsWith("mysql://") || e.sinkDir.startsWith("jdbc:")
+    val next = merge(e.cfg.scheduler).fillMissingWithDefaults.validateAndAdjust(mysql)
+    e.cfg = e.cfg.copy(scheduler = next)
+    next
+  }
+
   /** The feed's full definition (GetChangeFeed, api/v2/api.go:61). */
   def config(id: String): ChangefeedConfig = entryOf(id).cfg
 

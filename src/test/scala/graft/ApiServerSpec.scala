@@ -22,6 +22,20 @@ class ApiServerSpec extends SparkFunSuite {
     (code, body)
   }
 
+  private def callBody(method: String, url: String, body: String): (Int, String) = {
+    val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+    conn.setRequestMethod(method)
+    conn.setDoOutput(true)
+    conn.setRequestProperty("Content-Type", "application/json")
+    val os = conn.getOutputStream
+    try os.write(body.getBytes("UTF-8")) finally os.close()
+    val code = conn.getResponseCode
+    val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+    val text = Source.fromInputStream(stream, "UTF-8").mkString
+    conn.disconnect()
+    (code, text)
+  }
+
   private def basicAuth(user: String, pass: String = "pw"): Map[String, String] =
     Map("Authorization" -> ("Basic " + java.util.Base64.getEncoder
       .encodeToString(s"$user:$pass".getBytes("UTF-8"))))
@@ -85,6 +99,27 @@ class ApiServerSpec extends SparkFunSuite {
       assert(cu == 200 && bu.contains("audit.events"), bu)
       val (cu400, _) = call("PUT", s"$base/cf-api")
       assert(cu400 == 400)
+
+      // GET exposes config.scheduler fully populated with defaults,
+      // and a partial-body PUT merges over it
+      // (update_changefeed_check_config)
+      val om = new com.fasterxml.jackson.databind.ObjectMapper()
+      val (cSch, bSch) = call("GET", s"$base/cf-api")
+      val sched0 = om.readTree(bSch).get("config").get("scheduler")
+      assert(sched0 != null && !sched0.get("enable_table_across_nodes").asBoolean(), bSch)
+      assert(sched0.get("region_threshold").asInt() == 10000)
+      assert(sched0.get("region_count_refresh_interval").asLong() == 300000000000L)
+      assert(sched0.get("min_traffic_percentage").asDouble() == 0.8)
+      assert(cSch == 200 && sched0.size() == 11, bSch)
+      val (cps, bps) = callBody("PUT", s"$base/cf-api",
+        """{"replica_config":{"scheduler":{"enable_table_across_nodes":true}}}""")
+      assert(cps == 200, bps)
+      val sched1 = om.readTree(call("GET", s"$base/cf-api")._2)
+        .get("config").get("scheduler")
+      assert(sched1.get("enable_table_across_nodes").asBoolean())
+      // every other knob kept its default (parquet sink: no MySQL pinning)
+      assert(sched1.get("region_threshold").asInt() == 10000 &&
+        !sched1.get("enable_splittable_check").asBoolean(), sched1.toString)
 
       val (c4, b4) = call("POST", s"$base/cf-api/resume")
       assert(c4 == 200 && b4.contains("running"), b4)

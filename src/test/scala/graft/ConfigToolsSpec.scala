@@ -158,6 +158,53 @@ class ConfigToolsSpec extends AnyFunSuite {
       "cf-dflt").syncedStatus == SyncedStatusConfig())
   }
 
+  test("scheduler block: carriers, FillMissingWithDefaults, ValidateAndAdjust " +
+      "(update_changefeed_check_config)") {
+    // invalid/zero fields fall back to defaults (scheduler_config.go:72-100)
+    val filled = SchedulerConfig(regionThreshold = -1, regionCountPerSpan = 0,
+      minTrafficPercentage = 1.5, maxTrafficPercentage = 0.5,
+      balanceScoreThreshold = 0).fillMissingWithDefaults
+    assert(filled == SchedulerConfig())
+
+    // disabled cross-node splitting: validation is a no-op
+    assert(SchedulerConfig().validateAndAdjust(mysqlDownstream = true) ==
+      SchedulerConfig())
+
+    // enabled: too-small write threshold floors at 10 MiB, per-span
+    // count clamps to the split threshold, MySQL pins splittable check
+    val v = SchedulerConfig(enableTableAcrossNodes = true,
+      writeKeyThreshold = 1024, regionThreshold = 50, regionCountPerSpan = 100)
+      .validateAndAdjust(mysqlDownstream = true)
+    assert(v.writeKeyThreshold == SchedulerConfig.MinWriteKeyThreshold)
+    assert(v.regionCountPerSpan == 50)
+    assert(v.enableSplittableCheck)
+    // force-split overrides the MySQL pinning
+    assert(!SchedulerConfig(enableTableAcrossNodes = true, forceSplit = true)
+      .validateAndAdjust(mysqlDownstream = true).enableSplittableCheck)
+    // out-of-range traffic band rejected
+    intercept[IllegalArgumentException] {
+      SchedulerConfig(enableTableAcrossNodes = true, maxTrafficPercentage = 0.9)
+        .validateAndAdjust(mysqlDownstream = false)
+    }
+
+    // both carriers round-trip a non-default block (floats included)
+    val cfg = ChangefeedConfig(id = "cf-sched",
+      scheduler = SchedulerConfig(enableTableAcrossNodes = true,
+        regionThreshold = 5000, minTrafficPercentage = 0.7))
+    val viaToml = ConfigToml.toConfig(
+      ConfigToml.parse(ConfigToml.renderToml(cfg)), "cf-sched")
+    assert(viaToml.scheduler == cfg.scheduler)
+    val viaJson = ConfigToml.fromApiJson(ConfigToml.toApiJson(cfg))
+    assert(viaJson.scheduler == cfg.scheduler)
+
+    // partial-merge: keys present in the PUT body override, the rest
+    // keep the stored values
+    val node = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree("""{"enable_table_across_nodes":true}""")
+    val merged = ConfigToml.schedulerFromJson(node, cfg.scheduler)
+    assert(merged == cfg.scheduler.copy(enableTableAcrossNodes = true))
+  }
+
   test("large-message-handle block: both carriers + AdjustAndValidate rules") {
     val lmh = LargeMessageHandle(
       option = LargeMessageHandle.OptionClaimCheck,
