@@ -210,6 +210,28 @@ object ExtQueries {
         Seq("app.events_*", "!app.events_3"),
         Seq("truncate table"), Seq("^CREATE INDEX"))),
 
+    // replication whitelist (pkg/filter/ddl.go:38-103): statement
+    // classes TiCDC never replicates — sequences, savepoints, ANALYZE,
+    // GRANT — discard even on a fully-replicated table
+    // (ddl_sequence / savepoint integration scenarios)
+    "q_ddl_whitelist" -> ((s, d) => {
+      val sel = (pmod(col("version_ts"), lit(8000L)) / lit(1000L)).cast("long")
+      val stmts =
+        when(sel === 0, concat(lit("CREATE TABLE "), col("_table")))
+          .when(sel === 1, concat(lit("ALTER TABLE "), col("_table"),
+            lit(" ADD COLUMN c INT")))
+          .when(sel === 2, concat(lit("CREATE SEQUENCE seq_"), col("_table")))
+          .when(sel === 3, lit("SAVEPOINT sp1"))
+          .when(sel === 4, concat(lit("ANALYZE TABLE "), col("_table")))
+          .when(sel === 5, concat(lit("DROP VIEW v_"), col("_table")))
+          .when(sel === 6, concat(lit("RECOVER TABLE "), col("_table")))
+          .otherwise(concat(lit("GRANT SELECT ON "), col("_table"), lit(" TO 'u'")))
+      graft.operators.Filters.ddlDispatch(
+        graft.operators.SchemaAsOf.sampleVersions(env(s, d))
+          .withColumn("query", stmts),
+        Seq("*.*"), Nil, Nil)
+    }),
+
     "q_ddl_modify" -> ((s, d) => {
       // rotating ALTER mix over the sparse version stream, parsed by
       // the REAL DdlParser driver-side (DDL lists are control-plane-
@@ -664,6 +686,24 @@ object ExtQueries {
                 Seq("app.events_*", "!app.events_3"))}) THEN 'discard'
          |       WHEN (version_ts % 5000) // 1000 IN (3, 4) THEN 'ignore'
          |       ELSE 'emit' END AS _ddl_action
+         |FROM ddl""".stripMargin),
+
+    "q_ddl_whitelist" -> q(
+      s""", ddl AS (
+         |  SELECT _schema, _table, _commit_ts AS version_ts,
+         |    CASE (_commit_ts % 8000) // 1000
+         |      WHEN 0 THEN 'CREATE TABLE ' || _table
+         |      WHEN 1 THEN 'ALTER TABLE ' || _table || ' ADD COLUMN c INT'
+         |      WHEN 2 THEN 'CREATE SEQUENCE seq_' || _table
+         |      WHEN 3 THEN 'SAVEPOINT sp1'
+         |      WHEN 4 THEN 'ANALYZE TABLE ' || _table
+         |      WHEN 5 THEN 'DROP VIEW v_' || _table
+         |      WHEN 6 THEN 'RECOVER TABLE ' || _table
+         |      ELSE 'GRANT SELECT ON ' || _table || ' TO ''u''' END AS query
+         |  FROM env WHERE _row_id % 97 = 0)
+         |SELECT *,
+         |  CASE WHEN (version_ts % 8000) // 1000 IN (2, 3, 4, 7)
+         |    THEN 'discard' ELSE 'emit' END AS _ddl_action
          |FROM ddl""".stripMargin),
 
     "q_ddl_modify" -> q(

@@ -143,7 +143,9 @@ object Filters {
     ("alter partition", Nil, Seq(" partition")),
     ("alter table", Seq("alter table"), Nil),
     ("create view", Seq("create view"), Nil),
-    ("drop view", Seq("drop view"), Nil))
+    ("drop view", Seq("drop view"), Nil),
+    ("recover table", Seq("recover table"), Nil),
+    ("alter database", Seq("alter database", "alter schema"), Nil))
 
   /** DDL event classification: statement text → DDL class (the
     * classes the reference's event filter accepts in `ignore-event`),
@@ -183,23 +185,28 @@ object Filters {
   }
 
   /** Two-level DDL treatment (filter.go:53-68): a DDL on a table the
-    * changefeed doesn't replicate is DISCARDED outright; one matched
-    * by ignore rules is IGNORED — still applied to the schema registry
-    * (the table's shape must stay correct) but not emitted downstream;
-    * everything else EMITS. Returns the frame with a `_ddl_action`
-    * column so the barrier loop can route each class. */
+    * changefeed doesn't replicate is DISCARDED outright — as is any
+    * statement class outside the replication whitelist
+    * (ddlWhiteListMap, pkg/filter/ddl.go:38-103: sequences,
+    * savepoints, ANALYZE, GRANT, placement policies … are never
+    * replicated — the ddl_sequence/savepoint integration scenarios);
+    * one matched by ignore rules is IGNORED — still applied to the
+    * schema registry (the table's shape must stay correct) but not
+    * emitted downstream; everything else EMITS. Returns the frame with
+    * a `_ddl_action` column so the barrier loop can route each class. */
   def ddlDispatch(ddl: DataFrame, tableRules: Seq[String],
                   ignoreClasses: Seq[String],
                   ignoreSqlRegexps: Seq[String]): DataFrame = {
     val replicated = TableMatcher.matches(col("_schema"), col("_table"), tableRules)
+    val cls = ddlClass(col("query"))
     val byClass =
       if (ignoreClasses.isEmpty) lit(false)
-      else ddlClass(col("query")).isin(ignoreClasses: _*)
+      else cls.isin(ignoreClasses: _*)
     val byRegex = ignoreSqlRegexps
       .map(p => regexp_like(col("query"), lit(p)))
       .foldLeft(lit(false))(_ || _)
     ddl.withColumn("_ddl_action",
-      when(!replicated, "discard")
+      when(!replicated || cls === "other ddl", "discard")
         .when(byClass || byRegex, "ignore")
         .otherwise("emit"))
   }
