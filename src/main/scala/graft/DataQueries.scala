@@ -351,13 +351,17 @@ object DataQueries {
       Dedup.jaccardPairs(docs(s, d), "source", jaccardThreshold)),
 
     // candidate-generation → exact-verify: jaccard candidates
-    // confirmed by normalized Levenshtein on length-capped text
+    // confirmed by normalized Levenshtein on length-capped text,
+    // under a per-doc verification budget (each doc verifies only its
+    // 3 strongest candidates — corpus-linear verify work even when the
+    // generator saturates)
     "q_dedup_verified" -> ((s, d) => {
       val dd = docs(s, d)
       Dedup.editVerifiedPairs(dd,
-        Dedup.jaccardPairs(dd, "source", jaccardThreshold)
-          .select(col("doc_a"), col("doc_b")),
-        maxEditRatio = 0.6)
+        Dedup.jaccardPairs(dd, "source", jaccardThreshold),
+        maxEditRatio = 0.6, capLen = 256,
+        perDocBudget = 3,
+        budgetOrder = Seq(col("jaccard").desc, col("doc_b")))
     }),
 
     // exact substring (span) dedup: maximal verbatim token runs
@@ -1524,18 +1528,25 @@ object DataQueries {
          |    ON a.source = b.source AND a.tok = b.tok AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2
          |), cand AS (
-         |  SELECT doc_a, doc_b FROM inter
+         |  SELECT doc_a, doc_b,
+         |    CAST(n_inter AS DOUBLE) / CAST(sa.nd + sb.nd - n_inter AS DOUBLE) AS j
+         |  FROM inter
          |  JOIN sizes sa ON sa.doc_id = doc_a
          |  JOIN sizes sb ON sb.doc_id = doc_b
          |  WHERE CAST(n_inter AS DOUBLE) / CAST(sa.nd + sb.nd - n_inter AS DOUBLE) >= $jaccardThreshold
+         |), budget AS (
+         |  SELECT doc_a, doc_b FROM (
+         |    SELECT doc_a, doc_b,
+         |      ROW_NUMBER() OVER (PARTITION BY doc_a ORDER BY j DESC, doc_b) AS r
+         |    FROM cand) WHERE r <= 3
          |), capped AS (
-         |  SELECT doc_id, substring(text, 1, 512) AS t FROM documents
+         |  SELECT doc_id, substring(text, 1, 256) AS t FROM documents
          |)
          |SELECT doc_a, doc_b,
          |  CAST(levenshtein(ca.t, cb.t) AS BIGINT) AS edit_dist,
          |  CAST(levenshtein(ca.t, cb.t) AS BIGINT) * 1000000
          |    // greatest(length(ca.t), length(cb.t), 1) AS edit_ratio_micro
-         |FROM cand
+         |FROM budget
          |JOIN capped ca ON ca.doc_id = doc_a
          |JOIN capped cb ON cb.doc_id = doc_b
          |WHERE CAST(levenshtein(ca.t, cb.t) AS BIGINT) * 1000000

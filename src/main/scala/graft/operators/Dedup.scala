@@ -707,12 +707,32 @@ object Dedup {
     * levenshtein) runs on ≤ capLen chars. The cap is the production
     * stance: two near-identical megabyte documents are decided by
     * their first kilobyte, and an UNCAPPED distance would make one
-    * skewed pair a straggler task. */
+    * skewed pair a straggler task.
+    *
+    * `perDocBudget` bounds the OTHER explosion axis: a degenerate
+    * corpus (tiny shared vocabulary, boilerplate-heavy web text) makes
+    * every in-block pair a candidate, and verifying all of them turns
+    * the exact stage quadratic again (measured: 445k candidates for
+    * 101 real dups at sf0.1 — 100 s of levenshtein). With a budget,
+    * each left doc verifies only its `perDocBudget` STRONGEST
+    * candidates (by `budgetOrder`, e.g. jaccard desc) — total verify
+    * work is corpus-linear whatever the generator emits, and a doc's
+    * dedup fate is decided by its best matches, which is where the
+    * true duplicates sort. */
   def editVerifiedPairs(docs: DataFrame, pairs: DataFrame,
-                        maxEditRatio: Double, capLen: Int = 512): DataFrame = {
+                        maxEditRatio: Double, capLen: Int = 512,
+                        perDocBudget: Int = 0,
+                        budgetOrder: Seq[Column] = Nil): DataFrame = {
     val capped = docs.select(col("doc_id"),
       substring(col("text"), 1, capLen).as("__t"))
-    pairs
+    val budgeted =
+      if (perDocBudget <= 0) pairs
+      else {
+        val w = Window.partitionBy(col("doc_a")).orderBy(budgetOrder: _*)
+        pairs.withColumn("__r", row_number().over(w))
+          .filter(col("__r") <= perDocBudget)
+      }
+    budgeted.select(col("doc_a"), col("doc_b"))
       .join(capped.select(col("doc_id").as("doc_a"), col("__t").as("__ta")), "doc_a")
       .join(capped.select(col("doc_id").as("doc_b"), col("__t").as("__tb")), "doc_b")
       .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))

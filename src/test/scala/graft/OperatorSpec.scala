@@ -959,4 +959,37 @@ class OperatorSpec extends SparkFunSuite {
     assert(!jac.exists(x => x.getLong(0) == 0L && x.getLong(1) == 1L),
       "Jaccard must miss the subset pair (that asymmetry is the point)")
   }
+
+  test("editVerifiedPairs: budget keeps each doc's strongest candidates, " +
+      "budgeted output is a subset of unbudgeted") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "aa bb cc dd ee ff gg hh"),
+      (1L, "aa bb cc dd ee ff gg hh"), // exact dup of 0
+      (2L, "aa bb cc dd ee ff gg xx"), // near dup of 0/1
+      (3L, "zz yy xx ww vv uu tt ss")  // unrelated
+    ).toDF("doc_id", "text")
+    // candidate generator output shape: scored pairs, over-generated
+    val pairs = Seq(
+      (0L, 1L, 1.00), (0L, 2L, 0.78), (0L, 3L, 0.05),
+      (1L, 2L, 0.78), (1L, 3L, 0.05), (2L, 3L, 0.10)
+    ).toDF("doc_a", "doc_b", "jaccard")
+    val order = Seq(col("jaccard").desc, col("doc_b"))
+    val unbudgeted = Dedup.editVerifiedPairs(docs, pairs, maxEditRatio = 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val budget1 = Dedup.editVerifiedPairs(docs, pairs, maxEditRatio = 0.6,
+      perDocBudget = 1, budgetOrder = order)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the strongest candidate per left doc survives the budget; junk
+    // pairs never reach the distance kernel
+    assert(budget1.subsetOf(unbudgeted))
+    assert(budget1.contains((0L, 1L)), s"exact dup must verify: $budget1")
+    assert(!budget1.contains((0L, 2L)), "budget 1 verifies only the strongest")
+    val budget2 = Dedup.editVerifiedPairs(docs, pairs, maxEditRatio = 0.6,
+      perDocBudget = 2, budgetOrder = order)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(budget2 == Set((0L, 1L), (0L, 2L), (1L, 2L)),
+      s"budget 2 admits both near-dups, the unrelated doc fails verify: $budget2")
+    assert(unbudgeted == budget2, "budget only prunes below-threshold work here")
+  }
 }
