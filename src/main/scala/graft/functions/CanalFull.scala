@@ -188,12 +188,20 @@ object CanalFull {
     }
   }
 
-  /** mysqlType string (common/helper.go GetMySQLType, fullType=false):
-    * lowercase base, " unsigned" suffix except bit/year. */
-  def mysqlTypeName(c: MySqlCol): String = {
-    val base = c.base
-    if (c.unsigned && base != "bit" && base != "year") s"$base unsigned" else base
-  }
+  /** mysqlType string (common/helper.go GetMySQLType): the short form
+    * — lowercase base, " unsigned" suffix except bit/year — by
+    * default; the FULL TiDB type description (display length / fsp /
+    * element list) when `contentCompatible` is on, the canal
+    * content-compatible mode (sink.go:169-170, encoder passes
+    * config.ContentCompatible as GetMySQLType's fullType —
+    * canal_json_content_compatible / adapter-compatibility
+    * scenarios). */
+  def mysqlTypeName(c: MySqlCol, contentCompatible: Boolean = false): String =
+    if (contentCompatible) c.typeDesc
+    else {
+      val base = c.base
+      if (c.unsigned && base != "bit" && base != "year") s"$base unsigned" else base
+    }
 
   private def jsonStr(s: String): String =
     "\"" + s.flatMap {
@@ -261,12 +269,14 @@ object CanalFull {
     * into full canal-JSON messages. `tidbExtension` appends the
     * `_tidb:{commitTs}` block (canal_json_encoder.go:316-321). */
   def encode(env: DataFrame, t: MySqlTable, buildTsMs: Long = 0L,
-             tidbExtension: Boolean = false): DataFrame = {
+             tidbExtension: Boolean = false,
+             contentCompatible: Boolean = false): DataFrame = {
     val typ = when(col("_op") === "I", "INSERT")
       .when(col("_op") === "U", "UPDATE").otherwise("DELETE")
     val dataImg = when(col("_op") === "D", lit("before")).otherwise(lit("after"))
     val pkNames = t.pkCols.map(c => jsonStr(c.name)).mkString("[", ",", "]")
-    val mysqlTypes = t.cols.map(c => jsonStr(c.name) + ":" + jsonStr(mysqlTypeName(c)))
+    val mysqlTypes = t.cols
+      .map(c => jsonStr(c.name) + ":" + jsonStr(mysqlTypeName(c, contentCompatible)))
       .mkString("{", ",", "}")
     // sqlType derives from the data image (after, pre-image for deletes)
     val dataRaw: MySqlCol => Column = c =>

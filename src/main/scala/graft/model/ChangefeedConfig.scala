@@ -110,6 +110,11 @@ final case class SinkConfig(
     maxMessageBytes: Int = 10 * 1024 * 1024,
     largeMessageHandle: LargeMessageHandle = LargeMessageHandle(),
     safeMode: Boolean = false,
+    /** Canal-json content-compatible mode (sink.go:169-170): the
+      * mysqlType map renders the FULL TiDB type description the way
+      * the official canal deployment does, so canal-adapter consumers
+      * can rebuild DDL from it (canal_json_content_compatible). */
+    contentCompatible: Boolean = false,
     columnSelector: Option[Seq[String]] = None,
     onlyOutputUpdatedColumns: Boolean = false,
     deleteOnlyOutputHandleKey: Boolean = false,

@@ -204,6 +204,7 @@ object ConfigToml {
       protocol = doc.str("sink", "protocol").map(protocolOf).getOrElse(Protocol.CanalJson),
       numPartitions = doc.int("sink", "partition-num").map(_.toInt).getOrElse(16),
       safeMode = doc.bool("sink", "safe-mode").getOrElse(false),
+      contentCompatible = doc.bool("sink", "content-compatible").getOrElse(false),
       columnSelector = doc.strs("sink", "column-selectors"),
       onlyOutputUpdatedColumns = doc.bool("sink", "only-output-updated-columns").getOrElse(false),
       deleteOnlyOutputHandleKey =
@@ -398,6 +399,7 @@ object ConfigToml {
     b ++= s"protocol = ${tomlStr(protocolName(cfg.sink.protocol))}\n"
     b ++= s"partition-num = ${cfg.sink.numPartitions}\n"
     if (cfg.sink.safeMode) b ++= "safe-mode = true\n"
+    if (cfg.sink.contentCompatible) b ++= "content-compatible = true\n"
     cfg.sink.columnSelector.foreach(cs => b ++= s"column-selectors = ${tomlArr(cs)}\n")
     if (cfg.sink.onlyOutputUpdatedColumns) b ++= "only-output-updated-columns = true\n"
     if (cfg.sink.deleteOnlyOutputHandleKey) b ++= "delete-only-output-handle-key-columns = true\n"
@@ -569,6 +571,7 @@ object ConfigToml {
     val sinkJson =
       s"""{"protocol":${jsonStr(protocolName(s.protocol))},"partition_num":${s.numPartitions}""" +
         s""","safe_mode":${s.safeMode}""" +
+        (if (s.contentCompatible) s""","content_compatible":true""" else "") +
         s.columnSelector.map(cs => s""","column_selectors":${jsonArr(cs)}""").getOrElse("") +
         s""","only_output_updated_columns":${s.onlyOutputUpdatedColumns}""" +
         s""","delete_only_output_handle_key_columns":${s.deleteOnlyOutputHandleKey}""" +
@@ -735,6 +738,7 @@ object ConfigToml {
       }).getOrElse(Protocol.CanalJson),
       numPartitions = opt(s, "partition_num").map(_.asInt()).getOrElse(16),
       safeMode = opt(s, "safe_mode").exists(_.asBoolean()),
+      contentCompatible = opt(s, "content_compatible").exists(_.asBoolean()),
       columnSelector = opt(s, "column_selectors").map(strsOf),
       onlyOutputUpdatedColumns = opt(s, "only_output_updated_columns").exists(_.asBoolean()),
       deleteOnlyOutputHandleKey =

@@ -38,6 +38,38 @@ object MySqlDdl {
       case "varbinary" | "binary" | "blob" | "tinyblob" | "mediumblob" | "longblob" => true
       case _ => false
     }
+
+    /** Full MySQL type description — TiDB's FieldType compact string
+      * (the form `GetMySQLType(col, fullType=true)` renders for the
+      * canal content-compatible mode, codec/common/helper.go:38-46):
+      * display length (TiDB's signedness-dependent defaults for the
+      * integer family when the DDL gave none), decimal (flen,dec),
+      * fsp on the time family, enum/set element lists, then the
+      * unsigned/zerofill suffixes. */
+    def typeDesc: String = {
+      def intDesc(dflt: Int, dfltUnsigned: Int) =
+        s"$base(${if (flen >= 0) flen else if (unsigned) dfltUnsigned else dflt})"
+      val core = base match {
+        case "tinyint" => intDesc(4, 3)
+        case "smallint" => intDesc(6, 5)
+        case "mediumint" => intDesc(9, 8)
+        case "int" | "integer" => intDesc(11, 10)
+        case "bigint" => intDesc(20, 20)
+        case "decimal" | "numeric" =>
+          s"$base(${if (flen >= 0) flen else 10},${if (dec >= 0) dec else 0})"
+        case "char" | "varchar" | "binary" | "varbinary" if flen >= 0 =>
+          s"$base($flen)"
+        case "bit" => s"$base(${if (flen >= 0) flen else 1})"
+        case "year" => "year(4)"
+        case "float" | "double" if flen >= 0 && dec >= 0 => s"$base($flen,$dec)"
+        case "datetime" | "timestamp" | "time" if dec > 0 => s"$base($dec)"
+        case "enum" | "set" =>
+          elems.map(e => "'" + e.replace("'", "''") + "'")
+            .mkString(s"$base(", ",", ")")
+        case other => other
+      }
+      core + (if (unsigned) " unsigned" else "")
+    }
   }
 
   case class MySqlTable(schema: String, table: String, cols: Seq[MySqlCol]) {

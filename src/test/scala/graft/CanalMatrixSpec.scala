@@ -340,4 +340,51 @@ class CanalMatrixSpec extends SparkFunSuite {
     assert(viaGbk("cs_gbk") == encoded("cs_gbk"),
       "GBK client bytes must decode to the same wire messages as utf8")
   }
+
+  test("content-compatible mode renders the full TiDB type description " +
+      "(canal_json_content_compatible)") {
+    val t = MySqlDdl.parseCreateTable(
+      """create table cc (
+        |  id int primary key auto_increment,
+        |  a tinyint, b tinyint unsigned,
+        |  c bigint, d bigint unsigned,
+        |  e varchar(20), f char(4),
+        |  g decimal(10,2), h decimal,
+        |  i datetime(3), j datetime,
+        |  k bit(5), l year,
+        |  m enum('x','y'), n set('p','q'),
+        |  o float(10,3), p double, q text
+        |)""".stripMargin, "test").get
+    val desc = t.cols.map(c => c.name -> c.typeDesc).toMap
+    // signedness-dependent default display widths (TiDB field_type.go)
+    assert(desc("id") == "int(11)")
+    assert(desc("a") == "tinyint(4)" && desc("b") == "tinyint(3) unsigned")
+    assert(desc("c") == "bigint(20)" && desc("d") == "bigint(20) unsigned")
+    assert(desc("e") == "varchar(20)" && desc("f") == "char(4)")
+    assert(desc("g") == "decimal(10,2)" && desc("h") == "decimal(10,0)")
+    assert(desc("i") == "datetime(3)" && desc("j") == "datetime")
+    assert(desc("k") == "bit(5)" && desc("l") == "year(4)")
+    assert(desc("m") == "enum('x','y')" && desc("n") == "set('p','q')")
+    assert(desc("o") == "float(10,3)" && desc("p") == "double" && desc("q") == "text")
+
+    // the encoder's mysqlType map switches form with the knob; the
+    // short form stays the default
+    val img = StructType(t.cols.map(c => StructField(c.name, StringType, nullable = true)))
+    val schema = StructType(Seq(
+      StructField("before", img, nullable = true), StructField("after", img, nullable = true),
+      StructField("_op", StringType), StructField("_schema", StringType),
+      StructField("_table", StringType), StructField("_tso", LongType)))
+    val row = Row(null, Row(t.cols.map(_ => "1"): _*), "I", "test", "cc", TSO)
+    val df = spark.createDataFrame(Seq(row).asJava, schema)
+    def mysqlTypes(contentCompatible: Boolean): Map[String, String] = {
+      val msg = CanalFull.encode(df, t, contentCompatible = contentCompatible)
+        .select(col("_value")).head().getString(0)
+      val node = mapper.readTree(msg).get("mysqlType")
+      t.cols.map(c => c.name -> node.get(c.name).asText()).toMap
+    }
+    assert(mysqlTypes(contentCompatible = true) == desc)
+    val short = mysqlTypes(contentCompatible = false)
+    assert(short("id") == "int" && short("b") == "tinyint unsigned" &&
+      short("m") == "enum" && short("k") == "bit")
+  }
 }
