@@ -72,8 +72,37 @@ object MySqlDdl {
     }
   }
 
-  case class MySqlTable(schema: String, table: String, cols: Seq[MySqlCol]) {
+  case class MySqlTable(schema: String, table: String, cols: Seq[MySqlCol],
+                        /** PRIMARY KEY column names in INDEX order (the
+                          * table-level clause order when one exists). */
+                        primaryOrder: Seq[String] = Nil,
+                        /** UNIQUE index column lists in definition order
+                          * (inline `unique` attributes and table-level
+                          * UNIQUE KEY clauses alike). */
+                        uniqueIndexes: Seq[Seq[String]] = Nil) {
     def pkCols: Seq[MySqlCol] = cols.filter(_.pk)
+
+    /** Handle-key selection (table_info_helper.go:660-732
+      * initIndexColumns): the primary key wins; otherwise the NOT-NULL
+      * unique index with the FEWEST columns (ties → earliest defined);
+      * no candidate → no handle key, the table is ineligible without
+      * force-replicate (OriginalHasPKOrNotNullUK,
+      * table_info.go:505-552 — many_pk_or_uk scenario). */
+    def handleKeys: Seq[String] = {
+      val pk = if (primaryOrder.nonEmpty) primaryOrder else pkCols.map(_.name)
+      if (pk.nonEmpty) pk
+      else {
+        val notNull = cols.filter(_.notNull).map(_.name).toSet
+        uniqueIndexes.zipWithIndex
+          .filter { case (ix, _) => ix.nonEmpty && ix.forall(notNull) }
+          .sortBy { case (ix, pos) => (ix.length, pos) }
+          .headOption.map(_._1).getOrElse(Nil)
+      }
+    }
+
+    /** A table with no handle key can't replicate consistently
+      * (filter.go eligibility; force-replicate overrides). */
+    def eligible: Boolean = handleKeys.nonEmpty
   }
 
   /** Split `body` on top-level commas, respecting (), '', "" and ``
@@ -208,17 +237,42 @@ object MySqlDdl {
           else (defaultSchema, nameParts.last)
         val parts = splitTopLevel(body)
         val cols = parts.flatMap(parseColDef)
-        // table-level pk clause
+        // table-level pk clause (ordered — the handle key keeps index
+        // column order, table_info_helper.go:684-686)
         val pkRe = """(?is).*PRIMARY\s+KEY\s*\(\s*([^)]*)\s*\).*""".r
-        val pkNames: Set[String] = parts.filter { p =>
+        val tableClauses = parts.filter { p =>
           val head = p.trim.takeWhile(_.isLetter).toLowerCase
           tableLevel.contains(head)
-        }.collectFirst { case pkRe(colList) =>
-          splitTopLevel(colList).map(unquote).toSet
-        }.getOrElse(Set.empty)
+        }
+        val pkOrder: Seq[String] = tableClauses.collectFirst {
+          case pkRe(colList) => splitTopLevel(colList).map(unquote)
+        }.getOrElse(Nil)
+        val pkNames = pkOrder.toSet
+        // unique indexes in definition order: inline `unique` column
+        // attributes and table-level UNIQUE KEY clauses alike
+        val uniqRe = """(?is).*UNIQUE\s+(?:KEY|INDEX)?\s*[`\w]*\s*\(\s*([^)]*)\s*\).*""".r
+        val uniques: Seq[Seq[String]] = parts.flatMap { p =>
+          val trimmed = p.trim
+          // string literals blinded so a DEFAULT 'unique' can't match
+          val blinded = trimmed.replaceAll("'(?:[^']|'')*'", "''").toLowerCase
+          val head = trimmed.takeWhile(c => c.isLetter).toLowerCase
+          if (tableLevel.contains(head)) {
+            if (blinded.matches("(?s).*\\bunique\\b.*") &&
+                !blinded.matches("(?s).*\\bprimary\\b.*"))
+              trimmed match {
+                case uniqRe(colList) => Some(splitTopLevel(colList).map(unquote))
+                case _ => None
+              }
+            else None
+          } else parseColDef(p)
+            .filter(_ => blinded.matches("(?s).*\\bunique\\b.*"))
+            .map(c => Seq(c.name))
+        }
         val withPk = cols.map(c =>
           if (pkNames.contains(c.name)) c.copy(pk = true, notNull = true) else c)
-        Some(MySqlTable(schema, table, withPk))
+        val pkOrdered =
+          if (pkOrder.nonEmpty) pkOrder else withPk.filter(_.pk).map(_.name)
+        Some(MySqlTable(schema, table, withPk, pkOrdered, uniques))
       case _ => None
     }
 

@@ -217,4 +217,39 @@ class DdlParserSpec extends SparkFunSuite {
     val reg = SchemaRegistry().applyAll(creates ++ actions)
     assert(reg.latest("app", "t0").get.columns.length > 100)
   }
+
+  test("handle-key selection: pk wins; else fewest-column not-null UK, " +
+      "earliest on ties; nullable UK skipped (many_pk_or_uk)") {
+    import graft.model.MySqlDdl
+    def t(ddl: String) = MySqlDdl.parseCreateTable(ddl, "test").get
+
+    // 1. a primary key always wins, in INDEX column order
+    val pk = t("create table a (x int, y int, z int unique not null, primary key (y, x))")
+    assert(pk.handleKeys == Seq("y", "x") && pk.eligible)
+
+    // 2. no pk: the NOT-NULL unique index with the fewest columns
+    val uk = t("""create table b (
+      |  p bigint not null, q bigint not null, r bigint not null,
+      |  unique key u2 (p, q), unique key u1 (r))""".stripMargin)
+    assert(uk.handleKeys == Seq("r"))
+
+    // 3. equal width: the earliest-defined index wins
+    val tie = t("""create table c (
+      |  p bigint not null, q bigint not null,
+      |  unique key ua (p), unique key ub (q))""".stripMargin)
+    assert(tie.handleKeys == Seq("p"))
+
+    // 4. a unique index over a NULLABLE column is no handle key
+    val nullable = t("""create table d (
+      |  p bigint, q bigint not null,
+      |  unique key ua (p), unique key ub (q, p))""".stripMargin)
+    assert(nullable.handleKeys.isEmpty && !nullable.eligible)
+
+    // 5. inline `unique` column attribute counts as a one-column index
+    val inline = t("create table e (p bigint not null unique, q bigint not null, unique key u (q, p))")
+    assert(inline.handleKeys == Seq("p"))
+
+    // 6. no pk and no uk at all: ineligible
+    assert(!t("create table f (p bigint, q varchar(10))").eligible)
+  }
 }
