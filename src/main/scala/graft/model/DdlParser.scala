@@ -112,6 +112,66 @@ object DdlParser {
   private def commaList(raw: String): Seq[String] =
     raw.split(',').map(_.trim.replace("`", "")).filter(_.nonEmpty).toSeq
 
+  /** ANSI_QUOTES pre-step (schemastore/utils.go:27-45
+    * transformDDLJobQuery: the reference parses each DDL under the
+    * job's recorded sql_mode, then restores canonical text — the
+    * sql_mode integration scenario): under ANSI_QUOTES, double quotes
+    * delimit IDENTIFIERS, not strings, so `alter table "t" add column
+    * "c" int` must read like the backtick form. Rewrites
+    * double-quoted identifiers to backticks; single-quoted string
+    * literals (with '' escapes) pass through untouched; a doubled ""
+    * inside an ANSI identifier is an escaped quote. */
+  def normalizeAnsiQuotes(sql: String): String = {
+    val out = new StringBuilder
+    var i = 0
+    while (i < sql.length) {
+      sql.charAt(i) match {
+        case '\'' =>
+          out.append('\'')
+          i += 1
+          var done = false
+          while (i < sql.length && !done) {
+            val c = sql.charAt(i)
+            out.append(c)
+            if (c == '\'') {
+              if (i + 1 < sql.length && sql.charAt(i + 1) == '\'') {
+                out.append('\''); i += 1
+              } else done = true
+            }
+            i += 1
+          }
+        case '"' =>
+          out.append('`')
+          i += 1
+          var done = false
+          while (i < sql.length && !done) {
+            val c = sql.charAt(i)
+            if (c == '"') {
+              if (i + 1 < sql.length && sql.charAt(i + 1) == '"') {
+                out.append('"'); i += 1
+              } else { out.append('`'); done = true }
+            } else out.append(c)
+            i += 1
+          }
+        case c =>
+          out.append(c); i += 1
+      }
+    }
+    out.toString
+  }
+
+  /** Parse one DDL statement under a sql_mode (comma-separated flag
+    * list like the MySQL variable; only ANSI_QUOTES changes parsing
+    * here). */
+  def parse(query: String, ts: Long, defaultSchema: String,
+            sqlMode: String): Option[DdlAction] = {
+    val q =
+      if (sqlMode.toUpperCase.split(',').map(_.trim).contains("ANSI_QUOTES"))
+        normalizeAnsiQuotes(query)
+      else query
+    parse(q, ts, defaultSchema)
+  }
+
   /** Parse one DDL statement; None when the statement doesn't change
     * row shape (the registry ignores it, like the reference's
     * unhandled action types). */

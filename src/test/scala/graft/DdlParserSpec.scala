@@ -218,6 +218,25 @@ class DdlParserSpec extends SparkFunSuite {
     assert(reg.latest("app", "t0").get.columns.length > 100)
   }
 
+  test("ANSI_QUOTES sql_mode: double-quoted identifiers parse like backticks " +
+      "(sql_mode scenario)") {
+    // the reference's motivating example (schemastore/utils.go:33-35)
+    val a = DdlParser.parse("""alter table "t" add column "c" int default 1""",
+      ts = 5L, defaultSchema = "app", sqlMode = "STRICT_TRANS_TABLES,ANSI_QUOTES")
+    assert(a.contains(AddColumn("app", "t",
+      ColumnDef("c", "int", Some("1")), 5L)))
+    // without the mode the double quotes stay string-ish and nothing parses
+    assert(DdlParser.parse("""alter table "t" add column "c" int""",
+      ts = 5L, defaultSchema = "app", sqlMode = "").isEmpty)
+    // single-quoted literals survive untouched, including embedded ""
+    assert(DdlParser.normalizeAnsiQuotes(
+      """alter table "t" add column "c" varchar(10) default 'say "hi" ''ok'''""") ==
+      "alter table `t` add column `c` varchar(10) default 'say \"hi\" ''ok'''")
+    // a doubled "" inside an ANSI identifier is an escaped quote
+    assert(DdlParser.normalizeAnsiQuotes("""select "a""b" from t""") ==
+      "select `a\"b` from t")
+  }
+
   test("handle-key selection: pk wins; else fewest-column not-null UK, " +
       "earliest on ties; nullable UK skipped (many_pk_or_uk)") {
     import graft.model.MySqlDdl
