@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.model.{Envelope, EnvelopeSql}
 import graft.operators.EventOrder
-import graft.functions.{Codecs, Decoders, Integrity, LargeMessage}
+import graft.functions.{Codecs, Decoders, Integrity, LargeMessage, RowChecksum}
 
 /** Oracle-checked queries for the consumer/integrity/large-message
   * surface: codec round-trips (the reference's consumer-harness
@@ -125,6 +125,29 @@ object ExtQueries {
             (col("before.value") + 1.0).as("value"),
             col("before.k").as("k"))).otherwise(col("before")))
       Integrity.verify(corrupted).select(col("_row_id"), col("_checksum_ok"))
+    }),
+
+    "q_checksum_crc32" -> ((s, d) => {
+      // the WIRE-compatible CRC32-IEEE checksum (verify_checksum.go
+      // parity, functions/RowChecksum) under the same bit-flip
+      // fixture as q_checksum: seal, corrupt every 1009th row's
+      // in-flight payload, re-verify
+      val cols = Codecs.envelopeCols
+      val sealed0 = RowChecksum.withRowChecksum(env(s, d), cols)
+      val corrupt = pmod(col("_row_id"), lit(1009L)) === 0
+      val corrupted = sealed0
+        .withColumn("after",
+          when(corrupt && col("after").isNotNull, struct(
+            col("after.user_id").as("user_id"),
+            (col("after.value") + 1.0).as("value"),
+            col("after.k").as("k"))).otherwise(col("after")))
+        .withColumn("before",
+          when(corrupt && col("_op") === "D", struct(
+            col("before.user_id").as("user_id"),
+            (col("before.value") + 1.0).as("value"),
+            col("before.k").as("k"))).otherwise(col("before")))
+      RowChecksum.verify(corrupted, cols)
+        .select(col("_row_id"), col("_checksum_ok"))
     }),
 
     "q_large_message" -> ((s, d) =>
@@ -567,6 +590,14 @@ object ExtQueries {
         |FROM env""".stripMargin),
 
     "q_checksum" -> q(
+      """SELECT _row_id,
+        |  CASE WHEN _row_id % 1009 = 0 THEN FALSE ELSE TRUE END AS _checksum_ok
+        |FROM env""".stripMargin),
+
+    // the CRC32 value itself is not SQL-expressible (typed-LE-byte
+    // fold); the oracle pins the verification OUTCOME, which is fully
+    // determined by the corruption fixture
+    "q_checksum_crc32" -> q(
       """SELECT _row_id,
         |  CASE WHEN _row_id % 1009 = 0 THEN FALSE ELSE TRUE END AS _checksum_ok
         |FROM env""".stripMargin),

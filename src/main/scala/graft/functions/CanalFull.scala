@@ -73,56 +73,71 @@ object CanalFull {
     else base
   }
 
+  /** The UNQUOTED canonical literal string for one column's raw
+    * value — what [[valueToken]] JSON-quotes, and what the e2e row
+    * checksum ([[RowChecksum]]) folds for the varchar class. Binary-
+    * flagged types are not string-canonical; use [[binaryBytes]]. */
+  def canonicalLiteral(c: MySqlCol, raw: Column): Column = c.base match {
+    case "bit" => raw.cast(DecimalType(20, 0)).cast("string")
+    case "tinyint" | "smallint" | "mediumint" | "int" | "bigint" | "year" =>
+      // unsigned values are non-negative; decimal domain covers 2^64-1
+      raw.cast(DecimalType(20, 0)).cast("string")
+    case "float" => raw.cast("float").cast("string")
+    case "double" => raw.cast("double").cast("string")
+    case "decimal" =>
+      val p = if (c.flen > 0) c.flen else 10
+      val s = if (c.dec > 0) c.dec else 0
+      raw.cast(DecimalType(p, s)).cast("string")
+    case "enum" =>
+      // MySQL enum value = 1-based index; invalid stored value = 0
+      array_position(typedlit(c.elems), raw).cast("string")
+    case "set" => setMask(c, raw).cast("string")
+    case "date" => date_format(try_to_date(raw), "yyyy-MM-dd")
+    case "datetime" | "timestamp" => dtString(raw, c.fsp)
+    case "time" =>
+      val us = timeMicros(raw, c.fsp)
+      val au = abs(us)
+      val h = idiv(au, 3600000000L)
+      val m = pmod(idiv(au, 60000000L), lit(60L))
+      val s = pmod(idiv(au, 1000000L), lit(60L))
+      val frac =
+        if (c.fsp > 0)
+          concat(lit("."), substring(lpad(pmod(au, lit(1000000L)).cast("string"), 6, "0"), 1, c.fsp))
+        else lit("")
+      concat(when(us < 0, "-").otherwise(""),
+        lpad(h.cast("string"), 2, "0"), lit(":"),
+        lpad(m.cast("string"), 2, "0"), lit(":"),
+        lpad(s.cast("string"), 2, "0"), frac)
+    case "json" =>
+      // divergence: compact separators (TiDB prints `"k": v`)
+      to_json(try_parse_json(raw))
+    case "vector" => vectorToken(raw)
+    case _ => raw // char/varchar/text family: the text itself
+  }
+
+  /** SET bitmask value (1-based member positions; any invalid member →
+    * 0, MySQL's invalid-stored-value rendering). */
+  def setMask(c: MySqlCol, raw: Column): Column = {
+    val members = split(raw, ",")
+    val allValid = forall(members, m => m.isin(c.elems: _*))
+    val mask = aggregate(members, lit(0L),
+      (acc, m) => acc + call_function("shiftleft",
+        lit(1L), (array_position(typedlit(c.elems), m) - 1).cast("int")))
+    when(allValid, mask).otherwise(lit(0L))
+  }
+
   /** The rendered JSON token (quoted string or null) for one column's
     * canonical raw literal. */
   def valueToken(c: MySqlCol, raw: Column): Column = {
-    val rendered: Column = c.base match {
-      case "bit" => q(raw.cast(DecimalType(20, 0)).cast("string"))
-      case "tinyint" | "smallint" | "mediumint" | "int" | "bigint" | "year" =>
-        // unsigned values are non-negative; decimal domain covers 2^64-1
-        q(raw.cast(DecimalType(20, 0)).cast("string"))
-      case "float" => q(raw.cast("float").cast("string"))
-      case "double" => q(raw.cast("double").cast("string"))
-      case "decimal" =>
-        val p = if (c.flen > 0) c.flen else 10
-        val s = if (c.dec > 0) c.dec else 0
-        q(raw.cast(DecimalType(p, s)).cast("string"))
-      case "enum" =>
-        // MySQL enum value = 1-based index; invalid stored value = 0
-        q(array_position(typedlit(c.elems), raw).cast("string"))
-      case "set" =>
-        val members = split(raw, ",")
-        val allValid = forall(members, m => m.isin(c.elems: _*))
-        val mask = aggregate(members, lit(0L),
-          (acc, m) => acc + call_function("shiftleft",
-            lit(1L), (array_position(typedlit(c.elems), m) - 1).cast("int")))
-        q(when(allValid, mask).otherwise(lit(0L)).cast("string"))
-      case "date" => q(date_format(try_to_date(raw), "yyyy-MM-dd"))
-      case "datetime" | "timestamp" => q(dtString(raw, c.fsp))
-      case "time" =>
-        val us = timeMicros(raw, c.fsp)
-        val au = abs(us)
-        val h = idiv(au, 3600000000L)
-        val m = pmod(idiv(au, 60000000L), lit(60L))
-        val s = pmod(idiv(au, 1000000L), lit(60L))
-        val frac =
-          if (c.fsp > 0)
-            concat(lit("."), substring(lpad(pmod(au, lit(1000000L)).cast("string"), 6, "0"), 1, c.fsp))
-          else lit("")
-        q(concat(when(us < 0, "-").otherwise(""),
-          lpad(h.cast("string"), 2, "0"), lit(":"),
-          lpad(m.cast("string"), 2, "0"), lit(":"),
-          lpad(s.cast("string"), 2, "0"), frac))
-      case "json" =>
-        // divergence: compact separators (TiDB prints `"k": v`)
-        q(to_json(try_parse_json(raw)))
-      case "vector" => q(vectorToken(raw))
-      case _ if c.isBinary =>
-        CharsetExpressions.canalBlobJson(paddedBytes(c, raw))
-      case _ => q(raw) // char/varchar/text family: the text itself
-    }
+    val rendered: Column =
+      if (c.isBinary) CharsetExpressions.canalBlobJson(paddedBytes(c, raw))
+      else q(canonicalLiteral(c, raw))
     coalesce(rendered, lit("null"))
   }
+
+  /** The byte view of a binary-flagged column's raw literal (0xHEX or
+    * text), BINARY(n) zero-padded to its declared length. */
+  def binaryBytes(c: MySqlCol, raw: Column): Column = paddedBytes(c, raw)
 
   /** TiDB VectorFloat32.String() rendering of a bracket-literal
     * VECTOR(n) value (tidb types/vector: each element

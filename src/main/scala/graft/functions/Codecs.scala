@@ -163,15 +163,38 @@ object Codecs {
     * `schemaVersion` are zero here and omitempty drops them;
     * `buildTs` is the deterministic commit-ms stand-in for the
     * reference's time.Now. Values are strings per encodeValue. */
-  def simpleProtocol(env: DataFrame): DataFrame = {
+  /** The envelope payload's MySQL-typed column model — what the e2e
+    * row checksum folds over. `value` is modeled DECIMAL(18,2), the
+    * money-decimal convention every envelope codec renders
+    * ([[simpleImage]], csvLine), so the checksum a consumer recomputes
+    * from WIRE values folds the identical canonical bytes the
+    * encoder folded. */
+  val envelopeCols: Seq[graft.model.MySqlDdl.MySqlCol] = Seq(
+    graft.model.MySqlDdl.MySqlCol("user_id", "bigint", notNull = true, pk = true),
+    graft.model.MySqlDdl.MySqlCol("value", "decimal", flen = 18, dec = 2),
+    graft.model.MySqlDdl.MySqlCol("k", "bigint"))
+
+  def simpleProtocol(env: DataFrame, enableRowChecksum: Boolean = false): DataFrame = {
     val typ = when(col("_op") === "I", "INSERT")
       .when(col("_op") === "U", "UPDATE").otherwise("DELETE")
+    // enable-row-checksum: the wire-compatible CRC32 block rides
+    // between buildTs and data, the message-struct field position
+    // (simple/message.go:262-263; values RowChecksum CRC32-IEEE)
+    val checksumPart =
+      if (!enableRowChecksum) lit("")
+      else concat(
+        lit(",\"checksum\":{\"version\":1,\"corrupted\":false,\"current\":"),
+        RowChecksum.checksumFor(envelopeCols, "after"),
+        lit(",\"previous\":"),
+        RowChecksum.checksumFor(envelopeCols, "before"),
+        lit("}"))
     env.withColumn("_value", concat(
       lit("{\"version\":1,\"database\":\""), col("_schema"),
       lit("\",\"table\":\""), col("_table"),
       lit("\",\"type\":\""), typ,
       lit("\",\"commitTs\":"), col("_commit_ts"),
       lit(",\"buildTs\":"), ms(col("_commit_ts")),
+      checksumPart,
       when(col("_op") =!= "D", concat(lit(",\"data\":"), simpleImage("after")))
         .otherwise(lit("")),
       when(col("_op") =!= "I", concat(lit(",\"old\":"), simpleImage("before")))

@@ -164,8 +164,9 @@ object Decoders {
 
   /** Simple-protocol message → envelope frame for the fixture payload
     * (lossless commit-ts; reference simple/decoder.go:829). */
-  def decodeSimple(msgs: DataFrame, valueCol: String = "_value"): DataFrame =
-    decodeSimpleFor(msgs, imageSchema, valueCol)
+  def decodeSimple(msgs: DataFrame, valueCol: String = "_value",
+                   withChecksum: Boolean = false): DataFrame =
+    decodeSimpleFor(msgs, imageSchema, valueCol, withChecksum)
 
   /** Simple-protocol decode over an arbitrary target image schema.
     * The wire object carries every scalar as a STRING (and
@@ -173,7 +174,8 @@ object Decoders {
     * simple/message.go:434-491), so the parse schema is string-typed
     * and each field casts back to its target type. */
   def decodeSimpleFor(msgs: DataFrame, image: StructType,
-                      valueCol: String = "_value"): DataFrame = {
+                      valueCol: String = "_value",
+                      withChecksum: Boolean = false): DataFrame = {
     val wireImage = StructType(image.fields.map { f =>
       f.dataType match {
         case _: TimestampType => StructField(f.name, StructType(Seq(
@@ -193,6 +195,11 @@ object Decoders {
       StructField("schemaVersion", LongType),
       StructField("claimCheckLocation", StringType),
       StructField("handleKeyOnly", BooleanType),
+      StructField("checksum", StructType(Seq(
+        StructField("version", IntegerType),
+        StructField("corrupted", BooleanType),
+        StructField("current", LongType),
+        StructField("previous", LongType)))),
       StructField("data", wireImage),
       StructField("old", wireImage)))
     def mount(img: Column): Column = {
@@ -215,15 +222,23 @@ object Decoders {
     val j = col("__j")
     msgs
       .withColumn("__j", from_json(col(valueCol), simpleSchema, wireOptions))
-      .select(
-      j.getField("database").as("_schema"),
-      j.getField("table").as("_table"),
-      j.getField("commitTs").as("_commit_ts"),
-      when(j.getField("type") === "INSERT", "I")
-        .when(j.getField("type") === "UPDATE", "U")
-        .otherwise("D").as("_op"),
-      mount(j.getField("old")).as("before"),
-      mount(j.getField("data")).as("after"))
+      .select(Seq(
+        j.getField("database").as("_schema"),
+        j.getField("table").as("_table"),
+        j.getField("commitTs").as("_commit_ts"),
+        when(j.getField("type") === "INSERT", "I")
+          .when(j.getField("type") === "UPDATE", "U")
+          .otherwise("D").as("_op"),
+        mount(j.getField("old")).as("before"),
+        mount(j.getField("data")).as("after")) ++
+        // e2e checksum block (message.go:262-263); absent → 0, the
+        // "not enabled" sentinel RowChecksum.verify honors
+        (if (withChecksum) Seq(
+          coalesce(j.getField("checksum").getField("current"), lit(0L))
+            .as("_checksum_current"),
+          coalesce(j.getField("checksum").getField("previous"), lit(0L))
+            .as("_checksum_previous"))
+         else Nil): _*)
   }
 
   private val csvSchema = StructType(Seq(

@@ -150,6 +150,33 @@ object SimpleAvro {
     final case class UBig(v: Long) extends Val // unsigned bigint, reinterpreted bits
   }
 
+  /** Wire-compatible CRC32-IEEE checksum of one image's values in
+    * column order — the driver-side twin of
+    * [[RowChecksum.checksumOf]] for this encoder's [[Val]] model
+    * (verify_checksum.go:90-152): L/UBig fold their int64 bits LE,
+    * F widens float32→float64 then folds the float64 bits, S/B/Ts
+    * fold length-prefixed canonical bytes, Null folds nothing. Feed
+    * the result into [[encodeDml]]'s `checksum` current/previous. */
+  def checksumOf(vals: Seq[Val]): Long = {
+    val crc = new java.util.zip.CRC32()
+    vals.foreach { v =>
+      val bytes = v match {
+        case Val.Null => RowChecksum.empty
+        case Val.L(x) => RowChecksum.tokenLong(x)
+        case Val.UBig(x) => RowChecksum.tokenLong(x)
+        case Val.F(x) => RowChecksum.tokenDouble(x.toDouble)
+        case Val.D(x) => RowChecksum.tokenDouble(x)
+        case Val.S(x) =>
+          RowChecksum.tokenBytes(x.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        case Val.B(x) => RowChecksum.tokenBytes(x)
+        case Val.Ts(_, value) =>
+          RowChecksum.tokenBytes(value.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      }
+      crc.update(bytes)
+    }
+    crc.getValue
+  }
+
   private def valToAvro(v: Val): AnyRef = v match {
     case Val.Null => null
     case Val.L(x) => java.lang.Long.valueOf(x)
