@@ -31,7 +31,12 @@ object MySqlDdl {
       pk: Boolean = false,
       autoInc: Boolean = false,
       elems: Seq[String] = Nil,
-      default: Option[String] = None) {
+      default: Option[String] = None,
+      /** AUTO_RANDOM(shardBits) handle column (TiDB extension;
+        * tests/integration_tests/autorandom): implies pk-is-handle,
+        * explicit inserts need allow_auto_random_explicit_insert. */
+      autoRandom: Boolean = false,
+      autoRandomBits: Int = 5) {
     def fsp: Int = if (dec < 0) 0 else dec
     /** Types carrying the MySQL binary flag (bytes, not text). */
     def isBinary: Boolean = base match {
@@ -103,6 +108,28 @@ object MySqlDdl {
     /** A table with no handle key can't replicate consistently
       * (filter.go eligibility; force-replicate overrides). */
     def eligible: Boolean = handleKeys.nonEmpty
+
+    private val intBases = Set("tinyint", "smallint", "mediumint", "int", "bigint")
+
+    /** TiDB pk-is-handle: a single integer-class PRIMARY KEY column —
+      * the row handle IS the column value (clustered integer pk). */
+    def pkIsHandle: Boolean = {
+      val pk = if (primaryOrder.nonEmpty) primaryOrder else pkCols.map(_.name)
+      pk.length == 1 &&
+        cols.find(_.name == pk.head).exists(c => intBases.contains(c.base))
+    }
+
+    def autoRandomCol: Option[MySqlCol] = cols.find(_.autoRandom)
+
+    /** AUTO_RANDOM is only legal on the pk-is-handle column (TiDB
+      * errors otherwise — "Invalid auto random", ddl error 8216); a
+      * valid auto_random table is always eligible through its pk
+      * handle, and the sink replays its explicit handle values under
+      * allow_auto_random_explicit_insert
+      * (tests/integration_tests/autorandom; mysql/helper.go:239-245). */
+    def autoRandomValid: Boolean = autoRandomCol.forall { c =>
+      pkIsHandle && handleKeys == Seq(c.name) && c.base == "bigint" && !c.autoInc
+    }
   }
 
   /** Split `body` on top-level commas, respecting (), '', "" and ``
@@ -211,13 +238,20 @@ object MySqlDdl {
         val notNull = attrs.contains("not null")
         val pk = attrs.contains("primary key")
         val autoInc = attrs.contains("auto_increment")
+        // AUTO_RANDOM / AUTO_RANDOM(n): TiDB-only column attribute
+        // (ddl parser ast ColumnOptionAutoRandom); default 5 shard bits
+        val autoRandRe = """(?s).*\bauto_random(?:\s*\(\s*(\d+)\s*\))?.*""".r
+        val (autoRand, autoRandBits) = attrs match {
+          case autoRandRe(bits) => (true, Option(bits).map(_.toInt).getOrElse(5))
+          case _ => (false, 5)
+        }
         val dfltRe = """(?is).*\bdefault\s+('(?:[^']|'')*'|[^\s,]+).*""".r
         val dflt = attrs0 match {
           case dfltRe(v) => Some(unquote(v))
           case _ => None
         }
         Some(MySqlCol(name, base, flen, dec, unsigned, notNull || pk, pk,
-          autoInc, elems, dflt))
+          autoInc, elems, dflt, autoRand, autoRandBits))
       case _ => None
     }
   }

@@ -73,6 +73,25 @@ final class JdbcApplier(val url: String) {
     pkRegistry.put((schema, table), pks)
   }
 
+  /** Declare a DEFERRABLE foreign key (Derby ≥10.11 constraint
+    * characteristics) — immediate-checked by default, deferred to
+    * commit once the session prologue's `foreign_key_checks = 0`
+    * marker arrives (the executable analog of MySQL's FK bypass; the
+    * reference's foreign_key/foreign_key_check scenarios). */
+  def addForeignKey(schema: String, table: String, name: String,
+                    cols: Seq[String], refTable: String,
+                    refCols: Seq[String]): Unit = withConnection { conn =>
+    val st = conn.createStatement()
+    try st.executeUpdate(
+      s"""ALTER TABLE "$schema"."$table" ADD CONSTRAINT "$name" """ +
+        s"""FOREIGN KEY (${cols.map(c => s""""$c"""").mkString(",")}) """ +
+        s"""REFERENCES "$schema"."$refTable" """ +
+        s"""(${refCols.map(c => s""""$c"""").mkString(",")}) """ +
+        "DEFERRABLE INITIALLY IMMEDIATE")
+    catch { case e: SQLException if e.getSQLState == "X0Y32" => () } // exists
+    st.close()
+  }
+
   /** The reference's bookkeeping tables (mysql_writer_for_ddl_ts.go:266,
     * mysql_writer_for_syncpoint.go) so ddl-ts/sync-point statements
     * execute for real. */
@@ -93,12 +112,30 @@ final class JdbcApplier(val url: String) {
   def execute(stmts: Iterator[String]): Unit = withConnection { conn =>
     conn.setAutoCommit(true)
     var inTxn = false
+    var fkChecksOff = false
     val st = conn.createStatement()
+    // the Derby analog of MySQL's foreign_key_checks=0 (the reference
+    // pins it on every writer connection, helper.go:274-275): defer
+    // DEFERRABLE FK constraints to commit, so child-before-parent
+    // statement order inside a txn frame succeeds. Transaction-scoped
+    // in Derby, hence re-issued at each BEGIN.
+    def deferFks(): Unit =
+      try st.executeUpdate("SET CONSTRAINTS ALL DEFERRED")
+      catch { case _: SQLException => () } // no deferrable constraints
     stmts.foreach { raw =>
       raw match {
-        case "BEGIN" => conn.setAutoCommit(false); inTxn = true
+        case "BEGIN" =>
+          conn.setAutoCommit(false); inTxn = true
+          if (fkChecksOff) deferFks()
         case "COMMIT" => conn.commit(); conn.setAutoCommit(true); inTxn = false
-        case s if s.toUpperCase.startsWith("SET SESSION") => sessionMarkers.add(s)
+        case s if s.toUpperCase.startsWith("SET SESSION") ||
+            s.toUpperCase.startsWith("SET NAMES") =>
+          sessionMarkers.add(s)
+          if (s.replaceAll("\\s+", " ").toLowerCase
+              .contains("foreign_key_checks = 0")) {
+            fkChecksOff = true
+            deferFks()
+          }
         case s => JdbcApplier.translate(s, pkOf).foreach(t => runOne(st, t))
       }
     }

@@ -303,6 +303,49 @@ object MysqlSink {
   def sessionPrologue(bdrMode: Boolean): Seq[String] =
     if (bdrMode) Seq("SET SESSION tidb_cdc_write_source = 1") else Seq.empty
 
+  /** FULL writer-connection prologue (generateDSN,
+    * pkg/sink/mysql/helper.go:220-290): the reference pins these as
+    * DSN params so the driver applies them on every new connection;
+    * rendered here as SESSION SETs prepended to each worker's
+    * statement stream (the DSN-level driver knobs readTimeout/
+    * writeTimeout/timeout/maxAllowedPacket=0 ride along as markers —
+    * connection-pool configuration, not SQL state):
+    *  - `time_zone` only when configured (helper.go:230-232; empty →
+    *    not passed, the server default)
+    *  - `allow_auto_random_explicit_insert=1` (helper.go:239-245):
+    *    replicated rows INSERT their upstream AUTO_RANDOM handle
+    *    values explicitly, which TiDB rejects without this
+    *  - `tidb_txn_mode` (config default optimistic; forced
+    *    pessimistic under active-active unless explicitly set,
+    *    helper.go:247-257)
+    *  - `transaction_isolation="READ-COMMITTED"` (helper.go:260-269 —
+    *    the sink never reads, RC is cheapest)
+    *  - `charset=utf8mb4` ≙ SET NAMES (helper.go:271-272)
+    *  - `foreign_key_checks=0` (helper.go:274-275): rows apply in
+    *    per-key conflict order, not FK-topological order, so
+    *    child-before-parent must be legal downstream
+    *  - `tidb_placement_mode="ignore"`,
+    *    `tidb_enable_external_ts_read="OFF"` (helper.go:277-290)
+    * plus the BDR write-source marker ([[sessionPrologue]]). */
+  def connectionPrologue(bdrMode: Boolean = false,
+                         timezone: Option[String] = None,
+                         tidbTxnMode: String = "optimistic",
+                         activeActive: Boolean = false,
+                         txnModeSpecified: Boolean = false): Seq[String] = {
+    val txnMode =
+      if (activeActive && !txnModeSpecified) "pessimistic" else tidbTxnMode
+    timezone.map(tz => s"SET SESSION time_zone = '$tz'").toSeq ++ Seq(
+      "SET SESSION max_allowed_packet = 0",
+      "SET SESSION allow_auto_random_explicit_insert = 1",
+      s"SET SESSION tidb_txn_mode = '$txnMode'",
+      "SET SESSION transaction_isolation = 'READ-COMMITTED'",
+      "SET NAMES utf8mb4",
+      "SET SESSION foreign_key_checks = 0",
+      "SET SESSION tidb_placement_mode = 'ignore'",
+      "SET SESSION tidb_enable_external_ts_read = 'OFF'") ++
+      sessionPrologue(bdrMode)
+  }
+
   /** DDL execution statements with async-DDL progress bookkeeping
     * (mysql_writer_ddl.go; ddl-ts table mysql_writer_for_ddl_ts.go:266;
     * table names pkg/filter/filter.go:33-36): the DDL itself followed

@@ -94,7 +94,7 @@ object Changefeed {
       .foreachBatch { (batch: DataFrame, _: Long) =>
         graft.sinks.MysqlSink.applyBatch(batch, cfg.handleKeys,
           cfg.sink.numPartitions, cfg.sink.safeMode,
-          graft.sinks.MysqlSink.sessionPrologue(cfg.sink.bdrMode))(execute)
+          graft.sinks.MysqlSink.connectionPrologue(cfg.sink.bdrMode))(execute)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

@@ -271,4 +271,39 @@ class DdlParserSpec extends SparkFunSuite {
     // 6. no pk and no uk at all: ineligible
     assert(!t("create table f (p bigint, q varchar(10))").eligible)
   }
+
+  test("AUTO_RANDOM: parsed with shard bits, valid only on the " +
+      "pk-is-handle bigint column (autorandom scenario)") {
+    import graft.model.MySqlDdl
+    def t(ddl: String) = MySqlDdl.parseCreateTable(ddl, "test").get
+
+    // default 5 shard bits; the auto_random pk IS the handle
+    val ar = t("create table a (id bigint auto_random primary key, v int)")
+    val id = ar.cols.find(_.name == "id").get
+    assert(id.autoRandom && id.autoRandomBits == 5)
+    assert(ar.pkIsHandle && ar.handleKeys == Seq("id") && ar.autoRandomValid)
+
+    // explicit shard bits
+    val ar3 = t("create table b (id bigint auto_random(3) primary key, v int)")
+    assert(ar3.cols.head.autoRandomBits == 3 && ar3.autoRandomValid)
+
+    // auto_random off the primary key is invalid (TiDB error 8216)
+    val offPk = t("create table c (id bigint primary key, r bigint auto_random)")
+    assert(offPk.autoRandomCol.exists(_.name == "r") && !offPk.autoRandomValid)
+
+    // a composite pk is not pk-is-handle, so auto_random is invalid
+    val comp = t("create table d (id bigint auto_random, v int, primary key (id, v))")
+    assert(!comp.pkIsHandle && !comp.autoRandomValid)
+
+    // auto_random cannot combine with auto_increment
+    val both = t("create table e (id bigint auto_random auto_increment primary key)")
+    assert(!both.autoRandomValid)
+
+    // a plain int pk is pk-is-handle; a varchar pk is not
+    assert(t("create table f (id int primary key)").pkIsHandle)
+    assert(!t("create table g (id varchar(10) primary key)").pkIsHandle)
+
+    // no auto_random column at all: vacuously valid
+    assert(t("create table h (id bigint primary key)").autoRandomValid)
+  }
 }

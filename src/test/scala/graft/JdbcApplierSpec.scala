@@ -181,4 +181,60 @@ class JdbcApplierSpec extends SparkFunSuite {
     a.execute(MysqlSink.sessionPrologue(bdrMode = true).iterator)
     assert(a.sessionMarkers.contains("SET SESSION tidb_cdc_write_source = 1"))
   }
+
+  test("connection prologue renders the reference's DSN params (helper.go:220-290)") {
+    val p = MysqlSink.connectionPrologue(bdrMode = true,
+      timezone = Some("Asia/Shanghai"))
+    assert(p.head == "SET SESSION time_zone = 'Asia/Shanghai'")
+    assert(p.contains("SET SESSION allow_auto_random_explicit_insert = 1"))
+    assert(p.contains("SET SESSION tidb_txn_mode = 'optimistic'"))
+    assert(p.contains("SET SESSION transaction_isolation = 'READ-COMMITTED'"))
+    assert(p.contains("SET NAMES utf8mb4"))
+    assert(p.contains("SET SESSION foreign_key_checks = 0"))
+    assert(p.contains("SET SESSION tidb_placement_mode = 'ignore'"))
+    assert(p.contains("SET SESSION tidb_enable_external_ts_read = 'OFF'"))
+    assert(p.last == "SET SESSION tidb_cdc_write_source = 1")
+    // no timezone configured → the variable is not passed (helper.go:230-232)
+    assert(!MysqlSink.connectionPrologue().exists(_.contains("time_zone")))
+    // active-active forces pessimistic unless the mode was explicit
+    assert(MysqlSink.connectionPrologue(activeActive = true)
+      .contains("SET SESSION tidb_txn_mode = 'pessimistic'"))
+    assert(MysqlSink.connectionPrologue(activeActive = true,
+      tidbTxnMode = "optimistic", txnModeSpecified = true)
+      .contains("SET SESSION tidb_txn_mode = 'optimistic'"))
+  }
+
+  test("foreign_key analog: child-before-parent order succeeds only under " +
+      "the prologue's foreign_key_checks=0 (deferred to commit)") {
+    val a = JdbcApplier.inMemory("fkdb")
+    a.createTable("app", "parent", Seq("id" -> "BIGINT"), Seq("id"))
+    a.createTable("app", "child",
+      Seq("id" -> "BIGINT", "pid" -> "BIGINT"), Seq("id"))
+    a.addForeignKey("app", "child", "fk_child_parent",
+      Seq("pid"), "parent", Seq("id"))
+    // the conflict partitioner yields per-key order, not FK-topological
+    // order: the child row's statement lands before its parent's
+    val stream = Seq(
+      "BEGIN",
+      "INSERT INTO `app`.`child` (`id`,`pid`) VALUES (1,10)",
+      "INSERT INTO `app`.`parent` (`id`) VALUES (10)",
+      "COMMIT")
+    // bare connection: the FK is immediate-checked and the stream dies
+    intercept[java.sql.SQLException] { a.execute(stream.iterator) }
+    assert(a.tableRows("app", "parent", Seq("id")).isEmpty)
+    // the reference's writer connection always carries
+    // foreign_key_checks=0 (helper.go:274-275) → checked at commit
+    a.execute((MysqlSink.connectionPrologue() ++ stream).iterator)
+    assert(a.tableRows("app", "child", Seq("id", "pid")) == Seq(Seq(1L, 10L)))
+    assert(a.tableRows("app", "parent", Seq("id")) == Seq(Seq(10L)))
+    // a dangling reference still fails AT COMMIT under the prologue
+    val dangling = Seq(
+      "BEGIN",
+      "INSERT INTO `app`.`child` (`id`,`pid`) VALUES (2,999)",
+      "COMMIT")
+    intercept[java.sql.SQLException] {
+      a.execute((MysqlSink.connectionPrologue() ++ dangling).iterator)
+    }
+    assert(a.tableRows("app", "child", Seq("id", "pid")) == Seq(Seq(1L, 10L)))
+  }
 }
