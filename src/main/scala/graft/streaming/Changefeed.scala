@@ -124,6 +124,17 @@ object Changefeed {
     transform(spark, cfg)(env)
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
+        // fail_over_ddl kill sites (tests/integration_tests/
+        // fail_over_ddl_A..O model node kills at distinct points
+        // around the DDL barrier): a firing `panic`/`return` fails the
+        // batch at that point; the batch is uncommitted so a restart
+        // from the checkpoint replays it. Sites, in batch order:
+        // pre-barrier (nothing ran), post-registry (snapshots planned,
+        // nothing written), pre-write/post-write (around each step's
+        // downstream write — post-write leaves a PARTIAL emit the
+        // restart must re-cover), post-sink (all writes done, ack not
+        // yet recorded — the replay-after-success case).
+        Failpoints.evalThrow("graft/ddl/pre-barrier")
         val b = batch.persist()
         try {
           val range = b.agg(min(col("_commit_ts")), max(col("_commit_ts"))).head()
@@ -132,7 +143,13 @@ object Changefeed {
             val registryAtLo = initial.applyAll(ddls.filter(_.ts <= lo))
             val pending = ddls.filter(d => d.ts > lo && d.ts <= hi)
             val steps = DdlBarrier.plan(b, pending, registryAtLo)
-            steps.foreach { s => emit(DdlBarrier.conform(s, payloadCols), s.upToTs) }
+            Failpoints.evalThrow("graft/ddl/post-registry")
+            steps.foreach { s =>
+              Failpoints.evalThrow("graft/ddl/pre-write")
+              emit(DdlBarrier.conform(s, payloadCols), s.upToTs)
+              Failpoints.evalThrow("graft/ddl/post-write")
+            }
+            Failpoints.evalThrow("graft/ddl/post-sink")
           }
         } finally { b.unpersist(); () }
       }

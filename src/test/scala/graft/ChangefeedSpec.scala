@@ -205,9 +205,16 @@ class ChangefeedSpec extends SparkFunSuite {
         it.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
     }
     q.awaitTermination(120000)
-    val stmts = new java.io.File(stmtDir).listFiles().toSeq
+    val all = new java.io.File(stmtDir).listFiles().toSeq
       .flatMap(f => scala.io.Source.fromFile(f).getLines())
       .filter(_.nonEmpty)
+    // every worker connection leads with the full session prologue
+    // (connectionPrologue: helper.go:220-290 DSN params as SETs)
+    val prologues = all.filter(s => s.startsWith("SET "))
+    assert(prologues.contains("SET SESSION foreign_key_checks = 0"))
+    assert(prologues.count(_ == "SET SESSION foreign_key_checks = 0") == 4,
+      "one prologue per worker partition")
+    val stmts = all.filterNot(_.startsWith("SET "))
     assert(stmts.size == 1000, s"one statement per change row, got ${stmts.size}")
     assert(stmts.count(_.startsWith("REPLACE INTO")) > 0)
     assert(stmts.count(_.startsWith("DELETE FROM")) > 0)
