@@ -47,9 +47,11 @@ object CanalFull {
   private def timeMicros(raw: Column, fsp: Int): Column = {
     val sign = when(raw.startsWith("-"), -1L).otherwise(1L)
     val body = regexp_replace(raw, "^-", "")
-    val h = regexp_extract(body, "^(\\d+):", 1).cast("long")
-    val m = regexp_extract(body, "^\\d+:(\\d+)", 1).cast("long")
-    val sec = regexp_extract(body, "^\\d+:\\d+:(\\d+)", 1).cast("long")
+    // nullif guards the ANSI cast: a non-TIME literal extracts ""
+    // and must render null, not kill the batch
+    val h = nullif(regexp_extract(body, "^(\\d+):", 1), lit("")).cast("long")
+    val m = nullif(regexp_extract(body, "^\\d+:(\\d+)", 1), lit("")).cast("long")
+    val sec = nullif(regexp_extract(body, "^\\d+:\\d+:(\\d+)", 1), lit("")).cast("long")
     val fracUs = coalesce(rpad(regexp_extract(body, "\\.(\\d+)$", 1), 6, "0").cast("long"), lit(0L))
     val unit = math.pow(10, 6 - fsp).toLong
     val rounded = if (unit <= 1) fracUs

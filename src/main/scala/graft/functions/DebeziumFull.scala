@@ -237,9 +237,11 @@ object DebeziumFull {
       case "time" =>
         val sign = when(raw.startsWith("-"), -1L).otherwise(1L)
         val body = regexp_replace(raw, "^-", "")
-        val h = regexp_extract(body, "^(\\d+):", 1).cast("long")
-        val m = regexp_extract(body, "^\\d+:(\\d+)", 1).cast("long")
-        val sec = regexp_extract(body, "^\\d+:\\d+:(\\d+)", 1).cast("long")
+        // nullif guards the ANSI cast: a non-TIME literal extracts ""
+        // and must render null, not kill the batch
+        val h = nullif(regexp_extract(body, "^(\\d+):", 1), lit("")).cast("long")
+        val m = nullif(regexp_extract(body, "^\\d+:(\\d+)", 1), lit("")).cast("long")
+        val sec = nullif(regexp_extract(body, "^\\d+:\\d+:(\\d+)", 1), lit("")).cast("long")
         val fracRaw = regexp_extract(body, "\\.(\\d+)$", 1)
         val fracUs = coalesce(
           rpad(fracRaw, 6, "0").cast("long"), lit(0L))

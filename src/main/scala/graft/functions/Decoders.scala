@@ -162,6 +162,33 @@ object Decoders {
       j.getField("after").as("after"))
   }
 
+  /** Full-fidelity Debezium envelope decode — the consumer side of
+    * [[DebeziumFull.encode]] (schema block + payload wrapper; the
+    * source block carries db/table, commit time returns at ms
+    * precision from payload.ts_ms). A string-typed `image` keeps
+    * values in their wire form (numbers/epoch forms/base64) for
+    * wire-space state folding. */
+  def decodeDebeziumFull(msgs: DataFrame, image: StructType,
+                         valueCol: String = "_value"): DataFrame = {
+    val payload = StructType(Seq(
+      StructField("before", image), StructField("after", image),
+      StructField("source", StructType(Seq(
+        StructField("db", StringType), StructField("table", StringType)))),
+      StructField("op", StringType), StructField("ts_ms", LongType)))
+    val j = col("__j").getField("payload")
+    msgs.withColumn("__j", from_json(col(valueCol),
+        StructType(Seq(StructField("payload", payload))), wireOptions))
+      .select(
+        j.getField("source").getField("db").as("_schema"),
+        j.getField("source").getField("table").as("_table"),
+        j.getField("ts_ms").as("_commit_ts_ms"),
+        when(j.getField("op") === "c", "I")
+          .when(j.getField("op") === "u", "U")
+          .otherwise("D").as("_op"),
+        j.getField("before").as("before"),
+        j.getField("after").as("after"))
+  }
+
   /** Simple-protocol message → envelope frame for the fixture payload
     * (lossless commit-ts; reference simple/decoder.go:829). */
   def decodeSimple(msgs: DataFrame, valueCol: String = "_value",

@@ -185,7 +185,9 @@ object MySqlDdl {
       else java.lang.Long.toUnsignedString(java.lang.Long.parseUnsignedLong(body, 2))
     } else if (lower.startsWith("0x") && t.drop(2).forall(c => Character.digit(c, 16) >= 0)) {
       "0x" + t.drop(2)
-    } else unquote(t)
+    } else if (lower == "true") "1" // MySQL TRUE/FALSE are 1/0 literals
+    else if (lower == "false") "0"
+    else unquote(t)
   }
 
   private val typeRe =
@@ -237,7 +239,9 @@ object MySqlDdl {
         val unsigned = attrs.contains("unsigned")
         val notNull = attrs.contains("not null")
         val pk = attrs.contains("primary key")
-        val autoInc = attrs.contains("auto_increment")
+        // SERIAL DEFAULT VALUE ≙ NOT NULL AUTO_INCREMENT UNIQUE
+        val autoInc = attrs.contains("auto_increment") ||
+          attrs.contains("serial default value")
         // AUTO_RANDOM / AUTO_RANDOM(n): TiDB-only column attribute
         // (ddl parser ast ColumnOptionAutoRandom); default 5 shard bits
         val autoRandRe = """(?s).*\bauto_random(?:\s*\(\s*(\d+)\s*\))?.*""".r
@@ -247,7 +251,13 @@ object MySqlDdl {
         }
         val dfltRe = """(?is).*\bdefault\s+('(?:[^']|'')*'|[^\s,]+).*""".r
         val dflt = attrs0 match {
-          case dfltRe(v) => Some(unquote(v))
+          // DEFAULT NULL means "no default"; SERIAL DEFAULT VALUE is
+          // the auto-increment shorthand, not a default; binary/bit
+          // literal defaults (b'1', x'..') normalize like INSERT
+          // literals
+          case dfltRe(v) if !v.equalsIgnoreCase("null") &&
+              !v.equalsIgnoreCase("value") =>
+            Some(normalizeLiteral(v))
           case _ => None
         }
         Some(MySqlCol(name, base, flen, dec, unsigned, notNull || pk, pk,
@@ -315,7 +325,7 @@ object MySqlDdl {
   case class InsertRow(table: String, values: Map[String, Option[String]])
 
   private val insertRe =
-    """(?is)^\s*INSERT\s+INTO\s+([`\w.]+)\s*(?:\(\s*(.*?)\s*\))?\s*VALUES\s*(.*)$""".r
+    """(?is)^\s*INSERT\s+INTO\s+([`\w.]+)\s*(?:\(\s*(.*?)\s*\))?\s*VALUES?\s*(.*)$""".r
 
   /** Parse INSERT INTO t [(cols)] VALUES (...),(...) into raw literal
     * rows. Literals keep their text form (quotes stripped); NULL →
@@ -340,14 +350,91 @@ object MySqlDdl {
       case _ => Seq.empty
     }
 
+  /** Strip slash-star block comments outside string literals (the
+    * Debezium corpora annotate INSERT values inline, e.g. a
+    * "Zero dates" comment between VALUES( and '0000-00-00'). */
+  private[model] def stripBlockComments(script: String): String = {
+    val out = new StringBuilder
+    var i = 0; var quote: Char = 0
+    while (i < script.length) {
+      val c = script.charAt(i)
+      if (quote != 0) {
+        out.append(c)
+        if (c == quote) quote = 0
+        else if (c == '\\' && i + 1 < script.length) {
+          out.append(script.charAt(i + 1)); i += 1
+        }
+        i += 1
+      } else if (c == '\'' || c == '"' || c == '`') {
+        quote = c; out.append(c); i += 1
+      } else if (c == '/' && i + 1 < script.length && script.charAt(i + 1) == '*') {
+        val end = script.indexOf("*/", i + 2)
+        i = if (end < 0) script.length else end + 2
+      } else { out.append(c); i += 1 }
+    }
+    out.toString
+  }
+
   /** Split a .sql script into statements (`;` at top level), dropping
-    * `--` comment lines (comments inside string literals survive: the
-    * strip only applies where the prefix has balanced quotes). */
+    * `--` comment lines and block comments (comments inside string
+    * literals survive: the strip only applies where the prefix has
+    * balanced quotes). */
   def splitStatements(script: String): Seq[String] = {
-    val noComments = script.linesIterator.map { l =>
+    val noBlocks = stripBlockComments(script)
+    val noComments = noBlocks.linesIterator.map { l =>
       val i = l.indexOf("--")
       if (i >= 0 && l.substring(0, i).count(_ == '\'') % 2 == 0) l.substring(0, i) else l
     }.mkString("\n")
     splitTopLevel(noComments, ';').map(_.trim).filter(_.nonEmpty)
   }
+
+  /** One parsed UPDATE: SET assignments + conjunctive equality WHERE
+    * (the shape the reference's Debezium behavior corpora use,
+    * tests/integration_tests/debezium02-03 sql). Empty `where` = all
+    * rows. Values normalized like [[parseInsert]]; None = NULL. */
+  case class UpdateStmt(table: String, sets: Seq[(String, Option[String])],
+                        where: Seq[(String, Option[String])])
+
+  /** One parsed DELETE with conjunctive equality WHERE (empty = all). */
+  case class DeleteStmt(table: String, where: Seq[(String, Option[String])])
+
+  private val updateRe =
+    """(?is)^\s*UPDATE\s+([`\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
+  private val deleteRe =
+    """(?is)^\s*DELETE\s+FROM\s+([`\w.]+)(?:\s+WHERE\s+(.*))?$""".r
+
+  private def eqPair(s: String): Option[(String, Option[String])] = {
+    val i = s.indexOf('=')
+    if (i <= 0) None
+    else {
+      val name = s.take(i).trim.replace("`", "")
+      val v = s.drop(i + 1).trim
+      Some(name ->
+        (if (v.equalsIgnoreCase("null")) None else Some(normalizeLiteral(v))))
+    }
+  }
+
+  private def parseAssignments(s: String): Seq[(String, Option[String])] =
+    splitTopLevel(s).flatMap(eqPair)
+
+  private def parseConds(s: String): Seq[(String, Option[String])] =
+    s.split("(?i)\\s+AND\\s+").toSeq.map(_.trim).filter(_.nonEmpty)
+      .flatMap(eqPair)
+
+  def parseUpdate(sql: String): Option[UpdateStmt] =
+    sql.trim.stripSuffix(";") match {
+      case updateRe(rawName, sets, where) =>
+        Some(UpdateStmt(rawName.replace("`", "").split('.').last,
+          parseAssignments(sets),
+          Option(where).map(parseConds).getOrElse(Nil)))
+      case _ => None
+    }
+
+  def parseDelete(sql: String): Option[DeleteStmt] =
+    sql.trim.stripSuffix(";") match {
+      case deleteRe(rawName, where) =>
+        Some(DeleteStmt(rawName.replace("`", "").split('.').last,
+          Option(where).map(parseConds).getOrElse(Nil)))
+      case _ => None
+    }
 }
