@@ -106,11 +106,28 @@ object Bench {
       }
       name -> Seq(gated(() => pass()), gated(() => pass()))
     }
-    def best(ts: Seq[GatedPass]): Double = {
-      val ok = ts.map(_.sec).filter(_ >= 0)
-      if (ok.isEmpty) -1.0 else ok.min
+    // Hotness at PUBLICATION time, against the final quiet floor
+    // (rollingQuiet only decreases, so this is the strictest view).
+    // VERDICT r7 #5: the gate may retry-then-time-anyway, but a pass
+    // timed on a hot host must not publish into the headline.
+    def isHot(p: GatedPass): Boolean =
+      p.markerNsRow > 0 && rollingQuiet > 0 &&
+        p.markerNsRow > rollingQuiet * 1.5
+    // best-of: quiet passes win; a query whose EVERY valid pass ran
+    // hot keeps its (flagged) time in bench_full but leaves the
+    // headline queries map, counted in hot_excluded
+    def best(ts: Seq[GatedPass]): (Double, Boolean) = {
+      val ok = ts.filter(_.sec >= 0)
+      if (ok.isEmpty) (-1.0, false)
+      else {
+        val quiet = ok.filterNot(isHot)
+        if (quiet.nonEmpty) (quiet.map(_.sec).min, false)
+        else (ok.map(_.sec).min, true)
+      }
     }
-    val results = passes.map { case (name, ts) => name -> best(ts) }
+    val judged = passes.map { case (name, ts) => name -> best(ts) }
+    val results = judged.map { case (name, (sec, _)) => name -> sec }
+    val hotQueries = judged.collect { case (name, (sec, true)) => name -> sec }
     // streaming throughput: the reference perf-rig shape (1000
     // dispatchers × 40 events, downstream_performance_test.go:33-37)
     // through the FULL MQ changefeed — DSv2 changelog generator →
@@ -184,7 +201,7 @@ object Bench {
     // to materialize. Wall and per-core both reported (local[N] vs
     // the reference's -10).
     val microRows = 4000000L
-    val micro: (Double, Double) = try {
+    val micro: (Double, Double, Boolean) = try {
       import org.apache.spark.sql.functions._
       val img = struct(col("id").as("user_id"),
         (col("id") % 1000).cast("double").as("value"), (col("id") * 7).as("k"))
@@ -210,9 +227,13 @@ object Bench {
       // marker-gated like every other timed pass: the micro number is
       // the round's headline baseline comparison, so a contended host
       // must not publish it un-flagged
-      val wallNs = math.min(gated(() => timed()).sec, gated(() => timed()).sec)
-      (wallNs, wallNs * cpus.toDouble)
-    } catch { case _: Throwable => (-1.0, -1.0) }
+      val ps = Seq(gated(() => timed()), gated(() => timed()))
+      val quiet = ps.filter(p => p.sec >= 0 &&
+        !(p.markerNsRow > 0 && rollingQuiet > 0 && p.markerNsRow > rollingQuiet * 1.5))
+      val wallNs =
+        if (quiet.nonEmpty) quiet.map(_.sec).min else ps.map(_.sec).min
+      (wallNs, wallNs * cpus.toDouble, quiet.isEmpty)
+    } catch { case _: Throwable => (-1.0, -1.0, false) }
 
     val all = results :+ ("bench_stream" -> streamSec)
     val total = all.map(_._2).sum
@@ -225,7 +246,8 @@ object Bench {
         s""""drain_markers":[${streamDrains.map(p => r3(p.markerNsRow)).mkString(",")}],""" +
         s""""machine_marker_ns_row":${r3(machineMarkerNsRow)}}"""
     val microJson =
-      s"""{"rows":$microRows,"roundtrip_ns_row_wall":${r3(micro._1)},"roundtrip_ns_row_core":${r3(micro._2)}}"""
+      s"""{"rows":$microRows,"roundtrip_ns_row_wall":${r3(micro._1)},""" +
+        s""""roundtrip_ns_row_core":${r3(micro._2)},"hot":${micro._3}}"""
 
     // Full-precision detail: printed for humans and written to
     // bench_full.json so the judge can read every query's time.
@@ -243,7 +265,9 @@ object Bench {
     val fullDiscards = passes.map { case (k, ts) =>
       "\"" + k + "\":[" + ts.map(_.discarded).mkString(",") + "]"
     }.mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"passes":$fullPasses,"pass_markers":$fullMarkers,"pass_discards":$fullDiscards,"marker_quiet_ns_row":${r3(rollingQuiet)},"sf":"$sfDir","stream":$stream,"micro":$microJson}"""
+    val fullHot = hotQueries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"hot":$fullHot,"passes":$fullPasses,"pass_markers":$fullMarkers,"pass_discards":$fullDiscards,"marker_quiet_ns_row":${r3(rollingQuiet)},"sf":"$sfDir","stream":$stream,"micro":$microJson}"""
     // full-precision detail goes ONLY to bench_full.json — printing it
     // would leave a truncated JSON fragment inside the driver's 2000-char
     // tail window just above the compact line and risk confusing its
@@ -257,8 +281,13 @@ object Bench {
     // null (BENCH_r01..r03 all did). Emit a compact final line that
     // provably fits: slowest queries first, dropped past the budget.
     val budget = 1600
-    val sortedQ = all.sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","marker_quiet_ns_row":${r3(rollingQuiet)},"stream":$stream,"micro":$microJson,"detail":"bench_full.json","queries":{"""
+    // hot-flagged queries leave the headline map entirely (their
+    // flagged values live in bench_full.json's "hot"); the top line
+    // carries the exclusion count so a contended run is self-labeling
+    val hotNames = hotQueries.map(_._1).toSet
+    val sortedQ = all.filterNot { case (k, _) => hotNames.contains(k) }
+      .sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","hot_excluded":${hotNames.size},"marker_quiet_ns_row":${r3(rollingQuiet)},"stream":$stream,"micro":$microJson,"detail":"bench_full.json","queries":{"""
     val tail = s"""},"queries_omitted":NNN}"""
     var used = head.length + tail.length
     val kept = sortedQ.takeWhile { e =>
