@@ -16,18 +16,29 @@ import org.apache.spark.sql.functions._
   */
 object StorageSink {
 
-  /** Write encoded messages under schema/table/date prefixes. `fmt` is
-    * "parquet" (columnar archive) or "text" (one wire message per
-    * line, as the reference's csv/canal-json files). */
+  /** Write encoded messages under schema/table/[partition]/date
+    * prefixes. `fmt` is "parquet" (columnar archive) or "text" (one
+    * wire message per line, as the reference's csv/canal-json files).
+    *
+    * Physical-partition tables (canal_json_storage_partition_table /
+    * csv_storage_partition_table scenarios): when the frame carries a
+    * `_partition_num` column — the physical partition's table ID
+    * (generator.go:434-444 PartitionNum) — it becomes an extra path
+    * level between the table and the date, the reference's optional
+    * `[partition]` segment (path_key.go:198-216
+    * generateDMLDataDirPath: emitted only when non-zero). */
   def write(encoded: DataFrame, baseDir: String, fmt: String = "parquet"): Unit = {
     val withDate = encoded.withColumn("_date",
       date_format(timestamp_micros(
         (col("_commit_ts").cast(org.apache.spark.sql.types.DecimalType(38, 0)) /
           lit(1000L)).cast("long")), "yyyy-MM-dd"))
-    val cols = Seq("_schema", "_table", "_date")
+    val partitioned = encoded.columns.contains("_partition_num")
+    val cols =
+      if (partitioned) Seq("_schema", "_table", "_partition_num", "_date")
+      else Seq("_schema", "_table", "_date")
     fmt match {
       case "text" =>
-        withDate.select(col("_value"), col("_schema"), col("_table"), col("_date"))
+        withDate.select((col("_value") +: cols.map(col)): _*)
           .write.mode("append").partitionBy(cols: _*).text(baseDir)
       case _ =>
         withDate.write.mode("append").partitionBy(cols: _*).parquet(baseDir)

@@ -36,6 +36,43 @@ class SinkSpec extends SparkFunSuite {
     assert(new java.io.File(s"$tmp/app/events_0/meta").list().length == 2)
   }
 
+  test("partition-table layout: _partition_num rides between table and date " +
+      "(canal_json_storage_partition_table analog)") {
+    val tmp = Files.createTempDirectory("graft-storage-pt").toString
+    // a partitioned table's rows carry the physical partition's table
+    // ID (generator.go:434-444); model 3 physical partitions by key
+    val encoded = Codecs.canalJson(env)
+      .withColumn("_partition_num",
+        lit(7000L) + pmod(coalesce(col("after.user_id"), col("before.user_id")), lit(3L)))
+    StorageSink.write(encoded, tmp, "text")
+    // layout: <schema>/<table>/<partitionNum>/<date>/... (path_key.go:198-216)
+    val partDirs = new java.io.File(s"$tmp/_schema=app/_table=events_0").list()
+    assert(partDirs != null && partDirs.count(_.startsWith("_partition_num=7")) == 3,
+      String.valueOf(partDirs))
+    val dates = new java.io.File(
+      s"$tmp/_schema=app/_table=events_0/_partition_num=7000").list()
+    assert(dates != null && dates.exists(_.startsWith("_date=")), String.valueOf(dates))
+    // cdc naming applies per physical-partition dir
+    StorageSink.applyCdcNaming(tmp, "json")
+    val dateDir = new java.io.File(
+      s"$tmp/_schema=app/_table=events_0/_partition_num=7000")
+      .listFiles().find(_.isDirectory).get
+    assert(dateDir.listFiles().map(_.getName).exists(_.matches("CDC\\d{6}\\.json")))
+    // the storage consumer reads every message back with the partition
+    // level recovered as a column (data files only — CDC.index files
+    // are bookkeeping, not messages)
+    val typed = spark.read.format("text")
+      .option("pathGlobFilter", "CDC*.json").load(tmp)
+      .withColumn("_p", regexp_extract(input_file_name(), "_partition_num=(\\d+)", 1))
+    assert(typed.filter(col("_p").isin("7000", "7001", "7002")).count() == env.count())
+    // a frame WITHOUT the column keeps the flat layout (PartitionNum=0
+    // is omitted from the path, path_key.go:209-211)
+    val tmp2 = Files.createTempDirectory("graft-storage-flat").toString
+    StorageSink.write(Codecs.canalJson(env), tmp2, "text")
+    val flat = new java.io.File(s"$tmp2/_schema=app/_table=events_0").list()
+    assert(flat.forall(_.startsWith("_date=")))
+  }
+
   test("cdc file naming: part files become CDC{idx}.{ext}, index advances across writes") {
     val tmp = Files.createTempDirectory("graft-cdcname").toString
     StorageSink.write(Codecs.canalJson(env), tmp, "text")
