@@ -233,12 +233,15 @@ object ExtQueries {
         Seq("app.events_*", "!app.events_3"),
         Seq("truncate table"), Seq("^CREATE INDEX"))),
 
-    // replication whitelist (pkg/filter/ddl.go:38-103): statement
-    // classes TiCDC never replicates — sequences, savepoints, ANALYZE,
-    // GRANT — discard even on a fully-replicated table
-    // (ddl_sequence / savepoint integration scenarios)
+    // replication whitelist (pkg/filter/ddl.go:38-103 + the
+    // not-supported block :138-151): statement classes TiCDC never
+    // replicates — sequences, savepoints, ANALYZE, GRANT, placement
+    // policies, table ATTRIBUTES — discard even on a fully-replicated
+    // table; TTL alters ARE whitelisted (ddl_sequence / savepoint /
+    // ddl_attributes integration scenarios). Case 11 is the misroute
+    // trap: ANALYZE..PARTITION must not read as 'alter partition'.
     "q_ddl_whitelist" -> ((s, d) => {
-      val sel = (pmod(col("version_ts"), lit(8000L)) / lit(1000L)).cast("long")
+      val sel = (pmod(col("version_ts"), lit(12000L)) / lit(1000L)).cast("long")
       val stmts =
         when(sel === 0, concat(lit("CREATE TABLE "), col("_table")))
           .when(sel === 1, concat(lit("ALTER TABLE "), col("_table"),
@@ -248,7 +251,14 @@ object ExtQueries {
           .when(sel === 4, concat(lit("ANALYZE TABLE "), col("_table")))
           .when(sel === 5, concat(lit("DROP VIEW v_"), col("_table")))
           .when(sel === 6, concat(lit("RECOVER TABLE "), col("_table")))
-          .otherwise(concat(lit("GRANT SELECT ON "), col("_table"), lit(" TO 'u'")))
+          .when(sel === 7, concat(lit("GRANT SELECT ON "), col("_table"), lit(" TO 'u'")))
+          .when(sel === 8, concat(lit("ALTER TABLE "), col("_table"),
+            lit(" ATTRIBUTES='merge_option=deny'")))
+          .when(sel === 9, lit("CREATE PLACEMENT POLICY p1 FOLLOWERS=2"))
+          .when(sel === 10, concat(lit("ALTER TABLE "), col("_table"),
+            lit(" TTL_ENABLE='ON'")))
+          .otherwise(concat(lit("ANALYZE TABLE "), col("_table"),
+            lit(" PARTITION p0")))
       graft.operators.Filters.ddlDispatch(
         graft.operators.SchemaAsOf.sampleVersions(env(s, d))
           .withColumn("query", stmts),
@@ -722,7 +732,7 @@ object ExtQueries {
     "q_ddl_whitelist" -> q(
       s""", ddl AS (
          |  SELECT _schema, _table, _commit_ts AS version_ts,
-         |    CASE (_commit_ts % 8000) // 1000
+         |    CASE (_commit_ts % 12000) // 1000
          |      WHEN 0 THEN 'CREATE TABLE ' || _table
          |      WHEN 1 THEN 'ALTER TABLE ' || _table || ' ADD COLUMN c INT'
          |      WHEN 2 THEN 'CREATE SEQUENCE seq_' || _table
@@ -730,10 +740,14 @@ object ExtQueries {
          |      WHEN 4 THEN 'ANALYZE TABLE ' || _table
          |      WHEN 5 THEN 'DROP VIEW v_' || _table
          |      WHEN 6 THEN 'RECOVER TABLE ' || _table
-         |      ELSE 'GRANT SELECT ON ' || _table || ' TO ''u''' END AS query
+         |      WHEN 7 THEN 'GRANT SELECT ON ' || _table || ' TO ''u'''
+         |      WHEN 8 THEN 'ALTER TABLE ' || _table || ' ATTRIBUTES=''merge_option=deny'''
+         |      WHEN 9 THEN 'CREATE PLACEMENT POLICY p1 FOLLOWERS=2'
+         |      WHEN 10 THEN 'ALTER TABLE ' || _table || ' TTL_ENABLE=''ON'''
+         |      ELSE 'ANALYZE TABLE ' || _table || ' PARTITION p0' END AS query
          |  FROM env WHERE _row_id % 97 = 0)
          |SELECT *,
-         |  CASE WHEN (version_ts % 8000) // 1000 IN (2, 3, 4, 7)
+         |  CASE WHEN (version_ts % 12000) // 1000 IN (2, 3, 4, 7, 8, 9, 11)
          |    THEN 'discard' ELSE 'emit' END AS _ddl_action
          |FROM ddl""".stripMargin),
 

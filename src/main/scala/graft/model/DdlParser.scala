@@ -160,13 +160,20 @@ object DdlParser {
     out.toString
   }
 
+  /** MySQL combination modes that IMPLY ANSI_QUOTES when listed in
+    * sql_mode (sql-mode docs; the reference parses the DDL job's
+    * sql_mode with full mode expansion): ANSI itself plus the
+    * db-compat combos that include it. */
+  private val ansiQuotesImplied =
+    Set("ANSI_QUOTES", "ANSI", "POSTGRESQL", "ORACLE", "MSSQL", "DB2", "MAXDB")
+
   /** Parse one DDL statement under a sql_mode (comma-separated flag
-    * list like the MySQL variable; only ANSI_QUOTES changes parsing
-    * here). */
+    * list like the MySQL variable; only ANSI_QUOTES — directly or via
+    * a combination mode like ANSI — changes parsing here). */
   def parse(query: String, ts: Long, defaultSchema: String,
             sqlMode: String): Option[DdlAction] = {
     val q =
-      if (sqlMode.toUpperCase.split(',').map(_.trim).contains("ANSI_QUOTES"))
+      if (sqlMode.toUpperCase.split(',').map(_.trim).exists(ansiQuotesImplied))
         normalizeAnsiQuotes(query)
       else query
     parse(q, ts, defaultSchema)

@@ -50,7 +50,8 @@ object MySqlDdl {
       * display length (TiDB's signedness-dependent defaults for the
       * integer family when the DDL gave none), decimal (flen,dec),
       * fsp on the time family, enum/set element lists, then the
-      * unsigned/zerofill suffixes. */
+      * unsigned suffix — which GetTypeDesc excludes for BIT and YEAR
+      * (this model does not carry zerofill). */
     def typeDesc: String = {
       def intDesc(dflt: Int, dfltUnsigned: Int) =
         s"$base(${if (flen >= 0) flen else if (unsigned) dfltUnsigned else dflt})"
@@ -73,7 +74,7 @@ object MySqlDdl {
             .mkString(s"$base(", ",", ")")
         case other => other
       }
-      core + (if (unsigned) " unsigned" else "")
+      core + (if (unsigned && base != "bit" && base != "year") " unsigned" else "")
     }
   }
 
@@ -293,8 +294,28 @@ object MySqlDdl {
         }.getOrElse(Nil)
         val pkNames = pkOrder.toSet
         // unique indexes in definition order: inline `unique` column
-        // attributes and table-level UNIQUE KEY clauses alike
-        val uniqRe = """(?is).*UNIQUE\s+(?:KEY|INDEX)?\s*[`\w]*\s*\(\s*([^)]*)\s*\).*""".r
+        // attributes and table-level UNIQUE KEY clauses alike. The
+        // paren body is taken by depth-aware scan (not [^)]*) so a
+        // prefix-length column `UNIQUE KEY u (a(10), b)` keeps its
+        // full list; prefix lengths are then stripped from the names.
+        val uniqHeadRe = """(?is)^\s*(?:CONSTRAINT\s+[`\w]*\s+)?UNIQUE\s*(?:KEY|INDEX)?\s*[`\w]*\s*\(""".r
+        def parenBody(s: String, open: Int): Option[String] = {
+          var depth = 0
+          var i = open
+          while (i < s.length) {
+            s.charAt(i) match {
+              case '(' => depth += 1
+              case ')' =>
+                depth -= 1
+                if (depth == 0) return Some(s.substring(open + 1, i))
+              case _ =>
+            }
+            i += 1
+          }
+          None
+        }
+        def stripPrefixLen(colSpec: String): String =
+          unquote(colSpec.replaceAll("""\(\s*\d+\s*\)\s*$""", "").trim)
         val uniques: Seq[Seq[String]] = parts.flatMap { p =>
           val trimmed = p.trim
           // string literals blinded so a DEFAULT 'unique' can't match
@@ -303,9 +324,9 @@ object MySqlDdl {
           if (tableLevel.contains(head)) {
             if (blinded.matches("(?s).*\\bunique\\b.*") &&
                 !blinded.matches("(?s).*\\bprimary\\b.*"))
-              trimmed match {
-                case uniqRe(colList) => Some(splitTopLevel(colList).map(unquote))
-                case _ => None
+              uniqHeadRe.findFirstIn(trimmed).flatMap { m =>
+                parenBody(trimmed, m.length - 1)
+                  .map(body => splitTopLevel(body).map(stripPrefixLen))
               }
             else None
           } else parseColDef(p)

@@ -147,23 +147,49 @@ object Filters {
     ("recover table", Seq("recover table"), Nil),
     ("alter database", Seq("alter database", "alter schema"), Nil))
 
+  /** Statement families OUTSIDE the replication whitelist
+    * (ddlWhiteListMap, pkg/filter/ddl.go:38-103, and its "Not
+    * supported yet" block :138-151 — sequences, savepoints, ANALYZE,
+    * GRANT, placement policies, table ATTRIBUTES, bindings, locks).
+    * Matched by LEADING VERB (plus the `ALTER TABLE … ATTRIBUTES=`
+    * form) BEFORE the contains-pattern class rules run, so
+    * 'ANALYZE TABLE t PARTITION p0' cannot misroute to
+    * 'alter partition' and replicate. TTL alters are NOT here:
+    * ActionAlterTTLInfo/ActionAlterTTLRemove are whitelisted
+    * (ddl.go:130-132, the ddl_attributes scenario's TTL half). */
+  private val neverReplicatedRes: Seq[String] = Seq(
+    "^analyze\\s", "^grant\\s", "^revoke\\s", "^savepoint\\s",
+    "^release\\s+savepoint", "^rollback", "^set\\s", "^flush\\s",
+    "^admin\\s", "^optimize\\s+table", "^repair\\s+table",
+    "^lock\\s+tables?", "^unlock\\s+tables?", "^flashback\\s+cluster",
+    "^(create|alter|drop)\\s+sequence\\s",
+    "^(create|alter|drop)\\s+placement\\s+policy\\s",
+    "^(create|drop)\\s+(global\\s+|session\\s+)?binding",
+    "^alter\\s+table\\s.*\\battributes\\s*=").map("(?s)" + _)
+
   /** DDL event classification: statement text → DDL class (the
     * classes the reference's event filter accepts in `ignore-event`),
-    * columnar form. */
+    * columnar form. Never-replicated families classify `other ddl`
+    * first — the class [[ddlDispatch]] discards. */
   def ddlClass(query: Column): Column = {
     val q = lower(trim(query))
-    ddlClassRules.foldRight(lit("other ddl")) {
+    val blacklisted = neverReplicatedRes
+      .map(p => regexp_like(q, lit(p)))
+      .reduce(_ || _)
+    val classed = ddlClassRules.foldRight(lit("other ddl")) {
       case ((cls, starts, contains), acc) =>
         val cond = (starts.map(s => q.startsWith(s)) ++
           contains.map(c => q.contains(c))).reduce(_ || _)
         when(cond, cls).otherwise(acc)
     }
+    when(blacklisted, "other ddl").otherwise(classed)
   }
 
   /** Driver-side twin of [[ddlClass]] (control-plane dispatch). */
   def ddlClassValue(query: String): String = {
     val q = query.trim.toLowerCase
-    ddlClassRules.collectFirst {
+    if (neverReplicatedRes.exists(p => p.r.findFirstIn(q).isDefined)) "other ddl"
+    else ddlClassRules.collectFirst {
       case (cls, starts, contains)
           if starts.exists(q.startsWith) || contains.exists(q.contains) => cls
     }.getOrElse("other ddl")

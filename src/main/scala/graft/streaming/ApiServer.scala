@@ -339,9 +339,11 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
           if (rulesOpt.isEmpty && schedNode.isEmpty)
             respond(ex, 400, """{"error":"rules or replica_config required"}""")
           else try {
-            rulesOpt.foreach(rules => registry.updateFilter(id, rules))
-            schedNode.foreach(sn => registry.updateScheduler(id,
-              base => graft.model.ConfigToml.schedulerFromJson(sn, base)))
+            // validate-then-apply: both halves commit atomically, so a
+            // scheduler 400 cannot leave a half-applied rules change
+            registry.updateFilterAndScheduler(id, rulesOpt,
+              schedNode.map(sn => (base: graft.model.SchedulerConfig) =>
+                graft.model.ConfigToml.schedulerFromJson(sn, base)))
             respond(ex, 200, s"""{"id":${jsonString(id)},"rules":${
               registry.filterRules(id).map(jsonString).mkString("[", ",", "]")
             },"scheduler":${

@@ -438,6 +438,28 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
     next
   }
 
+  /** Atomic rules+scheduler update — VALIDATE-THEN-APPLY like the
+    * reference's update flow (update_changefeed_check_config builds
+    * and checks the whole new config before storing): the scheduler
+    * merge is filled/validated BEFORE either change commits, so a
+    * validation failure (→ the API's 400) leaves the stored config
+    * fully untouched instead of having already committed the rules
+    * half. */
+  def updateFilterAndScheduler(id: String, rules: Option[Seq[String]],
+                               merge: Option[graft.model.SchedulerConfig =>
+                                 graft.model.SchedulerConfig]): Unit = {
+    val e = entryOf(id)
+    require(e.query.isEmpty || !e.query.get.isActive,
+      s"$id must be paused to update")
+    val mysql = e.sinkDir.startsWith("mysql://") || e.sinkDir.startsWith("jdbc:")
+    val nextSched = merge.map(m =>
+      m(e.cfg.scheduler).fillMissingWithDefaults.validateAndAdjust(mysql))
+    var cfg = e.cfg
+    rules.foreach(r => cfg = cfg.copy(filter = cfg.filter.copy(rules = r)))
+    nextSched.foreach(s => cfg = cfg.copy(scheduler = s))
+    e.cfg = cfg
+  }
+
   /** The feed's full definition (GetChangeFeed, api/v2/api.go:61). */
   def config(id: String): ChangefeedConfig = entryOf(id).cfg
 

@@ -121,6 +121,28 @@ class ApiServerSpec extends SparkFunSuite {
       assert(sched1.get("region_threshold").asInt() == 10000 &&
         !sched1.get("enable_splittable_check").asBoolean(), sched1.toString)
 
+      // an out-of-range knob in the PUT body clamps through
+      // FillMissingWithDefaults rather than erroring (the reference's
+      // fill-then-validate order)
+      val (cClamp, _) = callBody("PUT", s"$base/cf-api",
+        """{"replica_config":{"scheduler":{"min_traffic_percentage":5.0}}}""")
+      assert(cClamp == 200)
+      assert(om.readTree(call("GET", s"$base/cf-api")._2)
+        .get("config").get("scheduler")
+        .get("min_traffic_percentage").asDouble() == 0.8)
+
+      // VALIDATE-THEN-APPLY (advice r8): a combined rules+scheduler
+      // update whose scheduler half throws must apply NEITHER — the
+      // registry validates the whole update before committing any of
+      // it (no partial update behind a 400)
+      val rulesBefore = registry.filterRules("cf-api")
+      intercept[IllegalArgumentException] {
+        registry.updateFilterAndScheduler("cf-api", Some(Seq("atomic.nope")),
+          Some(_ => throw new IllegalArgumentException("bad scheduler block")))
+      }
+      assert(registry.filterRules("cf-api") == rulesBefore,
+        "rules must not half-apply when the scheduler merge fails")
+
       val (c4, b4) = call("POST", s"$base/cf-api/resume")
       assert(c4 == 200 && b4.contains("running"), b4)
 

@@ -272,6 +272,52 @@ class DdlParserSpec extends SparkFunSuite {
     assert(!t("create table f (p bigint, q varchar(10))").eligible)
   }
 
+  test("unique-index parsing: prefix-length columns, no-space UNIQUE(, " +
+      "constraint-named forms (advice r8)") {
+    import graft.model.MySqlDdl
+    def t(ddl: String) = MySqlDdl.parseCreateTable(ddl, "test").get
+
+    // prefix-length column: the paren body must span the inner parens
+    // and the name must strip the (10)
+    val plen = t("""create table a (
+      |  a varchar(50) not null, b bigint not null,
+      |  unique key u (a(10), b))""".stripMargin)
+    assert(plen.uniqueIndexes == Seq(Seq("a", "b")), plen.uniqueIndexes)
+    assert(plen.handleKeys == Seq("a", "b") && plen.eligible)
+
+    // UNIQUE(p) with no space after UNIQUE
+    val nospace = t("create table b (p bigint not null, unique(p))")
+    assert(nospace.uniqueIndexes == Seq(Seq("p")) && nospace.handleKeys == Seq("p"))
+
+    // CONSTRAINT name UNIQUE KEY (…) table-level form
+    val named = t("create table c (q bigint not null, constraint uq unique key (q))")
+    assert(named.uniqueIndexes == Seq(Seq("q")) && named.handleKeys == Seq("q"))
+  }
+
+  test("sql_mode combination modes imply ANSI_QUOTES (advice r8)") {
+    import graft.model.{DdlAction, DdlParser}
+    val q = """CREATE TABLE "app"."t" ("id" INT, "v" VARCHAR(10))"""
+    Seq("ANSI", "ansi,STRICT_TRANS_TABLES", "POSTGRESQL", "ANSI_QUOTES").foreach { mode =>
+      val parsed = DdlParser.parse(q, 1L, "app", mode)
+      assert(parsed.exists {
+        case DdlAction.CreateTable("app", "t", cols, _) =>
+          cols.map(_.name) == Seq("id", "v")
+        case _ => false
+      }, s"mode $mode must normalize double-quoted identifiers")
+    }
+    // without an implying mode the double quotes stay string-quotes
+    assert(DdlParser.parse(q, 1L, "app", "STRICT_TRANS_TABLES").isEmpty)
+  }
+
+  test("typeDesc: unsigned suffix excluded for BIT and YEAR (GetTypeDesc)") {
+    import graft.model.MySqlDdl.MySqlCol
+    // TiDB sets the unsigned flag on BIT and YEAR implicitly, yet
+    // GetTypeDesc never renders their " unsigned" suffix
+    assert(MySqlCol("b", "bit", flen = 3, unsigned = true).typeDesc == "bit(3)")
+    assert(MySqlCol("y", "year", unsigned = true).typeDesc == "year(4)")
+    assert(MySqlCol("u", "int", unsigned = true).typeDesc == "int(10) unsigned")
+  }
+
   test("AUTO_RANDOM: parsed with shard bits, valid only on the " +
       "pk-is-handle bigint column (autorandom scenario)") {
     import graft.model.MySqlDdl
