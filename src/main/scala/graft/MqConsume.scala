@@ -128,12 +128,21 @@ object MqConsume {
       !(col("_value").startsWith("{\"ts\":") && col("_value").endsWith("\"t\":3}")))
 
   final case class Summary(protocol: String, messages: Long, applied: Long,
-                           tables: Long, diffs: Long, expectDiffs: Long)
+                           tables: Long, diffs: Long, expectDiffs: Long,
+                           corrupted: Long = 0L)
 
-  /** Consume → decode → re-apply (real JDBC) → sync-diff. */
+  /** Consume → decode → re-apply (real JDBC) → sync-diff.
+    *
+    * `verifyChecksum` (the reference consumer's enable-row-checksum
+    * verification, VerifyChecksum verify_checksum.go:34-86): on the
+    * simple protocol, recompute the CRC32 row checksum from decoded
+    * wire values and compare to the carried block. "warn" counts and
+    * forwards corrupted rows (Summary.corrupted); "error" throws —
+    * the corruption-handle-level error stance that stops the feed. */
   def run(spark: SparkSession, dir: String, source: String = "mq",
           protocol: String = "auto", dbName: String = "mqconsume",
-          expect: Option[String] = None): Summary = {
+          expect: Option[String] = None,
+          verifyChecksum: Option[String] = None): Summary = {
     val raw = source match {
       case "storage" =>
         spark.read.text(dir)
@@ -160,6 +169,20 @@ object MqConsume {
         else samples.headOption.getOrElse("canal-json")
       }
     val env = decode(data, proto)
+
+    // e2e checksum verification (simple protocol carries the block)
+    val corrupted: Long = verifyChecksum match {
+      case Some(level) if proto == "simple" =>
+        val decoded = Decoders.decodeSimple(data, withChecksum = true)
+        val bad = graft.functions.RowChecksum
+          .verify(decoded, graft.functions.Codecs.envelopeCols)
+          .filter(!col("_checksum_ok")).count()
+        if (bad > 0 && level == "error")
+          throw new IllegalStateException(
+            s"row checksum mismatch on $bad rows (corruption-handle-level=error)")
+        bad
+      case _ => 0L
+    }
 
     // re-apply through the sink path onto embedded Derby. The apply
     // DDL comes from the wire when the stream carries BOOTSTRAP
@@ -207,7 +230,8 @@ object MqConsume {
       TableDiff.diff(upstream, actual, Seq("_schema", "_table", "user_id")).count()
     }.getOrElse(0L)
 
-    Summary(proto, data.count(), env.count(), tables.size.toLong, diffs, expectDiffs)
+    Summary(proto, data.count(), env.count(), tables.size.toLong, diffs,
+      expectDiffs, corrupted)
   }
 
   def main(args: Array[String]): Unit = {
@@ -223,10 +247,12 @@ object MqConsume {
         source = opt("--source").getOrElse("mq"),
         protocol = opt("--protocol").getOrElse("auto"),
         dbName = opt("--db").getOrElse("mqconsume"),
-        expect = opt("--expect"))
+        expect = opt("--expect"),
+        verifyChecksum = opt("--verify-checksum"))
       println(s"""{"protocol":"${s.protocol}","messages":${s.messages},""" +
         s""""applied":${s.applied},"tables":${s.tables},""" +
-        s""""diffs":${s.diffs},"expect_diffs":${s.expectDiffs}}""")
+        s""""diffs":${s.diffs},"expect_diffs":${s.expectDiffs},""" +
+        s""""corrupted":${s.corrupted}}""")
       if (s.diffs + s.expectDiffs > 0) sys.exit(1)
     } finally spark.stop()
   }

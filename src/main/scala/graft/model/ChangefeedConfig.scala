@@ -238,6 +238,39 @@ final case class SyncedStatusConfig(
     else this
 }
 
+/** Integrity block (pkg/integrity/integrity.go:23-75): the e2e row
+  * checksum switch. `integrity-check-level` none (default) |
+  * correctness (compute/carry/verify the CRC32 row checksum,
+  * [[graft.functions.RowChecksum]]); `corruption-handle-level` warn
+  * (default — log, mark corrupted, forward) | error (stop the
+  * changefeed on a corrupted row). */
+final case class IntegrityConfig(
+    integrityCheckLevel: String = IntegrityConfig.CheckLevelNone,
+    corruptionHandleLevel: String = IntegrityConfig.HandleLevelWarn) {
+
+  /** integrity.go:45-63 Validate: both enums closed. */
+  def validate(): Unit = {
+    require(integrityCheckLevel == IntegrityConfig.CheckLevelNone ||
+      integrityCheckLevel == IntegrityConfig.CheckLevelCorrectness,
+      s"integrity-check-level must be none or correctness: $integrityCheckLevel")
+    require(corruptionHandleLevel == IntegrityConfig.HandleLevelWarn ||
+      corruptionHandleLevel == IntegrityConfig.HandleLevelError,
+      s"corruption-handle-level must be warn or error: $corruptionHandleLevel")
+  }
+
+  def enabled: Boolean =
+    integrityCheckLevel == IntegrityConfig.CheckLevelCorrectness
+  def errorHandle: Boolean =
+    corruptionHandleLevel == IntegrityConfig.HandleLevelError
+}
+
+object IntegrityConfig {
+  val CheckLevelNone = "none"
+  val CheckLevelCorrectness = "correctness"
+  val HandleLevelWarn = "warn"
+  val HandleLevelError = "error"
+}
+
 final case class ChangefeedConfig(
     id: String,
     filter: FilterConfig = FilterConfig(),
@@ -273,4 +306,6 @@ final case class ChangefeedConfig(
     syncedStatus: SyncedStatusConfig = SyncedStatusConfig(),
     /** replica_config.go:181 Scheduler block — span-split and traffic
       * balance knobs, update-mergeable through the API. */
-    scheduler: SchedulerConfig = SchedulerConfig())
+    scheduler: SchedulerConfig = SchedulerConfig(),
+    /** pkg/integrity Config — the e2e row-checksum switch. */
+    integrity: IntegrityConfig = IntegrityConfig())

@@ -253,7 +253,13 @@ object ConfigToml {
           doc.int("synced-status", "synced-check-interval").getOrElse(300L),
         checkpointInterval =
           doc.int("synced-status", "checkpoint-interval").getOrElse(15L)),
-      scheduler = schedulerOf(doc))
+      scheduler = schedulerOf(doc),
+      // [integrity] (pkg/integrity toml tags)
+      integrity = IntegrityConfig(
+        integrityCheckLevel = doc.str("integrity", "integrity-check-level")
+          .getOrElse(IntegrityConfig.CheckLevelNone),
+        corruptionHandleLevel = doc.str("integrity", "corruption-handle-level")
+          .getOrElse(IntegrityConfig.HandleLevelWarn)))
   }
 
   /** `[scheduler]` (scheduler_config.go:35-69 toml tags) →
@@ -426,6 +432,11 @@ object ConfigToml {
       b ++= "\n[synced-status]\n"
       b ++= s"synced-check-interval = ${cfg.syncedStatus.syncedCheckInterval}\n"
       b ++= s"checkpoint-interval = ${cfg.syncedStatus.checkpointInterval}\n"
+    }
+    if (cfg.integrity != IntegrityConfig()) {
+      b ++= "\n[integrity]\n"
+      b ++= s"integrity-check-level = ${tomlStr(cfg.integrity.integrityCheckLevel)}\n"
+      b ++= s"corruption-handle-level = ${tomlStr(cfg.integrity.corruptionHandleLevel)}\n"
     }
     if (cfg.scheduler != SchedulerConfig()) {
       val sc = cfg.scheduler
@@ -600,7 +611,11 @@ object ConfigToml {
       (if (cfg.syncedStatus == SyncedStatusConfig()) "" else
         s""","synced_status":{"synced_check_interval":${cfg.syncedStatus.syncedCheckInterval},""" +
           s""""checkpoint_interval":${cfg.syncedStatus.checkpointInterval}}""") +
-      s""","scheduler":${schedulerJson(cfg.scheduler)}""" + "}"
+      s""","scheduler":${schedulerJson(cfg.scheduler)}""" +
+      (if (cfg.integrity == IntegrityConfig()) "" else
+        s""","integrity":{"integrity_check_level":${jsonStr(cfg.integrity.integrityCheckLevel)},""" +
+          s""""corruption_handle_level":${jsonStr(cfg.integrity.corruptionHandleLevel)}}""") +
+      "}"
   }
 
   /** The api/v2 scheduler object — always fully populated, snake_case
@@ -850,7 +865,14 @@ object ConfigToml {
       }.getOrElse(SyncedStatusConfig()),
       scheduler = opt(root, "scheduler")
         .map(schedulerFromJson(_, SchedulerConfig()))
-        .getOrElse(SchedulerConfig()))
+        .getOrElse(SchedulerConfig()),
+      integrity = opt(root, "integrity").map { in =>
+        IntegrityConfig(
+          integrityCheckLevel = opt(in, "integrity_check_level")
+            .map(_.asText()).getOrElse(IntegrityConfig.CheckLevelNone),
+          corruptionHandleLevel = opt(in, "corruption_handle_level")
+            .map(_.asText()).getOrElse(IntegrityConfig.HandleLevelWarn))
+      }.getOrElse(IntegrityConfig()))
   }
 
   /** Apply the keys PRESENT in an api/v2 scheduler object onto `base`

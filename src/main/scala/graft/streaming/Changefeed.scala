@@ -64,7 +64,10 @@ object Changefeed {
       case Protocol.Open      => Codecs.openProtocol(df)
       case Protocol.Debezium  => Codecs.debeziumJson(df)
       case Protocol.Csv       => Codecs.csvLine(df)
-      case Protocol.Simple    => Codecs.simpleProtocol(df)
+      // enable-row-checksum rides the integrity block: the simple
+      // protocol is the wire that carries the e2e CRC32 checksum
+      // (simple/message.go:262-263, EnableRowChecksum avro.go:276)
+      case Protocol.Simple    => Codecs.simpleProtocol(df, cfg.integrity.enabled)
     }
   }
 
@@ -291,6 +294,9 @@ object Changefeed {
     // not mid-stream
     val lmh = cfg.sink.largeMessageHandle
     if (!lmh.disabled) lmh.validate(cfg.sink.protocol)
+    // integrity block validated at create like the reference
+    // (integrity.go:45-63 Validate inside replica-config validation)
+    cfg.integrity.validate()
     // send-all-bootstrap-at-start (DefaultSendAllBootstrapAtStart):
     // handshake every known table BEFORE the stream's first batch;
     // pre-registration in the bootstrapper keeps batch 1 from

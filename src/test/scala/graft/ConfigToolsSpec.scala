@@ -158,6 +158,36 @@ class ConfigToolsSpec extends AnyFunSuite {
       "cf-dflt").syncedStatus == SyncedStatusConfig())
   }
 
+  test("integrity block: both carriers, defaults elided, Validate enums closed " +
+      "(pkg/integrity/integrity.go:23-75)") {
+    val cfg = ChangefeedConfig(id = "cf-int",
+      integrity = IntegrityConfig(
+        integrityCheckLevel = "correctness", corruptionHandleLevel = "error"))
+    val toml = ConfigToml.renderToml(cfg)
+    assert(toml.contains("[integrity]"))
+    assert(toml.contains("integrity-check-level = 'correctness'"))
+    assert(toml.contains("corruption-handle-level = 'error'"))
+    val viaToml = ConfigToml.toConfig(ConfigToml.parse(toml), "cf-int")
+    assert(viaToml.integrity == cfg.integrity && viaToml.integrity.enabled &&
+      viaToml.integrity.errorHandle)
+    val viaJson = ConfigToml.fromApiJson(ConfigToml.toApiJson(cfg))
+    assert(viaJson.integrity == cfg.integrity)
+    // defaults stay out of both wire forms and are disabled
+    val dflt = ChangefeedConfig(id = "cf-dflt")
+    assert(!ConfigToml.renderToml(dflt).contains("[integrity]"))
+    assert(!ConfigToml.toApiJson(dflt).contains("integrity"))
+    assert(!dflt.integrity.enabled && !dflt.integrity.errorHandle)
+    // Validate: both enums closed (integrity.go:45-56)
+    IntegrityConfig().validate()
+    cfg.integrity.validate()
+    intercept[IllegalArgumentException] {
+      IntegrityConfig(integrityCheckLevel = "full").validate()
+    }
+    intercept[IllegalArgumentException] {
+      IntegrityConfig(corruptionHandleLevel = "panic").validate()
+    }
+  }
+
   test("scheduler block: carriers, FillMissingWithDefaults, ValidateAndAdjust " +
       "(update_changefeed_check_config)") {
     // invalid/zero fields fall back to defaults (scheduler_config.go:72-100)

@@ -150,6 +150,55 @@ class MqConsumeSpec extends SparkFunSuite {
     assert(decoded.count() == rows.count())
   }
 
+  test("integrity correctness level: the feed carries the CRC32 block, the " +
+      "consumer verifies it, and a tampered wire is caught (warn counts, " +
+      "error stops)") {
+    val base = tmp("integrity-e2e")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$base/src/events.parquet"))
+    val cfg = graft.model.ChangefeedConfig(id = "cf-integrity",
+      sink = graft.model.SinkConfig(protocol = graft.model.Protocol.Simple),
+      integrity = graft.model.IntegrityConfig(
+        integrityCheckLevel = "correctness"))
+    graft.streaming.Changefeed.runMq(
+      spark, cfg, s"$base/src", s"$base/sink", s"$base/ckpt").awaitTermination(120000)
+    val rows = spark.read.parquet(s"$base/sink").filter(col("_kind") === "row")
+    assert(rows.select("_value").head().getString(0)
+      .contains("\"checksum\":{\"version\":1,\"corrupted\":false,\"current\":"))
+
+    // clean wire verifies end-to-end through the consumer flag
+    rows.select("_value").coalesce(1).write.text(s"$base/wire")
+    val clean = MqConsume.run(spark, s"$base/wire", source = "storage",
+      protocol = "simple", dbName = "int-clean", verifyChecksum = Some("warn"))
+    assert(clean.corrupted == 0L && clean.diffs == 0L, clean)
+
+    // tamper one money value inside the wire data image (pick a row
+    // whose last decimal digit actually changes under the flip)
+    val lines = spark.read.text(s"$base/wire").collect().map(_.getString(0))
+    val re = "\"value\":\"(\\d+)\\.(\\d)[0-8]\""
+    val idx = lines.indexWhere(l => l.contains("\"data\":{") &&
+      re.r.findFirstIn(l).isDefined)
+    assert(idx >= 0, "no tamperable money value found")
+    val tampered = lines.updated(idx,
+      lines(idx).replaceFirst(re, "\"value\":\"$1.$29\""))
+    assert(tampered(idx) != lines(idx), "the tamper must change a digit")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$base/wire-bad.txt"),
+      tampered.mkString("\n").getBytes("UTF-8"))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/wire-bad"))
+    java.nio.file.Files.move(java.nio.file.Paths.get(s"$base/wire-bad.txt"),
+      java.nio.file.Paths.get(s"$base/wire-bad/part-00000.txt"))
+    val warned = MqConsume.run(spark, s"$base/wire-bad", source = "storage",
+      protocol = "simple", dbName = "int-warn", verifyChecksum = Some("warn"))
+    assert(warned.corrupted == 1L, warned)
+    // corruption-handle-level error: the consumer stops
+    intercept[IllegalStateException] {
+      MqConsume.run(spark, s"$base/wire-bad", source = "storage",
+        protocol = "simple", dbName = "int-err", verifyChecksum = Some("error"))
+    }
+  }
+
   test("bootstrap re-send cadence: a mid-stream consumer gets a handshake " +
       "and decodes with wire-learned schema only") {
     val base = tmp("bootstrap-cadence")
