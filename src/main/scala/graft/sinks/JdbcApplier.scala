@@ -49,7 +49,20 @@ final class JdbcApplier(val url: String) {
 
   private def withConnection[A](f: Connection => A): A = {
     val conn = DriverManager.getConnection(url)
-    try f(conn) finally conn.close()
+    try f(conn)
+    catch {
+      case e: Throwable =>
+        // A writer dying mid-frame must not leave the frame open: roll
+        // back before surfacing. A remote MySQL gets this for free from
+        // connection teardown; embedded Derby instead refuses close()
+        // while a transaction is active — which would also mask `e`.
+        try { if (!conn.getAutoCommit) conn.rollback() }
+        catch { case _: SQLException => () }
+        throw e
+    }
+    finally {
+      try conn.close() catch { case _: SQLException => () }
+    }
   }
 
   /** Create schema (if absent) + table with PRIMARY KEY; registers the
