@@ -219,6 +219,20 @@ object CdcQueries {
         when(op === "I", lit(null)).otherwise(payload).as("before"),
         when(op === "D", lit(null)).otherwise(payload).as("after"))
       graft.sinks.MysqlSink.statements(env2, Seq("doc_id"), 8, safeMode = false)
+    }),
+
+    // byte-level mount: events → real TiKV record-key + row-format-v2
+    // bytes → RawKvMounter decode; identity against the plain read
+    // proves the wire codec end to end on real data (SURVEY §2.1
+    // KV→row decode; reference mounter.go:45-120)
+    "q_kv_mount" -> ((s, d) => {
+      val raw = RawKvQuery.encode(Tables.events(s, d))
+      RawKvMounter.mountTable(raw, RawKvQuery.eventsMeta)
+        .select(
+          col("after.event_id").as("event_id"), col("after.ts").as("ts"),
+          col("after.user_id").as("user_id"),
+          col("after.event_type").as("event_type"),
+          col("after.value").as("value"), col("after.props").as("props"))
     })
   )
 
@@ -549,7 +563,11 @@ object CdcQueries {
          |      COALESCE(CAST(after_k AS VARCHAR), 'NULL') ||
          |      ' WHERE ' || $keyPredSql || ' LIMIT 1'
          |  ELSE
-         |    'INSERT INTO `' || _schema || '`.`' || _table || '` ' || $insertValuesSql""".stripMargin))
+         |    'INSERT INTO `' || _schema || '`.`' || _table || '` ' || $insertValuesSql""".stripMargin)),
+
+    // the mount is encode∘decode = identity over the real table
+    "q_kv_mount" ->
+      "SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props FROM events"
   )
 
   /** Canal-JSON value rendering in DuckDB dialect (shared with the
@@ -577,4 +595,51 @@ object CdcQueries {
        |  '{"user_id":' || CAST(${img}_user_id AS VARCHAR) ||
        |  ',"value":' || COALESCE(CAST(CAST(${img}_value AS DECIMAL(18,2)) AS VARCHAR), 'null') ||
        |  ',"k":' || COALESCE(CAST(${img}_k AS VARCHAR), 'null') || '}' END""".stripMargin.replace("\n", " ")
+}
+
+/** Fixture wiring for `q_kv_mount`: the events table rendered as raw
+  * TiKV entries — real record keys ('t'+tableID+"_r"+handle) and
+  * row-format-v2 values — so [[graft.operators.RawKvMounter]] decodes
+  * actual bytes, not a synthetic shape. */
+object RawKvQuery {
+  import graft.model.TiKvCodec
+  import graft.operators.RawKvMounter
+  import graft.operators.RawKvMounter.{KvColumn, KvTableMeta}
+  import org.apache.spark.sql.{Encoders, Row}
+  import org.apache.spark.sql.types._
+
+  val eventsMeta: KvTableMeta = KvTableMeta(101L, "app", "events",
+    Seq(
+      KvColumn(1L, "event_id", "bigint", nullable = false),
+      KvColumn(2L, "ts", "bigint", nullable = false),
+      KvColumn(3L, "user_id", "bigint"),
+      KvColumn(4L, "event_type", "varchar(32)"),
+      KvColumn(5L, "value", "double"),
+      KvColumn(6L, "props", "varchar(1024)")),
+    handleCol = "event_id")
+
+  private val rawSchema = StructType(Seq(
+    StructField("key", BinaryType), StructField("value", BinaryType),
+    StructField("old_value", BinaryType), StructField("op_type", StringType),
+    StructField("start_ts", LongType), StructField("commit_ts", LongType)))
+
+  /** events → RawKVEntry rows (one put per event, commit_ts = ts). */
+  def encode(events: DataFrame): DataFrame = {
+    val m = eventsMeta
+    events.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .mapPartitions { it =>
+        it.map { r =>
+          val payload = Seq[Any](
+            r.getLong(0), r.getLong(1),
+            if (r.isNullAt(2)) null else r.getLong(2),
+            r.getString(3),
+            if (r.isNullAt(4)) null else r.getDouble(4),
+            r.getString(5))
+          Row(
+            TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(r.getLong(0))),
+            RawKvMounter.encodeImage(m, payload),
+            null, "put", r.getLong(1) - 1L, r.getLong(1))
+        }
+      }(Encoders.row(rawSchema))
+  }
 }

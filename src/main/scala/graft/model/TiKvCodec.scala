@@ -1,0 +1,598 @@
+package graft.model
+
+import java.nio.charset.StandardCharsets
+
+/** Byte-level codecs for TiKV record keys and TiDB row values — the
+  * wire formats the reference's mounter consumes
+  * (pkg/common/event/codec.go:32-120 `decodeTableID`/`decodeRow`,
+  * pkg/common/event/mounter.go:71 `tablecodec.DecodeRowKey`). The
+  * formats themselves are TiDB's public on-disk contracts:
+  *
+  *  - **record key**: `'t' ++ EncodeInt(tableID) ++ "_r" ++ handle`
+  *    where ints use the memcomparable sign-flipped big-endian form
+  *    and a common (non-int) handle is a memcomparable datum list
+  *    (TiDB docs "TiDB Computing: mapping of table data to key-value";
+  *    codec.go:39 `prefixTableIDLen` = 1+8).
+  *  - **row value v1** (old format): a flat `[colID datum][value
+  *    datum]…` stream in the flag-prefixed memcomparable datum codec
+  *    (codec.go:98-120 `decodeRowV1`, "Row layout: colID1, value1,
+  *    colID2, value2").
+  *  - **row value v2** (new format, first byte 128): TiDB design doc
+  *    2018-07-19-row-format.md — header `version(1) | flag(1) |
+  *    notNullCount(u16 LE) | nullCount(u16 LE)`, sorted not-null then
+  *    null column-ID arrays (1 byte each, or 4 LE when flag&1), END
+  *    offsets (u16 LE, or u32 when big) into the value section, then
+  *    per-type compact cells. `rowcodec.IsNewFormat` = first byte
+  *    ≥ 128 (codec.go:86).
+  *
+  * Cell encodings in v2 (TiDB rowcodec): integers as minimal-length
+  * little-endian (1/2/4/8 bytes), unsigned likewise, float/double as
+  * the 8-byte memcomparable float, CHAR-class/JSON/BLOB raw bytes,
+  * DECIMAL as the MySQL binary decimal (precision, scale, 9-digits-
+  * per-4-byte-word big-endian with sign flip), DATETIME/TIMESTAMP/DATE
+  * as the packed-uint core, TIME as int64 nanoseconds, ENUM/SET/BIT as
+  * uint. Trailing bytes after the last offset (the in-row checksum
+  * region newer TiDB appends under flag bit 3) are preserved verbatim
+  * in [[RowV2.trailing]] — [[graft.functions.RowChecksum]] owns
+  * checksum semantics.
+  *
+  * Everything here is pure bytes→values Scala so the hot path can run
+  * inside `mapPartitions` without boxing through Catalyst; see
+  * [[graft.operators.RawKvMounter]] for the DataFrame face.
+  */
+object TiKvCodec {
+
+  // ---- memcomparable primitive codec (tidb pkg/util/codec) ----
+
+  final val NilFlag: Byte = 0
+  final val BytesFlag: Byte = 1
+  final val CompactBytesFlag: Byte = 2
+  final val IntFlag: Byte = 3
+  final val UintFlag: Byte = 4
+  final val FloatFlag: Byte = 5
+  final val DecimalFlag: Byte = 6
+  final val DurationFlag: Byte = 7
+  final val VarintFlag: Byte = 8
+  final val UvarintFlag: Byte = 9
+  final val JsonFlag: Byte = 10
+
+  private val SignMask = 0x8000000000000000L
+
+  def encodeInt(v: Long): Array[Byte] = {
+    val u = v ^ SignMask
+    val out = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { out(i) = ((u >>> (56 - i * 8)) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  def decodeInt(b: Array[Byte], off: Int): Long = {
+    var u = 0L
+    var i = 0
+    while (i < 8) { u = (u << 8) | (b(off + i) & 0xffL); i += 1 }
+    u ^ SignMask
+  }
+
+  def encodeUint(v: Long): Array[Byte] = {
+    val out = new Array[Byte](8)
+    var i = 0
+    while (i < 8) { out(i) = ((v >>> (56 - i * 8)) & 0xff).toByte; i += 1 }
+    out
+  }
+
+  def decodeUint(b: Array[Byte], off: Int): Long = {
+    var u = 0L
+    var i = 0
+    while (i < 8) { u = (u << 8) | (b(off + i) & 0xffL); i += 1 }
+    u
+  }
+
+  /** Memcomparable float: IEEE bits, MSB set when ≥ 0 else all bits
+    * flipped, big-endian. */
+  def encodeFloat(v: Double): Array[Byte] = {
+    var bits = java.lang.Double.doubleToLongBits(v)
+    bits = if (v >= 0) bits | SignMask else ~bits
+    encodeUint(bits)
+  }
+
+  def decodeFloat(b: Array[Byte], off: Int): Double = {
+    var bits = decodeUint(b, off)
+    bits = if ((bits & SignMask) != 0) bits & ~SignMask else ~bits
+    java.lang.Double.longBitsToDouble(bits)
+  }
+
+  /** Memcomparable bytes: 8-byte groups zero-padded, each followed by
+    * a marker byte `0xFF - padCount` (0xFF for a full group). */
+  def encodeBytes(data: Array[Byte]): Array[Byte] = {
+    val groups = data.length / 8 + 1
+    val out = new Array[Byte](groups * 9)
+    var g = 0
+    while (g < groups) {
+      val start = g * 8
+      val n = math.min(8, data.length - start)
+      System.arraycopy(data, start, out, g * 9, math.max(n, 0))
+      out(g * 9 + 8) = (0xff - (8 - math.max(n, 0))).toByte
+      g += 1
+    }
+    out
+  }
+
+  /** Decode memcomparable bytes at `off`; returns (data, bytesRead). */
+  def decodeBytes(b: Array[Byte], off: Int): (Array[Byte], Int) = {
+    val buf = new java.io.ByteArrayOutputStream()
+    var p = off
+    var done = false
+    while (!done) {
+      val marker = b(p + 8) & 0xff
+      val n = 8 - (0xff - marker)
+      buf.write(b, p, n)
+      p += 9
+      if (n < 8) done = true
+    }
+    (buf.toByteArray, p - off)
+  }
+
+  /** Protobuf-style unsigned varint. */
+  def encodeUvarint(v: Long): Array[Byte] = {
+    val buf = new java.io.ByteArrayOutputStream()
+    var x = v
+    while ((x & ~0x7fL) != 0) { buf.write(((x & 0x7f) | 0x80).toInt); x >>>= 7 }
+    buf.write(x.toInt)
+    buf.toByteArray
+  }
+
+  def decodeUvarint(b: Array[Byte], off: Int): (Long, Int) = {
+    var x = 0L; var s = 0; var p = off
+    while (true) {
+      val c = b(p) & 0xff
+      if (c < 0x80) return (x | (c.toLong << s), p - off + 1)
+      x |= (c & 0x7fL) << s
+      s += 7; p += 1
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Protobuf zigzag varint (binary.PutVarint). */
+  def encodeVarint(v: Long): Array[Byte] =
+    encodeUvarint((v << 1) ^ (v >> 63))
+
+  def decodeVarint(b: Array[Byte], off: Int): (Long, Int) = {
+    val (u, n) = decodeUvarint(b, off)
+    ((u >>> 1) ^ -(u & 1), n)
+  }
+
+  // ---- one flag-prefixed datum (codec.DecodeOne / CutOne) ----
+
+  sealed trait Datum
+  case object DNull extends Datum
+  final case class DInt(v: Long) extends Datum
+  final case class DUint(v: Long) extends Datum
+  final case class DFloat(v: Double) extends Datum
+  final case class DBytes(v: Array[Byte]) extends Datum
+  final case class DDecimal(v: java.math.BigDecimal) extends Datum
+  /** TIME / GoDuration, nanoseconds. */
+  final case class DDuration(v: Long) extends Datum
+
+  /** Key-side datum encode (memcomparable forms only — the forms
+    * handles and index keys use). */
+  def encodeKeyDatum(d: Datum): Array[Byte] = d match {
+    case DNull => Array(NilFlag)
+    case DInt(v) => IntFlag +: encodeInt(v)
+    case DUint(v) => UintFlag +: encodeUint(v)
+    case DFloat(v) => FloatFlag +: encodeFloat(v)
+    case DBytes(v) => BytesFlag +: encodeBytes(v)
+    case DDuration(v) => DurationFlag +: encodeInt(v)
+    case DDecimal(_) =>
+      throw new UnsupportedOperationException("decimal handle keys unsupported")
+  }
+
+  /** Value-side datum encode (the compact forms EncodeValue emits into
+    * v1 row values: varint ints, compact bytes). */
+  def encodeValueDatum(d: Datum): Array[Byte] = d match {
+    case DNull => Array(NilFlag)
+    case DInt(v) => VarintFlag +: encodeVarint(v)
+    case DUint(v) => UvarintFlag +: encodeUvarint(v)
+    case DFloat(v) => FloatFlag +: encodeFloat(v)
+    case DBytes(v) => CompactBytesFlag +: (encodeVarint(v.length) ++ v)
+    case DDuration(v) => DurationFlag +: encodeInt(v)
+    case DDecimal(v) => DecimalFlag +: MyDecimal.encode(v)
+  }
+
+  /** Decode one flag-prefixed datum; returns (datum, bytesRead). */
+  def decodeOne(b: Array[Byte], off: Int): (Datum, Int) = (b(off): @unchecked) match {
+    case NilFlag => (DNull, 1)
+    case IntFlag => (DInt(decodeInt(b, off + 1)), 9)
+    case UintFlag => (DUint(decodeUint(b, off + 1)), 9)
+    case FloatFlag => (DFloat(decodeFloat(b, off + 1)), 9)
+    case DurationFlag => (DDuration(decodeInt(b, off + 1)), 9)
+    case BytesFlag =>
+      val (v, n) = decodeBytes(b, off + 1); (DBytes(v), n + 1)
+    case CompactBytesFlag =>
+      val (len, n) = decodeVarint(b, off + 1)
+      val v = java.util.Arrays.copyOfRange(b, off + 1 + n, off + 1 + n + len.toInt)
+      (DBytes(v), 1 + n + len.toInt)
+    case VarintFlag =>
+      val (v, n) = decodeVarint(b, off + 1); (DInt(v), n + 1)
+    case UvarintFlag =>
+      val (v, n) = decodeUvarint(b, off + 1); (DUint(v), n + 1)
+    case DecimalFlag =>
+      val (v, n) = MyDecimal.decode(b, off + 1); (DDecimal(v), n + 1)
+  }
+
+  // ---- record keys ----
+
+  /** A row's handle: an int handle or a common (clustered non-int PK)
+    * handle of memcomparable datums. */
+  sealed trait Handle
+  final case class IntHandle(v: Long) extends Handle
+  final case class CommonHandle(datums: Seq[Datum]) extends Handle
+
+  private val RecordSep = Array[Byte]('_', 'r')
+
+  def encodeRecordKey(tableID: Long, handle: Handle): Array[Byte] = {
+    val h = handle match {
+      case IntHandle(v) => encodeInt(v)
+      case CommonHandle(ds) => ds.flatMap(encodeKeyDatum).toArray
+    }
+    Array[Byte]('t') ++ encodeInt(tableID) ++ RecordSep ++ h
+  }
+
+  /** Decode `'t' ++ tableID ++ "_r" ++ handle`. An 8-byte rest is an
+    * int handle, anything else common-handle datums — exactly
+    * tablecodec.DecodeRowKey's length rule. */
+  def decodeRecordKey(key: Array[Byte]): (Long, Handle) = {
+    require(key.length >= 11 && key(0) == 't' && key(9) == '_' && key(10) == 'r',
+      "not a record key")
+    val tableID = decodeInt(key, 1)
+    val rest = key.length - 11
+    val handle =
+      if (rest == 8) IntHandle(decodeInt(key, 11))
+      else if (rest == 0) IntHandle(0L)
+      else {
+        val ds = scala.collection.mutable.ArrayBuffer.empty[Datum]
+        var p = 11
+        while (p < key.length) {
+          val (d, n) = decodeOne(key, p); ds += d; p += n
+        }
+        CommonHandle(ds.toSeq)
+      }
+    (tableID, handle)
+  }
+
+  // ---- row value v2 ----
+
+  final case class RowV2(isBig: Boolean,
+                         notNull: IndexedSeq[(Long, Array[Byte])],
+                         nullIds: IndexedSeq[Long],
+                         trailing: Array[Byte]) {
+    def cell(colId: Long): Option[Array[Byte]] =
+      notNull.find(_._1 == colId).map(_._2)
+    def isNull(colId: Long): Boolean = nullIds.contains(colId)
+  }
+
+  final val CodecVer: Int = 128
+
+  def isNewFormat(value: Array[Byte]): Boolean =
+    value.nonEmpty && (value(0) & 0xff) >= CodecVer
+
+  private def u16(b: Array[Byte], off: Int): Int =
+    (b(off) & 0xff) | ((b(off + 1) & 0xff) << 8)
+  private def u32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+
+  def decodeV2(value: Array[Byte]): RowV2 = {
+    require(isNewFormat(value), s"not a v2 row (first byte ${value(0) & 0xff})")
+    val big = (value(1) & 0x1) != 0
+    val nNotNull = u16(value, 2)
+    val nNull = u16(value, 4)
+    val idSize = if (big) 4 else 1
+    val offSize = if (big) 4 else 2
+    var p = 6
+    def colId(i: Int): Long =
+      if (big) u32(value, p + i * 4) else (value(p + i) & 0xffL)
+    val notNullIds = (0 until nNotNull).map(colId)
+    p += nNotNull * idSize
+    val nullIds = (0 until nNull).map(colId)
+    p += nNull * idSize
+    val offs = (0 until nNotNull).map { i =>
+      if (big) u32(value, p + i * 4).toInt else u16(value, p + i * 2)
+    }
+    p += nNotNull * offSize
+    val dataStart = p
+    var prev = 0
+    val cells = (0 until nNotNull).map { i =>
+      val end = offs(i)
+      val cell = java.util.Arrays.copyOfRange(value, dataStart + prev, dataStart + end)
+      prev = end
+      (notNullIds(i), cell)
+    }
+    val trailing = java.util.Arrays.copyOfRange(value, dataStart + prev, value.length)
+    RowV2(big, cells, nullIds.toIndexedSeq, trailing)
+  }
+
+  /** Encode a v2 row. `cells`: colId → Some(cellBytes) | None (null).
+    * Column IDs are sorted ascending within each section as TiDB
+    * writes them. */
+  def encodeV2(cells: Seq[(Long, Option[Array[Byte]])]): Array[Byte] = {
+    val notNull = cells.collect { case (id, Some(v)) => (id, v) }.sortBy(_._1)
+    val nulls = cells.collect { case (id, None) => id }.sorted
+    val big = cells.exists(_._1 > 255) ||
+      notNull.map(_._2.length).sum > 0xffff
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(CodecVer)
+    buf.write(if (big) 1 else 0)
+    def w16(v: Int): Unit = { buf.write(v & 0xff); buf.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      buf.write((v & 0xff).toInt); buf.write(((v >> 8) & 0xff).toInt)
+      buf.write(((v >> 16) & 0xff).toInt); buf.write(((v >> 24) & 0xff).toInt)
+    }
+    def wid(id: Long): Unit = if (big) w32(id) else buf.write(id.toInt)
+    def woff(o: Int): Unit = if (big) w32(o.toLong) else w16(o)
+    w16(notNull.size); w16(nulls.size)
+    notNull.foreach { case (id, _) => wid(id) }
+    nulls.foreach(wid)
+    var off = 0
+    notNull.foreach { case (_, v) => off += v.length; woff(off) }
+    notNull.foreach { case (_, v) => buf.write(v, 0, v.length) }
+    buf.toByteArray
+  }
+
+  // ---- row value v1 ----
+
+  /** v1 row → colID → value datum (codec.go:98-120 layout). */
+  def decodeV1(value: Array[Byte]): Map[Long, Datum] = {
+    if (value.isEmpty || (value.length == 1 && value(0) == NilFlag)) return Map.empty
+    val out = scala.collection.mutable.LinkedHashMap.empty[Long, Datum]
+    var p = 0
+    while (p < value.length) {
+      val (cid, n1) = decodeOne(value, p)
+      p += n1
+      val (v, n2) = decodeOne(value, p)
+      p += n2
+      val id = cid match {
+        case DInt(i) => i
+        case DUint(i) => i
+        case other => throw new IllegalArgumentException(s"bad colID datum $other")
+      }
+      out(id) = v
+    }
+    out.toMap
+  }
+
+  def encodeV1(cells: Seq[(Long, Datum)]): Array[Byte] =
+    cells.flatMap { case (id, d) =>
+      encodeValueDatum(DInt(id)) ++ encodeValueDatum(d)
+    }.toArray
+
+  // ---- typed v2 cells (rowcodec value encodings per column class) ----
+
+  /** Encode a JVM value into a v2 cell for a MySQL base type (lower
+    * case, parens stripped — "bigint", "varchar", …). */
+  def encodeCell(v: Any, baseType: String, unsigned: Boolean = false): Array[Byte] =
+    baseType match {
+      case "tinyint" | "smallint" | "mediumint" | "int" | "bigint" | "year" =>
+        val x = v.asInstanceOf[Number].longValue()
+        if (unsigned) uintCell(x) else intCell(x)
+      case "float" | "double" => encodeFloat(v.asInstanceOf[Number].doubleValue())
+      case "bit" | "enum" | "set" => uintCell(v.asInstanceOf[Number].longValue())
+      case "decimal" | "numeric" => MyDecimal.encode(v match {
+        case d: java.math.BigDecimal => d
+        case d: BigDecimal => d.bigDecimal
+        case s: String => new java.math.BigDecimal(s)
+        case n: Number => new java.math.BigDecimal(n.toString)
+      })
+      case "time" => intCell(v.asInstanceOf[Number].longValue()) // GoDuration ns
+      case "date" | "datetime" | "timestamp" =>
+        uintCell(PackedTime.pack(v.toString))
+      case _ => v match { // varchar/char/text/blob/json/vector: raw bytes
+        case b: Array[Byte] => b
+        case s: String => s.getBytes(StandardCharsets.UTF_8)
+        case other => other.toString.getBytes(StandardCharsets.UTF_8)
+      }
+    }
+
+  /** Decode a v2 cell back to a JVM value for the base type. String
+    * classes return String; binary classes byte arrays; temporal
+    * classes their canonical string. */
+  def decodeCell(cell: Array[Byte], baseType: String, unsigned: Boolean = false,
+                 binary: Boolean = false): Any = baseType match {
+    case "tinyint" | "smallint" | "mediumint" | "int" | "bigint" | "year" =>
+      if (unsigned) uintCellDecode(cell) else intCellDecode(cell)
+    case "float" | "double" => decodeFloat(cell, 0)
+    case "bit" | "enum" | "set" => uintCellDecode(cell)
+    case "decimal" | "numeric" => MyDecimal.decode(cell, 0)._1
+    case "time" => intCellDecode(cell)
+    case "date" => PackedTime.unpackDate(uintCellDecode(cell))
+    case "datetime" | "timestamp" => PackedTime.unpack(uintCellDecode(cell))
+    case "blob" | "binary" | "varbinary" | "longblob" | "mediumblob" | "tinyblob" => cell
+    case _ if binary => cell
+    case _ => new String(cell, StandardCharsets.UTF_8)
+  }
+
+  /** Minimal-length little-endian signed int cell (1/2/4/8 bytes). */
+  def intCell(v: Long): Array[Byte] =
+    if (v >= Byte.MinValue && v <= Byte.MaxValue) Array(v.toByte)
+    else if (v >= Short.MinValue && v <= Short.MaxValue)
+      Array(v.toByte, (v >> 8).toByte)
+    else if (v >= Int.MinValue && v <= Int.MaxValue)
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    else (0 until 8).map(i => (v >> (8 * i)).toByte).toArray
+
+  def intCellDecode(b: Array[Byte]): Long = b.length match {
+    case 1 => b(0).toLong
+    case 2 => ((b(0) & 0xffL) | ((b(1) & 0xffL) << 8)).toShort.toLong
+    case 4 => ((b(0) & 0xffL) | ((b(1) & 0xffL) << 8) | ((b(2) & 0xffL) << 16) |
+      ((b(3) & 0xffL) << 24)).toInt.toLong
+    case 8 => (0 until 8).map(i => (b(i) & 0xffL) << (8 * i)).reduce(_ | _)
+    case n => throw new IllegalArgumentException(s"bad int cell length $n")
+  }
+
+  /** Minimal-length little-endian unsigned int cell. */
+  def uintCell(v: Long): Array[Byte] =
+    if ((v & ~0xffL) == 0) Array(v.toByte)
+    else if ((v & ~0xffffL) == 0) Array(v.toByte, (v >> 8).toByte)
+    else if ((v & ~0xffffffffL) == 0)
+      Array(v.toByte, (v >> 8).toByte, (v >> 16).toByte, (v >> 24).toByte)
+    else (0 until 8).map(i => (v >>> (8 * i)).toByte).toArray
+
+  def uintCellDecode(b: Array[Byte]): Long = b.length match {
+    case 1 => b(0) & 0xffL
+    case 2 => (b(0) & 0xffL) | ((b(1) & 0xffL) << 8)
+    case 4 => (b(0) & 0xffL) | ((b(1) & 0xffL) << 8) | ((b(2) & 0xffL) << 16) |
+      ((b(3) & 0xffL) << 24)
+    case 8 => (0 until 8).map(i => (b(i) & 0xffL) << (8 * i)).reduce(_ | _)
+    case n => throw new IllegalArgumentException(s"bad uint cell length $n")
+  }
+}
+
+/** MySQL binary decimal (myDecimal) — the on-disk DECIMAL format both
+  * row formats embed (TiDB types/mydecimal.go `WriteBin`; layout from
+  * the MySQL source strings/decimal.c `decimal2bin` documentation):
+  * digits are packed 9 per 4-byte big-endian word, the partial
+  * leading/trailing groups use the minimal byte count
+  * (dig2bytes = 0,1,1,2,2,3,3,4,4,4), and a negative number flips
+  * every byte; the first byte's MSB is then flipped so unsigned byte
+  * comparison orders numerically. The codec form (codec.EncodeDecimal)
+  * prepends precision and fraction-digit count bytes. */
+object MyDecimal {
+
+  private val dig2bytes = Array(0, 1, 1, 2, 2, 3, 3, 4, 4, 4)
+
+  /** Encode with codec header: precision byte, frac byte, bin body. */
+  def encode(v: java.math.BigDecimal): Array[Byte] = {
+    val frac = math.max(v.scale, 0)
+    val plain = v.setScale(frac).unscaledValue.abs.toString
+    val intDigits = math.max(plain.length - frac, 1)
+    val precision = intDigits + frac
+    Array(precision.toByte, frac.toByte) ++ writeBin(v, precision, frac)
+  }
+
+  def writeBin(v: java.math.BigDecimal, precision: Int, frac: Int): Array[Byte] = {
+    val neg = v.signum < 0
+    val scaled = v.abs.setScale(frac, java.math.RoundingMode.HALF_UP)
+    val unscaled = scaled.unscaledValue.toString
+    val intDigits = precision - frac
+    // left-pad the integer part to `intDigits`, fraction is exact
+    val allDigits = ("0" * math.max(0, intDigits + frac - unscaled.length)) + unscaled
+    val intPart = allDigits.substring(0, intDigits)
+    val fracPart = allDigits.substring(intDigits)
+
+    val buf = new java.io.ByteArrayOutputStream()
+    // integer part: leading partial group (from the left), then full
+    // 9-digit groups
+    val intLead = intDigits % 9
+    var pos = 0
+    if (intLead > 0) {
+      writeWord(buf, intPart.substring(0, intLead).toLong, dig2bytes(intLead))
+      pos = intLead
+    }
+    while (pos < intDigits) {
+      writeWord(buf, intPart.substring(pos, pos + 9).toLong, 4)
+      pos += 9
+    }
+    // fraction part: full groups then trailing partial
+    pos = 0
+    while (pos + 9 <= frac) {
+      writeWord(buf, fracPart.substring(pos, pos + 9).toLong, 4)
+      pos += 9
+    }
+    val fracTail = frac - pos
+    if (fracTail > 0)
+      writeWord(buf, fracPart.substring(pos).toLong, dig2bytes(fracTail))
+
+    val out = buf.toByteArray
+    if (neg) { var i = 0; while (i < out.length) { out(i) = (~out(i)).toByte; i += 1 } }
+    out(0) = (out(0) ^ 0x80).toByte
+    out
+  }
+
+  private def writeWord(buf: java.io.ByteArrayOutputStream, v: Long, bytes: Int): Unit = {
+    var i = bytes - 1
+    while (i >= 0) { buf.write(((v >> (8 * i)) & 0xff).toInt); i -= 1 }
+  }
+
+  /** Decode a codec-form decimal at `off`; returns (value, bytesRead
+    * including the 2 header bytes). */
+  def decode(b: Array[Byte], off: Int): (java.math.BigDecimal, Int) = {
+    val precision = b(off) & 0xff
+    val frac = b(off + 1) & 0xff
+    val intDigits = precision - frac
+    val intLead = intDigits % 9
+    val binSize = dig2bytes(intLead) + (intDigits / 9) * 4 +
+      (frac / 9) * 4 + dig2bytes(frac % 9)
+    val bin = java.util.Arrays.copyOfRange(b, off + 2, off + 2 + binSize)
+    bin(0) = (bin(0) ^ 0x80).toByte
+    val neg = (bin(0) & 0x80) != 0
+    if (neg) { var i = 0; while (i < bin.length) { bin(i) = (~bin(i)).toByte; i += 1 } }
+
+    val sb = new StringBuilder
+    var p = 0
+    def readWord(bytes: Int): Long = {
+      var v = 0L
+      var i = 0
+      while (i < bytes) { v = (v << 8) | (bin(p + i) & 0xffL); i += 1 }
+      p += bytes
+      v
+    }
+    if (intLead > 0) sb.append(padded(readWord(dig2bytes(intLead)), intLead))
+    var g = 0
+    while (g < intDigits / 9) { sb.append(padded(readWord(4), 9)); g += 1 }
+    if (sb.isEmpty) sb.append('0')
+    val intStr = sb.toString
+    sb.clear()
+    g = 0
+    while (g < frac / 9) { sb.append(padded(readWord(4), 9)); g += 1 }
+    val fracTail = frac % 9
+    if (fracTail > 0) sb.append(padded(readWord(dig2bytes(fracTail)), fracTail))
+    val s = (if (neg) "-" else "") + stripLeadingZeros(intStr) +
+      (if (frac > 0) "." + sb.toString else "")
+    (new java.math.BigDecimal(s), 2 + binSize)
+  }
+
+  private def padded(v: Long, digits: Int): String = {
+    val s = v.toString
+    ("0" * math.max(0, digits - s.length)) + s
+  }
+
+  private def stripLeadingZeros(s: String): String = {
+    val t = s.dropWhile(_ == '0')
+    if (t.isEmpty) "0" else t
+  }
+}
+
+/** MySQL packed temporal core (TiDB types.Time `ToPackedUint`): the
+  * uint64 both row formats store for DATE/DATETIME/TIMESTAMP —
+  * `(((year*13+month)<<5 | day) << 17 | hour<<12 | minute<<6 |
+  * second) << 24 | microsecond`. */
+object PackedTime {
+
+  private val DateTimeRe =
+    """(\d{4})-(\d{2})-(\d{2})(?:[ T](\d{2}):(\d{2}):(\d{2})(?:\.(\d{1,6}))?)?""".r
+
+  def pack(canonical: String): Long = canonical match {
+    case DateTimeRe(y, mo, d, h, mi, s, us) =>
+      val ymd = (y.toLong * 13 + mo.toLong) << 5 | d.toLong
+      val hms =
+        if (h == null) 0L
+        else h.toLong << 12 | mi.toLong << 6 | s.toLong
+      val micro = if (us == null) 0L else (us + "0" * (6 - us.length)).toLong
+      ((ymd << 17) | hms) << 24 | micro
+    case other => throw new IllegalArgumentException(s"bad temporal literal '$other'")
+  }
+
+  def unpack(packed: Long): String = {
+    val micro = packed & ((1L << 24) - 1)
+    val ymdhms = packed >>> 24
+    val ymd = ymdhms >>> 17
+    val hms = ymdhms & ((1L << 17) - 1)
+    val day = ymd & 31
+    val ym = ymd >>> 5
+    val year = ym / 13
+    val month = ym % 13
+    val base = f"$year%04d-$month%02d-$day%02d ${hms >>> 12}%02d:${(hms >>> 6) & 63}%02d:${hms & 63}%02d"
+    if (micro > 0) base + "." + f"$micro%06d" else base
+  }
+
+  def unpackDate(packed: Long): String = unpack(packed).substring(0, 10)
+}

@@ -1,0 +1,217 @@
+package graft.operators
+
+import graft.model.TiKvCodec
+import graft.model.TiKvCodec._
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.types._
+
+/** The byte-level mount step (SURVEY §2.1 "KV→row decode"): turn raw
+  * TiKV change entries — `(key, value, old_value, op_type, start_ts,
+  * commit_ts)`, the reference's `RawKVEntry` shape
+  * (pkg/common/kv_entry.go:53-70) — into typed Envelope rows, decoding
+  * the actual TiKV bytes with [[graft.model.TiKvCodec]] the way
+  * pkg/common/event/mounter.go:45-120 does with
+  * tablecodec/rowcodec:
+  *
+  *  - the handle comes from the KEY, not the value (mounter.go:71
+  *    `DecodeRowKey`; codec.go:93 `DecodeHandleToDatumMap`),
+  *  - v2 (first byte ≥128) and v1 row values both decode
+  *    (codec.go:86 `IsNewFormat` dispatch),
+  *  - columns missing from the value get the column default, else
+  *    the type's zero value when NOT NULL, else NULL (mounter
+  *    defaults, chunk.go:182 `getDefaultOrZeroValue`),
+  *  - `op_type=delete` → D with the before-image from `old_value`;
+  *    a put carrying an old_value → U; a bare put → I
+  *    (row_change.go:64-78 image rules).
+  *
+  * Decoding is per-row imperative byte parsing with a per-partition
+  * reusable decoder — the one place `mapPartitions` beats an
+  * Expression, because the column layout is data-dependent (IDs and
+  * order live inside each value). Partition-parallel, no shuffle: the
+  * mount is a map over the change-log scan exactly as the reference
+  * decodes on the event-service scan path.
+  */
+object RawKvMounter {
+
+  /** One column of a table's KV schema. `sqlType` is the MySQL type
+    * ("bigint", "varchar(64)", "decimal(12,2)", …). */
+  final case class KvColumn(id: Long, name: String, sqlType: String,
+                            unsigned: Boolean = false, nullable: Boolean = true,
+                            default: Option[String] = None)
+
+  /** Table metadata for the mount: which physical table ID maps to
+    * which (schema, table) and columns; `handleCol` names the int-pk
+    * column materialized from the record key. */
+  final case class KvTableMeta(tableId: Long, schema: String, table: String,
+                               columns: Seq[KvColumn], handleCol: String)
+
+  private def base(sqlType: String): String = {
+    val t = sqlType.toLowerCase
+    val p = t.indexOf('(')
+    (if (p < 0) t else t.substring(0, p)).trim
+  }
+
+  /** Spark-side type for a column (the envelope payload field type). */
+  def sparkType(c: KvColumn): DataType = base(c.sqlType) match {
+    case "tinyint" | "smallint" | "mediumint" | "int" | "bigint" | "year" |
+         "bit" | "time" => LongType
+    case "float" | "double" => DoubleType
+    case "decimal" | "numeric" =>
+      val spec = """\((\d+)\s*,\s*(\d+)\)""".r.findFirstMatchIn(c.sqlType)
+      spec.map(m => DecimalType(m.group(1).toInt, m.group(2).toInt))
+        .getOrElse(DecimalType(10, 0))
+    case "blob" | "binary" | "varbinary" | "tinyblob" | "mediumblob" | "longblob" =>
+      BinaryType
+    case _ => StringType // char-class, enum/set names, temporal canonical
+  }
+
+  /** chunk.go:182 getDefaultOrZeroValue: declared default, else NULL
+    * when nullable, else the type's zero value. */
+  def defaultValue(c: KvColumn): Any = {
+    val b = base(c.sqlType)
+    c.default match {
+      case Some(d) => sparkType(c) match {
+        case LongType => d.toLong
+        case DoubleType => d.toDouble
+        case _: DecimalType => new java.math.BigDecimal(d)
+        case BinaryType => d.getBytes("UTF-8")
+        case _ => d
+      }
+      case None if c.nullable => null
+      case None => sparkType(c) match {
+        case LongType => 0L
+        case DoubleType => 0.0
+        case _: DecimalType => java.math.BigDecimal.ZERO
+        case BinaryType => Array.empty[Byte]
+        case _ if b == "date" => "0000-00-00"
+        case _ if b == "datetime" || b == "timestamp" => "0000-00-00 00:00:00"
+        case _ => ""
+      }
+    }
+  }
+
+  /** Decode one row value (v1 or v2) + key handle into payload values
+    * ordered as `meta.columns`. */
+  private def decodeImage(meta: KvTableMeta, handle: Handle,
+                          value: Array[Byte]): Array[Any] = {
+    if (value == null || value.isEmpty) return null
+    val v2 = if (TiKvCodec.isNewFormat(value)) Some(TiKvCodec.decodeV2(value)) else None
+    val v1 = if (v2.isEmpty) TiKvCodec.decodeV1(value) else Map.empty[Long, Datum]
+    meta.columns.map { c =>
+      if (c.name == meta.handleCol) handle match {
+        case IntHandle(h) => h
+        case CommonHandle(ds) => ds.headOption match {
+          case Some(DInt(v)) => v
+          case Some(DBytes(v)) => new String(v, "UTF-8")
+          case other => throw new IllegalArgumentException(s"bad handle $other")
+        }
+      } else {
+        val bt = base(c.sqlType)
+        v2 match {
+          case Some(row) =>
+            row.cell(c.id) match {
+              case Some(cell) => normalize(TiKvCodec.decodeCell(cell, bt, c.unsigned), c)
+              case None if row.isNull(c.id) => null
+              case None => defaultValue(c)
+            }
+          case None =>
+            v1.get(c.id) match {
+              case Some(DNull) => null
+              case Some(d) => normalize(datumValue(d, bt), c)
+              case None => defaultValue(c)
+            }
+        }
+      }
+    }.toArray
+  }
+
+  private def datumValue(d: Datum, baseType: String): Any = d match {
+    case DInt(v) =>
+      if (baseType == "datetime" || baseType == "timestamp")
+        graft.model.PackedTime.unpack(v)
+      else if (baseType == "date") graft.model.PackedTime.unpackDate(v)
+      else v
+    case DUint(v) =>
+      if (baseType == "datetime" || baseType == "timestamp")
+        graft.model.PackedTime.unpack(v)
+      else if (baseType == "date") graft.model.PackedTime.unpackDate(v)
+      else v
+    case DFloat(v) => v
+    case DBytes(v) =>
+      if (baseType.endsWith("blob") || baseType == "binary" || baseType == "varbinary") v
+      else new String(v, "UTF-8")
+    case DDecimal(v) => v
+    case DDuration(v) => v
+    case DNull => null
+  }
+
+  /** Fit the decoded JVM value to the payload field's Spark type. */
+  private def normalize(v: Any, c: KvColumn): Any = (v, sparkType(c)) match {
+    case (null, _) => null
+    case (x: java.math.BigDecimal, dt: DecimalType) =>
+      x.setScale(dt.scale, java.math.RoundingMode.HALF_UP)
+    case (x: Long, DoubleType) => x.toDouble
+    case (x, _) => x
+  }
+
+  def payloadType(meta: KvTableMeta): StructType =
+    StructType(meta.columns.map(c => StructField(c.name, sparkType(c))))
+
+  def outputSchema(meta: KvTableMeta): StructType = StructType(Seq(
+    StructField("_schema", StringType, nullable = false),
+    StructField("_table", StringType, nullable = false),
+    StructField("_op", StringType, nullable = false),
+    StructField("_commit_ts", LongType, nullable = false),
+    StructField("_start_ts", LongType, nullable = false),
+    StructField("before", payloadType(meta)),
+    StructField("after", payloadType(meta))))
+
+  /** Mount one table's raw entries. Input columns: `key` BINARY,
+    * `value` BINARY, `old_value` BINARY (nullable), `op_type` STRING
+    * ("put"|"delete"), `start_ts` LONG, `commit_ts` LONG. Entries
+    * whose key is not a record key of `meta.tableId` are dropped
+    * (the reference skips non-record keys, mounter.go:75). */
+  def mountTable(raw: DataFrame, meta: KvTableMeta): DataFrame = {
+    val enc = Encoders.row(outputSchema(meta))
+    val m = meta
+    raw.select("key", "value", "old_value", "op_type", "start_ts", "commit_ts")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val key = r.getAs[Array[Byte]](0)
+          if (key == null || key.length < 11 || key(0) != 't') Iterator.empty
+          else {
+            val (tableId, handle) = TiKvCodec.decodeRecordKey(key)
+            if (tableId != m.tableId) Iterator.empty
+            else {
+              val value = r.getAs[Array[Byte]](1)
+              val oldValue = r.getAs[Array[Byte]](2)
+              val opType = r.getAs[String](3)
+              val after = if (opType == "delete") null else decodeImage(m, handle, value)
+              val before = decodeImage(m, handle, oldValue)
+              val op =
+                if (opType == "delete") "D"
+                else if (before != null) "U"
+                else "I"
+              Iterator(Row(m.schema, m.table, op,
+                r.getLong(5), r.getLong(4),
+                if (before == null) null else Row.fromSeq(before.toIndexedSeq),
+                if (after == null) null else Row.fromSeq(after.toIndexedSeq)))
+            }
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
+  // ---- encode side (test/replay tooling: build raw entries) ----
+
+  /** Encode one payload (ordered as meta.columns) into a v2 row value;
+    * the handle column is omitted from the value, as TiDB does. */
+  def encodeImage(meta: KvTableMeta, payload: Seq[Any]): Array[Byte] = {
+    val cells = meta.columns.zip(payload).collect {
+      case (c, v) if c.name != meta.handleCol =>
+        (c.id, Option(v).map(x => TiKvCodec.encodeCell(x, base(c.sqlType), c.unsigned)))
+    }
+    TiKvCodec.encodeV2(cells)
+  }
+}

@@ -1,0 +1,307 @@
+package graft
+
+import graft.model.{MyDecimal, PackedTime, TiKvCodec}
+import graft.model.TiKvCodec._
+import graft.operators.RawKvMounter
+import graft.operators.RawKvMounter.{KvColumn, KvTableMeta}
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Byte-level vectors for the TiKV key / TiDB row-value codecs —
+  * golden bytes hand-computed from the public formats (TiDB design
+  * doc 2018-07-19-row-format.md; the memcomparable codec rules the
+  * reference consumes via pkg/common/event/codec.go), plus
+  * encode∘decode identities over randomized values.
+  */
+class TiKvCodecSpec extends AnyFunSuite {
+
+  private def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+
+  // ---- memcomparable primitives ----
+
+  test("memcomparable int golden vectors (sign-flipped big-endian)") {
+    assert(hex(encodeInt(0L)) == "8000000000000000")
+    assert(hex(encodeInt(1L)) == "8000000000000001")
+    assert(hex(encodeInt(-1L)) == "7fffffffffffffff")
+    assert(hex(encodeInt(Long.MinValue)) == "0000000000000000")
+    assert(hex(encodeInt(Long.MaxValue)) == "ffffffffffffffff")
+    Seq(0L, 1L, -1L, 42L, -1234567890123L, Long.MinValue, Long.MaxValue).foreach { v =>
+      assert(decodeInt(encodeInt(v), 0) == v)
+    }
+    // ordering property: byte order == numeric order
+    val sorted = Seq(-5L, -1L, 0L, 3L, 1000L).map(encodeInt).map(hex)
+    assert(sorted == sorted.sorted)
+  }
+
+  test("memcomparable bytes golden vector (8-byte groups, 0xFF-pad marker)") {
+    // "abc" + 5 zero pads, marker 0xFF-5 = 0xFA
+    assert(hex(encodeBytes("abc".getBytes)) == "6162630000000000fa")
+    // exactly 8 bytes: full group (marker 0xFF) + empty group (marker 0xF7)
+    assert(hex(encodeBytes("12345678".getBytes)) ==
+      "3132333435363738ff" + "0000000000000000f7")
+    Seq("", "a", "12345678", "123456789", "héllo wörld ✓").foreach { s =>
+      val (back, n) = decodeBytes(encodeBytes(s.getBytes("UTF-8")), 0)
+      assert(new String(back, "UTF-8") == s)
+      assert(n == encodeBytes(s.getBytes("UTF-8")).length)
+    }
+  }
+
+  test("memcomparable float golden vectors (MSB set for +, flipped for -)") {
+    // 1.0 bits 3FF0000000000000 → +: set sign bit → BFF0...
+    assert(hex(encodeFloat(1.0)) == "bff0000000000000")
+    assert(hex(encodeFloat(0.0)) == "8000000000000000")
+    // -1.0: ~bits
+    assert(hex(encodeFloat(-1.0)) == "400fffffffffffff")
+    Seq(0.0, 1.5, -2.25, 1e300, -1e-300, math.Pi).foreach { v =>
+      assert(decodeFloat(encodeFloat(v), 0) == v)
+    }
+    val ordered = Seq(-10.5, -0.25, 0.0, 0.5, 99.75).map(encodeFloat).map(hex)
+    assert(ordered == ordered.sorted)
+  }
+
+  test("varint / uvarint roundtrip") {
+    Seq(0L, 1L, -1L, 300L, -300L, Long.MaxValue, Long.MinValue).foreach { v =>
+      val b = encodeVarint(v)
+      assert(decodeVarint(b, 0) == ((v, b.length)))
+    }
+    Seq(0L, 127L, 128L, 300L, Long.MaxValue).foreach { v =>
+      val b = encodeUvarint(v)
+      assert(decodeUvarint(b, 0) == ((v, b.length)))
+    }
+  }
+
+  // ---- record keys ----
+
+  test("record key golden vector: t | tableID | _r | handle") {
+    // the canonical example shape from the TiDB key-layout docs
+    val key = encodeRecordKey(1L, IntHandle(5L))
+    assert(hex(key) == "74" + "8000000000000001" + "5f72" + "8000000000000005")
+    assert(decodeRecordKey(key) == ((1L, IntHandle(5L))))
+  }
+
+  test("common-handle record key roundtrips (string pk)") {
+    val key = encodeRecordKey(42L,
+      CommonHandle(Seq(DBytes("user-9".getBytes("UTF-8")))))
+    val (tid, h) = decodeRecordKey(key)
+    assert(tid == 42L)
+    h match {
+      case CommonHandle(Seq(DBytes(b))) => assert(new String(b, "UTF-8") == "user-9")
+      case other => fail(s"wrong handle: $other")
+    }
+  }
+
+  // ---- row format v2 ----
+
+  test("row v2 golden vector: header, sorted ids, end-offsets, cells") {
+    // cols: id 1 = int 1000 (2-byte LE cell), id 3 = "abc", id 4 = NULL
+    val value = encodeV2(Seq(
+      1L -> Some(intCell(1000L)),
+      3L -> Some("abc".getBytes("UTF-8")),
+      4L -> None))
+    assert(hex(value) ==
+      "80" +        // codec version 128
+      "00" +        // small format
+      "0200" +      // 2 not-null
+      "0100" +      // 1 null
+      "0103" +      // not-null ids 1,3
+      "04" +        // null ids 4
+      "0200" + "0500" + // END offsets 2,5
+      "e803" +      // 1000 as little-endian int16
+      "616263")     // "abc"
+    val row = decodeV2(value)
+    assert(!row.isBig)
+    assert(intCellDecode(row.cell(1L).get) == 1000L)
+    assert(new String(row.cell(3L).get, "UTF-8") == "abc")
+    assert(row.isNull(4L) && row.cell(4L).isEmpty)
+    assert(row.trailing.isEmpty)
+  }
+
+  test("row v2 big format: 4-byte ids and offsets when a col id > 255") {
+    val value = encodeV2(Seq(300L -> Some(intCell(7L)), 2L -> Some(intCell(-9L))))
+    assert((value(1) & 1) == 1)
+    val row = decodeV2(value)
+    assert(row.isBig)
+    assert(intCellDecode(row.cell(300L).get) == 7L)
+    assert(intCellDecode(row.cell(2L).get) == -9L)
+  }
+
+  test("row v2 trailing bytes (in-row checksum region) are preserved") {
+    val value = encodeV2(Seq(1L -> Some(intCell(5L)))) ++ Array[Byte](1, 2, 3, 4)
+    val row = decodeV2(value)
+    assert(intCellDecode(row.cell(1L).get) == 5L)
+    assert(row.trailing.toSeq == Seq[Byte](1, 2, 3, 4))
+  }
+
+  test("int cells use the minimal little-endian width") {
+    assert(hex(intCell(5L)) == "05")
+    assert(hex(intCell(-1L)) == "ff")
+    assert(hex(intCell(1000L)) == "e803")
+    assert(hex(intCell(100000L)) == "a0860100")
+    assert(intCell(5000000000L).length == 8)
+    Seq(0L, 127L, -128L, 32767L, -32768L, Int.MaxValue.toLong,
+      Int.MinValue.toLong, Long.MaxValue, Long.MinValue).foreach { v =>
+      assert(intCellDecode(intCell(v)) == v)
+    }
+    Seq(0L, 255L, 65535L, 4294967295L, Long.MaxValue, -1L /* u64 max */).foreach { v =>
+      assert(uintCellDecode(uintCell(v)) == v)
+    }
+  }
+
+  // ---- row format v1 ----
+
+  test("row v1: colID/value datum pairs roundtrip") {
+    val v1 = encodeV1(Seq(
+      1L -> DInt(77L),
+      2L -> DBytes("hé".getBytes("UTF-8")),
+      3L -> DNull,
+      4L -> DFloat(2.5),
+      5L -> DDecimal(new java.math.BigDecimal("-12.34"))))
+    val m = decodeV1(v1)
+    assert(m(1L) == DInt(77L))
+    assert(new String(m(2L).asInstanceOf[DBytes].v, "UTF-8") == "hé")
+    assert(m(3L) == DNull)
+    assert(m(4L) == DFloat(2.5))
+    assert(m(5L).asInstanceOf[DDecimal].v.compareTo(
+      new java.math.BigDecimal("-12.34")) == 0)
+  }
+
+  // ---- MySQL binary decimal ----
+
+  test("myDecimal binary format roundtrips incl. sign and 9-digit word splits") {
+    Seq("0", "1", "-1", "12.34", "-12.34", "0.5", "-0.5",
+      "1234567890.123456789", "-1234567890123456789.000000001",
+      "999999999999999999", "0.000000001").foreach { s =>
+      val v = new java.math.BigDecimal(s)
+      val enc = MyDecimal.encode(v)
+      val (back, n) = MyDecimal.decode(enc, 0)
+      assert(back.compareTo(v) == 0, s"decimal $s: got $back")
+      assert(n == enc.length)
+    }
+    // sign-flip makes the first byte order negatives before positives
+    val neg = MyDecimal.writeBin(new java.math.BigDecimal("-5"), 1, 0)
+    val pos = MyDecimal.writeBin(new java.math.BigDecimal("5"), 1, 0)
+    assert((neg(0) & 0xff) < (pos(0) & 0xff))
+  }
+
+  // ---- packed temporal ----
+
+  test("packed time golden: layout ((year*13+month)<<5|day)<<17|hms)<<24|micro") {
+    val packed = PackedTime.pack("2020-01-01 00:00:00")
+    assert(packed == ((((2020L * 13 + 1) << 5 | 1) << 17) << 24))
+    assert(PackedTime.unpack(packed) == "2020-01-01 00:00:00")
+    Seq("2023-04-19 11:48:00", "1999-12-31 23:59:59.999999",
+      "0001-01-01 00:00:00", "2026-08-14 09:30:05.000100").foreach { s =>
+      assert(PackedTime.unpack(PackedTime.pack(s)) == s)
+    }
+    assert(PackedTime.unpackDate(PackedTime.pack("2024-02-29")) == "2024-02-29")
+  }
+
+  // ---- typed cell matrix ----
+
+  test("typed v2 cells roundtrip across the scalar matrix") {
+    def rt(v: Any, t: String, unsigned: Boolean = false): Any =
+      TiKvCodec.decodeCell(TiKvCodec.encodeCell(v, t, unsigned), t, unsigned)
+    assert(rt(-42L, "bigint") == -42L)
+    assert(rt(255L, "tinyint", unsigned = true) == 255L)
+    assert(rt(-1L, "bigint", unsigned = true) == -1L) // u64 max in the Long bits
+    assert(rt(3.5, "double") == 3.5)
+    assert(rt("héllo", "varchar") == "héllo")
+    assert(rt("2023-04-19 11:48:00", "datetime") == "2023-04-19 11:48:00")
+    assert(rt(5L, "enum") == 5L)
+    assert(rt(0xb1L, "bit") == 0xb1L)
+    assert(rt(3600L * 1000000000L, "time") == 3600L * 1000000000L)
+    assert(rt(new java.math.BigDecimal("12.30"), "decimal")
+      .asInstanceOf[java.math.BigDecimal].compareTo(new java.math.BigDecimal("12.3")) == 0)
+    assert(rt(Array[Byte](1, 2, 3), "blob").asInstanceOf[Array[Byte]].toSeq ==
+      Seq[Byte](1, 2, 3))
+  }
+}
+
+/** The mount operator over raw KV entries — the reference's
+  * mounter.go decode path driven through Spark. */
+class RawKvMounterSpec extends SparkFunSuite {
+
+  private val meta = KvTableMeta(101L, "app", "users",
+    Seq(
+      KvColumn(1L, "id", "bigint", nullable = false),
+      KvColumn(2L, "name", "varchar(64)"),
+      KvColumn(3L, "score", "double"),
+      KvColumn(4L, "tag", "varchar(16)", default = Some("x")),
+      KvColumn(5L, "n", "int", nullable = false)),
+    handleCol = "id")
+
+  private def rawDf(rows: Seq[(Array[Byte], Array[Byte], Array[Byte], String, Long, Long)]) = {
+    val schema = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType),
+      StructField("old_value", BinaryType), StructField("op_type", StringType),
+      StructField("start_ts", LongType), StructField("commit_ts", LongType)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows.map(Row.fromTuple), 2), schema)
+  }
+
+  private def key(h: Long) = TiKvCodec.encodeRecordKey(101L, IntHandle(h))
+  private def img(id: Long, name: String, score: java.lang.Double,
+                  tag: String, n: Long) =
+    RawKvMounter.encodeImage(meta, Seq(id, name, score, tag, n))
+
+  test("mount: insert, update with pre-image, delete from old_value") {
+    val raw = rawDf(Seq(
+      (key(1L), img(1L, "ada", 1.5, "a", 10L), null, "put", 90L, 100L),
+      (key(1L), img(1L, "ada2", 2.5, "a", 11L), img(1L, "ada", 1.5, "a", 10L), "put", 190L, 200L),
+      (key(2L), img(2L, "bob", null, "b", 20L), null, "put", 90L, 100L),
+      (key(2L), null, img(2L, "bob", null, "b", 20L), "delete", 290L, 300L)))
+    val out = RawKvMounter.mountTable(raw, meta).collect()
+      .sortBy(r => (r.getLong(3),
+        Option(r.getStruct(6)).getOrElse(r.getStruct(5)).getLong(0)))
+    assert(out.map(_.getString(2)).toSeq == Seq("I", "I", "U", "D"))
+    val ins = out(0)
+    assert(ins.getStruct(5) == null) // no before image on insert
+    assert(ins.getStruct(6).getLong(0) == 1L) // handle from the KEY
+    assert(ins.getStruct(6).getString(1) == "ada")
+    val upd = out(2)
+    assert(upd.getStruct(5).getString(1) == "ada")
+    assert(upd.getStruct(6).getString(1) == "ada2")
+    val del = out(3)
+    assert(del.getStruct(6) == null)
+    assert(del.getStruct(5).getString(1) == "bob")
+    // null double survives as null, not zero
+    assert(out(1).getStruct(6).isNullAt(2))
+  }
+
+  test("mount: missing columns fill declared default, else zero when NOT NULL") {
+    // value carries only (name) — score nullable→null, tag default "x",
+    // n NOT NULL no default → 0
+    val value = TiKvCodec.encodeV2(Seq(2L -> Some("eve".getBytes("UTF-8"))))
+    val raw = rawDf(Seq((key(7L), value, null, "put", 9L, 10L)))
+    val r = RawKvMounter.mountTable(raw, meta).collect().head.getStruct(6)
+    assert(r.getLong(0) == 7L)
+    assert(r.getString(1) == "eve")
+    assert(r.isNullAt(2))
+    assert(r.getString(3) == "x")
+    assert(r.getLong(4) == 0L)
+  }
+
+  test("mount: v1-format values decode through the same path") {
+    val v1 = TiKvCodec.encodeV1(Seq(
+      2L -> DBytes("old-fmt".getBytes("UTF-8")),
+      3L -> DFloat(9.75),
+      4L -> DBytes("t".getBytes("UTF-8")),
+      5L -> DInt(3L)))
+    val raw = rawDf(Seq((key(9L), v1, null, "put", 9L, 10L)))
+    val r = RawKvMounter.mountTable(raw, meta).collect().head.getStruct(6)
+    assert(r.getLong(0) == 9L && r.getString(1) == "old-fmt")
+    assert(r.getDouble(2) == 9.75 && r.getString(3) == "t" && r.getLong(4) == 3L)
+  }
+
+  test("mount drops foreign-table and non-record keys") {
+    val otherTable = TiKvCodec.encodeRecordKey(999L, IntHandle(1L))
+    val raw = rawDf(Seq(
+      (otherTable, img(1L, "z", 0.0, "x", 1L), null, "put", 1L, 2L),
+      ("m_meta".getBytes, Array[Byte](1), null, "put", 1L, 2L),
+      (key(1L), img(1L, "keep", 0.0, "x", 1L), null, "put", 1L, 2L)))
+    val out = RawKvMounter.mountTable(raw, meta).collect()
+    assert(out.length == 1 && out.head.getStruct(6).getString(1) == "keep")
+  }
+}
