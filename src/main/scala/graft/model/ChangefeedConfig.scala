@@ -28,7 +28,14 @@ object PartitionRule {
     * api/v2 split_table / the write-bytes splitter,
     * maintainer/split/splitter.go:41-65). Per-table ordering is
     * intentionally given up, exactly like a split table span. */
-  final case class TableSplit(parts: Int) extends PartitionRule
+  /** Span split: fan the table over `parts` adjacent slots. With
+    * `keyCols` (the handle keys) the salt is the delete-aware key
+    * image, so one key keeps ONE partition across the split — the
+    * reference's key-range span property that keeps per-key order
+    * under split tables (maintainer/split/splitter.go key-range
+    * spans). Empty `keyCols` salts by `_row_id` (keyless tables:
+    * every row its own key). */
+  final case class TableSplit(parts: Int, keyCols: Seq[String] = Nil) extends PartitionRule
   /** Split a table's rows across CHOSEN worker partitions — the
     * data-plane effect of api/v2 move_split_table (split a hot span
     * AND pin where the pieces land). */

@@ -463,7 +463,7 @@ object ConfigToml {
           b ++= "partition = 'columns'\n"
           b ++= s"columns = ${tomlArr(cols)}\n"
         // scheduling rules are API-plane state, not user TOML
-        case PartitionRule.Fixed(_) | PartitionRule.TableSplit(_) |
+        case PartitionRule.Fixed(_) | PartitionRule.TableSplit(_, _) |
              PartitionRule.SplitFixed(_) =>
           b ++= "partition = 'table'\n"
       }

@@ -124,11 +124,20 @@ object Routing {
           lit(numPartitions.toLong))
       case PartitionRule.Fixed(p) =>
         lit(p.toLong % numPartitions.toLong)
-      case PartitionRule.TableSplit(parts) =>
-        // table anchor + per-row salt bounded by the split count: the
-        // table's rows occupy exactly `parts` adjacent hash slots
+      case PartitionRule.TableSplit(parts, keyCols) =>
+        // table anchor + salt bounded by the split count: the table's
+        // rows occupy exactly `parts` adjacent hash slots. The salt is
+        // the delete-aware handle-key image when keys are known — one
+        // key stays in ONE slot, the key-range-span property that
+        // preserves per-key order under split tables — else _row_id
+        val salt =
+          if (keyCols.nonEmpty)
+            stableHash(keyCols.map { f =>
+              when(col("_op") === "D", col(s"before.$f")).otherwise(col(s"after.$f"))
+            })
+          else stableHash(Seq(col("_row_id")))
         pmod(stableHash(Seq(col("_schema"), col("_table"))) +
-          pmod(stableHash(Seq(col("_row_id"))), lit(parts.toLong)),
+          pmod(salt, lit(parts.toLong)),
           lit(numPartitions.toLong))
       case PartitionRule.SplitFixed(targets) =>
         // row salt picks one of the PINNED target partitions

@@ -240,7 +240,10 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
   /** Split a table's span over `parts` sub-partitions. */
   def splitTable(id: String, schema: String, table: String, parts: Int): Unit = {
     require(parts >= 2, s"split needs >= 2 parts, got $parts")
-    setSpanRule(id, schema, table, Some(PartitionRule.TableSplit(parts)))
+    // key-sticky split: one handle key keeps one sub-partition, the
+    // key-range-span property of the reference's split spans
+    setSpanRule(id, schema, table,
+      Some(PartitionRule.TableSplit(parts, entryOf(id).cfg.handleKeys)))
   }
 
   /** Split a table's span AND pin the pieces to chosen workers
@@ -295,7 +298,7 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
     entryOf(id).cfg.sink.dispatch.collect {
       case DispatchRule(Seq(m), PartitionRule.Fixed(p), _, _, _) =>
         (m, s"moved:$p")
-      case DispatchRule(Seq(m), PartitionRule.TableSplit(n), _, _, _) =>
+      case DispatchRule(Seq(m), PartitionRule.TableSplit(n, _), _, _, _) =>
         (m, s"split:$n")
       case DispatchRule(Seq(m), PartitionRule.SplitFixed(ts), _, _, _) =>
         (m, s"split_moved:${ts.mkString("+")}")
