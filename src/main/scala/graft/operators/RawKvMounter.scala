@@ -203,6 +203,86 @@ object RawKvMounter {
       .toDF()
   }
 
+  /** Schema-versioned mount — the multi-version decode the reference's
+    * mounter does via `GetTableInfo(tableID, commitTs)`
+    * (schemastore/schema_store.go:50-54): each entry decodes against
+    * the greatest schema version ≤ its commit-ts, so a cell written
+    * before a MODIFY keeps its old type's byte interpretation, then the
+    * decoded row CONFORMS to the latest version's shape (columns added
+    * later fill their default; values retyped by a lossy MODIFY cast
+    * to the new Spark type) — the per-step conformance the DDL barrier
+    * applies downstream.
+    *
+    * `versions`: (versionTs, meta) with identical tableId; column IDs
+    * are stable across versions (TiDB never reuses a column ID), which
+    * is what makes id-keyed decode version-safe for add/drop.
+    */
+  def mountTableVersioned(raw: DataFrame,
+                          versions: Seq[(Long, KvTableMeta)]): DataFrame = {
+    require(versions.nonEmpty)
+    val sorted = versions.sortBy(_._1)
+    require(sorted.map(_._2.tableId).distinct.size == 1,
+      "all versions must describe one physical table")
+    val latest = sorted.last._2
+    val enc = Encoders.row(outputSchema(latest))
+    raw.select("key", "value", "old_value", "op_type", "start_ts", "commit_ts")
+      .mapPartitions { it =>
+        def metaAt(ts: Long): KvTableMeta =
+          sorted.takeWhile(_._1 <= ts).lastOption.map(_._2).getOrElse(sorted.head._2)
+        it.flatMap { r =>
+          val key = r.getAs[Array[Byte]](0)
+          if (key == null || key.length < 11 || key(0) != 't') Iterator.empty
+          else {
+            val (tableId, handle) = TiKvCodec.decodeRecordKey(key)
+            if (tableId != latest.tableId) Iterator.empty
+            else {
+              val commitTs = r.getLong(5)
+              val asOf = metaAt(commitTs)
+              val opType = r.getAs[String](3)
+              val after =
+                if (opType == "delete") null
+                else conform(asOf, latest, decodeImage(asOf, handle, r.getAs[Array[Byte]](1)))
+              val before = conform(asOf, latest,
+                decodeImage(asOf, handle, r.getAs[Array[Byte]](2)))
+              val op =
+                if (opType == "delete") "D" else if (before != null) "U" else "I"
+              Iterator(Row(latest.schema, latest.table, op,
+                commitTs, r.getLong(4),
+                if (before == null) null else Row.fromSeq(before.toIndexedSeq),
+                if (after == null) null else Row.fromSeq(after.toIndexedSeq)))
+            }
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** Reshape an image decoded under `asOf` into `latest`'s column
+    * order/types: dropped columns vanish, added columns default,
+    * retyped values cast. */
+  private def conform(asOf: KvTableMeta, latest: KvTableMeta,
+                      image: Array[Any]): Array[Any] = {
+    if (image == null) return null
+    if (asOf eq latest) return image
+    val byName = asOf.columns.map(_.name).zip(image).toMap
+    latest.columns.map { c =>
+      byName.get(c.name) match {
+        case Some(v) => cast(v, sparkType(c))
+        case None => defaultValue(c)
+      }
+    }.toArray
+  }
+
+  private def cast(v: Any, to: DataType): Any = (v, to) match {
+    case (null, _) => null
+    case (x: Long, StringType) => x.toString
+    case (x: Long, DoubleType) => x.toDouble
+    case (x: Double, StringType) => x.toString
+    case (x: String, LongType) => x.toLong
+    case (x: java.math.BigDecimal, StringType) => x.toPlainString
+    case (x, _) => x
+  }
+
   // ---- encode side (test/replay tooling: build raw entries) ----
 
   /** Encode one payload (ordered as meta.columns) into a v2 row value;

@@ -295,6 +295,56 @@ class RawKvMounterSpec extends SparkFunSuite {
     assert(r.getDouble(2) == 9.75 && r.getString(3) == "t" && r.getLong(4) == 3L)
   }
 
+  test("versioned mount: as-of decode + conformance to the latest shape " +
+      "(add column default, int→varchar modify à la lossy_ddl)") {
+    // v1 (ts 0): (id, b int)   — the lossy_ddl example2 shape
+    // v2 (ts 150): b modified to varchar(100), c added default 9
+    val v1 = KvTableMeta(55L, "app", "ex",
+      Seq(KvColumn(1L, "id", "bigint", nullable = false),
+        KvColumn(2L, "b", "int")),
+      handleCol = "id")
+    val v2 = KvTableMeta(55L, "app", "ex",
+      Seq(KvColumn(1L, "id", "bigint", nullable = false),
+        KvColumn(2L, "b", "varchar(100)"),
+        KvColumn(3L, "c", "bigint", default = Some("9"))),
+      handleCol = "id")
+    def k(h: Long) = TiKvCodec.encodeRecordKey(55L, IntHandle(h))
+    // row written BEFORE the DDL: b is an int cell
+    val oldRow = RawKvMounter.encodeImage(v1, Seq(1L, 42L))
+    // row written AFTER: b is a varchar cell, c present
+    val newRow = RawKvMounter.encodeImage(v2, Seq(2L, "forty", 10L))
+    val raw = rawDf(Seq(
+      (k(1L), oldRow, null, "put", 90L, 100L),
+      (k(2L), newRow, null, "put", 190L, 200L)))
+    val out = RawKvMounter.mountTableVersioned(raw, Seq(0L -> v1, 150L -> v2))
+      .collect().sortBy(_.getLong(3))
+    val r1 = out(0).getStruct(6)
+    assert(r1.getString(1) == "42", "pre-DDL int cell must decode as int then cast")
+    assert(r1.getLong(2) == 9L, "added column fills its default for old rows")
+    val r2 = out(1).getStruct(6)
+    assert(r2.getString(1) == "forty" && r2.getLong(2) == 10L)
+  }
+
+  test("bytes to SQL engine: raw KV entries drive the MySQL sink to the right state") {
+    import graft.sinks.{JdbcApplier, MysqlSink}
+    val raw = rawDf(Seq(
+      (key(1L), img(1L, "ada", 1.5, "a", 10L), null, "put", 90L, 100L),
+      (key(2L), img(2L, "bob", 2.0, "b", 20L), null, "put", 90L, 100L),
+      (key(1L), img(1L, "ada2", 9.5, "a", 11L), img(1L, "ada", 1.5, "a", 10L), "put", 190L, 200L),
+      (key(2L), null, img(2L, "bob", 2.0, "b", 20L), "delete", 290L, 300L)))
+    val env = RawKvMounter.mountTable(raw, meta)
+      .withColumn("_row_id", coalesce(col("after.id"), col("before.id")))
+    val a = JdbcApplier.inMemory("rawkv_e2e")
+    a.createTable("app", "users",
+      Seq("id" -> "BIGINT", "name" -> "VARCHAR(64)", "score" -> "DOUBLE",
+        "tag" -> "VARCHAR(16)", "n" -> "BIGINT"),
+      Seq("id"))
+    MysqlSink.applyBatch(env, Seq("id"), numWorkers = 2, safeMode = true)(
+      JdbcApplier.executeFor(a.url))
+    val rows = a.tableRows("app", "users", Seq("id", "name", "score", "n"))
+    assert(rows == Seq(Seq(1L, "ada2", 9.5, 11L).map(_.asInstanceOf[Any])))
+  }
+
   test("mount drops foreign-table and non-record keys") {
     val otherTable = TiKvCodec.encodeRecordKey(999L, IntHandle(1L))
     val raw = rawDf(Seq(
