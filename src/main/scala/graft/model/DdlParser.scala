@@ -74,9 +74,28 @@ object DdlParser {
       v.substring(1, v.length - 1)
     else v
 
+  /** Temporal default FUNCTIONS (`DEFAULT CURRENT_TIMESTAMP[(n)]` and
+    * aliases): TiDB materializes the add-column backfill default at
+    * DDL evaluation time (the column's "origin default"; the
+    * ddl_default_current_timestamp scenario) — resolve them to the
+    * DDL's own commit time rendered canonical, so mounter default
+    * fill produces a real timestamp, not the function name. */
+  private val currentTsFn =
+    """(?i)^(?:CURRENT_TIMESTAMP|NOW|LOCALTIME|LOCALTIMESTAMP)(?:\(\d*\))?$""".r
+
+  private def resolveDefault(raw: String, ts: Long): String =
+    if (currentTsFn.matches(raw.trim)) {
+      val secs = ts / 1000000000L // commit-ts ns domain → seconds
+      java.time.format.DateTimeFormatter.ofPattern("yyyy-MM-dd HH:mm:ss")
+        .withZone(java.time.ZoneOffset.UTC)
+        .format(java.time.Instant.ofEpochSecond(secs))
+    } else unquote(raw)
+
   /** Column list of a CREATE TABLE body: `name type [DEFAULT v]`,
     * skipping table-level constraint clauses. */
-  private[model] def parseColumns(body: String): Seq[ColumnDef] = {
+  private[model] def parseColumns(body: String): Seq[ColumnDef] = parseColumns(body, 0L)
+
+  private def parseColumns(body: String, ts: Long): Seq[ColumnDef] = {
     // split on top-level commas (type args like DECIMAL(18,2) nest)
     val parts = scala.collection.mutable.ArrayBuffer.empty[String]
     var depth = 0; val cur = new StringBuilder
@@ -94,7 +113,8 @@ object DdlParser {
       if (constraintHead.contains(head)) None
       else p match {
         case colDef(name, typ, dflt) =>
-          Some(ColumnDef(name, typ.toLowerCase, Option(dflt).map(unquote)))
+          Some(ColumnDef(name, typ.toLowerCase,
+            Option(dflt).map(resolveDefault(_, ts))))
         case _ => None
       }
     }
@@ -186,7 +206,7 @@ object DdlParser {
     query match {
       case createTable(name, body) =>
         val (s, t) = ident(name, defaultSchema)
-        Some(CreateTable(s, t, parseColumns(body), ts))
+        Some(CreateTable(s, t, parseColumns(body, ts), ts))
       case exchangePartition(name, withName) =>
         val (s, t) = ident(name, defaultSchema)
         val (ws, wt) = ident(withName, defaultSchema)
@@ -206,12 +226,12 @@ object DdlParser {
           if !constraintHead.contains(cName.toLowerCase) =>
         val (s, t) = ident(name, defaultSchema)
         Some(AddColumn(s, t, ColumnDef(cName, cType.toLowerCase,
-          Option(dflt).map(unquote), parsePosition(pos)), ts))
+          Option(dflt).map(resolveDefault(_, ts)), parsePosition(pos)), ts))
       case modifyColumn(name, cName, cType, dflt, pos)
           if !constraintHead.contains(cName.toLowerCase) =>
         val (s, t) = ident(name, defaultSchema)
         Some(ModifyColumn(s, t, ColumnDef(cName, cType.toLowerCase,
-          Option(dflt).map(unquote), parsePosition(pos)), ts))
+          Option(dflt).map(resolveDefault(_, ts)), parsePosition(pos)), ts))
       case createDatabase(name) =>
         Some(CreateSchema(name, ts))
       case dropDatabase(name) =>
@@ -220,7 +240,8 @@ object DdlParser {
           if !constraintHead.contains(oldName.toLowerCase) =>
         val (s, t) = ident(name, defaultSchema)
         Some(ChangeColumn(s, t, oldName,
-          ColumnDef(newName, cType.toLowerCase, Option(dflt).map(unquote)), ts))
+          ColumnDef(newName, cType.toLowerCase,
+            Option(dflt).map(resolveDefault(_, ts))), ts))
       case dropColumn(name, cName)
           if !constraintHead.contains(cName.toLowerCase) =>
         val (s, t) = ident(name, defaultSchema)

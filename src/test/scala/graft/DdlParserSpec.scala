@@ -309,6 +309,28 @@ class DdlParserSpec extends SparkFunSuite {
     assert(DdlParser.parse(q, 1L, "app", "STRICT_TRANS_TABLES").isEmpty)
   }
 
+  test("DEFAULT CURRENT_TIMESTAMP materializes at the DDL's commit time " +
+      "(origin-default semantics, ddl_default_current_timestamp)") {
+    // 2020-09-13 12:26:40 UTC = 1.6e9 s, in the ns commit-ts domain
+    val ts = 1600000000L * 1000000000L
+    Seq("CURRENT_TIMESTAMP", "CURRENT_TIMESTAMP(6)", "NOW()", "now(3)",
+      "LOCALTIMESTAMP").foreach { fn =>
+      val Some(AddColumn(_, _, col, _)) = DdlParser.parse(
+        s"ALTER TABLE app.t ADD COLUMN created DATETIME DEFAULT $fn", ts)
+      assert(col.default.contains("2020-09-13 12:26:40"),
+        s"$fn → ${col.default}")
+    }
+    // in CREATE TABLE bodies too
+    val Some(CreateTable(_, _, cols, _)) = DdlParser.parse(
+      "CREATE TABLE app.t2 (id BIGINT, created TIMESTAMP DEFAULT CURRENT_TIMESTAMP)", ts)
+    assert(cols.find(_.name == "created").flatMap(_.default)
+      .contains("2020-09-13 12:26:40"))
+    // a literal default is untouched
+    val Some(AddColumn(_, _, lit, _)) = DdlParser.parse(
+      "ALTER TABLE app.t ADD COLUMN note VARCHAR(10) DEFAULT 'now()'", ts)
+    assert(lit.default.contains("now()"))
+  }
+
   test("typeDesc: unsigned suffix excluded for BIT and YEAR (GetTypeDesc)") {
     import graft.model.MySqlDdl.MySqlCol
     // TiDB sets the unsigned flag on BIT and YEAR implicitly, yet
