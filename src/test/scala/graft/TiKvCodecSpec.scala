@@ -345,6 +345,43 @@ class RawKvMounterSpec extends SparkFunSuite {
     assert(rows == Seq(Seq(1L, "ada2", 9.5, 11L).map(_.asInstanceOf[Any])))
   }
 
+  test("streaming e2e: raw KV bytes → mount → changefeed → open-protocol messages") {
+    import graft.model.ChangefeedConfig
+    import graft.streaming.Changefeed
+    val tmp = java.nio.file.Files.createTempDirectory("graft-rawkv-stream").toString
+    val srcDir = s"$tmp/raw"
+    // two files → two micro-batches; each file a batch of raw entries
+    rawDf(Seq(
+      (key(1L), img(1L, "ada", 1.5, "a", 10L), null, "put", 90L, 100L),
+      (key(2L), img(2L, "bob", 2.0, "b", 20L), null, "put", 91L, 101L)))
+      .coalesce(1).write.parquet(s"$srcDir/p=1")
+    rawDf(Seq(
+      (key(1L), img(1L, "ada2", 9.5, "a", 11L), img(1L, "ada", 1.5, "a", 10L), "put", 190L, 200L),
+      (key(2L), null, img(2L, "bob", 2.0, "b", 20L), "delete", 290L, 300L)))
+      .coalesce(1).write.parquet(s"$srcDir/p=2")
+
+    val schema = spark.read.parquet(srcDir).schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    val env = RawKvMounter.mountTable(stream, meta)
+      .withColumn("_row_id", coalesce(col("after.id"), col("before.id")))
+    val cfg = ChangefeedConfig(id = "cf-rawkv", handleKeys = Seq("id"),
+      splitUpdateOnKeyChange = false)
+    val q = Changefeed.runMqStream(spark, cfg, env, s"$tmp/sink", s"$tmp/ckpt")
+    try q.processAllAvailable() finally q.stop()
+
+    val msgs = spark.read.parquet(s"$tmp/sink")
+    val rows = msgs.filter(col("_kind") === "row")
+    assert(rows.count() == 4, "every mounted change must reach the wire")
+    // the open-protocol payloads carry the decoded column values
+    val values = rows.select("_value").collect().map(_.getString(0)).mkString("\n")
+    assert(values.contains("ada2") && values.contains("\"ada\""))
+    // watermark contract: one resolved control message per batch, none
+    // below a row it covers
+    val resolved = msgs.filter(col("_kind") === "resolved")
+    assert(resolved.count() >= 2)
+  }
+
   test("mount drops foreign-table and non-record keys") {
     val otherTable = TiKvCodec.encodeRecordKey(999L, IntHandle(1L))
     val raw = rawDf(Seq(
