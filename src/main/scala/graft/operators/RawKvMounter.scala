@@ -41,9 +41,22 @@ object RawKvMounter {
 
   /** Table metadata for the mount: which physical table ID maps to
     * which (schema, table) and columns; `handleCol` names the int-pk
-    * column materialized from the record key. */
+    * column materialized from the record key. A clustered non-int
+    * (common-handle) PK lists its columns in key order via
+    * `handleCols`; a PARTITIONED table lists its per-partition
+    * physical IDs in `physicalIds` — every partition's records mount
+    * to the one logical table, the physical→logical mapping the
+    * reference does via `DecodeTableID` returning physicalTableID
+    * (mounter.go:191) resolved through TableInfo. */
   final case class KvTableMeta(tableId: Long, schema: String, table: String,
-                               columns: Seq[KvColumn], handleCol: String)
+                               columns: Seq[KvColumn], handleCol: String,
+                               moreHandleCols: Seq[String] = Nil,
+                               physicalIds: Seq[Long] = Nil) {
+    /** The full handle column list, key order. */
+    def handleCols: Seq[String] = handleCol +: moreHandleCols
+    /** All physical table IDs whose records belong to this table. */
+    def allIds: Set[Long] = (tableId +: physicalIds).toSet
+  }
 
   private def base(sqlType: String): String = {
     val t = sqlType.toLowerCase
@@ -97,15 +110,27 @@ object RawKvMounter {
     if (value == null || value.isEmpty) return null
     val v2 = if (TiKvCodec.isNewFormat(value)) Some(TiKvCodec.decodeV2(value)) else None
     val v1 = if (v2.isEmpty) TiKvCodec.decodeV1(value) else Map.empty[Long, Datum]
+    // handle columns come from the KEY (DecodeHandleToDatumMap):
+    // position in handleCols = position in the common handle's datum
+    // list; an int handle is the single pk column's value
+    val handleVals: Map[String, Any] = handle match {
+      case IntHandle(h) => Map(meta.handleCol -> h)
+      case CommonHandle(ds) =>
+        meta.handleCols.zip(ds).map { case (name, d) =>
+          val v = d match {
+            case DInt(x) => x
+            case DUint(x) => x
+            case DFloat(x) => x
+            case DBytes(x) => new String(x, "UTF-8")
+            case DDecimal(x) => x
+            case other => throw new IllegalArgumentException(s"bad handle $other")
+          }
+          name -> v
+        }.toMap
+    }
     meta.columns.map { c =>
-      if (c.name == meta.handleCol) handle match {
-        case IntHandle(h) => h
-        case CommonHandle(ds) => ds.headOption match {
-          case Some(DInt(v)) => v
-          case Some(DBytes(v)) => new String(v, "UTF-8")
-          case other => throw new IllegalArgumentException(s"bad handle $other")
-        }
-      } else {
+      if (handleVals.contains(c.name)) normalize(handleVals(c.name), c)
+      else {
         val bt = base(c.sqlType)
         v2 match {
           case Some(row) =>
@@ -181,7 +206,7 @@ object RawKvMounter {
           if (key == null || key.length < 11 || key(0) != 't') Iterator.empty
           else {
             val (tableId, handle) = TiKvCodec.decodeRecordKey(key)
-            if (tableId != m.tableId) Iterator.empty
+            if (!m.allIds.contains(tableId)) Iterator.empty
             else {
               val value = r.getAs[Array[Byte]](1)
               val oldValue = r.getAs[Array[Byte]](2)
@@ -234,7 +259,7 @@ object RawKvMounter {
           if (key == null || key.length < 11 || key(0) != 't') Iterator.empty
           else {
             val (tableId, handle) = TiKvCodec.decodeRecordKey(key)
-            if (tableId != latest.tableId) Iterator.empty
+            if (!latest.allIds.contains(tableId)) Iterator.empty
             else {
               val commitTs = r.getLong(5)
               val asOf = metaAt(commitTs)
@@ -289,9 +314,33 @@ object RawKvMounter {
     * the handle column is omitted from the value, as TiDB does. */
   def encodeImage(meta: KvTableMeta, payload: Seq[Any]): Array[Byte] = {
     val cells = meta.columns.zip(payload).collect {
-      case (c, v) if c.name != meta.handleCol =>
+      case (c, v) if !meta.handleCols.contains(c.name) =>
         (c.id, Option(v).map(x => TiKvCodec.encodeCell(x, base(c.sqlType), c.unsigned)))
     }
     TiKvCodec.encodeV2(cells)
+  }
+
+  /** Build the record key for a payload: an int handle when the single
+    * handle column is integer-typed, else a common handle of
+    * memcomparable datums in key order. `physicalId` overrides the
+    * logical table ID for partitioned tables (records live under the
+    * PARTITION's physical ID). */
+  def recordKeyFor(meta: KvTableMeta, payload: Seq[Any],
+                   physicalId: Option[Long] = None): Array[Byte] = {
+    val byName = meta.columns.map(_.name).zip(payload).toMap
+    def datumOf(v: Any): Datum = v match {
+      case l: Long => DInt(l)
+      case i: Int => DInt(i.toLong)
+      case s: String => DBytes(s.getBytes("UTF-8"))
+      case d: Double => DFloat(d)
+      case b: Array[Byte] => DBytes(b)
+      case other => throw new IllegalArgumentException(s"unsupported handle value $other")
+    }
+    val handle = meta.handleCols match {
+      case Seq(one) if meta.columns.find(_.name == one).exists(sparkType(_) == LongType) =>
+        IntHandle(byName(one).asInstanceOf[Number].longValue())
+      case cols => CommonHandle(cols.map(n => datumOf(byName(n))))
+    }
+    TiKvCodec.encodeRecordKey(physicalId.getOrElse(meta.tableId), handle)
   }
 }

@@ -382,6 +382,44 @@ class RawKvMounterSpec extends SparkFunSuite {
     assert(resolved.count() >= 2)
   }
 
+  test("partitioned table: per-partition physical IDs mount to the one logical table") {
+    // partition_table scenario: physical partitions p0=201, p1=202 of
+    // logical table 200 — records carry the PARTITION's ID in the key
+    val part = meta.copy(tableId = 200L, physicalIds = Seq(201L, 202L))
+    val raw = rawDf(Seq(
+      (RawKvMounter.recordKeyFor(part, Seq(1L, "p0row", 0.0, "x", 1L), Some(201L)),
+        RawKvMounter.encodeImage(part, Seq(1L, "p0row", 0.0, "x", 1L)), null, "put", 1L, 2L),
+      (RawKvMounter.recordKeyFor(part, Seq(2L, "p1row", 0.0, "x", 1L), Some(202L)),
+        RawKvMounter.encodeImage(part, Seq(2L, "p1row", 0.0, "x", 1L)), null, "put", 1L, 2L),
+      (TiKvCodec.encodeRecordKey(999L, IntHandle(3L)),
+        RawKvMounter.encodeImage(part, Seq(3L, "foreign", 0.0, "x", 1L)), null, "put", 1L, 2L)))
+    val out = RawKvMounter.mountTable(raw, part).collect()
+      .sortBy(_.getStruct(6).getLong(0))
+    assert(out.map(_.getStruct(6).getString(1)).toSeq == Seq("p0row", "p1row"))
+    assert(out.forall(r => r.getString(0) == "app" && r.getString(1) == "users"))
+  }
+
+  test("common handle: multi-column clustered PK decodes from the key") {
+    // clustered PK (region varchar, seq bigint) — no int handle
+    val ch = KvTableMeta(77L, "app", "events_ch",
+      Seq(
+        KvColumn(1L, "region", "varchar(16)", nullable = false),
+        KvColumn(2L, "seq", "bigint", nullable = false),
+        KvColumn(3L, "payload", "varchar(64)")),
+      handleCol = "region", moreHandleCols = Seq("seq"))
+    val payload = Seq[Any]("eu-west", 42L, "hello")
+    val raw = rawDf(Seq(
+      (RawKvMounter.recordKeyFor(ch, payload),
+        RawKvMounter.encodeImage(ch, payload), null, "put", 9L, 10L)))
+    val r = RawKvMounter.mountTable(raw, ch).collect().head.getStruct(6)
+    assert(r.getString(0) == "eu-west", "first handle col from the key")
+    assert(r.getLong(1) == 42L, "second handle col from the key")
+    assert(r.getString(2) == "hello")
+    // the value section must NOT carry the handle cols
+    val row = TiKvCodec.decodeV2(RawKvMounter.encodeImage(ch, payload))
+    assert(row.cell(1L).isEmpty && row.cell(2L).isEmpty && row.cell(3L).nonEmpty)
+  }
+
   test("mount drops foreign-table and non-record keys") {
     val otherTable = TiKvCodec.encodeRecordKey(999L, IntHandle(1L))
     val raw = rawDf(Seq(
