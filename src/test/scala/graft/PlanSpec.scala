@@ -11,6 +11,13 @@ class PlanSpec extends SparkFunSuite {
   private def plan(name: String): String =
     SparkEntry.queries(name)(spark, dir).queryExecution.executedPlan.toString
 
+  test("q_kv_mount: byte decode rides the scan — encode+mount is one " +
+      "shuffle-free map chain") {
+    val p = plan("q_kv_mount")
+    assert(!p.contains("Exchange"),
+      s"the mount must stay a per-partition map over the change-log scan:\n$p")
+  }
+
   test("q1: filter pushed to parquet, columns pruned") {
     val p = plan("q1_pricing")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"),
