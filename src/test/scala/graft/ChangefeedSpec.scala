@@ -392,4 +392,64 @@ class ChangefeedSpec extends SparkFunSuite {
     // other tables never gained k
     assert(out.filter(col("_table") =!= "events_0" && col("k").isNotNull).count() == 0)
   }
+
+  test("mq-path kill-restart: the wire state converges and watermarks still " +
+      "cover every row (random_drop_message / mq_sink_error_resume analog)") {
+    import graft.streaming.Failpoints
+    def mkSrc(tmp: String): String = {
+      val src = s"$tmp/src"
+      Files.createDirectories(java.nio.file.Paths.get(src))
+      Seq("a", "b").foreach { n =>
+        Files.copy(
+          java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+          java.nio.file.Paths.get(s"$src/events-$n.parquet"))
+      }
+      src
+    }
+    val mqCfg = ChangefeedConfig(id = "cf-mq-chaos",
+      sink = SinkConfig(protocol = Protocol.Open),
+      maxFilesPerTrigger = Some(1))
+
+    def drive(src: String, sink: String, ckpt: String, id: String): Int = {
+      var attempts = 0
+      var done = false
+      while (!done && attempts < 8) {
+        attempts += 1
+        val q = Changefeed.runMq(spark, mqCfg.copy(id = id), src, sink, ckpt)
+        try { q.awaitTermination(120000); done = true }
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+        finally { if (q.isActive) q.stop() }
+      }
+      assert(done, "mq changefeed failed to drain")
+      attempts
+    }
+
+    val tmp = Files.createTempDirectory("graft-mq-chaos").toString
+    val src = mkSrc(tmp)
+    Failpoints.clear()
+    drive(src, s"$tmp/sink-golden", s"$tmp/ckpt-golden", "cf-mq-golden")
+    val golden = spark.read.parquet(s"$tmp/sink-golden")
+    val goldenRows = golden.filter(col("_kind") === "row")
+      .select("_value").distinct().collect().map(_.getString(0)).toSet
+
+    // kill the SECOND batch at its admission point, then drain
+    Failpoints.enable("graft/changefeed/batch", "1*off->1*panic")
+    val attempts = drive(src, s"$tmp/sink", s"$tmp/ckpt", "cf-mq-chaos")
+    Failpoints.clear()
+    assert(attempts >= 2, "the injected batch kill must force a restart")
+
+    val sunk = spark.read.parquet(s"$tmp/sink")
+    val rows = sunk.filter(col("_kind") === "row")
+    assert(rows.select("_value").distinct().collect()
+      .map(_.getString(0)).toSet == goldenRows,
+      "distinct wire state must match the chaos-free run")
+    // watermark contract across the restart: the final resolved bound
+    // covers the maximum row commit-ts
+    val maxRowTs = rows.agg(max(col("_commit_ts"))).head.getLong(0)
+    val resolvedTs = sunk.filter(col("_kind") === "resolved")
+      .select(regexp_extract(col("_value"), "\"ts\":(\\d+)", 1).cast("long").as("ts"))
+      .agg(max(col("ts"))).head.getLong(0)
+    assert(resolvedTs >= maxRowTs,
+      s"resolved $resolvedTs must cover the last row commit $maxRowTs")
+  }
 }
