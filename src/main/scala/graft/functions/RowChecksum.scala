@@ -80,6 +80,60 @@ object RowChecksum {
 
   val empty: Array[Byte] = Array.emptyByteArray
 
+  /** Plain-JVM token for a DECODED value (the mounter-side
+    * verifyColumnChecksum domain, pkg/common/event/checksum.go:71-112
+    * — same byte fold as [[columnToken]], over JVM values instead of
+    * Catalyst columns, so [[graft.operators.RawKvMounter]] can verify
+    * in-row checksums inside its decode loop without a second plan).
+    * `base` is the lowercase MySQL base type; TIME values arrive as
+    * GoDuration nanoseconds. */
+  def tokenPlain(base: String, value: Any, fsp: Int = 0): Array[Byte] = value match {
+    case null => empty
+    case v: Long => base match {
+      case "time" => tokenBytes(durationLiteral(v, fsp).getBytes("UTF-8"))
+      case _ => tokenLong(v) // int classes, BIT, ENUM/SET numeric
+    }
+    case v: Int => tokenLong(v.toLong)
+    case v: Double => tokenDouble(v)
+    case v: Float => tokenDouble(v.toDouble)
+    case v: java.math.BigDecimal =>
+      base match {
+        // unsigned BIGINT carried as DECIMAL(20,0): fold the uint64
+        // bit pattern like the integer class it is
+        case "tinyint" | "smallint" | "mediumint" | "int" | "bigint" | "year" =>
+          val big = new java.math.BigDecimal(twoTo64.underlying().toBigInteger)
+          val bits =
+            if (v.compareTo(java.math.BigDecimal.valueOf(Long.MaxValue)) > 0)
+              v.subtract(big).longValueExact()
+            else v.longValueExact()
+          tokenLong(bits)
+        case _ => tokenBytes(v.toPlainString.getBytes("UTF-8"))
+      }
+    case v: Array[Byte] => tokenBytes(v)
+    case v: String => tokenBytes(v.getBytes("UTF-8"))
+    case other =>
+      throw new IllegalArgumentException(s"unsupported checksum value $other")
+  }
+
+  /** CRC32-IEEE over the concatenated tokens (crc32.Update chain). */
+  def crc32Plain(tokens: Seq[Array[Byte]]): Long = {
+    val c = new java.util.zip.CRC32
+    tokens.foreach(t => c.update(t))
+    c.getValue
+  }
+
+  /** Canonical MySQL TIME literal from GoDuration nanoseconds. */
+  def durationLiteral(ns: Long, fsp: Int): String = {
+    val neg = ns < 0
+    val abs = math.abs(ns)
+    val h = abs / 3600000000000L
+    val m = (abs / 60000000000L) % 60
+    val s = (abs / 1000000000L) % 60
+    val micro = (abs / 1000L) % 1000000L
+    val baseStr = f"${if (neg) "-" else ""}$h%02d:$m%02d:$s%02d"
+    if (fsp > 0) baseStr + "." + f"$micro%06d".take(fsp) else baseStr
+  }
+
   private def token(kind: String, c: Column): Column =
     GraftColumnBridge.column(
       ChecksumTokenExpr(GraftColumnBridge.expression(c), kind))

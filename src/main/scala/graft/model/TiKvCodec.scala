@@ -261,16 +261,29 @@ object TiKvCodec {
 
   // ---- row value v2 ----
 
+  /** In-row checksum region (the rowcodec checksum the reference reads
+    * via `decoder.GetChecksum`/`GetExtraChecksum`,
+    * pkg/common/event/checksum.go:77,92): header byte = version (low 3
+    * bits) | extra-present (bit 3), then u32 LE first checksum, then
+    * the optional u32 LE extra (the pre-DDL value kept during an
+    * online schema change so either side of the change verifies). */
+  final case class RowChecksumRegion(version: Int, first: Long, extra: Option[Long])
+
   final case class RowV2(isBig: Boolean,
                          notNull: IndexedSeq[(Long, Array[Byte])],
                          nullIds: IndexedSeq[Long],
-                         trailing: Array[Byte]) {
+                         trailing: Array[Byte],
+                         checksum: Option[RowChecksumRegion] = None) {
     def cell(colId: Long): Option[Array[Byte]] =
       notNull.find(_._1 == colId).map(_._2)
     def isNull(colId: Long): Boolean = nullIds.contains(colId)
   }
 
   final val CodecVer: Int = 128
+  /** Flag bits in the v2 header's second byte. */
+  final val FlagBig: Int = 1
+  final val FlagChecksum: Int = 8
+  private final val ChecksumExtraBit = 8
 
   def isNewFormat(value: Array[Byte]): Boolean =
     value.nonEmpty && (value(0) & 0xff) >= CodecVer
@@ -283,7 +296,8 @@ object TiKvCodec {
 
   def decodeV2(value: Array[Byte]): RowV2 = {
     require(isNewFormat(value), s"not a v2 row (first byte ${value(0) & 0xff})")
-    val big = (value(1) & 0x1) != 0
+    val big = (value(1) & FlagBig) != 0
+    val hasChecksum = (value(1) & FlagChecksum) != 0
     val nNotNull = u16(value, 2)
     val nNull = u16(value, 4)
     val idSize = if (big) 4 else 1
@@ -308,7 +322,17 @@ object TiKvCodec {
       (notNullIds(i), cell)
     }
     val trailing = java.util.Arrays.copyOfRange(value, dataStart + prev, value.length)
-    RowV2(big, cells, nullIds.toIndexedSeq, trailing)
+    val cks =
+      if (!hasChecksum || trailing.length < 5) None
+      else {
+        val hdr = trailing(0) & 0xff
+        val version = hdr & 0x7
+        val hasExtra = (hdr & ChecksumExtraBit) != 0 && trailing.length >= 9
+        Some(RowChecksumRegion(version,
+          u32(trailing, 1),
+          if (hasExtra) Some(u32(trailing, 5)) else None))
+      }
+    RowV2(big, cells, nullIds.toIndexedSeq, trailing, cks)
   }
 
   /** Encode a v2 row. `cells`: colId → Some(cellBytes) | None (null).
@@ -335,6 +359,25 @@ object TiKvCodec {
     var off = 0
     notNull.foreach { case (_, v) => off += v.length; woff(off) }
     notNull.foreach { case (_, v) => buf.write(v, 0, v.length) }
+    buf.toByteArray
+  }
+
+  /** [[encodeV2]] with the in-row checksum region appended and the
+    * checksum flag set. */
+  def encodeV2Checksummed(cells: Seq[(Long, Option[Array[Byte]])],
+                          first: Long, extra: Option[Long] = None,
+                          version: Int = 0): Array[Byte] = {
+    val base = encodeV2(cells)
+    base(1) = (base(1) | FlagChecksum).toByte
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(base, 0, base.length)
+    buf.write((version & 0x7) | (if (extra.isDefined) ChecksumExtraBit else 0))
+    def w32(v: Long): Unit = {
+      buf.write((v & 0xff).toInt); buf.write(((v >> 8) & 0xff).toInt)
+      buf.write(((v >> 16) & 0xff).toInt); buf.write(((v >> 24) & 0xff).toInt)
+    }
+    w32(first)
+    extra.foreach(w32)
     buf.toByteArray
   }
 

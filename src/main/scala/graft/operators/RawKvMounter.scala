@@ -308,6 +308,62 @@ object RawKvMounter {
     case (x, _) => x
   }
 
+  /** Mounter-side in-row checksum verification — verifyColumnChecksum
+    * (pkg/common/event/checksum.go:31-112, the integrity feature's
+    * version-0 column-checksum path): decode each put's value, fold
+    * the decoded row through the wire-true CRC32 column domain
+    * ([[graft.functions.RowChecksum.tokenPlain]]), and compare with
+    * the checksum region the row carries. Rows without a region pass
+    * (upstream integrity off, :78-80); a stored EXTRA checksum also
+    * passes if it matches (the online-DDL transition window, :92-95).
+    * Returns one verdict row per put: (commit_ts, handle, stored,
+    * computed, ok). */
+  def verifyInRowChecksums(raw: DataFrame, meta: KvTableMeta): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("_commit_ts", LongType, nullable = false),
+      StructField("handle", StringType, nullable = false),
+      StructField("stored", LongType),
+      StructField("computed", LongType, nullable = false),
+      StructField("ok", BooleanType, nullable = false)))
+    val enc = Encoders.row(schema)
+    val m = meta
+    raw.select("key", "value", "op_type", "commit_ts")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val key = r.getAs[Array[Byte]](0)
+          val value = r.getAs[Array[Byte]](1)
+          if (key == null || key.length < 11 || key(0) != 't' ||
+              r.getAs[String](2) == "delete" || value == null || value.isEmpty ||
+              !TiKvCodec.isNewFormat(value))
+            Iterator.empty
+          else {
+            val (tableId, handle) = TiKvCodec.decodeRecordKey(key)
+            if (!m.allIds.contains(tableId)) Iterator.empty
+            else {
+              val row = TiKvCodec.decodeV2(value)
+              val image = decodeImage(m, handle, value)
+              val tokens = m.columns.zip(image).map { case (c, v) =>
+                graft.functions.RowChecksum.tokenPlain(base(c.sqlType), v)
+              }
+              val computed = graft.functions.RowChecksum.crc32Plain(tokens)
+              val (stored, ok) = row.checksum match {
+                case None => (null, true) // integrity off upstream
+                case Some(region) =>
+                  (region.first.asInstanceOf[Any],
+                    region.first == computed || region.extra.contains(computed))
+              }
+              val h = handle match {
+                case IntHandle(v) => v.toString
+                case CommonHandle(ds) => ds.mkString("|")
+              }
+              Iterator(Row(r.getLong(3), h, stored, computed, ok))
+            }
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   // ---- encode side (test/replay tooling: build raw entries) ----
 
   /** Encode one payload (ordered as meta.columns) into a v2 row value;
@@ -318,6 +374,23 @@ object RawKvMounter {
         (c.id, Option(v).map(x => TiKvCodec.encodeCell(x, base(c.sqlType), c.unsigned)))
     }
     TiKvCodec.encodeV2(cells)
+  }
+
+  /** [[encodeImage]] with the in-row checksum region: the column
+    * checksum folds EVERY column of the row (handle included — the
+    * reference computes over the decoded chunk row, which carries the
+    * handle column). */
+  def encodeImageChecksummed(meta: KvTableMeta, payload: Seq[Any],
+                             extra: Option[Long] = None): Array[Byte] = {
+    val cells = meta.columns.zip(payload).collect {
+      case (c, v) if !meta.handleCols.contains(c.name) =>
+        (c.id, Option(v).map(x => TiKvCodec.encodeCell(x, base(c.sqlType), c.unsigned)))
+    }
+    val tokens = meta.columns.zip(payload).map { case (c, v) =>
+      graft.functions.RowChecksum.tokenPlain(base(c.sqlType), v)
+    }
+    TiKvCodec.encodeV2Checksummed(cells,
+      graft.functions.RowChecksum.crc32Plain(tokens), extra)
   }
 
   /** Build the record key for a payload: an int handle when the single

@@ -420,6 +420,54 @@ class RawKvMounterSpec extends SparkFunSuite {
     assert(row.cell(1L).isEmpty && row.cell(2L).isEmpty && row.cell(3L).nonEmpty)
   }
 
+  test("in-row checksum: carried in the v2 checksum region, verified at mount, " +
+      "tampering caught, extra checksum honored (integrity feature)") {
+    import graft.functions.RowChecksum
+    import graft.model.MySqlDdl.MySqlCol
+    val payload = Seq[Any](5L, "ada", 2.5, "a", 10L)
+    val good = RawKvMounter.encodeImageChecksummed(meta, payload)
+    // region present with version 0 and a first checksum
+    val region = TiKvCodec.decodeV2(good).checksum.getOrElse(fail("no checksum region"))
+    assert(region.version == 0 && region.extra.isEmpty)
+
+    // cross-implementation equality: the plain fold == the codegen'd
+    // Catalyst expression (itself golden-pinned to the reference's
+    // verify_checksum vectors)
+    import spark.implicits._
+    val mysqlCols = Seq(
+      MySqlCol("id", "bigint"), MySqlCol("name", "varchar", flen = 64),
+      MySqlCol("score", "double"), MySqlCol("tag", "varchar", flen = 16),
+      MySqlCol("n", "int"))
+    val catalyst = Seq((5L, "ada", 2.5, "a", 10L))
+      .toDF("id", "name", "score", "tag", "n")
+      .select(RowChecksum.checksumOf(mysqlCols,
+        Seq(col("id"), col("name"), col("score"), col("tag"), col("n"))).as("c"))
+      .head.getLong(0)
+    assert(region.first == catalyst,
+      s"plain fold ${region.first} != catalyst $catalyst")
+
+    // verification: good row ok; tampered cell caught; checksum-free
+    // row passes (integrity off); extra checksum rescues a mismatched
+    // first (online-DDL window)
+    val tampered = good.clone()
+    // first byte of the value-data section (header 6 + 4 ids + 4 u16
+    // offsets = 18): corrupt the name cell's first byte
+    tampered(18) = (tampered(18) ^ 0x01).toByte
+    val noCks = RawKvMounter.encodeImage(meta, payload)
+    val extraOk = TiKvCodec.encodeV2Checksummed(
+      TiKvCodec.decodeV2(noCks).notNull.map { case (id, c) => (id, Some(c)) },
+      first = 12345L, extra = Some(region.first))
+    val raw = rawDf(Seq(
+      (key(5L), good, null, "put", 1L, 10L),
+      (key(5L), tampered, null, "put", 1L, 20L),
+      (key(5L), noCks, null, "put", 1L, 30L),
+      (key(5L), extraOk, null, "put", 1L, 40L)))
+    val verdicts = RawKvMounter.verifyInRowChecksums(raw, meta)
+      .collect().sortBy(_.getLong(0)).map(r => (r.getLong(0), r.getBoolean(4)))
+    assert(verdicts.toSeq == Seq((10L, true), (20L, false), (30L, true), (40L, true)),
+      s"got ${verdicts.toSeq}")
+  }
+
   test("mount drops foreign-table and non-record keys") {
     val otherTable = TiKvCodec.encodeRecordKey(999L, IntHandle(1L))
     val raw = rawDf(Seq(
