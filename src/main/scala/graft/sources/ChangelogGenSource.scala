@@ -32,7 +32,8 @@ import java.util
   */
 class ChangelogGenSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    ChangelogGen.schema
+    if (options.getBoolean("rawKv", false)) ChangelogGen.rawSchema
+    else ChangelogGen.schema
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new ChangelogGenTable(new CaseInsensitiveStringMap(properties))
@@ -51,6 +52,56 @@ object ChangelogGen {
     StructField("k", LongType, nullable = false)))
 
   val baseTs = 1704067200000000000L // 2024-01-01 in ns
+
+  /** RawKVEntry shape (pkg/common/kv_entry.go:53-70) for
+    * `option("rawKv", true)`: the source emits REAL TiKV bytes —
+    * record keys and row-format-v2 values — so the subscription →
+    * mount path is byte-level end to end. */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = false),
+    StructField("value", BinaryType),
+    StructField("old_value", BinaryType),
+    StructField("op_type", StringType, nullable = false),
+    StructField("start_ts", LongType, nullable = false),
+    StructField("commit_ts", LongType, nullable = false)))
+
+  /** Physical table ID for generated table t_i. */
+  def tableIdOf(tbl: Long): Long = 100L + tbl
+
+  /** KV column ids of the generated payload (user_id = handle, in the
+    * key; value/k in the row value). */
+  final val ValueColId = 2L
+  final val KColId = 3L
+
+  private def imageBytes(value: Double, k: Long): Array[Byte] =
+    graft.model.TiKvCodec.encodeV2(Seq(
+      ValueColId -> Some(graft.model.TiKvCodec.encodeFloat(value)),
+      KColId -> Some(graft.model.TiKvCodec.intCell(k))))
+
+  /** Deterministic event i as raw TiKV bytes — the SAME logical event
+    * [[row]] yields, so a mount of the raw stream must reproduce the
+    * typed stream (update pre-image = value-1.0 / k-1, the
+    * OperatorSpec fixture convention). */
+  def rawRow(i: Long, tables: Int): InternalRow = {
+    import graft.model.TiKvCodec
+    val h = i * 6364136223846793005L + 1442695040888963407L
+    val tbl = math.floorMod(h >>> 17, tables.toLong)
+    val op = math.floorMod(h >>> 33, 10L) match {
+      case 0 => "D"; case 1 | 2 | 3 => "I"; case _ => "U"
+    }
+    val commit = baseTs + i * 1000000L
+    val start = commit - 1000L - math.floorMod(h, 997L)
+    val userId = math.floorMod(h >>> 7, 100000L)
+    val value = math.floorMod(h >>> 11, 1000000L) / 100.0
+    val k = math.floorMod(h >>> 23, 1000000L)
+    val key = TiKvCodec.encodeRecordKey(tableIdOf(tbl), TiKvCodec.IntHandle(userId))
+    val (valBytes, oldBytes, opType) = op match {
+      case "I" => (imageBytes(value, k), null, "put")
+      case "U" => (imageBytes(value, k), imageBytes(value - 1.0, k - 1L), "put")
+      case _ => (null, imageBytes(value, k), "delete")
+    }
+    InternalRow(key, valBytes, oldBytes, UTF8String.fromString(opType), start, commit)
+  }
 
   /** Deterministic event i — a cheap LCG drives the payload. */
   def row(i: Long, tables: Int): InternalRow = {
@@ -76,7 +127,9 @@ object ChangelogGen {
 class ChangelogGenTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   override def name(): String = "graft_changelog_gen"
-  override def schema(): StructType = ChangelogGen.schema
+  override def schema(): StructType =
+    if (options.getBoolean("rawKv", false)) ChangelogGen.rawSchema
+    else ChangelogGen.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
@@ -84,13 +137,16 @@ class ChangelogGenTable(options: CaseInsensitiveStringMap)
 }
 
 class ChangelogGenScan(options: CaseInsensitiveStringMap) extends Scan {
-  override def readSchema(): StructType = ChangelogGen.schema
+  override def readSchema(): StructType =
+    if (options.getBoolean("rawKv", false)) ChangelogGen.rawSchema
+    else ChangelogGen.schema
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ChangelogGenStream(
       tables = options.getInt("tables", 4),
       rowsPerBatch = options.getLong("rowsPerBatch", 10000L),
       totalRows = options.getLong("totalRows", 100000L),
-      numPartitions = options.getInt("numPartitions", 8))
+      numPartitions = options.getInt("numPartitions", 8),
+      rawKv = options.getBoolean("rawKv", false))
 }
 
 case class RowOffset(index: Long) extends Offset {
@@ -98,7 +154,7 @@ case class RowOffset(index: Long) extends Offset {
 }
 
 class ChangelogGenStream(tables: Int, rowsPerBatch: Long, totalRows: Long,
-                         numPartitions: Int)
+                         numPartitions: Int, rawKv: Boolean = false)
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = RowOffset(0L)
@@ -127,7 +183,7 @@ class ChangelogGenStream(tables: Int, rowsPerBatch: Long, totalRows: Long,
     val n = math.max(1, numPartitions)
     val step = math.max(1L, (hi - lo + n - 1) / n)
     (lo until hi by step).map { s =>
-      ChangelogRange(s, math.min(s + step, hi), tables): InputPartition
+      ChangelogRange(s, math.min(s + step, hi), tables, rawKv): InputPartition
     }.toArray
   }
 
@@ -137,10 +193,13 @@ class ChangelogGenStream(tables: Int, rowsPerBatch: Long, totalRows: Long,
       new PartitionReader[InternalRow] {
         private var i = p.lo - 1
         override def next(): Boolean = { i += 1; i < p.hi }
-        override def get(): InternalRow = ChangelogGen.row(i, p.tables)
+        override def get(): InternalRow =
+          if (p.rawKv) ChangelogGen.rawRow(i, p.tables)
+          else ChangelogGen.row(i, p.tables)
         override def close(): Unit = ()
       }
     }
 }
 
-case class ChangelogRange(lo: Long, hi: Long, tables: Int) extends InputPartition
+case class ChangelogRange(lo: Long, hi: Long, tables: Int,
+                          rawKv: Boolean = false) extends InputPartition

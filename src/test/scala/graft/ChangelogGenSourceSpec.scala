@@ -87,4 +87,75 @@ class ChangelogGenSourceSpec extends SparkFunSuite {
     assert(rig.count() == 1000)
     assert(rig.agg(sum("n")).head().getLong(0) == 40000)
   }
+
+  private def rawKvMeta(tbl: Int) = {
+    import graft.operators.RawKvMounter.{KvColumn, KvTableMeta}
+    KvTableMeta(graft.sources.ChangelogGen.tableIdOf(tbl.toLong), "app", s"t_$tbl",
+      Seq(
+        KvColumn(1L, "user_id", "bigint", nullable = false),
+        KvColumn(2L, "value", "double"),
+        KvColumn(3L, "k", "bigint")),
+      handleCol = "user_id")
+  }
+
+  test("rawKv mode: the source emits real TiKV bytes and the mounted stream " +
+      "reproduces the typed stream exactly") {
+    import graft.operators.RawKvMounter
+    val tmp = Files.createTempDirectory("graft-rawgen").toString
+    def read(raw: Boolean) = spark.readStream
+      .format("graft.sources.ChangelogGenSource")
+      .option("tables", 1).option("totalRows", 5000)
+      .option("rowsPerBatch", 2500).option("numPartitions", 4)
+      .option("rawKv", raw).load()
+
+    val q = RawKvMounter.mountTable(read(raw = true), rawKvMeta(0))
+      .writeStream.format("parquet").option("path", s"$tmp/mounted")
+      .option("checkpointLocation", s"$tmp/ckpt-m")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val q2 = read(raw = false)
+      .writeStream.format("parquet").option("path", s"$tmp/typed")
+      .option("checkpointLocation", s"$tmp/ckpt-t")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.awaitTermination(180000)
+
+    val mounted = spark.read.parquet(s"$tmp/mounted")
+      .select(col("_op"), col("_commit_ts"), col("_start_ts"),
+        coalesce(col("after.user_id"), col("before.user_id")).as("user_id"),
+        coalesce(col("after.value"), col("before.value")).as("value"),
+        coalesce(col("after.k"), col("before.k")).as("k"),
+        col("before.value").as("pre_value"))
+    val typed = spark.read.parquet(s"$tmp/typed")
+      .select(col("_op"), col("_commit_ts"), col("_start_ts"),
+        col("user_id"), col("value"), col("k"),
+        when(col("_op") === "U", col("value") - 1.0)
+          .when(col("_op") === "D", col("value")).as("pre_value"))
+    assert(mounted.count() == 5000)
+    assert(mounted.exceptAll(typed).count() == 0 &&
+      typed.exceptAll(mounted).count() == 0,
+      "byte-mounted stream must equal the typed stream")
+  }
+
+  test("rawKv throughput rig: 1M raw entries mount in bounded wall time") {
+    import graft.operators.RawKvMounter
+    val tmp = Files.createTempDirectory("graft-rawrig").toString
+    val t0 = System.nanoTime()
+    val q = RawKvMounter.mountTable(
+      spark.readStream.format("graft.sources.ChangelogGenSource")
+        .option("tables", 1).option("totalRows", 1000000)
+        .option("rowsPerBatch", 1000000).option("numPartitions", 8)
+        .option("rawKv", true).load(),
+      rawKvMeta(0))
+      .groupBy("_op").count()
+      .writeStream.outputMode("complete").format("memory").queryName("rawrig")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val n = spark.table("rawrig").agg(sum("count")).head().getLong(0)
+    assert(n == 1000000L)
+    // generate + encode + decode 1M rows: catch order-of-magnitude
+    // regressions without a flaky tight bound
+    assert(secs < 120.0, f"raw mount rig took $secs%.1f s")
+    info(f"raw-kv mount rig: 1M rows in $secs%.2f s (${1000000 / secs}%.0f rows/s)")
+  }
 }
