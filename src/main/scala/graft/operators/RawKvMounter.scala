@@ -33,6 +33,14 @@ import org.apache.spark.sql.types._
   */
 object RawKvMounter {
 
+  /** A record key: 't' + 8-byte table ID + "_r" — index keys
+    * ("_i") and meta keys are not row changes and must be DROPPED,
+    * not decoded (the reference skips them, mounter.go:75;
+    * tablecodec's record/index prefix split). */
+  private def isRecordKey(key: Array[Byte]): Boolean =
+    key != null && key.length >= 11 && key(0) == 't' &&
+      key(9) == '_' && key(10) == 'r'
+
   /** One column of a table's KV schema. `sqlType` is the MySQL type
     * ("bigint", "varchar(64)", "decimal(12,2)", …). */
   final case class KvColumn(id: Long, name: String, sqlType: String,
@@ -203,7 +211,7 @@ object RawKvMounter {
       .mapPartitions { it =>
         it.flatMap { r =>
           val key = r.getAs[Array[Byte]](0)
-          if (key == null || key.length < 11 || key(0) != 't') Iterator.empty
+          if (!isRecordKey(key)) Iterator.empty
           else {
             val (tableId, handle) = TiKvCodec.decodeRecordKey(key)
             if (!m.allIds.contains(tableId)) Iterator.empty
@@ -256,7 +264,7 @@ object RawKvMounter {
           sorted.takeWhile(_._1 <= ts).lastOption.map(_._2).getOrElse(sorted.head._2)
         it.flatMap { r =>
           val key = r.getAs[Array[Byte]](0)
-          if (key == null || key.length < 11 || key(0) != 't') Iterator.empty
+          if (!isRecordKey(key)) Iterator.empty
           else {
             val (tableId, handle) = TiKvCodec.decodeRecordKey(key)
             if (!latest.allIds.contains(tableId)) Iterator.empty
@@ -332,7 +340,7 @@ object RawKvMounter {
         it.flatMap { r =>
           val key = r.getAs[Array[Byte]](0)
           val value = r.getAs[Array[Byte]](1)
-          if (key == null || key.length < 11 || key(0) != 't' ||
+          if (!isRecordKey(key) ||
               r.getAs[String](2) == "delete" || value == null || value.isEmpty ||
               !TiKvCodec.isNewFormat(value))
             Iterator.empty

@@ -468,11 +468,18 @@ class RawKvMounterSpec extends SparkFunSuite {
       s"got ${verdicts.toSeq}")
   }
 
-  test("mount drops foreign-table and non-record keys") {
+  test("mount drops foreign-table, index, and non-record keys") {
     val otherTable = TiKvCodec.encodeRecordKey(999L, IntHandle(1L))
+    // an INDEX key of OUR table: 't' + tableID + "_i" + indexID + datums —
+    // not a row change; it must be dropped, never decoded
+    val indexKey = {
+      val rec = key(1L)
+      rec(10) = 'i'; rec
+    }
     val raw = rawDf(Seq(
       (otherTable, img(1L, "z", 0.0, "x", 1L), null, "put", 1L, 2L),
       ("m_meta".getBytes, Array[Byte](1), null, "put", 1L, 2L),
+      (indexKey, Array[Byte](0, 1), null, "put", 1L, 2L),
       (key(1L), img(1L, "keep", 0.0, "x", 1L), null, "put", 1L, 2L)))
     val out = RawKvMounter.mountTable(raw, meta).collect()
     assert(out.length == 1 && out.head.getStruct(6).getString(1) == "keep")
