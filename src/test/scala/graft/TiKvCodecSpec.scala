@@ -127,6 +127,22 @@ class TiKvCodecSpec extends AnyFunSuite {
     assert(intCellDecode(row.cell(2L).get) == -9L)
   }
 
+  test("row v2 big format by data size: a >64 KiB cell forces u32 offsets") {
+    val bigCell = Array.fill[Byte](70000)('x')
+    val value = encodeV2(Seq(1L -> Some(intCell(5L)), 2L -> Some(bigCell)))
+    val row = decodeV2(value)
+    assert(row.isBig, "64 KiB+ of cell data must flip the big flag")
+    assert(intCellDecode(row.cell(1L).get) == 5L)
+    assert(row.cell(2L).get.length == 70000 && row.cell(2L).get.forall(_ == 'x'))
+  }
+
+  test("row v2 all-null row: zero not-null cells decode cleanly") {
+    val value = encodeV2(Seq(1L -> None, 2L -> None))
+    val row = decodeV2(value)
+    assert(row.notNull.isEmpty && row.nullIds == Seq(1L, 2L))
+    assert(row.isNull(1L) && row.isNull(2L) && row.cell(1L).isEmpty)
+  }
+
   test("row v2 trailing bytes (in-row checksum region) are preserved") {
     val value = encodeV2(Seq(1L -> Some(intCell(5L)))) ++ Array[Byte](1, 2, 3, 4)
     val row = decodeV2(value)
