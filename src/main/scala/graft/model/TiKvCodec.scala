@@ -624,6 +624,21 @@ object PackedTime {
     case other => throw new IllegalArgumentException(s"bad temporal literal '$other'")
   }
 
+  /** TIMESTAMP columns store the packed core in UTC; the mounter
+    * renders them in the changefeed's time zone (the `tz` the
+    * reference threads through its mounter/filter,
+    * pkg/filter/filter.go:102). DATETIME is zone-naive and never
+    * shifts. */
+  def unpackInZone(packed: Long, zone: java.time.ZoneId): String = {
+    if (packed == 0L) return unpack(packed)
+    val utc = unpack(packed)
+    val fmt = java.time.format.DateTimeFormatter.ofPattern(
+      if (utc.length > 19) "yyyy-MM-dd HH:mm:ss.SSSSSS" else "yyyy-MM-dd HH:mm:ss")
+    val ldt = java.time.LocalDateTime.parse(utc, fmt)
+    ldt.atZone(java.time.ZoneOffset.UTC).withZoneSameInstant(zone)
+      .toLocalDateTime.format(fmt)
+  }
+
   def unpack(packed: Long): String = {
     val micro = packed & ((1L << 24) - 1)
     val ymdhms = packed >>> 24

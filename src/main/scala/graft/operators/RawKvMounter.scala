@@ -43,9 +43,15 @@ object RawKvMounter {
 
   /** One column of a table's KV schema. `sqlType` is the MySQL type
     * ("bigint", "varchar(64)", "decimal(12,2)", …). */
+  /** `virtualGen`: a VIRTUAL GENERATED column — never stored in the
+    * row value; the mounter appends NULL and downstream expression
+    * filters evaluate it on demand (expr_filter.go:323
+    * buildRowWithVirtualColumns; chunk decode appends null for
+    * IsVirtualGenerated, chunk.go:108-110). */
   final case class KvColumn(id: Long, name: String, sqlType: String,
                             unsigned: Boolean = false, nullable: Boolean = true,
-                            default: Option[String] = None)
+                            default: Option[String] = None,
+                            virtualGen: Boolean = false)
 
   /** Table metadata for the mount: which physical table ID maps to
     * which (schema, table) and columns; `handleCol` names the int-pk
@@ -59,11 +65,14 @@ object RawKvMounter {
   final case class KvTableMeta(tableId: Long, schema: String, table: String,
                                columns: Seq[KvColumn], handleCol: String,
                                moreHandleCols: Seq[String] = Nil,
-                               physicalIds: Seq[Long] = Nil) {
+                               physicalIds: Seq[Long] = Nil,
+                               tz: String = "UTC") {
     /** The full handle column list, key order. */
     def handleCols: Seq[String] = handleCol +: moreHandleCols
     /** All physical table IDs whose records belong to this table. */
     def allIds: Set[Long] = (tableId +: physicalIds).toSet
+    /** The changefeed time zone TIMESTAMP columns render in. */
+    def zoneId: java.time.ZoneId = java.time.ZoneId.of(tz)
   }
 
   private def base(sqlType: String): String = {
@@ -137,13 +146,21 @@ object RawKvMounter {
         }.toMap
     }
     meta.columns.map { c =>
-      if (handleVals.contains(c.name)) normalize(handleVals(c.name), c)
+      if (c.virtualGen) null // never stored; evaluated downstream
+      else if (handleVals.contains(c.name)) normalize(handleVals(c.name), c)
       else {
         val bt = base(c.sqlType)
         v2 match {
           case Some(row) =>
             row.cell(c.id) match {
-              case Some(cell) => normalize(TiKvCodec.decodeCell(cell, bt, c.unsigned), c)
+              case Some(cell) =>
+                val v = TiKvCodec.decodeCell(cell, bt, c.unsigned)
+                val shifted =
+                  if (bt == "timestamp" && meta.tz != "UTC")
+                    graft.model.PackedTime.unpackInZone(
+                      TiKvCodec.uintCellDecode(cell), meta.zoneId)
+                  else v
+                normalize(shifted, c)
               case None if row.isNull(c.id) => null
               case None => defaultValue(c)
             }
@@ -267,10 +284,12 @@ object RawKvMounter {
           if (!isRecordKey(key)) Iterator.empty
           else {
             val (tableId, handle) = TiKvCodec.decodeRecordKey(key)
-            if (!latest.allIds.contains(tableId)) Iterator.empty
+            val commitTs = r.getLong(5)
+            val asOf = metaAt(commitTs)
+            // membership is AS-OF: an EXCHANGE PARTITION swaps which
+            // physical IDs belong to the table from its version ts on
+            if (!asOf.allIds.contains(tableId)) Iterator.empty
             else {
-              val commitTs = r.getLong(5)
-              val asOf = metaAt(commitTs)
               val opType = r.getAs[String](3)
               val after =
                 if (opType == "delete") null

@@ -484,6 +484,45 @@ class RawKvMounterSpec extends SparkFunSuite {
       s"got ${verdicts.toSeq}")
   }
 
+  test("timestamp renders in the changefeed tz; datetime never shifts; " +
+      "virtual generated columns mount as NULL") {
+    val m = KvTableMeta(88L, "app", "tzt",
+      Seq(
+        KvColumn(1L, "id", "bigint", nullable = false),
+        KvColumn(2L, "created", "timestamp"),
+        KvColumn(3L, "local_dt", "datetime"),
+        KvColumn(4L, "doubled", "bigint", virtualGen = true)),
+      handleCol = "id", tz = "Asia/Shanghai")
+    // value stores the packed UTC core for TIMESTAMP; a virtual
+    // generated column is never in the value
+    val value = TiKvCodec.encodeV2(Seq(
+      2L -> Some(TiKvCodec.encodeCell("2020-01-01 00:00:00", "timestamp")),
+      3L -> Some(TiKvCodec.encodeCell("2020-01-01 00:00:00", "datetime"))))
+    val raw = rawDf(Seq((TiKvCodec.encodeRecordKey(88L, IntHandle(1L)),
+      value, null, "put", 9L, 10L)))
+    val r = RawKvMounter.mountTable(raw, m).collect().head.getStruct(6)
+    assert(r.getString(1) == "2020-01-01 08:00:00", "UTC+8 render for TIMESTAMP")
+    assert(r.getString(2) == "2020-01-01 00:00:00", "DATETIME is zone-naive")
+    assert(r.isNullAt(3), "virtual generated column mounts as NULL")
+  }
+
+  test("exchange partition: physical-ID membership is as-of the row's commit-ts") {
+    // before ts 150 the table's partition is physical 201; the
+    // exchange swaps in 202 from then on
+    val v1 = meta.copy(tableId = 200L, physicalIds = Seq(201L))
+    val v2 = meta.copy(tableId = 200L, physicalIds = Seq(202L))
+    def k(pid: Long, h: Long) = TiKvCodec.encodeRecordKey(pid, IntHandle(h))
+    val raw = rawDf(Seq(
+      (k(201L, 1L), img(1L, "pre-old-part", 0.0, "x", 1L), null, "put", 1L, 100L),
+      (k(202L, 2L), img(2L, "pre-foreign", 0.0, "x", 1L), null, "put", 1L, 100L),
+      (k(202L, 3L), img(3L, "post-new-part", 0.0, "x", 1L), null, "put", 1L, 200L),
+      (k(201L, 4L), img(4L, "post-foreign", 0.0, "x", 1L), null, "put", 1L, 200L)))
+    val names = RawKvMounter.mountTableVersioned(raw, Seq(0L -> v1, 150L -> v2))
+      .collect().map(_.getStruct(6).getString(1)).toSet
+    assert(names == Set("pre-old-part", "post-new-part"),
+      s"as-of membership failed: $names")
+  }
+
   test("mount drops foreign-table, index, and non-record keys") {
     val otherTable = TiKvCodec.encodeRecordKey(999L, IntHandle(1L))
     // an INDEX key of OUR table: 't' + tableID + "_i" + indexID + datums —
