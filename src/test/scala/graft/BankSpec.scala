@@ -226,6 +226,51 @@ class BankSpec extends SparkFunSuite {
     assert(crashes >= 3, s"chaos schedule only produced $crashes crashes")
     assertFinalState(a, workload)
   }
+
+  test("bank through the redo log: a dead sink recovers from the WAL alone " +
+      "with both invariants intact (consistent_replicate × bank)") {
+    import graft.sinks.{RedoApplier, RedoLog}
+    val a = newDb("bank_redo")
+    val chunks = chunked(workload.rows, parts = 6)
+    val redo = java.nio.file.Files.createTempDirectory("graft-bank-redo").toString
+
+    // log-ahead ordering: every chunk reaches the redo WAL first; the
+    // sink dies for good after the fourth chunk
+    chunks.zipWithIndex.foreach { case (rows, i) =>
+      RedoLog.append(envelopeOf(rows), redo)
+      if (i <= 3) {
+        MysqlSink.applyBatchTxnAtomic(envelopeOf(rows), safeMode = true,
+          numWorkers = 2, handleKeys = Seq("id"))(JdbcApplier.executeFor(a.url))
+        RedoApplier.advanceCheckpoint(spark, redo, rows.map(_.commitTs).max)
+      }
+    }
+
+    // at the crash point the applied prefix already satisfies both
+    // invariants (txn frames land whole)
+    val atCrash = observe(a.url).getOrElse(fail("observation blocked"))
+    assert(atCrash.sum == Accounts * InitBalance)
+    assertGapless(atCrash.seqs)
+
+    // disaster recovery: the standalone applier replays the
+    // (checkpoint, resolved] window as idempotent safe statements
+    val (ck, rts) = RedoApplier.replayWindow(spark, redo)
+    assert(ck == chunks(3).map(_.commitTs).max)
+    assert(rts == workload.rows.map(_.commitTs).max)
+    val stmts = RedoApplier.replayStatements(spark, redo,
+      handleKeys = Seq("id"), numWorkers = 2)
+      .orderBy(col("_apply_order"), col("_row_id"))
+      .select("_stmt").collect().map(_.getString(0))
+    a.execute(stmts.iterator)
+
+    val recovered = observe(a.url).getOrElse(fail("observation blocked"))
+    assert(recovered.sum == Accounts * InitBalance)
+    assertGapless(recovered.seqs)
+    assertFinalState(a, workload)
+
+    // replaying the window AGAIN must be a no-op (safe-mode idempotence)
+    a.execute(stmts.iterator)
+    assertFinalState(a, workload)
+  }
 }
 
 /** Pure workload model (no Spark): the reference's two testcases as a
