@@ -489,6 +489,81 @@ object TiKvCodec {
   }
 }
 
+/** The RawKVEntry binary serialization — the event-store / wire frame
+  * of one raw change (pkg/common/kv_entry.go:38-48 header layout,
+  * :146-175 Encode/Decode; the same frame
+  * kv_entry_benchmark_test.go's custom-binary number measures):
+  * `op(u32 LE) | crts(u64) | start_ts(u64) | region_id(u64) |
+  * key_len(u32) | value_len(u32) | old_value_len(u32) | key | value |
+  * old_value`, header = 40 bytes. Op codes: 1 put, 2 delete,
+  * 3 resolved (kv_entry.go:24-29). */
+object RawKvEntryCodec {
+
+  final val OpPut = 1
+  final val OpDelete = 2
+  final val OpResolved = 3
+  final val HeaderSize = 40
+
+  final case class RawEntry(opType: Int, crts: Long, startTs: Long,
+                            regionId: Long, key: Array[Byte],
+                            value: Array[Byte], oldValue: Array[Byte]) {
+    def isResolved: Boolean = opType == OpResolved
+    def opTypeName: String = opType match {
+      case OpDelete => "delete"
+      case OpResolved => "resolved"
+      case _ => "put"
+    }
+  }
+
+  private def w32(buf: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    buf.write((v & 0xff).toInt); buf.write(((v >> 8) & 0xff).toInt)
+    buf.write(((v >> 16) & 0xff).toInt); buf.write(((v >> 24) & 0xff).toInt)
+  }
+  private def w64(buf: java.io.ByteArrayOutputStream, v: Long): Unit = {
+    var i = 0
+    while (i < 8) { buf.write(((v >>> (8 * i)) & 0xff).toInt); i += 1 }
+  }
+  private def r32(b: Array[Byte], off: Int): Long =
+    (b(off) & 0xffL) | ((b(off + 1) & 0xffL) << 8) |
+      ((b(off + 2) & 0xffL) << 16) | ((b(off + 3) & 0xffL) << 24)
+  private def r64(b: Array[Byte], off: Int): Long = {
+    var v = 0L; var i = 0
+    while (i < 8) { v |= (b(off + i) & 0xffL) << (8 * i); i += 1 }
+    v
+  }
+
+  def encode(e: RawEntry): Array[Byte] = {
+    val key = Option(e.key).getOrElse(Array.emptyByteArray)
+    val value = Option(e.value).getOrElse(Array.emptyByteArray)
+    val old = Option(e.oldValue).getOrElse(Array.emptyByteArray)
+    val buf = new java.io.ByteArrayOutputStream(HeaderSize + key.length + value.length + old.length)
+    w32(buf, e.opType.toLong)
+    w64(buf, e.crts); w64(buf, e.startTs); w64(buf, e.regionId)
+    w32(buf, key.length.toLong); w32(buf, value.length.toLong); w32(buf, old.length.toLong)
+    buf.write(key, 0, key.length)
+    buf.write(value, 0, value.length)
+    buf.write(old, 0, old.length)
+    buf.toByteArray
+  }
+
+  def decode(data: Array[Byte]): RawEntry = {
+    require(data.length >= HeaderSize, "insufficient data length")
+    val op = r32(data, 0).toInt
+    val crts = r64(data, 4)
+    val startTs = r64(data, 12)
+    val regionId = r64(data, 20)
+    val keyLen = r32(data, 28).toInt
+    val valueLen = r32(data, 32).toInt
+    val oldLen = r32(data, 36).toInt
+    require(data.length >= HeaderSize + keyLen + valueLen + oldLen, "truncated entry")
+    var p = HeaderSize
+    def take(n: Int): Array[Byte] = {
+      val out = java.util.Arrays.copyOfRange(data, p, p + n); p += n; out
+    }
+    RawEntry(op, crts, startTs, regionId, take(keyLen), take(valueLen), take(oldLen))
+  }
+}
+
 /** MySQL binary decimal (myDecimal) — the on-disk DECIMAL format both
   * row formats embed (TiDB types/mydecimal.go `WriteBin`; layout from
   * the MySQL source strings/decimal.c `decimal2bin` documentation):

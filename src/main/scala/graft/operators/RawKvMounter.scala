@@ -391,6 +391,48 @@ object RawKvMounter {
       .toDF()
   }
 
+  private val rawEntrySchema = StructType(Seq(
+    StructField("key", BinaryType), StructField("value", BinaryType),
+    StructField("old_value", BinaryType), StructField("op_type", StringType),
+    StructField("start_ts", LongType), StructField("commit_ts", LongType)))
+
+  /** Unpack a column of RawKVEntry wire frames
+    * ([[graft.model.RawKvEntryCodec]] layout — the event-store /
+    * message-center serialization) into the mounter's input shape.
+    * Resolved entries (op 3) are watermarks, not rows — they are
+    * dropped here; read them with [[resolvedTsOf]]. */
+  def fromEncodedEntries(df: DataFrame, entryCol: String = "entry"): DataFrame = {
+    import graft.model.RawKvEntryCodec
+    val enc = Encoders.row(rawEntrySchema)
+    df.select(entryCol).mapPartitions { it =>
+      it.flatMap { r =>
+        val e = RawKvEntryCodec.decode(r.getAs[Array[Byte]](0))
+        if (e.isResolved) Iterator.empty
+        else Iterator(Row(
+          e.key,
+          if (e.value.isEmpty) null else e.value,
+          if (e.oldValue.isEmpty) null else e.oldValue,
+          e.opTypeName, e.startTs, e.crts))
+      }
+    }(enc).toDF()
+  }
+
+  /** The watermark stream of an encoded-entry column: one
+    * (region_id, resolved_ts) row per resolved entry. */
+  def resolvedTsOf(df: DataFrame, entryCol: String = "entry"): DataFrame = {
+    import graft.model.RawKvEntryCodec
+    val schema = StructType(Seq(
+      StructField("region_id", LongType, nullable = false),
+      StructField("resolved_ts", LongType, nullable = false)))
+    val enc = Encoders.row(schema)
+    df.select(entryCol).mapPartitions { it =>
+      it.flatMap { r =>
+        val e = RawKvEntryCodec.decode(r.getAs[Array[Byte]](0))
+        if (e.isResolved) Iterator(Row(e.regionId, e.crts)) else Iterator.empty
+      }
+    }(enc).toDF()
+  }
+
   // ---- encode side (test/replay tooling: build raw entries) ----
 
   /** Encode one payload (ordered as meta.columns) into a v2 row value;

@@ -523,6 +523,49 @@ class RawKvMounterSpec extends SparkFunSuite {
       s"as-of membership failed: $names")
   }
 
+  test("RawKVEntry wire frame: golden header layout, roundtrip, resolved " +
+      "extraction, and frame→mount equivalence") {
+    import graft.model.RawKvEntryCodec
+    import graft.model.RawKvEntryCodec._
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    // golden: put, crts=0x10, start=0x0F, region=2, key="k", value="v",
+    // no old value — byte-for-byte the kv_entry.go:146-166 layout
+    val golden = encode(RawEntry(OpPut, 0x10L, 0x0fL, 2L,
+      "k".getBytes, "v".getBytes, null))
+    assert(hex(golden) ==
+      "01000000" +                  // op u32 LE
+      "1000000000000000" +          // crts u64 LE
+      "0f00000000000000" +          // start_ts
+      "0200000000000000" +          // region_id
+      "01000000" + "01000000" + "00000000" + // key/value/old lens
+      "6b" + "76")                  // 'k', 'v'
+    assert(golden.length == HeaderSize + 2)
+    val back = decode(golden)
+    assert(back.opType == OpPut && back.crts == 0x10L && back.regionId == 2L)
+    assert(new String(back.key) == "k" && new String(back.value) == "v" &&
+      back.oldValue.isEmpty)
+
+    // frames → unpack → mount ≡ direct mount; resolved frames carry
+    // the watermark channel
+    import spark.implicits._
+    val frames = Seq(
+      encode(RawEntry(OpPut, 100L, 90L, 7L, key(1L),
+        img(1L, "ada", 1.5, "a", 10L), null)),
+      encode(RawEntry(OpPut, 200L, 190L, 7L, key(1L),
+        img(1L, "ada2", 2.5, "a", 11L), img(1L, "ada", 1.5, "a", 10L))),
+      encode(RawEntry(OpDelete, 300L, 290L, 7L, key(1L),
+        null, img(1L, "ada2", 2.5, "a", 11L))),
+      encode(RawEntry(OpResolved, 305L, 0L, 7L, null, null, null)))
+      .toDF("entry")
+    val unpacked = RawKvMounter.fromEncodedEntries(frames)
+    val out = RawKvMounter.mountTable(unpacked, meta).collect().sortBy(_.getLong(3))
+    assert(out.map(_.getString(2)).toSeq == Seq("I", "U", "D"))
+    assert(out(1).getStruct(6).getString(1) == "ada2")
+    assert(out(1).getStruct(5).getString(1) == "ada")
+    val wm = RawKvMounter.resolvedTsOf(frames).collect()
+    assert(wm.length == 1 && wm.head.getLong(0) == 7L && wm.head.getLong(1) == 305L)
+  }
+
   test("mount drops foreign-table, index, and non-record keys") {
     val otherTable = TiKvCodec.encodeRecordKey(999L, IntHandle(1L))
     // an INDEX key of OUR table: 't' + tableID + "_i" + indexID + datums —
