@@ -235,6 +235,36 @@ object Bench {
       (wallNs, wallNs * cpus.toDouble, quiet.isEmpty)
     } catch { case _: Throwable => (-1.0, -1.0, false) }
 
+    // binary-frame micro — apples-to-apples with BASELINE's 389 ns/op
+    // custom-binary RawKVEntry encode+decode: the SAME fixture entry
+    // (kv_entry_benchmark_test.go:31-46 — "test-key", two 1600-byte
+    // values), single-threaded tight loop like the Go bench's one
+    // goroutine, so the ns/op compares directly without
+    // core-normalization.
+    val frameNsOp: Double = try {
+      import graft.model.RawKvEntryCodec._
+      val value = ("0123456789ABCDEF" * 100).getBytes("UTF-8")
+      val entry = RawEntry(OpPut, 1234567890L, 9876543210L, 42L,
+        "test-key".getBytes("UTF-8"), value, value)
+      var live = 0L
+      def pass(n: Int): Double = {
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < n) {
+          // decodeView = the Go Decode's zero-copy semantics (slices
+          // into the buffer), so the loop bodies match alloc-for-alloc
+          val e = decodeView(encode(entry))
+          live += e.crts + e.valueLen
+          i += 1
+        }
+        (System.nanoTime() - t0).toDouble / n
+      }
+      pass(100000) // JIT warm
+      val best = math.min(pass(1000000), pass(1000000))
+      if (live == Long.MinValue) println(live) // keep the loop observable
+      best
+    } catch { case _: Throwable => -1.0 }
+
     val all = results :+ ("bench_stream" -> streamSec)
     val total = all.map(_._2).sum
     val streamRps = if (streamSec > 0) streamRows / streamSec else -1.0
@@ -247,7 +277,8 @@ object Bench {
         s""""machine_marker_ns_row":${r3(machineMarkerNsRow)}}"""
     val microJson =
       s"""{"rows":$microRows,"roundtrip_ns_row_wall":${r3(micro._1)},""" +
-        s""""roundtrip_ns_row_core":${r3(micro._2)},"hot":${micro._3}}"""
+        s""""roundtrip_ns_row_core":${r3(micro._2)},"hot":${micro._3},""" +
+        s""""frame_ns_op":${r3(frameNsOp)}}"""
 
     // Full-precision detail: printed for humans and written to
     // bench_full.json so the judge can read every query's time.
