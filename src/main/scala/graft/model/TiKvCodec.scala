@@ -598,6 +598,66 @@ object RawKvEntryCodec {
   }
 }
 
+/** The 16-byte event wire header every inter-node event frame starts
+  * with (pkg/common/event/header.go:21-80; design doc
+  * 2025-11-09-ticdc-event-encoding-architecture.md "Wire Format"):
+  * `MAGIC(4B BE = 0xDA7A6A6A) | EVENT_TYPE(2B BE) | VERSION(2B BE) |
+  * PAYLOAD_LENGTH(8B BE)` then the payload. Event type tags per
+  * pkg/common/event/interface.go:61-79. */
+object EventHeaderCodec {
+
+  final val Magic = 0xDA7A6A6AL
+  final val HeaderSize = 16
+
+  // interface.go:61-79 type tags
+  final val TypeDML = 0
+  final val TypeBatchDML = 1
+  final val TypeDDL = 2
+  final val TypeResolved = 3
+  final val TypeSyncPoint = 5
+  final val TypeReady = 6
+  final val TypeHandshake = 7
+  final val TypeNotReusable = 8
+  final val TypeDrop = 9
+
+  /** MarshalEventWithHeader (header.go:40-52). */
+  def marshal(eventType: Int, version: Int, payload: Array[Byte]): Array[Byte] = {
+    val out = new Array[Byte](HeaderSize + payload.length)
+    def be32(off: Int, v: Long): Unit = {
+      out(off) = (v >>> 24).toByte; out(off + 1) = (v >>> 16).toByte
+      out(off + 2) = (v >>> 8).toByte; out(off + 3) = v.toByte
+    }
+    be32(0, Magic)
+    out(4) = (eventType >>> 8).toByte; out(5) = eventType.toByte
+    out(6) = (version >>> 8).toByte; out(7) = version.toByte
+    be32(8, payload.length.toLong >>> 32)
+    be32(12, payload.length.toLong & 0xffffffffL)
+    System.arraycopy(payload, 0, out, HeaderSize, payload.length)
+    out
+  }
+
+  /** UnmarshalEventHeader (header.go:63-80): (type, version, payload).
+    * Throws on short data or bad magic — the reference's validation
+    * errors. */
+  def unmarshal(data: Array[Byte]): (Int, Int, Array[Byte]) = {
+    require(data.length >= HeaderSize,
+      s"data too short: need at least $HeaderSize bytes for header, got ${data.length}")
+    def be32(off: Int): Long =
+      ((data(off) & 0xffL) << 24) | ((data(off + 1) & 0xffL) << 16) |
+        ((data(off + 2) & 0xffL) << 8) | (data(off + 3) & 0xffL)
+    val magic = be32(0)
+    require(magic == Magic,
+      f"invalid magic bytes: expected [0x$Magic%08X], got [0x$magic%08X]")
+    val eventType = ((data(4) & 0xff) << 8) | (data(5) & 0xff)
+    val version = ((data(6) & 0xff) << 8) | (data(7) & 0xff)
+    val len = (be32(8) << 32) | be32(12)
+    require(data.length >= HeaderSize + len,
+      s"truncated payload: declared $len, have ${data.length - HeaderSize}")
+    (eventType, version,
+      java.util.Arrays.copyOfRange(data, HeaderSize, HeaderSize + len.toInt))
+  }
+}
+
 /** MySQL binary decimal (myDecimal) — the on-disk DECIMAL format both
   * row formats embed (TiDB types/mydecimal.go `WriteBin`; layout from
   * the MySQL source strings/decimal.c `decimal2bin` documentation):

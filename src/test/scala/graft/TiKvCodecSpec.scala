@@ -566,6 +566,35 @@ class RawKvMounterSpec extends SparkFunSuite {
     assert(wm.length == 1 && wm.head.getLong(0) == 7L && wm.head.getLong(1) == 305L)
   }
 
+  test("event wire header: golden magic/type/version/length layout, " +
+      "framed RawKVEntry round trip, bad magic rejected") {
+    import graft.model.{EventHeaderCodec, RawKvEntryCodec}
+    import graft.model.EventHeaderCodec._
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    // header.go:40-52: BE magic DA7A6A6A, type 2, version 1, len 3
+    val framed = marshal(TypeDDL, 1, Array[Byte](7, 8, 9))
+    assert(hex(framed) ==
+      "da7a6a6a" + "0002" + "0001" + "0000000000000003" + "070809")
+    val (t, v, payload) = unmarshal(framed)
+    assert(t == TypeDDL && v == 1 && payload.toSeq == Seq[Byte](7, 8, 9))
+
+    // a DML event frame carrying a RawKVEntry payload — the
+    // message-center shape — survives the full wrap/unwrap
+    val entry = RawKvEntryCodec.RawEntry(RawKvEntryCodec.OpPut, 100L, 90L, 7L,
+      key(1L), img(1L, "ada", 1.5, "a", 10L), null)
+    val wire = marshal(TypeDML, 1, RawKvEntryCodec.encode(entry))
+    val (t2, _, p2) = unmarshal(wire)
+    assert(t2 == TypeDML)
+    val back = RawKvEntryCodec.decode(p2)
+    assert(back.crts == 100L && new String(back.key.take(1)) == "t")
+
+    // corrupted magic must be rejected with the reference's error shape
+    val bad = framed.clone(); bad(0) = 0x00
+    val err = intercept[IllegalArgumentException](unmarshal(bad))
+    assert(err.getMessage.contains("invalid magic bytes"))
+    intercept[IllegalArgumentException](unmarshal(Array[Byte](1, 2, 3)))
+  }
+
   test("mount drops foreign-table, index, and non-record keys") {
     val otherTable = TiKvCodec.encodeRecordKey(999L, IntHandle(1L))
     // an INDEX key of OUR table: 't' + tableID + "_i" + indexID + datums —
