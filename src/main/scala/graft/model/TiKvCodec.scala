@@ -598,6 +598,179 @@ object RawKvEntryCodec {
   }
 }
 
+/** MessagePack form of the RawKVEntry — the `msg:"…"` tags on
+  * pkg/common/kv_entry.go:53-70 compiled by tinylib/msgp into a
+  * 10-field map with struct-ordered string keys, minimal-width
+  * unsigned ints, and bin-family byte sections (the middle row of
+  * kv_entry_benchmark_test.go: 945.7 ns/op). Encode writes the
+  * generated code's exact byte choices (fixmap, fixstr keys, smallest
+  * uint form, bin8/16/32 by length); decode accepts any well-formed
+  * msgpack widths so foreign encoders interoperate. */
+object RawKvEntryMsgp {
+  import RawKvEntryCodec.RawEntry
+
+  private val keyBytes: Array[Array[Byte]] =
+    Array("op_type", "crts", "start_ts", "region_id", "key_len", "value_len",
+      "old_value_len", "key", "value", "old_value").map(_.getBytes("UTF-8"))
+
+  private def uintSize(v: Long): Int =
+    if (v >= 0 && v < 128) 1
+    else if (v >= 0 && v <= 0xffL) 2
+    else if (v >= 0 && v <= 0xffffL) 3
+    else if (v >= 0 && v <= 0xffffffffL) 5
+    else 9
+
+  private def binHeadSize(n: Int): Int =
+    if (n <= 0xff) 2 else if (n <= 0xffff) 3 else 5
+
+  // single exact-size buffer (the generated Go code appends into one
+  // pre-grown slice the same way)
+  private final class W(val buf: Array[Byte]) {
+    var p = 0
+    def u8(v: Int): Unit = { buf(p) = v.toByte; p += 1 }
+    def uint(v: Long): Unit = {
+      if (v >= 0 && v < 128) u8(v.toInt)
+      else if (v >= 0 && v <= 0xffL) { u8(0xcc); u8(v.toInt) }
+      else if (v >= 0 && v <= 0xffffL) { u8(0xcd); u8((v >> 8).toInt); u8((v & 0xff).toInt) }
+      else if (v >= 0 && v <= 0xffffffffL) {
+        u8(0xce)
+        var i = 3
+        while (i >= 0) { u8(((v >>> (8 * i)) & 0xff).toInt); i -= 1 }
+      } else {
+        u8(0xcf)
+        var i = 7
+        while (i >= 0) { u8(((v >>> (8 * i)) & 0xff).toInt); i -= 1 }
+      }
+    }
+    def str(b: Array[Byte]): Unit = {
+      u8(0xa0 | b.length)
+      System.arraycopy(b, 0, buf, p, b.length); p += b.length
+    }
+    def bin(b: Array[Byte]): Unit = {
+      val n = b.length
+      if (n <= 0xff) { u8(0xc4); u8(n) }
+      else if (n <= 0xffff) { u8(0xc5); u8(n >> 8); u8(n & 0xff) }
+      else {
+        u8(0xc6)
+        var i = 3
+        while (i >= 0) { u8((n >>> (8 * i)) & 0xff); i -= 1 }
+      }
+      System.arraycopy(b, 0, buf, p, n); p += n
+    }
+  }
+
+  def encode(e: RawEntry): Array[Byte] = {
+    val key = if (e.key == null) Array.emptyByteArray else e.key
+    val value = if (e.value == null) Array.emptyByteArray else e.value
+    val old = if (e.oldValue == null) Array.emptyByteArray else e.oldValue
+    var size = 1 // fixmap tag
+    var i = 0
+    while (i < keyBytes.length) { size += 1 + keyBytes(i).length; i += 1 }
+    size += uintSize(e.opType.toLong) + uintSize(e.crts) + uintSize(e.startTs) +
+      uintSize(e.regionId) + uintSize(key.length.toLong) +
+      uintSize(value.length.toLong) + uintSize(old.length.toLong) +
+      binHeadSize(key.length) + key.length +
+      binHeadSize(value.length) + value.length +
+      binHeadSize(old.length) + old.length
+    val w = new W(new Array[Byte](size))
+    w.u8(0x80 | keyBytes.length) // fixmap(10)
+    w.str(keyBytes(0)); w.uint(e.opType.toLong)
+    w.str(keyBytes(1)); w.uint(e.crts)
+    w.str(keyBytes(2)); w.uint(e.startTs)
+    w.str(keyBytes(3)); w.uint(e.regionId)
+    w.str(keyBytes(4)); w.uint(key.length.toLong)
+    w.str(keyBytes(5)); w.uint(value.length.toLong)
+    w.str(keyBytes(6)); w.uint(old.length.toLong)
+    w.str(keyBytes(7)); w.bin(key)
+    w.str(keyBytes(8)); w.bin(value)
+    w.str(keyBytes(9)); w.bin(old)
+    w.buf
+  }
+
+  def decode(data: Array[Byte]): RawEntry = {
+    var p = 0
+    def u8(): Int = { val v = data(p) & 0xff; p += 1; v }
+    def beN(n: Int): Long = {
+      var v = 0L; var i = 0
+      while (i < n) { v = (v << 8) | (data(p + i) & 0xffL); i += 1 }
+      p += n; v
+    }
+    def readUint(): Long = {
+      val t = u8()
+      if (t < 0x80) t.toLong
+      else t match {
+        case 0xcc => beN(1)
+        case 0xcd => beN(2)
+        case 0xce => beN(4)
+        case 0xcf => beN(8)
+        case other => throw new IllegalArgumentException(f"not a uint tag 0x$other%02x")
+      }
+    }
+    /** Field dispatch without a String allocation: the 10 field names
+      * are distinguishable by (length, first byte). Returns the field
+      * index in [[keyBytes]]. */
+    def readFieldKey(): Int = {
+      val t = u8()
+      val n =
+        if ((t & 0xe0) == 0xa0) t & 0x1f
+        else if (t == 0xd9) beN(1).toInt
+        else throw new IllegalArgumentException(f"not a str tag 0x$t%02x")
+      val first = data(p)
+      p += n
+      (n, first.toChar) match {
+        case (7, 'o') => 0 // op_type
+        case (4, 'c') => 1 // crts
+        case (8, 's') => 2 // start_ts
+        case (9, 'r') => 3 // region_id
+        case (7, 'k') => 4 // key_len
+        case (9, 'v') => 5 // value_len
+        case (13, 'o') => 6 // old_value_len
+        case (3, 'k') => 7 // key
+        case (5, 'v') => 8 // value
+        case (9, 'o') => 9 // old_value
+        case other =>
+          throw new IllegalArgumentException(
+            s"unknown field ${new String(data, p - n, n, "UTF-8")}")
+      }
+    }
+    def readBin(): Array[Byte] = {
+      val t = u8()
+      val n = t match {
+        case 0xc0 => return Array.emptyByteArray // nil slice
+        case 0xc4 => beN(1).toInt
+        case 0xc5 => beN(2).toInt
+        case 0xc6 => beN(4).toInt
+        case other => throw new IllegalArgumentException(f"not a bin tag 0x$other%02x")
+      }
+      val out = java.util.Arrays.copyOfRange(data, p, p + n); p += n; out
+    }
+    val mapTag = u8()
+    val nFields =
+      if ((mapTag & 0xf0) == 0x80) mapTag & 0x0f
+      else if (mapTag == 0xde) beN(2).toInt
+      else throw new IllegalArgumentException(f"not a map tag 0x$mapTag%02x")
+    var op = 0; var crts = 0L; var start = 0L; var region = 0L
+    var key: Array[Byte] = Array.emptyByteArray
+    var value: Array[Byte] = Array.emptyByteArray
+    var old: Array[Byte] = Array.emptyByteArray
+    var i = 0
+    while (i < nFields) {
+      readFieldKey() match {
+        case 0 => op = readUint().toInt
+        case 1 => crts = readUint()
+        case 2 => start = readUint()
+        case 3 => region = readUint()
+        case 4 | 5 | 6 => readUint()
+        case 7 => key = readBin()
+        case 8 => value = readBin()
+        case 9 => old = readBin()
+      }
+      i += 1
+    }
+    RawEntry(op, crts, start, region, key, value, old)
+  }
+}
+
 /** The 16-byte event wire header every inter-node event frame starts
   * with (pkg/common/event/header.go:21-80; design doc
   * 2025-11-09-ticdc-event-encoding-architecture.md "Wire Format"):

@@ -595,6 +595,38 @@ class RawKvMounterSpec extends SparkFunSuite {
     intercept[IllegalArgumentException](unmarshal(Array[Byte](1, 2, 3)))
   }
 
+  test("msgp form: struct-ordered map with golden prefix, minimal widths, " +
+      "nil-slice tolerance, roundtrip") {
+    import graft.model.{RawKvEntryCodec, RawKvEntryMsgp}
+    import graft.model.RawKvEntryCodec.RawEntry
+    def hex(b: Array[Byte]): String = b.map(x => f"${x & 0xff}%02x").mkString
+    val e = RawEntry(RawKvEntryCodec.OpPut, 300L, 90L, 7L,
+      "k".getBytes, "v".getBytes, null)
+    val enc = RawKvEntryMsgp.encode(e)
+    // fixmap(10), fixstr "op_type", fixint 1, fixstr "crts", uint16 300
+    assert(hex(enc).startsWith(
+      "8a" + "a76f705f74797065" + "01" + "a463727473" + "cd012c"))
+    val back = RawKvEntryMsgp.decode(enc)
+    assert(back.opType == 1 && back.crts == 300L && back.startTs == 90L &&
+      back.regionId == 7L)
+    assert(new String(back.key) == "k" && new String(back.value) == "v" &&
+      back.oldValue.isEmpty)
+
+    // widths: 1600-byte value → bin16; u64-range crts → 0xcf
+    val big = RawEntry(RawKvEntryCodec.OpDelete, Long.MaxValue, 0L, 0L,
+      null, null, Array.fill[Byte](1600)('x'))
+    val encBig = RawKvEntryMsgp.encode(big)
+    assert(hex(encBig).contains("cf7fffffffffffffff"), "u64 width for crts")
+    assert(hex(encBig).contains("c50640"), "bin16 for the 1600-byte section")
+    val backBig = RawKvEntryMsgp.decode(encBig)
+    assert(backBig.crts == Long.MaxValue && backBig.oldValue.length == 1600)
+
+    // a foreign encoder writing nil for an absent slice still decodes:
+    // hand-built frame map(1) { "key": nil }
+    val handNil = Array[Byte](0x81.toByte, 0xa3.toByte, 'k', 'e', 'y', 0xc0.toByte)
+    assert(RawKvEntryMsgp.decode(handNil).key.isEmpty)
+  }
+
   test("mount drops foreign-table, index, and non-record keys") {
     val otherTable = TiKvCodec.encodeRecordKey(999L, IntHandle(1L))
     // an INDEX key of OUR table: 't' + tableID + "_i" + indexID + datums —
