@@ -233,6 +233,24 @@ object CdcQueries {
           col("after.user_id").as("user_id"),
           col("after.event_type").as("event_type"),
           col("after.value").as("value"), col("after.props").as("props"))
+    }),
+
+    // schema-VERSIONED mount: rows written before the mid-corpus ADD
+    // COLUMN carry no props cell and must default-fill; rows after
+    // carry real values (mounter as-of decode + conformance,
+    // schema_store.go:50-54 / chunk.go:182)
+    "q_kv_mount_versioned" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2L
+      val raw = RawKvQuery.encodeVersioned(ev, cut)
+      RawKvMounter.mountTableVersioned(raw,
+        Seq(0L -> RawKvQuery.eventsMetaV1, (cut + 1L) -> RawKvQuery.eventsMetaV2))
+        .select(
+          col("after.event_id").as("event_id"), col("after.ts").as("ts"),
+          col("after.user_id").as("user_id"),
+          col("after.event_type").as("event_type"),
+          col("after.value").as("value"), col("after.props").as("props"))
     })
   )
 
@@ -567,7 +585,17 @@ object CdcQueries {
 
     // the mount is encode∘decode = identity over the real table
     "q_kv_mount" ->
-      "SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props FROM events"
+      "SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props FROM events",
+
+    // versioned mount: rows at or before the mid-corpus schema cut
+    // default-fill the added column
+    "q_kv_mount_versioned" ->
+      """WITH cut AS (
+        |  SELECT MIN(epoch_ns(ts)) + (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts))) // 2 AS c
+        |  FROM events)
+        |SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value,
+        |  CASE WHEN epoch_ns(ts) <= (SELECT c FROM cut) THEN 'none' ELSE props END AS props
+        |FROM events""".stripMargin
   )
 
   /** Canal-JSON value rendering in DuckDB dialect (shared with the
@@ -622,6 +650,43 @@ object RawKvQuery {
     StructField("key", BinaryType), StructField("value", BinaryType),
     StructField("old_value", BinaryType), StructField("op_type", StringType),
     StructField("start_ts", LongType), StructField("commit_ts", LongType)))
+
+  /** The schema-evolution fixture: BEFORE the cut the table has no
+    * `props` column (v1 rows omit its cell); FROM the cut on the DDL
+    * added `props` with default 'none'. The cut is the deterministic
+    * mid-point of the ts range, computable identically in SQL. */
+  def eventsMetaV1: KvTableMeta = eventsMeta.copy(
+    columns = eventsMeta.columns.filterNot(_.name == "props"))
+  def eventsMetaV2: KvTableMeta = eventsMeta.copy(
+    columns = eventsMeta.columns.map(c =>
+      if (c.name == "props") c.copy(default = Some("none")) else c))
+
+  /** events → versioned RawKVEntry rows: rows at or before `cutTs`
+    * encode under the v1 schema (no props cell) — the bytes a table
+    * wrote before its ADD COLUMN. */
+  def encodeVersioned(events: DataFrame, cutTs: Long): DataFrame = {
+    val m = eventsMeta
+    val cut = cutTs
+    events.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .mapPartitions { it =>
+        it.map { r =>
+          val ts = r.getLong(1)
+          val pre = ts <= cut
+          val payloadBase = Seq[Any](
+            r.getLong(0), ts,
+            if (r.isNullAt(2)) null else r.getLong(2),
+            r.getString(3),
+            if (r.isNullAt(4)) null else r.getDouble(4))
+          val (meta, payload) =
+            if (pre) (RawKvQuery.eventsMetaV1, payloadBase)
+            else (RawKvQuery.eventsMetaV2, payloadBase :+ r.getString(5))
+          Row(
+            TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(r.getLong(0))),
+            RawKvMounter.encodeImage(meta, payload),
+            null, "put", ts - 1L, ts)
+        }
+      }(Encoders.row(rawSchema))
+  }
 
   /** events → RawKVEntry rows (one put per event, commit_ts = ts). */
   def encode(events: DataFrame): DataFrame = {
