@@ -162,7 +162,10 @@ object Bench {
       (System.nanoTime() - t0).toDouble / n
     } catch { case _: Throwable => -1.0 }
     val streamDrains: Seq[GatedPass] = try {
-      val cfg = graft.model.ChangefeedConfig(id = "bench-stream")
+      // fixtureRenderer keeps the measured encode path identical to
+      // prior rounds (the money-decimal fixture renderer)
+      val cfg = graft.model.ChangefeedConfig(id = "bench-stream",
+        sink = graft.model.SinkConfig(fixtureRenderer = true))
       def run(rows: Long): Double = {
         val tmp = java.nio.file.Files.createTempDirectory("graft-bench-stream").toString
         val raw = spark.readStream.format("graft.sources.ChangelogGenSource")

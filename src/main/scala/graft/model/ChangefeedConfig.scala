@@ -143,7 +143,16 @@ final case class SinkConfig(
     sendAllBootstrapAtStart: Boolean = false,
     /** Pulsar client/producer block (sink.go:606-672 PulsarConfig),
       * rendered to connector options by Security.pulsarOptions. */
-    pulsarConfig: Option[Security.PulsarConfig] = None)
+    pulsarConfig: Option[Security.PulsarConfig] = None,
+    /** EXPLICIT opt-in to the events-fixture renderer (money-decimal
+      * string rendering for the user_id/value/k payload — the
+      * oracle-mirrored convention of this deployment's events table).
+      * Off, every table flows through the schema-driven generic
+      * encoders — the path a real deployment's arbitrary tables take.
+      * An explicit flag, NOT payload-shape sniffing: a real table that
+      * happens to have those three columns must not silently change
+      * rendering. */
+    fixtureRenderer: Boolean = false)
 
 /** Span-scheduling knobs (pkg/config/scheduler_config.go:35-69;
   * defaults replica_config.go:105-117). In this engine the split

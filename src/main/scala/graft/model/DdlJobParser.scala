@@ -156,8 +156,14 @@ object DdlJobParser {
         key(9) != '_' || key(10) != 'r') return None
     val (tableId, _) = TiKvCodec.decodeRecordKey(key)
     if (tableId != JobTableId) return None
-    val row = TiKvCodec.decodeV2(value)
-    row.cell(5L).flatMap(meta => parseJobBytes(meta, startTs, commitTs))
+    // the job table row can arrive in either row format — dispatch on
+    // the version byte like the mounter (codec.go:86 IsNewFormat)
+    val metaBytes: Option[Array[Byte]] =
+      if (TiKvCodec.isNewFormat(value)) TiKvCodec.decodeV2(value).cell(5L)
+      else TiKvCodec.decodeV1(value).get(5L).collect {
+        case TiKvCodec.DBytes(b) => b
+      }
+    metaBytes.flatMap(meta => parseJobBytes(meta, startTs, commitTs))
   }
 
   /** Encode a job row as raw KV bytes (test/replay tooling): the

@@ -198,8 +198,12 @@ object TiKvCodec {
     case DDecimal(v) => DecimalFlag +: MyDecimal.encode(v)
   }
 
-  /** Decode one flag-prefixed datum; returns (datum, bytesRead). */
-  def decodeOne(b: Array[Byte], off: Int): (Datum, Int) = (b(off): @unchecked) match {
+  /** Decode one flag-prefixed datum; returns (datum, bytesRead).
+    * JSON (flag 10) and unknown flags raise a DESCRIPTIVE error
+    * instead of a MatchError: TiDB's JSON binary has no
+    * length-prefixed framing this codec can skip, so a v1 row
+    * carrying one cannot be partially decoded. */
+  def decodeOne(b: Array[Byte], off: Int): (Datum, Int) = b(off) match {
     case NilFlag => (DNull, 1)
     case IntFlag => (DInt(decodeInt(b, off + 1)), 9)
     case UintFlag => (DUint(decodeUint(b, off + 1)), 9)
@@ -217,6 +221,13 @@ object TiKvCodec {
       val (v, n) = decodeUvarint(b, off + 1); (DUint(v), n + 1)
     case DecimalFlag =>
       val (v, n) = MyDecimal.decode(b, off + 1); (DDecimal(v), n + 1)
+    case JsonFlag =>
+      throw new IllegalArgumentException(
+        "JSON datum (flag 10) is not supported in v1 row decode — " +
+          "upgrade the table to row format v2, where JSON cells are opaque bytes")
+    case flag =>
+      throw new IllegalArgumentException(
+        s"unknown datum flag $flag at offset $off (${b.length}-byte buffer)")
   }
 
   // ---- record keys ----

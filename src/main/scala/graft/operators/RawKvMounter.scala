@@ -81,8 +81,14 @@ object RawKvMounter {
     (if (p < 0) t else t.substring(0, p)).trim
   }
 
-  /** Spark-side type for a column (the envelope payload field type). */
+  /** Spark-side type for a column (the envelope payload field type).
+    * Unsigned BIGINT carries as DECIMAL(20,0) — values above
+    * Long.MaxValue are real (the reference renders u64; the SQL-model
+    * path already carries unsigned BIGINT this way), so LongType would
+    * surface them as wrapped negatives. Narrower unsigned ints fit a
+    * Long exactly. */
   def sparkType(c: KvColumn): DataType = base(c.sqlType) match {
+    case "bigint" if c.unsigned => DecimalType(20, 0)
     case "tinyint" | "smallint" | "mediumint" | "int" | "bigint" | "year" |
          "bit" | "time" => LongType
     case "float" | "double" => DoubleType
@@ -167,7 +173,18 @@ object RawKvMounter {
           case None =>
             v1.get(c.id) match {
               case Some(DNull) => null
-              case Some(d) => normalize(datumValue(d, bt), c)
+              case Some(d) =>
+                // the changefeed-tz shift applies to v1 TIMESTAMPs too
+                // (the reference threads tz through decodeRowV1 →
+                // unflatten); DATETIME stays zone-naive
+                val v0 = d match {
+                  case DInt(x) if bt == "timestamp" && meta.tz != "UTC" =>
+                    graft.model.PackedTime.unpackInZone(x, meta.zoneId)
+                  case DUint(x) if bt == "timestamp" && meta.tz != "UTC" =>
+                    graft.model.PackedTime.unpackInZone(x, meta.zoneId)
+                  case other => datumValue(other, bt)
+                }
+                normalize(v0, c)
               case None => defaultValue(c)
             }
         }
@@ -195,11 +212,19 @@ object RawKvMounter {
     case DNull => null
   }
 
-  /** Fit the decoded JVM value to the payload field's Spark type. */
+  private val twoTo64 = new java.math.BigDecimal("18446744073709551616")
+
+  /** Fit the decoded JVM value to the payload field's Spark type. A
+    * Long landing in a DecimalType field is an unsigned-BIGINT bit
+    * pattern (uintCellDecode wraps above Long.MaxValue) — undo the
+    * 2^64 wrap, the exact inverse of RowChecksum's token fold. */
   private def normalize(v: Any, c: KvColumn): Any = (v, sparkType(c)) match {
     case (null, _) => null
     case (x: java.math.BigDecimal, dt: DecimalType) =>
       x.setScale(dt.scale, java.math.RoundingMode.HALF_UP)
+    case (x: Long, dt: DecimalType) =>
+      val bd = java.math.BigDecimal.valueOf(x)
+      (if (x < 0) bd.add(twoTo64) else bd).setScale(dt.scale)
     case (x: Long, DoubleType) => x.toDouble
     case (x, _) => x
   }
@@ -343,15 +368,25 @@ object RawKvMounter {
     * the checksum region the row carries. Rows without a region pass
     * (upstream integrity off, :78-80); a stored EXTRA checksum also
     * passes if it matches (the online-DDL transition window, :92-95).
+    * The comparison is GATED on the region's checksum VERSION
+    * (checksum.go:40-46 verifyChecksum dispatch): version 0 is the
+    * column checksum this engine computes; versions 1/2 are the
+    * raw-bytes scheme over key+datums — comparing them against a
+    * column checksum would flag every row, so they verdict as
+    * `verified = false` (skipped) with `ok = true`, like a
+    * checksum-free row.
+    *
     * Returns one verdict row per put: (commit_ts, handle, stored,
-    * computed, ok). */
+    * computed, ok, verified) — `verified` is true only when a
+    * version-0 comparison actually ran. */
   def verifyInRowChecksums(raw: DataFrame, meta: KvTableMeta): DataFrame = {
     val schema = StructType(Seq(
       StructField("_commit_ts", LongType, nullable = false),
       StructField("handle", StringType, nullable = false),
       StructField("stored", LongType),
       StructField("computed", LongType, nullable = false),
-      StructField("ok", BooleanType, nullable = false)))
+      StructField("ok", BooleanType, nullable = false),
+      StructField("verified", BooleanType, nullable = false)))
     val enc = Encoders.row(schema)
     val m = meta
     raw.select("key", "value", "op_type", "commit_ts")
@@ -373,17 +408,22 @@ object RawKvMounter {
                 graft.functions.RowChecksum.tokenPlain(base(c.sqlType), v)
               }
               val computed = graft.functions.RowChecksum.crc32Plain(tokens)
-              val (stored, ok) = row.checksum match {
-                case None => (null, true) // integrity off upstream
+              val (stored, ok, verified) = row.checksum match {
+                case None => (null, true, false) // integrity off upstream
+                case Some(region) if region.version != 0 =>
+                  // v1/v2 = raw-bytes checksum domain (key+datums) —
+                  // not comparable to the column checksum; skip
+                  (region.first.asInstanceOf[Any], true, false)
                 case Some(region) =>
                   (region.first.asInstanceOf[Any],
-                    region.first == computed || region.extra.contains(computed))
+                    region.first == computed || region.extra.contains(computed),
+                    true)
               }
               val h = handle match {
                 case IntHandle(v) => v.toString
                 case CommonHandle(ds) => ds.mkString("|")
               }
-              Iterator(Row(r.getLong(3), h, stored, computed, ok))
+              Iterator(Row(r.getLong(3), h, stored, computed, ok, verified))
             }
           }
         }

@@ -60,16 +60,11 @@ object Changefeed {
   def pipeline(spark: SparkSession, cfg: ChangefeedConfig)(env: DataFrame): DataFrame = {
     val df = transform(spark, cfg)(env)
     // the fixture-payload encoders carry the oracle-mirrored rendering
-    // conventions (money-decimal strings for the events payload); any
-    // other table shape flows through the schema-driven generic forms
-    // — the path a real deployment's arbitrary tables take
-    val fixturePayload = df.schema.fields.find(_.name == "after").exists {
-      _.dataType match {
-        case s: org.apache.spark.sql.types.StructType =>
-          s.fieldNames.toSeq == Seq("user_id", "value", "k")
-        case _ => false
-      }
-    }
+    // conventions (money-decimal strings for the events payload); the
+    // selection is an EXPLICIT config flag — payload-shape sniffing
+    // would silently re-render any real table that happens to have the
+    // fixture's three column names
+    val fixturePayload = cfg.sink.fixtureRenderer
     cfg.sink.protocol match {
       case Protocol.CanalJson if !fixturePayload =>
         Codecs.canalJsonFor(df, cfg.handleKeys)

@@ -232,7 +232,8 @@ class ChangefeedSpec extends SparkFunSuite {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       java.nio.file.Paths.get(s"$src/events.parquet"))
     val diffCfg = ChangefeedConfig(id = "cf-diff",
-      sink = SinkConfig(protocol = Protocol.Open, numPartitions = 4),
+      sink = SinkConfig(protocol = Protocol.Open, numPartitions = 4,
+        fixtureRenderer = true), // the diff asserts the DECIMAL(18,2) wire form
       splitUpdateOnKeyChange = false)
     val q = Changefeed.run(spark, diffCfg, src, s"$tmp/sink", s"$tmp/ckpt")
     q.awaitTermination(120000)

@@ -88,4 +88,33 @@ class DdlJobParserSpec extends AnyFunSuite {
     // as-of before the drop still sees v
     assert(reg.asOf("app", "t", 450L).get.columns.map(_.name) == Seq("id", "v", "tag"))
   }
+
+  test("v1-format job row: parseRawEntry dispatches on the version byte " +
+      "and decodes the old row format too") {
+    import TiKvCodec._
+    val meta = jobJson(77L, ActionAddColumn, JobStateDone, "app", "t1",
+      "ALTER TABLE t1 ADD COLUMN c BIGINT")
+    // the job table row in the PRE-v2 format: colID/datum pairs, the
+    // job_meta blob under column 5
+    val key = TiKvCodec.encodeRecordKey(DdlJobParser.JobTableId, IntHandle(77L))
+    val v1Value = TiKvCodec.encodeV1(Seq(
+      5L -> DBytes(meta),
+      6L -> DInt(ActionAddColumn.toLong)))
+    assert(!TiKvCodec.isNewFormat(v1Value), "fixture must be a v1 row")
+    val job = parseRawEntry(key, v1Value, "put", startTs = 9L, commitTs = 10L)
+      .getOrElse(fail("v1 job row not parsed"))
+    assert(job.id == 77L && job.actionType == ActionAddColumn &&
+      job.finishedTs == 10L)
+  }
+
+  test("v1 JSON datum raises a descriptive error, not a MatchError") {
+    import TiKvCodec._
+    // a v1 row whose second datum is a JSON cell (flag 10): decodeOne
+    // must fail with a message naming the unsupported flag
+    val bad = encodeValueDatum(DInt(1L)) ++ Array[Byte](JsonFlag, 0x01)
+    val e = intercept[IllegalArgumentException] {
+      TiKvCodec.decodeV1(encodeValueDatum(DInt(7L)) ++ bad)
+    }
+    assert(e.getMessage.contains("JSON"), e.getMessage)
+  }
 }

@@ -643,4 +643,73 @@ class RawKvMounterSpec extends SparkFunSuite {
     val out = RawKvMounter.mountTable(raw, meta).collect()
     assert(out.length == 1 && out.head.getStruct(6).getString(1) == "keep")
   }
+
+  test("unsigned BIGINT mounts as DECIMAL(20,0): values above Long.MaxValue " +
+      "surface unwrapped, matching the SQL-model path") {
+    val m = KvTableMeta(101L, "app", "u64t",
+      Seq(
+        KvColumn(1L, "id", "bigint", nullable = false),
+        KvColumn(2L, "big", "bigint", unsigned = true),
+        KvColumn(3L, "small_u", "int", unsigned = true)),
+      handleCol = "id")
+    assert(RawKvMounter.sparkType(KvColumn(2L, "big", "bigint", unsigned = true)) ==
+      DecimalType(20, 0))
+    // 2^64 - 6 = 18446744073709551610: wraps to -6 in the uint cell
+    val overMax = new java.math.BigDecimal("18446744073709551610")
+    val value = TiKvCodec.encodeV2(Seq(
+      2L -> Some(TiKvCodec.uintCell(-6L)),
+      3L -> Some(TiKvCodec.uintCell(4000000000L))))
+    val raw = rawDf(Seq((key(1L), value, null, "put", 1L, 2L)))
+    val row = RawKvMounter.mountTable(raw, m).collect().head.getStruct(6)
+    assert(row.getDecimal(1).compareTo(overMax) == 0,
+      s"expected $overMax got ${row.getDecimal(1)}")
+    assert(row.getLong(2) == 4000000000L, "narrow unsigned fits a Long exactly")
+    // and the in-row checksum over the mounted image agrees with the
+    // RowChecksum DECIMAL(20,0) token fold (the inverse conversions
+    // compose)
+    val sealed0 = RawKvMounter.encodeImageChecksummed(m, Seq(1L, overMax, 4000000000L))
+    val verdict = RawKvMounter.verifyInRowChecksums(
+      rawDf(Seq((key(1L), sealed0, null, "put", 1L, 2L))), m).collect().head
+    assert(verdict.getBoolean(4) && verdict.getBoolean(5),
+      s"u64 checksum must verify: $verdict")
+  }
+
+  test("v1 rows render TIMESTAMP in the changefeed tz like v2 (datetime naive)") {
+    val m = KvTableMeta(101L, "app", "tzv1",
+      Seq(
+        KvColumn(1L, "id", "bigint", nullable = false),
+        KvColumn(2L, "created", "timestamp"),
+        KvColumn(3L, "local_dt", "datetime")),
+      handleCol = "id", tz = "Asia/Shanghai")
+    val packed = graft.model.PackedTime.pack("2020-01-01 00:00:00")
+    val v1 = TiKvCodec.encodeV1(Seq(
+      2L -> DUint(packed), 3L -> DUint(packed)))
+    assert(!TiKvCodec.isNewFormat(v1))
+    val row = RawKvMounter.mountTable(
+      rawDf(Seq((key(1L), v1, null, "put", 1L, 2L))), m).collect().head.getStruct(6)
+    assert(row.getString(1) == "2020-01-01 08:00:00",
+      s"v1 TIMESTAMP must shift to UTC+8, got ${row.getString(1)}")
+    assert(row.getString(2) == "2020-01-01 00:00:00", "DATETIME stays naive")
+  }
+
+  test("checksum versions 1/2 (raw-bytes scheme) skip the column comparison: " +
+      "ok=true, verified=false — never a false mismatch") {
+    val payload = Seq(5L, "eve", 2.5, "x", 7L)
+    val noCks = RawKvMounter.encodeImage(meta, payload)
+    val cells = TiKvCodec.decodeV2(noCks).notNull.map { case (id, c) => (id, Some(c)) }
+    // a v1-version region whose stored value is the RAW-BYTES checksum
+    // (deliberately unequal to the column checksum)
+    val rawBytesCks = TiKvCodec.encodeV2Checksummed(cells, first = 99999L, version = 1)
+    val v2Cks = TiKvCodec.encodeV2Checksummed(cells, first = 88888L, version = 2)
+    val colCks = RawKvMounter.encodeImageChecksummed(meta, payload) // version 0
+    val verdicts = RawKvMounter.verifyInRowChecksums(
+      rawDf(Seq(
+        (key(5L), rawBytesCks, null, "put", 1L, 10L),
+        (key(5L), v2Cks, null, "put", 1L, 20L),
+        (key(5L), colCks, null, "put", 1L, 30L))), meta)
+      .collect().sortBy(_.getLong(0))
+      .map(r => (r.getLong(0), r.getBoolean(4), r.getBoolean(5)))
+    assert(verdicts.toSeq == Seq((10L, true, false), (20L, true, false),
+      (30L, true, true)), s"got ${verdicts.toSeq}")
+  }
 }
