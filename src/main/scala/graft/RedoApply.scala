@@ -9,7 +9,11 @@ import org.apache.spark.sql.functions._
   * ordered downstream statement stream, optionally writes it as
   * parquet, and prints one JSON status line. For an encrypted log
   * (dir carries KEYMETA), pass the master key base64-encoded in
-  * `GRAFT_REDO_MASTER_KEY`. */
+  * `GRAFT_REDO_MASTER_KEY`. Pass the changefeed's TOML config path in
+  * `GRAFT_REDO_CONFIG` to replay with its `[[sink.dispatchers]]`
+  * table routes applied — a routed feed's recovery must land rows in
+  * the ROUTED tables (redo_apply_table_route), exactly like the live
+  * sink. */
 object RedoApply {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: RedoApply <redoDir> [outDir]")
@@ -20,9 +24,15 @@ object RedoApply {
 
     val masterKey = sys.env.get("GRAFT_REDO_MASTER_KEY")
       .map(java.util.Base64.getDecoder.decode)
+    val routes = sys.env.get("GRAFT_REDO_CONFIG").map { path =>
+      val text = new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(path)), "UTF-8")
+      graft.model.ConfigToml.toConfig(
+        graft.model.ConfigToml.parse(text), "redo-apply").sink.dispatch
+    }.getOrElse(Nil)
     val (ck, rts) = graft.sinks.RedoApplier.replayWindow(spark, dir)
     val stmts = graft.sinks.RedoApplier.replayStatements(spark, dir,
-      masterKey = masterKey)
+      masterKey = masterKey, routes = routes)
     val counts = stmts.agg(
       count(lit(1)).as("n"),
       sum(when(col("_op") === "DDL", 1L).otherwise(0L)).as("ddl")).head()

@@ -174,6 +174,34 @@ object Routing {
     out
   }
 
+  /** First-match table routing folded back INTO `_schema`/`_table` —
+    * the redo-replay form (pkg/applier/redo.go replays through the
+    * sink's own dispatch, so statements render against the ROUTED
+    * downstream names; tests/integration_tests/redo_apply_table_route).
+    * Rules are tried in order, first match wins, unmatched rows keep
+    * their source names. A no-route rule set is the identity. */
+  def applyTableRoutes(env: DataFrame, rules: Seq[graft.model.DispatchRule]): DataFrame = {
+    if (!rules.exists(r => r.targetSchema.isDefined || r.targetTable.isDefined)) return env
+    def matches(r: graft.model.DispatchRule): Column =
+      TableMatcher.matches(col("_schema"), col("_table"), r.matcher)
+    def tpl(t: String): Column =
+      regexp_replace(
+        regexp_replace(lit(t), lit("\\{schema\\}"), col("_schema")),
+        lit("\\{table\\}"), col("_table"))
+    val ss = rules.foldRight(col("_schema")) { (r, acc) =>
+      when(matches(r), r.targetSchema.map(tpl).getOrElse(col("_schema"))).otherwise(acc)
+    }
+    val st = rules.foldRight(col("_table")) { (r, acc) =>
+      when(matches(r), r.targetTable.map(tpl).getOrElse(col("_table"))).otherwise(acc)
+    }
+    // both rewrites read the ORIGINAL names: materialize them together
+    env.select(env.columns.toIndexedSeq.map {
+      case "_schema" => ss.as("_schema")
+      case "_table" => st.as("_table")
+      case other => col(other)
+    }: _*)
+  }
+
   /** Table routing / rename (pkg/config/sink.go:426-440): rewrite sink
     * schema/table with `{schema}`/`{table}` placeholders. */
   def routeTable(env: DataFrame, targetSchema: String, targetTable: String): DataFrame = {

@@ -2,7 +2,7 @@ package graft.sinks
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import graft.operators.Transforms
+import graft.operators.{Routing, Transforms}
 
 /** Standalone redo-log applier — the disaster-recovery entry point
   * (SURVEY §2.8; reference pkg/applier/redo.go:59 `RedoApplier`,
@@ -82,12 +82,22 @@ object RedoApplier {
       case _ => RedoLog.read(spark, dir, ck, rts)
     }
 
+  /** `routes`: the changefeed's dispatch rules — replay renders
+    * statements against the ROUTED target-schema/target-table names,
+    * exactly like the live sink (pkg/applier/redo.go replays through
+    * the sink path; redo_apply_table_route: a routed feed's redo
+    * recovery must land rows in the routed tables, not the source
+    * names). Routing applies BEFORE the key-change split and the
+    * conflict-key partition hash, so per-key ordering is computed on
+    * the downstream identity the statements target. */
   def replayStatements(spark: SparkSession, dir: String,
                        handleKeys: Seq[String] = Seq("user_id"),
                        numWorkers: Int = 8,
-                       masterKey: Option[Array[Byte]] = None): DataFrame = {
+                       masterKey: Option[Array[Byte]] = None,
+                       routes: Seq[graft.model.DispatchRule] = Nil): DataFrame = {
     val (ck, rts) = replayWindow(spark, dir)
-    val window = logWindow(spark, dir, ck, rts, masterKey)
+    val window = Routing.applyTableRoutes(
+      logWindow(spark, dir, ck, rts, masterKey), routes)
     val dml = MysqlSink.statements(
         Transforms.updateSplit(window, handleKeys),
         handleKeys, numWorkers, safeMode = true)
@@ -95,7 +105,8 @@ object RedoApplier {
     val withDdl =
       if (!new java.io.File(s"$dir/ddl").isDirectory) dml
       else {
-        val ddl = spark.read.parquet(s"$dir/ddl")
+        val ddl = Routing.applyTableRoutes(
+          spark.read.parquet(s"$dir/ddl"), routes)
           .filter(col("_commit_ts") > ck && col("_commit_ts") <= rts)
           .select(
             lit(-1).as("_partition"),
@@ -114,9 +125,10 @@ object RedoApplier {
     * the convergence-check form (RedoLog.replay over the same
     * window). */
   def replayState(spark: SparkSession, dir: String,
-                  masterKey: Option[Array[Byte]] = None): DataFrame = {
+                  masterKey: Option[Array[Byte]] = None,
+                  routes: Seq[graft.model.DispatchRule] = Nil): DataFrame = {
     val (ck, rts) = replayWindow(spark, dir)
-    graft.operators.Materialize.tableState(
-      logWindow(spark, dir, ck, rts, masterKey))
+    graft.operators.Materialize.tableState(Routing.applyTableRoutes(
+      logWindow(spark, dir, ck, rts, masterKey), routes))
   }
 }
