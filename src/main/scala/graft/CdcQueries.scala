@@ -40,6 +40,15 @@ object CdcQueries {
   val minuteNs: Long = 60L * 1000 * 1000 * 1000
   val hourNs: Long = 3600L * 1000 * 1000 * 1000
 
+  /** Routed-redo fixture: overlapping rules — events_1 matches BOTH,
+    * first match must win; events_3 stays unrouted (mirrors
+    * tests/integration_tests/redo_apply_table_route/conf). */
+  val redoRoutes: Seq[graft.model.DispatchRule] = Seq(
+    graft.model.DispatchRule(matcher = Seq("app.events_1"),
+      targetSchema = Some("first_db"), targetTable = Some("{table}_first")),
+    graft.model.DispatchRule(matcher = Seq("app.events_*", "!app.events_3"),
+      targetSchema = Some("target_db"), targetTable = Some("{table}_routed")))
+
   /** Multi-row-txn fixture: bucket commit-ts to the minute + user so
     * several events share one (start_ts, commit_ts) group. */
   private def txnified(e: DataFrame): DataFrame = {
@@ -219,6 +228,24 @@ object CdcQueries {
         when(op === "I", lit(null)).otherwise(payload).as("before"),
         when(op === "D", lit(null)).otherwise(payload).as("after"))
       graft.sinks.MysqlSink.statements(env2, Seq("doc_id"), 8, safeMode = false)
+    }),
+
+    // routed redo replay (pkg/applier/redo.go through the sink's own
+    // dispatch; tests/integration_tests/redo_apply_table_route): log
+    // the corpus, checkpoint at the midpoint, replay the window with
+    // table routes applied — statements must render against the
+    // ROUTED names, route BEFORE the key-change split and BEFORE the
+    // conflict-key partition hash, first matching rule winning
+    // (events_1 matches both rules and must land in first_db)
+    "q_redo_route" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-redo-route-q").toString
+      val e = env(s, d)
+      graft.sinks.RedoLog.append(e, tmp)
+      val mm = e.agg(min(col("_commit_ts")), max(col("_commit_ts"))).head()
+      graft.sinks.RedoApplier.advanceCheckpoint(
+        s, tmp, (mm.getLong(0) + mm.getLong(1)) / 2L)
+      graft.sinks.RedoApplier.replayStatements(
+        s, tmp, handleKeys = Seq("k"), routes = redoRoutes)
     }),
 
     // byte-level mount: events → real TiKV record-key + row-format-v2
@@ -582,6 +609,53 @@ object CdcQueries {
          |      ' WHERE ' || $keyPredSql || ' LIMIT 1'
          |  ELSE
          |    'INSERT INTO `' || _schema || '`.`' || _table || '` ' || $insertValuesSql""".stripMargin)),
+
+    // routed redo replay: midpoint window → first-match CASE rename →
+    // key-change split on k → safe-mode statements + conflict hash,
+    // all over the ROUTED names
+    "q_redo_route" -> {
+      val m1 = TableMatcher.matchesSql("_schema", "_table", Seq("app.events_1"))
+      val m2 = TableMatcher.matchesSql("_schema", "_table",
+        Seq("app.events_*", "!app.events_3"))
+      val keyPredK =
+        """CASE WHEN before_k IS NULL THEN '`k` IS NULL'
+          |     ELSE '`k` = ' || CAST(before_k AS VARCHAR) END""".stripMargin
+          .replace("\n", " ")
+      q(s""", win AS (
+         |  SELECT * FROM env
+         |  WHERE _commit_ts > (SELECT CAST((MIN(_commit_ts) + MAX(_commit_ts)) // 2 AS BIGINT) FROM env)),
+         |routed AS (
+         |  SELECT * REPLACE (
+         |    CASE WHEN $m1 THEN 'first_db'
+         |         WHEN $m2 THEN 'target_db'
+         |         ELSE _schema END AS _schema,
+         |    CASE WHEN $m1 THEN _table || '_first'
+         |         WHEN $m2 THEN _table || '_routed'
+         |         ELSE _table END AS _table)
+         |  FROM win),
+         |split AS (
+         |  SELECT $flatCols FROM routed
+         |  WHERE NOT (_op = 'U' AND (before_k IS DISTINCT FROM after_k))
+         |  UNION ALL
+         |  SELECT _row_id, _schema, _table, 'D', _commit_ts, _start_ts,
+         |    before_user_id, before_value, before_k, NULL, NULL, NULL
+         |  FROM routed WHERE _op = 'U' AND (before_k IS DISTINCT FROM after_k)
+         |  UNION ALL
+         |  SELECT _row_id, _schema, _table, 'I', _commit_ts, _start_ts,
+         |    NULL, NULL, NULL, after_user_id, after_value, after_k
+         |  FROM routed WHERE _op = 'U' AND (before_k IS DISTINCT FROM after_k))
+         |SELECT
+         |  ${Routing.stableHashSql(Seq("_schema", "_table",
+              "CASE WHEN _op = 'D' THEN before_k ELSE after_k END"))} % 8 AS _partition,
+         |  _row_id, _schema, _table, _commit_ts, _start_ts, _op,
+         |  CASE WHEN _op = 'D' THEN
+         |    'DELETE FROM `' || _schema || '`.`' || _table || '` WHERE ' || $keyPredK || ' LIMIT 1'
+         |  ELSE
+         |    'REPLACE INTO `' || _schema || '`.`' || _table || '` ' || $insertValuesSql
+         |  END AS _stmt,
+         |  _commit_ts * 2 AS _apply_order
+         |FROM split""".stripMargin)
+    },
 
     // the mount is encode∘decode = identity over the real table
     "q_kv_mount" ->

@@ -24,15 +24,22 @@ object RedoApply {
 
     val masterKey = sys.env.get("GRAFT_REDO_MASTER_KEY")
       .map(java.util.Base64.getDecoder.decode)
-    val routes = sys.env.get("GRAFT_REDO_CONFIG").map { path =>
+    // the feed's config drives the WHOLE replay surface, not just the
+    // routes: its handle keys decide update-split + conflict-key
+    // partitioning, its split flag decides whether key-change updates
+    // fan out to DELETE+INSERT
+    val cfg = sys.env.get("GRAFT_REDO_CONFIG").map { path =>
       val text = new String(java.nio.file.Files.readAllBytes(
         java.nio.file.Paths.get(path)), "UTF-8")
       graft.model.ConfigToml.toConfig(
-        graft.model.ConfigToml.parse(text), "redo-apply").sink.dispatch
-    }.getOrElse(Nil)
+        graft.model.ConfigToml.parse(text), "redo-apply")
+    }
     val (ck, rts) = graft.sinks.RedoApplier.replayWindow(spark, dir)
     val stmts = graft.sinks.RedoApplier.replayStatements(spark, dir,
-      masterKey = masterKey, routes = routes)
+      handleKeys = cfg.map(_.handleKeys).getOrElse(Seq("user_id")),
+      masterKey = masterKey,
+      routes = cfg.map(_.sink.dispatch).getOrElse(Nil),
+      splitUpdateOnKeyChange = cfg.forall(_.splitUpdateOnKeyChange))
     val counts = stmts.agg(
       count(lit(1)).as("n"),
       sum(when(col("_op") === "DDL", 1L).otherwise(0L)).as("ddl")).head()

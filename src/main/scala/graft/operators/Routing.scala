@@ -179,8 +179,21 @@ object Routing {
     * sink's own dispatch, so statements render against the ROUTED
     * downstream names; tests/integration_tests/redo_apply_table_route).
     * Rules are tried in order, first match wins, unmatched rows keep
-    * their source names. A no-route rule set is the identity. */
-  def applyTableRoutes(env: DataFrame, rules: Seq[graft.model.DispatchRule]): DataFrame = {
+    * their source names. A no-route rule set is the identity.
+    *
+    * `ddlQueryCol`: a DDL frame's raw query-text column. When given,
+    * routed rows ALSO rewrite the table identifiers inside the query
+    * text itself (the reference parser-rewrites the statement:
+    * pkg/routing/router.go ApplyToDDLEvent →
+    * rewriteParserBackedDDLQuery → NewRoutedDDLEvent) — otherwise a
+    * replayed `CREATE TABLE users …` would still target the SOURCE
+    * name while its metadata claims the routed one. The rewrite
+    * replaces the qualified `schema.table` form first, then bare
+    * word-bounded `table` references, both case-insensitive and
+    * backtick-tolerant (\Q…\E-quoted, so names never inject regex);
+    * unrouted rows keep their text byte-identical. */
+  def applyTableRoutes(env: DataFrame, rules: Seq[graft.model.DispatchRule],
+                       ddlQueryCol: Option[String] = None): DataFrame = {
     if (!rules.exists(r => r.targetSchema.isDefined || r.targetTable.isDefined)) return env
     def matches(r: graft.model.DispatchRule): Column =
       TableMatcher.matches(col("_schema"), col("_table"), r.matcher)
@@ -194,10 +207,26 @@ object Routing {
     val st = rules.foldRight(col("_table")) { (r, acc) =>
       when(matches(r), r.targetTable.map(tpl).getOrElse(col("_table"))).otherwise(acc)
     }
-    // both rewrites read the ORIGINAL names: materialize them together
+    def rewriteDdl(q: Column): Column = {
+      // replacement-side escape: a routed name's '\' or '$' must not
+      // read as a regex group reference
+      def repSafe(c: Column): Column =
+        regexp_replace(c, lit("([\\\\$])"), lit("\\\\$1"))
+      val qualPat = concat(lit("(?i)`?\\Q"), col("_schema"),
+        lit("\\E`?\\s*\\.\\s*`?\\Q"), col("_table"), lit("\\E`?"))
+      val qualRep = concat(lit("`"), repSafe(ss), lit("`.`"), repSafe(st), lit("`"))
+      val barePat = concat(lit("(?i)`\\Q"), col("_table"),
+        lit("\\E`|\\b\\Q"), col("_table"), lit("\\E\\b"))
+      val bareRep = concat(lit("`"), repSafe(st), lit("`"))
+      val routedText =
+        regexp_replace(regexp_replace(q, qualPat, qualRep), barePat, bareRep)
+      when(ss <=> col("_schema") && st <=> col("_table"), q).otherwise(routedText)
+    }
+    // all rewrites read the ORIGINAL names: materialize them together
     env.select(env.columns.toIndexedSeq.map {
       case "_schema" => ss.as("_schema")
       case "_table" => st.as("_table")
+      case other if ddlQueryCol.contains(other) => rewriteDdl(col(other)).as(other)
       case other => col(other)
     }: _*)
   }

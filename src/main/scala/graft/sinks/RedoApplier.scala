@@ -94,19 +94,24 @@ object RedoApplier {
                        handleKeys: Seq[String] = Seq("user_id"),
                        numWorkers: Int = 8,
                        masterKey: Option[Array[Byte]] = None,
-                       routes: Seq[graft.model.DispatchRule] = Nil): DataFrame = {
+                       routes: Seq[graft.model.DispatchRule] = Nil,
+                       splitUpdateOnKeyChange: Boolean = true): DataFrame = {
     val (ck, rts) = replayWindow(spark, dir)
     val window = Routing.applyTableRoutes(
       logWindow(spark, dir, ck, rts, masterKey), routes)
-    val dml = MysqlSink.statements(
-        Transforms.updateSplit(window, handleKeys),
-        handleKeys, numWorkers, safeMode = true)
+    val split =
+      if (splitUpdateOnKeyChange) Transforms.updateSplit(window, handleKeys)
+      else window
+    val dml = MysqlSink.statements(split, handleKeys, numWorkers, safeMode = true)
       .withColumn("_apply_order", col("_commit_ts") * 2)
     val withDdl =
       if (!new java.io.File(s"$dir/ddl").isDirectory) dml
       else {
+        // routed DDL rewrites the statement text too (router.go
+        // ApplyToDDLEvent → rewriteParserBackedDDLQuery): the frame's
+        // metadata AND its `query` must name the routed table
         val ddl = Routing.applyTableRoutes(
-          spark.read.parquet(s"$dir/ddl"), routes)
+          spark.read.parquet(s"$dir/ddl"), routes, ddlQueryCol = Some("query"))
           .filter(col("_commit_ts") > ck && col("_commit_ts") <= rts)
           .select(
             lit(-1).as("_partition"),

@@ -93,6 +93,95 @@ class RedoApplierSpec extends SparkFunSuite {
     stmts.unpersist()
   }
 
+  test("routed crash replay lands rows AND the rewritten DDL in the ROUTED tables on real JDBC") {
+    import graft.model.DispatchRule
+    import graft.sinks.{JdbcApplier, MysqlSink}
+    import graft.operators.Routing
+    val tmp = Files.createTempDirectory("graft-redo-route").toString
+    val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    // overlapping rules: events_1 matches BOTH — first match must win;
+    // events_3 stays unrouted (redo_apply_table_route/conf shape)
+    val routes = Seq(
+      DispatchRule(matcher = Seq("app.events_1"),
+        targetSchema = Some("target_db"), targetTable = Some("{table}_first")),
+      DispatchRule(matcher = Seq("app.events_*", "!app.events_3"),
+        targetSchema = Some("target_db"), targetTable = Some("{table}_routed")))
+
+    val cut = env.select("_commit_ts").orderBy("_commit_ts")
+      .collect().map(_.getLong(0)).apply(600)
+    RedoLog.append(env, tmp)
+    RedoApplier.advanceCheckpoint(spark, tmp, cut)
+    // a DDL inside the window whose TEXT still names the source table
+    val ddlTs = env.filter(col("_commit_ts") > cut)
+      .agg(min("_commit_ts")).head().getLong(0) + 1L
+    import spark.implicits._
+    RedoApplier.appendDdl(
+      Seq(("app", "events_0", ddlTs,
+        "ALTER TABLE app.events_0 ADD COLUMN `extra_c` BIGINT"))
+        .toDF("_schema", "_table", "_commit_ts", "query"), tmp)
+
+    val a = JdbcApplier.inMemory("redoroute")
+    val sinkTables = Seq(
+      ("target_db", "events_0_routed"), ("target_db", "events_1_first"),
+      ("target_db", "events_2_routed"), ("app", "events_3"))
+    sinkTables.foreach { case (s, t) =>
+      a.createTable(s, t,
+        Seq("user_id" -> "BIGINT", "value" -> "DECIMAL(18,2)", "k" -> "BIGINT"),
+        Seq("user_id"))
+    }
+    // the live (routed) sink had applied the prefix before the crash
+    val routedAll = Routing.applyTableRoutes(env, routes)
+    MysqlSink.applyBatch(routedAll.filter(col("_commit_ts") <= cut),
+      Seq("user_id"), numWorkers = 2, safeMode = true)(JdbcApplier.executeFor(a.url))
+
+    // disaster: replay from the redo dir alone, with the feed's routes
+    val stmts = RedoApplier.replayStatements(spark, tmp, routes = routes).cache()
+    // every replayed statement targets a routed name (or unrouted events_3)
+    assert(stmts.filter(col("_schema") === "app" && col("_table") =!= "events_3").count() == 0)
+    // first-match-wins: events_1 rows went to _first, never _routed
+    assert(stmts.filter(col("_table") === "events_1_routed").count() == 0)
+    assert(stmts.filter(col("_table") === "events_1_first").count() > 0)
+    // the routed DDL rewrote BOTH its metadata and its statement text
+    val ddlRow = stmts.filter(col("_op") === "DDL").collect()
+    assert(ddlRow.length == 1)
+    assert(ddlRow.head.getAs[String]("_schema") == "target_db")
+    assert(ddlRow.head.getAs[String]("_table") == "events_0_routed")
+    assert(ddlRow.head.getAs[String]("_stmt") ==
+      "ALTER TABLE `target_db`.`events_0_routed` ADD COLUMN `extra_c` BIGINT")
+
+    // execute the full replay stream in apply order on the real engine
+    // apply order: ts first (DDL after DML at its ts via _apply_order),
+    // then the sorter's D<U<I tie-break at equal ts, then row id
+    val ordered = stmts
+      .orderBy(col("_apply_order"), col("_start_ts"),
+        when(col("_op") === "D", 1).when(col("_op") === "U", 2).otherwise(3),
+        col("_row_id"))
+      .select("_stmt").collect().map(_.getString(0))
+    a.execute(ordered.iterator)
+    stmts.unpersist()
+
+    // the ROUTED downstream equals the routed full-corpus state
+    val expected = Materialize.tableState(routedAll).cache()
+    sinkTables.foreach { case (s, t) =>
+      val exp = expected
+        .filter(col("_schema") === s && col("_table") === t)
+        .select(col("user_id"), col("value").cast("decimal(18,2)"), col("k"))
+        .collect()
+        .map(r => (r.getLong(0), BigDecimal(r.getDecimal(1)), Option(r.get(2))))
+        .sortBy(_._1).toSeq
+      val act = a.tableRows(s, t, Seq("user_id", "value", "k")).map(r =>
+        (r(0).asInstanceOf[Number].longValue(),
+          BigDecimal(r(1).asInstanceOf[java.math.BigDecimal]),
+          Option(r(2)).map(_.asInstanceOf[Number].longValue())))
+        .sortBy(_._1)
+      assert(act == exp, s"state mismatch in $s.$t")
+    }
+    expected.unpersist()
+    // the rewritten DDL executed for real: the routed table has the column
+    assert(a.tableRows("target_db", "events_0_routed", Seq("extra_c"))
+      .forall(_.head == null))
+  }
+
   test("applier over an encrypted log renders the same statements as plaintext") {
     import graft.functions.AtRestEncryption
     val plain = Files.createTempDirectory("graft-redo-p").toString
