@@ -248,6 +248,22 @@ object CdcQueries {
         s, tmp, handleKeys = Seq("k"), routes = redoRoutes)
     }),
 
+    // prewrite/commit txn matching over a genuinely RAW (2PC-
+    // interleaved) change stream: uncommitted entries → TxnMatcher →
+    // mount; rolled-back and orphan txns vanish, fake heartbeats and
+    // stale pipelined-DML generations lose to the real bytes
+    // (logservice/logpuller/txn_matcher.go)
+    "q_txn_match" -> ((s, d) => {
+      val raw = RawKvQuery.encodeUncommitted(Tables.events(s, d))
+      val matched = graft.streaming.TxnMatcher.matchCommitted(raw)
+      RawKvMounter.mountTable(matched, RawKvQuery.eventsMeta)
+        .select(
+          col("after.event_id").as("event_id"), col("after.ts").as("ts"),
+          col("after.user_id").as("user_id"),
+          col("after.event_type").as("event_type"),
+          col("after.value").as("value"), col("after.props").as("props"))
+    }),
+
     // byte-level mount: events → real TiKV record-key + row-format-v2
     // bytes → RawKvMounter decode; identity against the plain read
     // proves the wire codec end to end on real data (SURVEY §2.1
@@ -657,6 +673,12 @@ object CdcQueries {
          |FROM split""".stripMargin)
     },
 
+    // matched = committed subset: rollbacks (%23) and orphans (%31 of
+    // the rest) never emit; everything else is byte-identical
+    "q_txn_match" ->
+      """SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props
+        |FROM events WHERE event_id % 23 <> 0 AND event_id % 31 <> 0""".stripMargin,
+
     // the mount is encode∘decode = identity over the real table
     "q_kv_mount" ->
       "SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props FROM events",
@@ -760,6 +782,56 @@ object RawKvQuery {
             null, "put", ts - 1L, ts)
         }
       }(Encoders.row(rawSchema))
+  }
+
+  /** events → UNCOMMITTED 2PC entries for the txn matcher
+    * (logservice/logpuller/txn_matcher.go semantics): every event
+    * prewrites; events at `event_id % 23 = 0` roll back; of the rest,
+    * `% 31 = 0` stay orphaned (no second phase); everything else
+    * commits. Extra adversarial entries ride along — a fake heartbeat
+    * prewrite with EMPTY value for `% 7 = 0` (must not clobber the
+    * real bytes) and a STALE pipelined-DML generation-1 prewrite with
+    * wrong bytes for committing `% 13 = 0` events (the generation-2
+    * real prewrite must win). The matched+mounted stream is therefore
+    * exactly `events WHERE event_id % 23 <> 0 AND event_id % 31 <> 0`. */
+  def encodeUncommitted(events: DataFrame): DataFrame = {
+    val m = eventsMeta
+    events.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val id = r.getLong(0)
+          val ts = r.getLong(1)
+          val start = ts - 1L
+          val payload = Seq[Any](
+            id, ts,
+            if (r.isNullAt(2)) null else r.getLong(2),
+            r.getString(3),
+            if (r.isNullAt(4)) null else r.getDouble(4),
+            r.getString(5))
+          val key = TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(id))
+          val img = RawKvMounter.encodeImage(m, payload)
+          val pipelined = id % 13L == 0L
+          val realGen = if (pipelined) 2L else 0L
+          val pre = Row(key, img, null, "put", "prewrite", start, 0L, realGen)
+          val stale =
+            if (!pipelined) Nil
+            else {
+              val wrong = RawKvMounter.encodeImage(m,
+                payload.updated(3, "stale-generation"))
+              Seq(Row(key, wrong, null, "put", "prewrite", start, 0L, 1L))
+            }
+          val heartbeat =
+            if (id % 7L != 0L) Nil
+            else Seq(Row(key, Array.emptyByteArray, null, "put", "prewrite",
+              start, 0L, realGen))
+          val phase2 =
+            if (id % 23L == 0L)
+              Seq(Row(key, null, null, "put", "rollback", start, 0L, 0L))
+            else if (id % 31L == 0L) Nil // orphan: first phase only
+            else Seq(Row(key, null, null, "put", "commit", start, ts, 0L))
+          Seq(pre) ++ stale ++ heartbeat ++ phase2
+        }
+      }(Encoders.row(graft.streaming.TxnMatcher.uncommittedSchema))
   }
 
   /** events → RawKVEntry rows (one put per event, commit_ts = ts). */

@@ -32,8 +32,7 @@ import java.util
   */
 class ChangelogGenSource extends TableProvider {
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    if (options.getBoolean("rawKv", false)) ChangelogGen.rawSchema
-    else ChangelogGen.schema
+    ChangelogGen.schemaFor(options)
   override def getTable(schema: StructType, partitioning: Array[Transform],
                         properties: util.Map[String, String]): Table =
     new ChangelogGenTable(new CaseInsensitiveStringMap(properties))
@@ -64,6 +63,21 @@ object ChangelogGen {
     StructField("op_type", StringType, nullable = false),
     StructField("start_ts", LongType, nullable = false),
     StructField("commit_ts", LongType, nullable = false)))
+
+  /** Schema per source mode: `rawKvUncommitted=true` emits the 2PC
+    * prewrite/commit/rollback frame the txn matcher consumes;
+    * `rawKv=true` the pre-paired committed RawKVEntry frame; default
+    * the typed change-row frame. */
+  def schemaFor(options: CaseInsensitiveStringMap): StructType =
+    if (options.getBoolean("rawKvUncommitted", false))
+      graft.streaming.TxnMatcher.uncommittedSchema
+    else if (options.getBoolean("rawKv", false)) rawSchema
+    else schema
+
+  def modeFor(options: CaseInsensitiveStringMap): String =
+    if (options.getBoolean("rawKvUncommitted", false)) "rawKvUncommitted"
+    else if (options.getBoolean("rawKv", false)) "rawKv"
+    else "typed"
 
   /** Physical table ID for generated table t_i. */
   def tableIdOf(tbl: Long): Long = 100L + tbl
@@ -103,6 +117,75 @@ object ChangelogGen {
     InternalRow(key, valBytes, oldBytes, UTF8String.fromString(opType), start, commit)
   }
 
+  /** Commit entries trail their prewrites by this many events — so a
+    * prewrite and its commit routinely land in DIFFERENT micro-batches
+    * (and, via the mod-N wrap, the first `EntryLag` commit slots
+    * arrive BEFORE their prewrites: the cached-commit path,
+    * region_event_handler.go cacheCommitRow). */
+  final val EntryLag = 100L
+
+  /** Txn outcome class of event i: ~1/23 roll back, ~1/31 of the rest
+    * stay orphaned (their second slot is a fake heartbeat prewrite
+    * with empty value instead of a commit), everything else commits. */
+  def txnClassOf(i: Long): String =
+    if (i % 23L == 0L) "rollback"
+    else if (i % 31L == 0L) "orphan"
+    else "commit"
+
+  /** Uncommitted (2PC) entry at stream index j over `totalEntries` =
+    * 2N slots: even slots carry event (j/2)'s PREWRITE (real row
+    * bytes, commit_ts 0); odd slot m carries the second-phase entry of
+    * event (m - EntryLag) mod N — its COMMIT (no value), its ROLLBACK,
+    * or (orphan class) a fake heartbeat prewrite. The matched stream
+    * must therefore reproduce exactly the committed-class subset of
+    * [[rawRow]]'s output. */
+  def uncommittedRow(j: Long, totalEntries: Long, tables: Int): InternalRow = {
+    import graft.model.TiKvCodec
+    val n = math.max(1L, totalEntries / 2L)
+    def fields(i: Long) = {
+      val h = i * 6364136223846793005L + 1442695040888963407L
+      val tbl = math.floorMod(h >>> 17, tables.toLong)
+      val op = math.floorMod(h >>> 33, 10L) match {
+        case 0 => "D"; case 1 | 2 | 3 => "I"; case _ => "U"
+      }
+      val commit = baseTs + i * 1000000L
+      val start = commit - 1000L - math.floorMod(h, 997L)
+      val userId = math.floorMod(h >>> 7, 100000L)
+      val value = math.floorMod(h >>> 11, 1000000L) / 100.0
+      val k = math.floorMod(h >>> 23, 1000000L)
+      val key = TiKvCodec.encodeRecordKey(tableIdOf(tbl), TiKvCodec.IntHandle(userId))
+      (key, op, start, commit, value, k)
+    }
+    if (j % 2L == 0L) {
+      val i = j / 2L
+      val (key, op, start, _, value, k) = fields(i)
+      val (valBytes, oldBytes, opType) = op match {
+        case "I" => (imageBytes(value, k), null, "put")
+        case "U" => (imageBytes(value, k), imageBytes(value - 1.0, k - 1L), "put")
+        case _ => (null, imageBytes(value, k), "delete")
+      }
+      InternalRow(key, valBytes, oldBytes, UTF8String.fromString(opType),
+        UTF8String.fromString("prewrite"), start, 0L, 0L)
+    } else {
+      val m = (j - 1L) / 2L
+      val i = math.floorMod(m - EntryLag, n)
+      val (key, op, start, commit, _, _) = fields(i)
+      val opType = if (op == "D") "delete" else "put"
+      txnClassOf(i) match {
+        case "rollback" =>
+          InternalRow(key, null, null, UTF8String.fromString(opType),
+            UTF8String.fromString("rollback"), start, 0L, 0L)
+        case "orphan" => // heartbeat: fake prewrite, EMPTY value
+          InternalRow(key, Array.emptyByteArray, null,
+            UTF8String.fromString(opType),
+            UTF8String.fromString("prewrite"), start, 0L, 0L)
+        case _ =>
+          InternalRow(key, null, null, UTF8String.fromString(opType),
+            UTF8String.fromString("commit"), start, commit, 0L)
+      }
+    }
+  }
+
   /** Deterministic event i — a cheap LCG drives the payload. */
   def row(i: Long, tables: Int): InternalRow = {
     val h = i * 6364136223846793005L + 1442695040888963407L
@@ -127,9 +210,7 @@ object ChangelogGen {
 class ChangelogGenTable(options: CaseInsensitiveStringMap)
     extends Table with SupportsRead {
   override def name(): String = "graft_changelog_gen"
-  override def schema(): StructType =
-    if (options.getBoolean("rawKv", false)) ChangelogGen.rawSchema
-    else ChangelogGen.schema
+  override def schema(): StructType = ChangelogGen.schemaFor(options)
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(opts: CaseInsensitiveStringMap): ScanBuilder =
@@ -137,16 +218,14 @@ class ChangelogGenTable(options: CaseInsensitiveStringMap)
 }
 
 class ChangelogGenScan(options: CaseInsensitiveStringMap) extends Scan {
-  override def readSchema(): StructType =
-    if (options.getBoolean("rawKv", false)) ChangelogGen.rawSchema
-    else ChangelogGen.schema
+  override def readSchema(): StructType = ChangelogGen.schemaFor(options)
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new ChangelogGenStream(
       tables = options.getInt("tables", 4),
       rowsPerBatch = options.getLong("rowsPerBatch", 10000L),
       totalRows = options.getLong("totalRows", 100000L),
       numPartitions = options.getInt("numPartitions", 8),
-      rawKv = options.getBoolean("rawKv", false))
+      mode = ChangelogGen.modeFor(options))
 }
 
 case class RowOffset(index: Long) extends Offset {
@@ -154,7 +233,7 @@ case class RowOffset(index: Long) extends Offset {
 }
 
 class ChangelogGenStream(tables: Int, rowsPerBatch: Long, totalRows: Long,
-                         numPartitions: Int, rawKv: Boolean = false)
+                         numPartitions: Int, mode: String = "typed")
     extends MicroBatchStream with SupportsTriggerAvailableNow {
 
   override def initialOffset(): Offset = RowOffset(0L)
@@ -183,7 +262,7 @@ class ChangelogGenStream(tables: Int, rowsPerBatch: Long, totalRows: Long,
     val n = math.max(1, numPartitions)
     val step = math.max(1L, (hi - lo + n - 1) / n)
     (lo until hi by step).map { s =>
-      ChangelogRange(s, math.min(s + step, hi), tables, rawKv): InputPartition
+      ChangelogRange(s, math.min(s + step, hi), tables, mode, totalRows): InputPartition
     }.toArray
   }
 
@@ -193,13 +272,16 @@ class ChangelogGenStream(tables: Int, rowsPerBatch: Long, totalRows: Long,
       new PartitionReader[InternalRow] {
         private var i = p.lo - 1
         override def next(): Boolean = { i += 1; i < p.hi }
-        override def get(): InternalRow =
-          if (p.rawKv) ChangelogGen.rawRow(i, p.tables)
-          else ChangelogGen.row(i, p.tables)
+        override def get(): InternalRow = p.mode match {
+          case "rawKvUncommitted" => ChangelogGen.uncommittedRow(i, p.total, p.tables)
+          case "rawKv" => ChangelogGen.rawRow(i, p.tables)
+          case _ => ChangelogGen.row(i, p.tables)
+        }
         override def close(): Unit = ()
       }
     }
 }
 
 case class ChangelogRange(lo: Long, hi: Long, tables: Int,
-                          rawKv: Boolean = false) extends InputPartition
+                          mode: String = "typed",
+                          total: Long = 0L) extends InputPartition

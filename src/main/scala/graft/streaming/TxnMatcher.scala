@@ -1,0 +1,190 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Prewrite/commit transaction matcher (SURVEY §2.1; reference
+  * logservice/logpuller/txn_matcher.go:45-188 `matcher`, driven by
+  * region_event_handler.go:263-360 `handleEventEntries`).
+  *
+  * A genuinely raw TiKV change stream interleaves two-phase-commit
+  * events: a PREWRITE carries the row bytes keyed by (key, startTs); a
+  * later COMMIT carries the commitTs but NO value; a ROLLBACK aborts
+  * the txn. Regions may also ship pre-paired COMMITTED entries (the
+  * incremental scan output). The matcher pairs them into committed
+  * RawKVEntries, with the reference's exact edge semantics:
+  *
+  *  - fake prewrites: txn heartbeats emit a prewrite with EMPTY value
+  *    (old-value on or off) — it must never overwrite a cached real
+  *    prewrite (txn_matcher.go:59-85 putPrewriteRow);
+  *  - pipelined DML: a txn may re-prewrite the same (key, startTs)
+  *    with increasing `generation`; the LATEST generation wins
+  *    (txn_matcher.go:74-77);
+  *  - rollback: deletes the cached prewrite; the txn never emits
+  *    (txn_matcher.go:141-144);
+  *  - orphan prewrite: a prewrite whose commit/rollback never arrives
+  *    emits nothing (resolved-lock resolution happens upstream; the
+  *    cache is GC'd, txn_matcher.go:163-172);
+  *  - commit-before-prewrite: commits arriving before the region
+  *    initializes are cached and matched once the prewrite lands
+  *    (region_event_handler.go cacheCommitRow/matchCachedRow).
+  *
+  * Spark-first: the BATCH form is one equi-join — prewrites aggregate
+  * per (key, startTs) with a max_by priority (non-empty value, then
+  * generation: exactly putPrewriteRow's keep rule), commits inner-join
+  * them, rollbacks anti-join — all shuffle-partitioned on the txn
+  * identity, no driver state, linear at any scale. The STREAMING form
+  * is `flatMapGroupsWithState` keyed on (key, startTs): the state
+  * store plays the reference's per-region `unmatchedValue` cache with
+  * a processing-time GC timeout (tryCleanUnmatchedValue's
+  * clearCacheDelay), and commit-before-prewrite falls out of state
+  * buffering for free.
+  */
+object TxnMatcher {
+
+  /** Entry kinds of the uncommitted stream (cdcpb.Event_LogType). */
+  final val Prewrite = "prewrite"
+  final val Commit = "commit"
+  final val Rollback = "rollback"
+  final val Committed = "committed"
+
+  /** Uncommitted RawKVEntry frame: the committed shape plus the 2PC
+    * entry type and the pipelined-DML generation. */
+  val uncommittedSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = false),
+    StructField("value", BinaryType),
+    StructField("old_value", BinaryType),
+    StructField("op_type", StringType, nullable = false),
+    StructField("entry_type", StringType, nullable = false),
+    StructField("start_ts", LongType, nullable = false),
+    StructField("commit_ts", LongType, nullable = false),
+    StructField("generation", LongType, nullable = false)))
+
+  /** Committed output shape = the mounter's input (RawKVEntry,
+    * pkg/common/kv_entry.go:53-70). */
+  val committedSchema: StructType = StructType(Seq(
+    StructField("key", BinaryType, nullable = false),
+    StructField("value", BinaryType),
+    StructField("old_value", BinaryType),
+    StructField("op_type", StringType, nullable = false),
+    StructField("start_ts", LongType, nullable = false),
+    StructField("commit_ts", LongType, nullable = false)))
+
+  /** Batch matcher: pair prewrites with commits, drop rolled-back and
+    * orphan txns, pass pre-paired COMMITTED entries through. One
+    * shuffle on the txn identity (key, start_ts); row order within
+    * the input is irrelevant, exactly like the reference's per-region
+    * cache after initialization. */
+  def matchCommitted(raw: DataFrame): DataFrame = {
+    val committed = raw.filter(col("entry_type") === Committed)
+      .select(col("key"), col("value"), col("old_value"), col("op_type"),
+        col("start_ts"), col("commit_ts"))
+    // putPrewriteRow's keep rule as a max_by priority: a real (non-
+    // empty) value beats a fake heartbeat's empty one; among real
+    // prewrites the highest pipelined-DML generation wins
+    val pre = raw.filter(col("entry_type") === Prewrite)
+      .groupBy(col("key"), col("start_ts"))
+      .agg(max_by(
+        struct(col("value"), col("old_value"), col("op_type")),
+        struct(
+          when(col("value").isNotNull && length(col("value")) > 0, 1).otherwise(0)
+            .as("real"),
+          col("generation").as("gen"))).as("p"))
+    val rollbacks = raw.filter(col("entry_type") === Rollback)
+      .select(col("key"), col("start_ts")).distinct()
+    val commits = raw.filter(col("entry_type") === Commit)
+      .select(col("key"), col("start_ts"), col("commit_ts"),
+        col("op_type").as("_commit_op"))
+    // assembleRowEvent: the commit entry's op + ts, the prewrite's bytes
+    val matched = commits
+      .join(pre, Seq("key", "start_ts"))
+      .join(rollbacks, Seq("key", "start_ts"), "left_anti")
+      .select(col("key"), col("p.value").as("value"),
+        col("p.old_value").as("old_value"), col("_commit_op").as("op_type"),
+        col("start_ts"), col("commit_ts"))
+    matched.unionByName(committed)
+  }
+
+  // ---- streaming form ----
+
+  /** Encoder-visible (codegen accesses them): one 2PC entry and the
+    * per-(key, startTs) pending-txn state. */
+  case class TxnEntry(key: Array[Byte], value: Array[Byte],
+                      oldValue: Array[Byte], opType: String,
+                      entryType: String, startTs: Long, commitTs: Long,
+                      generation: Long)
+  case class Pending(value: Array[Byte], oldValue: Array[Byte],
+                     opType: String, generation: Long, hasPrewrite: Boolean,
+                     commitTs: Long, commitOp: String, hasCommit: Boolean,
+                     rolledBack: Boolean)
+
+  /** Streaming matcher: the per-(key, startTs) state store carries the
+    * pending prewrite/commit pair across micro-batches; a matched txn
+    * emits exactly once; `gcMs` evicts dangling state
+    * (tryCleanUnmatchedValue's clear delay). Output rows follow
+    * [[committedSchema]]. */
+  def matchStream(spark: SparkSession, raw: DataFrame,
+                  gcMs: Long = 5000L): DataFrame = {
+    import spark.implicits._
+    val entries = raw.select(
+        col("key"), col("value"), col("old_value").as("oldValue"),
+        col("op_type").as("opType"), col("entry_type").as("entryType"),
+        col("start_ts").as("startTs"), col("commit_ts").as("commitTs"),
+        col("generation"))
+      .as[TxnEntry]
+    val out = entries
+      .groupByKey(e => (java.util.Base64.getEncoder.encodeToString(e.key), e.startTs))
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (k: (String, Long), it: Iterator[TxnEntry], state: GroupState[Pending]) => {
+          if (state.hasTimedOut) {
+            // orphan prewrite / dangling commit: GC, emit nothing
+            state.remove()
+            Iterator.empty
+          } else {
+            var p = state.getOption.getOrElse(
+              Pending(null, null, null, -1L, hasPrewrite = false,
+                0L, null, hasCommit = false, rolledBack = false))
+            val immediate = scala.collection.mutable.ArrayBuffer.empty[TxnEntry]
+            it.foreach { e =>
+              e.entryType match {
+                case Prewrite =>
+                  val fake = e.value == null || e.value.isEmpty
+                  val keep = p.hasPrewrite &&
+                    ((fake && !(p.value == null || p.value.isEmpty)) ||
+                      e.generation < p.generation)
+                  if (!keep)
+                    p = p.copy(value = e.value, oldValue = e.oldValue,
+                      opType = e.opType,
+                      generation = math.max(e.generation, p.generation),
+                      hasPrewrite = true)
+                case Commit =>
+                  p = p.copy(commitTs = e.commitTs, commitOp = e.opType,
+                    hasCommit = true)
+                case Rollback =>
+                  p = p.copy(rolledBack = true)
+                case Committed =>
+                  immediate += e // pre-paired: pass straight through
+              }
+            }
+            val passthrough = immediate.iterator.map(e =>
+              Row(e.key, e.value, e.oldValue, e.opType, e.startTs, e.commitTs))
+            if (p.rolledBack) {
+              state.remove()
+              passthrough
+            } else if (p.hasPrewrite && p.hasCommit) {
+              val key = java.util.Base64.getDecoder.decode(k._1)
+              state.remove()
+              passthrough ++ Iterator.single(
+                Row(key, p.value, p.oldValue, p.commitOp, k._2, p.commitTs))
+            } else {
+              state.update(p)
+              state.setTimeoutDuration(gcMs)
+              passthrough
+            }
+          }
+        })(Encoders.product[Pending], Encoders.row(committedSchema))
+    out
+  }
+}
