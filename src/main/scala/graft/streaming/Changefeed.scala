@@ -267,22 +267,37 @@ object Changefeed {
     * the consumer-side watermark). Log-then-watermark ordering holds
     * because the control row is written after the batch's data rows
     * within the same foreachBatch. */
-  def runMq(spark: SparkSession, cfg: ChangefeedConfig, sourceDir: String,
-            sinkDir: String, checkpointDir: String): StreamingQuery = {
-    // send-all-bootstrap-at-start: census the source's replicated
-    // tables once at create so every table handshakes before its
-    // first row (the reference pulls the list from its schema store;
-    // the change-log's own table set is this deployment's equivalent)
-    val allTables: Seq[(String, String)] =
-      if (cfg.sink.sendAllBootstrapAtStart &&
-          cfg.sink.protocol == Protocol.Simple)
+  /** send-all-bootstrap-at-start census: the set of tables to
+    * handshake before the first row. The reference reads its SCHEMA
+    * STORE — a control-plane-sized lookup (bootstraper.go pulls from
+    * schemastore, never from the data) — so when a
+    * [[graft.model.SchemaRegistry]] is available the census is its
+    * key set: a driver-only map read, NO Spark job, O(tables) at any
+    * corpus size. Only a registry-less deployment falls back to
+    * scanning the change log's own table set (a full-corpus distinct
+    * — fine at test scale, a multi-hour create at 100 TB, which is
+    * exactly why the registry path is the default). */
+  def bootstrapCensus(spark: SparkSession, cfg: ChangefeedConfig,
+                      sourceDir: String,
+                      registry: Option[graft.model.SchemaRegistry] = None)
+      : Seq[(String, String)] =
+    if (!(cfg.sink.sendAllBootstrapAtStart &&
+        cfg.sink.protocol == Protocol.Simple)) Nil
+    else registry match {
+      case Some(reg) => reg.versions.keys.toSeq.sorted
+      case None =>
         Envelope.fromEvents(spark.read.parquet(sourceDir))
           .select(col("_schema"), col("_table")).distinct()
           .collect().map(r => (r.getString(0), r.getString(1))).toSeq.sorted
-      else Nil
+    }
+
+  def runMq(spark: SparkSession, cfg: ChangefeedConfig, sourceDir: String,
+            sinkDir: String, checkpointDir: String,
+            registry: Option[graft.model.SchemaRegistry] = None): StreamingQuery = {
     runMqStream(spark, cfg,
       Envelope.fromEvents(sourceStream(spark, cfg, sourceDir)),
-      sinkDir, checkpointDir, allTablesAtStart = allTables)
+      sinkDir, checkpointDir,
+      allTablesAtStart = bootstrapCensus(spark, cfg, sourceDir, registry))
   }
 
   /** [[runMq]] over an arbitrary streaming envelope — the entry the

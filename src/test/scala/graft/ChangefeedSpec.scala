@@ -453,4 +453,28 @@ class ChangefeedSpec extends SparkFunSuite {
     assert(resolvedTs >= maxRowTs,
       s"resolved $resolvedTs must cover the last row commit $maxRowTs")
   }
+
+  test("bootstrap census reads the schema registry, NOT the corpus " +
+      "(no scan job at changefeed create)") {
+    val bootCfg = ChangefeedConfig(id = "cf-census",
+      sink = SinkConfig(protocol = Protocol.Simple,
+        sendAllBootstrapAtStart = true))
+    val reg = SchemaRegistry()
+      .apply(DdlAction.CreateTable("app", "t1", Seq(ColumnDef("id", "bigint")), 1L))
+      .apply(DdlAction.CreateTable("app", "t0", Seq(ColumnDef("id", "bigint")), 1L))
+      .apply(DdlAction.CreateTable("crm", "users", Seq(ColumnDef("id", "bigint")), 1L))
+    // the source dir DOES NOT EXIST: a registry-backed census must be a
+    // driver-only map read — any corpus scan here would throw
+    val census = Changefeed.bootstrapCensus(
+      spark, bootCfg, "/nonexistent/census-source", Some(reg))
+    assert(census == Seq(("app", "t0"), ("app", "t1"), ("crm", "users")))
+    // registry-less deployments still fall back to the log's table set
+    val fallback = Changefeed.bootstrapCensus(
+      spark, bootCfg, "/root/testdata/sf0.001/events.parquet", None)
+    assert(fallback.nonEmpty && fallback.forall(_._1 == "app"))
+    // census is empty (and scan-free) when the at-start flag is off
+    assert(Changefeed.bootstrapCensus(
+      spark, bootCfg.copy(sink = bootCfg.sink.copy(sendAllBootstrapAtStart = false)),
+      "/nonexistent/census-source", None).isEmpty)
+  }
 }
