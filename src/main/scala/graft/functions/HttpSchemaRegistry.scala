@@ -26,14 +26,45 @@ object HttpSchemaRegistry {
 
   private val mapper = new ObjectMapper()
 
+  /** The reference's registry-API error identity
+    * (errors.ErrAvroSchemaAPIError): what a changefeed reports when
+    * the registry stays unreachable — NOT in FeedBackoff's fast-fail
+    * set, so the feed goes WARNING and retries with backoff
+    * (tests/integration_tests/avro_schema_registry_error). */
+  final val RegistryErrorCode = "CDC:ErrAvroSchemaAPIError"
+
+  final class RegistryUnavailableException(message: String)
+      extends RuntimeException(message) {
+    def code: String = RegistryErrorCode
+    def asFeedError: graft.streaming.FeedError =
+      graft.streaming.FeedError(RegistryErrorCode, message)
+  }
+
   /** HTTP client speaking the Confluent subset the reference uses.
     * Registrations happen driver-side (encoder init / schema change —
     * confluent_schema_registry.go registers per schema version, not
-    * per message), so a plain blocking client is the right shape. */
-  final class ConfluentHttpClient(baseUrl: String) extends AvroRegistry.SchemaStore {
+    * per message), so a plain blocking client is the right shape.
+    *
+    * Transport errors AND 5xx responses retry with bounded
+    * exponential backoff (confluent_schema_registry.go:420-485
+    * `httpRetry`: NewExponentialBackOff, MaxInterval 30 s, stops at
+    * MaxElapsedTime); 4xx client errors return immediately — they are
+    * protocol answers (409 incompatible, 404 unknown), not outages.
+    * Exhausted retries raise [[RegistryUnavailableException]], whose
+    * [[FeedError]] form feeds the changefeed's
+    * [[graft.streaming.FeedBackoff]] — the feed turns WARNING and
+    * keeps its own restart schedule, exactly the
+    * avro_schema_registry_error flow. `sleeper` is injectable so
+    * specs assert the schedule without wall-clock sleeps. */
+  final class ConfluentHttpClient(baseUrl: String,
+                                  retryInitialMs: Long = 100L,
+                                  retryMaxIntervalMs: Long = 30000L,
+                                  retryMaxElapsedMs: Long = 30000L,
+                                  sleeper: Long => Unit = Thread.sleep)
+      extends AvroRegistry.SchemaStore {
 
-    private def request(method: String, path: String,
-                        body: Option[String] = None): (Int, String) = {
+    private def requestOnce(method: String, path: String,
+                            body: Option[String]): (Int, String) = {
       val conn = new URL(baseUrl + path).openConnection().asInstanceOf[HttpURLConnection]
       conn.setRequestMethod(method)
       conn.setRequestProperty("Content-Type",
@@ -50,6 +81,33 @@ object HttpSchemaRegistry {
         finally stream.close()
       conn.disconnect()
       (code, text)
+    }
+
+    private def request(method: String, path: String,
+                        body: Option[String] = None): (Int, String) = {
+      var intervalMs = retryInitialMs
+      var elapsedMs = 0L
+      while (true) {
+        val outcome: Either[String, (Int, String)] =
+          try {
+            val (code, text) = requestOnce(method, path, body)
+            if (code >= 500) Left(s"HTTP $code $text") else Right((code, text))
+          } catch {
+            case e: java.io.IOException => Left(s"transport: ${e.getMessage}")
+          }
+        outcome match {
+          case Right(r) => return r
+          case Left(why) =>
+            if (elapsedMs + intervalMs > retryMaxElapsedMs)
+              throw new RegistryUnavailableException(
+                s"schema registry unavailable after ${elapsedMs}ms of retries " +
+                  s"($method $path): $why")
+            sleeper(intervalMs)
+            elapsedMs += intervalMs
+            intervalMs = math.min(intervalMs * 2L, retryMaxIntervalMs)
+        }
+      }
+      throw new IllegalStateException("unreachable")
     }
 
     def register(subject: String, schemaJson: String): Int = {
@@ -104,6 +162,14 @@ object HttpSchemaRegistry {
     def boundPort: Int = server.getAddress.getPort
     def baseUrl: String = s"http://127.0.0.1:$boundPort"
 
+    /** Fault injection: the next `n` requests answer 500 (the
+      * avro_schema_registry_error outage window); pass
+      * `Int.MaxValue` for a persistent outage. */
+    @volatile private var failRemaining: Int = 0
+    @volatile private var served: Int = 0
+    def failNextRequests(n: Int): Unit = failRemaining = n
+    def requestsServed: Int = served
+
     private def respond(ex: HttpExchange, code: Int, body: String): Unit = {
       val bytes = body.getBytes(StandardCharsets.UTF_8)
       ex.getResponseHeaders.set("Content-Type",
@@ -115,6 +181,12 @@ object HttpSchemaRegistry {
 
     server.createContext("/", (ex: HttpExchange) => {
       try {
+        served += 1
+        if (failRemaining > 0) {
+          if (failRemaining != Int.MaxValue) failRemaining -= 1
+          respond(ex, 500,
+            """{"error_code":50001,"message":"Error in the backend datastore"}""")
+        } else {
         val path = ex.getRequestURI.getPath.stripPrefix("/")
           .split("/").filter(_.nonEmpty).toSeq
         (ex.getRequestMethod, path) match {
@@ -164,6 +236,7 @@ object HttpSchemaRegistry {
             else respond(ex, 200, vs.mkString("[", ",", "]"))
           case _ =>
             respond(ex, 404, """{"error_code":404,"message":"not found"}""")
+        }
         }
       } catch {
         case e: Throwable =>

@@ -153,4 +153,58 @@ class AvroRegistrySpec extends SparkFunSuite {
       .map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(back == src)
   }
+
+  test("registry outage: 5xx retries with exponential backoff, then succeeds " +
+      "(avro_schema_registry_error)") {
+    import graft.functions.HttpSchemaRegistry
+    val stub = new HttpSchemaRegistry.Stub().start()
+    try {
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val client = new HttpSchemaRegistry.ConfluentHttpClient(stub.baseUrl,
+        retryInitialMs = 100L, retryMaxIntervalMs = 30000L,
+        retryMaxElapsedMs = 30000L, sleeper = sleeps += _)
+      // two 500s, then the registry recovers: the call must succeed
+      stub.failNextRequests(2)
+      val id = client.register("flaky-value", AvroCodec.envelopeSchemaJson)
+      assert(id > 0)
+      assert(sleeps.toSeq == Seq(100L, 200L), "exponential schedule: 100ms, 200ms")
+      // recovered registry serves reads with no further retries
+      sleeps.clear()
+      assert(client.byId(id).contains("ChangeEvent"))
+      assert(sleeps.isEmpty)
+    } finally stub.stop()
+  }
+
+  test("persistent registry outage: bounded retries exhaust and the feed " +
+      "goes WARNING through FeedBackoff, recovering on progress") {
+    import graft.functions.HttpSchemaRegistry
+    import graft.streaming.{FeedBackoff, FeedState}
+    val stub = new HttpSchemaRegistry.Stub().start()
+    try {
+      val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+      val client = new HttpSchemaRegistry.ConfluentHttpClient(stub.baseUrl,
+        retryInitialMs = 100L, retryMaxIntervalMs = 400L,
+        retryMaxElapsedMs = 1000L, sleeper = sleeps += _)
+      stub.failNextRequests(Int.MaxValue)
+      val e = intercept[HttpSchemaRegistry.RegistryUnavailableException](
+        client.register("down-value", AvroCodec.envelopeSchemaJson))
+      // bounded: 100+200+400 = 700ms spent; +400 would exceed 1000ms
+      assert(sleeps.toSeq == Seq(100L, 200L, 400L))
+      assert(e.code == HttpSchemaRegistry.RegistryErrorCode)
+
+      // the surfaced error is NOT fast-fail: the changefeed warns and
+      // schedules its own restart instead of failing
+      val backoff = new FeedBackoff()
+      assert(backoff.checkStatus(100L, Nil, nowMs = 0L) == FeedState.Normal)
+      // checkpoint stuck at 100 + registry error since the last report
+      val state = backoff.checkStatus(100L, Seq(e.asFeedError), nowMs = 0L)
+      assert(state == FeedState.Warning)
+      assert(!backoff.shouldRun(5000L) && backoff.shouldRun(10001L))
+      assert(backoff.lastError.exists(_.code == HttpSchemaRegistry.RegistryErrorCode))
+      // registry comes back + checkpoint advances → NORMAL again
+      stub.failNextRequests(0)
+      assert(client.register("down-value", AvroCodec.envelopeSchemaJson) > 0)
+      assert(backoff.checkStatus(101L, Nil, nowMs = 20000L) == FeedState.Normal)
+    } finally stub.stop()
+  }
 }
