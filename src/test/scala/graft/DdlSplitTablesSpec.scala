@@ -199,6 +199,101 @@ class DdlSplitTablesSpec extends SparkFunSuite {
     }
   }
 
+  test("span rules mutating BETWEEN barrier arm and barrier write converge, " +
+      "with identical syncpoint windows (in_flight_ddl/syncpoint_during_scheduling)") {
+    val tmp = Files.createTempDirectory("graft-inflight-ddl").toString
+    val src = mkSource(tmp)
+    val tables = (0 until 4).map(i => s"events_$i")
+
+    Failpoints.clear()
+    val goldenOut = s"$tmp/golden"
+    drive(src, s"$tmp/ckpt-golden", goldenOut, "cf-inflight-golden", _ => Nil)
+    val goldenState = stateOf(goldenOut)
+    val golden = goldenState.collect().toSet
+    val hourNs = 3600L * 1000 * 1000 * 1000
+    val goldenSync = graft.operators.TxnOps.syncPoints(goldenState, hourNs)
+      .collect().map(_.toString).toSet
+
+    val rng = new scala.util.Random(0xDD1F)
+    def randomRules(): Seq[DispatchRule] =
+      tables.flatMap { t =>
+        rng.nextInt(4) match {
+          case 0 => Some(DispatchRule(Seq(s"app.$t"),
+            PartitionRule.TableSplit(2 + rng.nextInt(2), Seq("user_id"))))
+          case 1 => Some(DispatchRule(Seq(s"app.$t"),
+            PartitionRule.Fixed(rng.nextInt(numPartitions))))
+          case 2 => Some(DispatchRule(Seq(s"app.$t"),
+            PartitionRule.SplitFixed(Seq(rng.nextInt(numPartitions),
+              rng.nextInt(numPartitions)))))
+          case _ => None
+        }
+      }
+
+    (1 to 4).foreach { i =>
+      Failpoints.clear()
+      // half the schedules ALSO kill between arm and write, so the
+      // restart replans the barrier while the span rules have moved on
+      if (i % 2 == 0)
+        Failpoints.enable(
+          if (i == 2) "graft/ddl/pre-write" else "graft/ddl/post-write",
+          s"${rng.nextInt(3) + 1}*off->1*panic")
+
+      val outDir = s"$tmp/out-$i"
+      // the in-flight scheduler: span rules change AFTER EVERY emitted
+      // barrier segment — i.e. between a DDL barrier's arm
+      // (DdlBarrier.plan) and its remaining writes, and across every
+      // syncpoint boundary inside the stream
+      @volatile var rules: Seq[DispatchRule] = randomRules()
+      val logs = scala.collection.mutable.ArrayBuffer.empty[Seq[Long]]
+      var attempt = 0
+      var done = false
+      while (!done && attempt < 10) {
+        attempt += 1
+        val emitted = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val q = Changefeed.runWithDdl(spark, cfgBase.copy(id = s"cf-inflight-$i"),
+          src, s"$tmp/ckpt-$i", ddls, initialRegistry,
+          payloadCols = Seq("user_id", "value")) { (step, upTo) =>
+          routeAndWrite(step, rules, outDir)
+          emitted += upTo
+          rules = randomRules() // the mid-barrier span op
+        }
+        try { q.awaitTermination(180000); done = true }
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+        finally { if (q.isActive) q.stop() }
+        logs += emitted.toSeq
+      }
+      Failpoints.clear()
+      assert(done, s"schedule $i failed to converge")
+
+      // both DDL barriers actually armed AND wrote under mutation:
+      // their exact barrier ts appear as emitted segment bounds
+      val bounds = logs.flatten.toSet
+      assert(cuts.forall(bounds.contains),
+        s"schedule $i: a DDL barrier segment never wrote (bounds=$bounds)")
+
+      val gotState = stateOf(outDir)
+      val got = gotState.collect().toSet
+      assert(got == golden,
+        s"schedule $i diverged under in-flight span mutation " +
+          s"(missing=${(golden -- got).size}, extra=${(got -- golden).size})")
+
+      // syncpoint windows are content-identical: a consistency
+      // snapshot taken at any sync ts sees the same primary state
+      val gotSync = graft.operators.TxnOps.syncPoints(gotState, hourNs)
+        .collect().map(_.toString).toSet
+      assert(gotSync == goldenSync, s"schedule $i: syncpoint windows diverged")
+
+      // barrier-monotone emit ladder per batch
+      logs.foreach { ts =>
+        val segs = ts.foldLeft(Vector(Vector.empty[Long])) { (acc, t) =>
+          val grown = acc.init :+ (acc.last :+ t)
+          if (t == Long.MaxValue) grown :+ Vector.empty else grown
+        }.filter(_.nonEmpty)
+        segs.foreach(s => assert(s == s.sorted, s"non-monotone barrier ladder: $s"))
+      }
+    }
+  }
+
   test("moved span pins every row of the table to the target partition") {
     val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
     val routed = Routing.dispatch(env,
