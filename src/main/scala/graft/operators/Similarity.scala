@@ -449,7 +449,13 @@ object Similarity {
     * (exact integer sums, engine-portable); queries+tables broadcast;
     * candidates ride the scan. Codebook cids must be its sorted
     * order (table index = rank of cid).
-    * Output: (query_id, rank, neighbor_id, adc_micro). */
+    * Output: (query_id, rank, neighbor_id, adc_micro).
+    *
+    * ORACLE BASELINE ONLY — un-pruned: the final `row_number` window
+    * ranks EVERY coded row per query in one task (O(corpus) per
+    * query). At scale use [[ivfPqTopK]], which prunes candidates to
+    * the probed IVF cells before ADC and keeps per-task work
+    * cell-sized. */
   def pqAdcTopK(emb: DataFrame, codebook: Array[(Long, Seq[Float])], m: Int,
                 numQueries: Int, k: Int): DataFrame = {
     val dim = codebook.head._2.length

@@ -692,6 +692,35 @@ class RawKvMounterSpec extends SparkFunSuite {
     assert(row.getString(2) == "2020-01-01 00:00:00", "DATETIME stays naive")
   }
 
+  test("unsigned BIGINT primary key keys as an int handle (u64 bit pattern) " +
+      "and round-trips through encode -> mount") {
+    val m = KvTableMeta(89L, "app", "u64pk",
+      Seq(
+        KvColumn(1L, "id", "bigint", unsigned = true, nullable = false),
+        KvColumn(2L, "v", "bigint")),
+      handleCol = "id")
+    val big = new java.math.BigDecimal("18446744073709551615") // 2^64 - 1
+    val payload = Seq[Any](big, 7L)
+    // encode side: the key is a PLAIN int handle carrying the bit
+    // pattern (TiDB's unsigned int-handle encoding), not a common
+    // handle — and it must not throw
+    val keyBytes = RawKvMounter.recordKeyFor(m, payload)
+    val (tid, h) = TiKvCodec.decodeRecordKey(keyBytes)
+    assert(tid == 89L && h == TiKvCodec.IntHandle(-1L))
+    // decode side re-renders the u64 from the bits
+    val value = RawKvMounter.encodeImage(m, payload)
+    val row = RawKvMounter.mountTable(
+      rawDf(Seq((keyBytes, value, null, "put", 1L, 2L))), m)
+      .collect().head.getStruct(6)
+    assert(row.getDecimal(0).compareTo(big) == 0,
+      s"expected $big got ${row.getDecimal(0)}")
+    assert(row.getLong(1) == 7L)
+    // sub-Long.Max unsigned values keep their natural bits
+    val small = RawKvMounter.recordKeyFor(m,
+      Seq[Any](new java.math.BigDecimal(42), 1L))
+    assert(TiKvCodec.decodeRecordKey(small)._2 == TiKvCodec.IntHandle(42L))
+  }
+
   test("checksum versions 1/2 (raw-bytes scheme) skip the column comparison: " +
       "ok=true, verified=false — never a false mismatch") {
     val payload = Seq(5L, "eve", 2.5, "x", 7L)
@@ -702,14 +731,29 @@ class RawKvMounterSpec extends SparkFunSuite {
     val rawBytesCks = TiKvCodec.encodeV2Checksummed(cells, first = 99999L, version = 1)
     val v2Cks = TiKvCodec.encodeV2Checksummed(cells, first = 88888L, version = 2)
     val colCks = RawKvMounter.encodeImageChecksummed(meta, payload) // version 0
-    val verdicts = RawKvMounter.verifyInRowChecksums(
+    val verdictDf = RawKvMounter.verifyInRowChecksums(
       rawDf(Seq(
         (key(5L), rawBytesCks, null, "put", 1L, 10L),
         (key(5L), v2Cks, null, "put", 1L, 20L),
         (key(5L), colCks, null, "put", 1L, 30L))), meta)
+    val verdicts = verdictDf
       .collect().sortBy(_.getLong(0))
-      .map(r => (r.getLong(0), r.getBoolean(4), r.getBoolean(5)))
-    assert(verdicts.toSeq == Seq((10L, true, false), (20L, true, false),
-      (30L, true, true)), s"got ${verdicts.toSeq}")
+      .map(r => (r.getLong(0), r.getBoolean(4), r.getBoolean(5),
+        if (r.isNullAt(6)) -1 else r.getInt(6)))
+    assert(verdicts.toSeq == Seq((10L, true, false, 1), (20L, true, false, 2),
+      (30L, true, true, 0)), s"got ${verdicts.toSeq}")
+    // the skip is observable, not silent: coverage counts it and a
+    // PURELY-versioned upstream raises the all-skipped flag
+    val mixed = RawKvMounter.checksumCoverage(verdictDf).collect().head
+    assert(mixed.getAs[Long]("n_skipped_versioned") == 2L &&
+      mixed.getAs[Long]("n_verified") == 1L &&
+      !mixed.getAs[Boolean]("all_skipped_versioned"))
+    val onlyVersioned = RawKvMounter.checksumCoverage(
+      RawKvMounter.verifyInRowChecksums(
+        rawDf(Seq(
+          (key(5L), rawBytesCks, null, "put", 1L, 10L),
+          (key(5L), v2Cks, null, "put", 1L, 20L))), meta)).collect().head
+    assert(onlyVersioned.getAs[Boolean]("all_skipped_versioned"),
+      "an all-v1/v2 upstream must surface the integrity-not-verified warning")
   }
 }
