@@ -267,8 +267,41 @@ object MySqlDdl {
     }
   }
 
+  /** Possibly-qualified table name: backtick-quoted segments may hold
+    * ANY chars (the Debezium zoo names tables `t-1`, `t.2`,
+    * `dbz_878_some|test@data`, `dbz5743中文`). */
+  private val namePat = """(?:`[^`]+`|[\w$.])+"""
+
+  /** Split a possibly-backtick-quoted qualified name into segments,
+    * respecting dots INSIDE quotes (`t.2` is one name). */
+  private[model] def splitName(raw: String): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    val sb = new StringBuilder
+    var inQ = false
+    raw.foreach {
+      case '`' => inQ = !inQ
+      case '.' if !inQ => out += sb.toString; sb.clear()
+      case c => sb += c
+    }
+    out += sb.toString
+    out.toSeq.filter(_.nonEmpty)
+  }
+  private[model] def bareName(raw: String): String = splitName(raw).last
+
   private val createRe =
-    """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s*\((.*)\)\s*[^()]*$""".r
+    ("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(""" + namePat +
+      """)\s*\((.*)\)\s*[^()]*$""").r
+
+  private val createLikeRe =
+    ("""(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?(""" + namePat +
+      """)\s+LIKE\s+(""" + namePat + """)\s*$""").r
+
+  /** `CREATE TABLE a LIKE b` → (new, source) unqualified names. */
+  def parseCreateLike(ddl: String): Option[(String, String)] =
+    ddl.trim.stripSuffix(";") match {
+      case createLikeRe(a, b) => Some((bareName(a), bareName(b)))
+      case _ => None
+    }
 
   /** Parse a CREATE TABLE with the full type matrix. Table-level
     * `PRIMARY KEY (a,b)` / `CONSTRAINT x PRIMARY KEY (a,b)` clauses
@@ -276,7 +309,7 @@ object MySqlDdl {
   def parseCreateTable(ddl: String, defaultSchema: String = "test"): Option[MySqlTable] =
     ddl.trim.stripSuffix(";") match {
       case createRe(rawName, body) =>
-        val nameParts = rawName.replace("`", "").split('.')
+        val nameParts = splitName(rawName)
         val (schema, table) =
           if (nameParts.length >= 2) (nameParts(nameParts.length - 2), nameParts.last)
           else (defaultSchema, nameParts.last)
@@ -346,7 +379,8 @@ object MySqlDdl {
   case class InsertRow(table: String, values: Map[String, Option[String]])
 
   private val insertRe =
-    """(?is)^\s*INSERT\s+INTO\s+([`\w.]+)\s*(?:\(\s*(.*?)\s*\))?\s*VALUES?\s*(.*)$""".r
+    ("""(?is)^\s*INSERT\s+INTO\s+(""" + namePat +
+      """)\s*(?:\(\s*(.*?)\s*\))?\s*VALUES?\s*(.*)$""").r
 
   /** Parse INSERT INTO t [(cols)] VALUES (...),(...) into raw literal
     * rows. Literals keep their text form (quotes stripped); NULL →
@@ -354,7 +388,7 @@ object MySqlDdl {
   def parseInsert(sql: String): Seq[InsertRow] =
     sql.trim.stripSuffix(";") match {
       case insertRe(rawName, colList, valuesPart) =>
-        val table = rawName.replace("`", "").split('.').last
+        val table = bareName(rawName)
         val names: Option[Seq[String]] =
           Option(colList).map(cl => splitTopLevel(cl).map(unquote)).filter(_.nonEmpty)
         // split "(...),(...)" tuples at top level
@@ -420,9 +454,11 @@ object MySqlDdl {
   case class DeleteStmt(table: String, where: Seq[(String, Option[String])])
 
   private val updateRe =
-    """(?is)^\s*UPDATE\s+([`\w.]+)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""".r
+    ("""(?is)^\s*UPDATE\s+(""" + namePat +
+      """)\s+SET\s+(.*?)(?:\s+WHERE\s+(.*))?$""").r
   private val deleteRe =
-    """(?is)^\s*DELETE\s+FROM\s+([`\w.]+)(?:\s+WHERE\s+(.*))?$""".r
+    ("""(?is)^\s*DELETE\s+FROM\s+(""" + namePat +
+      """)(?:\s+WHERE\s+(.*))?$""").r
 
   private def eqPair(s: String): Option[(String, Option[String])] = {
     val i = s.indexOf('=')
@@ -445,7 +481,7 @@ object MySqlDdl {
   def parseUpdate(sql: String): Option[UpdateStmt] =
     sql.trim.stripSuffix(";") match {
       case updateRe(rawName, sets, where) =>
-        Some(UpdateStmt(rawName.replace("`", "").split('.').last,
+        Some(UpdateStmt(bareName(rawName),
           parseAssignments(sets),
           Option(where).map(parseConds).getOrElse(Nil)))
       case _ => None
@@ -454,8 +490,140 @@ object MySqlDdl {
   def parseDelete(sql: String): Option[DeleteStmt] =
     sql.trim.stripSuffix(";") match {
       case deleteRe(rawName, where) =>
-        Some(DeleteStmt(rawName.replace("`", "").split('.').last,
+        Some(DeleteStmt(bareName(rawName),
           Option(where).map(parseConds).getOrElse(Nil)))
       case _ => None
+    }
+
+  // ---- row-shape ALTERs (the Debezium DDL zoo's common forms:
+  // ADD/DROP/MODIFY/CHANGE COLUMN + ALTER col SET/DROP DEFAULT —
+  // debezium02/03 history-dbz.sql etc.) ----
+
+  /** A parsed row-shape ALTER applied to a table: carries the UPDATED
+    * table plus what a row-store replay must do to existing rows. */
+  sealed trait TableAlter { def table: MySqlTable }
+  object TableAlter {
+    /** ADD COLUMN at `index`: existing rows backfill with
+      * `col.default` (MySQL semantics: NULL when none). */
+    final case class AddCol(table: MySqlTable, index: Int, col: MySqlCol)
+        extends TableAlter
+    /** DROP COLUMN: existing rows lose slot `index`. */
+    final case class DropCol(table: MySqlTable, index: Int) extends TableAlter
+    /** MODIFY / CHANGE COLUMN: same slot, new name/type — values keep
+      * their positions. */
+    final case class Retype(table: MySqlTable) extends TableAlter
+    /** ALTER col SET DEFAULT / DROP DEFAULT: metadata only. */
+    final case class NewDefault(table: MySqlTable) extends TableAlter
+  }
+
+  private val alterHeadRe = """(?is)^\s*ALTER\s+TABLE\s+([`"\w.]+)\s+(.*)$""".r
+  private val alterAddRe = """(?is)^ADD\s+(?:COLUMN\s+)?(.+)$""".r
+  private val alterDropRe = """(?is)^DROP\s+(?:COLUMN\s+)?[`"]?(\w+)[`"]?\s*$""".r
+  private val alterModifyRe = """(?is)^MODIFY\s+(?:COLUMN\s+)?(.+)$""".r
+  private val alterChangeRe =
+    """(?is)^CHANGE\s+(?:COLUMN\s+)?[`"]?(\w+)[`"]?\s+(.+)$""".r
+  private val alterSetDefaultRe =
+    """(?is)^ALTER\s+(?:COLUMN\s+)?[`"]?(\w+)[`"]?\s+SET\s+DEFAULT\s+(.+?)\s*$""".r
+  private val alterDropDefaultRe =
+    """(?is)^ALTER\s+(?:COLUMN\s+)?[`"]?(\w+)[`"]?\s+DROP\s+DEFAULT\s*$""".r
+  /** Clause heads that are NOT column definitions. */
+  private val alterNonColumn = Set("index", "key", "constraint", "primary",
+    "unique", "fulltext", "spatial", "foreign", "partition", "check")
+  private val posTailRe = """(?is)^(.*?)\s+(FIRST|AFTER\s+[`"]?\w+[`"]?)\s*$""".r
+
+  /** Parse one row-shape `ALTER TABLE` against the table it targets
+    * (`resolve` looks the table up by its unqualified name). None for
+    * index/partition/comment/charset ALTERs and unknown tables — the
+    * classes that change no row shape. */
+  def parseAlterTable(stmt: String,
+                      resolve: String => Option[MySqlTable]): Option[TableAlter] =
+    stmt.trim.stripSuffix(";") match {
+      case alterHeadRe(rawName, rest0) =>
+        val tn = rawName.replace("`", "").replace("\"", "").split('.').last
+        resolve(tn).flatMap { t =>
+          def colIdx(n: String): Option[Int] = {
+            val i = t.cols.indexWhere(_.name.equalsIgnoreCase(n))
+            if (i < 0) None else Some(i)
+          }
+          def firstWord(s: String): String =
+            s.trim.takeWhile(!_.isWhitespace).toLowerCase.replace("`", "")
+          rest0.trim match {
+            case alterSetDefaultRe(cn, v) =>
+              colIdx(cn).map { i =>
+                val c = t.cols(i).copy(default =
+                  if (v.equalsIgnoreCase("null")) None
+                  else Some(normalizeLiteral(v.trim)))
+                TableAlter.NewDefault(t.copy(cols = t.cols.updated(i, c)))
+              }
+            case alterDropDefaultRe(cn) =>
+              colIdx(cn).map { i =>
+                TableAlter.NewDefault(t.copy(cols =
+                  t.cols.updated(i, t.cols(i).copy(default = None))))
+              }
+            case alterAddRe(defStr) if !alterNonColumn.contains(firstWord(defStr)) =>
+              // FIRST / AFTER x position tail (absent → append)
+              val (core, pos) = defStr.trim match {
+                case posTailRe(c, p) => (c, Some(p.trim))
+                case other => (other, None)
+              }
+              parseColDef(core).map { col =>
+                val idx = pos.map(_.toLowerCase) match {
+                  case Some("first") => 0
+                  case Some(p) if p.startsWith("after") =>
+                    val anchor = p.split("\\s+").last.replace("`", "").replace("\"", "")
+                    colIdx(anchor).map(_ + 1).getOrElse(t.cols.length)
+                  case _ => t.cols.length
+                }
+                val (pre, post) = t.cols.splitAt(idx)
+                TableAlter.AddCol(t.copy(cols = (pre :+ col) ++ post), idx, col)
+              }
+            case alterDropRe(cn) if !alterNonColumn.contains(cn.toLowerCase) =>
+              colIdx(cn).map { i =>
+                TableAlter.DropCol(t.copy(cols =
+                  t.cols.take(i) ++ t.cols.drop(i + 1)), i)
+              }
+            case alterModifyRe(defStr) if !alterNonColumn.contains(firstWord(defStr)) =>
+              parseColDef(defStr.trim).flatMap { col =>
+                colIdx(col.name).map { i =>
+                  // a column's PK membership survives MODIFY
+                  val kept = col.copy(pk = t.cols(i).pk,
+                    notNull = col.notNull || t.cols(i).pk)
+                  TableAlter.Retype(t.copy(cols = t.cols.updated(i, kept)))
+                }
+              }
+            case alterChangeRe(oldName, defStr)
+                if !alterNonColumn.contains(oldName.toLowerCase) =>
+              parseColDef(defStr.trim).flatMap { col =>
+                colIdx(oldName).map { i =>
+                  val kept = col.copy(pk = t.cols(i).pk,
+                    notNull = col.notNull || t.cols(i).pk)
+                  TableAlter.Retype(t.copy(cols = t.cols.updated(i, kept)))
+                }
+              }
+            case _ => None
+          }
+        }
+      case _ => None
+    }
+
+  private val renameTableRe = """(?is)^\s*RENAME\s+TABLE\s+(.+)$""".r
+  private val renamePairRe =
+    """(?is)^([`"\w.]+)\s+TO\s+([`"\w.]+)$""".r
+
+  /** `RENAME TABLE a TO b[, c TO d]` → (from, to) unqualified name
+    * pairs, statement order. */
+  def parseRenameTable(stmt: String): Seq[(String, String)] =
+    stmt.trim.stripSuffix(";") match {
+      case renameTableRe(pairs) =>
+        splitTopLevel(pairs).flatMap { p =>
+          p.trim match {
+            case renamePairRe(from, to) =>
+              def bare(s: String) =
+                s.replace("`", "").replace("\"", "").split('.').last
+              Some(bare(from) -> bare(to))
+            case _ => None
+          }
+        }
+      case _ => Nil
     }
 }

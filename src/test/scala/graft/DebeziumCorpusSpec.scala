@@ -87,12 +87,22 @@ class DebeziumCorpusSpec extends SparkFunSuite {
   private def applyStatement(r: Replay, stmt: String): Unit = {
     val lower = stmt.toLowerCase.dropWhile(_.isWhitespace)
     if (lower.startsWith("create table")) {
-      MySqlDdl.parseCreateTable(stmt, "test") match {
-        case Some(t) =>
-          r.tables(t.table) = t
-          r.state(t.table) = mutable.ArrayBuffer.empty
-          r.events.getOrElseUpdate(t.table, mutable.ArrayBuffer.empty)
-        case None => r.skip("create table (unparsed)")
+      MySqlDdl.parseCreateLike(stmt) match {
+        case Some((nw, src)) =>
+          r.tables.get(src) match {
+            case Some(t) =>
+              r.tables(nw) = t.copy(table = nw)
+              r.state(nw) = mutable.ArrayBuffer.empty
+              r.events.getOrElseUpdate(nw, mutable.ArrayBuffer.empty)
+            case None => r.skip("create table like (unknown source)")
+          }
+        case None => MySqlDdl.parseCreateTable(stmt, "test") match {
+          case Some(t) =>
+            r.tables(t.table) = t
+            r.state(t.table) = mutable.ArrayBuffer.empty
+            r.events.getOrElseUpdate(t.table, mutable.ArrayBuffer.empty)
+          case None => r.skip("create table (unparsed)")
+        }
       }
     } else if (lower.startsWith("insert")) {
       val rows = MySqlDdl.parseInsert(stmt)
@@ -168,6 +178,18 @@ class DebeziumCorpusSpec extends SparkFunSuite {
         if (r.tables.contains(tn)) r.counters(tn) = n.toLong - 1
         else r.skip("alter auto_increment (unknown table)")
       case _ if lower.startsWith("set ") => r.skip("session SET")
+      case _ if lower.startsWith("rename table") =>
+        // RENAME TABLE a TO b[, ...]: the table keeps its rows and its
+        // event history under the new name
+        MySqlDdl.parseRenameTable(stmt).foreach { case (from, to) =>
+          r.tables.remove(from).foreach(t => r.tables(to) = t.copy(table = to))
+          r.state.remove(from).foreach(s => r.state(to) = s)
+          r.events.remove(from).foreach(e => r.events(to) = e)
+          r.counters.remove(from).foreach(c => r.counters(to) = c)
+        }
+      case _ if lower.startsWith("select") => r.skip("inert query (SELECT)")
+      case _ if lower.startsWith("drop view") || lower.startsWith("drop index") =>
+        r.skip("non-replicated class")
       case _ if lower.startsWith("drop table") =>
         // a dropped table leaves the replay (no row events in Debezium)
         val tn = stmt.split("\\s+").last.replace("`", "").replace(";", "")
@@ -177,7 +199,34 @@ class DebeziumCorpusSpec extends SparkFunSuite {
       case _ if lower.startsWith("create database") ||
           lower.startsWith("drop database") || lower.startsWith("use ") =>
         r.skip("database-level statement")
-      case _ if lower.startsWith("alter table") => r.skip("other alter")
+      case _ if lower.startsWith("alter table") =>
+        // row-shape ALTERs apply for real (ADD/DROP/MODIFY/CHANGE
+        // COLUMN + SET/DROP DEFAULT); past events conform to the new
+        // shape so the wire fold stays aligned with the final schema
+        import graft.model.MySqlDdl.TableAlter
+        def conformRows(tn: String, f: IndexedSeq[Option[String]] => IndexedSeq[Option[String]]): Unit = {
+          val rows = r.state(tn)
+          rows.indices.foreach(i => rows(i) = f(rows(i)))
+          val evs = r.events(tn)
+          evs.indices.foreach { i =>
+            val e = evs(i)
+            evs(i) = e.copy(
+              before = if (e.before == null) null else f(e.before),
+              after = if (e.after == null) null else f(e.after))
+          }
+        }
+        MySqlDdl.parseAlterTable(stmt, n => r.tables.get(n)) match {
+          case Some(TableAlter.AddCol(nt, idx, col)) =>
+            r.tables(nt.table) = nt
+            conformRows(nt.table,
+              row => (row.take(idx) :+ col.default) ++ row.drop(idx))
+          case Some(TableAlter.DropCol(nt, idx)) =>
+            r.tables(nt.table) = nt
+            conformRows(nt.table, row => row.take(idx) ++ row.drop(idx + 1))
+          case Some(TableAlter.Retype(nt)) => r.tables(nt.table) = nt
+          case Some(TableAlter.NewDefault(nt)) => r.tables(nt.table) = nt
+          case None => r.skip("other alter")
+        }
       case _ if lower.startsWith("create index") ||
           lower.startsWith("grant") || lower.startsWith("analyze") =>
         r.skip("non-replicated class")
@@ -306,22 +355,38 @@ class DebeziumCorpusSpec extends SparkFunSuite {
     // the skip ledger is pinned BY KIND: a new kind appearing (or a
     // justified kind vanishing) is a corpus-coverage regression that
     // must be re-adjudicated here
+    info(s"skip tally: ${tally.toSeq.sortBy(-_._2).mkString(", ")}")
     val kinds = tally.keySet
     val justified = Set(
       "session SET",            // inert: engine renderings are session-free
       "drop table",             // no row events; table leaves the replay
       "database-level statement",
-      "other alter",            // schema evolution covered by DdlParserSpec/barrier
+      "other alter",            // index/partition/comment/charset: no row shape
+                                // (ADD/DROP/MODIFY/CHANGE/SET DEFAULT apply for
+                                // real since r10)
+      "inert query (SELECT)",   // reads replicate nothing
       "alter auto_increment (unknown table)",
       "non-replicated class",   // ddlWhiteListMap never replicates these
       "pk-less table (no handle key)", // ineligible without force-replicate
       "insert into unknown table",     // follows an unparsed/dropped create
       "create table (unparsed)",
+      "create table like (unknown source)",
       "update (unparsed or unknown table)",
       "delete (unparsed or unknown table)",
       "other statement")
     assert(kinds.subsetOf(justified),
       s"unjustified divergence kinds: ${kinds -- justified} (tally: $tally)")
+    // r10 coverage floor, pinned so it can only improve: every CREATE
+    // TABLE in the corpus now parses (exotic backticked names, LIKE
+    // form), so create-driven skips are extinct, and row-shape ALTERs
+    // replay for real (r8/r9 ledger: other alter 23, create unparsed
+    // 4, insert unknown 2)
+    assert(!kinds.contains("create table (unparsed)"),
+      s"a corpus CREATE TABLE stopped parsing: $tally")
+    assert(!kinds.contains("insert into unknown table"),
+      s"an INSERT lost its table: $tally")
+    assert(tally.getOrElse("other alter", 0) <= 18,
+      s"row-shape ALTERs regressed to skipped: $tally")
   }
 
   test("debezium01 DDL corpus: the type-matrix CREATE TABLEs parse with pk intact") {
