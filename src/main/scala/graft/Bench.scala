@@ -98,13 +98,14 @@ object Bench {
       }
       throw new IllegalStateException("unreachable")
     }
-    val passes = selected.map { case (name, fn) =>
-      def pass(): Double = {
+    def mkPass(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): () => Double =
+      () => {
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => return -1.0 }
-        (System.nanoTime() - t0) / 1e9
+        try { fn(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+        catch { case _: Throwable => -1.0 }
       }
-      name -> Seq(gated(() => pass()), gated(() => pass()))
+    var passes = selected.map { case (name, fn) =>
+      name -> Seq(gated(mkPass(fn)), gated(mkPass(fn)))
     }
     // Hotness at PUBLICATION time, against the final quiet floor
     // (rollingQuiet only decreases, so this is the strictest view).
@@ -125,7 +126,25 @@ object Bench {
         else (ok.map(_.sec).min, true)
       }
     }
+    // auto-rerun (VERDICT r9 #6): every hot-excluded query gets ONE
+    // more gated pass after the main sweep — by then the transient
+    // contention that poisoned its slots has usually passed (r8: 7
+    // exclusions, r9: 9 — the headline map was getting badly partial).
+    // The retry appends to the pass list so bench_full records it.
+    val firstJudged = passes.map { case (name, ts) => name -> best(ts) }
+    val hotFirst = firstJudged.collect { case (n, (_, true)) => n }.toSet
+    if (hotFirst.nonEmpty) {
+      Thread.sleep(2000L)
+      val byName = selected.toMap
+      passes = passes.map { case (name, ts) =>
+        if (hotFirst.contains(name)) name -> (ts :+ gated(mkPass(byName(name))))
+        else name -> ts
+      }
+    }
     val judged = passes.map { case (name, ts) => name -> best(ts) }
+    val rerunRecovered =
+      hotFirst.count(n => judged.collectFirst { case (`n`, (_, hot)) => !hot }
+        .getOrElse(false))
     val results = judged.map { case (name, (sec, _)) => name -> sec }
     val hotQueries = judged.collect { case (name, (sec, true)) => name -> sec }
     // streaming throughput: the reference perf-rig shape (1000
@@ -326,7 +345,7 @@ object Bench {
     }.mkString("{", ",", "}")
     val fullHot = hotQueries.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
-    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"hot":$fullHot,"passes":$fullPasses,"pass_markers":$fullMarkers,"pass_discards":$fullDiscards,"marker_quiet_ns_row":${r3(rollingQuiet)},"sf":"$sfDir","stream":$stream,"micro":$microJson}"""
+    val fullLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":$fullQs,"hot":$fullHot,"hot_rerun_recovered":$rerunRecovered,"passes":$fullPasses,"pass_markers":$fullMarkers,"pass_discards":$fullDiscards,"marker_quiet_ns_row":${r3(rollingQuiet)},"sf":"$sfDir","stream":$stream,"micro":$microJson}"""
     // full-precision detail goes ONLY to bench_full.json — printing it
     // would leave a truncated JSON fragment inside the driver's 2000-char
     // tail window just above the compact line and risk confusing its
@@ -346,7 +365,7 @@ object Bench {
     val hotNames = hotQueries.map(_._1).toSet
     val sortedQ = all.filterNot { case (k, _) => hotNames.contains(k) }
       .sortBy(-_._2).map { case (k, v) => "\"" + k + "\":" + r3(v) }
-    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","hot_excluded":${hotNames.size},"marker_quiet_ns_row":${r3(rollingQuiet)},"stream":$stream,"micro":$microJson,"detail":"bench_full.json","queries":{"""
+    val head = s"""{"metric":"total","value":${r3(total)},"unit":"sec","sf":"$sfDir","hot_excluded":${hotNames.size},"hot_rerun_recovered":$rerunRecovered,"marker_quiet_ns_row":${r3(rollingQuiet)},"stream":$stream,"micro":$microJson,"detail":"bench_full.json","queries":{"""
     val tail = s"""},"queries_omitted":NNN}"""
     var used = head.length + tail.length
     val kept = sortedQ.takeWhile { e =>
