@@ -264,6 +264,16 @@ object CdcQueries {
           col("after.value").as("value"), col("after.props").as("props"))
     }),
 
+    // integrity coverage accounting over a mixed checksum-region
+    // population (none / v1 raw-bytes / corrupted v0 / correct v0):
+    // the counter surface that makes the v1/v2 verification gap
+    // observable (checksum.go dispatch; RawKvMounter.checksumCoverage)
+    "q_checksum_coverage" -> ((s, d) =>
+      RawKvMounter.checksumCoverage(
+        RawKvMounter.verifyInRowChecksums(
+          RawKvQuery.encodeChecksumMix(Tables.events(s, d)),
+          RawKvQuery.eventsMeta))),
+
     // byte-level mount: events → real TiKV record-key + row-format-v2
     // bytes → RawKvMounter decode; identity against the plain read
     // proves the wire codec end to end on real data (SURVEY §2.1
@@ -679,6 +689,16 @@ object CdcQueries {
       """SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props
         |FROM events WHERE event_id % 23 <> 0 AND event_id % 31 <> 0""".stripMargin,
 
+    // coverage counters are pure event_id-class arithmetic
+    "q_checksum_coverage" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN event_id % 7 <> 0 AND event_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+        |  CAST(SUM(CASE WHEN event_id % 7 <> 0 AND event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped_versioned,
+        |  CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_region,
+        |  CAST(SUM(CASE WHEN event_id % 7 <> 0 AND event_id % 5 <> 0 AND event_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |  FALSE AS all_skipped_versioned
+        |FROM events""".stripMargin,
+
     // the mount is encode∘decode = identity over the real table
     "q_kv_mount" ->
       "SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props FROM events",
@@ -832,6 +852,52 @@ object RawKvQuery {
           Seq(pre) ++ stale ++ heartbeat ++ phase2
         }
       }(Encoders.row(graft.streaming.TxnMatcher.uncommittedSchema))
+  }
+
+  /** events → raw entries with a MIXED checksum-region population:
+    * every 7th row carries NO region (upstream integrity off), every
+    * 5th of the rest a VERSION-1 raw-bytes region (recognized but not
+    * verifiable — the documented gap), every 11th of the remainder a
+    * CORRUPTED v0 region (stored = computed+1), everything else a
+    * correct v0 region — so [[RawKvMounter.checksumCoverage]]'s four
+    * counters are all exercised and oracle-computable from event_id. */
+  def encodeChecksumMix(events: DataFrame): DataFrame = {
+    val m = eventsMeta
+    events.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val ts = r.getLong(1)
+          val payload = Seq[Any](
+            id, ts,
+            if (r.isNullAt(2)) null else r.getLong(2),
+            r.getString(3),
+            if (r.isNullAt(4)) null else r.getDouble(4),
+            r.getString(5))
+          val cells = m.columns.zip(payload).collect {
+            case (c, v) if c.name != m.handleCol =>
+              (c.id, Option(v).map(x =>
+                TiKvCodec.encodeCell(x, c.sqlType.takeWhile(_ != '('), c.unsigned)))
+          }
+          val value =
+            if (id % 7L == 0L) RawKvMounter.encodeImage(m, payload)
+            else if (id % 5L == 0L)
+              TiKvCodec.encodeV2Checksummed(cells, first = 424242L, version = 1)
+            else {
+              val tokens = m.columns.zip(payload).map { case (c, v) =>
+                graft.functions.RowChecksum.tokenPlain(
+                  c.sqlType.takeWhile(_ != '('), v)
+              }
+              val correct = graft.functions.RowChecksum.crc32Plain(tokens)
+              val first =
+                if (id % 11L == 0L) (correct + 1L) & 0xFFFFFFFFL else correct
+              TiKvCodec.encodeV2Checksummed(cells, first)
+            }
+          Row(
+            TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(id)),
+            value, null, "put", ts - 1L, ts)
+        }
+      }(Encoders.row(rawSchema))
   }
 
   /** events → RawKVEntry rows (one put per event, commit_ts = ts). */
