@@ -68,8 +68,12 @@ object Soak {
     def r3(v: Double): String =
       String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val rows = composites.map { case (name, f) =>
-      val (n1, t1) = timed(f(base))
-      val (n10, t10) = timed(f(big))
+      def safeTimed(d: DataFrame): (Long, Double) =
+        try timed(f(d)) catch { case e: Throwable =>
+          println(s"[soak] $name FAILED: ${e.getMessage}"); (-1L, -1.0)
+        }
+      val (n1, t1) = safeTimed(base)
+      val (n10, t10) = safeTimed(big)
       val perOut1 = t1 / math.max(n1, 1L)
       val perOut10 = t10 / math.max(n10, 1L)
       val j = s""""$name":{"t1_sec":${r3(t1)},"t10_sec":${r3(t10)},""" +

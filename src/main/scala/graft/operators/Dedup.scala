@@ -313,8 +313,17 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nd", "nd_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nd", "nd_b"), "doc_b")
+      // shuffle-hash pinned: the pair stream is OUTPUT-sized (shuffling
+      // it is linear in true near-dup density) and the per-doc sizes
+      // table is corpus-sized — NEITHER side may broadcast. Leaving
+      // the choice to static estimates broadcast the misestimated
+      // aggregated pair frame at the sf1 soak (a ~2 GB build → OOM);
+      // the hint keeps the build side a per-partition slice of sizes
+      // at any scale.
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nd", "nd_a")
+        .hint("shuffle_hash"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nd", "nd_b")
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("jaccard",
         col("n_inter").cast("double") /
           (col("nd_a") + col("nd_b") - col("n_inter")).cast("double"))
@@ -359,8 +368,17 @@ object Dedup {
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_inter"))
     inter
-      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nd", "nd_a"), "doc_a")
-      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nd", "nd_b"), "doc_b")
+      // shuffle-hash pinned: the pair stream is OUTPUT-sized (shuffling
+      // it is linear in true near-dup density) and the per-doc sizes
+      // table is corpus-sized — NEITHER side may broadcast. Leaving
+      // the choice to static estimates broadcast the misestimated
+      // aggregated pair frame at the sf1 soak (a ~2 GB build → OOM);
+      // the hint keeps the build side a per-partition slice of sizes
+      // at any scale.
+      .join(sizes.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("nd", "nd_a")
+        .hint("shuffle_hash"), "doc_a")
+      .join(sizes.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("nd", "nd_b")
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("containment",
         col("n_inter").cast("double") /
           least(col("nd_a"), col("nd_b")).cast("double"))
@@ -429,10 +447,15 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val neighborMin = edges.join(labels, edges("b") === labels("doc_id"))
+      // every frame here is data-sized (edges = pair-output, labels =
+      // node count): shuffle-hash pinned so no misestimate can pick a
+      // broadcast build at scale
+      val neighborMin = edges.join(labels.hint("shuffle_hash"),
+          edges("b") === labels("doc_id"))
         .groupBy(edges("a").as("nb_doc"))
         .agg(min(col("cluster")).as("nmin"))
-      val propagated = labels.join(neighborMin, labels("doc_id") === col("nb_doc"), "left")
+      val propagated = labels.join(neighborMin.hint("shuffle_hash"),
+          labels("doc_id") === col("nb_doc"), "left")
         .select(col("doc_id"),
           least(col("cluster"), coalesce(col("nmin"), col("cluster"))).as("cluster"))
       // POINTER JUMP (path doubling): also adopt the label of my
@@ -442,7 +465,8 @@ object Dedup {
       // measured rounds on chain-shaped near-dup graphs)
       labels = propagated.as("x")
         .join(propagated.select(col("doc_id").as("p_doc"),
-          col("cluster").as("p_cluster")), col("x.cluster") === col("p_doc"), "left")
+          col("cluster").as("p_cluster")).hint("shuffle_hash"),
+          col("x.cluster") === col("p_doc"), "left")
         .select(col("x.doc_id").as("doc_id"),
           least(col("x.cluster"), coalesce(col("p_cluster"), col("x.cluster"))).as("cluster"))
         .localCheckpoint()
@@ -477,7 +501,7 @@ object Dedup {
                          pairs: DataFrame): DataFrame = {
     val labels = clusters(pairs)
     docs.select(col("doc_id"), col(blockCol))
-      .join(labels, Seq("doc_id"), "left")
+      .join(labels.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), col(blockCol),
         coalesce(col("cluster"), col("doc_id")).as("cluster"),
         (coalesce(col("cluster"), col("doc_id")) === col("doc_id"))
@@ -617,10 +641,14 @@ object Dedup {
       array_sort(distinctToks).as("__set"),
       size(distinctToks).cast("long").as("nd"))
     cands
+      // shuffle-hash pinned for the same reason as jaccardPairs: both
+      // sides are data-sized, neither may broadcast
       .join(sets.select(col("doc_id").as("doc_a"),
-        col("__set").as("__set_a"), col("nd").as("nd_a")), "doc_a")
+        col("__set").as("__set_a"), col("nd").as("nd_a"))
+        .hint("shuffle_hash"), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"),
-        col("__set").as("__set_b"), col("nd").as("nd_b")), "doc_b")
+        col("__set").as("__set_b"), col("nd").as("nd_b"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("n_inter",
         size(array_intersect(col("__set_a"), col("__set_b"))).cast("long"))
       .withColumn("jaccard",
@@ -733,8 +761,12 @@ object Dedup {
           .filter(col("__r") <= perDocBudget)
       }
     budgeted.select(col("doc_a"), col("doc_b"))
-      .join(capped.select(col("doc_id").as("doc_a"), col("__t").as("__ta")), "doc_a")
-      .join(capped.select(col("doc_id").as("doc_b"), col("__t").as("__tb")), "doc_b")
+      // shuffle-hash pinned: budgeted pairs are output-sized, capped
+      // text is corpus-sized — no broadcast on either side
+      .join(capped.select(col("doc_id").as("doc_a"), col("__t").as("__ta"))
+        .hint("shuffle_hash"), "doc_a")
+      .join(capped.select(col("doc_id").as("doc_b"), col("__t").as("__tb"))
+        .hint("shuffle_hash"), "doc_b")
       .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
       .withColumn("edit_ratio_micro",
         expr("edit_dist * 1000000 div greatest(length(__ta), length(__tb), 1)"))

@@ -231,6 +231,51 @@ object Routing {
     }: _*)
   }
 
+  /** Driver-side first-match routed identity of ONE table — the same
+    * fold [[applyTableRoutes]] codegens per row, for control-plane
+    * callers (validation, census). */
+  def routedNameOf(schema: String, table: String,
+                   rules: Seq[graft.model.DispatchRule]): (String, String) =
+    // the first rule whose MATCHER matches wins, even a target-less
+    // one (which routes to the identity) — exactly applyTableRoutes'
+    // fold, so control-plane validation and data-path rewrite agree
+    rules.find(r => TableMatcher.matchesValue(schema, table, r.matcher)) match {
+      case Some(r) =>
+        def tpl(t: String): String =
+          t.replace("{schema}", schema).replace("{table}", table)
+        (r.targetSchema.map(tpl).getOrElse(schema),
+          r.targetTable.map(tpl).getOrElse(table))
+      case None => (schema, table)
+    }
+
+  /** The reference's route-conflict error identity
+    * (pkg/errors/error.go:243-245) — already in FeedBackoff's
+    * unretryable set: a conflicted feed FAILS, it does not retry. */
+  final val RouteConflictCode = "CDC:ErrTableRouteConflict"
+
+  /** Route-conflict validation (pkg/routing/registry.go:24-90
+    * `Validation is side-effect free`, router.go:376
+    * ValidateNoConflicts; tests/integration_tests/
+    * table_route_conflict_detection): DIFFERENT source tables mapping
+    * to the SAME routed name is a conflict — the create path must
+    * reject it (static case), and a later CREATE TABLE introducing one
+    * must fail the feed with ErrTableRouteConflict (dynamic case).
+    * Returns the first conflict rendered deterministically, or None. */
+  def validateRoutes(tables: Seq[(String, String)],
+                     rules: Seq[graft.model.DispatchRule]): Option[String] = {
+    if (!rules.exists(r => r.targetSchema.isDefined || r.targetTable.isDefined))
+      return None
+    tables.distinct
+      .map { case st @ (s, t) => (routedNameOf(s, t, rules), st) }
+      .groupBy(_._1).toSeq.sortBy(_._1)
+      .collectFirst {
+        case (tgt, srcs) if srcs.map(_._2).distinct.size > 1 =>
+          val ss = srcs.map(_._2).distinct.sorted
+            .map { case (s, t) => s"$s.$t" }.mkString(", ")
+          s"table route conflict: $ss all route to ${tgt._1}.${tgt._2}"
+      }
+  }
+
   /** Table routing / rename (pkg/config/sink.go:426-440): rewrite sink
     * schema/table with `{schema}`/`{table}` placeholders. */
   def routeTable(env: DataFrame, targetSchema: String, targetTable: String): DataFrame = {

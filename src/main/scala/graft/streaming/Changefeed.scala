@@ -154,6 +154,17 @@ object Changefeed {
             val (lo, hi) = (range.getLong(0), range.getLong(1))
             val registryAtLo = initial.applyAll(ddls.filter(_.ts <= lo))
             val pending = ddls.filter(d => d.ts > lo && d.ts <= hi)
+            // dynamic route-conflict fence (table_route_conflict_
+            // detection's create-table case): a CREATE TABLE inside
+            // this batch that makes two sources route to one target
+            // FAILS the feed — ErrTableRouteConflict is unretryable
+            if (pending.exists(_.isInstanceOf[DdlAction.CreateTable]))
+              graft.operators.Routing.validateRoutes(
+                registryAtLo.applyAll(pending).versions.keys.toSeq,
+                cfg.sink.dispatch).foreach { msg =>
+                throw new IllegalStateException(
+                  s"${graft.operators.Routing.RouteConflictCode}: $msg")
+              }
             val steps = DdlBarrier.plan(b, pending, registryAtLo)
             Failpoints.evalThrow("graft/ddl/post-registry")
             steps.foreach { s =>
@@ -294,6 +305,17 @@ object Changefeed {
   def runMq(spark: SparkSession, cfg: ChangefeedConfig, sourceDir: String,
             sinkDir: String, checkpointDir: String,
             registry: Option[graft.model.SchemaRegistry] = None): StreamingQuery = {
+    // static route-conflict check at create (router.go:376
+    // ValidateNoConflicts; table_route_conflict_detection): two source
+    // tables routing to one target name can never replicate — reject
+    // the changefeed before it starts
+    registry.foreach { reg =>
+      graft.operators.Routing.validateRoutes(
+        reg.versions.keys.toSeq, cfg.sink.dispatch).foreach { msg =>
+        throw new IllegalArgumentException(
+          s"${graft.operators.Routing.RouteConflictCode}: $msg")
+      }
+    }
     runMqStream(spark, cfg,
       Envelope.fromEvents(sourceStream(spark, cfg, sourceDir)),
       sinkDir, checkpointDir,

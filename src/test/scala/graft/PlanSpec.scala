@@ -106,15 +106,21 @@ class PlanSpec extends SparkFunSuite {
   }
 
   test("pair dedup paths are aggregation-shaped, no shuffle self-joins") {
-    // bucket-collect candidate generation: the only joins allowed are
-    // BROADCASTS of bounded side tables — the per-doc sizes table
-    // (jaccard) and the oversized-bucket census of Dedup.saltTile
-    // (stop-word-grade keys: few by definition). A SortMergeJoin
-    // anywhere would mean a data-scaled self-join crept back in.
+    // bucket-collect candidate generation: no SortMergeJoin anywhere —
+    // that would mean a data-scaled self-join crept back in. The
+    // sizes/labels joins are shuffle-hash PINNED (r10): both sides are
+    // data-sized (pair output × per-doc table), so neither may
+    // broadcast — the sf1 soak showed static misestimates broadcasting
+    // the aggregated pair frame (~2 GB build → OOM). Key-partitioned
+    // ShuffledHashJoin is the any-scale plan; only genuinely bounded
+    // sides (saltTile's oversized-bucket census) still broadcast.
     val minhash = plan("q_dedup_minhash_pairs")
-    assert(!minhash.contains("SortMergeJoin"), "minhash pairs must not shuffle-join")
+    assert(!minhash.contains("SortMergeJoin"), "minhash pairs must not sort-merge")
     val ngram = plan("q_dedup_ngram")
-    assert(!ngram.contains("SortMergeJoin"), "jaccard joins must broadcast")
+    assert(!ngram.contains("SortMergeJoin"), "jaccard joins must not sort-merge")
+    assert(ngram.contains("ShuffledHashJoin"),
+      "jaccard sizes joins must stay shuffle-hash pinned (no broadcast of " +
+        "data-sized sides)")
     val lsh = plan("q_ann_lsh")
     assert(!lsh.contains("SortMergeJoin"), "lsh pair path must not shuffle-join")
   }
