@@ -113,4 +113,29 @@ class TxnMatcherSpec extends SparkFunSuite {
       s"$base/out")
     assert(canon(matched) == canon(expected))
   }
+
+  test("matcher state survives kill-restart: exactly-once matched output " +
+      "(kv_client_stream_reconnect analog)") {
+    val base = Files.createTempDirectory("graft-txnm-r").toString
+    val expected = committedSubset(s"$base/com")
+    def start() = TxnMatcher
+      .matchStream(spark, readGen(8000, "rawKvUncommitted" -> "true"))
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    // first attempt: kill after a couple of committed micro-batches —
+    // pending prewrite/commit state is mid-flight in the state store
+    val q1 = start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.isActive &&
+        q1.recentProgress.count(_.numInputRows > 0) < 3 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    q1.stop()
+    // reconnect: the checkpoint resumes the offsets AND the per-txn
+    // state; the parquet sink's _spark_metadata keeps replayed batches
+    // exactly-once
+    val q2 = start()
+    q2.awaitTermination(180000)
+    assert(canon(spark.read.parquet(s"$base/out")) == canon(expected))
+  }
 }
