@@ -51,7 +51,11 @@ object Dedup {
     val corpusHashes = corpus.select(md5(col("text")).as("__seen")).distinct()
     newDocs
       .withColumn("content_md5", md5(col("text")))
-      .join(corpusHashes, col("content_md5") === col("__seen"), "left_anti")
+      // shuffle-hash pinned: the seen-hash set is CORPUS-sized (an
+      // aggregate with unreliable static stats) — it must never be a
+      // broadcast build; hash-partitioned anti-join works at any scale
+      .join(corpusHashes.hint("shuffle_hash"),
+        col("content_md5") === col("__seen"), "left_anti")
       .withColumn("__rn", row_number().over(
         org.apache.spark.sql.expressions.Window
           .partitionBy(col("content_md5")).orderBy(col("doc_id"))))
@@ -98,7 +102,10 @@ object Dedup {
       .withColumn("__maybe", maybe)
     val corpusHashes = corpus.select(md5(col("text")).as("__seen")).distinct()
     val checked = flagged.filter(col("__maybe"))
-      .join(corpusHashes, col("content_md5") === col("__seen"), "left_anti")
+      // corpus-sized hash set: never a broadcast build (see
+      // incrementalExact)
+      .join(corpusHashes.hint("shuffle_hash"),
+        col("content_md5") === col("__seen"), "left_anti")
     flagged.filter(!col("__maybe"))
       .unionByName(checked)
       .withColumn("__rn", row_number().over(
@@ -540,7 +547,10 @@ object Dedup {
       (acc, i) =>
         when(col("new_bands")(i) === col("old_bands")(i), lit(i)).otherwise(acc)
     }
-    probe.join(idx, Seq("band_idx", "band"))
+    // both sides are data-sized (index = corpus bands, probe = new
+    // batch bands, explode-derived stats): hash-partition on the band,
+    // never broadcast either
+    probe.join(idx.hint("shuffle_hash"), Seq("band_idx", "band"))
       .filter(firstShared === col("band_idx"))
       .select(col("doc_new"), col("doc_old"),
         col("band_idx").cast("long").as("band_idx"))

@@ -56,8 +56,12 @@ object TableDiff {
       .agg(expr("bit_xor(__fp)").as("__sum"), count(lit(1)).as("__n"))
     // phase 1: chunks whose order-independent checksums disagree
     // (a chunk entirely absent on one side disagrees via the nulls)
+    // both chunk-sum frames are (rows/chunkSize)-sized aggregates —
+    // data-scaled, estimate-unreliable: hash-partition on the chunk,
+    // never broadcast either side
     val bad = sums(s).withColumnRenamed("__sum", "__ssum").withColumnRenamed("__n", "__sn")
-      .join(sums(d).withColumnRenamed("__sum", "__dsum").withColumnRenamed("__n", "__dn"),
+      .join(sums(d).withColumnRenamed("__sum", "__dsum").withColumnRenamed("__n", "__dn")
+        .hint("shuffle_hash"),
         Seq("__chunk"), "full_outer")
       .filter(!(col("__ssum") <=> col("__dsum")) || !(col("__sn") <=> col("__dn")))
       .select(col("__chunk"))

@@ -97,10 +97,14 @@ object TxnMatcher {
     val commits = raw.filter(col("entry_type") === Commit)
       .select(col("key"), col("start_ts"), col("commit_ts"),
         col("op_type").as("_commit_op"))
-    // assembleRowEvent: the commit entry's op + ts, the prewrite's bytes
+    // assembleRowEvent: the commit entry's op + ts, the prewrite's bytes.
+    // All three frames are CHANGE-STREAM-sized (prewrites ≈ commits ≈
+    // rows; rollbacks ≈ failed txns) and the prewrite side is an
+    // aggregate with unreliable static stats: shuffle-hash pinned so
+    // no side is ever a broadcast build at scale.
     val matched = commits
-      .join(pre, Seq("key", "start_ts"))
-      .join(rollbacks, Seq("key", "start_ts"), "left_anti")
+      .join(pre.hint("shuffle_hash"), Seq("key", "start_ts"))
+      .join(rollbacks.hint("shuffle_hash"), Seq("key", "start_ts"), "left_anti")
       .select(col("key"), col("p.value").as("value"),
         col("p.old_value").as("old_value"), col("_commit_op").as("op_type"),
         col("start_ts"), col("commit_ts"))
