@@ -264,6 +264,19 @@ object CdcQueries {
           col("after.value").as("value"), col("after.props").as("props"))
     }),
 
+    // per-region resolved-ts bound over the raw 2PC stream: pending
+    // locks (prewrites whose second phase never arrived — what a
+    // crashed client leaves behind) pin each region's resolved ts at
+    // min(lock start)-1; resolved regions advance to the scan
+    // high-water cap (tests/integration_tests/resolve_lock; TiKV
+    // resolved-ts rule)
+    "q_resolved_lock" -> ((s, d) => {
+      val ev = Tables.events(s, d)
+      val raw = RawKvQuery.encodeUncommitted(ev)
+      val cap = ev.agg(max(col("ts"))).head().getLong(0) + 1L
+      graft.streaming.TxnMatcher.resolvedTsBound(raw, 512L, cap)
+    }),
+
     // integrity coverage accounting over a mixed checksum-region
     // population (none / v1 raw-bytes / corrupted v0 / correct v0):
     // the counter surface that makes the v1/v2 verification gap
@@ -688,6 +701,25 @@ object CdcQueries {
     "q_txn_match" ->
       """SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props
         |FROM events WHERE event_id % 23 <> 0 AND event_id % 31 <> 0""".stripMargin,
+
+    // pending locks are the orphan class (%31 of non-rollbacks);
+    // regions are 512-handle ranges; start ts = epoch_ns(ts)-1
+    "q_resolved_lock" ->
+      """WITH cap AS (SELECT MAX(epoch_ns(ts)) + 1 AS c FROM events),
+        |txn AS (
+        |  SELECT event_id // 512 AS region_id, epoch_ns(ts) - 1 AS lock_start,
+        |    (event_id % 23 <> 0 AND event_id % 31 = 0) AS pending
+        |  FROM events),
+        |agg AS (
+        |  SELECT region_id,
+        |    CAST(SUM(CASE WHEN pending THEN 1 ELSE 0 END) AS BIGINT) AS n_locks,
+        |    MIN(CASE WHEN pending THEN lock_start END) AS min_lock_start_ts
+        |  FROM txn GROUP BY region_id)
+        |SELECT region_id, n_locks, min_lock_start_ts,
+        |  CASE WHEN n_locks > 0
+        |    THEN LEAST((SELECT c FROM cap), min_lock_start_ts - 1)
+        |    ELSE (SELECT c FROM cap) END AS resolved_ts
+        |FROM agg""".stripMargin,
 
     // coverage counters are pure event_id-class arithmetic
     "q_checksum_coverage" ->

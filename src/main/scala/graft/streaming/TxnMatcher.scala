@@ -111,6 +111,48 @@ object TxnMatcher {
     matched.unionByName(committed)
   }
 
+  /** Per-region resolved-ts bound over the uncommitted 2PC stream —
+    * the lock-resolution observability of the reference's
+    * resolve_lock scenario (tests/integration_tests/resolve_lock;
+    * TiKV's resolved-ts rule: a region's resolved ts may never pass a
+    * pending lock, so resolved = min(lock.startTs) - 1 while locks
+    * are pending and advances to the scan high-water `cap` once they
+    * resolve by commit OR rollback). A prewrite with no second phase
+    * IS a lock — exactly the state a crashed client leaves behind,
+    * and the reason the reference test forces lock resolution before
+    * the changefeed can advance.
+    *
+    * Regions are contiguous int-handle ranges of `regionSize` rows —
+    * the TiKV region model. The handle decodes from the record key
+    * with NATIVE expressions (memcomparable = sign-flipped big-endian
+    * at bytes 12-19: conv ∘ substring ∘ hex), so the whole operator
+    * is two map-side-combined aggregations — txn-identity then
+    * region — with zero joins and zero UDFs: linear at any scale,
+    * second shuffle region-count-sized. */
+  def resolvedTsBound(raw: DataFrame, regionSize: Long, cap: Long): DataFrame = {
+    val handle = (conv(substring(hex(col("key")), 23, 16), 16, 10)
+      .cast(DecimalType(20, 0)) -
+      lit(new java.math.BigDecimal("9223372036854775808")))
+      .cast(LongType)
+    val txn = raw
+      .withColumn("_handle", handle)
+      .groupBy(expr(s"_handle div $regionSize").as("region_id"),
+        col("key"), col("start_ts"))
+      .agg(
+        max(when(col("entry_type") === Prewrite, 1).otherwise(0)).as("_pre"),
+        max(when(col("entry_type") === Commit ||
+          col("entry_type") === Rollback, 1).otherwise(0)).as("_phase2"))
+    val pending = col("_pre") === 1 && col("_phase2") === 0
+    txn.groupBy(col("region_id"))
+      .agg(
+        sum(when(pending, 1L).otherwise(0L)).as("n_locks"),
+        min(when(pending, col("start_ts"))).as("min_lock_start_ts"))
+      .select(col("region_id"), col("n_locks"), col("min_lock_start_ts"),
+        when(col("n_locks") > 0,
+          least(lit(cap), col("min_lock_start_ts") - 1L))
+          .otherwise(lit(cap)).as("resolved_ts"))
+  }
+
   // ---- streaming form ----
 
   /** Encoder-visible (codegen accesses them): one 2PC entry and the

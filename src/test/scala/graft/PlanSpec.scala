@@ -241,6 +241,14 @@ class PlanSpec extends SparkFunSuite {
       s"winnowing must ride the scan (blocker-span form, no window shuffle):\n$p")
   }
 
+  test("q_resolved_lock: two joinless aggregations, handle decode is codegen") {
+    val p = plan("q_resolved_lock")
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"),
+      s"lock accounting must be pure aggregation — no prewrite/commit join:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && p.contains("HashAggregate"),
+      s"the record-key handle must decode natively in the agg projection:\n$p")
+  }
+
   test("q_winnow_pairs: aggregation-shaped, no fingerprint self-join") {
     val p = plan("q_winnow_pairs")
     assert(!p.contains("SortMergeJoin") && !p.contains("CartesianProduct"),

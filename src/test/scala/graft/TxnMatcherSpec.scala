@@ -114,6 +114,35 @@ class TxnMatcherSpec extends SparkFunSuite {
     assert(canon(matched) == canon(expected))
   }
 
+  test("resolved-ts bound: pending locks pin their region at min(start)-1, " +
+      "resolution by commit OR rollback releases it, cap clamps (resolve_lock)") {
+    import graft.model.TiKvCodec
+    def rk(h: Long) = TiKvCodec.encodeRecordKey(77L, TiKvCodec.IntHandle(h))
+    val raw = mkRaw(Seq(
+      // region 0 (handles 0-9): h1 commits, h2 is a LOCK (crashed
+      // client: no second phase), h3 rolls back — released
+      Row(rk(1), Array[Byte](1), null, "put", "prewrite", 100L, 0L, 0L),
+      Row(rk(1), null, null, "put", "commit", 100L, 110L, 0L),
+      Row(rk(2), Array[Byte](2), null, "put", "prewrite", 50L, 0L, 0L),
+      Row(rk(3), Array[Byte](3), null, "put", "prewrite", 40L, 0L, 0L),
+      Row(rk(3), null, null, "put", "rollback", 40L, 0L, 0L),
+      // region 1 (10-19): fully committed — advances to cap
+      Row(rk(12), Array[Byte](4), null, "put", "prewrite", 80L, 0L, 0L),
+      Row(rk(12), null, null, "put", "commit", 80L, 90L, 0L),
+      // region 2 (20-29): two locks — the OLDEST pins the bound
+      Row(rk(25), Array[Byte](5), null, "put", "prewrite", 70L, 0L, 0L),
+      Row(rk(27), Array[Byte](6), null, "put", "prewrite", 60L, 0L, 0L),
+      // region 3 (30-39): a lock YOUNGER than the cap — cap clamps
+      Row(rk(35), Array[Byte](7), null, "put", "prewrite", 300L, 0L, 0L)))
+    val out = TxnMatcher.resolvedTsBound(raw, regionSize = 10L, cap = 200L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), Option(r.get(2)), r.getLong(3)))).toMap
+    assert(out(0L) == ((1L, Some(50L), 49L)))
+    assert(out(1L) == ((0L, None, 200L)))
+    assert(out(2L) == ((2L, Some(60L), 59L)))
+    assert(out(3L) == ((1L, Some(300L), 200L)))
+  }
+
   test("matcher state survives kill-restart: exactly-once matched output " +
       "(kv_client_stream_reconnect analog)") {
     val base = Files.createTempDirectory("graft-txnm-r").toString
