@@ -44,6 +44,13 @@ final class JdbcApplier(val url: String) {
   /** Statements observed but not executed (SET SESSION markers). */
   val sessionMarkers = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 
+  /** DDL statements whose downstream error was classified ignorable
+    * and swallowed (ddl_reentrant: re-executing a DDL after a restart
+    * replays it against a downstream where it already took effect —
+    * "Execute DDL failed, but error can be ignored",
+    * mysql_writer_ddl.go:224-231). Bounded observable ledger. */
+  val ignoredDdlErrors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   // (schema,table) → pk column names, for REPLACE/ODKU key resolution
   private val pkRegistry = new java.util.concurrent.ConcurrentHashMap[(String, String), Seq[String]]()
 
@@ -160,9 +167,22 @@ final class JdbcApplier(val url: String) {
     Option(pkRegistry.get((schema, table))).getOrElse(Seq.empty)
 
   /** Run one translated unit: either a plain statement or a
-    * try-insert-then-update pair (ODKU / INSERT IGNORE). */
+    * try-insert-then-update pair (ODKU / INSERT IGNORE). A DDL whose
+    * error says "already took effect" is ignored, not fatal — the
+    * ddl_reentrant contract (execDDLWithMaxRetries,
+    * mysql_writer_ddl.go:216-231: IsIgnorableMySQLDDLError → log +
+    * continue), which is what lets a restart replay its un-checkpointed
+    * DDL window against a downstream that already executed it. DML
+    * errors never take this path. */
   private def runOne(st: java.sql.Statement, t: JdbcApplier.Translated): Unit = t match {
-    case JdbcApplier.Plain(sql) => st.executeUpdate(sql)
+    case JdbcApplier.Plain(sql) =>
+      try st.executeUpdate(sql)
+      catch {
+        case e: SQLException if JdbcApplier.isDdlStatement(sql) &&
+            JdbcApplier.isIgnorableDdlError(e) =>
+          ignoredDdlErrors.add(s"${e.getSQLState}: ${sql.take(160)}")
+          while (ignoredDdlErrors.size > 256) ignoredDdlErrors.poll()
+      }
     case JdbcApplier.TryInsertElse(insert, onDup) =>
       try st.executeUpdate(insert)
       catch {
@@ -218,6 +238,49 @@ object JdbcApplier {
   def isDuplicateKey(e: SQLException): Boolean =
     e.getSQLState == "23505" ||
       (e.getMessage != null && e.getMessage.toLowerCase.contains("duplicate key"))
+
+  /** Statement-verb DDL gate for the ignorable-error path: only
+    * schema-shape statements qualify; DML errors always propagate. */
+  def isDdlStatement(sql: String): Boolean = {
+    val v = sql.trim.takeWhile(!_.isWhitespace).toUpperCase
+    v == "CREATE" || v == "ALTER" || v == "DROP" || v == "RENAME" || v == "TRUNCATE"
+  }
+
+  /** The reference's IsIgnorableMySQLDDLError set (pkg/errors/utils.go:
+    * 46-67) — "this DDL already took effect downstream": database/table
+    * exists, drop of nonexistent database/table, duplicate column/key
+    * name, drop of nonexistent column/key, multiple primary key,
+    * same-name/nonexistent partition. Matched two ways: MySQL error
+    * numbers for a real MySQL downstream (vendor code or the driver's
+    * "Error NNNN" message text), Derby SQLStates for the embedded test
+    * engine (X0Y32/X0Y68 object-already-exists, 42Y55 drop of
+    * nonexistent table, 42Y07 nonexistent schema, 42X86 no such
+    * constraint, 42X65 nonexistent index, 42X14 no such column in
+    * ALTER). */
+  private val ignorableMysqlDdlCodes: Set[Int] = Set(
+    1007, // ErrDatabaseExists
+    1008, // ErrDatabaseDropExists
+    1050, // ErrTableExists
+    1051, // ErrTableDropExists (unknown table)
+    1054, // ErrColumnNotExists (unknown column)
+    1060, // ErrColumnExists (duplicate column name)
+    1061, // ErrDupKeyName
+    1068, // ErrMultiplePriKey
+    1091, // ErrCantDropFieldOrKey
+    1176, // ErrKeyNotExists (key doesn't exist in table)
+    1507, // ErrDropPartitionNonExistent
+    1517, // ErrSameNamePartition
+    1831) // ErrIndexExists (duplicate index)
+
+  private val ignorableDerbyStates: Set[String] =
+    Set("X0Y32", "X0Y68", "42Y55", "42Y07", "42X86", "42X65", "42X14")
+
+  def isIgnorableDdlError(e: SQLException): Boolean = {
+    if (ignorableMysqlDdlCodes.contains(e.getErrorCode)) return true
+    if (e.getSQLState != null && ignorableDerbyStates.contains(e.getSQLState)) return true
+    val m = Option(e.getMessage).getOrElse("")
+    ignorableMysqlDdlCodes.exists(c => m.contains(s"Error $c") || m.contains(s"Error $c:"))
+  }
 
   // ---------- dialect translation (pure functions) ----------
 

@@ -81,6 +81,7 @@ object TxnMatcher {
     val committed = raw.filter(col("entry_type") === Committed)
       .select(col("key"), col("value"), col("old_value"), col("op_type"),
         col("start_ts"), col("commit_ts"))
+      .dropDuplicates(Seq("key", "start_ts")) // redelivered scan entries
     // putPrewriteRow's keep rule as a max_by priority: a real (non-
     // empty) value beats a fake heartbeat's empty one; among real
     // prewrites the highest pipelined-DML generation wins
@@ -94,9 +95,14 @@ object TxnMatcher {
           col("generation").as("gen"))).as("p"))
     val rollbacks = raw.filter(col("entry_type") === Rollback)
       .select(col("key"), col("start_ts")).distinct()
+    // one commit per txn per key is the 2PC contract — dedup absorbs
+    // at-least-once redelivery (a region merge/split or stream
+    // reconnect re-scans from the last resolved ts and re-delivers
+    // entries; region_merge / kv_client_stream_reconnect scenarios)
     val commits = raw.filter(col("entry_type") === Commit)
       .select(col("key"), col("start_ts"), col("commit_ts"),
         col("op_type").as("_commit_op"))
+      .dropDuplicates(Seq("key", "start_ts"))
     // assembleRowEvent: the commit entry's op + ts, the prewrite's bytes.
     // All three frames are CHANGE-STREAM-sized (prewrites ≈ commits ≈
     // rows; rollbacks ≈ failed txns) and the prewrite side is an
@@ -164,7 +170,7 @@ object TxnMatcher {
   case class Pending(value: Array[Byte], oldValue: Array[Byte],
                      opType: String, generation: Long, hasPrewrite: Boolean,
                      commitTs: Long, commitOp: String, hasCommit: Boolean,
-                     rolledBack: Boolean)
+                     rolledBack: Boolean, emitted: Boolean)
 
   /** Streaming matcher: the per-(key, startTs) state store carries the
     * pending prewrite/commit pair across micro-batches; a matched txn
@@ -191,7 +197,8 @@ object TxnMatcher {
           } else {
             var p = state.getOption.getOrElse(
               Pending(null, null, null, -1L, hasPrewrite = false,
-                0L, null, hasCommit = false, rolledBack = false))
+                0L, null, hasCommit = false, rolledBack = false,
+                emitted = false))
             val immediate = scala.collection.mutable.ArrayBuffer.empty[TxnEntry]
             it.foreach { e =>
               e.entryType match {
@@ -214,18 +221,36 @@ object TxnMatcher {
                   immediate += e // pre-paired: pass straight through
               }
             }
-            val passthrough = immediate.iterator.map(e =>
-              Row(e.key, e.value, e.oldValue, e.opType, e.startTs, e.commitTs))
-            if (p.rolledBack) {
-              state.remove()
+            // A txn that already emitted (or rolled back) leaves a
+            // TOMBSTONE in the state store until the GC timeout, not a
+            // remove(): a region merge/split or stream reconnect
+            // re-scans from the last resolved ts and RE-DELIVERS the
+            // same prewrite/commit (even rollback) entries
+            // (region_merge, kv_client_stream_reconnect scenarios —
+            // the reference's per-region cache keeps matched state
+            // until tryCleanUnmatchedValue's clear delay), so matched
+            // output stays exactly-once under at-least-once delivery.
+            val passthrough = immediate.iterator
+              .filter(_ => !p.emitted)
+              .map(e => Row(e.key, e.value, e.oldValue, e.opType,
+                e.startTs, e.commitTs))
+            val emitCommitted = immediate.nonEmpty && !p.emitted
+            if (p.emitted) {
+              state.update(p)
+              state.setTimeoutDuration(gcMs)
+              Iterator.empty
+            } else if (p.rolledBack) {
+              state.update(p.copy(emitted = true))
+              state.setTimeoutDuration(gcMs)
               passthrough
             } else if (p.hasPrewrite && p.hasCommit) {
               val key = java.util.Base64.getDecoder.decode(k._1)
-              state.remove()
+              state.update(p.copy(emitted = true))
+              state.setTimeoutDuration(gcMs)
               passthrough ++ Iterator.single(
                 Row(key, p.value, p.oldValue, p.commitOp, k._2, p.commitTs))
             } else {
-              state.update(p)
+              state.update(if (emitCommitted) p.copy(emitted = true) else p)
               state.setTimeoutDuration(gcMs)
               passthrough
             }
