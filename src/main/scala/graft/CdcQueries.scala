@@ -210,6 +210,18 @@ object CdcQueries {
         e, Seq("user_id"), 8, (mm.getLong(0) + mm.getLong(1)) / 2L)
     }),
 
+    // force-replicate (tests/integration_tests/force_replicate_table):
+    // the same envelope treated as a NO-PK table — empty handle keys,
+    // so every update pre-splits into DELETE+INSERT (whole-row key:
+    // any value change is a key change), deletes/updates WHERE over
+    // ALL columns with LIMIT 1 (whereSlice's no-row-id fallback,
+    // sql_builder.go:388-413), and the conflict partition degrades to
+    // hash(schema, table) — table-serial apply
+    "q_force_replicate" -> ((s, d) => {
+      val split = Transforms.updateSplit(env(s, d), Seq("user_id", "value", "k"))
+      graft.sinks.MysqlSink.statements(split, Seq.empty, 8, safeMode = false)
+    }),
+
     // a SECOND, differently-shaped table (string payload with free
     // text) through the SAME generic statement builder — pins the
     // TableInfo-generic path (sql_builder.go:155-244): column/key
@@ -604,7 +616,65 @@ object CdcQueries {
       |  FROM documents
       |)""".stripMargin
 
+  /** No-PK WHERE: null-safe predicate over ALL payload columns from
+    * the pre-image (whereSlice's fallback branch). */
+  private val allColPredSql = Seq(
+    """CASE WHEN before_user_id IS NULL THEN '`user_id` IS NULL'
+      |     ELSE '`user_id` = ' || CAST(before_user_id AS VARCHAR) END""",
+    """CASE WHEN before_value IS NULL THEN '`value` IS NULL'
+      |     ELSE '`value` = ' || CAST(CAST(before_value AS DECIMAL(18,2)) AS VARCHAR) END""",
+    """CASE WHEN before_k IS NULL THEN '`k` IS NULL'
+      |     ELSE '`k` = ' || CAST(before_k AS VARCHAR) END""")
+    .map(_.stripMargin.replace("\n", " ")).mkString(" || ' AND ' || ")
+
   val sqlmodelOracle: Map[String, String] = Map(
+    // force-replicate: whole-row key — updates whose before/after rows
+    // differ split into D+I (updateSplit's keyChanged over all
+    // columns); the rare no-op update (value AND k both NULL) stays an
+    // UPDATE. Everything WHEREs over all columns + LIMIT 1; partition
+    // hash degrades to (schema, table).
+    "q_force_replicate" -> q(
+      s""", split AS (
+         |  SELECT _row_id, _schema, _table, _op, _commit_ts, _start_ts,
+         |         before_user_id, before_value, before_k,
+         |         after_user_id, after_value, after_k
+         |  FROM env
+         |  WHERE _op <> 'U' OR NOT (
+         |    (before_user_id IS DISTINCT FROM after_user_id) OR
+         |    (before_value IS DISTINCT FROM after_value) OR
+         |    (before_k IS DISTINCT FROM after_k))
+         |  UNION ALL
+         |  SELECT _row_id, _schema, _table, 'D', _commit_ts, _start_ts,
+         |         before_user_id, before_value, before_k, NULL, NULL, NULL
+         |  FROM env
+         |  WHERE _op = 'U' AND (
+         |    (before_user_id IS DISTINCT FROM after_user_id) OR
+         |    (before_value IS DISTINCT FROM after_value) OR
+         |    (before_k IS DISTINCT FROM after_k))
+         |  UNION ALL
+         |  SELECT _row_id, _schema, _table, 'I', _commit_ts, _start_ts,
+         |         NULL, NULL, NULL, after_user_id, after_value, after_k
+         |  FROM env
+         |  WHERE _op = 'U' AND (
+         |    (before_user_id IS DISTINCT FROM after_user_id) OR
+         |    (before_value IS DISTINCT FROM after_value) OR
+         |    (before_k IS DISTINCT FROM after_k))
+         |)
+         |SELECT
+         |  ${Routing.stableHashSql(Seq("_schema", "_table"))} % 8 AS _partition,
+         |  _row_id, _schema, _table, _commit_ts, _start_ts, _op,
+         |  CASE WHEN _op = 'D' THEN
+         |    'DELETE FROM `' || _schema || '`.`' || _table || '` WHERE ' || $allColPredSql || ' LIMIT 1'
+         |  WHEN _op = 'U' THEN
+         |    'UPDATE `' || _schema || '`.`' || _table || '` SET `user_id` = ' ||
+         |      COALESCE(CAST(after_user_id AS VARCHAR), 'NULL') || ', `value` = ' ||
+         |      COALESCE(CAST(CAST(after_value AS DECIMAL(18,2)) AS VARCHAR), 'NULL') || ', `k` = ' ||
+         |      COALESCE(CAST(after_k AS VARCHAR), 'NULL') ||
+         |      ' WHERE ' || $allColPredSql || ' LIMIT 1'
+         |  ELSE
+         |    'INSERT INTO `' || _schema || '`.`' || _table || '` ' || $insertValuesSql
+         |  END AS _stmt
+         |FROM split""".stripMargin),
     "q_sqlmodel_generic" -> {
       val vals = s"CAST(doc_id AS VARCHAR) || ',' || ${escSql("source")} || ',' || ${escSql("text")}"
       val sets = s"'`doc_id` = ' || CAST(doc_id AS VARCHAR) || " +

@@ -42,7 +42,16 @@ object Routing {
   /** partition rule "index-value"/"columns": hash of key column values
     * — row-level ordering key (partition/index_value.go:42,
     * columns.go:44). Key columns come from the post-image for I/U and
-    * the pre-image for D. */
+    * the pre-image for D.
+    *
+    * EMPTY `keyCols` (a no-PK force-replicate table) degrades to
+    * hash(schema, table) — the whole table serializes through one
+    * worker. That is the conservative stand-in for the reference's
+    * whole-row conflict keys (causality genRowKeys hashes every
+    * column when there is no index): a whole-ROW hash cannot give
+    * per-row ordering here because an update's pre- and post-image
+    * hash differently, so table-serial is the partitioning that keeps
+    * delete-then-insert order correct. */
   def partitionByKeyColumns(env: DataFrame, keyCols: Seq[String],
                             numPartitions: Int,
                             caseInsensitiveKeys: Boolean = false): DataFrame = {

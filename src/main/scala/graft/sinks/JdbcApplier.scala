@@ -175,6 +175,20 @@ final class JdbcApplier(val url: String) {
     * DDL window against a downstream that already executed it. DML
     * errors never take this path. */
   private def runOne(st: java.sql.Statement, t: JdbcApplier.Translated): Unit = t match {
+    case JdbcApplier.DeleteOneRow(table, cond) =>
+      // MySQL's `DELETE .. LIMIT 1` removes AT MOST ONE matching row —
+      // load-bearing for force-replicated no-PK tables where the
+      // all-column WHERE can match several identical rows
+      // (sql_builder.go:206; force_replicate_table). Derby has no DML
+      // LIMIT, so emulate with an updatable cursor positioned on the
+      // first match. Keyed deletes match ≤1 row, making this exactly
+      // the plain DELETE for them.
+      val cur = st.getConnection.createStatement(
+        java.sql.ResultSet.TYPE_FORWARD_ONLY, java.sql.ResultSet.CONCUR_UPDATABLE)
+      try {
+        val rs = cur.executeQuery(s"SELECT * FROM $table WHERE $cond FOR UPDATE")
+        try { if (rs.next()) rs.deleteRow() } finally rs.close()
+      } finally cur.close()
     case JdbcApplier.Plain(sql) =>
       try st.executeUpdate(sql)
       catch {
@@ -231,6 +245,9 @@ object JdbcApplier {
   /** Try the insert; on duplicate key run the updates (ODKU two-step;
     * empty updates = INSERT IGNORE). */
   final case class TryInsertElse(insert: String, onDup: Seq[String]) extends Translated
+  /** `DELETE .. LIMIT 1`: delete at most one matching row (updatable
+    * cursor; MySQL DML-LIMIT semantics for no-PK duplicate rows). */
+  final case class DeleteOneRow(table: String, cond: String) extends Translated
 
   /** Derby duplicate-key detection — the 1062-equivalent. SQLState
     * 23505 is Derby's duplicate-key code (MySQL raises ER_DUP_ENTRY
@@ -292,6 +309,8 @@ object JdbcApplier {
     """(?is)^INSERT IGNORE INTO (.+?) \((.+?)\) VALUES (.+)$""".r
   private val deleteInRe =
     """(?is)^DELETE FROM (.+?) WHERE \((.+?)\) IN \((.+)\)$""".r
+  private val deleteLimitRe =
+    """(?is)^DELETE FROM (.+?) WHERE (.+?)\s+LIMIT 1$""".r
 
   private def unbacktick(s: String): String = s.replace("`", "\"")
 
@@ -368,13 +387,32 @@ object JdbcApplier {
   /** Translate one MySQL statement into Derby execution units.
     * `pkOf` resolves the primary key for REPLACE/ODKU key extraction. */
   def translate(raw: String, pkOf: (String, String) => Seq[String]): Seq[Translated] = {
-    val sql = stripLimit(fixLiterals(unbacktick(raw.trim)))
+    val fixed = fixLiterals(unbacktick(raw.trim))
+    // DELETE .. LIMIT 1 keeps its at-most-one-row semantics through a
+    // cursor (DeleteOneRow) rather than having the LIMIT stripped —
+    // equivalent for keyed deletes, required for no-PK duplicates.
+    // Matched on the raw fixed text (the table ref never contains
+    // spaces, so the first WHERE split by the non-greedy group is the
+    // real one; literals with embedded " WHERE " sit in `cond`).
+    fixed match {
+      case deleteLimitRe(tbl, cond) =>
+        val (s, t) = tableRef(tbl)
+        return Seq(DeleteOneRow(quoteTable(s, t), cond))
+      case _ => ()
+    }
+    val sql = stripLimit(fixed)
     sql match {
       case replaceRe(tbl, colList, valuesPart) =>
         val (s, t) = tableRef(tbl)
         val cols = MySqlDdl.splitTopLevel(colList).map(_.replace("\"", "").trim)
         val pks = pkOf(s, t)
-        require(pks.nonEmpty, s"REPLACE needs a registered pk for $s.$t")
+        // REPLACE on a table with no unique key is a plain INSERT in
+        // MySQL (nothing can conflict) — the no-PK force-replicate
+        // safe-mode form lands here
+        if (pks.isEmpty)
+          return Seq(Plain(
+            s"INSERT INTO ${quoteTable(s, t)} " +
+              s"(${cols.map(c => s""""$c"""").mkString(",")}) VALUES $valuesPart"))
         MySqlDdl.splitTopLevel(valuesPart).flatMap { tuple =>
           val vals = MySqlDdl.splitTopLevel(tuple.trim.stripPrefix("(").stripSuffix(")"))
           val byCol = cols.zip(vals).toMap

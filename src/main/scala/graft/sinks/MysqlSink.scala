@@ -72,19 +72,32 @@ object MysqlSink {
     * outside it, updates become a real UPDATE .. SET .. WHERE key
     * (sql_builder.go:211) against the PRE-image handle key. Deletes
     * always target the full handle key with null-safe comparison and
-    * LIMIT 1 (sql_builder.go:181). */
+    * LIMIT 1 (sql_builder.go:181).
+    *
+    * EMPTY `handleKeys` = a table with no PK/not-null-UK replicated
+    * under force-replicate (tests/integration_tests/
+    * force_replicate_table): the WHERE falls back to ALL payload
+    * columns, exactly whereSlice's no-explicit-row-id branch
+    * (sql_builder.go:388-413), and the trailing LIMIT 1 is what keeps
+    * a delete from wiping every duplicate of the row. Callers should
+    * pre-split updates ([[graft.operators.Transforms.updateSplit]]
+    * over all columns — for a whole-row key every value change IS a
+    * key change) so the sink never needs multi-row-safe UPDATEs. */
   def statementColumnFor(payload: StructType, handleKeys: Seq[String], safeMode: Boolean,
                          render: (Column, StructField) => Column = null): Column = {
     val r: (Column, StructField) => Column =
       if (render == null) (c, f) => sqlLiteralFor(c, f.dataType) else render
     val fields = payload.fields.toSeq
-    require(handleKeys.nonEmpty && handleKeys.forall(k => fields.exists(_.name == k)),
+    require(handleKeys.forall(k => fields.exists(_.name == k)),
       s"handle keys $handleKeys must be payload columns of ${fields.map(_.name)}")
+    // whereSlice (sql_builder.go:388-413): handle-key columns when the
+    // table has them, ALL columns when it does not (force-replicate)
+    val whereCols = if (handleKeys.nonEmpty) handleKeys else fields.map(_.name)
     val target = concat(lit("`"), col("_schema"), lit("`.`"), col("_table"), lit("`"))
     val colList = fields.map(f => s"`${f.name}`").mkString("(", ",", ")")
     def img(image: String, f: StructField): Column = r(col(s"$image.${f.name}"), f)
     // null-safe handle-key predicate over the PRE-image
-    val keyPred = handleKeys.map { k =>
+    val keyPred = whereCols.map { k =>
       val f = fields.find(_.name == k).get
       when(col(s"before.$k").isNull, lit(s"`$k` IS NULL"))
         .otherwise(concat(lit(s"`$k` = "), img("before", f)))
@@ -200,6 +213,10 @@ object MysqlSink {
     * cap-bounded state). */
   def statementFragments(env: DataFrame, handleKeys: Seq[String], numWorkers: Int,
                          safeMode: Boolean): DataFrame = {
+    // multi-row coalescing needs a real key: a no-PK (force-replicate)
+    // delete must stay LIMIT 1 per row — a tuple-IN would wipe every
+    // duplicate of the row. Use [[statements]] for keyless tables.
+    require(handleKeys.nonEmpty, "multi-row batching requires handle keys")
     val payload = payloadOf(env)
     val fields = payload.fields.toSeq
     val target = concat(lit("`"), col("_schema"), lit("`.`"), col("_table"), lit("`"))
