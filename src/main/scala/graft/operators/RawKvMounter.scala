@@ -48,10 +48,18 @@ object RawKvMounter {
     * filters evaluate it on demand (expr_filter.go:323
     * buildRowWithVirtualColumns; chunk decode appends null for
     * IsVirtualGenerated, chunk.go:108-110). */
+  /** `charset`: the column's MySQL character set. TiKV stores string
+    * cells as raw bytes IN THAT CHARSET; the mount must transcode them
+    * to produce the UTF-8 strings the reference's mounter emits (its
+    * GBK matrix: mounter_test.go:729-739 — GBK char/varchar/text decode
+    * to the Chinese text, while blob-class columns keep the raw GBK
+    * bytes; tests/integration_tests/charset_gbk). Empty = utf8/utf8mb4
+    * (no transcode). */
   final case class KvColumn(id: Long, name: String, sqlType: String,
                             unsigned: Boolean = false, nullable: Boolean = true,
                             default: Option[String] = None,
-                            virtualGen: Boolean = false)
+                            virtualGen: Boolean = false,
+                            charset: String = "")
 
   /** Table metadata for the mount: which physical table ID maps to
     * which (schema, table) and columns; `handleCol` names the int-pk
@@ -78,8 +86,38 @@ object RawKvMounter {
   private def base(sqlType: String): String = {
     val t = sqlType.toLowerCase
     val p = t.indexOf('(')
-    (if (p < 0) t else t.substring(0, p)).trim
+    // first token only: "text CHARACTER SET gbk" → "text"
+    (if (p < 0) t else t.substring(0, p)).trim.takeWhile(!_.isWhitespace)
   }
+
+  /** String-class base types whose stored bytes are in the column
+    * charset (blob/binary classes are charset `binary` by definition
+    * and never transcode). */
+  private val charClass = Set(
+    "char", "varchar", "text", "tinytext", "mediumtext", "longtext")
+
+  private val charsetRe = "(?i)(?:character\\s+set|charset)\\s+(\\w+)".r
+
+  /** The column's charset: the explicit field, else one embedded in
+    * the raw MySQL type text ("varchar(128) CHARACTER SET gbk") — the
+    * form a registry meta built from DDL query text carries. */
+  private def effectiveCharset(c: KvColumn): String =
+    if (c.charset.nonEmpty) c.charset
+    else charsetRe.findFirstMatchIn(c.sqlType).map(_.group(1)).getOrElse("")
+
+  /** The transcoding charset for a string column, None when the
+    * stored bytes are already UTF-8 (utf8/utf8mb4/ascii — ASCII is a
+    * UTF-8 subset). MySQL charset names map to their JVM equivalents
+    * (gbk, gb18030, latin1; anything else passes through to
+    * Charset.forName so future charsets fail loudly, not silently). */
+  private def transcoder(c: KvColumn): Option[java.nio.charset.Charset] =
+    effectiveCharset(c).toLowerCase match {
+      case "" | "utf8" | "utf8mb4" | "ascii" | "binary" => None
+      case "gbk" => Some(java.nio.charset.Charset.forName("GBK"))
+      case "gb18030" => Some(java.nio.charset.Charset.forName("GB18030"))
+      case "latin1" => Some(java.nio.charset.StandardCharsets.ISO_8859_1)
+      case other => Some(java.nio.charset.Charset.forName(other))
+    }
 
   /** Spark-side type for a column (the envelope payload field type).
     * Unsigned BIGINT carries as DECIMAL(20,0) — values above
@@ -144,7 +182,11 @@ object RawKvMounter {
             case DInt(x) => x
             case DUint(x) => x
             case DFloat(x) => x
-            case DBytes(x) => new String(x, "UTF-8")
+            case DBytes(x) =>
+              // a string PK's key bytes are in the column charset too
+              val cs = meta.columns.find(_.name == name).flatMap(transcoder)
+                .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+              new String(x, cs)
             case DDecimal(x) => x
             case other => throw new IllegalArgumentException(s"bad handle $other")
           }
@@ -160,7 +202,12 @@ object RawKvMounter {
           case Some(row) =>
             row.cell(c.id) match {
               case Some(cell) =>
-                val v = TiKvCodec.decodeCell(cell, bt, c.unsigned)
+                val v = transcoder(c) match {
+                  // string cell stored in the column charset: decode
+                  // with it (blob-class stays raw via decodeCell)
+                  case Some(cs) if charClass(bt) => new String(cell, cs)
+                  case _ => TiKvCodec.decodeCell(cell, bt, c.unsigned)
+                }
                 val shifted =
                   if (bt == "timestamp" && meta.tz != "UTC")
                     graft.model.PackedTime.unpackInZone(
@@ -182,6 +229,8 @@ object RawKvMounter {
                     graft.model.PackedTime.unpackInZone(x, meta.zoneId)
                   case DUint(x) if bt == "timestamp" && meta.tz != "UTC" =>
                     graft.model.PackedTime.unpackInZone(x, meta.zoneId)
+                  case DBytes(x) if charClass(bt) && transcoder(c).isDefined =>
+                    new String(x, transcoder(c).get) // v1 charset decode
                   case other => datumValue(other, bt)
                 }
                 normalize(v0, c)
