@@ -233,6 +233,36 @@ object ExtQueries {
         Seq("app.events_*", "!app.events_3"),
         Seq("truncate table"), Seq("^CREATE INDEX"))),
 
+    // rename-under-filter decision table (buildDDLEventForRenameTable/
+    // -Tables; tests/integration_tests/multi_tables_ddl): renames that
+    // stay in the feed emit, renames OUT of the feed emit + drop the
+    // table from tracking, renames INTO the feed error
+    // (CDC:ErrSyncRenameTableFailed — a table cannot enter a
+    // changefeed through a rename), both-filtered pairs are skipped
+    // and the emitted query is rebuilt from the surviving pairs. The
+    // Spark side parses the raw RENAME statement text; the oracle
+    // recomputes the decisions from the name columns.
+    "q_rename_dispatch" -> ((s, d) => {
+      val sel = (pmod(col("version_ts"), lit(6000L)) / lit(1000L)).cast("long")
+      val t = col("_table")
+      val stmts =
+        when(sel === 0, concat(lit("RENAME TABLE "), t, lit(" TO "), t, lit("0")))
+          .when(sel === 1, concat(lit("RENAME TABLE "), t, lit(" TO archived_"), t))
+          .when(sel === 2, concat(lit("RENAME TABLE legacy_"), t, lit(" TO "), t))
+          .when(sel === 3, concat(lit("RENAME TABLE legacy_"), t,
+            lit(" TO archived_"), t))
+          .when(sel === 4, concat(lit("RENAME TABLE "), t, lit(" TO "), t,
+            lit("0, legacy_"), t, lit(" TO archived_"), t))
+          .otherwise(concat(lit("RENAME TABLE "), t, lit(" TO "), t,
+            lit("0, legacy_"), t, lit(" TO "), t, lit("0x")))
+      graft.operators.Filters.ddlDispatchRenameAware(
+        graft.operators.SchemaAsOf.sampleVersions(env(s, d))
+          .withColumn("query", stmts),
+        Seq("app.events_*", "!app.events_3"), Nil, Nil)
+        .select(col("version_ts"), col("_schema"), col("_table"),
+          col("query"), col("_ddl_action"), col("_ddl_query"))
+    }),
+
     // replication whitelist (pkg/filter/ddl.go:38-103 + the
     // not-supported block :138-151): statement classes TiCDC never
     // replicates — sequences, savepoints, ANALYZE, GRANT, placement
@@ -728,6 +758,57 @@ object ExtQueries {
          |       WHEN (version_ts % 5000) // 1000 IN (3, 4) THEN 'ignore'
          |       ELSE 'emit' END AS _ddl_action
          |FROM ddl""".stripMargin),
+
+    "q_rename_dispatch" -> {
+      import graft.operators.TableMatcher.matchesSql
+      val rules = Seq("app.events_*", "!app.events_3")
+      val mOld = matchesSql("_schema", "_table", rules)
+      val mNew0 = matchesSql("_schema", "(_table || '0')", rules)
+      val mArch = matchesSql("_schema", "('archived_' || _table)", rules)
+      val mLegacy = matchesSql("_schema", "('legacy_' || _table)", rules)
+      val mNew0x = matchesSql("_schema", "(_table || '0x')", rules)
+      val emit0 = "'RENAME TABLE `' || _schema || '`.`' || _table || '` TO `' || _schema || '`.`' || _table || '0`'"
+      val emit1 = "'RENAME TABLE `' || _schema || '`.`' || _table || '` TO `' || _schema || '`.`archived_' || _table || '`'"
+      q(s""", ddl AS (
+         |  SELECT _schema, _table, _commit_ts AS version_ts,
+         |    (_commit_ts % 6000) // 1000 AS sel,
+         |    CASE (_commit_ts % 6000) // 1000
+         |      WHEN 0 THEN 'RENAME TABLE ' || _table || ' TO ' || _table || '0'
+         |      WHEN 1 THEN 'RENAME TABLE ' || _table || ' TO archived_' || _table
+         |      WHEN 2 THEN 'RENAME TABLE legacy_' || _table || ' TO ' || _table
+         |      WHEN 3 THEN 'RENAME TABLE legacy_' || _table || ' TO archived_' || _table
+         |      WHEN 4 THEN 'RENAME TABLE ' || _table || ' TO ' || _table || '0, legacy_' || _table || ' TO archived_' || _table
+         |      ELSE 'RENAME TABLE ' || _table || ' TO ' || _table || '0, legacy_' || _table || ' TO ' || _table || '0x'
+         |    END AS query
+         |  FROM env WHERE _row_id % 97 = 0
+         |), decided AS (
+         |  SELECT *,
+         |    CASE
+         |      WHEN sel = 0 OR sel = 4 THEN
+         |        CASE WHEN NOT ($mOld) AND ($mNew0) THEN 'error'
+         |             WHEN ($mOld) THEN 'emit' ELSE 'discard' END
+         |      WHEN sel = 1 THEN
+         |        CASE WHEN NOT ($mOld) AND ($mArch) THEN 'error'
+         |             WHEN ($mOld) THEN 'emit' ELSE 'discard' END
+         |      WHEN sel = 2 THEN
+         |        CASE WHEN NOT ($mLegacy) AND ($mOld) THEN 'error'
+         |             WHEN ($mLegacy) THEN 'emit' ELSE 'discard' END
+         |      WHEN sel = 3 THEN
+         |        CASE WHEN NOT ($mLegacy) AND ($mArch) THEN 'error'
+         |             WHEN ($mLegacy) THEN 'emit' ELSE 'discard' END
+         |      ELSE
+         |        CASE WHEN (NOT ($mOld) AND ($mNew0)) OR (NOT ($mLegacy) AND ($mNew0x))
+         |             THEN 'error'
+         |             WHEN ($mOld) OR ($mLegacy) THEN 'emit' ELSE 'discard' END
+         |    END AS _ddl_action
+         |  FROM ddl
+         |)
+         |SELECT version_ts, _schema, _table, query, _ddl_action,
+         |  CASE WHEN _ddl_action = 'emit' AND (sel = 0 OR sel = 4) THEN $emit0
+         |       WHEN _ddl_action = 'emit' AND sel = 1 THEN $emit1
+         |       ELSE query END AS _ddl_query
+         |FROM decided""".stripMargin)
+    },
 
     "q_ddl_whitelist" -> q(
       s""", ddl AS (

@@ -610,6 +610,30 @@ object MySqlDdl {
   private val renamePairRe =
     """(?is)^([`"\w.]+)\s+TO\s+([`"\w.]+)$""".r
 
+  /** `RENAME TABLE a TO b[, c TO d]` → ((schema, table), (schema,
+    * table)) pairs in statement order, unqualified names defaulting to
+    * `defaultSchema` (a rename may cross schemas: `RENAME TABLE t TO
+    * test2.t`). The schema-qualified form the rename-under-filter
+    * decision needs (buildDDLEventForRenameTable(s)). */
+  def parseRenameTableQualified(stmt: String, defaultSchema: String)
+      : Seq[((String, String), (String, String))] =
+    stmt.trim.stripSuffix(";") match {
+      case renameTableRe(pairs) =>
+        splitTopLevel(pairs).flatMap { p =>
+          p.trim match {
+            case renamePairRe(from, to) =>
+              def qual(s: String): (String, String) = {
+                val parts = s.replace("`", "").replace("\"", "").split('.')
+                if (parts.length >= 2) (parts(parts.length - 2), parts.last)
+                else (defaultSchema, parts.last)
+              }
+              Some(qual(from) -> qual(to))
+            case _ => None
+          }
+        }
+      case _ => Nil
+    }
+
   /** `RENAME TABLE a TO b[, c TO d]` → (from, to) unqualified name
     * pairs, statement order. */
   def parseRenameTable(stmt: String): Seq[(String, String)] =

@@ -237,6 +237,75 @@ object Filters {
         .otherwise("emit"))
   }
 
+  /** The outcome of a RENAME TABLE under the changefeed's table
+    * filter. `query` is rebuilt from the surviving pairs only;
+    * `feedDrops` lists tables that LEAVE the feed (renamed to a
+    * filtered-out name — the rename still executes downstream, then
+    * the feed stops tracking the table). */
+  final case class RenameDecision(action: String, query: String,
+                                  addNames: Seq[(String, String)] = Nil,
+                                  dropNames: Seq[(String, String)] = Nil,
+                                  feedDrops: Seq[(String, String)] = Nil)
+
+  /** Rename-under-filter decision table
+    * (buildDDLEventForRenameTable/-Tables,
+    * logservice/schemastore/persist_storage_ddl_handlers.go:2354-2518,
+    * :2792-2900; tests/integration_tests/multi_tables_ddl). Per pair:
+    *
+    *  - old replicated → new replicated: the pair replicates (drop the
+    *    old name, add the new — TableNameChange);
+    *  - old replicated → new filtered: the pair's rename still emits
+    *    downstream, but the table leaves the feed (NeedDroppedTables);
+    *  - old filtered → new replicated: NOT ALLOWED — a table cannot
+    *    enter a changefeed through a rename (the docs' documented
+    *    limitation); the whole DDL errors with
+    *    CDC:ErrSyncRenameTableFailed, which [[graft.streaming
+    *    .FeedBackoff]] classifies unretryable;
+    *  - both filtered: the pair is skipped.
+    *
+    * The emitted query keeps only surviving pairs (the reference's
+    * resultQuerys rebuild); all pairs skipped → discard. */
+  def renameDispatch(query: String, eventSchema: String, tableRules: Seq[String],
+                     caseSensitive: Boolean = false): RenameDecision = {
+    val pairs = graft.model.MySqlDdl.parseRenameTableQualified(query, eventSchema)
+    def m(st: (String, String)): Boolean =
+      TableMatcher.matchesValue(st._1, st._2, tableRules, caseSensitive)
+    if (pairs.exists { case (o, n) => !m(o) && m(n) })
+      return RenameDecision("error", query)
+    val kept = pairs.filter { case (o, _) => m(o) }
+    if (kept.isEmpty) return RenameDecision("discard", query)
+    def q(st: (String, String)) = s"`${st._1}`.`${st._2}`"
+    RenameDecision("emit",
+      "RENAME TABLE " + kept.map { case (o, n) => s"${q(o)} TO ${q(n)}" }.mkString(", "),
+      addNames = kept.collect { case (_, n) if m(n) => n },
+      dropNames = kept.map(_._1),
+      feedDrops = kept.collect { case (o, n) if !m(n) => o })
+  }
+
+  /** [[ddlDispatch]] with the rename decision table applied on top:
+    * rename-classed rows re-dispatch through [[renameDispatch]] (their
+    * action can be `error`, and their emitted query shrinks to the
+    * surviving pairs in `_ddl_query`). DDL streams are control-plane
+    * sized, so the per-row parse is a deliberate non-codegen UDF. */
+  def ddlDispatchRenameAware(ddl: DataFrame, tableRules: Seq[String],
+                             ignoreClasses: Seq[String],
+                             ignoreSqlRegexps: Seq[String]): DataFrame = {
+    val rules = tableRules
+    val act = udf((q: String, s: String) => renameDispatch(q, s, rules).action)
+    val rew = udf((q: String, s: String) => renameDispatch(q, s, rules).query)
+    val base = ddlDispatch(ddl, tableRules, ignoreClasses, ignoreSqlRegexps)
+    val isRename = ddlClass(col("query")) === "rename table"
+    base
+      .withColumn("_ddl_action",
+        when(isRename && col("_ddl_action") =!= "ignore",
+          act(col("query"), col("_schema")))
+          .otherwise(col("_ddl_action")))
+      .withColumn("_ddl_query",
+        when(isRename && col("_ddl_action") === "emit",
+          rew(col("query"), col("_schema")))
+          .otherwise(col("query")))
+  }
+
   /** Evaluate generated/virtual columns into both images before
     * predicate evaluation — the reference builds the row with virtual
     * columns first (expr_filter.go:323 buildRowWithVirtualColumns;
