@@ -313,6 +313,18 @@ object CdcQueries {
           col("after.value").as("value"), col("after.props").as("props"))
     }),
 
+    // GBK-charset mount: strings → real GBK bytes in the row value →
+    // mounted back to UTF-8; identity against the DuckDB recompute
+    // proves the charset transcode on both sides of the wire
+    // (charset_gbk scenario)
+    "q_kv_mount_gbk" -> ((s, d) => {
+      val raw = RawKvQuery.encodeGbk(Tables.events(s, d))
+      RawKvMounter.mountTable(raw, RawKvQuery.gbkMeta)
+        .select(
+          col("after.event_id").as("event_id"),
+          col("after.label").as("label"), col("after.note").as("note"))
+    }),
+
     // schema-VERSIONED mount: rows written before the mid-corpus ADD
     // COLUMN carry no props cell and must default-fill; rows after
     // carry real values (mounter as-of decode + conformance,
@@ -805,6 +817,17 @@ object CdcQueries {
     "q_kv_mount" ->
       "SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props FROM events",
 
+    // gbk mount: the label/note mapping recomputed directly — any
+    // lossiness in the GBK byte round trip hash-mismatches
+    "q_kv_mount_gbk" ->
+      """SELECT event_id,
+        |  CASE event_id % 4 WHEN 0 THEN '测试' WHEN 1 THEN '中国'
+        |       WHEN 2 THEN '上海' ELSE '你好,世界' END AS label,
+        |  event_type || '—' ||
+        |  CASE event_id % 4 WHEN 0 THEN '测试' WHEN 1 THEN '中国'
+        |       WHEN 2 THEN '上海' ELSE '你好,世界' END AS note
+        |FROM events""".stripMargin,
+
     // versioned mount: rows at or before the mid-corpus schema cut
     // default-fill the added column
     "q_kv_mount_versioned" ->
@@ -904,6 +927,37 @@ object RawKvQuery {
             null, "put", ts - 1L, ts)
         }
       }(Encoders.row(rawSchema))
+  }
+
+  /** GBK-charset table for the charset-aware mount oracle: the query
+    * payload is plain Scala STRINGS, stored as real GBK bytes in the
+    * row value (encodeImage's charset-aware write side) and decoded
+    * back by the mounter — a full GBK round trip over real data
+    * (tests/integration_tests/charset_gbk; mounter_test.go:729-739). */
+  val gbkMeta: KvTableMeta = KvTableMeta(103L, "app", "events_gbk", Seq(
+    KvColumn(1L, "event_id", "bigint", nullable = false),
+    KvColumn(2L, "label", "varchar(64)", charset = "gbk"),
+    KvColumn(3L, "note", "text", charset = "gbk")),
+    handleCol = "event_id")
+
+  def encodeGbk(events: DataFrame): DataFrame = {
+    val m = gbkMeta
+    events.select("event_id", "event_type").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val label = (id % 4L).toInt match {
+          case 0 => "测试"
+          case 1 => "中国"
+          case 2 => "上海"
+          case _ => "你好,世界"
+        }
+        val note = r.getString(1) + "—" + label
+        Row(
+          TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(id)),
+          RawKvMounter.encodeImage(m, Seq(id, label, note)),
+          null, "put", 9L, 10L)
+      }
+    }(Encoders.row(rawSchema))
   }
 
   /** events → UNCOMMITTED 2PC entries for the txn matcher

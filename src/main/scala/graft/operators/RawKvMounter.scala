@@ -562,10 +562,21 @@ object RawKvMounter {
 
   /** Encode one payload (ordered as meta.columns) into a v2 row value;
     * the handle column is omitted from the value, as TiDB does. */
+  /** A payload value as TiKV stores it: a String destined for a
+    * non-UTF-8 string column encodes in the COLUMN charset (the write
+    * side of the charset-aware mount — TiDB stores gbk columns as GBK
+    * bytes). */
+  private def storedValue(c: KvColumn, v: Any): Any = v match {
+    case s: String if charClass(base(c.sqlType)) =>
+      transcoder(c).map(cs => s.getBytes(cs): Any).getOrElse(s)
+    case other => other
+  }
+
   def encodeImage(meta: KvTableMeta, payload: Seq[Any]): Array[Byte] = {
     val cells = meta.columns.zip(payload).collect {
       case (c, v) if !meta.handleCols.contains(c.name) =>
-        (c.id, Option(v).map(x => TiKvCodec.encodeCell(x, base(c.sqlType), c.unsigned)))
+        (c.id, Option(v).map(x =>
+          TiKvCodec.encodeCell(storedValue(c, x), base(c.sqlType), c.unsigned)))
     }
     TiKvCodec.encodeV2(cells)
   }
@@ -599,10 +610,14 @@ object RawKvMounter {
   def recordKeyFor(meta: KvTableMeta, payload: Seq[Any],
                    physicalId: Option[Long] = None): Array[Byte] = {
     val byName = meta.columns.map(_.name).zip(payload).toMap
-    def datumOf(v: Any): Datum = v match {
+    def datumOf(name: String, v: Any): Datum = v match {
       case l: Long => DInt(l)
       case i: Int => DInt(i.toLong)
-      case s: String => DBytes(s.getBytes("UTF-8"))
+      case s: String =>
+        // a string PK's key bytes carry the column charset
+        val cs = meta.columns.find(_.name == name).flatMap(transcoder)
+          .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+        DBytes(s.getBytes(cs))
       case d: Double => DFloat(d)
       case b: Array[Byte] => DBytes(b)
       case other => throw new IllegalArgumentException(s"unsupported handle value $other")
@@ -621,7 +636,7 @@ object RawKvMounter {
         IntHandle(byName(one).asInstanceOf[Number].longValue())
       case Seq(one) if handleColType(one).contains(DecimalType(20, 0)) =>
         IntHandle(u64Bits(byName(one))) // unsigned bigint PK
-      case cols => CommonHandle(cols.map(n => datumOf(byName(n))))
+      case cols => CommonHandle(cols.map(n => datumOf(n, byName(n))))
     }
     TiKvCodec.encodeRecordKey(physicalId.getOrElse(meta.tableId), handle)
   }

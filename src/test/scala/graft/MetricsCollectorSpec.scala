@@ -28,15 +28,21 @@ class MetricsCollectorSpec extends SparkFunSuite {
       var spins = 0
       while (c.queriesTerminated < 1 && spins < 100) { Thread.sleep(100); spins += 1 }
 
+      // suites share one SparkSession and run in parallel: another
+      // suite's streaming query may report into the attached listener
+      // while this one runs, so every assertion scopes to THIS
+      // changefeed (which is also the semantic under test — the
+      // rollup key is the changefeed)
       val snap = c.snapshot(spark).collect()
+        .filter(_.getAs[String]("changefeed") == "cf-metrics")
       assert(snap.length >= 4, s"expected >=4 batch metrics, got ${snap.length}")
-      val byName = snap.filter(_.getAs[String]("changefeed") != null)
-      assert(byName.forall(_.getAs[Long]("numInputRows") >= 0))
+      assert(snap.forall(_.getAs[Long]("numInputRows") >= 0))
       assert(snap.map(_.getAs[Long]("numInputRows")).sum == rows,
         "captured input rows must equal the drained row count")
       assert(snap.forall(_.getAs[Long]("watermarkLagMs") >= 0))
 
       val g = c.gauges(spark).collect()
+        .filter(_.getAs[String]("changefeed") == "cf-metrics")
       assert(g.length == 1, s"one changefeed => one gauge row, got ${g.length}")
       val row = g.head
       assert(row.getAs[Long]("total_rows") == rows)
