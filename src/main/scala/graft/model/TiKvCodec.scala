@@ -728,18 +728,20 @@ object RawKvEntryMsgp {
         else throw new IllegalArgumentException(f"not a str tag 0x$t%02x")
       val first = data(p)
       p += n
-      (n, first.toChar) match {
-        case (7, 'o') => 0 // op_type
-        case (4, 'c') => 1 // crts
-        case (8, 's') => 2 // start_ts
-        case (9, 'r') => 3 // region_id
-        case (7, 'k') => 4 // key_len
-        case (9, 'v') => 5 // value_len
-        case (13, 'o') => 6 // old_value_len
-        case (3, 'k') => 7 // key
-        case (5, 'v') => 8 // value
-        case (9, 'o') => 9 // old_value
-        case other =>
+      // packed (length << 8 | first byte) — a primitive tableswitch,
+      // no tuple boxing on the hot path (10 dispatches per entry)
+      (n << 8) | (first & 0xff) match {
+        case 0x76F => 0 // (7,'o') op_type
+        case 0x463 => 1 // (4,'c') crts
+        case 0x873 => 2 // (8,'s') start_ts
+        case 0x972 => 3 // (9,'r') region_id
+        case 0x76B => 4 // (7,'k') key_len
+        case 0x976 => 5 // (9,'v') value_len
+        case 0xD6F => 6 // (13,'o') old_value_len
+        case 0x36B => 7 // (3,'k') key
+        case 0x576 => 8 // (5,'v') value
+        case 0x96F => 9 // (9,'o') old_value
+        case _ =>
           throw new IllegalArgumentException(
             s"unknown field ${new String(data, p - n, n, "UTF-8")}")
       }
