@@ -313,6 +313,40 @@ object CdcQueries {
           col("after.value").as("value"), col("after.props").as("props"))
     }),
 
+    // reference-format redo-wire round trip over real data: the whole
+    // envelope written as the upstream's ON-DISK redo format (etcd-WAL
+    // frames of version-prefixed msgp RedoLogs, per-partition files +
+    // meta) and recovered from the BYTES alone — identity against the
+    // DuckDB env recompute proves the wire codec end to end
+    // (pkg/redo/codec; consistent_replicate_* scenarios)
+    "q_redo_wire" -> ((s, d) => {
+      import graft.sinks.{RedoWire, RedoWireBridge}
+      import org.apache.spark.sql.Row
+      import org.apache.spark.sql.types._
+      val e = env(s, d)
+      val dir = java.nio.file.Files.createTempDirectory("graft-redo-wire-q").toString
+      val maxTs = e.agg(max(col("_commit_ts"))).head().getLong(0)
+      RedoWireBridge.writeDirFromEnvelope(e, dir, Seq("user_id"), 0L, maxTs)
+      val (_, _, rdd) = RedoWireBridge.recordsFromDir(s, dir)
+      val flat = rdd.collect { case RedoWire.DmlRecord(m) =>
+        def v(side: Seq[RedoWire.RedoColVal], i: Int): Any =
+          if (side.isEmpty) null else RedoWireBridge.jvmValue(side(i))
+        Row(m.schema, m.table, m.op, m.commitTs, m.startTs,
+          v(m.preValues, 0), v(m.preValues, 1), v(m.preValues, 2),
+          v(m.values, 0), v(m.values, 1), v(m.values, 2))
+      }
+      s.createDataFrame(flat, StructType(Seq(
+        StructField("_schema", StringType), StructField("_table", StringType),
+        StructField("_op", StringType),
+        StructField("_commit_ts", LongType), StructField("_start_ts", LongType),
+        StructField("before_user_id", LongType),
+        StructField("before_value", DoubleType),
+        StructField("before_k", LongType),
+        StructField("after_user_id", LongType),
+        StructField("after_value", DoubleType),
+        StructField("after_k", LongType))))
+    }),
+
     // GBK-charset mount: strings → real GBK bytes in the row value →
     // mounted back to UTF-8; identity against the DuckDB recompute
     // proves the charset transcode on both sides of the wire
@@ -816,6 +850,13 @@ object CdcQueries {
     // the mount is encode∘decode = identity over the real table
     "q_kv_mount" ->
       "SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value, props FROM events",
+
+    // redo-wire round trip: identity against the env recompute
+    "q_redo_wire" -> q(
+      """SELECT _schema, _table, _op, _commit_ts, _start_ts,
+        |  before_user_id, before_value, before_k,
+        |  after_user_id, after_value, after_k
+        |FROM env""".stripMargin),
 
     // gbk mount: the label/note mapping recomputed directly — any
     // lossiness in the GBK byte round trip hash-mismatches
