@@ -13,14 +13,46 @@ import org.apache.spark.sql.functions._
   * `GRAFT_REDO_CONFIG` to replay with its `[[sink.dispatchers]]`
   * table routes applied — a routed feed's recovery must land rows in
   * the ROUTED tables (redo_apply_table_route), exactly like the live
-  * sink. */
+  * sink.
+  *
+  * A directory written by the REFERENCE (the upstream's own `.log` +
+  * `.meta` wire files) is auto-detected and replayed through the
+  * byte-exact [[graft.sinks.RedoWireBridge]] path — point this main
+  * at a real upstream redo dir and it recovers from those bytes. */
 object RedoApply {
+
+  /** Reference on-disk redo dir = WAL `.log`/`.meta` files present and
+    * none of our parquet log layout. */
+  private[graft] def isReferenceFormat(dir: String): Boolean = {
+    val d = new java.io.File(dir)
+    val names = Option(d.list()).getOrElse(Array.empty)
+    names.exists(n => n.endsWith(graft.sinks.RedoWire.LogExt) ||
+      n.endsWith(graft.sinks.RedoWire.MetaExt)) &&
+      !new java.io.File(d, "log").isDirectory &&
+      !new java.io.File(d, "slog").isDirectory
+  }
+
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty, "usage: RedoApply <redoDir> [outDir]")
     val dir = args(0)
     val out = args.lift(1)
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    if (isReferenceFormat(dir)) {
+      val (ck, rts) = graft.sinks.RedoWire.readMetaWindow(dir)
+      val stmts = graft.sinks.RedoWireBridge.statementsFromDir(spark, dir)
+      val counts = stmts.agg(
+        count(lit(1)).as("n"),
+        sum(when(col("_op") === "DDL", 1L).otherwise(0L)).as("ddl")).head()
+      out.foreach(o => stmts.orderBy(col("_apply_order"), col("_partition"),
+        col("_commit_ts"), col("_row_id")).write.mode("overwrite").parquet(o))
+      println(s"""{"metric":"redo_apply","format":"reference-wire",""" +
+        s""""checkpoint_ts":$ck,"resolved_ts":$rts,""" +
+        s""""statements":${counts.getLong(0)},"ddl":${counts.getLong(1)}}""")
+      spark.stop()
+      return
+    }
 
     val masterKey = sys.env.get("GRAFT_REDO_MASTER_KEY")
       .map(java.util.Base64.getDecoder.decode)

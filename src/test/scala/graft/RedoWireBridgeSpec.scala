@@ -145,6 +145,18 @@ class RedoWireBridgeSpec extends SparkFunSuite {
     assert(rows(1).getAs[String]("_stmt") == "ALTER TABLE app.t0 ADD COLUMN c INT")
   }
 
+  test("RedoApply auto-detects a reference-format dir vs our parquet layout") {
+    val wire = Files.createTempDirectory("graft-wire-detect").toString
+    RedoWire.writeDir(wire, Seq(DdlRecord(RedoDdl(1L, 2L, "CREATE TABLE s.t (a INT)",
+      3, "s", "t"))), checkpointTs = 0L, resolvedTs = 2L)
+    assert(RedoApply.isReferenceFormat(wire))
+    val ours = Files.createTempDirectory("graft-ours-detect").toString
+    graft.sinks.RedoLog.append(mkEnv(Seq((1L, "I", 2L, 1.0, 1L))), ours)
+    assert(!RedoApply.isReferenceFormat(ours))
+    assert(!RedoApply.isReferenceFormat(
+      Files.createTempDirectory("graft-empty-detect").toString))
+  }
+
   test("unsigned u64 values cross the wire as DECIMAL(20,0) and render full-range") {
     val dir = Files.createTempDirectory("graft-wirebridge-u64").toString
     import org.apache.spark.sql.types._
