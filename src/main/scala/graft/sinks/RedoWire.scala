@@ -1,6 +1,6 @@
 package graft.sinks
 
-import java.io.{BufferedInputStream, FileInputStream, FileOutputStream}
+import java.io.FileOutputStream
 import java.nio.{ByteBuffer, ByteOrder}
 
 /** The reference's REDO LOG v2 on-disk wire format, byte-exact — so a
@@ -555,34 +555,50 @@ object RedoWire {
     } finally out.close()
   }
 
+  /** LZ4 frame magic — an upstream redo file may be lz4-compressed as
+    * a whole (reader/file.go:55-56,263-266: detect by magic,
+    * decompress, then parse frames). */
+  private val lz4Magic = Array[Byte](0x04, 0x22, 0x4d.toByte, 0x18)
+
   /** Read every whole record; a torn/short tail frame ends the read
-    * (the reference tolerates torn writes the same way). */
+    * (the reference tolerates torn writes the same way). A whole-file
+    * LZ4 frame (magic 0x04224D18) decompresses first, exactly like
+    * the reference reader. */
   def readLogFile(path: String): Seq[Array[Byte]] = {
-    val in = new BufferedInputStream(new FileInputStream(path))
-    try {
-      val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
-      val lenBytes = new Array[Byte](8)
-      var done = false
-      while (!done) {
-        val n = in.readNBytes(lenBytes, 0, 8)
-        if (n < 8) done = true
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    val content =
+      if (raw.length >= 4 && raw(0) == lz4Magic(0) && raw(1) == lz4Magic(1) &&
+          raw(2) == lz4Magic(2) && raw(3) == lz4Magic(3))
+        graft.functions.Compression.decode(graft.functions.Compression.Lz4, raw)
+      else raw
+    val out = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+    var p = 0
+    var done = false
+    while (!done) {
+      if (p + 8 > content.length) done = true
+      else {
+        val lenField = ByteBuffer.wrap(content, p, 8)
+          .order(ByteOrder.LITTLE_ENDIAN).getLong
+        p += 8
+        val recBytes = (lenField & ~(0xffL << 56)).toInt
+        val padBytes = if (lenField < 0) ((lenField >>> 56) & 0x7L).toInt else 0
+        if (recBytes == 0 || p + recBytes > content.length) done = true // torn
         else {
-          val lenField = ByteBuffer.wrap(lenBytes).order(ByteOrder.LITTLE_ENDIAN).getLong
-          val recBytes = (lenField & ~(0xffL << 56)).toInt
-          val padBytes = if (lenField < 0) ((lenField >>> 56) & 0x7L).toInt else 0
-          if (recBytes == 0) done = true
-          else {
-            val rec = new Array[Byte](recBytes)
-            if (in.readNBytes(rec, 0, recBytes) < recBytes) done = true // torn
-            else {
-              in.skipNBytes(padBytes.toLong)
-              out += rec
-            }
-          }
+          out += java.util.Arrays.copyOfRange(content, p, p + recBytes)
+          p += recBytes + padBytes
         }
       }
-      out.toSeq
-    } finally in.close()
+    }
+    out.toSeq
+  }
+
+  /** Compress an already-written log file whole-file LZ4 (what the
+    * reference writer does with `compression = lz4`) — for parity
+    * tests and compressed export. */
+  def lz4CompressFile(path: String): Unit = {
+    val raw = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+    java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      graft.functions.Compression.encode(graft.functions.Compression.Lz4, raw))
   }
 
   // ---------------------------------------------------------------

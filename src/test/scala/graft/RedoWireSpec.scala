@@ -211,6 +211,20 @@ class RedoWireSpec extends AnyFunSuite {
     assert(RedoWire.readLogFile(torn).map(_.toSeq) == recs.take(2).map(_.toSeq))
   }
 
+  test("a whole-file LZ4 log (upstream compression=lz4) decompresses transparently") {
+    val dir = Files.createTempDirectory("graft-redolz4").toString
+    val f = s"$dir/c.log"
+    val recs = Seq(encodeRecord(dmlInsert), encodeRecord(ddlRec))
+    RedoWire.writeLogFile(f, recs.iterator)
+    val plain = RedoWire.readLogFile(f)
+    RedoWire.lz4CompressFile(f)
+    val raw = Files.readAllBytes(java.nio.file.Paths.get(f))
+    assert((raw(0) & 0xff) == 0x04 && (raw(1) & 0xff) == 0x22 &&
+      (raw(2) & 0xff) == 0x4d && (raw(3) & 0xff) == 0x18,
+      "compressed file must start with the lz4 frame magic")
+    assert(RedoWire.readLogFile(f).map(_.toSeq) == plain.map(_.toSeq))
+  }
+
   // ---- meta ----
 
   test("LogMeta round trip and max-fold across meta files (ParseMeta)") {
