@@ -185,6 +185,27 @@ object RedoWireBridge {
     case other => other
   }
 
+  /** DDL frames (_schema, _table, _commit_ts, query — the
+    * [[RedoApplier.appendDdl]] shape) → the dir's `ddl` log file. DDL
+    * streams are control-plane-sized, so one file suffices (the
+    * reference also keeps one ddl writer per changefeed). */
+  def writeDdlLog(ddls: DataFrame, dir: String,
+                  captureId: String = "graft",
+                  changefeedId: String = "feed"): Unit = {
+    val rows = ddls.select("_schema", "_table", "_commit_ts", "query")
+      .collect() // control-plane-sized by definition
+    if (rows.isEmpty) return
+    val recs = rows.map { r =>
+      DdlRecord(RedoDdl(r.getLong(2) - 1L, r.getLong(2), r.getString(3),
+        0, r.getString(0), r.getString(1)))
+    }
+    val maxTs = recs.map(_.commitTs).max
+    RedoWire.writeLogFile(
+      new java.io.File(dir, RedoWire.logFileName(captureId, changefeedId,
+        "ddl", maxTs, "d000")).getPath,
+      recs.iterator.map(RedoWire.encodeRecord))
+  }
+
   /** An envelope frame → a reference-format redo directory: one log
     * file per Spark partition (the per-worker files the reference
     * writes), one meta for the window. */

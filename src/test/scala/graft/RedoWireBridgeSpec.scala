@@ -145,6 +145,22 @@ class RedoWireBridgeSpec extends SparkFunSuite {
     assert(rows(1).getAs[String]("_stmt") == "ALTER TABLE app.t0 ADD COLUMN c INT")
   }
 
+  test("DDL export: an appendDdl-shaped frame lands as a wire ddl log file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-wire-ddlout").toString
+    RedoWireBridge.writeDirFromEnvelope(mkEnv(Seq((1L, "I", 2L, 1.0, 1L))),
+      dir, Seq("user_id"), 0L, Long.MaxValue)
+    RedoWireBridge.writeDdlLog(
+      Seq(("app", "t0", 1000002000L, "ALTER TABLE t0 ADD COLUMN c INT"))
+        .toDF("_schema", "_table", "_commit_ts", "query"), dir)
+    val names = new java.io.File(dir).list().toSeq
+    assert(names.exists(_.contains("_ddl_")), s"no ddl log in $names")
+    val (_, _, rdd) = RedoWireBridge.recordsFromDir(spark, dir)
+    val ddls = rdd.collect().collect { case DdlRecord(d) => d }
+    assert(ddls.map(_.query).toSeq == Seq("ALTER TABLE t0 ADD COLUMN c INT"))
+    assert(ddls.head.commitTs == 1000002000L && ddls.head.schema == "app")
+  }
+
   test("RedoApply auto-detects a reference-format dir vs our parquet layout") {
     val wire = Files.createTempDirectory("graft-wire-detect").toString
     RedoWire.writeDir(wire, Seq(DdlRecord(RedoDdl(1L, 2L, "CREATE TABLE s.t (a INT)",
