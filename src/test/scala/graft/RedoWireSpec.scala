@@ -185,6 +185,92 @@ class RedoWireSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: 500 adversarial records round trip bytes->record->bytes identically") {
+    val rnd = new scala.util.Random(42)
+    def rndString(): String = {
+      // lengths crossing the fixstr/str8/str16 edges, with multi-byte
+      // code points so byte length ≠ char length
+      val n = Seq(0, 1, 5, 31, 32, 33, 255, 256, 300)(rnd.nextInt(9))
+      val sb = new StringBuilder
+      while (sb.length < n) sb.append(
+        Seq("a", "й", "测", "🙂", "'", "\\", " ")(rnd.nextInt(7)))
+      sb.toString
+    }
+    // surrogate-safe names (truncating a 🙂 mid-pair makes invalid
+    // UTF-8, which no Go string would carry either)
+    def rndName(max: Int): String = {
+      val n = rnd.nextInt(max + 1)
+      (0 until n).map(_ => Seq('a', 'й', '测', '\'', '\\', ' ')(rnd.nextInt(6)))
+        .mkString
+    }
+    def rndLong(): Long = Seq(
+      0L, 1L, -1L, 127L, 128L, 255L, 256L, 32767L, 32768L, 65535L, 65536L,
+      Int.MaxValue.toLong, Int.MaxValue + 1L, -32L, -33L, -128L, -129L,
+      -32768L, -32769L, Int.MinValue.toLong, Int.MinValue - 1L,
+      Long.MaxValue, Long.MinValue, rnd.nextLong())(rnd.nextInt(24))
+    def rndBytes(): Array[Byte] = {
+      val n = Seq(0, 1, 7, 255, 256, 1000, 70000)(rnd.nextInt(7))
+      val b = new Array[Byte](n); rnd.nextBytes(b); b
+    }
+    def rndVal(): RedoColVal = rnd.nextInt(7) match {
+      case 0 => RedoColVal(rndLong(), isEmptyBytes = false,
+        if (rnd.nextBoolean()) UnsignedFlag else 0L)
+      case 1 => RedoColVal(rndString(), isEmptyBytes = false, 0L)
+      case 2 =>
+        val b = rndBytes()
+        RedoColVal(b, b.isEmpty, BinaryFlag)
+      case 3 => RedoColVal(null, isEmptyBytes = false, NullableFlag)
+      case 4 => RedoColVal(rnd.nextDouble() * math.pow(10, rnd.nextInt(20) - 10),
+        isEmptyBytes = false, 0L)
+      case 5 => RedoColVal(if (rnd.nextBoolean()) -0.0 else Double.MinPositiveValue,
+        isEmptyBytes = false, 0L)
+      case _ => RedoColVal(rnd.nextBoolean(), isEmptyBytes = false, 0L)
+    }
+    def sameVal(a: RedoColVal, b: RedoColVal): Boolean =
+      a.flag == b.flag && a.isEmptyBytes == b.isEmptyBytes && ((a.value, b.value) match {
+        case (x: Array[Byte], y: Array[Byte]) => java.util.Arrays.equals(x, y)
+        case (x: Double, y: Double) =>
+          java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y)
+        case (x, y) => x == y
+      })
+    (1 to 500).foreach { i =>
+      val nCols = 1 + rnd.nextInt(14)
+      val cols = (0 until nCols).map(j =>
+        RedoCol(s"c$j${rndName(8)}", rnd.nextInt(256),
+          rndName(10), rndName(10)))
+      val op = rnd.nextInt(3)
+      val post = if (op != 1) (0 until nCols).map(_ => rndVal()) else Nil
+      val pre = if (op != 0) (0 until nCols).map(_ => rndVal()) else Nil
+      val rec =
+        if (rnd.nextInt(10) == 0)
+          DdlRecord(RedoDdl(rndLong().abs, rndLong().abs, rndString(),
+            rnd.nextInt(256), rndString(), rndString(), rndLong(),
+            rnd.nextBoolean()))
+        else DmlRecord(RedoDml(rndLong().abs, rndLong().abs,
+          rndString(), rndString(), rndLong(), rnd.nextBoolean(),
+          cols, post, pre,
+          indexColumns = Seq((0 until rnd.nextInt(4)).toSeq)))
+      val bytes = encodeRecord(rec)
+      val back = decodeRecord(bytes)
+      // encode(decode(x)) must be byte-identical — the codec is a
+      // bijection on its own output
+      assert(encodeRecord(back).toSeq == bytes.toSeq, s"iteration $i: bytes drifted")
+      (rec, back) match {
+        case (DmlRecord(a), DmlRecord(b)) =>
+          assert(a.startTs == b.startTs && a.commitTs == b.commitTs, s"iter $i")
+          assert(a.schema == b.schema && a.table == b.table && a.tableId == b.tableId)
+          assert(a.cols == b.cols, s"iter $i cols")
+          assert(a.values.length == b.values.length &&
+            a.values.zip(b.values).forall((sameVal _).tupled), s"iter $i values")
+          assert(a.preValues.length == b.preValues.length &&
+            a.preValues.zip(b.preValues).forall((sameVal _).tupled), s"iter $i pre")
+        case (DdlRecord(a), DdlRecord(b)) =>
+          assert(a == b, s"iter $i ddl")
+        case other => fail(s"iter $i: record class flipped: $other")
+      }
+    }
+  }
+
   // ---- WAL framing ----
 
   test("etcd-WAL framing: length field, 8-byte padding, torn tail tolerated") {
