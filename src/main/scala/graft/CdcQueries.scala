@@ -347,16 +347,20 @@ object CdcQueries {
         StructField("after_k", LongType))))
     }),
 
-    // GBK-charset mount: strings → real GBK bytes in the row value →
-    // mounted back to UTF-8; identity against the DuckDB recompute
-    // proves the charset transcode on both sides of the wire
-    // (charset_gbk scenario)
+    // GBK-declared mount in BOTH source dialects: even event_ids take
+    // the TiDB dialect (stored bytes already utf8mb4, mount does no
+    // transcode — the reference's behavior, mounter_test.go:729-739),
+    // odd ids take mysql-native (real GBK bytes, mount transcodes);
+    // identity against the DuckDB recompute proves both paths
     "q_kv_mount_gbk" -> ((s, d) => {
-      val raw = RawKvQuery.encodeGbk(Tables.events(s, d))
-      RawKvMounter.mountTable(raw, RawKvQuery.gbkMeta)
-        .select(
-          col("after.event_id").as("event_id"),
-          col("after.label").as("label"), col("after.note").as("note"))
+      val ev = Tables.events(s, d)
+      val sel = (m: RawKvMounter.KvTableMeta, even: Boolean) =>
+        RawKvMounter.mountTable(RawKvQuery.encodeGbk(ev, m, even), m)
+          .select(
+            col("after.event_id").as("event_id"),
+            col("after.label").as("label"), col("after.note").as("note"))
+      sel(RawKvQuery.gbkMeta, true)
+        .unionAll(sel(RawKvQuery.gbkMetaNative, false))
     }),
 
     // schema-VERSIONED mount: rows written before the mid-corpus ADD
@@ -970,35 +974,47 @@ object RawKvQuery {
       }(Encoders.row(rawSchema))
   }
 
-  /** GBK-charset table for the charset-aware mount oracle: the query
-    * payload is plain Scala STRINGS, stored as real GBK bytes in the
-    * row value (encodeImage's charset-aware write side) and decoded
-    * back by the mounter — a full GBK round trip over real data
-    * (tests/integration_tests/charset_gbk; mounter_test.go:729-739). */
+  /** GBK-DECLARED table for the charset mount oracle, in BOTH source
+    * dialects. TiDB dialect (the reference's only mode): declared
+    * charset gbk but stored bytes are utf8mb4 — TiDB transcodes before
+    * storage, so the mounter does NO transcoding
+    * (pkg/common/event/mounter_test.go:729-739 mounts the Chinese text
+    * directly; tests/integration_tests/charset_gbk). mysql-native
+    * dialect: the bytes really are GBK and the mount transcodes. The
+    * query splits events by parity across the two dialects and unions
+    * the mounts — any lossiness on either path hash-mismatches. */
   val gbkMeta: KvTableMeta = KvTableMeta(103L, "app", "events_gbk", Seq(
     KvColumn(1L, "event_id", "bigint", nullable = false),
     KvColumn(2L, "label", "varchar(64)", charset = "gbk"),
     KvColumn(3L, "note", "text", charset = "gbk")),
     handleCol = "event_id")
 
-  def encodeGbk(events: DataFrame): DataFrame = {
-    val m = gbkMeta
-    events.select("event_id", "event_type").mapPartitions { it =>
-      it.map { r =>
-        val id = r.getLong(0)
-        val label = (id % 4L).toInt match {
-          case 0 => "测试"
-          case 1 => "中国"
-          case 2 => "上海"
-          case _ => "你好,世界"
+  val gbkMetaNative: KvTableMeta = gbkMeta.copy(
+    tableId = 104L, table = "events_gbk_native", dialect = "mysql-native")
+
+  def gbkLabel(id: Long): String = (id % 4L).toInt match {
+    case 0 => "测试"
+    case 1 => "中国"
+    case 2 => "上海"
+    case _ => "你好,世界"
+  }
+
+  /** Encode the events slice for one dialect's meta (`even` picks the
+    * parity class so the two dialects partition the corpus). */
+  def encodeGbk(events: DataFrame, m: KvTableMeta, even: Boolean): DataFrame = {
+    events.select("event_id", "event_type")
+      .where(col("event_id") % 2 === (if (even) 0 else 1))
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val label = gbkLabel(id)
+          val note = r.getString(1) + "—" + label
+          Row(
+            TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(id)),
+            RawKvMounter.encodeImage(m, Seq(id, label, note)),
+            null, "put", 9L, 10L)
         }
-        val note = r.getString(1) + "—" + label
-        Row(
-          TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(id)),
-          RawKvMounter.encodeImage(m, Seq(id, label, note)),
-          null, "put", 9L, 10L)
-      }
-    }(Encoders.row(rawSchema))
+      }(Encoders.row(rawSchema))
   }
 
   /** events → UNCOMMITTED 2PC entries for the txn matcher

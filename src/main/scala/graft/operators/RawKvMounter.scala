@@ -48,13 +48,16 @@ object RawKvMounter {
     * filters evaluate it on demand (expr_filter.go:323
     * buildRowWithVirtualColumns; chunk decode appends null for
     * IsVirtualGenerated, chunk.go:108-110). */
-  /** `charset`: the column's MySQL character set. TiKV stores string
-    * cells as raw bytes IN THAT CHARSET; the mount must transcode them
-    * to produce the UTF-8 strings the reference's mounter emits (its
-    * GBK matrix: mounter_test.go:729-739 — GBK char/varchar/text decode
-    * to the Chinese text, while blob-class columns keep the raw GBK
-    * bytes; tests/integration_tests/charset_gbk). Empty = utf8/utf8mb4
-    * (no transcode). */
+  /** `charset`: the column's DECLARED MySQL character set. For
+    * TiDB-format sources (the default dialect) this is metadata only:
+    * TiDB converts non-utf8 string data to utf8mb4 BEFORE storage, so
+    * the row bytes a GBK-declared char/varchar/text column carries are
+    * already UTF-8 and the reference's mounter does NO transcoding —
+    * its GBK matrix (pkg/common/event/mounter_test.go:729-739;
+    * tests/integration_tests/charset_gbk) mounts the text directly
+    * while blob-class columns keep raw bytes. Transcoding only applies
+    * under the `mysql-native` source dialect (see [[KvTableMeta]]),
+    * where the stored bytes genuinely live in the column charset. */
   final case class KvColumn(id: Long, name: String, sqlType: String,
                             unsigned: Boolean = false, nullable: Boolean = true,
                             default: Option[String] = None,
@@ -70,11 +73,20 @@ object RawKvMounter {
     * to the one logical table, the physical→logical mapping the
     * reference does via `DecodeTableID` returning physicalTableID
     * (mounter.go:191) resolved through TableInfo. */
+  /** `dialect`: the byte provenance of string cells. `"tidb"` (the
+    * default and the reference's only mode) — string bytes are always
+    * utf8mb4 regardless of declared column charset, so the mount never
+    * transcodes (mounter.go does none; mounter_test.go GBK matrix).
+    * `"mysql-native"` — the bytes were produced by a MySQL-native
+    * writer and live in the DECLARED column charset; the mount
+    * transcodes gbk/gb18030/latin1(→cp1252, MySQL's real latin1) to
+    * UTF-8 on decode and writes column-charset bytes on encode. */
   final case class KvTableMeta(tableId: Long, schema: String, table: String,
                                columns: Seq[KvColumn], handleCol: String,
                                moreHandleCols: Seq[String] = Nil,
                                physicalIds: Seq[Long] = Nil,
-                               tz: String = "UTC") {
+                               tz: String = "UTC",
+                               dialect: String = "tidb") {
     /** The full handle column list, key order. */
     def handleCols: Seq[String] = handleCol +: moreHandleCols
     /** All physical table IDs whose records belong to this table. */
@@ -105,17 +117,22 @@ object RawKvMounter {
     if (c.charset.nonEmpty) c.charset
     else charsetRe.findFirstMatchIn(c.sqlType).map(_.group(1)).getOrElse("")
 
-  /** The transcoding charset for a string column, None when the
-    * stored bytes are already UTF-8 (utf8/utf8mb4/ascii — ASCII is a
-    * UTF-8 subset). MySQL charset names map to their JVM equivalents
-    * (gbk, gb18030, latin1; anything else passes through to
-    * Charset.forName so future charsets fail loudly, not silently). */
-  private def transcoder(c: KvColumn): Option[java.nio.charset.Charset] =
-    effectiveCharset(c).toLowerCase match {
+  /** The transcoding charset for a string column — ALWAYS None under
+    * the default `tidb` dialect (TiDB stores utf8mb4 bytes whatever
+    * the declared charset; the reference mounter never transcodes).
+    * Under `mysql-native`, None when the declared charset is already
+    * a UTF-8 subset (utf8/utf8mb4/ascii); MySQL charset names map to
+    * their JVM equivalents — note MySQL `latin1` is really cp1252
+    * (windows-1252), not ISO-8859-1. Anything else passes through to
+    * Charset.forName so future charsets fail loudly, not silently. */
+  private def transcoder(meta: KvTableMeta,
+                         c: KvColumn): Option[java.nio.charset.Charset] =
+    if (meta.dialect != "mysql-native") None
+    else effectiveCharset(c).toLowerCase match {
       case "" | "utf8" | "utf8mb4" | "ascii" | "binary" => None
       case "gbk" => Some(java.nio.charset.Charset.forName("GBK"))
       case "gb18030" => Some(java.nio.charset.Charset.forName("GB18030"))
-      case "latin1" => Some(java.nio.charset.StandardCharsets.ISO_8859_1)
+      case "latin1" => Some(java.nio.charset.Charset.forName("windows-1252"))
       case other => Some(java.nio.charset.Charset.forName(other))
     }
 
@@ -183,8 +200,9 @@ object RawKvMounter {
             case DUint(x) => x
             case DFloat(x) => x
             case DBytes(x) =>
-              // a string PK's key bytes are in the column charset too
-              val cs = meta.columns.find(_.name == name).flatMap(transcoder)
+              // a string PK's key bytes follow the source dialect too
+              val cs = meta.columns.find(_.name == name)
+                .flatMap(transcoder(meta, _))
                 .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
               new String(x, cs)
             case DDecimal(x) => x
@@ -202,9 +220,10 @@ object RawKvMounter {
           case Some(row) =>
             row.cell(c.id) match {
               case Some(cell) =>
-                val v = transcoder(c) match {
-                  // string cell stored in the column charset: decode
-                  // with it (blob-class stays raw via decodeCell)
+                val v = transcoder(meta, c) match {
+                  // mysql-native dialect only: string cell stored in
+                  // the column charset (blob-class stays raw via
+                  // decodeCell); tidb dialect decodes UTF-8 directly
                   case Some(cs) if charClass(bt) => new String(cell, cs)
                   case _ => TiKvCodec.decodeCell(cell, bt, c.unsigned)
                 }
@@ -229,8 +248,9 @@ object RawKvMounter {
                     graft.model.PackedTime.unpackInZone(x, meta.zoneId)
                   case DUint(x) if bt == "timestamp" && meta.tz != "UTC" =>
                     graft.model.PackedTime.unpackInZone(x, meta.zoneId)
-                  case DBytes(x) if charClass(bt) && transcoder(c).isDefined =>
-                    new String(x, transcoder(c).get) // v1 charset decode
+                  case DBytes(x)
+                      if charClass(bt) && transcoder(meta, c).isDefined =>
+                    new String(x, transcoder(meta, c).get) // v1, mysql-native
                   case other => datumValue(other, bt)
                 }
                 normalize(v0, c)
@@ -562,21 +582,22 @@ object RawKvMounter {
 
   /** Encode one payload (ordered as meta.columns) into a v2 row value;
     * the handle column is omitted from the value, as TiDB does. */
-  /** A payload value as TiKV stores it: a String destined for a
-    * non-UTF-8 string column encodes in the COLUMN charset (the write
-    * side of the charset-aware mount — TiDB stores gbk columns as GBK
-    * bytes). */
-  private def storedValue(c: KvColumn, v: Any): Any = v match {
-    case s: String if charClass(base(c.sqlType)) =>
-      transcoder(c).map(cs => s.getBytes(cs): Any).getOrElse(s)
-    case other => other
-  }
+  /** A payload value as the source stores it. TiDB dialect: strings
+    * are stored utf8mb4 whatever the declared charset — encode UTF-8.
+    * mysql-native dialect: encode in the COLUMN charset (the write
+    * side of the dialect-gated transcode). */
+  private def storedValue(meta: KvTableMeta, c: KvColumn, v: Any): Any =
+    v match {
+      case s: String if charClass(base(c.sqlType)) =>
+        transcoder(meta, c).map(cs => s.getBytes(cs): Any).getOrElse(s)
+      case other => other
+    }
 
   def encodeImage(meta: KvTableMeta, payload: Seq[Any]): Array[Byte] = {
     val cells = meta.columns.zip(payload).collect {
       case (c, v) if !meta.handleCols.contains(c.name) =>
-        (c.id, Option(v).map(x =>
-          TiKvCodec.encodeCell(storedValue(c, x), base(c.sqlType), c.unsigned)))
+        (c.id, Option(v).map(x => TiKvCodec.encodeCell(
+          storedValue(meta, c, x), base(c.sqlType), c.unsigned)))
     }
     TiKvCodec.encodeV2(cells)
   }
@@ -614,8 +635,10 @@ object RawKvMounter {
       case l: Long => DInt(l)
       case i: Int => DInt(i.toLong)
       case s: String =>
-        // a string PK's key bytes carry the column charset
-        val cs = meta.columns.find(_.name == name).flatMap(transcoder)
+        // a string PK's key bytes follow the source dialect (tidb:
+        // always UTF-8; mysql-native: the column charset)
+        val cs = meta.columns.find(_.name == name)
+          .flatMap(transcoder(meta, _))
           .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
         DBytes(s.getBytes(cs))
       case d: Double => DFloat(d)
