@@ -289,10 +289,12 @@ object CdcQueries {
       graft.streaming.TxnMatcher.resolvedTsBound(raw, 512L, cap)
     }),
 
-    // integrity coverage accounting over a mixed checksum-region
-    // population (none / v1 raw-bytes / corrupted v0 / correct v0):
-    // the counter surface that makes the v1/v2 verification gap
-    // observable (checksum.go dispatch; RawKvMounter.checksumCoverage)
+    // integrity coverage over a mixed checksum-region population
+    // (none / correct+corrupted v1/v2 raw-bytes / unknown-version /
+    // corrupted v0 / correct v0): v1/v2 regions are genuinely
+    // VERIFIED against the raw-bytes domain (checksum.go:140-210
+    // verifyRawBytesChecksum; TiKvCodec.rawChecksumOf), only unknown
+    // future versions remain skipped (checksum.go:66-68)
     "q_checksum_coverage" -> ((s, d) =>
       RawKvMounter.checksumCoverage(
         RawKvMounter.verifyInRowChecksums(
@@ -841,13 +843,15 @@ object CdcQueries {
         |    ELSE (SELECT c FROM cap) END AS resolved_ts
         |FROM agg""".stripMargin,
 
-    // coverage counters are pure event_id-class arithmetic
+    // coverage counters are pure event_id-class arithmetic: verified
+    // = v0 rows + known-version (1/2) raw-bytes rows; skipped = only
+    // the unknown-version class; mismatch = corrupted v0 + corrupted v1
     "q_checksum_coverage" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(CASE WHEN event_id % 7 <> 0 AND event_id % 5 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
-        |  CAST(SUM(CASE WHEN event_id % 7 <> 0 AND event_id % 5 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped_versioned,
+        |  CAST(SUM(CASE WHEN event_id % 7 <> 0 AND (event_id % 5 <> 0 OR event_id % 13 <> 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+        |  CAST(SUM(CASE WHEN event_id % 7 <> 0 AND event_id % 5 = 0 AND event_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped_versioned,
         |  CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_region,
-        |  CAST(SUM(CASE WHEN event_id % 7 <> 0 AND event_id % 5 <> 0 AND event_id % 11 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
+        |  CAST(SUM(CASE WHEN event_id % 7 <> 0 AND event_id % 11 = 0 AND (event_id % 5 <> 0 OR (event_id % 13 <> 0 AND event_id % 3 <> 0)) THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
         |  FALSE AS all_skipped_versioned
         |FROM events""".stripMargin,
 
@@ -1068,12 +1072,16 @@ object RawKvQuery {
   }
 
   /** events → raw entries with a MIXED checksum-region population:
-    * every 7th row carries NO region (upstream integrity off), every
-    * 5th of the rest a VERSION-1 raw-bytes region (recognized but not
-    * verifiable — the documented gap), every 11th of the remainder a
-    * CORRUPTED v0 region (stored = computed+1), everything else a
-    * correct v0 region — so [[RawKvMounter.checksumCoverage]]'s four
-    * counters are all exercised and oracle-computable from event_id. */
+    * every 7th row carries NO region (upstream integrity off); every
+    * 5th of the rest a RAW-BYTES region — of those, every 13th an
+    * UNKNOWN version 5 (the only class still skipped), every 3rd of
+    * the remainder a correct VERSION-2, every 11th of what's left a
+    * CORRUPTED version-1 (stored = domain-crc + 1), the rest correct
+    * version-1; every 11th of the non-raw remainder a CORRUPTED v0
+    * column region, everything else a correct v0 — so every
+    * [[RawKvMounter.checksumCoverage]] counter is exercised, v1/v2
+    * rows are genuinely VERIFIED, and each bucket is
+    * oracle-computable from event_id alone. */
   def encodeChecksumMix(events: DataFrame): DataFrame = {
     val m = eventsMeta
     events.select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -1092,11 +1100,20 @@ object RawKvQuery {
               (c.id, Option(v).map(x =>
                 TiKvCodec.encodeCell(x, c.sqlType.takeWhile(_ != '('), c.unsigned)))
           }
+          val key = TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(id))
           val value =
             if (id % 7L == 0L) RawKvMounter.encodeImage(m, payload)
-            else if (id % 5L == 0L)
-              TiKvCodec.encodeV2Checksummed(cells, first = 424242L, version = 1)
-            else {
+            else if (id % 5L == 0L) {
+              if (id % 13L == 0L) // unknown future version: still skipped
+                TiKvCodec.encodeV2Checksummed(cells, first = 424242L, version = 5)
+              else if (id % 3L == 0L)
+                TiKvCodec.encodeV2RawChecksummed(cells, key, version = 2)
+              else if (id % 11L == 0L)
+                TiKvCodec.encodeV2RawChecksummed(cells, key, version = 1,
+                  corrupt = true)
+              else
+                TiKvCodec.encodeV2RawChecksummed(cells, key, version = 1)
+            } else {
               val tokens = m.columns.zip(payload).map { case (c, v) =>
                 graft.functions.RowChecksum.tokenPlain(
                   c.sqlType.takeWhile(_ != '('), v)
@@ -1106,9 +1123,7 @@ object RawKvQuery {
                 if (id % 11L == 0L) (correct + 1L) & 0xFFFFFFFFL else correct
               TiKvCodec.encodeV2Checksummed(cells, first)
             }
-          Row(
-            TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(id)),
-            value, null, "put", ts - 1L, ts)
+          Row(key, value, null, "put", ts - 1L, ts)
         }
       }(Encoders.row(rawSchema))
   }

@@ -392,6 +392,85 @@ object TiKvCodec {
     buf.toByteArray
   }
 
+  /** Byte offset where the in-row checksum region starts (= one past
+    * the last cell byte), or None when the row carries no region.
+    * Walks the v2 header without materializing cells — this is the
+    * boundary of the RAW-BYTES checksum domain below. */
+  def checksumRegionStart(value: Array[Byte]): Option[Int] = {
+    if (!isNewFormat(value) || (value(1) & FlagChecksum) == 0) return None
+    val big = (value(1) & FlagBig) != 0
+    val nNotNull = u16(value, 2)
+    val nNull = u16(value, 4)
+    val idSize = if (big) 4 else 1
+    val offSize = if (big) 4 else 2
+    val offsAt = 6 + (nNotNull + nNull) * idSize
+    val dataStart = offsAt + nNotNull * offSize
+    val lastOff =
+      if (nNotNull == 0) 0
+      else if (big) u32(value, offsAt + (nNotNull - 1) * 4).toInt
+      else u16(value, offsAt + (nNotNull - 1) * 2)
+    val start = dataStart + lastOff
+    if (value.length - start >= 5) Some(start) else None
+  }
+
+  /** RAW-BYTES checksum (region versions 1/2) — the re-derivation the
+    * reference runs in `verifyRawBytesChecksum`
+    * (pkg/common/event/checksum.go:140-210, delegating to TiDB
+    * rowcodec `CalculateRawChecksum` over the non-null datums + the
+    * record key + the handle, checksum.go:154-161). The reference must
+    * RE-ENCODE decoded datums (hence its tz/columnID plumbing) because
+    * its decoder has already turned the value into a chunk row; this
+    * engine verifies BEFORE decode, where the original bytes are still
+    * in hand, so the same domain is computed directly: CRC32-IEEE over
+    * the stored value bytes up to the checksum region (checksum flag
+    * bit as stored, region header + checksum words excluded — the
+    * checksum cannot cover itself) followed by the full record key.
+    * Both v1 and v2 share this domain, mirroring checksum.go:46's
+    * `case 1, 2` dispatch to one function; the version byte records
+    * the header generation, not a domain change. Byte-for-byte layout
+    * vs real TiKV is pinned by this engine's own golden vectors
+    * (RawChecksumSpec hand-assembled bytes) since TiDB's rowcodec is
+    * not available to diff against; the write side
+    * ([[encodeV2RawChecksummed]]) and this verifier are deliberately
+    * independent computations over an explicitly documented domain.
+    * Returns None when the row has no checksum region. */
+  def rawChecksumOf(value: Array[Byte], key: Array[Byte]): Option[Long] =
+    checksumRegionStart(value).map { start =>
+      val crc = new java.util.zip.CRC32()
+      crc.update(value, 0, start)
+      crc.update(key, 0, key.length)
+      crc.getValue & 0xFFFFFFFFL
+    }
+
+  /** [[encodeV2]] with a RAW-BYTES (v1/v2) checksum region: the
+    * checksum is computed over the flagged value bytes + record key
+    * (the [[rawChecksumOf]] domain) and embedded. `corrupt` flips the
+    * stored word (tamper fixture); `extra` carries the online-DDL
+    * second word (excluded from the domain, like the first). */
+  def encodeV2RawChecksummed(cells: Seq[(Long, Option[Array[Byte]])],
+                             key: Array[Byte], version: Int = 1,
+                             extra: Option[Long] = None,
+                             corrupt: Boolean = false): Array[Byte] = {
+    require(version == 1 || version == 2, s"raw-bytes region version: $version")
+    val base = encodeV2(cells)
+    base(1) = (base(1) | FlagChecksum).toByte
+    val crc = new java.util.zip.CRC32()
+    crc.update(base, 0, base.length)
+    crc.update(key, 0, key.length)
+    val first0 = crc.getValue & 0xFFFFFFFFL
+    val first = if (corrupt) (first0 + 1L) & 0xFFFFFFFFL else first0
+    val buf = new java.io.ByteArrayOutputStream()
+    buf.write(base, 0, base.length)
+    buf.write((version & 0x7) | (if (extra.isDefined) ChecksumExtraBit else 0))
+    def w32(v: Long): Unit = {
+      buf.write((v & 0xff).toInt); buf.write(((v >> 8) & 0xff).toInt)
+      buf.write(((v >> 16) & 0xff).toInt); buf.write(((v >> 24) & 0xff).toInt)
+    }
+    w32(first)
+    extra.foreach(w32)
+    buf.toByteArray
+  }
+
   // ---- row value v1 ----
 
   /** v1 row → colID → value datum (codec.go:98-120 layout). */

@@ -439,28 +439,25 @@ object RawKvMounter {
     * passes if it matches (the online-DDL transition window, :92-95).
     * The comparison is GATED on the region's checksum VERSION
     * (checksum.go:40-46 verifyChecksum dispatch): version 0 is the
-    * column checksum this engine computes; versions 1/2 are the
-    * raw-bytes scheme over key+datums — comparing them against a
-    * column checksum would flag every row, so they verdict as
-    * `verified = false` (skipped) with `ok = true`, like a
-    * checksum-free row.
-    *
-    * KNOWN GAP vs the reference: checksum.go case 1,2 actually
-    * VERIFIES v1/v2 regions via verifyRawBytesChecksum (TiDB
-    * rowcodec.CalculateRawChecksum over key+datums) and fails the row
-    * on mismatch; this engine recognizes but does not verify them —
-    * on an upstream that emits only v1/v2 regions, integrity checking
-    * is a no-op here. The gap is OBSERVABLE, not silent: every
-    * verdict row carries the region `version`, and
-    * [[checksumCoverage]] summarizes it (callers should warn when
-    * `all_skipped_versioned` is true). Re-deriving the raw-bytes
-    * domain without real v1/v2 fixtures to pin against would be
-    * unverifiable guesswork, so the skip is kept explicit instead.
+    * column checksum this engine computes from the decoded row;
+    * versions 1/2 are the RAW-BYTES scheme — verified here via
+    * [[graft.model.TiKvCodec.rawChecksumOf]] (CRC32-IEEE over the
+    * stored value bytes before the region + the record key), the
+    * pre-decode formulation of checksum.go:140-210
+    * verifyRawBytesChecksum. The reference re-encodes decoded datums
+    * (tz-aware) because its decoder already consumed the raw bytes;
+    * verifying before decode needs no re-encode and no tz, and also
+    * catches corruption the decode would mask. After a v1/v2 match the
+    * reference computes the COLUMN checksum to forward downstream
+    * (checksum.go:57-64) — mirrored here: `computed` always carries
+    * the column checksum. Region versions outside 0/1/2 are unknown
+    * (checksum.go:66-68 errors): verdict `ok = false, verified =
+    * false`, counted by [[checksumCoverage]] as skipped_versioned.
     *
     * Returns one verdict row per put: (commit_ts, handle, stored,
-    * computed, ok, verified, version) — `verified` is true only when
-    * a version-0 comparison actually ran; `version` is null when the
-    * row carries no checksum region. */
+    * computed, ok, verified, version) — `verified` is true when a
+    * comparison actually ran (v0 column or v1/v2 raw-bytes);
+    * `version` is null when the row carries no checksum region. */
   def verifyInRowChecksums(raw: DataFrame, meta: KvTableMeta): DataFrame = {
     val schema = StructType(Seq(
       StructField("_commit_ts", LongType, nullable = false),
@@ -493,11 +490,17 @@ object RawKvMounter {
               val computed = graft.functions.RowChecksum.crc32Plain(tokens)
               val (stored, ok, verified, version) = row.checksum match {
                 case None => (null, true, false, null) // integrity off upstream
+                case Some(region) if region.version == 1 || region.version == 2 =>
+                  // raw-bytes domain: re-derive over the wire bytes
+                  // (value-before-region + key) — checksum.go:146-161
+                  // compares against GetChecksum (the first word) only
+                  val raw = TiKvCodec.rawChecksumOf(value, key).get
+                  (region.first.asInstanceOf[Any], region.first == raw,
+                    true, region.version.asInstanceOf[Any])
                 case Some(region) if region.version != 0 =>
-                  // v1/v2 = raw-bytes checksum domain (key+datums) —
-                  // not comparable to the column checksum; skip (the
-                  // documented gap: see the Scaladoc + checksumCoverage)
-                  (region.first.asInstanceOf[Any], true, false,
+                  // unknown future version — the reference errors
+                  // (checksum.go:66-68); verdict as unverified-not-ok
+                  (region.first.asInstanceOf[Any], false, false,
                     region.version.asInstanceOf[Any])
                 case Some(region) =>
                   (region.first.asInstanceOf[Any],
@@ -516,22 +519,27 @@ object RawKvMounter {
       .toDF()
   }
 
-  /** Integrity coverage summary over a verdict frame — the
-    * counter/warning surface for the v1/v2 gap: one row with
+  /** Integrity coverage summary over a verdict frame: one row with
     * (n_rows, n_verified, n_skipped_versioned, n_no_region,
-    * n_mismatch, all_skipped_versioned). A caller seeing
-    * `all_skipped_versioned = true` is running against an upstream
-    * whose regions this engine cannot verify and should surface a
-    * changefeed warning rather than report integrity green. */
+    * n_mismatch, all_skipped_versioned). `n_verified` counts rows
+    * where a comparison ran (v0 column OR v1/v2 raw-bytes — both are
+    * real verifications now); `n_skipped_versioned` counts only
+    * UNKNOWN region versions (not 0/1/2 — future formats this engine
+    * cannot verify); `n_mismatch` counts verified rows that FAILED.
+    * A caller seeing `all_skipped_versioned = true` is running
+    * against an upstream whose regions this engine cannot verify and
+    * should surface a changefeed warning rather than report
+    * integrity green. */
   def checksumCoverage(verdicts: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     verdicts.agg(
       count(lit(1)).as("n_rows"),
       sum(when(col("verified"), 1L).otherwise(0L)).as("n_verified"),
-      sum(when(col("version").isNotNull && col("version") =!= 0, 1L)
+      sum(when(col("version").isNotNull && col("version") =!= 0 &&
+               col("version") =!= 1 && col("version") =!= 2, 1L)
         .otherwise(0L)).as("n_skipped_versioned"),
       sum(when(col("version").isNull, 1L).otherwise(0L)).as("n_no_region"),
-      sum(when(!col("ok"), 1L).otherwise(0L)).as("n_mismatch"))
+      sum(when(col("verified") && !col("ok"), 1L).otherwise(0L)).as("n_mismatch"))
     .withColumn("all_skipped_versioned",
       col("n_rows") > 0 && col("n_skipped_versioned") === col("n_rows"))
   }

@@ -721,39 +721,111 @@ class RawKvMounterSpec extends SparkFunSuite {
     assert(TiKvCodec.decodeRecordKey(small)._2 == TiKvCodec.IntHandle(42L))
   }
 
-  test("checksum versions 1/2 (raw-bytes scheme) skip the column comparison: " +
-      "ok=true, verified=false — never a false mismatch") {
+  test("raw-bytes checksum (v1/v2) golden: hand-assembled domain bytes, " +
+      "CRC32-IEEE over value-before-region + record key") {
+    // one not-null bigint cell (colId 2, value 7) on an int-handle key
+    // — small enough to lay the domain out by hand, byte by byte
+    val cells = Seq(2L -> Some(TiKvCodec.encodeCell(7L, "bigint", unsigned = false)))
+    val k = key(5L)
+    val v = TiKvCodec.encodeV2RawChecksummed(cells, k, version = 1)
+    // hand-assembled expected domain: the v2 row WITHOUT the region —
+    // codecVer 128, flags = checksum bit (8), 1 not-null, 0 null,
+    // colId byte 2, u16 LE offset 1, cell byte 0x07 — then the key
+    val domain = Array[Byte](
+      0x80.toByte, 0x08, 0x01, 0x00, 0x00, 0x00, 0x02, 0x01, 0x00, 0x07
+    ) ++ k
+    val crc = new java.util.zip.CRC32(); crc.update(domain)
+    val expected = crc.getValue & 0xFFFFFFFFL
+    // the produced value = domain-minus-key, then header byte
+    // (version 1, no extra), then the u32 LE checksum word
+    val hdrAt = domain.length - k.length
+    assert(v.length == hdrAt + 5,
+      s"region layout: ${v.map(x => f"${x & 0xff}%02x").mkString}")
+    assert(java.util.Arrays.equals(v.take(hdrAt), domain.take(hdrAt)))
+    assert((v(hdrAt) & 0xff) == 1)
+    val stored = (v(hdrAt + 1) & 0xffL) | ((v(hdrAt + 2) & 0xffL) << 8) |
+      ((v(hdrAt + 3) & 0xffL) << 16) | ((v(hdrAt + 4) & 0xffL) << 24)
+    assert(stored == expected, f"stored $stored%08x expected $expected%08x")
+    assert(TiKvCodec.rawChecksumOf(v, k).contains(expected))
+    assert(TiKvCodec.decodeV2(v).checksum.map(_.first).contains(expected))
+  }
+
+  test("raw-bytes checksum domain covers the KEY and the value, " +
+      "excludes the region words (extra included)") {
     val payload = Seq(5L, "eve", 2.5, "x", 7L)
     val noCks = RawKvMounter.encodeImage(meta, payload)
     val cells = TiKvCodec.decodeV2(noCks).notNull.map { case (id, c) => (id, Some(c)) }
-    // a v1-version region whose stored value is the RAW-BYTES checksum
-    // (deliberately unequal to the column checksum)
-    val rawBytesCks = TiKvCodec.encodeV2Checksummed(cells, first = 99999L, version = 1)
-    val v2Cks = TiKvCodec.encodeV2Checksummed(cells, first = 88888L, version = 2)
+    val k = key(5L)
+    val good = TiKvCodec.encodeV2RawChecksummed(cells, k, version = 2)
+    val cks = TiKvCodec.rawChecksumOf(good, k).get
+    assert(TiKvCodec.decodeV2(good).checksum.map(_.first).contains(cks))
+    // a different key → different checksum (key IS in the domain)
+    assert(!TiKvCodec.rawChecksumOf(good, key(6L)).contains(cks))
+    // value tamper (flip one cell byte) → verify catches it
+    val tampered = good.clone()
+    tampered(9) = (tampered(9) ^ 0x01).toByte
+    assert(!TiKvCodec.rawChecksumOf(tampered, k).contains(cks))
+    // region word tamper → the DOMAIN checksum is unchanged (the
+    // checksum cannot cover itself), only the stored word moved
+    val wordFlip = good.clone()
+    wordFlip(wordFlip.length - 1) = (wordFlip(wordFlip.length - 1) ^ 0x40).toByte
+    assert(TiKvCodec.rawChecksumOf(wordFlip, k).contains(cks))
+    assert(!TiKvCodec.decodeV2(wordFlip).checksum.map(_.first).contains(cks))
+    // extra word present: same domain → same first checksum
+    val withExtra = TiKvCodec.encodeV2RawChecksummed(
+      cells, k, version = 2, extra = Some(12345L))
+    assert(TiKvCodec.decodeV2(withExtra).checksum.map(_.first).contains(cks))
+    assert(TiKvCodec.decodeV2(withExtra).checksum.flatMap(_.extra).contains(12345L))
+    assert(TiKvCodec.rawChecksumOf(withExtra, k).contains(cks))
+  }
+
+  test("checksum versions 1/2 (raw-bytes scheme) are VERIFIED at mount; " +
+      "only unknown versions skip (checksum.go:46,66-68)") {
+    val payload = Seq(5L, "eve", 2.5, "x", 7L)
+    val noCks = RawKvMounter.encodeImage(meta, payload)
+    val cells = TiKvCodec.decodeV2(noCks).notNull.map { case (id, c) => (id, Some(c)) }
+    val k = key(5L)
+    val v1Good = TiKvCodec.encodeV2RawChecksummed(cells, k, version = 1)
+    val v2Good = TiKvCodec.encodeV2RawChecksummed(cells, k, version = 2)
+    val v1Bad = TiKvCodec.encodeV2RawChecksummed(cells, k, version = 1,
+      corrupt = true)
+    val unknown = TiKvCodec.encodeV2Checksummed(cells, first = 424242L, version = 5)
     val colCks = RawKvMounter.encodeImageChecksummed(meta, payload) // version 0
     val verdictDf = RawKvMounter.verifyInRowChecksums(
       rawDf(Seq(
-        (key(5L), rawBytesCks, null, "put", 1L, 10L),
-        (key(5L), v2Cks, null, "put", 1L, 20L),
-        (key(5L), colCks, null, "put", 1L, 30L))), meta)
+        (k, v1Good, null, "put", 1L, 10L),
+        (k, v2Good, null, "put", 1L, 20L),
+        (k, v1Bad, null, "put", 1L, 30L),
+        (k, unknown, null, "put", 1L, 40L),
+        (k, colCks, null, "put", 1L, 50L))), meta)
     val verdicts = verdictDf
       .collect().sortBy(_.getLong(0))
       .map(r => (r.getLong(0), r.getBoolean(4), r.getBoolean(5),
         if (r.isNullAt(6)) -1 else r.getInt(6)))
-    assert(verdicts.toSeq == Seq((10L, true, false, 1), (20L, true, false, 2),
-      (30L, true, true, 0)), s"got ${verdicts.toSeq}")
-    // the skip is observable, not silent: coverage counts it and a
-    // PURELY-versioned upstream raises the all-skipped flag
-    val mixed = RawKvMounter.checksumCoverage(verdictDf).collect().head
-    assert(mixed.getAs[Long]("n_skipped_versioned") == 2L &&
-      mixed.getAs[Long]("n_verified") == 1L &&
-      !mixed.getAs[Boolean]("all_skipped_versioned"))
-    val onlyVersioned = RawKvMounter.checksumCoverage(
+    assert(verdicts.toSeq == Seq(
+      (10L, true, true, 1),   // v1 correct: verified, ok
+      (20L, true, true, 2),   // v2 correct: verified, ok
+      (30L, false, true, 1),  // v1 tampered: verified, MISMATCH
+      (40L, false, false, 5), // unknown version: skipped, not-ok
+      (50L, true, true, 0)),  // v0 column path unchanged
+      s"got ${verdicts.toSeq}")
+    val cov = RawKvMounter.checksumCoverage(verdictDf).collect().head
+    assert(cov.getAs[Long]("n_verified") == 4L &&
+      cov.getAs[Long]("n_skipped_versioned") == 1L &&
+      cov.getAs[Long]("n_mismatch") == 1L &&
+      !cov.getAs[Boolean]("all_skipped_versioned"))
+    // all-skipped warning now fires only on an all-UNKNOWN upstream
+    val onlyUnknown = RawKvMounter.checksumCoverage(
+      RawKvMounter.verifyInRowChecksums(
+        rawDf(Seq((k, unknown, null, "put", 1L, 10L))), meta)).collect().head
+    assert(onlyUnknown.getAs[Boolean]("all_skipped_versioned"))
+    // an all-v1/v2 upstream no longer warns: those ARE verified
+    val onlyRaw = RawKvMounter.checksumCoverage(
       RawKvMounter.verifyInRowChecksums(
         rawDf(Seq(
-          (key(5L), rawBytesCks, null, "put", 1L, 10L),
-          (key(5L), v2Cks, null, "put", 1L, 20L))), meta)).collect().head
-    assert(onlyVersioned.getAs[Boolean]("all_skipped_versioned"),
-      "an all-v1/v2 upstream must surface the integrity-not-verified warning")
+          (k, v1Good, null, "put", 1L, 10L),
+          (k, v2Good, null, "put", 1L, 20L))), meta)).collect().head
+    assert(!onlyRaw.getAs[Boolean]("all_skipped_versioned") &&
+      onlyRaw.getAs[Long]("n_verified") == 2L)
   }
 }
