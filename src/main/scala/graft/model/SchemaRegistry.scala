@@ -170,4 +170,26 @@ final case class SchemaRegistry(
 
   def applyAll(ddls: Seq[DdlAction]): SchemaRegistry =
     ddls.sortBy(_.ts).foldLeft(this)(_.apply(_))
+
+  /** Schema GC — drop versions no as-of read at or above `gcTs` can
+    * ever return (the reference's schemastore GC: versions below the
+    * resolved gc ts are trimmed, logservice/schemastore
+    * multi_version.go gc path). For each table the greatest version
+    * ≤ gcTs survives as the floor snapshot (it IS the answer for any
+    * read in [gcTs, nextVersion)), plus everything after; `asOf`
+    * stays identical for every ts ≥ gcTs, and the per-table version
+    * count is bounded by 1 + the number of post-gc DDLs — a year-long
+    * feed on a DDL-heavy cluster stays flat once the checkpoint
+    * advances. Reads BELOW gcTs are forfeited by contract (the
+    * changefeed can never re-emit below its checkpoint). */
+  def truncateBelow(gcTs: Long): SchemaRegistry =
+    copy(versions = versions.view.mapValues { tm =>
+      tm.rangeTo(gcTs).lastOption match {
+        case Some((floor, _)) => tm.rangeFrom(floor)
+        case None => tm
+      }
+    }.toMap)
+
+  /** Total stored versions across tables (GC observability). */
+  def versionCount: Int = versions.valuesIterator.map(_.size).sum
 }

@@ -347,6 +347,70 @@ object RawKvMounter {
       .toDF()
   }
 
+  /** Mount MANY tables' raw entries in ONE pass — one mapPartitions,
+    * no self-union. The single-pass shape matters in streaming: a
+    * change stream downstream of a stateful operator (the 2PC
+    * matcher's flatMapGroupsWithState) must be consumed exactly once —
+    * a per-table self-union would instantiate the stateful operator
+    * once per branch, each with its own state store. All metas must
+    * share one payload shape (the envelope's before/after struct is a
+    * single column type); mount heterogeneous tables as separate
+    * feeds. Entries whose table id matches no meta drop, like
+    * [[mountTable]] (mounter.go:75).
+    *
+    * Unlike [[mountTable]] (the bare byte-decode surface), this emits
+    * the FULL envelope contract including `_row_id` — the stable
+    * source record id the transform pipeline's header expects
+    * ([[graft.model.Envelope]]): the int handle for int-handle keys,
+    * a deterministic 64-bit FNV-1a of the handle datums for common
+    * handles. */
+  def mountTables(raw: DataFrame, metas: Seq[KvTableMeta]): DataFrame = {
+    require(metas.nonEmpty, "mountTables: no table metas")
+    val pt = payloadType(metas.head)
+    require(metas.forall(m => payloadType(m) == pt),
+      "mountTables requires a shared payload shape across metas")
+    val enc = Encoders.row(StructType(
+      StructField("_row_id", LongType, nullable = false) +:
+        outputSchema(metas.head).fields.toSeq))
+    val byId: Map[Long, KvTableMeta] =
+      metas.flatMap(m => m.allIds.map(_ -> m)).toMap
+    raw.select("key", "value", "old_value", "op_type", "start_ts", "commit_ts")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val key = r.getAs[Array[Byte]](0)
+          if (!isRecordKey(key)) Iterator.empty
+          else {
+            val (tableId, handle) = TiKvCodec.decodeRecordKey(key)
+            byId.get(tableId) match {
+              case None => Iterator.empty
+              case Some(m) =>
+                val value = r.getAs[Array[Byte]](1)
+                val oldValue = r.getAs[Array[Byte]](2)
+                val opType = r.getAs[String](3)
+                val after =
+                  if (opType == "delete") null else decodeImage(m, handle, value)
+                val before = decodeImage(m, handle, oldValue)
+                val op =
+                  if (opType == "delete") "D"
+                  else if (before != null) "U"
+                  else "I"
+                val rowId = handle match {
+                  case IntHandle(v) => v
+                  case CommonHandle(ds) =>
+                    ds.foldLeft(-3750763034362895579L)((h, d) =>
+                      (h ^ String.valueOf(d).hashCode.toLong) * 1099511628211L)
+                }
+                Iterator(Row(rowId, m.schema, m.table, op,
+                  r.getLong(5), r.getLong(4),
+                  if (before == null) null else Row.fromSeq(before.toIndexedSeq),
+                  if (after == null) null else Row.fromSeq(after.toIndexedSeq)))
+            }
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Schema-versioned mount — the multi-version decode the reference's
     * mounter does via `GetTableInfo(tableID, commitTs)`
     * (schemastore/schema_store.go:50-54): each entry decodes against

@@ -324,6 +324,31 @@ object Changefeed {
 
   /** [[runMq]] over an arbitrary streaming envelope — the entry the
     * DSv2 changelog generator (and any custom source) feeds. */
+  /** The reference's STEADY-STATE shape as ONE streaming query: raw
+    * 2PC entries from the region stream → streaming txn matcher
+    * (per-txn state across micro-batches) → byte-level mount → the
+    * standard filter/transform/route/encode pipeline → MQ sink
+    * (region_event_handler.go:263-360 feeding the dispatcher chain;
+    * logpuller/txn_matcher.go upstream of the mounter). The matcher's
+    * flatMapGroupsWithState state store and the source offsets live
+    * under the changefeed's single `checkpointDir`, so a kill-restart
+    * recovers them TOGETHER: re-delivered raw entries land on the
+    * matcher's tombstones, replayed matched batches land on the file
+    * sink's _spark_metadata — exactly-once from raw bytes to wire.
+    * `metas`: the table schemas to mount (one shared payload shape;
+    * unknown table ids and non-record keys drop, mounter.go:75).
+    * `matcherGcMs`: the tombstone/orphan clear delay
+    * (tryCleanUnmatchedValue's). */
+  def runMqFromRaw2pc(spark: SparkSession, cfg: ChangefeedConfig,
+                      raw: DataFrame,
+                      metas: Seq[graft.operators.RawKvMounter.KvTableMeta],
+                      sinkDir: String, checkpointDir: String,
+                      matcherGcMs: Long = 60000L): StreamingQuery = {
+    val matched = TxnMatcher.matchStream(spark, raw, matcherGcMs)
+    val env = graft.operators.RawKvMounter.mountTables(matched, metas)
+    runMqStream(spark, cfg, env, sinkDir, checkpointDir)
+  }
+
   def runMqStream(spark: SparkSession, cfg: ChangefeedConfig, env: DataFrame,
                   sinkDir: String, checkpointDir: String,
                   allTablesAtStart: Seq[(String, String)] = Nil): StreamingQuery = {

@@ -114,7 +114,11 @@ object TxnMatcher {
       .select(col("key"), col("p.value").as("value"),
         col("p.old_value").as("old_value"), col("_commit_op").as("op_type"),
         col("start_ts"), col("commit_ts"))
-    matched.unionByName(committed)
+    // cross-FORM dedup: under at-least-once redelivery that straddles
+    // the scan/stream boundary, the same txn can arrive BOTH as a
+    // pre-paired COMMITTED scan entry and as a prewrite+commit pair —
+    // one txn identity must emit once (both carry the same bytes)
+    matched.unionByName(committed).dropDuplicates(Seq("key", "start_ts"))
   }
 
   /** Per-region resolved-ts bound over the uncommitted 2PC stream —
@@ -230,8 +234,10 @@ object TxnMatcher {
             // the reference's per-region cache keeps matched state
             // until tryCleanUnmatchedValue's clear delay), so matched
             // output stays exactly-once under at-least-once delivery.
+            // same group = same txn: redelivered COMMITTED duplicates
+            // within one batch collapse to a single passthrough row
             val passthrough = immediate.iterator
-              .filter(_ => !p.emitted)
+              .filter(_ => !p.emitted).take(1)
               .map(e => Row(e.key, e.value, e.oldValue, e.opType,
                 e.startTs, e.commitTs))
             val emitCommitted = immediate.nonEmpty && !p.emitted
@@ -247,7 +253,12 @@ object TxnMatcher {
               val key = java.util.Base64.getDecoder.decode(k._1)
               state.update(p.copy(emitted = true))
               state.setTimeoutDuration(gcMs)
-              passthrough ++ Iterator.single(
+              // cross-form dedup: if a pre-paired COMMITTED entry for
+              // this txn landed in the SAME batch, the passthrough
+              // already carries the bytes — suppress the matched emit
+              // (one txn identity, one output row)
+              if (emitCommitted) passthrough
+              else passthrough ++ Iterator.single(
                 Row(key, p.value, p.oldValue, p.commitOp, k._2, p.commitTs))
             } else {
               state.update(if (emitCommitted) p.copy(emitted = true) else p)

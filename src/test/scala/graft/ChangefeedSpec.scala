@@ -454,6 +454,75 @@ class ChangefeedSpec extends SparkFunSuite {
       s"resolved $resolvedTs must cover the last row commit $maxRowTs")
   }
 
+  test("steady-state from raw 2PC bytes: source → matcher → mount → pipeline " +
+      "→ MQ sink as ONE query equals the committed-mode feed; kill-restart " +
+      "recovers matcher state and sink checkpoint together") {
+    import graft.operators.RawKvMounter
+    import graft.operators.RawKvMounter.{KvColumn, KvTableMeta}
+    import graft.sources.ChangelogGen
+    val tmp = Files.createTempDirectory("graft-cf2pc").toString
+    val metas = (0 until 4).map { i =>
+      KvTableMeta(ChangelogGen.tableIdOf(i.toLong), "app", s"events_$i",
+        Seq(
+          KvColumn(1L, "user_id", "bigint", nullable = false),
+          KvColumn(2L, "value", "double"),
+          KvColumn(3L, "k", "bigint")),
+        handleCol = "user_id")
+    }
+    def gen(total: Long, mode: String) = spark.readStream
+      .format("graft.sources.ChangelogGenSource")
+      .option("tables", 4).option("totalRows", total)
+      .option("rowsPerBatch", 1000).option("numPartitions", 4)
+      .option(mode, "true").load()
+    val feedCfg = cfg.copy(id = "cf-2pc")
+
+    // golden: the committed-mode feed through the identical pipeline
+    val qG = Changefeed.runMqStream(spark, feedCfg.copy(id = "cf-2pc-golden"),
+      RawKvMounter.mountTables(gen(4000, "rawKv"), metas),
+      s"$tmp/golden", s"$tmp/ckpt-g")
+    qG.awaitTermination(180000)
+
+    // the 2PC steady-state feed: kill mid-run (matcher state holds
+    // pending prewrite/commit pairs), then resume on the SAME
+    // checkpoint — offsets, per-txn state store, and the sink's
+    // _spark_metadata recover as one
+    def start() = Changefeed.runMqFromRaw2pc(spark, feedCfg,
+      gen(8000, "rawKvUncommitted"), metas, s"$tmp/sink", s"$tmp/ckpt")
+    val q1 = start()
+    val deadline = System.currentTimeMillis() + 120000
+    while (q1.isActive &&
+        q1.recentProgress.count(_.numInputRows > 0) < 3 &&
+        System.currentTimeMillis() < deadline) Thread.sleep(50)
+    q1.stop()
+    val q2 = start()
+    q2.awaitTermination(180000)
+
+    // wire equality: the 2PC feed must emit exactly the committed-mode
+    // rows minus rolled-back (i%23) and orphan (i%31) txns — same
+    // routing partition, same encoded bytes
+    val i = (col("_commit_ts") - lit(ChangelogGen.baseTs)) / lit(1000000L)
+    val expected = spark.read.parquet(s"$tmp/golden")
+      .filter(col("_kind") === "row")
+      .filter(i % 23 =!= 0 && i % 31 =!= 0)
+      .select("_partition", "_value")
+    val got = spark.read.parquet(s"$tmp/sink")
+      .filter(col("_kind") === "row")
+      .select("_partition", "_value")
+    assert(got.count() == expected.count() && got.count() > 0,
+      s"row counts: got ${got.count()} expected ${expected.count()}")
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0,
+      "raw-2PC wire output must equal the committed-mode feed's")
+    // watermark contract survives the composition: resolved messages
+    // exist and cover every emitted row
+    val sunk = spark.read.parquet(s"$tmp/sink")
+    val resolved = sunk.filter(col("_kind") === "resolved")
+    assert(resolved.count() > 0)
+    val maxRow = sunk.filter(col("_kind") === "row")
+      .agg(max("_commit_ts")).head().getLong(0)
+    assert(resolved.agg(max("_commit_ts")).head().getLong(0) >= maxRow)
+  }
+
   test("bootstrap census reads the schema registry, NOT the corpus " +
       "(no scan job at changefeed create)") {
     val bootCfg = ChangefeedConfig(id = "cf-census",

@@ -82,6 +82,42 @@ class RegionChurnSpec extends SparkFunSuite {
       s"redelivery must not duplicate or revive txns: ${canon(out)}")
   }
 
+  test("cross-form redelivery: a txn arriving BOTH as a COMMITTED scan " +
+      "entry and as a prewrite/commit pair emits exactly once") {
+    // straddles the scan/stream boundary: the incremental scan already
+    // delivered the txn pre-paired, then the resubscribed stream
+    // replays its prewrite+commit (same key, start_ts, bytes)
+    val both = Seq(
+      Row(Array[Byte](7), img, null, "put", "committed", 15L, 25L, 0L),
+      Row(Array[Byte](7), img, null, "put", "prewrite", 15L, 0L, 0L),
+      Row(Array[Byte](7), null, null, "put", "commit", 15L, 25L, 0L))
+    // batch form: union of matched + passthrough dedups on txn identity
+    val batch = TxnMatcher.matchCommitted(mkRaw(both))
+    assert(batch.count() == 1L, canon(batch).mkString(";"))
+    // streaming, all three in ONE micro-batch: passthrough wins, the
+    // matched emit is suppressed
+    val base = Files.createTempDirectory("graft-churn-xform").toString
+    mkRaw(both).repartition(1).write.parquet(s"$base/one/f=1")
+    // duplicate COMMITTED redelivery within the same batch collapses too
+    mkRaw(Seq(
+        Row(Array[Byte](8), img, null, "delete", "committed", 16L, 26L, 0L),
+        Row(Array[Byte](8), img, null, "delete", "committed", 16L, 26L, 0L)))
+      .repartition(1).write.parquet(s"$base/one/f=2")
+    val stream = spark.readStream
+      .schema(mkRaw(both).schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$base/one/f=*")
+    val q = TxnMatcher.matchStream(spark, stream)
+      .writeStream.format("parquet")
+      .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(180000)
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 2L, canon(out).mkString(";"))
+    assert(canon(out) == canon(TxnMatcher.matchCommitted(mkRaw(both ++ Seq(
+      Row(Array[Byte](8), img, null, "delete", "committed", 16L, 26L, 0L))))))
+  }
+
   test("resolved-ts bound is merge-consistent: merged region = min of constituents") {
     import graft.model.TiKvCodec
     def entry(handle: Long, entryType: String, startTs: Long): Row = {
