@@ -96,6 +96,71 @@ class SchemaRegistrySpec extends SparkFunSuite {
     assert(out.filter(col("flag") === 7L).count() == out.count())
   }
 
+  test("schema GC: truncateBelow keeps every as-of read at or above gcTs " +
+      "identical and bounds the version map (schemastore GC analog)") {
+    // a long DDL stream: 200 alternating add/drop versions on one
+    // table, plus a second table with sparse history and a third
+    // created only after the GC point
+    val base = Seq(ColumnDef("user_id", "bigint"), ColumnDef("value", "double"))
+    val churn: Seq[DdlAction] =
+      CreateTable("app", "hot", base, 100L) +: (1 to 200).map { i =>
+        if (i % 2 == 1)
+          AddColumn("app", "hot", ColumnDef(s"c$i", "bigint"), 100L + i * 10)
+        else DropColumn("app", "hot", s"c${i - 1}", 100L + i * 10)
+      }
+    val sparse = Seq[DdlAction](
+      CreateTable("app", "cold", base, 50L),
+      AddColumn("app", "cold", ColumnDef("z", "bigint"), 120L))
+    val late = Seq[DdlAction](
+      CreateTable("app", "young", base, 5000L))
+    val reg = SchemaRegistry().applyAll(churn ++ sparse ++ late)
+    val gcTs = 100L + 150 * 10 + 5 // between versions 150 and 151
+    val gced = reg.truncateBelow(gcTs)
+    // every lookup at or above gcTs is identical, table by table
+    val probes = (gcTs to gcTs + 600 by 7) ++ Seq(gcTs, 100L + 200 * 10, 6000L)
+    for (t <- Seq("hot", "cold", "young"); ts <- probes)
+      assert(gced.asOf("app", t, ts) == reg.asOf("app", t, ts),
+        s"asOf($t, $ts) changed across GC")
+    // size is bounded: hot keeps 1 floor + 50 post-gc versions
+    assert(reg.versions(("app", "hot")).size == 201)
+    assert(gced.versions(("app", "hot")).size == 51)
+    // cold collapses to its floor snapshot only
+    assert(gced.versions(("app", "cold")).size == 1)
+    // a table younger than gcTs is untouched
+    assert(gced.versions(("app", "young")).size == 1)
+    assert(gced.versionCount < reg.versionCount)
+    // reads below the floor are forfeited by contract (the changefeed
+    // can never re-emit below its checkpoint): cold's pre-floor
+    // version is gone, while reads from its floor on still resolve
+    assert(gced.asOf("app", "cold", 60L).isEmpty &&
+      reg.asOf("app", "cold", 60L).nonEmpty)
+    assert(gced.asOf("app", "cold", 130L).get.versionTs == 120L)
+
+    // barrier replay across a truncation stays correct: planning the
+    // post-gc stream against the GCed registry gives the same per-step
+    // snapshots as against the full registry
+    val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    val tsCuts = env.select("_commit_ts").orderBy("_commit_ts")
+      .collect().map(_.getLong(0))
+    val cut = tsCuts(500)
+    val initialFull = SchemaRegistry().applyAll(
+      (0 until 4).flatMap(i => Seq[DdlAction](
+        CreateTable("app", s"events_$i", base, 0L),
+        AddColumn("app", s"events_$i", ColumnDef("k", "bigint"), 10L),
+        DropColumn("app", s"events_$i", "k", 20L))))
+    val initialGc = initialFull.truncateBelow(tsCuts(0))
+    val ddls = Seq[DdlAction](
+      AddColumn("app", "events_0", ColumnDef("k", "bigint", Some("42")), cut))
+    val stepsFull = DdlBarrier.plan(env, ddls, initialFull)
+    val stepsGc = DdlBarrier.plan(env, ddls, initialGc)
+    assert(stepsFull.length == stepsGc.length)
+    stepsFull.zip(stepsGc).foreach { case (a, b) =>
+      assert(a.registry.latest("app", "events_0").map(_.columns) ==
+        b.registry.latest("app", "events_0").map(_.columns))
+      assert(a.batch.count() == b.batch.count())
+    }
+  }
+
   test("DEFAULT CURRENT_TIMESTAMP fills with the schema version's commit ts") {
     // ddl_default_current_timestamp coverage: the reference fills with
     // the DDL execution time; here deterministically the version ts
