@@ -400,9 +400,10 @@ class DebeziumCorpusSpec extends SparkFunSuite {
     val totalCreates = stats.map(_._2).sum
     val totalParsed = stats.map(_._3).sum
     assert(totalCreates > 0)
-    // parse floor over the Debezium-project DDL zoo; files below it
-    // would surface here for adjudication
-    assert(totalParsed * 100 >= totalCreates * 90,
+    // parse floor over the Debezium-project DDL zoo — pinned at 100%
+    // (r11 audit: all 74 corpus CREATE TABLEs parse); any future
+    // regression surfaces here with its per-file stats
+    assert(totalParsed == totalCreates,
       s"parse rate ${totalParsed}/$totalCreates; per-file: $stats")
   }
 }
