@@ -291,19 +291,24 @@ object Filters {
                              ignoreClasses: Seq[String],
                              ignoreSqlRegexps: Seq[String]): DataFrame = {
     val rules = tableRules
-    val act = udf((q: String, s: String) => renameDispatch(q, s, rules).action)
-    val rew = udf((q: String, s: String) => renameDispatch(q, s, rules).query)
+    // ONE struct-returning UDF: the rename parses once per row, not
+    // once per consumed field
+    val dispatch = udf((q: String, s: String) => {
+      val d = renameDispatch(q, s, rules)
+      (d.action, d.query)
+    })
     val base = ddlDispatch(ddl, tableRules, ignoreClasses, ignoreSqlRegexps)
     val isRename = ddlClass(col("query")) === "rename table"
     base
-      .withColumn("_ddl_action",
+      .withColumn("_rn",
         when(isRename && col("_ddl_action") =!= "ignore",
-          act(col("query"), col("_schema")))
-          .otherwise(col("_ddl_action")))
+          dispatch(col("query"), col("_schema")))) // null otherwise
+      .withColumn("_ddl_action",
+        coalesce(col("_rn._1"), col("_ddl_action")))
       .withColumn("_ddl_query",
-        when(isRename && col("_ddl_action") === "emit",
-          rew(col("query"), col("_schema")))
+        when(col("_rn._1") === "emit", col("_rn._2"))
           .otherwise(col("query")))
+      .drop("_rn")
   }
 
   /** Evaluate generated/virtual columns into both images before

@@ -224,8 +224,17 @@ object Routing {
       val qualPat = concat(lit("(?i)`?\\Q"), col("_schema"),
         lit("\\E`?\\s*\\.\\s*`?\\Q"), col("_table"), lit("\\E`?"))
       val qualRep = concat(lit("`"), repSafe(ss), lit("`.`"), repSafe(st), lit("`"))
-      val barePat = concat(lit("(?i)`\\Q"), col("_table"),
-        lit("\\E`|\\b\\Q"), col("_table"), lit("\\E\\b"))
+      // bare-name rewrite is KEYWORD-ANCHORED (bounded lookbehind):
+      // only a name in table position — after TABLE / INTO / ON /
+      // REFERENCES / EXISTS / TRUNCATE / FROM / TO — rewrites, so the
+      // table's name inside a string literal (COMMENT 'orders table'),
+      // a same-named COLUMN, or a REFERENCES of another schema's
+      // same-named table stays untouched (the reference rewrites
+      // parser-backed, router.go rewriteParserBackedDDLQuery; this is
+      // the regex projection of its table-position rule)
+      val barePat = concat(
+        lit("(?i)(?<=\\b(?:table|into|on|references|exists|truncate|from|to)\\s{1,10})(?:`\\Q"),
+        col("_table"), lit("\\E`|\\Q"), col("_table"), lit("\\E\\b)"))
       val bareRep = concat(lit("`"), repSafe(st), lit("`"))
       val routedText =
         regexp_replace(regexp_replace(q, qualPat, qualRep), barePat, bareRep)

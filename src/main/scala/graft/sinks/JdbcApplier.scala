@@ -296,7 +296,10 @@ object JdbcApplier {
     if (ignorableMysqlDdlCodes.contains(e.getErrorCode)) return true
     if (e.getSQLState != null && ignorableDerbyStates.contains(e.getSQLState)) return true
     val m = Option(e.getMessage).getOrElse("")
-    ignorableMysqlDdlCodes.exists(c => m.contains(s"Error $c") || m.contains(s"Error $c:"))
+    // word-bounded: "Error 1050" must not match "Error 10507" — a
+    // genuine failure with a longer code is never ignorable
+    ignorableMysqlDdlCodes.exists(c =>
+      java.util.regex.Pattern.compile(s"Error $c\\b").matcher(m).find())
   }
 
   // ---------- dialect translation (pure functions) ----------

@@ -706,7 +706,11 @@ object RedoWire {
     val records = files.toSeq
       .flatMap(f => readLogFile(f.getPath).map(decodeRecord))
       .filter(r => r.commitTs > ckpt && (res == 0L || r.commitTs <= res))
-      .sortBy(r => (r.commitTs, r match { case _: DdlRecord => 0; case _ => 1 }))
+      // DML before DDL at equal commitTs — the applier's order
+      // (pkg/applier/redo.go shouldApplyDDL applies a DDL only once
+      // row.CommitTs > ddl.CommitTs; RedoWireBridge's 2t/2t+1 apply
+      // key encodes the same rule)
+      .sortBy(r => (r.commitTs, r match { case _: DdlRecord => 1; case _ => 0 }))
     (ckpt, res, records)
   }
 }

@@ -351,10 +351,11 @@ class RedoWireSpec extends AnyFunSuite {
     RedoWire.writeDir(dir, recs, checkpointTs = 10L, resolvedTs = 20L)
     val (ckpt, res, back) = RedoWire.readDir(dir, changefeedId = Some("feed"))
     assert(ckpt == 10L && res == 20L)
-    // 10 excluded (≤ ckpt), 25 excluded (> resolved); DDL at equal ts
-    // sorts before the DML
+    // 10 excluded (≤ ckpt), 25 excluded (> resolved); DML at equal ts
+    // sorts BEFORE the DDL — the applier's order (redo.go
+    // shouldApplyDDL applies a DDL only once row.CommitTs > ddl's)
     assert(back.map(_.commitTs) == Seq(15L, 15L, 20L))
-    assert(back.head.isInstanceOf[DdlRecord])
+    assert(back(0).isInstanceOf[DmlRecord] && back(1).isInstanceOf[DdlRecord])
     val ids = back.collect { case DmlRecord(d) => d.values.head.value }
     assert(ids == Seq(2L, 3L))
     // a foreign changefeed's filter sees nothing

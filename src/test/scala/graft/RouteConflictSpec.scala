@@ -98,4 +98,35 @@ class RouteConflictSpec extends SparkFunSuite {
     assert(state == FeedState.Failed)
     assert(!backoff.shouldRun(Long.MaxValue / 2))
   }
+
+  test("routed-DDL rewrite is table-position anchored: string literals, " +
+      "same-named columns, and other-schema references stay untouched") {
+    import org.apache.spark.sql.functions._
+    val routes = Seq(DispatchRule(matcher = Seq("app.orders"),
+      targetSchema = Some("tgt"), targetTable = Some("orders_r")))
+    def rewrite(q: String): String = {
+      val env = spark.createDataFrame(Seq(("app", "orders", q)))
+        .toDF("_schema", "_table", "query")
+      Routing.applyTableRoutes(env, routes, ddlQueryCol = Some("query"))
+        .select("query").head().getString(0)
+    }
+    // the table's name inside a COMMENT literal and as a COLUMN name
+    // must survive; the table position itself rewrites
+    val create = rewrite("CREATE TABLE app.orders (" +
+      "orders BIGINT COMMENT 'orders table', " +
+      "x BIGINT REFERENCES other.orders (id))")
+    assert(create.contains("`tgt`.`orders_r`"), create)
+    assert(create.contains("orders BIGINT COMMENT 'orders table'"), create)
+    assert(create.contains("REFERENCES other.orders (id)"), create)
+    // bare-name positions still rewrite: TABLE / INTO / ON / EXISTS
+    assert(rewrite("ALTER TABLE orders ADD COLUMN c INT") ==
+      "ALTER TABLE `orders_r` ADD COLUMN c INT")
+    assert(rewrite("CREATE INDEX idx ON orders (k)") ==
+      "CREATE INDEX idx ON `orders_r` (k)")
+    assert(rewrite("DROP TABLE IF EXISTS orders") ==
+      "DROP TABLE IF EXISTS `orders_r`")
+    // a same-schema REFERENCES names the routed table and rewrites
+    assert(rewrite("CREATE TABLE app.child (oid BIGINT REFERENCES orders (id))")
+      == "CREATE TABLE app.child (oid BIGINT REFERENCES `orders_r` (id))")
+  }
 }
