@@ -673,20 +673,24 @@ object RedoWire {
   def writeDir(dir: String, records: Seq[RedoRecord],
                checkpointTs: Long, resolvedTs: Long,
                captureId: String = "graft", changefeedId: String = "feed",
-               uuid: String = "0001"): Unit = {
+               uuid: String = "0001", compress: Boolean = false): Unit = {
     new java.io.File(dir).mkdirs()
     val (ddls, dmls) = records.partition(_.isInstanceOf[DdlRecord])
     def maxTs(rs: Seq[RedoRecord]) = if (rs.isEmpty) 0L else rs.map(_.commitTs).max
+    def writeLog(path: String, recs: Seq[RedoRecord]): Unit = {
+      writeLogFile(path, recs.iterator.map(encodeRecord))
+      // whole-file LZ4, the reference writer's `compression = lz4`
+      // (writer file.go; reader auto-detects by magic)
+      if (compress) lz4CompressFile(path)
+    }
     if (dmls.nonEmpty)
-      writeLogFile(
+      writeLog(
         new java.io.File(dir, logFileName(captureId, changefeedId, "row",
-          maxTs(dmls), uuid)).getPath,
-        dmls.iterator.map(encodeRecord))
+          maxTs(dmls), uuid)).getPath, dmls)
     if (ddls.nonEmpty)
-      writeLogFile(
+      writeLog(
         new java.io.File(dir, logFileName(captureId, changefeedId, "ddl",
-          maxTs(ddls), uuid)).getPath,
-        ddls.iterator.map(encodeRecord))
+          maxTs(ddls), uuid)).getPath, ddls)
     java.nio.file.Files.write(
       new java.io.File(dir, metaFileName(captureId, "default", changefeedId,
         uuid)).toPath,

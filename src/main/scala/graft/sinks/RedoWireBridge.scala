@@ -191,7 +191,8 @@ object RedoWireBridge {
     * reference also keeps one ddl writer per changefeed). */
   def writeDdlLog(ddls: DataFrame, dir: String,
                   captureId: String = "graft",
-                  changefeedId: String = "feed"): Unit = {
+                  changefeedId: String = "feed",
+                  compress: Boolean = false): Unit = {
     val rows = ddls.select("_schema", "_table", "_commit_ts", "query")
       .collect() // control-plane-sized by definition
     if (rows.isEmpty) return
@@ -200,10 +201,10 @@ object RedoWireBridge {
         0, r.getString(0), r.getString(1)))
     }
     val maxTs = recs.map(_.commitTs).max
-    RedoWire.writeLogFile(
-      new java.io.File(dir, RedoWire.logFileName(captureId, changefeedId,
-        "ddl", maxTs, "d000")).getPath,
-      recs.iterator.map(RedoWire.encodeRecord))
+    val path = new java.io.File(dir, RedoWire.logFileName(captureId,
+      changefeedId, "ddl", maxTs, "d000")).getPath
+    RedoWire.writeLogFile(path, recs.iterator.map(RedoWire.encodeRecord))
+    if (compress) RedoWire.lz4CompressFile(path)
   }
 
   /** An envelope frame → a reference-format redo directory: one log
@@ -212,7 +213,8 @@ object RedoWireBridge {
   def writeDirFromEnvelope(env: DataFrame, dir: String, handleKeys: Seq[String],
                            checkpointTs: Long, resolvedTs: Long,
                            captureId: String = "graft",
-                           changefeedId: String = "feed"): Unit = {
+                           changefeedId: String = "feed",
+                           compress: Boolean = false): Unit = {
     new java.io.File(dir).mkdirs()
     val payload = env.schema("after").dataType.asInstanceOf[StructType]
     val metas = payload.fields.map(f => colMetaFor(f, handleKeys)).toSeq
@@ -224,6 +226,7 @@ object RedoWireBridge {
     val dirPath = dir
     val cap = captureId
     val feed = changefeedId
+    val doCompress = compress
     env.select("_schema", "_table", "_op", "_commit_ts", "_start_ts",
         "before", "after")
       .foreachPartition { (it: Iterator[Row]) =>
@@ -248,11 +251,14 @@ object RedoWireBridge {
             r.getString(1), 0L, isPartition = false, cols,
             values = post, preValues = pre))
         }.toVector
-        if (recs.nonEmpty)
-          RedoWire.writeLogFile(
-            new java.io.File(dirPath, RedoWire.logFileName(
-              cap, feed, "row", maxTs, f"p$pid%04d")).getPath,
-            recs.iterator.map(RedoWire.encodeRecord))
+        if (recs.nonEmpty) {
+          val path = new java.io.File(dirPath, RedoWire.logFileName(
+            cap, feed, "row", maxTs, f"p$pid%04d")).getPath
+          RedoWire.writeLogFile(path, recs.iterator.map(RedoWire.encodeRecord))
+          // whole-file LZ4 per worker file (reference `compression =
+          // lz4`); the reader auto-detects by magic
+          if (doCompress) RedoWire.lz4CompressFile(path)
+        }
       }
     java.nio.file.Files.write(
       new java.io.File(dir, RedoWire.metaFileName(captureId, "default",

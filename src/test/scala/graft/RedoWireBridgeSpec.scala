@@ -232,6 +232,54 @@ class RedoWireBridgeSpec extends SparkFunSuite {
     assert(ddls.head.commitTs == 1000002000L && ddls.head.schema == "app")
   }
 
+  test("compressed export: lz4 whole-file logs read back identical to the " +
+      "uncompressed export (reader auto-detects by magic)") {
+    import spark.implicits._
+    val env = mkEnv(Seq(
+      (1L, "I", 2L, 10.5, 100L),
+      (2L, "U", 2L, 11.25, 101L),
+      (3L, "D", 4L, 7.0, 50L),
+      (4L, "I", 5L, 3.25, 7L)))
+    val ddl = Seq(("app", "t0", 1000002500L, "ALTER TABLE t0 ADD COLUMN c INT"))
+      .toDF("_schema", "_table", "_commit_ts", "query")
+    def export(compress: Boolean): String = {
+      val dir = Files.createTempDirectory(
+        s"graft-wire-lz4-$compress").toString
+      RedoWireBridge.writeDirFromEnvelope(env, dir, Seq("user_id"),
+        checkpointTs = 0L, resolvedTs = Long.MaxValue, compress = compress)
+      RedoWireBridge.writeDdlLog(ddl, dir, compress = compress)
+      dir
+    }
+    val plain = export(compress = false)
+    val lz4 = export(compress = true)
+    // the compressed files really are lz4 frames (magic 0x04224D18)
+    val logs = new java.io.File(lz4).listFiles().filter(_.getName.endsWith(".log"))
+    assert(logs.nonEmpty)
+    logs.foreach { f =>
+      val head = java.nio.file.Files.readAllBytes(f.toPath).take(4)
+      assert(head.sameElements(Array[Byte](0x04, 0x22, 0x4d, 0x18)),
+        s"${f.getName} is not lz4-framed")
+    }
+    // decoded record streams are identical
+    def canon(dir: String): Seq[String] = {
+      val (ck, rs, rdd) = RedoWireBridge.recordsFromDir(spark, dir)
+      assert(ck == 0L && rs == Long.MaxValue)
+      rdd.collect().map {
+        case DmlRecord(d) => s"dml|${d.commitTs}|${d.table}|${d.op}|" +
+          d.values.map(_.value).mkString(",") + "|" +
+          d.preValues.map(_.value).mkString(",")
+        case DdlRecord(d) => s"ddl|${d.commitTs}|${d.query}"
+      }.sorted.toSeq
+    }
+    assert(canon(lz4) == canon(plain))
+    // and the idempotent statement stream agrees too
+    val sPlain = RedoWireBridge.statementsFromDir(spark, plain, numWorkers = 2)
+      .select("_stmt").collect().map(_.getString(0)).sorted.toSeq
+    val sLz4 = RedoWireBridge.statementsFromDir(spark, lz4, numWorkers = 2)
+      .select("_stmt").collect().map(_.getString(0)).sorted.toSeq
+    assert(sLz4 == sPlain && sPlain.nonEmpty)
+  }
+
   test("RedoApply auto-detects a reference-format dir vs our parquet layout") {
     val wire = Files.createTempDirectory("graft-wire-detect").toString
     RedoWire.writeDir(wire, Seq(DdlRecord(RedoDdl(1L, 2L, "CREATE TABLE s.t (a INT)",
