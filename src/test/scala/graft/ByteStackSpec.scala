@@ -135,4 +135,58 @@ class ByteStackSpec extends SparkFunSuite {
       Seq[Any](3L, "eve", 7L)),
       s"final engine state diverged: $state")
   }
+
+  test("EXCHANGE PARTITION at byte level: the swapped-in physical id mounts " +
+      "from the exchange ts on, the swapped-out one stops (physical/logical " +
+      "id swap, persist_storage_ddl_handlers.go:382; row_change.go:29-38)") {
+    // logical table t = 900 with partitions 901/902; standalone s = 903.
+    // EXCHANGE PARTITION at ts 100 swaps 901 <-> 903: t's span set
+    // becomes {903, 902} — rows under 903 belong to t from 100 on,
+    // rows under 901 stop belonging (they are the standalone's now).
+    val cols = Seq(KvColumn(1L, "id", "bigint"), KvColumn(2L, "v", "bigint"))
+    val tV1 = KvTableMeta(900L, "app", "t", cols, handleCol = "id",
+      physicalIds = Seq(901L, 902L))
+    val tV2 = tV1.copy(physicalIds = Seq(903L, 902L))
+    val exchangeTs = 100L
+
+    def put(pid: Long, id: Long, v: Long, ts: Long): Row = Row(
+      TiKvCodec.encodeRecordKey(pid, TiKvCodec.IntHandle(id)),
+      TiKvCodec.encodeV2(Seq(2L -> Some(TiKvCodec.intCell(v)))),
+      null, "put", ts - 1L, ts)
+    val rawSchema = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType),
+      StructField("old_value", BinaryType), StructField("op_type", StringType),
+      StructField("start_ts", LongType), StructField("commit_ts", LongType)))
+    val raw = spark.createDataFrame(spark.sparkContext.parallelize(Seq(
+      put(901L, 1L, 10L, 50L),   // pre-exchange, partition p1: in t
+      put(902L, 2L, 20L, 60L),   // pre-exchange, partition p2: in t
+      put(903L, 3L, 30L, 70L),   // pre-exchange, standalone: NOT in t
+      put(901L, 4L, 40L, 150L),  // post-exchange, swapped OUT: not in t
+      put(902L, 5L, 50L, 160L),  // post-exchange, untouched partition: in t
+      put(903L, 6L, 60L, 170L)), // post-exchange, swapped IN: in t
+      2), rawSchema)
+    val mounted = RawKvMounter.mountTableVersioned(raw,
+      Seq(0L -> tV1, exchangeTs -> tV2))
+      .select(col("_commit_ts"), col("after.id"), col("after.v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    // the typed stream: exactly the rows whose physical id belonged to
+    // t at their commit ts
+    assert(mounted == Seq((50L, 1L, 10L), (60L, 2L, 20L),
+      (160L, 5L, 50L), (170L, 6L, 60L)),
+      s"exchange-partition membership diverged: $mounted")
+
+    // the registry drives the same swap logically: both sides' column
+    // shapes cross over at the exchange ts
+    import graft.model.DdlAction._
+    val reg = SchemaRegistry().applyAll(Seq(
+      CreateTable("app", "t", Seq(ColumnDef("id", "bigint"),
+        ColumnDef("v", "bigint")), 1L),
+      CreateTable("app", "s", Seq(ColumnDef("id", "bigint"),
+        ColumnDef("v", "bigint"), ColumnDef("extra", "bigint")), 1L),
+      ExchangeTablePartition("app", "t", "app", "s", exchangeTs)))
+    assert(reg.asOf("app", "t", 99L).get.columns.map(_.name) == Seq("id", "v"))
+    assert(reg.asOf("app", "t", 101L).get.columns.map(_.name) ==
+      Seq("id", "v", "extra"))
+  }
 }
