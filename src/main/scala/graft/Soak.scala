@@ -4,31 +4,56 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** sf1 scale soak (VERDICT r9 task #8): self-replicate the sf0.1
-  * documents tenfold (every doc gains 9 clones — the duplicate-heavy
-  * worst case for the pair machinery) and run the five most expensive
-  * bench composites plus the MQ stream rig at 1× and 10×, measuring
-  * the scaling exponent of each: `exp = log(t10/t1) / log 10`, so 1.0
-  * is linear, <1 sublinear amortization, and anything ≫1 means a plan
-  * that would not survive the next 10×. For the pair generators wall
-  * clock is expected to track OUTPUT (clone pairs grow ~100×), so the
-  * per-output-pair cost and the largest salt-tile group are recorded
-  * alongside (the ScaleSpec invariants, measured at sf1 scale).
+  * documents tenfold and run the five most expensive bench composites
+  * plus the MQ stream rig at 1× and 10×, measuring the scaling
+  * exponent of each: `exp = log(t10/t1) / log 10`, so 1.0 is linear,
+  * <1 sublinear amortization, and anything ≫1 means a plan that would
+  * not survive the next 10×.
   *
-  * Usage: `runMain graft.Soak [sfDir]` (default /root/testdata/sf0.1).
-  * Prints one JSON line; a full-detail copy lands in soak_full.json.
+  * TWO replication regimes (VERDICT r10 task #7):
+  *  - `clone` (default): every doc gains 9 byte-identical clones —
+  *    the duplicate-HEAVY worst case; pair output grows ~100×, so
+  *    wall clock is expected to track OUTPUT and the per-output-pair
+  *    cost + largest salt-tile group are recorded alongside.
+  *  - `mutated`: every clone has half its tokens replica-salted,
+  *    pushing each replica past the LSH/Jaccard thresholds — a 10×
+  *    corpus with the SAME true-duplicate mass as 1× (the huge-corpus
+  *    few-duplicates regime). Pair WALLS must collapse toward
+  *    corpus-linear: a pair wall that stays at its clone-mode level
+  *    while output does not grow is a candidate-generation plan bug.
+  *
+  * Usage: `runMain graft.Soak [sfDir] [clone|mutated]`.
+  * Prints one JSON line; a full-detail copy lands in soak_full.json
+  * (mutated mode: soak_mutated.json).
   */
 object Soak {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mode = args.drop(1).headOption.getOrElse("clone")
+    require(mode == "clone" || mode == "mutated", s"unknown soak mode $mode")
     val spark = GraftSession.builder().getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     import graft.operators.{Dedup, Retrieval, TextOps}
 
     val base = Tables.documents(spark, sfDir).cache()
     val nDocs = base.count()
+    // replica 0 keeps the original bytes; in mutated mode replicas 1-9
+    // salt every second token with the replica id, so each replica's
+    // shingle set shares ~1/3 of a clone's (Jaccard ≈ n/2 over 3n/2)
+    // — far below every pair threshold in use
+    val cloneText =
+      if (mode == "clone") col("text")
+      else when(col("id") === 0L, col("text")).otherwise(
+        array_join(
+          zip_with(
+            split(col("text"), " "),
+            sequence(lit(0), size(split(col("text"), " ")) - 1),
+            (t, i) => when(i % 2 === 0,
+              concat(t, lit("_r"), col("id"))).otherwise(t)),
+          " "))
     val big = spark.range(10).crossJoin(base)
       .select((col("doc_id") + col("id") * 10000000L).as("doc_id"),
-        col("text"), col("lang"), col("source"), col("n_chars"))
+        cloneText.as("text"), col("lang"), col("source"), col("n_chars"))
       .cache()
     big.count()
 
@@ -109,18 +134,26 @@ object Soak {
         .awaitTermination()
       (System.nanoTime() - t0) / 1e9
     }
-    streamSec(4000L) // warm
-    val s1 = streamSec(400000L)
-    val s10 = streamSec(4000000L)
+    // the stream rig is duplicate-density-independent: run it only in
+    // the clone (default) regime
+    val (s1, s10) =
+      if (mode == "mutated") (-1.0, -1.0)
+      else { streamSec(4000L); (streamSec(400000L), streamSec(4000000L)) }
 
-    val line = s"""{"metric":"soak","sf_dir":"$sfDir","docs_1x":$nDocs,""" +
+    val streamJson =
+      if (mode == "mutated") "null"
+      else s"""{"t400k_sec":${r3(s1)},"t4m_sec":${r3(s10)},""" +
+        s""""rps_400k":${r3(400000 / s1)},"rps_4m":${r3(4000000 / s10)},""" +
+        s""""exp":${r3(exp(s1, s10))}}"""
+    val line = s"""{"metric":"soak","mode":"$mode","sf_dir":"$sfDir",""" +
+      s""""docs_1x":$nDocs,""" +
       s""""max_salt_tile_group":$maxGroup,"salt_cap":$cap,""" +
-      s""""stream":{"t400k_sec":${r3(s1)},"t4m_sec":${r3(s10)},""" +
-      s""""rps_400k":${r3(400000 / s1)},"rps_4m":${r3(4000000 / s10)},""" +
-      s""""exp":${r3(exp(s1, s10))}},""" +
+      s""""stream":$streamJson,""" +
       s""""composites":{${rows.mkString(",")}}}"""
     try java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("soak_full.json"), line + "\n")
+      java.nio.file.Paths.get(
+        if (mode == "mutated") "soak_mutated.json" else "soak_full.json"),
+      line + "\n")
     catch { case _: Throwable => () }
     println(line)
     spark.stop()

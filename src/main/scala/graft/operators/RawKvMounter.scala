@@ -518,10 +518,21 @@ object RawKvMounter {
     * (checksum.go:66-68 errors): verdict `ok = false, verified =
     * false`, counted by [[checksumCoverage]] as skipped_versioned.
     *
-    * Returns one verdict row per put: (commit_ts, handle, stored,
-    * computed, ok, verified, version) — `verified` is true when a
-    * comparison actually ran (v0 column or v1/v2 raw-bytes);
-    * `version` is null when the row carries no checksum region. */
+    * BOTH images verdict: the put value as image `current`, and when
+    * an old value rides the entry (updates with old-value enabled) a
+    * second verdict row as image `previous`. The previous image gets
+    * the reference's skipFail semantics for version 0
+    * (checksum.go:41-44,100-112: after Add/Drop Column the old row's
+    * column set no longer matches the schema, so a pre-row COLUMN
+    * mismatch is warn-skipped, not failed — here `ok = true,
+    * verified = false` so coverage can still see it); the v1/v2
+    * raw-bytes path has no such branch and verifies previous images
+    * strictly (checksum.go:46 dispatches both images the same way).
+    *
+    * Returns verdict rows: (commit_ts, handle, stored, computed, ok,
+    * verified, version, image) — `verified` is true when a comparison
+    * actually ran and counted (v0 column or v1/v2 raw-bytes);
+    * `version` is null when the image carries no checksum region. */
   def verifyInRowChecksums(raw: DataFrame, meta: KvTableMeta): DataFrame = {
     val schema = StructType(Seq(
       StructField("_commit_ts", LongType, nullable = false),
@@ -530,52 +541,80 @@ object RawKvMounter {
       StructField("computed", LongType, nullable = false),
       StructField("ok", BooleanType, nullable = false),
       StructField("verified", BooleanType, nullable = false),
-      StructField("version", IntegerType)))
+      StructField("version", IntegerType),
+      StructField("image", StringType, nullable = false)))
     val enc = Encoders.row(schema)
     val m = meta
-    raw.select("key", "value", "op_type", "commit_ts")
+    raw.select("key", "value", "old_value", "op_type", "commit_ts")
       .mapPartitions { it =>
         it.flatMap { r =>
           val key = r.getAs[Array[Byte]](0)
           val value = r.getAs[Array[Byte]](1)
           if (!isRecordKey(key) ||
-              r.getAs[String](2) == "delete" || value == null || value.isEmpty ||
+              r.getAs[String](3) == "delete" || value == null || value.isEmpty ||
               !TiKvCodec.isNewFormat(value))
             Iterator.empty
           else {
             val (tableId, handle) = TiKvCodec.decodeRecordKey(key)
             if (!m.allIds.contains(tableId)) Iterator.empty
             else {
-              val row = TiKvCodec.decodeV2(value)
-              val image = decodeImage(m, handle, value)
-              val tokens = m.columns.zip(image).map { case (c, v) =>
-                graft.functions.RowChecksum.tokenPlain(base(c.sqlType), v)
+              // (computed, stored, ok, verified, version)
+              def verdictOf(bytes: Array[Byte], isPreRow: Boolean)
+                  : (Long, Any, Boolean, Boolean, Any) = {
+                val row = TiKvCodec.decodeV2(bytes)
+                val image = decodeImage(m, handle, bytes)
+                val tokens = m.columns.zip(image).map { case (c, v) =>
+                  graft.functions.RowChecksum.tokenPlain(base(c.sqlType), v)
+                }
+                val computed = graft.functions.RowChecksum.crc32Plain(tokens)
+                row.checksum match {
+                  case None => // integrity off upstream
+                    (computed, null, true, false, null)
+                  case Some(region) if region.version == 1 || region.version == 2 =>
+                    // raw-bytes domain: re-derive over the wire bytes
+                    // (value-before-region + key) — checksum.go:146-161
+                    // compares against GetChecksum (the first word)
+                    // only; previous images verify strictly too (the
+                    // raw path has no skipFail branch)
+                    val raw = TiKvCodec.rawChecksumOf(bytes, key).get
+                    (computed, region.first.asInstanceOf[Any],
+                      region.first == raw, true,
+                      region.version.asInstanceOf[Any])
+                  case Some(region) if region.version != 0 =>
+                    // unknown future version — the reference errors
+                    // (checksum.go:66-68); verdict as unverified-not-ok
+                    (computed, region.first.asInstanceOf[Any], false, false,
+                      region.version.asInstanceOf[Any])
+                  case Some(region) =>
+                    val matched = region.first == computed ||
+                      region.extra.contains(computed)
+                    if (!matched && isPreRow)
+                      // pre-row column mismatch after Add/Drop Column:
+                      // warn-skip, never fail (checksum.go:100-112)
+                      (computed, region.first.asInstanceOf[Any], true, false,
+                        region.version.asInstanceOf[Any])
+                    else
+                      (computed, region.first.asInstanceOf[Any], matched, true,
+                        region.version.asInstanceOf[Any])
+                }
               }
-              val computed = graft.functions.RowChecksum.crc32Plain(tokens)
-              val (stored, ok, verified, version) = row.checksum match {
-                case None => (null, true, false, null) // integrity off upstream
-                case Some(region) if region.version == 1 || region.version == 2 =>
-                  // raw-bytes domain: re-derive over the wire bytes
-                  // (value-before-region + key) — checksum.go:146-161
-                  // compares against GetChecksum (the first word) only
-                  val raw = TiKvCodec.rawChecksumOf(value, key).get
-                  (region.first.asInstanceOf[Any], region.first == raw,
-                    true, region.version.asInstanceOf[Any])
-                case Some(region) if region.version != 0 =>
-                  // unknown future version — the reference errors
-                  // (checksum.go:66-68); verdict as unverified-not-ok
-                  (region.first.asInstanceOf[Any], false, false,
-                    region.version.asInstanceOf[Any])
-                case Some(region) =>
-                  (region.first.asInstanceOf[Any],
-                    region.first == computed || region.extra.contains(computed),
-                    true, region.version.asInstanceOf[Any])
-              }
+              val (computed, stored, ok, verified, version) =
+                verdictOf(value, isPreRow = false)
               val h = handle match {
                 case IntHandle(v) => v.toString
                 case CommonHandle(ds) => ds.mkString("|")
               }
-              Iterator(Row(r.getLong(3), h, stored, computed, ok, verified, version))
+              val commitTs = r.getLong(4)
+              val cur = Row(commitTs, h, stored, computed, ok, verified,
+                version, "current")
+              val old = r.getAs[Array[Byte]](2)
+              if (old == null || old.isEmpty || !TiKvCodec.isNewFormat(old))
+                Iterator(cur)
+              else {
+                val (pc, ps, po, pv, pver) = verdictOf(old, isPreRow = true)
+                Iterator(cur,
+                  Row(commitTs, h, ps, pc, po, pv, pver, "previous"))
+              }
             }
           }
         }

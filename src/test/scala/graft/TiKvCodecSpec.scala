@@ -779,6 +779,44 @@ class RawKvMounterSpec extends SparkFunSuite {
     assert(TiKvCodec.rawChecksumOf(withExtra, k).contains(cks))
   }
 
+  test("previous-image checksums: v0 pre-row mismatch warn-skips " +
+      "(checksum.go:100-112), v1/v2 raw-bytes verify previous strictly") {
+    val payload = Seq(5L, "eve", 2.5, "x", 7L)
+    val prePayload = Seq(5L, "eva", 2.0, "y", 6L)
+    val k = key(5L)
+    val cur = RawKvMounter.encodeImageChecksummed(meta, payload) // correct v0
+    def cells(p: Seq[Any]) = TiKvCodec.decodeV2(RawKvMounter.encodeImage(meta, p))
+      .notNull.map { case (id, c) => (id, Some(c)) }
+    // corrupted v0 old value: stored = computed + 1
+    val preTokens = meta.columns.zip(prePayload).map { case (c, v) =>
+      graft.functions.RowChecksum.tokenPlain(
+        c.sqlType.takeWhile(_ != '('), v)
+    }
+    val preCrc = graft.functions.RowChecksum.crc32Plain(preTokens)
+    val oldBadV0 = TiKvCodec.encodeV2Checksummed(cells(prePayload),
+      first = (preCrc + 1L) & 0xFFFFFFFFL)
+    val oldBadV1 = TiKvCodec.encodeV2RawChecksummed(cells(prePayload), k,
+      version = 1, corrupt = true)
+    val oldGoodV2 = TiKvCodec.encodeV2RawChecksummed(cells(prePayload), k,
+      version = 2)
+    val verdicts = RawKvMounter.verifyInRowChecksums(
+      rawDf(Seq(
+        (k, cur, oldBadV0, "put", 1L, 10L),
+        (k, cur, oldBadV1, "put", 1L, 20L),
+        (k, cur, oldGoodV2, "put", 1L, 30L))), meta)
+      .collect()
+      .map(r => (r.getLong(0), r.getString(7), r.getBoolean(4), r.getBoolean(5)))
+      .sortBy(t => (t._1, t._2)).toSeq
+    assert(verdicts == Seq(
+      (10L, "current", true, true),
+      (10L, "previous", true, false), // v0 pre-row mismatch: warn-SKIP
+      (20L, "current", true, true),
+      (20L, "previous", false, true), // v1 raw: strict, FAILS
+      (30L, "current", true, true),
+      (30L, "previous", true, true)), // v2 raw correct
+      s"got $verdicts")
+  }
+
   test("checksum versions 1/2 (raw-bytes scheme) are VERIFIED at mount; " +
       "only unknown versions skip (checksum.go:46,66-68)") {
     val payload = Seq(5L, "eve", 2.5, "x", 7L)
