@@ -41,6 +41,23 @@ object DdlBarrier {
     }
   }
 
+  /** Checkpoint compaction — the barrier-loop face of the schema GC
+    * ([[graft.model.SchemaRegistry.truncateBelow]], the schemastore
+    * trim below the resolved gc ts): once the changefeed's checkpoint
+    * has passed `ckptTs`, every DDL at or below it is already folded
+    * into all future batches' snapshots, so fold them into the
+    * initial registry, GC versions below the checkpoint, and keep
+    * only the still-pending DDLs. `plan(env > ckptTs, ddls', init')`
+    * is step-for-step identical to the uncompacted plan over the same
+    * stream, while both the registry and the driver-side DDL list
+    * stay bounded by the post-checkpoint DDL count on a feed of any
+    * age. */
+  def compact(initial: SchemaRegistry, ddls: Seq[DdlAction],
+              ckptTs: Long): (SchemaRegistry, Seq[DdlAction]) = {
+    val (folded, pending) = ddls.sortBy(_.ts).partition(_.ts <= ckptTs)
+    (initial.applyAll(folded).truncateBelow(ckptTs), pending)
+  }
+
   /** Render a ColumnDef default in its declared type (mounter default
     * values, chunk.go:182). `versionTs` (ns) backs
     * DEFAULT CURRENT_TIMESTAMP (ddl_default_current_timestamp

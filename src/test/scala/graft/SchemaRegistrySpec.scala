@@ -161,6 +161,44 @@ class SchemaRegistrySpec extends SparkFunSuite {
     }
   }
 
+  test("barrier compaction at a checkpoint: folded DDLs + GCed registry " +
+      "re-plan the remaining stream step-for-step identically") {
+    val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    val tsCuts = env.select("_commit_ts").orderBy("_commit_ts")
+      .collect().map(_.getLong(0))
+    val (cut1, ckpt, cut2) = (tsCuts(200), tsCuts(450), tsCuts(700))
+    val base = Seq(ColumnDef("user_id", "bigint"), ColumnDef("value", "double"))
+    val initial = SchemaRegistry().applyAll(
+      (0 until 4).map(i => CreateTable("app", s"events_$i", base, 0L)))
+    val ddls = Seq[DdlAction](
+      AddColumn("app", "events_0", ColumnDef("k", "bigint", Some("1")), cut1),
+      AddColumn("app", "events_1", ColumnDef("z", "bigint"), cut2))
+    // the feed has checkpointed past cut1: compact folds it in and
+    // GCs the registry below the checkpoint
+    val (initC, ddlsC) = DdlBarrier.compact(initial, ddls, ckpt)
+    assert(ddlsC.map(_.ts) == Seq(cut2), "only the pending DDL survives")
+    assert(initC.latest("app", "events_0").get.columns.map(_.name) ==
+      Seq("user_id", "value", "k"), "folded DDL is in the compacted registry")
+    assert(initC.versions(("app", "events_0")).size == 1, "history below ckpt GCed")
+    // planning the post-checkpoint stream: identical steps either way
+    val remaining = env.filter(col("_commit_ts") > ckpt)
+    val full = DdlBarrier.plan(remaining, ddls.filter(_.ts > ckpt),
+      initial.applyAll(ddls.filter(_.ts <= ckpt)))
+    val compacted = DdlBarrier.plan(remaining, ddlsC, initC)
+    assert(full.length == compacted.length)
+    full.zip(compacted).foreach { case (a, b) =>
+      assert(a.upToTs == b.upToTs)
+      assert(a.batch.count() == b.batch.count())
+      for (t <- 0 until 4)
+        assert(a.registry.latest("app", s"events_$t").map(_.columns) ==
+          b.registry.latest("app", s"events_$t").map(_.columns))
+      // conformance over a step is byte-identical too
+      val ca = DdlBarrier.conform(a, Seq("user_id", "value", "k"))
+      val cb = DdlBarrier.conform(b, Seq("user_id", "value", "k"))
+      assert(ca.exceptAll(cb).count() == 0 && cb.exceptAll(ca).count() == 0)
+    }
+  }
+
   test("DEFAULT CURRENT_TIMESTAMP fills with the schema version's commit ts") {
     // ddl_default_current_timestamp coverage: the reference fills with
     // the DDL execution time; here deterministically the version ts
