@@ -58,11 +58,43 @@ object RawKvMounter {
     * while blob-class columns keep raw bytes. Transcoding only applies
     * under the `mysql-native` source dialect (see [[KvTableMeta]]),
     * where the stored bytes genuinely live in the column charset. */
+  /** `collation`: a case/accent-insensitive collation name
+    * ("utf8mb4_general_ci", "utf8_general_ci", "utf8mb4_unicode_ci")
+    * marks a NEW-COLLATION column: its common-handle KEY bytes are the
+    * collator's SORT KEY (not restorable), and its real value rides
+    * the row value as restore data — the tablecodec layout the
+    * reference's ci_collation_compatibility scenario exercises. Empty
+    * = binary semantics (key bytes are the value bytes). */
   final case class KvColumn(id: Long, name: String, sqlType: String,
                             unsigned: Boolean = false, nullable: Boolean = true,
                             default: Option[String] = None,
                             virtualGen: Boolean = false,
-                            charset: String = "")
+                            charset: String = "",
+                            collation: String = "") {
+    def caseInsensitive: Boolean = collation.toLowerCase.endsWith("_ci")
+  }
+
+  /** general_ci sort key: one 2-byte big-endian weight per rune —
+    * the Unicode simple-uppercase mapping for BMP runes, 0xFFFD for
+    * supplementary-plane runes (MySQL utf8mb4_general_ci's plane-0
+    * rule, which TiDB reproduces). unicode_ci's full UCA weights are
+    * out of scope; general_ci covers the compatibility scenario. Two
+    * strings equal under the collation produce identical key bytes,
+    * which is exactly the identity/conflict semantics the record key
+    * carries. */
+  def generalCiSortKey(s: String): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(s.length * 2)
+    var i = 0
+    while (i < s.length) {
+      val cp = s.codePointAt(i)
+      val w =
+        if (cp > 0xFFFF) 0xFFFD
+        else Character.toUpperCase(cp) & 0xFFFF
+      out.write((w >> 8) & 0xff); out.write(w & 0xff)
+      i += Character.charCount(cp)
+    }
+    out.toByteArray
+  }
 
   /** Table metadata for the mount: which physical table ID maps to
     * which (schema, table) and columns; `handleCol` names the int-pk
@@ -213,8 +245,24 @@ object RawKvMounter {
     }
     meta.columns.map { c =>
       if (c.virtualGen) null // never stored; evaluated downstream
-      else if (handleVals.contains(c.name)) normalize(handleVals(c.name), c)
-      else {
+      else if (handleVals.contains(c.name)) {
+        // RESTORE DATA wins over the key bytes: a new-collation
+        // (CI) handle column's key carries the collator's sort key,
+        // not the value — TiDB then keeps the real value in the row
+        // value, and a cell's presence for a handle column means
+        // exactly that (tablecodec restore data;
+        // ci_collation_compatibility scenario)
+        val restored: Option[Any] = v2.flatMap(_.cell(c.id)).map { cell =>
+          val bt = base(c.sqlType)
+          transcoder(meta, c) match {
+            case Some(cs) if charClass(bt) => new String(cell, cs)
+            case _ => TiKvCodec.decodeCell(cell, bt, c.unsigned)
+          }
+        }.orElse(v1.get(c.id).collect {
+          case d if d != DNull => datumValue(d, base(c.sqlType))
+        })
+        normalize(restored.getOrElse(handleVals(c.name)), c)
+      } else {
         val bt = base(c.sqlType)
         v2 match {
           case Some(row) =>
@@ -706,7 +754,9 @@ object RawKvMounter {
 
   def encodeImage(meta: KvTableMeta, payload: Seq[Any]): Array[Byte] = {
     val cells = meta.columns.zip(payload).collect {
-      case (c, v) if !meta.handleCols.contains(c.name) =>
+      // a CI-collated handle column ALSO writes its real value into
+      // the row (restore data) — its key bytes are only a sort key
+      case (c, v) if !meta.handleCols.contains(c.name) || c.caseInsensitive =>
         (c.id, Option(v).map(x => TiKvCodec.encodeCell(
           storedValue(meta, c, x), base(c.sqlType), c.unsigned)))
     }
@@ -720,7 +770,7 @@ object RawKvMounter {
   def encodeImageChecksummed(meta: KvTableMeta, payload: Seq[Any],
                              extra: Option[Long] = None): Array[Byte] = {
     val cells = meta.columns.zip(payload).collect {
-      case (c, v) if !meta.handleCols.contains(c.name) =>
+      case (c, v) if !meta.handleCols.contains(c.name) || c.caseInsensitive =>
         (c.id, Option(v).map(x => TiKvCodec.encodeCell(x, base(c.sqlType), c.unsigned)))
     }
     val tokens = meta.columns.zip(payload).map { case (c, v) =>
@@ -746,12 +796,18 @@ object RawKvMounter {
       case l: Long => DInt(l)
       case i: Int => DInt(i.toLong)
       case s: String =>
-        // a string PK's key bytes follow the source dialect (tidb:
-        // always UTF-8; mysql-native: the column charset)
-        val cs = meta.columns.find(_.name == name)
-          .flatMap(transcoder(meta, _))
-          .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
-        DBytes(s.getBytes(cs))
+        val col = meta.columns.find(_.name == name)
+        if (col.exists(_.caseInsensitive))
+          // new-collation PK: the key carries the collator's SORT KEY
+          // (general_ci weights); the real value rides the row value
+          DBytes(generalCiSortKey(s))
+        else {
+          // a string PK's key bytes follow the source dialect (tidb:
+          // always UTF-8; mysql-native: the column charset)
+          val cs = col.flatMap(transcoder(meta, _))
+            .getOrElse(java.nio.charset.StandardCharsets.UTF_8)
+          DBytes(s.getBytes(cs))
+        }
       case d: Double => DFloat(d)
       case b: Array[Byte] => DBytes(b)
       case other => throw new IllegalArgumentException(s"unsupported handle value $other")

@@ -779,6 +779,43 @@ class RawKvMounterSpec extends SparkFunSuite {
     assert(TiKvCodec.rawChecksumOf(withExtra, k).contains(cks))
   }
 
+  test("new-collation (general_ci) clustered string PK: the key carries the " +
+      "sort key, the value carries restore data, the mount restores the " +
+      "original case (ci_collation_compatibility)") {
+    val ciMeta = KvTableMeta(120L, "app", "ci_users", Seq(
+      KvColumn(1L, "name", "varchar(64)", nullable = false,
+        collation = "utf8mb4_general_ci"),
+      KvColumn(2L, "score", "bigint")),
+      handleCol = "name")
+    val payload = Seq[Any]("Alice", 7L)
+    val key = RawKvMounter.recordKeyFor(ciMeta, payload)
+    // CI identity: case variants key identically (conflict semantics),
+    // binary-collation variants would not
+    assert(java.util.Arrays.equals(key,
+      RawKvMounter.recordKeyFor(ciMeta, Seq[Any]("ALICE", 7L))))
+    assert(java.util.Arrays.equals(key,
+      RawKvMounter.recordKeyFor(ciMeta, Seq[Any]("aLiCe", 7L))))
+    assert(!java.util.Arrays.equals(key,
+      RawKvMounter.recordKeyFor(ciMeta, Seq[Any]("Alicf", 7L))))
+    // the key's datum is the 2-byte-weight sort key, NOT utf-8 text
+    val CommonHandle(ds) = TiKvCodec.decodeRecordKey(key)._2
+    val DBytes(sortKey) = ds.head
+    assert(sortKey.toSeq == "ALICE".flatMap(c =>
+      Seq(0.toByte, c.toByte)).toSeq, "general_ci weights = uppercase BMP")
+    // restore data: the row value CARRIES the name cell
+    val img = RawKvMounter.encodeImage(ciMeta, payload)
+    assert(TiKvCodec.decodeV2(img).cell(1L).isDefined,
+      "CI handle column must ride the value as restore data")
+    // the mount restores the ORIGINAL case from the value, not the key
+    val mounted = RawKvMounter.mountTable(
+      rawDf(Seq((key, img, null, "put", 1L, 10L))), ciMeta)
+      .select("after.name", "after.score").head()
+    assert(mounted.getString(0) == "Alice" && mounted.getLong(1) == 7L)
+    // supplementary-plane runes weight as 0xFFFD (plane-0 rule)
+    assert(RawKvMounter.generalCiSortKey("😀").toSeq ==
+      Seq(0xFF.toByte, 0xFD.toByte))
+  }
+
   test("previous-image checksums: v0 pre-row mismatch warn-skips " +
       "(checksum.go:100-112), v1/v2 raw-bytes verify previous strictly") {
     val payload = Seq(5L, "eve", 2.5, "x", 7L)
