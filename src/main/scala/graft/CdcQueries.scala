@@ -291,10 +291,12 @@ object CdcQueries {
 
     // integrity coverage over a mixed checksum-region population
     // (none / correct+corrupted v1/v2 raw-bytes / unknown-version /
-    // corrupted v0 / correct v0): v1/v2 regions are genuinely
-    // VERIFIED against the raw-bytes domain (checksum.go:140-210
+    // corrupted v0 / correct v0, plus correct+corrupted PRE-image
+    // regions on odd ids): v1/v2 regions are genuinely VERIFIED
+    // against the raw-bytes domain (checksum.go:140-210
     // verifyRawBytesChecksum; TiKvCodec.rawChecksumOf), only unknown
-    // future versions remain skipped (checksum.go:66-68)
+    // future versions remain skipped (checksum.go:66-68), and a
+    // corrupted pre-image warn-skips (checksum.go:100-112)
     "q_checksum_coverage" -> ((s, d) =>
       RawKvMounter.checksumCoverage(
         RawKvMounter.verifyInRowChecksums(
@@ -844,11 +846,15 @@ object CdcQueries {
         |FROM agg""".stripMargin,
 
     // coverage counters are pure event_id-class arithmetic: verified
-    // = v0 rows + known-version (1/2) raw-bytes rows; skipped = only
-    // the unknown-version class; mismatch = corrupted v0 + corrupted v1
+    // = v0 rows + known-version (1/2) raw-bytes rows + correct
+    // pre-images; skipped = only the unknown-version class; mismatch
+    // = corrupted v0 + corrupted v1 (a corrupted PRE-image is a
+    // warn-skip, never a mismatch); odd-id region rows add one
+    // previous-image verdict row each
     "q_checksum_coverage" ->
-      """SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-        |  CAST(SUM(CASE WHEN event_id % 7 <> 0 AND (event_id % 5 <> 0 OR event_id % 13 <> 0) THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+      """SELECT CAST(COUNT(*) + SUM(CASE WHEN event_id % 7 <> 0 AND event_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_rows,
+        |  CAST(SUM(CASE WHEN event_id % 7 <> 0 AND (event_id % 5 <> 0 OR event_id % 13 <> 0) THEN 1 ELSE 0 END)
+        |     + SUM(CASE WHEN event_id % 7 <> 0 AND event_id % 2 = 1 AND event_id % 9 <> 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
         |  CAST(SUM(CASE WHEN event_id % 7 <> 0 AND event_id % 5 = 0 AND event_id % 13 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_skipped_versioned,
         |  CAST(SUM(CASE WHEN event_id % 7 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_no_region,
         |  CAST(SUM(CASE WHEN event_id % 7 <> 0 AND event_id % 11 = 0 AND (event_id % 5 <> 0 OR (event_id % 13 <> 0 AND event_id % 3 <> 0)) THEN 1 ELSE 0 END) AS BIGINT) AS n_mismatch,
@@ -1081,7 +1087,13 @@ object RawKvQuery {
     * column region, everything else a correct v0 — so every
     * [[RawKvMounter.checksumCoverage]] counter is exercised, v1/v2
     * rows are genuinely VERIFIED, and each bucket is
-    * oracle-computable from event_id alone. */
+    * oracle-computable from event_id alone.
+    *
+    * PREVIOUS images ride too: every ODD-id row with a region carries
+    * an old_value (the update pre-image) with its own v0 region —
+    * correct except every 9th id, which is CORRUPTED and must verdict
+    * as the pre-row warn-SKIP (ok without verified,
+    * checksum.go:100-112), never as a mismatch. */
   def encodeChecksumMix(events: DataFrame): DataFrame = {
     val m = eventsMeta
     events.select("event_id", "ts", "user_id", "event_type", "value", "props")
@@ -1123,7 +1135,27 @@ object RawKvQuery {
                 if (id % 11L == 0L) (correct + 1L) & 0xFFFFFFFFL else correct
               TiKvCodec.encodeV2Checksummed(cells, first)
             }
-          Row(key, value, null, "put", ts - 1L, ts)
+          // odd-id rows with a region carry an update PRE-IMAGE whose
+          // own v0 region is correct except every 9th id (corrupted →
+          // the pre-row warn-skip path)
+          val oldValue =
+            if (id % 7L == 0L || id % 2L == 0L) null
+            else {
+              val prePayload = payload.updated(3, "pre-" + r.getString(3))
+              val preCells = m.columns.zip(prePayload).collect {
+                case (c, v) if c.name != m.handleCol =>
+                  (c.id, Option(v).map(x =>
+                    TiKvCodec.encodeCell(x, c.sqlType.takeWhile(_ != '('), c.unsigned)))
+              }
+              val preTokens = m.columns.zip(prePayload).map { case (c, v) =>
+                graft.functions.RowChecksum.tokenPlain(
+                  c.sqlType.takeWhile(_ != '('), v)
+              }
+              val preCrc = graft.functions.RowChecksum.crc32Plain(preTokens)
+              TiKvCodec.encodeV2Checksummed(preCells,
+                if (id % 9L == 0L) (preCrc + 1L) & 0xFFFFFFFFL else preCrc)
+            }
+          Row(key, value, oldValue, "put", ts - 1L, ts)
         }
       }(Encoders.row(rawSchema))
   }

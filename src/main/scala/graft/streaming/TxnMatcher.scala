@@ -78,10 +78,36 @@ object TxnMatcher {
     * the input is irrelevant, exactly like the reference's per-region
     * cache after initialization. */
   def matchCommitted(raw: DataFrame): DataFrame = {
-    val committed = raw.filter(col("entry_type") === Committed)
-      .select(col("key"), col("value"), col("old_value"), col("op_type"),
-        col("start_ts"), col("commit_ts"))
-      .dropDuplicates(Seq("key", "start_ts")) // redelivered scan entries
+    // A pre-paired COMMITTED scan entry IS its own prewrite+commit:
+    // expand it into both halves and run ONE matching pipeline. The
+    // cross-form dedup (the same txn redelivered as a scan entry AND
+    // as a stream pair) then falls out of the per-txn aggregation the
+    // pipeline already does — no post-union distinct, no extra
+    // shuffle. The committed bytes equal the winning prewrite's by
+    // the 2PC contract, so whichever form the max_by keeps, the
+    // output row is identical.
+    val asIs = struct(
+      col("key"), col("value"), col("old_value"), col("op_type"),
+      col("entry_type"), col("start_ts"), col("commit_ts"), col("generation"))
+    val preHalf = struct(
+      col("key"), col("value"), col("old_value"), col("op_type"),
+      lit(Prewrite).as("entry_type"), col("start_ts"),
+      lit(0L).as("commit_ts"), col("generation"))
+    val commitHalf = struct(
+      col("key"), lit(null).cast(BinaryType).as("value"),
+      lit(null).cast(BinaryType).as("old_value"), col("op_type"),
+      lit(Commit).as("entry_type"), col("start_ts"), col("commit_ts"),
+      col("generation"))
+    val expanded = raw
+      .withColumn("__x",
+        when(col("entry_type") === Committed, array(preHalf, commitHalf))
+          .otherwise(array(asIs)))
+      .select(explode(col("__x")).as("__e"))
+      .select(col("__e.*"))
+    matchExpanded(expanded)
+  }
+
+  private def matchExpanded(raw: DataFrame): DataFrame = {
     // putPrewriteRow's keep rule as a max_by priority: a real (non-
     // empty) value beats a fake heartbeat's empty one; among real
     // prewrites the highest pipelined-DML generation wins
@@ -108,17 +134,12 @@ object TxnMatcher {
     // rows; rollbacks ≈ failed txns) and the prewrite side is an
     // aggregate with unreliable static stats: shuffle-hash pinned so
     // no side is ever a broadcast build at scale.
-    val matched = commits
+    commits
       .join(pre.hint("shuffle_hash"), Seq("key", "start_ts"))
       .join(rollbacks.hint("shuffle_hash"), Seq("key", "start_ts"), "left_anti")
       .select(col("key"), col("p.value").as("value"),
         col("p.old_value").as("old_value"), col("_commit_op").as("op_type"),
         col("start_ts"), col("commit_ts"))
-    // cross-FORM dedup: under at-least-once redelivery that straddles
-    // the scan/stream boundary, the same txn can arrive BOTH as a
-    // pre-paired COMMITTED scan entry and as a prewrite+commit pair —
-    // one txn identity must emit once (both carry the same bytes)
-    matched.unionByName(committed).dropDuplicates(Seq("key", "start_ts"))
   }
 
   /** Per-region resolved-ts bound over the uncommitted 2PC stream —
