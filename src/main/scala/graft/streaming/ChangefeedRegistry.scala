@@ -304,6 +304,63 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
         (m, s"split_moved:${ts.mkString("+")}")
     }
 
+  /** 128-bit dispatcher id of one span piece (md5 halves — the
+    * DispatcherID analog). */
+  private def spanId(feed: String, span: String, part: Int): (Long, Long) = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$feed|$span|$part".getBytes("UTF-8"))
+    def l(off: Int) = (0 until 8).foldLeft(0L)((a, i) =>
+      (a << 8) | (d(off + i) & 0xffL))
+    (l(0), l(8))
+  }
+
+  /** Per-node EXPECTED dispatcher-set checksums for a feed's current
+    * placements (maintainer/node_set_checksum_manager.go: the
+    * coordinator's source-of-truth view, recomputed from config so no
+    * second mutable copy can itself drift). `tables` is the feed's
+    * table census; placement: moved spans at their pin, split-moved
+    * pieces at their targets, split pieces round-robin, unpinned
+    * tables at hash(span) % numPartitions — the same determinism the
+    * data path's partitioner follows. */
+  def spanSetChecksums(id: String,
+                       tables: Seq[(String, String)]): Map[Int, SetChecksum] = {
+    val e = entryOf(id)
+    val n = e.cfg.sink.numPartitions
+    val placed = scala.collection.mutable.Map.empty[Int, SetChecksum]
+      .withDefaultValue(SetChecksum())
+    def put(node: Int, idh: (Long, Long)): Unit =
+      placed(node) = placed(node).add(idh._1, idh._2)
+    tables.foreach { case (s, t) =>
+      val span = s"$s.$t"
+      val rule = e.cfg.sink.dispatch
+        .find(_.matcher == Seq(span)).map(_.partition)
+      rule match {
+        case Some(PartitionRule.Fixed(p)) => put(p, spanId(id, span, 0))
+        case Some(PartitionRule.SplitFixed(ts)) =>
+          ts.zipWithIndex.foreach { case (p, i) => put(p, spanId(id, span, i)) }
+        case Some(PartitionRule.TableSplit(parts, _)) =>
+          (0 until parts).foreach(i => put(i % n, spanId(id, span, i)))
+        case _ =>
+          put(math.floorMod(span.hashCode, n), spanId(id, span, 0))
+      }
+    }
+    placed.toMap
+  }
+
+  /** Drift check: nodes whose REPORTED runtime dispatcher set differs
+    * from the expected one (a node missing from `reported` with a
+    * non-empty expectation drifts too). The heartbeat-side MATCH /
+    * non-match comparison of the reference, order-independent and
+    * O(1) per node. */
+  def spanDrift(id: String, tables: Seq[(String, String)],
+                reported: Map[Int, SetChecksum]): Seq[Int] = {
+    val expected = spanSetChecksums(id, tables)
+    (expected.keySet ++ reported.keySet).toSeq.sorted.filter { node =>
+      expected.getOrElse(node, SetChecksum()) !=
+        reported.getOrElse(node, SetChecksum())
+    }
+  }
+
   /** Persist every changefeed's definition — the coordinator's etcd
     * role (ChangeFeedInfo persistence, controller.go:902): one record
     * per feed under `dir`, containing config + paths. Queries
