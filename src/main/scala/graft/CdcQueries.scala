@@ -323,32 +323,41 @@ object CdcQueries {
     // meta) and recovered from the BYTES alone — identity against the
     // DuckDB env recompute proves the wire codec end to end
     // (pkg/redo/codec; consistent_replicate_* scenarios)
-    "q_redo_wire" -> ((s, d) => {
-      import graft.sinks.{RedoWire, RedoWireBridge}
-      import org.apache.spark.sql.Row
-      import org.apache.spark.sql.types._
-      val e = env(s, d)
-      val dir = java.nio.file.Files.createTempDirectory("graft-redo-wire-q").toString
-      val maxTs = e.agg(max(col("_commit_ts"))).head().getLong(0)
-      RedoWireBridge.writeDirFromEnvelope(e, dir, Seq("user_id"), 0L, maxTs)
-      val (_, _, rdd) = RedoWireBridge.recordsFromDir(s, dir)
-      val flat = rdd.collect { case RedoWire.DmlRecord(m) =>
-        def v(side: Seq[RedoWire.RedoColVal], i: Int): Any =
-          if (side.isEmpty) null else RedoWireBridge.jvmValue(side(i))
-        Row(m.schema, m.table, m.op, m.commitTs, m.startTs,
-          v(m.preValues, 0), v(m.preValues, 1), v(m.preValues, 2),
-          v(m.values, 0), v(m.values, 1), v(m.values, 2))
-      }
-      s.createDataFrame(flat, StructType(Seq(
-        StructField("_schema", StringType), StructField("_table", StringType),
-        StructField("_op", StringType),
-        StructField("_commit_ts", LongType), StructField("_start_ts", LongType),
-        StructField("before_user_id", LongType),
-        StructField("before_value", DoubleType),
-        StructField("before_k", LongType),
-        StructField("after_user_id", LongType),
-        StructField("after_value", DoubleType),
-        StructField("after_k", LongType))))
+    "q_redo_wire" -> ((s, d) => RawKvQuery.redoWireRoundtrip(s, d, compress = false)),
+
+    // the same whole-envelope wire round trip with COMPRESSED export:
+    // every log file written whole-file LZ4 (the reference writer's
+    // compression=lz4), read back via the magic auto-detect — byte
+    // losslessness of the compressed path proven against the same
+    // oracle (consistent_replicate_* with compression)
+    "q_redo_wire_lz4" -> ((s, d) => RawKvQuery.redoWireRoundtrip(s, d, compress = true)),
+
+    // CI-collated clustered string PK mount: the record key carries
+    // general_ci sort-key weights, the row value carries the restore
+    // data — the mount must return the original MIXED-case label
+    // (a key-derived decode would case-fold and hash-mismatch)
+    // (ci_collation_compatibility; tablecodec new-collation layout)
+    "q_kv_mount_ci" -> ((s, d) => {
+      val raw = RawKvQuery.encodeCi(Tables.events(s, d))
+      RawKvMounter.mountTable(raw, RawKvQuery.ciMeta)
+        .select(col("after.label").as("label"),
+          col("after.event_id").as("event_id"),
+          col("after.value").as("value"))
+    }),
+
+    // multi-table SINGLE-PASS mount (mountTables): two tables split by
+    // event_id parity, mounted in one mapPartitions with the full
+    // envelope contract incl. _row_id from the handle — the steady-
+    // state composition's mount stage, oracle-checked
+    "q_kv_mount_multi" -> ((s, d) => {
+      val raw = RawKvQuery.encodeSplit(Tables.events(s, d))
+      RawKvMounter.mountTables(raw,
+          Seq(RawKvQuery.evenMeta, RawKvQuery.oddMeta))
+        .select(col("_table"), col("_row_id"),
+          col("after.event_id").as("event_id"), col("after.ts").as("ts"),
+          col("after.user_id").as("user_id"),
+          col("after.event_type").as("event_type"),
+          col("after.value").as("value"), col("after.props").as("props"))
     }),
 
     // GBK-declared mount in BOTH source dialects: even event_ids take
@@ -872,6 +881,31 @@ object CdcQueries {
         |  after_user_id, after_value, after_k
         |FROM env""".stripMargin),
 
+    // lz4 wire round trip: same oracle as the uncompressed form —
+    // whole-file compression must be byte-lossless
+    "q_redo_wire_lz4" -> q(
+      """SELECT _schema, _table, _op, _commit_ts, _start_ts,
+        |  before_user_id, before_value, before_k,
+        |  after_user_id, after_value, after_k
+        |FROM env""".stripMargin),
+
+    // ci mount: the mixed-case label recomputed from event_id — a
+    // case-folded (sort-key-derived) label hash-mismatches
+    "q_kv_mount_ci" ->
+      """SELECT CASE CAST(event_id % 3 AS INTEGER)
+        |    WHEN 0 THEN 'Ev_' WHEN 1 THEN 'EV_' ELSE 'ev_' END
+        |    || CAST(event_id AS VARCHAR) AS label,
+        |  event_id, value
+        |FROM events""".stripMargin,
+
+    // multi-table mount: table identity by parity, _row_id = handle
+    "q_kv_mount_multi" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'events_even'
+        |    ELSE 'events_odd' END AS _table,
+        |  event_id AS _row_id, event_id, epoch_ns(ts) AS ts,
+        |  user_id, event_type, value, props
+        |FROM events""".stripMargin,
+
     // gbk mount: the label/note mapping recomputed directly — any
     // lossiness in the GBK byte round trip hash-mismatches
     "q_kv_mount_gbk" ->
@@ -931,6 +965,48 @@ object RawKvQuery {
   import graft.operators.RawKvMounter.{KvColumn, KvTableMeta}
   import org.apache.spark.sql.{Encoders, Row}
   import org.apache.spark.sql.types._
+
+  /** Whole envelope → reference-format redo wire dir (optionally
+    * whole-file LZ4) → records decoded from the bytes alone,
+    * flattened for the oracle (q_redo_wire / q_redo_wire_lz4). */
+  def redoWireRoundtrip(s: SparkSession, d: String,
+                        compress: Boolean): DataFrame = {
+    import graft.sinks.{RedoWire, RedoWireBridge}
+    val e = Envelope.fromEvents(Tables.events(s, d))
+    val dir = java.nio.file.Files.createTempDirectory("graft-redo-wire-q").toString
+    val maxTs = e.agg(max(col("_commit_ts"))).head().getLong(0)
+    RedoWireBridge.writeDirFromEnvelope(e, dir, Seq("user_id"), 0L, maxTs,
+      compress = compress)
+    if (compress) {
+      // the export really is compressed: every log leads with the
+      // lz4 frame magic (otherwise this query proves nothing)
+      val logs = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".log"))
+      require(logs.nonEmpty && logs.forall { f =>
+        val h = java.nio.file.Files.readAllBytes(f.toPath)
+        h.length >= 4 && h(0) == 0x04 && h(1) == 0x22 &&
+          h(2) == 0x4d.toByte && h(3) == 0x18
+      }, "lz4 export must produce lz4-framed logs")
+    }
+    val (_, _, rdd) = RedoWireBridge.recordsFromDir(s, dir)
+    val flat = rdd.collect { case RedoWire.DmlRecord(m) =>
+      def v(side: Seq[RedoWire.RedoColVal], i: Int): Any =
+        if (side.isEmpty) null else RedoWireBridge.jvmValue(side(i))
+      Row(m.schema, m.table, m.op, m.commitTs, m.startTs,
+        v(m.preValues, 0), v(m.preValues, 1), v(m.preValues, 2),
+        v(m.values, 0), v(m.values, 1), v(m.values, 2))
+    }
+    s.createDataFrame(flat, StructType(Seq(
+      StructField("_schema", StringType), StructField("_table", StringType),
+      StructField("_op", StringType),
+      StructField("_commit_ts", LongType), StructField("_start_ts", LongType),
+      StructField("before_user_id", LongType),
+      StructField("before_value", DoubleType),
+      StructField("before_k", LongType),
+      StructField("after_user_id", LongType),
+      StructField("after_value", DoubleType),
+      StructField("after_k", LongType))))
+  }
 
   val eventsMeta: KvTableMeta = KvTableMeta(101L, "app", "events",
     Seq(
@@ -1156,6 +1232,60 @@ object RawKvQuery {
                 if (id % 9L == 0L) (preCrc + 1L) & 0xFFFFFFFFL else preCrc)
             }
           Row(key, value, oldValue, "put", ts - 1L, ts)
+        }
+      }(Encoders.row(rawSchema))
+  }
+
+  /** CI-collated clustered string PK (ci_collation_compatibility):
+    * the label is the handle; its key bytes are general_ci SORT-KEY
+    * weights and its real MIXED-case value rides the row value as
+    * restore data. A mount reading the key instead of the restore
+    * cell would return the case-folded sort text and hash-mismatch. */
+  val ciMeta: KvTableMeta = KvTableMeta(107L, "app", "events_ci", Seq(
+    KvColumn(1L, "label", "varchar(32)", nullable = false,
+      collation = "utf8mb4_general_ci"),
+    KvColumn(2L, "event_id", "bigint", nullable = false),
+    KvColumn(3L, "value", "double")),
+    handleCol = "label")
+
+  def encodeCi(events: DataFrame): DataFrame = {
+    val m = ciMeta
+    events.select("event_id", "ts", "value").mapPartitions { it =>
+      it.map { r =>
+        val id = r.getLong(0)
+        val prefix = (id % 3L) match {
+          case 0L => "Ev_"; case 1L => "EV_"; case _ => "ev_"
+        }
+        val payload = Seq[Any](prefix + id, id,
+          if (r.isNullAt(2)) null else r.getDouble(2))
+        Row(RawKvMounter.recordKeyFor(m, payload),
+          RawKvMounter.encodeImage(m, payload),
+          null, "put", r.getLong(1) - 1L, r.getLong(1))
+      }
+    }(Encoders.row(rawSchema))
+  }
+
+  /** Two tables sharing the events payload shape, split by event_id
+    * parity — the multi-table single-pass mount's fixture. */
+  val evenMeta: KvTableMeta = eventsMeta.copy(tableId = 108L, table = "events_even")
+  val oddMeta: KvTableMeta = eventsMeta.copy(tableId = 109L, table = "events_odd")
+
+  def encodeSplit(events: DataFrame): DataFrame = {
+    events.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val m = if (id % 2L == 0L) evenMeta else oddMeta
+          val payload = Seq[Any](
+            id, r.getLong(1),
+            if (r.isNullAt(2)) null else r.getLong(2),
+            r.getString(3),
+            if (r.isNullAt(4)) null else r.getDouble(4),
+            r.getString(5))
+          Row(
+            TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(id)),
+            RawKvMounter.encodeImage(m, payload),
+            null, "put", r.getLong(1) - 1L, r.getLong(1))
         }
       }(Encoders.row(rawSchema))
   }
