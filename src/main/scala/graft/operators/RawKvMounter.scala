@@ -31,6 +31,13 @@ import org.apache.spark.sql.types._
   * mount is a map over the change-log scan exactly as the reference
   * decodes on the event-service scan path.
   */
+/** The reference's ErrCorruptedDataMutation: an integrity-enabled
+  * changefeed at corruption-handle-level `error` fails on the first
+  * corrupted row (mounter.go:106,130). Carries the CDC error-class
+  * prefix so FeedBackoff classifies it. */
+final class CorruptedDataMutationException(detail: String)
+  extends RuntimeException(s"CDC:ErrCorruptedDataMutation $detail")
+
 object RawKvMounter {
 
   /** A record key: 't' + 8-byte table ID + "_r" — index keys
@@ -395,6 +402,63 @@ object RawKvMounter {
       .toDF()
   }
 
+  /** [[mountTable]] with INTEGRITY verification fused into the decode
+    * — the reference mounter's shape when the integrity feature is on
+    * (mounter.go:79-146: verify each image's checksum as it decodes;
+    * corruption-handle-level `error` returns
+    * ErrCorruptedDataMutation and the changefeed FAILS, level `warn`
+    * marks the event corrupted and forwards it). Output = the
+    * envelope plus a `_corrupted` boolean. Both images verify (the
+    * pre-image with its warn-skip v0 semantics); rows without regions
+    * pass untouched, so the operator is safe on integrity-off
+    * upstreams too. */
+  def mountTableVerified(raw: DataFrame, meta: KvTableMeta,
+                         errorHandle: Boolean): DataFrame = {
+    val enc = Encoders.row(StructType(
+      outputSchema(meta).fields.toSeq :+
+        StructField("_corrupted", BooleanType, nullable = false)))
+    val m = meta
+    raw.select("key", "value", "old_value", "op_type", "start_ts", "commit_ts")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val key = r.getAs[Array[Byte]](0)
+          if (!isRecordKey(key)) Iterator.empty
+          else {
+            val (tableId, handle) = TiKvCodec.decodeRecordKey(key)
+            if (!m.allIds.contains(tableId)) Iterator.empty
+            else {
+              val value = r.getAs[Array[Byte]](1)
+              val oldValue = r.getAs[Array[Byte]](2)
+              val opType = r.getAs[String](3)
+              def verifies(bytes: Array[Byte], isPreRow: Boolean): Boolean =
+                bytes == null || bytes.isEmpty ||
+                  !TiKvCodec.isNewFormat(bytes) ||
+                  checksumVerdict(m, handle, key, bytes, isPreRow)._3
+              val preOk = verifies(oldValue, isPreRow = true)
+              val curOk = opType == "delete" || verifies(value, isPreRow = false)
+              val corrupted = !(preOk && curOk)
+              if (corrupted && errorHandle)
+                throw new CorruptedDataMutationException(
+                  s"${m.schema}.${m.table} commit_ts=${r.getLong(5)}")
+              val after =
+                if (opType == "delete") null else decodeImage(m, handle, value)
+              val before = decodeImage(m, handle, oldValue)
+              val op =
+                if (opType == "delete") "D"
+                else if (before != null) "U"
+                else "I"
+              Iterator(Row(m.schema, m.table, op,
+                r.getLong(5), r.getLong(4),
+                if (before == null) null else Row.fromSeq(before.toIndexedSeq),
+                if (after == null) null else Row.fromSeq(after.toIndexedSeq),
+                corrupted))
+            }
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Mount MANY tables' raw entries in ONE pass — one mapPartitions,
     * no self-union. The single-pass shape matters in streaming: a
     * change stream downstream of a stateful operator (the 2PC
@@ -541,6 +605,44 @@ object RawKvMounter {
     case (x, _) => x
   }
 
+  /** One image's checksum verdict — (computed column checksum, stored,
+    * ok, verified, version). Version 0 compares the column fold
+    * (extra accepted; pre-row mismatch warn-skips, checksum.go:100-112),
+    * versions 1/2 re-derive the RAW-BYTES domain over the wire bytes +
+    * key (checksum.go:146-161, strict for both images), unknown
+    * versions verdict not-ok/not-verified (checksum.go:66-68). */
+  private def checksumVerdict(m: KvTableMeta, handle: Handle,
+                              key: Array[Byte], bytes: Array[Byte],
+                              isPreRow: Boolean)
+      : (Long, Any, Boolean, Boolean, Any) = {
+    val row = TiKvCodec.decodeV2(bytes)
+    val image = decodeImage(m, handle, bytes)
+    val tokens = m.columns.zip(image).map { case (c, v) =>
+      graft.functions.RowChecksum.tokenPlain(base(c.sqlType), v)
+    }
+    val computed = graft.functions.RowChecksum.crc32Plain(tokens)
+    row.checksum match {
+      case None => // integrity off upstream
+        (computed, null, true, false, null)
+      case Some(region) if region.version == 1 || region.version == 2 =>
+        val raw = TiKvCodec.rawChecksumOf(bytes, key).get
+        (computed, region.first.asInstanceOf[Any],
+          region.first == raw, true, region.version.asInstanceOf[Any])
+      case Some(region) if region.version != 0 =>
+        (computed, region.first.asInstanceOf[Any], false, false,
+          region.version.asInstanceOf[Any])
+      case Some(region) =>
+        val matched = region.first == computed ||
+          region.extra.contains(computed)
+        if (!matched && isPreRow)
+          (computed, region.first.asInstanceOf[Any], true, false,
+            region.version.asInstanceOf[Any])
+        else
+          (computed, region.first.asInstanceOf[Any], matched, true,
+            region.version.asInstanceOf[Any])
+    }
+  }
+
   /** Mounter-side in-row checksum verification — verifyColumnChecksum
     * (pkg/common/event/checksum.go:31-112, the integrity feature's
     * version-0 column-checksum path): decode each put's value, fold
@@ -606,48 +708,8 @@ object RawKvMounter {
             val (tableId, handle) = TiKvCodec.decodeRecordKey(key)
             if (!m.allIds.contains(tableId)) Iterator.empty
             else {
-              // (computed, stored, ok, verified, version)
-              def verdictOf(bytes: Array[Byte], isPreRow: Boolean)
-                  : (Long, Any, Boolean, Boolean, Any) = {
-                val row = TiKvCodec.decodeV2(bytes)
-                val image = decodeImage(m, handle, bytes)
-                val tokens = m.columns.zip(image).map { case (c, v) =>
-                  graft.functions.RowChecksum.tokenPlain(base(c.sqlType), v)
-                }
-                val computed = graft.functions.RowChecksum.crc32Plain(tokens)
-                row.checksum match {
-                  case None => // integrity off upstream
-                    (computed, null, true, false, null)
-                  case Some(region) if region.version == 1 || region.version == 2 =>
-                    // raw-bytes domain: re-derive over the wire bytes
-                    // (value-before-region + key) — checksum.go:146-161
-                    // compares against GetChecksum (the first word)
-                    // only; previous images verify strictly too (the
-                    // raw path has no skipFail branch)
-                    val raw = TiKvCodec.rawChecksumOf(bytes, key).get
-                    (computed, region.first.asInstanceOf[Any],
-                      region.first == raw, true,
-                      region.version.asInstanceOf[Any])
-                  case Some(region) if region.version != 0 =>
-                    // unknown future version — the reference errors
-                    // (checksum.go:66-68); verdict as unverified-not-ok
-                    (computed, region.first.asInstanceOf[Any], false, false,
-                      region.version.asInstanceOf[Any])
-                  case Some(region) =>
-                    val matched = region.first == computed ||
-                      region.extra.contains(computed)
-                    if (!matched && isPreRow)
-                      // pre-row column mismatch after Add/Drop Column:
-                      // warn-skip, never fail (checksum.go:100-112)
-                      (computed, region.first.asInstanceOf[Any], true, false,
-                        region.version.asInstanceOf[Any])
-                    else
-                      (computed, region.first.asInstanceOf[Any], matched, true,
-                        region.version.asInstanceOf[Any])
-                }
-              }
               val (computed, stored, ok, verified, version) =
-                verdictOf(value, isPreRow = false)
+                checksumVerdict(m, handle, key, value, isPreRow = false)
               val h = handle match {
                 case IntHandle(v) => v.toString
                 case CommonHandle(ds) => ds.mkString("|")
@@ -659,7 +721,8 @@ object RawKvMounter {
               if (old == null || old.isEmpty || !TiKvCodec.isNewFormat(old))
                 Iterator(cur)
               else {
-                val (pc, ps, po, pv, pver) = verdictOf(old, isPreRow = true)
+                val (pc, ps, po, pv, pver) =
+                  checksumVerdict(m, handle, key, old, isPreRow = true)
                 Iterator(cur,
                   Row(commitTs, h, ps, pc, po, pv, pver, "previous"))
               }

@@ -816,6 +816,43 @@ class RawKvMounterSpec extends SparkFunSuite {
       Seq(0xFF.toByte, 0xFD.toByte))
   }
 
+  test("integrity-fused mount: warn level marks corrupted rows and forwards, " +
+      "error level fails the feed (mounter.go:79-146 ErrCorruptedDataMutation)") {
+    val payload = Seq(5L, "eve", 2.5, "x", 7L)
+    val k = key(5L)
+    val good = RawKvMounter.encodeImageChecksummed(meta, payload)
+    val cells = TiKvCodec.decodeV2(RawKvMounter.encodeImage(meta, payload))
+      .notNull.map { case (id, c) => (id, Some(c)) }
+    val badV1 = TiKvCodec.encodeV2RawChecksummed(cells, k, version = 1,
+      corrupt = true)
+    val noRegion = RawKvMounter.encodeImage(meta, payload)
+    val raw = rawDf(Seq(
+      (k, good, null, "put", 1L, 10L),
+      (k, badV1, null, "put", 1L, 20L),
+      (k, noRegion, null, "put", 1L, 30L)))
+    // warn: the corrupted row FORWARDS, flagged
+    val out = RawKvMounter.mountTableVerified(raw, meta, errorHandle = false)
+      .select("_commit_ts", "_corrupted").collect()
+      .map(r => (r.getLong(0), r.getBoolean(1))).sortBy(_._1).toSeq
+    assert(out == Seq((10L, false), (20L, true), (30L, false)), s"got $out")
+    // error: the feed fails with the CDC error class
+    val e = intercept[org.apache.spark.SparkException] {
+      RawKvMounter.mountTableVerified(raw, meta, errorHandle = true).count()
+    }
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    assert(rootMessages(e).exists(_.contains("CDC:ErrCorruptedDataMutation")),
+      rootMessages(e).mkString(" | "))
+    // a corrupted PRE-image follows the same handle level
+    val badPre = rawDf(Seq((k, good,
+      TiKvCodec.encodeV2RawChecksummed(cells, k, version = 2, corrupt = true),
+      "put", 1L, 40L)))
+    val pre = RawKvMounter.mountTableVerified(badPre, meta, errorHandle = false)
+      .select("_corrupted").head().getBoolean(0)
+    assert(pre, "a corrupted v2 pre-image must mark the event corrupted")
+  }
+
   test("previous-image checksums: v0 pre-row mismatch warn-skips " +
       "(checksum.go:100-112), v1/v2 raw-bytes verify previous strictly") {
     val payload = Seq(5L, "eve", 2.5, "x", 7L)
