@@ -270,4 +270,36 @@ class PlanSpec extends SparkFunSuite {
     assert(!p.contains("SortMergeJoin"),
       s"the stats join must not reshuffle the event stream:\n$p")
   }
+
+  test("steady-state 2PC composition: exactly ONE stateful operator, mount " +
+      "rides it with no exchange (a per-table self-union would double the " +
+      "matcher's state store)") {
+    import graft.operators.RawKvMounter
+    import graft.operators.RawKvMounter.{KvColumn, KvTableMeta}
+    import graft.streaming.TxnMatcher
+    val metas = (0 until 4).map { i =>
+      KvTableMeta(graft.sources.ChangelogGen.tableIdOf(i.toLong),
+        "app", s"events_$i",
+        Seq(
+          KvColumn(1L, "user_id", "bigint", nullable = false),
+          KvColumn(2L, "value", "double"),
+          KvColumn(3L, "k", "bigint")),
+        handleCol = "user_id")
+    }
+    val raw = spark.readStream.format("graft.sources.ChangelogGenSource")
+      .option("tables", 4).option("totalRows", 100)
+      .option("rawKvUncommitted", "true").load()
+    val composed = RawKvMounter.mountTables(
+      TxnMatcher.matchStream(spark, raw), metas)
+    val logical = composed.queryExecution.analyzed
+    val stateful = logical.collect {
+      case f: org.apache.spark.sql.catalyst.plans.logical.FlatMapGroupsWithState => f
+    }
+    assert(stateful.size == 1,
+      s"one matcher, one state store — got ${stateful.size}:\n$logical")
+    // nothing between the matcher and the mount repartitions
+    assert(!logical.collect {
+      case r: org.apache.spark.sql.catalyst.plans.logical.RepartitionOperation => r
+    }.exists(_ => true), s"no repartition in the composition:\n$logical")
+  }
 }
