@@ -475,8 +475,16 @@ object RawKvMounter {
     * source record id the transform pipeline's header expects
     * ([[graft.model.Envelope]]): the int handle for int-handle keys,
     * a deterministic 64-bit FNV-1a of the handle datums for common
-    * handles. */
-  def mountTables(raw: DataFrame, metas: Seq[KvTableMeta]): DataFrame = {
+    * handles.
+    *
+    * `failOnCorruption` fuses the integrity error-handle level into
+    * the decode (mounter.go:106,130: corruption-handle-level `error`
+    * returns ErrCorruptedDataMutation and the changefeed fails on the
+    * first corrupted image) — the steady-state composition's
+    * integrity hook; the warn level's flagged-forward form lives on
+    * [[mountTableVerified]]. */
+  def mountTables(raw: DataFrame, metas: Seq[KvTableMeta],
+                  failOnCorruption: Boolean = false): DataFrame = {
     require(metas.nonEmpty, "mountTables: no table metas")
     val pt = payloadType(metas.head)
     require(metas.forall(m => payloadType(m) == pt),
@@ -499,6 +507,16 @@ object RawKvMounter {
                 val value = r.getAs[Array[Byte]](1)
                 val oldValue = r.getAs[Array[Byte]](2)
                 val opType = r.getAs[String](3)
+                if (failOnCorruption) {
+                  def okOf(bytes: Array[Byte], isPreRow: Boolean): Boolean =
+                    bytes == null || bytes.isEmpty ||
+                      !TiKvCodec.isNewFormat(bytes) ||
+                      checksumVerdict(m, handle, key, bytes, isPreRow)._3
+                  if (!okOf(oldValue, isPreRow = true) ||
+                      (opType != "delete" && !okOf(value, isPreRow = false)))
+                    throw new CorruptedDataMutationException(
+                      s"${m.schema}.${m.table} commit_ts=${r.getLong(5)}")
+                }
                 val after =
                   if (opType == "delete") null else decodeImage(m, handle, value)
                 val before = decodeImage(m, handle, oldValue)

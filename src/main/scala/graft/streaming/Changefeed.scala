@@ -345,7 +345,11 @@ object Changefeed {
                       sinkDir: String, checkpointDir: String,
                       matcherGcMs: Long = 60000L): StreamingQuery = {
     val matched = TxnMatcher.matchStream(spark, raw, matcherGcMs)
-    val env = graft.operators.RawKvMounter.mountTables(matched, metas)
+    // integrity at corruption-handle-level `error` fuses into the
+    // mount: the first corrupted image fails the feed with the
+    // unretryable CDC:ErrCorruptedDataMutation (mounter.go:106,130)
+    val env = graft.operators.RawKvMounter.mountTables(matched, metas,
+      failOnCorruption = cfg.integrity.enabled && cfg.integrity.errorHandle)
     runMqStream(spark, cfg, env, sinkDir, checkpointDir)
   }
 

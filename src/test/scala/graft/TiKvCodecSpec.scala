@@ -851,6 +851,15 @@ class RawKvMounterSpec extends SparkFunSuite {
     val pre = RawKvMounter.mountTableVerified(badPre, meta, errorHandle = false)
       .select("_corrupted").head().getBoolean(0)
     assert(pre, "a corrupted v2 pre-image must mark the event corrupted")
+    // the multi-table (steady-state) mount fuses the error level too
+    val multiOk = RawKvMounter.mountTables(raw, Seq(meta),
+      failOnCorruption = false).count()
+    assert(multiOk == 3L, "without the error level every row mounts")
+    val e2 = intercept[org.apache.spark.SparkException] {
+      RawKvMounter.mountTables(raw, Seq(meta), failOnCorruption = true).count()
+    }
+    assert(rootMessages(e2).exists(_.contains("CDC:ErrCorruptedDataMutation")),
+      rootMessages(e2).mkString(" | "))
   }
 
   test("previous-image checksums: v0 pre-row mismatch warn-skips " +
