@@ -474,8 +474,9 @@ object RawKvMounter {
     * the FULL envelope contract including `_row_id` — the stable
     * source record id the transform pipeline's header expects
     * ([[graft.model.Envelope]]): the int handle for int-handle keys,
-    * a deterministic 64-bit FNV-1a of the handle datums for common
-    * handles.
+    * a deterministic 64-bit FNV-1a over the handle's memcomparable
+    * key bytes for common handles (byte-level, so the same row always
+    * hashes the same across decodes and task retries).
     *
     * `failOnCorruption` fuses the integrity error-handle level into
     * the decode (mounter.go:106,130: corruption-handle-level `error`
@@ -526,9 +527,20 @@ object RawKvMounter {
                   else "I"
                 val rowId = handle match {
                   case IntHandle(v) => v
-                  case CommonHandle(ds) =>
-                    ds.foldLeft(-3750763034362895579L)((h, d) =>
-                      (h ^ String.valueOf(d).hashCode.toLong) * 1099511628211L)
+                  case CommonHandle(_) =>
+                    // FNV-1a over the handle's canonical memcomparable
+                    // bytes — the record-key suffix after 't'+id+"_r"
+                    // (offset 11). Byte-level, so identical rows hash
+                    // identically across decodes, task retries, and
+                    // restarts (exactly-once + per-key ordering depend
+                    // on _row_id determinism).
+                    var h = -3750763034362895579L
+                    var i = 11
+                    while (i < key.length) {
+                      h = (h ^ (key(i) & 0xffL)) * 1099511628211L
+                      i += 1
+                    }
+                    h
                 }
                 Iterator(Row(rowId, m.schema, m.table, op,
                   r.getLong(5), r.getLong(4),

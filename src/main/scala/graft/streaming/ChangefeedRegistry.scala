@@ -332,8 +332,13 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
       placed(node) = placed(node).add(idh._1, idh._2)
     tables.foreach { case (s, t) =>
       val span = s"$s.$t"
+      // first-match wildcard resolution — the SAME semantics the data
+      // path's partitioner uses (Routing.partitionFor via
+      // TableMatcher.matchesValue); literal equality here would ignore
+      // 'app.*'-style rules and report permanent false drift for them
       val rule = e.cfg.sink.dispatch
-        .find(_.matcher == Seq(span)).map(_.partition)
+        .find(r => graft.operators.TableMatcher.matchesValue(s, t, r.matcher))
+        .map(_.partition)
       rule match {
         case Some(PartitionRule.Fixed(p)) => put(p, spanId(id, span, 0))
         case Some(PartitionRule.SplitFixed(ts)) =>

@@ -85,13 +85,20 @@ class SetChecksumSpec extends AnyFunSuite {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       java.nio.file.Paths.get(s"$tmp/src/events.parquet"))
     val reg = new graft.streaming.ChangefeedRegistry(spark)
+    // a WILDCARD dispatch rule — the expected-placement side must
+    // resolve it with the same first-match TableMatcher semantics the
+    // data-path partitioner uses, not literal matcher equality
     val cfg = graft.model.ChangefeedConfig(id = "cf-drift",
-      sink = graft.model.SinkConfig(numPartitions = 4))
+      sink = graft.model.SinkConfig(numPartitions = 4,
+        dispatch = Seq(graft.model.DispatchRule(Seq("app.*"),
+          graft.model.PartitionRule.Fixed(2)))))
     reg.create(cfg, s"$tmp/src", s"$tmp/sink", s"$tmp/ckpt")
       .awaitTermination(120000)
     val tables = Seq(("app", "t0"), ("app", "t1"), ("app", "t2"))
     val before = reg.spanSetChecksums("cf-drift", tables)
     assert(before.values.map(_.count).sum == 3L)
+    assert(before.keySet == Set(2),
+      s"the app.* wildcard pins every app table at node 2: $before")
     // a faithful report (the expected sets themselves) shows no drift
     assert(reg.spanDrift("cf-drift", tables, before).isEmpty)
     // move t1 to node 3: the drift check against the STALE report

@@ -816,6 +816,32 @@ class RawKvMounterSpec extends SparkFunSuite {
       Seq(0xFF.toByte, 0xFD.toByte))
   }
 
+  test("_row_id for common handles is deterministic across independent " +
+      "decodes (byte-level FNV over the handle key bytes, not object hash)") {
+    val ciMeta = KvTableMeta(121L, "app", "rowid_users", Seq(
+      KvColumn(1L, "name", "varchar(64)", nullable = false,
+        collation = "utf8mb4_general_ci"),
+      KvColumn(2L, "score", "bigint")),
+      handleCol = "name")
+    def mountIds(): Map[String, Long] = {
+      // fresh key/value byte arrays each call — an identity-based hash
+      // would differ between calls even for identical logical rows
+      val rows = Seq("Alice", "Bob").zipWithIndex.map { case (n, i) =>
+        val p = Seq[Any](n, i.toLong)
+        (RawKvMounter.recordKeyFor(ciMeta, p),
+          RawKvMounter.encodeImage(ciMeta, p),
+          null.asInstanceOf[Array[Byte]], "put", 1L, 10L)
+      }
+      RawKvMounter.mountTables(rawDf(rows), Seq(ciMeta))
+        .select("after.name", "_row_id").collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    val a = mountIds()
+    val b = mountIds()
+    assert(a == b, s"_row_id must be retry/restart-stable: $a vs $b")
+    assert(a("Alice") != a("Bob"), "distinct handles must get distinct ids")
+  }
+
   test("integrity-fused mount: warn level marks corrupted rows and forwards, " +
       "error level fails the feed (mounter.go:79-146 ErrCorruptedDataMutation)") {
     val payload = Seq(5L, "eve", 2.5, "x", 7L)
