@@ -259,7 +259,9 @@ object DataQueries {
     // HLL++ distinct-content profile (approximate by design → the
     // driver records the rows-only check; the error bound is
     // spec-verified against exact countDistinct)
-    "q_corpus_sketch" -> ((s, d) => TextOps.corpusSketch(docs(s, d))),
+    // HLL++ sketch with its accuracy gate folded in: exact fields
+    // hash-match the oracle, the boolean bands the estimate (±5%)
+    "q_corpus_sketch" -> ((s, d) => TextOps.corpusSketchChecked(docs(s, d))),
 
     // fastText-style hashed linear quality gate (zero shuffle)
     "q_hash_classifier" -> ((s, d) =>
@@ -809,6 +811,12 @@ object DataQueries {
         |       ELSE 'test' END AS split
         |FROM documents""".stripMargin
     },
+
+    "q_corpus_sketch" ->
+      """SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT md5(text)) AS BIGINT) AS n_unique,
+        |  true AS sketch_within_band
+        |FROM documents GROUP BY source""".stripMargin,
 
     "q_corpus_mix" ->
       """WITH s AS (

@@ -69,8 +69,25 @@ object DdlJobParser {
   val ActionAddTablePartition = 19
   val ActionDropTablePartition = 20
   val ActionTruncateTablePartition = 23
+  /** RECOVER/FLASHBACK TABLE: re-adds the dropped table via the
+    * CreateTable handler path (persist_storage_ddl_handlers.go:337;
+    * multi_version.go:209 clears the store's delete version). */
+  val ActionRecoverTable = 25
   val ActionExchangeTablePartition = 42
   val ActionRenameTables = 47
+  /** Multi-clause ALTER TABLE wrapped in one job (handler :409
+    * iterates the sub-jobs); the query text carries every clause. */
+  val ActionMultiSchemaChange = 61
+  /** Partition-set rewrite keeping the logical table id (handler
+    * :418): new physical partition ids join at finishedTs, replaced
+    * ones stop. */
+  val ActionReorganizePartition = 64
+  /** ALTER TABLE .. PARTITION BY — the table gets a NEW logical id
+    * plus a fresh partition set (handler :445). */
+  val ActionAlterTablePartitioning = 70
+  /** ALTER TABLE .. REMOVE PARTITIONING — new plain-table id, no
+    * partitions (handler :454). */
+  val ActionRemovePartitioning = 71
 
   /** The non-shape action codes the registry ignores outright
     * (indexes/FKs/views/locks/sequences/placement — the
@@ -82,18 +99,32 @@ object DdlJobParser {
     13, 15, 16, 17, 18, // rebase auto-id, default value, shard-rowid, comment, rename index
     21, 24, // create/drop view
     22, 26, // charset/collate modifies (shape kept; registry tracks names/types only)
-    25, // recover table (no shape change at this layer)
     27, 28, 29, 30, 31, // lock/unlock/repair/tiflash
     32, 33, // add/drop primary key (constraint-only here)
     34, 35, 36, // sequences
     39, 40, 41, // auto-id cache, auto-random rebase, index visibility
-    43, 44, 45) // check constraints
+    43, 44, 45, // check constraints
+    49, 50, 51, 52, 53, 54, 55, 56, // attributes + placement policies
+    57, 58, 59, // cache table / stats options
+    65, 66, // TTL info/remove (updateSchemaMetadataIgnore in the handler table)
+    67, 68, 69) // resource groups
 
-  /** One parsed, Done-state DDL job. */
+  /** One parsed, Done-state DDL job.
+    *
+    * `tableId` is the job row's table_id; `tableInfoId` and
+    * `partitionIds` come from the job's `binlog.TableInfo` snapshot
+    * (model.HistoryInfo — Go marshals the untagged fields by name;
+    * TableInfo's own fields carry json tags: `id`,
+    * `partition.definitions[].id`) — the reference's handlers read
+    * exactly these for physical-id membership
+    * (getAllPartitionIDs, persist_storage_ddl_handlers.go:488). */
   final case class DdlJob(id: Long, actionType: Int, schemaName: String,
                           tableName: String, query: String,
                           startTs: Long, finishedTs: Long,
-                          schemaVersion: Long)
+                          schemaVersion: Long,
+                          tableId: Long = 0L,
+                          tableInfoId: Long = 0L,
+                          partitionIds: Seq[Long] = Nil)
 
   private def mapper = new ObjectMapper()
 
@@ -107,6 +138,7 @@ object DdlJobParser {
     if (num("state").toInt != JobStateDone) None
     else {
       val binlog = Option(n.get("binlog"))
+      val tableInfo = binlog.flatMap(b => Option(b.get("TableInfo")))
       Some(DdlJob(
         id = num("id"),
         actionType = num("type").toInt,
@@ -116,7 +148,16 @@ object DdlJobParser {
         startTs = startTs,
         finishedTs = commitTs,
         schemaVersion =
-          binlog.flatMap(b => Option(b.get("SchemaVersion"))).map(_.asLong(0L)).getOrElse(0L)))
+          binlog.flatMap(b => Option(b.get("SchemaVersion"))).map(_.asLong(0L)).getOrElse(0L),
+        tableId = num("table_id"),
+        tableInfoId =
+          tableInfo.flatMap(t => Option(t.get("id"))).map(_.asLong(0L)).getOrElse(0L),
+        partitionIds = tableInfo
+          .flatMap(t => Option(t.get("partition")))
+          .flatMap(p => Option(p.get("definitions")))
+          .map(ds => (0 until ds.size).flatMap(i =>
+            Option(ds.get(i).get("id")).map(_.asLong(0L))))
+          .getOrElse(Nil)))
     }
   }
 
@@ -137,10 +178,19 @@ object DdlJobParser {
         Some(DdlAction.DropTable(job.schemaName, job.tableName, ts))
       case ActionTruncateTable =>
         Some(DdlAction.TruncateTable(job.schemaName, job.tableName, ts))
+      case ActionRecoverTable =>
+        Some(DdlAction.RecoverTable(job.schemaName, job.tableName, ts))
+      case ActionReorganizePartition =>
+        Some(DdlAction.ReorganizePartition(job.schemaName, job.tableName, ts))
+      case ActionAlterTablePartitioning =>
+        Some(DdlAction.AlterTablePartitioning(job.schemaName, job.tableName, ts))
+      case ActionRemovePartitioning =>
+        Some(DdlAction.RemovePartitioning(job.schemaName, job.tableName, ts))
       case ActionCreateTable | ActionAddColumn | ActionDropColumn |
            ActionModifyColumn | ActionRenameTable | ActionRenameTables |
            ActionAddTablePartition | ActionDropTablePartition |
-           ActionTruncateTablePartition | ActionExchangeTablePartition =>
+           ActionTruncateTablePartition | ActionExchangeTablePartition |
+           ActionMultiSchemaChange =>
         textParse
       case _ => textParse // future/unknown codes: the query is authoritative
     }

@@ -50,6 +50,10 @@ object DdlParser {
     """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+DROP\s+PARTITION\s+([`\w\s,]+?)\s*$""".r
   private val truncatePartition =
     """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+TRUNCATE\s+PARTITION\s+([`\w\s,]+?)\s*$""".r
+  /** RECOVER TABLE t / FLASHBACK TABLE t [TO t2] — both map to
+    * ActionRecoverTable (codec/common/ddl.go:137). */
+  private val recoverTable =
+    """(?is)^\s*(?:RECOVER|FLASHBACK)\s+TABLE\s+([`\w.]+)\s*(?:TO\s+[`\w.]+\s*)?$""".r
 
   /** Heads that start a table-level constraint / non-shape clause —
     * shared between CREATE TABLE body parsing and the ALTER .. ADD
@@ -199,11 +203,81 @@ object DdlParser {
     parse(q, ts, defaultSchema)
   }
 
+  private val alterTableHead =
+    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+(.+)$""".r
+
+  /** First words that BEGIN a new ALTER clause after a top-level
+    * comma. Anything else (a bare partition name in `DROP PARTITION
+    * p1, p2`, a continuation) glues to the previous clause. */
+  private val clauseHeads = Set(
+    "add", "drop", "modify", "change", "alter", "rename", "convert",
+    "character", "charset", "default", "engine", "auto_increment",
+    "comment", "row_format", "partition", "remove", "reorganize",
+    "exchange", "truncate", "coalesce", "order", "disable", "enable",
+    "lock", "algorithm", "force")
+
+  /** Top-level comma split: parens (type args) nest, single-quoted
+    * literals (with '' escapes) pass through. */
+  private def splitTopLevel(s: String): Seq[String] = {
+    val parts = scala.collection.mutable.ArrayBuffer.empty[String]
+    val cur = new StringBuilder
+    var depth = 0; var inStr = false; var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (inStr) {
+        cur.append(c)
+        if (c == '\'') {
+          if (i + 1 < s.length && s.charAt(i + 1) == '\'') { cur.append('\''); i += 1 }
+          else inStr = false
+        }
+      } else c match {
+        case '\'' => inStr = true; cur.append(c)
+        case '(' => depth += 1; cur.append(c)
+        case ')' => depth -= 1; cur.append(c)
+        case ',' if depth == 0 => parts += cur.toString; cur.clear()
+        case other => cur.append(other)
+      }
+      i += 1
+    }
+    if (cur.nonEmpty) parts += cur.toString
+    parts.toSeq.map(_.trim).filter(_.nonEmpty)
+  }
+
+  /** A multi-clause ALTER TABLE (the statement form TiDB wraps in one
+    * ActionMultiSchemaChange job, persist_storage_ddl_handlers.go:409
+    * iterating sub-jobs): every shape-changing clause applies in
+    * statement order under one ts. Single-clause ALTERs return None
+    * here and take the normal path. */
+  private def parseMultiAlter(query: String, ts: Long,
+                              defaultSchema: String): Option[DdlAction] =
+    query match {
+      case alterTableHead(name, rest) =>
+        // merge pieces that don't start a clause back into the prior
+        // one (partition name lists contain top-level commas)
+        val clauses = splitTopLevel(rest).foldLeft(Seq.empty[String]) { (acc, p) =>
+          val head = p.takeWhile(c => c.isLetter || c == '_').toLowerCase
+          if (clauseHeads.contains(head) || acc.isEmpty) acc :+ p
+          else acc.init :+ s"${acc.last}, $p"
+        }
+        if (clauses.size <= 1) None
+        else {
+          val sub = clauses.flatMap(c => parse(s"ALTER TABLE $name $c", ts, defaultSchema))
+          sub match {
+            case Seq() => None
+            case Seq(one) => Some(one)
+            case many =>
+              val (s, t) = ident(name, defaultSchema)
+              Some(AlterMulti(s, t, many, ts))
+          }
+        }
+      case _ => None
+    }
+
   /** Parse one DDL statement; None when the statement doesn't change
     * row shape (the registry ignores it, like the reference's
     * unhandled action types). */
   def parse(query: String, ts: Long, defaultSchema: String = "app"): Option[DdlAction] =
-    query match {
+    parseMultiAlter(query, ts, defaultSchema).orElse(query match {
       case createTable(name, body) =>
         val (s, t) = ident(name, defaultSchema)
         Some(CreateTable(s, t, parseColumns(body, ts), ts))
@@ -267,8 +341,11 @@ object DdlParser {
       case dropTable(name) =>
         val (s, t) = ident(name, defaultSchema)
         Some(DropTable(s, t, ts))
+      case recoverTable(name) =>
+        val (s, t) = ident(name, defaultSchema)
+        Some(RecoverTable(s, t, ts))
       case _ => None
-    }
+    })
 
   /** Parse a (ts, query) control stream into ordered actions —
     * unparseable/no-shape-change statements drop out, like DDL classes

@@ -74,10 +74,38 @@ object DdlAction {
   final case class ExchangeTablePartition(schema: String, table: String,
                                           withSchema: String, withTable: String,
                                           ts: Long) extends DdlAction
+  /** RECOVER TABLE / FLASHBACK TABLE (ActionRecoverTable, handler
+    * persist_storage_ddl_handlers.go:337 = the CreateTable build path;
+    * multi_version.go:209-211 resets the store's deleteVersion): a
+    * dropped table re-enters the feed with its pre-drop shape from
+    * `ts` on. */
+  final case class RecoverTable(schema: String, table: String, ts: Long) extends DdlAction
+  /** One multi-clause ALTER TABLE (ActionMultiSchemaChange, handler
+    * :409 iterates the sub-jobs): every clause applies atomically in
+    * statement order under the one job's finishedTs. */
+  final case class AlterMulti(schema: String, table: String,
+                              actions: Seq[DdlAction], ts: Long) extends DdlAction
+  /** Partition-set rewrites that keep the logical table: REORGANIZE
+    * PARTITION (handler :418). Row shape unchanged; the physical-id
+    * membership change lives in [[graft.model.PhysicalIdStore]]. */
+  final case class ReorganizePartition(schema: String, table: String, ts: Long) extends DdlAction
+  /** ALTER TABLE .. PARTITION BY / REMOVE PARTITIONING (handlers :445,
+    * :454): the table gets a NEW physical identity (like truncate);
+    * logically a version bump here, id membership in the id store. */
+  final case class AlterTablePartitioning(schema: String, table: String, ts: Long) extends DdlAction
+  final case class RemovePartitioning(schema: String, table: String, ts: Long) extends DdlAction
 }
 
+/** `tombstones` is the drop/recover event log per table (ts → true =
+  * dropped, false = recovered) — the deleteVersion mechanism of the
+  * reference's versioned store (multi_version.go:216 sets it on
+  * delete, :209-211 resets it on RecoverTable). Version chains SURVIVE
+  * a drop so as-of reads below the drop still answer and a RECOVER can
+  * resurrect the pre-drop shape; `asOf`/`latest` answer None while the
+  * table is in a dropped window. */
 final case class SchemaRegistry(
-    versions: Map[(String, String), TreeMap[Long, TableSchema]] = Map.empty) {
+    versions: Map[(String, String), TreeMap[Long, TableSchema]] = Map.empty,
+    tombstones: Map[(String, String), TreeMap[Long, Boolean]] = Map.empty) {
   import DdlAction._
 
   private def put(ts: TableSchema): SchemaRegistry = {
@@ -85,12 +113,35 @@ final case class SchemaRegistry(
     copy(versions = versions.updated(ts.key, tm.updated(ts.versionTs, ts)))
   }
 
-  /** Greatest version ≤ ts, or None (table unknown at that time). */
+  private def mark(key: (String, String), ts: Long, dropped: Boolean): SchemaRegistry = {
+    val tm = tombstones.getOrElse(key, TreeMap.empty[Long, Boolean])
+    copy(tombstones = tombstones.updated(key, tm.updated(ts, dropped)))
+  }
+
+  /** Is the table inside a dropped window at `ts`? (Most recent
+    * drop/recover event ≤ ts is a drop.) */
+  def droppedAt(schema: String, table: String, ts: Long): Boolean =
+    tombstones.get((schema, table))
+      .flatMap(_.rangeTo(ts).lastOption).exists(_._2)
+
+  private def droppedNow(key: (String, String)): Boolean =
+    tombstones.get(key).flatMap(_.lastOption).exists(_._2)
+
+  /** Greatest version ≤ ts, or None (table unknown — or dropped — at
+    * that time). */
   def asOf(schema: String, table: String, ts: Long): Option[TableSchema] =
-    versions.get((schema, table)).flatMap(_.rangeTo(ts).lastOption.map(_._2))
+    if (droppedAt(schema, table, ts)) None
+    else versions.get((schema, table)).flatMap(_.rangeTo(ts).lastOption.map(_._2))
 
   def latest(schema: String, table: String): Option[TableSchema] =
-    versions.get((schema, table)).flatMap(_.lastOption.map(_._2))
+    if (droppedNow((schema, table))) None
+    else versions.get((schema, table)).flatMap(_.lastOption.map(_._2))
+
+  /** The census of tables alive NOW — dropped-window tables excluded
+    * (bootstrap census, route-conflict validation read this, not the
+    * raw chain keyspace which keeps dropped history for as-of reads). */
+  def liveTables: Seq[(String, String)] =
+    versions.keys.filterNot(droppedNow).toSeq
 
   /** Place `c` into `cols` honoring its position metadata (FIRST /
     * AFTER x — mysql ALTER placement); the stored ColumnDef is
@@ -111,10 +162,15 @@ final case class SchemaRegistry(
     * tables are created implicitly by AddColumn-class DDLs only via
     * CreateTable, matching the reference's strictness. */
   def apply(ddl: DdlAction): SchemaRegistry = ddl match {
-    case CreateTable(s, t, cols, ts) => put(TableSchema(s, t, ts, cols))
+    case CreateTable(s, t, cols, ts) =>
+      // re-creating a name that sits in a dropped window revives it
+      // (drop + create is a fresh table under the same name)
+      val created = put(TableSchema(s, t, ts, cols))
+      if (droppedNow((s, t))) created.mark((s, t), ts, dropped = false) else created
     case CreateSchema(_, _) => this // no table shape yet; tracked by key space
-    case DropSchema(s, _) =>
-      copy(versions = versions.filterNot { case ((sc, _), _) => sc == s })
+    case DropSchema(s, ts) =>
+      versions.keys.filter(_._1 == s).foldLeft(this)((r, k) =>
+        if (r.droppedNow(k)) r else r.mark(k, ts, dropped = true))
     case AddColumn(s, t, c, ts) =>
       latest(s, t).map(cur =>
         put(cur.copy(versionTs = ts, columns = placed(cur.columns, c))))
@@ -157,8 +213,29 @@ final case class SchemaRegistry(
       latest(s, t).map(cur => put(cur.copy(versionTs = ts))).getOrElse(this)
     case TruncateTablePartition(s, t, _, ts) =>
       latest(s, t).map(cur => put(cur.copy(versionTs = ts))).getOrElse(this)
-    case DropTable(s, t, _) =>
-      copy(versions = versions - ((s, t)))
+    case DropTable(s, t, ts) =>
+      // tombstone, not erase: the chain keeps answering as-of reads
+      // below the drop, and RECOVER TABLE can resurrect it
+      if (versions.contains((s, t))) mark((s, t), ts, dropped = true) else this
+    case RecoverTable(s, t, ts) =>
+      // handler :337 re-ADDS via the CreateTable path with the job's
+      // snapshot = the pre-drop shape; multi_version.go:209 clears the
+      // delete version. No pre-drop chain → nothing to recover (TiDB
+      // itself can only recover within the GC lifetime).
+      versions.get((s, t)).flatMap(_.lastOption.map(_._2)) match {
+        case Some(pre) if droppedNow((s, t)) =>
+          put(pre.copy(versionTs = ts)).mark((s, t), ts, dropped = false)
+        case _ => this
+      }
+    case AlterMulti(_, _, actions, _) =>
+      // handler :409: iterate the wrapped sub-jobs in statement order
+      actions.foldLeft(this)(_.apply(_))
+    case ReorganizePartition(s, t, ts) =>
+      latest(s, t).map(cur => put(cur.copy(versionTs = ts))).getOrElse(this)
+    case AlterTablePartitioning(s, t, ts) =>
+      latest(s, t).map(cur => put(cur.copy(versionTs = ts))).getOrElse(this)
+    case RemovePartitioning(s, t, ts) =>
+      latest(s, t).map(cur => put(cur.copy(versionTs = ts))).getOrElse(this)
     case ExchangeTablePartition(s, t, ws, wt, ts) =>
       (latest(s, t), latest(ws, wt)) match {
         case (Some(a), Some(b)) =>
@@ -182,13 +259,23 @@ final case class SchemaRegistry(
     * feed on a DDL-heavy cluster stays flat once the checkpoint
     * advances. Reads BELOW gcTs are forfeited by contract (the
     * changefeed can never re-emit below its checkpoint). */
-  def truncateBelow(gcTs: Long): SchemaRegistry =
-    copy(versions = versions.view.mapValues { tm =>
+  def truncateBelow(gcTs: Long): SchemaRegistry = {
+    def floored[V](tm: TreeMap[Long, V]): TreeMap[Long, V] =
       tm.rangeTo(gcTs).lastOption match {
         case Some((floor, _)) => tm.rangeFrom(floor)
         case None => tm
       }
-    }.toMap)
+    // a table dropped below the GC horizon with no later event can
+    // never be read or recovered again (TiDB recover is bounded by GC
+    // lifetime) — its chain and tombstones go entirely
+    val dead = versions.keySet.filter { k =>
+      droppedAt(k._1, k._2, gcTs) &&
+        tombstones.get(k).forall(_.rangeFrom(gcTs + 1).isEmpty)
+    }
+    copy(
+      versions = (versions -- dead).view.mapValues(floored).toMap,
+      tombstones = (tombstones -- dead).view.mapValues(floored).toMap)
+  }
 
   /** Total stored versions across tables (GC observability). */
   def versionCount: Int = versions.valuesIterator.map(_.size).sum

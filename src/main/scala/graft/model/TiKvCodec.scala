@@ -442,6 +442,34 @@ object TiKvCodec {
       crc.getValue & 0xFFFFFFFFL
     }
 
+  /** SECOND, independent raw-checksum derivation — the datum
+    * re-encode path of the reference's contract
+    * (verifyRawBytesChecksum → rowcodec.CalculateRawChecksum,
+    * checksum.go:140-177: decode the row, hand the datums back to the
+    * codec, re-encode fresh bytes, CRC32-IEEE over them + the record
+    * key). Here: fully DECODE the stored v2 row (cells + null-id set),
+    * re-encode it canonically with the checksum flag, fold the fresh
+    * bytes + key. Agrees with [[rawChecksumOf]] (which folds the
+    * STORED bytes without ever decoding) exactly when the codec is
+    * canonical — decode∘encode must reproduce the wire bytes bit for
+    * bit. TiKvCodecSpec pins the two derivations equal over randomized
+    * rows, so the domain is no longer held up only by this repo's own
+    * golden vectors: an encoder and a decoder bug would have to cancel
+    * to fool both. */
+  def rawChecksumReencoded(value: Array[Byte], key: Array[Byte]): Option[Long] =
+    checksumRegionStart(value).map { _ =>
+      val row = decodeV2(value)
+      val cells: Seq[(Long, Option[Array[Byte]])] =
+        row.notNull.map { case (id, b) => id -> Some(b) } ++
+          row.nullIds.map(_ -> None)
+      val fresh = encodeV2(cells)
+      fresh(1) = (fresh(1) | FlagChecksum).toByte
+      val crc = new java.util.zip.CRC32()
+      crc.update(fresh, 0, fresh.length)
+      crc.update(key, 0, key.length)
+      crc.getValue & 0xFFFFFFFFL
+    }
+
   /** [[encodeV2]] with a RAW-BYTES (v1/v2) checksum region: the
     * checksum is computed over the flagged value bytes + record key
     * (the [[rawChecksumOf]] domain) and embedded. `corrupt` flips the

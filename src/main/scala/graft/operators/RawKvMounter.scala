@@ -81,14 +81,41 @@ object RawKvMounter {
     def caseInsensitive: Boolean = collation.toLowerCase.endsWith("_ci")
   }
 
+  /** Code points whose MySQL utf8mb4_general_ci weight diverges from
+    * the JDK's Character.toUpperCase: general_ci's table is frozen
+    * (derived from Unicode ~4.0 simple case folding with MySQL-specific
+    * entries), while the JDK tracks current Unicode. The documented
+    * divergences compare-equal to a LATIN letter in MySQL but
+    * upper-case to themselves (or to something else) in Java:
+    *  - U+00DF ß  → weight 'S' (general_ci compares ß = s; toUpperCase
+    *    keeps ß),
+    *  - U+0130 İ  (dotted capital I) → 'I' (general_ci folds both
+    *    Turkish i-variants to the base letter; toUpperCase keeps İ).
+    * Code points added to Unicode AFTER MySQL's table froze (e.g.
+    * U+1E9E ẞ) take MySQL's fallback weight = the code point itself,
+    * which the JDK path already yields when toUpperCase is identity;
+    * ones where a LATER Unicode version added a case mapping are
+    * outside the byte-identity claim — see the caveat below. */
+  private val generalCiExceptions: Map[Int, Int] = Map(
+    0x00DF -> 'S', 0x0130 -> 'I')
+
   /** general_ci sort key: one 2-byte big-endian weight per rune —
     * the Unicode simple-uppercase mapping for BMP runes, 0xFFFD for
     * supplementary-plane runes (MySQL utf8mb4_general_ci's plane-0
-    * rule, which TiDB reproduces). unicode_ci's full UCA weights are
+    * rule, which TiDB reproduces), with MySQL's documented
+    * divergences from the JDK mapping pinned explicitly
+    * ([[generalCiExceptions]]). unicode_ci's full UCA weights are
     * out of scope; general_ci covers the compatibility scenario. Two
     * strings equal under the collation produce identical key bytes,
     * which is exactly the identity/conflict semantics the record key
-    * carries. */
+    * carries.
+    *
+    * Compatibility claim, stated precisely: byte identity with real
+    * TiKV holds for ASCII, Latin-1/Latin-Extended letters, and every
+    * BMP rune whose simple-uppercase mapping predates Unicode 4.0;
+    * runes whose case mappings were ADDED to Unicode later (e.g.
+    * Glagolitic, Deseret additions) may weight differently than
+    * MySQL's frozen table and are excluded from the claim. */
   def generalCiSortKey(s: String): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(s.length * 2)
     var i = 0
@@ -96,7 +123,7 @@ object RawKvMounter {
       val cp = s.codePointAt(i)
       val w =
         if (cp > 0xFFFF) 0xFFFD
-        else Character.toUpperCase(cp) & 0xFFFF
+        else generalCiExceptions.getOrElse(cp, Character.toUpperCase(cp) & 0xFFFF)
       out.write((w >> 8) & 0xff); out.write(w & 0xff)
       i += Character.charCount(cp)
     }
@@ -602,6 +629,131 @@ object RawKvMounter {
                 commitTs, r.getLong(4),
                 if (before == null) null else Row.fromSeq(before.toIndexedSeq),
                 if (after == null) null else Row.fromSeq(after.toIndexedSeq)))
+            }
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
+  /** DDL-aware one-pass mount over EVERY table — the steady-state
+    * decode against an EVOLVING schema store (schema_store.go:50-54
+    * `GetTableInfo(tableID, commitTs)` feeding event_scanner.go:351):
+    * each raw entry decodes with the schema version AND physical-id
+    * membership as of its own commit ts.
+    *
+    * `plan` is [[graft.model.SchemaStore.physicalPlan]]'s shape:
+    * physical table id → ts-ascending segments of Some(meta to decode
+    * with from that ts) / None (the id leaves the feed at that ts —
+    * dropped table, swapped-out partition). Executors do one binary
+    * search per entry; the plan is driver-built, broadcast-sized
+    * (tables × versions), and immutable per micro-batch — fold DDLs
+    * between batches and pass the new plan.
+    *
+    * Decoded images CONFORM to the id's latest segment meta (columns
+    * added later default-fill, dropped vanish, retypes cast), the same
+    * contract as [[mountTableVersioned]]; all latest metas must share
+    * one payload shape (the envelope's before/after is a single
+    * struct type — mount heterogeneous groups as separate feeds).
+    *
+    * Accounting (the unknown-id observable): entries whose physical id
+    * has NO plan entry bump `unknownIds`; entries whose id is planned
+    * but outside every mounted window bump `outOfWindow`. Both are
+    * optional [[org.apache.spark.util.LongAccumulator]]s so a running
+    * feed surfaces silent drops instead of hiding them
+    * (mounter.go:75's skip, made loud). */
+  def mountTablesPlan(raw: DataFrame,
+                      plan: Map[Long, Seq[(Long, Option[KvTableMeta])]],
+                      failOnCorruption: Boolean = false,
+                      unknownIds: Option[org.apache.spark.util.LongAccumulator] = None,
+                      outOfWindow: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    require(plan.nonEmpty, "mountTablesPlan: empty plan")
+    // per-id: ts array for binary search + aligned metas + conform target
+    val compiled: Map[Long, (Array[Long], Array[KvTableMeta], KvTableMeta)] =
+      plan.flatMap { case (pid, segs) =>
+        val sorted = segs.sortBy(_._1)
+        sorted.flatMap(_._2).lastOption.map { latest =>
+          pid -> (sorted.map(_._1).toArray,
+            sorted.map(_._2.orNull).toArray, latest)
+        }
+      }
+    val latests = compiled.values.map(_._3).toSeq
+    require(latests.nonEmpty, "mountTablesPlan: no mountable segment")
+    val pt = payloadType(latests.head)
+    require(latests.forall(m => payloadType(m) == pt),
+      "mountTablesPlan requires a shared payload shape across tables")
+    val enc = Encoders.row(StructType(
+      StructField("_row_id", LongType, nullable = false) +:
+        outputSchema(latests.head).fields.toSeq))
+    raw.select("key", "value", "old_value", "op_type", "start_ts", "commit_ts")
+      .mapPartitions { it =>
+        def segAt(tss: Array[Long], ts: Long): Int = {
+          // greatest index with tss(i) <= ts, or -1
+          var lo = 0; var hi = tss.length - 1; var res = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (tss(mid) <= ts) { res = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          res
+        }
+        it.flatMap { r =>
+          val key = r.getAs[Array[Byte]](0)
+          if (!isRecordKey(key)) Iterator.empty
+          else {
+            val (tableId, handle) = TiKvCodec.decodeRecordKey(key)
+            compiled.get(tableId) match {
+              case None =>
+                // reserved system-table ids (top of the 48-bit id
+                // space, span_op.go:34-35 — the DDL job table rides
+                // the same wire) are control traffic, not data loss
+                if (tableId < 281474976710000L) unknownIds.foreach(_.add(1L))
+                Iterator.empty
+              case Some((tss, metas, latest)) =>
+                val commitTs = r.getLong(5)
+                val i = segAt(tss, commitTs)
+                val asOf = if (i < 0) null else metas(i)
+                if (asOf == null) {
+                  outOfWindow.foreach(_.add(1L))
+                  Iterator.empty
+                } else {
+                  val value = r.getAs[Array[Byte]](1)
+                  val oldValue = r.getAs[Array[Byte]](2)
+                  val opType = r.getAs[String](3)
+                  if (failOnCorruption) {
+                    def okOf(bytes: Array[Byte], isPreRow: Boolean): Boolean =
+                      bytes == null || bytes.isEmpty ||
+                        !TiKvCodec.isNewFormat(bytes) ||
+                        checksumVerdict(asOf, handle, key, bytes, isPreRow)._3
+                    if (!okOf(oldValue, isPreRow = true) ||
+                        (opType != "delete" && !okOf(value, isPreRow = false)))
+                      throw new CorruptedDataMutationException(
+                        s"${asOf.schema}.${asOf.table} commit_ts=$commitTs")
+                  }
+                  val after =
+                    if (opType == "delete") null
+                    else conform(asOf, latest, decodeImage(asOf, handle, value))
+                  val before = conform(asOf, latest, decodeImage(asOf, handle, oldValue))
+                  val op =
+                    if (opType == "delete") "D"
+                    else if (before != null) "U"
+                    else "I"
+                  val rowId = handle match {
+                    case IntHandle(v) => v
+                    case CommonHandle(_) =>
+                      var h = -3750763034362895579L
+                      var j = 11
+                      while (j < key.length) {
+                        h = (h ^ (key(j) & 0xffL)) * 1099511628211L
+                        j += 1
+                      }
+                      h
+                  }
+                  Iterator(Row(rowId, latest.schema, latest.table, op,
+                    commitTs, r.getLong(4),
+                    if (before == null) null else Row.fromSeq(before.toIndexedSeq),
+                    if (after == null) null else Row.fromSeq(after.toIndexedSeq)))
+                }
             }
           }
         }

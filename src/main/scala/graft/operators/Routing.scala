@@ -236,8 +236,21 @@ object Routing {
         lit("(?i)(?<=\\b(?:table|into|on|references|exists|truncate|from|to)\\s{1,10})(?:`\\Q"),
         col("_table"), lit("\\E`|\\Q"), col("_table"), lit("\\E\\b)"))
       val bareRep = concat(lit("`"), repSafe(st), lit("`"))
-      val routedText =
+      // ',' anchors TOO — but only in statements whose comma lists are
+      // TABLE NAME lists (DROP/RENAME/TRUNCATE TABLE): 'DROP TABLE t1,
+      // t2' and the middle pairs of 'RENAME TABLE a TO b, c TO d' put
+      // later names after a comma, not a keyword. CREATE/ALTER comma
+      // lists are COLUMN lists, where a same-named column must stay
+      // untouched, so they keep keyword-only anchoring.
+      val commaPat = concat(
+        lit("(?i)(?<=,\\s{0,10})(?:`\\Q"),
+        col("_table"), lit("\\E`|\\Q"), col("_table"), lit("\\E\\b)"))
+      val tableListStmt = q.rlike("(?is)^\\s*(?:drop|rename|truncate)\\s+table\\b")
+      val keywordRouted =
         regexp_replace(regexp_replace(q, qualPat, qualRep), barePat, bareRep)
+      val routedText = when(tableListStmt,
+        regexp_replace(keywordRouted, commaPat, bareRep))
+        .otherwise(keywordRouted)
       when(ss <=> col("_schema") && st <=> col("_table"), q).otherwise(routedText)
     }
     // all rewrites read the ORIGINAL names: materialize them together

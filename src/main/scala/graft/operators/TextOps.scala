@@ -629,6 +629,24 @@ object TextOps {
       count(lit(1)).as("n_docs"),
       approx_count_distinct(md5(col("text")), rsd).as("approx_unique"))
 
+  /** [[corpusSketch]] with the accuracy GATE folded into the result:
+    * emits the exact distinct count plus a boolean proving the HLL++
+    * estimate landed within `band` of it, instead of the
+    * engine-specific raw estimate. An exact-comparing oracle can then
+    * verify the sketch (exact fields hash-match; the boolean is the
+    * tolerance band) — the sketch itself stays the approximate
+    * scale-path operator, the exact distinct here is the verify
+    * harness's yardstick. */
+  def corpusSketchChecked(docs: DataFrame, rsd: Double = 0.05,
+                          band: Double = 0.05): DataFrame =
+    docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      count_distinct(md5(col("text"))).as("n_unique"),
+      approx_count_distinct(md5(col("text")), rsd).as("__approx"))
+      .select(col("source"), col("n_docs"), col("n_unique"),
+        (abs(col("__approx") - col("n_unique")) <=
+          col("n_unique") * band).as("sketch_within_band"))
+
   /** Winnowing fingerprint selection (Schleimer et al. 2003, the
     * MOSS algorithm): from the k-token-gram hash sequence of each
     * document, keep the rightmost-minimum hash of every w-window —

@@ -152,15 +152,24 @@ object Changefeed {
           val range = b.agg(min(col("_commit_ts")), max(col("_commit_ts"))).head()
           if (!range.isNullAt(0)) {
             val (lo, hi) = (range.getLong(0), range.getLong(1))
-            val registryAtLo = initial.applyAll(ddls.filter(_.ts <= lo))
-            val pending = ddls.filter(d => d.ts > lo && d.ts <= hi)
+            // checkpoint-cadence compaction (DdlBarrier.compact, the
+            // schemastore GC in the live barrier loop): the batch's low
+            // watermark IS the feed's checkpoint floor — versions below
+            // it can never be read by this or any later batch, so the
+            // per-batch registry stays bounded by the post-lo DDL count
+            // on a feed of any age. Derivation stays pure (initial,
+            // ddls, range) → restart replays compute identical
+            // snapshots, compacted or not (the plan-identity proof in
+            // DdlBarrierSpec).
+            val (registryAtLo, after) = DdlBarrier.compact(initial, ddls, lo)
+            val pending = after.filter(_.ts <= hi)
             // dynamic route-conflict fence (table_route_conflict_
             // detection's create-table case): a CREATE TABLE inside
             // this batch that makes two sources route to one target
             // FAILS the feed — ErrTableRouteConflict is unretryable
             if (pending.exists(_.isInstanceOf[DdlAction.CreateTable]))
               graft.operators.Routing.validateRoutes(
-                registryAtLo.applyAll(pending).versions.keys.toSeq,
+                registryAtLo.applyAll(pending).liveTables,
                 cfg.sink.dispatch).foreach { msg =>
                 throw new IllegalStateException(
                   s"${graft.operators.Routing.RouteConflictCode}: $msg")
@@ -222,6 +231,11 @@ object Changefeed {
       case DdlAction.AddTablePartition(s, t, _) => (s, t)
       case DdlAction.DropTablePartition(s, t, _, _) => (s, t)
       case DdlAction.TruncateTablePartition(s, t, _, _) => (s, t)
+      case DdlAction.RecoverTable(s, t, _) => (s, t)
+      case DdlAction.AlterMulti(s, t, _, _) => (s, t)
+      case DdlAction.ReorganizePartition(s, t, _) => (s, t)
+      case DdlAction.AlterTablePartitioning(s, t, _) => (s, t)
+      case DdlAction.RemovePartitioning(s, t, _) => (s, t)
     }
     val kept = parsed.filter {
       case (_, _, DdlAction.CreateSchema(_, _)) | (_, _, DdlAction.DropSchema(_, _)) =>
@@ -295,7 +309,7 @@ object Changefeed {
     if (!(cfg.sink.sendAllBootstrapAtStart &&
         cfg.sink.protocol == Protocol.Simple)) Nil
     else registry match {
-      case Some(reg) => reg.versions.keys.toSeq.sorted
+      case Some(reg) => reg.liveTables.sorted
       case None =>
         Envelope.fromEvents(spark.read.parquet(sourceDir))
           .select(col("_schema"), col("_table")).distinct()
@@ -311,7 +325,7 @@ object Changefeed {
     // the changefeed before it starts
     registry.foreach { reg =>
       graft.operators.Routing.validateRoutes(
-        reg.versions.keys.toSeq, cfg.sink.dispatch).foreach { msg =>
+        reg.liveTables, cfg.sink.dispatch).foreach { msg =>
         throw new IllegalArgumentException(
           s"${graft.operators.Routing.RouteConflictCode}: $msg")
       }
@@ -353,9 +367,77 @@ object Changefeed {
     runMqStream(spark, cfg, env, sinkDir, checkpointDir)
   }
 
-  def runMqStream(spark: SparkSession, cfg: ChangefeedConfig, env: DataFrame,
-                  sinkDir: String, checkpointDir: String,
-                  allTablesAtStart: Seq[(String, String)] = Nil): StreamingQuery = {
+  /** [[runMqFromRaw2pc]] with an EVOLVING schema store — the
+    * reference's true steady state (schema_store.go:50-54 feeding
+    * event_scanner.go:351): DDL jobs ride the same raw 2PC wire as the
+    * rows, fold into the store between micro-batches, and every DML
+    * decodes against the schema version AND physical-id membership
+    * as-of its own commit ts. A mid-stream ADD COLUMN default-fills
+    * rows written before it; a REORGANIZE/EXCHANGE re-homes physical
+    * ids; a DROP darkens the table until a RECOVER.
+    *
+    * One streaming query, one state store (the matcher's), one
+    * checkpoint: the job fold persists as a JSONL log UNDER the
+    * checkpoint dir ([[SchemaStoreHolder]], the persist_storage role),
+    * so a kill-restart rebuilds the same schema view before the
+    * replayed batch re-mounts — exactly-once across DDL boundaries.
+    *
+    * Mount + pipeline run per-batch (the plan is as-of by commit ts,
+    * so a batch straddling a DDL still decodes each row correctly);
+    * the registry compacts at checkpoint-advance cadence with
+    * `gcLagBatches` of safety lag (the schemastore gc loop — verdict
+    * long-feed boundedness). `initial` seeds pre-existing tables;
+    * CREATEs arriving on the wire need no seed at all. */
+  def runMqFromRaw2pcEvolving(spark: SparkSession, cfg: ChangefeedConfig,
+                              raw: DataFrame, initial: SchemaStore,
+                              sinkDir: String, checkpointDir: String,
+                              matcherGcMs: Long = 60000L,
+                              gcLagBatches: Int = 2): StreamingQuery = {
+    val (bootstrapper, bootstrapOn) = prepareMqSink(spark, cfg, sinkDir, Nil)
+    val holder = new SchemaStoreHolder(initial, s"$checkpointDir/schemastore")
+    val failOn = cfg.integrity.enabled && cfg.integrity.errorHandle
+    val resolvedLag = new java.util.ArrayDeque[Long]()
+    TxnMatcher.matchStream(spark, raw, matcherGcMs)
+      .writeStream
+      .queryName(cfg.id)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // kill site OWNED by the evolving composition (fires before
+        // the schema fold, so a killed batch re-folds its DDLs from
+        // the persisted log on restart)
+        Failpoints.evalThrow("graft/changefeed/evolve-batch")
+        // the matched batch is read twice (job extract + mount): pin it
+        batch.persist()
+        try {
+          holder.fold(SchemaStoreHolder.jobsIn(batch))
+          val env = graft.operators.RawKvMounter.mountTablesPlan(
+            batch, holder.store.physicalPlan(),
+            failOnCorruption = failOn)
+          sinkMqBatch(cfg, bootstrapper, bootstrapOn, sinkDir)(
+            pipeline(spark, cfg)(env), batchId)
+          // compaction at checkpoint-advance cadence: a resolved ts
+          // `gcLagBatches` batches old is durably covered — versions
+          // below it can never be read again (even a crash-replay only
+          // re-runs the LAST batch, which is younger)
+          val hi = batch.agg(max(col("commit_ts"))).head()
+          if (!hi.isNullAt(0)) {
+            resolvedLag.addLast(hi.getLong(0))
+            if (resolvedLag.size > gcLagBatches)
+              holder.truncateBelow(resolvedLag.removeFirst())
+          }
+        } finally batch.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Create-time sink setup shared by every MQ run shape: bootstrap
+    * worker, up-front validation, send-all-at-start handshake.
+    * Returns (bootstrapper, bootstrapOn). */
+  private def prepareMqSink(spark: SparkSession, cfg: ChangefeedConfig,
+                            sinkDir: String,
+                            allTablesAtStart: Seq[(String, String)])
+      : (Bootstrapper, Boolean) = {
     GraftSession.tune(spark)
     // simple-protocol bootstrap cadence (bootstraper.go): one worker
     // per changefeed run, alive across micro-batches so the interval/
@@ -390,10 +472,33 @@ object Changefeed {
         .coalesce(1)
         .write.mode("append").parquet(sinkDir)
     }
+    (bootstrapper, bootstrapOn)
+  }
+
+  def runMqStream(spark: SparkSession, cfg: ChangefeedConfig, env: DataFrame,
+                  sinkDir: String, checkpointDir: String,
+                  allTablesAtStart: Seq[(String, String)] = Nil): StreamingQuery = {
+    val (bootstrapper, bootstrapOn) =
+      prepareMqSink(spark, cfg, sinkDir, allTablesAtStart)
     pipeline(spark, cfg)(env)
       .writeStream
       .queryName(cfg.id)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sinkMqBatch(cfg, bootstrapper, bootstrapOn, sinkDir)(batch, batchId)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** One encoded micro-batch onto the MQ file sink: bootstrap
+    * handshakes, large-message handling, rows-then-resolved ordering.
+    * Shared by the static-schema and the DDL-evolving compositions. */
+  private def sinkMqBatch(cfg: ChangefeedConfig, bootstrapper: Bootstrapper,
+                          bootstrapOn: Boolean, sinkDir: String)
+                         (batch: DataFrame, batchId: Long): Unit = {
+    val lmh = cfg.sink.largeMessageHandle
+    locally {
         // fault-injection site (api/v2 failpoint surface): a `return`/
         // `panic` expression fails this batch before anything commits,
         // `sleep` stalls it — the knobs the reference's chaos tests
@@ -484,10 +589,7 @@ object Changefeed {
               .write.mode("append").parquet(sinkDir)
           case _ => () // empty batch: nothing durable to cover
         }
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
+    }
   }
 
   /** Post-run checkpoint summary (the resolved-ts/progress the

@@ -189,4 +189,101 @@ class ByteStackSpec extends SparkFunSuite {
     assert(reg.asOf("app", "t", 101L).get.columns.map(_.name) ==
       Seq("id", "v", "extra"))
   }
+
+  private def rawOf(rows: Seq[Row]) = {
+    val rawSchema = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType),
+      StructField("old_value", BinaryType), StructField("op_type", StringType),
+      StructField("start_ts", LongType), StructField("commit_ts", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), rawSchema)
+  }
+
+  private def putRow(pid: Long, id: Long, v: Long, ts: Long): Row = Row(
+    TiKvCodec.encodeRecordKey(pid, TiKvCodec.IntHandle(id)),
+    TiKvCodec.encodeV2(Seq(2L -> Some(TiKvCodec.intCell(v)))),
+    null, "put", ts - 1L, ts)
+
+  test("REORGANIZE PARTITION at byte level: rows under the new physical id " +
+      "mount from the DDL ts on, replaced-id rows before it still mount " +
+      "(job fold -> physicalPlan -> one-pass mount; handler :418)") {
+    def jobRaw(jid: Long, tpe: Int, q: String, ts: Long,
+               parts: Seq[Long]): Row = {
+      val meta = (s"""{"id":$jid,"type":$tpe,"schema_id":1,"table_id":900,""" +
+        s""""schema_name":"app","table_name":"t","state":4,""" +
+        s""""query":"${q.replace("\"", "\\\"")}",""" +
+        s""""binlog":{"SchemaVersion":$ts,"TableInfo":{"id":900,""" +
+        s""""partition":{"definitions":[""" +
+        parts.map(p => s"""{"id":$p}""").mkString(",") +
+        """]}}},"version":1}""").getBytes("UTF-8")
+      val (k, v) = DdlJobParser.encodeJobEntry(jid, meta, tpe)
+      Row(k, v, null, "put", ts - 1L, ts)
+    }
+    val entries = Seq(
+      jobRaw(1L, 3, "CREATE TABLE app.t (id BIGINT, v BIGINT)", 10L,
+        Seq(901L, 902L)),
+      jobRaw(2L, 64,
+        "ALTER TABLE app.t REORGANIZE PARTITION p0 INTO (PARTITION p3 VALUES LESS THAN (9))",
+        100L, Seq(903L, 902L)))
+    // the DDL jobs arrive on the SAME raw wire as the rows
+    val jobs = entries.flatMap { r =>
+      DdlJobParser.parseRawEntry(r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1),
+        r.getString(3), r.getLong(4), r.getLong(5))
+    }
+    val store = SchemaStore().applyJobs(jobs)
+    val unknown = spark.sparkContext.longAccumulator("unknown")
+    val oow = spark.sparkContext.longAccumulator("oow")
+    val raw = rawOf(entries ++ Seq(
+      putRow(901L, 1L, 10L, 50L),  // old partition, pre-reorg: mounts
+      putRow(902L, 2L, 20L, 60L),  // untouched partition: mounts
+      putRow(903L, 3L, 30L, 70L),  // new id BEFORE the reorg: not yet a member
+      putRow(901L, 4L, 40L, 150L), // replaced id after reorg: stops
+      putRow(903L, 5L, 50L, 160L), // new id after reorg: mounts
+      putRow(777L, 6L, 60L, 170L))) // never-known id: counted, dropped
+    val mounted = RawKvMounter.mountTablesPlan(raw, store.physicalPlan(),
+      unknownIds = Some(unknown), outOfWindow = Some(oow))
+      .select(col("_commit_ts"), col("after.id"), col("after.v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(mounted == Seq((50L, 1L, 10L), (60L, 2L, 20L), (160L, 5L, 50L)),
+      s"reorganize membership diverged: $mounted")
+    // the unknown-id observable is LOUD about silent drops
+    assert(unknown.value == 1L, s"unknown-id count: ${unknown.value}")
+    assert(oow.value == 2L,
+      s"out-of-window = pre-claim 903 + post-release 901: ${oow.value}")
+  }
+
+  test("DROP then RECOVER TABLE at byte level: rows in the dropped window " +
+      "drop (counted), rows after the recover ts mount again with the " +
+      "pre-drop shape (handler :337; multi_version.go:209)") {
+    def jobRaw(jid: Long, tpe: Int, q: String, ts: Long): Row = {
+      val meta = (s"""{"id":$jid,"type":$tpe,"schema_id":1,"table_id":900,""" +
+        s""""schema_name":"app","table_name":"t","state":4,""" +
+        s""""query":"${q.replace("\"", "\\\"")}",""" +
+        s""""binlog":{"SchemaVersion":$ts,"TableInfo":{"id":900}},"version":1}""")
+        .getBytes("UTF-8")
+      val (k, v) = DdlJobParser.encodeJobEntry(jid, meta, tpe)
+      Row(k, v, null, "put", ts - 1L, ts)
+    }
+    val jobs = Seq(
+      jobRaw(1L, 3, "CREATE TABLE app.t (id BIGINT, v BIGINT)", 10L),
+      jobRaw(2L, 4, "DROP TABLE app.t", 100L),
+      jobRaw(3L, 25, "RECOVER TABLE app.t", 200L)).flatMap { r =>
+      DdlJobParser.parseRawEntry(r.getAs[Array[Byte]](0), r.getAs[Array[Byte]](1),
+        r.getString(3), r.getLong(4), r.getLong(5))
+    }
+    val store = SchemaStore().applyJobs(jobs)
+    val oow = spark.sparkContext.longAccumulator("oow")
+    val raw = rawOf(Seq(
+      putRow(900L, 1L, 10L, 50L),   // alive: mounts
+      putRow(900L, 2L, 20L, 150L),  // dropped window: drops, counted
+      putRow(900L, 3L, 30L, 250L))) // recovered: mounts with pre-drop shape
+    val mounted = RawKvMounter.mountTablesPlan(raw, store.physicalPlan(),
+      outOfWindow = Some(oow))
+      .select(col("_commit_ts"), col("after.id"), col("after.v"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(mounted == Seq((50L, 1L, 10L), (250L, 3L, 30L)),
+      s"drop/recover window diverged: $mounted")
+    assert(oow.value == 1L, "the dropped-window row is counted, not silent")
+  }
 }

@@ -546,4 +546,235 @@ class ChangefeedSpec extends SparkFunSuite {
       spark, bootCfg.copy(sink = bootCfg.sink.copy(sendAllBootstrapAtStart = false)),
       "/nonexistent/census-source", None).isEmpty)
   }
+
+  test("DDL-aware steady state (raw 2PC, evolving store): an ADD COLUMN lands " +
+      "mid-stream — pre-DDL rows default-fill, post-DDL rows carry the column, " +
+      "wire equals the batch versioned mount; kill-restart across the DDL " +
+      "boundary stays exactly-once with ONE state store") {
+    import graft.operators.RawKvMounter
+    import graft.operators.RawKvMounter.{KvColumn, KvTableMeta}
+    import graft.streaming.{Failpoints, TxnMatcher}
+    import org.apache.spark.sql.Row
+
+    val tmp = Files.createTempDirectory("graft-cf-evolve").toString
+    val srcDir = s"$tmp/src"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val feedCfg = ChangefeedConfig(id = "cf-evolve",
+      filter = FilterConfig(rules = Seq("app.*")),
+      handleKeys = Seq("id"),
+      sink = SinkConfig(protocol = Protocol.CanalJson, numPartitions = 2))
+
+    def jobJson(jid: Long, tpe: Int, q: String, ts: Long): Array[Byte] =
+      (s"""{"id":$jid,"type":$tpe,"schema_id":1,"table_id":900,""" +
+        s""""schema_name":"app","table_name":"t","state":4,""" +
+        s""""query":"${q.replace("\"", "\\\"")}",""" +
+        s""""binlog":{"SchemaVersion":$ts,"TableInfo":{"id":900}},"version":1}""")
+        .getBytes("UTF-8")
+    // DDL jobs ride the wire pre-paired (COMMITTED passthrough); rows
+    // arrive as raw 2PC prewrite/commit pairs
+    def jobEntry(jid: Long, tpe: Int, q: String, ts: Long): Seq[Row] = {
+      val (k, v) = DdlJobParser.encodeJobEntry(jid, jobJson(jid, tpe, q, ts), tpe)
+      Seq(Row(k, v, null, "put", "committed", ts - 1L, ts, 0L))
+    }
+    def rowPair(id: Long, cells: Seq[(Long, Long)], commitTs: Long): Seq[Row] = {
+      val k = TiKvCodec.encodeRecordKey(900L, TiKvCodec.IntHandle(id))
+      val v = TiKvCodec.encodeV2(cells.map { case (cid, x) =>
+        cid -> Some(TiKvCodec.intCell(x)) })
+      Seq(
+        Row(k, v, null, "put", "prewrite", commitTs - 1L, 0L, 0L),
+        Row(k, null, null, "put", "commit", commitTs - 1L, commitTs, 0L))
+    }
+    var fileSeq = 0
+    def writeFile(rows: Seq[Row]): Unit = {
+      fileSeq += 1
+      val stage = s"$tmp/stage-$fileSeq"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), TxnMatcher.uncommittedSchema)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, f"f$fileSeq%03d.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + fileSeq * 60000L)
+    }
+    // f1: CREATE TABLE at ts 10 + two v1-shape rows
+    writeFile(jobEntry(1L, 3, "CREATE TABLE app.t (id BIGINT, v BIGINT)", 10L) ++
+      rowPair(1L, Seq(2L -> 10L), 50L) ++ rowPair(2L, Seq(2L -> 20L), 60L))
+    // f2: ADD COLUMN at ts 100 + a LATE pre-DDL row (committed at 90,
+    // arriving after the DDL is known: decodes as-of 90, conforms with
+    // the default) + a row carrying the new column
+    writeFile(jobEntry(2L, 5, "ALTER TABLE app.t ADD COLUMN k BIGINT DEFAULT 7", 100L) ++
+      rowPair(5L, Seq(2L -> 50L), 90L) ++
+      rowPair(3L, Seq(2L -> 30L, 3L -> 33L), 150L))
+    // f3: another post-DDL row
+    writeFile(rowPair(4L, Seq(2L -> 40L, 3L -> 44L), 200L))
+
+    // golden: the proven BATCH versioned mount through the same
+    // pipeline, given the SAME knowledge horizon per batch — rows the
+    // feed shipped before the DDL encode under v1 (the reference
+    // encodes each row with its commit-time schema on the wire); rows
+    // decoded once the DDL is known conform to v2 (late pre-DDL rows
+    // default-fill — the mounter-conformance contract)
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      TxnMatcher.committedSchema.fields)
+    def committedDf(rows: Seq[(Long, Seq[(Long, Long)], Long)]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.map {
+        case (id, cells, cts) =>
+          Row(TiKvCodec.encodeRecordKey(900L, TiKvCodec.IntHandle(id)),
+            TiKvCodec.encodeV2(cells.map { case (cid, x) =>
+              cid -> Some(TiKvCodec.intCell(x)) }),
+            null, "put", cts - 1L, cts)
+      }, 2), rawSchema)
+    val metaV1 = KvTableMeta(900L, "app", "t",
+      Seq(KvColumn(1L, "id", "bigint"), KvColumn(2L, "v", "bigint")),
+      handleCol = "id")
+    val metaV2 = metaV1.copy(columns =
+      metaV1.columns :+ KvColumn(3L, "k", "bigint", default = Some("7")))
+    def pipe(env: org.apache.spark.sql.DataFrame) =
+      Changefeed.pipeline(spark, feedCfg)(
+        env.withColumn("_row_id", coalesce(col("after.id"), col("before.id"))))
+        .select("_partition", "_value").collect()
+        .map(r => (r.getLong(0), r.getString(1))).toSet
+    val expected =
+      pipe(RawKvMounter.mountTableVersioned(
+        committedDf(Seq((1L, Seq(2L -> 10L), 50L), (2L, Seq(2L -> 20L), 60L))),
+        Seq(10L -> metaV1))) ++
+      pipe(RawKvMounter.mountTableVersioned(
+        committedDf(Seq(
+          (5L, Seq(2L -> 50L), 90L),
+          (3L, Seq(2L -> 30L, 3L -> 33L), 150L),
+          (4L, Seq(2L -> 40L, 3L -> 44L), 200L))),
+        Seq(10L -> metaV1, 100L -> metaV2)))
+    assert(expected.size == 5)
+
+    def stream() = spark.readStream.schema(TxnMatcher.uncommittedSchema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir)
+    def start() = Changefeed.runMqFromRaw2pcEvolving(spark, feedCfg,
+      stream(), SchemaStore(), s"$tmp/sink", s"$tmp/ckpt")
+
+    // kill the SECOND batch (the DDL boundary) at its admission point,
+    // then drain on the same checkpoint: offsets, the matcher's state
+    // store, the sink metadata, and the persisted schema-store log
+    // must recover TOGETHER
+    Failpoints.enable("graft/changefeed/evolve-batch", "1*off->1*panic")
+    var attempts = 0
+    var done = false
+    var lastQuery: org.apache.spark.sql.streaming.StreamingQuery = null
+    while (!done && attempts < 6) {
+      attempts += 1
+      val q = start()
+      lastQuery = q
+      try { q.awaitTermination(180000); done = true }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      finally { if (q.isActive) q.stop() }
+    }
+    Failpoints.clear()
+    assert(done, "evolving feed failed to drain")
+    assert(attempts >= 2, "the injected batch kill must force a restart")
+    // exactly one state store in the whole composition (the matcher's)
+    val so = Option(lastQuery.lastProgress).toSeq.flatMap(_.stateOperators)
+    assert(so.size == 1, s"state operators: ${so.size}")
+    // the schema-store fold persisted under the checkpoint dir
+    assert(Files.exists(java.nio.file.Paths.get(
+      s"$tmp/ckpt/schemastore/ddl_jobs.jsonl")),
+      "the DDL-job log must persist with the checkpoint")
+
+    val got = spark.read.parquet(s"$tmp/sink")
+      .filter(col("_kind") === "row")
+      .select("_partition", "_value").distinct().collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got == expected,
+      s"evolving wire output must equal the batch versioned mount's:\n" +
+        s"got ${got.toSeq.sortBy(_._2)}\nexp ${expected.toSeq.sortBy(_._2)}")
+    // spot the semantics in the bytes: a row SHIPPED pre-DDL has no k
+    // (commit-time schema on the wire); a late pre-DDL row decoded
+    // after the DDL default-fills k=7; post-DDL rows carry real values
+    val shipped = got.find(_._2.contains("\"id\":1,"))
+    assert(shipped.exists(!_._2.contains("\"k\"")),
+      s"a pre-DDL-shipped row carries its commit-time shape: $shipped")
+    val late = got.find(_._2.contains("\"id\":5,"))
+    assert(late.exists(_._2.contains("\"k\":7")),
+      s"a late pre-DDL row must default-fill k=7: $late")
+    assert(got.exists(_._2.contains("\"k\":33")), "post-DDL row must carry k=33")
+  }
+
+  test("live barrier loop compacts at the checkpoint floor: a 200-DDL-churn " +
+      "feed stays bounded per batch, output is identical across the " +
+      "compaction, and a kill-restart replays correctly (schemastore GC " +
+      "wired into the loop, not just available)") {
+    import graft.streaming.{DdlBarrier, Failpoints}
+    import graft.model.DdlAction._
+    val tmp = Files.createTempDirectory("graft-cf-compact").toString
+    val src = s"$tmp/source"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Seq("a", "b").foreach { n =>
+      Files.copy(
+        java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+        java.nio.file.Paths.get(s"$src/events-$n.parquet"))
+    }
+    val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
+    val cut = env.select("_commit_ts").orderBy("_commit_ts")
+      .collect().map(_.getLong(0)).apply(500)
+    val initial = SchemaRegistry().applyAll((0 until 4).map(i =>
+      CreateTable("app", s"events_$i",
+        Seq(ColumnDef("user_id", "bigint"), ColumnDef("value", "double")), 0L)))
+    // a YEAR of DDL below the stream: 200 churn versions plus a dead
+    // table (created + dropped entirely below the checkpoint floor),
+    // then one real mid-stream AddColumn
+    val churn: Seq[DdlAction] =
+      (1 to 200).flatMap(i => Seq[DdlAction](
+        AddColumn("app", "events_1", ColumnDef(s"c$i", "bigint"), i.toLong * 2),
+        DropColumn("app", "events_1", s"c$i", i.toLong * 2 + 1))) ++
+      Seq(CreateTable("app", "ephemeral", Seq(ColumnDef("id", "bigint")), 10L),
+        DropTable("app", "ephemeral", 20L),
+        AddColumn("app", "events_0", ColumnDef("k", "bigint", Some("42")), cut))
+    // the boundedness claim, at the exact call the loop now makes:
+    // compacting at any mid-stream floor leaves 1 floor version per
+    // table + the still-pending DDLs, whatever the feed's age
+    val (compacted, pendingAfter) = DdlBarrier.compact(initial, churn, cut - 1)
+    assert(compacted.versionCount <= initial.versionCount + 1,
+      s"compacted registry must stay floor-sized: ${compacted.versionCount}")
+    assert(pendingAfter.size == 1, "only the mid-stream DDL stays pending")
+    assert(!compacted.versions.contains(("app", "ephemeral")),
+      "a table dead below the floor is fully collected")
+
+    val ddlCfg = ChangefeedConfig(id = "cf-compact",
+      splitUpdateOnKeyChange = false, maxFilesPerTrigger = Some(1))
+    def drive(id: String, outDir: String, ckpt: String): Int = {
+      Files.createDirectories(java.nio.file.Paths.get(outDir))
+      var attempts = 0; var done = false
+      while (!done && attempts < 6) {
+        attempts += 1
+        val q = Changefeed.runWithDdl(spark, ddlCfg.copy(id = id), src, ckpt,
+          churn, initial, payloadCols = Seq("user_id", "value")) { (step, _) =>
+          step.write.mode("append").parquet(outDir)
+        }
+        try { q.awaitTermination(120000); done = true }
+        catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+        finally { if (q.isActive) q.stop() }
+      }
+      assert(done, s"$id failed to drain"); attempts
+    }
+    // golden: chaos-free
+    Failpoints.clear()
+    drive("cf-compact-golden", s"$tmp/golden", s"$tmp/ckpt-g")
+    // chaos: kill the SECOND batch once (after the first batch's
+    // compaction floor advanced), then resume on the same checkpoint
+    Failpoints.enable("graft/ddl/pre-barrier", "1*off->1*panic")
+    val attempts = drive("cf-compact-chaos", s"$tmp/out", s"$tmp/ckpt")
+    Failpoints.clear()
+    assert(attempts >= 2, "the injected kill must force a restart")
+    val golden = spark.read.option("mergeSchema", "true").parquet(s"$tmp/golden")
+    val out = spark.read.option("mergeSchema", "true").parquet(s"$tmp/out")
+    val cols = golden.columns.sorted.map(col(_))
+    assert(out.select(cols: _*).distinct().exceptAll(
+      golden.select(cols: _*).distinct()).count() == 0 &&
+      golden.select(cols: _*).distinct().exceptAll(
+        out.select(cols: _*).distinct()).count() == 0,
+      "restart across a compaction must reproduce the chaos-free output")
+    // the mid-stream DDL semantics survive compaction + restart
+    assert(out.filter(col("_commit_ts") < cut && col("k").isNotNull).count() == 0)
+    assert(out.filter(col("_commit_ts") >= cut && col("_table") === "events_0")
+      .filter(col("k") =!= 42L || col("k").isNull).count() == 0)
+  }
 }

@@ -374,4 +374,38 @@ class DdlParserSpec extends SparkFunSuite {
     // no auto_random column at all: vacuously valid
     assert(t("create table h (id bigint primary key)").autoRandomValid)
   }
+
+  test("multi-clause ALTER (the ActionMultiSchemaChange statement form) " +
+      "parses EVERY shape clause in statement order; partition name lists " +
+      "keep their commas") {
+    assert(DdlParser.parse(
+      "ALTER TABLE t ADD COLUMN c BIGINT DEFAULT 7, DROP COLUMN a, MODIFY COLUMN b VARCHAR(16)",
+      9) == Some(AlterMulti("app", "t", Seq(
+        AddColumn("app", "t", ColumnDef("c", "bigint", Some("7")), 9),
+        DropColumn("app", "t", "a", 9),
+        ModifyColumn("app", "t", ColumnDef("b", "varchar(16)"), 9)), 9)))
+    // non-shape clauses drop out; a single survivor returns unwrapped
+    assert(DdlParser.parse(
+      "ALTER TABLE t ADD INDEX idx (k), ADD COLUMN c BIGINT", 10) ==
+      Some(AddColumn("app", "t", ColumnDef("c", "bigint"), 10)))
+    // commas inside type args and string literals do not split clauses
+    assert(DdlParser.parse(
+      "ALTER TABLE t MODIFY COLUMN m DECIMAL(18,2), ADD COLUMN n VARCHAR(8) DEFAULT 'a,b'",
+      11) == Some(AlterMulti("app", "t", Seq(
+        ModifyColumn("app", "t", ColumnDef("m", "decimal(18,2)"), 11),
+        AddColumn("app", "t", ColumnDef("n", "varchar(8)", Some("a,b")), 11)), 11)))
+    // a partition NAME list is one clause, not many
+    assert(DdlParser.parse("ALTER TABLE t DROP PARTITION p1, p2", 12) ==
+      Some(DropTablePartition("app", "t", Seq("p1", "p2"), 12)))
+  }
+
+  test("RECOVER TABLE / FLASHBACK TABLE parse to RecoverTable " +
+      "(codec/common/ddl.go:137 maps both statement forms)") {
+    assert(DdlParser.parse("RECOVER TABLE app.t", 13) ==
+      Some(RecoverTable("app", "t", 13)))
+    assert(DdlParser.parse("FLASHBACK TABLE t", 14) ==
+      Some(RecoverTable("app", "t", 14)))
+    assert(DdlParser.parse("FLASHBACK TABLE t TO t_restored", 15) ==
+      Some(RecoverTable("app", "t", 15)))
+  }
 }

@@ -128,5 +128,16 @@ class RouteConflictSpec extends SparkFunSuite {
     // a same-schema REFERENCES names the routed table and rewrites
     assert(rewrite("CREATE TABLE app.child (oid BIGINT REFERENCES orders (id))")
       == "CREATE TABLE app.child (oid BIGINT REFERENCES `orders_r` (id))")
+    // comma-separated TABLE-NAME lists rewrite every position
+    // (DROP/RENAME/TRUNCATE table lists — the r11 ADVICE case) ...
+    assert(rewrite("DROP TABLE t1, orders") ==
+      "DROP TABLE t1, `orders_r`")
+    assert(rewrite("RENAME TABLE a TO b, orders TO d") ==
+      "RENAME TABLE a TO b, `orders_r` TO d")
+    // ... while COLUMN lists (CREATE/ALTER commas) stay untouched
+    assert(rewrite("ALTER TABLE x ADD COLUMN a INT, ADD COLUMN orders BIGINT") ==
+      "ALTER TABLE x ADD COLUMN a INT, ADD COLUMN orders BIGINT")
+    assert(rewrite("CREATE TABLE app.orders (a INT, orders BIGINT)")
+      .contains("(a INT, orders BIGINT)"))
   }
 }

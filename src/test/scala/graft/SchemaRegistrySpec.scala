@@ -217,4 +217,46 @@ class SchemaRegistrySpec extends SparkFunSuite {
     val got = out.select(col("created_at")).distinct().collect().map(_.getString(0))
     assert(got.toSeq == Seq(expected), s"got ${got.toSeq}, want $expected")
   }
+
+  test("drop tombstones (not erases): as-of below the drop still answers, " +
+      "RECOVER resurrects the pre-drop shape, liveTables tracks the census " +
+      "(multi_version.go:209-216 deleteVersion semantics)") {
+    val reg = SchemaRegistry().applyAll(Seq(
+      CreateTable("app", "t", Seq(ColumnDef("id", "bigint"),
+        ColumnDef("v", "bigint")), 10L),
+      DropTable("app", "t", 100L)))
+    assert(reg.asOf("app", "t", 50L).isDefined, "pre-drop as-of still answers")
+    assert(reg.asOf("app", "t", 150L).isEmpty && reg.latest("app", "t").isEmpty)
+    assert(reg.liveTables.isEmpty)
+    val rec = reg.apply(RecoverTable("app", "t", 200L))
+    assert(rec.asOf("app", "t", 150L).isEmpty, "the dropped window stays dark")
+    assert(rec.asOf("app", "t", 250L).map(_.columns.map(_.name)) ==
+      Some(Seq("id", "v")))
+    assert(rec.liveTables == Seq(("app", "t")))
+    // drop + re-CREATE also revives (fresh table under the same name)
+    val recreated = reg.apply(
+      CreateTable("app", "t", Seq(ColumnDef("k", "bigint")), 300L))
+    assert(recreated.latest("app", "t").map(_.columns.map(_.name)) ==
+      Some(Seq("k")))
+    // recover of a never-dropped or unknown table is a no-op
+    assert(reg.apply(RecoverTable("app", "ghost", 400L)).liveTables.isEmpty)
+  }
+
+  test("GC removes tables dead below the horizon entirely (drop below gcTs, " +
+      "no later event -> unrecoverable, chain and tombstones go)") {
+    val reg = SchemaRegistry().applyAll(Seq(
+      CreateTable("app", "dead", Seq(ColumnDef("id", "bigint")), 10L),
+      DropTable("app", "dead", 20L),
+      CreateTable("app", "alive", Seq(ColumnDef("id", "bigint")), 10L),
+      CreateTable("app", "back", Seq(ColumnDef("id", "bigint")), 10L),
+      DropTable("app", "back", 20L),
+      RecoverTable("app", "back", 500L)))
+    val gced = reg.truncateBelow(100L)
+    assert(!gced.versions.contains(("app", "dead")),
+      "dead-below-horizon chains are fully collected")
+    assert(gced.asOf("app", "alive", 100L).isDefined)
+    // a RECOVER above the horizon keeps the chain alive through GC
+    assert(gced.asOf("app", "back", 600L).isDefined)
+    assert(gced.asOf("app", "back", 100L).isEmpty, "still dark mid-window")
+  }
 }

@@ -1,0 +1,139 @@
+package graft
+
+import graft.model._
+import graft.model.DdlAction._
+import graft.model.DdlJobParser.DdlJob
+import org.scalatest.funsuite.AnyFunSuite
+
+/** The schema-store fold: logical registry + physical-id membership +
+  * stable column ids, from Done DDL jobs — the
+  * logservice/schemastore analog (persist_storage_ddl_handlers.go
+  * updateSchemaMetadata* family; multi_version.go delete/recover). */
+class SchemaStoreSpec extends AnyFunSuite {
+
+  private def job(tpe: Int, q: String, ts: Long,
+                  schema: String = "app", table: String = "t",
+                  tableId: Long = 0L, infoId: Long = 0L,
+                  parts: Seq[Long] = Nil): DdlJob =
+    DdlJob(id = ts, actionType = tpe, schemaName = schema, tableName = table,
+      query = q, startTs = ts - 1, finishedTs = ts, schemaVersion = ts,
+      tableId = tableId, tableInfoId = infoId, partitionIds = parts)
+
+  private val create = job(3, "CREATE TABLE app.t (id BIGINT, v BIGINT)",
+    10L, tableId = 900L, infoId = 900L, parts = Seq(901L, 902L))
+
+  test("REORGANIZE PARTITION: membership becomes getAllPartitionIDs(TableInfo) " +
+      "wholesale — new ids join at finishedTs, replaced ids stop (handler :418, :1550)") {
+    val st = SchemaStore().applyJobs(Seq(create,
+      job(64, "ALTER TABLE app.t REORGANIZE PARTITION p0 INTO (PARTITION p3 VALUES LESS THAN (100))",
+        100L, tableId = 900L, infoId = 900L, parts = Seq(903L, 902L))))
+    assert(st.physicalIdsAsOf("app", "t", 99L) == Set(901L, 902L))
+    assert(st.physicalIdsAsOf("app", "t", 100L) == Set(903L, 902L))
+    assert(st.idsAsOf("app", "t", 100L).map(_._1) == Some(900L),
+      "the logical table id survives a reorganize")
+    // row shape unchanged, but a version boundary exists at the DDL ts
+    assert(st.registry.asOf("app", "t", 100L).get.versionTs == 100L)
+  }
+
+  test("ALTER TABLE .. PARTITION BY mints a NEW logical id + fresh partition " +
+      "set; REMOVE PARTITIONING collapses to a new plain id (handlers :445, :454)") {
+    val st = SchemaStore().applyJobs(Seq(create,
+      job(70, "ALTER TABLE app.t PARTITION BY HASH(id) PARTITIONS 2",
+        100L, tableId = 900L, infoId = 950L, parts = Seq(951L, 952L))))
+    assert(st.physicalIdsAsOf("app", "t", 99L) == Set(901L, 902L))
+    assert(st.physicalIdsAsOf("app", "t", 100L) == Set(951L, 952L))
+    assert(st.idsAsOf("app", "t", 100L) == Some((950L, Set(951L, 952L))))
+
+    val st2 = st.applyJob(job(71, "ALTER TABLE app.t REMOVE PARTITIONING",
+      200L, tableId = 950L, infoId = 980L))
+    assert(st2.physicalIdsAsOf("app", "t", 199L) == Set(951L, 952L))
+    assert(st2.physicalIdsAsOf("app", "t", 200L) == Set(980L),
+      "a de-partitioned table's single physical id IS its new logical id")
+  }
+
+  test("DROP then RECOVER TABLE: rows vanish in the dropped window and the " +
+      "table re-enters with its pre-drop shape and ids (handler :337; " +
+      "multi_version.go:209)") {
+    val st = SchemaStore().applyJobs(Seq(create,
+      job(4, "DROP TABLE app.t", 100L, tableId = 900L),
+      job(25, "RECOVER TABLE app.t", 200L,
+        tableId = 900L, infoId = 900L, parts = Seq(901L, 902L))))
+    assert(st.physicalIdsAsOf("app", "t", 99L) == Set(901L, 902L))
+    assert(st.physicalIdsAsOf("app", "t", 150L) == Set.empty,
+      "nothing mounts inside the dropped window")
+    assert(st.physicalIdsAsOf("app", "t", 200L) == Set(901L, 902L))
+    assert(st.registry.asOf("app", "t", 150L).isEmpty)
+    val rec = st.registry.asOf("app", "t", 201L)
+    assert(rec.map(_.columns.map(_.name)) == Some(Seq("id", "v")),
+      "recover restores the pre-drop column shape")
+  }
+
+  test("MultiSchemaChange (code 61): every clause of one multi-clause ALTER " +
+      "folds in statement order under the job's finishedTs (handler :409)") {
+    val st = SchemaStore().applyJobs(Seq(
+      job(3, "CREATE TABLE app.t (id BIGINT, a BIGINT, b BIGINT)", 10L,
+        tableId = 900L, infoId = 900L),
+      job(61, "ALTER TABLE app.t ADD COLUMN c BIGINT DEFAULT 7, DROP COLUMN a, " +
+        "MODIFY COLUMN b VARCHAR(16)", 100L, tableId = 900L, infoId = 900L)))
+    val after = st.registry.asOf("app", "t", 100L).get
+    assert(after.columns.map(_.name) == Seq("id", "b", "c"),
+      s"all three clauses must apply: ${after.columns}")
+    assert(after.columns.find(_.name == "b").get.dataType == "varchar(16)")
+    assert(after.columns.find(_.name == "c").get.default == Some("7"))
+    // column-id stability: c allocates a NEW id (4), never reusing a's (2)
+    assert(st.colIds(("app", "t")) == Map("id" -> 1L, "b" -> 3L, "c" -> 4L))
+  }
+
+  test("column ids allocate monotonically and never recycle across " +
+      "DROP + ADD of the same name (TiDB's id-stability contract)") {
+    val st = SchemaStore().applyJobs(Seq(
+      job(3, "CREATE TABLE app.t (id BIGINT, x BIGINT)", 10L, tableId = 900L, infoId = 900L),
+      job(6, "ALTER TABLE app.t DROP COLUMN x", 20L, tableId = 900L),
+      job(5, "ALTER TABLE app.t ADD COLUMN x BIGINT", 30L, tableId = 900L)))
+    assert(st.colIds(("app", "t"))("x") == 3L,
+      "re-added column must take a fresh id, not recycle 2")
+  }
+
+  test("EXCHANGE PARTITION at job level: the standalone table claims the " +
+      "swapped-out physical id; the partitioned set follows TableInfo") {
+    val st = SchemaStore().applyJobs(Seq(create,
+      job(3, "CREATE TABLE app.s (id BIGINT, v BIGINT)", 11L,
+        schema = "app", table = "s", tableId = 903L, infoId = 903L),
+      job(42, "ALTER TABLE app.t EXCHANGE PARTITION p0 WITH TABLE app.s",
+        100L, tableId = 900L, infoId = 900L, parts = Seq(903L, 902L))))
+    assert(st.physicalIdsAsOf("app", "t", 100L) == Set(903L, 902L))
+    assert(st.physicalIdsAsOf("app", "s", 100L) == Set(901L),
+      "the standalone takes the id that left the partitioned set")
+    assert(st.physicalIdsAsOf("app", "s", 99L) == Set(903L))
+  }
+
+  test("physicalPlan: per-physical-id windowed segments — an id claims, " +
+      "releases, and can change hands at EXCHANGE boundaries") {
+    val st = SchemaStore().applyJobs(Seq(create,
+      job(3, "CREATE TABLE app.s (id BIGINT, v BIGINT)", 11L,
+        schema = "app", table = "s", tableId = 903L, infoId = 903L),
+      job(42, "ALTER TABLE app.t EXCHANGE PARTITION p0 WITH TABLE app.s",
+        100L, tableId = 900L, infoId = 900L, parts = Seq(903L, 902L))))
+    val plan = st.physicalPlan()
+    def metaAt(pid: Long, ts: Long): Option[String] = {
+      val segs = plan(pid)
+      segs.filter(_._1 <= ts).lastOption.flatMap(_._2).map(m => s"${m.schema}.${m.table}")
+    }
+    assert(metaAt(901L, 50L) == Some("app.t"))
+    assert(metaAt(901L, 100L) == Some("app.s"), "901 changes hands at 100")
+    assert(metaAt(903L, 50L) == Some("app.s"))
+    assert(metaAt(903L, 100L) == Some("app.t"))
+    assert(metaAt(902L, 100L) == Some("app.t"), "untouched partition stays")
+  }
+
+  test("rename moves membership and column ids to the new name; the old " +
+      "name stops mounting") {
+    val st = SchemaStore().applyJobs(Seq(create,
+      job(14, "RENAME TABLE app.t TO app.u", 100L, tableId = 900L, infoId = 900L,
+        table = "u")))
+    assert(st.physicalIdsAsOf("app", "u", 100L) == Set(901L, 902L))
+    assert(st.physicalIdsAsOf("app", "t", 100L) == Set.empty)
+    assert(st.physicalIdsAsOf("app", "t", 99L) == Set(901L, 902L))
+    assert(st.colIds(("app", "u")) == Map("id" -> 1L, "v" -> 2L))
+  }
+}

@@ -814,6 +814,58 @@ class RawKvMounterSpec extends SparkFunSuite {
     // supplementary-plane runes weight as 0xFFFD (plane-0 rule)
     assert(RawKvMounter.generalCiSortKey("😀").toSeq ==
       Seq(0xFF.toByte, 0xFD.toByte))
+    // MySQL's frozen-table divergences from the JDK mapping: general_ci
+    // compares ß = s and İ = i (the pinned exception map)
+    assert(RawKvMounter.generalCiSortKey("ß").toSeq ==
+      RawKvMounter.generalCiSortKey("s").toSeq, "general_ci: ß = s")
+    assert(RawKvMounter.generalCiSortKey("İ").toSeq ==
+      RawKvMounter.generalCiSortKey("i").toSeq, "general_ci: İ = i")
+    // post-freeze code points take the fallback weight (themselves)
+    assert(RawKvMounter.generalCiSortKey("\u1e9e").toSeq ==
+      Seq(0x1E.toByte, 0x9E.toByte))
+  }
+
+  test("raw checksum: TWO independent derivations agree on 1500 randomized " +
+      "rows — stored-bytes fold vs full-decode + canonical re-encode " +
+      "(CalculateRawChecksum's datum path, checksum.go:140-177) — and both " +
+      "match the embedded region") {
+    val rnd = new scala.util.Random(42)
+    var bigSeen = 0; var nullSeen = 0; var extraSeen = 0
+    (1 to 1500).foreach { i =>
+      val nCols = 1 + rnd.nextInt(8)
+      // random ids, sometimes >255 to force the big layout
+      val ids = rnd.shuffle((1L to 500L).toList).take(nCols)
+      val cells: Seq[(Long, Option[Array[Byte]])] = ids.map { id =>
+        rnd.nextInt(4) match {
+          case 0 => id -> None // null column rides the null-id array
+          case 1 => id -> Some(TiKvCodec.intCell(rnd.nextLong()))
+          case 2 =>
+            val b = new Array[Byte](rnd.nextInt(40)); rnd.nextBytes(b)
+            id -> Some(b)
+          case _ => id -> Some(TiKvCodec.intCell(rnd.nextInt(3).toLong))
+        }
+      }
+      if (ids.exists(_ > 255L)) bigSeen += 1
+      if (cells.exists(_._2.isEmpty)) nullSeen += 1
+      val key = TiKvCodec.encodeRecordKey(100L + rnd.nextInt(900),
+        TiKvCodec.IntHandle(rnd.nextLong()))
+      val version = 1 + rnd.nextInt(2)
+      val extra = if (rnd.nextBoolean()) { extraSeen += 1; Some(rnd.nextInt(1 << 30).toLong) } else None
+      val value = TiKvCodec.encodeV2RawChecksummed(cells, key, version, extra)
+      val stored = TiKvCodec.decodeV2(value).checksum.map(_.first)
+      val d1 = TiKvCodec.rawChecksumOf(value, key)
+      val d2 = TiKvCodec.rawChecksumReencoded(value, key)
+      assert(d1.isDefined && d1 == d2,
+        s"row $i: stored-bytes fold $d1 != re-encode fold $d2 (cells=$cells)")
+      assert(stored == d1, s"row $i: embedded region $stored != computed $d1")
+      // a tampered region still fails BOTH ways
+      val bad = TiKvCodec.encodeV2RawChecksummed(cells, key, version, extra,
+        corrupt = true)
+      assert(TiKvCodec.decodeV2(bad).checksum.map(_.first) !=
+        TiKvCodec.rawChecksumReencoded(bad, key))
+    }
+    assert(bigSeen > 100 && nullSeen > 400 && extraSeen > 400,
+      s"regime coverage: big=$bigSeen null=$nullSeen extra=$extraSeen")
   }
 
   test("_row_id for common handles is deterministic across independent " +
