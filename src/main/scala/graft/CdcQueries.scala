@@ -360,6 +360,17 @@ object CdcQueries {
           col("after.value").as("value"), col("after.props").as("props"))
     }),
 
+    // the unknown-id observable as a green oracle row: a third of the
+    // wire (event_id % 3 == 2) encodes under a physical id NO meta
+    // claims — the coverage summary must count exactly that class as
+    // the silent-drop bucket (mounter.go:75's skip made loud), while
+    // known ids split across the two-table metas
+    "q_mount_coverage" -> ((s, d) => {
+      val raw = RawKvQuery.encodeSplitWithUnknown(Tables.events(s, d))
+      RawKvMounter.mountCoverage(raw,
+        Seq(RawKvQuery.evenMeta, RawKvQuery.oddMeta))
+    }),
+
     // GBK-declared mount in BOTH source dialects: even event_ids take
     // the TiDB dialect (stored bytes already utf8mb4, mount does no
     // transcode — the reference's behavior, mounter_test.go:729-739),
@@ -906,6 +917,12 @@ object CdcQueries {
         |  user_id, event_type, value, props
         |FROM events""".stripMargin,
 
+    "q_mount_coverage" ->
+      """SELECT CAST(COUNT(*) AS BIGINT) AS n_record_keys,
+        |  CAST(SUM(CASE WHEN event_id % 3 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_known_id,
+        |  CAST(SUM(CASE WHEN event_id % 3 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_unknown_id
+        |FROM events""".stripMargin,
+
     // gbk mount: the label/note mapping recomputed directly — any
     // lossiness in the GBK byte round trip hash-mismatches
     "q_kv_mount_gbk" ->
@@ -1276,6 +1293,31 @@ object RawKvQuery {
         it.map { r =>
           val id = r.getLong(0)
           val m = if (id % 2L == 0L) evenMeta else oddMeta
+          val payload = Seq[Any](
+            id, r.getLong(1),
+            if (r.isNullAt(2)) null else r.getLong(2),
+            r.getString(3),
+            if (r.isNullAt(4)) null else r.getDouble(4),
+            r.getString(5))
+          Row(
+            TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(id)),
+            RawKvMounter.encodeImage(m, payload),
+            null, "put", r.getLong(1) - 1L, r.getLong(1))
+        }
+      }(Encoders.row(rawSchema))
+  }
+
+  /** [[encodeSplit]] with a third id class: event_id % 3 == 2 encodes
+    * under physical id 499 — a table NO meta describes — so coverage
+    * accounting has a real silent-drop population to count. Known rows
+    * keep parity-split metas with %3-derived membership. */
+  def encodeSplitWithUnknown(events: DataFrame): DataFrame = {
+    events.select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val m = if (id % 3L == 2L) evenMeta.copy(tableId = 499L)
+            else if (id % 2L == 0L) evenMeta else oddMeta
           val payload = Seq[Any](
             id, r.getLong(1),
             if (r.isNullAt(2)) null else r.getLong(2),

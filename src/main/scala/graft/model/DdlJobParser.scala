@@ -75,6 +75,9 @@ object DdlJobParser {
   val ActionRecoverTable = 25
   val ActionExchangeTablePartition = 42
   val ActionRenameTables = 47
+  /** One CREATE TABLES batch job (BR / batch-create;
+    * handler :400 iterates binlog.MultipleTableInfos). */
+  val ActionCreateTables = 60
   /** Multi-clause ALTER TABLE wrapped in one job (handler :409
     * iterates the sub-jobs); the query text carries every clause. */
   val ActionMultiSchemaChange = 61
@@ -106,6 +109,8 @@ object DdlJobParser {
     43, 44, 45, // check constraints
     49, 50, 51, 52, 53, 54, 55, 56, // attributes + placement policies
     57, 58, 59, // cache table / stats options
+    62, 63, // flashback cluster / recover schema — the reference itself
+            // ignores both (persist_storage.go:863-864 "ignore ddl")
     65, 66, // TTL info/remove (updateSchemaMetadataIgnore in the handler table)
     67, 68, 69) // resource groups
 
@@ -124,7 +129,10 @@ object DdlJobParser {
                           schemaVersion: Long,
                           tableId: Long = 0L,
                           tableInfoId: Long = 0L,
-                          partitionIds: Seq[Long] = Nil)
+                          partitionIds: Seq[Long] = Nil,
+                          /** binlog.MultipleTableInfos (CreateTables):
+                            * (table id, table name, partition ids). */
+                          tableInfos: Seq[(Long, String, Seq[Long])] = Nil)
 
   private def mapper = new ObjectMapper()
 
@@ -152,14 +160,26 @@ object DdlJobParser {
         tableId = num("table_id"),
         tableInfoId =
           tableInfo.flatMap(t => Option(t.get("id"))).map(_.asLong(0L)).getOrElse(0L),
-        partitionIds = tableInfo
-          .flatMap(t => Option(t.get("partition")))
-          .flatMap(p => Option(p.get("definitions")))
-          .map(ds => (0 until ds.size).flatMap(i =>
-            Option(ds.get(i).get("id")).map(_.asLong(0L))))
-          .getOrElse(Nil)))
+        partitionIds = tableInfo.map(partIdsOf).getOrElse(Nil),
+        tableInfos = binlog.flatMap(b => Option(b.get("MultipleTableInfos")))
+          .map(arr => (0 until arr.size).map { i =>
+            val t = arr.get(i)
+            (Option(t.get("id")).map(_.asLong(0L)).getOrElse(0L),
+              Option(t.get("name")).flatMap(nm => Option(nm.get("O")))
+                .map(_.asText("")).getOrElse(""),
+              partIdsOf(t))
+          }.toSeq).getOrElse(Nil)))
     }
   }
+
+  /** TableInfo's partition definition ids (getAllPartitionIDs,
+    * persist_storage_ddl_handlers.go:488). */
+  private def partIdsOf(tableInfo: JsonNode): Seq[Long] =
+    Option(tableInfo.get("partition"))
+      .flatMap(p => Option(p.get("definitions")))
+      .map(ds => (0 until ds.size).flatMap(i =>
+        Option(ds.get(i).get("id")).map(_.asLong(0L))).toSeq)
+      .getOrElse(Nil)
 
   /** Classify a Done job into a registry action. Shape actions parse
     * their query text (the column detail lives there); name-only
@@ -186,6 +206,18 @@ object DdlJobParser {
         Some(DdlAction.AlterTablePartitioning(job.schemaName, job.tableName, ts))
       case ActionRemovePartitioning =>
         Some(DdlAction.RemovePartitioning(job.schemaName, job.tableName, ts))
+      case ActionCreateTables =>
+        // batch create: the query is the original statements joined by
+        // ';' — parse each, fold in order (handler :400 iterates the
+        // job's table infos the same way)
+        val creates = job.query.split(';').toSeq.map(_.trim).filter(_.nonEmpty)
+          .flatMap(q => DdlParser.parse(q, ts, defaultSchema =
+            if (job.schemaName.nonEmpty) job.schemaName else "app"))
+        creates match {
+          case Seq() => None
+          case Seq(one) => Some(one)
+          case many => Some(DdlAction.BatchActions(many, ts))
+        }
       case ActionCreateTable | ActionAddColumn | ActionDropColumn |
            ActionModifyColumn | ActionRenameTable | ActionRenameTables |
            ActionAddTablePartition | ActionDropTablePartition |

@@ -80,6 +80,10 @@ object DdlAction {
     * dropped table re-enters the feed with its pre-drop shape from
     * `ts` on. */
   final case class RecoverTable(schema: String, table: String, ts: Long) extends DdlAction
+  /** One batch job carrying several independent actions (CREATE
+    * TABLES, ActionCreateTables — handler :400 iterates the job's
+    * table infos): applied in order under the one finishedTs. */
+  final case class BatchActions(actions: Seq[DdlAction], ts: Long) extends DdlAction
   /** One multi-clause ALTER TABLE (ActionMultiSchemaChange, handler
     * :409 iterates the sub-jobs): every clause applies atomically in
     * statement order under the one job's finishedTs. */
@@ -87,7 +91,7 @@ object DdlAction {
                               actions: Seq[DdlAction], ts: Long) extends DdlAction
   /** Partition-set rewrites that keep the logical table: REORGANIZE
     * PARTITION (handler :418). Row shape unchanged; the physical-id
-    * membership change lives in [[graft.model.PhysicalIdStore]]. */
+    * membership change lives in [[graft.model.SchemaStore]] membership. */
   final case class ReorganizePartition(schema: String, table: String, ts: Long) extends DdlAction
   /** ALTER TABLE .. PARTITION BY / REMOVE PARTITIONING (handlers :445,
     * :454): the table gets a NEW physical identity (like truncate);
@@ -229,6 +233,8 @@ final case class SchemaRegistry(
       }
     case AlterMulti(_, _, actions, _) =>
       // handler :409: iterate the wrapped sub-jobs in statement order
+      actions.foldLeft(this)(_.apply(_))
+    case BatchActions(actions, _) =>
       actions.foldLeft(this)(_.apply(_))
     case ReorganizePartition(s, t, ts) =>
       latest(s, t).map(cur => put(cur.copy(versionTs = ts))).getOrElse(this)

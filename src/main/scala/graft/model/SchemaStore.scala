@@ -83,6 +83,13 @@ final case class SchemaStore(
     job.actionType match {
       case ActionCreateTable | ActionRecoverTable =>
         withReg.putMember(k, ts, (lid, parts))
+      case ActionCreateTables =>
+        // one membership entry per created table, keyed by the job's
+        // MultipleTableInfos names (handler :400's iteration)
+        job.tableInfos.foldLeft(withReg) { case (st, (tid, name, ps)) =>
+          if (tid == 0L || name.isEmpty) st
+          else st.putMember(key(job.schemaName, name), ts, (tid, ps.toSet))
+        }
       case ActionTruncateTable | ActionAlterTablePartitioning =>
         // new logical id + fresh partition set (handlers :211, :445)
         withReg.putMember(k, ts, (lid, parts))
@@ -170,6 +177,8 @@ final case class SchemaStore(
       case RenameTables(rs, _) =>
         rs.foldLeft(this) { (acc, r) => acc.applyAction(r) }
       case AlterMulti(_, _, actions, _) =>
+        actions.foldLeft(this)(_.applyAction(_))
+      case BatchActions(actions, _) =>
         actions.foldLeft(this)(_.applyAction(_))
       case ExchangeTablePartition(s, t, ws, wt, _) =>
         // column shapes swap (registry handles that); ids swap with them

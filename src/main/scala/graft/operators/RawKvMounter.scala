@@ -707,7 +707,7 @@ object RawKvMounter {
                 // reserved system-table ids (top of the 48-bit id
                 // space, span_op.go:34-35 — the DDL job table rides
                 // the same wire) are control traffic, not data loss
-                if (tableId < 281474976710000L) unknownIds.foreach(_.add(1L))
+                if (tableId < ReservedIdFloor) unknownIds.foreach(_.add(1L))
                 Iterator.empty
               case Some((tss, metas, latest)) =>
                 val commitTs = r.getLong(5)
@@ -759,6 +759,43 @@ object RawKvMounter {
         }
       }(enc)
       .toDF()
+  }
+
+  /** Reserved system-table ids sit at the top of the 48-bit table-id
+    * space (span_op.go:34-35; the DDL job table is MaxInt48-1) — wire
+    * entries under them are control traffic, never counted as data
+    * loss by the coverage accounting. */
+  val ReservedIdFloor: Long = 281474976710000L
+
+  /** The unknown-id OBSERVABLE as a one-row summary (the
+    * coverage-accounting mold of `checksumCoverage`): how many record
+    * keys a mount over `metas` would decode vs silently drop.
+    * `n_record_keys` counts data-table record keys (reserved system
+    * ids excluded), `n_known_id` those whose physical id some meta
+    * claims, `n_unknown_id` the silent-drop class (mounter.go:75's
+    * skip, surfaced). Scan-bound: one map-side-combined aggregate,
+    * no shuffle of row data — run it alongside any feed to make
+    * membership gaps (missed partition DDLs, unsynced metas) LOUD
+    * instead of invisible. */
+  def mountCoverage(raw: DataFrame, metas: Seq[KvTableMeta]): DataFrame = {
+    val known = metas.flatMap(_.allIds).toSet
+    import org.apache.spark.sql.functions._
+    raw.select("key")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          val key = r.getAs[Array[Byte]](0)
+          if (!isRecordKey(key)) Iterator.empty
+          else {
+            val tid = TiKvCodec.decodeRecordKey(key)._1
+            if (tid >= ReservedIdFloor) Iterator.empty
+            else Iterator((1L, if (known.contains(tid)) 1L else 0L,
+              if (known.contains(tid)) 0L else 1L))
+          }
+        }
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("rk", "kn", "un")
+      .agg(sum("rk").as("n_record_keys"), sum("kn").as("n_known_id"),
+        sum("un").as("n_unknown_id"))
   }
 
   /** Reshape an image decoded under `asOf` into `latest`'s column

@@ -233,6 +233,8 @@ object Changefeed {
       case DdlAction.TruncateTablePartition(s, t, _, _) => (s, t)
       case DdlAction.RecoverTable(s, t, _) => (s, t)
       case DdlAction.AlterMulti(s, t, _, _) => (s, t)
+      case DdlAction.BatchActions(actions, _) =>
+        actions.headOption.map(target).getOrElse(("", ""))
       case DdlAction.ReorganizePartition(s, t, _) => (s, t)
       case DdlAction.AlterTablePartitioning(s, t, _) => (s, t)
       case DdlAction.RemovePartitioning(s, t, _) => (s, t)

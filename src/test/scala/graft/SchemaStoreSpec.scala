@@ -126,6 +126,24 @@ class SchemaStoreSpec extends AnyFunSuite {
     assert(metaAt(902L, 100L) == Some("app.t"), "untouched partition stays")
   }
 
+  test("CREATE TABLES (code 60, batch create): every table in " +
+      "MultipleTableInfos joins membership; the multi-statement query " +
+      "folds each CREATE into the registry (handler :400)") {
+    val q = "CREATE TABLE app.a (id BIGINT, x BIGINT); " +
+      "CREATE TABLE app.b (id BIGINT, y VARCHAR(8))"
+    val st = SchemaStore().applyJob(DdlJob(id = 1L, actionType = 60,
+      schemaName = "app", tableName = "", query = q,
+      startTs = 9L, finishedTs = 10L, schemaVersion = 1L,
+      tableInfos = Seq((900L, "a", Nil), (910L, "b", Seq(911L, 912L)))))
+    assert(st.physicalIdsAsOf("app", "a", 10L) == Set(900L))
+    assert(st.physicalIdsAsOf("app", "b", 10L) == Set(911L, 912L))
+    assert(st.registry.asOf("app", "a", 10L).get.columns.map(_.name) ==
+      Seq("id", "x"))
+    assert(st.registry.asOf("app", "b", 10L).get.columns.map(_.name) ==
+      Seq("id", "y"))
+    assert(st.colIds(("app", "b")) == Map("id" -> 1L, "y" -> 2L))
+  }
+
   test("rename moves membership and column ids to the new name; the old " +
       "name stops mounting") {
     val st = SchemaStore().applyJobs(Seq(create,
