@@ -391,6 +391,37 @@ object CdcQueries {
     // COLUMN carry no props cell and must default-fill; rows after
     // carry real values (mounter as-of decode + conformance,
     // schema_store.go:50-54 / chunk.go:182)
+    // the DDL-EVOLVING mount as an oracle row: the same versioned
+    // bytes, but the schema view comes from folding the DDL JOBS
+    // (CREATE at 0, ADD COLUMN at cut+1) through the SchemaStore and
+    // decoding with the compiled physical plan — the steady-state
+    // composition's decode path (schema_store.go:50-54 ->
+    // event_scanner.go:351), proven value-identical to the DuckDB
+    // recompute on real fixture data
+    "q_kv_mount_evolve" -> ((s, d) => {
+      import graft.model.{DdlJobParser, SchemaStore}
+      val ev = Tables.events(s, d)
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2L
+      val raw = RawKvQuery.encodeVersioned(ev, cut)
+      val store = graft.model.SchemaStore().applyJobs(Seq(
+        DdlJobParser.DdlJob(1L, DdlJobParser.ActionCreateTable, "app", "events",
+          "CREATE TABLE app.events (event_id BIGINT, ts BIGINT, " +
+            "user_id BIGINT, event_type VARCHAR(32), value DOUBLE)",
+          startTs = -1L, finishedTs = 0L, schemaVersion = 1L,
+          tableId = 101L, tableInfoId = 101L),
+        DdlJobParser.DdlJob(2L, DdlJobParser.ActionAddColumn, "app", "events",
+          "ALTER TABLE app.events ADD COLUMN props VARCHAR(1024) DEFAULT 'none'",
+          startTs = cut, finishedTs = cut + 1L, schemaVersion = 2L,
+          tableId = 101L, tableInfoId = 101L)))
+      RawKvMounter.mountTablesPlan(raw, store.physicalPlan())
+        .select(
+          col("after.event_id").as("event_id"), col("after.ts").as("ts"),
+          col("after.user_id").as("user_id"),
+          col("after.event_type").as("event_type"),
+          col("after.value").as("value"), col("after.props").as("props"))
+    }),
+
     "q_kv_mount_versioned" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
@@ -936,6 +967,16 @@ object CdcQueries {
 
     // versioned mount: rows at or before the mid-corpus schema cut
     // default-fill the added column
+    // identical recompute: the evolving-store decode must equal the
+    // hand-built versioned mount's contract
+    "q_kv_mount_evolve" ->
+      """WITH cut AS (
+        |  SELECT MIN(epoch_ns(ts)) + (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts))) // 2 AS c
+        |  FROM events)
+        |SELECT event_id, epoch_ns(ts) AS ts, user_id, event_type, value,
+        |  CASE WHEN epoch_ns(ts) <= (SELECT c FROM cut) THEN 'none' ELSE props END AS props
+        |FROM events""".stripMargin,
+
     "q_kv_mount_versioned" ->
       """WITH cut AS (
         |  SELECT MIN(epoch_ns(ts)) + (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts))) // 2 AS c
