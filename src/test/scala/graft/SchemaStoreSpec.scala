@@ -154,4 +154,44 @@ class SchemaStoreSpec extends AnyFunSuite {
     assert(st.physicalIdsAsOf("app", "t", 99L) == Set(901L, 902L))
     assert(st.colIds(("app", "u")) == Map("id" -> 1L, "v" -> 2L))
   }
+
+  test("control-plane scale: 10k tables x versions compile to a bounded " +
+      "physical plan fast enough to rebuild per micro-batch (the 1000-executor " +
+      "broadcast-size question)") {
+    // a production-sized census: 10k tables, each with a partition set
+    // and one later ALTER — 20k jobs total
+    val jobs = (0 until 10000).flatMap { i =>
+      val tid = 1000L + i * 10L
+      Seq(
+        job(3, s"CREATE TABLE app.t$i (id BIGINT, v BIGINT)", 10L + i,
+          table = s"t$i", tableId = tid, infoId = tid,
+          parts = Seq(tid + 1, tid + 2)),
+        job(5, s"ALTER TABLE app.t$i ADD COLUMN k BIGINT", 100000L + i,
+          table = s"t$i", tableId = tid))
+    }
+    val t0 = System.nanoTime()
+    val st = SchemaStore().applyJobs(jobs)
+    val foldMs = (System.nanoTime() - t0) / 1000000L
+    val t1 = System.nanoTime()
+    val plan = st.physicalPlan()
+    val compileMs = (System.nanoTime() - t1) / 1000000L
+    // 30k physical ids (logical + 2 partitions per table), <= 2
+    // segments each: the executor-side lookup structure stays
+    // census-sized, NOT row-count-sized — broadcastable at any corpus
+    // scale. (Scalars extracted BEFORE asserting: a failing macro
+    // assert would otherwise hand the whole 30k-entry plan to the
+    // prettifier.)
+    val nIds = plan.size
+    val maxSegs = plan.valuesIterator.map(_.size).max
+    assert(nIds == 30000, s"plan ids: $nIds")
+    assert(maxSegs <= 2, s"max segments per id: $maxSegs")
+    assert(foldMs < 30000 && compileMs < 30000,
+      s"schema-store control-plane cost must stay per-batch viable: " +
+        s"fold ${foldMs}ms, compile ${compileMs}ms")
+    // GC keeps it flat: truncating at the ALTER horizon leaves one
+    // floor entry per timeline
+    val gced = st.truncateBelow(200000L)
+    assert(gced.versionCount <= 20000, s"post-GC: ${gced.versionCount}")
+    info(s"fold ${foldMs}ms, plan compile ${compileMs}ms, ids ${plan.size}")
+  }
 }
