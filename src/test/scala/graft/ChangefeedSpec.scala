@@ -487,7 +487,8 @@ class ChangefeedSpec extends SparkFunSuite {
     // checkpoint — offsets, per-txn state store, and the sink's
     // _spark_metadata recover as one
     def start() = Changefeed.runMqFromRaw2pc(spark, feedCfg,
-      gen(8000, "rawKvUncommitted"), metas, s"$tmp/sink", s"$tmp/ckpt")
+      gen(8000, "rawKvUncommitted"), metas, s"$tmp/sink", s"$tmp/ckpt",
+      matcherGcMs = 600000L)
     val q1 = start()
     val deadline = System.currentTimeMillis() + 120000
     while (q1.isActive &&
@@ -650,7 +651,8 @@ class ChangefeedSpec extends SparkFunSuite {
     def stream() = spark.readStream.schema(TxnMatcher.uncommittedSchema)
       .option("maxFilesPerTrigger", 1).parquet(srcDir)
     def start() = Changefeed.runMqFromRaw2pcEvolving(spark, feedCfg,
-      stream(), SchemaStore(), s"$tmp/sink", s"$tmp/ckpt")
+      stream(), SchemaStore(), s"$tmp/sink", s"$tmp/ckpt",
+      matcherGcMs = 600000L)
 
     // kill the SECOND batch (the DDL boundary) at its admission point,
     // then drain on the same checkpoint: offsets, the matcher's state

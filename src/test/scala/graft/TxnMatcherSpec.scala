@@ -109,7 +109,8 @@ class TxnMatcherSpec extends SparkFunSuite {
     // ~100 commits arrive BEFORE their prewrites (the cached-commit
     // path, region_event_handler.go cacheCommitRow)
     val matched = drain(
-      TxnMatcher.matchStream(spark, readGen(8000, "rawKvUncommitted" -> "true")),
+      TxnMatcher.matchStream(spark, readGen(8000, "rawKvUncommitted" -> "true"),
+        gcMs = 600000L),
       s"$base/out")
     assert(canon(matched) == canon(expected))
   }
@@ -147,8 +148,14 @@ class TxnMatcherSpec extends SparkFunSuite {
       "(kv_client_stream_reconnect analog)") {
     val base = Files.createTempDirectory("graft-txnm-r").toString
     val expected = committedSubset(s"$base/com")
+    // gcMs is GENEROUS here on purpose: this test pins state SURVIVAL
+    // across a kill, and a loaded host can stall >5s between
+    // micro-batches — the default clear delay would then time out
+    // still-pending halves and the test would flake on lost matches
+    // (orphan GC has its own test above)
     def start() = TxnMatcher
-      .matchStream(spark, readGen(8000, "rawKvUncommitted" -> "true"))
+      .matchStream(spark, readGen(8000, "rawKvUncommitted" -> "true"),
+        gcMs = 600000L)
       .writeStream.format("parquet")
       .option("path", s"$base/out").option("checkpointLocation", s"$base/ckpt")
       .trigger(Trigger.AvailableNow()).start()
