@@ -22,6 +22,21 @@ object DdlParser {
 
   private val createTable =
     """(?is)^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?([`\w.]+)\s*\((.*)\)\s*[^)]*$""".r
+  /** MySQL-8 `ALTER TABLE t RENAME COLUMN a TO b` (a rename-only
+    * change; the reference's binlog filter recognizes it as its own
+    * event class, pkg/binlog-filter/filter.go:88). */
+  private val renameColumn =
+    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+RENAME\s+COLUMN\s+`?(\w+)`?\s+TO\s+`?(\w+)`?\s*$""".r
+  /** `ALTER TABLE a RENAME [TO|AS] b` — TiDB classifies it
+    * ActionRenameTable exactly like RENAME TABLE; the lookahead keeps
+    * RENAME COLUMN/INDEX/KEY out of this form. */
+  private val alterRenameTable =
+    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+RENAME\s+(?:TO\s+|AS\s+)?(?!COLUMN\b|INDEX\b|KEY\b)([`\w.]+)\s*$""".r
+  /** Parenthesized multi-add: `ALTER TABLE t ADD [COLUMN] (a INT, b
+    * INT)` — one statement, several columns, same CREATE-body column
+    * grammar. */
+  private val addColumns =
+    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+(?:COLUMN\s+)?\((.*)\)\s*$""".r
   private val addColumn =
     """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+ADD\s+(?:COLUMN\s+)?`?(\w+)`?\s+(\w+(?:\(\d+(?:,\d+)?\))?)(?:\s+DEFAULT\s+('[^']*'|\S+))?.*?(?:\s+(FIRST|AFTER\s+`?\w+`?))?\s*$""".r
   private val modifyColumn =
@@ -296,6 +311,16 @@ object DdlParser {
       case dropPartition(name, parts) =>
         val (s, t) = ident(name, defaultSchema)
         Some(DropTablePartition(s, t, commaList(parts), ts))
+      case renameColumn(name, oldName, newName) =>
+        val (s, t) = ident(name, defaultSchema)
+        Some(RenameColumn(s, t, oldName, newName, ts))
+      case addColumns(name, body) =>
+        val (s, t) = ident(name, defaultSchema)
+        parseColumns(body, ts).map(c => AddColumn(s, t, c, ts)) match {
+          case Seq() => None
+          case Seq(one) => Some(one)
+          case many => Some(AlterMulti(s, t, many, ts))
+        }
       case addColumn(name, cName, cType, dflt, pos)
           if !constraintHead.contains(cName.toLowerCase) =>
         val (s, t) = ident(name, defaultSchema)
@@ -320,6 +345,11 @@ object DdlParser {
           if !constraintHead.contains(cName.toLowerCase) =>
         val (s, t) = ident(name, defaultSchema)
         Some(DropColumn(s, t, cName, ts))
+      case alterRenameTable(name, newName) =>
+        val (s, t) = ident(name, defaultSchema)
+        // an unqualified new name stays in the table's own schema
+        val (ns, nt) = ident(newName, s)
+        Some(RenameTable(s, t, ns, nt, ts))
       case renameTables(pairList) =>
         // split on commas; identifiers contain no commas
         val raw = pairList.split(',').map(_.trim).filter(_.nonEmpty).toSeq

@@ -51,6 +51,11 @@ object DdlAction {
     * place. */
   final case class ChangeColumn(schema: String, table: String,
                                 oldName: String, column: ColumnDef, ts: Long) extends DdlAction
+  /** MySQL-8 ALTER TABLE .. RENAME COLUMN old TO new: rename ONLY —
+    * type, default, and position stay (the reference's binlog filter
+    * classifies it as its own event class, binlog-filter/filter.go:88). */
+  final case class RenameColumn(schema: String, table: String,
+                                oldName: String, newName: String, ts: Long) extends DdlAction
   final case class RenameTable(schema: String, table: String,
                                newSchema: String, newTable: String, ts: Long) extends DdlAction
   /** Multi-table RENAME TABLE a TO b, c TO d — one atomic job in the
@@ -199,6 +204,11 @@ final case class SchemaRegistry(
     case ChangeColumn(s, t, oldName, c, ts) =>
       latest(s, t).map(cur => put(cur.copy(versionTs = ts,
         columns = cur.columns.map(old => if (old.name == oldName) c else old))))
+        .getOrElse(this)
+    case RenameColumn(s, t, oldName, newName, ts) =>
+      latest(s, t).map(cur => put(cur.copy(versionTs = ts,
+        columns = cur.columns.map(old =>
+          if (old.name == oldName) old.copy(name = newName) else old))))
         .getOrElse(this)
     case RenameTables(renames, _) =>
       renames.foldLeft(this)(_.apply(_))

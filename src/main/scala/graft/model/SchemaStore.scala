@@ -169,6 +169,14 @@ final case class SchemaStore(
             colIds.updated(k, (m - oldName).updated(c.name, id)))
           case None => st
         }
+      case RenameColumn(s, t, oldName, newName, _) =>
+        val k = key(s, t)
+        val m = colIds.getOrElse(k, Map.empty)
+        m.get(oldName) match {
+          case Some(id) => st.copy(colIds =
+            colIds.updated(k, (m - oldName).updated(newName, id)))
+          case None => st
+        }
       case RenameTable(s, t, ns, nt, _) =>
         val from = key(s, t); val to = key(ns, nt)
         st.copy(

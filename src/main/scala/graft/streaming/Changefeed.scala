@@ -222,6 +222,7 @@ object Changefeed {
       case DdlAction.DropColumn(s, t, _, _) => (s, t)
       case DdlAction.ModifyColumn(s, t, _, _) => (s, t)
       case DdlAction.ChangeColumn(s, t, _, _, _) => (s, t)
+      case DdlAction.RenameColumn(s, t, _, _, _) => (s, t)
       case DdlAction.RenameTable(s, t, _, _, _) => (s, t)
       case DdlAction.RenameTables(renames, _) =>
         (renames.head.schema, renames.head.table)

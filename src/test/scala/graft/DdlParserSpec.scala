@@ -408,4 +408,33 @@ class DdlParserSpec extends SparkFunSuite {
     assert(DdlParser.parse("FLASHBACK TABLE t TO t_restored", 15) ==
       Some(RecoverTable("app", "t", 15)))
   }
+
+  test("ALTER-form renames and parenthesized multi-ADD: RENAME TO / AS, " +
+      "RENAME COLUMN (rename-only, binlog-filter event class), " +
+      "ADD (a, b) — and RENAME INDEX stays out") {
+    assert(DdlParser.parse("ALTER TABLE app.a RENAME TO b", 16) ==
+      Some(RenameTable("app", "a", "app", "b", 16)))
+    assert(DdlParser.parse("ALTER TABLE a RENAME AS crm.b", 17) ==
+      Some(RenameTable("app", "a", "crm", "b", 17)))
+    assert(DdlParser.parse("ALTER TABLE a RENAME b", 18) ==
+      Some(RenameTable("app", "a", "app", "b", 18)))
+    assert(DdlParser.parse("ALTER TABLE t RENAME COLUMN a TO b", 19) ==
+      Some(RenameColumn("app", "t", "a", "b", 19)))
+    assert(DdlParser.parse("ALTER TABLE t RENAME INDEX i1 TO i2", 20).isEmpty,
+      "index renames never reach the registry")
+    assert(DdlParser.parse("ALTER TABLE t ADD (a BIGINT, b VARCHAR(8) DEFAULT 'x')", 21) ==
+      Some(AlterMulti("app", "t", Seq(
+        AddColumn("app", "t", ColumnDef("a", "bigint"), 21),
+        AddColumn("app", "t", ColumnDef("b", "varchar(8)", Some("x")), 21)), 21)))
+    // single parenthesized column unwraps
+    assert(DdlParser.parse("ALTER TABLE t ADD COLUMN (c BIGINT)", 22) ==
+      Some(AddColumn("app", "t", ColumnDef("c", "bigint"), 22)))
+    // registry: RENAME COLUMN keeps type/default at a new name
+    val reg = SchemaRegistry().applyAll(Seq(
+      CreateTable("app", "t", Seq(ColumnDef("id", "bigint"),
+        ColumnDef("v", "varchar(8)", Some("d"))), 1L),
+      RenameColumn("app", "t", "v", "w", 2L)))
+    assert(reg.latest("app", "t").get.columns ==
+      Seq(ColumnDef("id", "bigint"), ColumnDef("w", "varchar(8)", Some("d"))))
+  }
 }

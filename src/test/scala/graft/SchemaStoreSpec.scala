@@ -126,6 +126,17 @@ class SchemaStoreSpec extends AnyFunSuite {
     assert(metaAt(902L, 100L) == Some("app.t"), "untouched partition stays")
   }
 
+  test("RENAME COLUMN keeps the column id (rename-only, no reallocation)") {
+    val st = SchemaStore().applyJobs(Seq(
+      job(3, "CREATE TABLE app.t (id BIGINT, v BIGINT)", 10L,
+        tableId = 900L, infoId = 900L),
+      job(12, "ALTER TABLE app.t RENAME COLUMN v TO w", 20L, tableId = 900L)))
+    assert(st.colIds(("app", "t")) == Map("id" -> 1L, "w" -> 2L),
+      "the renamed column must keep id 2")
+    assert(st.registry.asOf("app", "t", 20L).get.columns.map(_.name) ==
+      Seq("id", "w"))
+  }
+
   test("CREATE TABLES (code 60, batch create): every table in " +
       "MultipleTableInfos joins membership; the multi-statement query " +
       "folds each CREATE into the registry (handler :400)") {
