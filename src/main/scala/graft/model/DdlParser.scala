@@ -268,10 +268,19 @@ object DdlParser {
     query match {
       case alterTableHead(name, rest) =>
         // merge pieces that don't start a clause back into the prior
-        // one (partition name lists contain top-level commas)
+        // one (partition name lists contain top-level commas). A piece
+        // starts a clause only when its WHOLE first token is a clause
+        // head (`add2` is a partition name, not an ADD) and a
+        // continuation follows — a lone head word is a name too
+        // (`DROP PARTITION p1, add`); only FORCE stands alone.
+        def startsClause(p: String): Boolean = {
+          val toks = p.trim.split("\\s+")
+          val head = toks.head.toLowerCase
+          clauseHeads.contains(head) &&
+            (toks.length > 1 || head == "force")
+        }
         val clauses = splitTopLevel(rest).foldLeft(Seq.empty[String]) { (acc, p) =>
-          val head = p.takeWhile(c => c.isLetter || c == '_').toLowerCase
-          if (clauseHeads.contains(head) || acc.isEmpty) acc :+ p
+          if (startsClause(p) || acc.isEmpty) acc :+ p
           else acc.init :+ s"${acc.last}, $p"
         }
         if (clauses.size <= 1) None

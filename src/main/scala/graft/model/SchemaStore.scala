@@ -82,7 +82,11 @@ final case class SchemaStore(
     import DdlJobParser._
     job.actionType match {
       case ActionCreateTable | ActionRecoverTable =>
-        withReg.putMember(k, ts, (lid, parts))
+        // text-only jobs (applyJobs over a DDL stream without wire ids)
+        // carry lid 0 — writing (0, ∅) here would be the DROP sentinel,
+        // darkening the table forever. Leave membership absent instead:
+        // the table simply has no physical ids to mount yet.
+        if (lid == 0L) withReg else withReg.putMember(k, ts, (lid, parts))
       case ActionCreateTables =>
         // one membership entry per created table, keyed by the job's
         // MultipleTableInfos names (handler :400's iteration)
@@ -263,13 +267,21 @@ final case class SchemaStore(
   /** The executor-side decode plan: physical id → ts-ascending
     * segments of Some(meta to decode with) / None (id not mounted
     * from that ts). Built once on the driver per micro-batch, O(log
-    * segments) per entry on executors. */
-  def physicalPlan(tz: String = "UTC"): Map[Long, Seq[(Long, Option[KvTableMeta])]] = {
+    * segments) per entry on executors.
+    *
+    * `keep` scopes the plan to the changefeed's table filter — the
+    * reference scopes its schema view by the feed's filter rules, so
+    * an unrelated table on the shared wire (different column shape,
+    * excluded by the filter) never reaches the mount. */
+  def physicalPlan(tz: String = "UTC",
+                   keep: (String, String) => Boolean = (_, _) => true)
+      : Map[Long, Seq[(Long, Option[KvTableMeta])]] = {
     val tables = (registry.versions.keySet ++ membership.keySet).toSeq
+      .filter { case (s, t) => keep(s, t) }
     val segments = scala.collection.mutable.Map
       .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Option[KvTableMeta])]]
     tables.foreach { case (s, t) =>
-      val vs = metaVersions(s, t)
+      val vs = metaVersions(s, t, tz)
       // every physical id this table ever claims
       val everIds = vs.flatMap(_._2).flatMap(_.allIds).distinct
       everIds.foreach { pid =>

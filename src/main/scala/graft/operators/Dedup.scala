@@ -629,7 +629,12 @@ object Dedup {
     val freq = toks.groupBy(col("tok")).agg(count(lit(1)).as("__f"))
     val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("__f"), col("tok"))
     val wSize = Window.partitionBy(col("doc_id"))
-    val prefix = toks.join(broadcast(freq), "tok")
+    // vocab-sized freq table: NO forced broadcast — AQE broadcasts
+    // below the threshold and falls back to a shuffle join on `tok`
+    // beyond it (Heaps' law: at 100 TB the distinct-token table is
+    // tens of GB — a forced hint would OOM instead of degrading;
+    // same rule as [[TextOps.lmScore]])
+    val prefix = toks.join(freq, "tok")
       .withColumn("__pos", row_number().over(wDoc))
       .withColumn("__nd", count(lit(1)).over(wSize))
       .filter(col("__pos") <= floor(lit(1.0 - threshold) * col("__nd")) + 1)

@@ -412,8 +412,15 @@ object Changefeed {
         batch.persist()
         try {
           holder.fold(SchemaStoreHolder.jobsIn(batch))
+          // the mount plan is SCOPED by the changefeed's filter rules
+          // (the reference scopes its schema view the same way): an
+          // unrelated CREATE TABLE on the shared wire — any column
+          // shape — can never trip the shared-payload require or leak
+          // rows the tableFilter would drop anyway
           val env = graft.operators.RawKvMounter.mountTablesPlan(
-            batch, holder.store.physicalPlan(),
+            batch, holder.store.physicalPlan(keep = (s, t) =>
+              graft.operators.TableMatcher.matchesValue(
+                s, t, cfg.filter.rules, cfg.filter.caseSensitive)),
             failOnCorruption = failOn)
           sinkMqBatch(cfg, bootstrapper, bootstrapOn, sinkDir)(
             pipeline(spark, cfg)(env), batchId)

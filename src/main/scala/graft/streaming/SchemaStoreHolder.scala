@@ -76,6 +76,19 @@ final class SchemaStoreHolder(initial: SchemaStore, logDir: String) {
     n.put("tableId", j.tableId); n.put("tableInfoId", j.tableInfoId)
     val arr = n.putArray("partitionIds")
     j.partitionIds.foreach(arr.add)
+    // CreateTables (action 60) builds membership from tableInfos — the
+    // log must carry them or a restart re-fold leaves the batch-created
+    // tables memberless (their job id is deduped, so re-delivered wire
+    // batches never repair it) and silently unmountable
+    if (j.tableInfos.nonEmpty) {
+      val tis = n.putArray("tableInfos")
+      j.tableInfos.foreach { case (tid, name, ps) =>
+        val t = tis.addObject()
+        t.put("id", tid); t.put("name", name)
+        val pa = t.putArray("partitionIds")
+        ps.foreach(pa.add)
+      }
+    }
     n.toString
   }
 
@@ -84,10 +97,19 @@ final class SchemaStoreHolder(initial: SchemaStore, logDir: String) {
     def num(k: String) = n.get(k).asLong(0L)
     val parts = Option(n.get("partitionIds"))
       .map(a => (0 until a.size).map(i => a.get(i).asLong(0L))).getOrElse(Nil)
+    val infos = Option(n.get("tableInfos"))
+      .map(a => (0 until a.size).map { i =>
+        val t = a.get(i)
+        (t.get("id").asLong(0L), t.get("name").asText(""),
+          Option(t.get("partitionIds"))
+            .map(p => (0 until p.size).map(j => p.get(j).asLong(0L)).toSeq)
+            .getOrElse(Nil))
+      }.toSeq).getOrElse(Nil)
     DdlJob(num("id"), n.get("actionType").asInt(0),
       n.get("schemaName").asText(""), n.get("tableName").asText(""),
       n.get("query").asText(""), num("startTs"), num("finishedTs"),
-      num("schemaVersion"), num("tableId"), num("tableInfoId"), parts.toSeq)
+      num("schemaVersion"), num("tableId"), num("tableInfoId"), parts.toSeq,
+      infos)
   }
 }
 

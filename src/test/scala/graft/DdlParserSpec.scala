@@ -74,6 +74,19 @@ class DdlParserSpec extends SparkFunSuite {
       Some(AddTablePartition("app", "t", 1)))
     assert(DdlParser.parse("ALTER TABLE t DROP PARTITION p1, p2", 2) ==
       Some(DropTablePartition("app", "t", Seq("p1", "p2"), 2)))
+    // partition names that PREFIX a clause head ("add2") or EQUAL one
+    // ("add") must glue into the name list, not split off as a bogus
+    // clause that silently drops
+    assert(DdlParser.parse("ALTER TABLE t DROP PARTITION p1, add2", 2) ==
+      Some(DropTablePartition("app", "t", Seq("p1", "add2"), 2)))
+    assert(DdlParser.parse("ALTER TABLE t DROP PARTITION p1, add", 2) ==
+      Some(DropTablePartition("app", "t", Seq("p1", "add"), 2)))
+    // while a REAL second clause still splits
+    assert(DdlParser.parse(
+      "ALTER TABLE t DROP PARTITION p1, ADD COLUMN c BIGINT", 2) ==
+      Some(AlterMulti("app", "t", Seq(
+        DropTablePartition("app", "t", Seq("p1"), 2),
+        AddColumn("app", "t", ColumnDef("c", "bigint"), 2)), 2)))
     assert(DdlParser.parse("ALTER TABLE t TRUNCATE PARTITION p0", 3) ==
       Some(TruncateTablePartition("app", "t", Seq("p0"), 3)))
     assert(DdlParser.parse("RENAME TABLE a TO b, db.c TO db.d", 4) ==

@@ -167,6 +167,17 @@ class PlanSpec extends SparkFunSuite {
     }
   }
 
+  test("jaccardPairsPrefix: the vocab-sized freq join is AQE-chosen " +
+      "broadcast at fixture scale — no forced hint (100 TB vocab would OOM)") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val df = graft.operators.Dedup.jaccardPairsPrefix(docs, "source", 0.8)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("isFinalPlan=true"), s"AQE plan not finalized:\n$p")
+    assert(p.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the freq table at sf0.001:\n$p")
+  }
+
   test("q_chunk_dedup: one md5-keyed dedup shuffle, no corpus window") {
     val p = plan("q_chunk_dedup")
     assert(!p.contains("Window"), "reassembly must be in-group sort, not a window")

@@ -155,6 +155,39 @@ class SchemaStoreSpec extends AnyFunSuite {
     assert(st.colIds(("app", "b")) == Map("id" -> 1L, "y" -> 2L))
   }
 
+  test("physicalPlan scopes by the keep predicate: an out-of-filter table's " +
+      "ids never enter the plan (the changefeed-filter schema-view scoping)") {
+    val st = SchemaStore().applyJobs(Seq(create,
+      job(3, "CREATE TABLE other.x (a VARCHAR(8))", 20L,
+        schema = "other", table = "x", tableId = 700L, infoId = 700L)))
+    val plan = st.physicalPlan(keep = (s, _) => s == "app")
+    assert(plan.contains(901L) && plan.contains(902L))
+    assert(!plan.contains(700L),
+      "a filtered-out table (any payload shape) must not reach the mount plan")
+  }
+
+  test("text-only CREATE/RECOVER (lid 0) leaves membership ABSENT, not the " +
+      "drop sentinel: a wire-built table survives a text-only recover fold") {
+    val st = SchemaStore().applyJobs(Seq(create,
+      // text-only job: no wire ids at all (tableId = tableInfoId = 0)
+      job(25, "RECOVER TABLE app.t", 100L)))
+    assert(st.physicalIdsAsOf("app", "t", 100L) == Set(901L, 902L),
+      "a text-only fold must not darken the wire-established membership")
+    // and a purely text-only create simply has no ids to mount yet
+    val st2 = SchemaStore().applyJob(job(3, "CREATE TABLE app.u (id BIGINT)",
+      10L, table = "u"))
+    assert(st2.membership.get(("app", "u")).isEmpty,
+      "no membership entry — absent, not (0, empty)")
+  }
+
+  test("physicalPlan(tz) threads the timezone into every emitted meta") {
+    val st = SchemaStore().applyJob(create)
+    val plan = st.physicalPlan(tz = "Asia/Shanghai")
+    val metas = plan.values.flatten.flatMap(_._2)
+    assert(metas.nonEmpty && metas.forall(_.tz == "Asia/Shanghai"),
+      s"metas must carry the requested tz: ${metas.map(_.tz).toSet}")
+  }
+
   test("rename moves membership and column ids to the new name; the old " +
       "name stops mounting") {
     val st = SchemaStore().applyJobs(Seq(create,
@@ -164,6 +197,29 @@ class SchemaStoreSpec extends AnyFunSuite {
     assert(st.physicalIdsAsOf("app", "t", 100L) == Set.empty)
     assert(st.physicalIdsAsOf("app", "t", 99L) == Set(901L, 902L))
     assert(st.colIds(("app", "u")) == Map("id" -> 1L, "v" -> 2L))
+  }
+
+  test("SchemaStoreHolder restart: a CreateTables (code 60) job's tableInfos " +
+      "survive the JSONL log round trip — batch-created tables keep their " +
+      "physical-id membership after a kill-restart re-fold") {
+    val dir = java.nio.file.Files.createTempDirectory("holder").toString
+    val batchCreate = DdlJob(id = 1L, actionType = 60,
+      schemaName = "app", tableName = "",
+      query = "CREATE TABLE app.a (id BIGINT, x BIGINT); " +
+        "CREATE TABLE app.b (id BIGINT, x BIGINT)",
+      startTs = 9L, finishedTs = 10L, schemaVersion = 1L,
+      tableInfos = Seq((900L, "a", Nil), (910L, "b", Seq(911L, 912L))))
+    val h1 = new graft.streaming.SchemaStoreHolder(SchemaStore(), dir)
+    assert(h1.fold(Seq(batchCreate)) == 1)
+    // restart: a fresh holder rebuilds the fold from the persisted log
+    val h2 = new graft.streaming.SchemaStoreHolder(SchemaStore(), dir)
+    val plan = h2.store.physicalPlan()
+    assert(plan.contains(900L) && plan.contains(911L) && plan.contains(912L),
+      s"replayed fold must still claim the batch-created ids: ${plan.keySet}")
+    // the job id entered the dedup set — a re-delivered wire batch
+    // offering it again must be a no-op, NOT the only repair path
+    assert(h2.fold(Seq(batchCreate)) == 0)
+    assert(h2.store.physicalIdsAsOf("app", "b", 10L) == Set(911L, 912L))
   }
 
   test("control-plane scale: 10k tables x versions compile to a bounded " +
