@@ -233,6 +233,42 @@ object ExtQueries {
         Seq("app.events_*", "!app.events_3"),
         Seq("truncate table"), Seq("^CREATE INDEX"))),
 
+    // the evolving feed's per-batch DDL EMISSION surface in batch form
+    // (Changefeed.runMqFromRaw2pcEvolving's loop): each DDL rides the
+    // job table as RAW KV BYTES (encodeJobEntry), wire-parses
+    // (DdlJobParser.parseRawEntry, the mounter's ParseDDLJob), runs the
+    // two-level dispatch (discard unreplicated/other-ddl, ignore by
+    // class/regex — Changefeed.dispatchDdlJob), and the emitted
+    // remainder encodes as the DDL wire message (Codecs.ddlMessage,
+    // the reference's WriteBlockEvent payload, codec/common/ddl.go)
+    "q_ddl_emit_evolve" -> ((s, d) => {
+      val filterCfg = graft.model.FilterConfig(
+        rules = Seq("app.events_*", "!app.events_3"))
+      // control-plane sized: the DDL fixture is ~1/97th of the corpus
+      val fixture = ddlFixture(s, d)
+        .select(col("_schema"), col("_table"), col("version_ts"), col("query"))
+        .collect().toSeq.map(r =>
+          (r.getString(0), r.getString(1), r.getLong(2), r.getString(3)))
+        .sortBy(x => (x._3, x._2))
+      val emitted = fixture.zipWithIndex.flatMap {
+        case ((sc, tb, ts, qq), i) =>
+          val meta = (s"""{"id":${i + 1},"type":0,"schema_id":1,"table_id":0,""" +
+            s""""schema_name":"$sc","table_name":"$tb","state":4,""" +
+            s""""query":"$qq","binlog":{"SchemaVersion":$ts},"version":1}""")
+            .getBytes("UTF-8")
+          val (k, v) = graft.model.DdlJobParser.encodeJobEntry(i + 1L, meta, 0)
+          graft.model.DdlJobParser.parseRawEntry(k, v, "put", ts - 1L, ts)
+            .flatMap(job => graft.streaming.Changefeed.dispatchDdlJob(
+              job, filterCfg,
+              ignoreClasses = Seq("truncate table"),
+              ignoreSqlRegexps = Seq("^CREATE INDEX")))
+            .map(eq => (sc, tb, ts, eq))
+      }
+      import s.implicits._
+      Codecs.ddlMessage(
+        emitted.toDF("_schema", "_table", "version_ts", "query"))
+    }),
+
     // rename-under-filter decision table (buildDDLEventForRenameTable/
     // -Tables; tests/integration_tests/multi_tables_ddl): renames that
     // stay in the feed emit, renames OUT of the feed emit + drop the
@@ -758,6 +794,27 @@ object ExtQueries {
          |       WHEN (version_ts % 5000) // 1000 IN (3, 4) THEN 'ignore'
          |       ELSE 'emit' END AS _ddl_action
          |FROM ddl""".stripMargin),
+
+    "q_ddl_emit_evolve" -> q(
+      s""", ddl AS (
+         |  SELECT _schema, _table, _commit_ts AS version_ts,
+         |    CASE (_commit_ts % 5000) // 1000
+         |      WHEN 0 THEN 'CREATE TABLE ' || _table
+         |      WHEN 1 THEN 'ALTER TABLE ' || _table || ' ADD COLUMN c INT'
+         |      WHEN 2 THEN 'DROP TABLE ' || _table
+         |      WHEN 3 THEN 'TRUNCATE TABLE ' || _table
+         |      ELSE 'CREATE INDEX idx ON ' || _table END AS query
+         |  FROM env WHERE _row_id % 97 = 0
+         |)
+         |SELECT _schema, _table, version_ts, query,
+         |  '{"type":"DDL","actionType":"alter table","commitTs":' ||
+         |  CAST(version_ts AS VARCHAR) ||
+         |  ',"schema":"' || _schema || '","table":"' || _table ||
+         |  '","query":"' || query || '"}' AS _value
+         |FROM ddl
+         |WHERE (${graft.operators.TableMatcher.matchesSql("_schema", "_table",
+              Seq("app.events_*", "!app.events_3"))})
+         |  AND (version_ts % 5000) // 1000 IN (0, 1, 2)""".stripMargin),
 
     "q_rename_dispatch" -> {
       import graft.operators.TableMatcher.matchesSql

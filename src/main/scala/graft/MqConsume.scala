@@ -113,19 +113,45 @@ object MqConsume {
             .find(i => i.get("primary").asBoolean(false))
             .map(_.get("columns").elements().asScala.map(_.asText()).toSeq)
             .getOrElse(Seq.empty)
-          Some((ts.get("schema").asText(), ts.get("table").asText()) -> (cols, pk))
+          val version = Option(ts.get("version")).map(_.asLong(0L)).getOrElse(0L)
+          Some((ts.get("schema").asText(), ts.get("table").asText()) ->
+            (version, (cols, pk)))
         } catch { case _: Exception => None }
-      }.toMap
+      }
+      // an EVOLVING feed re-sends the handshake on schema change
+      // (bootstraper.go:259) — the consumer keeps each table's
+      // highest-version handshake, so a post-DDL join decodes with
+      // the post-DDL shape
+      .toSeq.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1)._2 }
   }
 
   /** Drop control messages (resolved watermarks, bootstrap
-    * handshakes) before decoding — value shapes per protocol. */
+    * handshakes, DDL events) before decoding — value shapes per
+    * protocol. */
   def dataMessagesOnly(msgs: DataFrame): DataFrame =
     msgs.filter(length(trim(col("_value"))) > 0 &&
       !col("_value").contains("\"BOOTSTRAP\"") &&
       !col("_value").contains("\"TIDB_WATERMARK\"") &&
       !col("_value").contains("\"type\":\"WATERMARK\"") &&
+      !col("_value").startsWith("{\"type\":\"DDL\"") &&
       !(col("_value").startsWith("{\"ts\":") && col("_value").endsWith("\"t\":3}")))
+
+  /** Wire DDL events ((commitTs, schema, table, query)) in commit-ts
+    * order — the consumer-side half of the evolving feed's DDL
+    * emission ([[graft.functions.Codecs.ddlMessage]]): a consumer
+    * applies each before any row at or above its ts (DDL-first at
+    * equal ts, the event-scanner interleave contract). Control-plane
+    * sized: one collect over the DDL messages only. */
+  def wireDdls(msgs: DataFrame): Seq[(Long, String, String, String)] = {
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    msgs.filter(col("_value").startsWith("{\"type\":\"DDL\""))
+      .select(col("_value")).collect().map { r =>
+        val n = mapper.readTree(r.getString(0))
+        (n.get("commitTs").asLong(0L), n.get("schema").asText(""),
+          n.get("table").asText(""), n.get("query").asText(""))
+      }.toSeq.sortBy(_._1)
+  }
 
   final case class Summary(protocol: String, messages: Long, applied: Long,
                            tables: Long, diffs: Long, expectDiffs: Long,

@@ -269,14 +269,65 @@ object Codecs {
 
   /** DDL message encoding, protocol-common form
     * (pkg/sink/codec/common/ddl.go:1-240): ddl rows =
-    * (_schema, _table, version_ts, query). */
+    * (_schema, _table, version_ts, query). The query text is
+    * JSON-escaped (real DDL can carry quotes in defaults/comments). */
   def ddlMessage(ddl: DataFrame): DataFrame =
     ddl.withColumn("_value", concat(
       lit("{\"type\":\"DDL\",\"actionType\":\"alter table\",\"commitTs\":"),
       col("version_ts"),
       lit(",\"schema\":\""), col("_schema"),
       lit("\",\"table\":\""), col("_table"),
-      lit("\",\"query\":\""), col("query"), lit("\"}")))
+      lit("\",\"query\":\""), jsonEscape(col("query")), lit("\"}")))
+
+  /** mysqlType + display length for a registry dataType string (the
+    * handshake's dataType block needs both). */
+  private def mysqlTypeOf(dt: String): (String, Int) = {
+    val base = dt.takeWhile(_ != '(').trim.toLowerCase
+    val len = "\\((\\d+)".r.findFirstMatchIn(dt).map(_.group(1).toInt)
+      .getOrElse(base match {
+        case "bigint" => 20
+        case "int" | "integer" => 11
+        case "smallint" => 6
+        case "tinyint" => 4
+        case "double" => 22
+        case "float" => 12
+        case _ => 0
+      })
+    (base, len)
+  }
+
+  /** BOOTSTRAP handshake rendered from the LIVE evolving schema store
+    * — the reference builds the handshake's TableSchema from the
+    * CURRENT TableInfo (simple/message.go:65-72, pulled by
+    * bootstraper.go from the schema store), so a consumer joining
+    * after a mid-stream DDL learns the post-DDL shape from the wire
+    * alone. tableID is the table's logical id, version its registry
+    * versionTs (the reference's TableInfo.UpdateTS). Tables the store
+    * doesn't know fall back to the fixture handshake (registry-less
+    * feeds keep their old wire). */
+  def bootstrapValueFromStore(store: graft.model.SchemaStore,
+                              schema: String, table: String): String =
+    store.registry.latest(schema, table) match {
+      case None => bootstrapValue(schema, table)
+      case Some(sch) =>
+        val tableId = store.membership.get((schema, table))
+          .flatMap(_.lastOption.map(_._2._1)).getOrElse(0L)
+        val cols = sch.columns.zipWithIndex.map { case (c, i) =>
+          val (mt, len) = mysqlTypeOf(c.dataType)
+          val dflt = c.default.map(d => "\"" + d + "\"").getOrElse("null")
+          s"""{"name":"${c.name}","dataType":{"mysqlType":"$mt",""" +
+            s""""charset":"binary","collate":"binary","length":$len},""" +
+            s""""nullable":${i != 0},"default":$dflt}"""
+        }.mkString("[", ",", "]")
+        // handle-key convention: the first column is the handle
+        // (SchemaStore.metaAsOf's handleCol)
+        val pk = sch.columns.head.name
+        s"""{"version":1,"type":"BOOTSTRAP","commitTs":0,"buildTs":0,""" +
+          s""""tableSchema":{"schema":"$schema","table":"$table",""" +
+          s""""tableID":$tableId,"version":${sch.versionTs},""" +
+          s""""columns":$cols,"indexes":[{"name":"primary","unique":true,""" +
+          s""""primary":true,"nullable":false,"columns":["$pk"]}]}}"""
+    }
 
   /** JSON string escaping for payload text fields (quote, backslash,
     * newline/return/tab) — used by encoders over free-text tables. */

@@ -30,13 +30,24 @@ final class Bootstrapper(intervalSec: Long, msgCount: Int,
   private final class TableState(var lastSentMs: Long) {
     var rowsSinceSent: Long = 0L
     var lastSeenMs: Long = 0L
+    /** Schema version the LAST handshake carried
+      * (tableStatistic.version, bootstraper.go:259). */
+    var version: Long = 0L
   }
   private val tables = mutable.Map.empty[(String, String), TableState]
 
   /** Fold one micro-batch's per-table row counts; returns the tables
-    * whose handshake must be (re-)sent now, sorted for determinism. */
+    * whose handshake must be (re-)sent now, sorted for determinism.
+    * `versions` carries each table's CURRENT schema version when the
+    * feed has an evolving store — a version change re-sends the
+    * handshake immediately, regardless of the cadence windows
+    * (bootstraper.go:259 `t.version.Load() != row.TableInfo
+    * .GetUpdateTS()`), so a consumer sees the new shape within the
+    * batch the DDL lands in. */
   def onBatch(counts: Seq[((String, String), Long)],
-              nowMs: Long): Seq[(String, String)] = {
+              nowMs: Long,
+              versions: Map[(String, String), Long] = Map.empty)
+      : Seq[(String, String)] = {
     if (!enabled) return Nil
     // forget tables with no traffic for maxInactiveDuration
     tables.filterInPlace { case (_, st) =>
@@ -49,15 +60,19 @@ final class Bootstrapper(intervalSec: Long, msgCount: Int,
           // first appearance: handshake immediately
           val st = new TableState(lastSentMs = nowMs)
           st.lastSeenMs = nowMs
+          st.version = versions.getOrElse(key, 0L)
           tables(key) = st
           due += key
         case Some(st) =>
           st.lastSeenMs = nowMs
           st.rowsSinceSent += n
-          if (nowMs - st.lastSentMs >= intervalSec * 1000L ||
+          val v = versions.getOrElse(key, st.version)
+          if (v != st.version ||
+              nowMs - st.lastSentMs >= intervalSec * 1000L ||
               st.rowsSinceSent >= msgCount) {
             st.lastSentMs = nowMs
             st.rowsSinceSent = 0L
+            st.version = v
             due += key
           }
       }

@@ -75,9 +75,55 @@ object Changefeed {
       case Protocol.Csv       => Codecs.csvLine(df)
       // enable-row-checksum rides the integrity block: the simple
       // protocol is the wire that carries the e2e CRC32 checksum
-      // (simple/message.go:262-263, EnableRowChecksum avro.go:276)
-      case Protocol.Simple    => Codecs.simpleProtocol(df, cfg.integrity.enabled)
+      // (simple/message.go:262-263, EnableRowChecksum avro.go:276) —
+      // the checksum fold is typed over the fixture payload model, so
+      // integrity pins the fixture encoder
+      case Protocol.Simple if fixturePayload || cfg.integrity.enabled =>
+        Codecs.simpleProtocol(df, cfg.integrity.enabled)
+      case Protocol.Simple    => Codecs.simpleProtocolFor(df)
     }
+  }
+
+  /** Two-level dispatch for ONE wire DDL job — the driver-side twin of
+    * [[graft.operators.Filters.ddlDispatchRenameAware]], applied to the
+    * control-plane-sized job list the evolving feed folds per
+    * micro-batch (filter.go:53-68; rename decision table
+    * persist_storage_ddl_handlers.go:2354-2518): DISCARD when the
+    * class is outside the replication whitelist or the target isn't
+    * replicated, IGNORE (fold into the store but don't emit) per the
+    * ignore rules, EMIT otherwise. Renames re-dispatch through the
+    * rename decision table — their emitted query shrinks to the
+    * surviving pairs, and a rename INTO the feed fails it with the
+    * unretryable CDC:ErrSyncRenameTableFailed. Returns the query to
+    * put on the wire. */
+  def dispatchDdlJob(job: DdlJobParser.DdlJob, filter: FilterConfig,
+                     ignoreClasses: Seq[String] = Nil,
+                     ignoreSqlRegexps: Seq[String] = Nil): Option[String] = {
+    import graft.operators.{Filters, TableMatcher}
+    val q = job.query
+    val cls = Filters.ddlClassValue(q)
+    def ignored(text: String): Boolean =
+      ignoreClasses.contains(cls) ||
+        ignoreSqlRegexps.exists(p => p.r.findFirstIn(text).isDefined)
+    if (cls == "other ddl") None
+    else if (cls == "rename table") {
+      val d = Filters.renameDispatch(q, job.schemaName, filter.rules,
+        filter.caseSensitive)
+      d.action match {
+        case "error" =>
+          throw new IllegalStateException(s"CDC:ErrSyncRenameTableFailed: $q")
+        case "emit" if !ignored(q) => Some(d.query)
+        case _ => None
+      }
+    } else if (cls == "create database" || cls == "drop database" ||
+        cls == "alter database") {
+      // db-level DDLs affect every table of the schema — the registry
+      // always folds them; emission only bows to the ignore rules
+      if (ignored(q)) None else Some(q)
+    } else if (!TableMatcher.matchesValue(job.schemaName, job.tableName,
+        filter.rules, filter.caseSensitive)) None
+    else if (ignored(q)) None
+    else Some(q)
   }
 
   /** Parquet change-log stream with the changefeed's admission cap
@@ -395,9 +441,20 @@ object Changefeed {
                               raw: DataFrame, initial: SchemaStore,
                               sinkDir: String, checkpointDir: String,
                               matcherGcMs: Long = 60000L,
-                              gcLagBatches: Int = 2): StreamingQuery = {
+                              gcLagBatches: Int = 2,
+                              ignoreDdlClasses: Seq[String] = Nil,
+                              ignoreDdlSqlRegexps: Seq[String] = Nil): StreamingQuery = {
     val (bootstrapper, bootstrapOn) = prepareMqSink(spark, cfg, sinkDir, Nil)
     val holder = new SchemaStoreHolder(initial, s"$checkpointDir/schemastore")
+    // version-triggered LIVE handshake (bootstraper.go:259 + the
+    // TableSchema block from the schema store): the bootstrap renders
+    // from the EVOLVING store and re-sends within the batch a DDL
+    // lands in, so a joining consumer always decodes with wire-learned
+    // post-DDL schema
+    val liveBootstrapValue: (String, String) => String =
+      (s, t) => Codecs.bootstrapValueFromStore(holder.store, s, t)
+    val liveVersion: (String, String) => Long =
+      (s, t) => holder.store.registry.latest(s, t).map(_.versionTs).getOrElse(0L)
     val failOn = cfg.integrity.enabled && cfg.integrity.errorHandle
     val resolvedLag = new java.util.ArrayDeque[Long]()
     TxnMatcher.matchStream(spark, raw, matcherGcMs)
@@ -411,7 +468,30 @@ object Changefeed {
         // the matched batch is read twice (job extract + mount): pin it
         batch.persist()
         try {
-          holder.fold(SchemaStoreHolder.jobsIn(batch))
+          val jobs = SchemaStoreHolder.jobsIn(batch)
+          holder.fold(jobs)
+          // DDL WIRE MESSAGES (the reference sink's WriteBlockEvent,
+          // sink.go:32; encoding codec/common/ddl.go): every emitted
+          // DDL ships in THIS batch's append BEFORE its rows and
+          // carries its finishedTs, so a consumer replaying in
+          // commit-ts order (DDL-first at equal ts) applies it before
+          // the first post-DDL row. Emission keys on the BATCH's jobs,
+          // not the fold's freshness: a crash-replayed batch re-emits
+          // its DDLs — at-least-once, the same contract as the row
+          // appends (consumers dedupe replays by offset).
+          val emitted = jobs.sortBy(_.finishedTs).flatMap { j =>
+            dispatchDdlJob(j, cfg.filter, ignoreDdlClasses, ignoreDdlSqlRegexps)
+              .map(qq => (j.schemaName, j.tableName, j.finishedTs, qq))
+          }
+          if (emitted.nonEmpty) {
+            import spark.implicits._
+            Codecs.ddlMessage(
+                emitted.toDF("_schema", "_table", "version_ts", "query"))
+              .select(lit(0L).as("_partition"),
+                col("version_ts").as("_commit_ts"),
+                lit("ddl").as("_kind"), col("_value"))
+              .coalesce(1).write.mode("append").parquet(sinkDir)
+          }
           // the mount plan is SCOPED by the changefeed's filter rules
           // (the reference scopes its schema view the same way): an
           // unrelated CREATE TABLE on the shared wire — any column
@@ -422,7 +502,8 @@ object Changefeed {
               graft.operators.TableMatcher.matchesValue(
                 s, t, cfg.filter.rules, cfg.filter.caseSensitive)),
             failOnCorruption = failOn)
-          sinkMqBatch(cfg, bootstrapper, bootstrapOn, sinkDir)(
+          sinkMqBatch(cfg, bootstrapper, bootstrapOn, sinkDir,
+            liveBootstrapValue, liveVersion)(
             pipeline(spark, cfg)(env), batchId)
           // compaction at checkpoint-advance cadence: a resolved ts
           // `gcLagBatches` batches old is durably covered — versions
@@ -503,9 +584,14 @@ object Changefeed {
 
   /** One encoded micro-batch onto the MQ file sink: bootstrap
     * handshakes, large-message handling, rows-then-resolved ordering.
-    * Shared by the static-schema and the DDL-evolving compositions. */
+    * Shared by the static-schema and the DDL-evolving compositions —
+    * the latter passes a LIVE handshake renderer + per-table schema
+    * version so a DDL re-triggers the handshake with the new shape. */
   private def sinkMqBatch(cfg: ChangefeedConfig, bootstrapper: Bootstrapper,
-                          bootstrapOn: Boolean, sinkDir: String)
+                          bootstrapOn: Boolean, sinkDir: String,
+                          bootstrapValueOf: (String, String) => String =
+                            Codecs.bootstrapValue,
+                          versionOf: (String, String) => Long = (_, _) => 0L)
                          (batch: DataFrame, batchId: Long): Unit = {
     val lmh = cfg.sink.largeMessageHandle
     locally {
@@ -520,7 +606,8 @@ object Changefeed {
           val counts = batch.groupBy(col("_schema"), col("_table")).count()
             .collect()
             .map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toSeq
-          val due = bootstrapper.onBatch(counts, System.currentTimeMillis())
+          val due = bootstrapper.onBatch(counts, System.currentTimeMillis(),
+            versions = counts.map { case (k, _) => k -> versionOf(k._1, k._2) }.toMap)
           if (due.nonEmpty) {
             // handshake BEFORE the rows it describes (addEvent sends
             // on first sight, before the row ships); partition 0 only
@@ -533,7 +620,7 @@ object Changefeed {
             import s.implicits._
             due.flatMap { case (sc, tb) =>
               parts.map(p => (p.toLong, 0L, "bootstrap",
-                Codecs.bootstrapValue(sc, tb)))
+                bootstrapValueOf(sc, tb)))
             }.toDF("_partition", "_commit_ts", "_kind", "_value")
               .coalesce(1)
               .write.mode("append").parquet(sinkDir)

@@ -700,6 +700,133 @@ class ChangefeedSpec extends SparkFunSuite {
     assert(got.exists(_._2.contains("\"k\":33")), "post-DDL row must carry k=33")
   }
 
+  test("evolving feed is REPLICATION-complete: the mid-stream DDL ships on " +
+      "the wire before the first post-DDL row, the handshake re-sends with " +
+      "the LIVE post-DDL schema in the same batch, a filtered-out foreign " +
+      "table never leaks, and a consumer decodes with ONLY wire-learned " +
+      "schema") {
+    import graft.streaming.TxnMatcher
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+
+    val tmp = Files.createTempDirectory("graft-cf-evolve-wire").toString
+    val srcDir = s"$tmp/src"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    // simple protocol + giant cadence windows: the ONLY re-send
+    // trigger left is the schema-version change (bootstraper.go:259)
+    val feedCfg = ChangefeedConfig(id = "cf-evolve-wire",
+      filter = FilterConfig(rules = Seq("app.*")),
+      handleKeys = Seq("id"),
+      sink = SinkConfig(protocol = Protocol.Simple, numPartitions = 2,
+        sendBootstrapIntervalInSec = 100000L,
+        sendBootstrapInMsgCount = 100000000,
+        sendBootstrapToAllPartition = false))
+
+    def jobJson(jid: Long, tpe: Int, q: String, ts: Long, sc: String,
+                tb: String, tid: Long): Array[Byte] =
+      (s"""{"id":$jid,"type":$tpe,"schema_id":1,"table_id":$tid,""" +
+        s""""schema_name":"$sc","table_name":"$tb","state":4,""" +
+        s""""query":"${q.replace("\"", "\\\"")}",""" +
+        s""""binlog":{"SchemaVersion":$ts,"TableInfo":{"id":$tid}},"version":1}""")
+        .getBytes("UTF-8")
+    def jobEntry(jid: Long, tpe: Int, q: String, ts: Long,
+                 sc: String = "app", tb: String = "t", tid: Long = 900L): Seq[Row] = {
+      val (k, v) = DdlJobParser.encodeJobEntry(jid, jobJson(jid, tpe, q, ts, sc, tb, tid), tpe)
+      Seq(Row(k, v, null, "put", "committed", ts - 1L, ts, 0L))
+    }
+    def rowPair(tid: Long, id: Long, cells: Seq[(Long, Long)], commitTs: Long): Seq[Row] = {
+      val k = TiKvCodec.encodeRecordKey(tid, TiKvCodec.IntHandle(id))
+      val v = TiKvCodec.encodeV2(cells.map { case (cid, x) =>
+        cid -> Some(TiKvCodec.intCell(x)) })
+      Seq(
+        Row(k, v, null, "put", "prewrite", commitTs - 1L, 0L, 0L),
+        Row(k, null, null, "put", "commit", commitTs - 1L, commitTs, 0L))
+    }
+    var fileSeq = 0
+    def writeFile(rows: Seq[Row]): Unit = {
+      fileSeq += 1
+      val stage = s"$tmp/stage-$fileSeq"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), TxnMatcher.uncommittedSchema)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, f"f$fileSeq%03d.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + fileSeq * 60000L)
+    }
+    // f1: CREATE app.t + a FILTERED-OUT foreign table with a DIFFERENT
+    // column shape riding the same wire (other.x) + its row — the feed
+    // must neither fail (shared-payload require) nor leak it
+    writeFile(
+      jobEntry(1L, 3, "CREATE TABLE app.t (id BIGINT, v BIGINT)", 10L) ++
+      jobEntry(10L, 3, "CREATE TABLE other.x (a VARCHAR(8))", 11L,
+        sc = "other", tb = "x", tid = 700L) ++
+      rowPair(700L, 9L, Seq(1L -> 99L), 40L) ++
+      rowPair(900L, 1L, Seq(2L -> 10L), 50L) ++ rowPair(900L, 2L, Seq(2L -> 20L), 60L))
+    // f2: ADD COLUMN at 100 + a post-DDL row carrying the new column
+    writeFile(
+      jobEntry(2L, 5, "ALTER TABLE app.t ADD COLUMN k BIGINT DEFAULT 7", 100L) ++
+      rowPair(900L, 3L, Seq(2L -> 30L, 3L -> 33L), 150L))
+
+    val q = Changefeed.runMqFromRaw2pcEvolving(spark, feedCfg,
+      spark.readStream.schema(TxnMatcher.uncommittedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      SchemaStore(), s"$tmp/sink", s"$tmp/ckpt", matcherGcMs = 600000L)
+    q.awaitTermination(180000)
+    if (q.isActive) q.stop()
+
+    val sunk = spark.read.parquet(s"$tmp/sink")
+    // 1) the DDLs are ON THE WIRE: CREATE at 10, ALTER at 100 — and
+    //    the foreign CREATE (other.x, filtered out) is NOT
+    val ddls = MqConsume.wireDdls(sunk.select(col("_value")))
+    assert(ddls.map(_._1) == Seq(10L, 100L), s"wire DDLs: $ddls")
+    assert(ddls(1)._4 == "ALTER TABLE app.t ADD COLUMN k BIGINT DEFAULT 7")
+    assert(!ddls.exists(_._2 == "other"), "a discarded DDL must not emit")
+    // 2) DDL-before-row in consumer replay order: the ALTER's commit
+    //    ts precedes the first post-DDL row's, and the DDL row rides
+    //    _kind=ddl so equal-ts replay applies DDL first
+    val ddlTs = sunk.filter(col("_kind") === "ddl")
+      .agg(max(col("_commit_ts"))).head().getLong(0)
+    val postDdlMin = sunk.filter(col("_kind") === "row" &&
+      col("_value").contains("\"k\":\"33\""))
+      .agg(min(col("_commit_ts"))).head().getLong(0)
+    assert(ddlTs == 100L && postDdlMin == 150L && ddlTs < postDdlMin,
+      s"DDL($ddlTs) must precede the first post-DDL row($postDdlMin)")
+    // 3) the handshake re-sent WITH the live post-DDL schema in the
+    //    DDL's own batch (version change beat both cadence windows)
+    val boots = sunk.filter(col("_kind") === "bootstrap")
+      .select("_value").collect().map(_.getString(0)).toSeq
+    assert(boots.count(_.contains("\"table\":\"t\"")) >= 2,
+      s"version change must re-send the handshake: $boots")
+    val live = boots.filter(_.contains("\"version\":100"))
+    assert(live.nonEmpty && live.forall(b =>
+      b.contains("\"name\":\"k\"") && b.contains("\"default\":\"7\"") &&
+        b.contains("\"tableID\":900")),
+      s"the re-sent handshake carries the post-DDL live schema: $boots")
+    assert(boots.exists(b => b.contains("\"version\":10") && !b.contains("\"name\":\"k\"")),
+      "the first handshake carried the pre-DDL shape")
+    assert(!boots.exists(_.contains("\"table\":\"x\"")), "no handshake for a filtered table")
+    // 4) a consumer decodes post-DDL rows with ONLY wire-learned
+    //    schema: handshake → column list → generic simple decode
+    val wire = MqConsume.bootstrapSchemas(sunk.select(col("_value")))
+    assert(wire(("app", "t"))._1.map(_._1) == Seq("id", "v", "k") &&
+      wire(("app", "t"))._2 == Seq("id"), s"wire-learned: $wire")
+    val image = StructType(wire(("app", "t"))._1.map {
+      case (n, "BIGINT") => StructField(n, LongType)
+      case (n, _) => StructField(n, StringType)
+    })
+    val decoded = graft.functions.Decoders.decodeSimpleFor(
+      MqConsume.dataMessagesOnly(
+        sunk.filter(col("_kind") === "row")
+          .select(col("_value"), lit(null).cast("string").as("_key"))), image)
+      .select(col("after.id"), col("after.k")).collect()
+      .map(r => (r.getLong(0), Option(r.get(1)))).toMap
+    assert(decoded(3L) == Some(33L), s"post-DDL row decodes k=33: $decoded")
+    assert(decoded(1L).isEmpty, s"pre-DDL-shipped row has no k on the wire: $decoded")
+    assert(!decoded.contains(9L), "the filtered foreign table's row never shipped")
+  }
+
   test("live barrier loop compacts at the checkpoint floor: a 200-DDL-churn " +
       "feed stays bounded per batch, output is identical across the " +
       "compaction, and a kill-restart replays correctly (schemastore GC " +

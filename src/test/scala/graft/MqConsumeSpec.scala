@@ -128,7 +128,8 @@ class MqConsumeSpec extends SparkFunSuite {
       java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
       java.nio.file.Paths.get(s"$base/src/events.parquet"))
     val cfg = graft.model.ChangefeedConfig(id = "cf-simple",
-      sink = graft.model.SinkConfig(protocol = graft.model.Protocol.Simple))
+      sink = graft.model.SinkConfig(protocol = graft.model.Protocol.Simple,
+        fixtureRenderer = true))
     graft.streaming.Changefeed.runMq(
       spark, cfg, s"$base/src", s"$base/sink", s"$base/ckpt").awaitTermination(120000)
     val sunk = spark.read.parquet(s"$base/sink")
@@ -211,6 +212,7 @@ class MqConsumeSpec extends SparkFunSuite {
     // partition 0 only (send-bootstrap-to-all-partition = false)
     val cfg = graft.model.ChangefeedConfig(id = "cf-bootstrap",
       sink = graft.model.SinkConfig(protocol = graft.model.Protocol.Simple,
+        fixtureRenderer = true,
         sendBootstrapIntervalInSec = 100000L,
         sendBootstrapInMsgCount = 50,
         sendBootstrapToAllPartition = false))
@@ -475,6 +477,7 @@ class MqConsumeSpec extends SparkFunSuite {
       java.nio.file.Paths.get(s"$base/src/events.parquet"))
     val cfg = graft.model.ChangefeedConfig(id = "cf-hk",
       sink = graft.model.SinkConfig(protocol = graft.model.Protocol.Simple,
+        fixtureRenderer = true,
         maxMessageBytes = 150,
         largeMessageHandle = graft.model.LargeMessageHandle(
           option = graft.model.LargeMessageHandle.OptionHandleKeyOnly)))
@@ -517,6 +520,7 @@ class MqConsumeSpec extends SparkFunSuite {
     // become pointers, THROUGH THE CHANGEFEED CONFIG, not library calls
     val cfg = graft.model.ChangefeedConfig(id = "cf-claim",
       sink = graft.model.SinkConfig(protocol = graft.model.Protocol.Simple,
+        fixtureRenderer = true,
         maxMessageBytes = 150,
         largeMessageHandle = graft.model.LargeMessageHandle(
           option = graft.model.LargeMessageHandle.OptionClaimCheck,
