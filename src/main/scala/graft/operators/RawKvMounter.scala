@@ -761,6 +761,73 @@ object RawKvMounter {
       .toDF()
   }
 
+  /** Per-batch checksum CENSUS over the entries a plan mounts:
+    * (ok, bad) counts of VERIFIED checksummed images — the same
+    * verdict the fused mount applies; images without a checksum (or
+    * v0 pre-row warn-skips) count in neither bucket. Drives the
+    * all-mismatch circuit breaker: ONE bad image among verified-good
+    * ones is data corruption and must fail the feed
+    * (ErrCorruptedDataMutation); EVERY checksummed image failing is
+    * the signature of a checksum-DOMAIN mismatch (e.g. a re-derived
+    * checksum domain against a real upstream's), which must downgrade
+    * to a feed warning instead of killing replication. One extra pass
+    * over the (persisted) micro-batch, two counters across the wire. */
+  def checksumCensus(raw: DataFrame,
+                     plan: Map[Long, Seq[(Long, Option[KvTableMeta])]])
+      : (Long, Long) = {
+    val compiled: Map[Long, (Array[Long], Array[KvTableMeta])] =
+      plan.flatMap { case (pid, segs) =>
+        val sorted = segs.sortBy(_._1)
+        if (sorted.exists(_._2.isDefined))
+          Some(pid -> (sorted.map(_._1).toArray, sorted.map(_._2.orNull).toArray))
+        else None
+      }
+    import org.apache.spark.sql.functions.{col, sum}
+    val sums = raw
+      .select("key", "value", "old_value", "op_type", "start_ts", "commit_ts")
+      .mapPartitions { it =>
+        def segAt(tss: Array[Long], ts: Long): Int = {
+          var lo = 0; var hi = tss.length - 1; var res = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (tss(mid) <= ts) { res = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          res
+        }
+        var ok = 0L; var bad = 0L
+        it.foreach { r =>
+          val key = r.getAs[Array[Byte]](0)
+          if (isRecordKey(key)) {
+            val (tableId, handle) = TiKvCodec.decodeRecordKey(key)
+            compiled.get(tableId).foreach { case (tss, metas) =>
+              val i = segAt(tss, r.getLong(5))
+              val asOf = if (i < 0) null else metas(i)
+              if (asOf != null) {
+                def tally(bytes: Array[Byte], isPreRow: Boolean): Unit =
+                  if (bytes != null && bytes.nonEmpty && TiKvCodec.isNewFormat(bytes)) {
+                    val v = checksumVerdict(asOf, handle, key, bytes, isPreRow)
+                    // count only images a verdict actually judged: ok
+                    // requires verified; NOT-ok counts bad whether the
+                    // mismatch verified or the version was unknown
+                    if (!v._3) bad += 1
+                    else if (v._4) ok += 1
+                  }
+                tally(r.getAs[Array[Byte]](2), isPreRow = true)
+                if (r.getAs[String](3) != "delete")
+                  tally(r.getAs[Array[Byte]](1), isPreRow = false)
+              }
+            }
+          }
+        }
+        Iterator((ok, bad))
+      }(Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .toDF("ok", "bad")
+      .agg(sum(col("ok")), sum(col("bad")))
+      .head()
+    (if (sums.isNullAt(0)) 0L else sums.getLong(0),
+      if (sums.isNullAt(1)) 0L else sums.getLong(1))
+  }
+
   /** Reserved system-table ids sit at the top of the 48-bit table-id
     * space (span_op.go:34-35; the DDL job table is MaxInt48-1) — wire
     * entries under them are control traffic, never counted as data

@@ -497,11 +497,35 @@ object Changefeed {
           // unrelated CREATE TABLE on the shared wire — any column
           // shape — can never trip the shared-payload require or leak
           // rows the tableFilter would drop anyway
+          val plan = holder.store.physicalPlan(keep = (s, t) =>
+            graft.operators.TableMatcher.matchesValue(
+              s, t, cfg.filter.rules, cfg.filter.caseSensitive))
+          // integrity at error level rides the ALL-MISMATCH circuit
+          // breaker: one corrupted image among verified-good ones is
+          // data corruption → the unretryable ErrCorruptedDataMutation;
+          // EVERY checksummed image of the batch failing is the
+          // signature of a checksum-DOMAIN mismatch (a re-derived
+          // domain against a real upstream — e.g. a derivation bug this
+          // repo and a real TiKV disagree on), which downgrades to a
+          // feed WARNING and forwards under warn semantics instead of
+          // hard-failing genuine replication.
+          if (failOn) {
+            val (okN, badN) =
+              graft.operators.RawKvMounter.checksumCensus(batch, plan)
+            if (badN > 0 && okN > 0)
+              throw new graft.operators.CorruptedDataMutationException(
+                s"$badN corrupted of ${okN + badN} checksummed images " +
+                  s"in batch $batchId")
+            if (badN > 0)
+              SinkCounters.reportWarning(cfg.id, FeedError(
+                "CDC:ErrChecksumDomainSuspect",
+                s"all $badN checksummed images of batch $batchId fail " +
+                  "verification — checksum-domain mismatch suspected; " +
+                  "forwarding under warn semantics until a genuine " +
+                  "upstream fixture confirms the domain"))
+          }
           val env = graft.operators.RawKvMounter.mountTablesPlan(
-            batch, holder.store.physicalPlan(keep = (s, t) =>
-              graft.operators.TableMatcher.matchesValue(
-                s, t, cfg.filter.rules, cfg.filter.caseSensitive)),
-            failOnCorruption = failOn)
+            batch, plan, failOnCorruption = false)
           sinkMqBatch(cfg, bootstrapper, bootstrapOn, sinkDir,
             liveBootstrapValue, liveVersion)(
             pipeline(spark, cfg)(env), batchId)

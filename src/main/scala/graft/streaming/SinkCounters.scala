@@ -22,6 +22,18 @@ object SinkCounters {
     claimChecks.asScala.toSeq.map { case (k, v) => k -> v.get() }.sortBy(_._1)
   }
 
+  private val warns = new ConcurrentHashMap[String, FeedError]()
+
+  /** Record a feed-level WARNING raised inside a sink/batch loop (the
+    * all-mismatch integrity circuit) — the reference reports these as
+    * RunningErrors on the feed's status; here the latest per feed is
+    * surfaced for the status/ops surface and specs. */
+  def reportWarning(changefeed: String, err: FeedError): Unit =
+    warns.put(changefeed, err)
+
+  def warningFor(changefeed: String): Option[FeedError] =
+    Option(warns.get(changefeed))
+
   /** Test hook: drop every counter. */
-  def clear(): Unit = claimChecks.clear()
+  def clear(): Unit = { claimChecks.clear(); warns.clear() }
 }

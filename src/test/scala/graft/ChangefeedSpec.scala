@@ -827,6 +827,79 @@ class ChangefeedSpec extends SparkFunSuite {
     assert(!decoded.contains(9L), "the filtered foreign table's row never shipped")
   }
 
+  test("integrity circuit breaker on the evolving feed: EVERY checksummed " +
+      "image failing downgrades to a WARNING (checksum-domain suspect) and " +
+      "forwards; ONE bad image among verified-good ones still fails the " +
+      "feed with ErrCorruptedDataMutation") {
+    import graft.streaming.{SinkCounters, TxnMatcher}
+    import org.apache.spark.sql.Row
+
+    def jobJson(jid: Long, q: String, ts: Long): Array[Byte] =
+      (s"""{"id":$jid,"type":3,"schema_id":1,"table_id":900,""" +
+        s""""schema_name":"app","table_name":"t","state":4,""" +
+        s""""query":"$q","binlog":{"SchemaVersion":$ts,"TableInfo":{"id":900}},""" +
+        s""""version":1}""").getBytes("UTF-8")
+    def rowPairCk(id: Long, cells: Seq[(Long, Long)], commitTs: Long,
+                  corrupt: Boolean): Seq[Row] = {
+      val k = TiKvCodec.encodeRecordKey(900L, TiKvCodec.IntHandle(id))
+      val v = TiKvCodec.encodeV2RawChecksummed(
+        cells.map { case (cid, x) => cid -> Some(TiKvCodec.intCell(x)) }, k,
+        version = 1, corrupt = corrupt)
+      Seq(
+        Row(k, v, null, "put", "prewrite", commitTs - 1L, 0L, 0L),
+        Row(k, null, null, "put", "commit", commitTs - 1L, commitTs, 0L))
+    }
+    def drive(name: String, rows: Seq[Row]) = {
+      val tmp = Files.createTempDirectory(s"graft-ck-$name").toString
+      val srcDir = s"$tmp/src" // the parquet write creates it
+      val (k, v) = DdlJobParser.encodeJobEntry(1L,
+        jobJson(1L, "CREATE TABLE app.t (id BIGINT, v BIGINT)", 10L), 3)
+      val all = Seq(Row(k, v, null, "put", "committed", 9L, 10L, 0L)) ++ rows
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(all, 1), TxnMatcher.uncommittedSchema)
+        .coalesce(1).write.parquet(srcDir)
+      val cfg = ChangefeedConfig(id = s"cf-ck-$name",
+        filter = FilterConfig(rules = Seq("app.*")), handleKeys = Seq("id"),
+        sink = SinkConfig(protocol = Protocol.CanalJson, numPartitions = 2),
+        integrity = IntegrityConfig(
+          integrityCheckLevel = "correctness", corruptionHandleLevel = "error"))
+      val q = Changefeed.runMqFromRaw2pcEvolving(spark, cfg,
+        spark.readStream.schema(TxnMatcher.uncommittedSchema).parquet(srcDir),
+        SchemaStore(), s"$tmp/sink", s"$tmp/ckpt", matcherGcMs = 600000L)
+      try q.awaitTermination(120000) finally { if (q.isActive) q.stop() }
+      (cfg.id, s"$tmp/sink")
+    }
+
+    // ALL checksummed images fail → the domain-suspect circuit trips:
+    // the feed survives, warns, and forwards every row (warn semantics)
+    SinkCounters.clear()
+    val (allBadId, allBadSink) = drive("allbad",
+      rowPairCk(1L, Seq(1L -> 1L, 2L -> 10L), 50L, corrupt = true) ++
+        rowPairCk(2L, Seq(1L -> 2L, 2L -> 20L), 60L, corrupt = true))
+    val warn = SinkCounters.warningFor(allBadId)
+    assert(warn.exists(_.code == "CDC:ErrChecksumDomainSuspect"),
+      s"all-mismatch must warn, not fail: $warn")
+    assert(spark.read.parquet(allBadSink).filter(col("_kind") === "row")
+      .count() == 2L, "warn semantics forward the rows")
+    // and the warning code is NOT in the unretryable fast-fail set —
+    // a backoff keeps the feed alive on it
+    assert(!graft.streaming.FeedBackoff.defaultFastFailCodes
+      .contains("CDC:ErrChecksumDomainSuspect"))
+
+    // ONE corrupted image among verified-good ones → real corruption:
+    // the unretryable CDC error still kills the feed
+    def rootMessages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x =>
+        Option(x.getMessage).toSeq ++ rootMessages(x.getCause))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      drive("onebad",
+        rowPairCk(1L, Seq(1L -> 1L, 2L -> 10L), 50L, corrupt = false) ++
+          rowPairCk(2L, Seq(1L -> 2L, 2L -> 20L), 60L, corrupt = true))
+    }
+    assert(rootMessages(e).exists(_.contains("CDC:ErrCorruptedDataMutation")),
+      rootMessages(e).mkString(" | "))
+  }
+
   test("live barrier loop compacts at the checkpoint floor: a 200-DDL-churn " +
       "feed stays bounded per batch, output is identical across the " +
       "compaction, and a kill-restart replays correctly (schemastore GC " +
