@@ -99,9 +99,13 @@ object DdlJobParser {
   private val ignoredActions: Set[Int] = Set(
     7, 8, // add/drop index
     9, 10, // add/drop foreign key
-    13, 15, 16, 17, 18, // rebase auto-id, default value, shard-rowid, comment, rename index
+    13, 16, 17, 18, // rebase auto-id, shard-rowid, comment, rename index
+    // NOT ignored: 15 (SetDefaultValue), 22/26 (charset/collate
+    // modifies) — the reference stores a NEW TableInfo version for
+    // them (updateFullTableInfoForSingleTableDDL, persist_storage_
+    // ddl_handlers.go:247-318); they fall through to query-text
+    // parsing (SetDefault / ConvertCharset registry bumps)
     21, 24, // create/drop view
-    22, 26, // charset/collate modifies (shape kept; registry tracks names/types only)
     27, 28, 29, 30, 31, // lock/unlock/repair/tiflash
     32, 33, // add/drop primary key (constraint-only here)
     34, 35, 36, // sequences

@@ -69,6 +69,17 @@ object DdlParser {
     * ActionRecoverTable (codec/common/ddl.go:137). */
   private val recoverTable =
     """(?is)^\s*(?:RECOVER|FLASHBACK)\s+TABLE\s+([`\w.]+)\s*(?:TO\s+[`\w.]+\s*)?$""".r
+  /** ALTER TABLE t ALTER [COLUMN] c SET DEFAULT v / DROP DEFAULT
+    * (ActionSetDefaultValue, code 15). */
+  private val setDefault =
+    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+ALTER\s+(?:COLUMN\s+)?`?(\w+)`?\s+SET\s+DEFAULT\s+('[^']*'|\S+)\s*$""".r
+  private val dropDefault =
+    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+ALTER\s+(?:COLUMN\s+)?`?(\w+)`?\s+DROP\s+DEFAULT\s*$""".r
+  /** ALTER TABLE t CONVERT TO CHARACTER SET cs [COLLATE ...]
+    * (ActionModifyTableCharsetAndCollate, code 22 — the statement
+    * that actually TRANSCODES stored data in MySQL). */
+  private val convertCharset =
+    """(?is)^\s*ALTER\s+TABLE\s+([`\w.]+)\s+CONVERT\s+TO\s+(?:CHARACTER\s+SET|CHARSET)\s+`?([\w]+)`?(?:\s+COLLATE\s+\S+)?\s*$""".r
 
   /** Heads that start a table-level constraint / non-shape clause —
     * shared between CREATE TABLE body parsing and the ALTER .. ADD
@@ -383,6 +394,15 @@ object DdlParser {
       case recoverTable(name) =>
         val (s, t) = ident(name, defaultSchema)
         Some(RecoverTable(s, t, ts))
+      case setDefault(name, cName, dflt) =>
+        val (s, t) = ident(name, defaultSchema)
+        Some(SetDefault(s, t, cName, Some(resolveDefault(dflt, ts)), ts))
+      case dropDefault(name, cName) =>
+        val (s, t) = ident(name, defaultSchema)
+        Some(SetDefault(s, t, cName, None, ts))
+      case convertCharset(name, cs) =>
+        val (s, t) = ident(name, defaultSchema)
+        Some(ConvertCharset(s, t, cs.toLowerCase, ts))
       case _ => None
     })
 

@@ -16,8 +16,13 @@ import scala.collection.immutable.TreeMap
 /** `position` is ALTER-statement metadata ("first" | "after:<col>"),
   * consumed by the registry's insert handlers and stripped before the
   * column is stored. */
+/** `charset` is the column's declared character set ("" = table/
+  * server default, utf8mb4 semantics): metadata under the TiDB
+  * dialect, the byte provenance under `mysql-native` (see
+  * [[graft.operators.RawKvMounter.KvColumn]]). A CONVERT TO CHARACTER
+  * SET rewrites it on every string column. */
 final case class ColumnDef(name: String, dataType: String, default: Option[String] = None,
-                           position: Option[String] = None)
+                           position: Option[String] = None, charset: String = "")
 
 final case class TableSchema(
     schema: String, table: String, versionTs: Long, columns: Seq[ColumnDef]) {
@@ -103,6 +108,21 @@ object DdlAction {
     * logically a version bump here, id membership in the id store. */
   final case class AlterTablePartitioning(schema: String, table: String, ts: Long) extends DdlAction
   final case class RemovePartitioning(schema: String, table: String, ts: Long) extends DdlAction
+  /** ALTER TABLE .. ALTER [COLUMN] c SET DEFAULT v / DROP DEFAULT
+    * (ActionSetDefaultValue, code 15): the reference stores a NEW
+    * TableInfo version for it (updateFullTableInfoForSingleTableDDL,
+    * persist_storage_ddl_handlers.go:247-318) — the default text
+    * changes what later rows missing the cell decode to. */
+  final case class SetDefault(schema: String, table: String, column: String,
+                              default: Option[String], ts: Long) extends DdlAction
+  /** ALTER TABLE .. CONVERT TO CHARACTER SET cs (ActionModifyTable/
+    * ColumnCharsetAndCollate, codes 22/26): a new TableInfo version
+    * whose string columns carry the new charset — under the
+    * `mysql-native` dialect this changes how subsequent rows
+    * TRANSCODE, and what content-compatible canal renders as
+    * mysqlType. */
+  final case class ConvertCharset(schema: String, table: String,
+                                  charset: String, ts: Long) extends DdlAction
 }
 
 /** `tombstones` is the drop/recover event log per table (ts → true =
@@ -259,6 +279,26 @@ final case class SchemaRegistry(
             .put(b.copy(versionTs = ts, columns = a.columns))
         case _ => this // both sides must exist, like the reference's handler
       }
+    case SetDefault(s, t, c, d, ts) =>
+      // TableInfo-version-only action: a new version whose named
+      // column carries the new default text (handler :247-318)
+      latest(s, t).map(cur => put(cur.copy(versionTs = ts,
+        columns = cur.columns.map(old =>
+          if (old.name == c) old.copy(default = d) else old))))
+        .getOrElse(this)
+    case ConvertCharset(s, t, cs, ts) =>
+      // CONVERT rewrites every string column's charset (numeric and
+      // blob-class columns have none); a new version marks the
+      // transcode boundary for dialect-gated decodes
+      def stringClass(dt: String): Boolean = {
+        val b = dt.takeWhile(_ != '(').trim.toLowerCase
+        Set("char", "varchar", "text", "tinytext", "mediumtext",
+          "longtext", "enum", "set").contains(b)
+      }
+      latest(s, t).map(cur => put(cur.copy(versionTs = ts,
+        columns = cur.columns.map(old =>
+          if (stringClass(old.dataType)) old.copy(charset = cs) else old))))
+        .getOrElse(this)
   }
 
   def applyAll(ddls: Seq[DdlAction]): SchemaRegistry =

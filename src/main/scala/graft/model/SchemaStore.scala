@@ -231,10 +231,14 @@ final case class SchemaStore(
   // ---- mount-side emission ----
 
   /** The table's KvTableMeta as of ts (columns from the registry
-    * snapshot, ids from the stable assignment, physical ids from the
-    * membership timeline). None while dropped/unknown. */
+    * snapshot — incl. per-column charset after a CONVERT — ids from
+    * the stable assignment, physical ids from the membership
+    * timeline). None while dropped/unknown. `dialect` is the feed's
+    * byte provenance (see [[KvTableMeta]]): under `mysql-native` the
+    * per-version column charset drives the transcode, so rows after a
+    * CONVERT TO CHARACTER SET decode under the NEW charset. */
   def metaAsOf(schema: String, table: String, ts: Long,
-               tz: String = "UTC"): Option[KvTableMeta] =
+               tz: String = "UTC", dialect: String = "tidb"): Option[KvTableMeta] =
     for {
       sch <- registry.asOf(schema, table, ts)
       (lid, parts) <- idsAsOf(schema, table, ts)
@@ -242,10 +246,10 @@ final case class SchemaStore(
       if sch.columns.nonEmpty && sch.columns.forall(c => ids.contains(c.name))
     } yield KvTableMeta(lid, schema, table,
       sch.columns.map(c => KvColumn(ids(c.name), c.name, c.dataType,
-        default = c.default)),
+        default = c.default, charset = c.charset)),
       handleCol = sch.columns.head.name,
       physicalIds = parts.toSeq.sorted,
-      tz = tz)
+      tz = tz, dialect = dialect)
 
   /** Version timeline for one table: every boundary where its schema
     * OR its physical membership changes, with the meta from that ts
@@ -254,14 +258,15 @@ final case class SchemaStore(
     * filtering the Nones, or to [[physicalPlan]] for the exact
     * windowed form. */
   def metaVersions(schema: String, table: String,
-                   tz: String = "UTC"): Seq[(Long, Option[KvTableMeta])] = {
+                   tz: String = "UTC", dialect: String = "tidb")
+      : Seq[(Long, Option[KvTableMeta])] = {
     val k = (schema, table)
     val bounds = (
       registry.versions.getOrElse(k, TreeMap.empty[Long, TableSchema]).keysIterator ++
         registry.tombstones.getOrElse(k, TreeMap.empty[Long, Boolean]).keysIterator ++
         membership.getOrElse(k, TreeMap.empty[Long, (Long, Set[Long])]).keysIterator
       ).toSeq.distinct.sorted
-    bounds.map(ts => ts -> metaAsOf(schema, table, ts, tz))
+    bounds.map(ts => ts -> metaAsOf(schema, table, ts, tz, dialect))
   }
 
   /** The executor-side decode plan: physical id → ts-ascending
@@ -274,14 +279,15 @@ final case class SchemaStore(
     * an unrelated table on the shared wire (different column shape,
     * excluded by the filter) never reaches the mount. */
   def physicalPlan(tz: String = "UTC",
-                   keep: (String, String) => Boolean = (_, _) => true)
+                   keep: (String, String) => Boolean = (_, _) => true,
+                   dialect: String = "tidb")
       : Map[Long, Seq[(Long, Option[KvTableMeta])]] = {
     val tables = (registry.versions.keySet ++ membership.keySet).toSeq
       .filter { case (s, t) => keep(s, t) }
     val segments = scala.collection.mutable.Map
       .empty[Long, scala.collection.mutable.ArrayBuffer[(Long, Option[KvTableMeta])]]
     tables.foreach { case (s, t) =>
-      val vs = metaVersions(s, t, tz)
+      val vs = metaVersions(s, t, tz, dialect)
       // every physical id this table ever claims
       val everIds = vs.flatMap(_._2).flatMap(_.allIds).distinct
       everIds.foreach { pid =>

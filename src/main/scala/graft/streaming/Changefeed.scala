@@ -285,6 +285,8 @@ object Changefeed {
       case DdlAction.ReorganizePartition(s, t, _) => (s, t)
       case DdlAction.AlterTablePartitioning(s, t, _) => (s, t)
       case DdlAction.RemovePartitioning(s, t, _) => (s, t)
+      case DdlAction.SetDefault(s, t, _, _, _) => (s, t)
+      case DdlAction.ConvertCharset(s, t, _, _) => (s, t)
     }
     val kept = parsed.filter {
       case (_, _, DdlAction.CreateSchema(_, _)) | (_, _, DdlAction.DropSchema(_, _)) =>
