@@ -368,11 +368,15 @@ object MysqlSink {
     * table names pkg/filter/filter.go:33-36): the DDL itself followed
     * by the idempotent `tidb_cdc.ddl_ts_v1` upsert that lets a
     * restarted writer skip already-applied DDLs. */
-  def ddlStatements(changefeedId: String, ddlTs: Long, query: String): Seq[String] = Seq(
-    query,
+  def ddlStatements(changefeedId: String, ddlTs: Long, query: String): Seq[String] =
+    Seq(query, ddlTsStatement(changefeedId, ddlTs))
+
+  /** The `ddl_ts_v1` bookkeeping upsert alone (for DDLs the downstream
+    * applies through a dedicated API rather than statement text). */
+  def ddlTsStatement(changefeedId: String, ddlTs: Long): String =
     "INSERT INTO `tidb_cdc`.`ddl_ts_v1` (`ticdc_cluster_id`,`changefeed`,`ddl_ts`) " +
       s"VALUES ('default','${changefeedId.replace("'", "''")}',$ddlTs) " +
-      "ON DUPLICATE KEY UPDATE `ddl_ts`=VALUES(`ddl_ts`)")
+      "ON DUPLICATE KEY UPDATE `ddl_ts`=VALUES(`ddl_ts`)"
 
   /** Sync-point map rows (mysql_writer_for_syncpoint.go; table
     * `tidb_cdc.syncpoint_v1`): one (primary_ts, secondary_ts) row per

@@ -548,6 +548,133 @@ object Changefeed {
       .start()
   }
 
+  /** Raw-2PC → MySQL: the reference's FLAGSHIP sink on the true steady
+    * state — raw 2PC bytes → streaming matcher → per-batch evolving
+    * mount → filter/transform → per-key-ordered SQL statements on a
+    * real JDBC downstream, with emitted DDLs EXECUTED downstream under
+    * `ddl_ts_v1` bookkeeping (mysql_writer_ddl.go;
+    * mysql_writer_for_ddl_ts.go:266), barriered at the micro-batch
+    * boundary: the batch's DDLs run BEFORE its rows (the mounted
+    * envelope conforms to the post-fold shape, so row statements need
+    * the new columns in place), and a crash-replayed batch re-executes
+    * them idempotently — already-took-effect downstream errors are
+    * swallowed per the ddl_reentrant contract (IsIgnorableMySQLDDLError,
+    * mysql_writer_ddl.go:216-231).
+    *
+    * `applier` is DRIVER-held (DDL execution is control-plane sized);
+    * row statements reach the downstream through
+    * [[graft.sinks.JdbcApplier.executeFor]], which captures only the
+    * URL — no JdbcApplier ever enters a Spark closure. */
+  def runMysqlFromRaw2pcEvolving(spark: SparkSession, cfg: ChangefeedConfig,
+                                 raw: DataFrame, initial: SchemaStore,
+                                 checkpointDir: String,
+                                 applier: graft.sinks.JdbcApplier,
+                                 matcherGcMs: Long = 60000L,
+                                 ignoreDdlClasses: Seq[String] = Nil,
+                                 ignoreDdlSqlRegexps: Seq[String] = Nil): StreamingQuery = {
+    GraftSession.tune(spark)
+    val holder = new SchemaStoreHolder(initial, s"$checkpointDir/schemastore")
+    applier.ensureMetaTables()
+    val url = applier.url
+    val failOn = cfg.integrity.enabled && cfg.integrity.errorHandle
+    val prologue = graft.sinks.MysqlSink.connectionPrologue(cfg.sink.bdrMode)
+    TxnMatcher.matchStream(spark, raw, matcherGcMs)
+      .writeStream
+      .queryName(cfg.id)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Failpoints.evalThrow("graft/changefeed/evolve-mysql-batch")
+        batch.persist()
+        try {
+          val jobs = SchemaStoreHolder.jobsIn(batch)
+          holder.fold(jobs)
+          // the batch boundary IS the DDL barrier: execute the batch's
+          // emitted DDLs downstream first, in finishedTs order, each
+          // followed by the idempotent ddl_ts_v1 upsert
+          jobs.sortBy(_.finishedTs).foreach { j =>
+            dispatchDdlJob(j, cfg.filter, ignoreDdlClasses, ignoreDdlSqlRegexps)
+              .foreach(q => executeDdlDownstream(applier, cfg.id, j.finishedTs, q))
+          }
+          // kill site BETWEEN the DDL execution and the row apply —
+          // the fail_over_ddl window whose replay re-executes an
+          // already-applied DDL (the ddl_reentrant contract)
+          Failpoints.evalThrow("graft/changefeed/evolve-mysql-post-ddl")
+          val env = graft.operators.RawKvMounter.mountTablesPlan(
+            batch, holder.store.physicalPlan(keep = (s, t) =>
+              graft.operators.TableMatcher.matchesValue(
+                s, t, cfg.filter.rules, cfg.filter.caseSensitive)),
+            failOnCorruption = failOn)
+          graft.sinks.MysqlSink.applyBatch(
+            transform(spark, cfg)(env), cfg.handleKeys,
+            cfg.sink.numPartitions, cfg.sink.safeMode, prologue)(
+            graft.sinks.JdbcApplier.executeFor(url))
+        } finally batch.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Execute ONE emitted DDL on the JDBC downstream with ddl_ts
+    * bookkeeping. The wire query is MySQL-dialect with bare
+    * identifiers; for the embedded ANSI engine the statement re-renders
+    * from the PARSED action so identifiers quote correctly (a real
+    * MySQL downstream executes the raw text unchanged — the reference's
+    * path). Partition-only actions change no shape on a non-partitioned
+    * ANSI downstream and record just the ddl_ts advance. */
+  private def executeDdlDownstream(applier: graft.sinks.JdbcApplier,
+                                   feedId: String, ts: Long,
+                                   query: String): Unit = {
+    import graft.model.{DdlAction => A}
+    def derbyType(dt: String): String = {
+      val b = dt.takeWhile(_ != '(').trim.toLowerCase
+      val args = dt.dropWhile(_ == ' ').dropWhile(_ != '(')
+      b match {
+        case "bigint" => "BIGINT"
+        case "int" | "integer" | "mediumint" => "INTEGER"
+        case "smallint" | "tinyint" => "SMALLINT"
+        case "double" | "float" => "DOUBLE"
+        case "decimal" | "numeric" =>
+          if (args.nonEmpty) s"DECIMAL$args" else "DECIMAL(18,2)"
+        case "char" | "varchar" =>
+          if (args.nonEmpty) s"VARCHAR$args" else "VARCHAR(255)"
+        case _ => "VARCHAR(1024)"
+      }
+    }
+    def dflt(d: Option[String]): String = d.map { v =>
+      if (v.matches("-?\\d+(\\.\\d+)?")) s" DEFAULT $v"
+      else s" DEFAULT '${v.replace("'", "''")}'"
+    }.getOrElse("")
+    // returns the statement(s) to run; CreateTable goes through the
+    // applier's table API (which registers the pk for REPLACE
+    // translation) and contributes none
+    def render(a: graft.model.DdlAction): Seq[String] = a match {
+      case A.CreateTable(s, t, cols, _) =>
+        applier.createTable(s, t,
+          cols.map(c => c.name -> derbyType(c.dataType)),
+          pks = cols.headOption.map(_.name).toSeq)
+        Nil
+      case A.AddColumn(s, t, c, _) =>
+        Seq(s"""ALTER TABLE "$s"."$t" ADD COLUMN "${c.name}" """ +
+          derbyType(c.dataType) + dflt(c.default))
+      case A.DropColumn(s, t, n, _) =>
+        Seq(s"""ALTER TABLE "$s"."$t" DROP COLUMN "$n"""")
+      case A.DropTable(s, t, _) => Seq(s"""DROP TABLE "$s"."$t"""")
+      case A.TruncateTable(s, t, _) => Seq(s"""TRUNCATE TABLE "$s"."$t"""")
+      case A.RenameTable(s, t, _, nt, _) =>
+        Seq(s"""RENAME TABLE "$s"."$t" TO "$nt"""")
+      case A.RenameTables(rs, _) => rs.flatMap(render)
+      case A.AlterMulti(_, _, actions, _) => actions.flatMap(render)
+      case A.BatchActions(actions, _) => actions.flatMap(render)
+      case _ => Nil // partition/registry-only actions: ddl_ts only
+    }
+    val stmts = graft.model.DdlParser.parse(query, ts) match {
+      case Some(a) => render(a)
+      case None => Seq(query) // unparsed: raw passthrough (real MySQL)
+    }
+    applier.execute(
+      (stmts :+ graft.sinks.MysqlSink.ddlTsStatement(feedId, ts)).iterator)
+  }
+
   /** Create-time sink setup shared by every MQ run shape: bootstrap
     * worker, up-front validation, send-all-at-start handshake.
     * Returns (bootstrapper, bootstrapOn). */

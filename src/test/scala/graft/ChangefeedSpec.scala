@@ -827,6 +827,92 @@ class ChangefeedSpec extends SparkFunSuite {
     assert(!decoded.contains(9L), "the filtered foreign table's row never shipped")
   }
 
+  test("raw-2PC -> MySQL evolving composition: a wire CREATE builds the " +
+      "downstream table, a mid-stream ALTER executes there under ddl_ts_v1 " +
+      "bookkeeping BEFORE the batch's rows, Derby state converges to the " +
+      "workload model, and a kill-restart across the DDL boundary replays " +
+      "idempotently (ddl_reentrant)") {
+    import graft.streaming.{Failpoints, TxnMatcher}
+    import org.apache.spark.sql.Row
+
+    val tmp = Files.createTempDirectory("graft-cf-evolve-mysql").toString
+    val srcDir = s"$tmp/src"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def jobJson(jid: Long, tpe: Int, q: String, ts: Long): Array[Byte] =
+      (s"""{"id":$jid,"type":$tpe,"schema_id":1,"table_id":900,""" +
+        s""""schema_name":"app","table_name":"t","state":4,""" +
+        s""""query":"$q","binlog":{"SchemaVersion":$ts,"TableInfo":{"id":900}},""" +
+        s""""version":1}""").getBytes("UTF-8")
+    def jobEntry(jid: Long, tpe: Int, q: String, ts: Long): Seq[Row] = {
+      val (k, v) = DdlJobParser.encodeJobEntry(jid, jobJson(jid, tpe, q, ts), tpe)
+      Seq(Row(k, v, null, "put", "committed", ts - 1L, ts, 0L))
+    }
+    def rowPair(id: Long, cells: Seq[(Long, Long)], commitTs: Long): Seq[Row] = {
+      val k = TiKvCodec.encodeRecordKey(900L, TiKvCodec.IntHandle(id))
+      val v = TiKvCodec.encodeV2(cells.map { case (cid, x) =>
+        cid -> Some(TiKvCodec.intCell(x)) })
+      Seq(
+        Row(k, v, null, "put", "prewrite", commitTs - 1L, 0L, 0L),
+        Row(k, null, null, "put", "commit", commitTs - 1L, commitTs, 0L))
+    }
+    var fileSeq = 0
+    def writeFile(rows: Seq[Row]): Unit = {
+      fileSeq += 1
+      val stage = s"$tmp/stage-$fileSeq"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), TxnMatcher.uncommittedSchema)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, f"f$fileSeq%03d.parquet"))
+    }
+    writeFile(jobEntry(1L, 3, "CREATE TABLE app.t (id BIGINT, v BIGINT)", 10L) ++
+      rowPair(1L, Seq(2L -> 10L), 50L) ++ rowPair(2L, Seq(2L -> 20L), 60L))
+    writeFile(jobEntry(2L, 5, "ALTER TABLE app.t ADD COLUMN k BIGINT DEFAULT 7", 100L) ++
+      rowPair(3L, Seq(2L -> 30L, 3L -> 33L), 150L))
+
+    val applier = graft.sinks.JdbcApplier.inMemory("evolve-mysql")
+    // safe mode: a replayed batch re-delivers its rows (at-least-once)
+    val cfg = ChangefeedConfig(id = "cf-evolve-mysql",
+      filter = FilterConfig(rules = Seq("app.*")), handleKeys = Seq("id"),
+      sink = SinkConfig(numPartitions = 2, safeMode = true))
+    def start() = Changefeed.runMysqlFromRaw2pcEvolving(spark, cfg,
+      spark.readStream.schema(TxnMatcher.uncommittedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      SchemaStore(), s"$tmp/ckpt", applier, matcherGcMs = 600000L)
+
+    // kill the SECOND batch AFTER its DDL executed but BEFORE its rows
+    // applied, then drain on the same checkpoint: the replay
+    // re-executes the ALTER (already took effect -> ignorable,
+    // ddl_reentrant) and re-applies the rows (REPLACE)
+    Failpoints.enable("graft/changefeed/evolve-mysql-post-ddl", "1*off->1*panic")
+    var attempts = 0; var done = false
+    while (!done && attempts < 6) {
+      attempts += 1
+      val q = start()
+      try { q.awaitTermination(180000); done = true }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      finally { if (q.isActive) q.stop() }
+    }
+    Failpoints.clear()
+    assert(done, "evolving MySQL feed failed to drain")
+    assert(attempts >= 2, "the injected batch kill must force a restart")
+
+    // downstream state == the workload model: pre-DDL rows picked up
+    // the ALTER's default (Derby fills existing rows), the post-DDL
+    // row carries its wire value
+    assert(applier.tableRows("app", "t", Seq("id", "v", "k")) ==
+      Seq(Seq(1L, 10L, 7L), Seq(2L, 20L, 7L), Seq(3L, 30L, 33L)))
+    // ddl_ts bookkeeping advanced to the ALTER's finishedTs
+    assert(applier.tableRows("tidb_cdc", "ddl_ts_v1", Seq("changefeed", "ddl_ts"))
+      == Seq(Seq("cf-evolve-mysql", 100L)))
+    // the replayed ALTER hit the already-took-effect path, not a failure
+    assert(!applier.ignoredDdlErrors.isEmpty,
+      "the replay must have re-executed the DDL and swallowed the " +
+        "duplicate-column error (ddl_reentrant)")
+  }
+
   test("integrity circuit breaker on the evolving feed: EVERY checksummed " +
       "image failing downgrades to a WARNING (checksum-domain suspect) and " +
       "forwards; ONE bad image among verified-good ones still fails the " +
