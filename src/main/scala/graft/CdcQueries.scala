@@ -360,6 +360,22 @@ object CdcQueries {
           col("after.value").as("value"), col("after.props").as("props"))
     }),
 
+    // HETEROGENEOUS table shapes in ONE pass — the fused mount→encode
+    // (the reference's event_scanner→encoder-group shape): two tables
+    // with DIFFERENT column sets ride one wire, and one mapPartitions
+    // decodes each entry against its own meta and emits canal-JSON
+    // wire STRINGS directly — no shared payload struct, so a `*.*`
+    // feed over arbitrarily shaped tables runs as one query. Oracle:
+    // the wire JSON recomputed per shape in SQL.
+    "q_kv_mount_hetero" -> ((s, d) => {
+      val raw = RawKvQuery.encodeHetero(Tables.events(s, d))
+      val plan = Map(
+        RawKvQuery.heteroMetaA.tableId -> Seq(0L -> Option(RawKvQuery.heteroMetaA)),
+        RawKvQuery.heteroMetaB.tableId -> Seq(0L -> Option(RawKvQuery.heteroMetaB)))
+      RawKvMounter.mountTablesEncodeCanal(raw, plan)
+        .select(col("_table"), col("_row_id"), col("_commit_ts"), col("_value"))
+    }),
+
     // the unknown-id observable as a green oracle row: a third of the
     // wire (event_id % 3 == 2) encodes under a physical id NO meta
     // claims — the coverage summary must count exactly that class as
@@ -948,6 +964,24 @@ object CdcQueries {
         |  user_id, event_type, value, props
         |FROM events""".stripMargin,
 
+    "q_kv_mount_hetero" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'events_wide' ELSE 'events_tag' END AS _table,
+        |  event_id AS _row_id, epoch_ns(ts) AS _commit_ts,
+        |  '{"id":0,"database":"app","table":"' ||
+        |  CASE WHEN event_id % 2 = 0 THEN 'events_wide' ELSE 'events_tag' END ||
+        |  '","pkNames":["event_id"],"isDdl":false,"type":"INSERT","es":' ||
+        |  CAST(epoch_ns(ts) // 1000000 AS VARCHAR) || ',"ts":' ||
+        |  CAST(epoch_ns(ts) // 1000000 AS VARCHAR) || ',"data":[' ||
+        |  CASE WHEN event_id % 2 = 0 THEN
+        |    '{"event_id":' || CAST(event_id AS VARCHAR) || ',"user_id":' ||
+        |    COALESCE(CAST(user_id AS VARCHAR), 'null') || ',"props":"' ||
+        |    replace(replace(props, '\', '\\'), '"', '\"') || '"}'
+        |  ELSE
+        |    '{"event_id":' || CAST(event_id AS VARCHAR) || ',"event_type":"' ||
+        |    event_type || '"}'
+        |  END || '],"old":null}' AS _value
+        |FROM events""".stripMargin,
+
     "q_mount_coverage" ->
       """SELECT CAST(COUNT(*) AS BIGINT) AS n_record_keys,
         |  CAST(SUM(CASE WHEN event_id % 3 < 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_known_id,
@@ -1347,6 +1381,33 @@ object RawKvQuery {
         }
       }(Encoders.row(rawSchema))
   }
+
+  /** Two DIFFERENTLY-shaped tables split by event_id parity — the
+    * heterogeneous-feed fixture for the fused mount→encode path
+    * (no shared payload struct exists between them). */
+  val heteroMetaA: KvTableMeta = KvTableMeta(112L, "app", "events_wide",
+    Seq(KvColumn(1L, "event_id", "bigint", nullable = false),
+      KvColumn(2L, "user_id", "bigint"),
+      KvColumn(3L, "props", "varchar(1024)")), handleCol = "event_id")
+  val heteroMetaB: KvTableMeta = KvTableMeta(113L, "app", "events_tag",
+    Seq(KvColumn(1L, "event_id", "bigint", nullable = false),
+      KvColumn(2L, "event_type", "varchar(32)")), handleCol = "event_id")
+
+  def encodeHetero(events: DataFrame): DataFrame =
+    events.select("event_id", "ts", "user_id", "event_type", "props")
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0)
+          val ts = r.getLong(1)
+          val (m, payload) =
+            if (id % 2L == 0L)
+              (heteroMetaA, Seq[Any](id,
+                if (r.isNullAt(2)) null else r.getLong(2), r.getString(4)))
+            else (heteroMetaB, Seq[Any](id, r.getString(3)))
+          Row(TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(id)),
+            RawKvMounter.encodeImage(m, payload), null, "put", ts - 1L, ts)
+        }
+      }(Encoders.row(rawSchema))
 
   /** [[encodeSplit]] with a third id class: event_id % 3 == 2 encodes
     * under physical id 499 — a table NO meta describes — so coverage

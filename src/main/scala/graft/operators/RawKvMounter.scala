@@ -761,6 +761,165 @@ object RawKvMounter {
       .toDF()
   }
 
+  /** JSON string escaping — the JVM twin of
+    * [[graft.functions.Codecs.jsonEscape]] (same characters, same
+    * order), for the fused mount→encode path. */
+  private def jsonEsc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
+  /** One decoded cell as its canal-JSON literal — the JVM twin of
+    * [[graft.functions.Codecs.jsonValueFor]] with canalBlob semantics
+    * (byte identity with the columnar encoder is spec-pinned):
+    * integers/decimals/floats bare, booleans 1/0, strings escaped,
+    * BINARY as the ISO-8859-1 char view. */
+  private def canalJsonLit(v: Any): String = v match {
+    case null => "null"
+    case x: Long => x.toString
+    case x: Int => x.toString
+    case x: Short => x.toString
+    case x: Byte => x.toString
+    case x: Boolean => if (x) "1" else "0"
+    case x: Double => x.toString
+    case x: Float => x.toString
+    case x: java.math.BigDecimal => x.toPlainString
+    case x: Array[Byte] =>
+      "\"" + jsonEsc(new String(x, java.nio.charset.StandardCharsets.ISO_8859_1)) + "\""
+    case x: String => "\"" + jsonEsc(x) + "\""
+    case x => "\"" + jsonEsc(x.toString) + "\""
+  }
+
+  private def canalImage(m: KvTableMeta, image: Array[Any]): String =
+    if (image == null) "null"
+    else m.columns.zip(image).map { case (c, v) =>
+      "\"" + c.name + "\":" + canalJsonLit(v)
+    }.mkString("{", ",", "}")
+
+  /** Fused mount→encode over HETEROGENEOUS table shapes — the
+    * reference's scan→encode pipeline shape (event_scanner.go decoding
+    * per TableInfo, feeding the encoder group): each raw entry decodes
+    * against ITS OWN as-of meta, conforms to its table's latest
+    * segment, and renders straight to the canal-JSON wire inside the
+    * SAME mapPartitions — the stream carries wire STRINGS, so no
+    * shared payload struct exists and a `*.*` feed over arbitrarily
+    * shaped tables runs as ONE query (the [[mountTablesPlan]]
+    * shared-shape require does not apply). Byte-identical to
+    * [[graft.functions.Codecs.canalJsonFor]] over each table's own
+    * struct-shaped mount (spec-pinned).
+    *
+    * Scale shape: one shuffle-free map chain over the change-log scan
+    * per entry — binary search into the broadcast-sized plan, byte
+    * decode, string render; nothing is corpus-sized on the driver. */
+  def mountTablesEncodeCanal(raw: DataFrame,
+                             plan: Map[Long, Seq[(Long, Option[KvTableMeta])]],
+                             failOnCorruption: Boolean = false,
+                             unknownIds: Option[org.apache.spark.util.LongAccumulator] = None,
+                             outOfWindow: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame = {
+    require(plan.nonEmpty, "mountTablesEncodeCanal: empty plan")
+    val compiled: Map[Long, (Array[Long], Array[KvTableMeta], KvTableMeta)] =
+      plan.flatMap { case (pid, segs) =>
+        val sorted = segs.sortBy(_._1)
+        sorted.flatMap(_._2).lastOption.map { latest =>
+          pid -> (sorted.map(_._1).toArray,
+            sorted.map(_._2.orNull).toArray, latest)
+        }
+      }
+    require(compiled.nonEmpty, "mountTablesEncodeCanal: no mountable segment")
+    val enc = Encoders.row(StructType(Seq(
+      StructField("_row_id", LongType, nullable = false),
+      StructField("_schema", StringType, nullable = false),
+      StructField("_table", StringType, nullable = false),
+      StructField("_op", StringType, nullable = false),
+      StructField("_commit_ts", LongType, nullable = false),
+      StructField("_start_ts", LongType, nullable = false),
+      StructField("_value", StringType, nullable = false))))
+    raw.select("key", "value", "old_value", "op_type", "start_ts", "commit_ts")
+      .mapPartitions { it =>
+        def segAt(tss: Array[Long], ts: Long): Int = {
+          var lo = 0; var hi = tss.length - 1; var res = -1
+          while (lo <= hi) {
+            val mid = (lo + hi) >>> 1
+            if (tss(mid) <= ts) { res = mid; lo = mid + 1 } else hi = mid - 1
+          }
+          res
+        }
+        it.flatMap { r =>
+          val key = r.getAs[Array[Byte]](0)
+          if (!isRecordKey(key)) Iterator.empty
+          else {
+            val (tableId, handle) = TiKvCodec.decodeRecordKey(key)
+            compiled.get(tableId) match {
+              case None =>
+                if (tableId < ReservedIdFloor) unknownIds.foreach(_.add(1L))
+                Iterator.empty
+              case Some((tss, metas, latest)) =>
+                val commitTs = r.getLong(5)
+                val i = segAt(tss, commitTs)
+                val asOf = if (i < 0) null else metas(i)
+                if (asOf == null) {
+                  outOfWindow.foreach(_.add(1L))
+                  Iterator.empty
+                } else {
+                  val value = r.getAs[Array[Byte]](1)
+                  val oldValue = r.getAs[Array[Byte]](2)
+                  val opType = r.getAs[String](3)
+                  if (failOnCorruption) {
+                    def okOf(bytes: Array[Byte], isPreRow: Boolean): Boolean =
+                      bytes == null || bytes.isEmpty ||
+                        !TiKvCodec.isNewFormat(bytes) ||
+                        checksumVerdict(asOf, handle, key, bytes, isPreRow)._3
+                    if (!okOf(oldValue, isPreRow = true) ||
+                        (opType != "delete" && !okOf(value, isPreRow = false)))
+                      throw new CorruptedDataMutationException(
+                        s"${asOf.schema}.${asOf.table} commit_ts=$commitTs")
+                  }
+                  val after =
+                    if (opType == "delete") null
+                    else conform(asOf, latest, decodeImage(asOf, handle, value))
+                  val before = conform(asOf, latest, decodeImage(asOf, handle, oldValue))
+                  val op =
+                    if (opType == "delete") "D"
+                    else if (before != null) "U"
+                    else "I"
+                  val rowId = handle match {
+                    case IntHandle(v) => v
+                    case CommonHandle(_) =>
+                      var h = -3750763034362895579L
+                      var j = 11
+                      while (j < key.length) {
+                        h = (h ^ (key(j) & 0xffL)) * 1099511628211L
+                        j += 1
+                      }
+                      h
+                  }
+                  // canal-JSON assembly, field-for-field the columnar
+                  // canalJsonFor layout
+                  val typ = op match {
+                    case "I" => "INSERT"; case "U" => "UPDATE"; case _ => "DELETE"
+                  }
+                  val ms = commitTs / 1000000L
+                  val dataImg =
+                    if (op == "D") canalImage(latest, before)
+                    else canalImage(latest, after)
+                  val oldArr =
+                    if (op == "U") "[" + canalImage(latest, before) + "]" else "null"
+                  val pks = latest.handleCols.map("\"" + _ + "\"").mkString(",")
+                  val wire = "{\"id\":0,\"database\":\"" + latest.schema +
+                    "\",\"table\":\"" + latest.table +
+                    "\",\"pkNames\":[" + pks + "],\"isDdl\":false,\"type\":\"" + typ +
+                    "\",\"es\":" + ms + ",\"ts\":" + ms +
+                    ",\"data\":[" + dataImg + "],\"old\":" + oldArr + "}"
+                  Iterator(Row(rowId, latest.schema, latest.table, op,
+                    commitTs, r.getLong(4), wire))
+                }
+            }
+          }
+        }
+      }(enc)
+      .toDF()
+  }
+
   /** Per-batch checksum CENSUS over the entries a plan mounts:
     * (ok, bad) counts of VERIFIED checksummed images — the same
     * verdict the fused mount applies; images without a checksum (or

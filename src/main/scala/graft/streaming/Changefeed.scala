@@ -439,13 +439,24 @@ object Changefeed {
     * `gcLagBatches` of safety lag (the schemastore gc loop — verdict
     * long-feed boundedness). `initial` seeds pre-existing tables;
     * CREATEs arriving on the wire need no seed at all. */
+  /** `fusedWire`: decode-and-ENCODE each entry against its own meta in
+    * one mapPartitions ([[graft.operators.RawKvMounter
+    * .mountTablesEncodeCanal]], the reference's scan→encode pipeline
+    * shape) so HETEROGENEOUSLY-shaped tables ride ONE feed — the
+    * stream carries wire strings and no shared payload struct exists.
+    * Canal-JSON only; the scalar-level filters (table, event-type,
+    * start-ts) apply — expression/column-transform rules need the
+    * struct path (run shape-homogeneous feeds for those). */
   def runMqFromRaw2pcEvolving(spark: SparkSession, cfg: ChangefeedConfig,
                               raw: DataFrame, initial: SchemaStore,
                               sinkDir: String, checkpointDir: String,
                               matcherGcMs: Long = 60000L,
                               gcLagBatches: Int = 2,
                               ignoreDdlClasses: Seq[String] = Nil,
-                              ignoreDdlSqlRegexps: Seq[String] = Nil): StreamingQuery = {
+                              ignoreDdlSqlRegexps: Seq[String] = Nil,
+                              fusedWire: Boolean = false): StreamingQuery = {
+    if (fusedWire) require(cfg.sink.protocol == Protocol.CanalJson,
+      "fused wire encoding is canal-JSON only")
     val (bootstrapper, bootstrapOn) = prepareMqSink(spark, cfg, sinkDir, Nil)
     val holder = new SchemaStoreHolder(initial, s"$checkpointDir/schemastore")
     // version-triggered LIVE handshake (bootstraper.go:259 + the
@@ -526,11 +537,20 @@ object Changefeed {
                   "forwarding under warn semantics until a genuine " +
                   "upstream fixture confirms the domain"))
           }
-          val env = graft.operators.RawKvMounter.mountTablesPlan(
-            batch, plan, failOnCorruption = false)
+          val encoded =
+            if (fusedWire) {
+              val f = cfg.filter
+              var df = graft.operators.RawKvMounter.mountTablesEncodeCanal(
+                batch, plan, failOnCorruption = false)
+              df = graft.operators.Filters.tableFilter(df, f.rules, f.caseSensitive)
+              df = graft.operators.Filters.eventTypeFilter(df, f.ignoreOps)
+              df = graft.operators.Filters.startTsFilter(df, f.ignoreTxnStartTs)
+              graft.operators.Routing.partitionByTable(df, cfg.sink.numPartitions)
+            } else pipeline(spark, cfg)(
+              graft.operators.RawKvMounter.mountTablesPlan(
+                batch, plan, failOnCorruption = false))
           sinkMqBatch(cfg, bootstrapper, bootstrapOn, sinkDir,
-            liveBootstrapValue, liveVersion)(
-            pipeline(spark, cfg)(env), batchId)
+            liveBootstrapValue, liveVersion)(encoded, batchId)
           // compaction at checkpoint-advance cadence: a resolved ts
           // `gcLagBatches` batches old is durably covered — versions
           // below it can never be read again (even a crash-replay only

@@ -827,6 +827,89 @@ class ChangefeedSpec extends SparkFunSuite {
     assert(!decoded.contains(9L), "the filtered foreign table's row never shipped")
   }
 
+  test("heterogeneous shapes in ONE evolving feed (fused wire): two tables " +
+      "with DIFFERENT column sets ride one raw-2PC stream, and the wire " +
+      "equals the two per-table struct feeds' union byte-for-byte") {
+    import graft.operators.RawKvMounter
+    import graft.operators.RawKvMounter.{KvColumn, KvTableMeta}
+    import graft.streaming.TxnMatcher
+    import org.apache.spark.sql.Row
+
+    val tmp = Files.createTempDirectory("graft-cf-fused").toString
+    val srcDir = s"$tmp/src"
+    def jobJson(jid: Long, q: String, ts: Long, sc: String, tb: String,
+                tid: Long): Array[Byte] =
+      (s"""{"id":$jid,"type":3,"schema_id":1,"table_id":$tid,""" +
+        s""""schema_name":"$sc","table_name":"$tb","state":4,""" +
+        s""""query":"$q","binlog":{"SchemaVersion":$ts,"TableInfo":{"id":$tid}},""" +
+        s""""version":1}""").getBytes("UTF-8")
+    def jobEntry(jid: Long, q: String, ts: Long, sc: String, tb: String,
+                 tid: Long): Seq[Row] = {
+      val (k, v) = DdlJobParser.encodeJobEntry(jid, jobJson(jid, q, ts, sc, tb, tid), 3)
+      Seq(Row(k, v, null, "put", "committed", ts - 1L, ts, 0L))
+    }
+    val metaT = KvTableMeta(900L, "app", "t",
+      Seq(KvColumn(1L, "id", "bigint", nullable = false),
+        KvColumn(2L, "v", "bigint")), handleCol = "id")
+    val metaU = KvTableMeta(910L, "app", "u",
+      Seq(KvColumn(1L, "id", "bigint", nullable = false),
+        KvColumn(2L, "label", "varchar(32)")), handleCol = "id")
+    def rowPair(m: KvTableMeta, id: Long, payload: Seq[Any], cts: Long): Seq[Row] = {
+      val k = TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(id))
+      val v = RawKvMounter.encodeImage(m, payload)
+      Seq(
+        Row(k, v, null, "put", "prewrite", cts - 1L, 0L, 0L),
+        Row(k, null, null, "put", "commit", cts - 1L, cts, 0L))
+    }
+    val all =
+      jobEntry(1L, "CREATE TABLE app.t (id BIGINT, v BIGINT)", 10L, "app", "t", 900L) ++
+      jobEntry(2L, "CREATE TABLE app.u (id BIGINT, label VARCHAR(32))", 11L, "app", "u", 910L) ++
+      rowPair(metaT, 1L, Seq(1L, 10L), 50L) ++
+      rowPair(metaU, 1L, Seq(1L, "alpha"), 55L) ++
+      rowPair(metaT, 2L, Seq(2L, 20L), 60L)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(all, 1), TxnMatcher.uncommittedSchema)
+      .coalesce(1).write.parquet(srcDir)
+
+    val cfg = ChangefeedConfig(id = "cf-fused",
+      filter = FilterConfig(rules = Seq("app.*")), handleKeys = Seq("id"),
+      sink = SinkConfig(protocol = Protocol.CanalJson, numPartitions = 2))
+    // WITHOUT fused wire this feed is impossible: the shared-payload
+    // require trips on the two shapes
+    val q = Changefeed.runMqFromRaw2pcEvolving(spark, cfg,
+      spark.readStream.schema(TxnMatcher.uncommittedSchema).parquet(srcDir),
+      SchemaStore(), s"$tmp/sink", s"$tmp/ckpt",
+      matcherGcMs = 600000L, fusedWire = true)
+    q.awaitTermination(120000)
+    if (q.isActive) q.stop()
+
+    val got = spark.read.parquet(s"$tmp/sink").filter(col("_kind") === "row")
+      .select("_value").collect().map(_.getString(0)).toSet
+    // golden: each table mounted struct-shaped on its own, then the
+    // columnar generic canal encoder — the per-table feeds' union
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      TxnMatcher.committedSchema.fields)
+    def committed(m: KvTableMeta, rows: Seq[(Long, Seq[Any], Long)]) =
+      spark.createDataFrame(spark.sparkContext.parallelize(rows.map {
+        case (id, p, cts) =>
+          Row(TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(id)),
+            RawKvMounter.encodeImage(m, p), null, "put", cts - 1L, cts)
+      }, 1), rawSchema)
+    def feed(m: KvTableMeta, rows: Seq[(Long, Seq[Any], Long)]) =
+      graft.functions.Codecs.canalJsonFor(
+          RawKvMounter.mountTables(committed(m, rows), Seq(m)), m.handleCols)
+        .select("_value").collect().map(_.getString(0)).toSet
+    val expected =
+      feed(metaT, Seq((1L, Seq(1L, 10L), 50L), (2L, Seq(2L, 20L), 60L))) ++
+      feed(metaU, Seq((1L, Seq(1L, "alpha"), 55L)))
+    assert(got == expected,
+      s"fused wire must equal the per-table union:\nonly-fused ${got.diff(expected)}" +
+        s"\nonly-expected ${expected.diff(got)}")
+    // both CREATEs also shipped as DDL wire messages
+    assert(MqConsume.wireDdls(spark.read.parquet(s"$tmp/sink")
+      .select(col("_value"))).map(_._3).sorted == Seq("t", "u"))
+  }
+
   test("raw-2PC -> MySQL evolving composition: a wire CREATE builds the " +
       "downstream table, a mid-stream ALTER executes there under ddl_ts_v1 " +
       "bookkeeping BEFORE the batch's rows, Derby state converges to the " +

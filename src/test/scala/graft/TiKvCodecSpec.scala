@@ -894,6 +894,44 @@ class RawKvMounterSpec extends SparkFunSuite {
     assert(a("Alice") != a("Bob"), "distinct handles must get distinct ids")
   }
 
+  test("fused mount->encode over heterogeneous shapes: ONE pass emits " +
+      "canal-JSON wire bytes per table, byte-identical to the columnar " +
+      "canalJsonFor over each table's own struct mount — updates with " +
+      "pre-images, deletes, null doubles, escaped strings included") {
+    import graft.functions.Codecs
+    val metaB = KvTableMeta(202L, "app", "tags",
+      Seq(KvColumn(1L, "id", "bigint", nullable = false),
+        KvColumn(2L, "tag", "varchar(16)")), handleCol = "id")
+    def keyB(h: Long) = TiKvCodec.encodeRecordKey(202L, IntHandle(h))
+    def imgB(id: Long, tag: String) =
+      RawKvMounter.encodeImage(metaB, Seq(id, tag))
+    val rowsA = Seq(
+      (key(1L), img(1L, "ada", 1.5, "a", 10L), null, "put", 90L, 100L),
+      (key(1L), img(1L, "ada2", 2.5, "a", 11L),
+        img(1L, "ada", 1.5, "a", 10L), "put", 190L, 200L),
+      (key(2L), img(2L, "bob", null, "b", 20L), null, "put", 90L, 100L),
+      (key(2L), null, img(2L, "bob", null, "b", 20L), "delete", 290L, 300L))
+    // different SHAPE, plus an escape-needing string
+    val rowsB = Seq(
+      (keyB(7L), imgB(7L, "t\"x\\y"), null, "put", 90L, 110L),
+      (keyB(7L), null, imgB(7L, "t\"x\\y"), "delete", 190L, 210L))
+    val plan = Map(
+      101L -> Seq(0L -> Option(meta)),
+      202L -> Seq(0L -> Option(metaB)))
+    val fused = RawKvMounter
+      .mountTablesEncodeCanal(rawDf(rowsA ++ rowsB), plan)
+      .select("_value").collect().map(_.getString(0)).toSet
+    def columnar(ms: KvTableMeta,
+                 rows: Seq[(Array[Byte], Array[Byte], Array[Byte], String, Long, Long)]) =
+      Codecs.canalJsonFor(RawKvMounter.mountTables(rawDf(rows), Seq(ms)),
+          ms.handleCols)
+        .select("_value").collect().map(_.getString(0)).toSet
+    val expected = columnar(meta, rowsA) ++ columnar(metaB, rowsB)
+    assert(fused == expected,
+      s"fused wire must equal the per-table feeds' union:\n" +
+        s"only-fused: ${fused.diff(expected)}\nonly-cols: ${expected.diff(fused)}")
+  }
+
   test("integrity-fused mount: warn level marks corrupted rows and forwards, " +
       "error level fails the feed (mounter.go:79-146 ErrCorruptedDataMutation)") {
     val payload = Seq(5L, "eve", 2.5, "x", 7L)
