@@ -654,7 +654,9 @@ object RawKvMounter {
     * added later default-fill, dropped vanish, retypes cast), the same
     * contract as [[mountTableVersioned]]; all latest metas must share
     * one payload shape (the envelope's before/after is a single
-    * struct type — mount heterogeneous groups as separate feeds).
+    * struct type) — HETEROGENEOUS shapes ride one feed through the
+    * fused [[mountTablesEncodeCanal]], which emits wire strings and
+    * needs no shared struct.
     *
     * Accounting (the unknown-id observable): entries whose physical id
     * has NO plan entry bump `unknownIds`; entries whose id is planned
