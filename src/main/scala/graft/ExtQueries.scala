@@ -174,6 +174,15 @@ object ExtQueries {
       Codecs.ddlMessage(ddl)
     }),
 
+    // per-protocol DDL wire shapes (codec/common/ddl.go dispatch):
+    // canal JSONMessage DDL (isDdl true, canal EventType string, null
+    // row blocks, _tidb commitTs extension) and the simple message
+    // with the DDL subtype — both over the rotating statement fixture
+    "q_encode_ddl_canal" -> ((s, d) =>
+      Codecs.ddlMessageFor(ddlFixture(s, d), graft.model.Protocol.CanalJson)),
+    "q_encode_ddl_simple" -> ((s, d) =>
+      Codecs.ddlMessageFor(ddlFixture(s, d), graft.model.Protocol.Simple)),
+
     "q_materialize" -> ((s, d) =>
       graft.operators.Materialize.tableState(env(s, d))),
 
@@ -730,6 +739,50 @@ object ExtQueries {
         |  ',"schema":"' || _schema || '","table":"' || _table ||
         |  '","query":"ALTER TABLE ' || _table || '"}' AS _value
         |FROM env WHERE _row_id % 97 = 0""".stripMargin),
+
+    "q_encode_ddl_canal" -> q(
+      """, ddl AS (
+        |  SELECT _schema, _table, _commit_ts AS version_ts,
+        |    CASE (_commit_ts % 5000) // 1000
+        |      WHEN 0 THEN 'CREATE TABLE ' || _table
+        |      WHEN 1 THEN 'ALTER TABLE ' || _table || ' ADD COLUMN c INT'
+        |      WHEN 2 THEN 'DROP TABLE ' || _table
+        |      WHEN 3 THEN 'TRUNCATE TABLE ' || _table
+        |      ELSE 'CREATE INDEX idx ON ' || _table END AS query,
+        |    CASE (_commit_ts % 5000) // 1000
+        |      WHEN 0 THEN 'CREATE' WHEN 1 THEN 'ALTER' WHEN 2 THEN 'ERASE'
+        |      WHEN 3 THEN 'TRUNCATE' ELSE 'CINDEX' END AS ty
+        |  FROM env WHERE _row_id % 97 = 0
+        |)
+        |SELECT _schema, _table, version_ts, query,
+        |  '{"id":0,"database":"' || _schema || '","table":"' || _table ||
+        |  '","pkNames":null,"isDdl":true,"type":"' || ty ||
+        |  '","es":' || CAST(version_ts // 1000000 AS VARCHAR) ||
+        |  ',"ts":' || CAST(version_ts // 1000000 AS VARCHAR) ||
+        |  ',"sql":"' || query ||
+        |  '","sqlType":null,"mysqlType":null,"data":null,"old":null,' ||
+        |  '"_tidb":{"commitTs":' || CAST(version_ts AS VARCHAR) || '}}' AS _value
+        |FROM ddl""".stripMargin),
+
+    "q_encode_ddl_simple" -> q(
+      """, ddl AS (
+        |  SELECT _schema, _table, _commit_ts AS version_ts,
+        |    CASE (_commit_ts % 5000) // 1000
+        |      WHEN 0 THEN 'CREATE TABLE ' || _table
+        |      WHEN 1 THEN 'ALTER TABLE ' || _table || ' ADD COLUMN c INT'
+        |      WHEN 2 THEN 'DROP TABLE ' || _table
+        |      WHEN 3 THEN 'TRUNCATE TABLE ' || _table
+        |      ELSE 'CREATE INDEX idx ON ' || _table END AS query,
+        |    CASE (_commit_ts % 5000) // 1000
+        |      WHEN 0 THEN 'CREATE' WHEN 1 THEN 'ALTER' WHEN 2 THEN 'ERASE'
+        |      WHEN 3 THEN 'TRUNCATE' ELSE 'CINDEX' END AS ty
+        |  FROM env WHERE _row_id % 97 = 0
+        |)
+        |SELECT _schema, _table, version_ts, query,
+        |  '{"version":1,"type":"' || ty || '","sql":"' || query ||
+        |  '","commitTs":' || CAST(version_ts AS VARCHAR) ||
+        |  ',"buildTs":' || CAST(version_ts // 1000000 AS VARCHAR) || '}' AS _value
+        |FROM ddl""".stripMargin),
 
     "q_roundtrip_avro" -> q("SELECT * FROM env"),
 

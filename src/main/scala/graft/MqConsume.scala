@@ -127,29 +127,50 @@ object MqConsume {
   }
 
   /** Drop control messages (resolved watermarks, bootstrap
-    * handshakes, DDL events) before decoding — value shapes per
-    * protocol. */
+    * handshakes, DDL events in every protocol's form) before decoding
+    * — value shapes per protocol. */
   def dataMessagesOnly(msgs: DataFrame): DataFrame =
     msgs.filter(length(trim(col("_value"))) > 0 &&
       !col("_value").contains("\"BOOTSTRAP\"") &&
       !col("_value").contains("\"TIDB_WATERMARK\"") &&
       !col("_value").contains("\"type\":\"WATERMARK\"") &&
       !col("_value").startsWith("{\"type\":\"DDL\"") &&
+      !col("_value").contains("\"isDdl\":true") &&
+      // simple-protocol DDL: the only simple message class carrying sql
+      !(col("_value").startsWith("{\"version\":1,\"type\":\"") &&
+        col("_value").contains("\"sql\":\"")) &&
       !(col("_value").startsWith("{\"ts\":") && col("_value").endsWith("\"t\":3}")))
 
   /** Wire DDL events ((commitTs, schema, table, query)) in commit-ts
     * order — the consumer-side half of the evolving feed's DDL
-    * emission ([[graft.functions.Codecs.ddlMessage]]): a consumer
+    * emission, covering every emitted form: the protocol-common
+    * [[graft.functions.Codecs.ddlMessage]], the canal-JSON DDL
+    * (isDdl true; exact ts from the `_tidb` extension), and the
+    * simple-protocol DDL (`sql` field, DDL-subtype `type`). A consumer
     * applies each before any row at or above its ts (DDL-first at
     * equal ts, the event-scanner interleave contract). Control-plane
     * sized: one collect over the DDL messages only. */
   def wireDdls(msgs: DataFrame): Seq[(Long, String, String, String)] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
-    msgs.filter(col("_value").startsWith("{\"type\":\"DDL\""))
+    msgs.filter(
+        col("_value").startsWith("{\"type\":\"DDL\"") ||
+        col("_value").contains("\"isDdl\":true") ||
+        (col("_value").startsWith("{\"version\":1,\"type\":\"") &&
+          col("_value").contains("\"sql\":\"")))
       .select(col("_value")).collect().map { r =>
         val n = mapper.readTree(r.getString(0))
-        (n.get("commitTs").asLong(0L), n.get("schema").asText(""),
-          n.get("table").asText(""), n.get("query").asText(""))
+        def s(k: String) = Option(n.get(k)).map(_.asText("")).getOrElse("")
+        if (n.has("isDdl")) // canal form
+          (Option(n.get("_tidb")).flatMap(t => Option(t.get("commitTs")))
+            .map(_.asLong(0L)).getOrElse(
+              Option(n.get("es")).map(_.asLong(0L) * 1000000L).getOrElse(0L)),
+            s("database"), s("table"), s("sql"))
+        else if (n.has("sql")) // simple form (schema rides the handshake)
+          (Option(n.get("commitTs")).map(_.asLong(0L)).getOrElse(0L),
+            s("database"), s("table"), s("sql"))
+        else // protocol-common form
+          (Option(n.get("commitTs")).map(_.asLong(0L)).getOrElse(0L),
+            s("schema"), s("table"), s("query"))
       }.toSeq.sortBy(_._1)
   }
 

@@ -279,6 +279,60 @@ object Codecs {
       lit("\",\"table\":\""), col("_table"),
       lit("\",\"query\":\""), jsonEscape(col("query")), lit("\"}")))
 
+  /** The DDL subtype string the canal AND simple codecs share
+    * (convertDdlEventType, canal/helper.go:211-243 ≡ getDDLType,
+    * simple/message.go:74-97), derived from the statement class:
+    * CREATE / RENAME / CINDEX / DINDEX / ERASE / TRUNCATE / ALTER,
+    * QUERY for schema-level and not-classified families. */
+  def ddlWireType(query: Column): Column = {
+    val cls = graft.operators.Filters.ddlClass(query)
+    when(cls === "create table", "CREATE")
+      .when(cls === "rename table", "RENAME")
+      .when(cls === "create index", "CINDEX")
+      .when(cls === "drop index", "DINDEX")
+      .when(cls === "drop table", "ERASE")
+      .when(cls === "truncate table", "TRUNCATE")
+      .when(cls.isin("add column", "drop column", "modify column",
+        "change column", "alter partition", "alter table", "recover table"), "ALTER")
+      .otherwise("QUERY")
+  }
+
+  /** Per-protocol DDL wire message over (_schema, _table, version_ts,
+    * query) rows — the reference encodes DDL per protocol, not in one
+    * common form:
+    *  - canal-JSON: the JSONMessage DDL shape (canal_json_encoder.go
+    *    :384-404 — isDdl true, canal EventType string, sql; null row
+    *    blocks) WITH the `_tidb` commitTs extension so consumers keep
+    *    the exact commit ts (es is ms-truncated);
+    *  - simple: the `message` struct with the DDL subtype as `type`
+    *    and the statement in `sql` (newDDLMessage, simple/message.go
+    *    :295-318; tableSchema omitted — the version-triggered
+    *    BOOTSTRAP handshake carries the live schema separately);
+    *  - other protocols fall back to the protocol-common form
+    *    ([[ddlMessage]]; open's two-part key/value DDL does not fit a
+    *    single-value transport without dropping the key). */
+  def ddlMessageFor(ddl: DataFrame, protocol: graft.model.Protocol): DataFrame =
+    protocol match {
+      case graft.model.Protocol.CanalJson =>
+        ddl.withColumn("_value", concat(
+          lit("{\"id\":0,\"database\":\""), col("_schema"),
+          lit("\",\"table\":\""), col("_table"),
+          lit("\",\"pkNames\":null,\"isDdl\":true,\"type\":\""),
+          ddlWireType(col("query")),
+          lit("\",\"es\":"), ms(col("version_ts")),
+          lit(",\"ts\":"), ms(col("version_ts")),
+          lit(",\"sql\":\""), jsonEscape(col("query")),
+          lit("\",\"sqlType\":null,\"mysqlType\":null,\"data\":null,\"old\":null,"),
+          lit("\"_tidb\":{\"commitTs\":"), col("version_ts"), lit("}}")))
+      case graft.model.Protocol.Simple =>
+        ddl.withColumn("_value", concat(
+          lit("{\"version\":1,\"type\":\""), ddlWireType(col("query")),
+          lit("\",\"sql\":\""), jsonEscape(col("query")),
+          lit("\",\"commitTs\":"), col("version_ts"),
+          lit(",\"buildTs\":"), ms(col("version_ts")), lit("}")))
+      case _ => ddlMessage(ddl)
+    }
+
   /** mysqlType + display length for a registry dataType string (the
     * handshake's dataType block needs both). */
   private def mysqlTypeOf(dt: String): (String, Int) = {

@@ -498,8 +498,11 @@ object Changefeed {
           }
           if (emitted.nonEmpty) {
             import spark.implicits._
-            Codecs.ddlMessage(
-                emitted.toDF("_schema", "_table", "version_ts", "query"))
+            // per-protocol encoding (codec/common/ddl.go dispatches to
+            // each protocol's own DDL message shape)
+            Codecs.ddlMessageFor(
+                emitted.toDF("_schema", "_table", "version_ts", "query"),
+                cfg.sink.protocol)
               .select(lit(0L).as("_partition"),
                 col("version_ts").as("_commit_ts"),
                 lit("ddl").as("_kind"), col("_value"))
