@@ -450,4 +450,40 @@ class DdlParserSpec extends SparkFunSuite {
     assert(reg.latest("app", "t").get.columns ==
       Seq(ColumnDef("id", "bigint"), ColumnDef("w", "varchar(8)", Some("d"))))
   }
+
+  test("dispatchDdlJob: the driver-side two-level decision table — discard " +
+      "unreplicated/other-ddl, ignore by class/regex, emit otherwise; " +
+      "renames rewrite or fail the feed; db-level DDLs always pass the " +
+      "table match") {
+    import graft.model.{DdlJobParser, FilterConfig}
+    import graft.streaming.Changefeed.dispatchDdlJob
+    val f = FilterConfig(rules = Seq("app.events_*", "!app.events_3"))
+    def job(q: String, s: String = "app", t: String = "events_1") =
+      DdlJobParser.DdlJob(1L, 0, s, t, q, 1L, 2L, 1L)
+    // emit: replicated table, whitelisted class
+    assert(dispatchDdlJob(job("ALTER TABLE events_1 ADD COLUMN c INT"), f)
+      == Some("ALTER TABLE events_1 ADD COLUMN c INT"))
+    // discard: filtered-out table
+    assert(dispatchDdlJob(job("DROP TABLE events_3", t = "events_3"), f).isEmpty)
+    // discard: never-replicated class even on a replicated table
+    assert(dispatchDdlJob(job("ANALYZE TABLE events_1"), f).isEmpty)
+    // ignore by class and by regex
+    assert(dispatchDdlJob(job("TRUNCATE TABLE events_1"), f,
+      ignoreClasses = Seq("truncate table")).isEmpty)
+    assert(dispatchDdlJob(job("CREATE INDEX idx ON events_1"), f,
+      ignoreSqlRegexps = Seq("^CREATE INDEX")).isEmpty)
+    // db-level: emitted regardless of the table matcher
+    assert(dispatchDdlJob(job("CREATE DATABASE other", t = ""), f)
+      == Some("CREATE DATABASE other"))
+    // rename decision table: pairs whose OLD name is replicated emit
+    // (out-of-feed targets still execute downstream, then leave the
+    // feed); both-filtered pairs are dropped from the rebuilt query
+    assert(dispatchDdlJob(job(
+      "RENAME TABLE events_1 TO events_2, zzz_1 TO zzz_2"), f)
+      == Some("RENAME TABLE `app`.`events_1` TO `app`.`events_2`"))
+    val e = intercept[IllegalStateException] {
+      dispatchDdlJob(job("RENAME TABLE legacy_x TO events_2"), f)
+    }
+    assert(e.getMessage.contains("CDC:ErrSyncRenameTableFailed"))
+  }
 }

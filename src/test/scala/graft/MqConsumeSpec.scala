@@ -327,6 +327,15 @@ class MqConsumeSpec extends SparkFunSuite {
     assert(b2.onBatch(Seq(("app", "t3") -> 1L), t0 + 20000L) == Seq(("app", "t3")))
     assert(b2.onBatch(Seq(("app", "t2") -> 1L), t0 + 21000L) == Seq(("app", "t2")),
       "t2 was gc'd while inactive, so its reappearance handshakes")
+    // version-triggered re-send (bootstraper.go:259): a schema-version
+    // change beats BOTH cadence windows; an unchanged version doesn't
+    val bv = new Bootstrapper(intervalSec = 100000L, msgCount = 100000000)
+    val k = ("app", "tv")
+    assert(bv.onBatch(Seq(k -> 1L), t0, versions = Map(k -> 10L)) == Seq(k))
+    assert(bv.onBatch(Seq(k -> 1L), t0 + 1000, versions = Map(k -> 10L)).isEmpty)
+    assert(bv.onBatch(Seq(k -> 1L), t0 + 2000, versions = Map(k -> 99L)) == Seq(k),
+      "a DDL's version bump must re-send within its own batch")
+    assert(bv.onBatch(Seq(k -> 1L), t0 + 3000, versions = Map(k -> 99L)).isEmpty)
     // either knob ≤ 0 disables (the negative-disables rule)
     assert(!new Bootstrapper(-1L, 100).enabled)
     assert(!new Bootstrapper(10L, 0).enabled)
