@@ -621,15 +621,37 @@ object Changefeed {
           // the fail_over_ddl window whose replay re-executes an
           // already-applied DDL (the ddl_reentrant contract)
           Failpoints.evalThrow("graft/changefeed/evolve-mysql-post-ddl")
-          val env = graft.operators.RawKvMounter.mountTablesPlan(
-            batch, holder.store.physicalPlan(keep = (s, t) =>
-              graft.operators.TableMatcher.matchesValue(
-                s, t, cfg.filter.rules, cfg.filter.caseSensitive)),
-            failOnCorruption = failOn)
-          graft.sinks.MysqlSink.applyBatch(
-            transform(spark, cfg)(env), cfg.handleKeys,
-            cfg.sink.numPartitions, cfg.sink.safeMode, prologue)(
-            graft.sinks.JdbcApplier.executeFor(url))
+          val plan = holder.store.physicalPlan(keep = (s, t) =>
+            graft.operators.TableMatcher.matchesValue(
+              s, t, cfg.filter.rules, cfg.filter.caseSensitive))
+          // HETEROGENEOUS shapes: the struct-shaped mount needs one
+          // payload type per pass, so the plan splits into shape
+          // GROUPS and each group mounts+applies separately — group
+          // count is census-sized (distinct shapes, not tables), and
+          // SQL statements render from each group's own StructType.
+          // Per-key ordering holds within every table; row-level mode
+          // never ordered across tables anyway (the reference's
+          // conflict-key parallelism).
+          val groups = plan.groupBy { case (_, segs) =>
+            segs.flatMap(_._2).lastOption
+              .map(graft.operators.RawKvMounter.payloadType).orNull
+          }.collect { case (pt, g) if pt != null => g }
+          groups.foreach { group =>
+            // each group's handle keys come from its own metas (every
+            // table of a group shares the payload shape, hence the
+            // key column names) — the per-table conflict key, like the
+            // reference's per-table causality keys
+            val groupKeys = group.valuesIterator
+              .flatMap(_.flatMap(_._2)).toSeq.headOption
+              .map(_.handleCols).getOrElse(cfg.handleKeys)
+            val gCfg = cfg.copy(handleKeys = groupKeys)
+            val env = graft.operators.RawKvMounter.mountTablesPlan(
+              batch, group, failOnCorruption = failOn)
+            graft.sinks.MysqlSink.applyBatch(
+              transform(spark, gCfg)(env), groupKeys,
+              cfg.sink.numPartitions, cfg.sink.safeMode, prologue)(
+              graft.sinks.JdbcApplier.executeFor(url))
+          }
         } finally batch.unpersist()
       }
       .option("checkpointLocation", checkpointDir)

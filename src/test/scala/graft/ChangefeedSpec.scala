@@ -918,22 +918,38 @@ class ChangefeedSpec extends SparkFunSuite {
     import graft.streaming.{Failpoints, TxnMatcher}
     import org.apache.spark.sql.Row
 
+    import graft.operators.RawKvMounter
+    import graft.operators.RawKvMounter.{KvColumn, KvTableMeta}
     val tmp = Files.createTempDirectory("graft-cf-evolve-mysql").toString
     val srcDir = s"$tmp/src"
     Files.createDirectories(java.nio.file.Paths.get(srcDir))
-    def jobJson(jid: Long, tpe: Int, q: String, ts: Long): Array[Byte] =
-      (s"""{"id":$jid,"type":$tpe,"schema_id":1,"table_id":900,""" +
-        s""""schema_name":"app","table_name":"t","state":4,""" +
-        s""""query":"$q","binlog":{"SchemaVersion":$ts,"TableInfo":{"id":900}},""" +
+    def jobJson(jid: Long, tpe: Int, q: String, ts: Long, tb: String,
+                tid: Long): Array[Byte] =
+      (s"""{"id":$jid,"type":$tpe,"schema_id":1,"table_id":$tid,""" +
+        s""""schema_name":"app","table_name":"$tb","state":4,""" +
+        s""""query":"$q","binlog":{"SchemaVersion":$ts,"TableInfo":{"id":$tid}},""" +
         s""""version":1}""").getBytes("UTF-8")
-    def jobEntry(jid: Long, tpe: Int, q: String, ts: Long): Seq[Row] = {
-      val (k, v) = DdlJobParser.encodeJobEntry(jid, jobJson(jid, tpe, q, ts), tpe)
+    def jobEntry(jid: Long, tpe: Int, q: String, ts: Long, tb: String = "t",
+                 tid: Long = 900L): Seq[Row] = {
+      val (k, v) = DdlJobParser.encodeJobEntry(jid, jobJson(jid, tpe, q, ts, tb, tid), tpe)
       Seq(Row(k, v, null, "put", "committed", ts - 1L, ts, 0L))
     }
     def rowPair(id: Long, cells: Seq[(Long, Long)], commitTs: Long): Seq[Row] = {
       val k = TiKvCodec.encodeRecordKey(900L, TiKvCodec.IntHandle(id))
       val v = TiKvCodec.encodeV2(cells.map { case (cid, x) =>
         cid -> Some(TiKvCodec.intCell(x)) })
+      Seq(
+        Row(k, v, null, "put", "prewrite", commitTs - 1L, 0L, 0L),
+        Row(k, null, null, "put", "commit", commitTs - 1L, commitTs, 0L))
+    }
+    // a SECOND table with a DIFFERENT shape riding the same feed — the
+    // per-shape-group mount+apply path
+    val metaU = KvTableMeta(910L, "app", "u",
+      Seq(KvColumn(1L, "id", "bigint", nullable = false),
+        KvColumn(2L, "label", "varchar(32)")), handleCol = "id")
+    def rowPairU(id: Long, label: String, commitTs: Long): Seq[Row] = {
+      val k = TiKvCodec.encodeRecordKey(910L, TiKvCodec.IntHandle(id))
+      val v = RawKvMounter.encodeImage(metaU, Seq(id, label))
       Seq(
         Row(k, v, null, "put", "prewrite", commitTs - 1L, 0L, 0L),
         Row(k, null, null, "put", "commit", commitTs - 1L, commitTs, 0L))
@@ -951,7 +967,10 @@ class ChangefeedSpec extends SparkFunSuite {
         java.nio.file.Paths.get(srcDir, f"f$fileSeq%03d.parquet"))
     }
     writeFile(jobEntry(1L, 3, "CREATE TABLE app.t (id BIGINT, v BIGINT)", 10L) ++
-      rowPair(1L, Seq(2L -> 10L), 50L) ++ rowPair(2L, Seq(2L -> 20L), 60L))
+      jobEntry(3L, 3, "CREATE TABLE app.u (id BIGINT, label VARCHAR(32))", 11L,
+        tb = "u", tid = 910L) ++
+      rowPair(1L, Seq(2L -> 10L), 50L) ++ rowPair(2L, Seq(2L -> 20L), 60L) ++
+      rowPairU(1L, "alpha", 55L))
     writeFile(jobEntry(2L, 5, "ALTER TABLE app.t ADD COLUMN k BIGINT DEFAULT 7", 100L) ++
       rowPair(3L, Seq(2L -> 30L, 3L -> 33L), 150L))
 
@@ -987,6 +1006,10 @@ class ChangefeedSpec extends SparkFunSuite {
     // row carries its wire value
     assert(applier.tableRows("app", "t", Seq("id", "v", "k")) ==
       Seq(Seq(1L, 10L, 7L), Seq(2L, 20L, 7L), Seq(3L, 30L, 33L)))
+    // the differently-shaped second table converged through its own
+    // shape group (heterogeneous MySQL replication, one feed)
+    assert(applier.tableRows("app", "u", Seq("id", "label")) ==
+      Seq(Seq(1L, "alpha")))
     // ddl_ts bookkeeping advanced to the ALTER's finishedTs
     assert(applier.tableRows("tidb_cdc", "ddl_ts_v1", Seq("changefeed", "ddl_ts"))
       == Seq(Seq("cf-evolve-mysql", 100L)))
