@@ -837,6 +837,7 @@ class ChangefeedSpec extends SparkFunSuite {
 
     val tmp = Files.createTempDirectory("graft-cf-fused").toString
     val srcDir = s"$tmp/src"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
     def jobJson(jid: Long, q: String, ts: Long, sc: String, tb: String,
                 tid: Long): Array[Byte] =
       (s"""{"id":$jid,"type":3,"schema_id":1,"table_id":$tid,""" +
@@ -861,15 +862,37 @@ class ChangefeedSpec extends SparkFunSuite {
         Row(k, v, null, "put", "prewrite", cts - 1L, 0L, 0L),
         Row(k, null, null, "put", "commit", cts - 1L, cts, 0L))
     }
-    val all =
+    val metaT2 = metaT.copy(columns =
+      metaT.columns :+ KvColumn(3L, "k", "bigint", default = Some("7")))
+    var fileSeq = 0
+    def writeFile(rows: Seq[Row]): Unit = {
+      fileSeq += 1
+      val stage = s"$tmp/stage-$fileSeq"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), TxnMatcher.uncommittedSchema)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, f"f$fileSeq%03d.parquet"))
+    }
+    writeFile(
       jobEntry(1L, "CREATE TABLE app.t (id BIGINT, v BIGINT)", 10L, "app", "t", 900L) ++
       jobEntry(2L, "CREATE TABLE app.u (id BIGINT, label VARCHAR(32))", 11L, "app", "u", 910L) ++
       rowPair(metaT, 1L, Seq(1L, 10L), 50L) ++
       rowPair(metaU, 1L, Seq(1L, "alpha"), 55L) ++
-      rowPair(metaT, 2L, Seq(2L, 20L), 60L)
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(all, 1), TxnMatcher.uncommittedSchema)
-      .coalesce(1).write.parquet(srcDir)
+      rowPair(metaT, 2L, Seq(2L, 20L), 60L))
+    // a mid-stream ALTER on ONE of the shapes: the fused path evolves
+    // per table — batch-2 t rows render with k, u rows untouched
+    writeFile({
+      val (k, v) = DdlJobParser.encodeJobEntry(5L,
+        (s"""{"id":5,"type":5,"schema_id":1,"table_id":900,""" +
+          s""""schema_name":"app","table_name":"t","state":4,""" +
+          s""""query":"ALTER TABLE app.t ADD COLUMN k BIGINT DEFAULT 7",""" +
+          s""""binlog":{"SchemaVersion":100,"TableInfo":{"id":900}},""" +
+          s""""version":1}""").getBytes("UTF-8"), 5)
+      Seq(Row(k, v, null, "put", "committed", 99L, 100L, 0L))
+    } ++ rowPair(metaT2, 3L, Seq(3L, 30L, 33L), 150L))
 
     val cfg = ChangefeedConfig(id = "cf-fused",
       filter = FilterConfig(rules = Seq("app.*")), handleKeys = Seq("id"),
@@ -877,15 +900,17 @@ class ChangefeedSpec extends SparkFunSuite {
     // WITHOUT fused wire this feed is impossible: the shared-payload
     // require trips on the two shapes
     val q = Changefeed.runMqFromRaw2pcEvolving(spark, cfg,
-      spark.readStream.schema(TxnMatcher.uncommittedSchema).parquet(srcDir),
+      spark.readStream.schema(TxnMatcher.uncommittedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
       SchemaStore(), s"$tmp/sink", s"$tmp/ckpt",
       matcherGcMs = 600000L, fusedWire = true)
-    q.awaitTermination(120000)
+    q.awaitTermination(180000)
     if (q.isActive) q.stop()
 
     val got = spark.read.parquet(s"$tmp/sink").filter(col("_kind") === "row")
       .select("_value").collect().map(_.getString(0)).toSet
-    // golden: each table mounted struct-shaped on its own, then the
+    // golden: each table mounted struct-shaped on its own (versioned
+    // for the ALTERed one, per batch knowledge horizon), then the
     // columnar generic canal encoder — the per-table feeds' union
     val rawSchema = org.apache.spark.sql.types.StructType(
       TxnMatcher.committedSchema.fields)
@@ -899,15 +924,22 @@ class ChangefeedSpec extends SparkFunSuite {
       graft.functions.Codecs.canalJsonFor(
           RawKvMounter.mountTables(committed(m, rows), Seq(m)), m.handleCols)
         .select("_value").collect().map(_.getString(0)).toSet
+    def feedVersioned(rows: Seq[(Long, Seq[Any], Long)], enc: KvTableMeta) =
+      graft.functions.Codecs.canalJsonFor(
+          RawKvMounter.mountTableVersioned(committed(enc, rows),
+            Seq(10L -> metaT, 100L -> metaT2))
+            .withColumn("_row_id", col("after.id")), Seq("id"))
+        .select("_value").collect().map(_.getString(0)).toSet
     val expected =
       feed(metaT, Seq((1L, Seq(1L, 10L), 50L), (2L, Seq(2L, 20L), 60L))) ++
-      feed(metaU, Seq((1L, Seq(1L, "alpha"), 55L)))
+      feed(metaU, Seq((1L, Seq(1L, "alpha"), 55L))) ++
+      feedVersioned(Seq((3L, Seq(3L, 30L, 33L), 150L)), metaT2)
     assert(got == expected,
       s"fused wire must equal the per-table union:\nonly-fused ${got.diff(expected)}" +
         s"\nonly-expected ${expected.diff(got)}")
-    // both CREATEs also shipped as DDL wire messages
+    // both CREATEs AND the ALTER shipped as (canal-form) DDL messages
     assert(MqConsume.wireDdls(spark.read.parquet(s"$tmp/sink")
-      .select(col("_value"))).map(_._3).sorted == Seq("t", "u"))
+      .select(col("_value"))).map(_._3) == Seq("t", "u", "t"))
   }
 
   test("raw-2PC -> MySQL evolving composition: a wire CREATE builds the " +
