@@ -549,9 +549,34 @@ object Changefeed {
               df = graft.operators.Filters.eventTypeFilter(df, f.ignoreOps)
               df = graft.operators.Filters.startTsFilter(df, f.ignoreTxnStartTs)
               graft.operators.Routing.partitionByTable(df, cfg.sink.numPartitions)
-            } else pipeline(spark, cfg)(
-              graft.operators.RawKvMounter.mountTablesPlan(
-                batch, plan, failOnCorruption = false))
+            } else {
+              // struct path over possibly HETEROGENEOUS shapes: split
+              // the plan into payload-shape groups (census-sized),
+              // run the full pipeline per group, union the ENCODED
+              // frames (homogeneous after encoding) so the batch still
+              // sinks once — one resolved message, one bootstrap pass.
+              // Large-message handling re-reads images post-encode, so
+              // multi-group requires it disabled (use fusedWire or
+              // per-shape feeds for oversize+hetero).
+              val groups = plan.groupBy { case (_, segs) =>
+                segs.flatMap(_._2).lastOption
+                  .map(graft.operators.RawKvMounter.payloadType).orNull
+              }.collect { case (pt, g) if pt != null => g }.toSeq
+              require(groups.nonEmpty,
+                "mountTablesPlan: no mountable segment") // pre-group parity
+              require(groups.size <= 1 || cfg.sink.largeMessageHandle.disabled,
+                "heterogeneous shapes with large-message handling need " +
+                  "fusedWire or per-shape feeds")
+              val encodedGroups = groups.map { group =>
+                val df = pipeline(spark, cfg)(
+                  graft.operators.RawKvMounter.mountTablesPlan(
+                    batch, group, failOnCorruption = false))
+                if (groups.size == 1) df
+                else df.select(col("_schema"), col("_table"), col("_partition"),
+                  col("_commit_ts"), col("_value"))
+              }
+              encodedGroups.reduce(_.unionByName(_))
+            }
           sinkMqBatch(cfg, bootstrapper, bootstrapOn, sinkDir,
             liveBootstrapValue, liveVersion)(encoded, batchId)
           // compaction at checkpoint-advance cadence: a resolved ts

@@ -942,6 +942,84 @@ class ChangefeedSpec extends SparkFunSuite {
       .select(col("_value"))).map(_._3) == Seq("t", "u", "t"))
   }
 
+  test("heterogeneous shapes on the STRUCT path: the evolving MQ feed splits " +
+      "the plan into payload-shape groups, runs the full pipeline per group, " +
+      "and sinks ONE batch (one resolved message set) — wire equals the " +
+      "per-table feeds' union") {
+    import graft.operators.RawKvMounter
+    import graft.operators.RawKvMounter.{KvColumn, KvTableMeta}
+    import graft.streaming.TxnMatcher
+    import org.apache.spark.sql.Row
+
+    val tmp = Files.createTempDirectory("graft-cf-hetero-struct").toString
+    val srcDir = s"$tmp/src"
+    def jobEntry(jid: Long, q: String, ts: Long, tb: String, tid: Long): Seq[Row] = {
+      val meta = (s"""{"id":$jid,"type":3,"schema_id":1,"table_id":$tid,""" +
+        s""""schema_name":"app","table_name":"$tb","state":4,""" +
+        s""""query":"$q","binlog":{"SchemaVersion":$ts,"TableInfo":{"id":$tid}},""" +
+        s""""version":1}""").getBytes("UTF-8")
+      val (k, v) = DdlJobParser.encodeJobEntry(jid, meta, 3)
+      Seq(Row(k, v, null, "put", "committed", ts - 1L, ts, 0L))
+    }
+    val metaT = KvTableMeta(900L, "app", "t",
+      Seq(KvColumn(1L, "id", "bigint", nullable = false),
+        KvColumn(2L, "v", "bigint")), handleCol = "id")
+    val metaU = KvTableMeta(910L, "app", "u",
+      Seq(KvColumn(1L, "id", "bigint", nullable = false),
+        KvColumn(2L, "label", "varchar(32)")), handleCol = "id")
+    def pair(m: KvTableMeta, id: Long, p: Seq[Any], cts: Long): Seq[Row] = {
+      val k = TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(id))
+      Seq(
+        Row(k, RawKvMounter.encodeImage(m, p), null, "put", "prewrite", cts - 1L, 0L, 0L),
+        Row(k, null, null, "put", "commit", cts - 1L, cts, 0L))
+    }
+    val all =
+      jobEntry(1L, "CREATE TABLE app.t (id BIGINT, v BIGINT)", 10L, "t", 900L) ++
+      jobEntry(2L, "CREATE TABLE app.u (id BIGINT, label VARCHAR(32))", 11L, "u", 910L) ++
+      pair(metaT, 1L, Seq(1L, 10L), 50L) ++
+      pair(metaU, 1L, Seq(1L, "alpha"), 55L) ++
+      pair(metaT, 2L, Seq(2L, 20L), 60L)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(all, 1), TxnMatcher.uncommittedSchema)
+      .coalesce(1).write.parquet(srcDir)
+
+    val cfg = ChangefeedConfig(id = "cf-hetero-struct",
+      filter = FilterConfig(rules = Seq("app.*")), handleKeys = Seq("id"),
+      sink = SinkConfig(protocol = Protocol.CanalJson, numPartitions = 2))
+    val q = Changefeed.runMqFromRaw2pcEvolving(spark, cfg,
+      spark.readStream.schema(TxnMatcher.uncommittedSchema).parquet(srcDir),
+      SchemaStore(), s"$tmp/sink", s"$tmp/ckpt", matcherGcMs = 600000L)
+    q.awaitTermination(120000)
+    if (q.isActive) q.stop()
+
+    val sunk = spark.read.parquet(s"$tmp/sink")
+    val got = sunk.filter(col("_kind") === "row")
+      .select("_value").collect().map(_.getString(0)).toSet
+    val rawSchema = org.apache.spark.sql.types.StructType(
+      TxnMatcher.committedSchema.fields)
+    def feed(m: KvTableMeta, rows: Seq[(Long, Seq[Any], Long)]) =
+      graft.functions.Codecs.canalJsonFor(
+          RawKvMounter.mountTables(
+            spark.createDataFrame(spark.sparkContext.parallelize(rows.map {
+              case (id, p, cts) =>
+                Row(TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(id)),
+                  RawKvMounter.encodeImage(m, p), null, "put", cts - 1L, cts)
+            }, 1), rawSchema), Seq(m)), m.handleCols)
+        .select("_value").collect().map(_.getString(0)).toSet
+    val expected =
+      feed(metaT, Seq((1L, Seq(1L, 10L), 50L), (2L, Seq(2L, 20L), 60L))) ++
+      feed(metaU, Seq((1L, Seq(1L, "alpha"), 55L)))
+    assert(got == expected,
+      s"struct-path hetero wire must equal the per-table union:\n" +
+        s"only-got ${got.diff(expected)}\nonly-exp ${expected.diff(got)}")
+    // ONE batch → exactly numPartitions resolved messages, covering
+    // BOTH shape groups' rows (the union sinks once)
+    val resolved = sunk.filter(col("_kind") === "resolved")
+    assert(resolved.count() == cfg.sink.numPartitions.toLong,
+      s"one resolved set per batch: ${resolved.count()}")
+    assert(resolved.agg(max(col("_commit_ts"))).head().getLong(0) == 60L)
+  }
+
   test("raw-2PC -> MySQL evolving composition: a wire CREATE builds the " +
       "downstream table, a mid-stream ALTER executes there under ddl_ts_v1 " +
       "bookkeeping BEFORE the batch's rows, Derby state converges to the " +
