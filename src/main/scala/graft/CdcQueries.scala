@@ -438,6 +438,30 @@ object CdcQueries {
           col("after.value").as("value"), col("after.props").as("props"))
     }),
 
+    // CONVERT TO CHARACTER SET as an oracle row (TableInfo-version-only
+    // action 22 folded, persist_storage_ddl_handlers.go:247-318): a
+    // mysql-native table stores utf8 bytes before the convert and GBK
+    // bytes after; the store's version boundary makes BOTH decode to
+    // the same text — identity against the DuckDB label recompute
+    "q_kv_mount_convert" -> ((s, d) => {
+      import graft.model.{DdlJobParser, SchemaStore}
+      val ev = Tables.events(s, d)
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2L
+      val raw = RawKvQuery.encodeConvert(ev, cut)
+      val store = SchemaStore().applyJobs(Seq(
+        DdlJobParser.DdlJob(1L, 3, "app", "events_cvt",
+          "CREATE TABLE app.events_cvt (event_id BIGINT, label VARCHAR(64))",
+          -1L, 0L, 1L, 105L, 105L),
+        DdlJobParser.DdlJob(2L, 22, "app", "events_cvt",
+          "ALTER TABLE app.events_cvt CONVERT TO CHARACTER SET gbk",
+          cut, cut + 1L, 2L, 105L, 105L)))
+      RawKvMounter.mountTablesPlan(raw,
+          store.physicalPlan(dialect = "mysql-native"))
+        .select(col("after.event_id").as("event_id"),
+          col("after.label").as("label"))
+    }),
+
     "q_kv_mount_versioned" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
@@ -964,6 +988,12 @@ object CdcQueries {
         |  user_id, event_type, value, props
         |FROM events""".stripMargin,
 
+    "q_kv_mount_convert" ->
+      """SELECT event_id,
+        |  CASE event_id % 4 WHEN 0 THEN '测试' WHEN 1 THEN '中国'
+        |       WHEN 2 THEN '上海' ELSE '你好,世界' END AS label
+        |FROM events""".stripMargin,
+
     "q_kv_mount_hetero" ->
       """SELECT CASE WHEN event_id % 2 = 0 THEN 'events_wide' ELSE 'events_tag' END AS _table,
         |  event_id AS _row_id, epoch_ns(ts) AS _commit_ts,
@@ -1191,6 +1221,29 @@ object RawKvQuery {
             TiKvCodec.encodeRecordKey(m.tableId, TiKvCodec.IntHandle(id)),
             RawKvMounter.encodeImage(m, Seq(id, label, note)),
             null, "put", 9L, 10L)
+        }
+      }(Encoders.row(rawSchema))
+  }
+
+  /** Rows for a table whose charset CONVERTS mid-corpus under the
+    * mysql-native dialect: the writer stored utf8 bytes before the
+    * convert and GBK bytes after — what `ALTER TABLE .. CONVERT TO
+    * CHARACTER SET` means for a native-MySQL upstream. Cell bytes are
+    * hand-encoded (id 1 int, id 2 the charset bytes). */
+  def encodeConvert(events: DataFrame, cutTs: Long): DataFrame = {
+    val cut = cutTs
+    events.select("event_id", "ts")
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0); val ts = r.getLong(1)
+          val label = gbkLabel(id)
+          val bytes =
+            if (ts <= cut) label.getBytes("UTF-8") else label.getBytes("GBK")
+          Row(
+            TiKvCodec.encodeRecordKey(105L, TiKvCodec.IntHandle(id)),
+            TiKvCodec.encodeV2(Seq(
+              1L -> Some(TiKvCodec.intCell(id)), 2L -> Some(bytes))),
+            null, "put", ts - 1L, ts)
         }
       }(Encoders.row(rawSchema))
   }
