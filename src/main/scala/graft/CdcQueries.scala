@@ -462,6 +462,28 @@ object CdcQueries {
           col("after.label").as("label"))
     }),
 
+    // SET DEFAULT (TableInfo-version-only action 15) as an oracle row:
+    // rows OMITTING the cell default-fill with the text of the meta
+    // as-of their OWN commit ts — 'a' before the SET DEFAULT boundary,
+    // 'b' after; rows carrying the cell are untouched
+    "q_kv_mount_setdefault" -> ((s, d) => {
+      import graft.model.{DdlJobParser, SchemaStore}
+      val ev = Tables.events(s, d)
+      val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
+      val cut = mm.getLong(0) + (mm.getLong(1) - mm.getLong(0)) / 2L
+      val raw = RawKvQuery.encodeSetDefault(ev)
+      val store = SchemaStore().applyJobs(Seq(
+        DdlJobParser.DdlJob(1L, 3, "app", "events_dflt",
+          "CREATE TABLE app.events_dflt (event_id BIGINT, label VARCHAR(64) DEFAULT 'a')",
+          -1L, 0L, 1L, 106L, 106L),
+        DdlJobParser.DdlJob(2L, 15, "app", "events_dflt",
+          "ALTER TABLE app.events_dflt ALTER COLUMN label SET DEFAULT 'b'",
+          cut, cut + 1L, 2L, 106L, 106L)))
+      RawKvMounter.mountTablesPlan(raw, store.physicalPlan())
+        .select(col("after.event_id").as("event_id"),
+          col("after.label").as("label"))
+    }),
+
     "q_kv_mount_versioned" -> ((s, d) => {
       val ev = Tables.events(s, d)
       val mm = ev.agg(min(col("ts")), max(col("ts"))).head()
@@ -988,6 +1010,16 @@ object CdcQueries {
         |  user_id, event_type, value, props
         |FROM events""".stripMargin,
 
+    "q_kv_mount_setdefault" ->
+      """WITH cut AS (
+        |  SELECT MIN(epoch_ns(ts)) + (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts))) // 2 AS c
+        |  FROM events)
+        |SELECT event_id,
+        |  CASE WHEN event_id % 3 = 0 THEN event_type
+        |       WHEN epoch_ns(ts) <= (SELECT c FROM cut) THEN 'a'
+        |       ELSE 'b' END AS label
+        |FROM events""".stripMargin,
+
     "q_kv_mount_convert" ->
       """SELECT event_id,
         |  CASE event_id % 4 WHEN 0 THEN '测试' WHEN 1 THEN '中国'
@@ -1247,6 +1279,27 @@ object RawKvQuery {
         }
       }(Encoders.row(rawSchema))
   }
+
+  /** Rows for the SET DEFAULT oracle: a third of the corpus carries a
+    * real label cell; the rest OMIT the cell entirely (absent ≠ null),
+    * so the as-of meta's default text fills them — which text depends
+    * on which side of the SET DEFAULT boundary the row committed. */
+  def encodeSetDefault(events: DataFrame): DataFrame =
+    events.select("event_id", "ts", "event_type")
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0); val ts = r.getLong(1)
+          val label: Seq[(Long, Option[Array[Byte]])] =
+            if (id % 3L == 0L)
+              Seq(2L -> Some(r.getString(2).getBytes("UTF-8")))
+            else Nil
+          val cells: Seq[(Long, Option[Array[Byte]])] =
+            (1L -> Some(TiKvCodec.intCell(id))) +: label
+          Row(
+            TiKvCodec.encodeRecordKey(106L, TiKvCodec.IntHandle(id)),
+            TiKvCodec.encodeV2(cells), null, "put", ts - 1L, ts)
+        }
+      }(Encoders.row(rawSchema))
 
   /** events → UNCOMMITTED 2PC entries for the txn matcher
     * (logservice/logpuller/txn_matcher.go semantics): every event
