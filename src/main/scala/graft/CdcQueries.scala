@@ -462,6 +462,20 @@ object CdcQueries {
           col("after.label").as("label"))
     }),
 
+    // the all-mismatch circuit breaker's INPUT as an oracle row: the
+    // per-batch checksum census counts verified-ok vs bad images over
+    // the mount plan — a deterministic corrupted slice must land
+    // exactly in n_bad (one bad among good → ErrCorruptedDataMutation;
+    // ALL bad → the domain-suspect feed warning)
+    "q_checksum_census" -> ((s, d) => {
+      val raw = RawKvQuery.encodeCensus(Tables.events(s, d))
+      val plan = Map(RawKvQuery.censusMeta.tableId ->
+        Seq(0L -> Option(RawKvQuery.censusMeta)))
+      val (ok, bad) = RawKvMounter.checksumCensus(raw, plan)
+      import s.implicits._
+      Seq((ok, bad)).toDF("n_ok", "n_bad")
+    }),
+
     // SET DEFAULT (TableInfo-version-only action 15) as an oracle row:
     // rows OMITTING the cell default-fill with the text of the meta
     // as-of their OWN commit ts — 'a' before the SET DEFAULT boundary,
@@ -1010,6 +1024,11 @@ object CdcQueries {
         |  user_id, event_type, value, props
         |FROM events""".stripMargin,
 
+    "q_checksum_census" ->
+      """SELECT CAST(SUM(CASE WHEN event_id % 89 <> 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_ok,
+        |  CAST(SUM(CASE WHEN event_id % 89 = 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad
+        |FROM events""".stripMargin,
+
     "q_kv_mount_setdefault" ->
       """WITH cut AS (
         |  SELECT MIN(epoch_ns(ts)) + (MAX(epoch_ns(ts)) - MIN(epoch_ns(ts))) // 2 AS c
@@ -1298,6 +1317,27 @@ object RawKvQuery {
           Row(
             TiKvCodec.encodeRecordKey(106L, TiKvCodec.IntHandle(id)),
             TiKvCodec.encodeV2(cells), null, "put", ts - 1L, ts)
+        }
+      }(Encoders.row(rawSchema))
+
+  /** Meta + rows for the checksum-census oracle: every row carries a
+    * v1 RAW-BYTES checksum; a deterministic slice (event_id % 89 == 5)
+    * is corrupted, the rest verify. */
+  val censusMeta: KvTableMeta = KvTableMeta(107L, "app", "events_census",
+    Seq(KvColumn(1L, "event_id", "bigint", nullable = false),
+      KvColumn(2L, "k", "bigint")), handleCol = "event_id")
+
+  def encodeCensus(events: DataFrame): DataFrame =
+    events.select("event_id", "ts")
+      .mapPartitions { it =>
+        it.map { r =>
+          val id = r.getLong(0); val ts = r.getLong(1)
+          val key = TiKvCodec.encodeRecordKey(107L, TiKvCodec.IntHandle(id))
+          val v = TiKvCodec.encodeV2RawChecksummed(
+            Seq(1L -> Some(TiKvCodec.intCell(id)),
+              2L -> Some(TiKvCodec.intCell(id % 7L))),
+            key, version = 1, corrupt = id % 89L == 5L)
+          Row(key, v, null, "put", ts - 1L, ts)
         }
       }(Encoders.row(rawSchema))
 
