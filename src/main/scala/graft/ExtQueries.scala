@@ -60,6 +60,48 @@ object ExtQueries {
         col("after.k").as("after_k"))
     }),
 
+    "q_open_batch" -> ((s, d) => {
+      // the reference's REAL Kafka wire: many events per message under
+      // the batch framing (open/encoder.go:40-224) — pack per
+      // partition in commit order, unpack, decode; batch coordinates
+      // must land exactly where the greedy count rule puts them
+      val routed = graft.operators.Routing
+        .partitionByKeyColumns(env(s, d), Seq("user_id"), 4)
+      val msgs = Codecs.openProtocol(routed)
+      val packed = graft.functions.OpenBatch.packOpenBatches(msgs, maxBatchSize = 7)
+      val unpacked = graft.functions.OpenBatch.unpackOpenBatches(packed)
+      Decoders.decodeOpen(unpacked,
+        carry = Seq("_partition", "_batch_seq", "_batch_idx"))
+        .select(
+          col("_partition"),
+          col("_batch_seq").cast("long").as("_batch_seq"),
+          col("_batch_idx").cast("long").as("_batch_idx"),
+          col("_schema"), col("_table"), col("_commit_ts"), col("_op"),
+          col("before.user_id").as("before_user_id"),
+          col("before.value").as("before_value"),
+          col("before.k").as("before_k"),
+          col("after.user_id").as("after_user_id"),
+          col("after.value").as("after_value"),
+          col("after.k").as("after_k"))
+    }),
+
+    "q_open_batch_frame" -> ((s, d) => {
+      // byte-level framing check: each message's key/value byte
+      // lengths are fully determined by the wire spec (8-byte version
+      // head + per-event 8-byte length prefixes) — the oracle
+      // recomputes them from the reconstructed JSON text
+      val routed = graft.operators.Routing
+        .partitionByKeyColumns(env(s, d), Seq("user_id"), 4)
+      val msgs = Codecs.openProtocol(routed)
+      graft.functions.OpenBatch.packOpenBatches(msgs, maxBatchSize = 7)
+        .select(
+          col("_partition"),
+          col("_batch_seq").cast("long").as("_batch_seq"),
+          col("_batch_rows").cast("long").as("_batch_rows"),
+          length(col("_key_bytes")).cast("long").as("key_len"),
+          length(col("_value_bytes")).cast("long").as("value_len"))
+    }),
+
     "q_roundtrip_csv" -> ((s, d) =>
       Decoders.decodeCsv(Codecs.csvLine(env(s, d)))),
 
@@ -651,6 +693,44 @@ object ExtQueries {
          |  ${recovered("before")},
          |  ${recovered("after")}
          |FROM env""".stripMargin),
+
+    "q_open_batch" -> q(
+      s""", part AS (
+         |  SELECT *, ${graft.operators.Routing.stableHashSql(Seq("_schema", "_table",
+              "CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END"))} % 4 AS _partition
+         |  FROM env),
+         |seq AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY _partition ORDER BY _commit_ts, _row_id) - 1 AS rn
+         |  FROM part)
+         |SELECT _partition, rn // 7 AS _batch_seq, rn % 7 AS _batch_idx,
+         |  _schema, _table, _commit_ts, _op,
+         |  ${recovered("before")},
+         |  ${recovered("after")}
+         |FROM seq""".stripMargin),
+
+    "q_open_batch_frame" -> q(
+      s""", part AS (
+         |  SELECT *, ${graft.operators.Routing.stableHashSql(Seq("_schema", "_table",
+              "CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END"))} % 4 AS _partition
+         |  FROM env),
+         |msg AS (
+         |  SELECT _partition, _commit_ts, _row_id,
+         |    '{"ts":' || CAST(_commit_ts AS VARCHAR) || ',"scm":"' || _schema ||
+         |      '","tbl":"' || _table || '","t":1}' AS kj,
+         |    CASE WHEN _op = 'I' THEN '{"u":' || ${CdcQueries.imgSqlPublic("after")} || '}'
+         |         WHEN _op = 'U' THEN '{"u":' || ${CdcQueries.imgSqlPublic("after")} || ',"p":' || ${CdcQueries.imgSqlPublic("before")} || '}'
+         |         ELSE '{"d":' || ${CdcQueries.imgSqlPublic("before")} || '}' END AS vj
+         |  FROM part),
+         |seq AS (
+         |  SELECT *, ROW_NUMBER() OVER (
+         |    PARTITION BY _partition ORDER BY _commit_ts, _row_id) - 1 AS rn
+         |  FROM msg)
+         |SELECT _partition, rn // 7 AS _batch_seq,
+         |  CAST(COUNT(*) AS BIGINT) AS _batch_rows,
+         |  CAST(8 + SUM(8 + strlen(kj)) AS BIGINT) AS key_len,
+         |  CAST(SUM(8 + strlen(vj)) AS BIGINT) AS value_len
+         |FROM seq GROUP BY 1, 2""".stripMargin),
 
     "q_roundtrip_simple" -> q(
       s"""SELECT _schema, _table, _commit_ts, _op,

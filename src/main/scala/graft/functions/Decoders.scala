@@ -101,14 +101,19 @@ object Decoders {
   /** Open-protocol key+value → envelope-ish frame for the fixture
     * payload (exact commit-ts: the open key carries full ns). */
   def decodeOpen(msgs: DataFrame, keyCol: String = "_key",
-                 valueCol: String = "_value"): DataFrame =
-    decodeOpenFor(msgs, imageSchema, keyCol, valueCol)
+                 valueCol: String = "_value",
+                 carry: Seq[String] = Nil): DataFrame =
+    decodeOpenFor(msgs, imageSchema, keyCol, valueCol, carry)
 
   /** Open-protocol decode over an arbitrary wire image schema
-    * (consumer side of Codecs.openProtocolFor; open/decoder.go:817). */
+    * (consumer side of Codecs.openProtocolFor; open/decoder.go:817).
+    * `carry` names transport-level columns to keep alongside the
+    * decoded envelope (e.g. batch coordinates from
+    * [[graft.functions.OpenBatch.unpackOpenBatches]]). */
   def decodeOpenFor(msgs: DataFrame, image: StructType,
                     keyCol: String = "_key",
-                    valueCol: String = "_value"): DataFrame = {
+                    valueCol: String = "_value",
+                    carry: Seq[String] = Nil): DataFrame = {
     val openValueSchema = StructType(Seq(
       StructField("u", image), StructField("p", image),
       StructField("d", image)))
@@ -119,14 +124,15 @@ object Decoders {
       .withColumn("__k", from_json(col(keyCol), openKeySchema))
       .withColumn("__v", from_json(col(valueCol), openValueSchema, wireOptions))
       .select(
-      k.getField("scm").as("_schema"),
-      k.getField("tbl").as("_table"),
-      k.getField("ts").as("_commit_ts"),
+      k.getField("scm").as("_schema") +:
+      k.getField("tbl").as("_table") +:
+      k.getField("ts").as("_commit_ts") +:
       when(v.getField("d").isNotNull, "D")
         .when(v.getField("p").isNotNull, "U")
-        .otherwise("I").as("_op"),
-      coalesce(v.getField("p"), v.getField("d")).as("before"),
-      v.getField("u").as("after"))
+        .otherwise("I").as("_op") +:
+      coalesce(v.getField("p"), v.getField("d")).as("before") +:
+      v.getField("u").as("after") +:
+      carry.map(col): _*)
   }
 
   private def debeziumSchemaFor(image: StructType) = StructType(Seq(
