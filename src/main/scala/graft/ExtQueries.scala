@@ -224,6 +224,17 @@ object ExtQueries {
       Codecs.ddlMessageFor(ddlFixture(s, d), graft.model.Protocol.CanalJson)),
     "q_encode_ddl_simple" -> ((s, d) =>
       Codecs.ddlMessageFor(ddlFixture(s, d), graft.model.Protocol.Simple)),
+    // debezium schema-change events (dbzCodec.EncodeDDLEvent): the
+    // payload form (schema block spec-pinned in DebeziumDdlSpec) over
+    // the same rotating statement fixture; tableChanges carries the
+    // fixture table's definition, DROP renders table:null, TRUNCATE an
+    // empty array
+    "q_encode_ddl_debezium" -> ((s, d) =>
+      Codecs.ddlMessageFor(ddlFixture(s, d), graft.model.Protocol.Debezium,
+        tableFor = (_, _) => Some(debeziumDdlTable),
+        debeziumDisableSchema = true)
+        .select(col("_schema"), col("_table"), col("version_ts"),
+          col("query"), col("_key"), col("_value"))),
 
     "q_materialize" -> ((s, d) =>
       graft.operators.Materialize.tableState(env(s, d))),
@@ -627,6 +638,17 @@ object ExtQueries {
         .cache()
     })
 
+  /** The debezium DDL fixture table — the envelope payload's shape
+    * (shared between q_encode_ddl_debezium's tableFor and the oracle's
+    * interpolated table block, so the two sides cannot drift). */
+  private[graft] lazy val debeziumDdlTable: graft.model.MySqlDdl.MySqlTable = {
+    import graft.model.MySqlDdl.{MySqlCol, MySqlTable}
+    MySqlTable("app", "t", Seq(
+      MySqlCol("user_id", "bigint", notNull = true, pk = true),
+      MySqlCol("value", "double"),
+      MySqlCol("k", "bigint")))
+  }
+
   /** Rotating DDL statement fixture (shared with the oracle below).
     * Selector uses the µs digit of the version ts (commit ts is
     * µs-truncated ns, so `ts % 5` alone would always be 0). */
@@ -863,6 +885,39 @@ object ExtQueries {
         |  '","commitTs":' || CAST(version_ts AS VARCHAR) ||
         |  ',"buildTs":' || CAST(version_ts // 1000000 AS VARCHAR) || '}' AS _value
         |FROM ddl""".stripMargin),
+
+    "q_encode_ddl_debezium" -> q(
+      s""", ddl AS (
+         |  SELECT _schema, _table, _commit_ts AS version_ts,
+         |    CASE (_commit_ts % 5000) // 1000
+         |      WHEN 0 THEN 'CREATE TABLE ' || _table
+         |      WHEN 1 THEN 'ALTER TABLE ' || _table || ' ADD COLUMN c INT'
+         |      WHEN 2 THEN 'DROP TABLE ' || _table
+         |      WHEN 3 THEN 'TRUNCATE TABLE ' || _table
+         |      ELSE 'CREATE INDEX idx ON ' || _table END AS query,
+         |    CASE (_commit_ts % 5000) // 1000
+         |      WHEN 0 THEN 'CREATE' WHEN 1 THEN 'ALTER' WHEN 2 THEN 'DROP'
+         |      WHEN 3 THEN 'DROP' ELSE 'ALTER' END AS ct,
+         |    (_commit_ts % 5000) // 1000 AS sel
+         |  FROM env WHERE _row_id % 97 = 0
+         |)
+         |SELECT _schema, _table, version_ts, query,
+         |  '{"payload":{"databaseName":"' || _schema || '"}}' AS _key,
+         |  '{"payload":{"source":{"version":"2.4.0.Final","connector":"TiCDC","name":"graft","ts_ms":' ||
+         |    CAST(version_ts // 1000000 AS VARCHAR) ||
+         |    ',"snapshot":"false","db":"' || _schema ||
+         |    '","table":"' || _table ||
+         |    '","server_id":0,"gtid":null,"file":"","pos":0,"row":0,"thread":0,"query":null,"commit_ts":' ||
+         |    CAST(version_ts AS VARCHAR) || ',"cluster_id":"graft"},"ts_ms":' ||
+         |    CAST(version_ts // 1000000 AS VARCHAR) ||
+         |    ',"databaseName":"' || _schema ||
+         |    '","schemaName":null,"ddl":"' || query || '","tableChanges":' ||
+         |    CASE WHEN sel = 3 THEN '[]'
+         |         WHEN sel = 2 THEN '[{"type":"DROP","id":"\\"' || _schema || '\\".\\"' || _table || '\\"","table":null}]'
+         |         ELSE '[{"type":"' || ct || '","id":"\\"' || _schema || '\\".\\"' || _table ||
+         |           '\\"","table":${graft.functions.DebeziumFull.ddlTableBlockJson(debeziumDdlTable)}}]'
+         |    END || '}}' AS _value
+         |FROM ddl""".stripMargin),
 
     "q_roundtrip_avro" -> q("SELECT * FROM env"),
 

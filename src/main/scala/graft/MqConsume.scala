@@ -155,6 +155,7 @@ object MqConsume {
     msgs.filter(
         col("_value").startsWith("{\"type\":\"DDL\"") ||
         col("_value").contains("\"isDdl\":true") ||
+        col("_value").contains("\"tableChanges\":") ||
         (col("_value").startsWith("{\"version\":1,\"type\":\"") &&
           col("_value").contains("\"sql\":\"")))
       .select(col("_value")).collect().map { r =>
@@ -165,7 +166,16 @@ object MqConsume {
             .map(_.asLong(0L)).getOrElse(
               Option(n.get("es")).map(_.asLong(0L) * 1000000L).getOrElse(0L)),
             s("database"), s("table"), s("sql"))
-        else if (n.has("sql")) // simple form (schema rides the handshake)
+        else if (n.has("payload")) { // debezium schema-change form
+          val p = n.get("payload")
+          def ps(k: String) = Option(p.get(k)).map(_.asText("")).getOrElse("")
+          (Option(p.get("source")).flatMap(src => Option(src.get("commit_ts")))
+            .map(_.asLong(0L)).getOrElse(0L),
+            ps("databaseName"),
+            Option(p.get("source")).flatMap(src => Option(src.get("table")))
+              .map(_.asText("")).getOrElse(""),
+            ps("ddl"))
+        } else if (n.has("sql")) // simple form (schema rides the handshake)
           (Option(n.get("commitTs")).map(_.asLong(0L)).getOrElse(0L),
             s("database"), s("table"), s("sql"))
         else // protocol-common form

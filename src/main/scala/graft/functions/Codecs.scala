@@ -308,11 +308,35 @@ object Codecs {
     *    and the statement in `sql` (newDDLMessage, simple/message.go
     *    :295-318; tableSchema omitted — the version-triggered
     *    BOOTSTRAP handshake carries the live schema separately);
+    *  - debezium: the schema-change event (dbzCodec.EncodeDDLEvent,
+    *    debezium/codec.go:1223-1639) — SchemaChangeKey `_key` +
+    *    payload with source block (connector "TiCDC"), ddl text, and
+    *    tableChanges carrying the post-DDL table definition when
+    *    `tableFor` resolves it (the evolving SchemaStore's live
+    *    shape); built per row in a UDF because the stream is
+    *    DDL-rate-sized (control plane), like the rename dispatch;
     *  - other protocols fall back to the protocol-common form
-    *    ([[ddlMessage]]; open's two-part key/value DDL does not fit a
-    *    single-value transport without dropping the key). */
-  def ddlMessageFor(ddl: DataFrame, protocol: graft.model.Protocol): DataFrame =
+    *    ([[ddlMessage]]; open's two-part key/value DDL rides
+    *    [[OpenBatch.ddlMessage]]'s byte framing on byte transports). */
+  def ddlMessageFor(ddl: DataFrame, protocol: graft.model.Protocol,
+                    tableFor: (String, String) => Option[graft.model.MySqlDdl.MySqlTable] =
+                      (_, _) => None,
+                    clusterId: String = "graft",
+                    debeziumDisableSchema: Boolean = false): DataFrame =
     protocol match {
+      case graft.model.Protocol.Debezium =>
+        val enc = udf((s: String, t: String, ts: Long, q: String) => {
+          val block = tableFor(s, t)
+            .map(tt => DebeziumFull.ddlTableBlockJson(tt))
+          (DebeziumFull.ddlKeyJson(s, debeziumDisableSchema),
+            DebeziumFull.ddlValueJson(clusterId, s, t, q, ts, ts / 1000000L,
+              block, disableSchema = debeziumDisableSchema))
+        })
+        ddl.withColumn("__kv",
+            enc(col("_schema"), col("_table"), col("version_ts"), col("query")))
+          .withColumn("_key", col("__kv._1"))
+          .withColumn("_value", col("__kv._2"))
+          .drop("__kv")
       case graft.model.Protocol.CanalJson =>
         ddl.withColumn("_value", concat(
           lit("{\"id\":0,\"database\":\""), col("_schema"),

@@ -296,4 +296,301 @@ object DebeziumFull {
         lit("""","ts_ms":"""), tsMs,
         lit(""","transaction":null}}""")))
   }
+
+  // ---------- DDL (schema-change) events ----------
+  // dbzCodec.EncodeDDLEvent, codec.go:1223-1639: key is the
+  // SchemaChangeKey (databaseName), value is the Debezium
+  // schema-change payload — source block (connector "TiCDC"), the ddl
+  // text, and a tableChanges array carrying the post-DDL table
+  // definition. payload.ts_ms is pinned to the commit ms (the
+  // reference stamps wall-clock nowFunc(); its own golden suite
+  // ignores the field — same determinism rule as the row encoder's
+  // source block above).
+
+  private def jesc(s: String): String =
+    s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replace("\n", "\\n").replace("\r", "\\r").replace("\t", "\\t")
+
+  /** Debezium change type — the reference's DDL action-type switch
+    * (codec.go:1237-1276) re-expressed over the statement class:
+    * CREATE = create schema/table(s)/view; DROP = drop
+    * schema/table/index/view + TRUNCATE; ALTER = every table-shape /
+    * index / rename / partition change (note ADD INDEX is ALTER while
+    * DROP INDEX is DROP, exactly as the reference maps them).
+    * None = unsupported (ErrDDLUnsupportType — e.g. RECOVER TABLE). */
+  def ddlChangeType(query: String): Option[String] = {
+    val qn = query.trim.toLowerCase.replaceAll("\\s+", " ")
+    if (qn.startsWith("create table") || qn.startsWith("create schema") ||
+      qn.startsWith("create database") || qn.startsWith("create view"))
+      Some("CREATE")
+    else if (qn.startsWith("drop table") || qn.startsWith("drop schema") ||
+      qn.startsWith("drop database") || qn.startsWith("drop index") ||
+      qn.startsWith("drop view") || qn.startsWith("truncate table") ||
+      qn.startsWith("truncate "))
+      Some("DROP")
+    else if (qn.startsWith("alter table") || qn.startsWith("alter database") ||
+      qn.startsWith("alter schema") || qn.startsWith("rename table") ||
+      qn.startsWith("create index") || qn.startsWith("create unique index"))
+      Some("ALTER")
+    else None
+  }
+
+  /** MySQL type → java.sql.Types code (MySQLType2JdbcType,
+    * common/java.go:155-229). Note TINYINT maps to SMALLINT and text
+    * types to VARCHAR, exactly as the reference does. */
+  def jdbcTypeOf(c: MySqlCol): Int = c.base.toLowerCase match {
+    case "tinyint" | "smallint" | "bool" | "boolean" => 5
+    case "int" | "integer" | "mediumint" | "year" => 4
+    case "float" => 6
+    case "double" => 8
+    case "decimal" | "numeric" => 3
+    case "timestamp" => 2014
+    case "datetime" => 93
+    case "bigint" => -5
+    case "date" => 91
+    case "time" => 92
+    case "enum" | "set" => 1
+    case "text" | "tinytext" | "mediumtext" | "longtext" => 12
+    case "blob" | "tinyblob" | "mediumblob" | "longblob" => 2004
+    case "varchar" => 12
+    case "varbinary" => -3
+    case "char" => 1
+    case "binary" => -2
+    case "bit" => -7
+    case "json" => 1111
+    case "vector" => 1111
+    case _ => 12
+  }
+
+  /** Default display length per type (mysql
+    * GetDefaultFieldLengthAndDecimal) — getLen emits the declared flen
+    * only when it differs (helper.go:190-220). */
+  private def defaultFlen(base: String, unsigned: Boolean): Int = {
+    val signed = base match {
+      case "tinyint" => 4
+      case "smallint" => 6
+      case "mediumint" => 9
+      case "int" | "integer" => 11
+      case "bigint" => 20
+      case "float" => 12
+      case "double" => 22
+      case "bit" => 1
+      case _ => -999
+    }
+    if (unsigned && Set("tinyint", "smallint", "mediumint", "int", "integer")
+      .contains(base)) signed - 1
+    else signed
+  }
+
+  /** length field (getLen, helper.go:190-220): fsp for temporal
+    * types, declared flen when non-default for numerics/strings,
+    * 2n-1 / 1 for SET/ENUM, absent (-1 → null) otherwise. */
+  def lengthOf(c: MySqlCol): Option[Int] = c.base.toLowerCase match {
+    case "timestamp" | "time" | "datetime" =>
+      if (c.dec >= 0) Some(c.dec) else None
+    case b @ ("bit" | "varchar" | "char" | "bigint" | "float" | "double" | "vector" |
+              "tinyint" | "smallint" | "mediumint" | "int" | "integer") =>
+      if (c.flen > 0 && c.flen != defaultFlen(b, c.unsigned)) Some(c.flen) else None
+    case "year" | "decimal" | "numeric" => if (c.flen > 0) Some(c.flen) else None
+    case "set" => Some(2 * c.elems.size - 1)
+    case "enum" => Some(1)
+    case _ => None
+  }
+
+  /** scale field (getScale, helper.go:222-228): decimal/float/double
+    * only. */
+  def scaleOf(c: MySqlCol): Option[Int] = c.base.toLowerCase match {
+    case "decimal" | "numeric" | "float" | "double" =>
+      if (c.dec >= 0) Some(c.dec) else None
+    case _ => None
+  }
+
+  /** typeName / typeExpression (getExpressionAndName,
+    * helper.go:273-287): year/bit/varchar/char/decimal render the bare
+    * upper-cased type; others append the non-default display suffix
+    * and UNSIGNED flag. */
+  def typeNameAndExpression(c: MySqlCol): (String, String) = {
+    val base = c.base.toLowerCase
+    val prefix = base.toUpperCase
+    base match {
+      case "year" | "bit" | "varchar" | "char" | "decimal" | "numeric" =>
+        (prefix, prefix)
+      case _ =>
+        val suffix = base match {
+          case "double" | "float" if c.dec >= 0 && c.flen > 0 =>
+            s"(${c.flen},${c.dec})"
+          case "vector" if c.flen > 0 => s"(${c.flen})"
+          case "enum" | "set" =>
+            c.elems.map(e => s"'${e}'").mkString("(", ",", ")")
+          case b if c.flen > 0 && c.flen != defaultFlen(b, c.unsigned) =>
+            s"(${c.flen})"
+          case _ => ""
+        }
+        val un = if (c.unsigned) " UNSIGNED" else ""
+        (prefix + un, prefix + suffix + un)
+    }
+  }
+
+  /** charsetName (getCharset, helper.go:178-188): textual types carry
+    * their charset; binary/numeric types render null. */
+  def charsetNameOf(c: MySqlCol, defaultCharset: String): Option[String] =
+    c.base.toLowerCase match {
+      case "varchar" | "char" | "text" | "tinytext" | "mediumtext" |
+           "longtext" | "enum" | "set" => Some(defaultCharset)
+      case _ => None
+    }
+
+  /** Registry schema → MySqlTable for schema-change rendering: the
+    * evolving store's live columns become the tableChanges definition
+    * (the reference renders e.TableInfo, i.e. the POST-fold shape).
+    * dataType strings parse as `base(flen[,dec])[ unsigned]`;
+    * handle-col convention: the first column is the pk/handle
+    * (SchemaStore.metaAsOf). */
+  def tableFromRegistry(sch: graft.model.TableSchema): MySqlTable = {
+    val typeRe = """(?i)^\s*(\w+)\s*(?:\((\d+)(?:\s*,\s*(\d+))?\))?(\s+unsigned)?""".r
+    val cols = sch.columns.zipWithIndex.map { case (c, i) =>
+      val m = typeRe.findFirstMatchIn(c.dataType)
+      val base = m.map(_.group(1).toLowerCase).getOrElse("text")
+      MySqlCol(c.name, base,
+        flen = m.flatMap(x => Option(x.group(2))).map(_.toInt).getOrElse(-1),
+        dec = m.flatMap(x => Option(x.group(3))).map(_.toInt).getOrElse(-1),
+        unsigned = m.exists(_.group(4) != null),
+        notNull = i == 0, pk = i == 0,
+        default = c.default)
+    }
+    MySqlTable(sch.schema, sch.table, cols)
+  }
+
+  /** One tableChanges column object — payload field order per
+    * codec.go:1377-1455. */
+  def ddlColumnJson(c: MySqlCol, pos: Int, defaultCharset: String): String = {
+    val (name, expr) = typeNameAndExpression(c)
+    val dflt = c.default match {
+      case Some(v) if v.equalsIgnoreCase("CURRENT_TIMESTAMP") =>
+        "\"1970-01-01 00:00:00\"" // debezium temporal-default convention (codec.go:1396)
+      case Some(v) => "\"" + jesc(v) + "\""
+      case None => "null"
+    }
+    val enums =
+      if (c.elems.nonEmpty)
+        c.elems.map(e => s""""'${jesc(e)}'"""").mkString("[", ",", "]")
+      else "null"
+    s"""{"name":"${jesc(c.name)}","jdbcType":${jdbcTypeOf(c)},"nativeType":null,""" +
+      s""""comment":null,"defaultValueExpression":$dflt,"enumValues":$enums,""" +
+      s""""typeName":"$name","typeExpression":"$expr",""" +
+      s""""charsetName":${charsetNameOf(c, defaultCharset).map("\"" + _ + "\"").getOrElse("null")},""" +
+      s""""length":${lengthOf(c).map(_.toString).getOrElse("null")},""" +
+      s""""scale":${scaleOf(c).map(_.toString).getOrElse("null")},""" +
+      s""""position":${pos + 1},"optional":${!c.notNull},""" +
+      s""""autoIncremented":${c.autoInc},"generated":${c.autoInc}}"""
+  }
+
+  /** The tableChanges `table` object (codec.go:1364-1455): charset,
+    * primary-key names, columns (hidden columns skipped — the model
+    * has none), comment. */
+  def ddlTableBlockJson(t: MySqlTable, defaultCharset: String = "utf8mb4"): String = {
+    val pks = (if (t.primaryOrder.nonEmpty) t.primaryOrder
+               else t.pkCols.map(_.name))
+      .map(n => "\"" + jesc(n) + "\"").mkString("[", ",", "]")
+    val cols = t.cols.zipWithIndex
+      .map { case (c, i) => ddlColumnJson(c, i, defaultCharset) }
+      .mkString("[", ",", "]")
+    s"""{"defaultCharsetName":"$defaultCharset","primaryKeyColumnNames":$pks,""" +
+      s""""columns":$cols,"comment":null}"""
+  }
+
+  /** SchemaChangeKey (codec.go:1280-1300): payload first, then the
+    * fixed key schema unless disabled. */
+  def ddlKeyJson(db: String, disableSchema: Boolean = false): String = {
+    val payload = s"""{"payload":{"databaseName":"${jesc(db)}"}"""
+    if (disableSchema) payload + "}"
+    else payload +
+      ""","schema":{"type":"struct","name":"io.debezium.connector.mysql.SchemaChangeKey",""" +
+      """"optional":false,"version":1,"fields":[{"field":"databaseName",""" +
+      """"optional":false,"type":"string"}]}}"""
+  }
+
+  /** The (constant) SchemaChangeValue schema block
+    * (codec.go:1460-1639). */
+  private val schemaChangeValueSchemaJson: String = {
+    def f(field: String, opt: Boolean, t: String) =
+      s"""{"field":"$field","optional":$opt,"type":"$t"}"""
+    val columnFields = Seq(
+      f("name", opt = false, "string"), f("jdbcType", opt = false, "int32"),
+      f("nativeType", opt = true, "int32"), f("typeName", opt = false, "string"),
+      f("typeExpression", opt = true, "string"), f("charsetName", opt = true, "string"),
+      f("length", opt = true, "int32"), f("scale", opt = true, "int32"),
+      f("position", opt = false, "int32"), f("optional", opt = true, "boolean"),
+      f("autoIncremented", opt = true, "boolean"), f("generated", opt = true, "boolean"),
+      f("comment", opt = true, "string"), f("defaultValueExpression", opt = true, "string"),
+      """{"field":"enumValues","optional":true,"type":"array",""" +
+        """"items":{"type":"string","optional":false}}"""
+    ).mkString(",")
+    val tableFields =
+      f("defaultCharsetName", opt = true, "string") + "," +
+        """{"field":"primaryKeyColumnNames","optional":true,"type":"array",""" +
+        """"items":{"type":"string","optional":false}},""" +
+        s"""{"field":"columns","optional":false,"type":"array","items":{""" +
+        s""""name":"io.debezium.connector.schema.Column","optional":false,""" +
+        s""""type":"struct","version":1,"fields":[$columnFields]}},""" +
+        f("comment", opt = true, "string")
+    val changeFields =
+      f("type", opt = false, "string") + "," + f("id", opt = false, "string") + "," +
+        s"""{"field":"table","optional":true,"type":"struct",""" +
+        s""""name":"io.debezium.connector.schema.Table","version":1,""" +
+        s""""fields":[$tableFields]}"""
+    s"""{"optional":false,"type":"struct","version":1,""" +
+      s""""name":"io.debezium.connector.mysql.SchemaChangeValue","fields":[""" +
+      s"""$sourceSchemaJson,""" +
+      f("ts_ms", opt = false, "int64") + "," +
+      f("databaseName", opt = true, "string") + "," +
+      f("schemaName", opt = true, "string") + "," +
+      f("ddl", opt = true, "string") + "," +
+      s"""{"field":"tableChanges","optional":false,"type":"array","items":{""" +
+      s""""name":"io.debezium.connector.schema.Change","optional":false,""" +
+      s""""type":"struct","version":1,"fields":[$changeFields]}}]}"""
+  }
+
+  /** Schema-change value message. `tableBlock` is
+    * [[ddlTableBlockJson]] of the POST-DDL table (None → table:null,
+    * the DROP TABLE shape); `oldId` carries the pre-rename identity
+    * for RENAME's two-part id. TRUNCATE and schema-level DDL render an
+    * empty tableChanges array (codec.go:1331-1340). */
+  def ddlValueJson(clusterId: String, db: String, table: String,
+                   query: String, commitTs: Long, commitMs: Long,
+                   tableBlock: Option[String],
+                   oldId: Option[(String, String)] = None,
+                   disableSchema: Boolean = false): String = {
+    val changeType = ddlChangeType(query).getOrElse(
+      throw new IllegalArgumentException(
+        s"ErrDDLUnsupportType: unsupported debezium DDL: $query"))
+    val qn = query.trim.toLowerCase
+    val source =
+      s"""{"version":"2.4.0.Final","connector":"TiCDC","name":"${jesc(clusterId)}",""" +
+        s""""ts_ms":$commitMs,"snapshot":"false","db":"${jesc(db)}",""" +
+        s""""table":"${jesc(table)}","server_id":0,"gtid":null,"file":"","pos":0,""" +
+        s""""row":0,"thread":0,"query":null,"commit_ts":$commitTs,""" +
+        s""""cluster_id":"${jesc(clusterId)}"}"""
+    // the id is a quoted identifier INSIDE a JSON string, so the JSON
+    // text carries backslash-escaped quotes: "id":"\"db\".\"tbl\""
+    val idSelf = "\\\"" + jesc(db) + "\\\".\\\"" + jesc(table) + "\\\""
+    val changes =
+      if (table.isEmpty || qn.startsWith("truncate")) "[]"
+      else if (qn.startsWith("drop table"))
+        s"""[{"type":"$changeType","id":"$idSelf","table":null}]"""
+      else {
+        val id = oldId match {
+          case Some((os, ot)) if qn.startsWith("rename table") =>
+            "\\\"" + jesc(os) + "\\\".\\\"" + jesc(ot) + "\\\"," + idSelf
+          case _ => idSelf
+        }
+        val tbl = tableBlock.getOrElse("null")
+        s"""[{"type":"$changeType","id":"$id","table":$tbl}]"""
+      }
+    val payload =
+      s"""{"source":$source,"ts_ms":$commitMs,"databaseName":"${jesc(db)}",""" +
+        s""""schemaName":null,"ddl":"${jesc(query)}","tableChanges":$changes}"""
+    if (disableSchema) s"""{"payload":$payload}"""
+    else s"""{"payload":$payload,"schema":$schemaChangeValueSchemaJson}"""
+  }
 }

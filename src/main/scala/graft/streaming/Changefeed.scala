@@ -499,10 +499,21 @@ object Changefeed {
           if (emitted.nonEmpty) {
             import spark.implicits._
             // per-protocol encoding (codec/common/ddl.go dispatches to
-            // each protocol's own DDL message shape)
+            // each protocol's own DDL message shape). Debezium's
+            // tableChanges renders the POST-fold live shape from the
+            // evolving registry — resolved on the DRIVER into an
+            // immutable map (job-rate-sized) so no store state enters
+            // the encode closure; a dropped table resolves to None →
+            // table:null, the reference's DROP shape.
+            val liveShapes: Map[(String, String), graft.model.MySqlDdl.MySqlTable] =
+              emitted.map(e => (e._1, e._2)).distinct.flatMap { case (s, t) =>
+                holder.store.registry.latest(s, t)
+                  .map(sch => ((s, t), graft.functions.DebeziumFull.tableFromRegistry(sch)))
+              }.toMap
             Codecs.ddlMessageFor(
                 emitted.toDF("_schema", "_table", "version_ts", "query"),
-                cfg.sink.protocol)
+                cfg.sink.protocol,
+                tableFor = (s, t) => liveShapes.get((s, t)))
               .select(lit(0L).as("_partition"),
                 col("version_ts").as("_commit_ts"),
                 lit("ddl").as("_kind"), col("_value"))
