@@ -193,6 +193,111 @@ object StorageSink {
                       tableVersion: Long = 100L): Unit =
     writeSchemaMetaDistributed(encoded, baseDir, tableVersion)
 
+  // ------------------------------------------------------------------
+  // Reference-layout schema files (pkg/cloudstorage/schema_file.go):
+  // the schema file IS the storage sink's DDL message — a consumer
+  // rebuilds TableInfo from it (SchemaFile.DDLEvent/TableInfo), so the
+  // evolving composition writes one per DDL at the job's finishedTs.
+  // ------------------------------------------------------------------
+
+  /** One TableColumns entry (TableCol, schema_file.go:40-107):
+    * ColumnName/ColumnType (upper, UNSIGNED suffix), precision/scale
+    * per type family, Nullable "false" and IsPk "true" only when set
+    * (omitempty). */
+  def tableColJson(name: String, dataType: String,
+                   isPk: Boolean, notNull: Boolean,
+                   default: Option[String]): String = {
+    val typeRe = """(?i)^\s*(\w+)\s*(?:\((\d+)(?:\s*,\s*(\d+))?\))?(\s+unsigned)?""".r
+    val m = typeRe.findFirstMatchIn(dataType)
+    val base = m.map(_.group(1).toLowerCase).getOrElse("text")
+    val flen = m.flatMap(x => Option(x.group(2))).map(_.toInt).getOrElse(-1)
+    val dec = m.flatMap(x => Option(x.group(3))).map(_.toInt).getOrElse(-1)
+    val unsigned = m.exists(_.group(4) != null)
+    val tp = base.toUpperCase + (if (unsigned) " UNSIGNED" else "")
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val fields = scala.collection.mutable.ArrayBuffer[String](
+      s""""ColumnName": "${esc(name)}"""",
+      s""""ColumnType": "$tp"""")
+    default.foreach(d => fields += s""""ColumnDefault": "${esc(d)}"""")
+    // precision/scale per fromTiColumnInfo's type families
+    base match {
+      case "timestamp" | "datetime" | "time" =>
+        if (dec > 0) fields += s""""ColumnScale": "$dec""""
+      case "double" | "float" | "decimal" | "numeric" =>
+        if (flen >= 0) fields += s""""ColumnPrecision": "$flen""""
+        if (dec >= 0) fields += s""""ColumnScale": "$dec""""
+      case _ =>
+        if (flen >= 0) fields += s""""ColumnPrecision": "$flen""""
+    }
+    if (notNull) fields += s""""ColumnNullable": "false""""
+    if (isPk) fields += s""""ColumnIsPk": "true""""
+    fields.mkString("{", ", ", "}")
+  }
+
+  /** The full schema-file payload (SchemaFile, schema_file.go:170-182):
+    * Table/Schema/Version(=1)/TableVersion (the DDL's finishedTs,
+    * repeated in the file NAME)/Query/Type (job action code)/
+    * TableColumns/TableColumnsTotal. */
+  def schemaFileJson(schema: String, table: String, tableVersion: Long,
+                     query: String, actionType: Int,
+                     cols: Seq[String]): String = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    s"""{"Table": "${esc(table)}", "Schema": "${esc(schema)}", "Version": 1, """ +
+      s""""TableVersion": $tableVersion, "Query": "${esc(query)}", """ +
+      s""""Type": $actionType, "TableColumns": [${cols.mkString(", ")}], """ +
+      s""""TableColumnsTotal": ${cols.size}}"""
+  }
+
+  /** Render a schema file from the evolving registry's live shape —
+    * handle-col convention: the first column is the pk/handle
+    * (SchemaStore.metaAsOf). Returns (fileName, content). */
+  def schemaFileFor(sch: graft.model.TableSchema, query: String,
+                    actionType: Int): (String, String) = {
+    val cols = sch.columns.zipWithIndex.map { case (c, i) =>
+      tableColJson(c.name, c.dataType, isPk = i == 0, notNull = i == 0, c.default)
+    }
+    val content = schemaFileJson(sch.schema, sch.table, sch.versionTs,
+      query, actionType, cols)
+    (schemaFileName(sch.versionTs, content), content)
+  }
+
+  /** Write one table's schema file under `<schema>/<table>/meta/`
+    * (driver-side: DDLs are control-plane-rate). Idempotent — the name
+    * carries version + content checksum, so a crash-replayed batch
+    * rewrites the same file. */
+  def writeSchemaFile(baseDir: String, sch: graft.model.TableSchema,
+                      query: String, actionType: Int): String = {
+    val (name, content) = schemaFileFor(sch, query, actionType)
+    val dir = java.nio.file.Paths.get(baseDir, sch.schema, sch.table, "meta")
+    java.nio.file.Files.createDirectories(dir)
+    java.nio.file.Files.writeString(dir.resolve(name), content)
+    s"${sch.schema}/${sch.table}/meta/$name"
+  }
+
+  /** Consumer half: list a table's schema files and return the parsed
+    * (tableVersion, columns name→type) of the HIGHEST version — how a
+    * storage consumer learns the post-DDL shape from the layout alone
+    * (SchemaFile.TableInfo, schema_file.go:236-257). */
+  def latestSchemaFile(baseDir: String, schema: String,
+                       table: String): Option[(Long, Seq[(String, String)])] = {
+    val dir = new java.io.File(s"$baseDir/$schema/$table/meta")
+    val re = """schema_(\d+)_\d{10}\.json""".r
+    val files = Option(dir.listFiles()).getOrElse(Array.empty)
+      .flatMap(f => f.getName match {
+        case re(v) => Some((v.toLong, f))
+        case _ => None
+      })
+    files.sortBy(_._1).lastOption.map { case (v, f) =>
+      val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+      val n = mapper.readTree(java.nio.file.Files.readString(f.toPath))
+      val cols = (0 until n.get("TableColumns").size()).map { i =>
+        val c = n.get("TableColumns").get(i)
+        (c.get("ColumnName").asText(), c.get("ColumnType").asText())
+      }
+      (v, cols)
+    }
+  }
+
   /** Executor-side variant: the distinct (schema, table) set stays
     * distributed and each partition writes its own tables' meta files
     * — the driver never materializes the table list, so table count is

@@ -800,6 +800,79 @@ object Changefeed {
     (bootstrapper, bootstrapOn)
   }
 
+  /** Raw-2PC → cloud storage: the reference's storage sink on the
+    * evolving steady state. Rows land as canal-JSON text files under
+    * the `<schema>/<table>/<date>` layout ([[graft.sinks.StorageSink]])
+    * via the FUSED mount→encode (heterogeneous shapes ride one feed);
+    * every dispatched DDL writes a NEW versioned schema file —
+    * `<schema>/<table>/meta/schema_{finishedTs}_{checksum}.json`, the
+    * storage sink's DDL message (SchemaFile.DDLEvent,
+    * pkg/cloudstorage/schema_file.go:196-257) — rendered from the
+    * POST-fold registry so a consumer rebuilds the live TableInfo from
+    * the layout alone. The batch's schema files write BEFORE its data
+    * files (the WriteBlockEvent ordering). Crash-replay semantics:
+    * schema files are idempotent (content-checksummed names rewrite in
+    * place); data files are at-least-once like every append sink here —
+    * a replayed batch re-appends and consumers dedupe by commit ts (or
+    * the [[graft.sinks.StorageSink.applyCdcNaming]] index pass collapses
+    * replays, the reference's file-index contract). A `metadata`
+    * checkpoint marker flushes after each batch (cloudstorage
+    * metadata.go). */
+  def runStorageFromRaw2pcEvolving(spark: SparkSession, cfg: ChangefeedConfig,
+                                   raw: DataFrame, initial: SchemaStore,
+                                   baseDir: String, checkpointDir: String,
+                                   matcherGcMs: Long = 60000L,
+                                   ignoreDdlClasses: Seq[String] = Nil,
+                                   ignoreDdlSqlRegexps: Seq[String] = Nil): StreamingQuery = {
+    require(cfg.sink.protocol == Protocol.CanalJson,
+      "the storage composition writes canal-JSON text files")
+    GraftSession.tune(spark)
+    val holder = new SchemaStoreHolder(initial, s"$checkpointDir/schemastore")
+    TxnMatcher.matchStream(spark, raw, matcherGcMs)
+      .writeStream
+      .queryName(cfg.id)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        Failpoints.evalThrow("graft/changefeed/storage-batch")
+        batch.persist()
+        try {
+          val jobs = SchemaStoreHolder.jobsIn(batch)
+          holder.fold(jobs)
+          jobs.sortBy(_.finishedTs).foreach { j =>
+            dispatchDdlJob(j, cfg.filter, ignoreDdlClasses, ignoreDdlSqlRegexps)
+              .foreach { qq =>
+                // DROP leaves no live registry shape: persist a
+                // name-only file like SchemaFile.Build with nil
+                // TableInfo (schema_file.go:216-220)
+                val sch = holder.store.registry.latest(j.schemaName, j.tableName)
+                  .getOrElse(graft.model.TableSchema(
+                    j.schemaName, j.tableName, j.finishedTs, Nil))
+                graft.sinks.StorageSink.writeSchemaFile(
+                  baseDir, sch.copy(versionTs = j.finishedTs), qq, j.actionType)
+              }
+          }
+          val plan = holder.store.physicalPlan(keep = (s, t) =>
+            graft.operators.TableMatcher.matchesValue(
+              s, t, cfg.filter.rules, cfg.filter.caseSensitive))
+          if (plan.nonEmpty) {
+            val f = cfg.filter
+            var df = graft.operators.RawKvMounter.mountTablesEncodeCanal(
+              batch, plan, failOnCorruption = false)
+            df = graft.operators.Filters.tableFilter(df, f.rules, f.caseSensitive)
+            df = graft.operators.Filters.eventTypeFilter(df, f.ignoreOps)
+            df = graft.operators.Filters.startTsFilter(df, f.ignoreTxnStartTs)
+            graft.sinks.StorageSink.write(df, baseDir, "text")
+          }
+          // flush marker AFTER the batch's files are durable
+          val hi = batch.agg(max(col("commit_ts"))).head()
+          if (!hi.isNullAt(0))
+            graft.sinks.StorageSink.writeCheckpointMeta(baseDir, hi.getLong(0))
+        } finally batch.unpersist()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   def runMqStream(spark: SparkSession, cfg: ChangefeedConfig, env: DataFrame,
                   sinkDir: String, checkpointDir: String,
                   allTablesAtStart: Seq[(String, String)] = Nil): StreamingQuery = {
