@@ -139,19 +139,71 @@ object MqConsume {
       // simple-protocol DDL: the only simple message class carrying sql
       !(col("_value").startsWith("{\"version\":1,\"type\":\"") &&
         col("_value").contains("\"sql\":\"")) &&
+      // open two-part DDL value ({"q":...,"t":N}, unwrapped batch wire)
+      !col("_value").startsWith("{\"q\":\"") &&
+      // debezium schema-change + watermark envelopes
+      !col("_value").contains("\"tableChanges\":") &&
+      !col("_value").contains("\"op\":\"m\"") &&
       !(col("_value").startsWith("{\"ts\":") && col("_value").endsWith("\"t\":3}")))
+
+  /** Open-BATCH wire records back to per-event string frames: `batch`
+    * records explode into their framed events (one `row` frame per
+    * event, commit ts from the framed key); `ddl` and `resolved`
+    * records unwrap their single framed event. Other kinds (bootstrap
+    * handshakes) pass through unchanged. The inverse of the
+    * `openBatchWire` sink mode — after this, every existing consumer
+    * path (decodeOpen, [[wireDdls]], [[dataMessagesOnly]]) works
+    * unchanged on the per-event frames. */
+  def unwrapOpenBatchFrames(frames: DataFrame): DataFrame = {
+    val un = udf((v: String) => {
+      val (kb, vb) = graft.functions.OpenBatch.parseFrame(v)
+      graft.functions.OpenBatch.unpackBatch(kb, vb).map { case (k, vv) =>
+        (new String(k, java.nio.charset.StandardCharsets.UTF_8),
+          new String(vv, java.nio.charset.StandardCharsets.UTF_8))
+      }
+    })
+    val framed = frames.filter(col("_kind").isin("batch", "ddl", "resolved"))
+      .withColumn("__evs", un(col("_value")))
+      .select(col("_partition"), col("_kind"), explode(col("__evs")).as("__e"))
+      .select(col("_partition"),
+        when(col("_kind") === "batch", "row").otherwise(col("_kind")).as("_kind"),
+        get_json_object(col("__e._1"), "$.ts").cast("long").as("_commit_ts"),
+        col("__e._1").as("_key"), col("__e._2").as("_value"))
+    val rest = frames.filter(!col("_kind").isin("batch", "ddl", "resolved"))
+      .select(col("_partition"), col("_kind"), col("_commit_ts"),
+        lit(null).cast("string").as("_key"), col("_value"))
+    framed.unionByName(rest)
+  }
 
   /** Wire DDL events ((commitTs, schema, table, query)) in commit-ts
     * order — the consumer-side half of the evolving feed's DDL
     * emission, covering every emitted form: the protocol-common
     * [[graft.functions.Codecs.ddlMessage]], the canal-JSON DDL
-    * (isDdl true; exact ts from the `_tidb` extension), and the
-    * simple-protocol DDL (`sql` field, DDL-subtype `type`). A consumer
-    * applies each before any row at or above its ts (DDL-first at
-    * equal ts, the event-scanner interleave contract). Control-plane
-    * sized: one collect over the DDL messages only. */
+    * (isDdl true; exact ts from the `_tidb` extension), the
+    * simple-protocol DDL (`sql` field, DDL-subtype `type`), the
+    * debezium schema-change payload, and — when the frame carries a
+    * `_key` column (the open batch wire after
+    * [[unwrapOpenBatchFrames]]) — the open two-part form (key
+    * {ts,scm,tbl,t:2}, value {q,t}). A consumer applies each before
+    * any row at or above its ts (DDL-first at equal ts, the
+    * event-scanner interleave contract). Control-plane sized: one
+    * collect over the DDL messages only. */
   def wireDdls(msgs: DataFrame): Seq[(Long, String, String, String)] = {
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    if (msgs.columns.contains("_key")) {
+      val open = msgs
+        .filter(coalesce(col("_key"), lit("")).contains("\"t\":2"))
+        .select(col("_key"), col("_value")).collect().map { r =>
+          val k = mapper.readTree(r.getString(0))
+          val v = mapper.readTree(r.getString(1))
+          (k.get("ts").asLong(0L), k.get("scm").asText(""),
+            k.get("tbl").asText(""), v.get("q").asText(""))
+        }.toSeq
+      val others = wireDdls(msgs.filter(
+        coalesce(col("_key"), lit("")).contains("\"t\":2") === false)
+        .select(col("_value")))
+      return (open ++ others).sortBy(_._1)
+    }
     msgs.filter(
         col("_value").startsWith("{\"type\":\"DDL\"") ||
         col("_value").contains("\"isDdl\":true") ||

@@ -255,15 +255,19 @@ object Codecs {
   /** Per-protocol resolved/watermark control message for the MQ path:
     * (key, value). Open rides in the KEY (t=3, empty value);
     * canal-json and simple carry a watermark VALUE message
-    * (TIDB_WATERMARK / WATERMARK); protocols with no wire-level
-    * watermark (debezium, csv) fall back to the open key as a
-    * transport-level marker the consumer filters. */
+    * (TIDB_WATERMARK / WATERMARK); debezium ships the op:"m" watermark
+    * envelope (EncodeCheckpointEvent, debezium/codec.go:1645-1747);
+    * protocols with no wire-level watermark (csv) fall back to the
+    * open key as a transport-level marker the consumer filters. */
   def resolvedMessageFor(protocol: graft.model.Protocol, resolvedTs: Long): (String, String) =
     protocol match {
       case graft.model.Protocol.Open => openResolvedMessage(resolvedTs)
       case graft.model.Protocol.CanalJson =>
         ("", CanalFull.watermarkMessage(resolvedTs, resolvedTs / 1000000L))
       case graft.model.Protocol.Simple => ("", simpleResolvedMessage(resolvedTs))
+      case graft.model.Protocol.Debezium =>
+        (DebeziumFull.watermarkKeyJson("graft"),
+          DebeziumFull.watermarkValueJson("graft", resolvedTs))
       case _ => openResolvedMessage(resolvedTs)
     }
 

@@ -551,6 +551,49 @@ object DebeziumFull {
       s""""type":"struct","version":1,"fields":[$changeFields]}}]}"""
   }
 
+  private def sanitize(s: String): String =
+    s.replaceAll("[^a-zA-Z0-9._-]", "_")
+
+  /** Debezium WATERMARK (checkpoint) messages
+    * (dbzCodec.EncodeCheckpointEvent, codec.go:1645-1747): key is an
+    * empty payload under the `<clusterId>.watermark.Key` schema; value
+    * is a row-envelope-shaped payload with an empty-source block
+    * carrying the resolved ts (`commit_ts`) and op "m". ts_ms fields
+    * pin to the commit ms like everywhere else in this encoder. */
+  def watermarkKeyJson(clusterId: String, disableSchema: Boolean = false): String =
+    if (disableSchema) """{"payload":{}}"""
+    else s"""{"payload":{},"schema":{"type":"struct",""" +
+      s""""name":"${sanitize(clusterId)}.watermark.Key","optional":false,""" +
+      s""""fields":[]}}"""
+
+  def watermarkValueJson(clusterId: String, ts: Long,
+                         disableSchema: Boolean = false): String = {
+    val ms = ts / 1000000L
+    val source =
+      s"""{"version":"2.4.0.Final","connector":"TiCDC","name":"${jesc(clusterId)}",""" +
+        s""""ts_ms":$ms,"snapshot":"false","db":"","table":"","server_id":0,""" +
+        s""""gtid":null,"file":"","pos":0,"row":0,"thread":0,"query":null,""" +
+        s""""commit_ts":$ts,"cluster_id":"${jesc(clusterId)}"}"""
+    val payload =
+      s"""{"source":$source,"ts_ms":$ms,"transaction":null,"op":"m"}"""
+    if (disableSchema) s"""{"payload":$payload}"""
+    else {
+      val txnBlock =
+        """{"type":"struct","fields":[""" +
+          """{"type":"string","optional":false,"field":"id"},""" +
+          """{"type":"int64","optional":false,"field":"total_order"},""" +
+          """{"type":"int64","optional":false,"field":"data_collection_order"}],""" +
+          """"optional":true,"name":"event.block","version":1,"field":"transaction"}"""
+      val schema =
+        s"""{"type":"struct","optional":false,""" +
+          s""""name":"${sanitize(clusterId)}.watermark.Envelope","version":1,""" +
+          s""""fields":[$sourceSchemaJson,""" +
+          s"""{"type":"string","optional":false,"field":"op"},""" +
+          s"""{"type":"int64","optional":true,"field":"ts_ms"},$txnBlock]}"""
+      s"""{"payload":$payload,"schema":$schema}"""
+    }
+  }
+
   /** Schema-change value message. `tableBlock` is
     * [[ddlTableBlockJson]] of the POST-DDL table (None → table:null,
     * the DROP TABLE shape); `oldId` carries the pre-rename identity

@@ -175,8 +175,11 @@ object OpenBatch {
                       maxBatchedBytes: Int = Int.MaxValue,
                       groupCols: Seq[String] = Seq("_partition"),
                       orderCols: Seq[String] = Seq("_commit_ts", "_row_id")): DataFrame = {
-    val ev = struct((orderCols.map(col) :+ col("_key").as("_key") :+
-      col("_value").as("_value")): _*)
+    // order fields get positional aliases so an orderCol named _key/
+    // _value cannot collide with the payload fields
+    val ev = struct((orderCols.zipWithIndex.map { case (c, i) =>
+      col(c).as(s"__o$i")
+    } :+ col("_key").as("_key") :+ col("_value").as("_value")): _*)
     val packer = udf((keys: Seq[String], values: Seq[String]) =>
       packBatches(keys.zip(values).map { case (k, v) =>
         (k.getBytes(UTF_8), v.getBytes(UTF_8))
@@ -217,4 +220,37 @@ object OpenBatch {
       col("_partition").cast("int").as("partition"),
       col("_key_bytes").as("key"),
       col("_value_bytes").as("value"))
+
+  // ---------------------------------------------------------------
+  // FileMq record wrapper: the parquet MQ stand-in carries a STRING
+  // `_value` per record, so a binary Kafka record (key+value bytes)
+  // rides as a compact {"k":base64,"v":base64} wrapper — the
+  // transport-level record, nothing protocol-visible.
+  // ---------------------------------------------------------------
+
+  def frameJson(key: Array[Byte], value: Array[Byte]): String = {
+    val e = java.util.Base64.getEncoder
+    s"""{"k":"${e.encodeToString(key)}","v":"${e.encodeToString(value)}"}"""
+  }
+
+  def parseFrame(s: String): (Array[Byte], Array[Byte]) = {
+    // MIME decoder: tolerant of line breaks should an encoder chunk
+    val d = java.util.Base64.getMimeDecoder
+    val re = """\{"k":"([^"]*)","v":"([^"]*)"\}""".r
+    s match {
+      case re(k, v) => (d.decode(k), d.decode(v))
+      case _ => throw new IllegalArgumentException(s"not a record frame: $s")
+    }
+  }
+
+  /** Column form of [[frameJson]] (codegen'd — the per-batch wrapper
+    * stays inside the write projection). Spark's base64 chunks MIME
+    * line breaks every 76 chars; strip them so the wrapper stays valid
+    * single-line JSON. */
+  def frameJsonCol(key: org.apache.spark.sql.Column,
+                   value: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    def b64(c: org.apache.spark.sql.Column) =
+      regexp_replace(base64(c), "[\\r\\n]", "")
+    concat(lit("{\"k\":\""), b64(key), lit("\",\"v\":\""), b64(value), lit("\"}"))
+  }
 }

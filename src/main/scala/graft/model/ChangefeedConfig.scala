@@ -152,7 +152,16 @@ final case class SinkConfig(
       * An explicit flag, NOT payload-shape sniffing: a real table that
       * happens to have those three columns must not silently change
       * rendering. */
-    fixtureRenderer: Boolean = false)
+    fixtureRenderer: Boolean = false,
+    /** Open-protocol BATCH wire (open/encoder.go:40-224): many row
+      * events per MQ record under [[maxBatchSize]] and
+      * [[maxMessageBytes]], framed as version-headed length-prefixed
+      * key/value bytes; DDL and resolved events ride the same framing
+      * as single-event records. Open protocol only. */
+    openBatchWire: Boolean = false,
+    /** max-batch-size (codec/common/config.go:34-35, default 16): the
+      * event-count cap per open-protocol batch message. */
+    maxBatchSize: Int = 16)
 
 /** Span-scheduling knobs (pkg/config/scheduler_config.go:35-69;
   * defaults replica_config.go:105-117). In this engine the split

@@ -494,9 +494,20 @@ object Changefeed {
           // appends (consumers dedupe replays by offset).
           val emitted = jobs.sortBy(_.finishedTs).flatMap { j =>
             dispatchDdlJob(j, cfg.filter, ignoreDdlClasses, ignoreDdlSqlRegexps)
-              .map(qq => (j.schemaName, j.tableName, j.finishedTs, qq))
+              .map(qq => (j.schemaName, j.tableName, j.finishedTs, qq, j.actionType))
           }
-          if (emitted.nonEmpty) {
+          if (emitted.nonEmpty &&
+              cfg.sink.openBatchWire && cfg.sink.protocol == Protocol.Open) {
+            // open BATCH wire: the two-part key/value DDL message in
+            // its byte framing (encodeDDLEvent, open/codec.go:121-165)
+            // — one single-event record per job, before the batch's rows
+            import spark.implicits._
+            emitted.map { case (s, t, ts, qq, at) =>
+              val (kb, vb) = graft.functions.OpenBatch.ddlMessage(ts, s, t, qq, at)
+              (0L, ts, "ddl", graft.functions.OpenBatch.frameJson(kb, vb))
+            }.toDF("_partition", "_commit_ts", "_kind", "_value")
+              .coalesce(1).write.mode("append").parquet(sinkDir)
+          } else if (emitted.nonEmpty) {
             import spark.implicits._
             // per-protocol encoding (codec/common/ddl.go dispatches to
             // each protocol's own DDL message shape). Debezium's
@@ -511,7 +522,8 @@ object Changefeed {
                   .map(sch => ((s, t), graft.functions.DebeziumFull.tableFromRegistry(sch)))
               }.toMap
             Codecs.ddlMessageFor(
-                emitted.toDF("_schema", "_table", "version_ts", "query"),
+                emitted.map(e => (e._1, e._2, e._3, e._4))
+                  .toDF("_schema", "_table", "version_ts", "query"),
                 cfg.sink.protocol,
                 tableFor = (s, t) => liveShapes.get((s, t)))
               .select(lit(0L).as("_partition"),
@@ -970,18 +982,45 @@ object Changefeed {
         // ts itself rides the row write as an observed metric —
         // ONE pass over the batch, no persist and no second agg scan
         // (at scale the batch need never fit in storage memory).
+        val openBatch =
+          cfg.sink.openBatchWire && cfg.sink.protocol == Protocol.Open
         val obs = org.apache.spark.sql.Observation(s"resolved-$batchId")
-        handled
-          .observe(obs, max(col("_commit_ts")).as("resolved"))
-          .select(col("_partition"), col("_commit_ts"),
-            lit("row").as("_kind"), col("_value"))
-          .write.mode("append").parquet(sinkDir)
+        val observed = handled.observe(obs, max(col("_commit_ts")).as("resolved"))
+        if (openBatch) {
+          // the open protocol's REAL wire: many events per record under
+          // the batch framing (open/encoder.go:40-224). A record frame's
+          // _commit_ts is its per-partition batch sequence (the Kafka
+          // offset analog — replay order); per-event commit ts ride the
+          // framed keys. The record's binary key/value wrap base64 into
+          // the string frame (the FileMq transport stand-in).
+          graft.functions.OpenBatch.packOpenBatches(
+              observed, cfg.sink.maxBatchSize, cfg.sink.maxMessageBytes,
+              orderCols = Seq("_commit_ts", "_value"))
+            .select(col("_partition"), col("_batch_seq").cast("long").as("_commit_ts"),
+              lit("batch").as("_kind"),
+              graft.functions.OpenBatch.frameJsonCol(
+                col("_key_bytes"), col("_value_bytes")).as("_value"))
+            .write.mode("append").parquet(sinkDir)
+        } else {
+          observed
+            .select(col("_partition"), col("_commit_ts"),
+              lit("row").as("_kind"), col("_value"))
+            .write.mode("append").parquet(sinkDir)
+        }
         obs.get.get("resolved") match {
           case Some(resolved: Long) =>
             // the control payload is protocol-specific: open rides in
-            // the key, canal-json/simple carry a watermark value
-            val (k, v) = Codecs.resolvedMessageFor(cfg.sink.protocol, resolved)
-            val key = if (v.nonEmpty) v else k
+            // the key, canal-json/simple carry a watermark value; the
+            // open BATCH wire frames the checkpoint event's bytes
+            // (EncodeCheckpointEvent, encoder.go:241-273)
+            val key =
+              if (openBatch) {
+                val (kb, vb) = graft.functions.OpenBatch.resolvedMessage(resolved)
+                graft.functions.OpenBatch.frameJson(kb, vb)
+              } else {
+                val (k, v) = Codecs.resolvedMessageFor(cfg.sink.protocol, resolved)
+                if (v.nonEmpty) v else k
+              }
             val s = batch.sparkSession
             import s.implicits._
             // one control message per routing partition (the reference

@@ -142,6 +142,22 @@ class DebeziumDdlSpec extends AnyFunSuite {
       """"id":"\"app\".\"orders\",\"app\".\"orders_v2\""""))
   }
 
+  test("watermark (checkpoint) envelope: empty-source op:m value, empty key payload") {
+    val k = DebeziumFull.watermarkKeyJson("graft")
+    assert(k == """{"payload":{},"schema":{"type":"struct",""" +
+      """"name":"graft.watermark.Key","optional":false,"fields":[]}}""")
+    val v = DebeziumFull.watermarkValueJson("graft", 5000000L)
+    assert(v.contains(""""db":"","table":"""""))
+    assert(v.contains(""""commit_ts":5000000"""))
+    assert(v.contains(""""ts_ms":5"""))
+    assert(v.contains(""""op":"m""""))
+    assert(v.contains(""""name":"graft.watermark.Envelope""""))
+    // resolvedMessageFor dispatches debezium to the watermark envelope
+    val (rk, rv) = graft.functions.Codecs.resolvedMessageFor(
+      graft.model.Protocol.Debezium, 5000000L)
+    assert(rk == k && rv == v)
+  }
+
   test("unsupported DDL types raise like ErrDDLUnsupportType") {
     intercept[IllegalArgumentException] {
       DebeziumFull.ddlValueJson("graft", "app", "t", "RECOVER TABLE t", 1L, 0L, None)
