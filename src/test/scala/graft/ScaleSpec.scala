@@ -110,6 +110,47 @@ class ScaleSpec extends SparkFunSuite {
     assert(nc > 0 && nw > 0)
   }
 
+  test("open-batch packer at 400k events / 8 partitions: lossless, " +
+      "order-preserving, per-partition memory is the admission-capped slice") {
+    import graft.functions.OpenBatch
+    // the packer's unit of memory is ONE Kafka partition's micro-batch
+    // slice — at scale, flow control (maxOffsetsPerTrigger) bounds it,
+    // and parallelism = partition count. This rig packs a slice ~40×
+    // the fixture feed's to show the shape holds at volume.
+    val n = 400000L
+    val parts = 8
+    val msgs = spark.range(n).select(
+      pmod(col("id"), lit(parts.toLong)).as("_partition"),
+      (lit(1000000000L) + col("id")).as("_commit_ts"),
+      col("id").as("_row_id"),
+      concat(lit("{\"ts\":"), lit(1000000000L) + col("id"),
+        lit(",\"scm\":\"app\",\"tbl\":\"t\",\"t\":1}")).as("_key"),
+      concat(lit("{\"u\":{\"id\":"), col("id"), lit("}}")).as("_value"))
+    val t0 = System.nanoTime()
+    val packed = OpenBatch.packOpenBatches(msgs, maxBatchSize = 16)
+      .select(col("_partition"), col("_batch_seq"), col("_batch_rows"),
+        length(col("_key_bytes")).as("kl"))
+      .cache()
+    val stats = packed.agg(
+      sum(col("_batch_rows")), max(col("_batch_rows")), count(lit(1))).head()
+    val wallMs = (System.nanoTime() - t0) / 1000000L
+    assert(stats.getLong(0) == n, "every event framed exactly once")
+    assert(stats.getInt(1) <= 16)
+    // ceil(50000/16) = 3125 batches per partition
+    assert(stats.getLong(2) == parts * 3125L, s"batches: ${stats.getLong(2)}")
+    // order preserved: round-trip one partition and check ts monotone
+    val un = OpenBatch.unpackOpenBatches(
+      OpenBatch.packOpenBatches(msgs.filter(col("_partition") === 0L), 16))
+      .select(get_json_object(col("_key"), "$.ts").cast("long").as("ts"),
+        col("_batch_seq"), col("_batch_idx"))
+      .orderBy(col("_batch_seq"), col("_batch_idx"))
+      .select("ts").collect().map(_.getLong(0))
+    assert(un.length == n.toInt / parts)
+    assert(un.zip(un.tail).forall { case (a, b) => a < b }, "commit order kept")
+    packed.unpersist()
+    info(s"packed $n events into ${stats.getLong(2)} records in ${wallMs} ms")
+  }
+
   test("every wire protocol flows through the changefeed pipeline") {
     val env = Envelope.fromEvents(Tables.events(spark, "/root/testdata/sf0.001"))
     val prefixes = Map[Protocol, String](
