@@ -749,7 +749,7 @@ object CdcQueries {
     "q_encode_csv" -> q(
       s"""SELECT _row_id,
          |  '"' || CASE WHEN _op = 'I' THEN 'I' WHEN _op = 'U' THEN 'U' ELSE 'D' END || '"' ||
-         |  ',"' || _schema || '"' || ',"' || _table || '"' ||
+         |  ',"' || _table || '"' || ',"' || _schema || '"' ||
          |  ',' || CAST(_commit_ts AS VARCHAR) ||
          |  ',' || COALESCE(CAST(CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END AS VARCHAR), '\\N') ||
          |  ',' || COALESCE(CAST(CAST(CASE WHEN _op = 'D' THEN before_value ELSE after_value END AS DECIMAL(18,2)) AS VARCHAR), '\\N') ||

@@ -105,6 +105,12 @@ object ExtQueries {
     "q_roundtrip_csv" -> ((s, d) =>
       Decoders.decodeCsv(Codecs.csvLine(env(s, d)))),
 
+    // output-old-value csv: updates become a two-record D+I message
+    // with the is-updated flag (csv_message.go:104-140); the roundtrip
+    // proves record splitting + flag semantics end to end
+    "q_roundtrip_csv_oldvalue" -> ((s, d) =>
+      Decoders.decodeCsvOldValue(Codecs.csvLineOldValue(env(s, d)))),
+
     "q_roundtrip_vector" -> ((s, d) => {
       // VECTOR(n) end to end through the DDL-typed canal encoder
       // (vector integration test; TypeTiDBVectorFloat32 → VARCHAR wire
@@ -775,6 +781,31 @@ object ExtQueries {
         |  CAST(CAST(CASE WHEN _op = 'D' THEN before_value ELSE after_value END AS DECIMAL(18,2)) AS DOUBLE) AS value,
         |  CASE WHEN _op = 'D' THEN before_k ELSE after_k END AS k
         |FROM env""".stripMargin),
+
+    "q_roundtrip_csv_oldvalue" -> q(
+      """SELECT 'D' AS _op, _table, _schema, _commit_ts, TRUE AS is_updated,
+        |  before_user_id AS user_id,
+        |  CAST(CAST(before_value AS DECIMAL(18,2)) AS DOUBLE) AS value,
+        |  before_k AS k
+        |FROM env WHERE _op = 'U'
+        |UNION ALL
+        |SELECT 'I', _table, _schema, _commit_ts, TRUE,
+        |  after_user_id,
+        |  CAST(CAST(after_value AS DECIMAL(18,2)) AS DOUBLE),
+        |  after_k
+        |FROM env WHERE _op = 'U'
+        |UNION ALL
+        |SELECT 'D', _table, _schema, _commit_ts, FALSE,
+        |  before_user_id,
+        |  CAST(CAST(before_value AS DECIMAL(18,2)) AS DOUBLE),
+        |  before_k
+        |FROM env WHERE _op = 'D'
+        |UNION ALL
+        |SELECT 'I', _table, _schema, _commit_ts, FALSE,
+        |  after_user_id,
+        |  CAST(CAST(after_value AS DECIMAL(18,2)) AS DOUBLE),
+        |  after_k
+        |FROM env WHERE _op = 'I'""".stripMargin),
 
     "q_checksum" -> q(
       """SELECT _row_id,

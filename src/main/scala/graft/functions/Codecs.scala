@@ -109,13 +109,42 @@ object Codecs {
       regexp_replace(coalesce(c.cast("string"), lit("\\N")), lit("\""), lit("\"\"")),
       lit("\""))
     val img = when(col("_op") === "D", col("before")).otherwise(col("after"))
+    // meta order is op, TABLE, SCHEMA, commitTs — csv_message.go:122-127
+    // encodeMeta writes tableName before schemaName
     env.withColumn("_value", concat_ws(",",
       q(when(col("_op") === "I", "I").when(col("_op") === "U", "U").otherwise("D")),
-      q(col("_schema")), q(col("_table")),
+      q(col("_table")), q(col("_schema")),
       col("_commit_ts").cast("string"),
       coalesce(img.getField("user_id").cast("string"), lit("\\N")),
       coalesce(img.getField("value").cast(DecimalType(18, 2)).cast("string"), lit("\\N")),
       coalesce(img.getField("k").cast("string"), lit("\\N"))))
+  }
+
+  /** CSV with output-old-value (csv_message.go:104-140): every record
+    * gains an is-updated flag after commitTs (`true` for records born
+    * from an UPDATE, `false` otherwise — rendered bare per formatValue's
+    * %v), and an UPDATE becomes a TWO-record message: the pre-image as
+    * "D" then the post-image as "I", newline-terminated records
+    * (encodeColumns writes the terminator per record) — the storage
+    * sink's update representation (csv_update_old_value scenario). */
+  def csvLineOldValue(env: DataFrame): DataFrame = {
+    def q(c: Column): Column = concat(
+      lit("\""),
+      regexp_replace(coalesce(c.cast("string"), lit("\\N")), lit("\""), lit("\"\"")),
+      lit("\""))
+    def rec(op: String, img: Column, updated: Boolean): Column = concat_ws(",",
+      q(lit(op)), q(col("_table")), q(col("_schema")),
+      col("_commit_ts").cast("string"), lit(if (updated) "true" else "false"),
+      coalesce(img.getField("user_id").cast("string"), lit("\\N")),
+      coalesce(img.getField("value").cast(DecimalType(18, 2)).cast("string"), lit("\\N")),
+      coalesce(img.getField("k").cast("string"), lit("\\N")))
+    val value =
+      when(col("_op") === "U",
+        concat(rec("D", col("before"), updated = true), lit("\n"),
+          rec("I", col("after"), updated = true)))
+        .when(col("_op") === "D", rec("D", col("before"), updated = false))
+        .otherwise(rec("I", col("after"), updated = false))
+    env.withColumn("_value", value)
   }
 
   /** Canal-JSON TXN variant (canal_json_txn_encoder.go): one message
@@ -615,9 +644,10 @@ object Codecs {
         case _ => coalesce(c.cast("string"), lit("\\N"))
       }
     }
+    // meta order is op, TABLE, SCHEMA, commitTs (csv_message.go:122-127)
     env.withColumn("_value", concat_ws(",",
       (Seq(q(when(col("_op") === "I", "I").when(col("_op") === "U", "U").otherwise("D")),
-        q(col("_schema")), q(col("_table")),
+        q(col("_table")), q(col("_schema")),
         col("_commit_ts").cast("string")) ++ payload): _*))
   }
 }

@@ -276,19 +276,50 @@ object Decoders {
 
   private val csvSchema = StructType(Seq(
     StructField("_op", StringType),
-    StructField("_schema", StringType),
     StructField("_table", StringType),
+    StructField("_schema", StringType),
     StructField("_commit_ts", LongType),
     StructField("user_id", LongType),
     StructField("value", DoubleType),
     StructField("k", LongType)))
 
-  /** CSV line → envelope fields (meta cols op,schema,table,commitTs
-    * then payload). Parsed with `from_csv` so RFC-4180 quoting —
+  /** CSV line → envelope fields (meta cols op,TABLE,SCHEMA,commitTs
+    * then payload — encodeMeta writes tableName before schemaName,
+    * csv_message.go:122-127). Parsed with `from_csv` so RFC-4180 quoting —
     * embedded commas, doubled quotes (escape = `"`) — round-trips
     * Codecs.csvLine exactly (reference csv_message.go:199-245);
     * `\N` is the null marker (CSVConfig NullString,
     * pkg/config/sink.go:283). */
+  private val csvOldValueSchema = StructType(Seq(
+    StructField("_op", StringType),
+    StructField("_table", StringType),
+    StructField("_schema", StringType),
+    StructField("_commit_ts", LongType),
+    StructField("is_updated", BooleanType),
+    StructField("user_id", LongType),
+    StructField("value", DoubleType),
+    StructField("k", LongType)))
+
+  /** Consumer side of [[Codecs.csvLineOldValue]]: split multi-record
+    * messages on the record terminator, parse with the is-updated
+    * column (csv_message.go decode's dataColIdx walk). */
+  def decodeCsvOldValue(msgs: DataFrame, valueCol: String = "_value"): DataFrame = {
+    val parsed = col("__csv")
+    msgs
+      .select(explode(split(col(valueCol), "\n")).as("__line"))
+      .withColumn("__csv", from_csv(col("__line"), csvOldValueSchema,
+        Map("nullValue" -> "\\N", "escape" -> "\"")))
+      .select(
+        parsed.getField("_op").as("_op"),
+        parsed.getField("_table").as("_table"),
+        parsed.getField("_schema").as("_schema"),
+        parsed.getField("_commit_ts").as("_commit_ts"),
+        parsed.getField("is_updated").as("is_updated"),
+        parsed.getField("user_id").as("user_id"),
+        parsed.getField("value").as("value"),
+        parsed.getField("k").as("k"))
+  }
+
   def decodeCsv(msgs: DataFrame, valueCol: String = "_value"): DataFrame = {
     // parse ONCE into an attribute (see decodeCanalFor)
     val parsed = col("__csv")

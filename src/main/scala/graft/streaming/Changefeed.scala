@@ -835,7 +835,8 @@ object Changefeed {
                                    baseDir: String, checkpointDir: String,
                                    matcherGcMs: Long = 60000L,
                                    ignoreDdlClasses: Seq[String] = Nil,
-                                   ignoreDdlSqlRegexps: Seq[String] = Nil): StreamingQuery = {
+                                   ignoreDdlSqlRegexps: Seq[String] = Nil,
+                                   cdcNaming: Boolean = true): StreamingQuery = {
     require(cfg.sink.protocol == Protocol.CanalJson,
       "the storage composition writes canal-JSON text files")
     GraftSession.tune(spark)
@@ -873,6 +874,12 @@ object Changefeed {
             df = graft.operators.Filters.eventTypeFilter(df, f.ignoreOps)
             df = graft.operators.Filters.startTsFilter(df, f.ignoreTxnStartTs)
             graft.sinks.StorageSink.write(df, baseDir, "text")
+            // reference file naming: committed part-files rename to
+            // CDC{idx}.txt with the per-dir index advancing across
+            // batches (generator.go:350-420; idempotent on replay —
+            // already-renamed files only advance the index)
+            if (cdcNaming)
+              graft.sinks.StorageSink.applyCdcNaming(baseDir, "txt")
           }
           // flush marker AFTER the batch's files are durable
           val hi = batch.agg(max(col("commit_ts"))).head()

@@ -111,6 +111,10 @@ class StorageEvolveSpec extends SparkFunSuite {
         else Nil
       walk(new java.io.File(s"$outDir/_schema=app"))
     }
+    // reference file naming ran per batch: every data file is CDC{idx}.txt
+    assert(dataFiles.nonEmpty &&
+      dataFiles.forall(_.getName.matches("CDC\\d{6}\\.txt")),
+      s"CDC naming applied: ${dataFiles.map(_.getName)}")
     val lines = dataFiles.flatMap(f =>
       scala.io.Source.fromFile(f).getLines().toSeq)
     assert(lines.size == 3, s"data lines: $lines")

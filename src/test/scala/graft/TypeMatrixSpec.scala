@@ -277,8 +277,8 @@ class TypeMatrixSpec extends SparkFunSuite {
     // csv: quoted unicode survives from_csv
     val csv = Codecs.csvLineFor(env)
     val lineSchema = StructType(
-      Seq(StructField("_op", StringType), StructField("_schema", StringType),
-        StructField("_table", StringType), StructField("_commit_ts", LongType),
+      Seq(StructField("_op", StringType), StructField("_table", StringType),
+        StructField("_schema", StringType), StructField("_commit_ts", LongType),
         StructField("id", LongType), StructField("s", StringType),
         StructField("bin", StringType)))
     val p = csv.select(from_csv(col("_value"), lineSchema,
@@ -307,8 +307,8 @@ class TypeMatrixSpec extends SparkFunSuite {
     val env = envOf(csvRow)
     val encoded = Codecs.csvLineFor(env)
     val lineSchema = StructType(
-      Seq(StructField("_op", StringType), StructField("_schema", StringType),
-        StructField("_table", StringType), StructField("_commit_ts", LongType)) ++
+      Seq(StructField("_op", StringType), StructField("_table", StringType),
+        StructField("_schema", StringType), StructField("_commit_ts", LongType)) ++
         wireSchema.fields.map {
           case StructField("bin", _, _, _) => StructField("bin", StringType) // base64 text
           case f => f
