@@ -154,12 +154,17 @@ object MqConsume {
     * `openBatchWire` sink mode — after this, every existing consumer
     * path (decodeOpen, [[wireDdls]], [[dataMessagesOnly]]) works
     * unchanged on the per-event frames. */
-  def unwrapOpenBatchFrames(frames: DataFrame): DataFrame = {
+  def unwrapOpenBatchFrames(frames: DataFrame,
+                            valueCodec: String = "none"): DataFrame = {
     val un = udf((v: String) => {
       val (kb, vb) = graft.functions.OpenBatch.parseFrame(v)
       graft.functions.OpenBatch.unpackBatch(kb, vb).map { case (k, vv) =>
+        // checkpoint events carry an EMPTY value — never compressed
+        // (EncodeCheckpointEvent writes the bare zero length prefix)
+        val body = if (vv.isEmpty) vv
+                   else graft.functions.Compression.decode(valueCodec, vv)
         (new String(k, java.nio.charset.StandardCharsets.UTF_8),
-          new String(vv, java.nio.charset.StandardCharsets.UTF_8))
+          new String(body, java.nio.charset.StandardCharsets.UTF_8))
       }
     })
     val framed = frames.filter(col("_kind").isin("batch", "ddl", "resolved"))

@@ -144,11 +144,13 @@ object OpenBatch {
     * finishedTs with t=2 (MessageTypeDDL), value is {"q": query,
     * "t": job action type}. */
   def ddlMessage(finishedTs: Long, schema: String, table: String,
-                 query: String, actionType: Int): (Array[Byte], Array[Byte]) =
+                 query: String, actionType: Int,
+                 valueCodec: String = "none"): (Array[Byte], Array[Byte]) =
     singleMessage(
       s"""{"ts":$finishedTs,"scm":"${jsEsc(schema)}","tbl":"${jsEsc(table)}","t":2}"""
         .getBytes(UTF_8),
-      s"""{"q":"${jsEsc(query)}","t":$actionType}""".getBytes(UTF_8))
+      Compression.encode(valueCodec,
+        s"""{"q":"${jsEsc(query)}","t":$actionType}""".getBytes(UTF_8)))
 
   /** Checkpoint (resolved-ts) wire message (EncodeCheckpointEvent,
     * encoder.go:241-273): key {"ts",..,"t":3}, value EMPTY — on the
@@ -174,15 +176,21 @@ object OpenBatch {
   def packOpenBatches(msgs: DataFrame, maxBatchSize: Int,
                       maxBatchedBytes: Int = Int.MaxValue,
                       groupCols: Seq[String] = Seq("_partition"),
-                      orderCols: Seq[String] = Seq("_commit_ts", "_row_id")): DataFrame = {
+                      orderCols: Seq[String] = Seq("_commit_ts", "_row_id"),
+                      valueCodec: String = "none"): DataFrame = {
     // order fields get positional aliases so an orderCol named _key/
     // _value cannot collide with the payload fields
     val ev = struct((orderCols.zipWithIndex.map { case (c, i) =>
       col(c).as(s"__o$i")
     } :+ col("_key").as("_key") :+ col("_value").as("_value")): _*)
+    // per-event VALUE compression happens before framing, exactly where
+    // the reference compresses (encodeRowChangedEvent → common.Compress
+    // → pushMessage); keys stay plain — the consumer reads the type
+    // field before touching the value
     val packer = udf((keys: Seq[String], values: Seq[String]) =>
       packBatches(keys.zip(values).map { case (k, v) =>
-        (k.getBytes(UTF_8), v.getBytes(UTF_8))
+        (k.getBytes(UTF_8),
+          Compression.encode(valueCodec, v.getBytes(UTF_8)))
       }, maxBatchSize, maxBatchedBytes))
     msgs.groupBy(groupCols.map(col): _*)
       .agg(sort_array(collect_list(ev)).as("__evs"))
@@ -198,10 +206,12 @@ object OpenBatch {
   /** Explode batch frames back into per-event (`_key`, `_value`)
     * strings with their in-batch index — the consumer side. */
   def unpackOpenBatches(batches: DataFrame,
-                        groupCols: Seq[String] = Seq("_partition")): DataFrame = {
+                        groupCols: Seq[String] = Seq("_partition"),
+                        valueCodec: String = "none"): DataFrame = {
     val un = udf((k: Array[Byte], v: Array[Byte]) =>
       unpackBatch(k, v).map { case (kb, vb) =>
-        (new String(kb, UTF_8), new String(vb, UTF_8))
+        (new String(kb, UTF_8),
+          new String(Compression.decode(valueCodec, vb), UTF_8))
       })
     batches.withColumn("__evs", un(col("_key_bytes"), col("_value_bytes")))
       .select((groupCols.map(col) :+ col("_batch_seq") :+

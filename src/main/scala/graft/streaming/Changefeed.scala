@@ -503,7 +503,8 @@ object Changefeed {
             // — one single-event record per job, before the batch's rows
             import spark.implicits._
             emitted.map { case (s, t, ts, qq, at) =>
-              val (kb, vb) = graft.functions.OpenBatch.ddlMessage(ts, s, t, qq, at)
+              val (kb, vb) = graft.functions.OpenBatch.ddlMessage(ts, s, t, qq, at,
+                valueCodec = cfg.sink.largeMessageHandle.compression)
               (0L, ts, "ddl", graft.functions.OpenBatch.frameJson(kb, vb))
             }.toDF("_partition", "_commit_ts", "_kind", "_value")
               .coalesce(1).write.mode("append").parquet(sinkDir)
@@ -1002,7 +1003,8 @@ object Changefeed {
           // the string frame (the FileMq transport stand-in).
           graft.functions.OpenBatch.packOpenBatches(
               observed, cfg.sink.maxBatchSize, cfg.sink.maxMessageBytes,
-              orderCols = Seq("_commit_ts", "_value"))
+              orderCols = Seq("_commit_ts", "_value"),
+              valueCodec = lmh.compression)
             .select(col("_partition"), col("_batch_seq").cast("long").as("_commit_ts"),
               lit("batch").as("_kind"),
               graft.functions.OpenBatch.frameJsonCol(

@@ -104,6 +104,41 @@ class OpenBatchSpec extends AnyFunSuite {
     assert(v.length == 8 && v.forall(_ == 0))
   }
 
+  test("per-event value compression inside the framing (lz4/snappy/zstd)") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    val body = "{\"u\":{\"id\":1,\"text\":\"" + ("abcdef" * 40) + "\"}}"
+    val msgs = Seq((0L, 1000L, 1L, """{"ts":1000,"t":1}""", body))
+      .toDF("_partition", "_commit_ts", "_row_id", "_key", "_value")
+    Seq("lz4", "snappy", "zstd").foreach { codec =>
+      val packed = OpenBatch.packOpenBatches(msgs, 16, valueCodec = codec)
+      val vlen = packed.select(length(col("_value_bytes"))).head().getInt(0)
+      // framed value = 8-byte length prefix + compressed body; the
+      // repetitive body must actually shrink
+      assert(vlen < body.length, s"$codec: framed $vlen vs plain ${body.length}")
+      val back = OpenBatch.unpackOpenBatches(packed, valueCodec = codec)
+        .select("_value").head().getString(0)
+      assert(back == body, s"$codec roundtrip")
+      // the consumer-side frame unwrap decompresses too (and leaves an
+      // empty checkpoint value alone)
+      val frames = packed.select(col("_partition"),
+        col("_batch_seq").cast("long").as("_commit_ts"),
+        org.apache.spark.sql.functions.lit("batch").as("_kind"),
+        graft.functions.OpenBatch.frameJsonCol(
+          col("_key_bytes"), col("_value_bytes")).as("_value"))
+      val un = MqConsume.unwrapOpenBatchFrames(frames, valueCodec = codec)
+        .select("_value").head().getString(0)
+      assert(un == body, s"$codec frame unwrap")
+    }
+    // ddl message value compresses under the codec as well
+    val (dk, dv) = OpenBatch.ddlMessage(9L, "app", "t",
+      "ALTER TABLE t COMMENT '" + ("x" * 400) + "'", 17, valueCodec = "zstd")
+    val events = OpenBatch.unpackBatch(dk, dv)
+    val q = new String(graft.functions.Compression.decode("zstd", events.head._2),
+      java.nio.charset.StandardCharsets.UTF_8)
+    assert(q.contains("\"t\":17") && q.length > 400)
+  }
+
   test("unsupported version is rejected") {
     val batches = OpenBatch.packBatches(Seq(ev("k", "v")), 16, Int.MaxValue)
     val bad = batches.head.key.clone()
