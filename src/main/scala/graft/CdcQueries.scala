@@ -376,6 +376,19 @@ object CdcQueries {
         .select(col("_table"), col("_row_id"), col("_commit_ts"), col("_value"))
     }),
 
+    // the same heterogeneous one-pass mount to the CSV storage wire
+    // (the csv_storage_* scenarios' file format): per-entry decode
+    // against its own meta, csv record in the reference's meta order
+    // (op, table, schema, commitTs), per-type literal rendering
+    "q_kv_mount_hetero_csv" -> ((s, d) => {
+      val raw = RawKvQuery.encodeHetero(Tables.events(s, d))
+      val plan = Map(
+        RawKvQuery.heteroMetaA.tableId -> Seq(0L -> Option(RawKvQuery.heteroMetaA)),
+        RawKvQuery.heteroMetaB.tableId -> Seq(0L -> Option(RawKvQuery.heteroMetaB)))
+      RawKvMounter.mountTablesEncodeCsv(raw, plan)
+        .select(col("_table"), col("_row_id"), col("_commit_ts"), col("_value"))
+    }),
+
     // the unknown-id observable as a green oracle row: a third of the
     // wire (event_id % 3 == 2) encodes under a physical id NO meta
     // claims — the coverage summary must count exactly that class as
@@ -1061,6 +1074,21 @@ object CdcQueries {
         |    '{"event_id":' || CAST(event_id AS VARCHAR) || ',"event_type":"' ||
         |    event_type || '"}'
         |  END || '],"old":null}' AS _value
+        |FROM events""".stripMargin,
+
+    "q_kv_mount_hetero_csv" ->
+      """SELECT CASE WHEN event_id % 2 = 0 THEN 'events_wide' ELSE 'events_tag' END AS _table,
+        |  event_id AS _row_id, epoch_ns(ts) AS _commit_ts,
+        |  '"I",' ||
+        |  CASE WHEN event_id % 2 = 0 THEN '"events_wide"' ELSE '"events_tag"' END ||
+        |  ',"app",' || CAST(epoch_ns(ts) AS VARCHAR) || ',' ||
+        |  CASE WHEN event_id % 2 = 0 THEN
+        |    CAST(event_id AS VARCHAR) || ',' ||
+        |    COALESCE(CAST(user_id AS VARCHAR), '\N') || ',"' ||
+        |    replace(props, '"', '""') || '"'
+        |  ELSE
+        |    CAST(event_id AS VARCHAR) || ',"' || event_type || '"'
+        |  END AS _value
         |FROM events""".stripMargin,
 
     "q_mount_coverage" ->

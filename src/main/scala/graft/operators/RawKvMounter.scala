@@ -817,8 +817,85 @@ object RawKvMounter {
                              failOnCorruption: Boolean = false,
                              unknownIds: Option[org.apache.spark.util.LongAccumulator] = None,
                              outOfWindow: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame =
+    mountTablesEncodeWith(raw, plan, failOnCorruption, unknownIds, outOfWindow) {
+      (latest, op, commitTs, before, after) =>
+        // canal-JSON assembly, field-for-field the columnar
+        // canalJsonFor layout
+        val typ = op match {
+          case "I" => "INSERT"; case "U" => "UPDATE"; case _ => "DELETE"
+        }
+        val ms = commitTs / 1000000L
+        val dataImg =
+          if (op == "D") canalImage(latest, before)
+          else canalImage(latest, after)
+        val oldArr =
+          if (op == "U") "[" + canalImage(latest, before) + "]" else "null"
+        val pks = latest.handleCols.map("\"" + _ + "\"").mkString(",")
+        "{\"id\":0,\"database\":\"" + latest.schema +
+          "\",\"table\":\"" + latest.table +
+          "\",\"pkNames\":[" + pks + "],\"isDdl\":false,\"type\":\"" + typ +
+          "\",\"es\":" + ms + ",\"ts\":" + ms +
+          ",\"data\":[" + dataImg + "],\"old\":" + oldArr + "}"
+    }
+
+  /** CSV literal for one decoded cell — the fused twin of
+    * [[graft.functions.Codecs.csvLineFor]]'s per-type rendering
+    * (fromColValToCsvVal, csv/csv_message.go:275-345): strings RFC-4180
+    * quoted with quote doubling, binary base64, booleans 1/0, numerics
+    * bare, null → \N. */
+  private def csvLit(v: Any): String = v match {
+    case null => "\\N"
+    case x: Boolean => if (x) "1" else "0"
+    case x: Array[Byte] => java.util.Base64.getEncoder.encodeToString(x)
+    case x: String => "\"" + x.replace("\"", "\"\"") + "\""
+    case x: java.math.BigDecimal => x.toPlainString
+    case x => x.toString
+  }
+
+  /** Fused mount→encode to the csv storage wire over HETEROGENEOUS
+    * shapes — one csv RECORD per event in the reference's meta order
+    * (op, TABLE, SCHEMA, commitTs — encodeMeta, csv_message.go:122-127)
+    * then the latest-shape payload cells. `outputOldValue` adds the
+    * is-updated column and splits an UPDATE into a two-record D+I
+    * message (csv_message.go:104-140), newline-joined. Same scan-speed
+    * shape as [[mountTablesEncodeCanal]]. */
+  def mountTablesEncodeCsv(raw: DataFrame,
+                           plan: Map[Long, Seq[(Long, Option[KvTableMeta])]],
+                           outputOldValue: Boolean = false,
+                           failOnCorruption: Boolean = false,
+                           unknownIds: Option[org.apache.spark.util.LongAccumulator] = None,
+                           outOfWindow: Option[org.apache.spark.util.LongAccumulator] = None)
+      : DataFrame =
+    mountTablesEncodeWith(raw, plan, failOnCorruption, unknownIds, outOfWindow) {
+      (latest, op, commitTs, before, after) =>
+        def rec(o: String, img: Array[Any], updated: Boolean): String = {
+          val meta = Seq("\"" + o + "\"", "\"" + latest.table + "\"",
+            "\"" + latest.schema + "\"", commitTs.toString) ++
+            (if (outputOldValue) Seq(updated.toString) else Nil)
+          val cells =
+            if (img == null) latest.columns.map(_ => "\\N")
+            else img.toSeq.map(csvLit)
+          (meta ++ cells).mkString(",")
+        }
+        op match {
+          case "U" if outputOldValue =>
+            rec("D", before, updated = true) + "\n" + rec("I", after, updated = true)
+          case "U" => rec("U", after, updated = false)
+          case "D" => rec("D", before, updated = false)
+          case _ => rec("I", after, updated = false)
+        }
+    }
+
+  private def mountTablesEncodeWith(raw: DataFrame,
+                                    plan: Map[Long, Seq[(Long, Option[KvTableMeta])]],
+                                    failOnCorruption: Boolean,
+                                    unknownIds: Option[org.apache.spark.util.LongAccumulator],
+                                    outOfWindow: Option[org.apache.spark.util.LongAccumulator])
+                                   (render: (KvTableMeta, String, Long,
+                                             Array[Any], Array[Any]) => String)
       : DataFrame = {
-    require(plan.nonEmpty, "mountTablesEncodeCanal: empty plan")
+    require(plan.nonEmpty, "mountTablesEncode: empty plan")
     val compiled: Map[Long, (Array[Long], Array[KvTableMeta], KvTableMeta)] =
       plan.flatMap { case (pid, segs) =>
         val sorted = segs.sortBy(_._1)
@@ -827,7 +904,7 @@ object RawKvMounter {
             sorted.map(_._2.orNull).toArray, latest)
         }
       }
-    require(compiled.nonEmpty, "mountTablesEncodeCanal: no mountable segment")
+    require(compiled.nonEmpty, "mountTablesEncode: no mountable segment")
     val enc = Encoders.row(StructType(Seq(
       StructField("_row_id", LongType, nullable = false),
       StructField("_schema", StringType, nullable = false),
@@ -895,23 +972,7 @@ object RawKvMounter {
                       }
                       h
                   }
-                  // canal-JSON assembly, field-for-field the columnar
-                  // canalJsonFor layout
-                  val typ = op match {
-                    case "I" => "INSERT"; case "U" => "UPDATE"; case _ => "DELETE"
-                  }
-                  val ms = commitTs / 1000000L
-                  val dataImg =
-                    if (op == "D") canalImage(latest, before)
-                    else canalImage(latest, after)
-                  val oldArr =
-                    if (op == "U") "[" + canalImage(latest, before) + "]" else "null"
-                  val pks = latest.handleCols.map("\"" + _ + "\"").mkString(",")
-                  val wire = "{\"id\":0,\"database\":\"" + latest.schema +
-                    "\",\"table\":\"" + latest.table +
-                    "\",\"pkNames\":[" + pks + "],\"isDdl\":false,\"type\":\"" + typ +
-                    "\",\"es\":" + ms + ",\"ts\":" + ms +
-                    ",\"data\":[" + dataImg + "],\"old\":" + oldArr + "}"
+                  val wire = render(latest, op, commitTs, before, after)
                   Iterator(Row(rowId, latest.schema, latest.table, op,
                     commitTs, r.getLong(4), wire))
                 }

@@ -837,9 +837,12 @@ object Changefeed {
                                    matcherGcMs: Long = 60000L,
                                    ignoreDdlClasses: Seq[String] = Nil,
                                    ignoreDdlSqlRegexps: Seq[String] = Nil,
-                                   cdcNaming: Boolean = true): StreamingQuery = {
-    require(cfg.sink.protocol == Protocol.CanalJson,
-      "the storage composition writes canal-JSON text files")
+                                   cdcNaming: Boolean = true,
+                                   csvOutputOldValue: Boolean = false): StreamingQuery = {
+    require(cfg.sink.protocol == Protocol.CanalJson ||
+        cfg.sink.protocol == Protocol.Csv,
+      "the storage composition writes canal-JSON or csv text files")
+    val csvMode = cfg.sink.protocol == Protocol.Csv
     GraftSession.tune(spark)
     val holder = new SchemaStoreHolder(initial, s"$checkpointDir/schemastore")
     TxnMatcher.matchStream(spark, raw, matcherGcMs)
@@ -869,8 +872,11 @@ object Changefeed {
               s, t, cfg.filter.rules, cfg.filter.caseSensitive))
           if (plan.nonEmpty) {
             val f = cfg.filter
-            var df = graft.operators.RawKvMounter.mountTablesEncodeCanal(
-              batch, plan, failOnCorruption = false)
+            var df =
+              if (csvMode) graft.operators.RawKvMounter.mountTablesEncodeCsv(
+                batch, plan, outputOldValue = csvOutputOldValue)
+              else graft.operators.RawKvMounter.mountTablesEncodeCanal(
+                batch, plan, failOnCorruption = false)
             df = graft.operators.Filters.tableFilter(df, f.rules, f.caseSensitive)
             df = graft.operators.Filters.eventTypeFilter(df, f.ignoreOps)
             df = graft.operators.Filters.startTsFilter(df, f.ignoreTxnStartTs)

@@ -932,6 +932,59 @@ class RawKvMounterSpec extends SparkFunSuite {
         s"only-fused: ${fused.diff(expected)}\nonly-cols: ${expected.diff(fused)}")
   }
 
+  test("fused mount->encode to the CSV storage wire: record-identical to " +
+      "the columnar csvLineFor per table; output-old-value splits updates " +
+      "into flagged D+I records") {
+    import graft.functions.Codecs
+    val metaB = KvTableMeta(202L, "app", "tags",
+      Seq(KvColumn(1L, "id", "bigint", nullable = false),
+        KvColumn(2L, "tag", "varchar(16)")), handleCol = "id")
+    def keyB(h: Long) = TiKvCodec.encodeRecordKey(202L, IntHandle(h))
+    def imgB(id: Long, tag: String) =
+      RawKvMounter.encodeImage(metaB, Seq(id, tag))
+    val rowsA = Seq(
+      (key(1L), img(1L, "ada", 1.5, "a", 10L), null, "put", 90L, 100L),
+      (key(1L), img(1L, "ada2", 2.5, "a", 11L),
+        img(1L, "ada", 1.5, "a", 10L), "put", 190L, 200L),
+      (key(2L), img(2L, "bob", null, "b", 20L), null, "put", 90L, 100L),
+      (key(2L), null, img(2L, "bob", null, "b", 20L), "delete", 290L, 300L))
+    val rowsB = Seq(
+      (keyB(7L), imgB(7L, "t\"x,y"), null, "put", 90L, 110L),
+      (keyB(7L), null, imgB(7L, "t\"x,y"), "delete", 190L, 210L))
+    val plan = Map(
+      101L -> Seq(0L -> Option(meta)),
+      202L -> Seq(0L -> Option(metaB)))
+    val fused = RawKvMounter
+      .mountTablesEncodeCsv(rawDf(rowsA ++ rowsB), plan)
+      .select("_value").collect().map(_.getString(0)).toSet
+    def columnar(ms: KvTableMeta,
+                 rows: Seq[(Array[Byte], Array[Byte], Array[Byte], String, Long, Long)]) =
+      Codecs.csvLineFor(RawKvMounter.mountTables(rawDf(rows), Seq(ms)))
+        .select("_value").collect().map(_.getString(0)).toSet
+    val expected = columnar(meta, rowsA) ++ columnar(metaB, rowsB)
+    assert(fused == expected,
+      s"fused csv must equal the per-table feeds' union:\n" +
+        s"only-fused: ${fused.diff(expected)}\nonly-cols: ${expected.diff(fused)}")
+    // quoting sanity: the comma/quote-bearing tag is RFC-4180 safe
+    assert(fused.exists(_.contains("\"t\"\"x,y\"")))
+
+    // output-old-value: the update becomes a two-record D+I message
+    // with the is-updated column after commitTs (csv_message.go:104-140)
+    val ov = RawKvMounter
+      .mountTablesEncodeCsv(rawDf(rowsA), Map(101L -> Seq(0L -> Option(meta))),
+        outputOldValue = true)
+      .select("_op", "_value").collect()
+      .map(r => (r.getString(0), r.getString(1))).toMap
+    val uMsg = ov("U")
+    val recs = uMsg.split("\n")
+    assert(recs.length == 2)
+    assert(recs(0).startsWith("\"D\",\"users\",\"app\",200,true,") ||
+      recs(0).startsWith("\"D\",\"" + meta.table + "\",\"" + meta.schema + "\",200,true,"),
+      s"old-value D record: ${recs(0)}")
+    assert(recs(1).contains(",true,") && recs(1).startsWith("\"I\","))
+    assert(ov("I").contains(",false,"), s"insert flagged false: ${ov("I")}")
+  }
+
   test("integrity-fused mount: warn level marks corrupted rows and forwards, " +
       "error level fails the feed (mounter.go:79-146 ErrCorruptedDataMutation)") {
     val payload = Seq(5L, "eve", 2.5, "x", 7L)
