@@ -131,4 +131,54 @@ class StorageEvolveSpec extends SparkFunSuite {
     // flush marker advanced to the max commit ts
     assert(StorageSink.readCheckpointMeta(outDir) == Some(150L))
   }
+
+  test("csv storage mode: the same evolving feed writes csv records " +
+      "(csv_storage_basic analog) with schema files beside them") {
+    val tmp = Files.createTempDirectory("graft-storage-csv").toString
+    val srcDir = s"$tmp/src"
+    val outDir = s"$tmp/out"
+    val cfg = ChangefeedConfig(id = "cf-storage-csv",
+      filter = FilterConfig(rules = Seq("app.*")),
+      handleKeys = Seq("id"),
+      sink = SinkConfig(protocol = Protocol.Csv, numPartitions = 2))
+    def jobJson(jid: Long, tpe: Int, q: String, ts: Long): Array[Byte] =
+      (s"""{"id":$jid,"type":$tpe,"schema_id":1,"table_id":900,""" +
+        s""""schema_name":"app","table_name":"t","state":4,""" +
+        s""""query":"${q.replace("\"", "\\\"")}",""" +
+        s""""binlog":{"SchemaVersion":$ts,"TableInfo":{"id":900}},"version":1}""")
+        .getBytes("UTF-8")
+    val (jk, jv) = DdlJobParser.encodeJobEntry(1L,
+      jobJson(1L, 3, "CREATE TABLE app.t (id BIGINT, v BIGINT)", 10L), 3)
+    def rowPair(id: Long, cells: Seq[(Long, Long)], commitTs: Long): Seq[Row] = {
+      val k = TiKvCodec.encodeRecordKey(900L, TiKvCodec.IntHandle(id))
+      val v = TiKvCodec.encodeV2(cells.map { case (cid, x) =>
+        cid -> Some(TiKvCodec.intCell(x)) })
+      Seq(
+        Row(k, v, null, "put", "prewrite", commitTs - 1L, 0L, 0L),
+        Row(k, null, null, "put", "commit", commitTs - 1L, commitTs, 0L))
+    }
+    val rows = Seq(Row(jk, jv, null, "put", "committed", 9L, 10L, 0L)) ++
+      rowPair(1L, Seq(2L -> 10L), 50L) ++ rowPair(2L, Seq(2L -> 20L), 60L)
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), TxnMatcher.uncommittedSchema)
+      .write.parquet(srcDir)
+    val q = Changefeed.runStorageFromRaw2pcEvolving(spark, cfg,
+      spark.readStream.schema(TxnMatcher.uncommittedSchema).parquet(srcDir),
+      SchemaStore(), outDir, s"$tmp/ckpt", matcherGcMs = 600000L)
+    try q.awaitTermination(240000)
+    finally { if (q.isActive) q.stop() }
+    assert(q.exception.isEmpty, s"feed error: ${q.exception}")
+    // schema file written from the CREATE
+    assert(StorageSink.latestSchemaFile(outDir, "app", "t") ==
+      Some((10L, Seq(("id", "BIGINT"), ("v", "BIGINT")))))
+    // data files are csv records in the wire's meta order
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.matches("CDC\\d{6}\\.txt")) Seq(f) else Nil
+    val lines = walk(new java.io.File(s"$outDir/_schema=app"))
+      .flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq).sorted
+    assert(lines == Seq(
+      "\"I\",\"t\",\"app\",50,1,10",
+      "\"I\",\"t\",\"app\",60,2,20"), s"csv lines: $lines")
+  }
 }
