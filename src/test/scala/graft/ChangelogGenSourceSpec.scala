@@ -158,4 +158,29 @@ class ChangelogGenSourceSpec extends SparkFunSuite {
     assert(secs < 120.0, f"raw mount rig took $secs%.1f s")
     info(f"raw-kv mount rig: 1M rows in $secs%.2f s (${1000000 / secs}%.0f rows/s)")
   }
+
+  test("fused mount->encode rig: 1M raw entries render to wire strings " +
+      "in bounded wall time (the hetero steady-state's per-entry path)") {
+    import graft.operators.RawKvMounter
+    val meta = rawKvMeta(0)
+    val plan = Map(meta.tableId -> Seq(0L -> Option(meta)))
+    val t0 = System.nanoTime()
+    val q = RawKvMounter.mountTablesEncodeCanal(
+      spark.readStream.format("graft.sources.ChangelogGenSource")
+        .option("tables", 1).option("totalRows", 1000000)
+        .option("rowsPerBatch", 1000000).option("numPartitions", 8)
+        .option("rawKv", true).load(),
+      plan)
+      .agg(count(lit(1)).as("n"), sum(length(col("_value"))).as("bytes"))
+      .writeStream.outputMode("complete").format("memory").queryName("fusedrig")
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(300000)
+    val secs = (System.nanoTime() - t0) / 1e9
+    val row = spark.table("fusedrig").head()
+    assert(row.getLong(0) == 1000000L)
+    assert(row.getLong(1) > 100000000L, "wire strings actually rendered")
+    assert(secs < 120.0, f"fused encode rig took $secs%.1f s")
+    info(f"fused mount->encode rig: 1M rows in $secs%.2f s " +
+      f"(${1000000 / secs}%.0f rows/s)")
+  }
 }
