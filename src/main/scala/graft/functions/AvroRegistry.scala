@@ -105,6 +105,55 @@ object AvroRegistry {
 
   /** Confluent wire framing: magic 0x00 + 4-byte big-endian schema id
     * + payload. */
+  // ---- avro control events (tidb-extension + watermark mode) ----
+  // avro/encoder.go:104-147 + helper.go:51-52: row messages carry the
+  // Confluent magic byte 0 head; DDL events are 0x01 ++ a compact JSON
+  // {"query","type","schema","table","commitTs"}; checkpoint events
+  // are 0x02 ++ the big-endian u64 resolved ts. The decoder dispatches
+  // on the first byte (decoder.go:94-98).
+
+  val DdlByte: Byte = 1
+  val CheckpointByte: Byte = 2
+
+  def ddlEventBytes(query: String, actionType: Int, schema: String,
+                    table: String, commitTs: Long): Array[Byte] = {
+    def esc(s: String) = s.replace("\\", "\\\\").replace("\"", "\\\"")
+    val json = s"""{"query":"${esc(query)}","type":$actionType,""" +
+      s""""schema":"${esc(schema)}","table":"${esc(table)}",""" +
+      s""""commitTs":$commitTs}"""
+    Array(DdlByte) ++ json.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+  }
+
+  def checkpointEventBytes(ts: Long): Array[Byte] = {
+    val b = new Array[Byte](9)
+    b(0) = CheckpointByte
+    var i = 0
+    while (i < 8) { b(1 + i) = ((ts >>> (8 * (7 - i))) & 0xffL).toByte; i += 1 }
+    b
+  }
+
+  /** Consumer dispatch on the leading byte (decoder.go:94-98):
+    * Left((query, type, schema, table, commitTs)) for DDL,
+    * Right(resolvedTs) for checkpoint; None for row messages (magic 0,
+    * which [[unframe]] handles). */
+  def decodeControlEvent(bytes: Array[Byte])
+      : Option[Either[(String, Int, String, String, Long), Long]] =
+    bytes.headOption match {
+      case Some(DdlByte) =>
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val n = mapper.readTree(new String(bytes.drop(1),
+          java.nio.charset.StandardCharsets.UTF_8))
+        Some(Left((n.get("query").asText(), n.get("type").asInt(),
+          n.get("schema").asText(), n.get("table").asText(),
+          n.get("commitTs").asLong())))
+      case Some(CheckpointByte) =>
+        var v = 0L
+        var i = 0
+        while (i < 8) { v = (v << 8) | (bytes(1 + i) & 0xffL); i += 1 }
+        Some(Right(v))
+      case _ => None
+    }
+
   def frame(schemaId: Int, payload: Array[Byte]): Array[Byte] =
     ByteBuffer.allocate(5 + payload.length)
       .put(0.toByte).putInt(schemaId).put(payload).array()

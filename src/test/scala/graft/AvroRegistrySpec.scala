@@ -207,4 +207,22 @@ class AvroRegistrySpec extends SparkFunSuite {
       assert(backoff.checkStatus(101L, Nil, nowMs = 20000L) == FeedState.Normal)
     } finally stub.stop()
   }
+
+  test("avro control events: DDL is 0x01 + compact json, checkpoint is " +
+      "0x02 + BE u64, row magic 0 is neither (encoder.go:104-147)") {
+    import graft.functions.AvroRegistry
+    val ddl = AvroRegistry.ddlEventBytes(
+      """ALTER TABLE t ADD COLUMN c varchar(8) DEFAULT "x"""",
+      5, "app", "t", 123456789L)
+    assert(ddl(0) == 1.toByte)
+    assert(AvroRegistry.decodeControlEvent(ddl) == Some(Left((
+      """ALTER TABLE t ADD COLUMN c varchar(8) DEFAULT "x"""",
+      5, "app", "t", 123456789L))))
+    val cp = AvroRegistry.checkpointEventBytes(0x0102030405060708L)
+    assert(cp.toSeq == Seq[Byte](2, 1, 2, 3, 4, 5, 6, 7, 8))
+    assert(AvroRegistry.decodeControlEvent(cp) == Some(Right(0x0102030405060708L)))
+    // a confluent-framed row message (magic byte 0) is not a control event
+    val row = AvroRegistry.frame(7, Array[Byte](9, 9))
+    assert(AvroRegistry.decodeControlEvent(row).isEmpty)
+  }
 }
