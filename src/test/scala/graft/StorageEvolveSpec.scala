@@ -132,6 +132,100 @@ class StorageEvolveSpec extends SparkFunSuite {
     assert(StorageSink.readCheckpointMeta(outDir) == Some(150L))
   }
 
+  test("kill-restart across the DDL boundary: schema files stay idempotent " +
+      "(content-checksummed names), data replays at-least-once with the " +
+      "exact distinct row set, the CDC index only advances") {
+    import graft.streaming.Failpoints
+    val tmp = Files.createTempDirectory("graft-storage-kill").toString
+    val srcDir = s"$tmp/src"
+    val outDir = s"$tmp/out"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    val cfg = ChangefeedConfig(id = "cf-storage-kill",
+      filter = FilterConfig(rules = Seq("app.*")),
+      handleKeys = Seq("id"),
+      sink = SinkConfig(protocol = Protocol.CanalJson, numPartitions = 2))
+    def jobJson(jid: Long, tpe: Int, q: String, ts: Long): Array[Byte] =
+      (s"""{"id":$jid,"type":$tpe,"schema_id":1,"table_id":900,""" +
+        s""""schema_name":"app","table_name":"t","state":4,""" +
+        s""""query":"${q.replace("\"", "\\\"")}",""" +
+        s""""binlog":{"SchemaVersion":$ts,"TableInfo":{"id":900}},"version":1}""")
+        .getBytes("UTF-8")
+    def jobEntry(jid: Long, tpe: Int, q: String, ts: Long): Seq[Row] = {
+      val (k, v) = DdlJobParser.encodeJobEntry(jid, jobJson(jid, tpe, q, ts), tpe)
+      Seq(Row(k, v, null, "put", "committed", ts - 1L, ts, 0L))
+    }
+    def rowPair(id: Long, cells: Seq[(Long, Long)], commitTs: Long): Seq[Row] = {
+      val k = TiKvCodec.encodeRecordKey(900L, TiKvCodec.IntHandle(id))
+      val v = TiKvCodec.encodeV2(cells.map { case (cid, x) =>
+        cid -> Some(TiKvCodec.intCell(x)) })
+      Seq(
+        Row(k, v, null, "put", "prewrite", commitTs - 1L, 0L, 0L),
+        Row(k, null, null, "put", "commit", commitTs - 1L, commitTs, 0L))
+    }
+    var fileSeq = 0
+    def writeFile(rows: Seq[Row]): Unit = {
+      fileSeq += 1
+      val stage = s"$tmp/stage-$fileSeq"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), TxnMatcher.uncommittedSchema)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      val dst = java.nio.file.Paths.get(srcDir, f"f$fileSeq%03d.parquet")
+      Files.move(part.toPath, dst)
+      dst.toFile.setLastModified(1700000000000L + fileSeq * 60000L)
+    }
+    writeFile(jobEntry(1L, 3, "CREATE TABLE app.t (id BIGINT, v BIGINT)", 10L) ++
+      rowPair(1L, Seq(2L -> 10L), 50L))
+    writeFile(jobEntry(2L, 5, "ALTER TABLE app.t ADD COLUMN k BIGINT DEFAULT 7", 100L) ++
+      rowPair(3L, Seq(2L -> 30L, 3L -> 33L), 150L))
+
+    def start() = Changefeed.runStorageFromRaw2pcEvolving(spark, cfg,
+      spark.readStream.schema(TxnMatcher.uncommittedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      SchemaStore(), outDir, s"$tmp/ckpt", matcherGcMs = 600000L)
+
+    // kill the SECOND batch (the DDL boundary) at admission, then
+    // drain on the same checkpoint
+    Failpoints.enable("graft/changefeed/storage-batch", "1*off->1*panic")
+    var attempts = 0
+    var done = false
+    while (!done && attempts < 6) {
+      attempts += 1
+      val q = start()
+      try { q.awaitTermination(240000); done = true }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      finally { if (q.isActive) q.stop() }
+    }
+    Failpoints.clear()
+    assert(done, "storage feed failed to drain")
+    assert(attempts >= 2, "the injected batch kill must force a restart")
+
+    // schema files idempotent: exactly two (CREATE + ALTER), whatever
+    // the replay count — the checksummed name rewrites in place
+    val metaNames = new java.io.File(s"$outDir/app/t/meta").listFiles()
+      .map(_.getName).toSeq.sortBy(_.split("_")(1).toLong)
+    assert(metaNames.size == 2, s"schema files: $metaNames")
+    assert(StorageSink.latestSchemaFile(outDir, "app", "t")
+      .exists(_._2.map(_._1) == Seq("id", "v", "k")))
+    // data: at-least-once — the DISTINCT line set equals the workload,
+    // every file is CDC-named, the index never reuses a number
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk)
+      else if (f.getName.matches("CDC\\d{6}\\.txt")) Seq(f) else Nil
+    val files = walk(new java.io.File(s"$outDir/_schema=app"))
+    assert(files.nonEmpty)
+    val lines = files.flatMap(f => scala.io.Source.fromFile(f).getLines().toSeq)
+    val ids = lines.map { l =>
+      val n = new com.fasterxml.jackson.databind.ObjectMapper().readTree(l)
+      (n.get("data").get(0).get("id").asText().toLong,
+        Option(n.get("data").get(0).get("k")).map(_.asText()).orNull)
+    }
+    assert(ids.distinct.toSet == Set((1L, null), (3L, "33")),
+      s"distinct replayed rows: ${ids.distinct}")
+    assert(StorageSink.readCheckpointMeta(outDir) == Some(150L))
+  }
+
   test("csv storage mode: the same evolving feed writes csv records " +
       "(csv_storage_basic analog) with schema files beside them") {
     val tmp = Files.createTempDirectory("graft-storage-csv").toString
