@@ -69,6 +69,8 @@ object Changefeed {
       case Protocol.CanalJson if !fixturePayload =>
         Codecs.canalJsonFor(df, cfg.handleKeys)
       case Protocol.Open if !fixturePayload => Codecs.openProtocolFor(df)
+      case Protocol.Debezium if !fixturePayload => Codecs.debeziumJsonFor(df)
+      case Protocol.Csv if !fixturePayload => Codecs.csvLineFor(df)
       case Protocol.CanalJson => Codecs.canalJson(df)
       case Protocol.Open      => Codecs.openProtocol(df)
       case Protocol.Debezium  => Codecs.debeziumJson(df)
