@@ -274,6 +274,35 @@ object ExtQueries {
     "q_roundtrip_avro" -> ((s, d) =>
       graft.functions.AvroCodec.decode(graft.functions.AvroCodec.encode(env(s, d)))),
 
+    // the avro CHANGEFEED wire end-to-end across a schema evolution:
+    // era-1 rows encode under the original table version, era-2 rows
+    // (µs-parity split) under an ADD-COLUMN-evolved version — each
+    // registering its own content-addressed id — and ONE consumer
+    // reader (the post-DDL shape) decodes BOTH eras by id via Avro
+    // schema resolution (old-era rows fill the new column's null
+    // default), deletes riding the key-only tombstone form
+    // (avro/encoder.go:68 registry round trip; decoder.go by-id read)
+    "q_avro_evolve" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val uri = "mem://q_avro_evolve"
+      val topic = "q-avro-evolve"
+      val e = env(s, d)
+      def img2(c: String) = when(col(c).isNull, lit(null)).otherwise(
+        struct(col(s"$c.user_id").as("user_id"), col(s"$c.value").as("value"),
+          col(s"$c.k").as("k"), (col(s"$c.k") * 2L).as("k2")))
+      val era1 = e.filter(pmod(col("_commit_ts"), lit(2000L)) === 0L)
+      val era2 = e.filter(pmod(col("_commit_ts"), lit(2000L)) === 1000L)
+        .withColumn("before", img2("before"))
+        .withColumn("after", img2("after"))
+      val frames = graft.functions.AvroWire
+        .encodeFeed(era1, Seq("user_id"), uri, topic)
+        .unionByName(graft.functions.AvroWire
+          .encodeFeed(era2, Seq("user_id"), uri, topic))
+      graft.functions.AvroWire.decodeFeedAs(frames, uri, StructType(Seq(
+        StructField("user_id", LongType), StructField("value", DoubleType),
+        StructField("k", LongType), StructField("k2", LongType))))
+    }),
+
     // Debezium envelope over Confluent-framed Avro: key = handle key,
     // value = before/after/source/op/ts_ms (Kafka-Connect wire format)
     "q_roundtrip_debezium_avro" -> ((s, d) => {
@@ -951,6 +980,17 @@ object ExtQueries {
          |FROM ddl""".stripMargin),
 
     "q_roundtrip_avro" -> q("SELECT * FROM env"),
+
+    "q_avro_evolve" -> q(
+      """SELECT _schema, _table,
+        |  CASE _op WHEN 'I' THEN 'c' WHEN 'D' THEN 'd' ELSE 'u' END AS _op,
+        |  _commit_ts,
+        |  CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END AS user_id,
+        |  CASE WHEN _op = 'D' THEN NULL ELSE after_value END AS value,
+        |  CASE WHEN _op = 'D' THEN NULL ELSE after_k END AS k,
+        |  CASE WHEN _op = 'D' OR _commit_ts % 2000 = 0 THEN NULL
+        |       ELSE after_k * 2 END AS k2
+        |FROM env""".stripMargin),
 
     "q_roundtrip_debezium_avro" -> q(
       """SELECT CASE _op WHEN 'I' THEN 'c' WHEN 'U' THEN 'u' ELSE 'd' END AS op,

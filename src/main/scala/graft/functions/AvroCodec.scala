@@ -132,7 +132,7 @@ object AvroCodec {
         s"""{"type":"record","name":"$name","namespace":"graft","fields":[""",
         ",", "]}")
 
-  private def toAvroValue(v: Any, dt: DataType): AnyRef = (v, dt) match {
+  private[functions] def toAvroValue(v: Any, dt: DataType): AnyRef = (v, dt) match {
     case (null, _) => null
     case (x: Byte, _) => Int.box(x.toInt)
     case (x: Short, _) => Int.box(x.toInt)
@@ -151,7 +151,7 @@ object AvroCodec {
     case (x, _) => x.asInstanceOf[AnyRef]
   }
 
-  private def fromAvroValue(v: AnyRef, dt: DataType): Any = (v, dt) match {
+  private[functions] def fromAvroValue(v: AnyRef, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
     case (x: org.apache.avro.util.Utf8, _) => x.toString
     case (x: java.lang.Integer, ByteType) => x.byteValue()

@@ -1,0 +1,280 @@
+package graft.functions
+
+import scala.collection.concurrent.TrieMap
+import org.apache.avro.Schema
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.io.{BinaryDecoder, BinaryEncoder, DecoderFactory, EncoderFactory}
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Avro as a STREAMING changefeed protocol (SURVEY §2.7; reference
+  * pkg/sink/codec/builder.go builds avro through the same encoder
+  * factory as every other protocol; avro/encoder.go:68 runs the
+  * schema-registry round trip per (topic, table-version)).
+  *
+  * Wire shape per row event: Confluent-framed KEY (handle-key record)
+  * and VALUE (column record + the TiDB extension meta fields
+  * `_tidb_op` / `_tidb_commit_ts` / `_tidb_physical_time`,
+  * avro/arvo.go enableTiDBExtension); a DELETE ships the key with an
+  * EMPTY value (the tombstone form — the key alone identifies the
+  * row, avro/encoder.go delete path). DDL and checkpoint events ride
+  * the 0x01/0x02 control framing ([[AvroRegistry.ddlEventBytes]] /
+  * [[AvroRegistry.checkpointEventBytes]]). On the parquet FileMq
+  * transport the binary pair wraps into the `{"k":b64,"v":b64}`
+  * string frame ([[OpenBatch.frameJson]]), exactly like the open
+  * batch wire.
+  *
+  * Table identity rides the WRITER schema's fullname
+  * (namespace `graft.<schema>`, record name `<table>` — the
+  * reference's schema naming, avro/arvo.go recordName), so a consumer
+  * recovers (schema, table) from the registry alone, no out-of-band
+  * metadata.
+  *
+  * Registration happens on FIRST SIGHT of a (schema, table) inside
+  * the encode task — the reference registers from the sink worker's
+  * encoder on table or version change — and the evolving feed
+  * additionally registers the post-fold shape on every DDL fold
+  * (driver-side, before the batch's rows encode). The in-memory
+  * registry stands in for the Confluent endpoint offline
+  * ([[AvroRegistry.InMemoryStore]]); ids are content-addressed, so
+  * executor-lazy and driver-eager registration agree.
+  *
+  * Scale: one mapPartitions over the already-routed envelope —
+  * encode work is row-local, registration is census-sized (distinct
+  * tables), and no driver state enters the closure (executors resolve
+  * the registry by URI).
+  */
+object AvroWire {
+
+  /** Process-global registries by URI — one registry service per URL,
+    * the way every sink worker of a deployment shares the endpoint.
+    * Offline stand-in; a real deployment resolves an HTTP client here
+    * ([[HttpSchemaRegistry]]) with no data-path change. */
+  private val stores = TrieMap.empty[String, AvroRegistry.SchemaStore]
+  def registryFor(uri: String): AvroRegistry.SchemaStore =
+    stores.getOrElseUpdate(uri, new AvroRegistry.InMemoryStore())
+  /** Test isolation: drop a registry instance. */
+  def dropRegistry(uri: String): Unit = stores.remove(uri)
+
+  /** Avro-legal name (common.go sanitizeName: [A-Za-z0-9_] with a
+    * leading letter/underscore; everything else becomes '_'). */
+  def sanitize(name: String): String = {
+    val s = name.map(c => if (c.isLetterOrDigit || c == '_') c else '_')
+    if (s.isEmpty || s.head.isDigit) "_" + s else s
+  }
+
+  /** Subject naming (confluent_schema_registry.go): per-table topic
+    * suffixed -key / -value. */
+  def valueSubject(topic: String, schema: String, table: String): String =
+    s"$topic-$schema.$table-value"
+  def keySubject(topic: String, schema: String, table: String): String =
+    s"$topic-$schema.$table-key"
+
+  /** VALUE record schema: every column a nullable union with default
+    * (optional columns, the reference's generated shape) + the TiDB
+    * extension meta fields. */
+  def valueSchemaJson(payload: Seq[StructField], schema: String,
+                      table: String): String = {
+    val cols = payload.map(f =>
+      s"""{"name":"${sanitize(f.name)}","type":["null",${AvroCodec.avroTypeFor(f.dataType)}],"default":null}""")
+    val ext = Seq(
+      """{"name":"_tidb_op","type":"string","default":"c"}""",
+      """{"name":"_tidb_commit_ts","type":"long","default":0}""",
+      """{"name":"_tidb_physical_time","type":"long","default":0}""")
+    (cols ++ ext).mkString(
+      s"""{"type":"record","name":"${sanitize(table)}","namespace":"graft.${sanitize(schema)}","fields":[""",
+      ",", "]}")
+  }
+
+  /** KEY record schema: the handle-key columns, non-null (a handle
+    * key is never null upstream). */
+  def keySchemaJson(keys: Seq[StructField], schema: String,
+                    table: String): String =
+    keys.map(f =>
+      s"""{"name":"${sanitize(f.name)}","type":${AvroCodec.avroTypeFor(f.dataType)}}""")
+      .mkString(
+        s"""{"type":"record","name":"${sanitize(table)}","namespace":"graft.${sanitize(schema)}.key","fields":[""",
+        ",", "]}")
+
+  /** Driver-side registration for one table shape — the evolving
+    * feed's register-on-DDL-fold half (avro/encoder.go:68 registers
+    * the new version before post-DDL rows encode). Returns
+    * (keySchemaId, valueSchemaId). */
+  def registerTable(registryUri: String, topic: String, schema: String,
+                    table: String, payload: StructType,
+                    handleKeys: Seq[String]): (Int, Int) = {
+    val store = registryFor(registryUri)
+    val keyFields = payload.fields.filter(f => handleKeys.contains(f.name)).toSeq
+    val kid = store.register(keySubject(topic, schema, table),
+      keySchemaJson(keyFields, schema, table))
+    val vid = store.register(valueSubject(topic, schema, table),
+      valueSchemaJson(payload.fields.toSeq, schema, table))
+    (kid, vid)
+  }
+
+  private val outSchema = StructType(Seq(
+    StructField("_row_id", LongType),
+    StructField("_schema", StringType),
+    StructField("_table", StringType),
+    StructField("_partition", LongType),
+    StructField("_commit_ts", LongType),
+    StructField("_value", StringType)))
+
+  /** Envelope → per-row `{"k":b64(framed key),"v":b64(framed value)}`
+    * string frames. One payload shape per call (the struct path's
+    * invariant); heterogeneous feeds run per shape group like every
+    * other struct-path protocol. */
+  def encodeFeed(env: DataFrame, handleKeys: Seq[String],
+                 registryUri: String, topic: String = "graft"): DataFrame = {
+    require(registryUri.nonEmpty,
+      "avro protocol requires a schema-registry uri")
+    val payload = env.schema.fields.find(_.name == "after").get
+      .dataType.asInstanceOf[StructType]
+    val fieldTypes = payload.fields.map(f => f.name -> f.dataType).toSeq
+    val keyIdx = payload.fields.zipWithIndex
+      .filter { case (f, _) => handleKeys.contains(f.name) }
+      .map { case (f, i) => (f.name, f.dataType, i) }.toSeq
+    require(keyIdx.nonEmpty, s"avro key needs handle keys $handleKeys " +
+      s"present in the payload ${payload.fieldNames.mkString(",")}")
+    val withPart =
+      if (env.columns.contains("_partition")) env
+      else env.withColumn("_partition", lit(0L))
+    withPart.select(col("_row_id"), col("_schema"), col("_table"),
+        col("_partition").cast("long"), col("_commit_ts"), col("_op"),
+        col("before"), col("after"))
+      .mapPartitions { rows =>
+        val store = registryFor(registryUri)
+        // per-(schema, table) lazy registration + writer cache — the
+        // encoder-on-first-sight shape; census-sized state
+        val cache = scala.collection.mutable.Map.empty[(String, String),
+          (Int, Schema, GenericDatumWriter[GenericRecord],
+           Int, Schema, GenericDatumWriter[GenericRecord])]
+        val buf = new java.io.ByteArrayOutputStream(256)
+        var enc: BinaryEncoder = null
+        def write(w: GenericDatumWriter[GenericRecord], rec: GenericRecord): Array[Byte] = {
+          buf.reset()
+          enc = EncoderFactory.get().binaryEncoder(buf, enc)
+          w.write(rec, enc); enc.flush()
+          buf.toByteArray
+        }
+        rows.map { r =>
+          val (s, t) = (r.getString(1), r.getString(2))
+          val (kid, kSchema, kWriter, vid, vSchema, vWriter) =
+            cache.getOrElseUpdate((s, t), {
+              val kJson = keySchemaJson(
+                keyIdx.map(k => StructField(k._1, k._2)), s, t)
+              val vJson = valueSchemaJson(payload.fields.toSeq, s, t)
+              val ki = store.register(keySubject(topic, s, t), kJson)
+              val vi = store.register(valueSubject(topic, s, t), vJson)
+              val ks = new Schema.Parser().parse(kJson)
+              val vs = new Schema.Parser().parse(vJson)
+              (ki, ks, new GenericDatumWriter[GenericRecord](ks),
+                vi, vs, new GenericDatumWriter[GenericRecord](vs))
+            })
+          val op = r.getString(5) match {
+            case "I" => "c"; case "D" => "d"; case _ => "u"
+          }
+          // key from the pre-image for deletes, post-image otherwise
+          val img = if (op == "d") r.getStruct(6) else r.getStruct(7)
+          val kRec = new GenericData.Record(kSchema)
+          keyIdx.foreach { case (n, dt, i) =>
+            kRec.put(sanitize(n),
+              if (img == null || img.isNullAt(i)) null
+              else AvroCodec.toAvroValue(img.get(i), dt))
+          }
+          val keyBytes = AvroRegistry.frame(kid, write(kWriter, kRec))
+          val valueBytes =
+            if (op == "d") Array.emptyByteArray // tombstone
+            else {
+              val vRec = new GenericData.Record(vSchema)
+              fieldTypes.zipWithIndex.foreach { case ((n, dt), i) =>
+                vRec.put(sanitize(n), if (img == null || img.isNullAt(i)) null
+                  else AvroCodec.toAvroValue(img.get(i), dt))
+              }
+              vRec.put("_tidb_op", op)
+              vRec.put("_tidb_commit_ts", r.getLong(4))
+              vRec.put("_tidb_physical_time", r.getLong(4) / 1000000L)
+              AvroRegistry.frame(vid, write(vWriter, vRec))
+            }
+          Row(r.getLong(0), s, t, r.getLong(3), r.getLong(4),
+            OpenBatch.frameJson(keyBytes, valueBytes))
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Consumer decode by REGISTRY ID with an explicit reader shape:
+    * every frame's writer schema resolves from the store by its
+    * carried id; Avro schema resolution reads OLD-era messages with
+    * the reader's defaults (the evolving-feed contract — one reader,
+    * both eras). Deletes (empty value) decode their KEY record.
+    * Control frames (0x01/0x02) and non-row frames are skipped —
+    * [[controlEvents]] surfaces them. (schema, table) come from the
+    * writer fullname. */
+  def decodeFeedAs(msgs: DataFrame, registryUri: String,
+                   reader: StructType): DataFrame = {
+    val fieldTypes = reader.fields.map(f => f.name -> f.dataType).toSeq
+    val out = StructType(Seq(
+      StructField("_schema", StringType), StructField("_table", StringType),
+      StructField("_op", StringType), StructField("_commit_ts", LongType)) ++
+      reader.fields.map(f => f.copy(nullable = true)))
+    val readerFields = reader.fields.toSeq
+    msgs.select(col("_value"), col("_commit_ts")).mapPartitions { rows =>
+      val store = registryFor(registryUri)
+      val readers = scala.collection.mutable.Map.empty[Int, (Schema, GenericDatumReader[GenericRecord])]
+      var dec: BinaryDecoder = null
+      def readRec(bytes: Array[Byte], resolve: Boolean): (Schema, GenericRecord) = {
+        val (id, payload) = AvroRegistry.unframe(bytes)
+        val (wSchema, rdr) = readers.getOrElseUpdate(id, {
+          val w = new Schema.Parser().parse(store.byId(id))
+          if (!resolve) (w, new GenericDatumReader[GenericRecord](w))
+          else {
+            // Avro resolution matches records by fullname: build the
+            // reader under the WRITER's own name (its fields are the
+            // caller's reader shape either way)
+            val rs = new Schema.Parser().parse(valueSchemaJson(
+              readerFields, w.getNamespace.stripPrefix("graft."), w.getName))
+            (w, new GenericDatumReader[GenericRecord](w, rs))
+          }
+        })
+        dec = DecoderFactory.get().binaryDecoder(payload, dec)
+        (wSchema, rdr.read(null, dec))
+      }
+      rows.flatMap { r =>
+        val (k, v) = OpenBatch.parseFrame(r.getString(0))
+        if (v.nonEmpty && v(0) != 0) None // control event (0x01/0x02)
+        else if (v.isEmpty) { // delete tombstone: key-only
+          val (ks, rec) = readRec(k, resolve = false)
+          val vals = fieldTypes.map { case (n, dt) =>
+            Option(ks.getField(sanitize(n)))
+              .map(f => AvroCodec.fromAvroValue(rec.get(f.pos()), dt)).orNull
+          }
+          Some(Row.fromSeq(Seq(
+            ks.getNamespace.stripPrefix("graft.").stripSuffix(".key"),
+            ks.getName, "d", r.getLong(1)) ++ vals))
+        } else {
+          val (vs, rec) = readRec(v, resolve = true)
+          val vals = fieldTypes.map { case (n, dt) =>
+            AvroCodec.fromAvroValue(
+              rec.get(sanitize(n)).asInstanceOf[AnyRef], dt)
+          }
+          Some(Row.fromSeq(Seq(
+            vs.getNamespace.stripPrefix("graft."), vs.getName,
+            rec.get("_tidb_op").toString,
+            rec.get("_tidb_commit_ts").asInstanceOf[Long]) ++ vals))
+        }
+      }
+    }(Encoders.row(out))
+  }
+
+  /** Control events of an avro feed: Left(ddl (query, actionType,
+    * schema, table, commitTs)) / Right(checkpoint ts), frame-decoded
+    * driver-side (control-plane sized). */
+  def controlEvents(msgs: DataFrame)
+      : Seq[Either[(String, Int, String, String, Long), Long]] =
+    msgs.select(col("_value")).collect().toSeq.flatMap { r =>
+      val v = r.getString(0)
+      if (!v.startsWith("{\"k\":")) None
+      else AvroRegistry.decodeControlEvent(OpenBatch.parseFrame(v)._2)
+    }
+}

@@ -297,6 +297,11 @@ object Codecs {
       case graft.model.Protocol.Debezium =>
         (DebeziumFull.watermarkKeyJson("graft"),
           DebeziumFull.watermarkValueJson("graft", resolvedTs))
+      // avro checkpoint: the 0x02 control event's bytes in the b64
+      // string frame (EncodeCheckpointEvent, avro/encoder.go:104-147)
+      case graft.model.Protocol.Avro =>
+        ("", OpenBatch.frameJson(Array.emptyByteArray,
+          AvroRegistry.checkpointEventBytes(resolvedTs)))
       case _ => openResolvedMessage(resolvedTs)
     }
 

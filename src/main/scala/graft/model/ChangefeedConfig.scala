@@ -56,6 +56,9 @@ object Protocol {
   case object Debezium extends Protocol
   case object Csv extends Protocol
   case object Simple extends Protocol
+  /** Confluent-framed Avro with a schema-registry round trip per
+    * (topic, table-version) — [[graft.functions.AvroWire]]. */
+  case object Avro extends Protocol
 }
 
 /** Large-message handling block (pkg/config/large_message.go:30-37
@@ -161,7 +164,11 @@ final case class SinkConfig(
     openBatchWire: Boolean = false,
     /** max-batch-size (codec/common/config.go:34-35, default 16): the
       * event-count cap per open-protocol batch message. */
-    maxBatchSize: Int = 16)
+    maxBatchSize: Int = 16,
+    /** Schema-registry URI for the avro protocol (the sink-uri's
+      * `schema-registry` param) — required when protocol = avro,
+      * resolved per URI by [[graft.functions.AvroWire.registryFor]]. */
+    schemaRegistry: String = "")
 
 /** Span-scheduling knobs (pkg/config/scheduler_config.go:35-69;
   * defaults replica_config.go:105-117). In this engine the split
@@ -296,6 +303,22 @@ object IntegrityConfig {
   val HandleLevelError = "error"
 }
 
+/** Consistency (redo WAL) block (pkg/config/consistent.go:25-55):
+  * level "none" disables; "eventual" log-aheads every row change and
+  * emitted DDL to `storage` BEFORE the sink applies them (pkg/redo
+  * writer ordering), so [[graft.sinks.RedoApplier]] can restore the
+  * downstream from the log alone after a disaster. */
+final case class ConsistentConfig(
+    level: String = "none",
+    storage: String = "") {
+  require(level == "none" || level == "eventual",
+    s"unsupported consistent level $level")
+  def eventual: Boolean = level == "eventual"
+  def validate(): Unit =
+    if (eventual) require(storage.nonEmpty,
+      "consistent.level=eventual requires consistent.storage")
+}
+
 final case class ChangefeedConfig(
     id: String,
     filter: FilterConfig = FilterConfig(),
@@ -333,4 +356,7 @@ final case class ChangefeedConfig(
       * balance knobs, update-mergeable through the API. */
     scheduler: SchedulerConfig = SchedulerConfig(),
     /** pkg/integrity Config — the e2e row-checksum switch. */
-    integrity: IntegrityConfig = IntegrityConfig())
+    integrity: IntegrityConfig = IntegrityConfig(),
+    /** Redo WAL block (pkg/config/consistent.go) — log-ahead on the
+      * evolving compositions when level=eventual. */
+    consistent: ConsistentConfig = ConsistentConfig())

@@ -157,6 +157,7 @@ object ConfigToml {
     case "debezium" => Protocol.Debezium
     case "csv" => Protocol.Csv
     case "simple" => Protocol.Simple
+    case "avro" => Protocol.Avro
     case other => throw new IllegalArgumentException(s"unknown protocol: $other")
   }
   private def protocolName(p: Protocol): String = p match {
@@ -165,6 +166,7 @@ object ConfigToml {
     case Protocol.Debezium => "debezium"
     case Protocol.Csv => "csv"
     case Protocol.Simple => "simple"
+    case Protocol.Avro => "avro"
   }
 
   private def dispatchOf(m: Map[String, V]): DispatchRule = {
@@ -221,6 +223,7 @@ object ConfigToml {
         doc.bool("sink", "send-all-bootstrap-at-start").getOrElse(false),
       maxMessageBytes =
         doc.int("sink", "max-message-bytes").map(_.toInt).getOrElse(10 * 1024 * 1024),
+      schemaRegistry = doc.str("sink", "schema-registry").getOrElse(""),
       largeMessageHandle = {
         val lmh = "sink.large-message-handle"
         LargeMessageHandle(
@@ -259,7 +262,11 @@ object ConfigToml {
         integrityCheckLevel = doc.str("integrity", "integrity-check-level")
           .getOrElse(IntegrityConfig.CheckLevelNone),
         corruptionHandleLevel = doc.str("integrity", "corruption-handle-level")
-          .getOrElse(IntegrityConfig.HandleLevelWarn)))
+          .getOrElse(IntegrityConfig.HandleLevelWarn)),
+      // [consistent] (pkg/config/consistent.go toml tags)
+      consistent = ConsistentConfig(
+        level = doc.str("consistent", "level").getOrElse("none"),
+        storage = doc.str("consistent", "storage").getOrElse("")))
   }
 
   /** `[scheduler]` (scheduler_config.go:35-69 toml tags) →
@@ -419,6 +426,8 @@ object ConfigToml {
       b ++= "send-all-bootstrap-at-start = true\n"
     if (cfg.sink.maxMessageBytes != 10 * 1024 * 1024)
       b ++= s"max-message-bytes = ${cfg.sink.maxMessageBytes}\n"
+    if (cfg.sink.schemaRegistry.nonEmpty)
+      b ++= s"schema-registry = ${tomlStr(cfg.sink.schemaRegistry)}\n"
     if (!cfg.sink.largeMessageHandle.isDefault) {
       val l = cfg.sink.largeMessageHandle
       b ++= "\n[sink.large-message-handle]\n"
@@ -432,6 +441,11 @@ object ConfigToml {
       b ++= "\n[synced-status]\n"
       b ++= s"synced-check-interval = ${cfg.syncedStatus.syncedCheckInterval}\n"
       b ++= s"checkpoint-interval = ${cfg.syncedStatus.checkpointInterval}\n"
+    }
+    if (cfg.consistent != ConsistentConfig()) {
+      b ++= "\n[consistent]\n"
+      b ++= s"level = ${tomlStr(cfg.consistent.level)}\n"
+      b ++= s"storage = ${tomlStr(cfg.consistent.storage)}\n"
     }
     if (cfg.integrity != IntegrityConfig()) {
       b ++= "\n[integrity]\n"
@@ -749,6 +763,7 @@ object ConfigToml {
         case "debezium" => Protocol.Debezium
         case "csv" => Protocol.Csv
         case "simple" => Protocol.Simple
+        case "avro" => Protocol.Avro
         case other => throw new IllegalArgumentException(s"unknown protocol: $other")
       }).getOrElse(Protocol.CanalJson),
       numPartitions = opt(s, "partition_num").map(_.asInt()).getOrElse(16),

@@ -315,7 +315,15 @@ object DdlParser {
     parseMultiAlter(query, ts, defaultSchema).orElse(query match {
       case createTable(name, body) =>
         val (s, t) = ident(name, defaultSchema)
-        Some(CreateTable(s, t, parseColumns(body, ts), ts))
+        // the key clauses (table-level PRIMARY KEY (..), inline pk
+        // attributes) live in the same body parseColumns skips — read
+        // them with the rich MySQL parser so the action carries the
+        // true pk (table_info_helper.go builds indices from the same
+        // statement)
+        val pks = MySqlDdl.parseCreateTable(query, s)
+          .filter(mt => mt.schema == s && mt.table == t)
+          .map(_.primaryKeys).getOrElse(Nil)
+        Some(CreateTable(s, t, parseColumns(body, ts), ts, pks))
       case exchangePartition(name, withName) =>
         val (s, t) = ident(name, defaultSchema)
         val (ws, wt) = ident(withName, defaultSchema)

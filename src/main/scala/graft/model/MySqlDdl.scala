@@ -94,8 +94,14 @@ object MySqlDdl {
       * no candidate → no handle key, the table is ineligible without
       * force-replicate (OriginalHasPKOrNotNullUK,
       * table_info.go:505-552 — many_pk_or_uk scenario). */
+    /** Declared PRIMARY KEY column names (table-level clause order
+      * when one exists, inline attributes otherwise) — the true pk,
+      * before the handle-key UK fallback. */
+    def primaryKeys: Seq[String] =
+      if (primaryOrder.nonEmpty) primaryOrder else pkCols.map(_.name)
+
     def handleKeys: Seq[String] = {
-      val pk = if (primaryOrder.nonEmpty) primaryOrder else pkCols.map(_.name)
+      val pk = primaryKeys
       if (pk.nonEmpty) pk
       else {
         val notNull = cols.filter(_.notNull).map(_.name).toSet
@@ -115,7 +121,7 @@ object MySqlDdl {
     /** TiDB pk-is-handle: a single integer-class PRIMARY KEY column —
       * the row handle IS the column value (clustered integer pk). */
     def pkIsHandle: Boolean = {
-      val pk = if (primaryOrder.nonEmpty) primaryOrder else pkCols.map(_.name)
+      val pk = primaryKeys
       pk.length == 1 &&
         cols.find(_.name == pk.head).exists(c => intBases.contains(c.base))
     }

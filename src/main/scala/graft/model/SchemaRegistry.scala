@@ -25,7 +25,12 @@ final case class ColumnDef(name: String, dataType: String, default: Option[Strin
                            position: Option[String] = None, charset: String = "")
 
 final case class TableSchema(
-    schema: String, table: String, versionTs: Long, columns: Seq[ColumnDef]) {
+    schema: String, table: String, versionTs: Long, columns: Seq[ColumnDef],
+    /** Declared PRIMARY KEY column names in index order (empty = no
+      * pk). Rename/drop folds keep it in step with `columns`; the
+      * mount uses it for pk-is-handle selection and sinks for row
+      * identity. */
+    pks: Seq[String] = Nil) {
   def key: (String, String) = (schema, table)
 }
 
@@ -38,7 +43,12 @@ final case class TableSchema(
 sealed trait DdlAction { def ts: Long }
 object DdlAction {
   final case class CreateTable(schema: String, table: String,
-                               columns: Seq[ColumnDef], ts: Long) extends DdlAction
+                               columns: Seq[ColumnDef], ts: Long,
+                               /** PRIMARY KEY column names from the
+                                 * statement's key clauses (the
+                                 * ColumnDef list itself carries no key
+                                 * info). */
+                               pks: Seq[String] = Nil) extends DdlAction
   /** CREATE DATABASE/SCHEMA (CreateSchema handler :121). */
   final case class CreateSchema(schema: String, ts: Long) extends DdlAction
   /** DROP DATABASE/SCHEMA: every table of the schema drops with it. */
@@ -191,10 +201,11 @@ final case class SchemaRegistry(
     * tables are created implicitly by AddColumn-class DDLs only via
     * CreateTable, matching the reference's strictness. */
   def apply(ddl: DdlAction): SchemaRegistry = ddl match {
-    case CreateTable(s, t, cols, ts) =>
+    case CreateTable(s, t, cols, ts, pks) =>
       // re-creating a name that sits in a dropped window revives it
       // (drop + create is a fresh table under the same name)
-      val created = put(TableSchema(s, t, ts, cols))
+      val created = put(TableSchema(s, t, ts, cols,
+        pks.filter(p => cols.exists(_.name == p))))
       if (droppedNow((s, t))) created.mark((s, t), ts, dropped = false) else created
     case CreateSchema(_, _) => this // no table shape yet; tracked by key space
     case DropSchema(s, ts) =>
@@ -206,7 +217,8 @@ final case class SchemaRegistry(
         .getOrElse(this)
     case DropColumn(s, t, n, ts) =>
       latest(s, t).map(cur =>
-        put(cur.copy(versionTs = ts, columns = cur.columns.filterNot(_.name == n))))
+        put(cur.copy(versionTs = ts, columns = cur.columns.filterNot(_.name == n),
+          pks = cur.pks.filterNot(_ == n))))
         .getOrElse(this)
     case ModifyColumn(s, t, c, ts) =>
       // retype in place (relocating when the statement carries a
@@ -223,12 +235,14 @@ final case class SchemaRegistry(
       }.getOrElse(this)
     case ChangeColumn(s, t, oldName, c, ts) =>
       latest(s, t).map(cur => put(cur.copy(versionTs = ts,
-        columns = cur.columns.map(old => if (old.name == oldName) c else old))))
+        columns = cur.columns.map(old => if (old.name == oldName) c else old),
+        pks = cur.pks.map(p => if (p == oldName) c.name else p))))
         .getOrElse(this)
     case RenameColumn(s, t, oldName, newName, ts) =>
       latest(s, t).map(cur => put(cur.copy(versionTs = ts,
         columns = cur.columns.map(old =>
-          if (old.name == oldName) old.copy(name = newName) else old))))
+          if (old.name == oldName) old.copy(name = newName) else old),
+        pks = cur.pks.map(p => if (p == oldName) newName else p))))
         .getOrElse(this)
     case RenameTables(renames, _) =>
       renames.foldLeft(this)(_.apply(_))

@@ -151,7 +151,7 @@ final case class SchemaStore(
     val reg = registry.apply(a)
     val st = copy(registry = reg)
     a match {
-      case CreateTable(s, t, cols, _) =>
+      case CreateTable(s, t, cols, _, _) =>
         val k = key(s, t)
         val assigned = cols.zipWithIndex.map { case (c, i) => c.name -> (i + 1L) }.toMap
         st.copy(colIds = colIds.updated(k, assigned),
@@ -247,7 +247,7 @@ final case class SchemaStore(
     } yield KvTableMeta(lid, schema, table,
       sch.columns.map(c => KvColumn(ids(c.name), c.name, c.dataType,
         default = c.default, charset = c.charset)),
-      handleCol = sch.columns.head.name,
+      handleCol = SchemaStore.intHandleCol(sch).getOrElse(sch.columns.head.name),
       physicalIds = parts.toSeq.sorted,
       tz = tz, dialect = dialect)
 
@@ -315,4 +315,23 @@ final case class SchemaStore(
       }
     }.toMap
   }
+}
+
+object SchemaStore {
+  private val intBases =
+    Set("tinyint", "smallint", "mediumint", "int", "integer", "bigint")
+
+  /** TiDB pk-is-handle: a single integer-class PRIMARY KEY column
+    * rides the record key, not the row image (rowcodec clustered
+    * integer pk) — it is the mount's handle receiver. Composite or
+    * non-integer pks keep the _tidb_rowid handle, for which the first
+    * column stays the default receiver. */
+  private[model] def intHandleCol(sch: TableSchema): Option[String] =
+    sch.pks match {
+      case Seq(p) =>
+        sch.columns.find(_.name == p)
+          .filter(c => intBases.contains(c.dataType.takeWhile(_ != '(').trim.toLowerCase))
+          .map(_.name)
+      case _ => None
+    }
 }

@@ -166,6 +166,36 @@ final class JdbcApplier(val url: String) {
   private def pkOf(schema: String, table: String): Seq[String] =
     Option(pkRegistry.get((schema, table))).getOrElse(Seq.empty)
 
+  /** Keep the REPLACE-translation key registry in step with a
+    * replicated RENAME TABLE — a renamed table keyed on a stale entry
+    * would lose its pk delete+insert translation. */
+  def renameTableKeys(schema: String, table: String,
+                      newSchema: String, newTable: String): Unit = {
+    val v = pkRegistry.remove((schema, table))
+    if (v != null) pkRegistry.put((newSchema, newTable), v)
+  }
+
+  /** Keep registered key COLUMN names in step with a replicated
+    * RENAME/CHANGE COLUMN on a key column. */
+  def renameColumnKey(schema: String, table: String,
+                      oldName: String, newName: String): Unit =
+    pkRegistry.computeIfPresent((schema, table),
+      (_, pks) => pks.map(p => if (p == oldName) newName else p))
+
+  /** Live (TYPE_NAME, COLUMN_SIZE) of a downstream column from JDBC
+    * metadata — DDL-rate control-plane lookups that let the Derby
+    * dialect pick between SET DATA TYPE (varchar widening, the only
+    * in-place retype Derby supports) and the column-rebuild dance. */
+  def columnInfo(schema: String, table: String,
+                 column: String): Option[(String, Int)] =
+    withConnection { conn =>
+      val rs = conn.getMetaData.getColumns(null, schema, table, column)
+      try {
+        if (rs.next()) Some((rs.getString("TYPE_NAME"), rs.getInt("COLUMN_SIZE")))
+        else None
+      } finally rs.close()
+    }
+
   /** Run one translated unit: either a plain statement or a
     * try-insert-then-update pair (ODKU / INSERT IGNORE). A DDL whose
     * error says "already took effect" is ignored, not fatal — the

@@ -99,7 +99,13 @@ object RedoLog {
   def read(spark: SparkSession, dir: String,
            checkpointTs: Long = Long.MinValue,
            upToTs: Long = Long.MaxValue): DataFrame =
-    spark.read.parquet(s"$dir/log")
+    // mergeSchema: a log spanning a DDL boundary holds appends with
+    // pre- and post-DDL payload shapes (and a heterogeneous feed holds
+    // one shape per group) — the replay must see the UNION of the
+    // image fields, old appends null-filling the added columns, or a
+    // single-footer read silently drops post-DDL columns. Footer-count
+    // cost only (log files, not rows).
+    spark.read.option("mergeSchema", "true").parquet(s"$dir/log")
       .filter(col("_commit_ts") > checkpointTs && col("_commit_ts") <= upToTs)
       .dropDuplicates("_row_id", "_op", "_commit_ts")
 

@@ -71,6 +71,11 @@ object Changefeed {
       case Protocol.Open if !fixturePayload => Codecs.openProtocolFor(df)
       case Protocol.Debezium if !fixturePayload => Codecs.debeziumJsonFor(df)
       case Protocol.Csv if !fixturePayload => Codecs.csvLineFor(df)
+      // avro is schema-driven by construction (the record schema IS
+      // the payload shape) — one arm serves fixture and generic feeds
+      case Protocol.Avro =>
+        graft.functions.AvroWire.encodeFeed(df, cfg.handleKeys,
+          cfg.sink.schemaRegistry, topic = cfg.id)
       case Protocol.CanalJson => Codecs.canalJson(df)
       case Protocol.Open      => Codecs.openProtocol(df)
       case Protocol.Debezium  => Codecs.debeziumJson(df)
@@ -265,7 +270,7 @@ object Changefeed {
       // must always fold them (the filter below special-cases them)
       case DdlAction.CreateSchema(s, _) => (s, "")
       case DdlAction.DropSchema(s, _) => (s, "")
-      case DdlAction.CreateTable(s, t, _, _) => (s, t)
+      case DdlAction.CreateTable(s, t, _, _, _) => (s, t)
       case DdlAction.AddColumn(s, t, _, _) => (s, t)
       case DdlAction.DropColumn(s, t, _, _) => (s, t)
       case DdlAction.ModifyColumn(s, t, _, _) => (s, t)
@@ -312,8 +317,12 @@ object Changefeed {
     * by the routing assignment. `Trigger.AvailableNow` drains what's
     * there and stops — restart with the same checkpoint resumes
     * exactly-once from the commit log. */
+  /** `onBatch`: per-micro-batch driver hook (the heartbeat surface —
+    * [[ChangefeedRegistry]] feeds its auto-balance window through it;
+    * the default costs nothing). */
   def run(spark: SparkSession, cfg: ChangefeedConfig, sourceDir: String,
-          sinkDir: String, checkpointDir: String): StreamingQuery = {
+          sinkDir: String, checkpointDir: String,
+          onBatch: DataFrame => Unit = _ => ()): StreamingQuery = {
     GraftSession.tune(spark)
     val env = Envelope.fromEvents(sourceStream(spark, cfg, sourceDir))
     val out = pipeline(spark, cfg)(env)
@@ -332,6 +341,7 @@ object Changefeed {
       // sink represents (consumers dedupe by offset, FileMq.read).
       .foreachBatch { (batch: DataFrame, _: Long) =>
         batch.write.mode("append").partitionBy("_partition").parquet(sinkDir)
+        onBatch(batch)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -510,6 +520,28 @@ object Changefeed {
               (0L, ts, "ddl", graft.functions.OpenBatch.frameJson(kb, vb))
             }.toDF("_partition", "_commit_ts", "_kind", "_value")
               .coalesce(1).write.mode("append").parquet(sinkDir)
+          } else if (emitted.nonEmpty && cfg.sink.protocol == Protocol.Avro) {
+            // the avro wire's evolving half: REGISTER the post-fold
+            // table version under its value/key subjects BEFORE any
+            // post-DDL row encodes (the reference's schema round trip
+            // on schema change, avro/encoder.go:68), then ship each
+            // DDL as the 0x01 control event
+            val maxTs = jobs.map(_.finishedTs).max
+            emitted.map(e => (e._1, e._2)).distinct.foreach { case (sc, tb) =>
+              holder.store.metaAsOf(sc, tb, maxTs).foreach { meta =>
+                graft.functions.AvroWire.registerTable(
+                  cfg.sink.schemaRegistry, cfg.id, sc, tb,
+                  graft.operators.RawKvMounter.payloadType(meta),
+                  meta.handleCols)
+              }
+            }
+            import spark.implicits._
+            emitted.map { case (sc, tb, ts, qq, at) =>
+              (0L, ts, "ddl", graft.functions.OpenBatch.frameJson(
+                Array.emptyByteArray,
+                graft.functions.AvroRegistry.ddlEventBytes(qq, at, sc, tb, ts)))
+            }.toDF("_partition", "_commit_ts", "_kind", "_value")
+              .coalesce(1).write.mode("append").parquet(sinkDir)
           } else if (emitted.nonEmpty) {
             import spark.implicits._
             // per-protocol encoding (codec/common/ddl.go dispatches to
@@ -649,6 +681,9 @@ object Changefeed {
     GraftSession.tune(spark)
     val holder = new SchemaStoreHolder(initial, s"$checkpointDir/schemastore")
     applier.ensureMetaTables()
+    cfg.consistent.validate()
+    val redoOn = cfg.consistent.eventual
+    val redoDir = cfg.consistent.storage
     val url = applier.url
     val failOn = cfg.integrity.enabled && cfg.integrity.errorHandle
     val prologue = graft.sinks.MysqlSink.connectionPrologue(cfg.sink.bdrMode)
@@ -661,12 +696,26 @@ object Changefeed {
         try {
           val jobs = SchemaStoreHolder.jobsIn(batch)
           holder.fold(jobs)
+          val emittedDdls = jobs.sortBy(_.finishedTs).flatMap { j =>
+            dispatchDdlJob(j, cfg.filter, ignoreDdlClasses, ignoreDdlSqlRegexps)
+              .map(q => (j.schemaName, j.tableName, j.finishedTs, q))
+          }
+          // redo WAL (consistent.level=eventual): DDLs log-ahead of
+          // their downstream execution (pkg/redo writer precedes the
+          // sink; the applier interleaves them DML-first at equal ts,
+          // applier/redo.go:181-190). At-least-once like the row log —
+          // a replayed batch re-appends, the applier dedupes.
+          if (redoOn && emittedDdls.nonEmpty) {
+            import spark.implicits._
+            graft.sinks.RedoApplier.appendDdl(
+              emittedDdls.toDF("_schema", "_table", "_commit_ts", "query"),
+              redoDir)
+          }
           // the batch boundary IS the DDL barrier: execute the batch's
           // emitted DDLs downstream first, in finishedTs order, each
           // followed by the idempotent ddl_ts_v1 upsert
-          jobs.sortBy(_.finishedTs).foreach { j =>
-            dispatchDdlJob(j, cfg.filter, ignoreDdlClasses, ignoreDdlSqlRegexps)
-              .foreach(q => executeDdlDownstream(applier, cfg.id, j.finishedTs, q))
+          emittedDdls.foreach { case (_, _, ts, q) =>
+            executeDdlDownstream(applier, cfg.id, ts, q)
           }
           // kill site BETWEEN the DDL execution and the row apply —
           // the fail_over_ddl window whose replay re-executes an
@@ -687,7 +736,7 @@ object Changefeed {
             segs.flatMap(_._2).lastOption
               .map(graft.operators.RawKvMounter.payloadType).orNull
           }.collect { case (pt, g) if pt != null => g }
-          groups.foreach { group =>
+          def applyRows(rows: DataFrame): Unit = groups.foreach { group =>
             // each group's handle keys come from its own metas (every
             // table of a group shares the payload shape, hence the
             // key column names) — the per-table conflict key, like the
@@ -697,11 +746,76 @@ object Changefeed {
               .map(_.handleCols).getOrElse(cfg.handleKeys)
             val gCfg = cfg.copy(handleKeys = groupKeys)
             val env = graft.operators.RawKvMounter.mountTablesPlan(
-              batch, group, failOnCorruption = failOn)
-            graft.sinks.MysqlSink.applyBatch(
-              transform(spark, gCfg)(env), groupKeys,
+              rows, group, failOnCorruption = failOn)
+            val shaped = transform(spark, gCfg)(env)
+            if (redoOn) {
+              // log-ahead: the shaped rows are durable in the WAL
+              // before the first downstream statement runs, so a crash
+              // between the two leaves a replayable (ckpt, resolved]
+              // window (pkg/redo writer ordering). Pinned because the
+              // WAL write and the apply both consume it.
+              shaped.persist()
+              graft.sinks.RedoLog.append(shaped, redoDir)
+              Failpoints.evalThrow("graft/changefeed/evolve-mysql-post-redo")
+            }
+            try graft.sinks.MysqlSink.applyBatch(
+              shaped, groupKeys,
               cfg.sink.numPartitions, cfg.sink.safeMode, prologue)(
               graft.sinks.JdbcApplier.executeFor(url))
+            finally if (redoOn) shaped.unpersist()
+          }
+          // SYNC POINTS (downstreamadapter/syncpoint/sync_point.go:28;
+          // mysql_writer_for_syncpoint.go): the batch splits at every
+          // interval boundary its ts range crosses, so the map row
+          // writes when the downstream state IS the snapshot at the
+          // boundary — rows ≤ b apply, then the idempotent
+          // (primary_ts=b, secondary_ts=b) INSERT IGNORE (replay
+          // re-offers, the pk drops duplicates; the identity mapping
+          // models the single commit-ts clock of the embedded
+          // downstream), then the remainder. Boundaries search
+          // (lo - interval, hi] so a boundary falling BETWEEN batches
+          // still emits on the first batch past it; the no-syncpoint
+          // config is one whole-batch segment — today's path.
+          val bounds: Seq[Long] = cfg.syncPointIntervalNs match {
+            case Some(iv) if iv > 0 =>
+              val mm = batch.agg(min(col("commit_ts")),
+                max(col("commit_ts"))).head()
+              if (mm.isNullAt(0)) Nil
+              else {
+                val lo = mm.getLong(0); val hi = mm.getLong(1)
+                // smallest multiple of iv ≥ (lo - iv), floored at iv:
+                // the lower window is INCLUSIVE so a boundary exactly
+                // one interval below lo still emits (the idempotent
+                // insert drops the overlap with the previous batch)
+                val first = Math.floorDiv(lo - iv - 1, iv) * iv + iv
+                Iterator.iterate(math.max(first, iv))(_ + iv)
+                  .takeWhile(_ <= hi).toSeq
+              }
+            case _ => Nil
+          }
+          var applied = Long.MinValue
+          bounds.foreach { b =>
+            applyRows(batch.filter(col("commit_ts") > applied &&
+              col("commit_ts") <= b))
+            applied = b
+            applier.execute(Iterator(
+              graft.sinks.MysqlSink.syncPointStatement(cfg.id, b, b)))
+            // kill site between the syncpoint write and the remainder:
+            // the downstream at this instant must equal the upstream
+            // snapshot at b (the sync-point consistency contract)
+            Failpoints.evalThrow("graft/changefeed/evolve-mysql-post-syncpoint")
+          }
+          applyRows(
+            if (applied == Long.MinValue) batch
+            else batch.filter(col("commit_ts") > applied))
+          // applied-through meta AFTER the whole batch flushed: a
+          // crash before this line keeps the checkpoint below the
+          // logged rows, so the replay window covers the partial batch
+          if (redoOn) {
+            val hi = batch.agg(max(col("commit_ts"))).head()
+            if (!hi.isNullAt(0))
+              graft.sinks.RedoApplier.advanceCheckpoint(
+                spark, redoDir, hi.getLong(0))
           }
         } finally batch.unpersist()
       }
@@ -740,14 +854,62 @@ object Changefeed {
       if (v.matches("-?\\d+(\\.\\d+)?")) s" DEFAULT $v"
       else s" DEFAULT '${v.replace("'", "''")}'"
     }.getOrElse("")
+    // Derby's only in-place retype is VARCHAR widening (SET DATA
+    // TYPE); anything else rebuilds the column via
+    // rename→add→copy→drop, where each step is either
+    // replay-ignorable DDL (42X14 / X0Y32) or a re-runnable copy, so
+    // a kill at ANY statement boundary converges on replay — the same
+    // ddl_reentrant contract the plain statements rely on (the
+    // reference executes the raw text on real MySQL,
+    // mysql_writer_ddl.go). `lookupName` is the column's CURRENT
+    // downstream name (ChangeColumn renders its RENAME first, so the
+    // pre-state sits under the old name; after a replayed rename it
+    // sits under the new one — probe both).
+    def retype(s: String, t: String, c: graft.model.ColumnDef,
+               lookupName: String): Seq[String] = {
+      val dt = derbyType(c.dataType)
+      val base = dt.takeWhile(_ != '(')
+      val argLen = "\\d+".r.findFirstIn(dt.dropWhile(_ != '(')).map(_.toInt)
+      val cur = applier.columnInfo(s, t, lookupName)
+        .orElse(applier.columnInfo(s, t, c.name))
+      val stmts = cur match {
+        case Some((tn, sz)) if tn.equalsIgnoreCase(base) && argLen.forall(_ == sz) =>
+          Nil // already the target shape (replay / display-width-only)
+        case Some((tn, sz)) if tn.equalsIgnoreCase("VARCHAR") &&
+            base == "VARCHAR" && argLen.exists(_ >= sz) =>
+          Seq(s"""ALTER TABLE "$s"."$t" ALTER COLUMN "${c.name}" SET DATA TYPE $dt""")
+        case Some(_) =>
+          val tmp = c.name + "__graft_retype"
+          Seq(
+            s"""RENAME COLUMN "$s"."$t"."${c.name}" TO "$tmp"""",
+            s"""ALTER TABLE "$s"."$t" ADD COLUMN "${c.name}" $dt""",
+            s"""UPDATE "$s"."$t" SET "${c.name}" = CAST("$tmp" AS $dt)""",
+            s"""ALTER TABLE "$s"."$t" DROP COLUMN "$tmp"""")
+        case None => Nil // column unknown downstream: registry-only fold
+      }
+      stmts ++ c.default.map(_ =>
+        s"""ALTER TABLE "$s"."$t" ALTER COLUMN "${c.name}"""" + dflt(c.default))
+    }
     // returns the statement(s) to run; CreateTable goes through the
     // applier's table API (which registers the pk for REPLACE
     // translation) and contributes none
     def render(a: graft.model.DdlAction): Seq[String] = a match {
-      case A.CreateTable(s, t, cols, _) =>
+      case A.CreateTable(s, t, cols, _, pks) =>
+        // register the PARSED handle keys, not column 1: the action
+        // carries the statement's true pk; a pk-less table falls back
+        // to the fewest-column NOT-NULL UK (MySqlTable.handleKeys,
+        // table_info_helper.go:660-732), and only a keyless table
+        // keeps the legacy first-column registration so REPLACE
+        // translation stays deterministic
+        val keys =
+          if (pks.nonEmpty) pks
+          else query.split(";").iterator.map(_.trim).filter(_.nonEmpty)
+            .flatMap(stmt => graft.model.MySqlDdl.parseCreateTable(stmt, s))
+            .find(mt => mt.schema == s && mt.table == t)
+            .map(_.handleKeys).filter(_.nonEmpty)
+            .getOrElse(cols.headOption.map(_.name).toSeq)
         applier.createTable(s, t,
-          cols.map(c => c.name -> derbyType(c.dataType)),
-          pks = cols.headOption.map(_.name).toSeq)
+          cols.map(c => c.name -> derbyType(c.dataType)), pks = keys)
         Nil
       case A.AddColumn(s, t, c, _) =>
         Seq(s"""ALTER TABLE "$s"."$t" ADD COLUMN "${c.name}" """ +
@@ -757,8 +919,24 @@ object Changefeed {
       case A.DropTable(s, t, _) => Seq(s"""DROP TABLE "$s"."$t"""")
       case A.TruncateTable(s, t, _) => Seq(s"""TRUNCATE TABLE "$s"."$t"""")
       case A.RenameTable(s, t, _, nt, _) =>
+        applier.renameTableKeys(s, t, s, nt)
         Seq(s"""RENAME TABLE "$s"."$t" TO "$nt"""")
       case A.RenameTables(rs, _) => rs.flatMap(render)
+      case A.RenameColumn(s, t, o, n, _) =>
+        // row-shape DDL: mounted rows carry the NEW field name from
+        // this version on, so the downstream column must follow or
+        // every subsequent DML on the table fails
+        applier.renameColumnKey(s, t, o, n)
+        Seq(s"""RENAME COLUMN "$s"."$t"."$o" TO "$n"""")
+      case A.ModifyColumn(s, t, c, _) => retype(s, t, c, c.name)
+      case A.ChangeColumn(s, t, o, c, _) =>
+        applier.renameColumnKey(s, t, o, c.name)
+        s"""RENAME COLUMN "$s"."$t"."$o" TO "${c.name}"""" +: retype(s, t, c, o)
+      case A.SetDefault(s, t, cn, d, _) =>
+        // ALTER COLUMN SET/DROP DEFAULT changes what later defaulted
+        // inserts store; DROP renders as DEFAULT NULL (Derby's reset)
+        Seq(s"""ALTER TABLE "$s"."$t" ALTER COLUMN "$cn"""" +
+          (if (d.isDefined) dflt(d) else " DEFAULT NULL"))
       case A.AlterMulti(_, _, actions, _) => actions.flatMap(render)
       case A.BatchActions(actions, _) => actions.flatMap(render)
       case _ => Nil // partition/registry-only actions: ddl_ts only
@@ -791,6 +969,11 @@ object Changefeed {
     // not mid-stream
     val lmh = cfg.sink.largeMessageHandle
     if (!lmh.disabled) lmh.validate(cfg.sink.protocol)
+    // avro demands its registry endpoint at create (the reference
+    // rejects an avro sink-uri without schema-registry, builder.go)
+    if (cfg.sink.protocol == Protocol.Avro)
+      require(cfg.sink.schemaRegistry.nonEmpty,
+        "avro protocol requires a schema-registry uri")
     // integrity block validated at create like the reference
     // (integrity.go:45-63 Validate inside replica-config validation)
     cfg.integrity.validate()

@@ -1,0 +1,129 @@
+package graft
+
+import java.nio.file.Files
+import graft.model._
+import graft.streaming.Changefeed
+import org.apache.spark.sql.functions._
+
+/** Avro as a STREAMING changefeed protocol (reference builder.go +
+  * avro/encoder.go:68): the evolving raw-2PC feed ships Confluent-
+  * framed rows, registers the post-fold table version on every DDL
+  * fold, emits 0x01/0x02 control events, and a consumer decodes both
+  * schema eras by registry id with one post-DDL reader. */
+class AvroWireSpec extends SparkFunSuite {
+
+  test("evolving avro feed: DDL fold registers the new schema version, " +
+      "control events ride the 0x01/0x02 framing, and one post-DDL reader " +
+      "decodes BOTH eras by id (old era fills the added column's default)") {
+    import graft.streaming.TxnMatcher
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+
+    val uri = "mem://spec-avro-evolve"
+    graft.functions.AvroWire.dropRegistry(uri)
+    val tmp = Files.createTempDirectory("graft-avro-evolve").toString
+    val srcDir = s"$tmp/src"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def jobJson(jid: Long, tpe: Int, q: String, ts: Long): Array[Byte] =
+      (s"""{"id":$jid,"type":$tpe,"schema_id":1,"table_id":900,""" +
+        s""""schema_name":"app","table_name":"t","state":4,""" +
+        s""""query":"$q","binlog":{"SchemaVersion":$ts,"TableInfo":{"id":900}},""" +
+        s""""version":1}""").getBytes("UTF-8")
+    def jobEntry(jid: Long, tpe: Int, q: String, ts: Long): Seq[Row] = {
+      val (k, v) = DdlJobParser.encodeJobEntry(jid, jobJson(jid, tpe, q, ts), tpe)
+      Seq(Row(k, v, null, "put", "committed", ts - 1L, ts, 0L))
+    }
+    def rowPair(id: Long, cells: Seq[(Long, Long)], commitTs: Long): Seq[Row] = {
+      val k = TiKvCodec.encodeRecordKey(900L, TiKvCodec.IntHandle(id))
+      val v = TiKvCodec.encodeV2(cells.map { case (cid, x) =>
+        cid -> Some(TiKvCodec.intCell(x)) })
+      Seq(
+        Row(k, v, null, "put", "prewrite", commitTs - 1L, 0L, 0L),
+        Row(k, null, null, "put", "commit", commitTs - 1L, commitTs, 0L))
+    }
+    var fileSeq = 0
+    def writeFile(rows: Seq[Row]): Unit = {
+      fileSeq += 1
+      val stage = s"$tmp/stage-$fileSeq"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), TxnMatcher.uncommittedSchema)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, f"f$fileSeq%03d.parquet"))
+    }
+    writeFile(jobEntry(1L, 3, "CREATE TABLE app.t (id BIGINT, v BIGINT)", 10L) ++
+      rowPair(1L, Seq(2L -> 10L), 50L) ++ rowPair(2L, Seq(2L -> 20L), 60L))
+    writeFile(jobEntry(2L, 5, "ALTER TABLE app.t ADD COLUMN k BIGINT DEFAULT 7", 100L) ++
+      rowPair(3L, Seq(2L -> 30L, 3L -> 33L), 150L))
+
+    val cfg = ChangefeedConfig(id = "cf-avro-evolve",
+      filter = FilterConfig(rules = Seq("app.*")), handleKeys = Seq("id"),
+      sink = SinkConfig(protocol = Protocol.Avro, numPartitions = 2,
+        schemaRegistry = uri))
+    val q = Changefeed.runMqFromRaw2pcEvolving(spark, cfg,
+      spark.readStream.schema(TxnMatcher.uncommittedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      SchemaStore(), s"$tmp/sink", s"$tmp/ckpt", matcherGcMs = 600000L)
+    try q.awaitTermination(180000) finally { if (q.isActive) q.stop() }
+    assert(q.exception.isEmpty, s"feed must drain clean: ${q.exception}")
+
+    // 1) the registry carries BOTH table versions under the value
+    //    subject — the ALTER's fold registered the post-DDL shape
+    val store = graft.functions.AvroWire.registryFor(uri)
+    val ids = store.versions("cf-avro-evolve-app.t-value")
+    assert(ids.size == 2, s"DDL fold must register the new version: $ids")
+    assert(!store.byId(ids.head).contains("\"name\":\"k\""),
+      "version 1 is the pre-DDL shape")
+    assert(store.byId(ids(1)).contains("\"name\":\"k\""),
+      "version 2 carries the added column")
+
+    val sunk = spark.read.parquet(s"$tmp/sink")
+    // 2) control events: both DDLs as 0x01 events (with query text and
+    //    commit ts), per-batch checkpoints as 0x02 events
+    val ctl = graft.functions.AvroWire.controlEvents(sunk)
+    val ddls = ctl.collect { case Left(d) => d }
+    assert(ddls.map(_._5).sorted == Seq(10L, 100L), s"wire DDLs: $ddls")
+    assert(ddls.exists(d => d._1.contains("ADD COLUMN k") &&
+      d._3 == "app" && d._4 == "t"))
+    val cps = ctl.collect { case Right(ts) => ts }
+    assert(cps.contains(60L) && cps.contains(150L),
+      s"per-batch checkpoints: $cps")
+
+    // 3) the wire really carries TWO writer ids, and ONE post-DDL
+    //    reader decodes both eras (era-1 rows fill k's null default)
+    val rows = sunk.filter(col("_kind") === "row")
+    val seenIds = rows.select("_value").collect().map { r =>
+      val (_, v) = graft.functions.OpenBatch.parseFrame(r.getString(0))
+      graft.functions.AvroRegistry.unframe(v)._1
+    }.toSet
+    assert(seenIds.size == 2, s"both eras on the wire: $seenIds")
+    assert(seenIds == ids.toSet, "wire ids are the registered ids")
+    val decoded = graft.functions.AvroWire.decodeFeedAs(rows, uri,
+      StructType(Seq(StructField("id", LongType),
+        StructField("v", LongType), StructField("k", LongType))))
+    val byId = decoded.collect().map(r =>
+      r.getLong(4) -> ((Option(r.get(5)), Option(r.get(6)),
+        r.getString(0), r.getString(1), r.getLong(3)))).toMap
+    assert(byId(1L) == ((Some(10L), None, "app", "t", 50L)), s"$byId")
+    assert(byId(2L) == ((Some(20L), None, "app", "t", 60L)), s"$byId")
+    assert(byId(3L) == ((Some(30L), Some(33L), "app", "t", 150L)),
+      s"post-DDL row decodes the new column: $byId")
+  }
+
+  test("avro feed config surface: registry uri is required at create; " +
+      "toml round-trips protocol avro") {
+    val cfg = ChangefeedConfig(id = "cf-avro-bad",
+      sink = SinkConfig(protocol = Protocol.Avro))
+    val ex = intercept[IllegalArgumentException] {
+      Changefeed.runMqFromRaw2pcEvolving(spark, cfg,
+        spark.readStream.schema(graft.streaming.TxnMatcher.uncommittedSchema)
+          .parquet(Files.createTempDirectory("graft-avro-none").toString),
+        SchemaStore(),
+        Files.createTempDirectory("graft-avro-sink").toString,
+        Files.createTempDirectory("graft-avro-ckpt").toString)
+    }
+    assert(ex.getMessage.contains("schema-registry"))
+  }
+}

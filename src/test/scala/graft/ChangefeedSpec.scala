@@ -1129,6 +1129,100 @@ class ChangefeedSpec extends SparkFunSuite {
         "duplicate-column error (ddl_reentrant)")
   }
 
+  test("evolving MySQL downstream DDL: a wire CREATE with PRIMARY KEY on a " +
+      "NON-first column registers the real pk (REPLACE keys on it under " +
+      "safe-mode replay), and mid-stream RENAME COLUMN + MODIFY COLUMN " +
+      "execute downstream so post-DDL DML converges") {
+    import graft.streaming.{Failpoints, TxnMatcher}
+    import org.apache.spark.sql.Row
+
+    val tmp = Files.createTempDirectory("graft-cf-evolve-mysql-pk").toString
+    val srcDir = s"$tmp/src"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def jobJson(jid: Long, tpe: Int, q: String, ts: Long): Array[Byte] =
+      (s"""{"id":$jid,"type":$tpe,"schema_id":1,"table_id":920,""" +
+        s""""schema_name":"app","table_name":"r","state":4,""" +
+        s""""query":"$q","binlog":{"SchemaVersion":$ts,"TableInfo":{"id":920}},""" +
+        s""""version":1}""").getBytes("UTF-8")
+    def jobEntry(jid: Long, tpe: Int, q: String, ts: Long): Seq[Row] = {
+      val (k, v) = DdlJobParser.encodeJobEntry(jid, jobJson(jid, tpe, q, ts), tpe)
+      Seq(Row(k, v, null, "put", "committed", ts - 1L, ts, 0L))
+    }
+    // pk-is-handle on the SECOND column: the record key carries `id`,
+    // the image carries only v (cid 1) and note/label (cid 3) — the
+    // mount must route the key handle into `id`, not column 1
+    def rowPair(id: Long, v: Long, text: String, commitTs: Long): Seq[Row] = {
+      val k = TiKvCodec.encodeRecordKey(920L, TiKvCodec.IntHandle(id))
+      val img = TiKvCodec.encodeV2(Seq(
+        1L -> Some(TiKvCodec.intCell(v)),
+        3L -> Some(TiKvCodec.encodeCell(text, "varchar"))))
+      Seq(
+        Row(k, img, null, "put", "prewrite", commitTs - 1L, 0L, 0L),
+        Row(k, null, null, "put", "commit", commitTs - 1L, commitTs, 0L))
+    }
+    var fileSeq = 0
+    def writeFile(rows: Seq[Row]): Unit = {
+      fileSeq += 1
+      val stage = s"$tmp/stage-$fileSeq"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), TxnMatcher.uncommittedSchema)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, f"f$fileSeq%03d.parquet"))
+    }
+    // two rows with the SAME v: if the downstream pk were wrongly
+    // registered as column 1 (v), the safe-mode REPLACE translation's
+    // pk delete would collapse them into one row
+    writeFile(jobEntry(1L, 3,
+      "CREATE TABLE app.r (v BIGINT, id BIGINT, note VARCHAR(8), PRIMARY KEY (id))",
+      10L) ++
+      rowPair(1L, 10L, "a", 50L) ++ rowPair(2L, 10L, "bb", 60L))
+    // row-shape DDLs mid-stream: rename + varchar widen; the post-DDL
+    // rows need BOTH in place downstream (the long label overflows the
+    // original VARCHAR(8)), and the put on id=2 exercises REPLACE on
+    // the real pk
+    writeFile(jobEntry(2L, 12, "ALTER TABLE app.r RENAME COLUMN note TO label", 100L) ++
+      jobEntry(3L, 12, "ALTER TABLE app.r MODIFY COLUMN label VARCHAR(64)", 110L) ++
+      rowPair(3L, 30L, "a-label-well-past-eight-chars", 150L) ++
+      rowPair(2L, 21L, "bb2", 160L))
+
+    val applier = graft.sinks.JdbcApplier.inMemory("evolve-mysql-pk")
+    val cfg = ChangefeedConfig(id = "cf-evolve-mysql-pk",
+      filter = FilterConfig(rules = Seq("app.*")), handleKeys = Seq("id"),
+      sink = SinkConfig(numPartitions = 2, safeMode = true))
+    def start() = Changefeed.runMysqlFromRaw2pcEvolving(spark, cfg,
+      spark.readStream.schema(TxnMatcher.uncommittedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      SchemaStore(), s"$tmp/ckpt", applier, matcherGcMs = 600000L)
+
+    // kill between the batch-2 DDL execution and its rows: the replay
+    // re-runs RENAME COLUMN (already took effect -> ignorable) and the
+    // MODIFY re-probe finds the target shape (no-op), then REPLACEs
+    // the rows keyed on the real pk
+    Failpoints.enable("graft/changefeed/evolve-mysql-post-ddl", "1*off->1*panic")
+    var attempts = 0; var done = false
+    while (!done && attempts < 6) {
+      attempts += 1
+      val q = start()
+      try { q.awaitTermination(180000); done = true }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      finally { if (q.isActive) q.stop() }
+    }
+    Failpoints.clear()
+    assert(done, "evolving MySQL pk feed failed to drain")
+    assert(attempts >= 2, "the injected batch kill must force a restart")
+
+    assert(applier.tableRows("app", "r", Seq("v", "id", "label")) ==
+      Seq(Seq(10L, 1L, "a"), Seq(21L, 2L, "bb2"),
+        Seq(30L, 3L, "a-label-well-past-eight-chars")),
+      "non-first pk + rename + widen must converge (both v=10 rows " +
+        "survive only when REPLACE keys on id)")
+    assert(applier.tableRows("tidb_cdc", "ddl_ts_v1", Seq("changefeed", "ddl_ts"))
+      == Seq(Seq("cf-evolve-mysql-pk", 110L)))
+  }
+
   test("integrity circuit breaker on the evolving feed: EVERY checksummed " +
       "image failing downgrades to a WARNING (checksum-domain suspect) and " +
       "forwards; ONE bad image among verified-good ones still fails the " +

@@ -16,7 +16,7 @@ class DdlParserSpec extends SparkFunSuite {
       |  PRIMARY KEY (id),
       |  UNIQUE KEY uk_name (name)
       |)""".stripMargin
-    val Some(CreateTable(s, t, cols, ts)) = DdlParser.parse(q, 100L)
+    val Some(CreateTable(s, t, cols, ts, _)) = DdlParser.parse(q, 100L)
     assert(s == "app" && t == "users" && ts == 100L)
     assert(cols == Seq(
       ColumnDef("id", "bigint", None),
@@ -313,7 +313,7 @@ class DdlParserSpec extends SparkFunSuite {
     Seq("ANSI", "ansi,STRICT_TRANS_TABLES", "POSTGRESQL", "ANSI_QUOTES").foreach { mode =>
       val parsed = DdlParser.parse(q, 1L, "app", mode)
       assert(parsed.exists {
-        case DdlAction.CreateTable("app", "t", cols, _) =>
+        case DdlAction.CreateTable("app", "t", cols, _, _) =>
           cols.map(_.name) == Seq("id", "v")
         case _ => false
       }, s"mode $mode must normalize double-quoted identifiers")
@@ -334,7 +334,7 @@ class DdlParserSpec extends SparkFunSuite {
         s"$fn → ${col.default}")
     }
     // in CREATE TABLE bodies too
-    val Some(CreateTable(_, _, cols, _)) = DdlParser.parse(
+    val Some(CreateTable(_, _, cols, _, _)) = DdlParser.parse(
       "CREATE TABLE app.t2 (id BIGINT, created TIMESTAMP DEFAULT CURRENT_TIMESTAMP)", ts)
     assert(cols.find(_.name == "created").flatMap(_.default)
       .contains("2020-09-13 12:26:40"))
