@@ -27,18 +27,47 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
                          // (api/v2/changefeed.go:1634-1730)
                          var sinkCheckpointTsMs: Long = 0L,
                          var lastSyncedTsMs: Long = 0L,
-                         var pullerResolvedTsMs: Long = 0L)
+                         var pullerResolvedTsMs: Long = 0L,
+                         // auto-balance window: per-table writes since
+                         // the last tick + which splits the balancer
+                         // owns (census-sized, never row-scaled)
+                         var tableWrites: Map[(String, String), Long] = Map.empty,
+                         var autoSplit: Set[(String, String)] = Set.empty)
 
   private val feeds = TrieMap.empty[String, Entry]
 
   def create(cfg: ChangefeedConfig, sourceDir: String, sinkDir: String,
              checkpointDir: String): StreamingQuery = {
     require(!feeds.contains(cfg.id), s"changefeed ${cfg.id} already exists")
-    val q = Changefeed.run(spark, cfg, sourceDir, sinkDir, checkpointDir)
-    feeds.put(cfg.id, Entry(cfg, sourceDir, sinkDir, checkpointDir, Some(q)))
+    // the entry registers BEFORE the query starts: the first
+    // micro-batch (and so the balance observer) can fire before
+    // start() returns
+    val e = Entry(cfg, sourceDir, sinkDir, checkpointDir, None)
+    feeds.put(cfg.id, e)
+    val q = Changefeed.run(spark, cfg, sourceDir, sinkDir, checkpointDir,
+      onBatch = balanceObserver(cfg))
+    e.query = Some(q)
     gcSafepointDropped = false // owner re-advertises the service safepoint
     q
   }
+
+  /** The per-batch heartbeat the auto-balancer reads: per-table row
+    * counts (one census-sized agg — the same shape as the bootstrap
+    * cadence counts) fold into the balance window and the tick runs.
+    * Free (an ignored no-op closure) unless the scheduler block opts
+    * in. */
+  private def balanceObserver(cfg: ChangefeedConfig)
+      : org.apache.spark.sql.DataFrame => Unit =
+    if (!cfg.scheduler.enableTableAcrossNodes ||
+        cfg.scheduler.writeKeyThreshold <= 0) _ => ()
+    else batch => {
+      import org.apache.spark.sql.functions.col
+      val counts = batch.groupBy(col("_schema"), col("_table")).count()
+        .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+        .toSeq
+      reportTableWrites(cfg.id, counts)
+      balanceTick(cfg.id)
+    }
 
   // ---- owner / unsafe ops surface (api/v2 coordinator.go, unsafe.go) ----
 
@@ -110,7 +139,8 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
       e.cfg = e.cfg.copy(replicateFromTs = Some(ts))
       e.lastCheckpointTs = ts
     }
-    val q = Changefeed.run(spark, e.cfg, e.sourceDir, e.sinkDir, e.checkpointDir)
+    val q = Changefeed.run(spark, e.cfg, e.sourceDir, e.sinkDir, e.checkpointDir,
+      onBatch = balanceObserver(e.cfg))
     e.query = Some(q)
     q
   }
@@ -260,6 +290,56 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
   /** Merge a split/moved span back to the default table rule. */
   def mergeTable(id: String, schema: String, table: String): Unit =
     setSpanRule(id, schema, table, None)
+
+  // ---- automatic load-based span scheduling (maintainer/scheduler/
+  // balance_splits.go; write_bytes_splitter.go:54) ----
+
+  /** Fold one batch's per-table write observation into the feed's
+    * balance window — the dispatcher write-bytes heartbeat the
+    * reference's splitter reads. Census-sized driver state. */
+  def reportTableWrites(id: String,
+                        counts: Seq[((String, String), Long)]): Unit = {
+    val e = entryOf(id)
+    counts.foreach { case (k, n) =>
+      e.tableWrites = e.tableWrites.updated(k, e.tableWrites.getOrElse(k, 0L) + n)
+    }
+  }
+
+  /** The auto-balance tick: split any table whose windowed writes
+    * exceed `scheduler.write-key-threshold` (parts scale with the
+    * excess, capped at the worker count; the split is KEY-STICKY —
+    * [[splitTable]]'s handle-key salt — so per-key order survives,
+    * the reference's key-range-span property), and merge back an
+    * AUTO-split table that cooled below half the threshold
+    * (hysteresis; manual splits are never auto-merged). Resets the
+    * window. Placement changes fence at the next (re)start like every
+    * manual op, so running checkpoints stay monotone. No-op unless
+    * `enable-table-across-nodes` with a positive threshold
+    * (scheduler_config.go gating). Returns the rendered actions. */
+  def balanceTick(id: String): Seq[String] = {
+    val e = entryOf(id)
+    val sc = e.cfg.scheduler
+    if (!sc.enableTableAcrossNodes || sc.writeKeyThreshold <= 0) Nil
+    else {
+      val thr = sc.writeKeyThreshold.toLong
+      val actions = scala.collection.mutable.Buffer.empty[String]
+      e.tableWrites.toSeq.sortBy(_._1).foreach { case ((s, t), w) =>
+        if (w > thr) {
+          val parts = math.min(e.cfg.sink.numPartitions.toLong,
+            math.max(2L, (w + thr - 1) / thr)).toInt
+          splitTable(id, s, t, parts)
+          e.autoSplit += ((s, t))
+          actions += s"split:$s.$t:$parts"
+        } else if (e.autoSplit.contains((s, t)) && w < thr / 2) {
+          mergeTable(id, s, t)
+          e.autoSplit -= ((s, t))
+          actions += s"merge:$s.$t"
+        }
+      }
+      e.tableWrites = Map.empty
+      actions.toSeq
+    }
+  }
 
   /** Drain a worker partition: every span pinned to `target` (moved
     * or split-moved) is re-pinned to the next partition, across ALL

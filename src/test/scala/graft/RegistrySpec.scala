@@ -218,6 +218,59 @@ class RegistrySpec extends SparkFunSuite {
     assert(coldSpread == 1, "cold keys keep per-key locality")
   }
 
+  test("auto load-based span scheduling: a skewed feed auto-splits its hot " +
+      "table at the write threshold (balance_splits/write_bytes_splitter), " +
+      "the split is key-sticky, and resume re-emits nothing") {
+    val tmp = Files.createTempDirectory("graft-autobal").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    val events = Tables.events(spark, "/root/testdata/sf0.001")
+    // wave 1: every row lands in app.events_0 (user_id ≡ 0 mod 4) —
+    // the persistently hot table
+    events.withColumn("user_id", col("user_id") * 4L)
+      .write.mode("append").parquet(s"$tmp/src")
+    val reg = new ChangefeedRegistry(spark)
+    val cfg = ChangefeedConfig(id = "cf-bal",
+      scheduler = SchedulerConfig(
+        enableTableAcrossNodes = true, writeKeyThreshold = 500))
+    reg.create(cfg, s"$tmp/src", s"$tmp/sink", s"$tmp/ckpt")
+      .awaitTermination(120000)
+    val n1 = reg.status("cf-bal")._3
+    assert(n1 > 500L, s"the fixture must exceed the threshold: $n1")
+    // the balance tick ran on the batch heartbeat: the hot table's
+    // span is now split (key-sticky), fenced at the next restart
+    val spans = reg.tableSpans("cf-bal")
+    assert(spans.exists { case (m, r) =>
+      m == "app.events_0" && r.startsWith("split:") }, s"spans: $spans")
+    // wave 2 rides the SPLIT placement after resume
+    events
+      .withColumn("user_id", col("user_id") * 4L)
+      .withColumn("event_id", col("event_id") + 10000000L)
+      .write.mode("append").parquet(s"$tmp/src")
+    reg.resume("cf-bal").awaitTermination(120000)
+    assert(reg.status("cf-bal")._3 == n1 * 2,
+      "resume re-emits nothing and drains exactly wave 2 (monotone)")
+    val sunk = spark.read.parquet(s"$tmp/sink")
+      .filter(col("_table") === "events_0")
+      .withColumn("uid", coalesce(col("after.user_id"), col("before.user_id")))
+    val w1 = sunk.filter(col("_row_id") < 10000000L)
+    val w2 = sunk.filter(col("_row_id") >= 10000000L)
+    // pre-split: the table rule kept ONE partition; post-split: ≥2
+    assert(w1.select("_partition").distinct().count() == 1)
+    assert(w2.select("_partition").distinct().count() >= 2,
+      "the auto-split must fan the hot table out")
+    // key-sticky: every key keeps exactly one sub-partition
+    assert(w2.groupBy(col("uid"))
+      .agg(countDistinct(col("_partition")).as("nparts"))
+      .filter(col("nparts") > 1).count() == 0,
+      "per-key order must survive the split (key-sticky salt)")
+    // a cooled table merges back on a later tick (hysteresis)
+    reg.reportTableWrites("cf-bal", Seq((("app", "events_0"), 10L)))
+    val acts = reg.balanceTick("cf-bal")
+    assert(acts == Seq("merge:app.events_0"), s"acts: $acts")
+    assert(reg.tableSpans("cf-bal").isEmpty)
+    reg.remove("cf-bal")
+  }
+
   test("per-table expression filter rules scope to their matcher") {
     val env = graft.model.Envelope.fromEvents(
       Tables.events(spark, "/root/testdata/sf0.001"))
