@@ -381,6 +381,42 @@ class MqConsumeSpec extends SparkFunSuite {
       "claim-check recovery is full-fidelity: decoded stream == original stream")
   }
 
+  test("canal-json claim-check e2e: TiDB-extension pointer message → " +
+      "storage fetch → full-fidelity recovery (canal_json_claim_check)") {
+    import graft.functions.{Codecs, Decoders, LargeMessage}
+    val store = tmp("cc-canal-store")
+    val encoded = Codecs.canalJson(env)
+    // threshold between min and max wire size → a MIXED stream of
+    // plain canal messages and claim-check pointers
+    val cut = encoded.agg(
+      expr("percentile(length(_value), 0.5)")).head().getDouble(0).toInt
+    val withCc = LargeMessage.canalClaimCheck(encoded, cut, s"file://$store")
+    assert(withCc.filter(col("_large")).count() > 0, "oversize rows became pointers")
+    assert(withCc.filter(!col("_large")).count() > 0, "small rows untouched")
+    // the pointer is itself a VALID canal message: handle-key-only
+    // data block + the _tidb extension carrying commitTs and
+    // claimCheckLocation (canal_json_encoder.go:506-521)
+    val ptr = withCc.filter(col("_large")).select("_value").head().getString(0)
+    assert(ptr.contains("\"claimCheckLocation\":\"file://"), ptr)
+    assert(ptr.contains("\"_tidb\":{\"commitTs\":"), ptr)
+    assert(!ptr.contains("\"value\""), "pointer data block is handle-key-only")
+
+    // THE CONSUMER: follow the extension's location back to storage,
+    // then decode as if the pointer never happened
+    val restored = LargeMessage.resolveClaimChecks(
+      withCc.select(lit(null).cast("string").as("_key"), col("_value")),
+      get_json_object(col("_value"), "$._tidb.claimCheckLocation"))
+    val decoded = Decoders.decodeCanal(restored.select(col("_value")))
+      .select(col("_schema"), col("_table"), col("_commit_ms"), col("_op"),
+        col("before"), col("after"))
+    val direct = Decoders.decodeCanal(encoded.select(col("_value")))
+      .select(col("_schema"), col("_table"), col("_commit_ms"), col("_op"),
+        col("before"), col("after"))
+    assert(decoded.exceptAll(direct).count() == 0L &&
+      direct.exceptAll(decoded).count() == 0L,
+      "claim-check recovery is full-fidelity: decoded stream == original stream")
+  }
+
   test("simple-protocol claim-check e2e over JSON and Avro " +
       "(kafka_simple_claim_check_avro)") {
     import graft.functions.{Codecs, Decoders, LargeMessage, SimpleAvro}
