@@ -145,9 +145,17 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
     }
   })))
 
-  server.createContext("/api/v2/changefeeds", handler(authed(ex => {
+  server.createContext("/api/v2/changefeeds",
+    handler(authed(changefeedRoutes("/api/v2/changefeeds", v1 = false))))
+
+  /** The changefeed route table, shared by /api/v2 and the legacy
+    * /api/v1 group — the reference wires v1 straight onto the v2
+    * handlers (api/v1/api.go:53-98); only the old-arch table ops are
+    * v1-specific. */
+  private def changefeedRoutes(prefix: String, v1: Boolean)
+      : HttpExchange => Unit = ex => {
     try {
-      val path = ex.getRequestURI.getPath.stripPrefix("/api/v2/changefeeds")
+      val path = ex.getRequestURI.getPath.stripPrefix(prefix)
         .stripPrefix("/").split("/").filter(_.nonEmpty).toSeq
       (ex.getRequestMethod, path) match {
         // unknown changefeed id → 404 (the reference's 4xx), before
@@ -353,6 +361,35 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
               respond(ex, 400, s"""{"error":${jsonString(String.valueOf(e.getMessage))}}""")
           }
 
+        // legacy old-arch table ops, v1 only (api/v1/api.go:78-80 —
+        // "implemented for compatibility with old arch cdc only"):
+        // move_table pins the span to the capture named in the body
+        // (capture-N → worker partition N in the single-capture
+        // model); rebalance_table drops every placement back to the
+        // default rule — the scheduler's own re-balance target
+        case ("POST", Seq(id, "tables", "move_table")) if v1 =>
+          val bodyText = scala.io.Source.fromInputStream(
+            ex.getRequestBody, "UTF-8").mkString
+          val n = try Some(new com.fasterxml.jackson.databind.ObjectMapper()
+            .readTree(bodyText)) catch { case _: Exception => None }
+          def f(k: String) = n.flatMap(x =>
+            Option(x.get(k)).map(_.asText()).filter(_.nonEmpty))
+          (f("schema"), f("table"),
+            f("capture_id").flatMap(_.stripPrefix("capture-").toIntOption)) match {
+            case (Some(s), Some(t), Some(target)) =>
+              registry.moveTable(id, s, t, target)
+              respond(ex, 202, "{}")
+            case _ =>
+              respond(ex, 400, """{"error":"schema, table, capture_id required"}""")
+          }
+
+        case ("POST", Seq(id, "tables", "rebalance_table")) if v1 =>
+          registry.tableSpans(id).foreach { case (span, _) =>
+            val Array(s, t) = span.split("\\.", 2)
+            registry.mergeTable(id, s, t)
+          }
+          respond(ex, 202, "{}")
+
         case _ =>
           respond(ex, 404, """{"error":"not found"}""")
       }
@@ -360,7 +397,7 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
       case e: Throwable =>
         respond(ex, 500, s"""{"error":${jsonString(String.valueOf(e.getMessage))}}""")
     }
-  })))
+  }
 
   /** Read a JSON request body field (Jackson — the same dependency the
     * config carrier uses). None when absent or the body isn't JSON. */
@@ -516,7 +553,7 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
     respond(ex, 200, "{}"))
   // dynamic log level (api/v2/api.go:40 SetLogLevel) — maps straight
   // onto the engine's runtime log control (mutating → authed)
-  server.createContext("/api/v2/log", handler(authed(ex => {
+  private def setLogLevelRoute(ex: HttpExchange): Unit = {
     val lvl = queryParams(ex).getOrElse("log_level", "").toUpperCase
     if (ex.getRequestMethod != "POST")
       respond(ex, 405, """{"error":"POST required"}""")
@@ -527,7 +564,8 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
       registry.spark.sparkContext.setLogLevel(lvl)
       respond(ex, 200, "{}")
     }
-  })))
+  }
+  server.createContext("/api/v2/log", handler(authed(setLogLevelRoute)))
   server.createContext("/api/v2/captures", (ex: HttpExchange) =>
     respond(ex, 200,
       s"""[{"id":"capture-0","is_owner":true,"address":"127.0.0.1:$boundPort"}]"""))
@@ -561,6 +599,68 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
       case Some(c) => respond(ex, 200,
         c.all().map { case (s, t) => jsonString(s"$s.$t") }.mkString("[", ",", "]"))
     })
+
+  // ---- api v1: the legacy owner-era surface (api/v1/api.go:53-98).
+  // Every route delegates to its v2 handler exactly like the
+  // reference's route table (v1.GET("status", api.v2.ServerStatus)
+  // etc.); the from-ticdc-api-v1 request marker the reference sets is
+  // observable here as a response header. The old-arch table ops
+  // (tables/move_table, tables/rebalance_table) and the captures
+  // drain PUT live only under v1, as in the reference. ----
+  private def v1Mark(ex: HttpExchange): Unit =
+    ex.getResponseHeaders.set("from-ticdc-api-v1", "true")
+  server.createContext("/api/v1/changefeeds", handler(authed(ex => {
+    v1Mark(ex)
+    changefeedRoutes("/api/v1/changefeeds", v1 = true)(ex)
+  })))
+  server.createContext("/api/v1/status", (ex: HttpExchange) => {
+    v1Mark(ex)
+    respond(ex, 200,
+      s"""{"version":"graft","id":"capture-0","is_owner":true,"epoch":${registry.ownerEpoch}}""")
+  })
+  server.createContext("/api/v1/health", (ex: HttpExchange) => {
+    v1Mark(ex); respond(ex, 200, "{}")
+  })
+  server.createContext("/api/v1/log", handler(authed(ex => {
+    v1Mark(ex); setLogLevelRoute(ex)
+  })))
+  server.createContext("/api/v1/owner/resign", handler(ex => {
+    v1Mark(ex)
+    if (ex.getRequestMethod != "POST")
+      respond(ex, 405, """{"error":"POST required"}""")
+    else { registry.resignOwner(); respond(ex, 200, "{}") }
+  }))
+  server.createContext("/api/v1/processors", (ex: HttpExchange) => {
+    v1Mark(ex)
+    respond(ex, 200, registry.runningFeeds.map(id =>
+      s"""{"changefeed_id":${jsonString(id)},"capture_id":"capture-0"}""")
+      .mkString("[", ",", "]"))
+  })
+  server.createContext("/api/v1/captures", handler(ex => {
+    v1Mark(ex)
+    val sub = ex.getRequestURI.getPath.stripPrefix("/api/v1/captures")
+      .stripPrefix("/")
+    (ex.getRequestMethod, sub) match {
+      case ("GET", "") =>
+        respond(ex, 200,
+          s"""[{"id":"capture-0","is_owner":true,"address":"127.0.0.1:$boundPort"}]""")
+      case ("PUT", "drain") =>
+        // v1 drain-capture: body {"capture_id":"capture-N"} → evacuate
+        // worker N (api/v1/api.go:97 drainCapture; the poll contract
+        // returns the remaining table count)
+        authed { e =>
+          bodyField(e, "capture_id")
+            .flatMap(_.stripPrefix("capture-").toIntOption) match {
+            case Some(target) =>
+              registry.drainNode(target)
+              respond(e, 202, """{"current_table_count":0}""")
+            case None =>
+              respond(e, 400, """{"error":"capture_id required"}""")
+          }
+        }(ex)
+      case _ => respond(ex, 404, """{"error":"not found"}""")
+    }
+  }))
 
   def start(): ApiServer = { server.start(); this }
   def stop(): Unit = server.stop(0)

@@ -626,7 +626,14 @@ object Changefeed {
                 "heterogeneous shapes with large-message handling need " +
                   "fusedWire or per-shape feeds")
               val encodedGroups = groups.map { group =>
-                val df = pipeline(spark, cfg)(
+                // each group's handle keys come from its own metas
+                // (the per-table conflict key — canal pkNames, avro
+                // key records, update-split all read them), like the
+                // MySQL composition's per-group apply
+                val groupKeys = group.valuesIterator
+                  .flatMap(_.flatMap(_._2)).toSeq.headOption
+                  .map(_.handleCols).getOrElse(cfg.handleKeys)
+                val df = pipeline(spark, cfg.copy(handleKeys = groupKeys))(
                   graft.operators.RawKvMounter.mountTablesPlan(
                     batch, group, failOnCorruption = false))
                 if (groups.size == 1) df

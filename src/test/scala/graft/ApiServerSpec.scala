@@ -477,4 +477,78 @@ class ApiServerSpec extends SparkFunSuite {
       api.stop()
     }
   }
+
+  test("api v1 legacy surface: delegates to the v2 handlers with the " +
+      "from-ticdc-api-v1 marker; old-arch table ops and capture drain work") {
+    val tmp = Files.createTempDirectory("graft-apiv1").toString
+    val src = s"$tmp/source"
+    Files.createDirectories(java.nio.file.Paths.get(src))
+    Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$src/events.parquet"))
+    val registry = new ChangefeedRegistry(spark)
+    val api = new ApiServer(registry).start()
+    val host = s"http://127.0.0.1:${api.boundPort}"
+    def callHdr(method: String, url: String): (Int, String, String) = {
+      val conn = new URL(url).openConnection().asInstanceOf[HttpURLConnection]
+      conn.setRequestMethod(method)
+      val code = conn.getResponseCode
+      val stream = if (code >= 400) conn.getErrorStream else conn.getInputStream
+      val body = Source.fromInputStream(stream, "UTF-8").mkString
+      val mark = String.valueOf(conn.getHeaderField("from-ticdc-api-v1"))
+      conn.disconnect()
+      (code, body, mark)
+    }
+    try {
+      // create through v1, list through v1 — the v2 handler shapes,
+      // plus the v1 marker on every response
+      val (c1, b1, m1) = callHdr("POST",
+        s"$host/api/v1/changefeeds?id=cf-v1&source=$src&sink=$tmp/sink&ckpt=$tmp/ckpt&rules=app.*")
+      assert(c1 == 201 && b1.contains("\"cf-v1\"") && m1 == "true", s"$c1 $b1 $m1")
+      val (c2, b2, m2) = callHdr("GET", s"$host/api/v1/changefeeds")
+      assert(c2 == 200 && b2 == "[\"cf-v1\"]" && m2 == "true")
+      // server-level delegates
+      val (c3, b3, m3) = callHdr("GET", s"$host/api/v1/status")
+      assert(c3 == 200 && b3.contains("\"is_owner\":true") && m3 == "true")
+      assert(callHdr("GET", s"$host/api/v1/health")._1 == 200)
+      assert(callHdr("GET", s"$host/api/v1/captures")._2.contains("capture-0"))
+      assert(callHdr("GET", s"$host/api/v1/processors")._1 == 200)
+      // drain the feed before mutating placements
+      val deadline = System.currentTimeMillis() + 120000
+      var emitted = 0L
+      while (emitted == 0 && System.currentTimeMillis() < deadline) {
+        Thread.sleep(500)
+        val (_, s) = call("GET", s"$host/api/v1/changefeeds/cf-v1/status")
+        val m = "\"emitted\":(\\d+)".r.findFirstMatchIn(s)
+        emitted = m.map(_.group(1).toLong).getOrElse(0L)
+      }
+      assert(emitted > 0, "v1 status must report the drained feed")
+      call("POST", s"$host/api/v1/changefeeds/cf-v1/pause")
+      // old-arch move_table: capture-2 pins worker partition 2
+      val (mc, mb) = callBody("POST",
+        s"$host/api/v1/changefeeds/cf-v1/tables/move_table",
+        """{"schema":"app","table":"events_0","capture_id":"capture-2"}""")
+      assert(mc == 202, s"$mc $mb")
+      assert(registry.tableSpans("cf-v1") == Seq(("app.events_0", "moved:2")))
+      // rebalance drops every placement back to the default rule
+      val (rc, _) = callBody("POST",
+        s"$host/api/v1/changefeeds/cf-v1/tables/rebalance_table", "{}")
+      assert(rc == 202 && registry.tableSpans("cf-v1").isEmpty)
+      // owner resign bumps the epoch, observable through v1 status
+      val epoch0 = "\"epoch\":(\\d+)".r.findFirstMatchIn(b3).get.group(1).toLong
+      assert(callHdr("POST", s"$host/api/v1/owner/resign")._1 == 200)
+      val (_, b4, _) = callHdr("GET", s"$host/api/v1/status")
+      assert("\"epoch\":(\\d+)".r.findFirstMatchIn(b4).get.group(1).toLong == epoch0 + 1)
+      // v1 drain-capture PUT with the capture_id body
+      val (dc, db) = callBody("PUT", s"$host/api/v1/captures/drain",
+        """{"capture_id":"capture-1"}""")
+      assert(dc == 202 && db.contains("current_table_count"), s"$dc $db")
+      // delete through v1
+      assert(callHdr("DELETE", s"$host/api/v1/changefeeds/cf-v1")._1 == 200)
+      assert(call("GET", s"$host/api/v1/changefeeds")._2 == "[]")
+    } finally {
+      try registry.remove("cf-v1") catch { case _: Throwable => () }
+      api.stop()
+    }
+  }
 }
