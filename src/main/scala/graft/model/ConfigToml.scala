@@ -606,6 +606,8 @@ object ConfigToml {
         s""","send_bootstrap_to_all_partition":${s.sendBootstrapToAllPartition}""" +
         s""","send_all_bootstrap_at_start":${s.sendAllBootstrapAtStart}""" +
         s""","max_message_bytes":${s.maxMessageBytes}""" +
+        (if (s.schemaRegistry.isEmpty) ""
+         else s""","schema_registry":${jsonStr(s.schemaRegistry)}""") +
         (if (s.largeMessageHandle.isDefault) "" else {
           val l = s.largeMessageHandle
           s""","large_message_handle":{"large-message-handle-option":${jsonStr(l.option)},""" +
@@ -629,6 +631,9 @@ object ConfigToml {
       (if (cfg.integrity == IntegrityConfig()) "" else
         s""","integrity":{"integrity_check_level":${jsonStr(cfg.integrity.integrityCheckLevel)},""" +
           s""""corruption_handle_level":${jsonStr(cfg.integrity.corruptionHandleLevel)}}""") +
+      (if (cfg.consistent == ConsistentConfig()) "" else
+        s""","consistent":{"level":${jsonStr(cfg.consistent.level)},""" +
+          s""""storage":${jsonStr(cfg.consistent.storage)}}""") +
       "}"
   }
 
@@ -785,6 +790,7 @@ object ConfigToml {
         opt(s, "send_all_bootstrap_at_start").exists(_.asBoolean()),
       maxMessageBytes =
         opt(s, "max_message_bytes").map(_.asInt()).getOrElse(10 * 1024 * 1024),
+      schemaRegistry = opt(s, "schema_registry").map(_.asText()).getOrElse(""),
       largeMessageHandle = opt(s, "large_message_handle").map { l =>
         LargeMessageHandle(
           option = opt(l, "large-message-handle-option").map(_.asText())
@@ -887,7 +893,12 @@ object ConfigToml {
             .map(_.asText()).getOrElse(IntegrityConfig.CheckLevelNone),
           corruptionHandleLevel = opt(in, "corruption_handle_level")
             .map(_.asText()).getOrElse(IntegrityConfig.HandleLevelWarn))
-      }.getOrElse(IntegrityConfig()))
+      }.getOrElse(IntegrityConfig()),
+      consistent = opt(root, "consistent").map { cn =>
+        ConsistentConfig(
+          level = opt(cn, "level").map(_.asText()).getOrElse("none"),
+          storage = opt(cn, "storage").map(_.asText()).getOrElse(""))
+      }.getOrElse(ConsistentConfig()))
   }
 
   /** Apply the keys PRESENT in an api/v2 scheduler object onto `base`

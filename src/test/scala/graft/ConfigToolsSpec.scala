@@ -158,6 +158,39 @@ class ConfigToolsSpec extends AnyFunSuite {
       "cf-dflt").syncedStatus == SyncedStatusConfig())
   }
 
+  test("consistent (redo) block + sink schema-registry survive both carriers " +
+      "with defaults elided (pkg/config/consistent.go)") {
+    val cfg = ChangefeedConfig(id = "cf-cons",
+      consistent = ConsistentConfig("eventual", "file:///tmp/redo"),
+      sink = SinkConfig(protocol = Protocol.Avro,
+        schemaRegistry = "http://registry:8081"))
+    val toml = ConfigToml.renderToml(cfg)
+    assert(toml.contains("[consistent]"))
+    assert(toml.contains("level = 'eventual'"))
+    assert(toml.contains("schema-registry = 'http://registry:8081'"))
+    assert(toml.contains("protocol = 'avro'"))
+    val viaToml = ConfigToml.toConfig(ConfigToml.parse(toml), "cf-cons")
+    assert(viaToml.consistent == cfg.consistent)
+    assert(viaToml.sink.schemaRegistry == cfg.sink.schemaRegistry)
+    assert(viaToml.sink.protocol == Protocol.Avro)
+    val viaJson = ConfigToml.fromApiJson(ConfigToml.toApiJson(cfg))
+    assert(viaJson.consistent == cfg.consistent)
+    assert(viaJson.sink.schemaRegistry == cfg.sink.schemaRegistry)
+    assert(viaJson.sink.protocol == Protocol.Avro)
+    // defaults stay out of both wire forms
+    val dflt = ChangefeedConfig(id = "cf-dflt")
+    assert(!ConfigToml.renderToml(dflt).contains("[consistent]"))
+    assert(!ConfigToml.toApiJson(dflt).contains("consistent"))
+    assert(!ConfigToml.toApiJson(dflt).contains("schema_registry"))
+    // validate: eventual demands a storage uri; levels are closed
+    ConsistentConfig().validate()
+    cfg.consistent.validate()
+    intercept[IllegalArgumentException] {
+      ConsistentConfig("eventual").validate()
+    }
+    intercept[IllegalArgumentException] { ConsistentConfig("exact") }
+  }
+
   test("integrity block: both carriers, defaults elided, Validate enums closed " +
       "(pkg/integrity/integrity.go:23-75)") {
     val cfg = ChangefeedConfig(id = "cf-int",
