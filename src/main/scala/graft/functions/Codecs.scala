@@ -428,21 +428,23 @@ object Codecs {
       case Some(sch) =>
         val tableId = store.membership.get((schema, table))
           .flatMap(_.lastOption.map(_._2._1)).getOrElse(0L)
-        val cols = sch.columns.zipWithIndex.map { case (c, i) =>
+        // the statement's DECLARED pk when the fold captured one (r14:
+        // TableSchema.pks); the first-column handle convention remains
+        // only as the keyless fallback
+        val pks = if (sch.pks.nonEmpty) sch.pks else Seq(sch.columns.head.name)
+        val cols = sch.columns.map { c =>
           val (mt, len) = mysqlTypeOf(c.dataType)
           val dflt = c.default.map(d => "\"" + d + "\"").getOrElse("null")
           s"""{"name":"${c.name}","dataType":{"mysqlType":"$mt",""" +
             s""""charset":"binary","collate":"binary","length":$len},""" +
-            s""""nullable":${i != 0},"default":$dflt}"""
+            s""""nullable":${!pks.contains(c.name)},"default":$dflt}"""
         }.mkString("[", ",", "]")
-        // handle-key convention: the first column is the handle
-        // (SchemaStore.metaAsOf's handleCol)
-        val pk = sch.columns.head.name
         s"""{"version":1,"type":"BOOTSTRAP","commitTs":0,"buildTs":0,""" +
           s""""tableSchema":{"schema":"$schema","table":"$table",""" +
           s""""tableID":$tableId,"version":${sch.versionTs},""" +
           s""""columns":$cols,"indexes":[{"name":"primary","unique":true,""" +
-          s""""primary":true,"nullable":false,"columns":["$pk"]}]}}"""
+          s""""primary":true,"nullable":false,"columns":[${
+            pks.map(p => "\"" + p + "\"").mkString(",")}]}]}}"""
     }
 
   /** JSON string escaping for payload text fields (quote, backslash,

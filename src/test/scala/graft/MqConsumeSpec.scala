@@ -381,6 +381,26 @@ class MqConsumeSpec extends SparkFunSuite {
       "claim-check recovery is full-fidelity: decoded stream == original stream")
   }
 
+  test("live handshake renders the DECLARED pk (non-first column) and " +
+      "per-column nullability from the evolving store") {
+    val store = graft.model.SchemaStore().applyAction(
+      graft.model.DdlParser.parse(
+        "CREATE TABLE app.r (v BIGINT, id BIGINT, note VARCHAR(8), PRIMARY KEY (id))",
+        10L).get)
+    val hs = graft.functions.Codecs.bootstrapValueFromStore(store, "app", "r")
+    // the index block names the REAL pk, not column 1
+    assert(hs.contains("\"columns\":[\"id\"]"), hs)
+    assert(hs.contains("\"name\":\"id\",\"dataType\":{\"mysqlType\":\"bigint\"," +
+      "\"charset\":\"binary\",\"collate\":\"binary\",\"length\":20},\"nullable\":false"), hs)
+    assert(hs.contains("\"name\":\"v\",\"dataType\":{\"mysqlType\":\"bigint\"," +
+      "\"charset\":\"binary\",\"collate\":\"binary\",\"length\":20},\"nullable\":true"), hs)
+    // the consumer's wire-learned schema keys on it
+    import spark.implicits._
+    val learned = MqConsume.bootstrapSchemas(Seq(hs).toDF("_value"))
+    assert(learned(("app", "r"))._2 == Seq("id"))
+    assert(learned(("app", "r"))._1.map(_._1) == Seq("v", "id", "note"))
+  }
+
   test("canal-json claim-check e2e: TiDB-extension pointer message → " +
       "storage fetch → full-fidelity recovery (canal_json_claim_check)") {
     import graft.functions.{Codecs, Decoders, LargeMessage}
