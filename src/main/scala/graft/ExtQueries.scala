@@ -16,6 +16,36 @@ object ExtQueries {
   private def env(s: SparkSession, dir: String): DataFrame =
     Envelope.fromEvents(Tables.events(s, dir))
 
+  /** The avro changefeed wire end-to-end across a schema evolution:
+    * era-1 rows encode under the original table version, era-2 rows
+    * (µs-parity split) under an ADD-COLUMN-evolved version — each
+    * registering its own content-addressed version — and ONE consumer
+    * reader (the post-DDL shape) decodes BOTH eras by registry
+    * reference via Avro schema resolution (old-era rows fill the new
+    * column's null default), deletes riding the key-only tombstone
+    * form (avro/encoder.go:68 registry round trip; decoder.go by-id
+    * read). The URI scheme picks the framing: confluent magic-0 ids
+    * or glue header-3 version UUIDs. */
+  private def avroEvolveRoundtrip(s: SparkSession, d: String,
+                                  uri: String, topic: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val e = env(s, d)
+    def img2(c: String) = when(col(c).isNull, lit(null)).otherwise(
+      struct(col(s"$c.user_id").as("user_id"), col(s"$c.value").as("value"),
+        col(s"$c.k").as("k"), (col(s"$c.k") * 2L).as("k2")))
+    val era1 = e.filter(pmod(col("_commit_ts"), lit(2000L)) === 0L)
+    val era2 = e.filter(pmod(col("_commit_ts"), lit(2000L)) === 1000L)
+      .withColumn("before", img2("before"))
+      .withColumn("after", img2("after"))
+    val frames = graft.functions.AvroWire
+      .encodeFeed(era1, Seq("user_id"), uri, topic)
+      .unionByName(graft.functions.AvroWire
+        .encodeFeed(era2, Seq("user_id"), uri, topic))
+    graft.functions.AvroWire.decodeFeedAs(frames, uri, StructType(Seq(
+      StructField("user_id", LongType), StructField("value", DoubleType),
+      StructField("k", LongType), StructField("k2", LongType))))
+  }
+
   val largeMsgMaxBytes = 210
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -282,26 +312,17 @@ object ExtQueries {
     // schema resolution (old-era rows fill the new column's null
     // default), deletes riding the key-only tombstone form
     // (avro/encoder.go:68 registry round trip; decoder.go by-id read)
-    "q_avro_evolve" -> ((s, d) => {
-      import org.apache.spark.sql.types._
-      val uri = "mem://q_avro_evolve"
-      val topic = "q-avro-evolve"
-      val e = env(s, d)
-      def img2(c: String) = when(col(c).isNull, lit(null)).otherwise(
-        struct(col(s"$c.user_id").as("user_id"), col(s"$c.value").as("value"),
-          col(s"$c.k").as("k"), (col(s"$c.k") * 2L).as("k2")))
-      val era1 = e.filter(pmod(col("_commit_ts"), lit(2000L)) === 0L)
-      val era2 = e.filter(pmod(col("_commit_ts"), lit(2000L)) === 1000L)
-        .withColumn("before", img2("before"))
-        .withColumn("after", img2("after"))
-      val frames = graft.functions.AvroWire
-        .encodeFeed(era1, Seq("user_id"), uri, topic)
-        .unionByName(graft.functions.AvroWire
-          .encodeFeed(era2, Seq("user_id"), uri, topic))
-      graft.functions.AvroWire.decodeFeedAs(frames, uri, StructType(Seq(
-        StructField("user_id", LongType), StructField("value", DoubleType),
-        StructField("k", LongType), StructField("k2", LongType))))
-    }),
+    "q_avro_evolve" -> ((s, d) =>
+      avroEvolveRoundtrip(s, d, "mem://q_avro_evolve", "q-avro-evolve")),
+
+    // the same two-era evolving roundtrip over the AWS GLUE wire
+    // framing (header version 3 + compression byte + content-derived
+    // schema-version UUID, glue_schema_registry.go:1-352) — the
+    // registry pair's other half; decode dispatches PER FRAME on the
+    // leading byte (0 confluent / 3 glue), so the consumer needs no
+    // out-of-band framing hint
+    "q_avro_glue_evolve" -> ((s, d) =>
+      avroEvolveRoundtrip(s, d, "glue://q_avro_glue_evolve", "q-avro-glue")),
 
     // Debezium envelope over Confluent-framed Avro: key = handle key,
     // value = before/after/source/op/ts_ms (Kafka-Connect wire format)
@@ -980,6 +1001,17 @@ object ExtQueries {
          |FROM ddl""".stripMargin),
 
     "q_roundtrip_avro" -> q("SELECT * FROM env"),
+
+    "q_avro_glue_evolve" -> q(
+      """SELECT _schema, _table,
+        |  CASE _op WHEN 'I' THEN 'c' WHEN 'D' THEN 'd' ELSE 'u' END AS _op,
+        |  _commit_ts,
+        |  CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END AS user_id,
+        |  CASE WHEN _op = 'D' THEN NULL ELSE after_value END AS value,
+        |  CASE WHEN _op = 'D' THEN NULL ELSE after_k END AS k,
+        |  CASE WHEN _op = 'D' OR _commit_ts % 2000 = 0 THEN NULL
+        |       ELSE after_k * 2 END AS k2
+        |FROM env""".stripMargin),
 
     "q_avro_evolve" -> q(
       """SELECT _schema, _table,

