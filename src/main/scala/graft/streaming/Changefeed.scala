@@ -57,8 +57,13 @@ object Changefeed {
 
   /** The full filter/transform/route/encode pipeline for one
     * changefeed (MQ/storage sinks consume the encoded `_value`). */
-  def pipeline(spark: SparkSession, cfg: ChangefeedConfig)(env: DataFrame): DataFrame = {
-    val df = transform(spark, cfg)(env)
+  def pipeline(spark: SparkSession, cfg: ChangefeedConfig)(env: DataFrame): DataFrame =
+    encodeFor(spark, cfg)(transform(spark, cfg)(env))
+
+  /** The encode half of [[pipeline]] — protocol dispatch over an
+    * already-transformed envelope (split out so the redo WAL can
+    * log-ahead the shaped rows between the two halves). */
+  def encodeFor(spark: SparkSession, cfg: ChangefeedConfig)(df: DataFrame): DataFrame = {
     // the fixture-payload encoders carry the oracle-mirrored rendering
     // conventions (money-decimal strings for the events payload); the
     // selection is an EXPLICIT config flag — payload-shape sniffing
@@ -469,6 +474,12 @@ object Changefeed {
                               fusedWire: Boolean = false): StreamingQuery = {
     if (fusedWire) require(cfg.sink.protocol == Protocol.CanalJson,
       "fused wire encoding is canal-JSON only")
+    cfg.consistent.validate()
+    val redoOn = cfg.consistent.eventual
+    val redoDir = cfg.consistent.storage
+    require(!(redoOn && fusedWire),
+      "redo WAL needs the struct path (fused feeds carry wire strings, " +
+        "not envelope rows)")
     val (bootstrapper, bootstrapOn) = prepareMqSink(spark, cfg, sinkDir, Nil)
     val holder = new SchemaStoreHolder(initial, s"$checkpointDir/schemastore")
     // version-triggered LIVE handshake (bootstraper.go:259 + the
@@ -507,6 +518,14 @@ object Changefeed {
           val emitted = jobs.sortBy(_.finishedTs).flatMap { j =>
             dispatchDdlJob(j, cfg.filter, ignoreDdlClasses, ignoreDdlSqlRegexps)
               .map(qq => (j.schemaName, j.tableName, j.finishedTs, qq, j.actionType))
+          }
+          // redo WAL (consistent.level=eventual): DDLs log-ahead of
+          // their wire emission, like the MySQL composition
+          if (redoOn && emitted.nonEmpty) {
+            import spark.implicits._
+            graft.sinks.RedoApplier.appendDdl(
+              emitted.map(e => (e._1, e._2, e._3, e._4))
+                .toDF("_schema", "_table", "_commit_ts", "query"), redoDir)
           }
           if (emitted.nonEmpty &&
               cfg.sink.openBatchWire && cfg.sink.protocol == Protocol.Open) {
@@ -598,6 +617,7 @@ object Changefeed {
                   "forwarding under warn semantics until a genuine " +
                   "upstream fixture confirms the domain"))
           }
+          var pendingUnpersist: Seq[DataFrame] = Nil
           val encoded =
             if (fusedWire) {
               val f = cfg.filter
@@ -625,6 +645,7 @@ object Changefeed {
               require(groups.size <= 1 || cfg.sink.largeMessageHandle.disabled,
                 "heterogeneous shapes with large-message handling need " +
                   "fusedWire or per-shape feeds")
+              val walPinned = scala.collection.mutable.Buffer.empty[DataFrame]
               val encodedGroups = groups.map { group =>
                 // each group's handle keys come from its own metas
                 // (the per-table conflict key — canal pkNames, avro
@@ -633,17 +654,41 @@ object Changefeed {
                 val groupKeys = group.valuesIterator
                   .flatMap(_.flatMap(_._2)).toSeq.headOption
                   .map(_.handleCols).getOrElse(cfg.handleKeys)
-                val df = pipeline(spark, cfg.copy(handleKeys = groupKeys))(
+                val gCfg = cfg.copy(handleKeys = groupKeys)
+                val shaped = transform(spark, gCfg)(
                   graft.operators.RawKvMounter.mountTablesPlan(
                     batch, group, failOnCorruption = false))
+                if (redoOn) {
+                  // log-ahead: the shaped rows are durable in the WAL
+                  // before any wire frame lands (pkg/redo writer
+                  // ordering); pinned because the WAL write and the
+                  // encode both consume them
+                  shaped.persist()
+                  walPinned += shaped
+                  graft.sinks.RedoLog.append(shaped, redoDir)
+                  Failpoints.evalThrow("graft/changefeed/evolve-mq-post-redo")
+                }
+                val df = encodeFor(spark, gCfg)(shaped)
                 if (groups.size == 1) df
                 else df.select(col("_schema"), col("_table"), col("_partition"),
                   col("_commit_ts"), col("_value"))
               }
-              encodedGroups.reduce(_.unionByName(_))
+              try encodedGroups.reduce(_.unionByName(_))
+              finally if (walPinned.nonEmpty) {
+                // the encode consumes the pinned frames inside
+                // sinkMqBatch below; unpersist AFTER the batch write
+                pendingUnpersist = walPinned.toSeq
+              }
             }
-          sinkMqBatch(cfg, bootstrapper, bootstrapOn, sinkDir,
+          try sinkMqBatch(cfg, bootstrapper, bootstrapOn, sinkDir,
             liveBootstrapValue, liveVersion)(encoded, batchId)
+          finally pendingUnpersist.foreach(_.unpersist())
+          if (redoOn) {
+            val rhi = batch.agg(max(col("commit_ts"))).head()
+            if (!rhi.isNullAt(0))
+              graft.sinks.RedoApplier.advanceCheckpoint(
+                spark, redoDir, rhi.getLong(0))
+          }
           // compaction at checkpoint-advance cadence: a resolved ts
           // `gcLagBatches` batches old is durably covered — versions
           // below it can never be read again (even a crash-replay only
