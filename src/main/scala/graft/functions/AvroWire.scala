@@ -49,11 +49,35 @@ object AvroWire {
 
   /** Process-global registries by URI — one registry service per URL,
     * the way every sink worker of a deployment shares the endpoint.
-    * Offline stand-in; a real deployment resolves an HTTP client here
-    * ([[HttpSchemaRegistry]]) with no data-path change. */
+    * SCHEME-DISPATCHED (confluent_schema_registry.go resolves the
+    * sink-uri's schema-registry param to the HTTP client): `http(s)://`
+    * → the real Confluent client ([[HttpSchemaRegistry
+    * .ConfluentHttpClient]], retry/backoff/409 semantics over TCP),
+    * `glue://` → the Glue wire's per-URI store, `mem://` → the
+    * in-memory offline stand-in. Unknown schemes reject — at
+    * changefeed create via [[validateUri]], and again here so a
+    * mis-routed executor task fails loud instead of silently keeping
+    * schemas process-local. */
   private val stores = TrieMap.empty[String, AvroRegistry.SchemaStore]
   def registryFor(uri: String): AvroRegistry.SchemaStore =
-    stores.getOrElseUpdate(uri, new AvroRegistry.InMemoryStore())
+    stores.getOrElseUpdate(uri, schemeOf(uri) match {
+      case "http" | "https" => new HttpSchemaRegistry.ConfluentHttpClient(uri)
+      case "glue" | "mem" => new AvroRegistry.InMemoryStore()
+      case other => throw new IllegalArgumentException(
+        s"unsupported schema-registry scheme '$other' in $uri " +
+          "(expected http://, https://, glue://, or mem://)")
+    })
+  private def schemeOf(uri: String): String = {
+    val i = uri.indexOf("://")
+    if (i < 0) "" else uri.substring(0, i)
+  }
+  /** Create-time scheme check: an avro changefeed with an unresolvable
+    * registry uri is rejected before the stream starts. */
+  def validateUri(uri: String): Unit = {
+    require(Set("http", "https", "glue", "mem").contains(schemeOf(uri)),
+      s"unsupported schema-registry scheme in '$uri' " +
+        "(expected http://, https://, glue://, or mem://)")
+  }
   /** Test isolation: drop a registry instance. */
   def dropRegistry(uri: String): Unit = { stores.remove(uri); glueSchemas.remove(uri); () }
 
@@ -87,11 +111,26 @@ object AvroWire {
   def keySubject(topic: String, schema: String, table: String): String =
     s"$topic-$schema.$table-key"
 
+  /** Sanitization can map DISTINCT column names to one Avro field
+    * (`a-b` and `a_b` both become `a_b`) — the duplicate-field record
+    * Schema.Parser rejects with an opaque error deep in mapPartitions.
+    * Fail fast at schema build, naming the colliding columns. */
+  private def checkSanitizeCollisions(fields: Seq[StructField],
+                                      schema: String, table: String): Unit =
+    fields.groupBy(f => sanitize(f.name)).foreach { case (san, fs) =>
+      require(fs.size == 1,
+        s"avro schema for $schema.$table: columns " +
+          fs.map(_.name).mkString("'", "', '", "'") +
+          s" all sanitize to avro field '$san' — rename the columns or " +
+          "select them apart before the avro sink")
+    }
+
   /** VALUE record schema: every column a nullable union with default
     * (optional columns, the reference's generated shape) + the TiDB
     * extension meta fields. */
   def valueSchemaJson(payload: Seq[StructField], schema: String,
                       table: String): String = {
+    checkSanitizeCollisions(payload, schema, table)
     val cols = payload.map(f =>
       s"""{"name":"${sanitize(f.name)}","type":["null",${AvroCodec.avroTypeFor(f.dataType)}],"default":null}""")
     val ext = Seq(
@@ -106,12 +145,14 @@ object AvroWire {
   /** KEY record schema: the handle-key columns, non-null (a handle
     * key is never null upstream). */
   def keySchemaJson(keys: Seq[StructField], schema: String,
-                    table: String): String =
+                    table: String): String = {
+    checkSanitizeCollisions(keys, schema, table)
     keys.map(f =>
       s"""{"name":"${sanitize(f.name)}","type":${AvroCodec.avroTypeFor(f.dataType)}}""")
       .mkString(
         s"""{"type":"record","name":"${sanitize(table)}","namespace":"graft.${sanitize(schema)}.key","fields":[""",
         ",", "]}")
+  }
 
   /** Driver-side registration for one table shape — the evolving
     * feed's register-on-DDL-fold half (avro/encoder.go:68 registers
@@ -305,14 +346,90 @@ object AvroWire {
     }(Encoders.row(out))
   }
 
+  /** Spark type of one avro field schema — the inverse of
+    * [[AvroCodec.avroTypeFor]] over the wire shapes this encoder
+    * emits (nullable unions unwrap; logical types map back). Lets a
+    * consumer build its reader struct FROM THE REGISTRY alone. */
+  def sparkTypeOf(s: Schema): DataType = {
+    import scala.jdk.CollectionConverters._
+    s.getType match {
+      case Schema.Type.UNION =>
+        s.getTypes.asScala.find(_.getType != Schema.Type.NULL)
+          .map(sparkTypeOf).getOrElse(NullType)
+      case Schema.Type.INT =>
+        if (s.getLogicalType != null && s.getLogicalType.getName == "date")
+          DateType
+        else IntegerType
+      case Schema.Type.LONG =>
+        if (s.getLogicalType != null &&
+            s.getLogicalType.getName == "timestamp-micros") TimestampType
+        else LongType
+      case Schema.Type.FLOAT => FloatType
+      case Schema.Type.DOUBLE => DoubleType
+      case Schema.Type.BOOLEAN => BooleanType
+      case Schema.Type.STRING => StringType
+      case Schema.Type.BYTES => s.getLogicalType match {
+        case d: org.apache.avro.LogicalTypes.Decimal =>
+          DecimalType(d.getPrecision, d.getScale)
+        case _ => BinaryType
+      }
+      case Schema.Type.ARRAY => ArrayType(sparkTypeOf(s.getElementType))
+      case other => sys.error(s"unsupported avro reader type: $other")
+    }
+  }
+
+  /** Registry-learned READER shape for one table: the latest value
+    * schema under the subject, minus the `_tidb_*` extension meta
+    * fields (the consumer's schema round trip, avro/decoder.go:680 —
+    * schemas come from the endpoint, never out-of-band). */
+  def readerFromRegistry(registryUri: String, topic: String,
+                         schema: String, table: String): StructType = {
+    import scala.jdk.CollectionConverters._
+    val store = registryFor(registryUri)
+    val subject = valueSubject(topic, schema, table)
+    val vs = store.versions(subject)
+    require(vs.nonEmpty, s"no registered value schema under $subject")
+    val parsed = new Schema.Parser().parse(store.byId(vs.last))
+    StructType(parsed.getFields.asScala
+      .filterNot(_.name.startsWith("_tidb_"))
+      .map(f => StructField(f.name, sparkTypeOf(f.schema()))).toSeq)
+  }
+
+  /** Handle-key columns of one table, from its registered KEY schema
+    * — the apply key a consumer learns from the registry alone. */
+  def keysFromRegistry(registryUri: String, topic: String,
+                       schema: String, table: String): Seq[String] = {
+    import scala.jdk.CollectionConverters._
+    val store = registryFor(registryUri)
+    val subject = keySubject(topic, schema, table)
+    val vs = store.versions(subject)
+    require(vs.nonEmpty, s"no registered key schema under $subject")
+    new Schema.Parser().parse(store.byId(vs.last))
+      .getFields.asScala.map(_.name).toSeq
+  }
+
   /** Control events of an avro feed: Left(ddl (query, actionType,
-    * schema, table, commitTs)) / Right(checkpoint ts), frame-decoded
-    * driver-side (control-plane sized). */
+    * schema, table, commitTs)) / Right(checkpoint ts). The
+    * control-frame predicate runs IN SPARK — the `{"k":` frame prefix
+    * and the value's first decoded byte (0x01 DDL / 0x02 checkpoint)
+    * are cheap column tests — so only the control-plane-sized
+    * survivors ever reach the driver; row events (magic-0 / glue
+    * header-3 first byte) filter out distributed, never collect. */
   def controlEvents(msgs: DataFrame)
       : Seq[Either[(String, Int, String, String, Long), Long]] =
-    msgs.select(col("_value")).collect().toSeq.flatMap { r =>
-      val v = r.getString(0)
-      if (!v.startsWith("{\"k\":")) None
-      else AvroRegistry.decodeControlEvent(OpenBatch.parseFrame(v)._2)
+    controlFrames(msgs).collect().toSeq.flatMap { r =>
+      AvroRegistry.decodeControlEvent(OpenBatch.parseFrame(r.getString(0))._2)
     }
+
+  /** The Spark-side control-frame predicate of [[controlEvents]],
+    * exposed so specs can pin that row events are dropped BEFORE any
+    * driver materialization. */
+  def controlFrames(msgs: DataFrame): DataFrame = {
+    val firstByte =
+      substring(unbase64(get_json_object(col("_value"), "$.v")), 1, 1)
+    msgs.select(col("_value")).filter(
+      col("_value").startsWith("{\"k\":") &&
+        (firstByte === lit(Array(AvroRegistry.DdlByte)) ||
+          firstByte === lit(Array(AvroRegistry.CheckpointByte))))
+  }
 }

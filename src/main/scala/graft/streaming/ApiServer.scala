@@ -385,8 +385,12 @@ class ApiServer(registry: ChangefeedRegistry, port: Int = 0,
 
         case ("POST", Seq(id, "tables", "rebalance_table")) if v1 =>
           registry.tableSpans(id).foreach { case (span, _) =>
-            val Array(s, t) = span.split("\\.", 2)
-            registry.mergeTable(id, s, t)
+            // skip malformed span keys (no dot) instead of 500ing
+            // mid-iteration with some spans merged and others not
+            span.split("\\.", 2) match {
+              case Array(s, t) => registry.mergeTable(id, s, t)
+              case _ => ()
+            }
           }
           respond(ex, 202, "{}")
 

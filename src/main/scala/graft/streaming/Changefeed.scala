@@ -883,9 +883,9 @@ object Changefeed {
     * MySQL downstream executes the raw text unchanged — the reference's
     * path). Partition-only actions change no shape on a non-partitioned
     * ANSI downstream and record just the ddl_ts advance. */
-  private def executeDdlDownstream(applier: graft.sinks.JdbcApplier,
-                                   feedId: String, ts: Long,
-                                   query: String): Unit = {
+  private[graft] def executeDdlDownstream(applier: graft.sinks.JdbcApplier,
+                                          feedId: String, ts: Long,
+                                          query: String): Unit = {
     import graft.model.{DdlAction => A}
     def derbyType(dt: String): String = {
       val b = dt.takeWhile(_ != '(').trim.toLowerCase
@@ -922,23 +922,42 @@ object Changefeed {
       val dt = derbyType(c.dataType)
       val base = dt.takeWhile(_ != '(')
       val argLen = "\\d+".r.findFirstIn(dt.dropWhile(_ != '(')).map(_.toInt)
-      val cur = applier.columnInfo(s, t, lookupName)
-        .orElse(applier.columnInfo(s, t, c.name))
-      val stmts = cur match {
-        case Some((tn, sz)) if tn.equalsIgnoreCase(base) && argLen.forall(_ == sz) =>
-          Nil // already the target shape (replay / display-width-only)
-        case Some((tn, sz)) if tn.equalsIgnoreCase("VARCHAR") &&
-            base == "VARCHAR" && argLen.exists(_ >= sz) =>
-          Seq(s"""ALTER TABLE "$s"."$t" ALTER COLUMN "${c.name}" SET DATA TYPE $dt""")
-        case Some(_) =>
-          val tmp = c.name + "__graft_retype"
-          Seq(
-            s"""RENAME COLUMN "$s"."$t"."${c.name}" TO "$tmp"""",
-            s"""ALTER TABLE "$s"."$t" ADD COLUMN "${c.name}" $dt""",
-            s"""UPDATE "$s"."$t" SET "${c.name}" = CAST("$tmp" AS $dt)""",
-            s"""ALTER TABLE "$s"."$t" DROP COLUMN "$tmp"""")
-        case None => Nil // column unknown downstream: registry-only fold
-      }
+      val tmp = c.name + "__graft_retype"
+      val copyDrop = Seq(
+        s"""UPDATE "$s"."$t" SET "${c.name}" = CAST("$tmp" AS $dt)""",
+        s"""ALTER TABLE "$s"."$t" DROP COLUMN "$tmp"""")
+      val stmts =
+        if (applier.columnInfo(s, t, tmp).isDefined) {
+          // a prior rebuild crashed between its RENAME and its DROP:
+          // the values still live under the tmp column, so RESUME —
+          // re-ADD the target column if the crash preceded the ADD,
+          // then re-copy (idempotent: tmp is immutable from here) and
+          // DROP. Probing ONLY c.name here would either skip the
+          // rebuild entirely (crash-after-RENAME: column missing →
+          // looks registry-only) or silently lose the values
+          // (crash-after-ADD: target type already in place → looks
+          // already-done while every row is still NULL).
+          val add =
+            if (applier.columnInfo(s, t, c.name).isEmpty)
+              Seq(s"""ALTER TABLE "$s"."$t" ADD COLUMN "${c.name}" $dt""")
+            else Nil
+          add ++ copyDrop
+        } else {
+          val cur = applier.columnInfo(s, t, lookupName)
+            .orElse(applier.columnInfo(s, t, c.name))
+          cur match {
+            case Some((tn, sz)) if tn.equalsIgnoreCase(base) && argLen.forall(_ == sz) =>
+              Nil // already the target shape (replay / display-width-only)
+            case Some((tn, sz)) if tn.equalsIgnoreCase("VARCHAR") &&
+                base == "VARCHAR" && argLen.exists(_ >= sz) =>
+              Seq(s"""ALTER TABLE "$s"."$t" ALTER COLUMN "${c.name}" SET DATA TYPE $dt""")
+            case Some(_) =>
+              s"""RENAME COLUMN "$s"."$t"."${c.name}" TO "$tmp"""" +:
+                s"""ALTER TABLE "$s"."$t" ADD COLUMN "${c.name}" $dt""" +:
+                copyDrop
+            case None => Nil // column unknown downstream: registry-only fold
+          }
+        }
       stmts ++ c.default.map(_ =>
         s"""ALTER TABLE "$s"."$t" ALTER COLUMN "${c.name}"""" + dflt(c.default))
     }
@@ -1022,10 +1041,14 @@ object Changefeed {
     val lmh = cfg.sink.largeMessageHandle
     if (!lmh.disabled) lmh.validate(cfg.sink.protocol)
     // avro demands its registry endpoint at create (the reference
-    // rejects an avro sink-uri without schema-registry, builder.go)
-    if (cfg.sink.protocol == Protocol.Avro)
+    // rejects an avro sink-uri without schema-registry, builder.go);
+    // the scheme must resolve to a real client class too — unknown
+    // schemes fail HERE, not deep inside an executor task
+    if (cfg.sink.protocol == Protocol.Avro) {
       require(cfg.sink.schemaRegistry.nonEmpty,
         "avro protocol requires a schema-registry uri")
+      graft.functions.AvroWire.validateUri(cfg.sink.schemaRegistry)
+    }
     // integrity block validated at create like the reference
     // (integrity.go:45-63 Validate inside replica-config validation)
     cfg.integrity.validate()

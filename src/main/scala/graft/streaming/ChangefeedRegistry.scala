@@ -41,11 +41,16 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
     require(!feeds.contains(cfg.id), s"changefeed ${cfg.id} already exists")
     // the entry registers BEFORE the query starts: the first
     // micro-batch (and so the balance observer) can fire before
-    // start() returns
+    // start() returns. A create that fails at plan build (e.g. an
+    // avro feed with no schema-registry) must UNREGISTER the entry —
+    // otherwise the id is permanently burned and a retried create
+    // with a fixed config 400s with "already exists"
     val e = Entry(cfg, sourceDir, sinkDir, checkpointDir, None)
     feeds.put(cfg.id, e)
-    val q = Changefeed.run(spark, cfg, sourceDir, sinkDir, checkpointDir,
-      onBatch = balanceObserver(cfg))
+    val q =
+      try Changefeed.run(spark, cfg, sourceDir, sinkDir, checkpointDir,
+        onBatch = balanceObserver(cfg))
+      catch { case t: Throwable => feeds.remove(cfg.id); throw t }
     e.query = Some(q)
     gcSafepointDropped = false // owner re-advertises the service safepoint
     q
@@ -300,8 +305,13 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
   def reportTableWrites(id: String,
                         counts: Seq[((String, String), Long)]): Unit = {
     val e = entryOf(id)
-    counts.foreach { case (k, n) =>
-      e.tableWrites = e.tableWrites.updated(k, e.tableWrites.getOrElse(k, 0L) + n)
+    // the window is read-modify-write from the micro-batch thread AND
+    // API threads: the Entry is the lock (same monitor as balanceTick,
+    // so a tick never interleaves with a half-folded report)
+    e.synchronized {
+      counts.foreach { case (k, n) =>
+        e.tableWrites = e.tableWrites.updated(k, e.tableWrites.getOrElse(k, 0L) + n)
+      }
     }
   }
 
@@ -320,19 +330,25 @@ class ChangefeedRegistry(private[streaming] val spark: SparkSession) {
     val e = entryOf(id)
     val sc = e.cfg.scheduler
     if (!sc.enableTableAcrossNodes || sc.writeKeyThreshold <= 0) Nil
-    else {
+    else e.synchronized {
       val thr = sc.writeKeyThreshold.toLong
       val actions = scala.collection.mutable.Buffer.empty[String]
-      e.tableWrites.toSeq.sortBy(_._1).foreach { case ((s, t), w) =>
+      // an auto-split table ABSENT from the window wrote zero rows —
+      // it must reach the merge branch, or a table that goes fully
+      // idle keeps its split forever (the hysteresis would never fire
+      // because only tables that still produce rows appear here)
+      val window = e.tableWrites
+      (window.keySet ++ e.autoSplit).toSeq.sorted.foreach { case k @ (s, t) =>
+        val w = window.getOrElse(k, 0L)
         if (w > thr) {
           val parts = math.min(e.cfg.sink.numPartitions.toLong,
             math.max(2L, (w + thr - 1) / thr)).toInt
           splitTable(id, s, t, parts)
-          e.autoSplit += ((s, t))
+          e.autoSplit += k
           actions += s"split:$s.$t:$parts"
-        } else if (e.autoSplit.contains((s, t)) && w < thr / 2) {
+        } else if (e.autoSplit.contains(k) && w < math.max(thr / 2, 1L)) {
           mergeTable(id, s, t)
-          e.autoSplit -= ((s, t))
+          e.autoSplit -= k
           actions += s"merge:$s.$t"
         }
       }

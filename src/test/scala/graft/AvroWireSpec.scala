@@ -150,6 +150,93 @@ class AvroWireSpec extends SparkFunSuite {
     env.unpersist()
   }
 
+  test("registry scheme dispatch: http(s):// resolves the REAL Confluent " +
+      "HTTP client (not a silent in-memory store), mem:// and glue:// keep " +
+      "their stores, unknown schemes reject at create") {
+    import graft.functions.{AvroWire, HttpSchemaRegistry}
+    intercept[IllegalArgumentException](AvroWire.validateUri("bogus://x"))
+    intercept[IllegalArgumentException](AvroWire.validateUri("no-scheme"))
+    AvroWire.validateUri("mem://ok"); AvroWire.validateUri("glue://ok")
+    AvroWire.validateUri("http://127.0.0.1:1"); AvroWire.validateUri("https://r")
+    intercept[IllegalArgumentException](AvroWire.registryFor("bogus://y"))
+    // an http:// uri resolves to the HTTP client and the round trip
+    // crosses a real TCP socket
+    val stub = new HttpSchemaRegistry.Stub().start()
+    try {
+      val uri = stub.baseUrl
+      AvroWire.dropRegistry(uri)
+      val store = AvroWire.registryFor(uri)
+      assert(store.isInstanceOf[HttpSchemaRegistry.ConfluentHttpClient],
+        s"http uri must resolve the HTTP client, got ${store.getClass}")
+      val before = stub.requestsServed
+      val id = store.register("dispatch-t-value",
+        """{"type":"record","name":"t","namespace":"graft.app","fields":[{"name":"a","type":"long"}]}""")
+      assert(store.byId(id).contains("\"name\":\"a\""))
+      assert(store.versions("dispatch-t-value") == Seq(id))
+      assert(stub.requestsServed >= before + 3, "the calls crossed the wire")
+      AvroWire.dropRegistry(uri)
+    } finally stub.stop()
+    // the create-time gate rejects unknown schemes before the stream
+    val ex = intercept[IllegalArgumentException] {
+      graft.streaming.Changefeed.runMqFromRaw2pcEvolving(spark,
+        ChangefeedConfig(id = "cf-avro-scheme",
+          sink = SinkConfig(protocol = Protocol.Avro,
+            schemaRegistry = "bogus://nowhere")),
+        spark.readStream.schema(graft.streaming.TxnMatcher.uncommittedSchema)
+          .parquet(Files.createTempDirectory("graft-avro-scheme").toString),
+        SchemaStore(),
+        Files.createTempDirectory("graft-avro-scheme-sink").toString,
+        Files.createTempDirectory("graft-avro-scheme-ckpt").toString)
+    }
+    assert(ex.getMessage.contains("bogus"))
+  }
+
+  test("sanitize collisions fail fast at schema build, naming the columns") {
+    import org.apache.spark.sql.types._
+    val ex = intercept[IllegalArgumentException] {
+      graft.functions.AvroWire.valueSchemaJson(
+        Seq(StructField("a-b", LongType), StructField("a_b", LongType)),
+        "app", "t")
+    }
+    assert(ex.getMessage.contains("a-b") && ex.getMessage.contains("a_b"),
+      ex.getMessage)
+    val ex2 = intercept[IllegalArgumentException] {
+      graft.functions.AvroWire.keySchemaJson(
+        Seq(StructField("k 1", LongType), StructField("k_1", LongType)),
+        "app", "t")
+    }
+    assert(ex2.getMessage.contains("k 1"), ex2.getMessage)
+  }
+
+  test("controlEvents pushes the control-frame predicate into Spark: row " +
+      "events (confluent AND glue framed, tombstones, non-frame text) drop " +
+      "distributed and only control frames reach the driver") {
+    import spark.implicits._
+    import graft.functions.{AvroRegistry, AvroWire, OpenBatch}
+    val ddl = OpenBatch.frameJson(Array.emptyByteArray,
+      AvroRegistry.ddlEventBytes("CREATE TABLE a.b (x INT)", 3, "a", "b", 10L))
+    val cp = OpenBatch.frameJson(Array.emptyByteArray,
+      AvroRegistry.checkpointEventBytes(99L))
+    val row = OpenBatch.frameJson(
+      AvroRegistry.frame(7, Array[Byte](1, 2)),
+      AvroRegistry.frame(7, Array[Byte](3, 4, 5)))
+    val glueRow = OpenBatch.frameJson(
+      AvroRegistry.glueFrame(java.util.UUID.randomUUID(), Array[Byte](1)),
+      AvroRegistry.glueFrame(java.util.UUID.randomUUID(), Array[Byte](2)))
+    val tombstone = OpenBatch.frameJson(
+      AvroRegistry.frame(7, Array[Byte](1)), Array.emptyByteArray)
+    val nonFrame = """{"u":{"a":1}}"""
+    val msgs = (Seq.fill(2000)(row) ++ Seq.fill(2000)(glueRow) ++
+      Seq(tombstone, nonFrame, ddl, cp)).toDF("_value")
+    // the SPARK-side predicate alone bounds what can ever collect
+    assert(AvroWire.controlFrames(msgs).count() == 2,
+      "only the two control frames survive the column predicate")
+    val evs = AvroWire.controlEvents(msgs)
+    assert(evs.collect { case Right(ts) => ts } == Seq(99L))
+    val ddls = evs.collect { case Left(d) => d }
+    assert(ddls.map(d => (d._3, d._4, d._5)) == Seq(("a", "b", 10L)), s"$ddls")
+  }
+
   test("avro feed config surface: registry uri is required at create; " +
       "toml round-trips protocol avro") {
     val cfg = ChangefeedConfig(id = "cf-avro-bad",

@@ -93,6 +93,70 @@ class DdlReentrantSpec extends AnyFunSuite {
     }
   }
 
+  test("retype rebuild is crash-convergent: a replay resumes from EVERY " +
+      "statement boundary of the rename->add->copy->drop sequence " +
+      "(fail_over_ddl on the downstream DDL executor)") {
+    import graft.streaming.Changefeed
+    val ddl = "ALTER TABLE app.rc MODIFY COLUMN x BIGINT"
+    def fresh(name: String): JdbcApplier = {
+      val a = newDb(name)
+      a.ensureMetaTables()
+      a.execute(Iterator(
+        "CREATE TABLE `app`.`rc` (`id` BIGINT NOT NULL PRIMARY KEY, `x` INTEGER)",
+        "INSERT INTO `app`.`rc` (`id`,`x`) VALUES (1, 41)"))
+      a
+    }
+    def converged(a: JdbcApplier): Unit = {
+      assert(a.columnInfo("app", "rc", "x")
+        .exists(_._1.equalsIgnoreCase("BIGINT")), "target type in place")
+      assert(a.columnInfo("app", "rc", "x__graft_retype").isEmpty,
+        "tmp column dropped")
+      assert(a.tableRows("app", "rc", Seq("id", "x")) == Seq(Seq(1L, 41L)),
+        "the value survives the rebuild")
+    }
+    // baseline: no crash
+    locally {
+      val a = fresh("retype_ok")
+      Changefeed.executeDdlDownstream(a, "cf", 10L, ddl)
+      converged(a)
+      // full replay of an already-applied retype is a no-op
+      Changefeed.executeDdlDownstream(a, "cf", 10L, ddl)
+      converged(a)
+    }
+    // crash after RENAME: the target column is GONE, values sit under
+    // the tmp column — a c.name-only probe would treat the replay as
+    // registry-only and every later DML on the table would fail
+    locally {
+      val a = fresh("retype_crash_rename")
+      a.execute(Iterator(
+        """RENAME COLUMN "app"."rc"."x" TO "x__graft_retype""""))
+      Changefeed.executeDdlDownstream(a, "cf", 10L, ddl)
+      converged(a)
+    }
+    // crash after ADD, before the copy: the target column EXISTS with
+    // the target type but every row is NULL — an already-done probe
+    // would silently lose the values and strand the tmp column
+    locally {
+      val a = fresh("retype_crash_add")
+      a.execute(Iterator(
+        """RENAME COLUMN "app"."rc"."x" TO "x__graft_retype"""",
+        """ALTER TABLE "app"."rc" ADD COLUMN "x" BIGINT"""))
+      Changefeed.executeDdlDownstream(a, "cf", 10L, ddl)
+      converged(a)
+    }
+    // crash after the copy, before the DROP: re-copy is idempotent
+    // (the tmp column is immutable from the rename on), then DROP
+    locally {
+      val a = fresh("retype_crash_copy")
+      a.execute(Iterator(
+        """RENAME COLUMN "app"."rc"."x" TO "x__graft_retype"""",
+        """ALTER TABLE "app"."rc" ADD COLUMN "x" BIGINT""",
+        """UPDATE "app"."rc" SET "x" = CAST("x__graft_retype" AS BIGINT)"""))
+      Changefeed.executeDdlDownstream(a, "cf", 10L, ddl)
+      converged(a)
+    }
+  }
+
   test("verb gate: only schema-shape statements qualify") {
     assert(JdbcApplier.isDdlStatement("CREATE TABLE x (a INT)"))
     assert(JdbcApplier.isDdlStatement("  alter table x add column b int"))

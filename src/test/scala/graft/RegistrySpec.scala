@@ -268,7 +268,47 @@ class RegistrySpec extends SparkFunSuite {
     val acts = reg.balanceTick("cf-bal")
     assert(acts == Seq("merge:app.events_0"), s"acts: $acts")
     assert(reg.tableSpans("cf-bal").isEmpty)
+    // a table that goes FULLY idle (absent from the window) still
+    // merges: only tables that keep writing appear in the window, so
+    // the idle case must reach the merge branch too
+    reg.reportTableWrites("cf-bal", Seq((("app", "events_0"), 1200L)))
+    assert(reg.balanceTick("cf-bal") == Seq("split:app.events_0:3"))
+    assert(reg.balanceTick("cf-bal") == Seq("merge:app.events_0"),
+      "an idle auto-split table merges on the next tick")
+    assert(reg.tableSpans("cf-bal").isEmpty)
+    // a MANUAL split never auto-merges, idle or not
+    reg.splitTable("cf-bal", "app", "events_1", 2)
+    assert(reg.balanceTick("cf-bal").isEmpty)
+    assert(reg.tableSpans("cf-bal") == Seq(("app.events_1", "split:2")))
     reg.remove("cf-bal")
+  }
+
+  test("a create that fails at plan build unregisters the entry: the id " +
+      "is NOT burned and a retried create with a fixed config succeeds") {
+    val tmp = Files.createTempDirectory("graft-zombie").toString
+    Files.createDirectories(java.nio.file.Paths.get(s"$tmp/src"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$tmp/src/events.parquet"))
+    val reg = new ChangefeedRegistry(spark)
+    // avro with an empty schema-registry fails encodeFeed's require at
+    // plan build, BEFORE the query starts
+    val bad = ChangefeedConfig(id = "cf-zombie",
+      sink = SinkConfig(protocol = graft.model.Protocol.Avro))
+    intercept[IllegalArgumentException] {
+      reg.create(bad, s"$tmp/src", s"$tmp/sink", s"$tmp/ckpt")
+    }
+    assert(!reg.exists("cf-zombie"),
+      "a failed create must remove its zombie entry")
+    // the retry with the registry uri fixed succeeds under the SAME id
+    val fixed = bad.copy(sink = bad.sink.copy(
+      schemaRegistry = "mem://zombie-retry"))
+    graft.functions.AvroWire.dropRegistry("mem://zombie-retry")
+    reg.create(fixed, s"$tmp/src", s"$tmp/sink", s"$tmp/ckpt")
+      .awaitTermination(120000)
+    assert(reg.exists("cf-zombie"))
+    assert(reg.status("cf-zombie")._3 > 0L, "the retried feed drains rows")
+    reg.remove("cf-zombie")
   }
 
   test("per-table expression filter rules scope to their matcher") {
