@@ -33,7 +33,21 @@ object MqConsume {
     * common case where the value shape is unambiguous). */
   def detect(value: String): String = {
     val v = value.trim
-    if (v.startsWith("{")) {
+    if (v.startsWith("{\"k\":")) {
+      // binary frame wire: dispatch on the value's first decoded byte
+      // (avro/decoder.go:94-98 leading-byte dispatch). Confluent rows
+      // open with magic 0 + a NON-ZERO int id; the open BATCH wire's
+      // value opens with its big-endian uint64 version (= 1), whose
+      // first five bytes read as magic 0 + id 0 — the id disambiguates
+      val vb = graft.functions.OpenBatch.parseFrame(v)._2
+      if (vb.isEmpty) "avro" // delete tombstone
+      else vb(0) match {
+        case 1 | 2 | 3 => "avro" // ddl / checkpoint / glue header
+        case 0 if vb.length >= 5 &&
+          java.nio.ByteBuffer.wrap(vb, 1, 4).getInt != 0 => "avro"
+        case _ => "open-batch"
+      }
+    } else if (v.startsWith("{")) {
       if (v.contains("\"isDdl\"")) {
         if (v.contains("\n{")) "canal-json-txn" else "canal-json"
       } else if (v.contains("\"source\"") || v.contains("\"ts_ms\"")) "debezium"
@@ -245,6 +259,81 @@ object MqConsume {
                            tables: Long, diffs: Long, expectDiffs: Long,
                            corrupted: Long = 0L)
 
+  /** Standalone AVRO changefeed consumer (reference cmd/kafka-consumer
+    * with avro/decoder.go:680): tail the feed's frame store, resolve
+    * EVERY schema through the registry uri alone (a separate process's
+    * view — nothing rides in-JVM state), replay the 0x01 control
+    * events as downstream DDL (CREATEs build the tables, ALTERs evolve
+    * them — the consumer learns the world from the wire), decode rows
+    * of BOTH schema eras by their carried writer ids with the
+    * registry-latest reader, re-apply through the MySQL sink path onto
+    * embedded Derby keyed on the registry-learned handle key, and diff
+    * the downstream against the stream-implied state.
+    *
+    * `dir` is the feed's MQ frame store (`_partition`,`_commit_ts`,
+    * `_kind`,`_value` parquet — the transport a Kafka topic stands in
+    * for); `topic` is the changefeed id the subjects were registered
+    * under. */
+  def runAvro(spark: SparkSession, dir: String, registryUri: String,
+              topic: String, dbName: String = "avroconsume"): Summary = {
+    import graft.functions.AvroWire
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.expressions.Window
+    val frames = spark.read.parquet(dir)
+    val rows = frames.filter(col("_kind") === "row")
+    // control plane (driver-sized by the Spark-side frame predicate):
+    // DDLs build/evolve the downstream in commit-ts order
+    val ddls = AvroWire.controlEvents(frames)
+      .collect { case Left((q, _, s, t, ts)) => (ts, s, t, q) }.sortBy(_._1)
+    val applier = JdbcApplier.inMemory(dbName)
+    applier.ensureMetaTables()
+    ddls.foreach { case (ts, _, _, q) =>
+      graft.streaming.Changefeed.executeDdlDownstream(
+        applier, s"consumer-$topic", ts, q)
+    }
+    val tables = ddls.map(d => (d._2, d._3)).distinct
+    var applied = 0L
+    var diffs = 0L
+    tables.foreach { case (s, t) =>
+      // reader + apply key learned from the REGISTRY, not out-of-band
+      val reader = AvroWire.readerFromRegistry(registryUri, topic, s, t)
+      val keys = AvroWire.keysFromRegistry(registryUri, topic, s, t)
+      val dec = AvroWire.decodeFeedAs(rows, registryUri, reader)
+        .filter(col("_schema") === s && col("_table") === t)
+      val img = struct(reader.fieldNames.toSeq.map(col): _*)
+      val env = dec.select(col("_schema"), col("_table"),
+          when(col("_op") === "c", lit("I")).when(col("_op") === "d", lit("D"))
+            .otherwise(lit("U")).as("_op"),
+          col("_commit_ts"),
+          when(col("_op") === "d", img).as("before"),
+          when(col("_op") =!= "d", img).as("after"))
+        .withColumn("_row_id", monotonically_increasing_id())
+        .withColumn("_start_ts", col("_commit_ts") - 1L)
+        .persist()
+      applied += env.count()
+      MysqlSink.applyBatch(env, keys, numWorkers = 4, safeMode = true)(
+        JdbcApplier.executeFor(applier.url))
+      // stream-implied final state (last writer per handle key wins,
+      // deletes erase) vs the real downstream rows
+      val keyCols = keys.map(k2 =>
+        coalesce(col(s"after.$k2"), col(s"before.$k2")).as(s"__key_$k2"))
+      val w = Window.partitionBy(keys.map(k2 => col(s"__key_$k2")): _*)
+        .orderBy(col("_commit_ts").desc, col("_row_id").desc)
+      val expected = env.select(Seq(col("_op"), col("_commit_ts"),
+          col("_row_id"), col("after")) ++ keyCols: _*)
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1 && col("_op") =!= "D")
+        .select(reader.fieldNames.toSeq.map(n => col(s"after.$n").as(n)): _*)
+      val actualRows = applier.tableRows(s, t, reader.fieldNames.toSeq)
+        .map(vs => Row.fromSeq(vs))
+      val actual = spark.createDataFrame(
+        java.util.Arrays.asList(actualRows: _*), reader)
+      diffs += graft.operators.TableDiff.diff(expected, actual, keys).count()
+      env.unpersist()
+    }
+    Summary("avro", rows.count(), applied, tables.size.toLong, diffs, 0L)
+  }
+
   /** Consume → decode → re-apply (real JDBC) → sync-diff.
     *
     * `verifyChecksum` (the reference consumer's enable-row-checksum
@@ -357,9 +446,16 @@ object MqConsume {
     val spark = GraftSession.local(
       sys.env.getOrElse("SPARK_GRAFT_CPUS", "8").toInt)
     try {
-      val s = run(spark, dir,
+      val proto = opt("--protocol").getOrElse("auto")
+      val s = if (proto == "avro")
+        runAvro(spark, dir,
+          registryUri = opt("--registry").getOrElse(sys.error(
+            "--protocol avro needs --registry <uri>")),
+          topic = opt("--topic").getOrElse("graft"),
+          dbName = opt("--db").getOrElse("avroconsume"))
+      else run(spark, dir,
         source = opt("--source").getOrElse("mq"),
-        protocol = opt("--protocol").getOrElse("auto"),
+        protocol = proto,
         dbName = opt("--db").getOrElse("mqconsume"),
         expect = opt("--expect"),
         verifyChecksum = opt("--verify-checksum"))

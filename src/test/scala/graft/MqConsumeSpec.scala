@@ -553,6 +553,100 @@ class MqConsumeSpec extends SparkFunSuite {
     assert(hkRows.count() > 0, "oversize rows re-encoded handle-key-only")
   }
 
+  test("avro changefeed consumed END-TO-END by the standalone consumer: " +
+      "schemas round-trip a REAL HTTP registry, wire DDLs build the " +
+      "downstream, both eras decode by writer id, tombstones delete " +
+      "(cmd/kafka-consumer avro arm over avro/decoder.go:680)") {
+    import graft.streaming.{Changefeed, TxnMatcher}
+    import graft.model._
+    import org.apache.spark.sql.Row
+    val stub = new graft.functions.HttpSchemaRegistry.Stub().start()
+    try {
+      val uri = stub.baseUrl
+      graft.functions.AvroWire.dropRegistry(uri)
+      val base = tmp("avro-consume")
+      val srcDir = s"$base/src"
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+      def jobJson(jid: Long, tpe: Int, q: String, ts: Long): Array[Byte] =
+        (s"""{"id":$jid,"type":$tpe,"schema_id":1,"table_id":930,""" +
+          s""""schema_name":"app","table_name":"t","state":4,""" +
+          s""""query":"$q","binlog":{"SchemaVersion":$ts,"TableInfo":{"id":930}},""" +
+          s""""version":1}""").getBytes("UTF-8")
+      def jobEntry(jid: Long, tpe: Int, q: String, ts: Long): Seq[Row] = {
+        val (k, v) = DdlJobParser.encodeJobEntry(jid, jobJson(jid, tpe, q, ts), tpe)
+        Seq(Row(k, v, null, "put", "committed", ts - 1L, ts, 0L))
+      }
+      def putPair(id: Long, cells: Seq[(Long, Long)], commitTs: Long): Seq[Row] = {
+        val k = TiKvCodec.encodeRecordKey(930L, TiKvCodec.IntHandle(id))
+        val v = TiKvCodec.encodeV2(cells.map { case (cid, x) =>
+          cid -> Some(TiKvCodec.intCell(x)) })
+        Seq(
+          Row(k, v, null, "put", "prewrite", commitTs - 1L, 0L, 0L),
+          Row(k, null, null, "put", "commit", commitTs - 1L, commitTs, 0L))
+      }
+      def delPair(id: Long, cells: Seq[(Long, Long)], commitTs: Long): Seq[Row] = {
+        val k = TiKvCodec.encodeRecordKey(930L, TiKvCodec.IntHandle(id))
+        val old = TiKvCodec.encodeV2(cells.map { case (cid, x) =>
+          cid -> Some(TiKvCodec.intCell(x)) })
+        Seq(
+          Row(k, null, old, "delete", "prewrite", commitTs - 1L, 0L, 0L),
+          Row(k, null, null, "delete", "commit", commitTs - 1L, commitTs, 0L))
+      }
+      var fileSeq = 0
+      def writeFile(rows: Seq[Row]): Unit = {
+        fileSeq += 1
+        val stage = s"$base/stage-$fileSeq"
+        spark.createDataFrame(
+          spark.sparkContext.parallelize(rows, 1), TxnMatcher.uncommittedSchema)
+          .coalesce(1).write.parquet(stage)
+        val part = new java.io.File(stage).listFiles()
+          .filter(_.getName.endsWith(".parquet")).head
+        java.nio.file.Files.move(part.toPath,
+          java.nio.file.Paths.get(srcDir, f"f$fileSeq%03d.parquet"))
+      }
+      writeFile(jobEntry(1L, 3,
+        "CREATE TABLE app.t (id BIGINT, v BIGINT, PRIMARY KEY (id))", 10L) ++
+        putPair(1L, Seq(2L -> 10L), 50L) ++ putPair(2L, Seq(2L -> 20L), 60L))
+      writeFile(jobEntry(2L, 5,
+        "ALTER TABLE app.t ADD COLUMN k BIGINT", 100L) ++
+        putPair(3L, Seq(2L -> 30L, 3L -> 33L), 150L) ++
+        delPair(2L, Seq(2L -> 20L), 160L))
+      val cfg = ChangefeedConfig(id = "cf-avro-consume",
+        filter = FilterConfig(rules = Seq("app.*")), handleKeys = Seq("id"),
+        sink = SinkConfig(protocol = Protocol.Avro, numPartitions = 2,
+          schemaRegistry = uri))
+      val q = Changefeed.runMqFromRaw2pcEvolving(spark, cfg,
+        spark.readStream.schema(TxnMatcher.uncommittedSchema)
+          .option("maxFilesPerTrigger", 1).parquet(srcDir),
+        SchemaStore(), s"$base/sink", s"$base/ckpt", matcherGcMs = 600000L)
+      try q.awaitTermination(180000) finally { if (q.isActive) q.stop() }
+      assert(q.exception.isEmpty, s"feed must drain clean: ${q.exception}")
+
+      // THE SEPARATE CONSUMER: drop the producer's in-JVM client cache
+      // so every schema the consumer reads crosses the HTTP wire anew —
+      // the second-process view the reference's kafka consumer has
+      graft.functions.AvroWire.dropRegistry(uri)
+      val served = stub.requestsServed
+      val s = MqConsume.runAvro(spark, s"$base/sink", uri,
+        topic = "cf-avro-consume", dbName = "avro_consume_e2e")
+      assert(s.protocol == "avro" && s.tables == 1L, s)
+      assert(s.applied == 4L, s"2 era-1 rows + 1 era-2 row + 1 tombstone: $s")
+      assert(s.diffs == 0L, s"downstream must equal the stream-implied state: $s")
+      assert(stub.requestsServed > served,
+        "the consumer resolved writers over the real HTTP registry")
+      // downstream truth: era-1 row fills the added column's default,
+      // era-2 row carries it, the tombstoned key is GONE
+      val db = graft.sinks.JdbcApplier.inMemory("avro_consume_e2e")
+      assert(db.tableRows("app", "t", Seq("id", "v", "k")) ==
+        Seq(Seq(1L, 10L, null), Seq(3L, 30L, 33L)),
+        "both eras + tombstone converge on the real downstream")
+      // and the auto-detector recognizes the frame wire as avro
+      val one = spark.read.parquet(s"$base/sink")
+        .filter(col("_kind") === "row").select("_value").head().getString(0)
+      assert(MqConsume.detect(one) == "avro")
+    } finally stub.stop()
+  }
+
   test("storage-sink text layout end to end") {
     val dir = tmp("storage")
     StorageSink.write(Codecs.canalJson(env), dir, fmt = "text")
