@@ -186,6 +186,26 @@ object ExtQueries {
         col("after.k").as("after_k"))
     }),
 
+    // simple protocol under encoding-format=avro (sink.go:456;
+    // kafka_simple_basic_avro): DML messages ride the official
+    // com.pingcap.simple.avro union — doubles travel as avro doubles,
+    // so the roundtrip is EXACT (no money-decimal re-rendering)
+    "q_roundtrip_simple_avro" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val reader = StructType(Seq(StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("k", LongType)))
+      val decoded = graft.functions.SimpleAvroWire.decodeFeed(
+        graft.functions.SimpleAvroWire.encodeFeed(env(s, d)), reader)
+      decoded.select(
+        col("_schema"), col("_table"), col("_commit_ts"), col("_op"),
+        col("before.user_id").as("before_user_id"),
+        col("before.value").as("before_value"),
+        col("before.k").as("before_k"),
+        col("after.user_id").as("after_user_id"),
+        col("after.value").as("after_value"),
+        col("after.k").as("after_k"))
+    }),
+
     "q_checksum" -> ((s, d) => {
       val sealed0 = Integrity.withChecksum(env(s, d))
       // bit-flip fixture: corrupt the in-flight payload of every
@@ -332,6 +352,30 @@ object ExtQueries {
         graft.functions.DebeziumAvroCodec.encode(
           env(s, d), "dbz-events", "graft-cluster", store),
         store)
+    }),
+
+    // debezium as a STREAMING avro wire (encoding-format=avro, the
+    // debezium_avro scenario): schema-driven Envelope records under
+    // Confluent framing, subjects per table, delete on the before
+    // image — encode and decode resolve the registry BY URI inside
+    // the task, the second-process consumer shape
+    "q_debezium_avro_feed" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val uri = "mem://q_debezium_avro_feed"
+      val reader = StructType(Seq(StructField("user_id", LongType),
+        StructField("value", DoubleType), StructField("k", LongType)))
+      val decoded = graft.functions.DebeziumAvroWire.decodeFeed(
+        graft.functions.DebeziumAvroWire.encodeFeed(
+          env(s, d), Seq("user_id"), uri, topic = "dbz-feed"),
+        uri, reader)
+      decoded.select(
+        col("_schema"), col("_table"), col("_commit_ts"), col("_op"),
+        col("before.user_id").as("before_user_id"),
+        col("before.value").as("before_value"),
+        col("before.k").as("before_k"),
+        col("after.user_id").as("after_user_id"),
+        col("after.value").as("after_value"),
+        col("after.k").as("after_k"))
     }),
 
     "q_filter_ddl" -> ((s, d) =>
@@ -815,6 +859,20 @@ object ExtQueries {
          |  ${recovered("before")},
          |  ${recovered("after")}
          |FROM env""".stripMargin),
+
+    // avro doubles are exact — the roundtrip is the identity on the
+    // envelope (no DECIMAL re-rendering like the JSON form above)
+    "q_roundtrip_simple_avro" -> q(
+      """SELECT _schema, _table, _commit_ts, _op,
+        |  before_user_id, before_value, before_k,
+        |  after_user_id, after_value, after_k
+        |FROM env""".stripMargin),
+
+    "q_debezium_avro_feed" -> q(
+      """SELECT _schema, _table, _commit_ts, _op,
+        |  before_user_id, before_value, before_k,
+        |  after_user_id, after_value, after_k
+        |FROM env""".stripMargin),
 
     // the wire round trip is the identity on the constructed bracket
     // string (integer-derived components render identically through

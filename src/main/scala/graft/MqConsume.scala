@@ -45,6 +45,9 @@ object MqConsume {
         case 1 | 2 | 3 => "avro" // ddl / checkpoint / glue header
         case 0 if vb.length >= 5 &&
           java.nio.ByteBuffer.wrap(vb, 1, 4).getInt != 0 => "avro"
+        // the simple protocol's avro wire opens with the union index
+        // of the Message branch (11 → zigzag varint 0x16)
+        case 22 => "simple-avro"
         case _ => "open-batch"
       }
     } else if (v.startsWith("{")) {

@@ -288,8 +288,14 @@ object Codecs {
     * envelope (EncodeCheckpointEvent, debezium/codec.go:1645-1747);
     * protocols with no wire-level watermark (csv) fall back to the
     * open key as a transport-level marker the consumer filters. */
-  def resolvedMessageFor(protocol: graft.model.Protocol, resolvedTs: Long): (String, String) =
+  def resolvedMessageFor(protocol: graft.model.Protocol, resolvedTs: Long,
+                         encodingFormat: String = "json"): (String, String) =
     protocol match {
+      // encoding-format=avro: the WATERMARK rides the official
+      // com.pingcap.simple.avro record (MarshalCheckpoint,
+      // simple/marshaller.go:116) in the binary string frame
+      case graft.model.Protocol.Simple if encodingFormat == "avro" =>
+        ("", SimpleAvroWire.watermarkFrame(resolvedTs))
       case graft.model.Protocol.Open => openResolvedMessage(resolvedTs)
       case graft.model.Protocol.CanalJson =>
         ("", CanalFull.watermarkMessage(resolvedTs, resolvedTs / 1000000L))

@@ -1,0 +1,232 @@
+package graft.functions
+
+import scala.jdk.CollectionConverters._
+import org.apache.avro.generic.GenericRecord
+import org.apache.spark.sql.{DataFrame, Encoders, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Simple protocol with `encoding-format = avro` as a STREAMING wire
+  * (reference pkg/config/sink.go:456 `encoding-format`; the
+  * kafka_simple_basic_avro / kafka_simple_handle_key_only_avro
+  * scenarios): every message class of the simple protocol — DML rows,
+  * WATERMARK checkpoints, BOOTSTRAP handshakes — ships as Avro under
+  * the official `com.pingcap.simple.avro` union schema
+  * ([[SimpleAvro]], fingerprint-pinned to the reference's
+  * message.json) instead of JSON. No registry rides this wire: the
+  * schema is FIXED by the protocol (marshaller.go:102-150 encodes
+  * against the compiled schema), so a consumer needs only the spec's
+  * own schema file; per-table column shape travels inside the
+  * BOOTSTRAP handshake like the JSON form.
+  *
+  * Transport: the binary message wraps into the `{"k":b64,"v":b64}`
+  * string frame ([[OpenBatch.frameJson]], empty key) on the parquet
+  * FileMq stand-in — exactly like the avro-protocol and open-batch
+  * binary wires.
+  *
+  * Value model per column type (encodeValue4Avro,
+  * simple/message.go:377-430): integers ride long, float32 float,
+  * float64 double, strings string, binary bytes, decimals their
+  * plain-string rendering, timestamps the Timestamp record. The data
+  * map keys are the COLUMN NAMES (no sanitization — avro map keys are
+  * free-form strings, unlike record field names).
+  *
+  * Scale: one mapPartitions over the routed envelope; encode work is
+  * row-local, no driver state in the closure.
+  */
+object SimpleAvroWire {
+
+  import SimpleAvro.Val
+
+  private def toVal(v: Any): Val = v match {
+    case null => Val.Null
+    case x: Long => Val.L(x)
+    case x: Int => Val.L(x.toLong)
+    case x: Short => Val.L(x.toLong)
+    case x: Byte => Val.L(x.toLong)
+    case x: Boolean => Val.L(if (x) 1L else 0L)
+    case x: Float => Val.F(x)
+    case x: Double => Val.D(x)
+    case x: String => Val.S(x)
+    case x: Array[Byte] => Val.B(x)
+    case x: java.math.BigDecimal => Val.S(x.toPlainString)
+    case x: java.sql.Timestamp => Val.Ts("UTC", x.toString)
+    case other => Val.S(String.valueOf(other))
+  }
+
+  private def fromAvro(v: AnyRef, dt: DataType): Any = (v, dt) match {
+    case (null, _) => null
+    case (x: java.lang.Long, LongType) => x.longValue()
+    case (x: java.lang.Long, IntegerType) => x.intValue()
+    case (x: java.lang.Long, BooleanType) => x.longValue() != 0L
+    case (x: java.lang.Double, DoubleType) => x.doubleValue()
+    case (x: java.lang.Float, FloatType) => x.floatValue()
+    case (x: java.lang.Float, DoubleType) => x.floatValue().toDouble
+    case (x: java.nio.ByteBuffer, BinaryType) =>
+      val b = new Array[Byte](x.remaining()); x.duplicate().get(b); b
+    case (rec: GenericRecord, _) if rec.getSchema.getName == "UnsignedBigint" =>
+      rec.get("value")
+    case (rec: GenericRecord, _) if rec.getSchema.getName == "Timestamp" =>
+      java.sql.Timestamp.valueOf(String.valueOf(rec.get("value")))
+    case (x, StringType) => String.valueOf(x)
+    case (x, d: DecimalType) => new java.math.BigDecimal(String.valueOf(x))
+    case (x, _) => x
+  }
+
+  private val outSchema = StructType(Seq(
+    StructField("_schema", StringType),
+    StructField("_table", StringType),
+    StructField("_partition", LongType),
+    StructField("_commit_ts", LongType),
+    StructField("_value", StringType)))
+
+  /** Envelope → one framed simple-avro DML message per row event
+    * (avro.go:250-341 newDMLMessageMap: INSERT carries `data`, DELETE
+    * carries `old`, UPDATE both). */
+  def encodeFeed(env: DataFrame, schemaVersion: Long = 0L): DataFrame = {
+    val payload = env.schema.fields.find(_.name == "after").get
+      .dataType.asInstanceOf[StructType]
+    val names = payload.fieldNames.toSeq
+    val withPart =
+      if (env.columns.contains("_partition")) env
+      else env.withColumn("_partition", lit(0L))
+    val version = schemaVersion
+    withPart.select(col("_schema"), col("_table"),
+        col("_partition").cast("long"), col("_commit_ts"), col("_op"),
+        col("before"), col("after"))
+      .mapPartitions { rows =>
+        rows.map { r =>
+          def m(i: Int): Map[String, Val] =
+            if (r.isNullAt(i)) Map.empty
+            else {
+              val s = r.getStruct(i)
+              names.zipWithIndex.map { case (n, j) => n -> toVal(s.get(j)) }.toMap
+            }
+          val op = r.getString(4) match {
+            case "I" => "INSERT"; case "D" => "DELETE"; case _ => "UPDATE"
+          }
+          val ts = r.getLong(3)
+          val bytes = SimpleAvro.encodeDml(op, r.getString(0), r.getString(1),
+            tableId = 0L, commitTs = ts, buildTs = ts / 1000000L,
+            schemaVersion = version,
+            data = if (op == "DELETE") Map.empty else m(6),
+            old = if (op == "INSERT") Map.empty else m(5))
+          Row(r.getString(0), r.getString(1), r.getLong(2), ts,
+            OpenBatch.frameJson(Array.emptyByteArray, bytes))
+        }
+      }(Encoders.row(outSchema))
+  }
+
+  /** Consumer decode: framed simple-avro messages back to the envelope
+    * (`reader` is the payload shape — wire-learned from the BOOTSTRAP
+    * handshake via [[bootstrapSchemas]], the
+    * kafka_simple_basic_avro consumer's flow). Non-DML message classes
+    * (WATERMARK, BOOTSTRAP, DDL) drop — [[graft.MqConsume]] surfaces
+    * them separately. */
+  def decodeFeed(msgs: DataFrame, reader: StructType): DataFrame = {
+    val out = StructType(Seq(
+      StructField("_schema", StringType), StructField("_table", StringType),
+      StructField("_op", StringType), StructField("_commit_ts", LongType),
+      StructField("before", reader), StructField("after", reader)))
+    val fields = reader.fields.toSeq
+    msgs.select(col("_value")).mapPartitions { rows =>
+      rows.flatMap { r =>
+        val bytes = OpenBatch.parseFrame(r.getString(0))._2
+        val msg = SimpleAvro.decode(bytes)
+        if (String.valueOf(msg.get("type")) != "DML") None
+        else {
+          val p = msg.get("payload").asInstanceOf[GenericRecord]
+          def img(field: String): Row =
+            Option(p.get(field).asInstanceOf[java.util.Map[AnyRef, AnyRef]])
+              .filter(!_.isEmpty)
+              .map { jm =>
+                val vals = jm.asScala.map { case (k, v) =>
+                  String.valueOf(k) -> v }.toMap
+                Row.fromSeq(fields.map(f =>
+                  fromAvro(vals.getOrElse(f.name, null), f.dataType)))
+              }.orNull
+          val op = String.valueOf(p.get("type")) match {
+            case "INSERT" => "I"; case "DELETE" => "D"; case _ => "U"
+          }
+          Some(Row(String.valueOf(p.get("database")),
+            String.valueOf(p.get("table")), op,
+            p.get("commitTs").asInstanceOf[java.lang.Long].longValue(),
+            img("old"), img("data")))
+        }
+      }
+    }(Encoders.row(out))
+  }
+
+  /** WATERMARK checkpoint frame (MarshalCheckpoint,
+    * marshaller.go:116). */
+  def watermarkFrame(resolvedTs: Long): String =
+    OpenBatch.frameJson(Array.emptyByteArray,
+      SimpleAvro.encodeWatermark(resolvedTs, resolvedTs / 1000000L))
+
+  /** BOOTSTRAP handshake frame for the fixture payload — the avro
+    * twin of [[Codecs.bootstrapValue]] (same column/index model, the
+    * official Bootstrap record instead of JSON). */
+  def bootstrapFrame(schema: String, table: String,
+                     version: Long = 0L): String = {
+    val t = SimpleAvro.TableDef(schema, table, tableId = 0L,
+      version = version,
+      columns = Seq(
+        SimpleAvro.ColumnDef("user_id", "bigint", charset = "binary",
+          collate = "binary", length = 20L, nullable = false),
+        SimpleAvro.ColumnDef("value", "double", charset = "binary",
+          collate = "binary", length = 22L),
+        SimpleAvro.ColumnDef("k", "bigint", charset = "binary",
+          collate = "binary", length = 20L)),
+      indexes = Seq(SimpleAvro.IndexDef("primary", unique = true,
+        primary = true, nullable = false, columns = Seq("user_id"))))
+    OpenBatch.frameJson(Array.emptyByteArray,
+      SimpleAvro.encodeBootstrap(t, buildTs = 0L))
+  }
+
+  /** Wire-learned apply schema from the avro BOOTSTRAP handshakes —
+    * ((schema, table) → (columns as (name, sql type), pk columns)),
+    * the avro twin of [[graft.MqConsume.bootstrapSchemas]] (same
+    * mysqlType→SQL mapping, keeps each table's highest-version
+    * handshake). Control-plane sized: only handshake frames collect
+    * (the union-index predicate runs in Spark). */
+  def bootstrapSchemas(msgs: DataFrame)
+      : Map[(String, String), (Seq[(String, String)], Seq[String])] = {
+    def sqlOf(mysql: String): String = mysql match {
+      case "bigint" => "BIGINT"
+      case "int" | "mediumint" => "INTEGER"
+      case "smallint" | "tinyint" => "SMALLINT"
+      case "double" | "float" | "decimal" => "DECIMAL(18,2)"
+      case _ => "VARCHAR(255)"
+    }
+    msgs.select(col("_value"))
+      .filter(col("_value").startsWith("{\"k\":"))
+      .collect().iterator.flatMap { r =>
+        try {
+          val msg = SimpleAvro.decode(OpenBatch.parseFrame(r.getString(0))._2)
+          if (String.valueOf(msg.get("type")) != "BOOTSTRAP") None
+          else {
+            val p = msg.get("payload").asInstanceOf[GenericRecord]
+            val ts = p.get("tableSchema").asInstanceOf[GenericRecord]
+            val cols = ts.get("columns")
+              .asInstanceOf[java.util.List[AnyRef]].asScala.map { c =>
+                val cr = c.asInstanceOf[GenericRecord]
+                val mysql = String.valueOf(
+                  cr.get("dataType").asInstanceOf[GenericRecord].get("mysqlType"))
+                String.valueOf(cr.get("name")) -> sqlOf(mysql)
+              }.toSeq
+            val pk = ts.get("indexes")
+              .asInstanceOf[java.util.List[AnyRef]].asScala
+              .map(_.asInstanceOf[GenericRecord])
+              .find(_.get("primary") == java.lang.Boolean.TRUE)
+              .map(_.get("columns").asInstanceOf[java.util.List[AnyRef]]
+                .asScala.map(String.valueOf(_)).toSeq)
+              .getOrElse(Seq.empty)
+            val version = ts.get("version").asInstanceOf[java.lang.Long].longValue()
+            Some((String.valueOf(ts.get("database")),
+              String.valueOf(ts.get("table"))) -> (version, (cols, pk)))
+          }
+        } catch { case _: Exception => None }
+      }.toSeq.groupBy(_._1)
+      .map { case (k, vs) => k -> vs.map(_._2).maxBy(_._1)._2 }
+  }
+}

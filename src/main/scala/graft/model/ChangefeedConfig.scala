@@ -168,7 +168,15 @@ final case class SinkConfig(
     /** Schema-registry URI for the avro protocol (the sink-uri's
       * `schema-registry` param) — required when protocol = avro,
       * resolved per URI by [[graft.functions.AvroWire.registryFor]]. */
-    schemaRegistry: String = "")
+    schemaRegistry: String = "",
+    /** `encoding-format` (pkg/config/sink.go:456): "json" (default)
+      * or "avro" — the simple protocol ships its messages under the
+      * official com.pingcap.simple.avro schema
+      * ([[graft.functions.SimpleAvroWire]],
+      * kafka_simple_basic_avro), debezium under Confluent-framed
+      * envelope records ([[graft.functions.DebeziumAvroWire]], the
+      * debezium_avro scenario — needs [[schemaRegistry]]). */
+    encodingFormat: String = "json")
 
 /** Span-scheduling knobs (pkg/config/scheduler_config.go:35-69;
   * defaults replica_config.go:105-117). In this engine the split

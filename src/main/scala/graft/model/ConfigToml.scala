@@ -224,6 +224,7 @@ object ConfigToml {
       maxMessageBytes =
         doc.int("sink", "max-message-bytes").map(_.toInt).getOrElse(10 * 1024 * 1024),
       schemaRegistry = doc.str("sink", "schema-registry").getOrElse(""),
+      encodingFormat = doc.str("sink", "encoding-format").getOrElse("json"),
       largeMessageHandle = {
         val lmh = "sink.large-message-handle"
         LargeMessageHandle(
@@ -428,6 +429,8 @@ object ConfigToml {
       b ++= s"max-message-bytes = ${cfg.sink.maxMessageBytes}\n"
     if (cfg.sink.schemaRegistry.nonEmpty)
       b ++= s"schema-registry = ${tomlStr(cfg.sink.schemaRegistry)}\n"
+    if (cfg.sink.encodingFormat != "json")
+      b ++= s"encoding-format = ${tomlStr(cfg.sink.encodingFormat)}\n"
     if (!cfg.sink.largeMessageHandle.isDefault) {
       val l = cfg.sink.largeMessageHandle
       b ++= "\n[sink.large-message-handle]\n"
@@ -608,6 +611,8 @@ object ConfigToml {
         s""","max_message_bytes":${s.maxMessageBytes}""" +
         (if (s.schemaRegistry.isEmpty) ""
          else s""","schema_registry":${jsonStr(s.schemaRegistry)}""") +
+        (if (s.encodingFormat == "json") ""
+         else s""","encoding_format":${jsonStr(s.encodingFormat)}""") +
         (if (s.largeMessageHandle.isDefault) "" else {
           val l = s.largeMessageHandle
           s""","large_message_handle":{"large-message-handle-option":${jsonStr(l.option)},""" +
@@ -791,6 +796,7 @@ object ConfigToml {
       maxMessageBytes =
         opt(s, "max_message_bytes").map(_.asInt()).getOrElse(10 * 1024 * 1024),
       schemaRegistry = opt(s, "schema_registry").map(_.asText()).getOrElse(""),
+      encodingFormat = opt(s, "encoding_format").map(_.asText()).getOrElse("json"),
       largeMessageHandle = opt(s, "large_message_handle").map { l =>
         LargeMessageHandle(
           option = opt(l, "large-message-handle-option").map(_.asText())

@@ -71,6 +71,15 @@ object Changefeed {
     // fixture's three column names
     val fixturePayload = cfg.sink.fixtureRenderer
     cfg.sink.protocol match {
+      // encoding-format = avro (sink.go:456): the simple protocol
+      // ships the official com.pingcap.simple.avro union messages,
+      // debezium the Confluent-framed envelope records — both
+      // schema-driven, one arm each for fixture and generic feeds
+      case Protocol.Simple if cfg.sink.encodingFormat == "avro" =>
+        graft.functions.SimpleAvroWire.encodeFeed(df)
+      case Protocol.Debezium if cfg.sink.encodingFormat == "avro" =>
+        graft.functions.DebeziumAvroWire.encodeFeed(df, cfg.handleKeys,
+          cfg.sink.schemaRegistry, topic = cfg.id)
       case Protocol.CanalJson if !fixturePayload =>
         Codecs.canalJsonFor(df, cfg.handleKeys)
       case Protocol.Open if !fixturePayload => Codecs.openProtocolFor(df)
@@ -154,17 +163,56 @@ object Changefeed {
     * mysql sink.AddDMLEvent/Flush cycle). `execute` receives each
     * worker-partition's statement stream, in per-key commit order; in
     * production it opens a JDBC txn, here it is pluggable. */
+  /** Syncpoint boundaries a batch's ts range crosses: multiples of
+    * `iv` in (lo - iv, hi], floored at iv — the lower window is
+    * inclusive so a boundary falling BETWEEN batches still emits on
+    * the first batch past it (the idempotent insert drops the overlap
+    * with the previous batch). */
+  private[graft] def syncPointBounds(lo: Long, hi: Long, iv: Long): Seq[Long] = {
+    val first = Math.floorDiv(lo - iv - 1, iv) * iv + iv
+    Iterator.iterate(math.max(first, iv))(_ + iv).takeWhile(_ <= hi).toSeq
+  }
+
   def runMysql(spark: SparkSession, cfg: ChangefeedConfig, sourceDir: String,
                checkpointDir: String)(execute: Iterator[String] => Unit): StreamingQuery = {
     GraftSession.tune(spark)
     val env = Envelope.fromEvents(sourceStream(spark, cfg, sourceDir))
+    val prologue = graft.sinks.MysqlSink.connectionPrologue(cfg.sink.bdrMode)
+    def apply(rows: DataFrame): Unit =
+      graft.sinks.MysqlSink.applyBatch(rows, cfg.handleKeys,
+        cfg.sink.numPartitions, cfg.sink.safeMode, prologue)(execute)
+    val syncIv = cfg.syncPointIntervalNs.filter(_ > 0)
     transform(spark, cfg)(env)
       .writeStream
       .queryName(cfg.id)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.sinks.MysqlSink.applyBatch(batch, cfg.handleKeys,
-          cfg.sink.numPartitions, cfg.sink.safeMode,
-          graft.sinks.MysqlSink.connectionPrologue(cfg.sink.bdrMode))(execute)
+        syncIv match {
+          case None => apply(batch)
+          case Some(iv) =>
+            // SYNC POINTS on the plain MySQL composition — the
+            // reference writes the map row for EVERY MySQL-class
+            // changefeed (mysql_writer_for_syncpoint.go), not only the
+            // evolving one: split at each crossed boundary, rows ≤ b
+            // apply, then the idempotent map-row insert, then the rest
+            val b = batch.persist()
+            try {
+              val mm = b.agg(min(col("_commit_ts")), max(col("_commit_ts"))).head()
+              val bounds =
+                if (mm.isNullAt(0)) Nil
+                else syncPointBounds(mm.getLong(0), mm.getLong(1), iv)
+              var applied = Long.MinValue
+              bounds.foreach { bd =>
+                apply(b.filter(col("_commit_ts") > applied &&
+                  col("_commit_ts") <= bd))
+                applied = bd
+                execute(Iterator(
+                  graft.sinks.MysqlSink.syncPointStatement(cfg.id, bd, bd)))
+                Failpoints.evalThrow("graft/changefeed/mysql-post-syncpoint")
+              }
+              apply(if (applied == Long.MinValue) b
+                else b.filter(col("_commit_ts") > applied))
+            } finally { b.unpersist(); () }
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -833,16 +881,7 @@ object Changefeed {
               val mm = batch.agg(min(col("commit_ts")),
                 max(col("commit_ts"))).head()
               if (mm.isNullAt(0)) Nil
-              else {
-                val lo = mm.getLong(0); val hi = mm.getLong(1)
-                // smallest multiple of iv ≥ (lo - iv), floored at iv:
-                // the lower window is INCLUSIVE so a boundary exactly
-                // one interval below lo still emits (the idempotent
-                // insert drops the overlap with the previous batch)
-                val first = Math.floorDiv(lo - iv - 1, iv) * iv + iv
-                Iterator.iterate(math.max(first, iv))(_ + iv)
-                  .takeWhile(_ <= hi).toSeq
-              }
+              else syncPointBounds(mm.getLong(0), mm.getLong(1), iv)
             case _ => Nil
           }
           var applied = Long.MinValue
@@ -1039,7 +1078,16 @@ object Changefeed {
     // large_message.go:47-96) so a misconfigured feed fails at create,
     // not mid-stream
     val lmh = cfg.sink.largeMessageHandle
-    if (!lmh.disabled) lmh.validate(cfg.sink.protocol)
+    if (!lmh.disabled) {
+      lmh.validate(cfg.sink.protocol)
+      // the streaming oversize re-encoders operate on JSON wire text;
+      // the avro-format oversize forms exist as offline codecs
+      // (SimpleAvro handleKeyOnly/claimCheckLocation, spec'd) but are
+      // not wired into the stream — reject at create, not mid-batch
+      require(cfg.sink.encodingFormat != "avro",
+        "large-message-handle is not supported with encoding-format=avro " +
+          "on the streaming path")
+    }
     // avro demands its registry endpoint at create (the reference
     // rejects an avro sink-uri without schema-registry, builder.go);
     // the scheme must resolve to a real client class too — unknown
@@ -1048,6 +1096,22 @@ object Changefeed {
       require(cfg.sink.schemaRegistry.nonEmpty,
         "avro protocol requires a schema-registry uri")
       graft.functions.AvroWire.validateUri(cfg.sink.schemaRegistry)
+    }
+    // encoding-format (sink.go:456): json everywhere; avro only on the
+    // protocols whose avro wire exists (simple's fixed union schema,
+    // debezium's registry-framed envelope — the latter needs the
+    // registry endpoint like the avro protocol itself)
+    require(cfg.sink.encodingFormat == "json" || cfg.sink.encodingFormat == "avro",
+      s"unknown encoding-format '${cfg.sink.encodingFormat}' (json | avro)")
+    if (cfg.sink.encodingFormat == "avro") {
+      require(cfg.sink.protocol == Protocol.Simple ||
+          cfg.sink.protocol == Protocol.Debezium,
+        s"encoding-format=avro is not supported for protocol ${cfg.sink.protocol}")
+      if (cfg.sink.protocol == Protocol.Debezium) {
+        require(cfg.sink.schemaRegistry.nonEmpty,
+          "debezium with encoding-format=avro requires a schema-registry uri")
+        graft.functions.AvroWire.validateUri(cfg.sink.schemaRegistry)
+      }
     }
     // integrity block validated at create like the reference
     // (integrity.go:45-63 Validate inside replica-config validation)
@@ -1064,8 +1128,12 @@ object Changefeed {
         if (cfg.sink.sendBootstrapToAllPartition) 0 until cfg.sink.numPartitions
         else Seq(0)
       import spark.implicits._
+      val render: (String, String) => String =
+        if (cfg.sink.encodingFormat == "avro")
+          graft.functions.SimpleAvroWire.bootstrapFrame(_, _, 0L)
+        else Codecs.bootstrapValue
       due.flatMap { case (sc, tb) =>
-        parts.map(p => (p.toLong, 0L, "bootstrap", Codecs.bootstrapValue(sc, tb)))
+        parts.map(p => (p.toLong, 0L, "bootstrap", render(sc, tb)))
       }.toDF("_partition", "_commit_ts", "_kind", "_value")
         .coalesce(1)
         .write.mode("append").parquet(sinkDir)
@@ -1104,6 +1172,9 @@ object Changefeed {
       "the storage composition writes canal-JSON or csv text files")
     val csvMode = cfg.sink.protocol == Protocol.Csv
     GraftSession.tune(spark)
+    cfg.consistent.validate()
+    val redoOn = cfg.consistent.eventual
+    val redoDir = cfg.consistent.storage
     val holder = new SchemaStoreHolder(initial, s"$checkpointDir/schemastore")
     TxnMatcher.matchStream(spark, raw, matcherGcMs)
       .writeStream
@@ -1114,22 +1185,55 @@ object Changefeed {
         try {
           val jobs = SchemaStoreHolder.jobsIn(batch)
           holder.fold(jobs)
-          jobs.sortBy(_.finishedTs).foreach { j =>
+          val emitted = jobs.sortBy(_.finishedTs).flatMap { j =>
             dispatchDdlJob(j, cfg.filter, ignoreDdlClasses, ignoreDdlSqlRegexps)
-              .foreach { qq =>
-                // DROP leaves no live registry shape: persist a
-                // name-only file like SchemaFile.Build with nil
-                // TableInfo (schema_file.go:216-220)
-                val sch = holder.store.registry.latest(j.schemaName, j.tableName)
-                  .getOrElse(graft.model.TableSchema(
-                    j.schemaName, j.tableName, j.finishedTs, Nil))
-                graft.sinks.StorageSink.writeSchemaFile(
-                  baseDir, sch.copy(versionTs = j.finishedTs), qq, j.actionType)
-              }
+              .map(qq => (j, qq))
+          }
+          // redo WAL (consistent.level=eventual — the reference's redo
+          // is SINK-AGNOSTIC, consistent_replicate_storage_file): DDLs
+          // log-ahead of their schema files like every composition
+          if (redoOn && emitted.nonEmpty) {
+            import spark.implicits._
+            graft.sinks.RedoApplier.appendDdl(
+              emitted.map { case (j, qq) =>
+                (j.schemaName, j.tableName, j.finishedTs, qq) }
+                .toDF("_schema", "_table", "_commit_ts", "query"), redoDir)
+          }
+          emitted.foreach { case (j, qq) =>
+            // DROP leaves no live registry shape: persist a
+            // name-only file like SchemaFile.Build with nil
+            // TableInfo (schema_file.go:216-220)
+            val sch = holder.store.registry.latest(j.schemaName, j.tableName)
+              .getOrElse(graft.model.TableSchema(
+                j.schemaName, j.tableName, j.finishedTs, Nil))
+            graft.sinks.StorageSink.writeSchemaFile(
+              baseDir, sch.copy(versionTs = j.finishedTs), qq, j.actionType)
           }
           val plan = holder.store.physicalPlan(keep = (s, t) =>
             graft.operators.TableMatcher.matchesValue(
               s, t, cfg.filter.rules, cfg.filter.caseSensitive))
+          // log-ahead of the DATA files: the WAL carries shaped
+          // ENVELOPE rows (replayable as SQL), so the struct mount
+          // runs per shape group alongside the fused wire encode —
+          // the double decode is the WAL-enabled feed's durability
+          // cost, paid batch-locally
+          if (redoOn && plan.nonEmpty) {
+            val groups = plan.groupBy { case (_, segs) =>
+              segs.flatMap(_._2).lastOption
+                .map(graft.operators.RawKvMounter.payloadType).orNull
+            }.collect { case (pt, g) if pt != null => g }
+            groups.foreach { group =>
+              val groupKeys = group.valuesIterator
+                .flatMap(_.flatMap(_._2)).toSeq.headOption
+                .map(_.handleCols).getOrElse(cfg.handleKeys)
+              val gCfg = cfg.copy(handleKeys = groupKeys)
+              graft.sinks.RedoLog.append(
+                transform(spark, gCfg)(
+                  graft.operators.RawKvMounter.mountTablesPlan(
+                    batch, group, failOnCorruption = false)), redoDir)
+            }
+            Failpoints.evalThrow("graft/changefeed/storage-post-redo")
+          }
           if (plan.nonEmpty) {
             val f = cfg.filter
             var df =
@@ -1148,10 +1252,16 @@ object Changefeed {
             if (cdcNaming)
               graft.sinks.StorageSink.applyCdcNaming(baseDir, "txt")
           }
-          // flush marker AFTER the batch's files are durable
+          // flush marker AFTER the batch's files are durable; the
+          // redo applied-through advances with it so a crash earlier
+          // leaves a replayable (ckpt, resolved] window
           val hi = batch.agg(max(col("commit_ts"))).head()
-          if (!hi.isNullAt(0))
+          if (!hi.isNullAt(0)) {
             graft.sinks.StorageSink.writeCheckpointMeta(baseDir, hi.getLong(0))
+            if (redoOn)
+              graft.sinks.RedoApplier.advanceCheckpoint(
+                spark, redoDir, hi.getLong(0))
+          }
         } finally batch.unpersist()
       }
       .option("checkpointLocation", checkpointDir)
@@ -1211,9 +1321,17 @@ object Changefeed {
               else Seq(0)
             val s = batch.sparkSession
             import s.implicits._
+            // encoding-format=avro renders the handshake as the
+            // official Bootstrap record (carrying the table's live
+            // schema version); json keeps the caller's renderer
+            val render: (String, String) => String =
+              if (cfg.sink.encodingFormat == "avro")
+                (sc, tb) => graft.functions.SimpleAvroWire
+                  .bootstrapFrame(sc, tb, versionOf(sc, tb))
+              else bootstrapValueOf
             due.flatMap { case (sc, tb) =>
               parts.map(p => (p.toLong, 0L, "bootstrap",
-                bootstrapValueOf(sc, tb)))
+                render(sc, tb)))
             }.toDF("_partition", "_commit_ts", "_kind", "_value")
               .coalesce(1)
               .write.mode("append").parquet(sinkDir)
@@ -1293,7 +1411,8 @@ object Changefeed {
                 val (kb, vb) = graft.functions.OpenBatch.resolvedMessage(resolved)
                 graft.functions.OpenBatch.frameJson(kb, vb)
               } else {
-                val (k, v) = Codecs.resolvedMessageFor(cfg.sink.protocol, resolved)
+                val (k, v) = Codecs.resolvedMessageFor(cfg.sink.protocol,
+                  resolved, cfg.sink.encodingFormat)
                 if (v.nonEmpty) v else k
               }
             val s = batch.sparkSession

@@ -177,6 +177,18 @@ class ConfigToolsSpec extends AnyFunSuite {
     assert(viaJson.consistent == cfg.consistent)
     assert(viaJson.sink.schemaRegistry == cfg.sink.schemaRegistry)
     assert(viaJson.sink.protocol == Protocol.Avro)
+    // encoding-format (sink.go:456) survives both carriers; the json
+    // default stays elided
+    val avroFmt = ChangefeedConfig(id = "cf-fmt",
+      sink = SinkConfig(protocol = Protocol.Simple, encodingFormat = "avro"))
+    val fmtToml = ConfigToml.renderToml(avroFmt)
+    assert(fmtToml.contains("encoding-format = 'avro'"))
+    assert(ConfigToml.toConfig(ConfigToml.parse(fmtToml), "cf-fmt")
+      .sink.encodingFormat == "avro")
+    assert(ConfigToml.fromApiJson(ConfigToml.toApiJson(avroFmt))
+      .sink.encodingFormat == "avro")
+    assert(!ConfigToml.renderToml(ChangefeedConfig(id = "cf-j"))
+      .contains("encoding-format"))
     // defaults stay out of both wire forms
     val dflt = ChangefeedConfig(id = "cf-dflt")
     assert(!ConfigToml.renderToml(dflt).contains("[consistent]"))

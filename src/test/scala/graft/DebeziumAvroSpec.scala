@@ -120,4 +120,106 @@ class DebeziumAvroSpec extends SparkFunSuite {
     assert(decoded.count() == env.count())
     assert(decoded.exceptAll(expected).isEmpty && expected.exceptAll(decoded).isEmpty)
   }
+
+  test("debezium encoding-format=avro as a STREAMING protocol: the evolving " +
+      "raw-2PC feed ships Confluent-framed envelopes under per-table " +
+      "subjects, both eras register and decode, deletes ride the before " +
+      "image, and DDL rides the JSON schema-change event (debezium_avro)") {
+    import java.nio.file.Files
+    import graft.streaming.{Changefeed, TxnMatcher}
+    import graft.model._
+    val uri = "mem://spec-dbz-avro-feed"
+    graft.functions.AvroWire.dropRegistry(uri)
+    val tmp = Files.createTempDirectory("graft-dbz-avro-feed").toString
+    val srcDir = s"$tmp/src"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def jobJson(jid: Long, tpe: Int, q: String, ts: Long): Array[Byte] =
+      (s"""{"id":$jid,"type":$tpe,"schema_id":1,"table_id":940,""" +
+        s""""schema_name":"app","table_name":"t","state":4,""" +
+        s""""query":"$q","binlog":{"SchemaVersion":$ts,"TableInfo":{"id":940}},""" +
+        s""""version":1}""").getBytes("UTF-8")
+    def jobEntry(jid: Long, tpe: Int, q: String, ts: Long): Seq[Row] = {
+      val (k, v) = graft.model.DdlJobParser.encodeJobEntry(
+        jid, jobJson(jid, tpe, q, ts), tpe)
+      Seq(Row(k, v, null, "put", "committed", ts - 1L, ts, 0L))
+    }
+    def putPair(id: Long, cells: Seq[(Long, Long)], ts: Long): Seq[Row] = {
+      val k = graft.model.TiKvCodec.encodeRecordKey(
+        940L, graft.model.TiKvCodec.IntHandle(id))
+      val v = graft.model.TiKvCodec.encodeV2(cells.map { case (cid, x) =>
+        cid -> Some(graft.model.TiKvCodec.intCell(x)) })
+      Seq(Row(k, v, null, "put", "prewrite", ts - 1L, 0L, 0L),
+        Row(k, null, null, "put", "commit", ts - 1L, ts, 0L))
+    }
+    def delPair(id: Long, cells: Seq[(Long, Long)], ts: Long): Seq[Row] = {
+      val k = graft.model.TiKvCodec.encodeRecordKey(
+        940L, graft.model.TiKvCodec.IntHandle(id))
+      val old = graft.model.TiKvCodec.encodeV2(cells.map { case (cid, x) =>
+        cid -> Some(graft.model.TiKvCodec.intCell(x)) })
+      Seq(Row(k, null, old, "delete", "prewrite", ts - 1L, 0L, 0L),
+        Row(k, null, null, "delete", "commit", ts - 1L, ts, 0L))
+    }
+    var fileSeq = 0
+    def writeFile(rows: Seq[Row]): Unit = {
+      fileSeq += 1
+      val stage = s"$tmp/stage-$fileSeq"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), TxnMatcher.uncommittedSchema)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, f"f$fileSeq%03d.parquet"))
+    }
+    writeFile(jobEntry(1L, 3,
+      "CREATE TABLE app.t (id BIGINT, v BIGINT, PRIMARY KEY (id))", 10L) ++
+      putPair(1L, Seq(2L -> 10L), 50L) ++ putPair(2L, Seq(2L -> 20L), 60L))
+    writeFile(jobEntry(2L, 5,
+      "ALTER TABLE app.t ADD COLUMN k BIGINT", 100L) ++
+      putPair(3L, Seq(2L -> 30L, 3L -> 33L), 150L) ++
+      delPair(2L, Seq(2L -> 20L), 160L))
+    val cfg = ChangefeedConfig(id = "cf-dbz-avro",
+      filter = FilterConfig(rules = Seq("app.*")), handleKeys = Seq("id"),
+      sink = SinkConfig(protocol = Protocol.Debezium, encodingFormat = "avro",
+        numPartitions = 2, schemaRegistry = uri))
+    val q = Changefeed.runMqFromRaw2pcEvolving(spark, cfg,
+      spark.readStream.schema(TxnMatcher.uncommittedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      SchemaStore(), s"$tmp/sink", s"$tmp/ckpt", matcherGcMs = 600000L)
+    try q.awaitTermination(180000) finally { if (q.isActive) q.stop() }
+    assert(q.exception.isEmpty, s"feed must drain clean: ${q.exception}")
+
+    // both table eras registered under the per-table value subject;
+    // the key subject kept one version (the pk never changed)
+    val store = graft.functions.AvroWire.registryFor(uri)
+    assert(store.versions("cf-dbz-avro-app.t-value").size == 2,
+      "the post-DDL shape registered its own version")
+    assert(store.versions("cf-dbz-avro-app.t-key").size == 1)
+
+    val sunk = spark.read.parquet(s"$tmp/sink")
+    // DDL rides the debezium JSON schema-change event in BOTH formats
+    val ddlMsgs = sunk.filter(col("_kind") === "ddl")
+    assert(ddlMsgs.count() == 2)
+    assert(ddlMsgs.select("_value").collect()
+      .forall(_.getString(0).contains("\"tableChanges\":")),
+      "schema-change events are the JSON form")
+
+    // rows decode by writer id: era-1 rows leave the added column
+    // null, the delete is a REAL envelope carrying its before image
+    val rows = sunk.filter(col("_kind") === "row")
+    val reader = StructType(Seq(StructField("id", LongType),
+      StructField("v", LongType), StructField("k", LongType)))
+    val dec = graft.functions.DebeziumAvroWire
+      .decodeFeed(rows, uri, reader).collect()
+      .map(r => (r.getLong(3), (r.getString(2),
+        Option(r.getStruct(4)), Option(r.getStruct(5))))).toMap
+    assert(dec(50L)._1 == "I" && dec(50L)._3.exists(a =>
+      a.getLong(0) == 1L && a.getLong(1) == 10L && a.isNullAt(2)))
+    assert(dec(150L)._1 == "I" && dec(150L)._3.exists(a =>
+      a.getLong(0) == 3L && a.getLong(1) == 30L && a.getLong(2) == 33L),
+      "post-DDL row carries the added column")
+    assert(dec(160L)._1 == "D" && dec(160L)._3.isEmpty &&
+      dec(160L)._2.exists(b => b.getLong(0) == 2L && b.getLong(1) == 20L),
+      "delete ships its BEFORE image (not a key-only tombstone)")
+  }
 }

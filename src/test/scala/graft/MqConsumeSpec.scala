@@ -647,6 +647,90 @@ class MqConsumeSpec extends SparkFunSuite {
     } finally stub.stop()
   }
 
+  test("simple protocol with encoding-format=avro end to end: the feed " +
+      "ships avro BOOTSTRAP/DML/WATERMARK messages and the consumer decodes " +
+      "with NOTHING but the wire-learned handshake schema " +
+      "(kafka_simple_basic_avro)") {
+    import graft.functions.{OpenBatch, SimpleAvro, SimpleAvroWire}
+    import org.apache.spark.sql.types._
+    val base = tmp("simple-avro-feed")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$base/src/events.parquet"))
+    val cfg = graft.model.ChangefeedConfig(id = "cf-simple-avro",
+      sink = graft.model.SinkConfig(protocol = graft.model.Protocol.Simple,
+        encodingFormat = "avro", sendBootstrapToAllPartition = false))
+    graft.streaming.Changefeed.runMq(
+      spark, cfg, s"$base/src", s"$base/sink", s"$base/ckpt")
+      .awaitTermination(120000)
+    val sunk = spark.read.parquet(s"$base/sink")
+
+    // WATERMARK controls ride the official avro record, one per
+    // routing partition
+    val controls = sunk.filter(col("_kind") === "resolved")
+    assert(controls.count() == cfg.sink.numPartitions.toLong)
+    val wm = SimpleAvro.decode(OpenBatch.parseFrame(
+      controls.select("_value").head().getString(0))._2)
+    assert(String.valueOf(wm.get("type")) == "WATERMARK", wm.toString)
+
+    // the handshake is an avro BOOTSTRAP carrying the full table
+    // schema — the consumer learns columns AND pk from the wire alone
+    val boots = sunk.filter(col("_kind") === "bootstrap")
+    assert(boots.count() > 0, "handshakes shipped")
+    val learned = SimpleAvroWire.bootstrapSchemas(boots.select(col("_value")))
+    assert(learned.nonEmpty)
+    learned.values.foreach { case (cols, pk) =>
+      assert(cols.map(_._1) == Seq("user_id", "value", "k"), cols)
+      assert(pk == Seq("user_id"))
+    }
+
+    // decode rows with a reader DERIVED from the learned schema, then
+    // re-apply onto real JDBC and diff against the stream-implied state
+    def sparkT(sql: String): DataType = sql match {
+      case "BIGINT" => LongType
+      case "INTEGER" => IntegerType
+      case _ if sql.startsWith("DECIMAL") => DoubleType
+      case _ => StringType
+    }
+    val anyCols = learned.values.head._1
+    val reader = StructType(anyCols.map { case (n, t) => StructField(n, sparkT(t)) })
+    val rows = sunk.filter(col("_kind") === "row")
+    assert(MqConsume.detect(rows.select("_value").head().getString(0))
+      == "simple-avro")
+    val envDec = SimpleAvroWire.decodeFeed(rows.select(col("_value")), reader)
+      .withColumn("_row_id", monotonically_increasing_id())
+      .withColumn("_start_ts", col("_commit_ts") - 1L)
+    assert(envDec.count() == rows.count(), "every DML decodes")
+    val applier = graft.sinks.JdbcApplier.inMemory("mqc_simple_avro")
+    val tables = envDec.select(col("_schema"), col("_table")).distinct()
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+    tables.foreach { case (s, t) =>
+      val (cols, pk) = learned((s, t)); applier.createTable(s, t, cols, pk)
+    }
+    graft.sinks.MysqlSink.applyBatch(envDec, learned.values.head._2,
+      numWorkers = 4, safeMode = true)(
+      graft.sinks.JdbcApplier.executeFor(applier.url))
+    val expected = graft.operators.Materialize.tableState(envDec)
+      .select(col("_schema"), col("_table"), col("user_id"), col("value"), col("k"))
+    val actualRows = tables.flatMap { case (s, t) =>
+      applier.tableRows(s, t, Seq("user_id", "value", "k")).map(r =>
+        org.apache.spark.sql.Row(s, t,
+          r(0).asInstanceOf[Number].longValue(),
+          r(1).asInstanceOf[java.math.BigDecimal].doubleValue(),
+          r(2).asInstanceOf[Number].longValue()))
+    }
+    val actual = spark.createDataFrame(
+      java.util.Arrays.asList(actualRows: _*),
+      StructType(Seq(
+        StructField("_schema", StringType), StructField("_table", StringType),
+        StructField("user_id", LongType), StructField("value", DoubleType),
+        StructField("k", LongType))))
+    assert(graft.operators.TableDiff.diff(expected, actual,
+      Seq("_schema", "_table", "user_id")).count() == 0L,
+      "wire-learned decode + re-apply converges on the stream state")
+  }
+
   test("storage-sink text layout end to end") {
     val dir = tmp("storage")
     StorageSink.write(Codecs.canalJson(env), dir, fmt = "text")

@@ -102,4 +102,83 @@ class SyncpointWireSpec extends SparkFunSuite {
       Seq("changefeed", "primary_ts", "secondary_ts")) ==
       Seq(Seq("cf-syncpoint", 200L, 200L), Seq("cf-syncpoint", 400L, 400L)))
   }
+
+  test("syncpoint rows on the PLAIN runMysql composition (envelope source): " +
+      "the reference writes the map row for EVERY MySQL-class changefeed, " +
+      "boundaries split the batch, kill-replay writes no duplicates") {
+    val tmp = Files.createTempDirectory("graft-syncpoint-plain").toString
+    val srcDir = s"$tmp/src"
+    Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    var fileSeq = 0
+    // (event_id, ts_us, user_id, value, k) — commit ts lands at
+    // ts_us*1000 ns; all signups → I rows on app.events_<uid%4>
+    def writeEvents(rows: Seq[(Long, Long, Long, Double, Long)]): Unit = {
+      fileSeq += 1
+      import spark.implicits._
+      val df = rows.toDF("event_id", "ts_us", "user_id", "value", "k")
+        .select(col("event_id"), timestamp_micros(col("ts_us")).as("ts"),
+          col("user_id"), lit("signup").as("event_type"), col("value"),
+          concat(lit("{\"k\":"), col("k"), lit("}")).as("props"))
+      val stage = s"$tmp/stage-$fileSeq"
+      df.coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, f"f$fileSeq%03d.parquet"))
+    }
+    // interval 200_000 ns; batch 1 inside window, batch 2 crosses
+    // boundary 200_000 (row @150k before, @260k after), batch 3
+    // crosses 400_000
+    writeEvents(Seq((1L, 50L, 1L, 10.0, 100L), (2L, 60L, 2L, 20.0, 200L)))
+    writeEvents(Seq((3L, 150L, 3L, 30.0, 300L), (4L, 260L, 1L, 11.0, 101L)))
+    writeEvents(Seq((5L, 460L, 2L, 21.0, 201L)))
+
+    val applier = graft.sinks.JdbcApplier.inMemory("syncpoint-plain")
+    applier.ensureMetaTables()
+    Seq("events_1", "events_2", "events_3").foreach(t =>
+      applier.createTable("app", t,
+        Seq("user_id" -> "BIGINT", "value" -> "DOUBLE", "k" -> "BIGINT"),
+        Seq("user_id")))
+    val cfg = ChangefeedConfig(id = "cf-syncpoint-plain",
+      syncPointIntervalNs = Some(200000L),
+      maxFilesPerTrigger = Some(1),
+      sink = SinkConfig(numPartitions = 2, safeMode = true))
+    def start() = Changefeed.runMysql(spark, cfg, srcDir, s"$tmp/ckpt")(
+      graft.sinks.JdbcApplier.executeFor(applier.url))
+
+    // kill right after the FIRST boundary's map row: the downstream at
+    // this instant equals the upstream snapshot at 200_000 — the @260k
+    // update to user 1 must NOT be in yet
+    Failpoints.enable("graft/changefeed/mysql-post-syncpoint", "1*panic->off")
+    val q1 = start()
+    try q1.awaitTermination(180000)
+    catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+    finally { if (q1.isActive) q1.stop() }
+    assert(applier.tableRows("app", "events_1", Seq("user_id", "value")) ==
+      Seq(Seq(1L, 10.0)),
+      "at the map-row instant the downstream is snapshotAt(200000)")
+    assert(applier.tableRows("tidb_cdc", "syncpoint_v1",
+      Seq("changefeed", "primary_ts", "secondary_ts")) ==
+      Seq(Seq("cf-syncpoint-plain", 200000L, 200000L)))
+
+    Failpoints.clear()
+    var attempts = 0; var done = false
+    while (!done && attempts < 5) {
+      attempts += 1
+      val q = start()
+      try { q.awaitTermination(180000); done = true }
+      catch { case _: org.apache.spark.sql.streaming.StreamingQueryException => () }
+      finally { if (q.isActive) q.stop() }
+    }
+    assert(done, "plain syncpoint feed failed to drain after the kill")
+    assert(applier.tableRows("app", "events_1", Seq("user_id", "value")) ==
+      Seq(Seq(1L, 11.0)))
+    assert(applier.tableRows("app", "events_2", Seq("user_id", "value")) ==
+      Seq(Seq(2L, 21.0)))
+    assert(applier.tableRows("tidb_cdc", "syncpoint_v1",
+      Seq("changefeed", "primary_ts", "secondary_ts")) ==
+      Seq(Seq("cf-syncpoint-plain", 200000L, 200000L),
+        Seq("cf-syncpoint-plain", 400000L, 400000L)),
+      "kill-replay writes no duplicate map rows; later boundary follows")
+  }
 }
