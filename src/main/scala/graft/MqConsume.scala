@@ -82,6 +82,17 @@ object MqConsume {
       case "open" => Decoders.decodeOpen(msgs)
       case "debezium" => Decoders.decodeDebezium(msgs)
       case "simple" => Decoders.decodeSimple(msgs)
+      case "simple-avro" =>
+        // the official com.pingcap.simple.avro wire; non-DML message
+        // classes (WATERMARK/BOOTSTRAP) drop inside the decode
+        graft.functions.SimpleAvroWire.decodeFeed(msgs,
+          org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("user_id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("value",
+              org.apache.spark.sql.types.DoubleType),
+            org.apache.spark.sql.types.StructField("k",
+              org.apache.spark.sql.types.LongType))))
       case "csv" =>
         val flat = Decoders.decodeCsv(msgs)
         val img = struct(col("user_id"), col("value"), col("k"))
@@ -392,10 +403,14 @@ object MqConsume {
 
     // re-apply through the sink path onto embedded Derby. The apply
     // DDL comes from the wire when the stream carries BOOTSTRAP
-    // handshakes (simple protocol): schema, column list, and primary
-    // key are all learned from the handshake message, so a consumer
-    // joining mid-stream needs no out-of-band schema knowledge.
-    val wireSchemas = bootstrapSchemas(raw)
+    // handshakes (simple protocol, either encoding format): schema,
+    // column list, and primary key are all learned from the handshake
+    // message, so a consumer joining mid-stream needs no out-of-band
+    // schema knowledge.
+    val wireSchemas =
+      if (proto == "simple-avro")
+        graft.functions.SimpleAvroWire.bootstrapSchemas(raw.select(col("_value")))
+      else bootstrapSchemas(raw)
     val applier = JdbcApplier.inMemory(dbName)
     val tables = env.select(col("_schema"), col("_table")).distinct()
       .collect().map(r => (r.getString(0), r.getString(1))).toSeq

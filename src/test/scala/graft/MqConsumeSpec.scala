@@ -729,6 +729,17 @@ class MqConsumeSpec extends SparkFunSuite {
     assert(graft.operators.TableDiff.diff(expected, actual,
       Seq("_schema", "_table", "user_id")).count() == 0L,
       "wire-learned decode + re-apply converges on the stream state")
+
+    // and the FULL standalone harness handles the wire end to end:
+    // publish to the MQ store, auto-detect simple-avro, decode with
+    // the avro handshake schemas, re-apply, sync-diff clean
+    val mqDir = tmp("simple-avro-mq")
+    publish(sunk.select(col("_value"), col("_commit_ts")), mqDir)
+    val s = MqConsume.run(spark, mqDir, source = "mq", protocol = "auto",
+      dbName = "mqc_simple_avro_auto")
+    assert(s.protocol == "simple-avro", s)
+    assert(s.tables >= 1L && s.applied > 0L, s)
+    assert(s.diffs == 0L, s"auto-detected simple-avro harness diff: $s")
   }
 
   test("storage-sink text layout end to end") {
