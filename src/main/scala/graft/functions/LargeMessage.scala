@@ -257,6 +257,55 @@ object LargeMessage {
       .withColumn("_value", when(col("_large"), pointer).otherwise(col("_value")))
   }
 
+  /** Simple-protocol oversize forms under `encoding-format = avro`
+    * (kafka_simple_handle_key_only_avro / kafka_simple_claim_check_avro):
+    * the wire is the official com.pingcap.simple.avro binary in the
+    * string frame, so the re-encode DECODES the frame and re-marshals
+    * the DML with both images trimmed to the handle keys — a column
+    * expression cannot express the avro re-marshal (the library-codec
+    * justification tier, same as the encoder itself). */
+  def simpleAvroHandleKeyOnly(encoded: DataFrame, maxBytes: Int,
+                              handleKeys: Seq[String]): DataFrame = {
+    val hk = handleKeys
+    val re = udf((v: String) => SimpleAvroWire.oversizeReencode(v, hk, None))
+    encoded
+      .withColumn("_large", length(col("_value")) > maxBytes)
+      .withColumn("_value",
+        when(col("_large"), re(col("_value"))).otherwise(col("_value")))
+  }
+
+  /** Claim-check form: the FULL avro message stores first (a pointer
+    * is never visible before its object is durable — every form's
+    * ordering), then oversize frames become handleKeyOnly pointers
+    * carrying `claimCheckLocation`; locations are content-addressed so
+    * the two passes agree with no driver state. */
+  def simpleAvroClaimCheck(encoded: DataFrame, maxBytes: Int,
+                           storageUri: String, handleKeys: Seq[String],
+                           onStored: Long => Unit = _ => ()): DataFrame = {
+    val uri = storageUri.stripSuffix("/")
+    val acc = encoded.sparkSession.sparkContext
+      .longAccumulator("graft.simpleAvroClaimChecks")
+    encoded.filter(length(col("_value")) > maxBytes).select(col("_value"))
+      .foreachPartition { (it: Iterator[org.apache.spark.sql.Row]) =>
+        it.foreach { r =>
+          val frame = r.getString(0)
+          SimpleAvroWire.dmlOf(frame).foreach { case (db, tb, bytes) =>
+            storeClaimCheck(
+              SimpleAvroWire.claimLocationOf(uri, db, tb, frame),
+              Array.emptyByteArray, bytes)
+            acc.add(1L)
+          }
+        }
+      }
+    onStored(acc.value)
+    val hk = handleKeys
+    val re = udf((v: String) => SimpleAvroWire.oversizeReencode(v, hk, Some(uri)))
+    encoded
+      .withColumn("_large", length(col("_value")) > maxBytes)
+      .withColumn("_value",
+        when(col("_large"), re(col("_value"))).otherwise(col("_value")))
+  }
+
   /** Canal-JSON claim-check (canal_json_encoder.go:506-521 +
     * newJSONMessageForDML:318-338): the pointer is a full canal
     * message rendered handle-key-only whose `_tidb` extension carries

@@ -157,6 +157,81 @@ object SimpleAvroWire {
     }(Encoders.row(out))
   }
 
+  private def avroToVal(v: AnyRef): Val = v match {
+    case null => Val.Null
+    case x: java.lang.Long => Val.L(x.longValue())
+    case x: java.lang.Float => Val.F(x.floatValue())
+    case x: java.lang.Double => Val.D(x.doubleValue())
+    case x: org.apache.avro.util.Utf8 => Val.S(x.toString)
+    case x: String => Val.S(x)
+    case x: java.nio.ByteBuffer =>
+      val b = new Array[Byte](x.remaining()); x.duplicate().get(b); Val.B(b)
+    case r: GenericRecord if r.getSchema.getName == "UnsignedBigint" =>
+      Val.UBig(r.get("value").asInstanceOf[java.lang.Long].longValue())
+    case r: GenericRecord if r.getSchema.getName == "Timestamp" =>
+      Val.Ts(String.valueOf(r.get("location")), String.valueOf(r.get("value")))
+    case other => Val.S(String.valueOf(other))
+  }
+
+  /** Deterministic claim-check object location for one frame —
+    * content-addressed (md5 of the frame) so the store pass and the
+    * pointer pass agree without coordination. */
+  def claimLocationOf(uriPrefix: String, db: String, table: String,
+                      frame: String): String = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(frame.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map("%02x".format(_)).mkString
+    s"$uriPrefix/$db/$table/avro-$md5.json"
+  }
+
+  /** Oversize re-marshal of one framed simple-avro message
+    * (kafka_simple_handle_key_only_avro; claim-check form with
+    * `claimUri` set — simple/decoder.go:194 reads it back): decode the
+    * DML, trim both images to the handle keys, re-encode with
+    * `handleKeyOnly = true` (+ the pointer location). Non-DML frames
+    * pass through untouched. */
+  def oversizeReencode(frame: String, handleKeys: Seq[String],
+                       claimUri: Option[String]): String = {
+    val bytes = OpenBatch.parseFrame(frame)._2
+    val msg = SimpleAvro.decode(bytes)
+    if (String.valueOf(msg.get("type")) != "DML") frame
+    else {
+      val p = msg.get("payload").asInstanceOf[GenericRecord]
+      def trim(name: String): Map[String, Val] =
+        Option(p.get(name).asInstanceOf[java.util.Map[AnyRef, AnyRef]])
+          .map(_.asScala.collect {
+            case (k, v) if handleKeys.contains(String.valueOf(k)) =>
+              String.valueOf(k) -> avroToVal(v)
+          }.toMap).getOrElse(Map.empty)
+      val op = String.valueOf(p.get("type"))
+      val db = String.valueOf(p.get("database"))
+      val tb = String.valueOf(p.get("table"))
+      val out = SimpleAvro.encodeDml(op, db, tb,
+        p.get("tableID").asInstanceOf[java.lang.Long].longValue(),
+        p.get("commitTs").asInstanceOf[java.lang.Long].longValue(),
+        p.get("buildTs").asInstanceOf[java.lang.Long].longValue(),
+        p.get("schemaVersion").asInstanceOf[java.lang.Long].longValue(),
+        data = if (op == "DELETE") Map.empty else trim("data"),
+        old = if (op == "INSERT") Map.empty else trim("old"),
+        handleKeyOnly = true,
+        claimCheckLocation = claimUri.map(u => claimLocationOf(u, db, tb, frame)))
+      OpenBatch.frameJson(Array.emptyByteArray, out)
+    }
+  }
+
+  /** (db, table, message bytes) of one frame when it is a DML — the
+    * claim-check store pass's view. */
+  def dmlOf(frame: String): Option[(String, String, Array[Byte])] = {
+    val bytes = OpenBatch.parseFrame(frame)._2
+    val msg = SimpleAvro.decode(bytes)
+    if (String.valueOf(msg.get("type")) != "DML") None
+    else {
+      val p = msg.get("payload").asInstanceOf[GenericRecord]
+      Some((String.valueOf(p.get("database")),
+        String.valueOf(p.get("table")), bytes))
+    }
+  }
+
   /** WATERMARK checkpoint frame (MarshalCheckpoint,
     * marshaller.go:116). */
   def watermarkFrame(resolvedTs: Long): String =

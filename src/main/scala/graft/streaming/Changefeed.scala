@@ -1080,13 +1080,14 @@ object Changefeed {
     val lmh = cfg.sink.largeMessageHandle
     if (!lmh.disabled) {
       lmh.validate(cfg.sink.protocol)
-      // the streaming oversize re-encoders operate on JSON wire text;
-      // the avro-format oversize forms exist as offline codecs
-      // (SimpleAvro handleKeyOnly/claimCheckLocation, spec'd) but are
-      // not wired into the stream — reject at create, not mid-batch
-      require(cfg.sink.encodingFormat != "avro",
-        "large-message-handle is not supported with encoding-format=avro " +
-          "on the streaming path")
+      // the simple protocol's avro-format oversize forms exist
+      // (kafka_simple_handle_key_only_avro / claim_check_avro —
+      // LargeMessage.simpleAvro*); debezium-avro has none in the
+      // reference — reject at create, not mid-batch
+      require(cfg.sink.encodingFormat != "avro" ||
+          cfg.sink.protocol == Protocol.Simple,
+        "large-message-handle with encoding-format=avro is supported " +
+          "for the simple protocol only")
     }
     // avro demands its registry endpoint at create (the reference
     // rejects an avro sink-uri without schema-registry, builder.go);
@@ -1348,6 +1349,9 @@ object Changefeed {
             // oversize form, not the generic compact)
             case Protocol.Open => graft.functions.LargeMessage
               .openHandleKeyOnly(batch, cfg.sink.maxMessageBytes)
+            case Protocol.Simple if cfg.sink.encodingFormat == "avro" =>
+              graft.functions.LargeMessage.simpleAvroHandleKeyOnly(
+                batch, cfg.sink.maxMessageBytes, cfg.handleKeys)
             case Protocol.Simple => graft.functions.LargeMessage
               .simpleHandleKeyOnly(batch, cfg.sink.maxMessageBytes)
             case _ => graft.functions.LargeMessage
@@ -1360,6 +1364,10 @@ object Changefeed {
               case Protocol.Open => graft.functions.LargeMessage.openClaimCheck(
                 batch, cfg.sink.maxMessageBytes, lmh.claimCheckStorageUri,
                 onStored = counted)
+              case Protocol.Simple if cfg.sink.encodingFormat == "avro" =>
+                graft.functions.LargeMessage.simpleAvroClaimCheck(
+                  batch, cfg.sink.maxMessageBytes, lmh.claimCheckStorageUri,
+                  cfg.handleKeys, onStored = counted)
               case Protocol.Simple => graft.functions.LargeMessage.simpleClaimCheck(
                 batch, cfg.sink.maxMessageBytes, lmh.claimCheckStorageUri,
                 rawValue = lmh.claimCheckRawValue, onStored = counted)

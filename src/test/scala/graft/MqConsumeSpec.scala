@@ -742,6 +742,83 @@ class MqConsumeSpec extends SparkFunSuite {
     assert(s.diffs == 0L, s"auto-detected simple-avro harness diff: $s")
   }
 
+  test("simple-avro oversize forms: handle-key-only re-marshals the " +
+      "official avro DML, claim-check stores the full message and the " +
+      "pointer resolves (kafka_simple_handle_key_only_avro / " +
+      "kafka_simple_claim_check_avro), and the configured feed emits them") {
+    import graft.functions.{LargeMessage, OpenBatch, SimpleAvro, SimpleAvroWire}
+    import org.apache.avro.generic.GenericRecord
+    import org.apache.spark.sql.types._
+    val reader = StructType(Seq(StructField("user_id", LongType),
+      StructField("value", DoubleType), StructField("k", LongType)))
+    def payloadOf(frame: String): GenericRecord =
+      SimpleAvro.decode(OpenBatch.parseFrame(frame)._2)
+        .get("payload").asInstanceOf[GenericRecord]
+    def imgOf(p: GenericRecord): java.util.Map[AnyRef, AnyRef] =
+      Option(p.get("data")).orElse(Option(p.get("old")))
+        .get.asInstanceOf[java.util.Map[AnyRef, AnyRef]]
+
+    val encoded = SimpleAvroWire.encodeFeed(env)
+    val cut = encoded.agg(
+      expr("percentile(length(_value), 0.5)")).head().getDouble(0).toInt
+
+    // --- handle-key-only: oversize frames re-marshal with ONLY the
+    // handle key in the image, still valid official-schema messages
+    val hk = LargeMessage.simpleAvroHandleKeyOnly(encoded, cut, Seq("user_id"))
+    assert(hk.filter(col("_large")).count() > 0, "oversize frames exist")
+    assert(hk.filter(!col("_large")).count() > 0, "small frames untouched")
+    val one = payloadOf(
+      hk.filter(col("_large")).select("_value").head().getString(0))
+    assert(one.get("handleKeyOnly") == java.lang.Boolean.TRUE)
+    val oneImg = imgOf(one)
+    assert(oneImg.size == 1 &&
+      String.valueOf(oneImg.keySet().iterator().next()) == "user_id",
+      s"hk image trims to the handle key: $oneImg")
+    val dec = SimpleAvroWire.decodeFeed(hk.select(col("_value")), reader)
+    assert(dec.count() == env.count(), "every message still decodes")
+    assert(dec.filter(col("_schema").isNull).count() == 0L)
+
+    // --- claim-check: the FULL message stores first, pointers carry
+    // the content-addressed location, the fetch restores full fidelity
+    val store = tmp("cc-simple-avro-feedstore")
+    var stored = 0L
+    val cc = LargeMessage.simpleAvroClaimCheck(encoded, cut,
+      s"file://$store", Seq("user_id"), n => stored = n)
+    val nLarge = cc.filter(col("_large")).count()
+    assert(nLarge > 0 && stored == nLarge, s"stored=$stored large=$nLarge")
+    val ptr = payloadOf(
+      cc.filter(col("_large")).select("_value").head().getString(0))
+    val loc = String.valueOf(ptr.get("claimCheckLocation"))
+    assert(loc.startsWith("file://") &&
+      ptr.get("handleKeyOnly") == java.lang.Boolean.TRUE, loc)
+    val (_, full) = LargeMessage.fetchClaimCheck(loc)
+    val fullImg = imgOf(SimpleAvro.decode(full)
+      .get("payload").asInstanceOf[GenericRecord])
+    assert(fullImg.size == 3, s"stored object carries the FULL image: $fullImg")
+
+    // --- THROUGH THE CHANGEFEED CONFIG: the avro-format hk-only feed
+    // emits official handleKeyOnly messages
+    val base = tmp("hk-avro-feed")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$base/src/events.parquet"))
+    val cfg = graft.model.ChangefeedConfig(id = "cf-hk-avro",
+      sink = graft.model.SinkConfig(protocol = graft.model.Protocol.Simple,
+        encodingFormat = "avro",
+        maxMessageBytes = 150,
+        largeMessageHandle = graft.model.LargeMessageHandle(
+          option = graft.model.LargeMessageHandle.OptionHandleKeyOnly)))
+    graft.streaming.Changefeed.runMq(
+      spark, cfg, s"$base/src", s"$base/sink", s"$base/ckpt")
+      .awaitTermination(120000)
+    val frames = spark.read.parquet(s"$base/sink")
+      .filter(col("_kind") === "row").select("_value").collect()
+    val nHk = frames.count(r =>
+      payloadOf(r.getString(0)).get("handleKeyOnly") == java.lang.Boolean.TRUE)
+    assert(nHk > 0, "oversize rows re-encoded handle-key-only on the wire")
+  }
+
   test("storage-sink text layout end to end") {
     val dir = tmp("storage")
     StorageSink.write(Codecs.canalJson(env), dir, fmt = "text")
