@@ -403,7 +403,7 @@ object Codecs {
 
   /** mysqlType + display length for a registry dataType string (the
     * handshake's dataType block needs both). */
-  private def mysqlTypeOf(dt: String): (String, Int) = {
+  private[functions] def mysqlTypeOf(dt: String): (String, Int) = {
     val base = dt.takeWhile(_ != '(').trim.toLowerCase
     val len = "\\((\\d+)".r.findFirstMatchIn(dt).map(_.group(1).toInt)
       .getOrElse(base match {

@@ -258,6 +258,34 @@ object SimpleAvroWire {
       SimpleAvro.encodeBootstrap(t, buildTs = 0L))
   }
 
+  /** BOOTSTRAP handshake rendered from the LIVE evolving schema store
+    * — the avro twin of [[Codecs.bootstrapValueFromStore]] (the
+    * reference builds the handshake's TableSchema from the CURRENT
+    * TableInfo, simple/message.go:65-72): columns, declared pk, table
+    * id and registry version all come from the store, so a consumer
+    * joining after a mid-stream DDL learns the post-DDL shape from the
+    * avro wire alone. Unknown tables fall back to the fixture frame. */
+  def bootstrapFrameFromStore(store: graft.model.SchemaStore,
+                              schema: String, table: String): String =
+    store.registry.latest(schema, table) match {
+      case None => bootstrapFrame(schema, table)
+      case Some(sch) =>
+        val tableId = store.membership.get((schema, table))
+          .flatMap(_.lastOption.map(_._2._1)).getOrElse(0L)
+        val pks = if (sch.pks.nonEmpty) sch.pks else Seq(sch.columns.head.name)
+        val cols = sch.columns.map { c =>
+          val (mt, len) = Codecs.mysqlTypeOf(c.dataType)
+          SimpleAvro.ColumnDef(c.name, mt, charset = "binary",
+            collate = "binary", length = len.toLong,
+            nullable = !pks.contains(c.name), default = c.default)
+        }
+        val t = SimpleAvro.TableDef(schema, table, tableId, sch.versionTs,
+          cols, Seq(SimpleAvro.IndexDef("primary", unique = true,
+            primary = true, nullable = false, columns = pks)))
+        OpenBatch.frameJson(Array.emptyByteArray,
+          SimpleAvro.encodeBootstrap(t, buildTs = 0L))
+    }
+
   /** Wire-learned apply schema from the avro BOOTSTRAP handshakes —
     * ((schema, table) → (columns as (name, sql type), pk columns)),
     * the avro twin of [[graft.MqConsume.bootstrapSchemas]] (same

@@ -536,7 +536,11 @@ object Changefeed {
     // lands in, so a joining consumer always decodes with wire-learned
     // post-DDL schema
     val liveBootstrapValue: (String, String) => String =
-      (s, t) => Codecs.bootstrapValueFromStore(holder.store, s, t)
+      if (cfg.sink.encodingFormat == "avro")
+        (s, t) => graft.functions.SimpleAvroWire
+          .bootstrapFrameFromStore(holder.store, s, t)
+      else
+        (s, t) => Codecs.bootstrapValueFromStore(holder.store, s, t)
     val liveVersion: (String, String) => Long =
       (s, t) => holder.store.registry.latest(s, t).map(_.versionTs).getOrElse(0L)
     val failOn = cfg.integrity.enabled && cfg.integrity.errorHandle
@@ -1270,6 +1274,15 @@ object Changefeed {
       .start()
   }
 
+  /** Static-schema handshake renderer per encoding format (the
+    * fixture payload shape; the evolving compositions pass a
+    * live-store renderer instead). */
+  private def staticBootstrapRenderer(cfg: ChangefeedConfig)
+      : (String, String) => String =
+    if (cfg.sink.encodingFormat == "avro")
+      graft.functions.SimpleAvroWire.bootstrapFrame(_, _, 0L)
+    else Codecs.bootstrapValue
+
   def runMqStream(spark: SparkSession, cfg: ChangefeedConfig, env: DataFrame,
                   sinkDir: String, checkpointDir: String,
                   allTablesAtStart: Seq[(String, String)] = Nil): StreamingQuery = {
@@ -1279,7 +1292,8 @@ object Changefeed {
       .writeStream
       .queryName(cfg.id)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sinkMqBatch(cfg, bootstrapper, bootstrapOn, sinkDir)(batch, batchId)
+        sinkMqBatch(cfg, bootstrapper, bootstrapOn, sinkDir,
+          bootstrapValueOf = staticBootstrapRenderer(cfg))(batch, batchId)
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
@@ -1322,17 +1336,9 @@ object Changefeed {
               else Seq(0)
             val s = batch.sparkSession
             import s.implicits._
-            // encoding-format=avro renders the handshake as the
-            // official Bootstrap record (carrying the table's live
-            // schema version); json keeps the caller's renderer
-            val render: (String, String) => String =
-              if (cfg.sink.encodingFormat == "avro")
-                (sc, tb) => graft.functions.SimpleAvroWire
-                  .bootstrapFrame(sc, tb, versionOf(sc, tb))
-              else bootstrapValueOf
             due.flatMap { case (sc, tb) =>
               parts.map(p => (p.toLong, 0L, "bootstrap",
-                render(sc, tb)))
+                bootstrapValueOf(sc, tb)))
             }.toDF("_partition", "_commit_ts", "_kind", "_value")
               .coalesce(1)
               .write.mode("append").parquet(sinkDir)

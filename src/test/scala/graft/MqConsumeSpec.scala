@@ -742,6 +742,78 @@ class MqConsumeSpec extends SparkFunSuite {
     assert(s.diffs == 0L, s"auto-detected simple-avro harness diff: $s")
   }
 
+  test("EVOLVING feed with simple encoding-format=avro: the live avro " +
+      "handshake re-renders the post-DDL shape from the schema store " +
+      "(version-triggered re-send; bootstraper.go:259)") {
+    import graft.streaming.{Changefeed, TxnMatcher}
+    import graft.model._
+    import graft.functions.{OpenBatch, SimpleAvro, SimpleAvroWire}
+    import org.apache.spark.sql.Row
+    val base = tmp("simple-avro-evolve")
+    val srcDir = s"$base/src"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(srcDir))
+    def jobEntry(jid: Long, tpe: Int, q: String, ts: Long): Seq[Row] = {
+      val j = (s"""{"id":$jid,"type":$tpe,"schema_id":1,"table_id":950,""" +
+        s""""schema_name":"app","table_name":"t","state":4,""" +
+        s""""query":"$q","binlog":{"SchemaVersion":$ts,"TableInfo":{"id":950}},""" +
+        s""""version":1}""").getBytes("UTF-8")
+      val (k, v) = DdlJobParser.encodeJobEntry(jid, j, tpe)
+      Seq(Row(k, v, null, "put", "committed", ts - 1L, ts, 0L))
+    }
+    def putPair(id: Long, cells: Seq[(Long, Long)], ts: Long): Seq[Row] = {
+      val k = TiKvCodec.encodeRecordKey(950L, TiKvCodec.IntHandle(id))
+      val v = TiKvCodec.encodeV2(cells.map { case (cid, x) =>
+        cid -> Some(TiKvCodec.intCell(x)) })
+      Seq(Row(k, v, null, "put", "prewrite", ts - 1L, 0L, 0L),
+        Row(k, null, null, "put", "commit", ts - 1L, ts, 0L))
+    }
+    var fileSeq = 0
+    def writeFile(rows: Seq[Row]): Unit = {
+      fileSeq += 1
+      val stage = s"$base/stage-$fileSeq"
+      spark.createDataFrame(
+        spark.sparkContext.parallelize(rows, 1), TxnMatcher.uncommittedSchema)
+        .coalesce(1).write.parquet(stage)
+      val part = new java.io.File(stage).listFiles()
+        .filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.move(part.toPath,
+        java.nio.file.Paths.get(srcDir, f"f$fileSeq%03d.parquet"))
+    }
+    writeFile(jobEntry(1L, 3,
+      "CREATE TABLE app.t (id BIGINT, v BIGINT, PRIMARY KEY (id))", 10L) ++
+      putPair(1L, Seq(2L -> 10L), 50L))
+    writeFile(jobEntry(2L, 5,
+      "ALTER TABLE app.t ADD COLUMN k BIGINT", 100L) ++
+      putPair(2L, Seq(2L -> 20L, 3L -> 22L), 150L))
+    val cfg = ChangefeedConfig(id = "cf-simple-avro-evolve",
+      filter = FilterConfig(rules = Seq("app.*")), handleKeys = Seq("id"),
+      sink = SinkConfig(protocol = Protocol.Simple, encodingFormat = "avro",
+        numPartitions = 2, sendBootstrapToAllPartition = false))
+    val q = Changefeed.runMqFromRaw2pcEvolving(spark, cfg,
+      spark.readStream.schema(TxnMatcher.uncommittedSchema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      SchemaStore(), s"$base/sink", s"$base/ckpt", matcherGcMs = 600000L)
+    try q.awaitTermination(180000) finally { if (q.isActive) q.stop() }
+    assert(q.exception.isEmpty, s"feed must drain clean: ${q.exception}")
+    val boots = spark.read.parquet(s"$base/sink")
+      .filter(col("_kind") === "bootstrap").select(col("_value"))
+    // both eras handshook: the DDL's version bump re-sent within its
+    // own batch, each frame rendered from the LIVE store
+    val versions = boots.collect().map { r =>
+      val p = SimpleAvro.decode(OpenBatch.parseFrame(r.getString(0))._2)
+        .get("payload").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      val ts = p.get("tableSchema").asInstanceOf[org.apache.avro.generic.GenericRecord]
+      ts.get("version").asInstanceOf[java.lang.Long].longValue()
+    }.toSet
+    assert(versions == Set(10L, 100L), s"handshake versions: $versions")
+    // the consumer's wire-learned schema keeps the HIGHEST version:
+    // post-DDL columns + the declared pk, no out-of-band knowledge
+    val learned = SimpleAvroWire.bootstrapSchemas(boots)
+    assert(learned(("app", "t"))._1.map(_._1) == Seq("id", "v", "k"),
+      s"post-DDL handshake carries the added column: ${learned(("app", "t"))}")
+    assert(learned(("app", "t"))._2 == Seq("id"), "declared pk learned")
+  }
+
   test("simple-avro oversize forms: handle-key-only re-marshals the " +
       "official avro DML, claim-check stores the full message and the " +
       "pointer resolves (kafka_simple_handle_key_only_avro / " +
