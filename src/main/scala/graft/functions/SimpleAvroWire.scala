@@ -286,12 +286,26 @@ object SimpleAvroWire {
           SimpleAvro.encodeBootstrap(t, buildTs = 0L))
     }
 
+  /** The Spark-side BOOTSTRAP-frame predicate: a handshake's binary
+    * opens with the Message union index (11 → zigzag 0x16) followed by
+    * the MessageType enum (BOOTSTRAP = 1 → zigzag 0x02) — a two-byte
+    * column test, so on a full feed only the control-plane-sized
+    * handshakes ever reach the driver (row DMLs carry 0x16 0x06 and
+    * drop distributed). */
+  def bootstrapFrames(msgs: DataFrame): DataFrame = {
+    val firstTwo =
+      substring(unbase64(get_json_object(col("_value"), "$.v")), 1, 2)
+    msgs.select(col("_value")).filter(
+      col("_value").startsWith("{\"k\":") &&
+        firstTwo === lit(Array[Byte](22, 2)))
+  }
+
   /** Wire-learned apply schema from the avro BOOTSTRAP handshakes —
     * ((schema, table) → (columns as (name, sql type), pk columns)),
     * the avro twin of [[graft.MqConsume.bootstrapSchemas]] (same
     * mysqlType→SQL mapping, keeps each table's highest-version
     * handshake). Control-plane sized: only handshake frames collect
-    * (the union-index predicate runs in Spark). */
+    * ([[bootstrapFrames]]' two-byte predicate runs in Spark). */
   def bootstrapSchemas(msgs: DataFrame)
       : Map[(String, String), (Seq[(String, String)], Seq[String])] = {
     def sqlOf(mysql: String): String = mysql match {
@@ -301,8 +315,7 @@ object SimpleAvroWire {
       case "double" | "float" | "decimal" => "DECIMAL(18,2)"
       case _ => "VARCHAR(255)"
     }
-    msgs.select(col("_value"))
-      .filter(col("_value").startsWith("{\"k\":"))
+    bootstrapFrames(msgs)
       .collect().iterator.flatMap { r =>
         try {
           val msg = SimpleAvro.decode(OpenBatch.parseFrame(r.getString(0))._2)

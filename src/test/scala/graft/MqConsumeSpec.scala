@@ -684,6 +684,12 @@ class MqConsumeSpec extends SparkFunSuite {
       assert(cols.map(_._1) == Seq("user_id", "value", "k"), cols)
       assert(pk == Seq("user_id"))
     }
+    // the handshake predicate runs IN SPARK: on the FULL wire (rows +
+    // watermarks + handshakes) only the handshake frames survive it,
+    // so the driver never materializes row events
+    assert(graft.functions.SimpleAvroWire
+      .bootstrapFrames(sunk.select(col("_value"))).count() == boots.count(),
+      "only bootstrap frames pass the two-byte column predicate")
 
     // decode rows with a reader DERIVED from the learned schema, then
     // re-apply onto real JDBC and diff against the stream-implied state
