@@ -102,6 +102,14 @@ object MqConsume {
           col("_schema"), col("_table"), col("_op"), col("_commit_ts"),
           when(col("_op") === "I", lit(null).cast(imgType)).otherwise(img).as("before"),
           when(col("_op") === "D", lit(null).cast(imgType)).otherwise(img).as("after"))
+      case "avro" => throw new IllegalArgumentException(
+        "this is an avro-protocol (or debezium-avro) frame store: run with " +
+          "--protocol avro --registry <uri> (the registry resolves the " +
+          "writer schemas; auto mode cannot)")
+      case "open-batch" => throw new IllegalArgumentException(
+        "this is an open BATCH wire store: unwrap it with " +
+          "unwrapOpenBatchFrames over the feed's frame parquet " +
+          "(the kind column drives the unwrap), then consume the events")
       case other => throw new IllegalArgumentException(s"unknown protocol: $other")
     }
     env
@@ -299,6 +307,14 @@ object MqConsume {
     // DDLs build/evolve the downstream in commit-ts order
     val ddls = AvroWire.controlEvents(frames)
       .collect { case Left((q, _, s, t, ts)) => (ts, s, t, q) }.sortBy(_._1)
+    // a frame store with rows but NO 0x01 control events is not an
+    // avro-PROTOCOL feed (e.g. a debezium-avro topic, which has no
+    // per-frame DDL events) — fail loud instead of consuming zero
+    // tables and reporting a false clean diff
+    require(ddls.nonEmpty || rows.isEmpty,
+      "no avro DDL control events found on a non-empty feed — not an " +
+        "avro-protocol frame store (a debezium encoding-format=avro feed " +
+        "decodes via DebeziumAvroWire.decodeFeed, not this consumer)")
     val applier = JdbcApplier.inMemory(dbName)
     applier.ensureMetaTables()
     ddls.foreach { case (ts, _, _, q) =>
@@ -306,15 +322,53 @@ object MqConsume {
         applier, s"consumer-$topic", ts, q)
     }
     val tables = ddls.map(d => (d._2, d._3)).distinct
+    // the registry carries SANITIZED avro field names while the
+    // downstream tables are created from the wire DDL's REAL column
+    // names — recover the mapping from the parsed DDL stream so SQL
+    // identifiers match (sanitize-identical names pass through)
+    val realCols = scala.collection.mutable.Map.empty[(String, String), Seq[String]]
+    ddls.foreach { case (ts, _, _, q) =>
+      graft.model.DdlParser.parse(q, ts).foreach {
+        case graft.model.DdlAction.CreateTable(s2, t2, cols2, _, _) =>
+          realCols((s2, t2)) = cols2.map(_.name)
+        case graft.model.DdlAction.AddColumn(s2, t2, c2, _) =>
+          realCols.updateWith((s2, t2))(v => Some(v.getOrElse(Nil) :+ c2.name))
+        case _ => ()
+      }
+    }
     var applied = 0L
     var diffs = 0L
     tables.foreach { case (s, t) =>
       // reader + apply key learned from the REGISTRY, not out-of-band
       val reader = AvroWire.readerFromRegistry(registryUri, topic, s, t)
       val keys = AvroWire.keysFromRegistry(registryUri, topic, s, t)
-      val dec = AvroWire.decodeFeedAs(rows, registryUri, reader)
+      def realName(san: String): String =
+        realCols.get((s, t))
+          .flatMap(_.find(n => AvroWire.sanitize(n) == san)).getOrElse(san)
+      val realReader = org.apache.spark.sql.types.StructType(
+        reader.fields.map(f => f.copy(name = realName(f.name))))
+      val realKeys = keys.map(realName)
+      // pre-filter frames by the table's registered KEY ids so other
+      // tables' rows never avro-decode for this pass (confluent frames
+      // carry the id at bytes 2-5; glue feeds fall back to decode-all)
+      val tableRows0 =
+        if (AvroWire.isGlue(registryUri)) rows
+        else {
+          val kIds = AvroWire.registryFor(registryUri)
+            .versions(AvroWire.keySubject(topic, s, t))
+          if (kIds.isEmpty) rows
+          else {
+            val idBytes = kIds.map(i =>
+              java.nio.ByteBuffer.allocate(4).putInt(i).array())
+            rows.filter(
+              substring(unbase64(get_json_object(col("_value"), "$.k")), 2, 4)
+                .isin(idBytes: _*))
+          }
+        }
+      val dec = AvroWire.decodeFeedAs(tableRows0, registryUri, reader)
         .filter(col("_schema") === s && col("_table") === t)
-      val img = struct(reader.fieldNames.toSeq.map(col): _*)
+      val img = struct(reader.fieldNames.toSeq.map(n =>
+        col(n).as(realName(n))): _*)
       val env = dec.select(col("_schema"), col("_table"),
           when(col("_op") === "c", lit("I")).when(col("_op") === "d", lit("D"))
             .otherwise(lit("U")).as("_op"),
@@ -325,24 +379,24 @@ object MqConsume {
         .withColumn("_start_ts", col("_commit_ts") - 1L)
         .persist()
       applied += env.count()
-      MysqlSink.applyBatch(env, keys, numWorkers = 4, safeMode = true)(
+      MysqlSink.applyBatch(env, realKeys, numWorkers = 4, safeMode = true)(
         JdbcApplier.executeFor(applier.url))
       // stream-implied final state (last writer per handle key wins,
       // deletes erase) vs the real downstream rows
-      val keyCols = keys.map(k2 =>
+      val keyCols = realKeys.map(k2 =>
         coalesce(col(s"after.$k2"), col(s"before.$k2")).as(s"__key_$k2"))
-      val w = Window.partitionBy(keys.map(k2 => col(s"__key_$k2")): _*)
+      val w = Window.partitionBy(realKeys.map(k2 => col(s"__key_$k2")): _*)
         .orderBy(col("_commit_ts").desc, col("_row_id").desc)
       val expected = env.select(Seq(col("_op"), col("_commit_ts"),
           col("_row_id"), col("after")) ++ keyCols: _*)
         .withColumn("__rn", row_number().over(w))
         .filter(col("__rn") === 1 && col("_op") =!= "D")
-        .select(reader.fieldNames.toSeq.map(n => col(s"after.$n").as(n)): _*)
-      val actualRows = applier.tableRows(s, t, reader.fieldNames.toSeq)
+        .select(realReader.fieldNames.toSeq.map(n => col(s"after.$n").as(n)): _*)
+      val actualRows = applier.tableRows(s, t, realReader.fieldNames.toSeq)
         .map(vs => Row.fromSeq(vs))
       val actual = spark.createDataFrame(
-        java.util.Arrays.asList(actualRows: _*), reader)
-      diffs += graft.operators.TableDiff.diff(expected, actual, keys).count()
+        java.util.Arrays.asList(actualRows: _*), realReader)
+      diffs += graft.operators.TableDiff.diff(expected, actual, realKeys).count()
       env.unpersist()
     }
     Summary("avro", rows.count(), applied, tables.size.toLong, diffs, 0L)
@@ -387,8 +441,19 @@ object MqConsume {
       }
     val env = decode(data, proto)
 
-    // e2e checksum verification (simple protocol carries the block)
+    // e2e checksum verification (simple protocol carries the block,
+    // in both encoding formats)
     val corrupted: Long = verifyChecksum match {
+      case Some(level) if proto == "simple-avro" =>
+        // column ORDER for the recompute comes from the avro handshake
+        val order = graft.functions.SimpleAvroWire
+          .bootstrapSchemas(raw.select(col("_value")))
+          .map { case (k, (cols, _)) => k -> cols.map(_._1) }
+        val bad = graft.functions.SimpleAvroWire.countCorrupted(data, order)
+        if (bad > 0 && level == "error")
+          throw new IllegalStateException(
+            s"row checksum mismatch on $bad rows (corruption-handle-level=error)")
+        bad
       case Some(level) if proto == "simple" =>
         val decoded = Decoders.decodeSimple(data, withChecksum = true)
         val bad = graft.functions.RowChecksum

@@ -115,7 +115,7 @@ object AvroWire {
     * (`a-b` and `a_b` both become `a_b`) — the duplicate-field record
     * Schema.Parser rejects with an opaque error deep in mapPartitions.
     * Fail fast at schema build, naming the colliding columns. */
-  private def checkSanitizeCollisions(fields: Seq[StructField],
+  private[functions] def checkSanitizeCollisions(fields: Seq[StructField],
                                       schema: String, table: String): Unit =
     fields.groupBy(f => sanitize(f.name)).foreach { case (san, fs) =>
       require(fs.size == 1,

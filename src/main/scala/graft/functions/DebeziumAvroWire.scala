@@ -52,6 +52,7 @@ object DebeziumAvroWire {
     * namespace so the writer fullname identifies the table. */
   def valueSchemaJson(payload: Seq[StructField], schema: String,
                       table: String): String = {
+    AvroWire.checkSanitizeCollisions(payload, schema, table)
     val cols = payload.map(f =>
       s"""{"name":"${sanitize(f.name)}","type":["null",${AvroCodec.avroTypeFor(f.dataType)}],"default":null}""")
       .mkString(",")
@@ -65,17 +66,21 @@ object DebeziumAvroWire {
   /** Key record: the handle-key columns (avro.go:232 — non-null, a
     * handle key is never null upstream). */
   def keySchemaJson(keys: Seq[StructField], schema: String,
-                    table: String): String =
+                    table: String): String = {
+    AvroWire.checkSanitizeCollisions(keys, schema, table)
     keys.map(f =>
       s"""{"name":"${sanitize(f.name)}","type":${AvroCodec.avroTypeFor(f.dataType)}}""")
       .mkString(
         s"""{"type":"record","name":"Key","namespace":"graft.debezium.${sanitize(schema)}.${sanitize(table)}","fields":[""",
         ",", "]}")
+  }
 
+  // one subject-naming convention for every registry-framed wire
+  // (AvroWire owns it — per-table topic root suffixed -key/-value)
   def keySubject(topic: String, schema: String, table: String): String =
-    s"$topic-$schema.$table-key"
+    AvroWire.keySubject(topic, schema, table)
   def valueSubject(topic: String, schema: String, table: String): String =
-    s"$topic-$schema.$table-value"
+    AvroWire.valueSubject(topic, schema, table)
 
   private val outSchema = StructType(Seq(
     StructField("_schema", StringType),
@@ -109,9 +114,12 @@ object DebeziumAvroWire {
         col("before"), col("after"))
       .mapPartitions { rows =>
         val store = AvroWire.registryFor(registryUri)
+        // per-(schema, table) cache carries the IMAGE and SOURCE
+        // sub-schemas too — constant per entry, never re-resolved
+        // per row (the avro hot-path rule)
         val cache = scala.collection.mutable.Map.empty[(String, String),
           (Int, Schema, GenericDatumWriter[GenericRecord],
-           Int, Schema, GenericDatumWriter[GenericRecord])]
+           Int, Schema, GenericDatumWriter[GenericRecord], Schema, Schema)]
         val buf = new java.io.ByteArrayOutputStream(256)
         var enc: org.apache.avro.io.BinaryEncoder = null
         def write(w: GenericDatumWriter[GenericRecord], rec: GenericRecord): Array[Byte] = {
@@ -122,7 +130,8 @@ object DebeziumAvroWire {
         }
         rows.map { r =>
           val (s, t) = (r.getString(0), r.getString(1))
-          val (kid, kSchema, kWriter, vid, vSchema, vWriter) =
+          val (kid, kSchema, kWriter, vid, vSchema, vWriter,
+               imgSchema, srcSchema) =
             cache.getOrElseUpdate((s, t), {
               val kJson = keySchemaJson(
                 keyIdx.map(k => StructField(k._1, k._2)), s, t)
@@ -132,10 +141,10 @@ object DebeziumAvroWire {
               val ks = new Schema.Parser().parse(kJson)
               val vs = new Schema.Parser().parse(vJson)
               (ki, ks, new GenericDatumWriter[GenericRecord](ks),
-                vi, vs, new GenericDatumWriter[GenericRecord](vs))
+                vi, vs, new GenericDatumWriter[GenericRecord](vs),
+                vs.getField("before").schema().getTypes.get(1),
+                vs.getField("source").schema())
             })
-          val imgSchema = vSchema.getField("before").schema().getTypes.get(1)
-          val srcSchema = vSchema.getField("source").schema()
           def img(i: Int): GenericRecord =
             if (r.isNullAt(i)) null
             else {

@@ -82,8 +82,13 @@ object SimpleAvroWire {
 
   /** Envelope → one framed simple-avro DML message per row event
     * (avro.go:250-341 newDMLMessageMap: INSERT carries `data`, DELETE
-    * carries `old`, UPDATE both). */
-  def encodeFeed(env: DataFrame, schemaVersion: Long = 0L): DataFrame = {
+    * carries `old`, UPDATE both). `enableRowChecksum` rides the
+    * e2e CRC32 block exactly like the JSON form (avro.go:276
+    * EnableRowChecksum; current/previous over the images' values in
+    * column order, 0 = image absent — the SAME fold as
+    * [[RowChecksum]], so the two wire forms carry identical sums). */
+  def encodeFeed(env: DataFrame, schemaVersion: Long = 0L,
+                 enableRowChecksum: Boolean = false): DataFrame = {
     val payload = env.schema.fields.find(_.name == "after").get
       .dataType.asInstanceOf[StructType]
     val names = payload.fieldNames.toSeq
@@ -91,30 +96,123 @@ object SimpleAvroWire {
       if (env.columns.contains("_partition")) env
       else env.withColumn("_partition", lit(0L))
     val version = schemaVersion
+    val withChecksum = enableRowChecksum
     withPart.select(col("_schema"), col("_table"),
         col("_partition").cast("long"), col("_commit_ts"), col("_op"),
         col("before"), col("after"))
       .mapPartitions { rows =>
         rows.map { r =>
-          def m(i: Int): Map[String, Val] =
-            if (r.isNullAt(i)) Map.empty
+          def vals(i: Int): Seq[Val] =
+            if (r.isNullAt(i)) Nil
             else {
               val s = r.getStruct(i)
-              names.zipWithIndex.map { case (n, j) => n -> toVal(s.get(j)) }.toMap
+              names.indices.map(j => toVal(s.get(j)))
             }
+          def m(i: Int): Map[String, Val] =
+            if (r.isNullAt(i)) Map.empty
+            else names.zip(vals(i)).toMap
           val op = r.getString(4) match {
             case "I" => "INSERT"; case "D" => "DELETE"; case _ => "UPDATE"
           }
           val ts = r.getLong(3)
+          val checksum =
+            if (!withChecksum) None
+            else Some((1, false,
+              SimpleAvro.checksumOf(vals(6)), SimpleAvro.checksumOf(vals(5))))
           val bytes = SimpleAvro.encodeDml(op, r.getString(0), r.getString(1),
             tableId = 0L, commitTs = ts, buildTs = ts / 1000000L,
             schemaVersion = version,
             data = if (op == "DELETE") Map.empty else m(6),
-            old = if (op == "INSERT") Map.empty else m(5))
+            old = if (op == "INSERT") Map.empty else m(5),
+            checksum = checksum)
           Row(r.getString(0), r.getString(1), r.getLong(2), ts,
             OpenBatch.frameJson(Array.emptyByteArray, bytes))
         }
       }(Encoders.row(outSchema))
+  }
+
+  /** Consumer-side e2e checksum verification for the avro wire
+    * (VerifyChecksum, verify_checksum.go:34-86): recompute each
+    * carried block from the decoded wire values in the table's COLUMN
+    * ORDER (`columnsOf`, wire-learned from the handshake) and count
+    * mismatches. Frames without a block (or unknown tables) skip —
+    * a carried 0 means "image absent". */
+  def countCorrupted(msgs: DataFrame,
+                     columnsOf: Map[(String, String), Seq[String]]): Long = {
+    val cols = columnsOf
+    msgs.select(col("_value")).mapPartitions { rows =>
+      var bad = 0L
+      rows.foreach { r =>
+        val v = r.getString(0)
+        if (v.startsWith("{\"k\":")) {
+          val msg = SimpleAvro.decode(OpenBatch.parseFrame(v)._2)
+          if (String.valueOf(msg.get("type")) == "DML") {
+            val p = msg.get("payload").asInstanceOf[GenericRecord]
+            val blk = p.get("checksum").asInstanceOf[GenericRecord]
+            val names = cols.get((String.valueOf(p.get("database")),
+              String.valueOf(p.get("table"))))
+            if (blk != null && names.isDefined) {
+              def recompute(field: String): Long =
+                Option(p.get(field).asInstanceOf[java.util.Map[AnyRef, AnyRef]])
+                  .map { jm =>
+                    val byName = jm.asScala.map { case (k, x) =>
+                      String.valueOf(k) -> x }.toMap
+                    SimpleAvro.checksumOf(names.get.map(n =>
+                      avroToVal(byName.getOrElse(n, null))))
+                  }.getOrElse(0L)
+              val curOk = blk.get("current").asInstanceOf[java.lang.Long] ==
+                recompute("data")
+              val prevOk = blk.get("previous").asInstanceOf[java.lang.Long] ==
+                recompute("old")
+              if (!(curOk && prevOk)) bad += 1
+            }
+          }
+        }
+      }
+      Iterator.single(bad)
+    }(Encoders.scalaLong).reduce(_ + _)
+  }
+
+  /** One emitted DDL as the official DDL message class
+    * (newDDLMessage, simple/message.go:295-318; type taxonomy
+    * getDDLType :74-97 — shared with the JSON form's `ddlWireType`):
+    * tableSchema stays absent like the JSON arm — the
+    * version-triggered BOOTSTRAP handshake carries the live shape
+    * separately. */
+  def ddlFrame(query: String, commitTs: Long): String = {
+    val tpe = graft.operators.Filters.ddlClassValue(query) match {
+      case "create table" => "CREATE"
+      case "rename table" => "RENAME"
+      case "create index" => "CINDEX"
+      case "drop index" => "DINDEX"
+      case "drop table" => "ERASE"
+      case "truncate table" => "TRUNCATE"
+      case "add column" | "drop column" | "modify column" |
+           "change column" | "alter partition" | "alter table" |
+           "recover table" => "ALTER"
+      case _ => "QUERY"
+    }
+    OpenBatch.frameJson(Array.emptyByteArray,
+      SimpleAvro.encodeDdl(tpe, query, commitTs, commitTs / 1000000L,
+        schema = None))
+  }
+
+  /** Wire DDLs of a simple-avro feed ((commitTs, query)) in commit-ts
+    * order — the consumer half; the 0x16 0x04 two-byte predicate
+    * (Message union index + DDL enum) keeps the collect
+    * control-plane-sized like [[bootstrapFrames]]. */
+  def wireDdls(msgs: DataFrame): Seq[(Long, String)] = {
+    val firstTwo =
+      substring(unbase64(get_json_object(col("_value"), "$.v")), 1, 2)
+    msgs.select(col("_value"))
+      .filter(col("_value").startsWith("{\"k\":") &&
+        firstTwo === lit(Array[Byte](22, 4)))
+      .collect().toSeq.map { r =>
+        val p = SimpleAvro.decode(OpenBatch.parseFrame(r.getString(0))._2)
+          .get("payload").asInstanceOf[GenericRecord]
+        (p.get("commitTs").asInstanceOf[java.lang.Long].longValue(),
+          String.valueOf(p.get("sql")))
+      }.sortBy(_._1)
   }
 
   /** Consumer decode: framed simple-avro messages back to the envelope

@@ -55,6 +55,24 @@ object Changefeed {
     Routing.dispatch(df, cfg.sink.dispatch, cfg.sink.numPartitions)
   }
 
+  /** Payload-shape groups of a physical mount plan, each with its
+    * handle keys (every table of a group shares the payload shape,
+    * hence the key column names — the per-table conflict key). Used by
+    * all three evolving compositions so shape-group derivation cannot
+    * silently diverge between them. Census-sized (distinct shapes). */
+  private[streaming] def shapeGroups[K, S](
+      plan: Map[K, Seq[(S, Option[graft.operators.RawKvMounter.KvTableMeta])]],
+      defaultKeys: Seq[String])
+      : Seq[(Map[K, Seq[(S, Option[graft.operators.RawKvMounter.KvTableMeta])]], Seq[String])] =
+    plan.groupBy { case (_, segs) =>
+      segs.flatMap(_._2).lastOption
+        .map(graft.operators.RawKvMounter.payloadType).orNull
+    }.collect { case (pt, g) if pt != null =>
+      val keys = g.valuesIterator.flatMap(_.flatMap(_._2)).toSeq.headOption
+        .map(_.handleCols).getOrElse(defaultKeys)
+      (g, keys)
+    }.toSeq
+
   /** The full filter/transform/route/encode pipeline for one
     * changefeed (MQ/storage sinks consume the encoded `_value`). */
   def pipeline(spark: SparkSession, cfg: ChangefeedConfig)(env: DataFrame): DataFrame =
@@ -76,7 +94,10 @@ object Changefeed {
       // debezium the Confluent-framed envelope records — both
       // schema-driven, one arm each for fixture and generic feeds
       case Protocol.Simple if cfg.sink.encodingFormat == "avro" =>
-        graft.functions.SimpleAvroWire.encodeFeed(df)
+        // the integrity block rides the avro DML too (avro.go:276
+        // EnableRowChecksum — same CRC32 fold as the JSON form)
+        graft.functions.SimpleAvroWire.encodeFeed(df,
+          enableRowChecksum = cfg.integrity.enabled)
       case Protocol.Debezium if cfg.sink.encodingFormat == "avro" =>
         graft.functions.DebeziumAvroWire.encodeFeed(df, cfg.handleKeys,
           cfg.sink.schemaRegistry, topic = cfg.id)
@@ -613,6 +634,16 @@ object Changefeed {
                 graft.functions.AvroRegistry.ddlEventBytes(qq, at, sc, tb, ts)))
             }.toDF("_partition", "_commit_ts", "_kind", "_value")
               .coalesce(1).write.mode("append").parquet(sinkDir)
+          } else if (emitted.nonEmpty && cfg.sink.protocol == Protocol.Simple &&
+              cfg.sink.encodingFormat == "avro") {
+            // simple-avro DDL rides the official union's DDL message
+            // class — the wire stays ONE encoding (a JSON DDL frame
+            // amid avro binaries would fail any union-schema consumer)
+            import spark.implicits._
+            emitted.map { case (_, _, ts, qq, _) =>
+              (0L, ts, "ddl", graft.functions.SimpleAvroWire.ddlFrame(qq, ts))
+            }.toDF("_partition", "_commit_ts", "_kind", "_value")
+              .coalesce(1).write.mode("append").parquet(sinkDir)
           } else if (emitted.nonEmpty) {
             import spark.implicits._
             // per-protocol encoding (codec/common/ddl.go dispatches to
@@ -688,24 +719,18 @@ object Changefeed {
               // Large-message handling re-reads images post-encode, so
               // multi-group requires it disabled (use fusedWire or
               // per-shape feeds for oversize+hetero).
-              val groups = plan.groupBy { case (_, segs) =>
-                segs.flatMap(_._2).lastOption
-                  .map(graft.operators.RawKvMounter.payloadType).orNull
-              }.collect { case (pt, g) if pt != null => g }.toSeq
+              val groups = shapeGroups(plan, cfg.handleKeys)
               require(groups.nonEmpty,
                 "mountTablesPlan: no mountable segment") // pre-group parity
               require(groups.size <= 1 || cfg.sink.largeMessageHandle.disabled,
                 "heterogeneous shapes with large-message handling need " +
                   "fusedWire or per-shape feeds")
               val walPinned = scala.collection.mutable.Buffer.empty[DataFrame]
-              val encodedGroups = groups.map { group =>
+              val encodedGroups = groups.map { case (group, groupKeys) =>
                 // each group's handle keys come from its own metas
                 // (the per-table conflict key — canal pkNames, avro
                 // key records, update-split all read them), like the
                 // MySQL composition's per-group apply
-                val groupKeys = group.valuesIterator
-                  .flatMap(_.flatMap(_._2)).toSeq.headOption
-                  .map(_.handleCols).getOrElse(cfg.handleKeys)
                 val gCfg = cfg.copy(handleKeys = groupKeys)
                 val shaped = transform(spark, gCfg)(
                   graft.operators.RawKvMounter.mountTablesPlan(
@@ -836,18 +861,9 @@ object Changefeed {
           // Per-key ordering holds within every table; row-level mode
           // never ordered across tables anyway (the reference's
           // conflict-key parallelism).
-          val groups = plan.groupBy { case (_, segs) =>
-            segs.flatMap(_._2).lastOption
-              .map(graft.operators.RawKvMounter.payloadType).orNull
-          }.collect { case (pt, g) if pt != null => g }
-          def applyRows(rows: DataFrame): Unit = groups.foreach { group =>
-            // each group's handle keys come from its own metas (every
-            // table of a group shares the payload shape, hence the
-            // key column names) — the per-table conflict key, like the
-            // reference's per-table causality keys
-            val groupKeys = group.valuesIterator
-              .flatMap(_.flatMap(_._2)).toSeq.headOption
-              .map(_.handleCols).getOrElse(cfg.handleKeys)
+          val groups = shapeGroups(plan, cfg.handleKeys)
+          def applyRows(rows: DataFrame): Unit =
+            groups.foreach { case (group, groupKeys) =>
             val gCfg = cfg.copy(handleKeys = groupKeys)
             val env = graft.operators.RawKvMounter.mountTablesPlan(
               rows, group, failOnCorruption = failOn)
@@ -1221,21 +1237,23 @@ object Changefeed {
           // ENVELOPE rows (replayable as SQL), so the struct mount
           // runs per shape group alongside the fused wire encode —
           // the double decode is the WAL-enabled feed's durability
-          // cost, paid batch-locally
+          // cost, paid batch-locally. The WAL applies EXACTLY the
+          // filter subset the fused file path applies below (table /
+          // event-type / start-ts) — running the full transform here
+          // would let expr-filter or update-split configs log a
+          // DIFFERENT row set than the files sink, breaking the
+          // WAL ⊇ sunk-rows invariant recovery relies on
           if (redoOn && plan.nonEmpty) {
-            val groups = plan.groupBy { case (_, segs) =>
-              segs.flatMap(_._2).lastOption
-                .map(graft.operators.RawKvMounter.payloadType).orNull
-            }.collect { case (pt, g) if pt != null => g }
-            groups.foreach { group =>
-              val groupKeys = group.valuesIterator
-                .flatMap(_.flatMap(_._2)).toSeq.headOption
-                .map(_.handleCols).getOrElse(cfg.handleKeys)
-              val gCfg = cfg.copy(handleKeys = groupKeys)
+            val f = cfg.filter
+            shapeGroups(plan, cfg.handleKeys).foreach { case (group, _) =>
+              var w = graft.operators.RawKvMounter.mountTablesPlan(
+                batch, group, failOnCorruption = false)
+              w = graft.operators.Filters.tableFilter(w, f.rules, f.caseSensitive)
+              w = graft.operators.Filters.eventTypeFilter(w, f.ignoreOps)
+              w = graft.operators.Filters.startTsFilter(w, f.ignoreTxnStartTs)
               graft.sinks.RedoLog.append(
-                transform(spark, gCfg)(
-                  graft.operators.RawKvMounter.mountTablesPlan(
-                    batch, group, failOnCorruption = false)), redoDir)
+                graft.operators.Routing.dispatch(
+                  w, cfg.sink.dispatch, cfg.sink.numPartitions), redoDir)
             }
             Failpoints.evalThrow("graft/changefeed/storage-post-redo")
           }

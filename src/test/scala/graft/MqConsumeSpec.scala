@@ -818,6 +818,78 @@ class MqConsumeSpec extends SparkFunSuite {
     assert(learned(("app", "t"))._1.map(_._1) == Seq("id", "v", "k"),
       s"post-DDL handshake carries the added column: ${learned(("app", "t"))}")
     assert(learned(("app", "t"))._2 == Seq("id"), "declared pk learned")
+    // DDL events ride the official union's DDL message class too — the
+    // wire stays ONE encoding (a JSON frame amid avro binaries would
+    // fail any union-schema consumer); the 0x16 0x04 predicate finds
+    // them on the FULL wire without materializing rows
+    val allFrames = spark.read.parquet(s"$base/sink").select(col("_value"))
+    val wds = SimpleAvroWire.wireDdls(allFrames)
+    assert(wds.map(_._1) == Seq(10L, 100L), s"wire DDLs: $wds")
+    assert(wds(1)._2.contains("ADD COLUMN"), wds(1)._2)
+  }
+
+  test("simple-avro integrity: the feed carries the CRC32 block over its " +
+      "own wire values, the consumer verifies it, and a tampered wire " +
+      "is caught") {
+    import graft.functions.{OpenBatch, SimpleAvro, SimpleAvroWire}
+    import org.apache.avro.generic.GenericRecord
+    val order = Map(
+      ("app", "t0") -> Seq("user_id", "value", "k"),
+      ("app", "t1") -> Seq("user_id", "value", "k"))
+    val encoded = SimpleAvroWire.encodeFeed(env, enableRowChecksum = true)
+      .select(col("_value")).cache()
+    // every frame carries a block that recomputes clean
+    assert(SimpleAvroWire.countCorrupted(encoded, order) == 0L)
+    val p = SimpleAvro.decode(OpenBatch.parseFrame(
+      encoded.head().getString(0))._2)
+      .get("payload").asInstanceOf[GenericRecord]
+    val blk = p.get("checksum").asInstanceOf[GenericRecord]
+    assert(blk != null && blk.get("corrupted") == java.lang.Boolean.FALSE)
+    // the checksum domain follows the WIRE's value representation
+    // (verify_checksum recomputes from decoded wire values): the avro
+    // form carries exact doubles → tokenDouble, while the JSON form
+    // renders money as decimal strings → string-byte tokens, so the
+    // two wires fold different canonical bytes for the same upstream
+    // row — each self-verifies against its own wire (countCorrupted
+    // above), which is the contract
+    // tamper: a frame whose image changed but whose block did not
+    import SimpleAvro.Val
+    val tampered = OpenBatch.frameJson(Array.emptyByteArray,
+      SimpleAvro.encodeDml("INSERT", "app", "t1", 0L, 999L, 0L, 0L,
+        data = Map("user_id" -> Val.L(1L), "value" -> Val.D(99.9),
+          "k" -> Val.L(1L)),
+        checksum = Some((1, false, 12345L, 0L))))
+    import spark.implicits._
+    assert(SimpleAvroWire.countCorrupted(
+      Seq(tampered).toDF("_value"), order) == 1L, "tampering is caught")
+    // THROUGH THE FEED + CONSUMER: integrity-enabled avro feed carries
+    // blocks; the full harness verifies them (warn level counts 0)
+    val base = tmp("integrity-avro")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$base/src"))
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get("/root/testdata/sf0.001/events.parquet"),
+      java.nio.file.Paths.get(s"$base/src/events.parquet"))
+    val cfg = graft.model.ChangefeedConfig(id = "cf-integrity-avro",
+      sink = graft.model.SinkConfig(protocol = graft.model.Protocol.Simple,
+        encodingFormat = "avro"),
+      integrity = graft.model.IntegrityConfig(
+        integrityCheckLevel = "correctness"))
+    graft.streaming.Changefeed.runMq(
+      spark, cfg, s"$base/src", s"$base/sink", s"$base/ckpt")
+      .awaitTermination(120000)
+    val sunk = spark.read.parquet(s"$base/sink")
+    val rowP = SimpleAvro.decode(OpenBatch.parseFrame(
+      sunk.filter(col("_kind") === "row").select("_value")
+        .head().getString(0))._2)
+      .get("payload").asInstanceOf[GenericRecord]
+    assert(rowP.get("checksum") != null,
+      "the integrity-enabled avro feed carries the block on the wire")
+    val mqDir = tmp("integrity-avro-mq")
+    publish(sunk.select(col("_value"), col("_commit_ts")), mqDir)
+    val s = MqConsume.run(spark, mqDir, source = "mq", protocol = "auto",
+      dbName = "mqc_integrity_avro", verifyChecksum = Some("warn"))
+    assert(s.protocol == "simple-avro" && s.corrupted == 0L && s.diffs == 0L, s)
+    encoded.unpersist()
   }
 
   test("simple-avro oversize forms: handle-key-only re-marshals the " +
