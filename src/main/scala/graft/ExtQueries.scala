@@ -324,6 +324,64 @@ object ExtQueries {
     "q_roundtrip_avro" -> ((s, d) =>
       graft.functions.AvroCodec.decode(graft.functions.AvroCodec.encode(env(s, d)))),
 
+    // the csv codec config surface as a WIRE query (pkg/config/sink.go
+    // :270-290 CSVConfig): include-commit-ts, binary-encoding-method=
+    // hex, and output-field-header together — the ticdc-meta$ header
+    // line leads the feed (encodeHeader, csv_message.go:418-446) and
+    // binary cells ship hex instead of base64
+    "q_encode_csv_header" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val csvCfg = graft.model.CsvConfig(includeCommitTs = true,
+        binaryEncodingMethod = "hex", outputFieldHeader = true)
+      def img(c: String) = when(col(c).isNull, lit(null)).otherwise(struct(
+        col(s"$c.user_id").as("user_id"),
+        col(s"$c.value").cast(DecimalType(18, 2)).as("price"),
+        col(s"$c.k").as("k"),
+        encode(concat(lit("b:"), col(s"$c.k").cast("string")), "UTF-8").as("bin")))
+      val shaped = env(s, d)
+        .withColumn("before", img("before"))
+        .withColumn("after", img("after"))
+      val lines = graft.functions.Codecs.csvLineFor(shaped, csvCfg)
+        .select(col("_value").as("line"))
+      val header = s.createDataFrame(java.util.Arrays.asList(
+        org.apache.spark.sql.Row(graft.functions.Codecs.csvHeaderFor(
+          Seq("user_id", "price", "k", "bin"), csvCfg))),
+        StructType(Seq(StructField("line", StringType))))
+      header.unionAll(lines)
+    }),
+
+    // avro value-mapping modes as a WIRE query (arvo.go:551,637,657):
+    // under avro-decimal-handling-mode=string and
+    // avro-bigint-unsigned-handling-mode=string, DECIMAL columns and
+    // the DecimalType(20,0) unsigned-bigint carrier ship as PLAIN
+    // STRINGS (no logical-decimal bytes, no u64 bits), and the
+    // consumer reads them back into the exact decimal domain
+    "q_avro_string_modes" -> ((s, d) => {
+      import org.apache.spark.sql.types._
+      val uri = "mem://q_avro_string_modes"
+      graft.functions.AvroWire.dropRegistry(uri)
+      val u64base = lit(new java.math.BigDecimal("18446744073709551615"))
+      def img(c: String) = when(col(c).isNull, lit(null)).otherwise(struct(
+        col(s"$c.user_id").as("user_id"),
+        col(s"$c.value").cast(DecimalType(18, 2)).as("price"),
+        (u64base - abs(col(s"$c.k")) % 1000L).cast(DecimalType(20, 0)).as("u64")))
+      val shaped = env(s, d)
+        .withColumn("before", img("before"))
+        .withColumn("after", img("after"))
+      val frames = graft.functions.AvroWire.encodeFeed(shaped,
+        Seq("user_id"), uri, "q-modes",
+        modes = graft.functions.AvroWire.AvroModes(
+          decimal = "string", unsignedBigint = "string"))
+      val reader = StructType(Seq(StructField("user_id", LongType),
+        StructField("price", DecimalType(18, 2)),
+        StructField("u64", DecimalType(20, 0))))
+      graft.functions.AvroWire.decodeFeedAs(frames, uri, reader)
+        .select(col("_schema"), col("_table"), col("_op"), col("_commit_ts"),
+          col("user_id"),
+          col("price").cast("string").as("price"),
+          col("u64").cast("string").as("u64"))
+    }),
+
     // the avro CHANGEFEED wire end-to-end across a schema evolution:
     // era-1 rows encode under the original table version, era-2 rows
     // (µs-parity split) under an ADD-COLUMN-evolved version — each
@@ -1059,6 +1117,30 @@ object ExtQueries {
          |FROM ddl""".stripMargin),
 
     "q_roundtrip_avro" -> q("SELECT * FROM env"),
+
+    "q_encode_csv_header" -> q(
+      """SELECT 'ticdc-meta$operation,ticdc-meta$table,ticdc-meta$schema,ticdc-meta$commit-ts,user_id,price,k,bin' AS line
+        |UNION ALL
+        |SELECT '"' ||
+        |  CASE _op WHEN 'I' THEN 'I' WHEN 'U' THEN 'U' ELSE 'D' END ||
+        |  '","' || _table || '","' || _schema || '",' ||
+        |  CAST(_commit_ts AS VARCHAR) || ',' ||
+        |  CAST(CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END AS VARCHAR) || ',' ||
+        |  CAST(CAST(CASE WHEN _op = 'D' THEN before_value ELSE after_value END AS DECIMAL(18,2)) AS VARCHAR) || ',' ||
+        |  CAST(CASE WHEN _op = 'D' THEN before_k ELSE after_k END AS VARCHAR) || ',' ||
+        |  lower(hex('b:' || CAST(CASE WHEN _op = 'D' THEN before_k ELSE after_k END AS VARCHAR)))
+        |FROM env""".stripMargin),
+
+    "q_avro_string_modes" -> q(
+      """SELECT _schema, _table,
+        |  CASE _op WHEN 'I' THEN 'c' WHEN 'D' THEN 'd' ELSE 'u' END AS _op,
+        |  _commit_ts,
+        |  CASE WHEN _op = 'D' THEN before_user_id ELSE after_user_id END AS user_id,
+        |  CASE WHEN _op = 'D' THEN NULL
+        |       ELSE CAST(CAST(after_value AS DECIMAL(18,2)) AS VARCHAR) END AS price,
+        |  CASE WHEN _op = 'D' THEN NULL
+        |       ELSE CAST(18446744073709551615 - abs(after_k) % 1000 AS VARCHAR) END AS u64
+        |FROM env""".stripMargin),
 
     "q_avro_glue_evolve" -> q(
       """SELECT _schema, _table,

@@ -61,15 +61,26 @@ object MqConsume {
     } else "csv"
   }
 
-  private val imgType = "struct<user_id:bigint,value:double,k:bigint>"
-
   /** Decode messages (string `_key`/`_value` columns) into the
     * normalized envelope frame (`_schema`,`_table`,`_op`,
     * `_commit_ts`,`_start_ts`,`_row_id`,`before`,`after`).
     * `_row_id` is a store-order tiebreak for same-commit-ts rows
     * (protocol commit timestamps order the apply; the decoders keep
-    * partition-local row order through the 1:1 parse). */
-  def decode(msgs: DataFrame, protocol: String): DataFrame = {
+    * partition-local row order through the 1:1 parse).
+    *
+    * `reader` is REQUIRED for the wire formats whose row messages
+    * don't self-describe their payload shape (simple-avro rows
+    * reference the bootstrap handshake; csv carries bare values) —
+    * [[run]] wire-learns it from the feed's handshakes. The
+    * self-describing JSON wires ignore it. */
+  def decode(msgs: DataFrame, protocol: String,
+             reader: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    def readerFor(arm: String): org.apache.spark.sql.types.StructType =
+      reader.getOrElse(throw new IllegalArgumentException(
+        s"the $arm wire does not describe its row shape per message — " +
+          "pass reader= (wire-learned from the feed's bootstrap " +
+          "handshake, or the table's known schema)"))
     val env = protocol match {
       case "canal-json" =>
         Decoders.decodeCanal(msgs)
@@ -86,22 +97,23 @@ object MqConsume {
         // the official com.pingcap.simple.avro wire; non-DML message
         // classes (WATERMARK/BOOTSTRAP) drop inside the decode
         graft.functions.SimpleAvroWire.decodeFeed(msgs,
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("user_id",
-              org.apache.spark.sql.types.LongType),
-            org.apache.spark.sql.types.StructField("value",
-              org.apache.spark.sql.types.DoubleType),
-            org.apache.spark.sql.types.StructField("k",
-              org.apache.spark.sql.types.LongType))))
+          readerFor("simple-avro"))
       case "csv" =>
-        val flat = Decoders.decodeCsv(msgs)
-        val img = struct(col("user_id"), col("value"), col("k"))
+        val rdr = readerFor("csv")
+        // this harness's feeds ride the engine's pinned storage wire
+        // (commit ts included — Codecs.csvLegacy)
+        val flat = Decoders.decodeCsvAs(msgs, rdr,
+          csv = graft.functions.Codecs.csvLegacy)
+        val img = struct(rdr.fieldNames.toSeq.map(col): _*)
+        val nullImg = lit(null).cast(
+          org.apache.spark.sql.types.StructType(
+            rdr.fields.map(_.copy(nullable = true))))
         // csv carries one image: post for I/U, pre for D; the U
         // pre-image shares the handle key, which is all apply needs
         flat.select(
           col("_schema"), col("_table"), col("_op"), col("_commit_ts"),
-          when(col("_op") === "I", lit(null).cast(imgType)).otherwise(img).as("before"),
-          when(col("_op") === "D", lit(null).cast(imgType)).otherwise(img).as("after"))
+          when(col("_op") === "I", nullImg).otherwise(img).as("before"),
+          when(col("_op") === "D", nullImg).otherwise(img).as("after"))
       case "avro" => throw new IllegalArgumentException(
         "this is an avro-protocol (or debezium-avro) frame store: run with " +
           "--protocol avro --registry <uri> (the registry resolves the " +
@@ -301,7 +313,10 @@ object MqConsume {
     import graft.functions.AvroWire
     import org.apache.spark.sql.Row
     import org.apache.spark.sql.expressions.Window
-    val frames = spark.read.parquet(dir)
+    // mergeSchema: row frames carry `_offset` (the producer's
+    // per-event apply order) while control frames may not — a
+    // single-footer read could silently drop the column
+    val frames = spark.read.option("mergeSchema", "true").parquet(dir)
     val rows = frames.filter(col("_kind") === "row")
     // control plane (driver-sized by the Spark-side frame predicate):
     // DDLs build/evolve the downstream in commit-ts order
@@ -312,9 +327,11 @@ object MqConsume {
     // per-frame DDL events) — fail loud instead of consuming zero
     // tables and reporting a false clean diff
     require(ddls.nonEmpty || rows.isEmpty,
-      "no avro DDL control events found on a non-empty feed — not an " +
-        "avro-protocol frame store (a debezium encoding-format=avro feed " +
-        "decodes via DebeziumAvroWire.decodeFeed, not this consumer)")
+      "no avro DDL control events found on a non-empty feed — either the " +
+        "producer ran without avro-enable-watermark (0x01 events ship only " +
+        "under that knob, encoder.go:125) or this is not an avro-protocol " +
+        "frame store (a debezium encoding-format=avro feed decodes via " +
+        "DebeziumAvroWire.decodeFeed, not this consumer)")
     val applier = JdbcApplier.inMemory(dbName)
     applier.ensureMetaTables()
     ddls.foreach { case (ts, _, _, q) =>
@@ -354,8 +371,11 @@ object MqConsume {
       val tableRows0 =
         if (AvroWire.isGlue(registryUri)) rows
         else {
+          // idsFor, NOT versions: frames carry GLOBAL schema ids at
+          // bytes 2-5 while versions(subject) returns 1-based version
+          // numbers on a real Confluent registry
           val kIds = AvroWire.registryFor(registryUri)
-            .versions(AvroWire.keySubject(topic, s, t))
+            .idsFor(AvroWire.keySubject(topic, s, t))
           if (kIds.isEmpty) rows
           else {
             val idBytes = kIds.map(i =>
@@ -374,8 +394,16 @@ object MqConsume {
             .otherwise(lit("U")).as("_op"),
           col("_commit_ts"),
           when(col("_op") === "d", img).as("before"),
-          when(col("_op") =!= "d", img).as("after"))
-        .withColumn("_row_id", monotonically_increasing_id())
+          when(col("_op") =!= "d", img).as("after"),
+          (if (dec.columns.contains("_offset")) col("_offset")
+           else lit(null).cast("long")).as("_offset"))
+        // apply-order tiebreak for same-commit-ts rows of one key:
+        // the frame `_offset` (the producer's per-event order — the
+        // Kafka offset a reference consumer replays by); pre-offset
+        // stores fall back to partition-local read order
+        .withColumn("_row_id",
+          coalesce(col("_offset"), monotonically_increasing_id()))
+        .drop("_offset")
         .withColumn("_start_ts", col("_commit_ts") - 1L)
         .persist()
       applied += env.count()
@@ -439,7 +467,28 @@ object MqConsume {
         if (samples.contains("canal-json-txn")) "canal-json-txn"
         else samples.headOption.getOrElse("canal-json")
       }
-    val env = decode(data, proto)
+    // reader for the non-self-describing wires: simple-avro learns it
+    // from the feed's own bootstrap handshake (never hard-coded); csv
+    // has NO wire handshake, so this harness's sync-diff half supplies
+    // its fixture payload shape explicitly — the shape lives HERE, at
+    // the fixture-harness call site, not inside the generic decoder
+    val readerOpt: Option[StructType] = proto match {
+      case "simple-avro" =>
+        val learned = graft.functions.SimpleAvroWire
+          .bootstrapReaders(raw.select(col("_value")))
+        require(learned.nonEmpty,
+          "simple-avro feed carries no BOOTSTRAP handshake — cannot " +
+            "learn the row shape from the wire")
+        require(learned.values.toSet.size == 1,
+          s"tables with different shapes on one feed: ${learned.keys}; " +
+            "decode them per-table with SimpleAvroWire.decodeFeed")
+        Some(learned.values.head)
+      case "csv" => Some(StructType(Seq(
+        StructField("user_id", LongType), StructField("value", DoubleType),
+        StructField("k", LongType))))
+      case _ => None
+    }
+    val env = decode(data, proto, readerOpt)
 
     // e2e checksum verification (simple protocol carries the block,
     // in both encoding formats)

@@ -153,9 +153,21 @@ object AvroCodec {
 
   private[functions] def fromAvroValue(v: AnyRef, dt: DataType): Any = (v, dt) match {
     case (null, _) => null
+    // string-mode decimals (avro-decimal-handling-mode=string /
+    // avro-bigint-unsigned-handling-mode=string, arvo.go:551,657):
+    // the wire carries the plain decimal string
+    case (x: org.apache.avro.util.Utf8, _: DecimalType) =>
+      new java.math.BigDecimal(x.toString)
     case (x: org.apache.avro.util.Utf8, _) => x.toString
     case (x: java.lang.Integer, ByteType) => x.byteValue()
     case (x: java.lang.Integer, ShortType) => x.shortValue()
+    // unsigned-bigint long mode (arvo.go:637 int64(d.GetUint64())):
+    // a long landing in the DecimalType(20,0) carrier is the u64 BITS
+    case (x: java.lang.Long, d: DecimalType)
+        if d.precision == 20 && d.scale == 0 =>
+      new java.math.BigDecimal(java.lang.Long.toUnsignedString(x.longValue()))
+    case (x: java.lang.Long, _: DecimalType) =>
+      java.math.BigDecimal.valueOf(x.longValue())
     case (x: java.nio.ByteBuffer, d: DecimalType) =>
       new java.math.BigDecimal(new java.math.BigInteger(bytesOf(x)), d.scale)
     case (x: java.nio.ByteBuffer, BinaryType) => bytesOf(x)

@@ -28,11 +28,27 @@ import org.apache.spark.sql.types._
 object AvroRegistry {
 
   /** Registry surface (subject = `{topic}-{schema}.{table}-value` in
-    * the reference's naming, confluent_schema_registry.go). */
+    * the reference's naming, confluent_schema_registry.go).
+    *
+    * `versions` follows the REAL Confluent API contract: `GET
+    * /subjects/{s}/versions` returns VERSION NUMBERS (1,2,3…), NOT
+    * global schema ids — the two spaces only coincide on a fresh
+    * single-subject registry. Callers that need writer ids use
+    * [[latest]] (the `versions/latest` answer carries the global id
+    * alongside the schema) or [[idsFor]] (version→id translated per
+    * entry). */
   trait SchemaStore extends Serializable {
     def register(subject: String, schemaJson: String): Int
     def byId(id: Int): String
+    /** Version numbers (1-based, ascending) — the Confluent
+      * `GET /subjects/{s}/versions` payload. */
     def versions(subject: String): Seq[Int]
+    /** (global schema id, canonical schema json) of the subject's
+      * latest version — `GET /subjects/{s}/versions/latest`. */
+    def latest(subject: String): (Int, String)
+    /** Global schema ids of ALL the subject's versions, in version
+      * order (each `GET /subjects/{s}/versions/{v}` answer's `id`). */
+    def idsFor(subject: String): Seq[Int]
   }
 
   /** Registering a schema the subject's compatibility level rejects —
@@ -75,7 +91,8 @@ object AvroRegistry {
       * compatible. */
     def compatibleWithLatest(subject: String, schemaJson: String): Boolean = {
       val canonical = new Schema.Parser().parse(schemaJson).toString
-      compatibility == "NONE" || versions(subject).lastOption.forall { latest =>
+      // idsFor, not versions: the latest GLOBAL id resolves the schema
+      compatibility == "NONE" || idsFor(subject).lastOption.forall { latest =>
         val old = byId(latest)
         old == canonical || backwardCompatible(canonical, old)
       }
@@ -100,7 +117,14 @@ object AvroRegistry {
     def byId(id: Int): String =
       byIdMap.getOrElse(id, sys.error(s"unknown schema id $id"))
     def versions(subject: String): Seq[Int] =
+      (1 to idsFor(subject).size)
+    def idsFor(subject: String): Seq[Int] =
       subjects.getOrElse(subject, Vector.empty)
+    def latest(subject: String): (Int, String) = {
+      val ids = idsFor(subject)
+      require(ids.nonEmpty, s"no registered versions under subject $subject")
+      (ids.last, byId(ids.last))
+    }
   }
 
   /** Confluent wire framing: magic 0x00 + 4-byte big-endian schema id
@@ -114,6 +138,32 @@ object AvroRegistry {
 
   val DdlByte: Byte = 1
   val CheckpointByte: Byte = 2
+  /** Watermark-mode delete VALUE marker (helper.go:53 deleteByte;
+    * arvo.go:130-141): 0x03 ++ BE u64 commit ts — 9 bytes exactly
+    * (decoder.go:232 panics otherwise). Only emitted under
+    * `avro-enable-watermark`; otherwise deletes are bare-key
+    * tombstones. */
+  val DeleteByte: Byte = 3
+
+  def deleteValueBytes(commitTs: Long): Array[Byte] = {
+    val b = new Array[Byte](9)
+    b(0) = DeleteByte
+    var i = 0
+    while (i < 8) { b(1 + i) = ((commitTs >>> (8 * (7 - i))) & 0xffL).toByte; i += 1 }
+    b
+  }
+
+  /** Commit ts of a watermark-mode delete value
+    * (decodeDeleteCommitTs, decoder.go:231-239). */
+  def deleteValueCommitTs(bytes: Array[Byte]): Long = {
+    require(bytes.length == 9 && bytes(0) == DeleteByte,
+      s"avro invalid delete value: expected 0x03 + 8-byte commit ts, " +
+        s"got ${bytes.length} bytes")
+    var ts = 0L
+    var i = 0
+    while (i < 8) { ts = (ts << 8) | (bytes(1 + i) & 0xffL); i += 1 }
+    ts
+  }
 
   def ddlEventBytes(query: String, actionType: Int, schema: String,
                     table: String, commitTs: Long): Array[Byte] = {

@@ -125,14 +125,56 @@ object AvroWire {
           "select them apart before the avro sink")
     }
 
+  /** Value-mapping modes (codec/common/config.go:130-131 defaults):
+    * `decimal` = precise (bytes + logical decimal) | string;
+    * `unsignedBigint` = long (the u64 bits) | string. Unsigned BIGINT
+    * rides DecimalType(20,0) in this engine's payloads (the
+    * RawKvMounter convention, RawKvMounter.scala:208-212), so that
+    * shape dispatches the unsigned mode, not the decimal mode. */
+  final case class AvroModes(decimal: String = "precise",
+                             unsignedBigint: String = "long") {
+    require(decimal == "precise" || decimal == "string",
+      s"avro-decimal-handling-mode must be precise|string, got $decimal")
+    require(unsignedBigint == "long" || unsignedBigint == "string",
+      s"avro-bigint-unsigned-handling-mode must be long|string, got $unsignedBigint")
+  }
+
+  /** Mode-aware wire type for one column (arvo.go:551,637,657): the
+    * two string modes replace the precise carriers with plain
+    * strings; unsigned-bigint long mode ships the u64 BITS as avro
+    * long (the reference's int64(d.GetUint64())). */
+  private def wireTypeFor(dt: DataType, modes: AvroModes): String = dt match {
+    case d: DecimalType if d.precision == 20 && d.scale == 0 =>
+      if (modes.unsignedBigint == "long") "\"long\"" else "\"string\""
+    case _: DecimalType if modes.decimal == "string" => "\"string\""
+    case other => AvroCodec.avroTypeFor(other)
+  }
+
+  /** Mode-aware encode of one value (the inverse lives in
+    * [[AvroCodec.fromAvroValue]], which dispatches on the runtime
+    * avro type so ONE decoder reads every mode). */
+  private def toWireValue(v: Any, dt: DataType, modes: AvroModes): AnyRef =
+    (v, dt) match {
+      case (null, _) => null
+      case (x: java.math.BigDecimal, d: DecimalType)
+          if d.precision == 20 && d.scale == 0 =>
+        if (modes.unsignedBigint == "long") Long.box(x.toBigInteger.longValue())
+        else x.toPlainString
+      case (x: java.math.BigDecimal, _: DecimalType)
+          if modes.decimal == "string" =>
+        x.toPlainString
+      case _ => AvroCodec.toAvroValue(v, dt)
+    }
+
   /** VALUE record schema: every column a nullable union with default
     * (optional columns, the reference's generated shape) + the TiDB
     * extension meta fields. */
   def valueSchemaJson(payload: Seq[StructField], schema: String,
-                      table: String): String = {
+                      table: String,
+                      modes: AvroModes = AvroModes()): String = {
     checkSanitizeCollisions(payload, schema, table)
     val cols = payload.map(f =>
-      s"""{"name":"${sanitize(f.name)}","type":["null",${AvroCodec.avroTypeFor(f.dataType)}],"default":null}""")
+      s"""{"name":"${sanitize(f.name)}","type":["null",${wireTypeFor(f.dataType, modes)}],"default":null}""")
     val ext = Seq(
       """{"name":"_tidb_op","type":"string","default":"c"}""",
       """{"name":"_tidb_commit_ts","type":"long","default":0}""",
@@ -145,10 +187,11 @@ object AvroWire {
   /** KEY record schema: the handle-key columns, non-null (a handle
     * key is never null upstream). */
   def keySchemaJson(keys: Seq[StructField], schema: String,
-                    table: String): String = {
+                    table: String,
+                    modes: AvroModes = AvroModes()): String = {
     checkSanitizeCollisions(keys, schema, table)
     keys.map(f =>
-      s"""{"name":"${sanitize(f.name)}","type":${AvroCodec.avroTypeFor(f.dataType)}}""")
+      s"""{"name":"${sanitize(f.name)}","type":${wireTypeFor(f.dataType, modes)}}""")
       .mkString(
         s"""{"type":"record","name":"${sanitize(table)}","namespace":"graft.${sanitize(schema)}.key","fields":[""",
         ",", "]}")
@@ -160,11 +203,12 @@ object AvroWire {
     * (keySchemaId, valueSchemaId). */
   def registerTable(registryUri: String, topic: String, schema: String,
                     table: String, payload: StructType,
-                    handleKeys: Seq[String]): (Int, Int) = {
+                    handleKeys: Seq[String],
+                    modes: AvroModes = AvroModes()): (Int, Int) = {
     val store = registryFor(registryUri)
     val keyFields = payload.fields.filter(f => handleKeys.contains(f.name)).toSeq
-    val kJson = keySchemaJson(keyFields, schema, table)
-    val vJson = valueSchemaJson(payload.fields.toSeq, schema, table)
+    val kJson = keySchemaJson(keyFields, schema, table, modes)
+    val vJson = valueSchemaJson(payload.fields.toSeq, schema, table, modes)
     val kid = store.register(keySubject(topic, schema, table), kJson)
     val vid = store.register(valueSubject(topic, schema, table), vJson)
     if (isGlue(registryUri)) { recordGlue(registryUri, kJson); recordGlue(registryUri, vJson) }
@@ -184,7 +228,9 @@ object AvroWire {
     * invariant); heterogeneous feeds run per shape group like every
     * other struct-path protocol. */
   def encodeFeed(env: DataFrame, handleKeys: Seq[String],
-                 registryUri: String, topic: String = "graft"): DataFrame = {
+                 registryUri: String, topic: String = "graft",
+                 modes: AvroModes = AvroModes(),
+                 enableWatermark: Boolean = false): DataFrame = {
     require(registryUri.nonEmpty,
       "avro protocol requires a schema-registry uri")
     val payload = env.schema.fields.find(_.name == "after").get
@@ -222,8 +268,8 @@ object AvroWire {
           val (kFrame, kSchema, kWriter, vFrame, vSchema, vWriter) =
             cache.getOrElseUpdate((s, t), {
               val kJson = keySchemaJson(
-                keyIdx.map(k => StructField(k._1, k._2)), s, t)
-              val vJson = valueSchemaJson(payload.fields.toSeq, s, t)
+                keyIdx.map(k => StructField(k._1, k._2)), s, t, modes)
+              val vJson = valueSchemaJson(payload.fields.toSeq, s, t, modes)
               val ki = store.register(keySubject(topic, s, t), kJson)
               val vi = store.register(valueSubject(topic, s, t), vJson)
               val (kf, vf): (Array[Byte] => Array[Byte], Array[Byte] => Array[Byte]) =
@@ -246,16 +292,22 @@ object AvroWire {
           keyIdx.foreach { case (n, dt, i) =>
             kRec.put(sanitize(n),
               if (img == null || img.isNullAt(i)) null
-              else AvroCodec.toAvroValue(img.get(i), dt))
+              else toWireValue(img.get(i), dt, modes))
           }
           val keyBytes = kFrame(write(kWriter, kRec))
           val valueBytes =
-            if (op == "d") Array.emptyByteArray // tombstone
-            else {
+            if (op == "d") {
+              // watermark mode: the delete VALUE is 0x03 ++ BE commit
+              // ts (arvo.go:130-141) so a log-compacted topic keeps
+              // the delete's position; off, the bare-key avro
+              // tombstone (encodeValue returns nil)
+              if (!enableWatermark) Array.emptyByteArray
+              else AvroRegistry.deleteValueBytes(r.getLong(4))
+            } else {
               val vRec = new GenericData.Record(vSchema)
               fieldTypes.zipWithIndex.foreach { case ((n, dt), i) =>
                 vRec.put(sanitize(n), if (img == null || img.isNullAt(i)) null
-                  else AvroCodec.toAvroValue(img.get(i), dt))
+                  else toWireValue(img.get(i), dt, modes))
               }
               vRec.put("_tidb_op", op)
               vRec.put("_tidb_commit_ts", r.getLong(4))
@@ -279,12 +331,24 @@ object AvroWire {
   def decodeFeedAs(msgs: DataFrame, registryUri: String,
                    reader: StructType): DataFrame = {
     val fieldTypes = reader.fields.map(f => f.name -> f.dataType).toSeq
+    // frame stores written since the offset contract carry `_offset`
+    // (the producer's per-event apply order — the Kafka offset
+    // analog); pass it through so consumers can tiebreak
+    // same-commit-ts rows deterministically. Appended LAST so
+    // positional payload access stays stable for offset-less callers.
+    val hasOffset = msgs.columns.contains("_offset")
     val out = StructType(Seq(
       StructField("_schema", StringType), StructField("_table", StringType),
       StructField("_op", StringType), StructField("_commit_ts", LongType)) ++
-      reader.fields.map(f => f.copy(nullable = true)))
-    val readerFields = reader.fields.toSeq
-    msgs.select(col("_value"), col("_commit_ts")).mapPartitions { rows =>
+      reader.fields.map(f => f.copy(nullable = true)) ++
+      (if (hasOffset) Seq(StructField("_offset", LongType)) else Nil))
+    val selected =
+      if (hasOffset) msgs.select(col("_value"), col("_commit_ts"), col("_offset"))
+      else msgs.select(col("_value"), col("_commit_ts"))
+    selected.mapPartitions { rows =>
+      def offOf(r: Row): Seq[Any] =
+        if (!hasOffset) Nil
+        else Seq(if (r.isNullAt(2)) null else r.getLong(2))
       val store = registryFor(registryUri)
       val readers = scala.collection.mutable.Map.empty[String, (Schema, GenericDatumReader[GenericRecord])]
       var dec: BinaryDecoder = null
@@ -301,46 +365,50 @@ object AvroWire {
           val (id, payload) = AvroRegistry.unframe(bytes)
           (id.toString, store.byId(id), payload)
         }
-      def readRec(bytes: Array[Byte], resolve: Boolean): (Schema, GenericRecord) = {
+      // read every record with its WRITER schema and probe per reader
+      // field (like DebeziumAvroWire): pre-DDL eras read their missing
+      // columns as null, and a mode-divergent writer (string-mode
+      // decimals/u64) decodes without the reader guessing its wire
+      // types — fromAvroValue converts by runtime avro type
+      def readRec(bytes: Array[Byte]): (Schema, GenericRecord) = {
         val (refKey, writerJson, payload) = resolveWriter(bytes)
         val (wSchema, rdr) = readers.getOrElseUpdate(refKey, {
           val w = new Schema.Parser().parse(writerJson)
-          if (!resolve) (w, new GenericDatumReader[GenericRecord](w))
-          else {
-            // Avro resolution matches records by fullname: build the
-            // reader under the WRITER's own name (its fields are the
-            // caller's reader shape either way)
-            val rs = new Schema.Parser().parse(valueSchemaJson(
-              readerFields, w.getNamespace.stripPrefix("graft."), w.getName))
-            (w, new GenericDatumReader[GenericRecord](w, rs))
-          }
+          (w, new GenericDatumReader[GenericRecord](w))
         })
         dec = DecoderFactory.get().binaryDecoder(payload, dec)
         (wSchema, rdr.read(null, dec))
       }
       rows.flatMap { r =>
         val (k, v) = OpenBatch.parseFrame(r.getString(0))
+        val isWatermarkDelete = v.length == 9 && v(0) == AvroRegistry.DeleteByte
         if (v.nonEmpty && (v(0) == AvroRegistry.DdlByte ||
             v(0) == AvroRegistry.CheckpointByte)) None // control event
-        else if (v.isEmpty) { // delete tombstone: key-only
-          val (ks, rec) = readRec(k, resolve = false)
+        else if (v.isEmpty || isWatermarkDelete) {
+          // delete: bare-key tombstone, or the watermark-mode 0x03 +
+          // commit-ts value (isDeleteValue, decoder.go:225-239) — the
+          // image decodes from the KEY either way
+          val (ks, rec) = readRec(k)
           val vals = fieldTypes.map { case (n, dt) =>
             Option(ks.getField(sanitize(n)))
               .map(f => AvroCodec.fromAvroValue(rec.get(f.pos()), dt)).orNull
           }
+          val ts =
+            if (isWatermarkDelete) AvroRegistry.deleteValueCommitTs(v)
+            else r.getLong(1)
           Some(Row.fromSeq(Seq(
             ks.getNamespace.stripPrefix("graft.").stripSuffix(".key"),
-            ks.getName, "d", r.getLong(1)) ++ vals))
+            ks.getName, "d", ts) ++ vals ++ offOf(r)))
         } else {
-          val (vs, rec) = readRec(v, resolve = true)
+          val (vs, rec) = readRec(v)
           val vals = fieldTypes.map { case (n, dt) =>
-            AvroCodec.fromAvroValue(
-              rec.get(sanitize(n)).asInstanceOf[AnyRef], dt)
+            Option(vs.getField(sanitize(n)))
+              .map(f => AvroCodec.fromAvroValue(rec.get(f.pos()), dt)).orNull
           }
           Some(Row.fromSeq(Seq(
             vs.getNamespace.stripPrefix("graft."), vs.getName,
             rec.get("_tidb_op").toString,
-            rec.get("_tidb_commit_ts").asInstanceOf[Long]) ++ vals))
+            rec.get("_tidb_commit_ts").asInstanceOf[Long]) ++ vals ++ offOf(r)))
         }
       }
     }(Encoders.row(out))
@@ -387,9 +455,11 @@ object AvroWire {
     import scala.jdk.CollectionConverters._
     val store = registryFor(registryUri)
     val subject = valueSubject(topic, schema, table)
-    val vs = store.versions(subject)
-    require(vs.nonEmpty, s"no registered value schema under $subject")
-    val parsed = new Schema.Parser().parse(store.byId(vs.last))
+    require(store.versions(subject).nonEmpty,
+      s"no registered value schema under $subject")
+    // versions/latest — the answer that carries the GLOBAL schema id
+    // with the schema (version numbers are NOT ids on a real registry)
+    val parsed = new Schema.Parser().parse(store.latest(subject)._2)
     StructType(parsed.getFields.asScala
       .filterNot(_.name.startsWith("_tidb_"))
       .map(f => StructField(f.name, sparkTypeOf(f.schema()))).toSeq)
@@ -402,9 +472,9 @@ object AvroWire {
     import scala.jdk.CollectionConverters._
     val store = registryFor(registryUri)
     val subject = keySubject(topic, schema, table)
-    val vs = store.versions(subject)
-    require(vs.nonEmpty, s"no registered key schema under $subject")
-    new Schema.Parser().parse(store.byId(vs.last))
+    require(store.versions(subject).nonEmpty,
+      s"no registered key schema under $subject")
+    new Schema.Parser().parse(store.latest(subject)._2)
       .getFields.asScala.map(_.name).toSeq
   }
 

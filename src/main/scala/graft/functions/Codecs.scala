@@ -289,7 +289,8 @@ object Codecs {
     * protocols with no wire-level watermark (csv) fall back to the
     * open key as a transport-level marker the consumer filters. */
   def resolvedMessageFor(protocol: graft.model.Protocol, resolvedTs: Long,
-                         encodingFormat: String = "json"): (String, String) =
+                         encodingFormat: String = "json",
+                         debeziumDisableSchema: Boolean = false): (String, String) =
     protocol match {
       // encoding-format=avro: the WATERMARK rides the official
       // com.pingcap.simple.avro record (MarshalCheckpoint,
@@ -301,8 +302,9 @@ object Codecs {
         ("", CanalFull.watermarkMessage(resolvedTs, resolvedTs / 1000000L))
       case graft.model.Protocol.Simple => ("", simpleResolvedMessage(resolvedTs))
       case graft.model.Protocol.Debezium =>
-        (DebeziumFull.watermarkKeyJson("graft"),
-          DebeziumFull.watermarkValueJson("graft", resolvedTs))
+        (DebeziumFull.watermarkKeyJson("graft", debeziumDisableSchema),
+          DebeziumFull.watermarkValueJson("graft", resolvedTs,
+            disableSchema = debeziumDisableSchema))
       // avro checkpoint: the 0x02 control event's bytes in the b64
       // string frame (EncodeCheckpointEvent, avro/encoder.go:104-147)
       case graft.model.Protocol.Avro =>
@@ -635,32 +637,98 @@ object Codecs {
 
   /** CSV line over an arbitrary payload schema (meta columns then
     * payload in schema order; csv_message.go:246-330 type switch). */
-  def csvLineFor(env: DataFrame): DataFrame = {
-    val fields = env.schema("after").dataType.asInstanceOf[StructType].fields.toSeq
-    def q(c: Column): Column = concat(
-      lit("\""),
-      regexp_replace(coalesce(c.cast("string"), lit("\\N")), lit("\""), lit("\"\"")),
-      lit("\""))
-    val img = when(col("_op") === "D", col("before")).otherwise(col("after"))
-    val payload = fields.map { f =>
-      val c = img.getField(f.name)
-      f.dataType match {
-        case StringType => q(c)
-        case BinaryType => coalesce(base64(c), lit("\\N"))
-        case BooleanType => coalesce(when(c, lit("1")).otherwise(lit("0")), lit("\\N"))
-        case DateType => coalesce(date_format(c, "yyyy-MM-dd"), lit("\\N"))
-        case _: TimestampType | _: TimestampNTZType =>
-          coalesce(date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"), lit("\\N"))
-        case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
-          coalesce(concat(lit("\"["),
-            array_join(transform(c, e => e.cast("string")), ","), lit("]\"")), lit("\\N"))
-        case _ => coalesce(c.cast("string"), lit("\\N"))
+  /** Config-driven column rendering for the generic csv wire
+    * (fromColValToCsvVal + formatValue, csv_message.go:166-345):
+    * `quote` nonempty → RFC-4180 quote doubling; empty → the
+    * backslash-escape mode (formatWithEscapes: \\ \r \n and each
+    * delimiter character escape); binaries per
+    * `binary-encoding-method`. */
+  private def csvCell(c: Column, dt: DataType,
+                      csv: graft.model.CsvConfig): Column = {
+    val nul = lit(csv.nullString)
+    def render(s: Column): Column =
+      if (csv.quote.nonEmpty)
+        concat(lit(csv.quote),
+          regexp_replace(s, lit(csv.quote), lit(csv.quote + csv.quote)),
+          lit(csv.quote))
+      else {
+        // escape order matters: backslash first, then CR/LF, then the
+        // delimiter's characters (csv_message.go:208-244)
+        val esc0 = regexp_replace(s, lit("\\\\"), lit("\\\\\\\\"))
+        val esc1 = regexp_replace(esc0, lit("\r"), lit("\\\\r"))
+        val esc2 = regexp_replace(esc1, lit("\n"), lit("\\\\n"))
+        csv.delimiter.distinct.foldLeft(esc2) { (acc, ch) =>
+          regexp_replace(acc,
+            lit(java.util.regex.Pattern.quote(ch.toString)),
+            lit(java.util.regex.Matcher.quoteReplacement("\\" + ch)))
+        }
       }
+    def bin(c2: Column): Column =
+      if (csv.binaryEncodingMethod == "hex") lower(hex(c2)) else base64(c2)
+    dt match {
+      case StringType => coalesce(render(c), nul)
+      case BinaryType => coalesce(bin(c), nul)
+      case BooleanType => coalesce(when(c, lit("1")).otherwise(lit("0")), nul)
+      case DateType => coalesce(date_format(c, "yyyy-MM-dd"), nul)
+      case _: TimestampType | _: TimestampNTZType =>
+        coalesce(date_format(c, "yyyy-MM-dd HH:mm:ss.SSSSSS"), nul)
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        coalesce(render(concat(lit("["),
+          array_join(transform(c, e => e.cast("string")), ","), lit("]"))), nul)
+      case _ => coalesce(c.cast("string"), nul)
     }
-    // meta order is op, TABLE, SCHEMA, commitTs (csv_message.go:122-127)
-    env.withColumn("_value", concat_ws(",",
-      (Seq(q(when(col("_op") === "I", "I").when(col("_op") === "U", "U").otherwise("D")),
-        q(col("_table")), q(col("_schema")),
-        col("_commit_ts").cast("string")) ++ payload): _*))
+  }
+
+  /** `ticdc-meta$...` header line (encodeHeader, csv_message.go:
+    * 418-446): meta column names, then the payload column names, in
+    * the record order — emitted once per message/file when
+    * `output-field-header` is on. */
+  def csvHeaderFor(colNames: Seq[String],
+                   csv: graft.model.CsvConfig): String = {
+    val meta = Seq("ticdc-meta$operation", "ticdc-meta$table",
+      "ticdc-meta$schema") ++
+      (if (csv.includeCommitTs) Seq("ticdc-meta$commit-ts") else Nil) ++
+      (if (csv.outputOldValue) Seq("ticdc-meta$is-update") else Nil)
+    (meta ++ colNames).mkString(csv.delimiter)
+  }
+
+  /** The csv codec config this engine's established storage layout
+    * pinned before the knob surface existed: commit ts included
+    * (the common cloud-storage deployment shape). The [[graft.model
+    * .CsvConfig]] DEFAULTS mirror the reference's config defaults
+    * instead (include-commit-ts=false). */
+  val csvLegacy: graft.model.CsvConfig =
+    graft.model.CsvConfig(includeCommitTs = true)
+
+  def csvLineFor(env: DataFrame,
+                 csv: graft.model.CsvConfig = csvLegacy): DataFrame = {
+    csv.validate()
+    val fields = env.schema("after").dataType.asInstanceOf[StructType].fields.toSeq
+    def q(c: Column): Column = csvCell(c, StringType, csv)
+    def payloadOf(img: Column) =
+      fields.map(f => csvCell(img.getField(f.name), f.dataType, csv))
+    // meta order is op, TABLE, SCHEMA, [commitTs], [is-updated]
+    // (encodeMeta, csv_message.go:122-140)
+    def rec(op: Column, img: Column, updated: Column): Seq[Column] =
+      Seq(q(op), q(col("_table")), q(col("_schema"))) ++
+        (if (csv.includeCommitTs) Seq(col("_commit_ts").cast("string")) else Nil) ++
+        (if (csv.outputOldValue) Seq(updated.cast("string")) else Nil) ++
+        payloadOf(img)
+    val plainOp = when(col("_op") === "I", "I")
+      .when(col("_op") === "U", "U").otherwise("D")
+    val plainImg = when(col("_op") === "D", col("before")).otherwise(col("after"))
+    val plain = concat_ws(csv.delimiter,
+      rec(plainOp, plainImg, lit(false)): _*)
+    if (!csv.outputOldValue) env.withColumn("_value", plain)
+    else {
+      // output-old-value: an UPDATE ships as a D+I record pair with
+      // is-updated=true (csv_message.go:104-118)
+      val pair = concat_ws("\n",
+        concat_ws(csv.delimiter, rec(lit("D"), col("before"), lit(true)): _*),
+        concat_ws(csv.delimiter, rec(lit("I"), col("after"), lit(true)): _*))
+      env.withColumn("_value",
+        when(col("_op") === "U" && col("before").isNotNull, pair)
+          .otherwise(plain))
+    }
   }
 }

@@ -164,6 +164,12 @@ object DebeziumAvroWire {
           val before = if (op == "c") null else img(5)
           val after = if (op == "d") null else img(6)
           val keyImg = if (op == "d") before else after
+          // the key schema is intentionally non-nullable — fail with
+          // the offending table/op instead of an opaque datum-writer
+          // NPE deep inside the task
+          require(keyImg != null,
+            s"debezium-avro $op event on $s.$t has no key-side image " +
+              "(delete needs `before`, insert/update need `after`)")
           val kRec = new GenericData.Record(kSchema)
           keyIdx.foreach { case (n, dt, i) =>
             kRec.put(sanitize(n),

@@ -275,7 +275,8 @@ object DebeziumFull {
   /** Encode DML envelope rows (`before`/`after` structs of raw MySQL
     * literal strings, `_op` I/U/D, `_schema`/`_table`/`_commit_ts`)
     * into full Debezium key+value messages with schema blocks. */
-  def encode(env: DataFrame, t: MySqlTable, serverName: String): DataFrame = {
+  def encode(env: DataFrame, t: MySqlTable, serverName: String,
+             disableSchema: Boolean = false): DataFrame = {
     val op = when(col("_op") === "I", "c").when(col("_op") === "U", "u").otherwise("d")
     val tsMs = (col("_commit_ts").cast(DecimalType(38, 0)) / lit(1000000L)).cast("long")
     val keyImg = when(col("_op") === "D", col("before")).otherwise(col("after"))
@@ -283,12 +284,21 @@ object DebeziumFull {
       val sep = if (i == 0) "{\"" else ",\""
       Seq(lit(s"$sep${c.name}\":"), jsonToken(c, keyImg.getField(c.name)))
     } :+ lit("}")
+    // debezium-disable-schema (codec.go:1023,1131): the `schema`
+    // block drops from key AND envelope, the {"payload":...} wrapper
+    // stays — the schemas.enable=false JSON-converter shape a
+    // registry-backed consumer expects
+    val keyHead =
+      if (disableSchema) """{"payload":"""
+      else s"""{"schema":${keySchemaJson(serverName, t)},"payload":"""
+    val valueHead =
+      if (disableSchema) """{"payload":{"before":"""
+      else s"""{"schema":${envelopeSchemaJson(serverName, t)},"payload":{"before":"""
     env
       .withColumn("_key", concat(
-        lit(s"""{"schema":${keySchemaJson(serverName, t)},"payload":"""),
-        concat(keyBody: _*), lit("}")))
+        lit(keyHead), concat(keyBody: _*), lit("}")))
       .withColumn("_value", concat(
-        lit(s"""{"schema":${envelopeSchemaJson(serverName, t)},"payload":{"before":"""),
+        lit(valueHead),
         imageJson("before", t.cols),
         lit(""","after":"""), imageJson("after", t.cols),
         lit(""","source":"""), sourcePayload(serverName),

@@ -320,6 +320,52 @@ object Decoders {
         parsed.getField("k").as("k"))
   }
 
+  /** Generic csv decode for an ARBITRARY payload shape — the wire
+    * carries bare values with no schema, so the caller supplies the
+    * reader struct (meta cols op, TABLE, SCHEMA, [commitTs] lead each
+    * line, csv_message.go encodeMeta order) and the codec config the
+    * producer encoded with (csv_decoder.go builds its reader from the
+    * same CSVConfig). Binary columns arrive as text in the configured
+    * `binary-encoding-method`; a missing commit-ts column (the
+    * reference DEFAULT) decodes as 0 (csv_message.go:130). */
+  def decodeCsvAs(msgs: DataFrame, reader: StructType,
+                  valueCol: String = "_value",
+                  csv: graft.model.CsvConfig =
+                    graft.functions.Codecs.csvLegacy): DataFrame = {
+    csv.validate()
+    val wire = StructType(Seq(
+      StructField("_op", StringType),
+      StructField("_table", StringType),
+      StructField("_schema", StringType)) ++
+      (if (csv.includeCommitTs) Seq(StructField("_commit_ts", LongType)) else Nil) ++
+      reader.fields.map { f =>
+        val dt = f.dataType match {
+          case BinaryType => StringType // b64/hex text, converted below
+          case other => other
+        }
+        StructField(f.name, dt, nullable = true)
+      })
+    val opts = Map("nullValue" -> csv.nullString, "sep" -> csv.delimiter,
+      "timestampNTZFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS",
+      "timestampFormat" -> "yyyy-MM-dd HH:mm:ss.SSSSSS") ++
+      (if (csv.quote.nonEmpty) Map("quote" -> csv.quote, "escape" -> csv.quote)
+       else Map("quote" -> "\u0000", "escape" -> "\\"))
+    val parsed = col("__csv")
+    def payloadCol(f: StructField): Column = f.dataType match {
+      case BinaryType if csv.binaryEncodingMethod == "hex" =>
+        unhex(parsed.getField(f.name)).as(f.name)
+      case BinaryType => unbase64(parsed.getField(f.name)).as(f.name)
+      case _ => parsed.getField(f.name).as(f.name)
+    }
+    msgs
+      .withColumn("__csv", from_csv(col(valueCol), wire, opts))
+      .select(Seq("_op", "_schema", "_table").map(n =>
+          parsed.getField(n).as(n)) ++
+        Seq(if (csv.includeCommitTs) parsed.getField("_commit_ts").as("_commit_ts")
+            else lit(0L).as("_commit_ts")) ++
+        reader.fields.toSeq.map(payloadCol): _*)
+  }
+
   def decodeCsv(msgs: DataFrame, valueCol: String = "_value"): DataFrame = {
     // parse ONCE into an attribute (see decodeCanalFor)
     val parsed = col("__csv")

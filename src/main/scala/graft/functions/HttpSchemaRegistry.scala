@@ -146,6 +146,28 @@ object HttpSchemaRegistry {
       (0 until arr.size()).map(arr.get(_).asInt())
     }
 
+    /** `GET /subjects/{s}/versions/latest` — the one call that
+      * carries BOTH the global schema id and the schema text, so a
+      * consumer never confuses version numbers with ids
+      * (confluent_schema_registry.go resolves the latest the same
+      * way). */
+    def latest(subject: String): (Int, String) = {
+      val (code, body) =
+        request("GET", s"/subjects/${enc(subject)}/versions/latest")
+      require(code == 200, s"versions/latest failed: HTTP $code $body")
+      val node = mapper.readTree(body)
+      (node.get("id").asInt(), node.get("schema").asText())
+    }
+
+    /** Version→global-id translation, one `GET
+      * /subjects/{s}/versions/{v}` per version (the real API exposes
+      * no bulk id listing). */
+    def idsFor(subject: String): Seq[Int] = versions(subject).map { v =>
+      val (code, body) = request("GET", s"/subjects/${enc(subject)}/versions/$v")
+      require(code == 200, s"version $v lookup failed: HTTP $code $body")
+      mapper.readTree(body).get("id").asInt()
+    }
+
     private def enc(s: String): String =
       java.net.URLEncoder.encode(s, "UTF-8")
   }
@@ -229,11 +251,32 @@ object HttpSchemaRegistry {
                   """{"error_code":40403,"message":"Schema not found"}""")
             }
           case ("GET", Seq("subjects", subject, "versions")) =>
+            // Confluent contract: VERSION NUMBERS (1,2,3…), not ids
             val vs = store.versions(java.net.URLDecoder.decode(subject, "UTF-8"))
             if (vs.isEmpty)
               respond(ex, 404,
                 """{"error_code":40401,"message":"Subject not found"}""")
             else respond(ex, 200, vs.mkString("[", ",", "]"))
+          case ("GET", Seq("subjects", subject, "versions", v)) =>
+            // `latest` or a concrete version number → the full version
+            // record {subject, version, id, schema} (the only payload
+            // that ties a version to its GLOBAL schema id)
+            val sub = java.net.URLDecoder.decode(subject, "UTF-8")
+            val ids = store.idsFor(sub)
+            val idx =
+              if (v == "latest") ids.size - 1
+              else v.toIntOption.map(_ - 1).getOrElse(-1)
+            if (idx < 0 || idx >= ids.size)
+              respond(ex, 404,
+                """{"error_code":40402,"message":"Version not found"}""")
+            else {
+              val node = mapper.createObjectNode()
+              node.put("subject", sub)
+              node.put("version", idx + 1)
+              node.put("id", ids(idx))
+              node.put("schema", store.byId(ids(idx)))
+              respond(ex, 200, mapper.writeValueAsString(node))
+            }
           case _ =>
             respond(ex, 404, """{"error_code":404,"message":"not found"}""")
         }

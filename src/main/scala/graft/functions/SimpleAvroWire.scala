@@ -66,8 +66,18 @@ object SimpleAvroWire {
       val b = new Array[Byte](x.remaining()); x.duplicate().get(b); b
     case (rec: GenericRecord, _) if rec.getSchema.getName == "UnsignedBigint" =>
       rec.get("value")
-    case (rec: GenericRecord, _) if rec.getSchema.getName == "Timestamp" =>
-      java.sql.Timestamp.valueOf(String.valueOf(rec.get("value")))
+    case (rec: GenericRecord, rdt) if rec.getSchema.getName == "Timestamp" =>
+      // the reader dtype decides the carrier: a wire-learned reader
+      // (bootstrapSchemas maps time types to VARCHAR → StringType)
+      // must receive the RENDERED string, not a Timestamp object in a
+      // StringType slot (the Row encoder rejects that at runtime)
+      val rendered = String.valueOf(rec.get("value"))
+      rdt match {
+        case TimestampType => java.sql.Timestamp.valueOf(rendered)
+        case DateType => java.sql.Date.valueOf(rendered.take(10))
+        case _ => rendered
+      }
+    case (x, DateType) => java.sql.Date.valueOf(String.valueOf(x).take(10))
     case (x, StringType) => String.valueOf(x)
     case (x, d: DecimalType) => new java.math.BigDecimal(String.valueOf(x))
     case (x, _) => x
@@ -304,6 +314,16 @@ object SimpleAvroWire {
       val op = String.valueOf(p.get("type"))
       val db = String.valueOf(p.get("database"))
       val tb = String.valueOf(p.get("table"))
+      // the pointer forms KEEP the original e2e checksum block
+      // (simple/encoder.go keeps it on handle-key-only messages) — a
+      // consumer that fetches the claim object can still verify, and
+      // countCorrupted no longer silently skips these rows
+      val cks = Option(p.get("checksum").asInstanceOf[GenericRecord]).map { c =>
+        (c.get("version").asInstanceOf[java.lang.Integer].intValue(),
+          c.get("corrupted").asInstanceOf[java.lang.Boolean].booleanValue(),
+          c.get("current").asInstanceOf[java.lang.Long].longValue(),
+          c.get("previous").asInstanceOf[java.lang.Long].longValue())
+      }
       val out = SimpleAvro.encodeDml(op, db, tb,
         p.get("tableID").asInstanceOf[java.lang.Long].longValue(),
         p.get("commitTs").asInstanceOf[java.lang.Long].longValue(),
@@ -312,7 +332,8 @@ object SimpleAvroWire {
         data = if (op == "DELETE") Map.empty else trim("data"),
         old = if (op == "INSERT") Map.empty else trim("old"),
         handleKeyOnly = true,
-        claimCheckLocation = claimUri.map(u => claimLocationOf(u, db, tb, frame)))
+        claimCheckLocation = claimUri.map(u => claimLocationOf(u, db, tb, frame)),
+        checksum = cks)
       OpenBatch.frameJson(Array.emptyByteArray, out)
     }
   }
@@ -413,6 +434,32 @@ object SimpleAvroWire {
       case "double" | "float" | "decimal" => "DECIMAL(18,2)"
       case _ => "VARCHAR(255)"
     }
+    bootstrapRaw(msgs).map { case (k, (cols, pk)) =>
+      k -> (cols.map { case (n, mt) => n -> sqlOf(mt) }, pk)
+    }
+  }
+
+  /** Wire-learned READER structs from the handshakes — mysqlType →
+    * the Spark type this wire's DML values decode to (encodeValue4Avro
+    * value model: integer family → long, float/double → double,
+    * decimals ride plain strings, time types rendered strings). The
+    * decode-side twin of [[bootstrapSchemas]]' apply DDL. */
+  def bootstrapReaders(msgs: DataFrame): Map[(String, String), StructType] = {
+    def sparkOf(mysql: String): DataType = mysql match {
+      case "bigint" | "int" | "mediumint" | "smallint" | "tinyint" => LongType
+      case "double" | "float" => DoubleType
+      case _ => StringType
+    }
+    bootstrapRaw(msgs).map { case (k, (cols, _)) =>
+      k -> StructType(cols.map { case (n, mt) => StructField(n, sparkOf(mt)) })
+    }
+  }
+
+  /** Handshake decode shared by [[bootstrapSchemas]] /
+    * [[bootstrapReaders]]: (schema, table) → (columns as (name,
+    * mysqlType), pk), highest-version handshake wins. */
+  private def bootstrapRaw(msgs: DataFrame)
+      : Map[(String, String), (Seq[(String, String)], Seq[String])] = {
     bootstrapFrames(msgs)
       .collect().iterator.flatMap { r =>
         try {
@@ -426,7 +473,7 @@ object SimpleAvroWire {
                 val cr = c.asInstanceOf[GenericRecord]
                 val mysql = String.valueOf(
                   cr.get("dataType").asInstanceOf[GenericRecord].get("mysqlType"))
-                String.valueOf(cr.get("name")) -> sqlOf(mysql)
+                String.valueOf(cr.get("name")) -> mysql
               }.toSeq
             val pk = ts.get("indexes")
               .asInstanceOf[java.util.List[AnyRef]].asScala

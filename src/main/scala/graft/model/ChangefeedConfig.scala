@@ -61,6 +61,110 @@ object Protocol {
   case object Avro extends Protocol
 }
 
+/** CSV codec block (pkg/config/sink.go:270-290 CSVConfig; defaults
+  * replica_config.go:68-73 — note `include-commit-ts` defaults FALSE
+  * in the reference, so a default reference config ships csv lines
+  * WITHOUT the commit-ts column). Validation mirrors
+  * `validateAndAdjust` (sink.go:292-345). */
+final case class CsvConfig(
+    /** 1-3 characters, no CR/LF, disjoint from `quote`. */
+    delimiter: String = ",",
+    /** One quoting character ("" = backslash-escape mode,
+      * csv_message.go:208-244 formatWithEscapes). */
+    quote: String = "\"",
+    nullString: String = "\\N",
+    includeCommitTs: Boolean = false,
+    /** base64 | hex (csv_message.go:286-293). */
+    binaryEncodingMethod: String = "base64",
+    /** Update ships as a D+I record pair with the is-updated meta
+      * column (csv_message.go:104-140). */
+    outputOldValue: Boolean = false,
+    /** `ticdc-meta$...` header line leads each message/file
+      * (csv_message.go:418-446 encodeHeader). */
+    outputFieldHeader: Boolean = false) {
+
+  def isDefault: Boolean = this == CsvConfig()
+
+  /** sink.go:292-345 validateAndAdjust, minus the nil/adjust arms. */
+  def validate(): Unit = {
+    require(quote.length <= 1,
+      "csv config quote contains more than one character")
+    require(!quote.exists(c => c == '\r' || c == '\n'),
+      "csv config quote cannot be line break character")
+    require(delimiter.nonEmpty, "csv config delimiter cannot be empty")
+    require(delimiter.length <= 3,
+      "csv config delimiter contains more than three characters")
+    require(!delimiter.exists(c => c == '\r' || c == '\n'),
+      "csv config delimiter contains line break characters")
+    require(quote.isEmpty || !delimiter.exists(quote.contains(_)),
+      "csv config quote and delimiter has common characters which is not allowed")
+    require(binaryEncodingMethod == "base64" || binaryEncodingMethod == "hex",
+      "csv config binary-encoding-method can only be hex or base64")
+  }
+}
+
+/** `[sink.mysql-config]` writer-tuning block (pkg/config/sink.go:
+  * 710-728; defaults + caps pkg/sink/mysql/config.go:40-81). Drives
+  * the statement coalescer: `max-txn-row` caps every multi-row run,
+  * `max-multi-update-row`/`-size` additionally cap UPDATE-class runs,
+  * `enable-batch-dml=false` forces per-row statements
+  * (mysql_writer_dml.go:126-140). */
+final case class MysqlSinkConfig(
+    workerCount: Int = 16,
+    maxTxnRow: Int = 256,
+    maxMultiUpdateRow: Int = 40,
+    maxMultiUpdateRowSize: Int = 1024,
+    enableBatchDml: Boolean = true) {
+  def isDefault: Boolean = this == MysqlSinkConfig()
+  /** validateAndAdjust (mysql/config.go:554-585): values must be
+    * positive; over-cap values CLAMP to the upper limits (the
+    * reference warns and clamps rather than rejecting). */
+  def adjusted: MysqlSinkConfig = {
+    require(workerCount > 0 && maxTxnRow > 0 && maxMultiUpdateRow > 0 &&
+        maxMultiUpdateRowSize > 0,
+      s"mysql sink config values must be greater than 0: $this")
+    copy(
+      workerCount = math.min(workerCount, 1024),
+      maxTxnRow = math.min(maxTxnRow, 2048),
+      maxMultiUpdateRow = math.min(maxMultiUpdateRow, 256),
+      maxMultiUpdateRowSize = math.min(maxMultiUpdateRowSize, 8192))
+  }
+}
+
+/** `[sink.cloud-storage-config]` block (pkg/config/sink.go:730-747;
+  * defaults + clamps pkg/cloudstorage/config.go:34-63). `file-size`
+  * drives the data-file roll, `flush-interval` the flush cadence
+  * (micro-batch trigger period in this engine),
+  * `file-expiration-days` + `file-cleanup-cron-spec` the date-
+  * partition retention pass ([[graft.sinks.StorageSink
+  * .cleanupExpired]]); 0 expiration days = cleanup disabled (the
+  * reference default). */
+final case class CloudStorageSinkConfig(
+    workerCount: Int = 16,
+    flushInterval: String = "5s",
+    fileSize: Int = 64 * 1024 * 1024,
+    fileExpirationDays: Int = 0,
+    fileCleanupCronSpec: String = "0 0 2 * * *") {
+  def isDefault: Boolean = this == CloudStorageSinkConfig()
+  /** flush-interval parsed to ms, clamped to the reference's
+    * [100ms, 10m] window (cloudstorage/config.go:41-43). */
+  def flushIntervalMs: Long = {
+    val p = "^(\\d+)(ms|s|m)$".r
+    val raw = flushInterval.trim match {
+      case p(n, "ms") => n.toLong
+      case p(n, "s") => n.toLong * 1000L
+      case p(n, "m") => n.toLong * 60000L
+      case other => throw new IllegalArgumentException(
+        s"invalid flush-interval '$other' (want e.g. 500ms, 2s, 1m)")
+    }
+    math.min(math.max(raw, 100L), 600000L)
+  }
+  /** file-size clamped to [1KiB, 512MiB]
+    * (cloudstorage/config.go:55-57). */
+  def adjustedFileSize: Int =
+    math.min(math.max(fileSize, 1024), 512 * 1024 * 1024)
+}
+
 /** Large-message handling block (pkg/config/large_message.go:30-37
   * toml tags; semantics large_message.go:47-116 AdjustAndValidate). */
 final case class LargeMessageHandle(
@@ -176,7 +280,38 @@ final case class SinkConfig(
       * kafka_simple_basic_avro), debezium under Confluent-framed
       * envelope records ([[graft.functions.DebeziumAvroWire]], the
       * debezium_avro scenario — needs [[schemaRegistry]]). */
-    encodingFormat: String = "json")
+    encodingFormat: String = "json",
+    /** `avro-decimal-handling-mode` (pkg/config/sink.go:454; codec
+      * default "precise", codec/common/config.go:130): precise →
+      * DECIMAL columns ship as avro bytes + logical decimal; string →
+      * plain decimal strings (arvo.go:551,657 — a string-mode feed is
+      * NOT byte-compatible with a precise one). */
+    avroDecimalHandlingMode: String = "precise",
+    /** `avro-bigint-unsigned-handling-mode` (sink.go:455; default
+      * "long"): long → the u64 bits as avro long; string → the
+      * decimal string (arvo.go:637). Unsigned BIGINT rides
+      * DecimalType(20,0) in this engine's payloads (the
+      * RawKvMounter convention). */
+    avroBigintUnsignedHandlingMode: String = "long",
+    /** `avro-enable-watermark` (sink.go:453; default FALSE): the 0x01
+      * DDL and 0x02 checkpoint control events ship ONLY when enabled
+      * (encoder.go:106,125), and deletes carry the 0x03 + commit-ts
+      * value instead of the bare key tombstone (arvo.go:130,
+      * decoder.go:227). */
+    avroEnableWatermark: Boolean = false,
+    /** `[sink.csv]` codec block (sink.go:205 `toml:"csv"`). */
+    csv: CsvConfig = CsvConfig(),
+    /** `debezium-disable-schema` (sink.go:202; codec default false,
+      * codec/common/config.go:145): drop the `schema` block from
+      * EVERY debezium JSON message — DML envelopes and keys included
+      * (codec.go:1023,1131,1284,1460,1653) — leaving the bare
+      * `{"payload":...}` wrapper. Halves message size for
+      * registry-backed consumers. */
+    debeziumDisableSchema: Boolean = false,
+    /** `[sink.mysql-config]` writer tuning (sink.go:180). */
+    mysqlConfig: MysqlSinkConfig = MysqlSinkConfig(),
+    /** `[sink.cloud-storage-config]` (sink.go:181). */
+    cloudStorageConfig: CloudStorageSinkConfig = CloudStorageSinkConfig())
 
 /** Span-scheduling knobs (pkg/config/scheduler_config.go:35-69;
   * defaults replica_config.go:105-117). In this engine the split

@@ -225,6 +225,50 @@ object ConfigToml {
         doc.int("sink", "max-message-bytes").map(_.toInt).getOrElse(10 * 1024 * 1024),
       schemaRegistry = doc.str("sink", "schema-registry").getOrElse(""),
       encodingFormat = doc.str("sink", "encoding-format").getOrElse("json"),
+      avroDecimalHandlingMode =
+        doc.str("sink", "avro-decimal-handling-mode").getOrElse("precise"),
+      avroBigintUnsignedHandlingMode =
+        doc.str("sink", "avro-bigint-unsigned-handling-mode").getOrElse("long"),
+      avroEnableWatermark =
+        doc.bool("sink", "avro-enable-watermark").getOrElse(false),
+      debeziumDisableSchema =
+        doc.bool("sink", "debezium-disable-schema").getOrElse(false),
+      mysqlConfig = {
+        val m = "sink.mysql-config"
+        MysqlSinkConfig(
+          workerCount = doc.int(m, "worker-count").map(_.toInt).getOrElse(16),
+          maxTxnRow = doc.int(m, "max-txn-row").map(_.toInt).getOrElse(256),
+          maxMultiUpdateRow =
+            doc.int(m, "max-multi-update-row").map(_.toInt).getOrElse(40),
+          maxMultiUpdateRowSize =
+            doc.int(m, "max-multi-update-row-size").map(_.toInt).getOrElse(1024),
+          enableBatchDml = doc.bool(m, "enable-batch-dml").getOrElse(true))
+      },
+      cloudStorageConfig = {
+        val c = "sink.cloud-storage-config"
+        CloudStorageSinkConfig(
+          workerCount = doc.int(c, "worker-count").map(_.toInt).getOrElse(16),
+          flushInterval = doc.str(c, "flush-interval").getOrElse("5s"),
+          fileSize = doc.int(c, "file-size").map(_.toInt)
+            .getOrElse(64 * 1024 * 1024),
+          fileExpirationDays =
+            doc.int(c, "file-expiration-days").map(_.toInt).getOrElse(0),
+          fileCleanupCronSpec =
+            doc.str(c, "file-cleanup-cron-spec").getOrElse("0 0 2 * * *"))
+      },
+      csv = {
+        val c = "sink.csv"
+        CsvConfig(
+          delimiter = doc.str(c, "delimiter").getOrElse(","),
+          quote = doc.str(c, "quote").getOrElse("\""),
+          nullString = doc.str(c, "null").getOrElse("\\N"),
+          includeCommitTs = doc.bool(c, "include-commit-ts").getOrElse(false),
+          binaryEncodingMethod =
+            doc.str(c, "binary-encoding-method").getOrElse("base64"),
+          outputOldValue = doc.bool(c, "output-old-value").getOrElse(false),
+          outputFieldHeader =
+            doc.bool(c, "output-field-header").getOrElse(false))
+      },
       largeMessageHandle = {
         val lmh = "sink.large-message-handle"
         LargeMessageHandle(
@@ -431,6 +475,51 @@ object ConfigToml {
       b ++= s"schema-registry = ${tomlStr(cfg.sink.schemaRegistry)}\n"
     if (cfg.sink.encodingFormat != "json")
       b ++= s"encoding-format = ${tomlStr(cfg.sink.encodingFormat)}\n"
+    if (cfg.sink.avroDecimalHandlingMode != "precise")
+      b ++= "avro-decimal-handling-mode = " +
+        s"${tomlStr(cfg.sink.avroDecimalHandlingMode)}\n"
+    if (cfg.sink.avroBigintUnsignedHandlingMode != "long")
+      b ++= "avro-bigint-unsigned-handling-mode = " +
+        s"${tomlStr(cfg.sink.avroBigintUnsignedHandlingMode)}\n"
+    if (cfg.sink.avroEnableWatermark)
+      b ++= "avro-enable-watermark = true\n"
+    if (cfg.sink.debeziumDisableSchema)
+      b ++= "debezium-disable-schema = true\n"
+    if (!cfg.sink.mysqlConfig.isDefault) {
+      val m = cfg.sink.mysqlConfig
+      b ++= "\n[sink.mysql-config]\n"
+      if (m.workerCount != 16) b ++= s"worker-count = ${m.workerCount}\n"
+      if (m.maxTxnRow != 256) b ++= s"max-txn-row = ${m.maxTxnRow}\n"
+      if (m.maxMultiUpdateRow != 40)
+        b ++= s"max-multi-update-row = ${m.maxMultiUpdateRow}\n"
+      if (m.maxMultiUpdateRowSize != 1024)
+        b ++= s"max-multi-update-row-size = ${m.maxMultiUpdateRowSize}\n"
+      if (!m.enableBatchDml) b ++= "enable-batch-dml = false\n"
+    }
+    if (!cfg.sink.cloudStorageConfig.isDefault) {
+      val c = cfg.sink.cloudStorageConfig
+      b ++= "\n[sink.cloud-storage-config]\n"
+      if (c.workerCount != 16) b ++= s"worker-count = ${c.workerCount}\n"
+      if (c.flushInterval != "5s")
+        b ++= s"flush-interval = ${tomlStr(c.flushInterval)}\n"
+      if (c.fileSize != 64 * 1024 * 1024) b ++= s"file-size = ${c.fileSize}\n"
+      if (c.fileExpirationDays != 0)
+        b ++= s"file-expiration-days = ${c.fileExpirationDays}\n"
+      if (c.fileCleanupCronSpec != "0 0 2 * * *")
+        b ++= s"file-cleanup-cron-spec = ${tomlStr(c.fileCleanupCronSpec)}\n"
+    }
+    if (!cfg.sink.csv.isDefault) {
+      val c = cfg.sink.csv
+      b ++= "\n[sink.csv]\n"
+      if (c.delimiter != ",") b ++= s"delimiter = ${tomlStr(c.delimiter)}\n"
+      if (c.quote != "\"") b ++= s"quote = ${tomlStr(c.quote)}\n"
+      if (c.nullString != "\\N") b ++= s"null = ${tomlStr(c.nullString)}\n"
+      if (c.includeCommitTs) b ++= "include-commit-ts = true\n"
+      if (c.binaryEncodingMethod != "base64")
+        b ++= s"binary-encoding-method = ${tomlStr(c.binaryEncodingMethod)}\n"
+      if (c.outputOldValue) b ++= "output-old-value = true\n"
+      if (c.outputFieldHeader) b ++= "output-field-header = true\n"
+    }
     if (!cfg.sink.largeMessageHandle.isDefault) {
       val l = cfg.sink.largeMessageHandle
       b ++= "\n[sink.large-message-handle]\n"
@@ -613,6 +702,39 @@ object ConfigToml {
          else s""","schema_registry":${jsonStr(s.schemaRegistry)}""") +
         (if (s.encodingFormat == "json") ""
          else s""","encoding_format":${jsonStr(s.encodingFormat)}""") +
+        (if (s.avroDecimalHandlingMode == "precise") ""
+         else s""","avro_decimal_handling_mode":${jsonStr(s.avroDecimalHandlingMode)}""") +
+        (if (s.avroBigintUnsignedHandlingMode == "long") ""
+         else s""","avro_bigint_unsigned_handling_mode":${jsonStr(s.avroBigintUnsignedHandlingMode)}""") +
+        (if (!s.avroEnableWatermark) ""
+         else s""","avro_enable_watermark":true""") +
+        (if (!s.debeziumDisableSchema) ""
+         else s""","debezium_disable_schema":true""") +
+        (if (s.mysqlConfig.isDefault) "" else {
+          val m = s.mysqlConfig
+          s""","mysql_config":{"worker-count":${m.workerCount},""" +
+            s""""max-txn-row":${m.maxTxnRow},""" +
+            s""""max-multi-update-row":${m.maxMultiUpdateRow},""" +
+            s""""max-multi-update-row-size":${m.maxMultiUpdateRowSize},""" +
+            s""""enable-batch-dml":${m.enableBatchDml}}"""
+        }) +
+        (if (s.cloudStorageConfig.isDefault) "" else {
+          val c = s.cloudStorageConfig
+          s""","cloud_storage_config":{"worker-count":${c.workerCount},""" +
+            s""""flush-interval":${jsonStr(c.flushInterval)},""" +
+            s""""file-size":${c.fileSize},""" +
+            s""""file-expiration-days":${c.fileExpirationDays},""" +
+            s""""file-cleanup-cron-spec":${jsonStr(c.fileCleanupCronSpec)}}"""
+        }) +
+        (if (s.csv.isDefault) "" else {
+          val c = s.csv
+          s""","csv":{"delimiter":${jsonStr(c.delimiter)},""" +
+            s""""quote":${jsonStr(c.quote)},"null":${jsonStr(c.nullString)},""" +
+            s""""include-commit-ts":${c.includeCommitTs},""" +
+            s""""binary-encoding-method":${jsonStr(c.binaryEncodingMethod)},""" +
+            s""""output-old-value":${c.outputOldValue},""" +
+            s""""output-field-header":${c.outputFieldHeader}}"""
+        }) +
         (if (s.largeMessageHandle.isDefault) "" else {
           val l = s.largeMessageHandle
           s""","large_message_handle":{"large-message-handle-option":${jsonStr(l.option)},""" +
@@ -797,6 +919,50 @@ object ConfigToml {
         opt(s, "max_message_bytes").map(_.asInt()).getOrElse(10 * 1024 * 1024),
       schemaRegistry = opt(s, "schema_registry").map(_.asText()).getOrElse(""),
       encodingFormat = opt(s, "encoding_format").map(_.asText()).getOrElse("json"),
+      avroDecimalHandlingMode = opt(s, "avro_decimal_handling_mode")
+        .map(_.asText()).getOrElse("precise"),
+      avroBigintUnsignedHandlingMode = opt(s, "avro_bigint_unsigned_handling_mode")
+        .map(_.asText()).getOrElse("long"),
+      avroEnableWatermark =
+        opt(s, "avro_enable_watermark").exists(_.asBoolean()),
+      debeziumDisableSchema =
+        opt(s, "debezium_disable_schema").exists(_.asBoolean()),
+      mysqlConfig = opt(s, "mysql_config").map { m =>
+        MysqlSinkConfig(
+          workerCount = opt(m, "worker-count").map(_.asInt()).getOrElse(16),
+          maxTxnRow = opt(m, "max-txn-row").map(_.asInt()).getOrElse(256),
+          maxMultiUpdateRow =
+            opt(m, "max-multi-update-row").map(_.asInt()).getOrElse(40),
+          maxMultiUpdateRowSize =
+            opt(m, "max-multi-update-row-size").map(_.asInt()).getOrElse(1024),
+          enableBatchDml =
+            opt(m, "enable-batch-dml").forall(_.asBoolean()))
+      }.getOrElse(MysqlSinkConfig()),
+      cloudStorageConfig = opt(s, "cloud_storage_config").map { c =>
+        CloudStorageSinkConfig(
+          workerCount = opt(c, "worker-count").map(_.asInt()).getOrElse(16),
+          flushInterval =
+            opt(c, "flush-interval").map(_.asText()).getOrElse("5s"),
+          fileSize = opt(c, "file-size").map(_.asInt())
+            .getOrElse(64 * 1024 * 1024),
+          fileExpirationDays =
+            opt(c, "file-expiration-days").map(_.asInt()).getOrElse(0),
+          fileCleanupCronSpec = opt(c, "file-cleanup-cron-spec")
+            .map(_.asText()).getOrElse("0 0 2 * * *"))
+      }.getOrElse(CloudStorageSinkConfig()),
+      csv = opt(s, "csv").map { c =>
+        CsvConfig(
+          delimiter = opt(c, "delimiter").map(_.asText()).getOrElse(","),
+          quote = opt(c, "quote").map(_.asText()).getOrElse("\""),
+          nullString = opt(c, "null").map(_.asText()).getOrElse("\\N"),
+          includeCommitTs =
+            opt(c, "include-commit-ts").exists(_.asBoolean()),
+          binaryEncodingMethod = opt(c, "binary-encoding-method")
+            .map(_.asText()).getOrElse("base64"),
+          outputOldValue = opt(c, "output-old-value").exists(_.asBoolean()),
+          outputFieldHeader =
+            opt(c, "output-field-header").exists(_.asBoolean()))
+      }.getOrElse(CsvConfig()),
       largeMessageHandle = opt(s, "large_message_handle").map { l =>
         LargeMessageHandle(
           option = opt(l, "large-message-handle-option").map(_.asText())

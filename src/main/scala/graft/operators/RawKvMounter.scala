@@ -844,11 +844,23 @@ object RawKvMounter {
     * (fromColValToCsvVal, csv/csv_message.go:275-345): strings RFC-4180
     * quoted with quote doubling, binary base64, booleans 1/0, numerics
     * bare, null → \N. */
-  private def csvLit(v: Any): String = v match {
-    case null => "\\N"
+  private def csvLit(v: Any, csv: graft.model.CsvConfig): String = v match {
+    case null => csv.nullString
     case x: Boolean => if (x) "1" else "0"
-    case x: Array[Byte] => java.util.Base64.getEncoder.encodeToString(x)
-    case x: String => "\"" + x.replace("\"", "\"\"") + "\""
+    case x: Array[Byte] =>
+      if (csv.binaryEncodingMethod == "hex")
+        x.map("%02x".format(_)).mkString
+      else java.util.Base64.getEncoder.encodeToString(x)
+    case x: String =>
+      if (csv.quote.nonEmpty)
+        csv.quote + x.replace(csv.quote, csv.quote + csv.quote) + csv.quote
+      else {
+        // backslash-escape mode (formatWithEscapes)
+        val esc = x.replace("\\", "\\\\").replace("\r", "\\r")
+          .replace("\n", "\\n")
+        csv.delimiter.distinct.foldLeft(esc)((acc, ch) =>
+          acc.replace(ch.toString, "\\" + ch))
+      }
     case x: java.math.BigDecimal => x.toPlainString
     case x => x.toString
   }
@@ -865,27 +877,33 @@ object RawKvMounter {
                            outputOldValue: Boolean = false,
                            failOnCorruption: Boolean = false,
                            unknownIds: Option[org.apache.spark.util.LongAccumulator] = None,
-                           outOfWindow: Option[org.apache.spark.util.LongAccumulator] = None)
-      : DataFrame =
+                           outOfWindow: Option[org.apache.spark.util.LongAccumulator] = None,
+                           csv: graft.model.CsvConfig =
+                             graft.functions.Codecs.csvLegacy)
+      : DataFrame = {
+    csv.validate()
+    val oldValue = outputOldValue || csv.outputOldValue
     mountTablesEncodeWith(raw, plan, failOnCorruption, unknownIds, outOfWindow) {
       (latest, op, commitTs, before, after) =>
+        def q(s: String): String = csvLit(s, csv)
         def rec(o: String, img: Array[Any], updated: Boolean): String = {
-          val meta = Seq("\"" + o + "\"", "\"" + latest.table + "\"",
-            "\"" + latest.schema + "\"", commitTs.toString) ++
-            (if (outputOldValue) Seq(updated.toString) else Nil)
+          val meta = Seq(q(o), q(latest.table), q(latest.schema)) ++
+            (if (csv.includeCommitTs) Seq(commitTs.toString) else Nil) ++
+            (if (oldValue) Seq(updated.toString) else Nil)
           val cells =
-            if (img == null) latest.columns.map(_ => "\\N")
-            else img.toSeq.map(csvLit)
-          (meta ++ cells).mkString(",")
+            if (img == null) latest.columns.map(_ => csv.nullString)
+            else img.toSeq.map(csvLit(_, csv))
+          (meta ++ cells).mkString(csv.delimiter)
         }
         op match {
-          case "U" if outputOldValue =>
+          case "U" if oldValue =>
             rec("D", before, updated = true) + "\n" + rec("I", after, updated = true)
           case "U" => rec("U", after, updated = false)
           case "D" => rec("D", before, updated = false)
           case _ => rec("I", after, updated = false)
         }
     }
+  }
 
   private def mountTablesEncodeWith(raw: DataFrame,
                                     plan: Map[Long, Seq[(Long, Option[KvTableMeta])]],

@@ -264,22 +264,40 @@ object MysqlSink {
     * commit-ordered stream, and MySQL applies multi-row
     * REPLACE/DELETE tuples in listed order. */
   def applyBatchCoalesced(env: DataFrame, handleKeys: Seq[String], numWorkers: Int,
-                          safeMode: Boolean, maxBatchRows: Int = 256)
+                          safeMode: Boolean, maxBatchRows: Int = 256,
+                          mysql: graft.model.MysqlSinkConfig =
+                            graft.model.MysqlSinkConfig(),
+                          prologue: Seq[String] = Seq.empty)
                          (execute: Iterator[String] => Unit): Unit = {
     import org.apache.spark.sql.Encoders
+    val m = mysql.adjusted
+    // the writer-tuning knobs refine the run caps
+    // (mysql_writer_dml.go:126-140 + mysql_writer_dml_batch.go:
+    // 590,629): enable-batch-dml=false → per-row statements;
+    // max-txn-row caps every run; UPDATE-class rows additionally cap
+    // at max-multi-update-row, and a row whose tuple exceeds
+    // max-multi-update-row-size does not coalesce at all (the
+    // reference's avg-row-size gate, taken per row on the stream)
+    val baseCap =
+      if (!m.enableBatchDml) 1 else math.min(maxBatchRows, m.maxTxnRow)
+    def capOf(op: String, fragLen: Int): Int =
+      if (op != "U") baseCap
+      else if (fragLen > m.maxMultiUpdateRowSize) 1
+      else math.min(baseCap, m.maxMultiUpdateRow)
     val enc = Encoders.tuple(Encoders.STRING, Encoders.STRING,
-      Encoders.STRING, Encoders.STRING)
+      Encoders.STRING, Encoders.STRING, Encoders.STRING)
     statementFragments(env, handleKeys, numWorkers, safeMode)
       .repartition(numWorkers, col("_partition"))
       .sortWithinPartitions(col("_commit_ts"), col("_start_ts"),
         Envelope.opOrder(col("_op")), col("_row_id"))
-      .select(col("_stmt"), col("_frag_head"), col("_frag"), col("_frag_tail"))
-      .map(r => (r.getString(0),
-        if (r.isNullAt(1)) null else r.getString(1),
+      .select(col("_op"), col("_stmt"), col("_frag_head"), col("_frag"),
+        col("_frag_tail"))
+      .map(r => (r.getString(0), r.getString(1),
         if (r.isNullAt(2)) null else r.getString(2),
-        if (r.isNullAt(3)) null else r.getString(3)))(enc)
-      .foreachPartition { rows: Iterator[(String, String, String, String)] =>
-        execute(coalesceRuns(rows, maxBatchRows))
+        if (r.isNullAt(3)) null else r.getString(3),
+        if (r.isNullAt(4)) null else r.getString(4)))(enc)
+      .foreachPartition { rows: Iterator[(String, String, String, String, String)] =>
+        execute(prologue.iterator ++ coalesceRunsCapped(rows, capOf))
       }
   }
 
@@ -287,7 +305,19 @@ object MysqlSink {
     * run (head + frags joined + tail) and passes unbatchable rows
     * through in place (flushing the open run first, to keep order). */
   private[graft] def coalesceRuns(rows: Iterator[(String, String, String, String)],
-                                  cap: Int): Iterator[String] = new Iterator[String] {
+                                  cap: Int): Iterator[String] =
+    coalesceRunsCapped(
+      rows.map { case (stmt, h, f, t) => ("", stmt, h, f, t) },
+      (_, _) => cap)
+
+  /** Run-coalescer with a PER-ROW cap: `capOf(op, fragLen)` bounds the
+    * run this row may join (1 = the row emits alone). Same O(cap)
+    * streaming state as before; the refinement carries the
+    * mysql-config knobs (max-txn-row / max-multi-update-row /
+    * max-multi-update-row-size / enable-batch-dml). */
+  private[graft] def coalesceRunsCapped(
+      rows: Iterator[(String, String, String, String, String)],
+      capOf: (String, Int) => Int): Iterator[String] = new Iterator[String] {
     private var out: List[String] = Nil
     private var head: String = null
     private var tail: String = null
@@ -298,9 +328,10 @@ object MysqlSink {
     }
     private def fill(): Unit = {
       while (out.isEmpty && rows.hasNext) {
-        val (stmt, h, f, t) = rows.next()
+        val (op, stmt, h, f, t) = rows.next()
         if (h == null) { flush(); out = out :+ stmt }
         else {
+          val cap = capOf(op, if (f == null) 0 else f.length)
           if (frags.nonEmpty && (h != head || frags.size >= cap)) flush()
           head = h; tail = t; frags += f
         }

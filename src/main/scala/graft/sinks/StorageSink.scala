@@ -27,7 +27,8 @@ object StorageSink {
     * level between the table and the date, the reference's optional
     * `[partition]` segment (path_key.go:198-216
     * generateDMLDataDirPath: emitted only when non-zero). */
-  def write(encoded: DataFrame, baseDir: String, fmt: String = "parquet"): Unit = {
+  def write(encoded: DataFrame, baseDir: String, fmt: String = "parquet",
+            maxRecordsPerFile: Option[Long] = None): Unit = {
     val withDate = encoded.withColumn("_date",
       date_format(timestamp_micros(
         (col("_commit_ts").cast(org.apache.spark.sql.types.DecimalType(38, 0)) /
@@ -36,12 +37,18 @@ object StorageSink {
     val cols =
       if (partitioned) Seq("_schema", "_table", "_partition_num", "_date")
       else Seq("_schema", "_table", "_date")
+    // cloud-storage `file-size` roll: Spark's writer rolls by RECORD
+    // count, so the byte cap arrives pre-translated by the caller
+    // (fileSize / batch avg record length)
+    def withRoll[T](w: org.apache.spark.sql.DataFrameWriter[T]) =
+      maxRecordsPerFile.fold(w)(n => w.option("maxRecordsPerFile", n))
     fmt match {
       case "text" =>
-        withDate.select((col("_value") +: cols.map(col)): _*)
-          .write.mode("append").partitionBy(cols: _*).text(baseDir)
+        withRoll(withDate.select((col("_value") +: cols.map(col)): _*)
+          .write.mode("append").partitionBy(cols: _*)).text(baseDir)
       case _ =>
-        withDate.write.mode("append").partitionBy(cols: _*).parquet(baseDir)
+        withRoll(withDate.write.mode("append").partitionBy(cols: _*))
+          .parquet(baseDir)
     }
   }
 
@@ -84,6 +91,37 @@ object StorageSink {
     * file carrying the checkpoint ts after each flush
     * (cloudstorage metadata.go) — consumers and the cleaner read it to
     * know what is durable. Idempotent overwrite (monotonic ts). */
+  /** Prepend the csv `ticdc-meta$` header line to each NOT-YET-NAMED
+    * part-file (csv_encoder.go:46 writes it once per message batch =
+    * once per committed file here). Runs between the Spark commit and
+    * [[applyCdcNaming]], so only this batch's files rewrite — batch-
+    * local IO, never the corpus. `headerFor(schema, table)` renders
+    * the table's header (None = unknown table, file left as-is). */
+  def prependCsvHeaders(baseDir: String, ext: String,
+                        headerFor: (String, String) => Option[String]): Unit = {
+    val base = java.nio.file.Paths.get(baseDir)
+    if (!java.nio.file.Files.exists(base)) return
+    val dec = (s: String) => java.net.URLDecoder.decode(s, "UTF-8")
+    java.nio.file.Files.walk(base).forEach { p =>
+      val name = p.getFileName.toString
+      if (name.startsWith("part-") && name.endsWith(s".$ext")) {
+        // recover (schema, table) from the partition dir path
+        val segs = base.relativize(p).iterator()
+        var sch: String = null; var tbl: String = null
+        segs.forEachRemaining { seg =>
+          val s2 = seg.toString
+          if (s2.startsWith("_schema=")) sch = dec(s2.stripPrefix("_schema="))
+          if (s2.startsWith("_table=")) tbl = dec(s2.stripPrefix("_table="))
+        }
+        if (sch != null && tbl != null) headerFor(sch, tbl).foreach { h =>
+          val body = java.nio.file.Files.readAllBytes(p)
+          java.nio.file.Files.write(p,
+            (h + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8) ++ body)
+        }
+      }
+    }
+  }
+
   def writeCheckpointMeta(baseDir: String, checkpointTs: Long): Unit = {
     val dir = java.nio.file.Paths.get(baseDir)
     java.nio.file.Files.createDirectories(dir)

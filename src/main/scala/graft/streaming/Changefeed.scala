@@ -105,12 +105,17 @@ object Changefeed {
         Codecs.canalJsonFor(df, cfg.handleKeys)
       case Protocol.Open if !fixturePayload => Codecs.openProtocolFor(df)
       case Protocol.Debezium if !fixturePayload => Codecs.debeziumJsonFor(df)
-      case Protocol.Csv if !fixturePayload => Codecs.csvLineFor(df)
+      case Protocol.Csv if !fixturePayload =>
+        Codecs.csvLineFor(df, cfg.sink.csv)
       // avro is schema-driven by construction (the record schema IS
       // the payload shape) — one arm serves fixture and generic feeds
       case Protocol.Avro =>
         graft.functions.AvroWire.encodeFeed(df, cfg.handleKeys,
-          cfg.sink.schemaRegistry, topic = cfg.id)
+          cfg.sink.schemaRegistry, topic = cfg.id,
+          modes = graft.functions.AvroWire.AvroModes(
+            cfg.sink.avroDecimalHandlingMode,
+            cfg.sink.avroBigintUnsignedHandlingMode),
+          enableWatermark = cfg.sink.avroEnableWatermark)
       case Protocol.CanalJson => Codecs.canalJson(df)
       case Protocol.Open      => Codecs.openProtocol(df)
       case Protocol.Debezium  => Codecs.debeziumJson(df)
@@ -199,9 +204,23 @@ object Changefeed {
     GraftSession.tune(spark)
     val env = Envelope.fromEvents(sourceStream(spark, cfg, sourceDir))
     val prologue = graft.sinks.MysqlSink.connectionPrologue(cfg.sink.bdrMode)
+    // [sink.mysql-config] writer tuning: a configured block routes the
+    // apply through the statement COALESCER with its caps (max-txn-row
+    // / max-multi-update-row / -size; enable-batch-dml=false = per-row
+    // statements); the default config keeps this engine's established
+    // per-row statement stream. worker parallelism stays
+    // numPartitions (a Spark-partitioning knob here — worker-count is
+    // carried and validated for config fidelity).
+    val mysqlTuning = cfg.sink.mysqlConfig
     def apply(rows: DataFrame): Unit =
-      graft.sinks.MysqlSink.applyBatch(rows, cfg.handleKeys,
-        cfg.sink.numPartitions, cfg.sink.safeMode, prologue)(execute)
+      if (mysqlTuning.isDefault)
+        graft.sinks.MysqlSink.applyBatch(rows, cfg.handleKeys,
+          cfg.sink.numPartitions, cfg.sink.safeMode, prologue)(execute)
+      else
+        graft.sinks.MysqlSink.applyBatchCoalesced(rows, cfg.handleKeys,
+          cfg.sink.numPartitions, cfg.sink.safeMode,
+          maxBatchRows = mysqlTuning.adjusted.maxTxnRow,
+          mysql = mysqlTuning, prologue = prologue)(execute)
     val syncIv = cfg.syncPointIntervalNs.filter(_ > 0)
     transform(spark, cfg)(env)
       .writeStream
@@ -624,16 +643,25 @@ object Changefeed {
                 graft.functions.AvroWire.registerTable(
                   cfg.sink.schemaRegistry, cfg.id, sc, tb,
                   graft.operators.RawKvMounter.payloadType(meta),
-                  meta.handleCols)
+                  meta.handleCols,
+                  modes = graft.functions.AvroWire.AvroModes(
+                    cfg.sink.avroDecimalHandlingMode,
+                    cfg.sink.avroBigintUnsignedHandlingMode))
               }
             }
-            import spark.implicits._
-            emitted.map { case (sc, tb, ts, qq, at) =>
-              (0L, ts, "ddl", graft.functions.OpenBatch.frameJson(
-                Array.emptyByteArray,
-                graft.functions.AvroRegistry.ddlEventBytes(qq, at, sc, tb, ts)))
-            }.toDF("_partition", "_commit_ts", "_kind", "_value")
-              .coalesce(1).write.mode("append").parquet(sinkDir)
+            // the 0x01 DDL control event ships ONLY under
+            // avro-enable-watermark (EncodeDDLEvent, encoder.go:125)
+            // — the registry registration above is the protocol's
+            // schema-change carrier either way
+            if (cfg.sink.avroEnableWatermark) {
+              import spark.implicits._
+              emitted.map { case (sc, tb, ts, qq, at) =>
+                (0L, ts, "ddl", graft.functions.OpenBatch.frameJson(
+                  Array.emptyByteArray,
+                  graft.functions.AvroRegistry.ddlEventBytes(qq, at, sc, tb, ts)))
+              }.toDF("_partition", "_commit_ts", "_kind", "_value")
+                .coalesce(1).write.mode("append").parquet(sinkDir)
+            }
           } else if (emitted.nonEmpty && cfg.sink.protocol == Protocol.Simple &&
               cfg.sink.encodingFormat == "avro") {
             // simple-avro DDL rides the official union's DDL message
@@ -662,7 +690,8 @@ object Changefeed {
                 emitted.map(e => (e._1, e._2, e._3, e._4))
                   .toDF("_schema", "_table", "version_ts", "query"),
                 cfg.sink.protocol,
-                tableFor = (s, t) => liveShapes.get((s, t)))
+                tableFor = (s, t) => liveShapes.get((s, t)),
+                debeziumDisableSchema = cfg.sink.debeziumDisableSchema)
               .select(lit(0L).as("_partition"),
                 col("version_ts").as("_commit_ts"),
                 lit("ddl").as("_kind"), col("_value"))
@@ -878,10 +907,20 @@ object Changefeed {
               graft.sinks.RedoLog.append(shaped, redoDir)
               Failpoints.evalThrow("graft/changefeed/evolve-mysql-post-redo")
             }
-            try graft.sinks.MysqlSink.applyBatch(
-              shaped, groupKeys,
-              cfg.sink.numPartitions, cfg.sink.safeMode, prologue)(
-              graft.sinks.JdbcApplier.executeFor(url))
+            try {
+              if (cfg.sink.mysqlConfig.isDefault)
+                graft.sinks.MysqlSink.applyBatch(
+                  shaped, groupKeys,
+                  cfg.sink.numPartitions, cfg.sink.safeMode, prologue)(
+                  graft.sinks.JdbcApplier.executeFor(url))
+              else
+                graft.sinks.MysqlSink.applyBatchCoalesced(
+                  shaped, groupKeys,
+                  cfg.sink.numPartitions, cfg.sink.safeMode,
+                  maxBatchRows = cfg.sink.mysqlConfig.adjusted.maxTxnRow,
+                  mysql = cfg.sink.mysqlConfig, prologue = prologue)(
+                  graft.sinks.JdbcApplier.executeFor(url))
+            }
             finally if (redoOn) shaped.unpersist()
           }
           // SYNC POINTS (downstreamadapter/syncpoint/sync_point.go:28;
@@ -1117,6 +1156,11 @@ object Changefeed {
       require(cfg.sink.schemaRegistry.nonEmpty,
         "avro protocol requires a schema-registry uri")
       graft.functions.AvroWire.validateUri(cfg.sink.schemaRegistry)
+      // value-mapping modes validate at create, not mid-batch
+      // (AvroModes' own requires name the offending value)
+      graft.functions.AvroWire.AvroModes(
+        cfg.sink.avroDecimalHandlingMode,
+        cfg.sink.avroBigintUnsignedHandlingMode)
     }
     // encoding-format (sink.go:456): json everywhere; avro only on the
     // protocols whose avro wire exists (simple's fixed union schema,
@@ -1187,7 +1231,9 @@ object Changefeed {
                                    ignoreDdlClasses: Seq[String] = Nil,
                                    ignoreDdlSqlRegexps: Seq[String] = Nil,
                                    cdcNaming: Boolean = true,
-                                   csvOutputOldValue: Boolean = false): StreamingQuery = {
+                                   csvOutputOldValue: Boolean = false,
+                                   csvConfig: graft.model.CsvConfig =
+                                     graft.functions.Codecs.csvLegacy): StreamingQuery = {
     require(cfg.sink.protocol == Protocol.CanalJson ||
         cfg.sink.protocol == Protocol.Csv,
       "the storage composition writes canal-JSON or csv text files")
@@ -1261,13 +1307,47 @@ object Changefeed {
             val f = cfg.filter
             var df =
               if (csvMode) graft.operators.RawKvMounter.mountTablesEncodeCsv(
-                batch, plan, outputOldValue = csvOutputOldValue)
+                batch, plan, outputOldValue = csvOutputOldValue,
+                csv = csvConfig)
               else graft.operators.RawKvMounter.mountTablesEncodeCanal(
                 batch, plan, failOnCorruption = false)
             df = graft.operators.Filters.tableFilter(df, f.rules, f.caseSensitive)
             df = graft.operators.Filters.eventTypeFilter(df, f.ignoreOps)
             df = graft.operators.Filters.startTsFilter(df, f.ignoreTxnStartTs)
-            graft.sinks.StorageSink.write(df, baseDir, "text")
+            // [sink.cloud-storage-config] file-size: translate the
+            // byte cap into the writer's per-file record roll using
+            // this batch's average encoded line length (the batch is
+            // already persisted — one cheap agg, and only when the
+            // block is configured)
+            val roll: Option[Long] =
+              if (cfg.sink.cloudStorageConfig.isDefault) None
+              else {
+                val sized = df.persist()
+                val avg = sized.agg(
+                  org.apache.spark.sql.functions.avg(length(col("_value"))))
+                  .head()
+                Some(math.max(1L,
+                  cfg.sink.cloudStorageConfig.adjustedFileSize.toLong /
+                    math.max(1L,
+                      if (avg.isNullAt(0)) 1L else avg.getDouble(0).toLong)))
+              }
+            graft.sinks.StorageSink.write(df, baseDir, "text", roll)
+            // output-field-header: each committed csv file leads with
+            // the ticdc-meta$ header line for ITS table's shape
+            // (encodeHeader, csv_message.go:418-446; the encoder
+            // emits it once per message = once per file here)
+            if (csvMode && csvConfig.outputFieldHeader)
+              graft.sinks.StorageSink.prependCsvHeaders(baseDir, "txt",
+                (sch, tbl) => plan.valuesIterator.flatten.toSeq
+                  .collect {
+                    case (ts, Some(m))
+                        if m.schema == sch && m.table == tbl => (ts, m)
+                  }.sortBy(_._1).lastOption.map { case (_, m) =>
+                    graft.functions.Codecs.csvHeaderFor(
+                      m.columns.map(_.name),
+                      csvConfig.copy(outputOldValue =
+                        csvOutputOldValue || csvConfig.outputOldValue))
+                  })
             // reference file naming: committed part-files rename to
             // CDC{idx}.txt with the per-dir index advancing across
             // batches (generator.go:350-420; idempotent on replay —
@@ -1285,10 +1365,29 @@ object Changefeed {
               graft.sinks.RedoApplier.advanceCheckpoint(
                 spark, redoDir, hi.getLong(0))
           }
+          // [sink.cloud-storage-config] retention: file-expiration-days
+          // > 0 enables the date-partition cleanup (the reference runs
+          // it on file-cleanup-cron-spec's daily schedule; here it
+          // piggybacks the micro-batch — same retention window,
+          // tighter staleness bound). 0 = disabled, the default.
+          if (cfg.sink.cloudStorageConfig.fileExpirationDays > 0) {
+            graft.sinks.StorageSink.cleanupExpired(baseDir,
+              cfg.sink.cloudStorageConfig.fileExpirationDays,
+              java.time.LocalDate.now())
+            ()
+          }
         } finally batch.unpersist()
       }
       .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
+      // flush-interval ↔ the micro-batch trigger period: the default
+      // block keeps AvailableNow (drain-and-stop, the spec harness
+      // contract); a configured interval runs the continuous cadence
+      .trigger(
+        if (cfg.sink.cloudStorageConfig.isDefault ||
+            cfg.sink.cloudStorageConfig.flushInterval == "5s")
+          Trigger.AvailableNow()
+        else Trigger.ProcessingTime(
+          cfg.sink.cloudStorageConfig.flushIntervalMs))
       .start()
   }
 
@@ -1427,12 +1526,24 @@ object Changefeed {
                 col("_key_bytes"), col("_value_bytes")).as("_value"))
             .write.mode("append").parquet(sinkDir)
         } else {
+          // encoders that carry the envelope `_row_id` (the per-event
+          // production order) persist it as the frame `_offset` — the
+          // Kafka-offset analog a consumer tiebreaks same-commit-ts
+          // rows of one key on (replay order is part of the contract)
+          val offCol =
+            if (observed.columns.contains("_row_id")) col("_row_id")
+            else lit(null).cast("long")
           observed
             .select(col("_partition"), col("_commit_ts"),
-              lit("row").as("_kind"), col("_value"))
+              lit("row").as("_kind"), offCol.as("_offset"), col("_value"))
             .write.mode("append").parquet(sinkDir)
         }
         obs.get.get("resolved") match {
+          // avro checkpoint events ship ONLY under
+          // avro-enable-watermark (EncodeCheckpointEvent returns nil
+          // otherwise, encoder.go:106-120)
+          case Some(_: Long) if cfg.sink.protocol == Protocol.Avro &&
+              !cfg.sink.avroEnableWatermark => ()
           case Some(resolved: Long) =>
             // the control payload is protocol-specific: open rides in
             // the key, canal-json/simple carry a watermark value; the
@@ -1444,7 +1555,8 @@ object Changefeed {
                 graft.functions.OpenBatch.frameJson(kb, vb)
               } else {
                 val (k, v) = Codecs.resolvedMessageFor(cfg.sink.protocol,
-                  resolved, cfg.sink.encodingFormat)
+                  resolved, cfg.sink.encodingFormat,
+                  debeziumDisableSchema = cfg.sink.debeziumDisableSchema)
                 if (v.nonEmpty) v else k
               }
             val s = batch.sparkSession

@@ -19,7 +19,9 @@ class AvroRegistrySpec extends SparkFunSuite {
     assert(id1 == id2, "same schema text -> same global id")
     val id3 = store.register("events-app.events_0-value", AvroRegistry.evolvedSchemaJson)
     assert(id3 != id1)
-    assert(store.versions("events-app.events_0-value") == Seq(id1, id3))
+    assert(store.idsFor("events-app.events_0-value") == Seq(id1, id3))
+    assert(store.versions("events-app.events_0-value") == Seq(1, 2),
+      "versions are 1-based version NUMBERS, not global ids")
     assert(store.byId(id1) != store.byId(id3))
   }
 
@@ -65,7 +67,12 @@ class AvroRegistrySpec extends SparkFunSuite {
       assert(id1 == id2)
       val id3 = client.register(subject, AvroRegistry.evolvedSchemaJson)
       assert(id3 != id1)
-      assert(client.versions(subject) == Seq(id1, id3))
+      assert(client.idsFor(subject) == Seq(id1, id3),
+        "per-version id translation crosses the wire")
+      assert(client.versions(subject) == Seq(1, 2),
+        "GET /versions returns version numbers per the Confluent contract")
+      assert(client.latest(subject)._1 == id3,
+        "versions/latest carries the GLOBAL id")
       // byId resolves canonicalized schema text
       assert(client.byId(id1).contains("ChangeEvent"))
       // unknowns are 4xx, surfaced as failures client-side
@@ -75,7 +82,7 @@ class AvroRegistrySpec extends SparkFunSuite {
       // the FULL framed encode/decode path over the HTTP store — no
       // data-path code changes vs the in-memory store
       val framed = AvroRegistry.encodeFramed(env, client, subject)
-      val writerId = client.versions(subject).head
+      val writerId = client.idsFor(subject).head
       val idMap = Map(writerId -> client.byId(writerId))
       val decoded = AvroRegistry.decodeFramed(framed, idMap,
         AvroRegistry.evolvedSchemaJson)
@@ -101,7 +108,7 @@ class AvroRegistrySpec extends SparkFunSuite {
     intercept[AvroRegistry.IncompatibleSchemaException](
       store.register("s1", incompatible))
     // the failed register leaves the subject chain untouched
-    assert(store.versions("s1") == Seq(v1))
+    assert(store.idsFor("s1") == Seq(v1))
     // a NONE-level store accepts anything (per-subject config analog)
     val permissive = new AvroRegistry.InMemoryStore("NONE")
     permissive.register("s1", AvroCodec.envelopeSchemaJson)
@@ -120,7 +127,7 @@ class AvroRegistrySpec extends SparkFunSuite {
         client.register(subject, incompatible))
       // compatible evolution still registers fine after the reject
       val evolved = client.register(subject, AvroRegistry.evolvedSchemaJson)
-      assert(client.versions(subject).last == evolved)
+      assert(client.idsFor(subject).last == evolved)
     } finally stub.stop()
   }
 
@@ -128,7 +135,7 @@ class AvroRegistrySpec extends SparkFunSuite {
     val store = new AvroRegistry.InMemoryStore
     val subject = "events-app-value"
     val framed = AvroRegistry.encodeFramed(env, store, subject)
-    val writerId = store.versions(subject).head
+    val writerId = store.idsFor(subject).head
 
     // every message carries the registered id
     val ids = framed.select(col("_value")).limit(10).collect()

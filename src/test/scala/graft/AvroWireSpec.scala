@@ -61,7 +61,10 @@ class AvroWireSpec extends SparkFunSuite {
     val cfg = ChangefeedConfig(id = "cf-avro-evolve",
       filter = FilterConfig(rules = Seq("app.*")), handleKeys = Seq("id"),
       sink = SinkConfig(protocol = Protocol.Avro, numPartitions = 2,
-        schemaRegistry = uri))
+        schemaRegistry = uri,
+        // the 0x01/0x02 control events this spec pins ship only under
+        // avro-enable-watermark (encoder.go:106,125; default false)
+        avroEnableWatermark = true))
     val q = Changefeed.runMqFromRaw2pcEvolving(spark, cfg,
       spark.readStream.schema(TxnMatcher.uncommittedSchema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir),
@@ -72,7 +75,7 @@ class AvroWireSpec extends SparkFunSuite {
     // 1) the registry carries BOTH table versions under the value
     //    subject — the ALTER's fold registered the post-DDL shape
     val store = graft.functions.AvroWire.registryFor(uri)
-    val ids = store.versions("cf-avro-evolve-app.t-value")
+    val ids = store.idsFor("cf-avro-evolve-app.t-value")
     assert(ids.size == 2, s"DDL fold must register the new version: $ids")
     assert(!store.byId(ids.head).contains("\"name\":\"k\""),
       "version 1 is the pre-DDL shape")
@@ -172,7 +175,7 @@ class AvroWireSpec extends SparkFunSuite {
       val id = store.register("dispatch-t-value",
         """{"type":"record","name":"t","namespace":"graft.app","fields":[{"name":"a","type":"long"}]}""")
       assert(store.byId(id).contains("\"name\":\"a\""))
-      assert(store.versions("dispatch-t-value") == Seq(id))
+      assert(store.idsFor("dispatch-t-value") == Seq(id))
       assert(stub.requestsServed >= before + 3, "the calls crossed the wire")
       AvroWire.dropRegistry(uri)
     } finally stub.stop()
@@ -235,6 +238,122 @@ class AvroWireSpec extends SparkFunSuite {
     assert(evs.collect { case Right(ts) => ts } == Seq(99L))
     val ddls = evs.collect { case Left(d) => d }
     assert(ddls.map(d => (d._3, d._4, d._5)) == Seq(("a", "b", 10L)), s"$ddls")
+  }
+
+  test("value-mapping modes (arvo.go:551,637,657): precise ships decimals " +
+      "as bytes+logical and u64 bits as long; string mode ships both as " +
+      "plain strings — and ONE decoder reads every mode back identically") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.functions.AvroWire
+    val payload = StructType(Seq(
+      StructField("id", LongType),
+      StructField("price", DecimalType(18, 2)),
+      StructField("u64", DecimalType(20, 0)))) // unsigned-bigint carrier
+    val envSchema = StructType(Seq(
+      StructField("_row_id", LongType), StructField("_schema", StringType),
+      StructField("_table", StringType), StructField("_commit_ts", LongType),
+      StructField("_op", StringType),
+      StructField("before", payload), StructField("after", payload)))
+    def img(id: Long, price: String, u: String) =
+      Row(id, new java.math.BigDecimal(price), new java.math.BigDecimal(u))
+    val rows = java.util.Arrays.asList(
+      Row(1L, "app", "m", 100L, "I", null, img(1L, "12.50", "42")),
+      // > Long.MaxValue: the u64-bits long round trip must survive it
+      Row(2L, "app", "m", 110L, "I", null,
+        img(2L, "-3.07", "18446744073709551615")),
+      Row(3L, "app", "m", 120L, "U",
+        img(1L, "12.50", "42"), img(1L, "99.99", "7")))
+    val env = spark.createDataFrame(rows, envSchema)
+
+    def schemaOf(uri: String): String =
+      AvroWire.registryFor(uri).latest("m-app.m-value")._2
+    val reader = payload
+
+    // precise/long (the defaults)
+    val pUri = "mem://spec-avro-mode-precise"
+    AvroWire.dropRegistry(pUri)
+    val pFrames = AvroWire.encodeFeed(env, Seq("id"), pUri, "m").cache()
+    pFrames.count() // force the encode: registration is task-lazy
+    val pSchema = schemaOf(pUri)
+    assert(pSchema.contains("\"logicalType\":\"decimal\""),
+      s"precise decimals are bytes+logical: $pSchema")
+    assert(pSchema.contains("\"name\":\"u64\",\"type\":[\"null\",\"long\"]"),
+      s"u64 long mode ships the bits as avro long: $pSchema")
+    val pDec = AvroWire.decodeFeedAs(pFrames, pUri, reader)
+
+    // string/string
+    val sUri = "mem://spec-avro-mode-string"
+    AvroWire.dropRegistry(sUri)
+    val sFrames = AvroWire.encodeFeed(env, Seq("id"), sUri, "m",
+      modes = AvroWire.AvroModes(decimal = "string",
+        unsignedBigint = "string")).cache()
+    sFrames.count()
+    val sSchema = schemaOf(sUri)
+    assert(!sSchema.contains("logicalType"),
+      s"string mode has no logical decimal: $sSchema")
+    assert(sSchema.contains("\"name\":\"price\",\"type\":[\"null\",\"string\"]") &&
+      sSchema.contains("\"name\":\"u64\",\"type\":[\"null\",\"string\"]"),
+      s"both columns ship as plain strings: $sSchema")
+    val sDec = AvroWire.decodeFeedAs(sFrames, sUri, reader)
+
+    // the two wires differ in BYTES but carry the identical feed
+    assert(pDec.exceptAll(sDec).count() == 0 &&
+      sDec.exceptAll(pDec).count() == 0,
+      "every mode decodes back to the same values")
+    val big = pDec.filter(col("id") === 2L).select("u64").head().getDecimal(0)
+    assert(big.toPlainString == "18446744073709551615",
+      s"u64 > Long.MaxValue survives the bits round trip: $big")
+    // invalid modes reject at construction (= changefeed create)
+    intercept[IllegalArgumentException](AvroWire.AvroModes(decimal = "exact"))
+    intercept[IllegalArgumentException](AvroWire.AvroModes(unsignedBigint = "u64"))
+    pFrames.unpersist(); sFrames.unpersist()
+  }
+
+  test("avro-enable-watermark gates the delete VALUE form (arvo.go:130): " +
+      "off = bare-key tombstone, on = 0x03 + BE commit ts — and the decoder " +
+      "reads the delete's commit ts from the watermark value itself") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    import graft.functions.{AvroRegistry, AvroWire, OpenBatch}
+    val payload = StructType(Seq(
+      StructField("id", LongType), StructField("v", LongType)))
+    val envSchema = StructType(Seq(
+      StructField("_row_id", LongType), StructField("_schema", StringType),
+      StructField("_table", StringType), StructField("_commit_ts", LongType),
+      StructField("_op", StringType),
+      StructField("before", payload), StructField("after", payload)))
+    val env = spark.createDataFrame(java.util.Arrays.asList(
+      Row(1L, "app", "w", 50L, "I", null, Row(7L, 1L)),
+      Row(2L, "app", "w", 60L, "D", Row(7L, 1L), null)), envSchema)
+
+    val uri = "mem://spec-avro-watermark"
+    AvroWire.dropRegistry(uri)
+    val off = AvroWire.encodeFeed(env, Seq("id"), uri, "w").cache()
+    val offDel = off.filter(col("_commit_ts") === 60L).select("_value")
+      .head().getString(0)
+    assert(OpenBatch.parseFrame(offDel)._2.isEmpty,
+      "watermark off: the delete is a bare-key tombstone")
+
+    val on = AvroWire.encodeFeed(env, Seq("id"), uri, "w",
+      enableWatermark = true).cache()
+    val onDel = on.filter(col("_commit_ts") === 60L).select("_value")
+      .head().getString(0)
+    val vb = OpenBatch.parseFrame(onDel)._2
+    assert(vb.length == 9 && vb(0) == AvroRegistry.DeleteByte,
+      "watermark on: 0x03 + 8-byte BE commit ts")
+    assert(AvroRegistry.deleteValueCommitTs(vb) == 60L)
+    // neither form is mistaken for a control event
+    assert(AvroWire.controlEvents(on) ++ AvroWire.controlEvents(off) == Nil)
+    // both decode as the same delete (ts from the value in on-mode)
+    for (frames <- Seq(off, on)) {
+      val d = AvroWire.decodeFeedAs(frames, uri, payload)
+        .filter(col("_op") === "d").collect()
+      assert(d.length == 1 && d.head.getLong(3) == 60L &&
+        d.head.getLong(4) == 7L,
+        s"delete decodes with ts 60 and key id 7: ${d.toSeq}")
+    }
+    off.unpersist(); on.unpersist()
   }
 
   test("avro feed config surface: registry uri is required at create; " +

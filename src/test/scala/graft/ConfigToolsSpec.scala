@@ -203,6 +203,114 @@ class ConfigToolsSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { ConsistentConfig("exact") }
   }
 
+  test("[sink.csv] block (sink.go:270-290 CSVConfig) survives both carriers " +
+      "with defaults elided — and the reference DEFAULT omits commit-ts") {
+    val cfg = ChangefeedConfig(id = "cf-csv",
+      sink = SinkConfig(protocol = Protocol.Csv,
+        csv = CsvConfig(delimiter = "|", quote = "'", nullString = "NIL",
+          includeCommitTs = true, binaryEncodingMethod = "hex",
+          outputOldValue = true, outputFieldHeader = true)))
+    val toml = ConfigToml.renderToml(cfg)
+    assert(toml.contains("[sink.csv]"))
+    assert(toml.contains("delimiter = '|'") &&
+      toml.contains("null = 'NIL'") &&
+      toml.contains("include-commit-ts = true") &&
+      toml.contains("binary-encoding-method = 'hex'") &&
+      toml.contains("output-old-value = true") &&
+      toml.contains("output-field-header = true"), toml)
+    val viaToml = ConfigToml.toConfig(ConfigToml.parse(toml), "cf-csv")
+    assert(viaToml.sink.csv == cfg.sink.csv)
+    val viaJson = ConfigToml.fromApiJson(ConfigToml.toApiJson(cfg))
+    assert(viaJson.sink.csv == cfg.sink.csv)
+    // a default block stays out of both wire forms, and the parsed
+    // default carries the REFERENCE defaults (include-commit-ts=false)
+    val dflt = ChangefeedConfig(id = "cf-csv-d",
+      sink = SinkConfig(protocol = Protocol.Csv))
+    assert(!ConfigToml.renderToml(dflt).contains("[sink.csv]"))
+    assert(!ConfigToml.toApiJson(dflt).contains("\"csv\":{"))
+    assert(ConfigToml.toConfig(ConfigToml.parse(ConfigToml.renderToml(dflt)),
+      "cf-csv-d").sink.csv == CsvConfig())
+    assert(!CsvConfig().includeCommitTs)
+  }
+
+  test("[sink.mysql-config] + [sink.cloud-storage-config] tuning blocks " +
+      "(sink.go:180-181,710-747) survive both carriers with defaults elided") {
+    val cfg = ChangefeedConfig(id = "cf-tuning",
+      sink = SinkConfig(
+        mysqlConfig = MysqlSinkConfig(workerCount = 8, maxTxnRow = 128,
+          maxMultiUpdateRow = 20, maxMultiUpdateRowSize = 2048,
+          enableBatchDml = false),
+        cloudStorageConfig = CloudStorageSinkConfig(flushInterval = "2s",
+          fileSize = 1024 * 1024, fileExpirationDays = 7,
+          fileCleanupCronSpec = "0 0 4 * * *")))
+    val toml = ConfigToml.renderToml(cfg)
+    assert(toml.contains("[sink.mysql-config]") &&
+      toml.contains("max-txn-row = 128") &&
+      toml.contains("max-multi-update-row = 20") &&
+      toml.contains("max-multi-update-row-size = 2048") &&
+      toml.contains("enable-batch-dml = false") &&
+      toml.contains("worker-count = 8"), toml)
+    assert(toml.contains("[sink.cloud-storage-config]") &&
+      toml.contains("flush-interval = '2s'") &&
+      toml.contains("file-size = 1048576") &&
+      toml.contains("file-expiration-days = 7") &&
+      toml.contains("file-cleanup-cron-spec = '0 0 4 * * *'"), toml)
+    val viaToml = ConfigToml.toConfig(ConfigToml.parse(toml), "cf-tuning")
+    assert(viaToml.sink.mysqlConfig == cfg.sink.mysqlConfig)
+    assert(viaToml.sink.cloudStorageConfig == cfg.sink.cloudStorageConfig)
+    val viaJson = ConfigToml.fromApiJson(ConfigToml.toApiJson(cfg))
+    assert(viaJson.sink.mysqlConfig == cfg.sink.mysqlConfig)
+    assert(viaJson.sink.cloudStorageConfig == cfg.sink.cloudStorageConfig)
+    // default blocks stay out of both wire forms
+    val dflt = ChangefeedConfig(id = "cf-tuning-d")
+    assert(!ConfigToml.renderToml(dflt).contains("mysql-config") &&
+      !ConfigToml.renderToml(dflt).contains("cloud-storage-config"))
+    assert(!ConfigToml.toApiJson(dflt).contains("mysql_config") &&
+      !ConfigToml.toApiJson(dflt).contains("cloud_storage_config"))
+    assert(ConfigToml.toConfig(ConfigToml.parse(ConfigToml.renderToml(dflt)),
+      "cf-tuning-d").sink.mysqlConfig == MysqlSinkConfig())
+  }
+
+  test("avro codec knobs (sink.go:453-455) survive both carriers with " +
+      "defaults elided: decimal/bigint-unsigned handling modes + " +
+      "avro-enable-watermark") {
+    val cfg = ChangefeedConfig(id = "cf-avro-modes",
+      sink = SinkConfig(protocol = Protocol.Avro,
+        schemaRegistry = "http://registry:8081",
+        avroDecimalHandlingMode = "string",
+        avroBigintUnsignedHandlingMode = "string",
+        avroEnableWatermark = true))
+    val toml = ConfigToml.renderToml(cfg)
+    assert(toml.contains("avro-decimal-handling-mode = 'string'"))
+    assert(toml.contains("avro-bigint-unsigned-handling-mode = 'string'"))
+    assert(toml.contains("avro-enable-watermark = true"))
+    val viaToml = ConfigToml.toConfig(ConfigToml.parse(toml), "cf-avro-modes")
+    assert(viaToml.sink.avroDecimalHandlingMode == "string" &&
+      viaToml.sink.avroBigintUnsignedHandlingMode == "string" &&
+      viaToml.sink.avroEnableWatermark)
+    val viaJson = ConfigToml.fromApiJson(ConfigToml.toApiJson(cfg))
+    assert(viaJson.sink.avroDecimalHandlingMode == "string" &&
+      viaJson.sink.avroBigintUnsignedHandlingMode == "string" &&
+      viaJson.sink.avroEnableWatermark)
+    // defaults (precise/long/false) stay out of both wire forms
+    val dflt = ChangefeedConfig(id = "cf-avro-dflt",
+      sink = SinkConfig(protocol = Protocol.Avro,
+        schemaRegistry = "mem://r"))
+    assert(!ConfigToml.renderToml(dflt).contains("avro-"))
+    assert(!ConfigToml.toApiJson(dflt).contains("avro_"))
+
+    // debezium-disable-schema (sink.go:202) rides the same surface
+    val dbz = ChangefeedConfig(id = "cf-dbz-ds",
+      sink = SinkConfig(protocol = Protocol.Debezium,
+        debeziumDisableSchema = true))
+    assert(ConfigToml.renderToml(dbz).contains("debezium-disable-schema = true"))
+    assert(ConfigToml.toConfig(ConfigToml.parse(ConfigToml.renderToml(dbz)),
+      "cf-dbz-ds").sink.debeziumDisableSchema)
+    assert(ConfigToml.fromApiJson(ConfigToml.toApiJson(dbz))
+      .sink.debeziumDisableSchema)
+    assert(!ConfigToml.renderToml(dflt).contains("debezium-disable-schema"))
+  }
+
   test("integrity block: both carriers, defaults elided, Validate enums closed " +
       "(pkg/integrity/integrity.go:23-75)") {
     val cfg = ChangefeedConfig(id = "cf-int",

@@ -47,8 +47,8 @@ class DebeziumAvroSpec extends SparkFunSuite {
   test("subjects register under {topic}-key / {topic}-value and frames carry their ids") {
     val store = new AvroRegistry.InMemoryStore
     val out = DebeziumAvroCodec.encode(fixture, "orders", "c1", store).collect()
-    val keyIds = store.versions("orders-key")
-    val valueIds = store.versions("orders-value")
+    val keyIds = store.idsFor("orders-key")
+    val valueIds = store.idsFor("orders-value")
     assert(keyIds.size == 1 && valueIds.size == 1)
     out.foreach { r =>
       val (kid, _) = AvroRegistry.unframe(r.getAs[Array[Byte]](1))

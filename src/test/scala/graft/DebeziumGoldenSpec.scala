@@ -84,6 +84,36 @@ class DebeziumGoldenSpec extends SparkFunSuite {
     assert(ours == golden)
   }
 
+  test("debezium-disable-schema (sink.go:202): the DML envelope AND key " +
+      "drop their schema block but keep the payload wrapper, and the " +
+      "payloads are byte-identical to the schema-ful wire's") {
+    assume(available)
+    val rows = MySqlDdl.parseInsert(readFile(s"$dir/datatype.dml.sql"))
+    val lits = table.cols.indices.map(i => rows.head.values(s"_$i"))
+    val img = StructType(table.cols.map(c => StructField(c.name, StringType, nullable = true)))
+    val schema = StructType(Seq(
+      StructField("before", img, nullable = true), StructField("after", img, nullable = true),
+      StructField("_op", StringType), StructField("_schema", StringType),
+      StructField("_table", StringType), StructField("_commit_ts", LongType)))
+    val row = Row(null, Row(lits.map(_.orNull): _*), "I", table.schema, table.table,
+      1701673705263L * 1000000L)
+    val df = spark.createDataFrame(java.util.Arrays.asList(row), schema)
+    val out = DebeziumFull.encode(df, table, "dbserver1", disableSchema = true)
+      .select(col("_key"), col("_value")).head()
+    val k = mapper.readTree(out.getString(0))
+    val v = mapper.readTree(out.getString(1))
+    assert(!k.has("schema") && !v.has("schema"),
+      "schema-less wire carries no schema block")
+    assert(k.has("payload") && v.has("payload"),
+      "the {\"payload\":...} wrapper stays (codec.go:1023 — only the " +
+        "schema field is gated)")
+    // identical payloads to the schema-ful form — the gate touches
+    // ONLY the schema block
+    val full = (mapper.readTree(encoded._1), mapper.readTree(encoded._2))
+    assert(k.get("payload") == full._1.get("payload"))
+    assert(v.get("payload") == full._2.get("payload"))
+  }
+
   test("key message matches datatype.dbz.key.json exactly") {
     assume(available)
     val golden = mapper.readTree(readFile(s"$dir/datatype.dbz.key.json"))

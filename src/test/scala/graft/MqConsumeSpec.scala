@@ -614,7 +614,10 @@ class MqConsumeSpec extends SparkFunSuite {
       val cfg = ChangefeedConfig(id = "cf-avro-consume",
         filter = FilterConfig(rules = Seq("app.*")), handleKeys = Seq("id"),
         sink = SinkConfig(protocol = Protocol.Avro, numPartitions = 2,
-          schemaRegistry = uri))
+          schemaRegistry = uri,
+          // the standalone consumer learns tables from the 0x01 DDL
+          // control events — shipped only under avro-enable-watermark
+          avroEnableWatermark = true))
       val q = Changefeed.runMqFromRaw2pcEvolving(spark, cfg,
         spark.readStream.schema(TxnMatcher.uncommittedSchema)
           .option("maxFilesPerTrigger", 1).parquet(srcDir),

@@ -476,6 +476,53 @@ class OperatorSpec extends SparkFunSuite {
       safeMode = true)(_ => ())
   }
 
+  test("mysql-config writer knobs drive the coalescer (sink.go:710-728): " +
+      "max-txn-row caps runs, max-multi-update-row/-size cap UPDATE-class " +
+      "rows, enable-batch-dml=false forces per-row statements") {
+    import graft.model.MysqlSinkConfig
+    val env = mkEnv(Seq(
+      (1L, "I", 2L, 10.0, 100L),
+      (2L, "I", 4L, 20.0, 200L),
+      (3L, "U", 6L, 30.0, 300L),
+      (4L, "U", 8L, 40.0, 400L),
+      (5L, "U", 10L, 50.0, 500L)))
+    def collect(mysql: MysqlSinkConfig,
+                maxBatchRows: Int = 256): List[String] = {
+      // static probe: the execute closure runs inside foreachPartition
+      // (serialized), so a captured local buffer would mutate a copy
+      CoalesceProbe.statements.clear()
+      graft.sinks.MysqlSink.applyBatchCoalesced(env, Seq("user_id"), 1,
+        safeMode = true, maxBatchRows = maxBatchRows, mysql = mysql)(
+        it => it.foreach(CoalesceProbe.statements.add))
+      import scala.jdk.CollectionConverters._
+      CoalesceProbe.statements.iterator().asScala.toList
+    }
+    // defaults: ONE multi-row REPLACE (all five rows share the head)
+    val dflt = collect(MysqlSinkConfig())
+    assert(dflt.count(_.startsWith("REPLACE")) == 1, dflt.mkString("\n"))
+    assert(dflt.head.count(_ == '(') >= 5, "all five tuples in one run")
+    // max-multi-update-row=2: UPDATE-class rows flush every 2 — the
+    // knob VISIBLY changes statement batching (I-rows keep the txn cap)
+    val capped = collect(MysqlSinkConfig(maxMultiUpdateRow = 2))
+    assert(capped.count(_.startsWith("REPLACE")) == 3,
+      s"2 I-rows + U-run split at 2 + trailing U:\n${capped.mkString("\n")}")
+    // max-multi-update-row-size=1: every U tuple exceeds it → U rows
+    // emit alone; the I pair still coalesces
+    val sized = collect(MysqlSinkConfig(maxMultiUpdateRowSize = 1))
+    assert(sized.count(_.startsWith("REPLACE")) == 4,
+      s"I-run + three single Us:\n${sized.mkString("\n")}")
+    // enable-batch-dml=false: per-row statements, nothing coalesces
+    val off = collect(MysqlSinkConfig(enableBatchDml = false))
+    assert(off.length == 5 && off.forall(s => s.count(_ == '(') == 2),
+      s"one tuple per statement:\n${off.mkString("\n")}")
+    // max-txn-row caps every run (and clamps at the reference limits)
+    val txnCapped = collect(MysqlSinkConfig(maxTxnRow = 2))
+    assert(txnCapped.count(_.startsWith("REPLACE")) == 3, txnCapped.mkString("\n"))
+    assert(MysqlSinkConfig(maxTxnRow = 1 << 20).adjusted.maxTxnRow == 2048)
+    assert(MysqlSinkConfig(maxMultiUpdateRow = 999).adjusted.maxMultiUpdateRow == 256)
+    intercept[IllegalArgumentException](MysqlSinkConfig(maxTxnRow = 0).adjusted)
+  }
+
   test("asof join: latest build <= probe ts, equal-ts visible, no-match null") {
     import spark.implicits._
     val probe = Seq(
@@ -992,4 +1039,11 @@ class OperatorSpec extends SparkFunSuite {
       s"budget 2 admits both near-dups, the unrelated doc fails verify: $budget2")
     assert(unbudgeted == budget2, "budget only prunes below-threshold work here")
   }
+}
+
+/** Statement collector for the coalescer knob spec — a top-level
+  * object so the foreachPartition closure reaches the SAME instance
+  * after serialization (local mode shares the JVM). */
+object CoalesceProbe {
+  val statements = new java.util.concurrent.ConcurrentLinkedQueue[String]()
 }

@@ -113,6 +113,37 @@ class SinkSpec extends SparkFunSuite {
     assert(kept.isEmpty)
   }
 
+  test("cloud-storage-config knobs (sink.go:730-747): file-size drives the " +
+      "per-file roll, flush-interval parses with the reference clamps, " +
+      "retention gates on file-expiration-days") {
+    import graft.model.CloudStorageSinkConfig
+    // flush-interval: parse + [100ms, 10m] clamp (cloudstorage/config.go:41-43)
+    assert(CloudStorageSinkConfig(flushInterval = "2s").flushIntervalMs == 2000L)
+    assert(CloudStorageSinkConfig(flushInterval = "500ms").flushIntervalMs == 500L)
+    assert(CloudStorageSinkConfig(flushInterval = "1ms").flushIntervalMs == 100L)
+    assert(CloudStorageSinkConfig(flushInterval = "99m").flushIntervalMs == 600000L)
+    intercept[IllegalArgumentException](
+      CloudStorageSinkConfig(flushInterval = "soon").flushIntervalMs)
+    // file-size: [1KiB, 512MiB] clamp (config.go:55-57)
+    assert(CloudStorageSinkConfig(fileSize = 1).adjustedFileSize == 1024)
+    assert(CloudStorageSinkConfig(fileSize = Int.MaxValue).adjustedFileSize ==
+      512 * 1024 * 1024)
+    assert(CloudStorageSinkConfig().isDefault &&
+      CloudStorageSinkConfig().fileExpirationDays == 0,
+      "cleanup disabled by default (config.go:60)")
+    // the roll knob visibly splits data files: a 2-record cap over a
+    // many-row table yields multiple part files per partition dir
+    val tmp = Files.createTempDirectory("graft-filesize").toString
+    StorageSink.write(Codecs.canalJson(env).limit(40).coalesce(1), tmp, "text",
+      maxRecordsPerFile = Some(2L))
+    val dirs = new java.io.File(tmp).listFiles()
+      .filter(_.getName.startsWith("_schema=")).flatMap(_.listFiles())
+      .flatMap(_.listFiles()).filter(_.getName.startsWith("_date="))
+    val counts = dirs.map(_.listFiles().count(_.getName.startsWith("part-")))
+    assert(counts.exists(_ > 1),
+      s"a 2-record roll must split some dir's file: ${counts.toSeq}")
+  }
+
   test("kafka frame has the connector contract columns") {
     val prepared = KafkaSink.prepare(
       Codecs.canalJson(Routing.routeTopic(

@@ -301,6 +301,51 @@ class TypeMatrixSpec extends SparkFunSuite {
     assert(stmt.contains(zh) && stmt.contains("应用"))
   }
 
+  test("csv codec config surface (CSVConfig, sink.go:270-290): hex binary, " +
+      "custom delimiter + null, no commit ts, and decodeCsvAs round-trips " +
+      "the configured wire") {
+    import graft.model.CsvConfig
+    val csvRow = Row.fromSeq(maxRow.toSeq.updated(9, "semi;colon"))
+    val env = envOf(csvRow)
+    val cfg = CsvConfig(delimiter = ";", nullString = "NULL",
+      includeCommitTs = false, binaryEncodingMethod = "hex")
+    val encoded = Codecs.csvLineFor(env, cfg)
+    val line = encoded.select("_value").head().getString(0)
+    // hex binary, lowercase (csv_message.go:290 hex.EncodeToString)
+    assert(line.contains("00017f80"), s"hex binary cell: $line")
+    assert(!line.contains(java.util.Base64.getEncoder.encodeToString(
+      Array[Byte](0, 1, 127, -128))), "no base64 form on a hex wire")
+    // no commit-ts meta column: the line leads op;TABLE;SCHEMA;payload
+    assert(line.startsWith("\"I\";\"types\";\"app\";"),
+      s"custom delimiter joins the meta: $line")
+    assert(!line.contains("1700000000000000000"),
+      s"include-commit-ts=false drops the ts cell: $line")
+    // the configured decode recovers the binary bytes and fills ts 0
+    val wireReader = StructType(wireSchema.fields.map {
+      case StructField("bin", _, _, _) =>
+        StructField("bin", BinaryType)
+      case f => f
+    })
+    val dec = graft.functions.Decoders.decodeCsvAs(
+      encoded, wireReader, csv = cfg).head()
+    assert(dec.getAs[Long]("_commit_ts") == 0L,
+      "absent commit-ts column decodes as 0 (csv_message.go:130)")
+    assert(dec.getAs[Array[Byte]]("bin").toSeq == Seq[Byte](0, 1, 127, -128),
+      "hex binary decodes back to the bytes")
+    assert(dec.getAs[String]("s") == "semi;colon",
+      "quoted delimiter-bearing string survives the custom separator")
+    // validation mirrors sink.go:292-345
+    intercept[IllegalArgumentException](CsvConfig(quote = "ab").validate())
+    intercept[IllegalArgumentException](CsvConfig(delimiter = "").validate())
+    intercept[IllegalArgumentException](CsvConfig(delimiter = "abcd").validate())
+    intercept[IllegalArgumentException](CsvConfig(delimiter = "a\nb").validate())
+    intercept[IllegalArgumentException](
+      CsvConfig(delimiter = "a\"", quote = "\"").validate())
+    intercept[IllegalArgumentException](
+      CsvConfig(binaryEncodingMethod = "raw").validate())
+    CsvConfig(quote = "", delimiter = "||").validate()
+  }
+
   test("csv generic encoder round-trips the matrix via from_csv") {
     // newline-free string for the line-oriented wire
     val csvRow = Row.fromSeq(maxRow.toSeq.updated(9, "qu\"ote, comma"))
