@@ -445,11 +445,15 @@ object DataQueries {
       TextOps.hashedTfidfVectors(docs(s, d), hashedDim)),
 
     // text → hashed vectors → the ANN stack unchanged: cosine top-k
-    // neighbors over documents with no external embedding model
+    // neighbors over documents with no external embedding model.
+    // Vectors materialize once (they feed both sides of the
+    // brute-force join — without it the whole tf-idf pipeline runs
+    // twice, once for the corpus side and once for the probe set)
     "q_text_ann" -> ((s, d) =>
       Similarity.bruteForceTopK(
         TextOps.hashedDenseVectors(docs(s, d), hashedDim)
-          .select(col("doc_id").as("vec_id"), col("embedding")),
+          .select(col("doc_id").as("vec_id"), col("embedding"))
+          .localCheckpoint(false),
         annQueries, annK)),
 
     "q_stratified" -> ((s, d) =>

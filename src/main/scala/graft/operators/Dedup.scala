@@ -438,10 +438,16 @@ object Dedup {
     * Singletons (docs absent from `pairs`) are not emitted — join
     * back against the corpus with a coalesce-to-self for them. */
   def clusters(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    // LAZY checkpoints throughout: every round already runs one
+    // driver action (the convergence sum), and a lazy localCheckpoint
+    // materializes its blocks inside that same action — eager
+    // checkpoints ran a SEPARATE job per frame per round (2× the job
+    // count for the same data work; job fixed costs dominate this
+    // control-plane-sized loop).
     val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
-      .localCheckpoint()
+      .localCheckpoint(false)
     // seed with min(self, direct neighbors) — one agg over the edge
     // list; clique-shaped near-dup components (the common case) are
     // already at their fixpoint, so the loop only confirms
@@ -449,7 +455,8 @@ object Dedup {
       .agg(min(col("b")).as("__nmin"))
       .select(col("doc_id"),
         least(col("doc_id"), col("__nmin")).as("cluster"))
-      .localCheckpoint()
+      .localCheckpoint(false)
+    // this one action materializes edges AND the seed labels
     var prevSum = labels.agg(sum(col("cluster"))).head().getLong(0)
     var converged = false
     var i = 0
@@ -476,7 +483,8 @@ object Dedup {
           col("x.cluster") === col("p_doc"), "left")
         .select(col("x.doc_id").as("doc_id"),
           least(col("x.cluster"), coalesce(col("p_cluster"), col("x.cluster"))).as("cluster"))
-        .localCheckpoint()
+        .localCheckpoint(false)
+      // materializes this round's labels inside the convergence action
       val s = labels.agg(sum(col("cluster"))).head().getLong(0)
       converged = s == prevSum
       prevSum = s

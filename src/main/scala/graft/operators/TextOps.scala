@@ -341,7 +341,11 @@ object TextOps {
     * exploded form (doc_id, dim_idx, weight_micro). */
   def hashedTfidfVectors(docs: DataFrame, dim: Int): DataFrame = {
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+    // tf feeds both the idf subtree and the weight join; materialized
+    // once so the corpus is tokenized once, not once per consumer
+    // (same per-run postings checkpoint as [[Retrieval.bm25TopK]])
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val idf = df.crossJoin(broadcast(n))

@@ -539,10 +539,21 @@ object RedoWire {
   // etcd-WAL file framing (writer.go:77-84 / reader file.go:329-381)
   // ---------------------------------------------------------------
 
-  def writeLogFile(path: String, records: Iterator[Array[Byte]]): Unit = {
-    val out = new FileOutputStream(path)
+  def writeLogFile(path: String, records: Iterator[Array[Byte]],
+                   compress: Boolean = false): Unit = {
+    // Buffered: the frame stream is many small writes (8-byte len +
+    // record + pad) — unbuffered FileOutputStream paid 3 syscalls per
+    // record. With `compress` the LZ4 frame encoder wraps the buffer
+    // directly, so the compressed export is written ONCE instead of
+    // write-all → read-all → rewrite (byte-identical frames: the
+    // encoder packs its 4 MB blocks by stream position, so chunked
+    // writes produce the same file as one whole-buffer write).
+    val fos = new java.io.BufferedOutputStream(new FileOutputStream(path), 1 << 20)
+    val out: java.io.OutputStream =
+      if (compress) new net.jpountz.lz4.LZ4FrameOutputStream(fos) else fos
     try {
       val lenBuf = ByteBuffer.allocate(8).order(ByteOrder.LITTLE_ENDIAN)
+      val padZero = new Array[Byte](8)
       records.foreach { rec =>
         val pad = (8 - (rec.length % 8)) % 8
         var lenField = rec.length.toLong
@@ -550,7 +561,7 @@ object RedoWire {
         lenBuf.clear(); lenBuf.putLong(lenField)
         out.write(lenBuf.array())
         out.write(rec)
-        if (pad != 0) out.write(new Array[Byte](pad))
+        if (pad != 0) out.write(padZero, 0, pad)
       }
     } finally out.close()
   }
@@ -677,12 +688,11 @@ object RedoWire {
     new java.io.File(dir).mkdirs()
     val (ddls, dmls) = records.partition(_.isInstanceOf[DdlRecord])
     def maxTs(rs: Seq[RedoRecord]) = if (rs.isEmpty) 0L else rs.map(_.commitTs).max
-    def writeLog(path: String, recs: Seq[RedoRecord]): Unit = {
-      writeLogFile(path, recs.iterator.map(encodeRecord))
+    def writeLog(path: String, recs: Seq[RedoRecord]): Unit =
       // whole-file LZ4, the reference writer's `compression = lz4`
-      // (writer file.go; reader auto-detects by magic)
-      if (compress) lz4CompressFile(path)
-    }
+      // (writer file.go; reader auto-detects by magic) — streamed
+      // through the frame encoder in one pass
+      writeLogFile(path, recs.iterator.map(encodeRecord), compress)
     if (dmls.nonEmpty)
       writeLog(
         new java.io.File(dir, logFileName(captureId, changefeedId, "row",

@@ -203,8 +203,8 @@ object RedoWireBridge {
     val maxTs = recs.map(_.commitTs).max
     val path = new java.io.File(dir, RedoWire.logFileName(captureId,
       changefeedId, "ddl", maxTs, "d000")).getPath
-    RedoWire.writeLogFile(path, recs.iterator.map(RedoWire.encodeRecord))
-    if (compress) RedoWire.lz4CompressFile(path)
+    RedoWire.writeLogFile(path, recs.iterator.map(RedoWire.encodeRecord),
+      compress)
   }
 
   /** An envelope frame → a reference-format redo directory: one log
@@ -250,14 +250,19 @@ object RedoWireBridge {
           DmlRecord(RedoDml(r.getLong(4), commitTs, r.getString(0),
             r.getString(1), 0L, isPartition = false, cols,
             values = post, preValues = pre))
-        }.toVector
-        if (recs.nonEmpty) {
+        }
+        if (recs.hasNext) {
+          // stream records to a temp name (maxTs — part of the final
+          // file name — is only known at the end), then rename: the
+          // partition never materializes in task memory, and the LZ4
+          // export compresses inline instead of write → read → rewrite
+          val tmp = new java.io.File(dirPath, f".p$pid%04d.log.tmp")
+          RedoWire.writeLogFile(tmp.getPath,
+            recs.map(RedoWire.encodeRecord), doCompress)
           val path = new java.io.File(dirPath, RedoWire.logFileName(
-            cap, feed, "row", maxTs, f"p$pid%04d")).getPath
-          RedoWire.writeLogFile(path, recs.iterator.map(RedoWire.encodeRecord))
-          // whole-file LZ4 per worker file (reference `compression =
-          // lz4`); the reader auto-detects by magic
-          if (doCompress) RedoWire.lz4CompressFile(path)
+            cap, feed, "row", maxTs, f"p$pid%04d"))
+          if (!tmp.renameTo(path))
+            throw new java.io.IOException(s"rename $tmp -> $path failed")
         }
       }
     java.nio.file.Files.write(

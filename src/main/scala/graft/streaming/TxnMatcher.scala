@@ -108,38 +108,41 @@ object TxnMatcher {
   }
 
   private def matchExpanded(raw: DataFrame): DataFrame = {
+    // Every matching decision is per txn identity (key, start_ts), so
+    // ONE map-side-combined aggregation carries all three facts at
+    // once — the winning prewrite, the deduped commit, the rollback
+    // flag — where the previous plan ran three scans of the (expensive
+    // to recompute) raw subtree, three exchanges and two joins. The
+    // filters below reproduce the join semantics exactly: inner join
+    // on the prewrite ⇒ p non-null; inner join on the commit ⇒ c
+    // non-null; anti-join on rollbacks ⇒ rollback count 0.
+    val isPre = col("entry_type") === Prewrite
+    val isCommit = col("entry_type") === Commit
     // putPrewriteRow's keep rule as a max_by priority: a real (non-
     // empty) value beats a fake heartbeat's empty one; among real
-    // prewrites the highest pipelined-DML generation wins
-    val pre = raw.filter(col("entry_type") === Prewrite)
-      .groupBy(col("key"), col("start_ts"))
-      .agg(max_by(
-        struct(col("value"), col("old_value"), col("op_type")),
-        struct(
-          when(col("value").isNotNull && length(col("value")) > 0, 1).otherwise(0)
-            .as("real"),
-          col("generation").as("gen"))).as("p"))
-    val rollbacks = raw.filter(col("entry_type") === Rollback)
-      .select(col("key"), col("start_ts")).distinct()
-    // one commit per txn per key is the 2PC contract — dedup absorbs
-    // at-least-once redelivery (a region merge/split or stream
-    // reconnect re-scans from the last resolved ts and re-delivers
-    // entries; region_merge / kv_client_stream_reconnect scenarios)
-    val commits = raw.filter(col("entry_type") === Commit)
-      .select(col("key"), col("start_ts"), col("commit_ts"),
-        col("op_type").as("_commit_op"))
-      .dropDuplicates(Seq("key", "start_ts"))
-    // assembleRowEvent: the commit entry's op + ts, the prewrite's bytes.
-    // All three frames are CHANGE-STREAM-sized (prewrites ≈ commits ≈
-    // rows; rollbacks ≈ failed txns) and the prewrite side is an
-    // aggregate with unreliable static stats: shuffle-hash pinned so
-    // no side is ever a broadcast build at scale.
-    commits
-      .join(pre.hint("shuffle_hash"), Seq("key", "start_ts"))
-      .join(rollbacks.hint("shuffle_hash"), Seq("key", "start_ts"), "left_anti")
+    // prewrites the highest pipelined-DML generation wins. max_by /
+    // min_by skip null orderings, so each picks only from its own
+    // entry class.
+    val prePriority = when(isPre, struct(
+      when(col("value").isNotNull && length(col("value")) > 0, 1).otherwise(0)
+        .as("real"),
+      col("generation").as("gen")))
+    raw.groupBy(col("key"), col("start_ts"))
+      .agg(
+        max_by(struct(col("value"), col("old_value"), col("op_type")),
+          prePriority).as("p"),
+        // one commit per txn per key is the 2PC contract — min_by
+        // absorbs at-least-once redelivery (a region merge/split or
+        // stream reconnect re-scans from the last resolved ts and
+        // re-delivers entries; redelivered commits are identical, so
+        // the pick is the same row the former dropDuplicates kept)
+        min_by(when(isCommit, struct(col("commit_ts"), col("op_type"))),
+          when(isCommit, col("commit_ts"))).as("c"),
+        max(when(col("entry_type") === Rollback, 1).otherwise(0)).as("__rb"))
+      .filter(col("p").isNotNull && col("c").isNotNull && col("__rb") === 0)
       .select(col("key"), col("p.value").as("value"),
-        col("p.old_value").as("old_value"), col("_commit_op").as("op_type"),
-        col("start_ts"), col("commit_ts"))
+        col("p.old_value").as("old_value"), col("c.op_type").as("op_type"),
+        col("start_ts"), col("c.commit_ts").as("commit_ts"))
   }
 
   /** Per-region resolved-ts bound over the uncommitted 2PC stream —
