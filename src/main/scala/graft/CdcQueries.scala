@@ -16,7 +16,20 @@ import graft.functions.Codecs
   */
 object CdcQueries {
 
+  /** Envelope over the events fixture, re-spread across the session's
+    * cores when the file layout under-parallelizes the scan
+    * ([[Tables.spreadSmallScan]]) — the codec/mount/replay kernels
+    * these queries stack on top are per-row CPU and were serializing
+    * into the fixture's single-row-group scan task. */
   private def env(s: SparkSession, dir: String): DataFrame =
+    Tables.spreadSmallScan(Envelope.fromEvents(Tables.events(s, dir)))
+
+  /** The un-spread envelope for the plan-pinned shuffle-free queries
+    * (PlanSpec: encoder/statement rendering "rides the scan"): their
+    * contract is zero-exchange codegen — the operator parallelizes by
+    * the SOURCE's layout in production (streaming source partitions /
+    * many files), so the demo plan stays exchange-free by design. */
+  private def envNarrow(s: SparkSession, dir: String): DataFrame =
     Envelope.fromEvents(Tables.events(s, dir))
 
   /** Envelope flat + extra computed columns. */
@@ -113,7 +126,7 @@ object CdcQueries {
     }),
 
     "q_column_select_rules" -> ((s, d) => {
-      val selected = Transforms.columnSelectorRules(env(s, d), Seq(
+      val selected = Transforms.columnSelectorRules(envNarrow(s, d), Seq(
         Seq("app.events_0", "app.events_1") -> Seq("user_id", "k"),
         Seq("app.events_2") -> Seq("user_id", "value")),
         handleKeys)
@@ -174,25 +187,25 @@ object CdcQueries {
     }),
 
     "q_encode_canal" -> ((s, d) =>
-      Codecs.canalJson(env(s, d)).select(col("_row_id"), col("_value"))),
+      Codecs.canalJson(envNarrow(s, d)).select(col("_row_id"), col("_value"))),
 
     "q_encode_canal_txn" -> ((s, d) =>
       Codecs.canalJsonTxn(txnified(env(s, d)))),
 
     "q_lww_state" -> ((s, d) =>
       Materialize.tableStateLww(
-        env(s, d).withColumn("_origin_ts",
+        envNarrow(s, d).withColumn("_origin_ts",
           when(pmod(col("_row_id"), lit(3L)) === 0,
             col("_commit_ts") + pmod(col("_row_id"), lit(7L)) * 1000L)))),
 
     "q_encode_open" -> ((s, d) =>
-      Codecs.openProtocol(env(s, d)).select(col("_row_id"), col("_key"), col("_value"))),
+      Codecs.openProtocol(envNarrow(s, d)).select(col("_row_id"), col("_key"), col("_value"))),
 
     "q_encode_debezium" -> ((s, d) =>
-      Codecs.debeziumJson(env(s, d)).select(col("_row_id"), col("_value"))),
+      Codecs.debeziumJson(envNarrow(s, d)).select(col("_row_id"), col("_value"))),
 
     "q_encode_csv" -> ((s, d) =>
-      Codecs.csvLine(env(s, d)).select(col("_row_id"), col("_value"))),
+      Codecs.csvLine(envNarrow(s, d)).select(col("_row_id"), col("_value"))),
 
     "q_sqlmodel" -> ((s, d) =>
       graft.sinks.MysqlSink.statements(env(s, d), Seq("user_id"), 8, safeMode = true)),
@@ -1379,7 +1392,11 @@ object RawKvQuery {
     * wrong bytes for committing `% 13 = 0` events (the generation-2
     * real prewrite must win). The matched+mounted stream is therefore
     * exactly `events WHERE event_id % 23 <> 0 AND event_id % 31 <> 0`. */
-  def encodeUncommitted(events: DataFrame): DataFrame = {
+  def encodeUncommitted(events0: DataFrame): DataFrame = {
+    // input-layout skew guard: re-spread an under-parallel scan before
+    // the per-row kernel below (no-op on naturally parallel layouts;
+    // see Tables.spreadSmallScan)
+    val events = graft.Tables.spreadSmallScan(events0)
     val m = eventsMeta
     events.select("event_id", "ts", "user_id", "event_type", "value", "props")
       .mapPartitions { it =>
@@ -1436,7 +1453,11 @@ object RawKvQuery {
     * correct except every 9th id, which is CORRUPTED and must verdict
     * as the pre-row warn-SKIP (ok without verified,
     * checksum.go:100-112), never as a mismatch. */
-  def encodeChecksumMix(events: DataFrame): DataFrame = {
+  def encodeChecksumMix(events0: DataFrame): DataFrame = {
+    // input-layout skew guard: re-spread an under-parallel scan before
+    // the per-row kernel below (no-op on naturally parallel layouts;
+    // see Tables.spreadSmallScan)
+    val events = graft.Tables.spreadSmallScan(events0)
     val m = eventsMeta
     events.select("event_id", "ts", "user_id", "event_type", "value", "props")
       .mapPartitions { it =>

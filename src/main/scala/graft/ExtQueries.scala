@@ -13,8 +13,12 @@ import graft.functions.{Codecs, Decoders, Integrity, LargeMessage, RowChecksum}
   */
 object ExtQueries {
 
+  /** Envelope re-spread across cores when the fixture layout
+    * under-parallelizes the scan ([[Tables.spreadSmallScan]]): every
+    * query here stacks per-row codec/roundtrip kernels on top, which
+    * otherwise fuse into a single-row-group scan's ONE task. */
   private def env(s: SparkSession, dir: String): DataFrame =
-    Envelope.fromEvents(Tables.events(s, dir))
+    Tables.spreadSmallScan(Envelope.fromEvents(Tables.events(s, dir)))
 
   /** The avro changefeed wire end-to-end across a schema evolution:
     * era-1 rows encode under the original table version, era-2 rows

@@ -40,6 +40,27 @@ object Tables {
     if (dt == LongType) c
     else unix_micros(c.cast(TimestampType)) * lit(1000L)
 
+  /** Input-layout skew guard (optimization guide §2.5: "one huge
+    * unsplittable file ... repartition immediately after the read").
+    * When the source layout gives the scan fewer tasks than the
+    * session has cores, re-spread rows round-robin so the per-row
+    * work above it parallelizes. The driver's fixtures are
+    * single-row-group parquet files — parquet cannot split inside a
+    * row group, so EVERY downstream kernel that fuses into such a
+    * scan (codec encode/decode, shingle explode, byte mounts)
+    * serialized on one core while the rest idled (measured: 1-task
+    * stages of 0.7-2 s wall ≈ cpu dominating a dozen bench queries).
+    * The gate reads the ACTUAL scan partitioning, so on a layout with
+    * natural parallelism (many files / row groups — any real cluster
+    * table) this is a no-op: scale-adaptive, not a local[32] constant.
+    * Apply ONLY above heavy per-row kernels: a cheap scan→agg plan is
+    * better off un-spread (partial aggregation already shrinks the
+    * shuffle to group-count rows). */
+  def spreadSmallScan(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+  }
+
   def lineitem(s: SparkSession, dir: String): DataFrame = read(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame = read(s, dir, "orders")
   def customer(s: SparkSession, dir: String): DataFrame = read(s, dir, "customer")

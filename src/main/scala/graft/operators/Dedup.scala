@@ -188,7 +188,11 @@ object Dedup {
   /** MinHash signatures: distinct tokens per doc → 16 min-hash lanes →
     * 4 LSH band keys (md5 of each 4-lane slice). Two shuffles total
     * (token distinct, per-doc agg) regardless of corpus size. */
-  def minhashSignatures(docs: DataFrame): DataFrame = {
+  def minhashSignatures(docs0: DataFrame): DataFrame = {
+    // input-layout skew guard: re-spread an under-parallel scan before
+    // the per-row kernel below (no-op on naturally parallel layouts;
+    // see Tables.spreadSmallScan)
+    val docs = graft.Tables.spreadSmallScan(docs0)
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
       .withColumn("h", tokenHash(col("tok")))
@@ -292,8 +296,12 @@ object Dedup {
     * quadratic per-pair compute regardless of similarity. (Measured
     * both at sf0.1: token join wins even on this degenerate small
     * vocabulary.) */
-  def jaccardPairs(docs: DataFrame, blockCol: String, threshold: Double,
+  def jaccardPairs(docs0: DataFrame, blockCol: String, threshold: Double,
                    maxBucket: Int = DefaultBucketCap): DataFrame = {
+    // input-layout skew guard: re-spread an under-parallel scan before
+    // the per-row kernel below (no-op on naturally parallel layouts;
+    // see Tables.spreadSmallScan)
+    val docs = graft.Tables.spreadSmallScan(docs0)
     // Candidate generation is BUCKET-COLLECT, not a token self-join:
     // one shuffle gathers each (block, token) posting list, pairs
     // explode in place, and the pair count aggregates — two shuffles
@@ -346,9 +354,13 @@ object Dedup {
     * direction flag differ. Emits which side is the contained one so
     * the curation policy can keep the superset document.
     */
-  def containmentPairs(docs: DataFrame, blockCol: String, n: Int,
+  def containmentPairs(docs0: DataFrame, blockCol: String, n: Int,
                        threshold: Double,
                        maxBucket: Int = DefaultBucketCap): DataFrame = {
+    // input-layout skew guard: re-spread an under-parallel scan before
+    // the per-row kernel below (no-op on naturally parallel layouts;
+    // see Tables.spreadSmallScan)
+    val docs = graft.Tables.spreadSmallScan(docs0)
     // n-gram shingles, distinct per doc: token-set containment is
     // degenerate on low-vocab corpora (everything contains the
     // vocabulary); shingles carry word order, so containment means
@@ -629,8 +641,12 @@ object Dedup {
     * window per doc (token count × 1), prefix self-join, candidate
     * distinct, two joins against the per-doc set table (dict-sized;
     * AQE broadcasts when small). */
-  def jaccardPairsPrefix(docs: DataFrame, blockCol: String, threshold: Double,
+  def jaccardPairsPrefix(docs0: DataFrame, blockCol: String, threshold: Double,
                          maxBucket: Int = DefaultBucketCap): DataFrame = {
+    // input-layout skew guard: re-spread an under-parallel scan before
+    // the per-row kernel below (no-op on naturally parallel layouts;
+    // see Tables.spreadSmallScan)
+    val docs = graft.Tables.spreadSmallScan(docs0)
     val distinctToks = array_distinct(split(col("text"), " "))
     val toks = docs.select(col("doc_id"), col(blockCol).as("__blk"),
       explode(distinctToks).as("tok"))
@@ -703,9 +719,13 @@ object Dedup {
     * partitioning for the run aggregation (subset clustering). Runs
     * of n-gram positions over-cover by construction (a run of k grams
     * = k+n−1 shared tokens), so minSpan must be ≥ n. */
-  def duplicateSpans(docs: DataFrame, n: Int, minSpan: Int,
+  def duplicateSpans(docs0: DataFrame, n: Int, minSpan: Int,
                      maxBucket: Int = DefaultBucketCap): DataFrame = {
     require(minSpan >= n, s"minSpan ($minSpan) must be >= n ($n)")
+    // input-layout skew guard: re-spread an under-parallel scan before
+    // the per-row kernel below (no-op on naturally parallel layouts;
+    // see Tables.spreadSmallScan)
+    val docs = graft.Tables.spreadSmallScan(docs0)
     val grams = docs
       .select(col("doc_id"), split(col("text"), " ").as("w"))
       .filter(size(col("w")) >= n)
@@ -790,6 +810,20 @@ object Dedup {
         .hint("shuffle_hash"), "doc_a")
       .join(capped.select(col("doc_id").as("doc_b"), col("__t").as("__tb"))
         .hint("shuffle_hash"), "doc_b")
+      // spread the pairs across every core BEFORE the O(len²) kernel:
+      // the budgeted pair frame is tiny in BYTES, so AQE coalesces its
+      // shuffle to ~one partition — and one task then runs the whole
+      // corpus's Levenshtein DP serially (measured: a 4.5 s wall /
+      // 8 s cpu / 2-task stage of a 7.7 s query). A bare round-robin
+      // repartition is NOT enough: the optimizer pushes the ratio
+      // filter (and the levenshtein it references) back below the
+      // exchange, re-serializing it — the lazy checkpoint pins the
+      // kernel above the spread (no extra job; blocks fill inside the
+      // count/collect action). The exchange moves only capped-text
+      // pairs — output-sized, orders below the kernel work it
+      // parallelizes; round-robin is immune to hot-doc_b skew.
+      .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
+      .localCheckpoint(false)
       .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
       .withColumn("edit_ratio_micro",
         expr("edit_dist * 1000000 div greatest(length(__ta), length(__tb), 1)"))
@@ -808,7 +842,11 @@ object Dedup {
     * indexed filter HOF, so the whole apply is two shuffles: the
     * island window and the doc join. Docs without spans pass through
     * untrimmed. */
-  def trimSpans(docs: DataFrame, spans: DataFrame): DataFrame = {
+  def trimSpans(docs0: DataFrame, spans: DataFrame): DataFrame = {
+    // input-layout skew guard: re-spread an under-parallel scan before
+    // the per-row kernel below (no-op on naturally parallel layouts;
+    // see Tables.spreadSmallScan)
+    val docs = graft.Tables.spreadSmallScan(docs0)
     val wIsl = Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
     val prevMax = max(col("e")).over(wIsl.rowsBetween(Window.unboundedPreceding, -1))
     val merged = spans

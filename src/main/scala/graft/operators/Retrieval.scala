@@ -47,8 +47,12 @@ object Retrieval {
     * (query_id, doc_id) score agg, which is bounded by matching
     * postings, not by the cross product.
     */
-  def bm25TopK(docs: DataFrame, queries: DataFrame, k: Int,
+  def bm25TopK(docs0: DataFrame, queries: DataFrame, k: Int,
       excludeSelf: Boolean = false): DataFrame = {
+    // input-layout skew guard: re-spread an under-parallel scan before
+    // the per-row kernel below (no-op on naturally parallel layouts;
+    // see Tables.spreadSmallScan)
+    val docs = graft.Tables.spreadSmallScan(docs0)
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("tok"))
     // tf is the trunk of the whole scorer — dl, df and the scoring

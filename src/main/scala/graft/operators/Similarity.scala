@@ -456,8 +456,12 @@ object Similarity {
     * query). At scale use [[ivfPqTopK]], which prunes candidates to
     * the probed IVF cells before ADC and keeps per-task work
     * cell-sized. */
-  def pqAdcTopK(emb: DataFrame, codebook: Array[(Long, Seq[Float])], m: Int,
+  def pqAdcTopK(emb0: DataFrame, codebook: Array[(Long, Seq[Float])], m: Int,
                 numQueries: Int, k: Int): DataFrame = {
+    // input-layout skew guard: re-spread an under-parallel scan before
+    // the per-row kernel below (no-op on naturally parallel layouts;
+    // see Tables.spreadSmallScan)
+    val emb = graft.Tables.spreadSmallScan(emb0)
     val dim = codebook.head._2.length
     val sub = dim / m
     val sorted = codebook.sortBy(_._1)
@@ -512,9 +516,13 @@ object Similarity {
     * search is one broadcast join over the scan. Query cells are
     * computed driver-side with the same fold/tie-break as the inline
     * expression, so routing is bit-identical. */
-  def ivfPqTopK(emb: DataFrame, centroids: Array[(Long, Seq[Float])],
+  def ivfPqTopK(emb0: DataFrame, centroids: Array[(Long, Seq[Float])],
                 codebook: Array[(Long, Seq[Float])], m: Int,
                 numQueries: Int, k: Int): DataFrame = {
+    // input-layout skew guard: re-spread an under-parallel scan before
+    // the per-row kernel below (no-op on naturally parallel layouts;
+    // see Tables.spreadSmallScan)
+    val emb = graft.Tables.spreadSmallScan(emb0)
     val dim = codebook.head._2.length
     val sub = dim / m
     val sorted = codebook.sortBy(_._1)

@@ -247,13 +247,21 @@ object TextOps {
     * units BEFORE the per-doc sum, so document scores are
     * bit-reproducible under any partitioning (a raw double sum would
     * drift with the reduce order). */
-  def lmScore(docs: DataFrame): DataFrame = {
+  def lmScore(docs0: DataFrame): DataFrame = {
+    // input-layout skew guard: re-spread an under-parallel scan before
+    // the per-row kernel below (no-op on naturally parallel layouts;
+    // see Tables.spreadSmallScan)
+    val docs = graft.Tables.spreadSmallScan(docs0)
     // explode ONCE, reduce to per-doc term frequencies immediately:
     // every downstream agg/join then runs over (doc, term)-distinct
     // rows, not raw occurrences, and the corpus counts fold from tf
     // with map-side partials
+    // tf trunk materialized once (lazy checkpoint — the bm25 pattern):
+    // the freq chain AND the scoring join both consume it, and unshared
+    // each re-tokenized the corpus
     val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint(false)
     val freq = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
     val total = freq.agg(sum(col("cnt")).as("total"))
     val logp = freq.crossJoin(broadcast(total))  // total: literally one row
@@ -281,7 +289,11 @@ object TextOps {
     * log-prob rounds to exact micro units BEFORE the per-doc sum, so
     * scores are reduce-order-independent and engine-portable. Docs
     * with fewer than two tokens have no bigrams and drop out. */
-  def lmScoreBigram(docs: DataFrame, lambda: Double = 0.8): DataFrame = {
+  def lmScoreBigram(docs0: DataFrame, lambda: Double = 0.8): DataFrame = {
+    // input-layout skew guard: re-spread an under-parallel scan before
+    // the per-row kernel below (no-op on naturally parallel layouts;
+    // see Tables.spreadSmallScan)
+    val docs = graft.Tables.spreadSmallScan(docs0)
     val oneMinus = 1.0 - lambda
     // Materialize the token array ONCE per row before the bigram
     // lambda: the Column DSL inlines subtrees, so an un-hoisted
@@ -291,7 +303,12 @@ object TextOps {
     // twice (count tables + final score join). Hoisting to an
     // attribute makes each element_at O(1) (measured 3.8 s → ~1 s at
     // sf0.1).
+    // toked + bigrams are multi-consumer trunks (bigrams: count tables
+    // AND the score join; toked: bigrams AND the unigram counts) — lazy
+    // checkpoints make tokenize and bigram generation run ONCE each
+    // instead of 3x/2x
     val toked = docs.select(col("doc_id"), tokens(col("text")).as("__w"))
+      .localCheckpoint(false)
     val w = col("__w")
     // bigrams stay in OCCURRENCE form end-to-end: within one doc a
     // bigram almost never repeats (tf ≈ 1), so a per-doc tf pre-agg
@@ -307,6 +324,7 @@ object TextOps {
           struct(element_at(w, i).as("prev"),
             element_at(w, i + 1).as("cur")))).as("bg"))
       .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
+      .localCheckpoint(false)
     val cBig = bigrams.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("c_big"))
     // context counts fold from the vocab-sized cBig, not occurrences
@@ -339,7 +357,11 @@ object TextOps {
     * sparse buckets). Weights stay in exact micro units end-to-end,
     * so vectors are bit-reproducible. Output is the oracle-safe
     * exploded form (doc_id, dim_idx, weight_micro). */
-  def hashedTfidfVectors(docs: DataFrame, dim: Int): DataFrame = {
+  def hashedTfidfVectors(docs0: DataFrame, dim: Int): DataFrame = {
+    // input-layout skew guard: re-spread an under-parallel scan before
+    // the per-row kernel below (no-op on naturally parallel layouts;
+    // see Tables.spreadSmallScan)
+    val docs = graft.Tables.spreadSmallScan(docs0)
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     // tf feeds both the idf subtree and the weight join; materialized
     // once so the corpus is tokenized once, not once per consumer
@@ -386,7 +408,11 @@ object TextOps {
     * Scale: one shuffle keyed on the chunk md5 (never the chunk
     * text), chunk-count-sized; reassembly sorts in-group structs —
     * no window over the corpus, no driver state. */
-  def chunkDedup(docs: DataFrame, window: Int): DataFrame = {
+  def chunkDedup(docs0: DataFrame, window: Int): DataFrame = {
+    // input-layout skew guard: re-spread an under-parallel scan before
+    // the per-row kernel below (no-op on naturally parallel layouts;
+    // see Tables.spreadSmallScan)
+    val docs = graft.Tables.spreadSmallScan(docs0)
     // token array hoisted to an attribute: a slice over the inline
     // split would re-tokenize per chunk inside the HOF lambda (see
     // [[lmScoreBigram]])
@@ -425,7 +451,11 @@ object TextOps {
     * deterministic and engine-portable. The df/idf table is
     * vocab-sized (broadcast; AQE shuffles past the threshold, which
     * is then the right plan). */
-  def tfidfTopTerms(docs: DataFrame, k: Int): DataFrame = {
+  def tfidfTopTerms(docs0: DataFrame, k: Int): DataFrame = {
+    // input-layout skew guard: re-spread an under-parallel scan before
+    // the per-row kernel below (no-op on naturally parallel layouts;
+    // see Tables.spreadSmallScan)
+    val docs = graft.Tables.spreadSmallScan(docs0)
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
