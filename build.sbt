@@ -11,6 +11,15 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver bench contract (VERDICT r16 item 2): the driver tails stdout
+// and parses the LAST line as JSON. sbt's default LoggedOutput prefixes
+// every forked-stdout line with "[info] " and appends its own
+// "[success] Total time: ..." line after the run — both of which made
+// BENCH_r01..r16 parse as null. StdoutOutput pipes the forked JVM's
+// stdout through unprefixed, and showSuccess drops the trailer, so the
+// compact bench JSON is the literal final stdout line.
+outputStrategy := Some(StdoutOutput)
+ThisBuild / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

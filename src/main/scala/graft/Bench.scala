@@ -445,8 +445,19 @@ object Bench {
       fits
     }
     val omitted = sortedQ.length - kept.length
-    println(head + kept.mkString(",") +
-      s"""},"queries_omitted":$omitted}""")
-    spark.stop()
+    val compact = head + kept.mkString(",") + s"""},"queries_omitted":$omitted}"""
+    // Belt-and-braces for the driver contract (VERDICT r16 item 2): the
+    // compact line goes to stdout as the FINAL line (build.sbt strips
+    // sbt's [info] prefix and [success] trailer so it survives a
+    // tail-window grab verbatim) AND to bench_result.json on disk.
+    try java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_result.json"), compact + "\n")
+    catch { case _: Throwable => () }
+    // stop Spark BEFORE printing: shutdown WARNs go to stderr, and a
+    // driver that captures 2>&1 must still see the JSON as the last line
+    try spark.stop() catch { case _: Throwable => () }
+    Console.out.flush(); Console.err.flush()
+    println(compact)
+    Console.out.flush()
   }
 }
