@@ -16,21 +16,32 @@ import graft.functions.Codecs
   */
 object CdcQueries {
 
-  /** Envelope over the events fixture, re-spread across the session's
-    * cores when the file layout under-parallelizes the scan
-    * ([[Tables.spreadSmallScan]]) — the codec/mount/replay kernels
-    * these queries stack on top are per-row CPU and were serializing
-    * into the fixture's single-row-group scan task. */
+  /** Envelope over the events fixture — UN-spread. The default for
+    * every envelope consumer here: a cheap scan→filter/agg plan is
+    * better off riding the scan (round 16 measured the blanket spread
+    * regressing the filter/route/txn-chunk/progress families 15-50%
+    * at BOTH core counts: one extra exchange of the whole envelope
+    * under kernels that are struct-compares and filters). */
   private def env(s: SparkSession, dir: String): DataFrame =
-    Tables.spreadSmallScan(Envelope.fromEvents(Tables.events(s, dir)))
-
-  /** The un-spread envelope for the plan-pinned shuffle-free queries
-    * (PlanSpec: encoder/statement rendering "rides the scan"): their
-    * contract is zero-exchange codegen — the operator parallelizes by
-    * the SOURCE's layout in production (streaming source partitions /
-    * many files), so the demo plan stays exchange-free by design. */
-  private def envNarrow(s: SparkSession, dir: String): DataFrame =
     Envelope.fromEvents(Tables.events(s, dir))
+
+  /** The envelope re-spread across the session's cores when the file
+    * layout under-parallelizes the scan ([[Tables.spreadSmallScan]]).
+    * OPT-IN, only above heavy per-row kernels (codec encode/decode,
+    * statement rendering, replay): those fuse into the fixture's
+    * single-row-group scan task and serialize on one core without it.
+    * On a naturally parallel layout (any real cluster table) the
+    * spread is a no-op. */
+  private def envSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.spreadSmallScan(env(s, dir))
+
+  /** Alias kept for the plan-pinned shuffle-free queries (PlanSpec:
+    * encoder/statement rendering "rides the scan"): their contract is
+    * zero-exchange codegen — the operator parallelizes by the SOURCE's
+    * layout in production (streaming source partitions / many files),
+    * so the demo plan stays exchange-free by design. */
+  private def envNarrow(s: SparkSession, dir: String): DataFrame =
+    env(s, dir)
 
   /** Envelope flat + extra computed columns. */
   private def flatWith(df: DataFrame, extra: String*): DataFrame = {
@@ -190,7 +201,7 @@ object CdcQueries {
       Codecs.canalJson(envNarrow(s, d)).select(col("_row_id"), col("_value"))),
 
     "q_encode_canal_txn" -> ((s, d) =>
-      Codecs.canalJsonTxn(txnified(env(s, d)))),
+      Codecs.canalJsonTxn(txnified(envSpread(s, d)))),
 
     "q_lww_state" -> ((s, d) =>
       Materialize.tableStateLww(
@@ -208,16 +219,16 @@ object CdcQueries {
       Codecs.csvLine(envNarrow(s, d)).select(col("_row_id"), col("_value"))),
 
     "q_sqlmodel" -> ((s, d) =>
-      graft.sinks.MysqlSink.statements(env(s, d), Seq("user_id"), 8, safeMode = true)),
+      graft.sinks.MysqlSink.statements(envSpread(s, d), Seq("user_id"), 8, safeMode = true)),
 
     "q_sqlmodel_update" -> ((s, d) =>
-      graft.sinks.MysqlSink.statements(env(s, d), Seq("user_id"), 8, safeMode = false)),
+      graft.sinks.MysqlSink.statements(envSpread(s, d), Seq("user_id"), 8, safeMode = false)),
 
     // restart re-delivery window: rows before the midpoint "replication
     // (re)start ts" render safe (REPLACE), later rows render exact —
     // the reference's per-row commitTs < replicatingTs rule
     "q_sqlmodel_autosafe" -> ((s, d) => {
-      val e = env(s, d)
+      val e = envSpread(s, d)
       val mm = e.agg(min(col("_commit_ts")), max(col("_commit_ts"))).head()
       graft.sinks.MysqlSink.statementsAutoSafe(
         e, Seq("user_id"), 8, (mm.getLong(0) + mm.getLong(1)) / 2L)
@@ -264,7 +275,7 @@ object CdcQueries {
     // (events_1 matches both rules and must land in first_db)
     "q_redo_route" -> ((s, d) => {
       val tmp = java.nio.file.Files.createTempDirectory("graft-redo-route-q").toString
-      val e = env(s, d)
+      val e = envSpread(s, d)
       graft.sinks.RedoLog.append(e, tmp)
       val mm = e.agg(min(col("_commit_ts")), max(col("_commit_ts"))).head()
       graft.sinks.RedoApplier.advanceCheckpoint(

@@ -451,9 +451,8 @@ object DataQueries {
     // twice, once for the corpus side and once for the probe set)
     "q_text_ann" -> ((s, d) =>
       Similarity.bruteForceTopK(
-        TextOps.hashedDenseVectors(docs(s, d), hashedDim)
-          .select(col("doc_id").as("vec_id"), col("embedding"))
-          .localCheckpoint(false),
+        Tables.pinTrunk(TextOps.hashedDenseVectors(docs(s, d), hashedDim)
+          .select(col("doc_id").as("vec_id"), col("embedding"))),
         annQueries, annK)),
 
     "q_stratified" -> ((s, d) =>

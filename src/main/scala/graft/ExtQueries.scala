@@ -13,12 +13,20 @@ import graft.functions.{Codecs, Decoders, Integrity, LargeMessage, RowChecksum}
   */
 object ExtQueries {
 
-  /** Envelope re-spread across cores when the fixture layout
-    * under-parallelizes the scan ([[Tables.spreadSmallScan]]): every
-    * query here stacks per-row codec/roundtrip kernels on top, which
-    * otherwise fuse into a single-row-group scan's ONE task. */
+  /** Envelope over the events fixture — UN-spread, the default.
+    * Round 16 measured the blanket spread regressing the cheap
+    * (filter/dispatch/state) consumers here 15-50% at both core
+    * counts: one extra exchange under kernels that don't need it. */
   private def env(s: SparkSession, dir: String): DataFrame =
-    Tables.spreadSmallScan(Envelope.fromEvents(Tables.events(s, dir)))
+    Envelope.fromEvents(Tables.events(s, dir))
+
+  /** Envelope re-spread across cores when the fixture layout
+    * under-parallelizes the scan ([[Tables.spreadSmallScan]]) —
+    * OPT-IN for the queries stacking heavy per-row codec/roundtrip
+    * kernels on top, which otherwise fuse into a single-row-group
+    * scan's ONE task. No-op on naturally parallel layouts. */
+  private def envSpread(s: SparkSession, dir: String): DataFrame =
+    Tables.spreadSmallScan(env(s, dir))
 
   /** The avro changefeed wire end-to-end across a schema evolution:
     * era-1 rows encode under the original table version, era-2 rows
@@ -33,7 +41,7 @@ object ExtQueries {
   private def avroEvolveRoundtrip(s: SparkSession, d: String,
                                   uri: String, topic: String): DataFrame = {
     import org.apache.spark.sql.types._
-    val e = env(s, d)
+    val e = envSpread(s, d)
     def img2(c: String) = when(col(c).isNull, lit(null)).otherwise(
       struct(col(s"$c.user_id").as("user_id"), col(s"$c.value").as("value"),
         col(s"$c.k").as("k"), (col(s"$c.k") * 2L).as("k2")))
@@ -54,7 +62,7 @@ object ExtQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_roundtrip_canal" -> ((s, d) => {
-      val decoded = Decoders.decodeCanal(Codecs.canalJson(env(s, d)))
+      val decoded = Decoders.decodeCanal(Codecs.canalJson(envSpread(s, d)))
       decoded.select(
         col("_schema"), col("_table"), col("_op"), col("_commit_ms"),
         col("before.user_id").as("before_user_id"),
@@ -68,7 +76,7 @@ object ExtQueries {
     "q_roundtrip_canal_txn" -> ((s, d) => {
       // txn-grouped messages split back into per-row canal messages on
       // the consumer side, then decode — exercising the txn framing
-      val txn = CdcQueries.txnifiedPublic(env(s, d))
+      val txn = CdcQueries.txnifiedPublic(envSpread(s, d))
       val exploded = Codecs.canalJsonTxn(txn)
         .select(explode(split(col("_value"), "\n")).as("_value"))
       val decoded = Decoders.decodeCanal(exploded)
@@ -83,7 +91,7 @@ object ExtQueries {
     }),
 
     "q_roundtrip_open" -> ((s, d) => {
-      val decoded = Decoders.decodeOpen(Codecs.openProtocol(env(s, d)))
+      val decoded = Decoders.decodeOpen(Codecs.openProtocol(envSpread(s, d)))
       decoded.select(
         col("_schema"), col("_table"), col("_commit_ts"), col("_op"),
         col("before.user_id").as("before_user_id"),
@@ -100,7 +108,7 @@ object ExtQueries {
       // partition in commit order, unpack, decode; batch coordinates
       // must land exactly where the greedy count rule puts them
       val routed = graft.operators.Routing
-        .partitionByKeyColumns(env(s, d), Seq("user_id"), 4)
+        .partitionByKeyColumns(envSpread(s, d), Seq("user_id"), 4)
       val msgs = Codecs.openProtocol(routed)
       val packed = graft.functions.OpenBatch.packOpenBatches(msgs, maxBatchSize = 7)
       val unpacked = graft.functions.OpenBatch.unpackOpenBatches(packed)
@@ -125,7 +133,7 @@ object ExtQueries {
       // head + per-event 8-byte length prefixes) — the oracle
       // recomputes them from the reconstructed JSON text
       val routed = graft.operators.Routing
-        .partitionByKeyColumns(env(s, d), Seq("user_id"), 4)
+        .partitionByKeyColumns(envSpread(s, d), Seq("user_id"), 4)
       val msgs = Codecs.openProtocol(routed)
       graft.functions.OpenBatch.packOpenBatches(msgs, maxBatchSize = 7)
         .select(
@@ -137,13 +145,13 @@ object ExtQueries {
     }),
 
     "q_roundtrip_csv" -> ((s, d) =>
-      Decoders.decodeCsv(Codecs.csvLine(env(s, d)))),
+      Decoders.decodeCsv(Codecs.csvLine(envSpread(s, d)))),
 
     // output-old-value csv: updates become a two-record D+I message
     // with the is-updated flag (csv_message.go:104-140); the roundtrip
     // proves record splitting + flag semantics end to end
     "q_roundtrip_csv_oldvalue" -> ((s, d) =>
-      Decoders.decodeCsvOldValue(Codecs.csvLineOldValue(env(s, d)))),
+      Decoders.decodeCsvOldValue(Codecs.csvLineOldValue(envSpread(s, d)))),
 
     "q_roundtrip_vector" -> ((s, d) => {
       // VECTOR(n) end to end through the DDL-typed canal encoder
@@ -160,7 +168,7 @@ object ExtQueries {
       val vecStr = concat(lit("["), pmod(col("after.user_id"), lit(10L)),
         lit(","), pmod(col("after.k"), lit(7L)),
         lit(".5,-"), pmod(col("after.user_id"), lit(5L)), lit("]"))
-      val typed = env(s, d).filter(col("_op") === "I").select(
+      val typed = envSpread(s, d).filter(col("_op") === "I").select(
         lit(null).cast(StructType(Seq(
           StructField("id", StringType), StructField("emb", StringType)))).as("before"),
         struct(col("after.user_id").cast("string").as("id"),
@@ -179,7 +187,7 @@ object ExtQueries {
     }),
 
     "q_roundtrip_simple" -> ((s, d) => {
-      val decoded = Decoders.decodeSimple(Codecs.simpleProtocol(env(s, d)))
+      val decoded = Decoders.decodeSimple(Codecs.simpleProtocol(envSpread(s, d)))
       decoded.select(
         col("_schema"), col("_table"), col("_commit_ts"), col("_op"),
         col("before.user_id").as("before_user_id"),
@@ -199,7 +207,7 @@ object ExtQueries {
       val reader = StructType(Seq(StructField("user_id", LongType),
         StructField("value", DoubleType), StructField("k", LongType)))
       val decoded = graft.functions.SimpleAvroWire.decodeFeed(
-        graft.functions.SimpleAvroWire.encodeFeed(env(s, d)), reader)
+        graft.functions.SimpleAvroWire.encodeFeed(envSpread(s, d)), reader)
       decoded.select(
         col("_schema"), col("_table"), col("_commit_ts"), col("_op"),
         col("before.user_id").as("before_user_id"),
@@ -211,7 +219,7 @@ object ExtQueries {
     }),
 
     "q_checksum" -> ((s, d) => {
-      val sealed0 = Integrity.withChecksum(env(s, d))
+      val sealed0 = Integrity.withChecksum(envSpread(s, d))
       // bit-flip fixture: corrupt the in-flight payload of every
       // 1009th row, then re-verify — corrupt rows must flag false
       val corrupt = pmod(col("_row_id"), lit(1009L)) === 0
@@ -235,7 +243,7 @@ object ExtQueries {
       // fixture as q_checksum: seal, corrupt every 1009th row's
       // in-flight payload, re-verify
       val cols = Codecs.envelopeCols
-      val sealed0 = RowChecksum.withRowChecksum(env(s, d), cols)
+      val sealed0 = RowChecksum.withRowChecksum(envSpread(s, d), cols)
       val corrupt = pmod(col("_row_id"), lit(1009L)) === 0
       val corrupted = sealed0
         .withColumn("after",
@@ -253,7 +261,7 @@ object ExtQueries {
     }),
 
     "q_large_message" -> ((s, d) =>
-      LargeMessage.handleKeyOnly(Codecs.canalJson(env(s, d)), largeMsgMaxBytes)
+      LargeMessage.handleKeyOnly(Codecs.canalJson(envSpread(s, d)), largeMsgMaxBytes)
         .select(col("_row_id"), col("_large"), col("_value"))),
 
     "q_ddl_interleave" -> ((s, d) => {
@@ -266,7 +274,7 @@ object ExtQueries {
     }),
 
     "q_encode_simple" -> ((s, d) =>
-      Codecs.simpleProtocol(env(s, d)).select(col("_row_id"), col("_value"))),
+      Codecs.simpleProtocol(envSpread(s, d)).select(col("_row_id"), col("_value"))),
 
     "q_bootstrap" -> ((s, d) => Codecs.bootstrapMessages(env(s, d))),
 
@@ -326,7 +334,7 @@ object ExtQueries {
     }),
 
     "q_roundtrip_avro" -> ((s, d) =>
-      graft.functions.AvroCodec.decode(graft.functions.AvroCodec.encode(env(s, d)))),
+      graft.functions.AvroCodec.decode(graft.functions.AvroCodec.encode(envSpread(s, d)))),
 
     // the csv codec config surface as a WIRE query (pkg/config/sink.go
     // :270-290 CSVConfig): include-commit-ts, binary-encoding-method=
@@ -342,7 +350,7 @@ object ExtQueries {
         col(s"$c.value").cast(DecimalType(18, 2)).as("price"),
         col(s"$c.k").as("k"),
         encode(concat(lit("b:"), col(s"$c.k").cast("string")), "UTF-8").as("bin")))
-      val shaped = env(s, d)
+      val shaped = envSpread(s, d)
         .withColumn("before", img("before"))
         .withColumn("after", img("after"))
       val lines = graft.functions.Codecs.csvLineFor(shaped, csvCfg)
@@ -369,7 +377,7 @@ object ExtQueries {
         col(s"$c.user_id").as("user_id"),
         col(s"$c.value").cast(DecimalType(18, 2)).as("price"),
         (u64base - abs(col(s"$c.k")) % 1000L).cast(DecimalType(20, 0)).as("u64")))
-      val shaped = env(s, d)
+      val shaped = envSpread(s, d)
         .withColumn("before", img("before"))
         .withColumn("after", img("after"))
       val frames = graft.functions.AvroWire.encodeFeed(shaped,
@@ -412,7 +420,7 @@ object ExtQueries {
       val store = new graft.functions.AvroRegistry.InMemoryStore
       graft.functions.DebeziumAvroCodec.decode(
         graft.functions.DebeziumAvroCodec.encode(
-          env(s, d), "dbz-events", "graft-cluster", store),
+          envSpread(s, d), "dbz-events", "graft-cluster", store),
         store)
     }),
 
@@ -428,7 +436,7 @@ object ExtQueries {
         StructField("value", DoubleType), StructField("k", LongType)))
       val decoded = graft.functions.DebeziumAvroWire.decodeFeed(
         graft.functions.DebeziumAvroWire.encodeFeed(
-          env(s, d), Seq("user_id"), uri, topic = "dbz-feed"),
+          envSpread(s, d), Seq("user_id"), uri, topic = "dbz-feed"),
         uri, reader)
       decoded.select(
         col("_schema"), col("_table"), col("_commit_ts"), col("_op"),
@@ -447,7 +455,7 @@ object ExtQueries {
 
     "q_msg_batches" -> ((s, d) => {
       val encoded = Codecs.canalJson(
-        graft.operators.Routing.partitionByKeyColumns(env(s, d), Seq("user_id"), 8))
+        graft.operators.Routing.partitionByKeyColumns(envSpread(s, d), Seq("user_id"), 8))
       LargeMessage.messageBatches(encoded, 4000L)
         .select(col("_row_id"), col("_partition"), col("_msg_bytes"), col("_msg_batch"))
     }),
@@ -782,23 +790,19 @@ object ExtQueries {
   val ivWindowNs: Long = 30L * 60 * 1000 * 1000 * 1000
 
   /** DDL fixture: sparse version stream with a rotating statement
-    * mix. The control stream is tiny (1/97 of events), so cache it:
-    * the InMemoryRelation is an optimizer barrier that stops
-    * project-collapse from inlining the synthesized `query` CASE
-    * into every classifier branch (which made codegen of the
-    * combined tree the dominant cost) — and mirrors reality, where
-    * DDL arrives materialized from the job table. Memoized per
-    * (session, sfDir) so repeated Bench/test invocations reuse ONE
-    * InMemoryRelation instead of stacking fresh ones in storage
-    * memory. */
-  private val ddlFixtureCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]
+    * mix. The control stream is tiny (1/97 of events), so pin it
+    * behind a lazy per-invocation checkpoint ([[Tables.pinTrunk]]):
+    * the materialization barrier stops project-collapse from inlining
+    * the synthesized `query` CASE into every classifier branch (which
+    * made codegen of the combined tree the dominant cost) — and
+    * mirrors reality, where DDL arrives materialized from the job
+    * table. Unlike the earlier memoized `.cache()` (flagged as a
+    * cross-invocation cache), every invocation rebuilds the fixture
+    * from parquet and its blocks are GC'd with the run. */
   private def ddlFixture(s: SparkSession, d: String): DataFrame =
-    ddlFixtureCache.computeIfAbsent((s, d), { key =>
-      graft.operators.SchemaAsOf.sampleVersions(env(key._1, key._2))
-        .withColumn("query", ddlFixtureQuery)
-        .cache()
-    })
+    Tables.pinTrunk(
+      graft.operators.SchemaAsOf.sampleVersions(env(s, d))
+        .withColumn("query", ddlFixtureQuery))
 
   /** The debezium DDL fixture table — the envelope payload's shape
     * (shared between q_encode_ddl_debezium's tableFor and the oracle's

@@ -57,9 +57,77 @@ object Tables {
     * better off un-spread (partial aggregation already shrinks the
     * shuffle to group-count rows). */
   def spreadSmallScan(df: DataFrame): DataFrame = {
-    val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < p) df.repartition(p) else df
+    // experiment/ops kill-switch: `spark.graft.spreadSmallScan=off`
+    // disables the guard session-wide (e.g. to pin down its effect on
+    // a given layout without a rebuild)
+    if (df.sparkSession.conf.getOption("spark.graft.spreadSmallScan")
+        .contains("off")) df
+    else {
+      val p = df.sparkSession.sparkContext.defaultParallelism
+      if (scanTaskEstimate(df) < p) df.repartition(p) else df
+    }
   }
+
+  /** Estimate the scan-task count of `df`'s input from FILE METADATA
+    * (size / maxPartitionBytes per file, the planner's split rule),
+    * without instantiating the physical plan: the old
+    * `df.rdd.getNumPartitions` probe force-planned the whole subtree
+    * at every query-construction call (and, on inputs whose plan tops
+    * out at an exchange, gated on the shuffle-partition setting
+    * instead of the scan layout). Non-file inputs (in-memory test
+    * frames, already-exchanged plans) fall back to the RDD probe. */
+  private def scanTaskEstimate(df: DataFrame): Long = {
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val conf = df.sparkSession.sessionState.conf
+    val leaves = df.queryExecution.analyzed.collectLeaves()
+    val fsRels = leaves.collect {
+      case l: LogicalRelation if l.relation.isInstanceOf[HadoopFsRelation] =>
+        l.relation.asInstanceOf[HadoopFsRelation]
+    }
+    if (fsRels.isEmpty || fsRels.size != leaves.size)
+      df.rdd.getNumPartitions.toLong
+    else {
+      val maxSplit = math.max(1L, conf.filesMaxPartitionBytes)
+      fsRels.map { r =>
+        r.location.inputFiles.length match {
+          case 0 => 0L
+          case _ =>
+            math.max(r.location.inputFiles.length.toLong,
+              (r.location.sizeInBytes + maxSplit - 1) / maxSplit)
+        }
+      }.sum
+    }
+  }
+
+  /** Materialize a multi-consumer TRUNK (postings/vector proxies that
+    * several consumers of one query re-derive — Catalyst has no
+    * cross-consumer CSE, so an unshared trunk recomputes per consumer).
+    * The mechanism is config-gated (`spark.graft.trunkMaterialize`):
+    *
+    *  - `localCheckpoint` (default): LAZY local checkpoint — no extra
+    *    job (blocks fill inside the first consuming action), cheapest
+    *    measured locally. Tradeoff at cluster scale: lineage truncated
+    *    and blocks pinned to executors, so an executor loss (or a
+    *    dynamic-allocation downscale) makes the query unrecoverable
+    *    mid-run.
+    *  - `persist`: MEMORY_AND_DISK persist — lineage kept, survives
+    *    executor loss; the right setting for long cluster runs. NOTE:
+    *    persist registers in the session CacheManager keyed by the
+    *    logical plan, so back-to-back invocations of the SAME query
+    *    would share blocks across runs — benchmark harnesses measuring
+    *    from-parquet cost must not use this mode (the default never
+    *    crosses invocations: each run checkpoints its own RDD).
+    *  - `none`: no materialization — the trunk recomputes per
+    *    consumer (the pre-round-16 shape).
+    */
+  def pinTrunk(df: DataFrame): DataFrame =
+    df.sparkSession.conf.getOption("spark.graft.trunkMaterialize")
+      .getOrElse("localCheckpoint") match {
+      case "persist" =>
+        df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      case "none" => df
+      case _ => df.localCheckpoint(false)
+    }
 
   def lineitem(s: SparkSession, dir: String): DataFrame = read(s, dir, "lineitem")
   def orders(s: SparkSession, dir: String): DataFrame = read(s, dir, "orders")

@@ -177,7 +177,23 @@ object OpenBatch {
                       maxBatchedBytes: Int = Int.MaxValue,
                       groupCols: Seq[String] = Seq("_partition"),
                       orderCols: Seq[String] = Seq("_commit_ts", "_row_id"),
-                      valueCodec: String = "none"): DataFrame = {
+                      valueCodec: String = "none"): DataFrame =
+    if (maxBatchedBytes == Int.MaxValue)
+      packOpenBatchesPositional(msgs, maxBatchSize, groupCols, orderCols,
+        valueCodec)
+    else packOpenBatchesGreedy(msgs, maxBatchSize, maxBatchedBytes, groupCols,
+      orderCols, valueCodec)
+
+  /** Byte-cap path: the boundary depends on accumulated bytes, so the
+    * whole group must be walked in order by ONE packer. The per-group
+    * collect is one Kafka partition's micro-batch slice — the
+    * reference encoder group's in-memory buffer, admission-bounded
+    * (never corpus-sized). */
+  private def packOpenBatchesGreedy(msgs: DataFrame, maxBatchSize: Int,
+                                    maxBatchedBytes: Int,
+                                    groupCols: Seq[String],
+                                    orderCols: Seq[String],
+                                    valueCodec: String): DataFrame = {
     // order fields get positional aliases so an orderCol named _key/
     // _value cannot collide with the payload fields
     val ev = struct((orderCols.zipWithIndex.map { case (c, i) =>
@@ -201,6 +217,48 @@ object OpenBatch {
       .select(groupCols.map(col) :+ col("pos").as("_batch_seq") :+
         col("col.key").as("_key_bytes") :+ col("col.value").as("_value_bytes") :+
         col("col.rows").as("_batch_rows"): _*)
+  }
+
+  /** Count-cap-only path: when the byte cap cannot bind, the greedy
+    * boundary is POSITIONAL — event i (in group order) belongs to
+    * batch i/maxBatchSize. A window ranks events, a per-BATCH grouping
+    * collects each ≤maxBatchSize slice, and the frame build + value
+    * compression parallelize across batches instead of serializing in
+    * one packer task per Kafka partition (the old shape held an entire
+    * partition's events in ONE aggregation buffer — a memory hazard at
+    * scale — and packed them single-threaded). Byte-identical to the
+    * greedy path: same total order, same slicing, same framing. */
+  private def packOpenBatchesPositional(msgs: DataFrame, maxBatchSize: Int,
+                                        groupCols: Seq[String],
+                                        orderCols: Seq[String],
+                                        valueCodec: String): DataFrame = {
+    require(maxBatchSize > 0, "maxBatchSize must be positive")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCols.map(col): _*)
+      .orderBy((orderCols.map(col) :+ col("_key") :+ col("_value")): _*)
+    val rn = row_number().over(w) - 1
+    val ev = struct(col("__idx"), col("_key").as("_key"),
+      col("_value").as("_value"))
+    // one batch per row: reuse the greedy packer for byte-exactness
+    // (version head + per-frame length prefixes); a ≤maxBatchSize
+    // slice always packs to exactly one message
+    val packer = udf((keys: Seq[String], values: Seq[String]) => {
+      packBatches(keys.zip(values).map { case (k, v) =>
+        (k.getBytes(UTF_8),
+          Compression.encode(valueCodec, v.getBytes(UTF_8)))
+      }, maxBatchSize, Int.MaxValue).head
+    })
+    msgs
+      .withColumn("__idx", pmod(rn, lit(maxBatchSize)))
+      .withColumn("__seq", floor(rn / lit(maxBatchSize)).cast("int"))
+      .groupBy((groupCols.map(col) :+ col("__seq")): _*)
+      .agg(sort_array(collect_list(ev)).as("__evs"))
+      .withColumn("__b", packer(
+        expr("transform(__evs, e -> e._key)"),
+        expr("transform(__evs, e -> e._value)")))
+      .select(groupCols.map(col) :+ col("__seq").as("_batch_seq") :+
+        col("__b.key").as("_key_bytes") :+ col("__b.value").as("_value_bytes") :+
+        col("__b.rows").as("_batch_rows"): _*)
   }
 
   /** Explode batch frames back into per-event (`_key`, `_value`)

@@ -189,10 +189,14 @@ object Dedup {
     * 4 LSH band keys (md5 of each 4-lane slice). Two shuffles total
     * (token distinct, per-doc agg) regardless of corpus size. */
   def minhashSignatures(docs0: DataFrame): DataFrame = {
-    // input-layout skew guard: re-spread an under-parallel scan before
-    // the per-row kernel below (no-op on naturally parallel layouts;
-    // see Tables.spreadSmallScan)
-    val docs = graft.Tables.spreadSmallScan(docs0)
+    // deliberately NOT re-spread: the first post-scan step here is a
+    // token explode feeding an aggregation/join exchange, so the plan
+    // re-parallelizes one stage later anyway — measured at c32/sf0.1,
+    // an up-front round-robin exchange of the full document text costs
+    // more than the single-task tokenize it parallelizes (round 17
+    // A/B: ngram 3.20→1.82, minhash_pairs 1.17→0.94, fuzzy 2.88→2.49,
+    // tfidf 1.28→0.89, lm_bigram 1.35→0.94, bm25 1.30→1.22)
+    val docs = docs0
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("tok"))
       .withColumn("h", tokenHash(col("tok")))
@@ -298,10 +302,14 @@ object Dedup {
     * vocabulary.) */
   def jaccardPairs(docs0: DataFrame, blockCol: String, threshold: Double,
                    maxBucket: Int = DefaultBucketCap): DataFrame = {
-    // input-layout skew guard: re-spread an under-parallel scan before
-    // the per-row kernel below (no-op on naturally parallel layouts;
-    // see Tables.spreadSmallScan)
-    val docs = graft.Tables.spreadSmallScan(docs0)
+    // deliberately NOT re-spread: the first post-scan step here is a
+    // token explode feeding an aggregation/join exchange, so the plan
+    // re-parallelizes one stage later anyway — measured at c32/sf0.1,
+    // an up-front round-robin exchange of the full document text costs
+    // more than the single-task tokenize it parallelizes (round 17
+    // A/B: ngram 3.20→1.82, minhash_pairs 1.17→0.94, fuzzy 2.88→2.49,
+    // tfidf 1.28→0.89, lm_bigram 1.35→0.94, bm25 1.30→1.22)
+    val docs = docs0
     // Candidate generation is BUCKET-COLLECT, not a token self-join:
     // one shuffle gathers each (block, token) posting list, pairs
     // explode in place, and the pair count aggregates — two shuffles
@@ -643,10 +651,14 @@ object Dedup {
     * AQE broadcasts when small). */
   def jaccardPairsPrefix(docs0: DataFrame, blockCol: String, threshold: Double,
                          maxBucket: Int = DefaultBucketCap): DataFrame = {
-    // input-layout skew guard: re-spread an under-parallel scan before
-    // the per-row kernel below (no-op on naturally parallel layouts;
-    // see Tables.spreadSmallScan)
-    val docs = graft.Tables.spreadSmallScan(docs0)
+    // deliberately NOT re-spread: the first post-scan step here is a
+    // token explode feeding an aggregation/join exchange, so the plan
+    // re-parallelizes one stage later anyway — measured at c32/sf0.1,
+    // an up-front round-robin exchange of the full document text costs
+    // more than the single-task tokenize it parallelizes (round 17
+    // A/B: ngram 3.20→1.82, minhash_pairs 1.17→0.94, fuzzy 2.88→2.49,
+    // tfidf 1.28→0.89, lm_bigram 1.35→0.94, bm25 1.30→1.22)
+    val docs = docs0
     val distinctToks = array_distinct(split(col("text"), " "))
     val toks = docs.select(col("doc_id"), col(blockCol).as("__blk"),
       explode(distinctToks).as("tok"))
@@ -815,16 +827,25 @@ object Dedup {
       // shuffle to ~one partition — and one task then runs the whole
       // corpus's Levenshtein DP serially (measured: a 4.5 s wall /
       // 8 s cpu / 2-task stage of a 7.7 s query). A bare round-robin
-      // repartition is NOT enough: the optimizer pushes the ratio
-      // filter (and the levenshtein it references) back below the
-      // exchange, re-serializing it — the lazy checkpoint pins the
-      // kernel above the spread (no extra job; blocks fill inside the
-      // count/collect action). The exchange moves only capped-text
-      // pairs — output-sized, orders below the kernel work it
-      // parallelizes; round-robin is immune to hot-doc_b skew.
+      // repartition alone is NOT enough: the optimizer would push the
+      // ratio filter (and the levenshtein it references) back below
+      // the exchange, re-serializing it. The Generate below pins it:
+      // a filter on generator output cannot cross the Generate, and no
+      // rule moves a Generate below a repartition — so the kernel runs
+      // post-exchange on every core, with no checkpoint (r16 pinned it
+      // with a lazy localCheckpoint, which also held every pair block
+      // in executor storage memory). The exchange moves only
+      // capped-text pairs — output-sized, orders below the kernel work
+      // it parallelizes; round-robin is immune to hot-doc_b skew.
       .repartition(docs.sparkSession.sessionState.conf.numShufflePartitions)
-      .localCheckpoint(false)
-      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")).cast("long"))
+      // the O(len²) kernel runs exactly ONCE per row: behind a Generate
+      // (explode of a 1-element array) the ratio filter above cannot be
+      // pushed into / duplicated over the levenshtein expression — a
+      // plain withColumn had the optimizer evaluating it twice per
+      // surviving row (once in the pushed Filter, once in the Project)
+      .select(col("doc_a"), col("doc_b"), col("__ta"), col("__tb"),
+        explode(array(levenshtein(col("__ta"), col("__tb")).cast("long")))
+          .as("edit_dist"))
       .withColumn("edit_ratio_micro",
         expr("edit_dist * 1000000 div greatest(length(__ta), length(__tb), 1)"))
       .filter(col("edit_ratio_micro") <= math.round(maxEditRatio * 1e6))

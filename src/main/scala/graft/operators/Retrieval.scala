@@ -49,10 +49,14 @@ object Retrieval {
     */
   def bm25TopK(docs0: DataFrame, queries: DataFrame, k: Int,
       excludeSelf: Boolean = false): DataFrame = {
-    // input-layout skew guard: re-spread an under-parallel scan before
-    // the per-row kernel below (no-op on naturally parallel layouts;
-    // see Tables.spreadSmallScan)
-    val docs = graft.Tables.spreadSmallScan(docs0)
+    // deliberately NOT re-spread: the first post-scan step here is a
+    // token explode feeding an aggregation/join exchange, so the plan
+    // re-parallelizes one stage later anyway — measured at c32/sf0.1,
+    // an up-front round-robin exchange of the full document text costs
+    // more than the single-task tokenize it parallelizes (round 17
+    // A/B: ngram 3.20→1.82, minhash_pairs 1.17→0.94, fuzzy 2.88→2.49,
+    // tfidf 1.28→0.89, lm_bigram 1.35→0.94, bm25 1.30→1.22)
+    val docs = docs0
     val toks = docs.select(col("doc_id"),
       explode(TextOps.tokens(col("text"))).as("tok"))
     // tf is the trunk of the whole scorer — dl, df and the scoring
@@ -65,9 +69,8 @@ object Retrieval {
     // (recomputed from parquet each invocation), sized at the postings
     // table — the §8 "decide on the small proxy" shape, far below the
     // text it summarizes.
-    val tf = toks.groupBy(col("doc_id"), col("tok"))
-      .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    val tf = graft.Tables.pinTrunk(toks.groupBy(col("doc_id"), col("tok"))
+      .agg(count(lit(1)).as("tf")))
     // dl = Σ tf per doc — identical to counting the raw token stream,
     // but derived from the checkpoint instead of a second corpus scan
     val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
@@ -126,9 +129,8 @@ object Retrieval {
     // does not run twice — doc-count × dim doubles, far smaller than
     // the text it encodes
     val vec = Similarity.bruteForceTopK(
-        TextOps.hashedDenseVectors(docs, dim)
-          .select(col("doc_id").as("vec_id"), col("embedding"))
-          .localCheckpoint(false),
+        graft.Tables.pinTrunk(TextOps.hashedDenseVectors(docs, dim)
+          .select(col("doc_id").as("vec_id"), col("embedding"))),
         numQueries, k)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("vec_rank"))
@@ -167,9 +169,8 @@ object Retrieval {
     // same one-materialization as [[hybridRrf]]: the vectors feed
     // both sides of the truth-list join
     val vec = Similarity.bruteForceTopK(
-        TextOps.hashedDenseVectors(docs, dim)
-          .select(col("doc_id").as("vec_id"), col("embedding"))
-          .localCheckpoint(false),
+        graft.Tables.pinTrunk(TextOps.hashedDenseVectors(docs, dim)
+          .select(col("doc_id").as("vec_id"), col("embedding"))),
         numQueries, k)
       .select(col("query_id"), col("neighbor_id").as("doc_id"),
         col("rank").as("vec_rank"))

@@ -164,9 +164,15 @@ object Similarity {
     // ordering as the ivfTopK probe list
     val sortedCells = reverse(array_sort(array(cellScores.toIndexedSeq: _*)))
     val probes = transform(slice(sortedCells, 1, nprobe), s => s.getField("cid"))
-    val corp = corpus.select(col("vec_id"), col("embedding"),
-      cellExpr.as("cell"), norm(col("embedding")).as("__n"))
-    val q = queries.select(col("vec_id").as("query_id"),
+    // input-layout skew guard: the per-row cell-assignment expressions
+    // (|centroids| dot products per vector) otherwise fuse into an
+    // under-parallel scan's single task (no-op on naturally parallel
+    // layouts; see Tables.spreadSmallScan)
+    val corp = graft.Tables.spreadSmallScan(corpus)
+      .select(col("vec_id"), col("embedding"),
+        cellExpr.as("cell"), norm(col("embedding")).as("__n"))
+    val q = graft.Tables.spreadSmallScan(queries)
+      .select(col("vec_id").as("query_id"),
         col("embedding").as("q_emb"), explode(probes).as("cell"),
         norm(col("embedding")).as("__qn"))
     val scored = q.join(corp, Seq("cell"))

@@ -248,10 +248,14 @@ object TextOps {
     * bit-reproducible under any partitioning (a raw double sum would
     * drift with the reduce order). */
   def lmScore(docs0: DataFrame): DataFrame = {
-    // input-layout skew guard: re-spread an under-parallel scan before
-    // the per-row kernel below (no-op on naturally parallel layouts;
-    // see Tables.spreadSmallScan)
-    val docs = graft.Tables.spreadSmallScan(docs0)
+    // deliberately NOT re-spread: the first post-scan step here is a
+    // token explode feeding an aggregation/join exchange, so the plan
+    // re-parallelizes one stage later anyway — measured at c32/sf0.1,
+    // an up-front round-robin exchange of the full document text costs
+    // more than the single-task tokenize it parallelizes (round 17
+    // A/B: ngram 3.20→1.82, minhash_pairs 1.17→0.94, fuzzy 2.88→2.49,
+    // tfidf 1.28→0.89, lm_bigram 1.35→0.94, bm25 1.30→1.22)
+    val docs = docs0
     // explode ONCE, reduce to per-doc term frequencies immediately:
     // every downstream agg/join then runs over (doc, term)-distinct
     // rows, not raw occurrences, and the corpus counts fold from tf
@@ -259,9 +263,9 @@ object TextOps {
     // tf trunk materialized once (lazy checkpoint — the bm25 pattern):
     // the freq chain AND the scoring join both consume it, and unshared
     // each re-tokenized the corpus
-    val tf = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
-      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    val tf = graft.Tables.pinTrunk(
+      docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
+        .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
     val freq = tf.groupBy(col("tok")).agg(sum(col("tf")).as("cnt"))
     val total = freq.agg(sum(col("cnt")).as("total"))
     val logp = freq.crossJoin(broadcast(total))  // total: literally one row
@@ -290,10 +294,14 @@ object TextOps {
     * scores are reduce-order-independent and engine-portable. Docs
     * with fewer than two tokens have no bigrams and drop out. */
   def lmScoreBigram(docs0: DataFrame, lambda: Double = 0.8): DataFrame = {
-    // input-layout skew guard: re-spread an under-parallel scan before
-    // the per-row kernel below (no-op on naturally parallel layouts;
-    // see Tables.spreadSmallScan)
-    val docs = graft.Tables.spreadSmallScan(docs0)
+    // deliberately NOT re-spread: the first post-scan step here is a
+    // token explode feeding an aggregation/join exchange, so the plan
+    // re-parallelizes one stage later anyway — measured at c32/sf0.1,
+    // an up-front round-robin exchange of the full document text costs
+    // more than the single-task tokenize it parallelizes (round 17
+    // A/B: ngram 3.20→1.82, minhash_pairs 1.17→0.94, fuzzy 2.88→2.49,
+    // tfidf 1.28→0.89, lm_bigram 1.35→0.94, bm25 1.30→1.22)
+    val docs = docs0
     val oneMinus = 1.0 - lambda
     // Materialize the token array ONCE per row before the bigram
     // lambda: the Column DSL inlines subtrees, so an un-hoisted
@@ -307,8 +315,8 @@ object TextOps {
     // AND the score join; toked: bigrams AND the unigram counts) — lazy
     // checkpoints make tokenize and bigram generation run ONCE each
     // instead of 3x/2x
-    val toked = docs.select(col("doc_id"), tokens(col("text")).as("__w"))
-      .localCheckpoint(false)
+    val toked = graft.Tables.pinTrunk(
+      docs.select(col("doc_id"), tokens(col("text")).as("__w")))
     val w = col("__w")
     // bigrams stay in OCCURRENCE form end-to-end: within one doc a
     // bigram almost never repeats (tf ≈ 1), so a per-doc tf pre-agg
@@ -324,7 +332,7 @@ object TextOps {
           struct(element_at(w, i).as("prev"),
             element_at(w, i + 1).as("cur")))).as("bg"))
       .select(col("doc_id"), col("bg.prev").as("prev"), col("bg.cur").as("cur"))
-      .localCheckpoint(false)
+      .transform(graft.Tables.pinTrunk)
     val cBig = bigrams.groupBy(col("prev"), col("cur"))
       .agg(count(lit(1)).as("c_big"))
     // context counts fold from the vocab-sized cBig, not occurrences
@@ -358,16 +366,20 @@ object TextOps {
     * so vectors are bit-reproducible. Output is the oracle-safe
     * exploded form (doc_id, dim_idx, weight_micro). */
   def hashedTfidfVectors(docs0: DataFrame, dim: Int): DataFrame = {
-    // input-layout skew guard: re-spread an under-parallel scan before
-    // the per-row kernel below (no-op on naturally parallel layouts;
-    // see Tables.spreadSmallScan)
-    val docs = graft.Tables.spreadSmallScan(docs0)
+    // deliberately NOT re-spread: the first post-scan step here is a
+    // token explode feeding an aggregation/join exchange, so the plan
+    // re-parallelizes one stage later anyway — measured at c32/sf0.1,
+    // an up-front round-robin exchange of the full document text costs
+    // more than the single-task tokenize it parallelizes (round 17
+    // A/B: ngram 3.20→1.82, minhash_pairs 1.17→0.94, fuzzy 2.88→2.49,
+    // tfidf 1.28→0.89, lm_bigram 1.35→0.94, bm25 1.30→1.22)
+    val docs = docs0
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     // tf feeds both the idf subtree and the weight join; materialized
     // once so the corpus is tokenized once, not once per consumer
     // (same per-run postings checkpoint as [[Retrieval.bm25TopK]])
-    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint(false)
+    val tf = graft.Tables.pinTrunk(
+      toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf")))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val idf = df.crossJoin(broadcast(n))
@@ -409,10 +421,14 @@ object TextOps {
     * text), chunk-count-sized; reassembly sorts in-group structs —
     * no window over the corpus, no driver state. */
   def chunkDedup(docs0: DataFrame, window: Int): DataFrame = {
-    // input-layout skew guard: re-spread an under-parallel scan before
-    // the per-row kernel below (no-op on naturally parallel layouts;
-    // see Tables.spreadSmallScan)
-    val docs = graft.Tables.spreadSmallScan(docs0)
+    // deliberately NOT re-spread: the first post-scan step here is a
+    // token explode feeding an aggregation/join exchange, so the plan
+    // re-parallelizes one stage later anyway — measured at c32/sf0.1,
+    // an up-front round-robin exchange of the full document text costs
+    // more than the single-task tokenize it parallelizes (round 17
+    // A/B: ngram 3.20→1.82, minhash_pairs 1.17→0.94, fuzzy 2.88→2.49,
+    // tfidf 1.28→0.89, lm_bigram 1.35→0.94, bm25 1.30→1.22)
+    val docs = docs0
     // token array hoisted to an attribute: a slice over the inline
     // split would re-tokenize per chunk inside the HOF lambda (see
     // [[lmScoreBigram]])
@@ -452,10 +468,14 @@ object TextOps {
     * vocab-sized (broadcast; AQE shuffles past the threshold, which
     * is then the right plan). */
   def tfidfTopTerms(docs0: DataFrame, k: Int): DataFrame = {
-    // input-layout skew guard: re-spread an under-parallel scan before
-    // the per-row kernel below (no-op on naturally parallel layouts;
-    // see Tables.spreadSmallScan)
-    val docs = graft.Tables.spreadSmallScan(docs0)
+    // deliberately NOT re-spread: the first post-scan step here is a
+    // token explode feeding an aggregation/join exchange, so the plan
+    // re-parallelizes one stage later anyway — measured at c32/sf0.1,
+    // an up-front round-robin exchange of the full document text costs
+    // more than the single-task tokenize it parallelizes (round 17
+    // A/B: ngram 3.20→1.82, minhash_pairs 1.17→0.94, fuzzy 2.88→2.49,
+    // tfidf 1.28→0.89, lm_bigram 1.35→0.94, bm25 1.30→1.22)
+    val docs = docs0
     val toks = docs.select(col("doc_id"), explode(tokens(col("text"))).as("tok"))
     val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))

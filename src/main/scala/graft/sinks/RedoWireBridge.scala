@@ -255,14 +255,23 @@ object RedoWireBridge {
           // stream records to a temp name (maxTs — part of the final
           // file name — is only known at the end), then rename: the
           // partition never materializes in task memory, and the LZ4
-          // export compresses inline instead of write → read → rewrite
-          val tmp = new java.io.File(dirPath, f".p$pid%04d.log.tmp")
-          RedoWire.writeLogFile(tmp.getPath,
-            recs.map(RedoWire.encodeRecord), doCompress)
-          val path = new java.io.File(dirPath, RedoWire.logFileName(
-            cap, feed, "row", maxTs, f"p$pid%04d"))
-          if (!tmp.renameTo(path))
-            throw new java.io.IOException(s"rename $tmp -> $path failed")
+          // export compresses inline instead of write → read → rewrite.
+          // The attempt id keys the temp name so a speculative/retried
+          // attempt of the same partition never interleaves frames into
+          // another attempt's file; a failed write deletes its temp.
+          val attempt = Option(org.apache.spark.TaskContext.get())
+            .map(_.taskAttemptId()).getOrElse(0L)
+          val tmp = new java.io.File(dirPath, f".p$pid%04d-a$attempt.log.tmp")
+          try {
+            RedoWire.writeLogFile(tmp.getPath,
+              recs.map(RedoWire.encodeRecord), doCompress)
+            val path = new java.io.File(dirPath, RedoWire.logFileName(
+              cap, feed, "row", maxTs, f"p$pid%04d"))
+            if (!tmp.renameTo(path))
+              throw new java.io.IOException(s"rename $tmp -> $path failed")
+          } catch {
+            case e: Throwable => tmp.delete(); throw e
+          }
         }
       }
     java.nio.file.Files.write(

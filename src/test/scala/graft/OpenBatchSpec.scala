@@ -169,4 +169,31 @@ class OpenBatchSpec extends AnyFunSuite {
       .select("_partition", "_key").as[(Long, String)].collect()
     assert(back.toSeq == expected.toSeq)
   }
+
+  test("positional (count-cap-only) pack is byte-identical to the greedy path") {
+    val spark = SparkSpec.spark
+    import spark.implicits._
+    // multiple groups, awkward remainders, a repeated sort key, and a
+    // compressing codec — everything that could diverge between the
+    // window-positional fast path and the per-group greedy walk
+    val msgs = (1 to 37).map { i =>
+      (i % 4L, 1000L + (i % 9), i.toLong,
+        s"""{"ts":${1000 + (i % 9)},"t":1}""",
+        s"""{"u":{"id":$i,"pad":"${"ab" * (i % 13)}"}}""")
+    }.toDF("_partition", "_commit_ts", "_row_id", "_key", "_value")
+    Seq("none", "lz4").foreach { codec =>
+      // Int.MaxValue byte cap → positional path; MaxValue-1 → greedy
+      // path with a cap these tiny frames can never reach
+      val pos = OpenBatch.packOpenBatches(msgs, maxBatchSize = 5,
+        maxBatchedBytes = Int.MaxValue, valueCodec = codec)
+      val greedy = OpenBatch.packOpenBatches(msgs, maxBatchSize = 5,
+        maxBatchedBytes = Int.MaxValue - 1, valueCodec = codec)
+      def canon(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("_partition"), col("_batch_seq").cast("long"),
+          base64(col("_key_bytes")), base64(col("_value_bytes")),
+          col("_batch_rows").cast("long"))
+        .as[(Long, Long, String, String, Long)].collect().toSeq.sorted
+      assert(canon(pos) == canon(greedy), s"codec=$codec")
+    }
+  }
 }

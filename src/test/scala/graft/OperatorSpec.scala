@@ -1039,6 +1039,30 @@ class OperatorSpec extends SparkFunSuite {
       s"budget 2 admits both near-dups, the unrelated doc fails verify: $budget2")
     assert(unbudgeted == budget2, "budget only prunes below-threshold work here")
   }
+
+  test("editVerifiedPairs: the levenshtein kernel evaluates once per row, " +
+      "above the round-robin spread") {
+    import spark.implicits._
+    val docs = Seq((0L, "aa bb cc"), (1L, "aa bb cd"), (2L, "zz yy xx"))
+      .toDF("doc_id", "text")
+    val pairs = Seq((0L, 1L), (0L, 2L)).toDF("doc_a", "doc_b")
+    val out = Dedup.editVerifiedPairs(docs, pairs, maxEditRatio = 0.6)
+    val plan = out.queryExecution.executedPlan.toString
+    // one Generate-hosted evaluation; a pushed-filter copy would show a
+    // second occurrence (r16's plan had the DP running twice per
+    // surviving row: once in the Filter, once in the Project)
+    assert(plan.split("levenshtein", -1).length - 1 == 1,
+      s"expected exactly one levenshtein in the plan:\n$plan")
+    // the ratio filter must sit ABOVE the round-robin exchange (the
+    // Generate pins it): seen bottom-up, the plan string lists the
+    // filter before the exchange
+    val fi = plan.indexOf("edit_ratio_micro")
+    val xi = plan.indexOf("Exchange RoundRobinPartitioning")
+    assert(fi >= 0 && xi >= 0 && fi < xi,
+      s"ratio filter must stay above the spread exchange:\n$plan")
+    assert(out.collect().map(r => (r.getLong(0), r.getLong(1))).toSet ==
+      Set((0L, 1L)))
+  }
 }
 
 /** Statement collector for the coalescer knob spec — a top-level
