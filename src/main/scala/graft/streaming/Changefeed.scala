@@ -1452,13 +1452,19 @@ object Changefeed {
                 0 until cfg.sink.numPartitions
               else Seq(0)
             val s = batch.sparkSession
-            import s.implicits._
-            due.flatMap { case (sc, tb) =>
+            val hs = due.flatMap { case (sc, tb) =>
               parts.map(p => (p.toLong, 0L, "bootstrap",
                 bootstrapValueOf(sc, tb)))
-            }.toDF("_partition", "_commit_ts", "_kind", "_value")
-              .coalesce(1)
-              .write.mode("append").parquet(sinkDir)
+            }
+            // handshakes are control-plane-sized too: driver-direct
+            // append with the Spark-job fallback (see resolved below)
+            if (!graft.sinks.TinyParquet.writeControlFrames(
+                s.sessionState.newHadoopConf(), sinkDir, hs)) {
+              import s.implicits._
+              hs.toDF("_partition", "_commit_ts", "_kind", "_value")
+                .coalesce(1)
+                .write.mode("append").parquet(sinkDir)
+            }
           }
         }
         // large-message handling on the encoded batch: oversized
@@ -1560,14 +1566,22 @@ object Changefeed {
                 if (v.nonEmpty) v else k
               }
             val s = batch.sparkSession
-            import s.implicits._
             // one control message per routing partition (the reference
-            // broadcasts resolved events to every MQ partition)
-            (0 until cfg.sink.numPartitions).map(p =>
-                (p.toLong, resolved, "resolved", key))
-              .toDF("_partition", "_commit_ts", "_kind", "_value")
-              .coalesce(1)
-              .write.mode("append").parquet(sinkDir)
+            // broadcasts resolved events to every MQ partition); the
+            // rows job above has committed, so control-after-rows
+            // visibility holds. Driver-direct parquet append (a Spark
+            // job per micro-batch costs 115-190 ms of pure fixed cost
+            // for numPartitions rows); falls back to the job write if
+            // the direct writer cannot reach the sink FS.
+            val ctrl = (0 until cfg.sink.numPartitions).map(p =>
+              (p.toLong, resolved, "resolved", key))
+            if (!graft.sinks.TinyParquet.writeControlFrames(
+                s.sessionState.newHadoopConf(), sinkDir, ctrl)) {
+              import s.implicits._
+              ctrl.toDF("_partition", "_commit_ts", "_kind", "_value")
+                .coalesce(1)
+                .write.mode("append").parquet(sinkDir)
+            }
           case _ => () // empty batch: nothing durable to cover
         }
     }
